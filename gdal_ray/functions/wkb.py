@@ -1,0 +1,220 @@
+"""Minimal pure-Python/numpy WKB codec.
+
+The reference's geometry wire format is WKB (OGRLayer Arrow bridge tags the
+geometry column ``ARROW:extension:name = ogc.wkb``, reference:
+``ogr/ogrsf_frmts/generic/ogrlayerarrow.cpp:443-566``,
+``perftests/bench_ogr_to_geopandas.py:30-33``).  We carry geometry the same
+way: a ``binary`` Arrow column of little-endian WKB.
+
+Supported types: Point (1), LineString (2), Polygon (3), MultiPoint (4),
+MultiLineString (5), MultiPolygon (6).  2-D only (GDAL Z/M variants are out of
+scope for the sandbox corpus).
+
+Bulk point encode/decode is fully vectorized (the hot path: the document
+corpus is point-dominant); polygon parse is per-geometry Python over numpy
+views (the polygon side of joins is small and parsed once per actor).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+POINT = 1
+LINESTRING = 2
+POLYGON = 3
+MULTIPOINT = 4
+MULTILINESTRING = 5
+MULTIPOLYGON = 6
+
+_POINT_SIZE = 21  # 1 byte order + 4 type + 16 coords
+
+
+def encode_points(x: np.ndarray, y: np.ndarray) -> list[bytes]:
+    """Vectorized bulk encode of POINT WKBs; returns a list of bytes objects."""
+    x = np.asarray(x, dtype="<f8")
+    y = np.asarray(y, dtype="<f8")
+    n = x.size
+    buf = np.empty((n, _POINT_SIZE), dtype=np.uint8)
+    buf[:, 0] = 1  # little-endian
+    buf[:, 1:5] = np.frombuffer(struct.pack("<I", POINT), dtype=np.uint8)
+    buf[:, 5:13] = x.reshape(-1, 1).view(np.uint8)
+    buf[:, 13:21] = y.reshape(-1, 1).view(np.uint8)
+    return [row.tobytes() for row in buf]
+
+
+def decode_points(wkbs) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized bulk decode of uniform POINT WKBs -> (x, y)."""
+    arr = np.frombuffer(b"".join(wkbs), dtype=np.uint8).reshape(-1, _POINT_SIZE)
+    x = arr[:, 5:13].copy().view("<f8").ravel()
+    y = arr[:, 13:21].copy().view("<f8").ravel()
+    return x, y
+
+
+def encode_polygon(rings: list[np.ndarray]) -> bytes:
+    """rings: list of (N, 2) float64 arrays, first = shell, rest = holes.
+    Rings must be closed (first == last vertex)."""
+    out = [b"\x01", struct.pack("<II", POLYGON, len(rings))]
+    for ring in rings:
+        ring = np.asarray(ring, dtype="<f8")
+        out.append(struct.pack("<I", len(ring)))
+        out.append(ring.tobytes())
+    return b"".join(out)
+
+
+def encode_linestring(pts: np.ndarray) -> bytes:
+    pts = np.asarray(pts, dtype="<f8")
+    return b"\x01" + struct.pack("<II", LINESTRING, len(pts)) + pts.tobytes()
+
+
+def encode_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
+    out = [b"\x01", struct.pack("<II", MULTIPOLYGON, len(polys))]
+    for rings in polys:
+        out.append(encode_polygon(rings))
+    return b"".join(out)
+
+
+class Geom:
+    """Parsed geometry: kind + list of parts.
+
+    - POINT: parts = [(1,2) array]
+    - LINESTRING: parts = [(N,2) array]
+    - POLYGON: parts = [rings]  (one entry: list of (N,2) rings)
+    - MULTI*: parts = list of the member parts
+    """
+
+    __slots__ = ("kind", "parts")
+
+    def __init__(self, kind: int, parts):
+        self.kind = kind
+        self.parts = parts
+
+    def rings(self) -> list[np.ndarray]:
+        """All polygon rings (shells + holes) flattened; [] for non-areal."""
+        if self.kind == POLYGON:
+            return self.parts[0]
+        if self.kind == MULTIPOLYGON:
+            return [r for rings in self.parts for r in rings]
+        return []
+
+    def shells_and_holes(self) -> list[list[np.ndarray]]:
+        """List of polygons, each a list of rings (shell first)."""
+        if self.kind == POLYGON:
+            return [self.parts[0]]
+        if self.kind == MULTIPOLYGON:
+            return self.parts
+        return []
+
+    def vertices(self) -> np.ndarray:
+        """All vertices stacked (N, 2)."""
+        arrs = []
+        if self.kind in (POINT, LINESTRING):
+            arrs = self.parts
+        elif self.kind == POLYGON:
+            arrs = self.parts[0]
+        elif self.kind in (MULTIPOINT, MULTILINESTRING):
+            arrs = self.parts
+        elif self.kind == MULTIPOLYGON:
+            arrs = [r for rings in self.parts for r in rings]
+        return np.concatenate(arrs, axis=0) if arrs else np.empty((0, 2))
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        v = self.vertices()
+        return (v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max())
+
+
+def _parse(buf: memoryview, off: int) -> tuple[Geom, int]:
+    byte_order = buf[off]
+    fmt = "<" if byte_order == 1 else ">"
+    (gtype,) = struct.unpack_from(fmt + "I", buf, off + 1)
+    gtype &= 0xFF  # strip 2.5D / SRID flag variants
+    off += 5
+    if gtype == POINT:
+        pt = np.frombuffer(buf, dtype=fmt + "f8", count=2, offset=off).reshape(1, 2)
+        return Geom(POINT, [pt]), off + 16
+    if gtype == LINESTRING:
+        (n,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        pts = np.frombuffer(buf, dtype=fmt + "f8", count=2 * n, offset=off).reshape(n, 2)
+        return Geom(LINESTRING, [pts]), off + 16 * n
+    if gtype == POLYGON:
+        (nrings,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (n,) = struct.unpack_from(fmt + "I", buf, off)
+            off += 4
+            rings.append(np.frombuffer(buf, dtype=fmt + "f8", count=2 * n, offset=off).reshape(n, 2))
+            off += 16 * n
+        return Geom(POLYGON, [rings]), off
+    if gtype in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
+        (nparts,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(nparts):
+            g, off = _parse(buf, off)
+            parts.append(g.parts[0] if gtype != MULTIPOLYGON else g.parts[0])
+        return Geom(gtype, parts), off
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def decode(wkb: bytes) -> Geom:
+    g, _ = _parse(memoryview(wkb), 0)
+    return g
+
+
+def geom_type(wkb: bytes) -> int:
+    fmt = "<" if wkb[0] == 1 else ">"
+    (gtype,) = struct.unpack_from(fmt + "I", wkb, 1)
+    return gtype & 0xFF
+
+
+def bboxes(wkbs) -> np.ndarray:
+    """(N, 4) array of (minx, miny, maxx, maxy) for a column of WKBs."""
+    out = np.empty((len(wkbs), 4), dtype=np.float64)
+    for i, w in enumerate(wkbs):
+        out[i] = decode(w).bbox()
+    return out
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (positive = CCW)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def geom_area(g: Geom) -> float:
+    """Areal area: |shell| - |holes| per polygon, summed (GEOS Area semantics,
+    reference: ogr/ogrgeometry.cpp OGR_G_Area)."""
+    total = 0.0
+    for rings in g.shells_and_holes():
+        if not rings:
+            continue
+        total += abs(ring_area(rings[0]))
+        for hole in rings[1:]:
+            total -= abs(ring_area(hole))
+    return total
+
+
+def geom_centroid(g: Geom) -> tuple[float, float]:
+    """Area-weighted centroid for areal geoms; vertex mean otherwise."""
+    polys = g.shells_and_holes()
+    if polys:
+        cx = cy = a_sum = 0.0
+        for rings in polys:
+            for j, ring in enumerate(rings):
+                x, y = ring[:-1, 0], ring[:-1, 1]
+                x1, y1 = ring[1:, 0], ring[1:, 1]
+                cross = x * y1 - x1 * y
+                a = cross.sum() / 2.0
+                if a == 0:
+                    continue
+                sign = 1.0 if j == 0 else -1.0
+                cx += sign * abs(a) * float(((x + x1) * cross).sum() / (6.0 * a))
+                cy += sign * abs(a) * float(((y + y1) * cross).sum() / (6.0 * a))
+                a_sum += sign * abs(a)
+        if a_sum != 0:
+            return cx / a_sum, cy / a_sum
+    v = g.vertices()
+    return float(v[:, 0].mean()), float(v[:, 1].mean())

@@ -1,0 +1,144 @@
+"""Spatial-join / kNN / tile-assignment stage tests vs brute-force oracles.
+
+Mirrors ogr_join_test.py / layer-algebra autotest style: small deterministic
+inputs, exact expected pair sets (SURVEY §5 styles 1-2).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from gdal_ray.functions import geo, pip, wkb
+from gdal_ray.sources import synthetic
+from gdal_ray.stages import join as join_stage
+from gdal_ray.stages import knn as knn_stage
+from gdal_ray.stages import tiles as tiles_stage
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return synthetic.docs_with_geometry(synthetic.make_docs(1000))
+
+
+@pytest.fixture(scope="module")
+def rect_zones():
+    return synthetic.make_rect_zones(np.arange(1, 120))
+
+
+def brute_pairs(docs: pa.Table, zones: pa.Table, predicate: str) -> set:
+    """O(n*m) oracle using decoded geometries + independent bbox/PIP logic."""
+    lon = docs["lon"].to_numpy()
+    lat = docs["lat"].to_numpy()
+    ids = docs["doc_id"].to_pylist()
+    out = set()
+    for zid, zwkb, minx, miny, maxx, maxy in zip(
+        zones["zone_id"].to_pylist(),
+        zones["wkb"].to_pylist(),
+        zones["minx"].to_numpy(),
+        zones["miny"].to_numpy(),
+        zones["maxx"].to_numpy(),
+        zones["maxy"].to_numpy(),
+    ):
+        g = wkb.decode(zwkb)
+        is_rect = (
+            g.kind == wkb.POLYGON
+            and len(g.parts[0]) == 1
+            and len(g.parts[0][0]) == 5
+            and set(g.parts[0][0][:, 0]) == {minx, maxx}
+            and set(g.parts[0][0][:, 1]) == {miny, maxy}
+        )
+        if is_rect:
+            if predicate == "within":
+                hit = (lon > minx) & (lon < maxx) & (lat > miny) & (lat < maxy)
+            else:
+                hit = (lon >= minx) & (lon <= maxx) & (lat >= miny) & (lat <= maxy)
+        else:
+            hit = pip.points_in_geom(lon, lat, g)
+        for i in np.nonzero(hit)[0]:
+            out.add((ids[i], zid))
+    return out
+
+
+def test_tile_assignment_passthrough_and_values(docs):
+    ds = rd.from_arrow(docs)
+    out = tiles_stage.assign_tiles(ds, zooms=(4, 8)).take_all()
+    assert len(out) == docs.num_rows
+    by_id = {r["doc_id"]: r for r in out}
+    lon = docs["lon"].to_numpy()
+    lat = docs["lat"].to_numpy()
+    tx8, ty8 = geo.lonlat_to_tile(lon, lat, 8)
+    for i, did in enumerate(docs["doc_id"].to_pylist()):
+        r = by_id[did]
+        assert r["tx_8"] == tx8[i] and r["ty_8"] == ty8[i]
+        assert r["cell_8"] == tx8[i] * 256 + ty8[i]
+        # span-sequence invariant: spans travel unperturbed
+        assert [s["kind"] for s in r["spans"]] == [
+            s["kind"] for s in docs["spans"][i].as_py()
+        ]
+
+
+@pytest.mark.parametrize("predicate", ["intersects", "within"])
+def test_broadcast_join_rect_zones(docs, rect_zones, predicate):
+    ds = rd.from_arrow(docs)
+    got = {
+        (r["doc_id"], r["zone_id"])
+        for r in join_stage.broadcast_spatial_join(
+            ds, rect_zones, predicate=predicate, concurrency=2
+        ).take_all()
+    }
+    assert got == brute_pairs(docs, rect_zones, predicate)
+    assert len(got) > 50  # fixture sanity: joins actually happen
+
+
+def test_broadcast_join_edge_case_polygons(docs):
+    zones = synthetic.make_edge_case_zones()
+    ds = rd.from_arrow(docs)
+    got = {
+        (r["doc_id"], r["zone_id"])
+        for r in join_stage.broadcast_spatial_join(ds, zones, concurrency=2).take_all()
+    }
+    assert got == brute_pairs(docs, zones, "intersects")
+
+
+@pytest.mark.parametrize("salts", [None, {"_probe": 0}])
+def test_partitioned_join_matches_broadcast(docs, rect_zones, salts):
+    ds = rd.from_arrow(docs)
+    zds = rd.from_arrow(rect_zones)
+    if salts is not None:
+        salts = join_stage.compute_hot_cells(
+            tiles_stage.assign_tiles(ds, zooms=()), res=4, hot_threshold=8, max_salt=4
+        )
+        assert salts  # with threshold=8 on 1000 docs over 256 cells some cell is hot
+    pts = ds.map_batches(tiles_stage.derive_geometry_batch, batch_format="pyarrow")
+    got = {
+        (r["doc_id"], r["zone_id"])
+        for r in join_stage.partitioned_spatial_join(pts, zds, res=4, salts=salts).take_all()
+    }
+    assert got == brute_pairs(docs, rect_zones, "intersects")
+
+
+def test_knn_matches_brute(docs, rect_zones):
+    cx = (rect_zones["minx"].to_numpy() + rect_zones["maxx"].to_numpy()) / 2.0
+    cy = (rect_zones["miny"].to_numpy() + rect_zones["maxy"].to_numpy()) / 2.0
+    targets = pa.table(
+        {
+            "zone_id": rect_zones["zone_id"],
+            "zone_key": rect_zones["zone_key"],
+            "cx": pa.array(cx),
+            "cy": pa.array(cy),
+        }
+    )
+    ds = rd.from_arrow(docs)
+    for tree in (False, True):
+        rows = knn_stage.knn_join(ds, targets, k=3, tree=tree, concurrency=2).take_all()
+        got = {(r["doc_id"], r["rank"]): r["zone_id"] for r in rows}
+        lon = docs["lon"].to_numpy()
+        lat = docs["lat"].to_numpy()
+        keys = rect_zones["zone_key"].to_numpy()
+        ids = rect_zones["zone_id"].to_pylist()
+        for i, did in enumerate(docs["doc_id"].to_pylist()):
+            d2 = (lon[i] - cx) * (lon[i] - cx) + (lat[i] - cy) * (lat[i] - cy)
+            order = np.lexsort((keys, d2))[:3]
+            for rank, j in enumerate(order, start=1):
+                assert got[(did, rank)] == ids[j], (did, rank, tree)
