@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is one operator/pipeline family from SURVEY.md §2,
+implemented in ``gdal_ray.pipelines.queries``; the matching ``oracle_sql()``
+string recomputes the same result in DuckDB over the same parquet views.
+Geometry is derived from int64 keys with exact 0.01-grid integer arithmetic so
+the SQL oracles reproduce coordinates bit-for-bit (float64); aggregate outputs
+use exact scaled-integer semantics (cents) so value hashes are stable under
+any distributed reduction order.
 """
 
 from __future__ import annotations
@@ -18,27 +17,248 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# -- shared SQL fragments (mirror gdal_ray.functions.geo / sources.synthetic) --
+
+_DOCS_GEO = """
+d AS (
+  SELECT doc_id,
+         -180.0 + ((doc_id * 9973) % 36000) / 100.0 AS lon,
+         -85.0 + ((doc_id * 7919) % 17000) / 100.0 AS lat,
+         n_chars
+  FROM documents
+)
+"""
+
+_ZONES = """
+z AS (
+  SELECT printf('zone-%06d', p_partkey) AS zone_id,
+         p_partkey AS zone_key,
+         -180.0 + ((p_partkey * 7321) % 33000) / 100.0 AS minx,
+         -85.0 + ((p_partkey * 4231) % 15000) / 100.0 AS miny,
+         2.0 + ((p_partkey * 131) % 800) / 100.0 AS w,
+         2.0 + ((p_partkey * 197) % 600) / 100.0 AS h
+  FROM part
+),
+zz AS (
+  SELECT zone_id, zone_key, minx, miny, minx + w AS maxx, miny + h AS maxy FROM z
+)
+"""
+
+
+def _tile_expr(z: int) -> str:
+    n = float(1 << z)
+    hi = (1 << z) - 1
+    tx = f"LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {hi})"
+    ty = (
+        f"LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) "
+        f"/ pi()) / 2.0 * {n}) AS BIGINT), 0), {hi})"
+    )
+    return tx, ty
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: documents -> derive geometry ->
+    tile-assign z8 -> spatial join vs zones -> zonal aggregate."""
+    from gdal_ray.pipelines import queries as q
+
+    return q.zonal_stats_q("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gdal_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # tiling / rasterize (SURVEY §2.9 / §2.8)
+        "tile_assign_z8": q.tile_assign_z8,
+        "tile_assign_multi": q.tile_assign_multi,
+        "rasterize_point_count_z6": q.rasterize_point_count_z6,
+        # spatial joins (SURVEY §2.4)
+        "join_intersects": q.join_intersects,
+        "join_within": q.join_within,
+        "join_partitioned_intersects": q.join_partitioned_intersects,
+        "join_knn": q.join_knn,
+        "knn_tree": q.knn_tree_q,
+        "zonal_stats": q.zonal_stats_q,
+        # relational conformance (SURVEY §2.2/2.5/2.6/2.7/2.11)
+        "q1_pricing": q.q1_pricing,
+        "join_orders_customer": q.join_orders_customer,
+        "filter_like_between": q.filter_like_between,
+        "topk_orders": q.topk_orders,
+        "distinct_segments": q.distinct_segments,
+        # stream-shaped (SURVEY §2.12 analogues)
+        "events_tumbling_1h": q.events_tumbling_1h,
+        "asof_join_events": q.asof_join_events,
+        # text / dedup / similarity (training-data ops)
+        "dedup_exact": q.dedup_exact_q,
+        "token_count": q.token_count_q,
+        "text_quality": q.text_quality_q,
+        "embedding_topk": q.embedding_topk_q,
+        "embedding_neardup": q.embedding_neardup_q,
+        # rows-only (non-SQL-expressible)
+        "langid": q.langid_q,
+        "fingerprint": q.fingerprint_q,
+        "minhash_lsh_pairs": q.minhash_lsh_q,
+        "simhash_signatures": q.simhash_q,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tx8, ty8 = _tile_expr(8)
+    tx4, ty4 = _tile_expr(4)
+    tx12, ty12 = _tile_expr(12)
+    tx6, ty6 = _tile_expr(6)
+    join_intersects_sql = f"""
+        WITH {_DOCS_GEO}, {_ZONES}
+        SELECT d.doc_id, zz.zone_id
+        FROM d, zz
+        WHERE d.lon >= zz.minx AND d.lon <= zz.maxx
+          AND d.lat >= zz.miny AND d.lat <= zz.maxy
     """
-    return {}
+    knn_sql = f"""
+        WITH {_DOCS_GEO}, {_ZONES},
+        c AS (SELECT zone_id, zone_key, (minx + maxx) / 2.0 AS cx,
+                     (miny + maxy) / 2.0 AS cy FROM zz),
+        s AS (
+          SELECT d.doc_id, c.zone_id,
+                 row_number() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY (d.lon - c.cx) * (d.lon - c.cx)
+                          + (d.lat - c.cy) * (d.lat - c.cy), c.zone_key
+                 ) AS "rank"
+          FROM d, c)
+        SELECT doc_id, zone_id, "rank" FROM s WHERE "rank" <= 3
+    """
+    return {
+        "tile_assign_z8": f"""
+            WITH {_DOCS_GEO}
+            SELECT doc_id, lon, lat, {tx8} AS tx_8, {ty8} AS ty_8,
+                   {tx8} * 256 + {ty8} AS cell_8
+            FROM d
+        """,
+        "tile_assign_multi": f"""
+            WITH {_DOCS_GEO}
+            SELECT doc_id, {tx4} AS tx_4, {ty4} AS ty_4,
+                   {tx12} AS tx_12, {ty12} AS ty_12
+            FROM d
+        """,
+        "rasterize_point_count_z6": f"""
+            WITH {_DOCS_GEO}
+            SELECT {tx6} AS tx_6, {ty6} AS ty_6,
+                   CAST(count(*) AS BIGINT) AS n_points
+            FROM d GROUP BY 1, 2
+        """,
+        "join_intersects": join_intersects_sql,
+        "join_partitioned_intersects": join_intersects_sql,
+        "join_within": f"""
+            WITH {_DOCS_GEO}, {_ZONES}
+            SELECT d.doc_id, zz.zone_id
+            FROM d, zz
+            WHERE d.lon > zz.minx AND d.lon < zz.maxx
+              AND d.lat > zz.miny AND d.lat < zz.maxy
+        """,
+        "join_knn": knn_sql,
+        "knn_tree": knn_sql,
+        "zonal_stats": f"""
+            WITH {_DOCS_GEO}, {_ZONES}
+            SELECT zz.zone_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS n_chars_sum,
+                   CAST(min(d.n_chars) AS BIGINT) AS n_chars_min,
+                   CAST(max(d.n_chars) AS BIGINT) AS n_chars_max
+            FROM d, zz
+            WHERE d.lon >= zz.minx AND d.lon <= zz.maxx
+              AND d.lat >= zz.miny AND d.lat <= zz.maxy
+            GROUP BY zz.zone_id
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+                   CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+                     AS base_cents_sum,
+                   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                     AS BIGINT)) AS BIGINT) AS disc_cents_sum,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_orders_customer": """
+            SELECT c.c_mktsegment,
+                   CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                     AS total_cents_sum,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "filter_like_between": """
+            SELECT p_partkey, p_name, p_size
+            FROM part
+            WHERE p_type LIKE '%AND%' AND p_size >= 10 AND p_size <= 30
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS total_cents
+            FROM orders
+            ORDER BY total_cents DESC, o_orderkey
+            LIMIT 10
+        """,
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "events_tumbling_1h": """
+            SELECT event_type,
+                   epoch_us(ts) // 1000000 // 3600 AS window_id,
+                   CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+                     AS value_cents_sum,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "asof_join_events": """
+            WITH m AS (
+              SELECT e.event_id, e.event_type, o.o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+            SELECT event_type,
+                   CAST(sum(o_orderkey) AS BIGINT) AS o_orderkey_sum,
+                   CAST(count(*) AS BIGINT) AS n_matched
+            FROM m WHERE rn = 1
+            GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+            FROM documents
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            s AS (
+              SELECT e.vec_id,
+                     row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                       e.vec_id) AS "rank"
+              FROM embeddings e, q)
+            SELECT vec_id, "rank" FROM s WHERE "rank" <= 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+    }

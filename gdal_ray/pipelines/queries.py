@@ -1,0 +1,307 @@
+"""Driver-contract query implementations (one per SURVEY §2 operator family).
+
+Each function takes ``sf_dir`` and returns a Ray Dataset / pyarrow Table whose
+columns match the DuckDB oracle in ``__ray_entry__.oracle_sql`` exactly (the
+driver sorts columns by name and hashes values).
+
+Geometry derivation policy: the TPC-H-ish driver tables carry no coordinates,
+so lon/lat (docs) and zone rectangles (from part keys) are exact 0.01-grid
+integer arithmetic over the int64 keys — recomputable in ANSI SQL, bit-equal
+in float64 (see geo.derive_lonlat / synthetic.zone_rects_from_keys).
+
+Numeric policy: aggregate outputs are exact scaled integers (cents / counts),
+so value hashes are stable under any distributed reduction order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..functions import geo
+from ..sources import synthetic
+from ..sources.io import read_table
+from ..stages import dedup, events, join, knn, relational, sim, textops, tiles, zonal
+
+KNN_K = 3
+NEARDUP_THRESHOLD = 0.45
+TOPK_EMB = 10
+
+
+def _docs(sf_dir: str, columns=("doc_id",)):
+    return read_table(sf_dir, "documents", columns=list(columns))
+
+
+def _docs_points(sf_dir: str, columns=("doc_id",)):
+    return _docs(sf_dir, columns).map_batches(
+        tiles.derive_geometry_batch, batch_format="pyarrow"
+    )
+
+
+def _zones(sf_dir: str) -> pa.Table:
+    keys = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])["p_partkey"].to_numpy()
+    return synthetic.make_rect_zones(np.sort(keys))
+
+
+# -- tiling / cells ---------------------------------------------------------
+
+
+def tile_assign_z8(sf_dir: str):
+    return tiles.assign_tiles(_docs(sf_dir), zooms=(8,)).select_columns(
+        ["doc_id", "lon", "lat", "tx_8", "ty_8", "cell_8"]
+    )
+
+
+def tile_assign_multi(sf_dir: str):
+    return tiles.assign_tiles(_docs(sf_dir), zooms=(4, 12), with_cell=False).select_columns(
+        ["doc_id", "tx_4", "ty_4", "tx_12", "ty_12"]
+    )
+
+
+def rasterize_point_count_z6(sf_dir: str):
+    """Point rasterization as burn-count per z6 pixel (gdal_rasterize with
+    MERGE_ALG=ADD on point features, alg/gdalrasterize.cpp:314)."""
+    tagged = tiles.assign_tiles(_docs(sf_dir), zooms=(6,), with_cell=False).select_columns(
+        ["doc_id", "tx_6", "ty_6"]
+    )
+    return relational.partial_aggregate(tagged, ["tx_6", "ty_6"], count_alias="n_points")
+
+
+# -- spatial joins ----------------------------------------------------------
+
+
+def join_intersects(sf_dir: str):
+    return join.broadcast_spatial_join(_docs_points(sf_dir), _zones(sf_dir), "intersects")
+
+
+def join_within(sf_dir: str):
+    return join.broadcast_spatial_join(_docs_points(sf_dir), _zones(sf_dir), "within")
+
+
+def join_partitioned_intersects(sf_dir: str):
+    """Same answer as join_intersects via the cell-partitioned shuffle plan."""
+    zones_ds = rd.from_arrow(_zones(sf_dir))
+    return join.partitioned_spatial_join(_docs_points(sf_dir), zones_ds, res=5)
+
+
+def join_knn(sf_dir: str):
+    z = _zones(sf_dir)
+    cx = (z["minx"].to_numpy() + z["maxx"].to_numpy()) / 2.0
+    cy = (z["miny"].to_numpy() + z["maxy"].to_numpy()) / 2.0
+    targets = pa.table(
+        {"zone_id": z["zone_id"], "zone_key": z["zone_key"], "cx": pa.array(cx), "cy": pa.array(cy)}
+    )
+    out = knn.knn_join(_docs_points(sf_dir), targets, k=KNN_K)
+    return out.select_columns(["doc_id", "zone_id", "rank"])
+
+
+def zonal_stats_q(sf_dir: str):
+    pts = _docs(sf_dir, ("doc_id", "n_chars")).map_batches(
+        tiles.derive_geometry_batch, batch_format="pyarrow"
+    )
+    return zonal.zonal_stats(pts, _zones(sf_dir), value_col="n_chars")
+
+
+# -- relational conformance (OGR SQL surface) --------------------------------
+
+
+def q1_pricing(sf_dir: str):
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        base_c = pc.cast(
+            pc.round(
+                pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        disc_price = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0),
+        )
+        disc_c = pc.cast(pc.round(disc_price, round_mode="half_towards_infinity"), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "base_cents": base_c,
+                "disc_cents": disc_c,
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = relational.partial_aggregate(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        sums=["qty", "base_cents", "disc_cents"],
+        count_alias="count_order",
+    )
+    return out
+
+
+def join_orders_customer(sf_dir: str):
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return relational.scaled_int_column(t, "o_totalprice", 100, "total_cents").drop_columns(
+            ["o_totalprice"]
+        )
+
+    ds = orders.map_batches(prep, batch_format="pyarrow")
+    joined = relational.hash_join_broadcast(
+        ds, cust, key="o_custkey", small_key="c_custkey", emit=["c_mktsegment"]
+    )
+    return relational.partial_aggregate(
+        joined, ["c_mktsegment"], sums=["total_cents"], count_alias="n_orders"
+    )
+
+
+def filter_like_between(sf_dir: str):
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_type", "p_size"])
+
+    def fn(t: pa.Table):
+        return pc.and_(
+            pc.match_like(t["p_type"], "%AND%"),
+            pc.and_(pc.greater_equal(t["p_size"], 10), pc.less_equal(t["p_size"], 30)),
+        )
+
+    return relational.filter_expr(ds, fn).select_columns(["p_partkey", "p_name", "p_size"])
+
+
+def topk_orders(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: relational.scaled_int_column(t, "o_totalprice", 100, "total_cents").drop_columns(
+            ["o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+    return relational.top_k(ds, ["total_cents", "o_orderkey"], descending=[True, False], k=10)
+
+
+def distinct_segments(sf_dir: str):
+    return relational.distinct(
+        read_table(sf_dir, "customer", columns=["c_mktsegment"]), ["c_mktsegment"]
+    )
+
+
+# -- events (stream-shaped) --------------------------------------------------
+
+
+def events_tumbling_1h(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return events.tumbling_window(ds, window_s=3600)
+
+
+def asof_join_events(sf_dir: str):
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "user_id", "ts"])
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    matched = events.asof_join(ev, orders)
+    # inner-match aggregate: per event_type, count + exact orderkey sum
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["o_orderkey"]))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            }
+        )
+
+    inner = matched.map_batches(prep, batch_format="pyarrow")
+    return relational.partial_aggregate(
+        inner, ["event_type"], sums=["o_orderkey"], count_alias="n_matched"
+    )
+
+
+# -- text / dedup / similarity ----------------------------------------------
+
+
+def dedup_exact_q(sf_dir: str):
+    return dedup.exact_dedup(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def token_count_q(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textops.token_count_batch(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def text_quality_q(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textops.quality_score_batch(t).select(
+            ["doc_id", "n_chars_calc", "n_tokens", "n_punct"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def embedding_topk_q(sf_dir: str):
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q0 = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = sim.cosine_topk(ds, np.array([q0]), query_ids=[0], k=TOPK_EMB)
+    return out.select_columns(["vec_id", "rank"])
+
+
+def embedding_neardup_q(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = sim.cosine_neardup_pairs(ds, threshold=NEARDUP_THRESHOLD)
+    return out.select_columns(["id_a", "id_b"])
+
+
+# -- rows-only checks (non-SQL-expressible) ----------------------------------
+
+
+def langid_q(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        textops.LangId, batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def fingerprint_q(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textops.fingerprint_batch(t).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_lsh_q(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.minhash_lsh_dedup_pairs(ds, min_jaccard_x1000=500)
+
+
+def simhash_q(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.simhash_signatures(ds)
+
+
+def knn_tree_q(sf_dir: str):
+    """kNN via best-first STRtree traversal (scale path) — same rows as join_knn."""
+    z = _zones(sf_dir)
+    cx = (z["minx"].to_numpy() + z["maxx"].to_numpy()) / 2.0
+    cy = (z["miny"].to_numpy() + z["maxy"].to_numpy()) / 2.0
+    targets = pa.table(
+        {"zone_id": z["zone_id"], "zone_key": z["zone_key"], "cx": pa.array(cx), "cy": pa.array(cy)}
+    )
+    out = knn.knn_join(_docs_points(sf_dir), targets, k=KNN_K, tree=True)
+    return out.select_columns(["doc_id", "zone_id", "rank"])

@@ -1,0 +1,101 @@
+"""Stream-shaped operators over the ordered events log.
+
+The reference has no event-time machinery (SURVEY §2.12); these are the
+batch-semantics equivalents the brief asks for: tumbling-window aggregates
+(GROUP BY floor(epoch/window)) and an as-of join (each event matched to the
+latest orders row of the same key at or before its timestamp).
+
+Ordering contract: windows are pure keyed aggregates (order-free); the as-of
+join sorts within (key) groups only — no global ordering assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .relational import partial_aggregate
+
+
+def _epoch_us(col) -> np.ndarray:
+    arr = col.to_numpy(zero_copy_only=False)
+    return arr.astype("datetime64[us]").astype(np.int64)
+
+
+def tumbling_window(ds, window_s: int = 3600, ts_col: str = "ts", key_col: str = "event_type"):
+    """Count + exact value-cents sum per (key, window).
+
+    window_id = floor(epoch_seconds / window_s) — integer arithmetic, SQL
+    mirror: CAST(floor(epoch(ts)/W) AS BIGINT).
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sec = _epoch_us(batch[ts_col]) // 1_000_000
+        wid = sec // window_s
+        # half-away-from-zero to match SQL round() (see relational.py policy)
+        value_c = pc.cast(
+            pc.round(
+                pc.multiply(batch["value"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "window_id": pa.array(wid),
+                "value_cents": value_c,
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return partial_aggregate(
+        tagged, [key_col, "window_id"], sums=["value_cents"], count_alias="n_events"
+    )
+
+
+def asof_join(
+    events_ds,
+    right: pa.Table,
+    left_key: str = "user_id",
+    right_key: str = "o_custkey",
+    left_ts: str = "ts",
+    right_ts: str = "o_orderdate",
+    emit: tuple = ("o_orderkey",),
+):
+    """As-of join: latest right row with right_ts <= left ts per key.
+
+    Physical plan: broadcast the (small) right table sorted per key; per batch
+    use ``pd.merge_asof`` — vectorized backward search.  For a large right
+    side this becomes a co-partitioned groupby(key).map_groups with the same
+    per-group merge_asof body.
+    """
+    import ray
+
+    # tie-break duplicate right_ts per key deterministically: merge_asof takes
+    # the LAST matching row, so sorting by (right_ts, emit cols) makes the
+    # winner the max emit value — mirrored in the SQL oracle's row_number()
+    rdf = right.to_pandas().sort_values([right_ts, *emit], kind="stable")
+    ref = ray.put(rdf)
+
+    class AsofJoiner:
+        def __init__(self):
+            self.right = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.sort_values(left_ts, kind="stable")
+            out = pd.merge_asof(
+                b,
+                self.right[[right_key, right_ts, *emit]],
+                left_on=left_ts,
+                right_on=right_ts,
+                left_by=left_key,
+                right_by=right_key,
+                direction="backward",
+            )
+            return out.drop(columns=[right_ts])
+
+    return events_ds.map_batches(AsofJoiner, batch_format="pandas", concurrency=2)

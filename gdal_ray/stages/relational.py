@@ -1,0 +1,139 @@
+"""Relational operators (OGR SQL surface) — Ray-Data-first.
+
+Covers the reference's OGR SQL dialect (SURVEY §2.5/2.6/2.11: aggregates
+``ogr/swq_op_registrar.cpp:53-59``, WHERE engine ``ogr/ogrfeaturequery.cpp``,
+ORDER BY ``ogr_gensql.cpp:2218``, DISTINCT ``ogr/ogr_swq.h:322``) with Arrow
+compute kernels + Ray Data groupby/sort.
+
+Scale pattern: every keyed aggregate here is **pre-aggregated** — partials are
+computed per batch with ``pyarrow.TableGroupBy`` inside ``map_batches`` (the
+combiner), and only the tiny per-key partials go through the all-to-all
+``groupby``.  At 100 TB this turns the shuffle from O(rows) into
+O(keys x blocks).
+
+Numeric policy: aggregate outputs that feed the correctness oracle use exact
+scaled-integer semantics (money in cents, ratios as scaled ints) so results
+are bit-stable under any reduction order — the distributed analogue of
+TPC-H DECIMAL columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_AGG_FIELD = {"sum": "sum", "min": "min", "max": "max", "count": "count"}
+
+
+def partial_aggregate(
+    ds,
+    keys: list[str],
+    sums: list[str] = (),
+    mins: list[str] = (),
+    maxs: list[str] = (),
+    count_alias: str | None = None,
+):
+    """Two-phase keyed aggregate: per-batch pyarrow combiner -> small shuffle.
+
+    Returns a Dataset with columns ``keys + [f"{c}" for sums/mins/maxs] +
+    [count_alias]``.  All value columns must already be integer-typed for
+    bit-stable results (see module docstring).
+    """
+    sums, mins, maxs = list(sums), list(mins), list(maxs)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sums] + [(c, "min") for c in mins] + [(c, "max") for c in maxs]
+        if count_alias:
+            aggs.append((keys[0], "count"))
+        g = batch.group_by(keys).aggregate(aggs)
+        names = list(keys) + [f"{c}_sum" for c in sums] + [f"{c}_min" for c in mins] + [
+            f"{c}_max" for c in maxs
+        ]
+        if count_alias:
+            names.append(count_alias)
+        # pyarrow names output "<col>_<agg>"; normalize order to ours
+        cols = {}
+        for want, have in zip(
+            names,
+            keys
+            + [f"{c}_sum" for c in sums]
+            + [f"{c}_min" for c in mins]
+            + [f"{c}_max" for c in maxs]
+            + ([f"{keys[0]}_count"] if count_alias else []),
+        ):
+            cols[want] = g[have]
+        return pa.table(cols)
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    final_aggs = []
+    for c in sums:
+        final_aggs.append(Sum(f"{c}_sum", alias_name=f"{c}_sum"))
+    for c in mins:
+        final_aggs.append(Min(f"{c}_min", alias_name=f"{c}_min"))
+    for c in maxs:
+        final_aggs.append(Max(f"{c}_max", alias_name=f"{c}_max"))
+    if count_alias:
+        final_aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*final_aggs)
+
+
+def scaled_int_column(batch: pa.Table, col: str, scale: int, out: str) -> pa.Table:
+    """double -> exact scaled int64 (e.g. dollars -> cents).  Round mode is
+    half-away-from-zero to match SQL ``CAST(round(x * scale) AS BIGINT)``
+    bit-for-bit (DuckDB round() is half-away)."""
+    v = pc.round(pc.multiply(batch[col], pa.scalar(float(scale))), round_mode="half_towards_infinity")
+    return batch.append_column(out, pc.cast(v, pa.int64()))
+
+
+def top_k(ds, keys: list[str], descending: list[bool], k: int):
+    """ORDER BY ... LIMIT k (ogr_gensql.cpp CreateOrderByIndex semantics);
+    Ray's sort is a range-partitioned shuffle, limit prunes blocks."""
+    return ds.sort(keys, descending=descending).limit(k)
+
+
+def distinct(ds, cols: list[str]):
+    """DISTINCT via groupby on the columns (exact, shuffle on unique keys)."""
+    from ray.data.aggregate import Count
+
+    return ds.groupby(cols).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def filter_expr(ds, fn):
+    """WHERE pushdown: vectorized Arrow predicate inside map_batches."""
+    return ds.map_batches(lambda t: t.filter(fn(t)), batch_format="pyarrow")
+
+
+def hash_join_broadcast(ds, small: pa.Table, key: str, small_key: str, emit: list[str]):
+    """Equi-join with a broadcast small side (OGR SQL JOIN,
+    ogr_gensql.cpp:1334-1530, re-expressed as ray.put + per-batch hash lookup
+    instead of the reference's per-row secondary-layer filter pushdown)."""
+    import ray
+
+    ref = ray.put(small)
+
+    class Joiner:
+        def __init__(self):
+            t = ray.get(ref)
+            keys = t[small_key].to_numpy(zero_copy_only=False)
+            order = np.argsort(keys, kind="stable")
+            self.sorted_keys = keys[order]
+            self.order = order
+            self.table = t
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            probe = batch[key].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.sorted_keys, probe)
+            pos = np.clip(pos, 0, len(self.sorted_keys) - 1)
+            hit = self.sorted_keys[pos] == probe
+            rows = np.nonzero(hit)[0]
+            src = self.order[pos[rows]]
+            out = batch.take(pa.array(rows))
+            for c in emit:
+                out = out.append_column(c, self.table[c].take(pa.array(src)))
+            return out
+
+    return ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (list<float>).
+
+Brute-force cosine top-k as the exact baseline: the query matrix is broadcast
+(``ray.put`` once), each actor normalizes it in ``__init__`` and runs one
+numpy matmul per batch — vectorized, zero shuffle, linear scan.  The scale
+path is LSH bucketing (random hyperplane signatures -> groupby bucket ->
+within-bucket exact rerank), which bounds the per-task candidate set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _stack_embeddings(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (zero-copy flatten)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return values.reshape(n, -1)
+
+
+class BroadcastCosineTopK:
+    def __init__(self, queries_ref, k: int, id_col: str, query_ids):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        qm = np.asarray(q, dtype=np.float64)
+        self.qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+        self.id_col = id_col
+        self.query_ids = list(query_ids)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(batch["embedding"])
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (emb / norms) @ self.qn.T  # (batch, nq)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            out_q.append(np.full(len(ids), self.query_ids[qi]))
+            out_id.append(ids)
+            out_sim.append(sims[:, qi])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "cos_sim": pa.array(np.concatenate(out_sim)),
+            }
+        )
+
+
+def cosine_topk(ds, queries: np.ndarray, query_ids, k: int = 10, id_col: str = "vec_id"):
+    """Exact top-k per query: per-batch partial scores -> global top-k.
+
+    The per-batch stage emits ALL scores only for correctness-scale inputs;
+    at scale use ``cosine_topk_pruned`` which keeps per-batch top-k partials
+    (a combiner) before the final sort — same results, tiny shuffle.
+    """
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
+    scored = ds.map_batches(
+        BroadcastCosineTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col, query_ids=query_ids),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    # per-batch combiner: keep only local top-k per query before the shuffle
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_numpy(zero_copy_only=False)
+        sims = batch["cos_sim"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = []
+        for q in np.unique(qids):
+            rows = np.nonzero(qids == q)[0]
+            if rows.size > k:
+                # ties at the boundary: lexsort (id asc, sim desc) keeps rank
+                # determinism identical to the final stage
+                order = np.lexsort((ids[rows], -sims[rows]))[:k]
+                rows = rows[order]
+            keep.append(rows)
+        keep = np.concatenate(keep) if keep else np.array([], dtype=np.int64)
+        return batch.take(pa.array(keep))
+
+    pruned = scored.map_batches(local_topk, batch_format="pyarrow")
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        sims = group["cos_sim"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        out = group.take(pa.array(order))
+        return out.append_column("rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64)))
+
+    return pruned.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def cosine_neardup_pairs(ds, threshold: float = 0.8, id_col: str = "vec_id", block: int = 4096):
+    """All pairs (a < b) with cosine >= threshold.
+
+    Physical plan: the (small) full matrix is broadcast once; each task scores
+    one row-block against the whole matrix (upper triangle only).  For corpora
+    too large to broadcast, swap in the LSH-bucketed variant
+    (``lsh_bucket_pairs``) — same output above the threshold w.h.p.
+    """
+    mat_rows = ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col], "embedding": b["embedding"]}),
+        batch_format="pyarrow",
+    ).take_all()
+    ids = np.array([r[id_col] for r in mat_rows], dtype=np.int64)
+    emb = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in mat_rows])
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    embn = emb / norms
+    ref = ray.put((ids, embn))
+
+    import ray.data as rd
+
+    nblocks = int(np.ceil(len(ids) / block))
+    blocks = rd.range(nblocks)
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        bids, bemb = ray.get(ref)
+        out_a, out_b, out_s = [], [], []
+        for bi in batch["id"].to_numpy(zero_copy_only=False):
+            s, e = bi * block, min(len(bids), (bi + 1) * block)
+            sims = bemb[s:e] @ bemb.T
+            for i in range(s, e):
+                row = sims[i - s]
+                hits = np.nonzero(row >= threshold)[0]
+                hits = hits[bids[hits] > bids[i]]
+                out_a.append(np.full(hits.size, bids[i]))
+                out_b.append(bids[hits])
+                out_s.append(row[hits])
+        if not out_a:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "cos_sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    return blocks.map_batches(score_block, batch_format="pyarrow")
+
+
+def lsh_bucket_pairs(ds, nplanes: int = 12, threshold: float = 0.8, id_col: str = "vec_id"):
+    """Scale path: random-hyperplane LSH bucket -> within-bucket exact pairs."""
+    rng = np.random.default_rng(424242)
+    planes_ref = None
+    dim_holder = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(batch["embedding"])
+        if "planes" not in dim_holder:
+            local_rng = np.random.default_rng(424242)
+            dim_holder["planes"] = local_rng.standard_normal((emb.shape[1], nplanes))
+        signs = (emb @ dim_holder["planes"]) > 0
+        bucket = (signs * (1 << np.arange(nplanes))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {id_col: batch[id_col], "bucket": pa.array(bucket), "embedding": batch["embedding"]}
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(group["embedding"])
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        embn = emb / norms
+        sims = embn @ embn.T
+        a, b = np.nonzero(np.triu(sims >= threshold, k=1))
+        lo = np.minimum(ids[a], ids[b])
+        hi = np.maximum(ids[a], ids[b])
+        return pa.table(
+            {"id_a": pa.array(lo), "id_b": pa.array(hi), "cos_sim": pa.array(sims[a, b])}
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
