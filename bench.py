@@ -1,0 +1,188 @@
+"""Headline benchmark: spatial-join + tile-assignment throughput (docs/sec).
+
+Input: $GRAFT_SF_DIR (default /root/testdata/sf0.1).  The driver `documents`
+table is small (5k rows at sf0.1), so the headline pipeline streams a
+deterministic key-shifted replication of it (REPLICATE x 5k docs, cached as
+parquet under /tmp) — content comes from the driver table, geometry derives
+from the shifted int64 keys exactly as everywhere else.  Zones = rectangles
+from `part` keys (20k polygons at sf0.1, broadcast side).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": headline_sec, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "docs": M, "docs_per_sec": r}
+
+--scaling: runs the plain bench twice in fresh processes at num_cpus=8 and 32
+and reports both throughputs + scaling efficiency (the sandbox evidence for
+the north rule's N -> 4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "400"))
+KEY_STRIDE = 10_000_000
+
+
+def _replicated_docs_path() -> str:
+    """Materialize (once) the replicated docs input; returns its directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    out = f"/tmp/gdal_ray_bench/docs_{tag}_x{REPLICATE}"
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    base = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"])
+    keys = base["doc_id"].to_numpy()
+    import numpy as np
+
+    nch = base["n_chars"].to_numpy()
+    # shard the replicas into a few files so the read parallelizes
+    per_file = max(1, REPLICATE // 32)
+    fidx = 0
+    for start in range(0, REPLICATE, per_file):
+        parts = []
+        for r in range(start, min(REPLICATE, start + per_file)):
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(keys + r * KEY_STRIDE),
+                        "n_chars": pa.array(nch),
+                    }
+                )
+            )
+        pq.write_table(pa.concat_tables(parts), os.path.join(out, f"part-{fidx:05d}.parquet"))
+        fidx += 1
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import join as join_stage
+    from gdal_ray.stages import tiles as tiles_stage
+    from gdal_ray.stages import zonal as zonal_stage
+    from gdal_ray.pipelines import queries as q
+
+    docs_path = _replicated_docs_path()
+    zone_keys = np.sort(
+        pq_mod.read_table(f"{SF_DIR}/part.parquet", columns=["p_partkey"])["p_partkey"].to_numpy()
+    )
+    zones = synthetic.make_rect_zones(zone_keys)
+
+    # warm the page cache (measure compute + shuffle, not first disk read)
+    rd.read_parquet(docs_path).count()
+
+    results = {}
+
+    # headline: read -> derive geometry -> tile-assign z8+z12 -> broadcast
+    # spatial join vs zones -> dense zonal aggregate (vector combiner)
+    t0 = time.time()
+    ds = rd.read_parquet(docs_path)
+    tagged = tiles_stage.assign_tiles(ds, zooms=(8, 12), with_cell=True)
+    agg = zonal_stage.zonal_stats_dense(
+        tagged,
+        zones,
+        value_col="n_chars",
+        concurrency=max(2, min(16, NUM_CPUS // 2)),
+        batch_size=32768,
+    )
+    n_zones_hit = agg.num_rows
+    headline = time.time() - t0
+    n_docs = REPLICATE * pq_mod.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    results["spatial_join_tile_assign"] = headline
+
+    # representative per-operator pipelines at native sf scale
+    for name, fn in [
+        ("tile_assign_z8", q.tile_assign_z8),
+        ("join_intersects", q.join_intersects),
+        ("join_knn", q.join_knn),
+        ("q1_pricing", q.q1_pricing),
+        ("events_tumbling_1h", q.events_tumbling_1h),
+        ("dedup_exact", q.dedup_exact_q),
+        ("embedding_topk", q.embedding_topk_q),
+    ]:
+        t0 = time.time()
+        out = fn(SF_DIR)
+        # consume
+        try:
+            out.count()
+        except AttributeError:
+            pass
+        results[name] = round(time.time() - t0, 3)
+
+    payload = {
+        "metric": "spatial_join_tile_assign_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in results.items()},
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "docs": int(n_docs),
+        "docs_per_sec": round(n_docs / headline, 1),
+        "zones": len(zone_keys),
+        "zones_hit": int(n_zones_hit),
+    }
+    ray.shutdown()
+    return payload
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, "bench.py"], env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "docs": r_lo["docs"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

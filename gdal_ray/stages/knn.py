@@ -31,7 +31,7 @@ class BroadcastKNN:
         k: int = 3,
         id_col: str = "doc_id",
         tree: bool = False,
-        chunk: int = 2048,
+        chunk: int = 256,
     ):
         t = ray.get(targets_ref) if isinstance(targets_ref, ray.ObjectRef) else targets_ref
         self.tid = t["zone_id"].to_pylist()
@@ -48,6 +48,13 @@ class BroadcastKNN:
             from ..state.strtree import STRtree
 
             self.tree = STRtree(np.column_stack([self.cx, self.cy, self.cx, self.cy]))
+        # preallocated scratch (touched once here): in-place kernels below keep
+        # steady-state batches free of fresh-page allocation cost
+        m = self.cx.size
+        self._d2 = np.empty((chunk, m))
+        self._tmp = np.empty((chunk, m))
+        self._d2.fill(0.0)
+        self._tmp.fill(0.0)
 
     def _topk_brute(self, px: np.ndarray, py: np.ndarray):
         n = px.size
@@ -56,9 +63,14 @@ class BroadcastKNN:
         out_d = np.empty((n, k))
         for s in range(0, n, self.chunk):
             e = min(n, s + self.chunk)
-            dx = px[s:e, None] - self.cx[None, :]
-            dy = py[s:e, None] - self.cy[None, :]
-            d2 = dx * dx + dy * dy
+            c = e - s
+            d2 = self._d2[:c]
+            tmp = self._tmp[:c]
+            np.subtract(px[s:e, None], self.cx[None, :], out=d2)
+            np.multiply(d2, d2, out=d2)
+            np.subtract(py[s:e, None], self.cy[None, :], out=tmp)
+            np.multiply(tmp, tmp, out=tmp)
+            np.add(d2, tmp, out=d2)
             m = self.cx.size
             kk = min(k + 8, m - 1)
             if m > 4 * k + 8:
