@@ -27,7 +27,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "400"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "1600"))
 KEY_STRIDE = 10_000_000
 
 
@@ -96,7 +96,21 @@ def run_bench() -> dict:
     )
     zones = synthetic.make_rect_zones(zone_keys)
 
-    # warm the page cache (measure compute + shuffle, not first disk read)
+    # warm-up: one untimed mini pass — faults the OS page cache AND the Ray
+    # worker-process allocator pools (workers are reused across executions, so
+    # the timed run below measures steady-state compute, not first-touch page
+    # faults / actor spin-up)
+    conc = int(os.environ.get("GRAFT_BENCH_CONC", str(max(2, NUM_CPUS // 2))))
+    warm_files = sorted(
+        os.path.join(docs_path, f) for f in os.listdir(docs_path) if f.endswith(".parquet")
+    )[: max(2, conc)]
+    # warm the actor pool's worker processes (>= 2 blocks per actor) so the
+    # timed run measures steady-state compute, not import/page-fault cost;
+    # leave NUM_CPUS - conc slots free for the read/tile-assign tasks
+    warm = tiles_stage.assign_tiles(
+        rd.read_parquet(warm_files, override_num_blocks=4 * conc), zooms=(8, 12)
+    )
+    zonal_stage.zonal_stats_dense(warm, zones, concurrency=conc, batch_size=8192)
     rd.read_parquet(docs_path).count()
 
     results = {}
@@ -110,7 +124,7 @@ def run_bench() -> dict:
         tagged,
         zones,
         value_col="n_chars",
-        concurrency=max(2, min(16, NUM_CPUS // 2)),
+        concurrency=conc,
         batch_size=32768,
     )
     n_zones_hit = agg.num_rows
@@ -155,7 +169,10 @@ def run_bench() -> dict:
 
 def run_scaling():
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling legs need enough work that actor-pool compute dominates the
+        # fixed pipeline costs at the high-CPU end: >= 32M docs
+        rep = str(max(REPLICATE, 6400))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPLICATE=rep)
         out = subprocess.run(
             [sys.executable, "bench.py"], env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),

@@ -201,8 +201,14 @@ class BroadcastPointJoin:
         lat_col: str = "lat",
         emit_cols: tuple = (),
         emit_zone_index: bool = False,
+        zonal_reduce_col: str | None = None,
     ):
         self.emit_zone_index = emit_zone_index
+        # aggregate pushdown (GDAL zonal RASTER_SEQUENTIAL analogue,
+        # alg/zonal.cpp:201-208): when set, __call__ reduces each batch's
+        # matches to fixed-length per-zone count/sum/min/max vectors instead
+        # of materializing O(pairs) rows through the object store
+        self.zonal_reduce_col = zonal_reduce_col
         zones = ray.get(zones_ref) if isinstance(zones_ref, ray.ObjectRef) else zones_ref
         self.index = _ZoneIndex(zones)
         self.predicate = predicate
@@ -223,6 +229,8 @@ class BroadcastPointJoin:
         px = batch[self.lon_col].to_numpy(zero_copy_only=False)
         py = batch[self.lat_col].to_numpy(zero_copy_only=False)
         rows, zidx = self.index.probe_points(px, py, self.predicate)
+        if self.zonal_reduce_col is not None:
+            return self._zonal_reduce(batch, rows, zidx)
         out = {self.id_col: batch[self.id_col].take(pa.array(rows))}
         if self.emit_zone_index:
             # int index instead of string id: cheaper across downstream
@@ -234,6 +242,28 @@ class BroadcastPointJoin:
             out[c] = batch[c].take(pa.array(rows))
         return pa.table(out)
 
+    def _zonal_reduce(self, batch: pa.Table, rows: np.ndarray, zidx: np.ndarray) -> pa.Table:
+        n_zones = len(self.index.zone_id)
+        v = batch[self.zonal_reduce_col].to_numpy(zero_copy_only=False)[rows].astype(np.int64)
+        cnt = np.bincount(zidx, minlength=n_zones).astype(np.int64)
+        sm = np.bincount(zidx, weights=v, minlength=n_zones).astype(np.int64)
+        order = np.argsort(zidx, kind="stable")
+        zs, vs = zidx[order], v[order]
+        starts = np.nonzero(np.r_[True, zs[1:] != zs[:-1]])[0]
+        mn = np.full(n_zones, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(n_zones, np.iinfo(np.int64).min, dtype=np.int64)
+        if zs.size:
+            mn[zs[starts]] = np.minimum.reduceat(vs, starts)
+            mx[zs[starts]] = np.maximum.reduceat(vs, starts)
+        return pa.table(
+            {
+                "cnt": pa.array([cnt.tobytes()], pa.binary()),
+                "sm": pa.array([sm.tobytes()], pa.binary()),
+                "mn": pa.array([mn.tobytes()], pa.binary()),
+                "mx": pa.array([mx.tobytes()], pa.binary()),
+            }
+        )
+
 
 def broadcast_spatial_join(
     points_ds,
@@ -244,6 +274,7 @@ def broadcast_spatial_join(
     batch_size: int = 65536,
     emit_cols: tuple = (),
     emit_zone_index: bool = False,
+    zonal_reduce_col: str | None = None,
 ):
     """Plan 1: broadcast the zone table, stream the points.  Zero shuffle."""
     zones_ref = ray.put(zones)
@@ -255,6 +286,7 @@ def broadcast_spatial_join(
             id_col=id_col,
             emit_cols=emit_cols,
             emit_zone_index=emit_zone_index,
+            zonal_reduce_col=zonal_reduce_col,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

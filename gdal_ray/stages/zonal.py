@@ -58,51 +58,29 @@ def zonal_stats_dense(
     """Dense-key zonal aggregate: the scale plan when the zone count is
     bounded (the usual GDAL zonal case — zones are a layer, not a corpus).
 
-    The join emits integer zone indices; each batch reduces to fixed-length
-    vectors (bincount for count/sum, reduceat for min/max) — one vector row
-    per batch.  The shuffle therefore carries O(batches x n_zones) cells
-    instead of O(pairs) rows, and the final combine is a tiny driver-side
-    vector sum (equivalent to merging histogram partials, SURVEY §2.5).
+    The per-zone reduction is PUSHED INTO the join actor (``zonal_reduce_col``
+    on BroadcastPointJoin): each batch's matches collapse to fixed-length
+    count/sum/min/max vectors inside the same actor, so the O(pairs) match set
+    (~10x the input here) never crosses the object store.  The final combine
+    is a tiny driver-side vector sum (merging histogram partials, SURVEY
+    §2.5).  Without the pushdown, the pair materialization dominates the whole
+    pipeline (measured: 314M pair rows for 32M docs).
     """
     import numpy as np
 
     from .join import broadcast_spatial_join
 
     n_zones = zones.num_rows
-    pairs = broadcast_spatial_join(
+    partials = broadcast_spatial_join(
         points_ds,
         zones,
         predicate=predicate,
         id_col=id_col,
         concurrency=concurrency,
         batch_size=batch_size,
-        emit_cols=(value_col,),
-        emit_zone_index=True,
+        zonal_reduce_col=value_col,
     )
-
-    def densify(batch: pa.Table) -> pa.Table:
-        z = batch["zone_idx"].to_numpy(zero_copy_only=False)
-        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        cnt = np.bincount(z, minlength=n_zones).astype(np.int64)
-        sm = np.bincount(z, weights=v, minlength=n_zones).astype(np.int64)
-        order = np.argsort(z, kind="stable")
-        zs, vs = z[order], v[order]
-        starts = np.nonzero(np.r_[True, zs[1:] != zs[:-1]])[0]
-        mn = np.full(n_zones, np.iinfo(np.int64).max, dtype=np.int64)
-        mx = np.full(n_zones, np.iinfo(np.int64).min, dtype=np.int64)
-        if zs.size:
-            mn[zs[starts]] = np.minimum.reduceat(vs, starts)
-            mx[zs[starts]] = np.maximum.reduceat(vs, starts)
-        return pa.table(
-            {
-                "cnt": pa.array([cnt.tobytes()], pa.binary()),
-                "sm": pa.array([sm.tobytes()], pa.binary()),
-                "mn": pa.array([mn.tobytes()], pa.binary()),
-                "mx": pa.array([mx.tobytes()], pa.binary()),
-            }
-        )
-
-    partial_rows = pairs.map_batches(densify, batch_format="pyarrow").take_all()
+    partial_rows = partials.take_all()
     cnt = np.zeros(n_zones, dtype=np.int64)
     sm = np.zeros(n_zones, dtype=np.int64)
     mn = np.full(n_zones, np.iinfo(np.int64).max, dtype=np.int64)
