@@ -94,6 +94,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q.text_quality_q,
         "embedding_topk": q.embedding_topk_q,
         "embedding_neardup": q.embedding_neardup_q,
+        # geometry scalar ops (SURVEY §2.2) + spatial sort (§2.6)
+        "geom_area_centroid": q.geom_area_centroid_q,
+        "spatial_sort_topk": q.spatial_sort_topk_q,
+        # raster<->vector + warp/pyramid (SURVEY §2.8/2.9; rows-only goldens)
+        "rasterize_polygons": q.rasterize_polygons_q,
+        "polygonize_blobs": q.polygonize_blobs_q,
+        "tile_pyramid": q.tile_pyramid_q,
         # rows-only (non-SQL-expressible)
         "langid": q.langid_q,
         "fingerprint": q.fingerprint_q,
@@ -253,6 +260,22 @@ def oracle_sql() -> dict[str, str]:
                        e.vec_id) AS "rank"
               FROM embeddings e, q)
             SELECT vec_id, "rank" FROM s WHERE "rank" <= 10
+        """,
+        "geom_area_centroid": f"""
+            WITH {_ZONES}
+            SELECT zone_id,
+                   CAST(round((maxx - minx) * (maxy - miny) * 10000.0) AS BIGINT)
+                     AS area_x10000,
+                   CAST(round((minx + maxx) / 2.0 * 200.0) AS BIGINT) AS cx_x200,
+                   CAST(round((miny + maxy) / 2.0 * 200.0) AS BIGINT) AS cy_x200
+            FROM zz
+        """,
+        "spatial_sort_topk": f"""
+            WITH {_DOCS_GEO}
+            SELECT doc_id, {_tile_expr(12)[0]} * 4096 + {_tile_expr(12)[1]} AS cell_12
+            FROM d
+            ORDER BY cell_12, doc_id
+            LIMIT 100
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

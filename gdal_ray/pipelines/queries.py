@@ -267,7 +267,89 @@ def embedding_neardup_q(sf_dir: str):
     return out.select_columns(["id_a", "id_b"])
 
 
+# -- geometry scalar ops (SURVEY §2.2) ---------------------------------------
+
+
+def geom_area_centroid_q(sf_dir: str):
+    """Decode zone WKB -> shoelace area + centroid, emitted as exact scaled
+    ints (area x10000, centroid x200 — all values sit on those grids, so the
+    FP round-trip is collision-free vs the SQL arithmetic oracle)."""
+    from ..stages import geomops
+
+    zones = _zones(sf_dir)
+    ds = rd.from_arrow(zones.select(["zone_id", "wkb"]))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = geomops.area_centroid_batch(batch)
+        return pa.table(
+            {
+                "zone_id": t["zone_id"],
+                "area_x10000": pc.cast(
+                    pc.round(pc.multiply(t["area"], pa.scalar(10000.0))), pa.int64()
+                ),
+                "cx_x200": pc.cast(pc.round(pc.multiply(t["cx"], pa.scalar(200.0))), pa.int64()),
+                "cy_x200": pc.cast(pc.round(pc.multiply(t["cy"], pa.scalar(200.0))), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def spatial_sort_topk_q(sf_dir: str):
+    """Hilbert-style physical clustering (vector sort, SURVEY §2.6): order by
+    spatial cell key then id; row-major cell key is the SQL-mirrorable stand-in
+    (the engine's hilbert_encode path is covered by unit tests)."""
+    ds = tiles.assign_tiles(_docs(sf_dir), zooms=(12,)).select_columns(["doc_id", "cell_12"])
+    return relational.top_k(ds, ["cell_12", "doc_id"], descending=[False, False], k=100)
+
+
 # -- rows-only checks (non-SQL-expressible) ----------------------------------
+
+
+def rasterize_polygons_q(sf_dir: str):
+    """Burn the zone rectangles into a 0.25-degree world grid; per-tile
+    checksums are the golden output (autotest style)."""
+    from ..stages import rasterize as rast
+
+    zones = _zones(sf_dir)
+    feats = pa.table(
+        {
+            "feat_id": zones["zone_key"],
+            "wkb": zones["wkb"],
+            "burn_value": pa.array(
+                (zones["zone_key"].to_numpy() % 250 + 1).astype(np.float64)
+            ),
+        }
+    )
+    grid = rast.GridSpec(gt=(-180.0, 0.25, 0.0, 85.0, 0.0, -0.25), width=1440, height=680, tile=256)
+    tiles_out = rast.rasterize(rd.from_arrow(feats), grid)
+    return tiles_out.select_columns(["tx", "ty", "checksum"])
+
+
+def polygonize_blobs_q(sf_dir: str):
+    """Distributed polygonize of the blobs fixture (components crossing tile
+    borders must merge exactly)."""
+    from ..stages import polygonize as poly
+
+    tiles_tbl = synthetic.make_raster_tiles("blobs", 4, 4, size=64)
+    return poly.polygonize(rd.from_arrow(tiles_tbl), nodata=0.0, tile_size=64)
+
+
+def tile_pyramid_q(sf_dir: str):
+    """Warp a synthetic EPSG:4326 ramp to EPSG:3857 XYZ tiles (z4) and build
+    overviews to z2; returns per-tile checksums."""
+    from ..stages import pyramid as pyr
+
+    n = 256
+    gy, gx = np.mgrid[0:n, 0:n]
+    src = pyr.SourceRaster((gx + gy).astype(np.float64) + 1.0, (-60.0, 120.0 / n, 0.0, 60.0, 0.0, -120.0 / n))
+    levels = pyr.tile_pyramid(src, z_max=4, z_min=2, bbox=(-59, -59, 59, 59), tile_px=64, concurrency=2)
+    tabs = []
+    for z, ds in levels.items():
+        tabs.append(ds.select_columns(["z", "x", "y", "checksum"]).to_pandas())
+    import pandas as pd
+
+    return pd.concat(tabs, ignore_index=True)
 
 
 def langid_q(sf_dir: str):

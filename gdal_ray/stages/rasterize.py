@@ -1,0 +1,291 @@
+"""Rasterize (vector -> raster) — scanline burn per tile.
+
+Re-answers ``gdal_rasterize`` (reference: scanline fill
+``alg/llrasterize.cpp`` GDALdllImageFilledPolygon parity rule, burn dispatch
+``alg/gdalrasterize.cpp:187,314``, ALL_TOUCHED line-walk :717-751, MERGE_ALG
+REPLACE/ADD, chunked row bands :1183-1197) Ray-Data-first:
+
+  features -> flat_map to covered tiles (pixel-space bbox cover)
+           -> groupby(tile) -> map_groups: numpy scanline fill per tile
+           -> tile rows (data bytes + checksum)
+
+Semantics (GDAL default path):
+  - polygons: a pixel is burned iff its CENTER is inside (even-odd parity on
+    the scanline through the center row, half-open interval per crossing pair)
+  - points: the containing pixel
+  - lines: supercover walk (every pixel the segment passes through) — this is
+    GDAL's ALL_TOUCHED-style line burn
+  - merge: REPLACE (later features win, feature order = feat_id asc) or ADD
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import checksum as cks
+from ..functions import wkb as _wkb
+
+
+class GridSpec:
+    """Target grid: GDAL-style geotransform + size, tiled for distribution."""
+
+    def __init__(self, gt, width: int, height: int, tile: int = 256, nodata: float = 0.0):
+        self.gt = tuple(gt)
+        if gt[2] != 0 or gt[4] != 0:
+            raise ValueError("rotated geotransforms not supported")
+        self.width = width
+        self.height = height
+        self.tile = tile
+        self.nodata = nodata
+        self.ntx = (width + tile - 1) // tile
+        self.nty = (height + tile - 1) // tile
+
+    def world_to_pixel(self, x: np.ndarray, y: np.ndarray):
+        px = (np.asarray(x) - self.gt[0]) / self.gt[1]
+        py = (np.asarray(y) - self.gt[3]) / self.gt[5]
+        return px, py
+
+
+def _scanline_fill(mask: np.ndarray, rings: list[np.ndarray], px_off: float, py_off: float):
+    """Set mask[r, c] for pixels whose center (c+0.5+px_off, r+0.5+py_off)
+    is inside the polygon (even-odd).  Operates in local pixel space."""
+    h, w = mask.shape
+    yc = np.arange(h) + 0.5 + py_off  # center y per row (pixel space)
+    crossings_per_row: list[list[float]] = [[] for _ in range(h)]
+    for ring in rings:
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        for e in range(len(x0)):
+            ey0, ey1 = y0[e], y1[e]
+            if ey0 == ey1:
+                continue
+            lo, hi = (ey0, ey1) if ey0 < ey1 else (ey1, ey0)
+            rows = np.nonzero((yc > lo) & (yc <= hi))[0] if ey1 > ey0 else np.nonzero(
+                (yc > lo) & (yc <= hi)
+            )[0]
+            if rows.size == 0:
+                continue
+            xs = x0[e] + (yc[rows] - ey0) * (x1[e] - x0[e]) / (ey1 - ey0)
+            for r, xv in zip(rows, xs):
+                crossings_per_row[r].append(xv)
+    for r, xs in enumerate(crossings_per_row):
+        if not xs:
+            continue
+        xs.sort()
+        for i in range(0, len(xs) - 1, 2):
+            c0 = int(np.ceil(xs[i] - 0.5 - px_off))
+            c1 = int(np.ceil(xs[i + 1] - 0.5 - px_off))  # exclusive
+            c0 = max(c0, 0)
+            c1 = min(c1, w)
+            if c1 > c0:
+                mask[r, c0:c1] = True
+
+
+def _traverse_line(x0: float, y0: float, x1: float, y1: float):
+    """Amanatides-Woo grid traversal: the exact pixel set a segment passes
+    through, computed in GLOBAL pixel space so the result is independent of
+    tile decomposition (corner crossings step diagonally, deterministically).
+    Reference semantics: ALL_TOUCHED line walk, alg/gdalrasterize.cpp:717-751.
+    """
+    px, py = int(np.floor(x0)), int(np.floor(y0))
+    dx, dy = x1 - x0, y1 - y0
+    step_x = 1 if dx > 0 else -1
+    step_y = 1 if dy > 0 else -1
+    t_max_x = np.inf if dx == 0 else ((px + (1 if dx > 0 else 0)) - x0) / dx
+    t_max_y = np.inf if dy == 0 else ((py + (1 if dy > 0 else 0)) - y0) / dy
+    t_dx = np.inf if dx == 0 else abs(1.0 / dx)
+    t_dy = np.inf if dy == 0 else abs(1.0 / dy)
+    out = [(px, py)]
+    # march boundary crossings in t; a pixel entered at t >= 1 is past the
+    # endpoint (endpoint exactly ON a boundary touches but does not enter)
+    while True:
+        if t_max_x < t_max_y:
+            t = t_max_x
+            px += step_x
+            t_max_x += t_dx
+        elif t_max_y < t_max_x:
+            t = t_max_y
+            py += step_y
+            t_max_y += t_dy
+        else:  # exact corner: deterministic diagonal step
+            t = t_max_x
+            if t == np.inf:
+                break
+            px += step_x
+            py += step_y
+            t_max_x += t_dx
+            t_max_y += t_dy
+        if t >= 1.0:
+            break
+        out.append((px, py))
+    return out
+
+
+def _supercover_line(mask: np.ndarray, p0, p1):
+    """Mark every pixel a segment passes through (local tile coords: the
+    traversal itself runs in global space via the caller's pre-shift, which
+    preserves integer pixel boundaries exactly)."""
+    h, w = mask.shape
+    for cx, cy in _traverse_line(p0[0], p0[1], p1[0], p1[1]):
+        if 0 <= cx < w and 0 <= cy < h:
+            mask[cy, cx] = True
+
+
+def _burn_features_into_tile(
+    tile_arr: np.ndarray,
+    feats: list[tuple[int, "_wkb.Geom", float]],
+    ox: int,
+    oy: int,
+    merge_add: bool,
+    all_touched: bool,
+):
+    """feats: (feat_key, geom-in-pixel-space, burn_value), sorted by key."""
+    h, w = tile_arr.shape
+    scratch = np.zeros((h, w), dtype=bool)
+    for _, geom, burn in feats:
+        scratch[:] = False
+        polys = geom.shells_and_holes()
+        if polys:
+            for rings in polys:
+                inner = np.zeros((h, w), dtype=bool)
+                _scanline_fill(inner, [np.asarray(r) - [ox, oy] for r in rings[:1]], 0.0, 0.0)
+                for hole in rings[1:]:
+                    hole_m = np.zeros((h, w), dtype=bool)
+                    _scanline_fill(hole_m, [np.asarray(hole) - [ox, oy]], 0.0, 0.0)
+                    inner &= ~hole_m
+                scratch |= inner
+                if all_touched:
+                    for r in rings:
+                        rr = np.asarray(r) - [ox, oy]
+                        for i in range(len(rr) - 1):
+                            _supercover_line(scratch, rr[i], rr[i + 1])
+        elif geom.kind in (_wkb.LINESTRING, _wkb.MULTILINESTRING):
+            parts = geom.parts if geom.kind == _wkb.MULTILINESTRING else geom.parts
+            for pts in parts:
+                pp = np.asarray(pts) - [ox, oy]
+                for i in range(len(pp) - 1):
+                    _supercover_line(scratch, pp[i], pp[i + 1])
+        else:  # POINT / MULTIPOINT
+            v = geom.vertices() - [ox, oy]
+            cx = np.floor(v[:, 0]).astype(np.int64)
+            cy = np.floor(v[:, 1]).astype(np.int64)
+            ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+            scratch[cy[ok], cx[ok]] = True
+        if merge_add:
+            tile_arr[scratch] += burn
+        else:
+            tile_arr[scratch] = burn
+
+
+def rasterize(
+    features_ds,
+    grid: GridSpec,
+    burn_col: str = "burn_value",
+    id_col: str = "feat_id",
+    merge_alg: str = "replace",
+    all_touched: bool = False,
+):
+    """Distributed rasterize.  Returns a Dataset of tile rows
+    (tx, ty, width, height, data: float64 bytes, checksum: int64).
+
+    Shuffle key = tile id; features are duplicated only to tiles their bbox
+    covers (the distributed analogue of gdalrasterize's cache-sized row-band
+    chunking, alg/gdalrasterize.cpp:1183-1197).
+    """
+    gt = grid.gt
+    tile = grid.tile
+
+    def expand(batch: pa.Table) -> pa.Table:
+        keys, tids, wkbs, burns = [], [], [], []
+        for key, geom_wkb, burn in zip(
+            batch[id_col].to_pylist(), batch["wkb"].to_pylist(), batch[burn_col].to_pylist()
+        ):
+            g = _wkb.decode(geom_wkb)
+            v = g.vertices()
+            px = (v[:, 0] - gt[0]) / gt[1]
+            py = (v[:, 1] - gt[3]) / gt[5]
+            tx0 = max(0, int(np.floor(px.min() / tile)))
+            tx1 = min(grid.ntx - 1, int(np.floor(px.max() / tile)))
+            ty0 = max(0, int(np.floor(py.min() / tile)))
+            ty1 = min(grid.nty - 1, int(np.floor(py.max() / tile)))
+            for ty in range(ty0, ty1 + 1):
+                for tx in range(tx0, tx1 + 1):
+                    keys.append(key)
+                    tids.append(ty * grid.ntx + tx)
+                    wkbs.append(geom_wkb)
+                    burns.append(burn)
+        return pa.table(
+            {
+                "tile_id": pa.array(tids, pa.int64()),
+                id_col: pa.array(keys),
+                "wkb": pa.array(wkbs, pa.binary()),
+                burn_col: pa.array(burns, pa.float64()),
+            }
+        )
+
+    expanded = features_ds.map_batches(expand, batch_format="pyarrow")
+
+    def burn_tile(group: pa.Table) -> pa.Table:
+        tid = int(group["tile_id"][0].as_py())
+        tx, ty = tid % grid.ntx, tid // grid.ntx
+        ox, oy = tx * tile, ty * tile
+        w = min(tile, grid.width - ox)
+        h = min(tile, grid.height - oy)
+        arr = np.full((h, w), grid.nodata, dtype=np.float64)
+        feats = []
+        for key, geom_wkb, burn in zip(
+            group[id_col].to_pylist(), group["wkb"].to_pylist(), group[burn_col].to_pylist()
+        ):
+            g = _wkb.decode(geom_wkb)
+            # to pixel space
+            parts_px = _geom_to_pixel(g, gt)
+            feats.append((key, parts_px, float(burn)))
+        feats.sort(key=lambda t: t[0])
+        _burn_features_into_tile(arr, feats, ox, oy, merge_alg == "add", all_touched)
+        return pa.table(
+            {
+                "tx": pa.array([tx], pa.int32()),
+                "ty": pa.array([ty], pa.int32()),
+                "width": pa.array([w], pa.int32()),
+                "height": pa.array([h], pa.int32()),
+                "data": pa.array([arr.tobytes()], pa.binary()),
+                "checksum": pa.array(
+                    [cks.tile_checksum(arr, ox, oy, grid.width)], pa.int64()
+                ),
+            }
+        )
+
+    return expanded.groupby("tile_id").map_groups(burn_tile, batch_format="pyarrow")
+
+
+def _geom_to_pixel(g: "_wkb.Geom", gt) -> "_wkb.Geom":
+    """Transform a geometry's coordinates world -> pixel space."""
+
+    def tx(arr):
+        out = np.empty_like(arr)
+        out[:, 0] = (arr[:, 0] - gt[0]) / gt[1]
+        out[:, 1] = (arr[:, 1] - gt[3]) / gt[5]
+        return out
+
+    if g.kind == _wkb.POLYGON:
+        return _wkb.Geom(g.kind, [[tx(r) for r in g.parts[0]]])
+    if g.kind == _wkb.MULTIPOLYGON:
+        return _wkb.Geom(g.kind, [[tx(r) for r in rings] for rings in g.parts])
+    return _wkb.Geom(g.kind, [tx(p) for p in g.parts])
+
+
+def mosaic_checksum(tiles_ds) -> int:
+    """Global checksum from per-tile partials (order-independent)."""
+    parts = [r["checksum"] for r in tiles_ds.select_columns(["checksum"]).take_all()]
+    return cks.combine_checksums(parts)
+
+
+def assemble_array(tiles_ds, grid: GridSpec, dtype=np.float64) -> np.ndarray:
+    """Test helper: mosaic the tile rows into one array (small grids only)."""
+    out = np.full((grid.height, grid.width), grid.nodata, dtype=dtype)
+    for r in tiles_ds.take_all():
+        ox, oy = r["tx"] * grid.tile, r["ty"] * grid.tile
+        arr = np.frombuffer(r["data"], dtype=np.float64).reshape(r["height"], r["width"])
+        out[oy : oy + r["height"], ox : ox + r["width"]] = arr
+    return out

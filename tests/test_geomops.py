@@ -1,0 +1,83 @@
+"""Geometry scalar operator tests (own-implementation oracles)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from gdal_ray.functions import pip, wkb
+from gdal_ray.stages import geomops
+
+
+def _sq(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+
+def _tbl(wkbs):
+    return pa.table({"fid": pa.array(range(len(wkbs)), pa.int64()),
+                     "wkb": pa.array(wkbs, pa.binary())})
+
+
+def test_area_centroid():
+    t = geomops.area_centroid_batch(_tbl([wkb.encode_polygon([_sq(0, 0, 4, 2)])]))
+    assert t["area"][0].as_py() == 8.0
+    assert t["cx"][0].as_py() == 2.0 and t["cy"][0].as_py() == 1.0
+
+
+def test_buffer_points_contains_disk():
+    pts = wkb.encode_points(np.array([10.0]), np.array([20.0]))
+    t = geomops.buffer_points_batch(_tbl(pts), distance=2.0, segments=64)
+    g = wkb.decode(t["wkb"][0].as_py())
+    # inscribed: points within r*cos(pi/n) are inside
+    inner = 2.0 * np.cos(np.pi / 64) * 0.99
+    assert pip.points_in_geom(np.array([10.0 + inner]), np.array([20.0]), g)[0]
+    assert not pip.points_in_geom(np.array([12.5]), np.array([20.0]), g)[0]
+    assert abs(wkb.geom_area(g) - np.pi * 4) < 0.05
+
+
+def test_simplify_removes_collinear():
+    line = np.array([[0, 0], [1, 0.001], [2, 0], [3, 5], [4, 0]], float)
+    t = geomops.simplify_batch(_tbl([wkb.encode_linestring(line)]), tolerance=0.01)
+    g = wkb.decode(t["wkb"][0].as_py())
+    assert len(g.parts[0]) == 4  # middle near-collinear vertex dropped
+    assert (g.parts[0][0] == [0, 0]).all() and (g.parts[0][-1] == [4, 0]).all()
+
+
+def test_convex_hull():
+    pts = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [2, 2], [1, 3]], float)
+    ring = geomops.convex_hull(pts)
+    assert abs(wkb.ring_area(ring)) == 16.0
+    assert len(ring) == 5
+
+
+def test_segmentize():
+    t = geomops.segmentize_batch(
+        _tbl([wkb.encode_linestring(np.array([[0, 0], [10, 0]], float))]), max_len=3.0
+    )
+    g = wkb.decode(t["wkb"][0].as_py())
+    pts = g.parts[0]
+    assert len(pts) == 5  # 4 segments of 2.5
+    seglens = np.hypot(*np.diff(pts, axis=0).T)
+    assert (seglens <= 3.0 + 1e-12).all()
+
+
+def test_swap_and_precision():
+    t = geomops.swap_xy_batch(_tbl(wkb.encode_points(np.array([1.0]), np.array([2.0]))))
+    v = wkb.decode(t["wkb"][0].as_py()).vertices()[0]
+    assert (v == [2.0, 1.0]).all()
+    t2 = geomops.set_precision_batch(
+        _tbl(wkb.encode_points(np.array([1.234]), np.array([5.678]))), grid=0.1
+    )
+    v2 = wkb.decode(t2["wkb"][0].as_py()).vertices()[0]
+    assert np.allclose(v2, [1.2, 5.7])
+
+
+def test_explode_collections():
+    mp = wkb.encode_multipolygon([[_sq(0, 0, 1, 1)], [_sq(5, 5, 6, 6)]])
+    single = wkb.encode_polygon([_sq(9, 9, 10, 10)])
+    ds = rd.from_arrow(_tbl([mp, single]))
+    rows = geomops.explode_collections(ds).take_all()
+    assert len(rows) == 3
+    kinds = [wkb.geom_type(r["wkb"]) for r in rows]
+    assert kinds == [wkb.POLYGON] * 3
+    fids = sorted(r["fid"] for r in rows)
+    assert fids == [0, 0, 1]

@@ -1,0 +1,269 @@
+"""Raster operator tests: rasterize / polygonize / warp+pyramid / checksum.
+
+Oracles: brute-force pixel-center PIP for rasterize (independent of the
+scanline code), BFS connected components over the assembled mosaic for
+polygonize, closed-form expectations for warp — mirroring autotest style
+(rasterize fixture = the literal autotest/alg/rasterize.py geometry/grid).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from gdal_ray.functions import checksum as cks
+from gdal_ray.functions import geo, pip, wkb
+from gdal_ray.sources import synthetic
+from gdal_ray.stages import polygonize as poly_stage
+from gdal_ray.stages import pyramid as pyr_stage
+from gdal_ray.stages import rasterize as rast_stage
+
+
+def test_checksum_composability():
+    rng = np.random.default_rng(2)
+    full = rng.integers(0, 255, (128, 128)).astype(np.uint8)
+    whole = cks.tile_checksum(full, 0, 0, 128)
+    parts = []
+    for ty in range(2):
+        for tx in range(2):
+            t = full[ty * 64 : (ty + 1) * 64, tx * 64 : (tx + 1) * 64]
+            parts.append(cks.tile_checksum(t, tx * 64, ty * 64, 128))
+    assert cks.combine_checksums(parts) == whole
+
+
+def _autotest_features():
+    """The literal autotest/alg/rasterize.py fixtures."""
+    poly = wkb.encode_polygon(
+        [np.array([[1020, 1030], [1020, 1045], [1050, 1045], [1050, 1030], [1020, 1030]], float)]
+    )
+    line = wkb.encode_linestring(np.array([[1005, 1000], [1095, 1090]], float))
+    return pa.table(
+        {
+            "feat_id": pa.array([1, 2], pa.int64()),
+            "wkb": pa.array([poly, line], pa.binary()),
+            "burn_value": pa.array([80.0, 40.0]),
+        }
+    )
+
+
+GRID = rast_stage.GridSpec(gt=(1000, 1, 0, 1100, 0, -1), width=100, height=100, tile=100)
+GRID_TILED = rast_stage.GridSpec(gt=(1000, 1, 0, 1100, 0, -1), width=100, height=100, tile=32)
+
+
+def _brute_polygon_burn():
+    """Pixel-center oracle for the autotest polygon."""
+    g = wkb.decode(_autotest_features()["wkb"][0].as_py())
+    out = np.zeros((100, 100), dtype=bool)
+    cols, rows = np.meshgrid(np.arange(100), np.arange(100))
+    cx = 1000 + (cols + 0.5) * 1.0
+    cy = 1100 + (rows + 0.5) * -1.0
+    return pip.points_in_geom(cx.ravel(), cy.ravel(), g).reshape(100, 100)
+
+
+def test_rasterize_polygon_matches_center_oracle():
+    feats = _autotest_features().slice(0, 1)
+    tiles = rast_stage.rasterize(rd.from_arrow(feats), GRID)
+    arr = rast_stage.assemble_array(tiles, GRID)
+    expect = _brute_polygon_burn()
+    got = arr == 80.0
+    assert (got == expect).all()
+    assert expect.sum() == 30 * 15  # 30 cols x 15 rows for this rectangle
+
+
+def test_rasterize_tiled_equals_single_tile():
+    feats = _autotest_features()
+    a1 = rast_stage.assemble_array(rast_stage.rasterize(rd.from_arrow(feats), GRID), GRID)
+    a2 = rast_stage.assemble_array(
+        rast_stage.rasterize(rd.from_arrow(feats), GRID_TILED), GRID_TILED
+    )
+    assert (a1 == a2).all()
+    # line burn: every pixel along the diagonal segment is touched
+    assert (a1 == 40.0).sum() >= 90
+
+
+def test_rasterize_add_merge():
+    f = _autotest_features().slice(0, 1)
+    two = pa.concat_tables([f, f.set_column(0, "feat_id", pa.array([7], pa.int64()))])
+    tiles = rast_stage.rasterize(rd.from_arrow(two), GRID, merge_alg="add")
+    arr = rast_stage.assemble_array(tiles, GRID)
+    assert arr.max() == 160.0
+    assert (arr == 160.0).sum() == 30 * 15
+
+
+def test_rasterize_polygon_with_hole():
+    shell = np.array([[1010, 1010], [1010, 1060], [1060, 1060], [1060, 1010], [1010, 1010]], float)
+    hole = np.array([[1030, 1030], [1030, 1040], [1040, 1040], [1040, 1030], [1030, 1030]], float)
+    feats = pa.table(
+        {
+            "feat_id": pa.array([1], pa.int64()),
+            "wkb": pa.array([wkb.encode_polygon([shell, hole])], pa.binary()),
+            "burn_value": pa.array([5.0]),
+        }
+    )
+    arr = rast_stage.assemble_array(rast_stage.rasterize(rd.from_arrow(feats), GRID_TILED), GRID_TILED)
+    assert (arr == 5.0).sum() == 50 * 50 - 10 * 10
+
+
+# -- polygonize --------------------------------------------------------------
+
+
+def _assemble_tiles(table: pa.Table, size: int):
+    nx = max(table["x"].to_pylist()) + 1
+    ny = max(table["y"].to_pylist()) + 1
+    full = np.zeros((ny * size, nx * size))
+    for i in range(table.num_rows):
+        dt = np.float32 if table["dtype"][i].as_py() == "float32" else np.uint8
+        arr = np.frombuffer(table["data"][i].as_py(), dtype=dt).reshape(size, size)
+        x, y = table["x"][i].as_py(), table["y"][i].as_py()
+        full[y * size : (y + 1) * size, x * size : (x + 1) * size] = arr
+    return full
+
+
+def _brute_ccl(full: np.ndarray, nodata=0.0, connect8=False):
+    """Independent BFS connected-components oracle."""
+    h, w = full.shape
+    seen = np.zeros((h, w), dtype=bool)
+    comps = []
+    nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connect8:
+        nbrs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    for sy in range(h):
+        for sx in range(w):
+            if seen[sy, sx] or full[sy, sx] == nodata:
+                continue
+            v = full[sy, sx]
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            count = 0
+            while stack:
+                y, x = stack.pop()
+                count += 1
+                for dy, dx in nbrs:
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w and not seen[yy, xx] and full[yy, xx] == v:
+                        seen[yy, xx] = True
+                        stack.append((yy, xx))
+            comps.append((v, count))
+    return comps
+
+
+@pytest.mark.parametrize("kind", ["blobs", "checker"])
+def test_polygonize_matches_bfs_oracle(kind):
+    size = 32
+    tiles = synthetic.make_raster_tiles(kind, 2, 2, size=size)
+    full = _assemble_tiles(tiles, size)
+    out = poly_stage.polygonize(rd.from_arrow(tiles), nodata=0.0, tile_size=size).to_pandas()
+    # checker: value-255 squares; blobs: discs possibly crossing tile borders
+    expect = sorted(_brute_ccl(full))
+    got = sorted(zip(out["value"], out["n_pixels"]))
+    assert len(got) == len(expect)
+    assert [(v, int(n)) for v, n in got] == [(v, int(n)) for v, n in expect]
+
+
+def test_polygonize_cross_border_component_merged():
+    # one disc centered on the shared corner of 4 tiles
+    size = 32
+    arr = np.zeros((64, 64), dtype=np.uint8)
+    gy, gx = np.mgrid[0:64, 0:64]
+    arr[(gx - 32) ** 2 + (gy - 32) ** 2 <= 100] = 9
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            rows.append(
+                {
+                    "z": 4, "x": tx, "y": ty, "band": 1, "width": size, "height": size,
+                    "crs": "EPSG:3857", "nodata": 0.0, "dtype": "uint8",
+                    "data": arr[ty * size : (ty + 1) * size, tx * size : (tx + 1) * size].tobytes(),
+                }
+            )
+    tiles = pa.Table.from_pylist(rows)
+    out = poly_stage.polygonize(rd.from_arrow(tiles), nodata=0.0, tile_size=size).to_pandas()
+    assert len(out) == 1
+    assert int(out["n_pixels"][0]) == int((arr == 9).sum())
+    assert int(out["n_tiles"][0]) == 4
+
+
+def test_label_tile_vs_oracle_random():
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 3, (40, 40)).astype(np.uint8)
+    labels, n = poly_stage.label_tile(arr, 0)
+    expect = _brute_ccl(arr)
+    assert n == len(expect)
+    # per-label pixel counts match as a multiset
+    counts = sorted(np.bincount(labels[labels >= 0]).tolist())
+    assert counts == sorted(c for _, c in expect)
+
+
+def test_trace_boundary_square():
+    m = np.zeros((8, 8), dtype=bool)
+    m[2:5, 3:6] = True
+    ring = poly_stage.trace_boundary(m)
+    assert abs(wkb.ring_area(ring)) == 9.0
+
+
+# -- warp / pyramid ----------------------------------------------------------
+
+
+def _ramp_source(n=512):
+    # EPSG:4326 raster covering [-45, 45] x [-45, 45], value = gx + gy
+    gy, gx = np.mgrid[0:n, 0:n]
+    arr = (gx + gy).astype(np.float64) + 1.0  # +1: keep 0 = nodata distinct
+    gt = (-45.0, 90.0 / n, 0.0, 45.0, 0.0, -90.0 / n)
+    return pyr_stage.SourceRaster(arr, gt)
+
+
+def test_warp_nearest_matches_pointwise_oracle():
+    src = _ramp_source()
+    z = 3
+    out = pyr_stage.warp_to_tiles(src, z, (-44, -44, 44, 44), tile_px=64, concurrency=2)
+    rows = out.take_all()
+    assert rows
+    inv = geo.inv_geotransform(src.gt)
+    for r in rows[:3]:
+        arr = np.frombuffer(r["data"], dtype=np.float64).reshape(64, 64)
+        minx, miny, maxx, maxy = geo.tile_bounds_mercator(
+            z, np.array([r["x"]]), np.array([r["y"]])
+        )
+        res = (maxx[0] - minx[0]) / 64
+        # check a few sample pixels against the scalar closed form
+        for py_, px_ in [(0, 0), (31, 17), (63, 63)]:
+            mx = minx[0] + (px_ + 0.5) * res
+            my = maxy[0] - (py_ + 0.5) * res
+            lon, lat = geo.mercator_to_lonlat(np.array([mx]), np.array([my]))
+            sx, sy = geo.apply_geotransform(inv, lon, lat)
+            cx, cy = int(np.floor(sx[0])), int(np.floor(sy[0]))
+            if 0 <= cx < 512 and 0 <= cy < 512:
+                assert arr[py_, px_] == src.arr[cy, cx]
+
+
+def test_warp_bilinear_close_to_nearest_on_smooth_ramp():
+    src = _ramp_source()
+    z = 3
+    near = pyr_stage.warp_to_tiles(src, z, (-40, -40, 40, 40), tile_px=32, concurrency=2,
+                                   resample="nearest").take_all()
+    bil = pyr_stage.warp_to_tiles(src, z, (-40, -40, 40, 40), tile_px=32, concurrency=2,
+                                  resample="bilinear").take_all()
+    nb = {(r["x"], r["y"]): np.frombuffer(r["data"], np.float64) for r in near}
+    for r in bil:
+        a = np.frombuffer(r["data"], np.float64)
+        b = nb[(r["x"], r["y"])]
+        m = (a != 0) & (b != 0)
+        assert m.any()
+        assert np.abs(a[m] - b[m]).max() <= 2.0 + 1e-9  # ramp slope bound
+
+
+def test_pyramid_overview_reduction():
+    src = _ramp_source()
+    pyr = pyr_stage.tile_pyramid(src, z_max=3, z_min=2, bbox=(-44, -44, 44, 44),
+                                 tile_px=64, concurrency=2)
+    base = {(r["x"], r["y"]): np.frombuffer(r["data"], np.float64).reshape(64, 64)
+            for r in pyr[3].take_all()}
+    over = pyr[2].take_all()
+    assert over
+    for r in over:
+        arr = np.frombuffer(r["data"], np.float64).reshape(64, 64)
+        for (cx, cy), child in base.items():
+            if cx // 2 == r["x"] and cy // 2 == r["y"]:
+                small = child.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+                ox, oy = (cx % 2) * 32, (cy % 2) * 32
+                assert np.allclose(arr[oy : oy + 32, ox : ox + 32], small)
