@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q.text_quality_q,
         "embedding_topk": q.embedding_topk_q,
         "embedding_neardup": q.embedding_neardup_q,
+        # aggregates: histogram + exact stats partials (SURVEY §2.5)
+        "histogram_nchars": q.histogram_nchars_q,
+        "agg_stats_quantity": q.agg_stats_quantity_q,
         # geometry scalar ops (SURVEY §2.2) + spatial sort (§2.6)
         "geom_area_centroid": q.geom_area_centroid_q,
         "spatial_sort_topk": q.spatial_sort_topk_q,
@@ -101,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_polygons": q.rasterize_polygons_q,
         "polygonize_blobs": q.polygonize_blobs_q,
         "tile_pyramid": q.tile_pyramid_q,
+        "hillshade": q.hillshade_q,
+        "media_features": q.media_features_q,
         # rows-only (non-SQL-expressible)
         "langid": q.langid_q,
         "fingerprint": q.fingerprint_q,
@@ -260,6 +265,19 @@ def oracle_sql() -> dict[str, str]:
                        e.vec_id) AS "rank"
               FROM embeddings e, q)
             SELECT vec_id, "rank" FROM s WHERE "rank" <= 10
+        """,
+        "histogram_nchars": """
+            SELECT n_chars // 100 AS bucket, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        """,
+        "agg_stats_quantity": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_sum,
+                   CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                     AS BIGINT) AS qq_sum,
+                   CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_min,
+                   CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_max
+            FROM lineitem
         """,
         "geom_area_centroid": f"""
             WITH {_ZONES}

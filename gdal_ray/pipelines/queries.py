@@ -267,6 +267,44 @@ def embedding_neardup_q(sf_dir: str):
     return out.select_columns(["id_a", "id_b"])
 
 
+def histogram_nchars_q(sf_dir: str):
+    """GetHistogram analogue over a tabular column: fixed-width buckets,
+    pre-aggregated per batch (SURVEY §2.5 histogram row)."""
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (t["n_chars"].to_numpy(zero_copy_only=False) // 100).astype(np.int64)
+        return pa.table({"bucket": pa.array(b)})
+
+    tagged = ds.map_batches(bucketize, batch_format="pyarrow")
+    return relational.partial_aggregate(tagged, ["bucket"], count_alias="n")
+
+
+def agg_stats_quantity_q(sf_dir: str):
+    """ComputeStatistics analogue with distribution-exact partials: n, sum,
+    sum-of-squares, min, max as integers (stddev derives client-side —
+    bit-stable under any reduction order)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.int64())
+        return pa.table({"q": q, "qq": pc.multiply(q, q)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    res = prepped.aggregate(
+        Count(alias_name="n"),
+        Sum("q", alias_name="q_sum"),
+        Sum("qq", alias_name="qq_sum"),
+        Min("q", alias_name="q_min"),
+        Max("q", alias_name="q_max"),
+    )
+    import pandas as pd
+
+    return pd.DataFrame([res])
+
+
 # -- geometry scalar ops (SURVEY §2.2) ---------------------------------------
 
 
@@ -350,6 +388,25 @@ def tile_pyramid_q(sf_dir: str):
     import pandas as pd
 
     return pd.concat(tabs, ignore_index=True)
+
+
+def hillshade_q(sf_dir: str):
+    """gdaldem hillshade over the ramp fixture (halo-exchange focal op);
+    per-tile checksums are the golden."""
+    from ..stages import focal
+
+    tiles_tbl = synthetic.make_raster_tiles("ramp", 3, 3, size=64)
+    out = focal.focal(rd.from_arrow(tiles_tbl), alg="hillshade", res=1.0)
+    return out.select_columns(["x", "y", "checksum"])
+
+
+def media_features_q(sf_dir: str):
+    """Multimodal span featurization over the synthetic interleaved corpus
+    (decode stubbed deterministically; plumbing real)."""
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    return media.featurize_media(docs, concurrency=2)
 
 
 def langid_q(sf_dir: str):

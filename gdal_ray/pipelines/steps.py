@@ -1,0 +1,122 @@
+"""Pipeline step registry — the user-extension surface.
+
+Re-answers ``gdal vector/raster pipeline`` ``!``-chained steps (reference:
+registry ``apps/gdalalg_abstract_pipeline.cpp:93-150``, step base
+``apps/gdalpipelinestepalgorithm.h:29``) as a named-callable registry:
+a Step is ``(Dataset, **params) -> Dataset``; ``run_pipeline`` parses
+"step1 a=1 ! step2 b=2" specs the way the CLI chains steps.
+
+VRT-style pixel functions (``frmts/vrt/vrtderivedrasterband.cpp:307``
+GDALAddDerivedBandPixelFunc) map to the ``calc`` step's callable expr and to
+``register_step`` for user-defined stages.
+"""
+
+from __future__ import annotations
+
+import ast
+from collections.abc import Callable
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def register_step(name: str):
+    def deco(fn: Callable) -> Callable:
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def get_step(name: str) -> Callable:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown pipeline step {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def list_steps() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def run_pipeline(ds, spec: str):
+    """Run a '!'-chained step spec: "filter expr=... ! select cols=a,b ! limit n=10"."""
+    for part in spec.split("!"):
+        tokens = part.strip().split()
+        if not tokens:
+            continue
+        name, kwargs = tokens[0], {}
+        for tok in tokens[1:]:
+            k, _, v = tok.partition("=")
+            try:
+                kwargs[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                kwargs[k] = v
+        ds = get_step(name)(ds, **kwargs)
+    return ds
+
+
+# -- built-in steps (the gdal vector pipeline step set, SURVEY §2.2/2.6) -----
+
+
+@register_step("select")
+def _select(ds, cols):
+    cols = cols.split(",") if isinstance(cols, str) else list(cols)
+    return ds.select_columns(cols)
+
+
+@register_step("limit")
+def _limit(ds, n):
+    return ds.limit(int(n))
+
+
+@register_step("filter_ge")
+def _filter_ge(ds, col, value):
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t[col], value)), batch_format="pyarrow"
+    )
+
+
+@register_step("sort")
+def _sort(ds, key, desc=False):
+    return ds.sort(key, descending=bool(desc))
+
+
+@register_step("derive_geometry")
+def _derive_geometry(ds, key_col="doc_id"):
+    from ..stages.tiles import derive_geometry_batch
+
+    return ds.map_batches(
+        lambda t: derive_geometry_batch(t, key_col), batch_format="pyarrow"
+    )
+
+
+@register_step("assign_tiles")
+def _assign_tiles(ds, zooms="8", key_col="doc_id"):
+    from ..stages.tiles import assign_tiles
+
+    zs = tuple(int(z) for z in str(zooms).split(","))
+    return assign_tiles(ds, zooms=zs, key_col=key_col)
+
+
+@register_step("reproject")
+def _reproject(ds, dst="EPSG:3857"):
+    """Per-vertex CRS transform of lon/lat columns (vector reproject,
+    apps/gdalalg_vector_reproject.h; EPSG:4326 <-> 3857 closed forms)."""
+    import pyarrow as pa
+
+    from ..functions import geo
+
+    if dst not in ("EPSG:3857", "EPSG:4326"):
+        raise ValueError("built-in reproject supports EPSG:4326 <-> EPSG:3857")
+
+    def fn(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        if dst == "EPSG:3857":
+            x, y = geo.lonlat_to_mercator(lon, lat)
+        else:
+            x, y = geo.mercator_to_lonlat(lon, lat)
+        return t.append_column("geo_x", pa.array(x)).append_column("geo_y", pa.array(y))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

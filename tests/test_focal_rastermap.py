@@ -1,0 +1,105 @@
+"""Focal (halo-exchange) + raster map op tests.
+
+Oracle for focal: apply the same stencil to the ASSEMBLED mosaic with numpy
+edge padding — tile decomposition must not change any pixel (the halo
+correctness property).
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from gdal_ray.sources import synthetic
+from gdal_ray.stages import focal as focal_stage
+from gdal_ray.stages import rastermap
+from tests.test_raster import _assemble_tiles
+
+
+def _tiles_and_full(kind="ramp", nx=3, ny=2, size=32):
+    tiles = synthetic.make_raster_tiles(kind, nx, ny, size=size)
+    return tiles, _assemble_tiles(tiles, size)
+
+
+def _assemble_out(rows, size, nx, ny):
+    full = np.zeros((ny * size, nx * size))
+    for r in rows:
+        dt = {"float32": np.float32, "uint8": np.uint8}.get(r.get("dtype"), np.float64)
+        arr = np.frombuffer(r["data"], dtype=dt).reshape(r["height"], r["width"])
+        full[r["y"] * size : (r["y"] + 1) * size, r["x"] * size : (r["x"] + 1) * size] = arr
+    return full
+
+
+def test_focal_slope_matches_monolithic():
+    tiles, full = _tiles_and_full()
+    rows = focal_stage.focal(rd.from_arrow(tiles), alg="slope", res=1.0).take_all()
+    got = _assemble_out(rows, 32, 3, 2)
+    pad = np.pad(full, 1, mode="edge")
+    dzdx, dzdy = focal_stage._horn_gradients(pad, 1.0)
+    expect = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+    assert np.allclose(got, expect)
+
+
+def test_focal_hillshade_and_stats_algs_match_monolithic():
+    tiles, full = _tiles_and_full(kind="blobs")
+    pad = np.pad(full, 1, mode="edge")
+    for alg in ("hillshade", "tri", "tpi", "roughness"):
+        rows = focal_stage.focal(rd.from_arrow(tiles), alg=alg, res=1.0).take_all()
+        got = _assemble_out(rows, 32, 3, 2)
+        expect = focal_stage._apply_alg(pad, alg, 1.0, 1.0, 315.0, 45.0)
+        assert np.allclose(got, expect), alg
+
+
+def test_reclassify():
+    tiles, full = _tiles_and_full(kind="checker")
+    out = rastermap.reclassify(rd.from_arrow(tiles), {0.0: 7.0, 255.0: 9.0}).take_all()
+    got = _assemble_out(out, 32, 3, 2)
+    assert set(np.unique(got)) == {7.0, 9.0}
+    assert ((got == 9.0) == (full == 255)).all()
+
+
+def test_calc_and_scale_and_settype():
+    tiles, full = _tiles_and_full()
+    out = rastermap.calc(rd.from_arrow(tiles), lambda a: a * 2 + 1).take_all()
+    got = _assemble_out(out, 32, 3, 2)
+    assert np.allclose(got, full * 2 + 1)
+    out2 = rastermap.scale(rd.from_arrow(tiles), 0, 100, 0, 1).take_all()
+    got2 = _assemble_out(out2, 32, 3, 2)
+    assert np.allclose(got2, full / 100, atol=1e-6)
+    out3 = rastermap.set_type(rd.from_arrow(tiles), "uint8").take_all()
+    assert out3[0]["dtype"] == "uint8"
+
+
+def test_band_stats_and_histogram():
+    tiles, full = _tiles_and_full(kind="ramp")
+    st = rastermap.band_stats(rd.from_arrow(tiles))
+    assert st["count"] == full.size
+    assert st["min"] == full.min() and st["max"] == full.max()
+    assert abs(st["mean"] - full.mean()) < 1e-9
+    assert abs(st["std"] - full.std()) < 1e-9
+    h = rastermap.histogram(rd.from_arrow(tiles), bins=16, lo=0, hi=full.max() + 1)
+    he, _ = np.histogram(full, bins=16, range=(0, full.max() + 1))
+    assert (h == he).all()
+    # approx stats: sampled count is close to fraction
+    st2 = rastermap.band_stats(rd.from_arrow(tiles), sample_fraction=0.5)
+    assert 0.3 * full.size < st2["count"] < 0.7 * full.size
+
+
+def test_mosaic_last_non_nodata_wins():
+    size = 16
+    base = synthetic.make_raster_tiles("checker", 2, 1, size=size)
+    # overlay: nodata except a patch of 77
+    rows = []
+    for i in range(base.num_rows):
+        arr = np.zeros((size, size), dtype=np.uint8)
+        if i == 0:
+            arr[4:8, 4:8] = 77
+        rows.append({**{c: base[c][i].as_py() for c in base.column_names}, "data": arr.tobytes()})
+    overlay = pa.Table.from_pylist(rows)
+    out = rastermap.mosaic([rd.from_arrow(base), rd.from_arrow(overlay)], nodata=0.0).take_all()
+    full = {(r["x"], r["y"]): np.frombuffer(r["data"], np.float32).reshape(size, size) for r in out}
+    t0 = full[(0, 0)]
+    assert (t0[4:8, 4:8] == 77).all()
+    base_full = _assemble_tiles(base, size)
+    m = np.ones((size, size), dtype=bool)
+    m[4:8, 4:8] = False
+    assert (t0[m] == base_full[:size, :size][m]).all()

@@ -1,0 +1,120 @@
+"""Media stage plumbing, pipeline step registry, resumable writes (F7)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from gdal_ray.sources import io as gio
+from gdal_ray.sources import synthetic
+from gdal_ray.stages import media
+from gdal_ray.pipelines import steps
+
+
+def test_media_featurize_deterministic_and_complete():
+    docs = synthetic.make_docs(200)
+    ds = rd.from_arrow(docs)
+    rows = media.featurize_media(ds, concurrency=2, batch_size=64).take_all()
+    # expected media spans: every non-text span of every doc
+    expect = 0
+    for i in range(docs.num_rows):
+        expect += sum(1 for s in docs["spans"][i].as_py() if s["kind"] != "text")
+    assert len(rows) == expect
+    # determinism: same ref -> same features
+    by_ref = {}
+    for r in rows:
+        if r["media_ref"] in by_ref:
+            assert by_ref[r["media_ref"]] == (r["mean_x100"], r["phash"])
+        by_ref[r["media_ref"]] = (r["mean_x100"], r["phash"])
+    # spot-check against the backend directly
+    codec = media.DecodeBackend()
+    r0 = rows[0]
+    arr = codec.decode(r0["media_ref"])
+    assert r0["mean_x100"] == int(round(float(arr.mean()) * 100))
+
+
+def test_media_real_backend_is_gated():
+    with pytest.raises(NotImplementedError):
+        media.DecodeBackend(backend="real")
+
+
+def test_step_registry_pipeline_spec():
+    docs = synthetic.make_docs(100)
+    ds = rd.from_arrow(docs)
+    out = steps.run_pipeline(
+        ds, "derive_geometry ! assign_tiles zooms=4 ! select cols=doc_id,tx_4,ty_4 ! limit n=5"
+    )
+    rows = out.take_all()
+    assert len(rows) == 5
+    assert set(rows[0].keys()) == {"doc_id", "tx_4", "ty_4"}
+    with pytest.raises(KeyError):
+        steps.get_step("nope")
+    assert "reproject" in steps.list_steps()
+
+
+def test_reproject_step_roundtrip():
+    docs = synthetic.docs_with_geometry(synthetic.make_docs(50))
+    out = steps.run_pipeline(rd.from_arrow(docs), "reproject dst=EPSG:3857").take_all()
+    from gdal_ray.functions import geo
+
+    for r in out[:10]:
+        mx, my = geo.lonlat_to_mercator(np.array([r["lon"]]), np.array([r["lat"]]))
+        assert r["geo_x"] == mx[0] and r["geo_y"] == my[0]
+
+
+def test_write_partitioned_resume(tmp_path):
+    """F7: kill after ~50% partitions, resume; nothing re-executed, outputs
+    identical."""
+    docs = synthetic.docs_with_geometry(synthetic.make_docs(400))
+    ds = rd.from_arrow(docs)
+    root = str(tmp_path / "out")
+    pids = [f"k{i}" for i in range(4)]
+
+    calls = []
+
+    def part_filter(d, pid):
+        import pyarrow.compute as pc
+
+        calls.append(pid)
+        k = int(pid[1:])
+
+        def flt(t):
+            last = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 12, 13), pa.int32())
+            rem = last.to_numpy(zero_copy_only=False) % 4
+            return t.filter(pa.array(rem == k))
+
+        return d.map_batches(flt, batch_format="pyarrow")
+
+    done1 = gio.write_partitioned(ds, root, pids[:2], part_filter, lineage={"stage": "t"})
+    assert done1 == ["k0", "k1"]
+    # resume over ALL partitions: only the missing two run
+    calls.clear()
+    done2 = gio.write_partitioned(ds, root, pids, part_filter, lineage={"stage": "t"})
+    assert done2 == ["k2", "k3"]
+    assert calls == ["k2", "k3"]
+    m = gio.Manifest(root)
+    assert m.done_partitions() == set(pids)
+    rec = m.read("k2")
+    assert rec["lineage"]["stage"] == "t" and rec["metrics"]["rows"] > 0
+    # all rows present exactly once
+    total = sum(m.read(p)["metrics"]["rows"] for p in pids)
+    assert total == 400
+
+
+def test_span_sequence_invariant_through_pipeline():
+    """BASELINE input_hint: spans travel unperturbed through spatial stages."""
+    docs = synthetic.make_docs(100)
+    ds = rd.from_arrow(docs)
+    out = steps.run_pipeline(ds, "derive_geometry ! assign_tiles zooms=8")
+    got = {r["doc_id"]: r["spans"] for r in out.take_all()}
+    for i in range(docs.num_rows):
+        did = docs["doc_id"][i].as_py()
+        orig = docs["spans"][i].as_py()
+        new = got[did]
+        assert [(s["kind"], s["text"], s["media_ref"]) for s in new] == [
+            (s["kind"], s["text"], s["media_ref"]) for s in orig
+        ]
+        offs = [s["offset"] for s in new]
+        assert offs == sorted(offs)
