@@ -94,6 +94,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q.text_quality_q,
         "embedding_topk": q.embedding_topk_q,
         "embedding_neardup": q.embedding_neardup_q,
+        # layer algebra: polygon x polygon (SURVEY §2.4), clip/dissolve
+        "polygon_join": q.polygon_join_q,
+        "clip_areas": q.clip_areas_q,
+        "dissolve_zones": q.dissolve_zones_q,
+        "contour_ramp": q.contour_ramp_q,
         # aggregates: histogram + exact stats partials (SURVEY §2.5)
         "histogram_nchars": q.histogram_nchars_q,
         "agg_stats_quantity": q.agg_stats_quantity_q,
@@ -265,6 +270,47 @@ def oracle_sql() -> dict[str, str]:
                        e.vec_id) AS "rank"
               FROM embeddings e, q)
             SELECT vec_id, "rank" FROM s WHERE "rank" <= 10
+        """,
+        "polygon_join": f"""
+            WITH {_ZONES},
+            c AS (
+              SELECT c_custkey AS r_id,
+                     -180.0 + ((c_custkey * 5179) % 33000) / 100.0 AS minx,
+                     -85.0 + ((c_custkey * 3607) % 15000) / 100.0 AS miny
+              FROM customer
+            ),
+            cc AS (
+              SELECT r_id, minx, miny,
+                     minx + (2.0 + ((r_id * 149) % 900) / 100.0) AS maxx,
+                     miny + (2.0 + ((r_id * 211) % 700) / 100.0) AS maxy
+              FROM c
+            )
+            SELECT zz.zone_key AS l_id, cc.r_id
+            FROM zz, cc
+            WHERE zz.minx <= cc.maxx AND zz.maxx >= cc.minx
+              AND zz.miny <= cc.maxy AND zz.maxy >= cc.miny
+        """,
+        "clip_areas": f"""
+            WITH {_ZONES}
+            SELECT zone_key AS fid,
+                   CAST(round(
+                     (LEAST(maxx, 60.0) - GREATEST(minx, -60.0)) *
+                     (LEAST(maxy, 40.0) - GREATEST(miny, -40.0)) * 10000.0
+                   ) AS BIGINT) AS clip_area_x10000
+            FROM zz
+            WHERE LEAST(maxx, 60.0) > GREATEST(minx, -60.0)
+              AND LEAST(maxy, 40.0) > GREATEST(miny, -40.0)
+        """,
+        "dissolve_zones": f"""
+            WITH {_ZONES}
+            SELECT zone_key % 10 AS cat,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(CAST(round((maxx - minx) * (maxy - miny) * 10000.0)
+                     AS BIGINT)) AS BIGINT) AS total_area_x10000,
+                   min(minx) AS minx, min(miny) AS miny,
+                   max(maxx) AS maxx, max(maxy) AS maxy
+            FROM zz
+            GROUP BY 1
         """,
         "histogram_nchars": """
             SELECT n_chars // 100 AS bucket, CAST(count(*) AS BIGINT) AS n

@@ -341,6 +341,114 @@ def spatial_sort_topk_q(sf_dir: str):
     return relational.top_k(ds, ["cell_12", "doc_id"], descending=[False, False], k=100)
 
 
+# -- layer algebra (SURVEY §2.4 polygon x polygon) ---------------------------
+
+CUST_RECT = dict(minx_mult=5179, minx_mod=33000, miny_mult=3607, miny_mod=15000,
+                 w_mult=149, w_mod=900, h_mult=211, h_mod=700)
+
+
+def _cust_zones(sf_dir: str) -> pa.Table:
+    """Second rectangle layer derived from customer keys (same exact-integer
+    scheme as the part-key zones; constants differ)."""
+    keys = np.sort(
+        pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])["c_custkey"].to_numpy()
+    )
+    from ..functions import wkb as _w
+
+    c = CUST_RECT
+    minx = -180.0 + ((keys * c["minx_mult"]) % c["minx_mod"]) / 100.0
+    miny = -85.0 + ((keys * c["miny_mult"]) % c["miny_mod"]) / 100.0
+    maxx = minx + (2.0 + ((keys * c["w_mult"]) % c["w_mod"]) / 100.0)
+    maxy = miny + (2.0 + ((keys * c["h_mult"]) % c["h_mod"]) / 100.0)
+    wkbs = []
+    for i in range(len(keys)):
+        ring = np.array(
+            [[minx[i], miny[i]], [maxx[i], miny[i]], [maxx[i], maxy[i]],
+             [minx[i], maxy[i]], [minx[i], miny[i]]]
+        )
+        wkbs.append(_w.encode_polygon([ring]))
+    return pa.table({"r_id": pa.array(keys), "wkb": pa.array(wkbs, pa.binary())})
+
+
+def polygon_join_q(sf_dir: str):
+    """Polygon x polygon intersects join (layer algebra pair identification)
+    with exact pair dedup across shared cells."""
+    from ..stages import layeralg
+
+    zones = _zones(sf_dir)
+    left = pa.table({"l_id": zones["zone_key"], "wkb": zones["wkb"]})
+    return layeralg.polygon_join(rd.from_arrow(left), rd.from_arrow(_cust_zones(sf_dir)), res=4)
+
+
+CLIP_RECT = (-60.0, -40.0, 60.0, 40.0)
+
+
+def clip_areas_q(sf_dir: str):
+    """Clip every zone by a fixed convex rectangle (layer-algebra Clip);
+    emits exact scaled clipped areas."""
+    from ..functions import wkb as _w
+    from ..stages import layeralg
+
+    zones = _zones(sf_dir)
+    ds = rd.from_arrow(pa.table({"fid": zones["zone_key"], "wkb": zones["wkb"]}))
+    x0, y0, x1, y1 = CLIP_RECT
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    out = layeralg.clip_layer(ds, _w.encode_polygon([ring]))
+
+    def fin(t: pa.Table) -> pa.Table:
+        r = pa.table(
+            {
+                "fid": t["fid"],
+                "clip_area_x10000": pc.cast(
+                    pc.round(pc.multiply(t["clip_area"], pa.scalar(10000.0))), pa.int64()
+                ),
+            }
+        )
+        # zero-area (boundary-touch) clips are not emitted (matches strict
+        # overlap in the SQL oracle)
+        return r.filter(pc.greater(r["clip_area_x10000"], 0))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def dissolve_zones_q(sf_dir: str):
+    """Dissolve zones grouped by zone_key % 10: part count, exact total area,
+    group bbox (vector dissolve aggregate surface)."""
+    from ..stages import layeralg
+
+    zones = _zones(sf_dir)
+    cat = (zones["zone_key"].to_numpy() % 10).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"fid": zones["zone_key"], "cat": pa.array(cat), "wkb": zones["wkb"]})
+    )
+    out = layeralg.dissolve_collect(ds, "cat")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cat": t["cat"],
+                "n_parts": t["n_parts"],
+                "total_area_x10000": pc.cast(
+                    pc.round(pc.multiply(t["total_area"], pa.scalar(10000.0))), pa.int64()
+                ),
+                "minx": t["minx"],
+                "miny": t["miny"],
+                "maxx": t["maxx"],
+                "maxy": t["maxy"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def contour_ramp_q(sf_dir: str):
+    """Distributed marching-squares contour over the ramp fixture."""
+    from ..stages import contour as cnt
+
+    tiles_tbl = synthetic.make_raster_tiles("ramp", 3, 2, size=64)
+    return cnt.contour(rd.from_arrow(tiles_tbl), [30.0, 80.0, 130.0], nx=3, ny=2, tile_size=64)
+
+
 # -- rows-only checks (non-SQL-expressible) ----------------------------------
 
 

@@ -1,0 +1,206 @@
+"""Contour (marching squares) + sieve filter.
+
+Contour re-answers ``gdal_contour`` (reference: ``alg/contour.cpp`` +
+``alg/marching_squares/*.h`` contour_generator / segment_merger): per tile,
+marching squares over the pixel-corner grid emits level-line segments; a
+``groupby(level)`` merge chains touching segments into polylines across tile
+borders (tiles own the cells whose top-left pixel they hold; right/bottom
+neighbors contribute a 1-pixel halo so border cells are computed exactly
+once).
+
+Sieve re-answers ``gdal_sieve`` (``alg/gdalsievefilter.cpp``) with a
+documented round-1 scope: components smaller than the threshold that lie
+strictly inside one tile are merged into their dominant neighbor value;
+border-touching components are conservatively kept (exact cross-tile sieve
+needs the polygonize merge graph, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .focal import _assemble_padded, _halo_exchange
+from .polygonize import label_tile
+
+_EPS = 1e-9
+
+
+def marching_squares_cells(arr: np.ndarray, level: float, ox: float = 0.0, oy: float = 0.0,
+                           max_row: int | None = None, max_col: int | None = None):
+    """Segments of the iso-line ``level`` over cells of ``arr`` (corners =
+    pixel values).  Cell (r, c) uses corners arr[r:r+2, c:c+2]; only cells
+    with r < max_row and c < max_col are emitted.  Returns (N, 4) array of
+    (x0, y0, x1, y1) in pixel coordinates offset by (ox, oy)."""
+    h, w = arr.shape
+    mr = (h - 1) if max_row is None else min(max_row, h - 1)
+    mc = (w - 1) if max_col is None else min(max_col, w - 1)
+    if mr <= 0 or mc <= 0:
+        return np.empty((0, 4))
+    tl = arr[:mr, :mc]
+    tr = arr[:mr, 1 : mc + 1]
+    bl = arr[1 : mr + 1, :mc]
+    br = arr[1 : mr + 1, 1 : mc + 1]
+    case = (
+        (tl >= level).astype(np.int8)
+        | ((tr >= level).astype(np.int8) << 1)
+        | ((br >= level).astype(np.int8) << 2)
+        | ((bl >= level).astype(np.int8) << 3)
+    )
+    rows, cols = np.nonzero((case != 0) & (case != 15))
+    if rows.size == 0:
+        return np.empty((0, 4))
+
+    def interp(v0, v1):
+        d = v1 - v0
+        d = np.where(d == 0, 1.0, d)
+        return np.clip((level - v0) / d, 0.0, 1.0)
+
+    segs = []
+    a, b, c, d = tl[rows, cols], tr[rows, cols], br[rows, cols], bl[rows, cols]
+    # edge points: top (between tl-tr), right (tr-br), bottom (bl-br), left (tl-bl)
+    top = np.stack([cols + interp(a, b), rows + 0.0], axis=1)
+    right = np.stack([cols + 1.0, rows + interp(b, c)], axis=1)
+    bottom = np.stack([cols + interp(d, c), rows + 1.0], axis=1)
+    left = np.stack([cols + 0.0, rows + interp(a, d)], axis=1)
+    cs = case[rows, cols]
+    # segment table (asymmetric cases); saddles (5, 10) resolved by center mean
+    table = {
+        1: [("left", "top")], 2: [("top", "right")], 3: [("left", "right")],
+        4: [("right", "bottom")], 6: [("top", "bottom")], 7: [("left", "bottom")],
+        8: [("bottom", "left")], 9: [("bottom", "top")], 11: [("bottom", "right")],
+        12: [("right", "left")], 13: [("right", "top")], 14: [("top", "left")],
+    }
+    pts = {"top": top, "right": right, "bottom": bottom, "left": left}
+    out = []
+    center = (a + b + c + d) / 4.0
+    for code in np.unique(cs):
+        sel = cs == code
+        if code in (5, 10):
+            hi_center = center[sel] >= level
+            pairs_a = [("left", "top"), ("right", "bottom")] if code == 5 else [("top", "right"), ("bottom", "left")]
+            pairs_b = [("left", "bottom"), ("right", "top")] if code == 5 else [("top", "left"), ("bottom", "right")]
+            idx = np.nonzero(sel)[0]
+            for use_a, i in zip(hi_center, idx):
+                for e0, e1 in (pairs_a if use_a else pairs_b):
+                    out.append(np.concatenate([pts[e0][i], pts[e1][i]]))
+            continue
+        for e0, e1 in table[int(code)]:
+            out.append(np.column_stack([pts[e0][sel], pts[e1][sel]]))
+    segs = np.vstack([o if o.ndim == 2 else o[None, :] for o in out])
+    segs[:, [0, 2]] += ox
+    segs[:, [1, 3]] += oy
+    return segs
+
+
+def contour(tiles_ds, levels, nx: int, ny: int, tile_size: int = 64):
+    """Distributed contour: per-tile marching squares (halo-exact at borders)
+    -> groupby(level) polyline chaining.  Returns (level, n_polylines,
+    n_segments, total_len_x1e6: int64)."""
+    grouped = _halo_exchange(tiles_ds, tile_size)
+
+    def per_tile(group: pa.Table) -> pa.Table:
+        pad, xy, wh = _assemble_padded(group)
+        if pad is None:
+            return pa.table({"level": pa.array([], pa.float64()), "seg": pa.array([], pa.binary())})
+        x, y = xy
+        w, h = wh
+        # arr2 = body plus right/bottom halo row/col
+        arr2 = pad[1:, 1:]
+        own_cols = w if x < nx - 1 else w - 1
+        own_rows = h if y < ny - 1 else h - 1
+        lvls, blobs = [], []
+        for level in levels:
+            segs = marching_squares_cells(
+                arr2, level, ox=x * tile_size, oy=y * tile_size,
+                max_row=own_rows, max_col=own_cols,
+            )
+            if len(segs):
+                lvls.append(float(level))
+                blobs.append(segs.tobytes())
+        return pa.table({"level": pa.array(lvls, pa.float64()), "seg": pa.array(blobs, pa.binary())})
+
+    segs_ds = grouped.map_groups(per_tile, batch_format="pyarrow")
+
+    def chain(group: pa.Table) -> pa.Table:
+        level = group["level"][0].as_py()
+        segs = np.vstack(
+            [np.frombuffer(b, dtype=np.float64).reshape(-1, 4) for b in group["seg"].to_pylist()]
+        )
+        # chain segments by shared endpoints (grid-rounded)
+        def key(p):
+            return (round(p[0] / _EPS), round(p[1] / _EPS))
+
+        adj: dict = {}
+        for i, s in enumerate(segs):
+            adj.setdefault(key(s[:2]), []).append((i, 0))
+            adj.setdefault(key(s[2:]), []).append((i, 1))
+        used = np.zeros(len(segs), dtype=bool)
+        n_lines = 0
+        for i in range(len(segs)):
+            if used[i]:
+                continue
+            n_lines += 1
+            # walk both directions
+            for start_end in (0, 1):
+                cur, end = i, start_end
+                used[i] = True
+                while True:
+                    p = segs[cur][2:] if end == 1 else segs[cur][:2]
+                    nxt = [t for t in adj.get(key(p), []) if not used[t[0]]]
+                    if not nxt:
+                        break
+                    cur, came = nxt[0]
+                    used[cur] = True
+                    end = 1 - came
+        lens = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+        return pa.table(
+            {
+                "level": pa.array([level]),
+                "n_polylines": pa.array([n_lines], pa.int64()),
+                "n_segments": pa.array([len(segs)], pa.int64()),
+                "total_len_x1e6": pa.array([int(round(lens.sum() * 1e6))], pa.int64()),
+            }
+        )
+
+    return segs_ds.groupby("level").map_groups(chain, batch_format="pyarrow")
+
+
+def sieve(tiles_ds, threshold: int, nodata: float = 0.0, connect8: bool = False):
+    """Per-tile sieve (documented conservative scope — see module docstring)."""
+
+    def per_tile(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w).copy()
+            labels, n = label_tile(arr, nodata, connect8)
+            if n:
+                counts = np.bincount(labels[labels >= 0], minlength=n)
+                border = np.unique(
+                    np.concatenate([labels[0], labels[-1], labels[:, 0], labels[:, -1]])
+                )
+                border = set(border[border >= 0].tolist())
+                for lbl in np.nonzero(counts < threshold)[0]:
+                    if lbl in border:
+                        continue
+                    m = labels == lbl
+                    # dominant neighboring value
+                    dil = np.zeros_like(m)
+                    dil[:-1] |= m[1:]; dil[1:] |= m[:-1]
+                    dil[:, :-1] |= m[:, 1:]; dil[:, 1:] |= m[:, :-1]
+                    ring = dil & ~m
+                    vals, vc = np.unique(arr[ring], return_counts=True)
+                    if len(vals):
+                        arr[m] = vals[np.argmax(vc)]
+            rows.append(
+                {
+                    **{c: batch[c][i].as_py() for c in batch.column_names if c != "data"},
+                    "data": arr.tobytes(),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return tiles_ds.map_batches(per_tile, batch_format="pyarrow")
