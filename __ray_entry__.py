@@ -88,6 +88,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped (SURVEY §2.12 analogues)
         "events_tumbling_1h": q.events_tumbling_1h,
         "asof_join_events": q.asof_join_events,
+        "sliding_window_2h": q.sliding_window_q,
+        "session_windows": q.session_windows_q,
+        # scalar functions / sampling / raster lookup / grid metric
+        "scalar_funcs": q.scalar_funcs_q,
+        "sample_docs": q.sample_docs_q,
+        "point_raster_lookup": q.point_raster_lookup_q,
+        "grid_count": q.grid_count_q,
         # text / dedup / similarity (training-data ops)
         "dedup_exact": q.dedup_exact_q,
         "token_count": q.token_count_q,
@@ -241,6 +248,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_matched
             FROM m WHERE rn = 1
             GROUP BY event_type
+        """,
+        "sliding_window_2h": """
+            WITH w AS (
+              SELECT event_type,
+                     UNNEST(generate_series(epoch_us(ts) // 1000000 // 3600 - 1,
+                                            epoch_us(ts) // 1000000 // 3600)) AS window_id
+              FROM events)
+            SELECT event_type, window_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH s AS (
+              SELECT user_id, event_id,
+                     epoch_us(ts) // 1000000 AS sec,
+                     CASE WHEN epoch_us(ts) // 1000000
+                            - lag(epoch_us(ts) // 1000000) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id) > 7200
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            t AS (
+              SELECT user_id,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s),
+            g AS (SELECT user_id, sid, count(*) AS n FROM t GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(max(n) AS BIGINT) AS max_session_events
+            FROM g GROUP BY 1
+        """,
+        "scalar_funcs": """
+            SELECT doc_id,
+                   upper(substr(text, 1, 8)) AS head,
+                   lang || '-' || source AS tag,
+                   CASE WHEN n_chars < 100 THEN 'short'
+                        WHEN n_chars <= 300 THEN 'mid'
+                        ELSE 'long' END AS size_class,
+                   CAST(n_chars AS DOUBLE) / 2.0 AS half_chars
+            FROM documents
+        """,
+        "sample_docs": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 100 < 10
+        """,
+        "point_raster_lookup": f"""
+            WITH {_DOCS_GEO}
+            SELECT doc_id,
+                   LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 360.0) AS BIGINT), 0), 359)
+                 + LEAST(GREATEST(CAST(floor((85.0 - lat) / 170.0 * 170.0) AS BIGINT), 0), 169)
+                   AS raster_value
+            FROM d
+        """,
+        "grid_count": f"""
+            WITH {_DOCS_GEO},
+            cells AS (
+              SELECT a.range AS cx, b.range AS cy
+              FROM range(64) a, range(32) b)
+            SELECT c.cx, c.cy,
+                   CAST(count(d.doc_id) AS BIGINT) AS n
+            FROM cells c LEFT JOIN d
+              ON ((-180.0 + (c.cx + 0.5) * 5.625) - d.lon)
+                 * ((-180.0 + (c.cx + 0.5) * 5.625) - d.lon)
+               + ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat)
+                 * ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat) <= 36.0
+            GROUP BY 1, 2
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5,

@@ -231,6 +231,125 @@ def asof_join_events(sf_dir: str):
 # -- text / dedup / similarity ----------------------------------------------
 
 
+def sliding_window_q(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    return events.sliding_window(ds, window_s=7200, step_s=3600)
+
+
+def session_windows_q(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return events.session_windows(ds, gap_s=7200)
+
+
+def scalar_funcs_q(sf_dir: str):
+    """OGR SQL scalar surface (SURVEY §2.11): SUBSTR/UPPER/CONCAT/CASE/CAST
+    via pyarrow.compute kernels."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        head = pc.utf8_upper(pc.utf8_slice_codeunits(t["text"], 0, 8))
+        tag = pc.binary_join_element_wise(t["lang"], t["source"], "-")
+        size_class = pc.if_else(
+            pc.less(t["n_chars"], 100),
+            pa.scalar("short"),
+            pc.if_else(pc.less_equal(t["n_chars"], 300), pa.scalar("mid"), pa.scalar("long")),
+        )
+        half = pc.divide(pc.cast(t["n_chars"], pa.float64()), pa.scalar(2.0))
+        return pa.table(
+            {"doc_id": t["doc_id"], "head": head, "tag": tag,
+             "size_class": size_class, "half_chars": half}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sample_docs_q(sf_dir: str):
+    """Deterministic Bernoulli-by-key sampling (approx-stats subsample path,
+    SURVEY §2.6) — hash-free integer scheme so the SQL oracle reproduces it."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (k * 2654435761) % 100 < 10
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+RASTER_LOOKUP_W, RASTER_LOOKUP_H = 360, 170
+
+
+def point_raster_lookup_q(sf_dir: str):
+    """Point -> raster value lookup (gdallocationinfo / GDALInterpolateAtPoint
+    nearest path, SURVEY §2.4): docs probe a broadcast tiled ramp raster; the
+    engine does real tile fetch + array indexing, the oracle recomputes the
+    ramp closed form."""
+    import ray
+
+    W, H = RASTER_LOOKUP_W, RASTER_LOOKUP_H
+    tile = 64
+    ntx = (W + tile - 1) // tile
+    tiles = {}
+    for ty in range((H + tile - 1) // tile):
+        for tx in range(ntx):
+            w = min(tile, W - tx * tile)
+            h = min(tile, H - ty * tile)
+            gy, gx = np.mgrid[0:h, 0:w]
+            tiles[(tx, ty)] = (gx + tx * tile) + (gy + ty * tile)  # value = px + py
+    ref = ray.put(tiles)
+
+    class Lookup:
+        def __init__(self):
+            self.tiles = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lon = t["lon"].to_numpy(zero_copy_only=False)
+            lat = t["lat"].to_numpy(zero_copy_only=False)
+            px = np.clip(np.floor((lon + 180.0) / 360.0 * W).astype(np.int64), 0, W - 1)
+            py = np.clip(np.floor((85.0 - lat) / 170.0 * H).astype(np.int64), 0, H - 1)
+            vals = np.empty(len(lon), dtype=np.int64)
+            for (tx, ty), arr in self.tiles.items():
+                m = (px // tile == tx) & (py // tile == ty)
+                if m.any():
+                    vals[m] = arr[py[m] - ty * tile, px[m] - tx * tile]
+            return pa.table({"doc_id": t["doc_id"], "raster_value": pa.array(vals)})
+
+    return _docs_points(sf_dir).map_batches(Lookup, batch_format="pyarrow", concurrency=2)
+
+
+def grid_count_q(sf_dir: str):
+    """gdal_grid 'count' data metric: per-cell count of docs within radius of
+    the cell center, on a 64x32 world grid."""
+    from ..stages import gridinterp
+
+    grid = gridinterp.InterpGrid(-180.0, -85.0, 180.0, 85.0, 64, 32, tile=16)
+    pts = _docs_points(sf_dir).map_batches(
+        lambda t: t.append_column("value", pa.array(np.zeros(t.num_rows))), batch_format="pyarrow"
+    )
+    tiles_out = gridinterp.grid_interpolate(pts, grid, algorithm="count", radius=6.0)
+
+    def explode(t: pa.Table) -> pa.Table:
+        cxs, cys, ns = [], [], []
+        for i in range(t.num_rows):
+            arr = np.frombuffer(t["data"][i].as_py(), dtype=np.float64).reshape(
+                t["height"][i].as_py(), t["width"][i].as_py()
+            )
+            tx, ty = t["tx"][i].as_py(), t["ty"][i].as_py()
+            gy, gx = np.mgrid[0 : arr.shape[0], 0 : arr.shape[1]]
+            cxs.append(gx.ravel() + tx * grid.tile)
+            cys.append(gy.ravel() + ty * grid.tile)
+            ns.append(arr.ravel().astype(np.int64))
+        return pa.table(
+            {
+                "cx": pa.array(np.concatenate(cxs).astype(np.int64)),
+                "cy": pa.array(np.concatenate(cys).astype(np.int64)),
+                "n": pa.array(np.concatenate(ns)),
+            }
+        )
+
+    return tiles_out.map_batches(explode, batch_format="pyarrow")
+
+
 def dedup_exact_q(sf_dir: str):
     return dedup.exact_dedup(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 

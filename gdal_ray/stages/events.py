@@ -57,6 +57,50 @@ def tumbling_window(ds, window_s: int = 3600, ts_col: str = "ts", key_col: str =
     )
 
 
+def sliding_window(ds, window_s: int, step_s: int, ts_col: str = "ts", key_col: str = "event_type"):
+    """Sliding windows: each event lands in window_s/step_s windows
+    (flat_map to window ids -> pre-aggregated groupby)."""
+    n_windows = window_s // step_s
+
+    def tag(batch: pa.Table) -> pa.Table:
+        sec = _epoch_us(batch[ts_col]) // 1_000_000
+        base = sec // step_s
+        wids = [base - j for j in range(n_windows)]
+        keys = batch[key_col].to_pylist() * n_windows
+        return pa.table(
+            {
+                key_col: pa.array(keys),
+                "window_id": pa.array(np.concatenate(wids)),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return partial_aggregate(tagged, [key_col, "window_id"], count_alias="n_events")
+
+
+def session_windows(ds, gap_s: int, ts_col: str = "ts", key_col: str = "user_id",
+                    id_col: str = "event_id"):
+    """Session windowing per key: a new session starts when the gap to the
+    previous event exceeds gap_s.  Returns (user_id, n_sessions,
+    max_session_events).  Ordering contract: (ts, event_id) per key."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="stable")
+        sec = g[ts_col].astype("datetime64[us]").astype(np.int64) // 1_000_000
+        brk = (sec.diff() > gap_s).fillna(False).astype(int)
+        sid = brk.cumsum()
+        sizes = sid.value_counts()
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_sessions": [int(sid.nunique())],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_user, batch_format="pandas")
+
+
 def asof_join(
     events_ds,
     right: pa.Table,

@@ -1,0 +1,126 @@
+"""Grid / interpolation (points -> raster) — the gdal_grid family.
+
+Reference: ``alg/gdalgrid.cpp`` algorithms ``GGA_*`` (``alg/gdal_alg.h:402-416``):
+inverse-distance (:GDALGridInverseDistanceToAPower), nearest
+(:GDALGridNearestNeighbor :905), moving average, data metrics
+(count/min/max/avg-distance).  SSE/AVX kernels are replaced by numpy.
+
+Ray-Data shape (SURVEY §2.8): points are flat_mapped to every output tile
+whose search-radius halo they fall in (duplication instead of neighbor
+communication), then ``groupby(tile).map_groups`` computes the full tile cell
+grid vectorized against the group's points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import checksum as cks
+
+
+class InterpGrid:
+    """Output grid spec: world bbox + cells, tiled."""
+
+    def __init__(self, x0, y0, x1, y1, nx, ny, tile: int = 64):
+        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+        self.nx, self.ny = nx, ny
+        self.dx = (x1 - x0) / nx
+        self.dy = (y1 - y0) / ny
+        self.tile = tile
+        self.ntx = (nx + tile - 1) // tile
+        self.nty = (ny + tile - 1) // tile
+
+
+def grid_interpolate(
+    points_ds,
+    grid: InterpGrid,
+    algorithm: str = "invdist",
+    radius: float = 0.0,
+    power: float = 2.0,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    v_col: str = "value",
+):
+    """algorithm: 'invdist' | 'nearest' | 'average' | 'count'.
+    radius = search radius in world units (0 => invdist uses all points in
+    tile+halo — halo must then cover the data extent, so pass a radius for
+    distributed runs; nearest uses the nearest point within tile+halo)."""
+    halo = radius if radius > 0 else max(grid.dx, grid.dy) * grid.tile
+
+    def expand(batch: pa.Table) -> pa.Table:
+        px = batch[x_col].to_numpy(zero_copy_only=False)
+        py = batch[y_col].to_numpy(zero_copy_only=False)
+        pv = batch[v_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        tx0 = np.clip(((px - halo - grid.x0) / (grid.dx * grid.tile)).astype(np.int64), 0, grid.ntx - 1)
+        tx1 = np.clip(((px + halo - grid.x0) / (grid.dx * grid.tile)).astype(np.int64), 0, grid.ntx - 1)
+        ty0 = np.clip(((py - halo - grid.y0) / (grid.dy * grid.tile)).astype(np.int64), 0, grid.nty - 1)
+        ty1 = np.clip(((py + halo - grid.y0) / (grid.dy * grid.tile)).astype(np.int64), 0, grid.nty - 1)
+        rows = {"tile_id": [], "px": [], "py": [], "pv": []}
+        for i in range(len(px)):
+            for ty in range(ty0[i], ty1[i] + 1):
+                for tx in range(tx0[i], tx1[i] + 1):
+                    rows["tile_id"].append(ty * grid.ntx + tx)
+                    rows["px"].append(px[i])
+                    rows["py"].append(py[i])
+                    rows["pv"].append(pv[i])
+        return pa.table(
+            {
+                "tile_id": pa.array(rows["tile_id"], pa.int64()),
+                "px": pa.array(rows["px"], pa.float64()),
+                "py": pa.array(rows["py"], pa.float64()),
+                "pv": pa.array(rows["pv"], pa.float64()),
+            }
+        )
+
+    expanded = points_ds.map_batches(expand, batch_format="pyarrow")
+
+    def per_tile(group: pa.Table) -> pa.Table:
+        tid = int(group["tile_id"][0].as_py())
+        tx, ty = tid % grid.ntx, tid // grid.ntx
+        w = min(grid.tile, grid.nx - tx * grid.tile)
+        h = min(grid.tile, grid.ny - ty * grid.tile)
+        cx = grid.x0 + (tx * grid.tile + np.arange(w) + 0.5) * grid.dx
+        cy = grid.y0 + (ty * grid.tile + np.arange(h) + 0.5) * grid.dy
+        gx, gy = np.meshgrid(cx, cy)
+        px = group["px"].to_numpy(zero_copy_only=False)
+        py = group["py"].to_numpy(zero_copy_only=False)
+        pv = group["pv"].to_numpy(zero_copy_only=False)
+        d2 = (gx.ravel()[:, None] - px[None, :]) ** 2 + (gy.ravel()[:, None] - py[None, :]) ** 2
+        if radius > 0:
+            in_r = d2 <= radius * radius
+        else:
+            in_r = np.ones_like(d2, dtype=bool)
+        if algorithm == "nearest":
+            j = np.argmin(np.where(in_r, d2, np.inf), axis=1)
+            any_in = in_r.any(axis=1)
+            out = np.where(any_in, pv[j], np.nan)
+        elif algorithm == "invdist":
+            w_ = np.where(in_r, 1.0 / np.maximum(d2, 1e-300) ** (power / 2.0), 0.0)
+            exact = (d2 <= 1e-24) & in_r
+            has_exact = exact.any(axis=1)
+            wsum = w_.sum(axis=1)
+            out = np.where(wsum > 0, (w_ * pv[None, :]).sum(axis=1) / np.where(wsum == 0, 1, wsum), np.nan)
+            if has_exact.any():
+                je = np.argmax(exact, axis=1)
+                out = np.where(has_exact, pv[je], out)
+        elif algorithm == "average":
+            n = in_r.sum(axis=1)
+            out = np.where(n > 0, np.where(in_r, pv[None, :], 0.0).sum(axis=1) / np.maximum(n, 1), np.nan)
+        elif algorithm == "count":
+            out = in_r.sum(axis=1).astype(np.float64)
+        else:
+            raise ValueError(algorithm)
+        arr = out.reshape(h, w)
+        return pa.table(
+            {
+                "tx": pa.array([tx], pa.int32()),
+                "ty": pa.array([ty], pa.int32()),
+                "width": pa.array([w], pa.int32()),
+                "height": pa.array([h], pa.int32()),
+                "data": pa.array([arr.tobytes()], pa.binary()),
+                "checksum": pa.array([cks.tile_checksum(np.nan_to_num(arr))], pa.int64()),
+            }
+        )
+
+    return expanded.groupby("tile_id").map_groups(per_tile, batch_format="pyarrow")
