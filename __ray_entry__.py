@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_blobs": q.polygonize_blobs_q,
         "tile_pyramid": q.tile_pyramid_q,
         "hillshade": q.hillshade_q,
+        "footprint": q.footprint_q,
+        "nearblack": q.nearblack_q,
         "media_features": q.media_features_q,
         # rows-only (non-SQL-expressible)
         "langid": q.langid_q,

@@ -43,25 +43,21 @@ def _replicated_docs_path() -> str:
         return out
     os.makedirs(out, exist_ok=True)
     base = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"])
-    keys = base["doc_id"].to_numpy()
     import numpy as np
 
+    keys = base["doc_id"].to_numpy()
     nch = base["n_chars"].to_numpy()
-    # shard the replicas into a few files so the read parallelizes
+    # shard the replicas into files so the read parallelizes; vectorized build
     per_file = max(1, REPLICATE // 32)
     fidx = 0
     for start in range(0, REPLICATE, per_file):
-        parts = []
-        for r in range(start, min(REPLICATE, start + per_file)):
-            parts.append(
-                pa.table(
-                    {
-                        "doc_id": pa.array(keys + r * KEY_STRIDE),
-                        "n_chars": pa.array(nch),
-                    }
-                )
-            )
-        pq.write_table(pa.concat_tables(parts), os.path.join(out, f"part-{fidx:05d}.parquet"))
+        reps = np.arange(start, min(REPLICATE, start + per_file), dtype=np.int64)
+        all_keys = (keys[None, :] + (reps * KEY_STRIDE)[:, None]).ravel()
+        all_nch = np.tile(nch, len(reps))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(all_keys), "n_chars": pa.array(all_nch)}),
+            os.path.join(out, f"part-{fidx:05d}.parquet"),
+        )
         fidx += 1
     with open(done, "w") as f:
         f.write("ok")

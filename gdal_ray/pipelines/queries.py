@@ -636,6 +636,35 @@ def media_features_q(sf_dir: str):
     return media.featurize_media(docs, concurrency=2)
 
 
+def footprint_q(sf_dir: str):
+    """Raster footprint: mask -> distributed polygonize component summary."""
+    from ..stages import collar
+
+    tiles_tbl = synthetic.make_raster_tiles("blobs", 3, 3, size=64)
+    return collar.footprint(rd.from_arrow(tiles_tbl), nodata=0.0, tile_size=64)
+
+
+def nearblack_q(sf_dir: str):
+    """nearblack collar removal: per-tile checksums of the cleaned mosaic."""
+    from ..functions import checksum as cks
+    from ..stages import collar
+
+    tiles_tbl = synthetic.make_raster_tiles("blobs", 3, 3, size=64)
+    cleaned = collar.nearblack(rd.from_arrow(tiles_tbl), threshold=0.5, nodata=254.0, nx=3, ny=3)
+
+    def sums(t: pa.Table) -> pa.Table:
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            arr = np.frombuffer(t["data"][i].as_py(), dtype=np.uint8).reshape(64, 64)
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks.tile_checksum(arr))
+        return pa.table({"x": pa.array(xs, pa.int32()), "y": pa.array(ys, pa.int32()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return cleaned.map_batches(sums, batch_format="pyarrow")
+
+
 def langid_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

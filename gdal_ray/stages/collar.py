@@ -1,0 +1,185 @@
+"""Footprint + nearblack (clean-collar).
+
+- ``footprint``: raster -> data-mask polygons summary (reference:
+  ``apps/gdal_footprint_lib.cpp:48-184`` — mask band -> polygonize ->
+  optional hull), composed from the engine's own mask map + distributed
+  polygonize.
+- ``nearblack``: flood near-black collars connected to the MOSAIC edge to
+  nodata (reference: ``apps/nearblack_lib.cpp`` + flood-fill variant).
+  Distributed in two passes over the tiles sharing polygonize's
+  label/merge machinery: pass 1 labels near-black components per tile,
+  merges across borders (driver union-find over border-run equivalences,
+  metadata-sized), and marks components touching the mosaic edge; pass 2
+  re-labels each tile and nulls the pixels of edge-connected components.
+  Interior dark blobs are preserved — exactly the flood-fill semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .polygonize import _ckey, _runs_of, label_tile, polygonize
+
+
+def footprint(tiles_ds, nodata: float = 0.0, tile_size: int = 64):
+    """Data-mask footprint: per-component (n_pixels, global pixel bbox) of
+    the valid-data mask."""
+
+    def to_mask(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w)
+            mask = (arr != nodata).astype(np.uint8)
+            rows.append(
+                {**{c: batch[c][i].as_py() for c in batch.column_names if c not in ("data", "dtype")},
+                 "dtype": "uint8", "data": mask.tobytes()}
+            )
+        return pa.Table.from_pylist(rows)
+
+    masks = tiles_ds.map_batches(to_mask, batch_format="pyarrow")
+    return polygonize(masks, nodata=0.0, tile_size=tile_size)
+
+
+def _near_black_mask(arr: np.ndarray, threshold: float) -> np.ndarray:
+    return (arr <= threshold).astype(np.uint8)
+
+
+def nearblack(tiles_ds, threshold: float = 10.0, nodata: float = 255.0,
+              nx: int | None = None, ny: int | None = None):
+    """Set edge-connected near-black collar pixels to ``nodata``.
+
+    nx, ny: mosaic extent in tiles (tiles at x==0, x==nx-1 etc. hold mosaic
+    edges).  Returns tile rows with cleaned data.
+    """
+    import ray
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        rows = {"key": [], "edge_key": [], "pos0": [], "pos1": [], "kind": [], "touches": []}
+        for i in range(batch.num_rows):
+            x = batch["x"][i].as_py()
+            y = batch["y"][i].as_py()
+            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w)
+            mask = _near_black_mask(arr, threshold)
+            labels, n = label_tile(mask, 0)
+            if n == 0:
+                continue
+            # mosaic-edge contact
+            edge_labels = set()
+            if x == 0:
+                edge_labels |= set(labels[:, 0][labels[:, 0] >= 0].tolist())
+            if nx is not None and x == nx - 1:
+                edge_labels |= set(labels[:, -1][labels[:, -1] >= 0].tolist())
+            if y == 0:
+                edge_labels |= set(labels[0, :][labels[0, :] >= 0].tolist())
+            if ny is not None and y == ny - 1:
+                edge_labels |= set(labels[-1, :][labels[-1, :] >= 0].tolist())
+            for lbl in range(n):
+                rows["key"].append(_ckey(x, y, lbl))
+                rows["edge_key"].append(0)
+                rows["pos0"].append(0)
+                rows["pos1"].append(0)
+                rows["kind"].append("comp")
+                rows["touches"].append(lbl in edge_labels)
+            # border runs for cross-tile merge (value is constant 1)
+            for side, vec in (("R", labels[:, -1]), ("B", labels[-1, :]),
+                              ("L", labels[:, 0]), ("T", labels[0, :])):
+                for c0, c1, lbl in _runs_of(vec):
+                    if side == "R":
+                        ek = (x << 24) | (y << 4) | 1
+                    elif side == "L":
+                        ek = ((x - 1) << 24) | (y << 4) | 1
+                    elif side == "B":
+                        ek = (x << 24) | (y << 4) | 2
+                    else:
+                        ek = (x << 24) | ((y - 1) << 4) | 2
+                    rows["key"].append(_ckey(x, y, int(lbl)))
+                    rows["edge_key"].append(ek)
+                    rows["pos0"].append(c0)
+                    rows["pos1"].append(c1)
+                    rows["kind"].append("border-" + ("RB" if side in ("R", "B") else "LT"))
+                    rows["touches"].append(False)
+        return pa.table(
+            {
+                "key": pa.array(rows["key"], pa.int64()),
+                "edge_key": pa.array(rows["edge_key"], pa.int64()),
+                "pos0": pa.array(rows["pos0"], pa.int64()),
+                "pos1": pa.array(rows["pos1"], pa.int64()),
+                "kind": pa.array(rows["kind"]),
+                "touches": pa.array(rows["touches"], pa.bool_()),
+            }
+        )
+
+    meta = tiles_ds.map_batches(pass1, batch_format="pyarrow")
+
+    def edge_pairs(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_pylist()
+        a_idx = [i for i, k in enumerate(kinds) if k == "border-RB"]
+        b_idx = [i for i, k in enumerate(kinds) if k == "border-LT"]
+        p0 = group["pos0"].to_numpy(zero_copy_only=False)
+        p1 = group["pos1"].to_numpy(zero_copy_only=False)
+        keys = group["key"].to_numpy(zero_copy_only=False)
+        oa, ob = [], []
+        for i in a_idx:
+            for j in b_idx:
+                if p0[i] < p1[j] and p1[i] > p0[j]:
+                    oa.append(int(keys[i]))
+                    ob.append(int(keys[j]))
+        return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64())})
+
+    borders = meta.map_batches(
+        lambda t: t.filter(pa.compute.match_substring(t["kind"], "border")), batch_format="pyarrow"
+    )
+    comps = meta.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "comp")), batch_format="pyarrow"
+    )
+    pair_rows = borders.groupby("edge_key").map_groups(edge_pairs, batch_format="pyarrow").take_all()
+
+    parent: dict[int, int] = {}
+
+    def find(z):
+        r = z
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(z, z) != z:
+            parent[z], z = r, parent[z]
+        return r
+
+    for row in pair_rows:
+        a, b = find(row["a"]), find(row["b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    # components whose root has ANY edge-touching member
+    touch_rows = comps.take_all()
+    edge_roots = {find(r["key"]) for r in touch_rows if r["touches"]}
+    collar_keys = {r["key"] for r in touch_rows if find(r["key"]) in edge_roots}
+    collar_ref = ray.put(collar_keys)
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        collars = ray.get(collar_ref)
+        rows = []
+        for i in range(batch.num_rows):
+            x = batch["x"][i].as_py()
+            y = batch["y"][i].as_py()
+            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w).copy()
+            mask = _near_black_mask(arr, threshold)
+            labels, n = label_tile(mask, 0)
+            for lbl in range(n):
+                if _ckey(x, y, lbl) in collars:
+                    arr[labels == lbl] = nodata
+            rows.append(
+                {**{c: batch[c][i].as_py() for c in batch.column_names if c != "data"},
+                 "data": arr.tobytes()}
+            )
+        return pa.Table.from_pylist(rows)
+
+    return tiles_ds.map_batches(pass2, batch_format="pyarrow")
