@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hillshade": q.hillshade_q,
         "footprint": q.footprint_q,
         "nearblack": q.nearblack_q,
+        "proximity": q.proximity_q,
         "media_features": q.media_features_q,
         # rows-only (non-SQL-expressible)
         "langid": q.langid_q,

@@ -37,7 +37,7 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     py_c = py[:, None]
     straddle = (y0[None, :] > py_c) != (y1[None, :] > py_c)
     # x coordinate of edge at py
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         xi = x0[None, :] + (py_c - y0[None, :]) * (
             (x1 - x0)[None, :] / np.where((y1 - y0) == 0, 1.0, (y1 - y0))[None, :]
         )

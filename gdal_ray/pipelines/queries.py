@@ -665,6 +665,28 @@ def nearblack_q(sf_dir: str):
     return cleaned.map_batches(sums, batch_format="pyarrow")
 
 
+def proximity_q(sf_dir: str):
+    """Exact distributed Euclidean distance transform (separable EDT over
+    column/row tile groups); per-tile checksums of the scaled distances."""
+    from ..functions import checksum as cks
+    from ..stages import proximity as prox
+
+    tiles_tbl = synthetic.make_raster_tiles("blobs", 3, 3, size=64)
+    out = prox.proximity(rd.from_arrow(tiles_tbl), nodata=0.0, tile_size=64)
+
+    def sums(t: pa.Table) -> pa.Table:
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            arr = np.frombuffer(t["data"][i].as_py(), dtype=np.float64).reshape(64, 64)
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks.tile_checksum(np.round(np.nan_to_num(arr) * 100)))
+        return pa.table({"x": pa.array(xs, pa.int32()), "y": pa.array(ys, pa.int32()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return out.map_batches(sums, batch_format="pyarrow")
+
+
 def langid_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

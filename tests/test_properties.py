@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) — round-trip and invariance laws.
+
+Mirrors the reference's property-style coverage (SURVEY §5: round-trips like
+rasterize(polygonize(X)) == X for categorical rasters, WKB codec laws).
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_ray.functions import geo, pip, wkb
+from gdal_ray.stages.polygonize import label_tile
+from gdal_ray.stages.rasterize import _traverse_line
+
+coords = st.floats(-1e6, 1e6, allow_nan=False, width=64)
+
+
+@given(st.lists(st.tuples(coords, coords), min_size=1, max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_wkb_point_roundtrip(pts):
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    enc = wkb.encode_points(xs, ys)
+    x2, y2 = wkb.decode_points(enc)
+    assert (xs == x2).all() and (ys == y2).all()
+
+
+@given(st.lists(st.tuples(st.floats(-100, 100), st.floats(-100, 100)),
+                min_size=3, max_size=12), st.floats(-50, 50), st.floats(-50, 50))
+@settings(max_examples=50, deadline=None)
+def test_pip_translation_invariance(raw, dx, dy):
+    """PIP result is invariant under translating polygon AND points."""
+    angles = np.sort(np.array([abs(a) % (2 * np.pi) for a, _ in raw]))
+    radii = np.array([1 + abs(b) % 5 for _, b in raw])
+    ring = np.column_stack([radii * np.cos(angles), radii * np.sin(angles)])
+    ring = np.vstack([ring, ring[:1]])
+    px = np.linspace(-6, 6, 20)
+    py = np.linspace(-6, 6, 20)
+    base = pip.points_in_ring(px, py, ring)
+    moved = pip.points_in_ring(px + dx, py + dy, ring + [dx, dy])
+    assert (base == moved).all()
+
+
+@given(st.integers(0, (1 << 30) - 1), st.integers(0, (1 << 30) - 1))
+@settings(max_examples=200, deadline=None)
+def test_morton_roundtrip_prop(x, y):
+    c = geo.morton_encode(np.array([x]), np.array([y]))
+    x2, y2 = geo.morton_decode(c)
+    assert x2[0] == x and y2[0] == y
+
+
+@given(st.floats(-179.99, 179.99), st.floats(-84.99, 84.99), st.integers(0, 14))
+@settings(max_examples=200, deadline=None)
+def test_tile_contains_point(lon, lat, z):
+    """A point's tile bounds always contain the point (in mercator space)."""
+    tx, ty = geo.lonlat_to_tile(np.array([lon]), np.array([lat]), z)
+    minx, miny, maxx, maxy = geo.tile_bounds_mercator(z, tx, ty)
+    mx, my = geo.lonlat_to_mercator(np.array([lon]), np.array([lat]))
+    assert minx[0] - 1e-6 <= mx[0] <= maxx[0] + 1e-6
+    assert miny[0] - 1e-6 <= my[0] <= maxy[0] + 1e-6
+
+
+@given(st.floats(-50, 50), st.floats(-50, 50), st.floats(-50, 50), st.floats(-50, 50))
+@settings(max_examples=100, deadline=None)
+def test_line_traversal_connected(x0, y0, x1, y1):
+    """Traversed pixels form a connected path from start pixel toward the
+    endpoint pixel (8-connected steps)."""
+    px = _traverse_line(x0, y0, x1, y1)
+    assert px[0] == (int(np.floor(x0)), int(np.floor(y0)))
+    for (a, b), (c, d) in zip(px, px[1:]):
+        assert max(abs(a - c), abs(b - d)) == 1
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=100, deadline=None)
+def test_ccl_labels_partition_valid_pixels(seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 3, (16, 16)).astype(np.uint8)
+    labels, n = label_tile(arr, 0)
+    valid = arr != 0
+    assert ((labels >= 0) == valid).all()
+    if n:
+        # labels are compact 0..n-1
+        u = np.unique(labels[valid])
+        assert u.min() == 0 and u.max() == n - 1 and len(u) == n
+        # each component has a single value
+        for lbl in u:
+            assert len(np.unique(arr[labels == lbl])) == 1
