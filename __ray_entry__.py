@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "footprint": q.footprint_q,
         "nearblack": q.nearblack_q,
         "proximity": q.proximity_q,
+        "fill_nodata": q.fill_nodata_q,
+        "palette_median_cut": q.palette_q,
         "media_features": q.media_features_q,
         # rows-only (non-SQL-expressible)
         "langid": q.langid_q,

