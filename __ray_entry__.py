@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # raster<->vector + warp/pyramid (SURVEY §2.8/2.9; rows-only goldens)
         "rasterize_polygons": q.rasterize_polygons_q,
         "polygonize_blobs": q.polygonize_blobs_q,
+        "polygonize_rings": q.polygonize_rings_q,
         "tile_pyramid": q.tile_pyramid_q,
         "hillshade": q.hillshade_q,
         "footprint": q.footprint_q,

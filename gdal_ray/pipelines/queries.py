@@ -600,6 +600,30 @@ def polygonize_blobs_q(sf_dir: str):
     return poly.polygonize(rd.from_arrow(tiles_tbl), nodata=0.0, tile_size=64)
 
 
+def polygonize_rings_q(sf_dir: str):
+    """Polygonize with exact cross-tile ring assembly: (component, value,
+    n_pixels, ring area x100) over the blobs fixture."""
+    from ..functions import wkb as _w
+    from ..stages import polygonize as poly
+
+    tiles_tbl = synthetic.make_raster_tiles("blobs", 4, 4, size=64)
+    out = poly.polygonize_rings(rd.from_arrow(tiles_tbl), nodata=0.0, tile_size=64)
+
+    def fin(t: pa.Table) -> pa.Table:
+        areas = []
+        for w_ in t["wkb"].to_pylist():
+            areas.append(int(round(abs(_w.ring_area(_w.decode(w_).parts[0][0])) * 100)))
+        return pa.table(
+            {
+                "value": t["value"],
+                "n_pixels": t["n_pixels"],
+                "ring_area_x100": pa.array(areas, pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def tile_pyramid_q(sf_dir: str):
     """Warp a synthetic EPSG:4326 ramp to EPSG:3857 XYZ tiles (z4) and build
     overviews to z2; returns per-tile checksums."""

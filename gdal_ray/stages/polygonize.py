@@ -307,6 +307,169 @@ def polygonize(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size:
     )
 
 
+def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size: int = 64):
+    """Polygonize with exact ring geometry for EVERY component, including
+    cross-tile ones (SURVEY §7 known-hard item).
+
+    Same label/merge machinery as ``polygonize``; additionally each
+    (tile, label) ships its component sub-mask (bitpacked), and after the
+    driver union-find a ``groupby(component)`` assembles the member masks
+    into the component's bbox window and traces the outer shell ring there
+    (trace = pixel-edge square tracing, identical to the single-tile path, so
+    tiled == monolithic).  Partitioning assumption: one component's bbox
+    window fits a worker (holds unless a single polygon spans a large
+    fraction of the mosaic — those would use a coarser ring resolution).
+
+    Returns (component, value, n_pixels, wkb) — shell rings in global pixel
+    coordinates (holes reported via n_pixels vs ring area mismatch).
+    """
+    import ray
+
+    from ..functions import wkb as _wkb
+
+    def per_tile(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            tx = batch["x"][i].as_py()
+            ty = batch["y"][i].as_py()
+            wd = batch["width"][i].as_py()
+            ht = batch["height"][i].as_py()
+            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(ht, wd)
+            labels, n = label_tile(arr, nodata, connect8)
+            for lbl in range(n):
+                m = labels == lbl
+                gy, gx = np.nonzero(m)
+                rows.append(
+                    {
+                        "key": _ckey(tx, ty, lbl),
+                        "tx": tx, "ty": ty,
+                        "value": float(arr[m][0]),
+                        "n_pixels": int(m.sum()),
+                        "x0": int(gx.min()), "y0": int(gy.min()),
+                        "x1": int(gx.max()), "y1": int(gy.max()),
+                        "mask": np.packbits(
+                            m[gy.min() : gy.max() + 1, gx.min() : gx.max() + 1]
+                        ).tobytes(),
+                        "mw": int(gx.max() - gx.min() + 1),
+                        "mh": int(gy.max() - gy.min() + 1),
+                    }
+                )
+            # border runs (same as polygonize)
+            for side, vec in (("R", labels[:, -1]), ("B", labels[-1, :]),
+                              ("L", labels[:, 0]), ("T", labels[0, :])):
+                for c0, c1, lbl in _runs_of(vec):
+                    if side == "R":
+                        ek = _ekey(tx, ty, "V")
+                    elif side == "L":
+                        ek = _ekey(tx - 1, ty, "V")
+                    elif side == "B":
+                        ek = _ekey(tx, ty, "H")
+                    else:
+                        ek = _ekey(tx, ty - 1, "H")
+                    rows.append(
+                        {"key": _ckey(tx, ty, int(lbl)), "tx": -1, "ty": -1,
+                         "value": float(arr[(slice(None), -1) if side == "R" else (slice(None), 0) if side == "L" else (-1, slice(None)) if side == "B" else (0, slice(None))][c0]),
+                         "n_pixels": -1, "x0": int(ek), "y0": c0, "x1": c1, "y1": 0,
+                         "mask": b"", "mw": 0, "mh": 0}
+                    )
+        return pa.Table.from_pylist(rows) if rows else pa.Table.from_pylist(
+            [{"key": -1, "tx": -1, "ty": -1, "value": 0.0, "n_pixels": -2,
+              "x0": 0, "y0": 0, "x1": 0, "y1": 0, "mask": b"", "mw": 0, "mh": 0}]
+        )
+
+    tagged = tiles_ds.map_batches(per_tile, batch_format="pyarrow")
+
+    borders = tagged.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["n_pixels"], -1)), batch_format="pyarrow"
+    )
+    comps = tagged.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["n_pixels"], 0)), batch_format="pyarrow"
+    )
+
+    def edge_pairs(group: pa.Table) -> pa.Table:
+        # x0 holds the edge key, y0/x1 the run interval; value must match
+        keys = group["key"].to_numpy(zero_copy_only=False)
+        vals = group["value"].to_numpy(zero_copy_only=False)
+        p0 = group["y0"].to_numpy(zero_copy_only=False)
+        p1 = group["x1"].to_numpy(zero_copy_only=False)
+        ek = group["x0"][0].as_py()
+        etx = ek >> 24
+        ety = (ek >> 4) & 0xFFFFF
+        vertical = (ek & 0xF) == 1
+        oa, ob = [], []
+        if vertical:
+            # owner tile tx == etx (R side); neighbor tx == etx + 1 (L side)
+            own = [(keys[i] >> 40) == etx for i in range(len(keys))]
+        else:
+            # owner tile ty == ety (B side); neighbor ty == ety + 1 (T side)
+            own = [((keys[i] >> 20) & 0xFFFFF) == ety for i in range(len(keys))]
+        for i in range(len(keys)):
+            for j in range(len(keys)):
+                if own[i] and not own[j] and vals[i] == vals[j] and p0[i] < p1[j] and p1[i] > p0[j]:
+                    oa.append(int(keys[i]))
+                    ob.append(int(keys[j]))
+        return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64())})
+
+    pair_rows = borders.groupby("x0").map_groups(edge_pairs, batch_format="pyarrow").take_all()
+    parent: dict[int, int] = {}
+
+    def find(z):
+        r = z
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(z, z) != z:
+            parent[z], z = r, parent[z]
+        return r
+
+    for row in pair_rows:
+        a, b = find(row["a"]), find(row["b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    remap = {k: find(k) for k in list(parent)}
+    remap_ref = ray.put(remap)
+
+    def relabel(batch: pa.Table) -> pa.Table:
+        rm = ray.get(remap_ref)
+        keys = batch["key"].to_pylist()
+        return batch.append_column(
+            "component", pa.array([rm.get(k, k) for k in keys], pa.int64())
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        ts = tile_size
+        gx0 = min(group["x0"][i].as_py() + group["tx"][i].as_py() * ts for i in range(group.num_rows))
+        gy0 = min(group["y0"][i].as_py() + group["ty"][i].as_py() * ts for i in range(group.num_rows))
+        gx1 = max(group["x1"][i].as_py() + group["tx"][i].as_py() * ts for i in range(group.num_rows))
+        gy1 = max(group["y1"][i].as_py() + group["ty"][i].as_py() * ts for i in range(group.num_rows))
+        full = np.zeros((gy1 - gy0 + 1, gx1 - gx0 + 1), dtype=bool)
+        n_pix = 0
+        for i in range(group.num_rows):
+            mh = group["mh"][i].as_py()
+            mw = group["mw"][i].as_py()
+            m = np.unpackbits(
+                np.frombuffer(group["mask"][i].as_py(), dtype=np.uint8), count=mh * mw
+            ).reshape(mh, mw).astype(bool)
+            ox = group["x0"][i].as_py() + group["tx"][i].as_py() * ts - gx0
+            oy = group["y0"][i].as_py() + group["ty"][i].as_py() * ts - gy0
+            full[oy : oy + mh, ox : ox + mw] |= m
+            n_pix += group["n_pixels"][i].as_py()
+        ring = trace_boundary(full)
+        ring = ring + [gx0, gy0]
+        return pa.table(
+            {
+                "component": pa.array([group["component"][0].as_py()], pa.int64()),
+                "value": pa.array([group["value"][0].as_py()], pa.float64()),
+                "n_pixels": pa.array([n_pix], pa.int64()),
+                "wkb": pa.array([_wkb.encode_polygon([ring])], pa.binary()),
+            }
+        )
+
+    return comps.map_batches(relabel, batch_format="pyarrow").groupby("component").map_groups(
+        assemble, batch_format="pyarrow"
+    )
+
+
 def _ckey(tx: int, ty: int, lbl: int) -> int:
     return (tx << 40) | (ty << 20) | lbl
 

@@ -267,3 +267,36 @@ def test_pyramid_overview_reduction():
                 small = child.reshape(32, 2, 32, 2).mean(axis=(1, 3))
                 ox, oy = (cx % 2) * 32, (cy % 2) * 32
                 assert np.allclose(arr[oy : oy + 32, ox : ox + 32], small)
+
+
+def test_polygonize_rings_cross_tile():
+    """Rings for cross-tile components: tiled ring equals the monolithic
+    trace of the same component."""
+    size = 32
+    arr = np.zeros((64, 64), dtype=np.uint8)
+    gy, gx = np.mgrid[0:64, 0:64]
+    arr[(gx - 32) ** 2 + (gy - 32) ** 2 <= 150] = 5   # disc over 4 tiles
+    arr[5:9, 5:9] = 7                                  # small single-tile square
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            rows.append(
+                {"z": 0, "x": tx, "y": ty, "band": 1, "width": size, "height": size,
+                 "crs": "EPSG:3857", "nodata": 0.0, "dtype": "uint8",
+                 "data": np.ascontiguousarray(
+                     arr[ty * size : (ty + 1) * size, tx * size : (tx + 1) * size]).tobytes()}
+            )
+    tiles = pa.Table.from_pylist(rows)
+    out = poly_stage.polygonize_rings(rd.from_arrow(tiles), nodata=0.0, tile_size=size).take_all()
+    assert len(out) == 2
+    by_val = {r["value"]: r for r in out}
+    assert by_val[5.0]["n_pixels"] == int((arr == 5).sum())
+    assert by_val[7.0]["n_pixels"] == 16
+    # ring of the disc == monolithic trace on the full mosaic
+    mono = poly_stage.trace_boundary(arr == 5)
+    got_ring = wkb.decode(by_val[5.0]["wkb"]).parts[0][0]
+    assert abs(wkb.ring_area(got_ring)) == abs(wkb.ring_area(mono))
+    assert {tuple(p) for p in got_ring.tolist()} == {tuple(p) for p in mono.tolist()}
+    # square ring area matches pixel count (no holes)
+    sq_ring = wkb.decode(by_val[7.0]["wkb"]).parts[0][0]
+    assert abs(wkb.ring_area(sq_ring)) == 16.0
