@@ -191,7 +191,12 @@ def sieve(tiles_ds, threshold: int, nodata: float = 0.0, connect8: bool = False)
                     dil = np.zeros_like(m)
                     dil[:-1] |= m[1:]; dil[1:] |= m[:-1]
                     dil[:, :-1] |= m[:, 1:]; dil[:, 1:] |= m[:, :-1]
-                    ring = dil & ~m
+                    # merge into the dominant VALID neighbor only — nodata
+                    # neighbors must not absorb the component (GDAL sieve
+                    # merges into the largest real neighbor)
+                    ring = dil & ~m & (labels >= 0)
+                    if not ring.any():
+                        continue
                     vals, vc = np.unique(arr[ring], return_counts=True)
                     if len(vals):
                         arr[m] = vals[np.argmax(vc)]

@@ -96,12 +96,22 @@ class BroadcastKNN:
     def _topk_tree(self, px: np.ndarray, py: np.ndarray):
         k = min(self.k, self.cx.size)
         n = px.size
+        total = self.cx.size
         out_idx = np.empty((n, k), dtype=np.int64)
         out_d = np.empty((n, k))
         for i in range(n):
-            # over-fetch to resolve distance ties by key deterministically
-            idx, d2 = self.tree.nearest(px[i], py[i], k=k + 8)
-            order = np.lexsort((self.tkey[idx], d2))[:k]
+            # over-fetch to resolve distance ties by key deterministically;
+            # if the k-th selected distance equals the fetch horizon there may
+            # be unfetched equidistant targets with smaller keys — widen until
+            # the boundary is strictly inside the fetched set (matches the
+            # brute path's spill re-sort)
+            m = k + 8
+            while True:
+                idx, d2 = self.tree.nearest(px[i], py[i], k=min(m, total))
+                order = np.lexsort((self.tkey[idx], d2))[:k]
+                if len(idx) >= total or d2[order[k - 1]] < d2.max():
+                    break
+                m *= 4
             out_idx[i] = idx[order]
             out_d[i] = d2[order]
         return out_idx, out_d

@@ -13,10 +13,9 @@ Re-answers ``gdal_polygonize`` (reference: 2-line run-based CCL
           O(border runs), not O(pixels)) -> broadcast relabel
        -> groupby(global component): merged stats (value, pixel count, bbox)
 
-Ring geometry is emitted for components via boundary tracing of the component
-mask (single-tile components only in this version; multi-tile components
-report exact stats — the ring merge across tiles is the known-hard item,
-SURVEY §7).
+``polygonize`` returns exact per-component stats; ``polygonize_rings``
+additionally assembles exact shell rings for every component (including
+cross-tile ones) by shipping bitpacked sub-masks to a per-component group.
 """
 
 from __future__ import annotations
@@ -99,26 +98,54 @@ def trace_boundary(mask: np.ndarray) -> np.ndarray:
     array coords).  Square-tracing along pixel edges — vertices are integer
     pixel corners, matching GDAL polygonize output geometry style."""
     h, w = mask.shape
-    # collect boundary edges (cell-edge segments) then chain them
-    edges = {}  # start -> end (directed so interior is on the left)
+    # collect boundary edges (cell-edge segments) then chain them.  A vertex
+    # where the component pinches diagonally has TWO outgoing edges, so the
+    # adjacency holds lists and each edge is consumed once; at a junction the
+    # walk takes the sharpest turn toward the interior side, which keeps the
+    # trace on the outer face (and terminates — every edge is used at most
+    # once, so no infinite loop even on pathological masks).
+    edges: dict[tuple, list] = {}  # start -> [end, ...]
     ys, xs = np.nonzero(mask)
     for y, x in zip(ys, xs):
         if y == 0 or not mask[y - 1, x]:
-            edges[(x, y)] = (x + 1, y)  # top edge, rightward
+            edges.setdefault((x, y), []).append((x + 1, y))  # top edge, rightward
         if x + 1 >= w or not mask[y, x + 1]:
-            edges[(x + 1, y)] = (x + 1, y + 1)  # right edge, downward
+            edges.setdefault((x + 1, y), []).append((x + 1, y + 1))  # right, down
         if y + 1 >= h or not mask[y + 1, x]:
-            edges[(x + 1, y + 1)] = (x, y + 1)  # bottom, leftward
+            edges.setdefault((x + 1, y + 1), []).append((x, y + 1))  # bottom, left
         if x == 0 or not mask[y, x - 1]:
-            edges[(x, y + 1)] = (x, y)  # left, upward
+            edges.setdefault((x, y + 1), []).append((x, y))  # left, upward
     if not edges:
         return np.empty((0, 2))
     start = min(edges)
     ring = [start]
-    cur = edges[start]
+    prev = start
+    cands = edges[start]
+    cur = cands.pop()  # start is an extreme corner: exactly one outgoing edge
     while cur != start:
         ring.append(cur)
-        cur = edges[cur]
+        cands = edges.get(cur, [])
+        if not cands:
+            break  # defensive: malformed mask — emit what we have
+        if len(cands) == 1:
+            nxt = cands.pop(0)
+        else:
+            # pinch junction: take the OUTERMOST turn (min of (cross, dot) in
+            # this y-down frame) so the trace stays on the outer shell — the
+            # shell then encloses pinch holes (reported via area vs n_pixels
+            # mismatch) and covers corner-touching 8-conn members in one ring
+            din = (cur[0] - prev[0], cur[1] - prev[1])
+
+            def turn_rank(e):
+                dout = (e[0] - cur[0], e[1] - cur[1])
+                cross = din[0] * dout[1] - din[1] * dout[0]
+                dot = din[0] * dout[0] + din[1] * dout[1]
+                return (cross, dot)
+
+            nxt = min(cands, key=turn_rank)
+            cands.remove(nxt)
+        prev = cur
+        cur = nxt
     ring.append(start)
     # simplify collinear runs
     pts = np.array(ring, dtype=np.float64)
@@ -135,7 +162,9 @@ def polygonize(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size:
     """Distributed polygonize over a tile table (schema per FIXTURES F3).
 
     Returns a Dataset of components: (value: float64, n_pixels: int64,
-    minx/miny/maxx/maxy: int64 global pixel bounds, n_tiles: int64).
+    minx/miny/maxx/maxy: int64 global pixel bounds, n_fragments: int64 —
+    the member (tile, label) fragment count, an upper bound on distinct
+    tiles touched).
     """
 
     def per_tile(batch: pa.Table) -> pa.Table:
@@ -164,17 +193,24 @@ def polygonize(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size:
             vals = arr[m].astype(np.float64)
             gy, gx = np.nonzero(m)
             counts = np.bincount(flat, minlength=n)
-            first = np.full(n, -1, dtype=np.int64)
-            first[flat[::-1]] = np.arange(flat.size - 1, -1, -1)
+            # grouped per-label stats via one argsort + reduceat (linear)
+            order = np.argsort(flat, kind="stable")
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            lx = gx[order]
+            ly = gy[order]
+            minx_l = np.minimum.reduceat(lx, starts)
+            maxx_l = np.maximum.reduceat(lx, starts)
+            miny_l = np.minimum.reduceat(ly, starts)
+            maxy_l = np.maximum.reduceat(ly, starts)
+            first_val = vals[order][starts]
             for lbl in range(n):
-                sel = flat == lbl
                 comp_rows["key"].append(_ckey(tx, ty, lbl))
-                comp_rows["value"].append(float(vals[sel][0]))
+                comp_rows["value"].append(float(first_val[lbl]))
                 comp_rows["n_pixels"].append(int(counts[lbl]))
-                comp_rows["minx"].append(int(gx[sel].min()) + tx * tile_size)
-                comp_rows["miny"].append(int(gy[sel].min()) + ty * tile_size)
-                comp_rows["maxx"].append(int(gx[sel].max()) + tx * tile_size)
-                comp_rows["maxy"].append(int(gy[sel].max()) + ty * tile_size)
+                comp_rows["minx"].append(int(minx_l[lbl]) + tx * tile_size)
+                comp_rows["miny"].append(int(miny_l[lbl]) + ty * tile_size)
+                comp_rows["maxx"].append(int(maxx_l[lbl]) + tx * tile_size)
+                comp_rows["maxy"].append(int(maxy_l[lbl]) + ty * tile_size)
             # border runs: right edge pairs with tile (tx+1,ty); bottom with (tx,ty+1)
             for side, vec_lbl, vec_val in (
                 ("R", labels[:, -1], arr[:, -1]),
@@ -198,6 +234,25 @@ def polygonize(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size:
                     border_rows["value"].append(float(vec_val[c0]))
                     border_rows["key"].append(_ckey(tx, ty, int(lbl)))
                     border_rows["side"].append(side)
+            if connect8:
+                # 4-tile corner diagonal adjacency (not covered by any shared
+                # edge): each tile registers its corner pixels under the
+                # corner key of the junction, with its quadrant role
+                for role, (py_, px_), (ctx, cty) in (
+                    ("NW", (-1, -1), (tx, ty)),        # this tile is NW of corner
+                    ("NE", (-1, 0), (tx - 1, ty)),
+                    ("SW", (0, -1), (tx, ty - 1)),
+                    ("SE", (0, 0), (tx - 1, ty - 1)),
+                ):
+                    lbl = labels[py_, px_]
+                    if lbl < 0:
+                        continue
+                    border_rows["edge_key"].append(_ekey(ctx, cty, "C"))
+                    border_rows["pos0"].append(0)
+                    border_rows["pos1"].append(1)
+                    border_rows["value"].append(float(arr[py_, px_]))
+                    border_rows["key"].append(_ckey(tx, ty, int(lbl)))
+                    border_rows["side"].append(role)
         comp = pa.table(
             {
                 "kind": pa.array(["comp"] * len(comp_rows["key"])),
@@ -232,7 +287,11 @@ def polygonize(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size:
         )
         return pa.concat_tables([comp, bord])
 
-    tagged = tiles_ds.map_batches(per_tile, batch_format="pyarrow")
+    # materialize once: the border and component branches below both consume
+    # this lineage, and without pinning Ray re-executes the per-tile CCL for
+    # each consumer (the output is per-tile metadata, far smaller than the
+    # raster input, so pinning is bounded)
+    tagged = tiles_ds.map_batches(per_tile, batch_format="pyarrow").materialize()
 
     # equivalence pairs per shared edge (groupby shuffle keyed by edge)
     def edge_pairs(group: pa.Table) -> pa.Table:
@@ -244,13 +303,24 @@ def polygonize(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size:
         p1 = group["pos1"].to_numpy(zero_copy_only=False)
         vals = group["value"].to_numpy(zero_copy_only=False)
         keys = group["key"].to_numpy(zero_copy_only=False)
-        # one side is R/B (owner), the other L/T (neighbor)
+        out_a, out_b = [], []
+        if sides and sides[0] in ("NW", "NE", "SW", "SE"):
+            # corner group (connect8): diagonal quadrant pairs
+            for ra, rb in (("NW", "SE"), ("NE", "SW")):
+                for i in (j for j, s in enumerate(sides) if s == ra):
+                    for j in (jj for jj, s in enumerate(sides) if s == rb):
+                        if vals[i] == vals[j]:
+                            out_a.append(int(keys[i]))
+                            out_b.append(int(keys[j]))
+            return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+        # one side is R/B (owner), the other L/T (neighbor); connect8 widens
+        # the run-overlap window by one (diagonal adjacency across the edge)
+        slack = 1 if connect8 else 0
         a_idx = [i for i, s in enumerate(sides) if s in ("R", "B")]
         b_idx = [i for i, s in enumerate(sides) if s in ("L", "T")]
-        out_a, out_b = [], []
         for i in a_idx:
             for j in b_idx:
-                if vals[i] == vals[j] and p0[i] < p1[j] and p1[i] > p0[j]:
+                if vals[i] == vals[j] and p0[i] < p1[j] + slack and p1[i] > p0[j] - slack:
                     out_a.append(int(keys[i]))
                     out_b.append(int(keys[j]))
         return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
@@ -303,7 +373,10 @@ def polygonize(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size:
         Min("miny", alias_name="miny"),
         Max("maxx", alias_name="maxx"),
         Max("maxy", alias_name="maxy"),
-        Count(alias_name="n_tiles"),
+        # fragment count = member (tile, label) rows; a tile can contribute
+        # several local labels to one merged component, so this is an upper
+        # bound on the distinct-tile count, not the tile count itself
+        Count(alias_name="n_fragments"),
     )
 
 
@@ -326,6 +399,12 @@ def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile
     import ray
 
     from ..functions import wkb as _wkb
+
+    if connect8:
+        raise NotImplementedError(
+            "polygonize_rings supports 4-connectivity; use polygonize() for "
+            "8-connected component stats"
+        )
 
     def per_tile(batch: pa.Table) -> pa.Table:
         rows = []
@@ -378,7 +457,7 @@ def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile
               "x0": 0, "y0": 0, "x1": 0, "y1": 0, "mask": b"", "mw": 0, "mh": 0}]
         )
 
-    tagged = tiles_ds.map_batches(per_tile, batch_format="pyarrow")
+    tagged = tiles_ds.map_batches(per_tile, batch_format="pyarrow").materialize()
 
     borders = tagged.map_batches(
         lambda t: t.filter(pa.compute.equal(t["n_pixels"], -1)), batch_format="pyarrow"
@@ -394,8 +473,8 @@ def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile
         p0 = group["y0"].to_numpy(zero_copy_only=False)
         p1 = group["x1"].to_numpy(zero_copy_only=False)
         ek = group["x0"][0].as_py()
-        etx = ek >> 24
-        ety = (ek >> 4) & 0xFFFFF
+        etx = (ek >> 24) - 1
+        ety = ((ek >> 4) & 0xFFFFF) - 1
         vertical = (ek & 0xF) == 1
         oa, ob = [], []
         if vertical:
@@ -475,7 +554,9 @@ def _ckey(tx: int, ty: int, lbl: int) -> int:
 
 
 def _ekey(tx: int, ty: int, orient: str) -> int:
-    return (tx << 24) | (ty << 4) | (1 if orient == "V" else 2)
+    code = {"V": 1, "H": 2, "C": 3}[orient]
+    # offset tile indices so edge keys of border tiles (tx or ty == -1) stay unique
+    return ((tx + 1) << 24) | ((ty + 1) << 4) | code
 
 
 def _runs_of(vec: np.ndarray):

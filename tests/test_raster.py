@@ -180,7 +180,7 @@ def test_polygonize_cross_border_component_merged():
     out = poly_stage.polygonize(rd.from_arrow(tiles), nodata=0.0, tile_size=size).to_pandas()
     assert len(out) == 1
     assert int(out["n_pixels"][0]) == int((arr == 9).sum())
-    assert int(out["n_tiles"][0]) == 4
+    assert int(out["n_fragments"][0]) == 4
 
 
 def test_label_tile_vs_oracle_random():

@@ -1,0 +1,107 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from gdal_ray.functions import wkb
+from gdal_ray.sources import synthetic
+from gdal_ray.stages import contour as contour_stage
+from gdal_ray.stages import polygonize as poly_stage
+from gdal_ray.stages.join import _ZoneIndex
+from tests.test_raster import _brute_ccl
+
+
+def test_trace_boundary_diagonal_pinch_terminates():
+    """Diagonal pinch used to hang forever (edges dict overwrote one of two
+    outgoing edges at the pinch vertex)."""
+    m = np.zeros((4, 5), dtype=bool)
+    for (y, x) in [(1, 1), (0, 1), (0, 2), (0, 3), (1, 3), (2, 3), (2, 2)]:
+        m[y, x] = True
+    ring = poly_stage.trace_boundary(m)
+    # shell encloses the 1-pixel pinch hole: area 8 for 7 pixels
+    assert abs(wkb.ring_area(ring)) == 8.0
+    # corner-touching squares (8-conn component) -> one shell over both
+    m2 = np.zeros((6, 6), dtype=bool)
+    m2[0:2, 0:2] = True
+    m2[2:4, 2:4] = True
+    assert abs(wkb.ring_area(poly_stage.trace_boundary(m2))) == 8.0
+
+
+def test_sieve_never_merges_into_nodata():
+    size = 16
+    arr = np.zeros((size, size), dtype=np.uint8)  # nodata=0 background
+    arr[5:8, 5:8] = 5
+    arr[6, 8] = 7  # small value-7 speck: neighbors are mostly nodata + one 5
+    t = pa.Table.from_pylist([{
+        "z": 0, "x": 0, "y": 0, "band": 1, "width": size, "height": size,
+        "crs": "EPSG:3857", "nodata": 0.0, "dtype": "uint8", "data": arr.tobytes(),
+    }])
+    out = contour_stage.sieve(rd.from_arrow(t), threshold=2, nodata=0.0).take_all()
+    got = np.frombuffer(out[0]["data"], dtype=np.uint8).reshape(size, size)
+    assert got[6, 8] == 5  # merged into the valid neighbor, NOT nodata
+
+
+def test_polygonize_connect8_cross_tile_diagonal():
+    """8-conn components joined only diagonally across a tile border (and
+    across the 4-tile corner) must merge."""
+    size = 8
+    arr = np.zeros((16, 16), dtype=np.uint8)
+    arr[7, 7] = 3            # NW tile bottom-right
+    arr[8, 8] = 3            # SE tile top-left (4-corner diagonal)
+    arr[3, 7] = 9            # NW tile right edge row 3
+    arr[4, 8] = 9            # NE tile left edge row 4 (diagonal across V edge)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            rows.append({
+                "z": 0, "x": tx, "y": ty, "band": 1, "width": size, "height": size,
+                "crs": "EPSG:3857", "nodata": 0.0, "dtype": "uint8",
+                "data": np.ascontiguousarray(
+                    arr[ty * size : (ty + 1) * size, tx * size : (tx + 1) * size]).tobytes()})
+    tiles = pa.Table.from_pylist(rows)
+    out = poly_stage.polygonize(rd.from_arrow(tiles), nodata=0.0, connect8=True,
+                                tile_size=size).to_pandas()
+    expect = _brute_ccl(arr, connect8=True)
+    assert len(out) == len(expect) == 2
+    assert sorted(zip(out["value"], out["n_pixels"])) == sorted(
+        (v, n) for v, n in expect
+    )
+    # 4-connectivity still splits them
+    out4 = poly_stage.polygonize(rd.from_arrow(tiles), nodata=0.0, connect8=False,
+                                 tile_size=size).to_pandas()
+    assert len(out4) == 4
+
+
+def test_zone_index_empty_probe():
+    zones = synthetic.make_rect_zones(np.arange(1, 50))
+    zi = _ZoneIndex(zones)
+    r, z = zi.probe_points(np.array([]), np.array([]), "intersects")
+    assert r.size == 0 and z.size == 0
+
+
+def test_knn_tree_tie_break_mass_ties():
+    """More than k+8 equidistant targets: tree path must still pick the
+    lowest keys (was diverging from the brute path)."""
+    import ray.data as rd
+
+    from gdal_ray.stages import knn as knn_stage
+
+    n = 24
+    targets = pa.table(
+        {
+            "zone_id": pa.array([f"z{i}" for i in range(n)]),
+            # keys DESCENDING vs index so index-order != key-order
+            "zone_key": pa.array(np.arange(n, dtype=np.int64)[::-1].copy()),
+            "cx": pa.array(np.full(n, 5.0)),
+            "cy": pa.array(np.full(n, 5.0)),
+        }
+    )
+    pts = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "lon": pa.array([0.0]), "lat": pa.array([0.0])})
+    ds = rd.from_arrow(pts)
+    for tree in (False, True):
+        rows = knn_stage.knn_join(ds, targets, k=3, tree=tree, concurrency=1).take_all()
+        got = sorted((r["rank"], r["zone_id"]) for r in rows)
+        # lowest keys 0,1,2 belong to zone_ids z23, z22, z21
+        assert got == [(1, "z23"), (2, "z22"), (3, "z21")], (tree, got)
