@@ -696,7 +696,7 @@ def proximity_q(sf_dir: str):
     from ..stages import proximity as prox
 
     tiles_tbl = synthetic.make_raster_tiles("blobs", 3, 3, size=64)
-    out = prox.proximity(rd.from_arrow(tiles_tbl), nodata=0.0, tile_size=64)
+    out = prox.proximity(rd.from_arrow(tiles_tbl), nodata=0.0)
 
     def sums(t: pa.Table) -> pa.Table:
         xs, ys, cs = [], [], []

@@ -97,7 +97,7 @@ def contour(tiles_ds, levels, nx: int, ny: int, tile_size: int = 64):
     """Distributed contour: per-tile marching squares (halo-exact at borders)
     -> groupby(level) polyline chaining.  Returns (level, n_polylines,
     n_segments, total_len_x1e6: int64)."""
-    grouped = _halo_exchange(tiles_ds, tile_size)
+    grouped = _halo_exchange(tiles_ds)
 
     def per_tile(group: pa.Table) -> pa.Table:
         pad, xy, wh = _assemble_padded(group)

@@ -58,19 +58,26 @@ def tumbling_window(ds, window_s: int = 3600, ts_col: str = "ts", key_col: str =
 
 
 def sliding_window(ds, window_s: int, step_s: int, ts_col: str = "ts", key_col: str = "event_type"):
-    """Sliding windows: each event lands in window_s/step_s windows
-    (flat_map to window ids -> pre-aggregated groupby)."""
-    n_windows = window_s // step_s
+    """Sliding windows: an event at second ``sec`` belongs to every window id
+    w with w*step <= sec < w*step + window (flat_map to window ids ->
+    pre-aggregated groupby).  Handles window_s not divisible by step_s: the
+    per-event window count then varies by alignment."""
+    max_windows = -(-window_s // step_s)  # ceil
 
     def tag(batch: pa.Table) -> pa.Table:
         sec = _epoch_us(batch[ts_col]) // 1_000_000
         base = sec // step_s
-        wids = [base - j for j in range(n_windows)]
-        keys = batch[key_col].to_pylist() * n_windows
+        keys_all, wids_all = [], []
+        key_list = batch[key_col].to_pylist()
+        for j in range(max_windows):
+            wid = base - j
+            keep = wid * step_s + window_s > sec  # window still covers sec
+            wids_all.append(wid[keep])
+            keys_all.extend(k for k, m in zip(key_list, keep) if m)
         return pa.table(
             {
-                key_col: pa.array(keys),
-                "window_id": pa.array(np.concatenate(wids)),
+                key_col: pa.array(keys_all),
+                "window_id": pa.array(np.concatenate(wids_all)),
             }
         )
 
@@ -140,6 +147,9 @@ def asof_join(
                 right_by=right_key,
                 direction="backward",
             )
-            return out.drop(columns=[right_ts])
+            # merge_asof keeps BOTH by-columns; drop the right-side key (it
+            # duplicates left_key) along with the right timestamp
+            drop = [right_ts] + ([right_key] if right_key != left_key else [])
+            return out.drop(columns=drop)
 
     return events_ds.map_batches(AsofJoiner, batch_format="pandas", concurrency=2)

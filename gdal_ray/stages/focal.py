@@ -20,11 +20,17 @@ import pyarrow as pa
 from ..functions import checksum as cks
 
 
+_DTYPES = {"uint8": np.uint8, "float32": np.float32, "float64": np.float64,
+           "int16": np.int16, "int32": np.int32}
+
+
 def _dtype_of(s: str):
-    return np.float32 if s == "float32" else np.uint8
+    if s not in _DTYPES:
+        raise ValueError(f"unsupported tile dtype {s!r}; known: {sorted(_DTYPES)}")
+    return _DTYPES[s]
 
 
-def _halo_exchange(tiles_ds, tile_size: int):
+def _halo_exchange(tiles_ds):
     """tiles -> (dest_tile_key, part) rows: the tile body plus the 8 border
     strips each neighbor needs.  Returns the grouped dataset keyed by dest."""
 
@@ -162,11 +168,10 @@ def focal(
     z_factor: float = 1.0,
     azimuth: float = 315.0,
     altitude: float = 45.0,
-    tile_size: int = 64,
 ):
     """Distributed gdaldem-style focal op.  Returns tile rows (x, y, data
     float64 bytes, checksum)."""
-    grouped = _halo_exchange(tiles_ds, tile_size)
+    grouped = _halo_exchange(tiles_ds)
 
     def run(group: pa.Table) -> pa.Table:
         pad, xy, wh = _assemble_padded(group)

@@ -131,11 +131,16 @@ def polygon_join(
         # envelope reject (ogrlayer.cpp:5466-5485)
         cand = np.nonzero(pip.bbox_intersects(lbox, rbox))
         out_l, out_r = [], []
+        # lazy decode, once per geometry (setdefault would decode per PAIR)
         geom_cache_l: dict[int, wkb.Geom] = {}
         geom_cache_r: dict[int, wkb.Geom] = {}
         for li, ri in zip(*cand):
-            gl = geom_cache_l.setdefault(li, wkb.decode(lwkb[li]))
-            gr = geom_cache_r.setdefault(ri, wkb.decode(rwkb[ri]))
+            if li not in geom_cache_l:
+                geom_cache_l[li] = wkb.decode(lwkb[li])
+            if ri not in geom_cache_r:
+                geom_cache_r[ri] = wkb.decode(rwkb[ri])
+            gl = geom_cache_l[li]
+            gr = geom_cache_r[ri]
             if pip.polygons_intersect(gl, gr):
                 out_l.append(int(lids[li]))
                 out_r.append(int(rids[ri]))
@@ -194,9 +199,9 @@ def dissolve_collect(ds, key_col: str, id_col: str = "fid"):
         key = group[key_col][0].as_py()
         polys = []
         area = 0.0
-        boxes = wkb.bboxes(group["wkb"].to_pylist())
-        for w in group["wkb"].to_pylist():
-            g = wkb.decode(w)
+        geoms = [wkb.decode(w) for w in group["wkb"].to_pylist()]  # decode once
+        boxes = np.array([g.bbox() for g in geoms])
+        for g in geoms:
             area += wkb.geom_area(g)
             polys.extend(g.shells_and_holes())
         return pa.table(

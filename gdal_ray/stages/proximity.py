@@ -77,8 +77,7 @@ def _envelope_pass_row(f: np.ndarray) -> np.ndarray:
     return d
 
 
-def proximity(tiles_ds, target_value: float | None = None, nodata: float = 0.0,
-              tile_size: int = 64):
+def proximity(tiles_ds, target_value: float | None = None, nodata: float = 0.0):
     """Distance (pixels) to the nearest target pixel.  Targets are pixels
     == target_value (or != nodata when target_value is None)."""
 

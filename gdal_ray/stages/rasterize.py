@@ -61,9 +61,8 @@ def _scanline_fill(mask: np.ndarray, rings: list[np.ndarray], px_off: float, py_
             if ey0 == ey1:
                 continue
             lo, hi = (ey0, ey1) if ey0 < ey1 else (ey1, ey0)
-            rows = np.nonzero((yc > lo) & (yc <= hi))[0] if ey1 > ey0 else np.nonzero(
-                (yc > lo) & (yc <= hi)
-            )[0]
+            # half-open (lo, hi] crossing rule, direction-independent
+            rows = np.nonzero((yc > lo) & (yc <= hi))[0]
             if rows.size == 0:
                 continue
             xs = x0[e] + (yc[rows] - ey0) * (x1[e] - x0[e]) / (ey1 - ey0)
@@ -161,8 +160,9 @@ def _burn_features_into_tile(
                         for i in range(len(rr) - 1):
                             _supercover_line(scratch, rr[i], rr[i + 1])
         elif geom.kind in (_wkb.LINESTRING, _wkb.MULTILINESTRING):
-            parts = geom.parts if geom.kind == _wkb.MULTILINESTRING else geom.parts
-            for pts in parts:
+            # Geom stores LINESTRING as [pts] and MULTILINESTRING as
+            # [pts, pts, ...] — both iterate as a list of parts
+            for pts in geom.parts:
                 pp = np.asarray(pts) - [ox, oy]
                 for i in range(len(pp) - 1):
                     _supercover_line(scratch, pp[i], pp[i + 1])
@@ -203,8 +203,7 @@ def rasterize(
         ):
             g = _wkb.decode(geom_wkb)
             v = g.vertices()
-            px = (v[:, 0] - gt[0]) / gt[1]
-            py = (v[:, 1] - gt[3]) / gt[5]
+            px, py = grid.world_to_pixel(v[:, 0], v[:, 1])
             tx0 = max(0, int(np.floor(px.min() / tile)))
             tx1 = min(grid.ntx - 1, int(np.floor(px.max() / tile)))
             ty0 = max(0, int(np.floor(py.min() / tile)))
@@ -260,7 +259,8 @@ def rasterize(
 
 
 def _geom_to_pixel(g: "_wkb.Geom", gt) -> "_wkb.Geom":
-    """Transform a geometry's coordinates world -> pixel space."""
+    """Transform a geometry's coordinates world -> pixel space
+    (same math as GridSpec.world_to_pixel, applied per vertex array)."""
 
     def tx(arr):
         out = np.empty_like(arr)

@@ -125,6 +125,11 @@ def hash_join_broadcast(ds, small: pa.Table, key: str, small_key: str, emit: lis
             self.table = t
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(self.sorted_keys) == 0:  # empty build side -> no matches
+                out = batch.slice(0, 0)
+                for c in emit:
+                    out = out.append_column(c, self.table[c].slice(0, 0))
+                return out
             probe = batch[key].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(self.sorted_keys, probe)
             pos = np.clip(pos, 0, len(self.sorted_keys) - 1)

@@ -24,7 +24,7 @@ def test_proximity_exact_vs_brute():
     pts = rng.integers(0, [48, 32], (12, 2))
     arr[pts[:, 0], pts[:, 1]] = 7
     tiles = _tiles_from_mosaic(arr, size)
-    out = proximity.proximity(rd.from_arrow(tiles), target_value=7.0, tile_size=size).take_all()
+    out = proximity.proximity(rd.from_arrow(tiles), target_value=7.0).take_all()
     got = np.full((48, 32), np.nan)
     for r in out:
         a = np.frombuffer(r["data"], np.float64).reshape(size, size)
@@ -38,7 +38,7 @@ def test_proximity_empty_columns_and_no_targets():
     arr = np.zeros((16, 16), dtype=np.uint8)
     arr[3, 3] = 1  # single target; most columns empty
     tiles = _tiles_from_mosaic(arr, size)
-    out = proximity.proximity(rd.from_arrow(tiles), target_value=1.0, tile_size=size).take_all()
+    out = proximity.proximity(rd.from_arrow(tiles), target_value=1.0).take_all()
     got = np.full((16, 16), np.nan)
     for r in out:
         a = np.frombuffer(r["data"], np.float64).reshape(size, size)
@@ -49,7 +49,7 @@ def test_proximity_empty_columns_and_no_targets():
     # no targets at all -> NaN everywhere
     arr0 = np.zeros((16, 16), dtype=np.uint8)
     out0 = proximity.proximity(
-        rd.from_arrow(_tiles_from_mosaic(arr0, size)), target_value=1.0, tile_size=size
+        rd.from_arrow(_tiles_from_mosaic(arr0, size)), target_value=1.0
     ).take_all()
     a0 = np.frombuffer(out0[0]["data"], np.float64)
     assert np.isnan(a0).all()

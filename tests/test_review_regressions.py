@@ -105,3 +105,56 @@ def test_knn_tree_tie_break_mass_ties():
         got = sorted((r["rank"], r["zone_id"]) for r in rows)
         # lowest keys 0,1,2 belong to zone_ids z23, z22, z21
         assert got == [(1, "z23"), (2, "z22"), (3, "z21")], (tree, got)
+
+
+def test_sliding_window_non_divisible_step():
+    """window=5s step=2s: event at sec=4 belongs to windows {0,1,2}."""
+    import pandas as pd
+
+    from gdal_ray.stages import events as ev
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["a"]),
+            "ts": pa.array(pd.to_datetime(["1970-01-01 00:00:04"])),
+        }
+    )
+    rows = ev.sliding_window(rd.from_arrow(t), window_s=5, step_s=2).to_pandas()
+    assert sorted(rows["window_id"]) == [0, 1, 2]
+    assert (rows["n_events"] == 1).all()
+
+
+def test_hash_join_empty_build_side():
+    from gdal_ray.stages import relational
+
+    small = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.string())})
+    probe = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    out = relational.hash_join_broadcast(
+        rd.from_arrow(probe), small, key="k", small_key="k", emit=["v"]
+    ).take_all()
+    assert out == []
+
+
+def test_asof_join_no_duplicate_by_column():
+    import pandas as pd
+
+    from gdal_ray.stages import events as ev
+
+    ev_t = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([7], pa.int64()),
+            "ts": pa.array(pd.to_datetime(["2024-01-02"])),
+        }
+    )
+    right = pa.table(
+        {
+            "o_custkey": pa.array([7], pa.int64()),
+            "o_orderdate": pa.array(pd.to_datetime(["2024-01-01"])),
+            "o_orderkey": pa.array([99], pa.int64()),
+        }
+    )
+    rows = ev.asof_join(rd.from_arrow(ev_t), right).take_all()
+    assert len(rows) == 1
+    assert "o_custkey" not in rows[0]
+    assert rows[0]["o_orderkey"] == 99
