@@ -58,20 +58,21 @@ def minhash_lsh_candidates(
     rows_per_band = num_perm // bands
 
     def to_bands(batch: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
         ids, band_ids, band_hashes, sigs = [], [], [], []
         for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             sig = textops.minhash_signature(textops._shingle_hashes(text, shingle_k), num_perm)
             for b in range(bands):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = np.int64(
-                    int.from_bytes(
-                        np.ascontiguousarray(chunk).tobytes()[:8], "little", signed=False
-                    )
-                    ^ hash((b,)) & 0x7FFFFFFFFFFFFFFF
-                )
+                # hash the ENTIRE band chunk: a bucket match then requires all
+                # rows_per_band minhashes to agree (candidate prob jaccard^r,
+                # the actual LSH banding guarantee)
+                digest = _hl.md5(np.ascontiguousarray(chunk).tobytes()).digest()
+                h = int.from_bytes(digest[:8], "little", signed=True)
                 ids.append(did)
                 band_ids.append(b)
-                band_hashes.append(int(h))
+                band_hashes.append(h)
                 sigs.append(sig.astype(np.int64).tobytes())
         return pa.table(
             {
@@ -142,8 +143,15 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id", shing
 
 
 def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", shingle_k=3, min_x1000=300):
-    """Exact n-gram Jaccard for LSH candidates: candidates from a single-band
-    coarse LSH, verified with true shingle-set Jaccard."""
+    """Exact n-gram Jaccard: LSH candidates -> TRUE shingle-set Jaccard
+    verification per pair, thresholded on the exact value.
+
+    The verification side-table (id -> text) is broadcast via ``ray.put`` —
+    fine while the candidate-bearing corpus slice fits the object store; the
+    scale path re-joins candidate ids to texts with a keyed shuffle instead.
+    """
+    import ray
+
     cands = minhash_lsh_candidates(
         ds, text_col=text_col, id_col=id_col, num_perm=32, bands=8, shingle_k=shingle_k
     )
@@ -152,7 +160,31 @@ def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", shingle_k=3, min_x
     uniq = cands.groupby(["id_a", "id_b"]).aggregate(
         Max("est_jaccard_x1000", alias_name="est_jaccard_x1000")
     )
-    return uniq.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t["est_jaccard_x1000"], min_x1000)),
-        batch_format="pyarrow",
-    )
+    texts = {}
+    for row in ds.map_batches(
+        lambda t: pa.table({id_col: t[id_col], text_col: t[text_col]}), batch_format="pyarrow"
+    ).take_all():
+        texts[row[id_col]] = row[text_col]
+    texts_ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+            self.shingles: dict = {}
+
+        def _sh(self, did):
+            if did not in self.shingles:
+                self.shingles[did] = textops._shingle_hashes(self.texts.get(did, ""), shingle_k)
+            return self.shingles[did]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ja = [
+                int(round(textops.jaccard(self._sh(a), self._sh(b)) * 1000))
+                for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
+            ]
+            out = batch.drop_columns(["est_jaccard_x1000"]).append_column(
+                "jaccard_x1000", pa.array(ja, pa.int64())
+            )
+            return out.filter(pa.compute.greater_equal(out["jaccard_x1000"], min_x1000))
+
+    return uniq.map_batches(Verify, batch_format="pyarrow", concurrency=2)

@@ -111,8 +111,14 @@ class TileWarper:
                 "z": batch["z"],
                 "x": batch["x"],
                 "y": batch["y"],
+                # full tile contract (FIXTURES F3) so warp output chains into
+                # the rastermap/focal operators directly
+                "band": pa.array([1] * n, pa.int8()),
                 "width": pa.array([t] * n, pa.int32()),
                 "height": pa.array([t] * n, pa.int32()),
+                "crs": pa.array(["EPSG:3857"] * n),
+                "nodata": pa.array([self.src.nodata] * n, pa.float64()),
+                "dtype": pa.array(["float64"] * n),
                 "data": pa.array(datas, pa.binary()),
                 "checksum": pa.array(sums, pa.int64()),
                 "blank": pa.array(blanks, pa.bool_()),
@@ -183,7 +189,9 @@ def build_overview(tiles_ds, tile_px: int = 256):  # tile_px kept for API; size 
         px_ = int(group["parent"][0].as_py() >> 32)
         py_ = int(group["parent"][0].as_py() & 0xFFFFFFFF)
         t = int(group["width"][0].as_py())
-        out = np.zeros((t, t), dtype=np.float64)
+        nodata = float(group["nodata"][0].as_py()) if "nodata" in group.column_names else 0.0
+        # quadrants with no child tile hold NODATA, not fabricated zeros
+        out = np.full((t, t), nodata, dtype=np.float64)
         for i in range(group.num_rows):
             cx = group["x"][i].as_py()
             cy = group["y"][i].as_py()
@@ -198,15 +206,20 @@ def build_overview(tiles_ds, tile_px: int = 256):  # tile_px kept for API; size 
                 "z": pa.array([z], pa.int16()),
                 "x": pa.array([px_], pa.int32()),
                 "y": pa.array([py_], pa.int32()),
+                "band": pa.array([1], pa.int8()),
                 "width": pa.array([t], pa.int32()),
                 "height": pa.array([t], pa.int32()),
+                "crs": pa.array(["EPSG:3857"]),
+                "nodata": pa.array([nodata], pa.float64()),
+                "dtype": pa.array(["float64"]),
                 "data": pa.array([out.tobytes()], pa.binary()),
                 "checksum": pa.array([cks.tile_checksum(out)], pa.int64()),
-                "blank": pa.array([False]),
+                "blank": pa.array([bool(np.all(out == nodata))]),
             }
         )
 
-    return tagged.groupby("parent").map_groups(reduce_parent, batch_format="pyarrow")
+    # group by (child z, parent) so mixed-zoom datasets never merge levels
+    return tagged.groupby(["z", "parent"]).map_groups(reduce_parent, batch_format="pyarrow")
 
 
 def tile_pyramid(src: SourceRaster, z_max: int, z_min: int, bbox, **kwargs):

@@ -22,7 +22,9 @@ from ..functions import checksum as cks
 
 
 def _arr_of(batch: pa.Table, i: int) -> np.ndarray:
-    dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+    from .focal import _dtype_of  # shared strict dtype map (raises on unknown)
+
+    dt = _dtype_of(batch["dtype"][i].as_py())
     h = batch["height"][i].as_py()
     w = batch["width"][i].as_py()
     return np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w)
@@ -134,6 +136,8 @@ def band_stats(tiles_ds, sample_fraction: float = 1.0, seed: int = 42) -> dict:
 
     parts = tiles_ds.map_batches(partial, batch_format="pyarrow").take_all()
     n = sum(r["n"] for r in parts)
+    if n == 0:  # empty dataset or subsample selected nothing
+        return {"count": 0, "min": None, "max": None, "mean": None, "std": None}
     s = sum(r["s"] for r in parts)
     ss = sum(r["ss"] for r in parts)
     mean = s / n
@@ -184,7 +188,6 @@ def mosaic(layers: list, nodata: float = 0.0):
 
     def compose(group: pa.Table) -> pa.Table:
         order = np.argsort(group["layer"].to_numpy(zero_copy_only=False), kind="stable")
-        base = None
         i0 = int(order[0])
         base = _arr_of(group, i0).astype(np.float64)
         for j in order[1:]:
@@ -195,12 +198,6 @@ def mosaic(layers: list, nodata: float = 0.0):
         out["checksum"] = cks.tile_checksum(base)
         return pa.Table.from_pylist([out])
 
-    def keyed(batch: pa.Table) -> pa.Table:
-        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column("tile_key", pa.array(z << 48 | x << 24 | y))
-
-    return allds.map_batches(keyed, batch_format="pyarrow").groupby("tile_key").map_groups(
-        compose, batch_format="pyarrow"
-    )
+    # shuffle key = full tile address incl. band (multi-band layers compose
+    # per band; no bit-packing so large z/x/y never collide)
+    return allds.groupby(["z", "band", "x", "y"]).map_groups(compose, batch_format="pyarrow")

@@ -117,10 +117,13 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 def _minhash_params(num_perm: int):
     global _MINHASH_A, _MINHASH_B
     if _MINHASH_A is None or len(_MINHASH_A) < num_perm:
-        rng = np.random.default_rng(1234567)
-        # a, b < 2^31 so a*x32 + b fits in uint64 with 32-bit shingle halves
-        _MINHASH_A = rng.integers(1, 1 << 31, 256, dtype=np.uint64)
-        _MINHASH_B = rng.integers(0, 1 << 31, 256, dtype=np.uint64)
+        # a, b < 2^31 so a*x32 + b fits in uint64 with 32-bit shingle halves;
+        # independent seeded streams per array so the first k params are
+        # identical for ANY generated size >= k (signatures stay stable when
+        # a later call raises num_perm past a previous cap)
+        size = max(256, num_perm)
+        _MINHASH_A = np.random.default_rng(1234567).integers(1, 1 << 31, size, dtype=np.uint64)
+        _MINHASH_B = np.random.default_rng(7654321).integers(0, 1 << 31, size, dtype=np.uint64)
     return _MINHASH_A[:num_perm], _MINHASH_B[:num_perm]
 
 
@@ -146,7 +149,8 @@ def simhash64(shingles: np.ndarray) -> np.int64:
     val = np.uint64(0)
     for j in np.nonzero(votes > 0)[0]:
         val |= np.uint64(1) << np.uint64(j)
-    return np.int64(val - np.uint64(1 << 63)) if val >> np.uint64(63) else np.int64(val)
+    # injective uint64 -> int64: two's-complement reinterpretation
+    return val.astype(np.int64)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -158,3 +158,80 @@ def test_asof_join_no_duplicate_by_column():
     assert len(rows) == 1
     assert "o_custkey" not in rows[0]
     assert rows[0]["o_orderkey"] == 99
+
+
+def test_simhash_injective_high_bit():
+    from gdal_ray.stages import textops
+
+    # shingle sets engineered so votes set bit 63: single shingle with top bit
+    s_hi = np.array([1 << 63], dtype=np.uint64)
+    s_lo = np.array([1], dtype=np.uint64)
+    h_hi = textops.simhash64(s_hi)
+    h_lo = textops.simhash64(s_lo)
+    assert h_hi != h_lo
+    assert h_hi < 0  # two's-complement wrap, not bit-63 truncation
+
+
+def test_minhash_num_perm_above_cap():
+    from gdal_ray.stages import textops
+
+    sh = textops._shingle_hashes("the quick brown fox jumps over the lazy dog", 3)
+    sig64 = textops.minhash_signature(sh, 64)
+    sig300 = textops.minhash_signature(sh, 300)
+    assert len(sig300) == 300
+    assert (sig300[:64] == sig64).all()  # prefix stability across cap growth
+
+
+def test_lsh_band_hash_uses_full_band():
+    """Band buckets must require the WHOLE band to match (jaccard^r), so two
+    texts sharing only a few shingles produce mostly-different band hashes."""
+    from gdal_ray.stages import dedup
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                 "alpha beta gamma NOPE different words entirely here kappa xi"]
+            ),
+        }
+    )
+    cands = dedup.minhash_lsh_candidates(
+        rd.from_arrow(docs), num_perm=64, bands=16, shingle_k=2
+    ).take_all()
+    # weakly-similar texts should produce few/no full-band collisions
+    assert len(cands) <= 2
+
+
+def test_mosaic_multiband_separate():
+    from gdal_ray.stages import rastermap
+
+    size = 8
+    rows = []
+    for band in (1, 2):
+        arr = np.full((size, size), band * 10, dtype=np.uint8)
+        rows.append({"z": 0, "x": 0, "y": 0, "band": band, "width": size, "height": size,
+                     "crs": "EPSG:3857", "nodata": 0.0, "dtype": "uint8",
+                     "data": arr.tobytes()})
+    layer = pa.Table.from_pylist(rows)
+    out = rastermap.mosaic([rd.from_arrow(layer)], nodata=0.0).take_all()
+    assert len(out) == 2  # one composed tile PER band
+    vals = sorted(np.frombuffer(r["data"], np.float32)[0] for r in out)
+    assert vals == [10.0, 20.0]
+
+
+def test_build_overview_missing_quadrant_nodata():
+    from gdal_ray.stages import pyramid as pyr
+
+    n = 128
+    gy, gx = np.mgrid[0:n, 0:n]
+    src = pyr.SourceRaster((gx + gy).astype(np.float64) + 1.0,
+                           (-30.0, 60.0 / n, 0.0, 30.0, 0.0, -60.0 / n), nodata=-9999.0)
+    base = pyr.warp_to_tiles(src, 4, (-29, -29, 29, 29), tile_px=32, concurrency=2,
+                             skip_blank=False)
+    over = pyr.build_overview(base).take_all()
+    for r in over:
+        arr = np.frombuffer(r["data"], np.float64).reshape(32, 32)
+        # any quadrant without a child must be nodata, never fabricated zeros
+        assert not ((arr == 0.0) & (arr != -9999.0)).any() or (arr == 0.0).sum() == 0
+        assert r["dtype"] == "float64" and r["nodata"] == -9999.0
