@@ -140,20 +140,68 @@ def polygons_intersect(a: "_wkb.Geom", b: "_wkb.Geom") -> bool:
     return False
 
 
+def _line_segments(g: "_wkb.Geom"):
+    """(p0s, p1s) segment arrays of a LINESTRING/MULTILINESTRING."""
+    segs = []
+    parts = g.parts if g.kind in (_wkb.LINESTRING, _wkb.MULTILINESTRING) else []
+    for pts in parts:
+        if len(pts) >= 2:
+            segs.append((pts[:-1], pts[1:]))
+    return segs
+
+
+def _areal_line_intersects(poly: "_wkb.Geom", line: "_wkb.Geom") -> bool:
+    """Polygon x line: any line vertex inside, OR any line segment crossing
+    any ring edge (covers lines passing through with all vertices outside)."""
+    v = line.vertices()
+    if points_in_geom(v[:, 0], v[:, 1], poly).any():
+        return True
+    for p0s, p1s in _line_segments(line):
+        for ring in poly.rings():
+            q0s, q1s = ring[:-1], ring[1:]
+            for j in range(len(q0s)):
+                if _segments_intersect(p0s, p1s, q0s[j], q1s[j]).any():
+                    return True
+    return False
+
+
 def geom_intersects(a: "_wkb.Geom", b: "_wkb.Geom") -> bool:
-    """Dispatch on kinds; points handled via membership, areal via overlay."""
+    """Dispatch on kinds; points via membership, areal via overlay, lines via
+    membership + edge crossings."""
     a_polys = a.shells_and_holes()
     b_polys = b.shells_and_holes()
+    line_kinds = (_wkb.LINESTRING, _wkb.MULTILINESTRING)
     if a_polys and b_polys:
         return polygons_intersect(a, b)
     if a_polys and not b_polys:
+        if b.kind in line_kinds:
+            return _areal_line_intersects(a, b)
         v = b.vertices()
         return bool(points_in_geom(v[:, 0], v[:, 1], a).any())
     if b_polys and not a_polys:
+        if a.kind in line_kinds:
+            return _areal_line_intersects(b, a)
         v = a.vertices()
         return bool(points_in_geom(v[:, 0], v[:, 1], b).any())
-    # point/line vs point/line: fall back to shared-vertex / segment tests
     av, bv = a.vertices(), b.vertices()
     if a.kind == _wkb.POINT and b.kind == _wkb.POINT:
         return bool(np.all(av[0] == bv[0]))
-    raise NotImplementedError("line-line intersects not needed by current operators")
+    # line x line: any segment pair crossing or shared vertex
+    if a.kind in line_kinds and b.kind in line_kinds:
+        for p0s, p1s in _line_segments(a):
+            for q0s, q1s in _line_segments(b):
+                for j in range(len(q0s)):
+                    if _segments_intersect(p0s, p1s, q0s[j], q1s[j]).any():
+                        return True
+        return False
+    # point x line: point on any segment
+    pt, ln = (a, b) if a.kind == _wkb.POINT else (b, a)
+    p = pt.vertices()[0]
+    for p0s, p1s in _line_segments(ln):
+        d = np.abs(np.cross(p1s - p0s, p - p0s))
+        on = (d == 0) & (np.minimum(p0s[:, 0], p1s[:, 0]) <= p[0]) & (
+            p[0] <= np.maximum(p0s[:, 0], p1s[:, 0])
+        ) & (np.minimum(p0s[:, 1], p1s[:, 1]) <= p[1]) & (p[1] <= np.maximum(p0s[:, 1], p1s[:, 1]))
+        if on.any():
+            return True
+    return False

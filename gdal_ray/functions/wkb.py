@@ -127,9 +127,15 @@ class Geom:
 def _parse(buf: memoryview, off: int) -> tuple[Geom, int]:
     byte_order = buf[off]
     fmt = "<" if byte_order == 1 else ">"
-    (gtype,) = struct.unpack_from(fmt + "I", buf, off + 1)
-    gtype &= 0xFF  # strip 2.5D / SRID flag variants
+    (raw_type,) = struct.unpack_from(fmt + "I", buf, off + 1)
     off += 5
+    if raw_type & 0x20000000:  # EWKB SRID flag: skip the 4-byte SRID value
+        off += 4
+    base = raw_type & 0x1FFFFFFF  # SRID flag stripped; Z/M still visible
+    if raw_type & 0xC0000000 or base >= 1000:
+        # EWKB Z/M flags or ISO 1000+/2000+/3000+ type codes: 2-D only
+        raise ValueError(f"unsupported WKB Z/M variant (type {raw_type:#x}); 2-D only")
+    gtype = base
     if gtype == POINT:
         pt = np.frombuffer(buf, dtype=fmt + "f8", count=2, offset=off).reshape(1, 2)
         return Geom(POINT, [pt]), off + 16
@@ -154,7 +160,9 @@ def _parse(buf: memoryview, off: int) -> tuple[Geom, int]:
         parts = []
         for _ in range(nparts):
             g, off = _parse(buf, off)
-            parts.append(g.parts[0] if gtype != MULTIPOLYGON else g.parts[0])
+            # member Geom stores its payload at parts[0] for every member
+            # kind (point/linestring array, or a polygon's ring list)
+            parts.append(g.parts[0])
         return Geom(gtype, parts), off
     raise ValueError(f"unsupported WKB geometry type {gtype}")
 

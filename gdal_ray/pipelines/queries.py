@@ -717,7 +717,7 @@ def fill_nodata_q(sf_dir: str):
     from ..stages import fillpalette
 
     tiles_tbl = synthetic.make_raster_tiles("checker", 3, 3, size=64)
-    out = fillpalette.fill_nodata(rd.from_arrow(tiles_tbl), nodata=0.0, max_dist=8, tile_size=64)
+    out = fillpalette.fill_nodata(rd.from_arrow(tiles_tbl), nodata=0.0, max_dist=8)
 
     def sums(t: pa.Table) -> pa.Table:
         xs, ys, cs = [], [], []

@@ -54,11 +54,13 @@ def doc_key_to_id(keys: np.ndarray) -> pa.Array:
 
 
 def doc_id_to_key(doc_ids) -> np.ndarray:
-    """Inverse of doc_key_to_id, vectorized enough for batch use."""
+    """Inverse of doc_key_to_id, vectorized enough for batch use.
+    Slices to end-of-string: %09d zero-PADS but does not truncate, so keys
+    >= 1e9 format to 10+ digits and must parse fully."""
     import pyarrow.compute as pc
 
     arr = doc_ids if isinstance(doc_ids, (pa.Array, pa.ChunkedArray)) else pa.array(doc_ids)
-    return pc.cast(pc.utf8_slice_codeunits(arr, 4, 13), pa.int64()).to_numpy(
+    return pc.cast(pc.utf8_slice_codeunits(arr, 4, 2**30), pa.int64()).to_numpy(
         zero_copy_only=False
     )
 

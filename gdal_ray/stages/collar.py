@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .polygonize import _ckey, _runs_of, label_tile, polygonize
+from .polygonize import _ckey, _ekey, _runs_of, label_tile, polygonize
 
 
 def footprint(tiles_ds, nodata: float = 0.0, tile_size: int = 64):
@@ -92,13 +92,13 @@ def nearblack(tiles_ds, threshold: float = 10.0, nodata: float = 255.0,
                               ("L", labels[:, 0]), ("T", labels[0, :])):
                 for c0, c1, lbl in _runs_of(vec):
                     if side == "R":
-                        ek = (x << 24) | (y << 4) | 1
+                        ek = _ekey(x, y, "V")
                     elif side == "L":
-                        ek = ((x - 1) << 24) | (y << 4) | 1
+                        ek = _ekey(x - 1, y, "V")
                     elif side == "B":
-                        ek = (x << 24) | (y << 4) | 2
+                        ek = _ekey(x, y, "H")
                     else:
-                        ek = (x << 24) | ((y - 1) << 4) | 2
+                        ek = _ekey(x, y - 1, "H")
                     rows["key"].append(_ckey(x, y, int(lbl)))
                     rows["edge_key"].append(ek)
                     rows["pos0"].append(c0)

@@ -18,15 +18,17 @@ import numpy as np
 import pyarrow as pa
 
 
-def fill_nodata(tiles_ds, nodata: float = 0.0, max_dist: int = 8, tile_size: int = 64):
+def fill_nodata(tiles_ds, nodata: float = 0.0, max_dist: int = 8):
     """IDW fill of nodata pixels from valid pixels within max_dist (chebyshev
     window).  Halo = max_dist pixels exchanged via neighbor strips."""
     K = max_dist
 
     def expand(batch: pa.Table) -> pa.Table:
+        from .focal import _dtype_of
+
         rows = []
         for i in range(batch.num_rows):
-            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            dt = _dtype_of(batch["dtype"][i].as_py())
             h = batch["height"][i].as_py()
             w = batch["width"][i].as_py()
             arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w)
@@ -34,6 +36,8 @@ def fill_nodata(tiles_ds, nodata: float = 0.0, max_dist: int = 8, tile_size: int
             y = batch["y"][i].as_py()
 
             def emit(dx, dy, part, role):
+                if x + dx < 0 or y + dy < 0:
+                    return  # no tile there; also avoids key collapse at -1
                 rows.append(
                     {"dest": (x + dx) << 32 | (y + dy), "role": role, "x": x, "y": y,
                      "h": part.shape[0], "w": part.shape[1],
@@ -95,8 +99,11 @@ def fill_nodata(tiles_ds, nodata: float = 0.0, max_dist: int = 8, tile_size: int
                 ws = wgt[valid].sum()
                 if ws > 0:
                     out[r, c] = (win[valid] * wgt[valid]).sum() / ws
+        # full tile contract so the output chains into other tile stages
         return pa.Table.from_pylist(
-            [{"x": x, "y": y, "width": w, "height": h, "data": out.tobytes()}]
+            [{"z": 0, "x": x, "y": y, "band": 1, "width": w, "height": h,
+              "crs": "EPSG:3857", "nodata": nodata, "dtype": "float64",
+              "data": out.tobytes()}]
         )
 
     return grouped.map_groups(fill_group, batch_format="pyarrow")

@@ -44,6 +44,8 @@ def _halo_exchange(tiles_ds):
             dt = batch["dtype"][i].as_py()
             arr = np.frombuffer(batch["data"][i].as_py(), dtype=_dtype_of(dt)).reshape(ht, wd)
             def emit(dx, dy, role, part):
+                if x + dx < 0 or y + dy < 0:
+                    return  # no tile there; avoids dest-key collapse at -1
                 rows["dest"].append((x + dx) << 32 | (y + dy))
                 rows["role"].append(role)
                 rows["x"].append(x)

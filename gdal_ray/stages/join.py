@@ -248,7 +248,10 @@ class BroadcastPointJoin:
         n_zones = len(self.index.zone_id)
         v = batch[self.zonal_reduce_col].to_numpy(zero_copy_only=False)[rows].astype(np.int64)
         cnt = np.bincount(zidx, minlength=n_zones).astype(np.int64)
-        sm = np.bincount(zidx, weights=v, minlength=n_zones).astype(np.int64)
+        # integer-exact sum (bincount weights would accumulate in float64 and
+        # lose exactness above 2^53, breaking the bit-stable policy)
+        sm = np.zeros(n_zones, dtype=np.int64)
+        np.add.at(sm, zidx, v)
         order = np.argsort(zidx, kind="stable")
         zs, vs = zidx[order], v[order]
         starts = np.nonzero(np.r_[True, zs[1:] != zs[:-1]])[0]

@@ -83,6 +83,11 @@ class MediaFeaturizer:
 def featurize_media(docs_ds, backend: str = "fake", concurrency: int | tuple = 2,
                     batch_size: int = 1024):
     """Media pipeline: project to (doc_id, spans) -> actor pool decode."""
+    cols = docs_ds.schema().names
+    if set(cols) - {"doc_id", "spans"}:
+        # project away wide geometry/derived columns before the decode pool
+        # (SURVEY §7 "very wide rows": re-join by doc_id afterwards)
+        docs_ds = docs_ds.select_columns(["doc_id", "spans"])
     return docs_ds.map_batches(
         MediaFeaturizer,
         fn_constructor_kwargs=dict(backend=backend),

@@ -14,8 +14,7 @@ def test_fill_nodata_fills_holes_cross_tile():
     arr[10:14, 14:18] = 0   # hole straddling the vertical tile border
     arr[0, 0] = 0           # corner hole
     tiles = _tiles_from_mosaic(arr, size)
-    out = fillpalette.fill_nodata(rd.from_arrow(tiles), nodata=0.0, max_dist=8,
-                                  tile_size=size).take_all()
+    out = fillpalette.fill_nodata(rd.from_arrow(tiles), nodata=0.0, max_dist=8).take_all()
     got = np.zeros((32, 32))
     for r in out:
         a = np.frombuffer(r["data"], np.float64).reshape(size, size)
@@ -30,8 +29,7 @@ def test_fill_nodata_gradient_weighted():
     arr = (10 + gx * 2).astype(np.uint8)
     arr[8, 16] = 0  # hole at the tile border of a horizontal gradient
     tiles = _tiles_from_mosaic(arr, size)
-    out = fillpalette.fill_nodata(rd.from_arrow(tiles), nodata=0.0, max_dist=4,
-                                  tile_size=size).take_all()
+    out = fillpalette.fill_nodata(rd.from_arrow(tiles), nodata=0.0, max_dist=4).take_all()
     got = {}
     for r in out:
         got[(r["x"], r["y"])] = np.frombuffer(r["data"], np.float64).reshape(size, size)

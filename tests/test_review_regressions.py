@@ -235,3 +235,40 @@ def test_build_overview_missing_quadrant_nodata():
         # any quadrant without a child must be nodata, never fabricated zeros
         assert not ((arr == 0.0) & (arr != -9999.0)).any() or (arr == 0.0).sum() == 0
         assert r["dtype"] == "float64" and r["nodata"] == -9999.0
+
+
+def test_geom_intersects_line_through_polygon():
+    from gdal_ray.functions import pip as P
+
+    poly = wkb.decode(wkb.encode_polygon(
+        [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)]))
+    crossing = wkb.decode(wkb.encode_linestring(np.array([[-5, 5], [15, 5]], float)))
+    missing = wkb.decode(wkb.encode_linestring(np.array([[-5, 20], [15, 20]], float)))
+    assert P.geom_intersects(poly, crossing)       # all vertices outside
+    assert P.geom_intersects(crossing, poly)
+    assert not P.geom_intersects(poly, missing)
+    # line-line
+    l2 = wkb.decode(wkb.encode_linestring(np.array([[5, -5], [5, 15]], float)))
+    assert P.geom_intersects(crossing, l2)
+
+
+def test_wkb_ewkb_srid_and_zm_rejection():
+    import struct
+
+    # EWKB point with SRID flag: type 0x20000001, srid 4326, coords (3, 4)
+    ewkb = b"\x01" + struct.pack("<IIdd", 0x20000001, 4326, 3.0, 4.0)
+    g = wkb.decode(ewkb)
+    assert g.vertices()[0].tolist() == [3.0, 4.0]
+    # ISO Z point (type 1001) must raise, not silently misparse
+    zwkb = b"\x01" + struct.pack("<Iddd", 1001, 1.0, 2.0, 3.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        wkb.decode(zwkb)
+
+
+def test_doc_id_key_roundtrip_above_1e9():
+    keys = np.array([0, 123, 999_999_999, 1_000_000_000, 123_456_789_012], dtype=np.int64)
+    ids = synthetic.doc_key_to_id(keys)
+    back = synthetic.doc_id_to_key(ids)
+    assert (back == keys).all()
