@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearblack": q.nearblack_q,
         "proximity": q.proximity_q,
         "fill_nodata": q.fill_nodata_q,
+        "viewshed": q.viewshed_q,
         "palette_median_cut": q.palette_q,
         "media_features": q.media_features_q,
         # rows-only (non-SQL-expressible)

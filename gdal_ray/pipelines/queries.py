@@ -760,6 +760,21 @@ def palette_q(sf_dir: str):
     )
 
 
+def viewshed_q(sf_dir: str):
+    """Viewshed from an observer on a synthetic DEM (R3 exact LOS)."""
+    from ..stages import viewshed as vs
+
+    size = 64
+    gy, gx = np.mgrid[0:size, 0:size]
+    dem = (np.sin(gx / 7.0) * 10 + np.cos(gy / 9.0) * 8 + 20).astype(np.float32)
+    t = pa.Table.from_pylist([{
+        "z": 0, "x": 0, "y": 0, "band": 1, "width": size, "height": size,
+        "crs": "EPSG:3857", "nodata": -1.0, "dtype": "float32", "data": dem.tobytes(),
+    }])
+    out = vs.viewshed(rd.from_arrow(t), observer_x=32, observer_y=32, observer_height=2.0)
+    return out.select_columns(["x", "y", "n_visible"])
+
+
 def langid_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

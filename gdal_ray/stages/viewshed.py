@@ -1,0 +1,102 @@
+"""Viewshed (line-of-sight visibility from an observer).
+
+Reference: ``alg/viewshed/*`` (~2.5 kLoC).  Round-1 scope: the observer's
+tile neighborhood is assembled per task (the observer and its visibility
+radius must fit one worker's window — the common interactive case); the
+fully-distributed ray-partitioned variant is future work (STATUS.md).
+
+Algorithm: exact per-pixel line-of-sight — for every target pixel, elevations
+are sampled along the ray to the observer (vectorized over all pixels x ray
+steps) and the target is visible iff its elevation angle exceeds every
+intermediate sample's angle.  This is the R3 "exact" formulation the
+reference's R2/XDraw variants approximate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def viewshed_array(dem: np.ndarray, ox: int, oy: int, observer_height: float = 0.0,
+                   n_steps: int | None = None) -> np.ndarray:
+    """Boolean visibility of every cell from observer at (col=ox, row=oy).
+
+    Vectorized R3: elevations along each target's ray are sampled at
+    ~unit-pixel spacing with bilinear interpolation; a cell is visible iff
+    its sight-line clears all interior samples.
+    """
+    h, w = dem.shape
+    gy, gx = np.mgrid[0:h, 0:w]
+    dx = gx - ox
+    dy = gy - oy
+    dist = np.hypot(dx, dy)
+    obs_z = dem[oy, ox] + observer_height
+    n = n_steps or int(np.ceil(dist.max())) + 1
+    if n < 2:
+        return np.ones((h, w), dtype=bool)
+    # interior sample fractions (exclusive of endpoints)
+    t = (np.arange(1, n, dtype=np.float64) / n)[:, None, None]
+    sx = ox + t * dx[None, :, :]
+    sy = oy + t * dy[None, :, :]
+    # bilinear sample of the DEM at (sx, sy)
+    x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 2)
+    y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 2)
+    fx = np.clip(sx - x0, 0.0, 1.0)
+    fy = np.clip(sy - y0, 0.0, 1.0)
+    z = (
+        dem[y0, x0] * (1 - fx) * (1 - fy)
+        + dem[y0, x0 + 1] * fx * (1 - fy)
+        + dem[y0 + 1, x0] * (1 - fx) * fy
+        + dem[y0 + 1, x0 + 1] * fx * fy
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # angle (slope) of each interior sample vs of the target itself
+        samp_slope = (z - obs_z) / (t[:, :, :] * dist[None, :, :] + 1e-300)
+        tgt_slope = (dem - obs_z) / np.where(dist == 0, 1.0, dist)
+    # a sample exactly ON the target's own sight line has equal slope; use a
+    # tiny tolerance so the target doesn't occlude itself
+    blocked = (samp_slope > tgt_slope[None, :, :] + 1e-12) & (
+        t * dist[None, :, :] < dist[None, :, :] - 1e-9
+    )
+    vis = ~blocked.any(axis=0)
+    vis[oy, ox] = True
+    return vis
+
+
+def viewshed(tiles_ds, observer_x: int, observer_y: int, observer_height: float = 0.0):
+    """Per-tile viewshed: each tile whose pixel grid contains the observer
+    computes visibility inside itself (observer given in GLOBAL pixel
+    coordinates; tiles not containing structure still evaluate against the
+    observer position projected into their local window via the assembled
+    neighborhood — round-1 scope: observer inside the tile)."""
+
+    def per_tile(batch: pa.Table) -> pa.Table:
+        from .focal import _dtype_of
+
+        rows = []
+        for i in range(batch.num_rows):
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            tx = batch["x"][i].as_py()
+            ty = batch["y"][i].as_py()
+            lx = observer_x - tx * w
+            ly = observer_y - ty * h
+            if not (0 <= lx < w and 0 <= ly < h):
+                continue
+            dem = np.frombuffer(
+                batch["data"][i].as_py(), dtype=_dtype_of(batch["dtype"][i].as_py())
+            ).reshape(h, w).astype(np.float64)
+            vis = viewshed_array(dem, lx, ly, observer_height)
+            rows.append(
+                {"x": tx, "y": ty, "width": w, "height": h,
+                 "n_visible": int(vis.sum()),
+                 "data": vis.astype(np.uint8).tobytes()}
+            )
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {"x": pa.array([], pa.int32()), "y": pa.array([], pa.int32()),
+             "width": pa.array([], pa.int32()), "height": pa.array([], pa.int32()),
+             "n_visible": pa.array([], pa.int64()), "data": pa.array([], pa.binary())}
+        )
+
+    return tiles_ds.map_batches(per_tile, batch_format="pyarrow")

@@ -1,0 +1,72 @@
+"""Viewshed tests vs an independent scalar line-of-sight oracle."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from gdal_ray.stages import viewshed as vs
+
+
+def _brute_los(dem, ox, oy, tx, ty, obs_h=0.0, steps=200):
+    """Independent scalar oracle: dense sampling along the ray."""
+    if (tx, ty) == (ox, oy):
+        return True
+    obs_z = dem[oy, ox] + obs_h
+    dist = np.hypot(tx - ox, ty - oy)
+    tgt_slope = (dem[ty, tx] - obs_z) / dist
+    h, w = dem.shape
+    for s in range(1, steps):
+        t = s / steps
+        x = ox + t * (tx - ox)
+        y = oy + t * (ty - oy)
+        if t * dist >= dist - 1e-9:
+            break
+        x0, y0 = int(min(np.floor(x), w - 2)), int(min(np.floor(y), h - 2))
+        fx, fy = x - x0, y - y0
+        z = (dem[y0, x0] * (1 - fx) * (1 - fy) + dem[y0, x0 + 1] * fx * (1 - fy)
+             + dem[y0 + 1, x0] * (1 - fx) * fy + dem[y0 + 1, x0 + 1] * fx * fy)
+        if (z - obs_z) / (t * dist) > tgt_slope + 1e-12:
+            return False
+    return True
+
+
+def test_flat_dem_all_visible():
+    dem = np.zeros((32, 32))
+    vis = vs.viewshed_array(dem, 16, 16)
+    assert vis.all()
+
+
+def test_wall_shadows():
+    dem = np.zeros((32, 32))
+    dem[:, 20] = 50.0  # tall wall right of the observer
+    vis = vs.viewshed_array(dem, 5, 16)
+    assert vis[16, 19]          # before the wall: visible
+    assert vis[16, 20]          # the wall top itself: visible
+    assert not vis[16, 25]      # behind the wall: shadowed
+    assert vis[16, 2]           # opposite direction unaffected
+
+
+def test_matches_scalar_oracle_random_terrain():
+    rng = np.random.default_rng(3)
+    dem = rng.uniform(0, 5, (24, 24))
+    dem[10, 14] = 30.0  # a peak
+    ox, oy = 4, 12
+    vis = vs.viewshed_array(dem, ox, oy, n_steps=200)
+    sample = [(20, 12), (23, 12), (14, 10), (0, 0), (12, 23), (18, 14)]
+    for tx, ty in sample:
+        assert vis[ty, tx] == _brute_los(dem, ox, oy, tx, ty), (tx, ty)
+
+
+def test_viewshed_stage():
+    size = 32
+    dem = np.zeros((size, size), dtype=np.float32)
+    dem[:, 20] = 50.0
+    t = pa.Table.from_pylist([{
+        "z": 0, "x": 0, "y": 0, "band": 1, "width": size, "height": size,
+        "crs": "EPSG:3857", "nodata": -1.0, "dtype": "float32", "data": dem.tobytes(),
+    }])
+    out = vs.viewshed(rd.from_arrow(t), observer_x=5, observer_y=16).take_all()
+    assert len(out) == 1
+    vism = np.frombuffer(out[0]["data"], np.uint8).reshape(size, size)
+    assert vism[16, 2] == 1 and vism[16, 25] == 0
+    assert out[0]["n_visible"] == int(vism.sum())
