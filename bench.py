@@ -36,7 +36,10 @@ def _replicated_docs_path() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tag = os.path.basename(os.path.normpath(SF_DIR))
+    st = os.stat(f"{SF_DIR}/documents.parquet")
+    # cache key includes a source fingerprint so regenerated/differently-
+    # pathed testdata never reuses stale replicas
+    tag = f"{os.path.basename(os.path.normpath(SF_DIR))}_{st.st_size}_{int(st.st_mtime)}"
     out = f"/tmp/gdal_ray_bench/docs_{tag}_x{REPLICATE}"
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):

@@ -269,8 +269,11 @@ def sample_docs_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def fn(t: pa.Table) -> pa.Table:
+        # NOTE: the SQL mirror computes doc_id * 2654435761 in BIGINT, which
+        # overflows (errors) for keys >= ~3.47e9; driver corpus keys are far
+        # below that.  Python-int math here keeps the engine exact for any key.
         k = t["doc_id"].to_numpy(zero_copy_only=False)
-        keep = (k * 2654435761) % 100 < 10
+        keep = np.array([(int(v) * 2654435761) % 100 < 10 for v in k])
         return t.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -328,26 +331,23 @@ def grid_count_q(sf_dir: str):
     )
     tiles_out = gridinterp.grid_interpolate(pts, grid, algorithm="count", radius=6.0)
 
-    def explode(t: pa.Table) -> pa.Table:
-        cxs, cys, ns = [], [], []
-        for i in range(t.num_rows):
-            arr = np.frombuffer(t["data"][i].as_py(), dtype=np.float64).reshape(
-                t["height"][i].as_py(), t["width"][i].as_py()
-            )
-            tx, ty = t["tx"][i].as_py(), t["ty"][i].as_py()
-            gy, gx = np.mgrid[0 : arr.shape[0], 0 : arr.shape[1]]
-            cxs.append(gx.ravel() + tx * grid.tile)
-            cys.append(gy.ravel() + ty * grid.tile)
-            ns.append(arr.ravel().astype(np.int64))
-        return pa.table(
-            {
-                "cx": pa.array(np.concatenate(cxs).astype(np.int64)),
-                "cy": pa.array(np.concatenate(cys).astype(np.int64)),
-                "n": pa.array(np.concatenate(ns)),
-            }
-        )
-
-    return tiles_out.map_batches(explode, batch_format="pyarrow")
+    # tiles with zero points in their halo produce no group, but the oracle's
+    # LEFT JOIN emits every cell — fill missing cells with n=0 (grid is a
+    # fixed 2048 cells, so the driver-side fill is trivial)
+    full = np.zeros((grid.ny, grid.nx), dtype=np.int64)
+    for r in tiles_out.take_all():
+        arr = np.frombuffer(r["data"], dtype=np.float64).reshape(r["height"], r["width"])
+        ty, tx = r["ty"], r["tx"]
+        full[ty * grid.tile : ty * grid.tile + arr.shape[0],
+             tx * grid.tile : tx * grid.tile + arr.shape[1]] = arr.astype(np.int64)
+    gy, gx = np.mgrid[0 : grid.ny, 0 : grid.nx]
+    return pa.table(
+        {
+            "cx": pa.array(gx.ravel().astype(np.int64)),
+            "cy": pa.array(gy.ravel().astype(np.int64)),
+            "n": pa.array(full.ravel()),
+        }
+    )
 
 
 def dedup_exact_q(sf_dir: str):
@@ -373,8 +373,11 @@ def text_quality_q(sf_dir: str):
 
 
 def embedding_topk_q(sf_dir: str):
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    q0 = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    q0 = np.asarray(emb["embedding"].to_pylist()[0])
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = sim.cosine_topk(ds, np.array([q0]), query_ids=[0], k=TOPK_EMB)
     return out.select_columns(["vec_id", "rank"])
@@ -468,24 +471,13 @@ CUST_RECT = dict(minx_mult=5179, minx_mod=33000, miny_mult=3607, miny_mod=15000,
 
 def _cust_zones(sf_dir: str) -> pa.Table:
     """Second rectangle layer derived from customer keys (same exact-integer
-    scheme as the part-key zones; constants differ)."""
+    scheme as the part-key zones; constants differ; single implementation in
+    synthetic.zone_rects_from_keys/rect_wkbs)."""
     keys = np.sort(
         pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])["c_custkey"].to_numpy()
     )
-    from ..functions import wkb as _w
-
-    c = CUST_RECT
-    minx = -180.0 + ((keys * c["minx_mult"]) % c["minx_mod"]) / 100.0
-    miny = -85.0 + ((keys * c["miny_mult"]) % c["miny_mod"]) / 100.0
-    maxx = minx + (2.0 + ((keys * c["w_mult"]) % c["w_mod"]) / 100.0)
-    maxy = miny + (2.0 + ((keys * c["h_mult"]) % c["h_mod"]) / 100.0)
-    wkbs = []
-    for i in range(len(keys)):
-        ring = np.array(
-            [[minx[i], miny[i]], [maxx[i], miny[i]], [maxx[i], maxy[i]],
-             [minx[i], maxy[i]], [minx[i], miny[i]]]
-        )
-        wkbs.append(_w.encode_polygon([ring]))
+    minx, miny, maxx, maxy = synthetic.zone_rects_from_keys(keys, CUST_RECT)
+    wkbs = synthetic.rect_wkbs(minx, miny, maxx, maxy)
     return pa.table({"r_id": pa.array(keys), "wkb": pa.array(wkbs, pa.binary())})
 
 

@@ -7,7 +7,7 @@ a Step is ``(Dataset, **params) -> Dataset``; ``run_pipeline`` parses
 "step1 a=1 ! step2 b=2" specs the way the CLI chains steps.
 
 VRT-style pixel functions (``frmts/vrt/vrtderivedrasterband.cpp:307``
-GDALAddDerivedBandPixelFunc) map to the ``calc`` step's callable expr and to
+GDALAddDerivedBandPixelFunc) map to ``rastermap.calc``'s callable expr and to
 ``register_step`` for user-defined stages.
 """
 
@@ -38,7 +38,8 @@ def list_steps() -> list[str]:
 
 
 def run_pipeline(ds, spec: str):
-    """Run a '!'-chained step spec: "filter expr=... ! select cols=a,b ! limit n=10"."""
+    """Run a '!'-chained step spec:
+    "derive_geometry ! filter_ge col=n_chars value=100 ! select cols=doc_id ! limit n=10"."""
     for part in spec.split("!"):
         tokens = part.strip().split()
         if not tokens:
@@ -77,9 +78,17 @@ def _filter_ge(ds, col, value):
     )
 
 
+def _truthy(v) -> bool:
+    """Spec values arrive as strings when not Python literals: 'false'/'no'
+    must not be bool('false') == True."""
+    if isinstance(v, str):
+        return v.strip().lower() in ("1", "true", "yes", "on")
+    return bool(v)
+
+
 @register_step("sort")
 def _sort(ds, key, desc=False):
-    return ds.sort(key, descending=bool(desc))
+    return ds.sort(key, descending=_truthy(desc))
 
 
 @register_step("derive_geometry")
@@ -95,7 +104,13 @@ def _derive_geometry(ds, key_col="doc_id"):
 def _assign_tiles(ds, zooms="8", key_col="doc_id"):
     from ..stages.tiles import assign_tiles
 
-    zs = tuple(int(z) for z in str(zooms).split(","))
+    # literal_eval may already have produced an int or tuple from the spec
+    if isinstance(zooms, (tuple, list)):
+        zs = tuple(int(z) for z in zooms)
+    elif isinstance(zooms, int):
+        zs = (zooms,)
+    else:
+        zs = tuple(int(z) for z in str(zooms).split(","))
     return assign_tiles(ds, zooms=zs, key_col=key_col)
 
 

@@ -131,21 +131,30 @@ ZONE_W_MULT, ZONE_W_MOD = 131, 800
 ZONE_H_MULT, ZONE_H_MOD = 197, 600
 
 
-def zone_rects_from_keys(keys: np.ndarray):
+def zone_rects_from_keys(keys: np.ndarray, consts=None):
     """int64 key -> rectangle (minx, miny, maxx, maxy), exact 0.01-grid
-    arithmetic mirrored by SQL in __ray_entry__.oracle_sql."""
+    arithmetic mirrored by SQL in __ray_entry__.oracle_sql.  ``consts``
+    overrides the (mult, mod) scheme to derive independent layers from other
+    key columns (e.g. the customer-key zones of the polygon join)."""
+    c = consts or dict(
+        minx_mult=ZONE_MINX_MULT, minx_mod=ZONE_MINX_MOD,
+        miny_mult=ZONE_MINY_MULT, miny_mod=ZONE_MINY_MOD,
+        w_mult=ZONE_W_MULT, w_mod=ZONE_W_MOD,
+        h_mult=ZONE_H_MULT, h_mod=ZONE_H_MOD,
+    )
     keys = np.asarray(keys, dtype=np.int64)
-    minx = -180.0 + ((keys * ZONE_MINX_MULT) % ZONE_MINX_MOD) / 100.0
-    miny = -85.0 + ((keys * ZONE_MINY_MULT) % ZONE_MINY_MOD) / 100.0
-    w = 2.0 + ((keys * ZONE_W_MULT) % ZONE_W_MOD) / 100.0
-    h = 2.0 + ((keys * ZONE_H_MULT) % ZONE_H_MOD) / 100.0
+    minx = -180.0 + ((keys * c["minx_mult"]) % c["minx_mod"]) / 100.0
+    miny = -85.0 + ((keys * c["miny_mult"]) % c["miny_mod"]) / 100.0
+    w = 2.0 + ((keys * c["w_mult"]) % c["w_mod"]) / 100.0
+    h = 2.0 + ((keys * c["h_mult"]) % c["h_mod"]) / 100.0
     return minx, miny, minx + w, miny + h
 
 
-def make_rect_zones(keys: np.ndarray) -> pa.Table:
-    minx, miny, maxx, maxy = zone_rects_from_keys(keys)
-    wkbs = []
-    for i in range(len(keys)):
+def rect_wkbs(minx, miny, maxx, maxy) -> list[bytes]:
+    """Axis-aligned rectangle rings -> WKB polygons (shared by every
+    rect-layer builder)."""
+    out = []
+    for i in range(len(minx)):
         ring = np.array(
             [
                 [minx[i], miny[i]],
@@ -155,7 +164,13 @@ def make_rect_zones(keys: np.ndarray) -> pa.Table:
                 [minx[i], miny[i]],
             ]
         )
-        wkbs.append(wkb.encode_polygon([ring]))
+        out.append(wkb.encode_polygon([ring]))
+    return out
+
+
+def make_rect_zones(keys: np.ndarray, consts=None) -> pa.Table:
+    minx, miny, maxx, maxy = zone_rects_from_keys(keys, consts)
+    wkbs = rect_wkbs(minx, miny, maxx, maxy)
     return pa.table(
         {
             "zone_id": pa.array([f"zone-{int(k):06d}" for k in keys]),

@@ -20,7 +20,12 @@ from ..functions import geo
 
 
 def derive_geometry_batch(batch: pa.Table, key_col: str = "doc_id") -> pa.Table:
-    """Attach lon/lat derived from the int64 (or 'doc-%09d' string) key column."""
+    """Attach lon/lat derived from the int64 (or 'doc-%09d' string) key column.
+    Pre-existing lon/lat columns are kept as-is (and nothing is recomputed)."""
+    has_lon = "lon" in batch.column_names
+    has_lat = "lat" in batch.column_names
+    if has_lon and has_lat:
+        return batch
     col = batch[key_col]
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         from ..sources.synthetic import doc_id_to_key
@@ -30,8 +35,9 @@ def derive_geometry_batch(batch: pa.Table, key_col: str = "doc_id") -> pa.Table:
         keys = col.to_numpy(zero_copy_only=False).astype(np.int64)
     lon, lat = geo.derive_lonlat(keys)
     out = batch
-    if "lon" not in batch.column_names:
+    if not has_lon:
         out = out.append_column("lon", pa.array(lon))
+    if not has_lat:
         out = out.append_column("lat", pa.array(lat))
     return out
 

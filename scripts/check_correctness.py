@@ -66,6 +66,10 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
