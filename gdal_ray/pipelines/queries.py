@@ -269,11 +269,12 @@ def sample_docs_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def fn(t: pa.Table) -> pa.Table:
-        # NOTE: the SQL mirror computes doc_id * 2654435761 in BIGINT, which
-        # overflows (errors) for keys >= ~3.47e9; driver corpus keys are far
-        # below that.  Python-int math here keeps the engine exact for any key.
-        k = t["doc_id"].to_numpy(zero_copy_only=False)
-        keep = np.array([(int(v) * 2654435761) % 100 < 10 for v in k])
+        # int64 wraparound only occurs for keys >= ~3.47e9, where the BIGINT
+        # oracle would error too — assert instead of paying a per-row loop
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.size:
+            assert int(k.max()) < (1 << 63) // 2654435761, "doc_id beyond BIGINT sample domain"
+        keep = (k * np.int64(2654435761)) % 100 < 10
         return t.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -55,35 +55,31 @@ def minhash_lsh_candidates(
     once per matching band — final consumer dedups by (id_a, id_b) min/first
     (same pattern as the spatial pair dedup, SURVEY §2.7).
     """
-    rows_per_band = num_perm // bands
-
     def to_bands(batch: pa.Table) -> pa.Table:
-        import hashlib as _hl
-
-        ids, band_ids, band_hashes, sigs = [], [], [], []
-        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            sig = textops.minhash_signature(textops._shingle_hashes(text, shingle_k), num_perm)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                # hash the ENTIRE band chunk: a bucket match then requires all
-                # rows_per_band minhashes to agree (candidate prob jaccard^r,
-                # the actual LSH banding guarantee)
-                digest = _hl.md5(np.ascontiguousarray(chunk).tobytes()).digest()
-                h = int.from_bytes(digest[:8], "little", signed=True)
-                ids.append(did)
-                band_ids.append(b)
-                band_hashes.append(h)
-                sigs.append(sig.astype(np.int64).tobytes())
+        texts = batch[text_col].to_pylist()
+        sigs = textops.minhash_signatures_batch(texts, num_perm, shingle_k)
+        bh = textops.band_hash_matrix(sigs, bands)  # (n, bands) int64, vectorized
+        n = len(texts)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(n), bands)
+        sig_bytes = [sigs[i].astype(np.int64).tobytes() for i in range(n)]
         return pa.table(
             {
-                id_col: pa.array(ids),
-                "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_hash": pa.array(band_hashes, type=pa.int64()),
-                "sig": pa.array(sigs, type=pa.binary()),
+                id_col: pa.array(ids[rep]),
+                "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.ravel()),
+                "sig": pa.array([sig_bytes[i] for i in rep], type=pa.binary()),
             }
         )
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
+
+    # a bucket of > MAX_BUCKET signatures is a degenerate boilerplate cluster
+    # (exact dedup should run first); cap pair emission deterministically by
+    # keeping the MAX_BUCKET smallest ids so one hot bucket cannot explode to
+    # O(n^2) pairs.  Results change only when > MAX_BUCKET mutual near-dups
+    # share a band — and then every kept doc still pairs with a representative.
+    MAX_BUCKET = 512
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -93,6 +89,11 @@ def minhash_lsh_candidates(
                  "est_jaccard_x1000": pa.array([], pa.int64())}
             )
         ids = group[id_col].to_numpy(zero_copy_only=False)
+        if n > MAX_BUCKET:
+            keep = np.argsort(ids)[:MAX_BUCKET]
+            group = group.take(pa.array(keep))
+            ids = ids[keep]
+            n = MAX_BUCKET
         sigs = np.vstack(
             [np.frombuffer(s, dtype=np.int64) for s in group["sig"].to_pylist()]
         )
@@ -142,16 +143,69 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id", shing
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _attach_blob(pairs_ds, blob_ds, key_name: str, out_name: str, carry: list):
+    """Keyed join: attach ``blob_ds``'s (_k, _blob) rows to ``pairs_ds`` on
+    ``pairs[key_name] == _k`` via a union-tag groupby shuffle — no driver-side
+    materialization of either side.  ``carry`` = [(col, pa.type)] columns of
+    ``pairs_ds`` to preserve (besides the join key)."""
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c, _ in carry}
+        cols["_k"] = t[key_name]
+        cols["_blob"] = pa.nulls(t.num_rows, pa.binary())
+        return pa.table(cols)
+
+    def tag_blob(t: pa.Table) -> pa.Table:
+        cols = {c: pa.nulls(t.num_rows, typ) for c, typ in carry}
+        cols["_k"] = t["_k"]
+        cols["_blob"] = t["_blob"]
+        return pa.table(cols)
+
+    unioned = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        blob_ds.map_batches(tag_blob, batch_format="pyarrow")
+    )
+    carry_names = [c for c, _ in carry]
+    empty = pa.table(
+        {**{c: pa.array([], typ) for c, typ in carry},
+         key_name: pa.array([], pa.int64()), out_name: pa.array([], pa.binary())}
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        blob_mask = pa.compute.is_valid(g["_blob"]).to_numpy(zero_copy_only=False)
+        blob_rows = np.flatnonzero(blob_mask)
+        pair_rows = np.flatnonzero(~blob_mask)
+        if blob_rows.size == 0 or pair_rows.size == 0:
+            return empty
+        blob = g["_blob"][int(blob_rows[0])].as_py()
+        sel = g.take(pa.array(pair_rows))
+        cols = {c: sel[c] for c in carry_names}
+        cols[key_name] = sel["_k"]
+        cols[out_name] = pa.array([blob] * pair_rows.size, pa.binary())
+        return pa.table(cols)
+
+    return unioned.groupby("_k").map_groups(merge, batch_format="pyarrow")
+
+
+def shingle_set_table(ds, id_col="doc_id", text_col="text", shingle_k=3):
+    """(_k=id, _blob=sorted unique shingle hashes as raw uint64 bytes)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        blobs = [
+            np.unique(textops._shingle_hashes(t, shingle_k)).tobytes()
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table({"_k": batch[id_col], "_blob": pa.array(blobs, pa.binary())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", shingle_k=3, min_x1000=300):
     """Exact n-gram Jaccard: LSH candidates -> TRUE shingle-set Jaccard
     verification per pair, thresholded on the exact value.
 
-    The verification side-table (id -> text) is broadcast via ``ray.put`` —
-    fine while the candidate-bearing corpus slice fits the object store; the
-    scale path re-joins candidate ids to texts with a keyed shuffle instead.
-    """
-    import ray
-
+    Scale shape: candidate (id_a, id_b) pairs are re-joined to the per-doc
+    shingle-set table with two keyed groupby shuffles (``_attach_blob``) —
+    nothing corpus-sized is ever collected to the driver or broadcast."""
     cands = minhash_lsh_candidates(
         ds, text_col=text_col, id_col=id_col, num_perm=32, bands=8, shingle_k=shingle_k
     )
@@ -159,32 +213,27 @@ def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", shingle_k=3, min_x
 
     uniq = cands.groupby(["id_a", "id_b"]).aggregate(
         Max("est_jaccard_x1000", alias_name="est_jaccard_x1000")
+    ).drop_columns(["est_jaccard_x1000"])
+    shingles = shingle_set_table(ds, id_col, text_col, shingle_k)
+    with_a = _attach_blob(uniq, shingles, "id_a", "sh_a", [("id_b", pa.int64())])
+    with_ab = _attach_blob(
+        with_a, shingles, "id_b", "sh_b", [("id_a", pa.int64()), ("sh_a", pa.binary())]
     )
-    texts = {}
-    for row in ds.map_batches(
-        lambda t: pa.table({id_col: t[id_col], text_col: t[text_col]}), batch_format="pyarrow"
-    ).take_all():
-        texts[row[id_col]] = row[text_col]
-    texts_ref = ray.put(texts)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-            self.shingles: dict = {}
+    def verify(batch: pa.Table) -> pa.Table:
+        ja = np.empty(batch.num_rows, dtype=np.int64)
+        for i, (sa, sb) in enumerate(
+            zip(batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist())
+        ):
+            a = np.frombuffer(sa, dtype=np.uint64)
+            b = np.frombuffer(sb, dtype=np.uint64)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            ja[i] = int(round(inter / union * 1000)) if union else 1000
+        out = pa.table(
+            {"id_a": batch["id_a"], "id_b": batch["id_b"],
+             "jaccard_x1000": pa.array(ja)}
+        )
+        return out.filter(pa.compute.greater_equal(out["jaccard_x1000"], min_x1000))
 
-        def _sh(self, did):
-            if did not in self.shingles:
-                self.shingles[did] = textops._shingle_hashes(self.texts.get(did, ""), shingle_k)
-            return self.shingles[did]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ja = [
-                int(round(textops.jaccard(self._sh(a), self._sh(b)) * 1000))
-                for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
-            ]
-            out = batch.drop_columns(["est_jaccard_x1000"]).append_column(
-                "jaccard_x1000", pa.array(ja, pa.int64())
-            )
-            return out.filter(pa.compute.greater_equal(out["jaccard_x1000"], min_x1000))
-
-    return uniq.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+    return with_ab.map_batches(verify, batch_format="pyarrow")

@@ -86,26 +86,55 @@ def sliding_window(ds, window_s: int, step_s: int, ts_col: str = "ts", key_col: 
 
 
 def session_windows(ds, gap_s: int, ts_col: str = "ts", key_col: str = "user_id",
-                    id_col: str = "event_id"):
+                    id_col: str = "event_id", num_partitions: int = 64):
     """Session windowing per key: a new session starts when the gap to the
     previous event exceeds gap_s.  Returns (user_id, n_sessions,
-    max_session_events).  Ordering contract: (ts, event_id) per key."""
+    max_session_events).  Ordering contract: (ts, event_id) per key.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col], kind="stable")
-        sec = g[ts_col].astype("datetime64[us]").astype(np.int64) // 1_000_000
-        brk = (sec.diff() > gap_s).fillna(False).astype(int)
-        sid = brk.cumsum()
-        sizes = sid.value_counts()
-        return pd.DataFrame(
+    Scale shape: ONE shuffle on a hash partition of the key (not one Python
+    callback per user) — each partition handles all its users in a single
+    vectorized pass (lexsort + run-boundary cumsum + bincount/reduceat)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (u * np.int64(2654435761)) % np.int64(num_partitions)
+        return batch.append_column("_part", pa.array(np.abs(part)))
+
+    empty = pa.table(
+        {key_col: pa.array([], pa.int64()),
+         "n_sessions": pa.array([], pa.int64()),
+         "max_session_events": pa.array([], pa.int64())}
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return empty
+        u = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sec = _epoch_us(g[ts_col]) // 1_000_000
+        eid = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, sec, u))
+        u, sec = u[order], sec[order]
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        sess_start = new_user.copy()
+        sess_start[1:] |= (sec[1:] - sec[:-1]) > gap_s
+        sid = np.cumsum(sess_start) - 1
+        sizes = np.bincount(sid)
+        su = u[sess_start]  # user per session; sessions are contiguous per user
+        ustart = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
+        n_sessions = np.diff(np.r_[ustart, su.size])
+        max_ev = np.maximum.reduceat(sizes, ustart)
+        return pa.table(
             {
-                key_col: [g[key_col].iloc[0]],
-                "n_sessions": [int(sid.nunique())],
-                "max_session_events": [int(sizes.max())],
+                key_col: pa.array(su[ustart]),
+                "n_sessions": pa.array(n_sessions.astype(np.int64)),
+                "max_session_events": pa.array(max_ev.astype(np.int64)),
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_user, batch_format="pandas")
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
 def asof_join(

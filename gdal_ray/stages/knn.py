@@ -9,9 +9,14 @@ GDAL core has no kNN join (nearest-neighbor appears only inside gridding,
    ``argpartition``.  Exact, vectorized, zero shuffle — right up to millions
    of targets.
 
-2. **Best-first STRtree** (``tree=True``): per-point best-first traversal of a
-   packed STRtree over the targets (heap on node mindists) — the north star's
-   scale path when the distance matrix would be too wide.  Same results.
+2. **Cell-partitioned candidate pruning** (``tree=True``): the scale path the
+   survey promised (SURVEY §7.4).  Once per actor, a coarse grid over the
+   target extent precomputes, per cell, the exact candidate set that can
+   contain ANY point-in-cell's k nearest (targets within d_k(cell center) +
+   cell diagonal — a triangle-inequality bound).  Per batch, points are
+   bucketed by cell and each bucket runs one vectorized distance matrix
+   against its (small) candidate set.  Same results as brute, but per-point
+   work is O(|candidates|) instead of O(|targets|).
 
 Ties are broken by target key ascending (deterministic, SQL-mirrorable via
 ``row_number() over (order by dist2, zone_key)``).
@@ -43,11 +48,9 @@ class BroadcastKNN:
         self.k = k
         self.id_col = id_col
         self.chunk = chunk
-        self.tree = None
+        self.cells = None
         if tree:
-            from ..state.strtree import STRtree
-
-            self.tree = STRtree(np.column_stack([self.cx, self.cy, self.cx, self.cy]))
+            self._build_cell_index()
         # preallocated scratch (touched once here): in-place kernels below keep
         # steady-state batches free of fresh-page allocation cost
         m = self.cx.size
@@ -93,33 +96,81 @@ class BroadcastKNN:
                 out_d[s:e] = np.take_along_axis(d2, order, axis=1)
         return out_idx, out_d
 
+    GRID_NX, GRID_NY = 96, 48
+
+    def _build_cell_index(self):
+        """Per-cell exact candidate sets: any point p inside cell c has its
+        true k nearest targets within r(c) = d_k(center(c)) + diag(c)
+        (triangle inequality; + FP margin).  Built ONCE per actor."""
+        k = min(self.k, self.cx.size)
+        pad = 1e-9
+        self.gx0 = float(self.cx.min()) - pad
+        self.gy0 = float(self.cy.min()) - pad
+        gx1 = float(self.cx.max()) + pad
+        gy1 = float(self.cy.max()) + pad
+        self.gdx = (gx1 - self.gx0) / self.GRID_NX
+        self.gdy = (gy1 - self.gy0) / self.GRID_NY
+        ccx = self.gx0 + (np.arange(self.GRID_NX) + 0.5) * self.gdx
+        ccy = self.gy0 + (np.arange(self.GRID_NY) + 0.5) * self.gdy
+        mx, my = np.meshgrid(ccx, ccy)  # (ny, nx)
+        centers_x, centers_y = mx.ravel(), my.ravel()
+        diag = float(np.hypot(self.gdx, self.gdy))
+        ncells = centers_x.size
+        self.cells = [None] * ncells
+        # chunked distance matrix cell-centers x targets; in-place kernels on
+        # ONE preallocated scratch pair (fresh numpy temporaries fault pages —
+        # see BASELINE.md sandbox calibration — so steady-state reuse matters)
+        m = self.cx.size
+        step = max(1, (1 << 21) // max(1, m))
+        d2 = np.empty((min(step, ncells), m))
+        tmp = np.empty_like(d2)
+        wb = np.empty(d2.shape, dtype=bool)
+        for s in range(0, ncells, step):
+            e = min(ncells, s + step)
+            c = e - s
+            np.subtract(centers_x[s:e, None], self.cx[None, :], out=d2[:c])
+            np.multiply(d2[:c], d2[:c], out=d2[:c])
+            np.subtract(centers_y[s:e, None], self.cy[None, :], out=tmp[:c])
+            np.multiply(tmp[:c], tmp[:c], out=tmp[:c])
+            np.add(d2[:c], tmp[:c], out=d2[:c])
+            kth = np.partition(d2[:c], k - 1, axis=1)[:, k - 1]
+            r = np.sqrt(kth) + diag
+            np.less_equal(d2[:c], (r[:, None] + 1e-9) ** 2, out=wb[:c])
+            for ci in range(c):
+                self.cells[s + ci] = np.flatnonzero(wb[ci])
+
     def _topk_tree(self, px: np.ndarray, py: np.ndarray):
+        """Exact kNN via the per-cell candidate sets; points outside the
+        target extent fall back to the brute path (bound doesn't apply)."""
         k = min(self.k, self.cx.size)
         n = px.size
-        total = self.cx.size
         out_idx = np.empty((n, k), dtype=np.int64)
         out_d = np.empty((n, k))
-        for i in range(n):
-            # over-fetch to resolve distance ties by key deterministically;
-            # if the k-th selected distance equals the fetch horizon there may
-            # be unfetched equidistant targets with smaller keys — widen until
-            # the boundary is strictly inside the fetched set (matches the
-            # brute path's spill re-sort)
-            m = k + 8
-            while True:
-                idx, d2 = self.tree.nearest(px[i], py[i], k=min(m, total))
-                order = np.lexsort((self.tkey[idx], d2))[:k]
-                if len(idx) >= total or d2[order[k - 1]] < d2.max():
-                    break
-                m *= 4
-            out_idx[i] = idx[order]
-            out_d[i] = d2[order]
+        ix = np.floor((px - self.gx0) / self.gdx).astype(np.int64)
+        iy = np.floor((py - self.gy0) / self.gdy).astype(np.int64)
+        inside = (ix >= 0) & (ix < self.GRID_NX) & (iy >= 0) & (iy < self.GRID_NY)
+        if (~inside).any():
+            rows = np.flatnonzero(~inside)
+            bi, bd = self._topk_brute(px[rows], py[rows])
+            out_idx[rows], out_d[rows] = bi, bd
+        cell = np.where(inside, iy * self.GRID_NX + ix, -1)
+        for c in np.unique(cell[inside]):
+            rows = np.flatnonzero(cell == c)
+            cand = self.cells[int(c)]
+            d2 = (px[rows, None] - self.cx[cand][None, :]) ** 2 + (
+                py[rows, None] - self.cy[cand][None, :]
+            ) ** 2
+            order = np.lexsort(
+                (np.broadcast_to(self.tkey[cand], d2.shape), d2), axis=1
+            )[:, :k]
+            out_idx[rows] = cand[order]
+            out_d[rows] = np.take_along_axis(d2, order, axis=1)
         return out_idx, out_d
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch["lon"].to_numpy(zero_copy_only=False)
         py = batch["lat"].to_numpy(zero_copy_only=False)
-        if self.tree is not None:
+        if self.cells is not None:
             idx, d2 = self._topk_tree(px, py)
         else:
             idx, d2 = self._topk_brute(px, py)

@@ -51,26 +51,39 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 class LangId:
-    """Stopword-voting language heuristic (actor-pool stage: word lists and
-    regex compiled once per actor)."""
+    """Stopword-voting language heuristic, fully vectorized: tokens are
+    isolated by replacing every non-token run with TWO spaces (so adjacent
+    token matches cannot overlap), then per-stopword occurrence counts come
+    from ``pc.count_substring`` — no per-row Python.  Earliest language wins
+    ties (iteration order en, de, fr, es); zero hits -> 'und'.
+
+    SQL mirror: len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+    x -> x IN (...))) per language + the first-max CASE chain."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"[a-zA-Z']+")
-        self.tables = {lang: frozenset(ws) for lang, ws in _LANG_STOPWORDS.items()}
+        self.langs = list(_LANG_STOPWORDS)
+        self.needles = {
+            lang: [f" {w} " for w in sorted(ws)] for lang, ws in _LANG_STOPWORDS.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        langs = []
-        for t in texts:
-            words = self.word_re.findall((t or "").lower())
-            best, best_hits = "und", 0
-            for lang, stops in self.tables.items():
-                hits = sum(1 for w in words if w in stops)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs.append(best)
-        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        text = pc.fill_null(batch[self.text_col], "")
+        lowered = pc.utf8_lower(text)
+        # two-space separators: " the  the " still yields two " the " matches
+        isolated = pc.replace_substring_regex(lowered, pattern="[^a-z']+", replacement="  ")
+        padded = pc.binary_join_element_wise(
+            pa.scalar(" "), isolated, pa.scalar(" "), pa.scalar("")
+        )
+        n = batch.num_rows
+        hits = np.zeros((len(self.langs), n), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            for needle in self.needles[lang]:
+                hits[li] += pc.count_substring(padded, needle).to_numpy(zero_copy_only=False)
+        best = np.argmax(hits, axis=0)  # first max wins, matching lang order
+        langs_arr = np.array(self.langs + ["und"])
+        best = np.where(hits.max(axis=0) > 0, best, len(self.langs))
+        return batch.append_column("lang_pred", pa.array(langs_arr[best], type=pa.string()))
 
 
 def md5_hex_batch(batch: pa.Table, text_col: str = "text", out: str = "text_md5") -> pa.Table:
@@ -80,15 +93,15 @@ def md5_hex_batch(batch: pa.Table, text_col: str = "text", out: str = "text_md5"
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit rolling (polynomial) document fingerprint — deterministic,
-    order-sensitive digest of the token stream."""
-    fps = []
-    for t in batch[text_col].to_pylist():
-        h = np.uint64(1469598103934665603)  # FNV offset
-        for b in (t or "").encode():
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        fps.append(np.int64(np.uint64(h) - np.uint64(1 << 63)))
-    return batch.append_column("fingerprint", pa.array(np.array(fps, dtype=np.int64)))
+    """64-bit document fingerprint: first 8 bytes of md5(text), little-endian,
+    reinterpreted as int64 (two's complement).  One C-level digest per doc —
+    no per-byte Python (the round-1 FNV loop was orders of magnitude slower) —
+    and SQL-mirrorable via hex-pair arithmetic over DuckDB's md5()."""
+    texts = batch[text_col].to_pylist()
+    fps = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        fps[i] = np.frombuffer(hashlib.md5((t or "").encode()).digest()[:8], dtype=np.uint64)[0]
+    return batch.append_column("fingerprint", pa.array(fps.view(np.int64)))
 
 
 # ---------------------------------------------------------------------------
@@ -136,6 +149,57 @@ def minhash_signature(shingles: np.ndarray, num_perm: int = 64) -> np.ndarray:
     x = (shingles.astype(np.uint64) & np.uint64(0xFFFFFFFF))[None, :]
     vals = (a[:, None] * x + b[:, None]) % _MERSENNE
     return vals.min(axis=1)
+
+
+def minhash_signatures_batch(texts, num_perm: int = 64, shingle_k: int = 5) -> np.ndarray:
+    """(ndocs, num_perm) uint64 signatures for a whole batch in ONE vectorized
+    pass: all shingle hashes are concatenated, the (num_perm x total_shingles)
+    universal-hash matrix is computed once, and per-doc minima come from
+    ``np.minimum.reduceat`` over the doc offsets.  Identical values to
+    per-doc ``minhash_signature`` (same params, same Mersenne61 arithmetic)."""
+    a, b = _minhash_params(num_perm)
+    chunks = [_shingle_hashes(t, shingle_k) for t in texts]
+    if not chunks:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    lens = np.array([c.size for c in chunks], dtype=np.int64)
+    flat = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
+    # _shingle_hashes always returns >= 1 hash (empty text -> hash of "")
+    offsets = np.zeros(len(chunks), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    x = flat.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    out = np.empty((len(chunks), num_perm), dtype=np.uint64)
+    for p in range(num_perm):
+        vals = (a[p] * x + b[p]) % _MERSENNE
+        out[:, p] = np.minimum.reduceat(vals, offsets)
+    return out
+
+
+# per-row-position band-hash constants (31-bit, seeded): band_hash is the
+# SQL-mirrorable modular-linear fold below — constants are inlined into the
+# DuckDB oracle by __ray_entry__.oracle_sql.
+_BAND_K = np.random.default_rng(99991).integers(1, 1 << 31, 64, dtype=np.uint64)
+_BAND_L = np.random.default_rng(88883).integers(1, 1 << 31, 64, dtype=np.uint64)
+
+
+def band_hash_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(ndocs, bands) int64 band hashes, vectorized (no per-(doc,band) digest).
+
+    band_hash = sum_i (K_i * lo_i + L_i * hi_i) mod M61 over the band's rows,
+    where lo/hi split each 61-bit minhash into 32+29 bits so every product
+    stays below 2^63 (uint64-safe); the fold keeps the accumulator < M61 so
+    additions never overflow.  A bucket match therefore requires (w.h.p.
+    1 - ~2^-61) all rows_per_band minhashes to agree — the LSH banding
+    guarantee — and the arithmetic is reproducible in BIGINT SQL."""
+    ndocs, num_perm = sigs.shape
+    r = num_perm // bands
+    grouped = sigs.reshape(ndocs, bands, r)
+    lo = grouped & np.uint64(0xFFFFFFFF)
+    hi = grouped >> np.uint64(32)
+    acc = np.zeros((ndocs, bands), dtype=np.uint64)
+    for i in range(r):
+        acc = (acc + (_BAND_K[i] * lo[:, :, i]) % _MERSENNE) % _MERSENNE
+        acc = (acc + (_BAND_L[i] * hi[:, :, i]) % _MERSENNE) % _MERSENNE
+    return acc.astype(np.int64)
 
 
 def simhash64(shingles: np.ndarray) -> np.int64:
