@@ -330,25 +330,32 @@ def grid_count_q(sf_dir: str):
     pts = _docs_points(sf_dir).map_batches(
         lambda t: t.append_column("value", pa.array(np.zeros(t.num_rows))), batch_format="pyarrow"
     )
-    tiles_out = gridinterp.grid_interpolate(pts, grid, algorithm="count", radius=6.0)
-
-    # tiles with zero points in their halo produce no group, but the oracle's
-    # LEFT JOIN emits every cell — fill missing cells with n=0 (grid is a
-    # fixed 2048 cells, so the driver-side fill is trivial)
-    full = np.zeros((grid.ny, grid.nx), dtype=np.int64)
-    for r in tiles_out.take_all():
-        arr = np.frombuffer(r["data"], dtype=np.float64).reshape(r["height"], r["width"])
-        ty, tx = r["ty"], r["tx"]
-        full[ty * grid.tile : ty * grid.tile + arr.shape[0],
-             tx * grid.tile : tx * grid.tile + arr.shape[1]] = arr.astype(np.int64)
-    gy, gx = np.mgrid[0 : grid.ny, 0 : grid.nx]
-    return pa.table(
-        {
-            "cx": pa.array(gx.ravel().astype(np.int64)),
-            "cy": pa.array(gy.ravel().astype(np.int64)),
-            "n": pa.array(full.ravel()),
-        }
+    # seed_all_tiles makes empty tiles emit too (the oracle's LEFT JOIN emits
+    # every cell), so the query stays a LAZY Dataset end to end — the cell
+    # expansion below is just another map_batches stage
+    tiles_out = gridinterp.grid_interpolate(
+        pts, grid, algorithm="count", radius=6.0, seed_all_tiles=True
     )
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        cxs, cys, ns = [], [], []
+        for i in range(t.num_rows):
+            h, w = t["height"][i].as_py(), t["width"][i].as_py()
+            tx, ty = t["tx"][i].as_py(), t["ty"][i].as_py()
+            arr = np.frombuffer(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
+            gy, gx = np.mgrid[0:h, 0:w]
+            cxs.append((gx + tx * grid.tile).ravel().astype(np.int64))
+            cys.append((gy + ty * grid.tile).ravel().astype(np.int64))
+            ns.append(arr.ravel().astype(np.int64))
+        if not cxs:
+            return pa.table({"cx": pa.array([], pa.int64()), "cy": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table(
+            {"cx": pa.array(np.concatenate(cxs)), "cy": pa.array(np.concatenate(cys)),
+             "n": pa.array(np.concatenate(ns))}
+        )
+
+    return tiles_out.map_batches(to_cells, batch_format="pyarrow")
 
 
 def dedup_exact_q(sf_dir: str):
@@ -385,8 +392,13 @@ def embedding_topk_q(sf_dir: str):
 
 
 def embedding_neardup_q(sf_dir: str):
+    """Near-dup pairs via the SCALE plan: LSH bucket shuffle + within-bucket
+    exact cosine rerank (no driver-side materialization; the brute
+    ``cosine_neardup_pairs`` remains as the small-input fallback).  Params
+    chosen so OR-construction recall at the threshold is ~1 (worst qualifying
+    pair recall 0.99996; exact-match verified against the brute oracle)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = sim.cosine_neardup_pairs(ds, threshold=NEARDUP_THRESHOLD)
+    out = sim.lsh_bucket_pairs(ds, nplanes=3, ntables=32, threshold=NEARDUP_THRESHOLD)
     return out.select_columns(["id_a", "id_b"])
 
 

@@ -41,11 +41,14 @@ def grid_interpolate(
     x_col: str = "lon",
     y_col: str = "lat",
     v_col: str = "value",
+    seed_all_tiles: bool = False,
 ):
     """algorithm: 'invdist' | 'nearest' | 'average' | 'count'.
     radius = search radius in world units (0 => invdist uses all points in
     tile+halo — halo must then cover the data extent, so pass a radius for
-    distributed runs; nearest uses the nearest point within tile+halo)."""
+    distributed runs; nearest uses the nearest point within tile+halo).
+    seed_all_tiles: emit every output tile even when no point falls in its
+    halo (NaN seed rows union'd in; they never satisfy a radius test)."""
     halo = radius if radius > 0 else max(grid.dx, grid.dy) * grid.tile
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -74,6 +77,18 @@ def grid_interpolate(
         )
 
     expanded = points_ds.map_batches(expand, batch_format="pyarrow")
+    if seed_all_tiles:
+        import ray.data as rd
+
+        ntiles = grid.ntx * grid.nty
+        nanv = np.full(ntiles, np.nan)
+        seeds = pa.table(
+            {
+                "tile_id": pa.array(np.arange(ntiles, dtype=np.int64)),
+                "px": pa.array(nanv), "py": pa.array(nanv), "pv": pa.array(nanv),
+            }
+        )
+        expanded = expanded.union(rd.from_arrow(seeds))
 
     def per_tile(group: pa.Table) -> pa.Table:
         tid = int(group["tile_id"][0].as_py())

@@ -97,6 +97,13 @@ def proximity(tiles_ds, target_value: float | None = None, nodata: float = 0.0):
         arrs = [_arr(group, int(i)) for i in order]
         ys = [group["y"][int(i)].as_py() for i in order]
         x = group["x"][0].as_py()
+        # the vstack below treats tiles as vertically adjacent: a sparse mosaic
+        # (missing tile in this column) or ragged heights would silently
+        # compute distances across the gap — fail loudly instead
+        if ys != list(range(ys[0], ys[0] + len(ys))):
+            raise ValueError(f"proximity: non-contiguous tile column x={x}: ys={ys}")
+        if any(a.shape != arrs[0].shape for a in arrs):
+            raise ValueError(f"proximity: ragged tile shapes in column x={x}")
         stack = np.vstack(arrs).astype(np.float64)
         targets = stack == target_value if target_value is not None else stack != nodata
         d = _vertical_pass(stack, targets)
@@ -123,6 +130,8 @@ def proximity(tiles_ds, target_value: float | None = None, nodata: float = 0.0):
         y = group["y"][0].as_py()
         h = group["height"][0].as_py()
         w = group["width"][0].as_py()
+        if xs != list(range(xs[0], xs[0] + len(xs))):
+            raise ValueError(f"proximity: non-contiguous tile row y={y}: xs={xs}")
         strip = np.hstack(
             [np.frombuffer(group["g2"][int(i)].as_py(), dtype=np.float64).reshape(h, w)
              for i in order]

@@ -35,41 +35,46 @@ def viewshed_array(dem: np.ndarray, ox: int, oy: int, observer_height: float = 0
     n = n_steps or int(np.ceil(dist.max())) + 1
     if n < 2:
         return np.ones((h, w), dtype=bool)
-    # interior sample fractions (exclusive of endpoints)
-    t = (np.arange(1, n, dtype=np.float64) / n)[:, None, None]
-    sx = ox + t * dx[None, :, :]
-    sy = oy + t * dy[None, :, :]
-    # bilinear sample of the DEM at (sx, sy)
-    x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 2)
-    y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 2)
-    fx = np.clip(sx - x0, 0.0, 1.0)
-    fy = np.clip(sy - y0, 0.0, 1.0)
-    z = (
-        dem[y0, x0] * (1 - fx) * (1 - fy)
-        + dem[y0, x0 + 1] * fx * (1 - fy)
-        + dem[y0 + 1, x0] * (1 - fx) * fy
-        + dem[y0 + 1, x0 + 1] * fx * fy
-    )
     with np.errstate(divide="ignore", invalid="ignore"):
-        # angle (slope) of each interior sample vs of the target itself
-        samp_slope = (z - obs_z) / (t[:, :, :] * dist[None, :, :] + 1e-300)
         tgt_slope = (dem - obs_z) / np.where(dist == 0, 1.0, dist)
-    # a sample exactly ON the target's own sight line has equal slope; use a
-    # tiny tolerance so the target doesn't occlude itself
-    blocked = (samp_slope > tgt_slope[None, :, :] + 1e-12) & (
-        t * dist[None, :, :] < dist[None, :, :] - 1e-9
-    )
-    vis = ~blocked.any(axis=0)
+    # iterate over ray steps with an O(H x W) running 'blocked' accumulator —
+    # never materializing the (n_steps, H, W) stack (which for a 512x512
+    # window would be tens of GB)
+    blocked = np.zeros((h, w), dtype=bool)
+    for step in range(1, n):
+        t = step / n
+        sx = ox + t * dx
+        sy = oy + t * dy
+        # bilinear sample of the DEM at (sx, sy)
+        x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 2)
+        y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 2)
+        fx = np.clip(sx - x0, 0.0, 1.0)
+        fy = np.clip(sy - y0, 0.0, 1.0)
+        z = (
+            dem[y0, x0] * (1 - fx) * (1 - fy)
+            + dem[y0, x0 + 1] * fx * (1 - fy)
+            + dem[y0 + 1, x0] * (1 - fx) * fy
+            + dem[y0 + 1, x0 + 1] * fx * fy
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            samp_slope = (z - obs_z) / (t * dist + 1e-300)
+        # a sample exactly ON the target's own sight line has equal slope; a
+        # tiny tolerance keeps the target from occluding itself
+        blocked |= (samp_slope > tgt_slope + 1e-12) & (t * dist < dist - 1e-9)
+    vis = ~blocked
     vis[oy, ox] = True
     return vis
 
 
-def viewshed(tiles_ds, observer_x: int, observer_y: int, observer_height: float = 0.0):
+def viewshed(tiles_ds, observer_x: int, observer_y: int, observer_height: float = 0.0,
+             tile_size: int | None = None):
     """Per-tile viewshed: each tile whose pixel grid contains the observer
     computes visibility inside itself (observer given in GLOBAL pixel
-    coordinates; tiles not containing structure still evaluate against the
-    observer position projected into their local window via the assembled
-    neighborhood — round-1 scope: observer inside the tile)."""
+    coordinates; round-1 scope: observer inside the tile).
+
+    ``tile_size``: the nominal (grid-pitch) tile size — REQUIRED for mosaics
+    with partial edge tiles, where a tile's own width/height is not the global
+    pitch; defaults to each tile's own size (single-tile / uniform case)."""
 
     def per_tile(batch: pa.Table) -> pa.Table:
         from .focal import _dtype_of
@@ -80,8 +85,8 @@ def viewshed(tiles_ds, observer_x: int, observer_y: int, observer_height: float 
             w = batch["width"][i].as_py()
             tx = batch["x"][i].as_py()
             ty = batch["y"][i].as_py()
-            lx = observer_x - tx * w
-            ly = observer_y - ty * h
+            lx = observer_x - tx * (tile_size or w)
+            ly = observer_y - ty * (tile_size or h)
             if not (0 <= lx < w and 0 <= ly < h):
                 continue
             dem = np.frombuffer(
