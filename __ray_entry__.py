@@ -45,6 +45,109 @@ zz AS (
 """
 
 
+def _hex_u64(hcol: str) -> str:
+    """SQL expression: uint64 (as HUGEINT) from the FIRST 8 bytes of a 32-char
+    md5 hex string column, little-endian — mirrors np.frombuffer(md5.digest()
+    [:8], uint64).  strpos('123456789abcdef', c) maps hex char -> value
+    (0 for '0' since strpos returns 0 on no-match)."""
+    terms = []
+    for i in range(1, 9):
+        terms.append(
+            f"CAST(strpos('123456789abcdef', substr({hcol}, {2 * i - 1}, 1)) AS HUGEINT)"
+            f" * {1 << (8 * (i - 1) + 4)}"
+        )
+        terms.append(
+            f"strpos('123456789abcdef', substr({hcol}, {2 * i}, 1))"
+            f" * {1 << (8 * (i - 1))}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_U64_TO_I64 = (
+    "CAST(CASE WHEN {v} >= 9223372036854775808 THEN {v} - 18446744073709551616 "
+    "ELSE {v} END AS BIGINT)"
+)
+
+_M61 = (1 << 61) - 1
+
+
+def _shingle_cte(shingle_k: int, source: str = "documents") -> str:
+    """CTEs w/g/hx/xs: word shingles of each doc -> md5 hex -> uint64 hash.
+    Mirrors textops._shingle_hashes (k-word grams; <k words -> one gram of all
+    words; no words -> the empty gram)."""
+    return f"""
+w AS (SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ws FROM {source}),
+g AS (SELECT doc_id,
+        CASE WHEN len(ws) >= {shingle_k} THEN array_to_string(ws[i.i:i.i+{shingle_k - 1}], ' ')
+             WHEN len(ws) > 0 THEN array_to_string(ws, ' ')
+             ELSE '' END AS gram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-{shingle_k - 1}, 1))) AS i) i),
+hx AS (SELECT doc_id, md5(gram) AS h FROM g),
+xs AS (SELECT doc_id, {_hex_u64('h')} AS x FROM hx)
+"""
+
+
+def _minhash_ctes(num_perm: int, bands: int) -> str:
+    """CTEs params/mh/bk/bh: minhash signatures + band hashes, with the
+    engine's seeded universal-hash and band-fold constants inlined as
+    literals (same spec, independent SQL recomputation from the text)."""
+    from gdal_ray.stages import textops
+
+    a, b = textops._minhash_params(num_perm)
+    r = num_perm // bands
+    params = ", ".join(f"({p}, {int(a[p])}, {int(b[p])})" for p in range(num_perm))
+    bk = ", ".join(
+        f"({i}, {int(textops._BAND_K[i])}, {int(textops._BAND_L[i])})" for i in range(r)
+    )
+    return f"""
+params(p, a, b) AS (VALUES {params}),
+mh AS (SELECT doc_id, p, min((a * (x % 4294967296) + b) % {_M61}) AS sig
+       FROM xs, params GROUP BY doc_id, p),
+bk(i, kk, ll) AS (VALUES {bk}),
+bh AS (SELECT doc_id, p // {r} AS band_id,
+              CAST(sum((kk * CAST(sig % 4294967296 AS HUGEINT)) % {_M61}
+                     + (ll * CAST(sig // 4294967296 AS HUGEINT)) % {_M61}) % {_M61} AS BIGINT)
+                AS band_hash
+       FROM mh JOIN bk ON bk.i = mh.p % {r}
+       GROUP BY doc_id, band_id),
+cand AS (SELECT DISTINCT a1.doc_id AS id_a, b1.doc_id AS id_b
+         FROM bh a1 JOIN bh b1 ON a1.band_id = b1.band_id
+                               AND a1.band_hash = b1.band_hash
+                               AND a1.doc_id < b1.doc_id)
+"""
+
+
+_LANG_STOPWORDS_SQL = {
+    "en": ("the", "and", "of", "a", "to", "in", "is", "it", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+}
+
+
+def _langid_sql() -> str:
+    """Stopword-vote language id: per-lang token-hit counts + first-max CASE
+    chain (earlier language wins ties, all-zero -> 'und') — mirrors
+    textops.LangId exactly."""
+    hits = []
+    for lang, words in _LANG_STOPWORDS_SQL.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        hits.append(
+            f"len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),"
+            f" x -> x IN ({inlist}))) AS {lang}"
+        )
+    return f"""
+        WITH h AS (SELECT doc_id, {", ".join(hits)} FROM documents)
+        SELECT doc_id,
+               CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+                    WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+                    WHEN fr > 0 AND fr >= es THEN 'fr'
+                    WHEN es > 0 THEN 'es'
+                    ELSE 'und' END AS lang_pred
+        FROM h
+    """
+
+
 def _tile_expr(z: int) -> str:
     n = float(1 << z)
     hi = (1 << z) - 1
@@ -125,11 +228,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewshed": q.viewshed_q,
         "palette_median_cut": q.palette_q,
         "media_features": q.media_features_q,
-        # rows-only (non-SQL-expressible)
+        # text sketches / near-dup (oracle-checked via SQL recomputation)
         "langid": q.langid_q,
         "fingerprint": q.fingerprint_q,
         "minhash_lsh_pairs": q.minhash_lsh_q,
         "simhash_signatures": q.simhash_q,
+        "ngram_jaccard_pairs": q.ngram_jaccard_q,
     }
 
 
@@ -426,5 +530,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "fingerprint": f"""
+            WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+            f AS (SELECT doc_id, {_hex_u64('h')} AS v FROM h)
+            SELECT doc_id, {_U64_TO_I64.format(v='v')} AS fingerprint FROM f
+        """,
+        "langid": _langid_sql(),
+        "simhash_signatures": f"""
+            WITH {_shingle_cte(3)},
+            pw(j, pj) AS (VALUES {", ".join(f"({j}, {1 << j}::HUGEINT)" for j in range(64))}),
+            bits AS (SELECT doc_id, j,
+                            sum(CASE WHEN (x // pj) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+                     FROM xs, pw GROUP BY doc_id, j),
+            val AS (SELECT b.doc_id,
+                           sum(CASE WHEN b.votes > 0 THEN p.pj ELSE 0::HUGEINT END) AS v
+                    FROM bits b JOIN pw p ON p.j = b.j GROUP BY b.doc_id)
+            SELECT doc_id, {_U64_TO_I64.format(v='v')} AS simhash FROM val
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_shingle_cte(5)}, {_minhash_ctes(64, 16)},
+            est AS (SELECT c.id_a, c.id_b,
+                           (sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END) * 1000) // 64
+                             AS est_jaccard_x1000
+                    FROM cand c
+                    JOIN mh ma ON ma.doc_id = c.id_a
+                    JOIN mh mb ON mb.doc_id = c.id_b AND mb.p = ma.p
+                    GROUP BY c.id_a, c.id_b)
+            SELECT id_a, id_b, CAST(est_jaccard_x1000 AS BIGINT) AS est_jaccard_x1000
+            FROM est WHERE est_jaccard_x1000 >= 500
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_shingle_cte(3)}, {_minhash_ctes(32, 8)},
+            sh AS (SELECT DISTINCT doc_id, x FROM xs),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+                      FROM cand c
+                      JOIN sh sa ON sa.doc_id = c.id_a
+                      JOIN sh sb ON sb.doc_id = c.id_b AND sb.x = sa.x
+                      GROUP BY c.id_a, c.id_b),
+            jac AS (SELECT c.id_a, c.id_b,
+                           (2000 * COALESCE(i.ni, 0)
+                            + (ca.n + cb.n - COALESCE(i.ni, 0)))
+                           // (2 * (ca.n + cb.n - COALESCE(i.ni, 0))) AS jaccard_x1000
+                    FROM cand c
+                    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+                    JOIN cnt ca ON ca.doc_id = c.id_a
+                    JOIN cnt cb ON cb.doc_id = c.id_b)
+            SELECT id_a, id_b, CAST(jaccard_x1000 AS BIGINT) AS jaccard_x1000
+            FROM jac WHERE jaccard_x1000 >= 300
         """,
     }

@@ -800,6 +800,13 @@ def minhash_lsh_q(sf_dir: str):
     return dedup.minhash_lsh_dedup_pairs(ds, min_jaccard_x1000=500)
 
 
+def ngram_jaccard_q(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (LSH candidates -> true shingle-set
+    verification via keyed joins — no corpus materialization)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.ngram_jaccard_pairs(ds, min_x1000=300)
+
+
 def simhash_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.simhash_signatures(ds)

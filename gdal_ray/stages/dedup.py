@@ -229,7 +229,8 @@ def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", shingle_k=3, min_x
             b = np.frombuffer(sb, dtype=np.uint64)
             inter = np.intersect1d(a, b, assume_unique=True).size
             union = a.size + b.size - inter
-            ja[i] = int(round(inter / union * 1000)) if union else 1000
+            # exact integer round-half-up == SQL round(1000.0 * i / u)
+            ja[i] = (2000 * inter + union) // (2 * union) if union else 1000
         out = pa.table(
             {"id_a": batch["id_a"], "id_b": batch["id_b"],
              "jaccard_x1000": pa.array(ja)}
