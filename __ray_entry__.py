@@ -117,6 +117,519 @@ cand AS (SELECT DISTINCT a1.doc_id AS id_a, b1.doc_id AS id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Raster-fixture oracle SQL (mirrors gdal_ray.sources.synthetic closed forms)
+# ---------------------------------------------------------------------------
+
+
+def _blobs_cte(nx: int, ny: int, size: int = 64) -> str:
+    """px/pv CTEs: the 'blobs' fixture pixel table (gx, gy, v) — six
+    deterministic discs painted in order b=0..5 (later overwrites), so
+    v = max matching b + 1, else 0 (synthetic.make_raster_tiles)."""
+    W, H = nx * size, ny * size
+    discs = ", ".join(
+        f"({b}, {(b * 157) % W}, {(b * 211) % H}, {10 + (b * 7) % 20})" for b in range(6)
+    )
+    return f"""
+px AS (SELECT a.range AS gx, b.range AS gy FROM range({W}) a, range({H}) b),
+discs(b, cx, cy, r) AS (VALUES {discs}),
+pv AS (SELECT gx, gy,
+         COALESCE(max(CASE WHEN (gx-cx)*(gx-cx) + (gy-cy)*(gy-cy) <= r*r
+                           THEN b END) + 1, 0) AS v
+       FROM px CROSS JOIN discs GROUP BY gx, gy)
+"""
+
+
+def _tile_checksum_sql(val_expr: str, tile: int, src: str,
+                       xcol: str = "gx", ycol: str = "gy") -> str:
+    """Per-tile checksum SELECT: sum(int(v) * ((local_idx % 7) + 1)) % 65536
+    with LOCAL row-major pixel index (functions/checksum.tile_checksum)."""
+    return f"""
+SELECT CAST({xcol} // {tile} AS INTEGER) AS x, CAST({ycol} // {tile} AS INTEGER) AS y,
+       CAST(sum(CAST({val_expr} AS BIGINT)
+                * ((({ycol} % {tile}) * {tile} + {xcol} % {tile}) % 7 + 1)) % 65536
+            AS BIGINT) AS checksum
+FROM {src} GROUP BY 1, 2
+"""
+
+
+def _hillshade_sql() -> str:
+    """gdaldem hillshade over the 3x3 ramp mosaic: Horn 3x3 gradients with
+    edge replication (== coordinate clamping on the closed-form ramp),
+    res=1, z_factor=1, azimuth=315, altitude=45 (stages/focal.py)."""
+    W = H = 192
+
+    def val(dx: int, dy: int) -> str:
+        cx = f"LEAST(GREATEST(gx+{dx},0),{W - 1})" if dx else "gx"
+        cy = f"LEAST(GREATEST(gy+{dy},0),{H - 1})" if dy else "gy"
+        return f"CAST({cx} + {cy} AS DOUBLE)"
+
+    a, b, c = val(-1, -1), val(0, -1), val(1, -1)
+    d, f = val(-1, 0), val(1, 0)
+    g, h, i = val(-1, 1), val(0, 1), val(1, 1)
+    return f"""
+        WITH px AS (SELECT a.range AS gx, b.range AS gy FROM range({W}) a, range({H}) b),
+        gr AS (SELECT gx, gy,
+                 (({c} + 2*{f} + {i}) - ({a} + 2*{d} + {g})) / 8.0 AS dzdx,
+                 (({g} + 2*{h} + {i}) - ({a} + 2*{b} + {c})) / 8.0 AS dzdy
+               FROM px),
+        sh AS (SELECT gx, gy,
+                 LEAST(GREATEST(
+                   (sin(radians(45.0)) * cos(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+                  + cos(radians(45.0)) * sin(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+                    * cos(radians(360.0 - 315.0 + 90.0) - atan2(dzdy, -dzdx))) * 254.0 + 1.0,
+                   1.0), 255.0) AS v
+               FROM gr)
+        {_tile_checksum_sql("trunc(v)", 64, "sh")}
+    """
+
+
+def _proximity_sql() -> str:
+    """Exact EDT over the 3x3 blobs mosaic: min squared distance to any
+    non-zero pixel, distance x100 rounded (stages/proximity.py)."""
+    return f"""
+        WITH {_blobs_cte(3, 3)},
+        tg AS (SELECT gx, gy FROM pv WHERE v > 0),
+        dmin AS (SELECT p.gx, p.gy,
+                        min((p.gx-t.gx)*(p.gx-t.gx) + (p.gy-t.gy)*(p.gy-t.gy)) AS d2
+                 FROM px p CROSS JOIN tg t GROUP BY p.gx, p.gy)
+        {_tile_checksum_sql("round(100.0 * sqrt(CAST(d2 AS DOUBLE)))", 64, "dmin")}
+    """
+
+
+def _fill_nodata_sql() -> str:
+    """IDW fill of the checker fixture's nodata (0) pixels from valid pixels
+    within Chebyshev distance 8 (stages/fillpalette.fill_nodata); mosaic
+    borders hold nodata (no wraparound)."""
+    W = H = 192
+    return f"""
+        WITH px AS (SELECT a.range AS gx, b.range AS gy FROM range({W}) a, range({H}) b),
+        pv AS (SELECT gx, gy, ((gx // 8 + gy // 8) % 2) * 255 AS v FROM px),
+        offs AS (SELECT a.range AS dx, b.range AS dy
+                 FROM range(-8, 9) a, range(-8, 9) b
+                 WHERE NOT (a.range = 0 AND b.range = 0)),
+        fills AS (SELECT h.gx, h.gy,
+                         sum(255.0 * (1.0 / CAST(dx*dx + dy*dy AS DOUBLE)))
+                       / sum(1.0 / CAST(dx*dx + dy*dy AS DOUBLE)) AS f
+                  FROM pv h CROSS JOIN offs
+                  JOIN pv nb ON nb.gx = h.gx + dx AND nb.gy = h.gy + dy
+                  WHERE h.v = 0 AND nb.v = 255
+                  GROUP BY h.gx, h.gy),
+        outv AS (SELECT p.gx, p.gy,
+                        CASE WHEN p.v = 255 THEN 25500.0
+                             ELSE COALESCE(round(100.0 * f.f), 0.0) END AS v100
+                 FROM pv p LEFT JOIN fills f ON f.gx = p.gx AND f.gy = p.gy)
+        {_tile_checksum_sql("v100", 64, "outv")}
+    """
+
+
+def _nearblack_sql() -> str:
+    """nearblack: near-black (v <= 0.5) pixels 4-connected to the mosaic edge
+    become nodata 254; interior dark blobs survive (stages/collar.nearblack).
+    The flood is a recursive CTE BFS from the edge rows/columns."""
+    return f"""
+        WITH RECURSIVE {_blobs_cte(3, 3)},
+        bg AS (SELECT gx, gy FROM pv WHERE v = 0),
+        nb(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+        flood(gx, gy) AS (
+            SELECT gx, gy FROM bg WHERE gx = 0 OR gx = 191 OR gy = 0 OR gy = 191
+            UNION
+            SELECT b.gx, b.gy
+            FROM flood f JOIN nb ON true
+            JOIN bg b ON b.gx = f.gx + nb.dx AND b.gy = f.gy + nb.dy
+        ),
+        clean AS (SELECT p.gx, p.gy,
+                         CASE WHEN p.v = 0 AND fl.gx IS NOT NULL THEN 254 ELSE p.v END AS v
+                  FROM pv p LEFT JOIN flood fl ON fl.gx = p.gx AND fl.gy = p.gy)
+        {_tile_checksum_sql("v", 64, "clean")}
+    """
+
+
+def _viewshed_sql() -> str:
+    """R3 line-of-sight viewshed on the integer DEM (observer (32,32),
+    height 2): mirrors stages/viewshed.viewshed_array step arithmetic
+    (bilinear ray samples, slope tolerance 1e-12, endpoint guard 1e-9)."""
+    dem = "CAST((({x}*73 + {y}*151) % 37) + (({x}*{y}) % 11) * 3 AS DOUBLE)"
+    d00 = dem.format(x="x0", y="y0")
+    d01 = dem.format(x="(x0+1)", y="y0")
+    d10 = dem.format(x="x0", y="(y0+1)")
+    d11 = dem.format(x="(x0+1)", y="(y0+1)")
+    return f"""
+        WITH g AS (SELECT a.range AS x, b.range AS y FROM range(64) a, range(64) b),
+        t AS (SELECT x, y, {dem.format(x='x', y='y')} AS z,
+                     sqrt(CAST((x-32)*(x-32) + (y-32)*(y-32) AS DOUBLE)) AS dist
+              FROM g),
+        obs AS (SELECT z + 2.0 AS oz FROM t WHERE x = 32 AND y = 32),
+        nn AS (SELECT CAST(ceil(max(dist)) AS BIGINT) + 1 AS n FROM t),
+        samp AS (SELECT t.x, t.y, t.z, t.dist, obs.oz,
+                        CAST(s.s AS DOUBLE) / CAST(nn.n AS DOUBLE) AS tt
+                 FROM t, obs, nn,
+                      LATERAL (SELECT unnest(generate_series(1, nn.n - 1)) AS s) s),
+        ev AS (SELECT x, y, z, dist, oz, tt,
+                      LEAST(GREATEST(CAST(floor(32 + tt*(x-32)) AS BIGINT), 0), 62) AS x0,
+                      LEAST(GREATEST(CAST(floor(32 + tt*(y-32)) AS BIGINT), 0), 62) AS y0,
+                      32 + tt*(x-32) AS sx, 32 + tt*(y-32) AS sy
+               FROM samp),
+        ev2 AS (SELECT x, y, z, dist, oz, tt, x0, y0,
+                       LEAST(GREATEST(sx - x0, 0.0), 1.0) AS fx,
+                       LEAST(GREATEST(sy - y0, 0.0), 1.0) AS fy
+                FROM ev),
+        blocked AS (
+            SELECT DISTINCT x, y FROM ev2
+            WHERE (({d00} * (1-fx) * (1-fy) + {d01} * fx * (1-fy)
+                  + {d10} * (1-fx) * fy + {d11} * fx * fy) - oz) / (tt*dist + 1e-300)
+                  > (z - oz) / (CASE WHEN dist = 0 THEN 1.0 ELSE dist END) + 1e-12
+              AND tt*dist < dist - 1e-9)
+        SELECT CAST(0 AS INTEGER) AS x, CAST(0 AS INTEGER) AS y,
+               CAST(4096 - (SELECT count(*) FROM blocked) AS BIGINT) AS n_visible
+    """
+
+
+def _footprint_sql() -> str:
+    """Footprint of the rects fixture: per-rectangle component stats incl.
+    n_fragments = number of per-tile pieces (a rect x tile intersection is
+    one fragment)."""
+    from gdal_ray.sources.synthetic import RECTS
+
+    rect_vals = ", ".join(f"({i}, {x0}, {y0}, {x1}, {y1})" for i, (x0, y0, x1, y1) in enumerate(RECTS))
+    return f"""
+        WITH px AS (SELECT a.range AS gx, b.range AS gy FROM range(192) a, range(192) b),
+        rects(rid, x0, y0, x1, y1) AS (VALUES {rect_vals}),
+        rp AS (SELECT rid, gx, gy FROM px JOIN rects
+               ON gx >= x0 AND gx < x1 AND gy >= y0 AND gy < y1)
+        SELECT CAST(1 AS DOUBLE) AS value,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(min(gx) AS BIGINT) AS minx, CAST(min(gy) AS BIGINT) AS miny,
+               CAST(max(gx) AS BIGINT) AS maxx, CAST(max(gy) AS BIGINT) AS maxy,
+               CAST(count(DISTINCT (gx // 64) * 1000 + gy // 64) AS BIGINT) AS n_fragments
+        FROM rp GROUP BY rid
+    """
+
+
+def _palette_sql() -> str:
+    """Median-cut palette over four solid-color tiles: each color occupies one
+    5-bit bucket, so the cut isolates the buckets and each palette entry is
+    the bucket average rescaled (stages/fillpalette.median_cut)."""
+    from gdal_ray.pipelines.queries import PALETTE_BASE
+
+    base = ", ".join(f"({r}, {g}, {b})" for r, g, b in PALETTE_BASE)
+    return f"""
+        WITH base(r, g, b) AS (VALUES {base}),
+        pal AS (SELECT (r // 8) * 8 + 4 AS r, (g // 8) * 8 + 4 AS g,
+                       (b // 8) * 8 + 4 AS b FROM base)
+        SELECT row_number() OVER (ORDER BY r, g, b) - 1 AS idx,
+               CAST(r AS BIGINT) AS r, CAST(g AS BIGINT) AS g, CAST(b AS BIGINT) AS b
+        FROM pal
+    """
+
+
+def _contour_sql() -> str:
+    """Marching-squares contour over the 3x2 ramp mosaic at half-integer
+    levels: per-cell corner codes + edge-interpolated segment endpoints
+    (stages/contour.marching_squares_cells; the 12 single-segment cases —
+    saddles 5/10 are impossible on a monotone ramp since tl < br always),
+    polyline count via segments - shared-endpoint joints (valid for the
+    non-branching chains a linear ramp produces)."""
+    # corners of cell (c, r): tl = c+r, tr = c+1+r, bl = c+r+1, br = c+r+2
+    corners = {"a": "(c + r)", "b": "(c + 1 + r)", "d": "(c + r + 1)", "cc": "(c + r + 2)"}
+
+    def interp(v0: str, v1: str) -> str:
+        return (f"LEAST(GREATEST((level - {v0}) / "
+                f"(CASE WHEN {v1} = {v0} THEN 1.0 ELSE CAST({v1} - {v0} AS DOUBLE) END),"
+                f" 0.0), 1.0)")
+
+    pts = {
+        "top": (f"c + {interp(corners['a'], corners['b'])}", "CAST(r AS DOUBLE)"),
+        "right": ("CAST(c + 1 AS DOUBLE)", f"r + {interp(corners['b'], corners['cc'])}"),
+        "bottom": (f"c + {interp(corners['d'], corners['cc'])}", "CAST(r + 1 AS DOUBLE)"),
+        "left": ("CAST(c AS DOUBLE)", f"r + {interp(corners['a'], corners['d'])}"),
+    }
+    table = {1: ("left", "top"), 2: ("top", "right"), 3: ("left", "right"),
+             4: ("right", "bottom"), 6: ("top", "bottom"), 7: ("left", "bottom"),
+             8: ("bottom", "left"), 9: ("bottom", "top"), 11: ("bottom", "right"),
+             12: ("right", "left"), 13: ("right", "top"), 14: ("top", "left")}
+
+    def case_expr(which: int, axis: int) -> str:
+        branches = " ".join(
+            f"WHEN {code} THEN {pts[ends[which]][axis]}" for code, ends in table.items()
+        )
+        return f"CASE code {branches} END"
+
+    return f"""
+        WITH cells AS (SELECT a.range AS c, b.range AS r FROM range(191) a, range(127) b),
+        lv(level) AS (VALUES (30.5), (80.5), (130.5)),
+        cs AS (SELECT level, c, r,
+                 (CASE WHEN (c + r) >= level THEN 1 ELSE 0 END)
+               + (CASE WHEN (c + 1 + r) >= level THEN 2 ELSE 0 END)
+               + (CASE WHEN (c + r + 2) >= level THEN 4 ELSE 0 END)
+               + (CASE WHEN (c + r + 1) >= level THEN 8 ELSE 0 END) AS code
+               FROM cells, lv),
+        seg AS (SELECT level,
+                       {case_expr(0, 0)} AS x0, {case_expr(0, 1)} AS y0,
+                       {case_expr(1, 0)} AS x1, {case_expr(1, 1)} AS y1
+                FROM cs WHERE code NOT IN (0, 15)),
+        ends AS (SELECT level, CAST(round(x0 / 1e-9) AS BIGINT) AS kx,
+                        CAST(round(y0 / 1e-9) AS BIGINT) AS ky FROM seg
+                 UNION ALL
+                 SELECT level, CAST(round(x1 / 1e-9) AS BIGINT),
+                        CAST(round(y1 / 1e-9) AS BIGINT) FROM seg),
+        joints AS (SELECT level, sum(cnt - 1) AS nj FROM
+                     (SELECT level, kx, ky, count(*) AS cnt FROM ends GROUP BY 1, 2, 3)
+                   GROUP BY level)
+        SELECT s.level,
+               CAST(count(*) - COALESCE(any_value(j.nj), 0) AS BIGINT) AS n_polylines,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(round(sum(sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0))) * 1e6) AS BIGINT)
+                 AS total_len_x1e6
+        FROM seg s LEFT JOIN joints j ON j.level = s.level
+        GROUP BY s.level
+    """
+
+
+def _tile_pyramid_sql() -> str:
+    """Warp the 256x256 EPSG:4326 ramp to z4 XYZ tiles (nearest kernel) and
+    reduce to z3/z2 overviews — mirrors stages/pyramid.TileWarper /
+    build_overview arithmetic with the engine's own float constants inlined
+    (inverse geotransform, mercator origin), nodata 0 outside the source."""
+    import numpy as np
+
+    from gdal_ray.functions import geo
+
+    O = geo.ORIGIN_SHIFT
+    size4 = 2.0 * O / 16.0
+    gt = (-60.0, 120.0 / 256, 0.0, 60.0, 0.0, -120.0 / 256)
+    inv = geo.inv_geotransform(gt)
+    deg = float(np.degrees(1.0))
+    half_pi = float(np.pi / 2.0)
+    # enumerate_tiles(4, -59, -59, 59, 59) — integer tile ranges via the same
+    # lonlat_to_tile formulas the engine uses
+    tx = ("CAST(floor(({lon} + 180.0) / 360.0 * 16.0) AS BIGINT)")
+    ty = ("CAST(floor((1.0 - ln(tan(radians({lat})) + 1.0/cos(radians({lat}))) / pi())"
+          " / 2.0 * 16.0) AS BIGINT)")
+    return f"""
+        WITH xr AS (SELECT unnest(generate_series({tx.format(lon='-59.0')},
+                                                  {tx.format(lon='59.0')})) AS x),
+        yr AS (SELECT unnest(generate_series({ty.format(lat='59.0')},
+                                             {ty.format(lat='-59.0')})) AS y),
+        t4 AS (SELECT x, y FROM xr, yr),
+        ij AS (SELECT a.range AS i, b.range AS j FROM range(64) a, range(64) b),
+        p4g AS (SELECT x, y, i, j,
+                  (-{O!r} + x * {size4!r}) AS minx,
+                  ({O!r} - y * {size4!r}) AS maxy
+                FROM t4, ij),
+        p4m AS (SELECT x, y, i, j,
+                  minx + (i + 0.5) * (((minx + {size4!r}) - minx) / 64.0) AS mx,
+                  maxy - (j + 0.5) * (((minx + {size4!r}) - minx) / 64.0) AS my
+                FROM p4g),
+        p4l AS (SELECT x, y, i, j, mx / {O / 180.0!r} AS lon,
+                  (2.0 * atan(exp(my / {geo.EARTH_RADIUS!r})) - {half_pi!r}) * {deg!r} AS lat
+                FROM p4m),
+        p4s AS (SELECT x, y, i, j,
+                  CAST(floor({inv[0]!r} + lon * {inv[1]!r}) AS BIGINT) AS cx,
+                  CAST(floor({inv[3]!r} + lat * {inv[5]!r}) AS BIGINT) AS cy
+                FROM p4l),
+        p4 AS (SELECT x, y, i, j,
+                 CASE WHEN cx >= 0 AND cx < 256 AND cy >= 0 AND cy < 256
+                      THEN CAST(cx + cy AS DOUBLE) + 1.0 ELSE 0.0 END AS v
+               FROM p4s),
+        p3 AS (SELECT x // 2 AS x, y // 2 AS y,
+                      (x % 2) * 32 + i // 2 AS i, (y % 2) * 32 + j // 2 AS j,
+                      sum(v) / 4.0 AS v
+               FROM p4 GROUP BY 1, 2, 3, 4),
+        p2 AS (SELECT x // 2 AS x, y // 2 AS y,
+                      (x % 2) * 32 + i // 2 AS i, (y % 2) * 32 + j // 2 AS j,
+                      sum(v) / 4.0 AS v
+               FROM p3 GROUP BY 1, 2, 3, 4),
+        c4 AS (SELECT 4 AS z, x, y,
+                 CAST(sum(CAST(trunc(v) AS BIGINT) * ((j * 64 + i) % 7 + 1)) % 65536
+                      AS BIGINT) AS checksum FROM p4 GROUP BY 2, 3),
+        c3 AS (SELECT 3 AS z, x, y,
+                 CAST(sum(CAST(trunc(v) AS BIGINT) * ((j * 64 + i) % 7 + 1)) % 65536
+                      AS BIGINT) AS checksum FROM p3 GROUP BY 2, 3),
+        c2 AS (SELECT 2 AS z, x, y,
+                 CAST(sum(CAST(trunc(v) AS BIGINT) * ((j * 64 + i) % 7 + 1)) % 65536
+                      AS BIGINT) AS checksum FROM p2 GROUP BY 2, 3)
+        SELECT z, CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y, checksum FROM c4
+        UNION ALL SELECT z, CAST(x AS INTEGER), CAST(y AS INTEGER), checksum FROM c3
+        UNION ALL SELECT z, CAST(x AS INTEGER), CAST(y AS INTEGER), checksum FROM c2
+    """
+
+
+def _warp_grid_ctes() -> str:
+    """Shared CTEs xr/yr/t4/ij/p4px: z4 tile enumeration over bbox +-59 and
+    the per-pixel source coordinates (px, py) of the 64px mercator tiles over
+    the 256x256 EPSG:4326 ramp (mirrors stages/pyramid.TileWarper)."""
+    import numpy as np
+
+    from gdal_ray.functions import geo
+
+    O = geo.ORIGIN_SHIFT
+    size4 = 2.0 * O / 16.0
+    gt = (-60.0, 120.0 / 256, 0.0, 60.0, 0.0, -120.0 / 256)
+    inv = geo.inv_geotransform(gt)
+    deg = float(np.degrees(1.0))
+    half_pi = float(np.pi / 2.0)
+    tx = "CAST(floor(({lon} + 180.0) / 360.0 * 16.0) AS BIGINT)"
+    ty = ("CAST(floor((1.0 - ln(tan(radians({lat})) + 1.0/cos(radians({lat}))) / pi())"
+          " / 2.0 * 16.0) AS BIGINT)")
+    return f"""
+xr AS (SELECT unnest(generate_series({tx.format(lon='-59.0')},
+                                     {tx.format(lon='59.0')})) AS x),
+yr AS (SELECT unnest(generate_series({ty.format(lat='59.0')},
+                                     {ty.format(lat='-59.0')})) AS y),
+t4 AS (SELECT x, y FROM xr, yr),
+ij AS (SELECT a.range AS i, b.range AS j FROM range(64) a, range(64) b),
+p4g AS (SELECT x, y, i, j,
+          (-{O!r} + x * {size4!r}) AS minx,
+          ({O!r} - y * {size4!r}) AS maxy
+        FROM t4, ij),
+p4m AS (SELECT x, y, i, j,
+          minx + (i + 0.5) * (((minx + {size4!r}) - minx) / 64.0) AS mx,
+          maxy - (j + 0.5) * (((minx + {size4!r}) - minx) / 64.0) AS my
+        FROM p4g),
+p4l AS (SELECT x, y, i, j, mx / {O / 180.0!r} AS lon,
+          (2.0 * atan(exp(my / {geo.EARTH_RADIUS!r})) - {half_pi!r}) * {deg!r} AS lat
+        FROM p4m),
+p4px AS (SELECT x, y, i, j,
+           {inv[0]!r} + lon * {inv[1]!r} AS px,
+           {inv[3]!r} + lat * {inv[5]!r} AS py
+         FROM p4l)
+"""
+
+
+def _cubic_weight_exprs(t: str) -> list:
+    """Catmull-Rom weight SQL for offsets -1..2 — same parenthesization as
+    pyramid.TileWarper._cubic_weights."""
+    return [
+        f"(((-0.5*{t} + 1.0)*{t} - 0.5)*{t})",
+        f"((((1.5*{t} - 2.5)*{t})*{t}) + 1.0)",
+        f"((((-1.5*{t} + 2.0)*{t}) + 0.5)*{t})",
+        f"(((0.5*{t} - 0.5)*{t})*{t})",
+    ]
+
+
+def _tile_pyramid_cubic_sql() -> str:
+    """z4 Catmull-Rom warp of the ramp: the 16-tap convolution written out
+    term by term in the engine's accumulation order, taps clamped to the
+    source edge, nodata 0 where the nearest-inclusion test fails."""
+    wx = _cubic_weight_exprs("tx")
+    wy = _cubic_weight_exprs("ty")
+    terms = []
+    for mi, m in enumerate(range(-1, 3)):
+        cy = f"LEAST(GREATEST(y0 + {m}, 0), 255)"
+        for ni, n in enumerate(range(-1, 3)):
+            cx = f"LEAST(GREATEST(x0 + {n}, 0), 255)"
+            terms.append(f"{wy[mi]} * {wx[ni]} * (CAST({cy} + {cx} AS DOUBLE) + 1.0)")
+    conv = " + ".join(terms)
+    return f"""
+        WITH {_warp_grid_ctes()},
+        pf AS (SELECT x, y, i, j, px, py,
+                 CAST(floor(px - 0.5) AS BIGINT) AS x0,
+                 CAST(floor(py - 0.5) AS BIGINT) AS y0,
+                 (px - 0.5) - CAST(floor(px - 0.5) AS BIGINT) AS tx,
+                 (py - 0.5) - CAST(floor(py - 0.5) AS BIGINT) AS ty
+               FROM p4px),
+        p4 AS (SELECT x, y, i, j,
+                 CASE WHEN floor(px) >= 0 AND floor(px) < 256
+                       AND floor(py) >= 0 AND floor(py) < 256
+                      THEN {conv} ELSE 0.0 END AS v
+               FROM pf)
+        SELECT 4 AS z, CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+               CAST(sum(CAST(trunc(v) AS BIGINT) * ((j * 64 + i) % 7 + 1)) % 65536
+                    AS BIGINT) AS checksum
+        FROM p4 GROUP BY 2, 3
+    """
+
+
+def _overview_kernels_sql() -> str:
+    """z3 overview reductions of the nearest-warped z4 base for every
+    2x2 kernel (pyramid._overview_reduce): per-parent-pixel aggregates over
+    the four child pixels; mode ties break to the smallest value."""
+    head = f"""
+        WITH {_warp_grid_ctes()},
+        p4 AS (SELECT x, y, i, j,
+                 CASE WHEN CAST(floor(px) AS BIGINT) >= 0 AND CAST(floor(px) AS BIGINT) < 256
+                       AND CAST(floor(py) AS BIGINT) >= 0 AND CAST(floor(py) AS BIGINT) < 256
+                      THEN CAST(CAST(floor(px) AS BIGINT) + CAST(floor(py) AS BIGINT)
+                                AS DOUBLE) + 1.0
+                      ELSE 0.0 END AS v
+               FROM p4px),
+        pp AS (SELECT x // 2 AS x, y // 2 AS y,
+                      (x % 2) * 32 + i // 2 AS i, (y % 2) * 32 + j // 2 AS j,
+                      i % 2 AS ei, j % 2 AS ej, v
+               FROM p4)
+    """
+    simple = {
+        "nearest": "max(CASE WHEN ei = 0 AND ej = 0 THEN v END)",
+        "min": "min(v)",
+        "max": "max(v)",
+        "sum": "sum(v)",
+        "rms": "sqrt(sum(v * v) / 4.0)",
+    }
+    selects = []
+    for k, expr in simple.items():
+        selects.append(f"""
+        SELECT '{k}' AS kernel, x, y, i, j, {expr} AS v
+        FROM pp GROUP BY x, y, i, j""")
+    mode = """
+        SELECT 'mode' AS kernel, x, y, i, j, v FROM (
+          SELECT x, y, i, j, v,
+                 row_number() OVER (PARTITION BY x, y, i, j
+                                    ORDER BY cnt DESC, v ASC) AS rn
+          FROM (SELECT x, y, i, j, v, count(*) AS cnt
+                FROM pp GROUP BY x, y, i, j, v))
+        WHERE rn = 1"""
+    union = " UNION ALL ".join(selects + [mode])
+    return f"""
+        {head},
+        red AS ({union})
+        SELECT 3 AS z, CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+               CAST(sum(CAST(trunc(v) AS BIGINT) * ((j * 64 + i) % 7 + 1)) % 65536
+                    AS BIGINT) AS checksum,
+               kernel
+        FROM red GROUP BY kernel, x, y
+    """
+
+
+def _media_sql() -> str:
+    """Media featurization over the synthetic 2000-doc interleaved corpus:
+    span structure, md5-block fake decode, mean and dHash recomputed from
+    scratch (sources/synthetic.make_docs + stages/media.DecodeBackend)."""
+    return """
+        WITH docs AS (SELECT range AS k FROM range(2000)),
+        sp AS (SELECT k, j.j AS j FROM docs,
+               LATERAL (SELECT unnest(generate_series(0, k % 4)) AS j) j),
+        ms AS (SELECT k, j,
+                      ['text','image','audio','video'][(k + j) % 4 + 1] AS kind
+               FROM sp),
+        med AS (SELECT k, j, kind,
+                       'media://' || kind || '/' || printf('%09d', k) || '/'
+                         || CAST(j AS VARCHAR) AS ref
+                FROM ms WHERE kind <> 'text'),
+        pxm AS (SELECT k, j, kind, ref, i.i AS idx,
+                       md5(ref || ':' || CAST(i.i // 16 AS VARCHAR)) AS h
+                FROM med, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) i),
+        pxv AS (SELECT k, j, kind, ref, idx,
+                       strpos('123456789abcdef', substr(h, 2 * (idx % 16) + 1, 1)) * 16
+                     + strpos('123456789abcdef', substr(h, 2 * (idx % 16) + 2, 1)) AS val
+                FROM pxm),
+        agg AS (SELECT k, j, kind, ref,
+                       CAST((sum(val) * 200 + 64) // 128 AS BIGINT) AS mean_x100
+                FROM pxv GROUP BY 1, 2, 3, 4),
+        ph AS (SELECT a.k, a.j,
+                      CAST(sum(CASE WHEN b.val > a.val
+                               THEN CAST(1 AS BIGINT) << ((a.idx // 8) * 7 + (a.idx % 8))
+                               ELSE 0 END) AS BIGINT) AS phash
+               FROM pxv a JOIN pxv b ON b.k = a.k AND b.j = a.j AND b.idx = a.idx + 1
+               WHERE a.idx % 8 < 7
+               GROUP BY 1, 2)
+        SELECT printf('doc-%09d', agg.k) AS doc_id,
+               CAST(agg.j AS BIGINT) AS span_idx, agg.kind, agg.ref AS media_ref,
+               agg.mean_x100, ph.phash
+        FROM agg JOIN ph ON ph.k = agg.k AND ph.j = agg.j
+    """
+
+
 _LANG_STOPWORDS_SQL = {
     "en": ("the", "and", "of", "a", "to", "in", "is", "it", "that"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
@@ -220,6 +733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_blobs": q.polygonize_blobs_q,
         "polygonize_rings": q.polygonize_rings_q,
         "tile_pyramid": q.tile_pyramid_q,
+        "tile_pyramid_cubic": q.tile_pyramid_cubic_q,
+        "overview_kernels": q.overview_kernels_q,
         "hillshade": q.hillshade_q,
         "footprint": q.footprint_q,
         "nearblack": q.nearblack_q,
@@ -530,6 +1045,69 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "rasterize_polygons": f"""
+            -- scanline burn of the zone rectangles into the 1440x680 quarter-
+            -- degree grid (stages/rasterize: pixel-center parity rule, REPLACE
+            -- merge with feat order = key asc => max key wins; checksum uses
+            -- GLOBAL pixel weights).  Tile list = clamped vertex-bbox cover.
+            WITH {_ZONES},
+            zp AS (SELECT zone_key, zone_key % 250 + 1 AS burn,
+                     (minx - (-180.0)) / 0.25 AS pxlo, (maxx - (-180.0)) / 0.25 AS pxhi,
+                     (maxy - 85.0) / (-0.25) AS pylo, (miny - 85.0) / (-0.25) AS pyhi
+                   FROM zz),
+            burned AS (
+              SELECT c.c AS gx, r.r AS gy, arg_max(burn, zone_key) AS burn
+              FROM zp,
+              LATERAL (SELECT unnest(generate_series(
+                 GREATEST(CAST(floor(pylo - 0.5) AS BIGINT) + 1, 0),
+                 LEAST(CAST(floor(pyhi - 0.5) AS BIGINT), 679))) AS r) r,
+              LATERAL (SELECT unnest(generate_series(
+                 GREATEST(CAST(ceil(pxlo - 0.5) AS BIGINT), 0),
+                 LEAST(CAST(ceil(pxhi - 0.5) AS BIGINT) - 1, 1439))) AS c) c
+              GROUP BY 1, 2),
+            tiles AS (SELECT DISTINCT tx.t AS tx, ty.t AS ty FROM zp,
+              LATERAL (SELECT unnest(generate_series(
+                 GREATEST(CAST(floor(pxlo / 256.0) AS BIGINT), 0),
+                 LEAST(CAST(floor(pxhi / 256.0) AS BIGINT), 5))) AS t) tx,
+              LATERAL (SELECT unnest(generate_series(
+                 GREATEST(CAST(floor(pylo / 256.0) AS BIGINT), 0),
+                 LEAST(CAST(floor(pyhi / 256.0) AS BIGINT), 2))) AS t) ty),
+            sums AS (SELECT gx // 256 AS tx, gy // 256 AS ty,
+                            sum(CAST(burn AS BIGINT) * ((gy * 1440 + gx) % 7 + 1)) AS s
+                     FROM burned GROUP BY 1, 2)
+            SELECT CAST(t.tx AS INTEGER) AS tx, CAST(t.ty AS INTEGER) AS ty,
+                   CAST(COALESCE(s.s, 0) % 65536 AS BIGINT) AS checksum
+            FROM tiles t LEFT JOIN sums s ON s.tx = t.tx AND s.ty = t.ty
+        """,
+        "contour_ramp": _contour_sql(),
+        "tile_pyramid": _tile_pyramid_sql(),
+        "tile_pyramid_cubic": _tile_pyramid_cubic_sql(),
+        "overview_kernels": _overview_kernels_sql(),
+        "media_features": _media_sql(),
+        "hillshade": _hillshade_sql(),
+        "proximity": _proximity_sql(),
+        "fill_nodata": _fill_nodata_sql(),
+        "nearblack": _nearblack_sql(),
+        "viewshed": _viewshed_sql(),
+        "footprint": _footprint_sql(),
+        "palette_median_cut": _palette_sql(),
+        "polygonize_blobs": f"""
+            WITH {_blobs_cte(4, 4)}
+            SELECT CAST(v AS DOUBLE) AS value,
+                   CAST(count(*) AS BIGINT) AS n_pixels,
+                   CAST(min(gx) AS BIGINT) AS minx, CAST(min(gy) AS BIGINT) AS miny,
+                   CAST(max(gx) AS BIGINT) AS maxx, CAST(max(gy) AS BIGINT) AS maxy
+            FROM pv WHERE v > 0 GROUP BY v
+        """,
+        "polygonize_rings": f"""
+            -- each disc region is hole-free on this fixture, so the traced
+            -- shell's pixel-corner area equals its pixel count exactly
+            WITH {_blobs_cte(4, 4)}
+            SELECT CAST(v AS DOUBLE) AS value,
+                   CAST(count(*) AS BIGINT) AS n_pixels,
+                   CAST(count(*) * 100 AS BIGINT) AS ring_area_x100
+            FROM pv WHERE v > 0 GROUP BY v
         """,
         "fingerprint": f"""
             WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),

@@ -569,8 +569,10 @@ def contour_ramp_q(sf_dir: str):
     """Distributed marching-squares contour over the ramp fixture."""
     from ..stages import contour as cnt
 
+    # half-integer levels keep iso-lines off pixel corners (no degenerate
+    # zero-length segments), which makes the marching-squares SQL mirror exact
     tiles_tbl = synthetic.make_raster_tiles("ramp", 3, 2, size=64)
-    return cnt.contour(rd.from_arrow(tiles_tbl), [30.0, 80.0, 130.0], nx=3, ny=2, tile_size=64)
+    return cnt.contour(rd.from_arrow(tiles_tbl), [30.5, 80.5, 130.5], nx=3, ny=2, tile_size=64)
 
 
 # -- rows-only checks (non-SQL-expressible) ----------------------------------
@@ -602,7 +604,10 @@ def polygonize_blobs_q(sf_dir: str):
     from ..stages import polygonize as poly
 
     tiles_tbl = synthetic.make_raster_tiles("blobs", 4, 4, size=64)
-    return poly.polygonize(rd.from_arrow(tiles_tbl), nodata=0.0, tile_size=64)
+    out = poly.polygonize(rd.from_arrow(tiles_tbl), nodata=0.0, tile_size=64)
+    # n_fragments (per-tile piece count) has no closed form for the disc
+    # fixture; the hash-checked projection is the per-component geometry
+    return out.select_columns(["value", "n_pixels", "minx", "miny", "maxx", "maxy"])
 
 
 def polygonize_rings_q(sf_dir: str):
@@ -646,6 +651,59 @@ def tile_pyramid_q(sf_dir: str):
     return pd.concat(tabs, ignore_index=True)
 
 
+def _ramp_src():
+    from ..stages import pyramid as pyr
+
+    n = 256
+    gy, gx = np.mgrid[0:n, 0:n]
+    return pyr.SourceRaster(
+        (gx + gy).astype(np.float64) + 1.0,
+        (-60.0, 120.0 / n, 0.0, 60.0, 0.0, -120.0 / n),
+    )
+
+
+def tile_pyramid_cubic_q(sf_dir: str):
+    """gdalwarp -r cubic analogue (the reference's own benchmark kernel,
+    autotest/benchmark/test_gdalwarp.py:24-57): Catmull-Rom warp of the ramp
+    to z4 tiles; per-tile checksums, SQL-mirrored 16-tap arithmetic."""
+    from ..stages import pyramid as pyr
+
+    out = pyr.warp_to_tiles(
+        _ramp_src(), 4, (-59, -59, 59, 59), tile_px=64, resample="cubic",
+        skip_blank=False, concurrency=2,
+    )
+    return out.select_columns(["z", "x", "y", "checksum"])
+
+
+OVERVIEW_KERNELS = ("nearest", "min", "max", "sum", "rms", "mode")
+
+
+def overview_kernels_q(sf_dir: str):
+    """Overview reduction kernel family (gcore/overview.cpp): one z3 overview
+    of the nearest-warped z4 base per kernel, tagged by kernel name.  Each
+    branch re-executes the (36-tile) base warp — at real scale the base level
+    would be checkpointed to parquet first."""
+    from ..stages import pyramid as pyr
+
+    outs = []
+    for k in OVERVIEW_KERNELS:
+        base = pyr.warp_to_tiles(
+            _ramp_src(), 4, (-59, -59, 59, 59), tile_px=64, resample="nearest",
+            skip_blank=False, concurrency=2,
+        )
+        ov = pyr.build_overview(base, kernel=k)
+
+        def tag(t: pa.Table, kernel=k) -> pa.Table:
+            t = t.select(["z", "x", "y", "checksum"])
+            return t.append_column("kernel", pa.array([kernel] * t.num_rows))
+
+        outs.append(ov.map_batches(tag, batch_format="pyarrow"))
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds
+
+
 def hillshade_q(sf_dir: str):
     """gdaldem hillshade over the ramp fixture (halo-exchange focal op);
     per-tile checksums are the golden."""
@@ -666,11 +724,19 @@ def media_features_q(sf_dir: str):
 
 
 def footprint_q(sf_dir: str):
-    """Raster footprint: mask -> distributed polygonize component summary."""
+    """Raster footprint: mask -> distributed polygonize component summary.
+    The rects fixture has closed-form component structure (disjoint
+    rectangles crossing tile borders) so the DuckDB oracle recomputes every
+    column — including n_fragments = number of per-tile pieces — exactly."""
     from ..stages import collar
 
-    tiles_tbl = synthetic.make_raster_tiles("blobs", 3, 3, size=64)
-    return collar.footprint(rd.from_arrow(tiles_tbl), nodata=0.0, tile_size=64)
+    tiles_tbl = synthetic.make_raster_tiles("rects", 3, 3, size=64)
+    out = collar.footprint(rd.from_arrow(tiles_tbl), nodata=0.0, tile_size=64)
+    # 'component' is an engine-internal label (cross-tile union-find root key),
+    # not a semantic output — the hash check covers the geometry columns
+    return out.select_columns(
+        ["value", "n_pixels", "minx", "miny", "maxx", "maxy", "n_fragments"]
+    )
 
 
 def nearblack_q(sf_dir: str):
@@ -737,18 +803,22 @@ def fill_nodata_q(sf_dir: str):
     return out.map_batches(sums, batch_format="pyarrow")
 
 
+PALETTE_BASE = ((248, 16, 16), (16, 248, 16), (16, 16, 248), (184, 184, 56))
+
+
 def palette_q(sf_dir: str):
     """Median-cut palette learning over synthetic RGB tiles (two-phase global
-    aggregate -> broadcast remap); returns the learned palette rows."""
+    aggregate -> broadcast remap); returns the learned palette rows.
+    Solid-color tiles (one 5-bit bucket per cluster) make the cut sequence
+    deterministic and the palette closed-form: the oracle re-runs the
+    quantize -> per-bucket average -> rescale math in SQL."""
     from ..stages import fillpalette
 
-    rng = np.random.default_rng(7)
     rows = []
-    base = np.array([[240, 20, 20], [20, 240, 20], [20, 20, 240], [180, 180, 60]])
     for ty in range(2):
         for tx in range(2):
-            c = base[ty * 2 + tx]
-            rgb = np.clip(c + rng.integers(-10, 10, (256, 3)), 0, 255).astype(np.uint8)
+            c = np.array(PALETTE_BASE[ty * 2 + tx], dtype=np.uint8)
+            rgb = np.tile(c, (256, 1)).astype(np.uint8)
             rows.append({"x": tx, "y": ty, "width": 16, "height": 16, "data": rgb.tobytes()})
     tiles_tbl = pa.Table.from_pylist(rows)
     hist = fillpalette.color_histogram(rd.from_arrow(tiles_tbl), bits=5)
@@ -766,12 +836,14 @@ def palette_q(sf_dir: str):
 
 
 def viewshed_q(sf_dir: str):
-    """Viewshed from an observer on a synthetic DEM (R3 exact LOS)."""
+    """Viewshed from an observer on a synthetic DEM (R3 exact LOS).
+    Integer-valued DEM (exact in float32 AND in SQL) so the oracle can replay
+    the ray-sampling arithmetic bit-for-bit."""
     from ..stages import viewshed as vs
 
     size = 64
     gy, gx = np.mgrid[0:size, 0:size]
-    dem = (np.sin(gx / 7.0) * 10 + np.cos(gy / 9.0) * 8 + 20).astype(np.float32)
+    dem = (((gx * 73 + gy * 151) % 37) + ((gx * gy) % 11) * 3).astype(np.float32)
     t = pa.Table.from_pylist([{
         "z": 0, "x": 0, "y": 0, "band": 1, "width": size, "height": size,
         "crs": "EPSG:3857", "nodata": -1.0, "dtype": "float32", "data": dem.tobytes(),

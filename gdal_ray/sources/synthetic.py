@@ -223,12 +223,18 @@ def make_edge_case_zones() -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def make_raster_tiles(kind: str, nx: int, ny: int, size: int = 64, z: int = 4) -> pa.Table:
-    """Tile table per F3: kinds 'checker' | 'ramp' | 'blobs'.
+RECTS = ((10, 8, 30, 24), (55, 45, 80, 65), (100, 82, 130, 106), (145, 119, 180, 139))
 
-    data = C-order uint8 (checker/blobs) or float32 (ramp) bytes.
+
+def make_raster_tiles(kind: str, nx: int, ny: int, size: int = 64, z: int = 4) -> pa.Table:
+    """Tile table per F3: kinds 'checker' | 'ramp' | 'blobs' | 'rects'.
+
+    data = C-order uint8 (checker/blobs/rects) or float32 (ramp) bytes.
     Global pixel coordinates: gx = x*size + col, gy = y*size + row.
-    """
+    'rects' = four disjoint axis-aligned rectangles (RECTS, half-open
+    [x0,x1) x [y0,y1), value r+1), most crossing tile borders — the
+    separations are > 1 px so component structure is closed-form (the
+    SQL-oracle-able footprint fixture)."""
     zs, xs, ys, dtypes, datas = [], [], [], [], []
     for ty in range(ny):
         for tx in range(nx):
@@ -249,6 +255,11 @@ def make_raster_tiles(kind: str, nx: int, ny: int, size: int = 64, z: int = 4) -
                     cy = (b * 211) % (ny * size)
                     r = 10 + (b * 7) % 20
                     arr[(gx - cx) ** 2 + (gy - cy) ** 2 <= r * r] = b + 1
+                dtype = "uint8"
+            elif kind == "rects":
+                arr = np.zeros((size, size), dtype=np.uint8)
+                for r, (x0, y0, x1, y1) in enumerate(RECTS):
+                    arr[(gx >= x0) & (gx < x1) & (gy >= y0) & (gy < y1)] = r + 1
                 dtype = "uint8"
             else:
                 raise ValueError(kind)

@@ -33,10 +33,16 @@ class DecodeBackend:
             )
 
     def decode(self, media_ref: str) -> np.ndarray:
-        """Deterministic fake decode: media_ref -> (thumb, thumb) uint8."""
-        h = hashlib.sha256(media_ref.encode()).digest()
-        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
-        return rng.integers(0, 256, (self.thumb, self.thumb), dtype=np.uint8)
+        """Deterministic fake decode: media_ref -> (thumb, thumb) uint8.
+        Pixels are consecutive md5 digest bytes of '{ref}:{block}' — a pure
+        function of the ref that an ANSI-SQL oracle can recompute (unlike an
+        RNG stream)."""
+        n = self.thumb * self.thumb
+        nblk = (n + 15) // 16
+        raw = b"".join(
+            hashlib.md5(f"{media_ref}:{b}".encode()).digest() for b in range(nblk)
+        )
+        return np.frombuffer(raw[:n], dtype=np.uint8).reshape(self.thumb, self.thumb)
 
 
 class MediaFeaturizer:
@@ -63,7 +69,9 @@ class MediaFeaturizer:
                 span_idx.append(j)
                 kinds.append(s["kind"])
                 refs.append(s["media_ref"])
-                means.append(int(round(float(arr.mean()) * 100)))
+                # exact integer round-half-up of mean*100 == SQL arithmetic
+                n_px = arr.size
+                means.append((int(arr.sum()) * 200 + n_px) // (2 * n_px))
                 # dHash-style perceptual hash on the fake thumbnail
                 small = arr[:: max(1, arr.shape[0] // 8), :: max(1, arr.shape[1] // 8)]
                 bits = (small[:, 1:] > small[:, :-1]).ravel()[:63]

@@ -32,6 +32,25 @@ from ..functions import checksum as cks
 from ..functions import geo
 
 
+def _mode_reduce(stack: np.ndarray) -> np.ndarray:
+    """Per-pixel mode of a (k, h, w) stack with NaN = absent; ties break to
+    the SMALLEST value (deterministic; GDAL's mode tie behavior is
+    implementation-defined — ours is documented).  Vectorized: sort along the
+    stack axis, count equal-runs, pick the longest (first on ties)."""
+    s = np.sort(stack, axis=0)  # NaNs sort to the end
+    k = s.shape[0]
+    best = s[0].copy()
+    best_run = np.ones(s.shape[1:], dtype=np.int64)
+    run = np.ones(s.shape[1:], dtype=np.int64)
+    for i in range(1, k):
+        same = s[i] == s[i - 1]
+        run = np.where(same, run + 1, 1)
+        better = (~np.isnan(s[i])) & (run > best_run)
+        best = np.where(better, s[i], best)
+        best_run = np.where(better, run, best_run)
+    return best
+
+
 class SourceRaster:
     """A single georeferenced source array (EPSG:4326 grid for tests)."""
 
@@ -59,29 +78,181 @@ class TileWarper:
     def _sample(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         px, py = geo.apply_geotransform(self.inv_gt, lon, lat)
         h, w = self.src.arr.shape
+        a = self.src.arr
         if self.resample == "nearest":
             cx = np.floor(px).astype(np.int64)
             cy = np.floor(py).astype(np.int64)
             ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
             out = np.full(lon.shape, self.src.nodata)
-            out[ok] = self.src.arr[cy[ok], cx[ok]]
+            out[ok] = a[cy[ok], cx[ok]]
             return out
-        # bilinear on pixel centers (GDAL GRA_Bilinear semantics)
+        if self.resample == "bilinear":
+            # bilinear on pixel centers (GDAL GRA_Bilinear semantics)
+            fx = px - 0.5
+            fy = py - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            tx = fx - x0
+            ty = fy - y0
+            out = np.full(lon.shape, self.src.nodata)
+            ok = (x0 >= 0) & (x0 + 1 < w) & (y0 >= 0) & (y0 + 1 < h)
+            out[ok] = (
+                a[y0[ok], x0[ok]] * (1 - tx[ok]) * (1 - ty[ok])
+                + a[y0[ok], x0[ok] + 1] * tx[ok] * (1 - ty[ok])
+                + a[y0[ok] + 1, x0[ok]] * (1 - tx[ok]) * ty[ok]
+                + a[y0[ok] + 1, x0[ok] + 1] * tx[ok] * ty[ok]
+            )
+            return out
+        if self.resample in ("cubic", "cubicspline", "lanczos"):
+            return self._sample_kernel(px, py)
+        raise ValueError(f"unknown point-resample kernel {self.resample!r}; "
+                         "area kernels (average/mode/...) use _sample_area")
+
+    @staticmethod
+    def _cubic_weights(t: np.ndarray):
+        """Catmull-Rom (GDAL GRA_Cubic, a=-0.5) weights for offsets -1..2."""
+        return (
+            ((-0.5 * t + 1.0) * t - 0.5) * t,
+            ((1.5 * t - 2.5) * t) * t + 1.0,
+            ((-1.5 * t + 2.0) * t + 0.5) * t,
+            ((0.5 * t - 0.5) * t) * t,
+        )
+
+    @staticmethod
+    def _bspline_weights(t: np.ndarray):
+        """Cubic B-spline (GRA_CubicSpline) weights for offsets -1..2."""
+        t2, t3 = t * t, t * t * t
+        return (
+            (1.0 - 3.0 * t + 3.0 * t2 - t3) / 6.0,
+            (3.0 * t3 - 6.0 * t2 + 4.0) / 6.0,
+            (-3.0 * t3 + 3.0 * t2 + 3.0 * t + 1.0) / 6.0,
+            t3 / 6.0,
+        )
+
+    @staticmethod
+    def _lanczos_weights(t: np.ndarray):
+        """Lanczos a=3 (GRA_Lanczos) weights for offsets -2..3, normalized."""
+        ws = []
+        for off in range(-2, 4):
+            d = t - off
+            x = np.pi * d
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = np.where(
+                    d == 0, 1.0,
+                    3.0 * np.sin(x) * np.sin(x / 3.0) / (x * x)
+                )
+            ws.append(v)
+        s = sum(ws)
+        return [v / s for v in ws]
+
+    def _sample_kernel(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """4x4 (cubic/cubicspline) or 6x6 (lanczos) separable convolution on
+        pixel centers; taps clamp at the source edge (gdalwarpkernel.cpp
+        GWKCubicResample family; edge policy simplified to clamping)."""
+        h, w = self.src.arr.shape
+        a = self.src.arr
         fx = px - 0.5
         fy = py - 0.5
         x0 = np.floor(fx).astype(np.int64)
         y0 = np.floor(fy).astype(np.int64)
         tx = fx - x0
         ty = fy - y0
-        out = np.full(lon.shape, self.src.nodata)
-        ok = (x0 >= 0) & (x0 + 1 < w) & (y0 >= 0) & (y0 + 1 < h)
+        if self.resample == "cubic":
+            wx, wy = self._cubic_weights(tx), self._cubic_weights(ty)
+            offs = range(-1, 3)
+        elif self.resample == "cubicspline":
+            wx, wy = self._bspline_weights(tx), self._bspline_weights(ty)
+            offs = range(-1, 3)
+        else:
+            wx, wy = self._lanczos_weights(tx), self._lanczos_weights(ty)
+            offs = range(-2, 4)
+        out = np.zeros(px.shape)
+        for mi, m in enumerate(offs):
+            cy = np.clip(y0 + m, 0, h - 1)
+            for ni, n in enumerate(offs):
+                cx = np.clip(x0 + n, 0, w - 1)
+                out = out + wy[mi] * wx[ni] * a[cy, cx]
+        ok = (np.floor(px) >= 0) & (np.floor(px) < w) & (np.floor(py) >= 0) & (np.floor(py) < h)
+        return np.where(ok, out, self.src.nodata)
+
+    _AREA_KERNELS = ("average", "sum", "min", "max", "rms", "mode", "med", "q1", "q3")
+
+    def _sample_area(self, corner_px: np.ndarray, corner_py: np.ndarray) -> np.ndarray:
+        """Area kernels (GRA_Average/Sum/Min/Max/RMS/Mode/Med/Q1/Q3): each dst
+        pixel aggregates the source pixels whose CENTERS fall inside its
+        source-space footprint rectangle (corner grids are (t+1, t+1)).
+        Falls back to nearest when the footprint covers no center."""
+        t = corner_px.shape[0] - 1
+        h, w = self.src.arr.shape
         a = self.src.arr
-        out[ok] = (
-            a[y0[ok], x0[ok]] * (1 - tx[ok]) * (1 - ty[ok])
-            + a[y0[ok], x0[ok] + 1] * tx[ok] * (1 - ty[ok])
-            + a[y0[ok] + 1, x0[ok]] * (1 - tx[ok]) * ty[ok]
-            + a[y0[ok] + 1, x0[ok] + 1] * tx[ok] * ty[ok]
-        )
+        pxmin = np.minimum.reduce([corner_px[:-1, :-1], corner_px[:-1, 1:],
+                                   corner_px[1:, :-1], corner_px[1:, 1:]])
+        pxmax = np.maximum.reduce([corner_px[:-1, :-1], corner_px[:-1, 1:],
+                                   corner_px[1:, :-1], corner_px[1:, 1:]])
+        pymin = np.minimum.reduce([corner_py[:-1, :-1], corner_py[:-1, 1:],
+                                   corner_py[1:, :-1], corner_py[1:, 1:]])
+        pymax = np.maximum.reduce([corner_py[:-1, :-1], corner_py[:-1, 1:],
+                                   corner_py[1:, :-1], corner_py[1:, 1:]])
+        # covered centers: c + 0.5 in [pmin, pmax)  <=>  c in [ceil(pmin-0.5),
+        # ceil(pmax-0.5) - 1]
+        xs = np.ceil(pxmin - 0.5).astype(np.int64)
+        xe = np.ceil(pxmax - 0.5).astype(np.int64)  # exclusive
+        ys = np.ceil(pymin - 0.5).astype(np.int64)
+        ye = np.ceil(pymax - 0.5).astype(np.int64)
+        kx = max(1, int((xe - xs).max()))
+        ky = max(1, int((ye - ys).max()))
+        need_stack = self.resample in ("mode", "med", "q1", "q3")
+        layers = [] if need_stack else None
+        cnt = np.zeros((t, t))
+        acc = np.zeros((t, t))
+        amin = np.full((t, t), np.inf)
+        amax = np.full((t, t), -np.inf)
+        for dy in range(ky):
+            cy = ys + dy
+            vy = (cy < ye) & (cy >= 0) & (cy < h)
+            cyc = np.clip(cy, 0, h - 1)
+            for dx in range(kx):
+                cx = xs + dx
+                v = vy & (cx < xe) & (cx >= 0) & (cx < w)
+                cxc = np.clip(cx, 0, w - 1)
+                val = a[cyc, cxc]
+                if need_stack:
+                    layers.append(np.where(v, val, np.nan))
+                cnt += v
+                if self.resample == "rms":
+                    acc += np.where(v, val * val, 0.0)
+                else:
+                    acc += np.where(v, val, 0.0)
+                amin = np.where(v & (val < amin), val, amin)
+                amax = np.where(v & (val > amax), val, amax)
+        empty = cnt == 0
+        if self.resample == "average":
+            out = acc / np.maximum(cnt, 1)
+        elif self.resample == "sum":
+            out = acc
+        elif self.resample == "rms":
+            out = np.sqrt(acc / np.maximum(cnt, 1))
+        elif self.resample == "min":
+            out = amin
+        elif self.resample == "max":
+            out = amax
+        else:
+            stack = np.stack(layers)
+            if self.resample == "mode":
+                out = _mode_reduce(stack)
+            else:
+                q = {"med": 50.0, "q1": 25.0, "q3": 75.0}[self.resample]
+                with np.errstate(all="ignore"):
+                    out = np.nanpercentile(stack, q, axis=0)
+        if empty.any():
+            # nearest fallback at the footprint centers
+            cpx = (pxmin + pxmax) / 2.0
+            cpy = (pymin + pymax) / 2.0
+            cx = np.clip(np.floor(cpx).astype(np.int64), 0, w - 1)
+            cy = np.clip(np.floor(cpy).astype(np.int64), 0, h - 1)
+            inb = (np.floor(cpx) >= 0) & (np.floor(cpx) < w) & \
+                  (np.floor(cpy) >= 0) & (np.floor(cpy) < h)
+            out = np.where(empty, np.where(inb, a[cy, cx], self.src.nodata), out)
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -97,11 +268,20 @@ class TileWarper:
                 z, np.array([x]), np.array([y])
             )
             res = (maxx[0] - minx[0]) / t
-            mx = minx[0] + (np.arange(t) + 0.5) * res
-            my = maxy[0] - (np.arange(t) + 0.5) * res
-            gmx, gmy = np.meshgrid(mx, my)
-            lon, lat = geo.mercator_to_lonlat(gmx, gmy)
-            arr = self._sample(lon, lat)
+            if self.resample in self._AREA_KERNELS:
+                # corner grid (t+1 x t+1) -> per-pixel source footprints
+                cmx = minx[0] + np.arange(t + 1) * res
+                cmy = maxy[0] - np.arange(t + 1) * res
+                gmx, gmy = np.meshgrid(cmx, cmy)
+                lon, lat = geo.mercator_to_lonlat(gmx, gmy)
+                cpx, cpy = geo.apply_geotransform(self.inv_gt, lon, lat)
+                arr = self._sample_area(cpx, cpy)
+            else:
+                mx = minx[0] + (np.arange(t) + 0.5) * res
+                my = maxy[0] - (np.arange(t) + 0.5) * res
+                gmx, gmy = np.meshgrid(mx, my)
+                lon, lat = geo.mercator_to_lonlat(gmx, gmy)
+                arr = self._sample(lon, lat)
             blank = bool(np.all(arr == self.src.nodata))
             datas.append(arr.tobytes())
             sums.append(cks.tile_checksum(arr))
@@ -171,9 +351,35 @@ def warp_to_tiles(
     return out
 
 
-def build_overview(tiles_ds, tile_px: int = 256):  # tile_px kept for API; size read per group
+def _overview_reduce(arr: np.ndarray, kernel: str) -> np.ndarray:
+    """2x2 block reduction kernels (gcore/overview.cpp family: average,
+    nearest, mode, min, max, sum, rms).  Mode ties break to the smallest
+    value (see _mode_reduce)."""
+    t = arr.shape[0]
+    blocks = arr.reshape(t // 2, 2, t // 2, 2)
+    if kernel == "average":
+        return blocks.mean(axis=(1, 3))
+    if kernel == "nearest":
+        return arr[::2, ::2]
+    if kernel == "min":
+        return blocks.min(axis=(1, 3))
+    if kernel == "max":
+        return blocks.max(axis=(1, 3))
+    if kernel == "sum":
+        return blocks.sum(axis=(1, 3))
+    if kernel == "rms":
+        return np.sqrt((blocks * blocks).sum(axis=(1, 3)) / 4.0)
+    if kernel == "mode":
+        stack = np.stack([blocks[:, a, :, b] for a in range(2) for b in range(2)])
+        return _mode_reduce(stack)
+    raise ValueError(f"unknown overview kernel {kernel!r}")
+
+
+def build_overview(tiles_ds, tile_px: int = 256, kernel: str = "average"):
     """One pyramid step: children (z, x, y) -> parents (z-1, x//2, y//2) by
-    2x2 average reduction (gdal2tiles' per-zoom reduction, :4548-4560)."""
+    2x2 block reduction (gdal2tiles' per-zoom reduction, :4548-4560;
+    kernels per gcore/overview.cpp: average | nearest | mode | min | max |
+    sum | rms)."""
 
     def tag_parent(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy(zero_copy_only=False)
@@ -196,8 +402,7 @@ def build_overview(tiles_ds, tile_px: int = 256):  # tile_px kept for API; size 
             cx = group["x"][i].as_py()
             cy = group["y"][i].as_py()
             arr = np.frombuffer(group["data"][i].as_py(), dtype=np.float64).reshape(t, t)
-            # 2x2 average downsample
-            small = arr.reshape(t // 2, 2, t // 2, 2).mean(axis=(1, 3))
+            small = _overview_reduce(arr, kernel)
             ox = (cx % 2) * (t // 2)
             oy = (cy % 2) * (t // 2)
             out[oy : oy + t // 2, ox : ox + t // 2] = small
@@ -222,10 +427,11 @@ def build_overview(tiles_ds, tile_px: int = 256):  # tile_px kept for API; size 
     return tagged.groupby(["z", "parent"]).map_groups(reduce_parent, batch_format="pyarrow")
 
 
-def tile_pyramid(src: SourceRaster, z_max: int, z_min: int, bbox, **kwargs):
+def tile_pyramid(src: SourceRaster, z_max: int, z_min: int, bbox,
+                 overview_kernel: str = "average", **kwargs):
     """Full pyramid: warp base zoom, then reduce per zoom (each zoom is a
     groupby barrier over 4x fewer tiles).  Returns dict z -> Dataset."""
     out = {z_max: warp_to_tiles(src, z_max, bbox, skip_blank=False, **kwargs)}
     for z in range(z_max - 1, z_min - 1, -1):
-        out[z] = build_overview(out[z + 1])
+        out[z] = build_overview(out[z + 1], kernel=overview_kernel)
     return out
