@@ -24,73 +24,92 @@ import numpy as np
 import pyarrow as pa
 
 
+def _extract_runs(arr: np.ndarray, nodata):
+    """Vectorized run extraction: row-major (run_row, run_c0, run_c1, value)
+    arrays of maximal equal-value valid runs."""
+    if isinstance(nodata, float) and np.isnan(nodata):
+        valid = ~np.isnan(arr)
+    else:
+        valid = arr != nodata
+    change = np.ones(arr.shape, dtype=bool)
+    change[:, 1:] = arr[:, 1:] != arr[:, :-1]
+    prev_valid = np.zeros_like(valid)
+    prev_valid[:, 1:] = valid[:, :-1]
+    start = valid & (~prev_valid | change)
+    nxt_valid = np.zeros_like(valid)
+    nxt_valid[:, :-1] = valid[:, 1:]
+    nxt_change = np.ones(arr.shape, dtype=bool)
+    nxt_change[:, :-1] = change[:, 1:]
+    endp = valid & (~nxt_valid | nxt_change)
+    sr, sc = np.nonzero(start)  # row-major — aligned 1:1 with ends
+    _, ec = np.nonzero(endp)
+    return sr, sc, ec + 1, arr[sr, sc]
+
+
 def label_tile(arr: np.ndarray, nodata, connect8: bool = False):
     """Run-based two-pass CCL on one tile.  Returns (labels, nlabels).
-    labels: int32 array, -1 = nodata; labels are 0..nlabels-1 tile-local.
-    Same-value adjacency only (GDAL polygonize semantics: components are
-    maximal regions of EQUAL pixel value)."""
+    labels: -1 = nodata; labels are 0..nlabels-1 tile-local, identical to the
+    sequential reference scan (runs labeled in scan order, min-root unions,
+    unique-root compaction).  Same-value adjacency only (GDAL polygonize
+    semantics: components are maximal regions of EQUAL pixel value).
+
+    Vectorized: run extraction and prev-row overlap matching are numpy
+    (searchsorted interval joins over disjoint sorted runs); only the
+    union-find edge fold is a Python loop — O(equivalence edges), which is
+    O(runs), not O(pixels)."""
     h, w = arr.shape
     labels = np.full((h, w), -1, dtype=np.int64)
-    parent: list[int] = []
+    sr, sc, se, vals = _extract_runs(arr, nodata)
+    nruns = sr.size
+    if nruns == 0:
+        return labels, 0
+    row_ptr = np.searchsorted(sr, np.arange(h + 1))
+    pad = 1 if connect8 else 0
+    edges_a, edges_b = [], []
+    for r in range(1, h):
+        b0, b1 = row_ptr[r], row_ptr[r + 1]
+        a0, a1 = row_ptr[r - 1], row_ptr[r]
+        if b0 == b1 or a0 == a1:
+            continue
+        ac0, ac1 = sc[a0:a1], se[a0:a1]
+        # prev runs overlapping [c0-pad, c1+pad): contiguous index range
+        lo = np.searchsorted(ac1, sc[b0:b1] - pad, side="right")
+        hi = np.searchsorted(ac0, se[b0:b1] + pad, side="left")
+        cnt = np.maximum(hi - lo, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        bidx = np.repeat(np.arange(b0, b1), cnt)
+        starts = np.zeros(b1 - b0, dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        aidx = a0 + np.repeat(lo, cnt) + (np.arange(total) - np.repeat(starts, cnt))
+        same = vals[bidx] == vals[aidx]
+        edges_a.append(aidx[same])
+        edges_b.append(bidx[same])
+    parent = np.arange(nruns, dtype=np.int64)
 
     def find(x: int) -> int:
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
-        return x
+        return int(x)
 
-    def union(a: int, b: int):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    prev_runs: list[tuple[int, int, float, int]] = []  # (c0, c1, val, label)
-    valid_row = None
-    for r in range(h):
-        row = arr[r]
-        valid = row != nodata if not (isinstance(nodata, float) and np.isnan(nodata)) else ~np.isnan(row)
-        # runs of equal value
-        runs = []
-        c = 0
-        while c < w:
-            if not valid[c]:
-                c += 1
-                continue
-            v = row[c]
-            c2 = c + 1
-            while c2 < w and valid[c2] and row[c2] == v:
-                c2 += 1
-            runs.append([c, c2, v, -1])
-            c = c2
-        for run in runs:
-            c0, c1, v, _ = run
-            lbl = -1
-            for p0, p1, pv, plbl in prev_runs:
-                if pv != v:
-                    continue
-                if connect8:
-                    touch = (p0 < c1 + 1) and (p1 > c0 - 1)
-                else:
-                    touch = (p0 < c1) and (p1 > c0)
-                if touch:
-                    if lbl == -1:
-                        lbl = plbl
-                    else:
-                        union(lbl, plbl)
-            if lbl == -1:
-                lbl = len(parent)
-                parent.append(lbl)
-            run[3] = lbl
-            labels[r, c0:c1] = lbl
-        prev_runs = [(a, b, v, l) for a, b, v, l in runs]
-    # resolve + compact
-    if parent:
-        roots = np.array([find(i) for i in range(len(parent))], dtype=np.int64)
-        uniq, compact = np.unique(roots, return_inverse=True)
-        m = labels >= 0
-        labels[m] = compact[labels[m]]
-        return labels, len(uniq)
-    return labels, 0
+    if edges_a:
+        for a, b in zip(np.concatenate(edges_a), np.concatenate(edges_b)):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(nruns)], dtype=np.int64)
+    uniq, compact = np.unique(roots, return_inverse=True)
+    # paint runs with compacted labels (flat scatter, no per-run Python loop)
+    lens = se - sc
+    starts_flat = sr * w + sc
+    total = int(lens.sum())
+    offs = np.zeros(nruns, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    pos = np.repeat(starts_flat, lens) + (np.arange(total) - np.repeat(offs, lens))
+    labels.ravel()[pos] = np.repeat(compact, lens)
+    return labels, len(uniq)
 
 
 def trace_boundary(mask: np.ndarray) -> np.ndarray:

@@ -49,36 +49,63 @@ class GridSpec:
 
 def _scanline_fill(mask: np.ndarray, rings: list[np.ndarray], px_off: float, py_off: float):
     """Set mask[r, c] for pixels whose center (c+0.5+px_off, r+0.5+py_off)
-    is inside the polygon (even-odd).  Operates in local pixel space."""
+    is inside the polygon (even-odd).  Operates in local pixel space.
+
+    Vectorized over (edge x row): all crossings are computed in one shot,
+    lexsorted by (row, x), paired even-odd per row, and the spans painted
+    with a flat scatter — no Python loop over edges or rows."""
     h, w = mask.shape
-    yc = np.arange(h) + 0.5 + py_off  # center y per row (pixel space)
-    crossings_per_row: list[list[float]] = [[] for _ in range(h)]
-    for ring in rings:
-        x0, y0 = ring[:-1, 0], ring[:-1, 1]
-        x1, y1 = ring[1:, 0], ring[1:, 1]
-        for e in range(len(x0)):
-            ey0, ey1 = y0[e], y1[e]
-            if ey0 == ey1:
-                continue
-            lo, hi = (ey0, ey1) if ey0 < ey1 else (ey1, ey0)
-            # half-open (lo, hi] crossing rule, direction-independent
-            rows = np.nonzero((yc > lo) & (yc <= hi))[0]
-            if rows.size == 0:
-                continue
-            xs = x0[e] + (yc[rows] - ey0) * (x1[e] - x0[e]) / (ey1 - ey0)
-            for r, xv in zip(rows, xs):
-                crossings_per_row[r].append(xv)
-    for r, xs in enumerate(crossings_per_row):
-        if not xs:
-            continue
-        xs.sort()
-        for i in range(0, len(xs) - 1, 2):
-            c0 = int(np.ceil(xs[i] - 0.5 - px_off))
-            c1 = int(np.ceil(xs[i + 1] - 0.5 - px_off))  # exclusive
-            c0 = max(c0, 0)
-            c1 = min(c1, w)
-            if c1 > c0:
-                mask[r, c0:c1] = True
+    ex0 = np.concatenate([r[:-1, 0] for r in rings]) if rings else np.empty(0)
+    ey0 = np.concatenate([r[:-1, 1] for r in rings]) if rings else np.empty(0)
+    ex1 = np.concatenate([r[1:, 0] for r in rings]) if rings else np.empty(0)
+    ey1 = np.concatenate([r[1:, 1] for r in rings]) if rings else np.empty(0)
+    keep = ey0 != ey1
+    if not keep.any():
+        return
+    ex0, ey0, ex1, ey1 = ex0[keep], ey0[keep], ex1[keep], ey1[keep]
+    lo = np.minimum(ey0, ey1)
+    hi = np.maximum(ey0, ey1)
+    # rows with center yc = r + 0.5 + py_off in (lo, hi]
+    r_lo = np.maximum(np.floor(lo - 0.5 - py_off).astype(np.int64) + 1, 0)
+    r_hi = np.minimum(np.floor(hi - 0.5 - py_off).astype(np.int64), h - 1)
+    cnt = np.maximum(r_hi - r_lo + 1, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return
+    eidx = np.repeat(np.arange(ex0.size), cnt)
+    offs = np.zeros(ex0.size, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=offs[1:])
+    rows = np.repeat(r_lo, cnt) + (np.arange(total) - np.repeat(offs, cnt))
+    yc = rows + 0.5 + py_off
+    xs = ex0[eidx] + (yc - ey0[eidx]) * (ex1[eidx] - ex0[eidx]) / (ey1[eidx] - ey0[eidx])
+    order = np.lexsort((xs, rows))
+    rows, xs = rows[order], xs[order]
+    # even-odd pairing within each row (crossing counts are even per row)
+    row_start = np.r_[True, rows[1:] != rows[:-1]]
+    pos_in_row = np.arange(rows.size) - np.maximum.accumulate(
+        np.where(row_start, np.arange(rows.size), 0)
+    )
+    even = pos_in_row % 2 == 0
+    ie = np.flatnonzero(even)
+    io = np.flatnonzero(~even)
+    n = min(ie.size, io.size)
+    ie, io = ie[:n], io[:n]
+    c0 = np.maximum(np.ceil(xs[ie] - 0.5 - px_off).astype(np.int64), 0)
+    c1 = np.minimum(np.ceil(xs[io] - 0.5 - px_off).astype(np.int64), w)
+    rr = rows[ie]
+    # closed rings with the half-open rule give even per-row parity; the
+    # row-equality filter guards degenerate inputs
+    ok = (c1 > c0) & (rows[ie] == rows[io])
+    c0, c1, rr = c0[ok], c1[ok], rr[ok]
+    if c0.size == 0:
+        return
+    lens = c1 - c0
+    span_total = int(lens.sum())
+    soffs = np.zeros(c0.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=soffs[1:])
+    pos = (np.repeat(rr * w + c0, lens)
+           + (np.arange(span_total) - np.repeat(soffs, lens)))
+    mask.ravel()[pos] = True
 
 
 def _traverse_line(x0: float, y0: float, x1: float, y1: float):
