@@ -719,6 +719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q.embedding_neardup_q,
         # layer algebra: polygon x polygon (SURVEY §2.4), clip/dissolve
         "polygon_join": q.polygon_join_q,
+        "polygon_overlay": q.polygon_overlay_q,
+        "polygon_erase": q.polygon_erase_q,
         "clip_areas": q.clip_areas_q,
         "dissolve_zones": q.dissolve_zones_q,
         "contour_ramp": q.contour_ramp_q,
@@ -987,6 +989,50 @@ def oracle_sql() -> dict[str, str]:
             FROM zz, cc
             WHERE zz.minx <= cc.maxx AND zz.maxx >= cc.minx
               AND zz.miny <= cc.maxy AND zz.maxy >= cc.miny
+        """,
+        "polygon_overlay": f"""
+            WITH {_ZONES},
+            c AS (
+              SELECT c_custkey AS r_id,
+                     -180.0 + ((c_custkey * 5179) % 33000) / 100.0 AS minx,
+                     -85.0 + ((c_custkey * 3607) % 15000) / 100.0 AS miny
+              FROM customer
+            ),
+            cc AS (
+              SELECT r_id, minx, miny,
+                     minx + (2.0 + ((r_id * 149) % 900) / 100.0) AS maxx,
+                     miny + (2.0 + ((r_id * 211) % 700) / 100.0) AS maxy
+              FROM c
+            ),
+            p AS (
+              SELECT zz.zone_key AS l_id, cc.r_id,
+                     (zz.maxx - zz.minx) * (zz.maxy - zz.miny) AS a_area,
+                     (cc.maxx - cc.minx) * (cc.maxy - cc.miny) AS b_area,
+                     (LEAST(zz.maxx, cc.maxx) - GREATEST(zz.minx, cc.minx)) AS iw,
+                     (LEAST(zz.maxy, cc.maxy) - GREATEST(zz.miny, cc.miny)) AS ih
+              FROM zz, cc
+              WHERE LEAST(zz.maxx, cc.maxx) > GREATEST(zz.minx, cc.minx)
+                AND LEAST(zz.maxy, cc.maxy) > GREATEST(zz.miny, cc.miny))
+            SELECT l_id, r_id,
+                   CAST(round(iw * ih * 10000.0) AS BIGINT) AS inter_x10000,
+                   CAST(round((a_area + b_area - iw * ih) * 10000.0) AS BIGINT)
+                     AS union_x10000,
+                   CAST(round((a_area + b_area - 2 * (iw * ih)) * 10000.0) AS BIGINT)
+                     AS symdiff_x10000
+            FROM p
+            WHERE CAST(round(iw * ih * 10000.0) AS BIGINT) > 0
+        """,
+        "polygon_erase": f"""
+            WITH {_ZONES},
+            p AS (SELECT zone_key AS fid,
+                         (maxx - minx) * (maxy - miny) AS a_area,
+                         GREATEST(LEAST(maxx, 60.0) - GREATEST(minx, -60.0), 0.0) AS iw,
+                         GREATEST(LEAST(maxy, 40.0) - GREATEST(miny, -40.0), 0.0) AS ih
+                  FROM zz)
+            SELECT fid,
+                   CAST(round((a_area - iw * ih) * 10000.0) AS BIGINT) AS erase_area_x10000
+            FROM p
+            WHERE round((a_area - iw * ih) * 10000.0) > 0
         """,
         "clip_areas": f"""
             WITH {_ZONES}

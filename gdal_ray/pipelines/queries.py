@@ -504,6 +504,64 @@ def polygon_join_q(sf_dir: str):
     return layeralg.polygon_join(rd.from_arrow(left), rd.from_arrow(_cust_zones(sf_dir)), res=4)
 
 
+def polygon_overlay_q(sf_dir: str):
+    """Overlay geometry construction (Intersection/Union/SymDifference output,
+    ogrlayer.cpp:5385/5803/6340): per intersecting zone pair the three overlay
+    geometries are CONSTRUCTED (concave-capable boolean engine) and their
+    exact scaled areas emitted — the rect-derived layers make the oracle
+    closed-form."""
+    from ..stages import layeralg
+
+    zones = _zones(sf_dir)
+    left = rd.from_arrow(pa.table({"l_id": zones["zone_key"], "wkb": zones["wkb"]}))
+    out = layeralg.overlay_join(left, rd.from_arrow(_cust_zones(sf_dir)), res=4)
+
+    def fin(t: pa.Table) -> pa.Table:
+        def x10000(col):
+            return pc.cast(
+                pc.round(pc.multiply(t[col], pa.scalar(10000.0)),
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            )
+
+        r = pa.table(
+            {"l_id": t["l_id"], "r_id": t["r_id"],
+             "inter_x10000": x10000("inter_area"),
+             "union_x10000": x10000("union_area"),
+             "symdiff_x10000": x10000("symdiff_area")}
+        )
+        # grid-coincident edges produce ~1e-14 FP slivers on one side only;
+        # both engine and oracle drop rounded-zero intersections
+        return r.filter(pc.greater(r["inter_x10000"], 0))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def polygon_erase_q(sf_dir: str):
+    """Erase (A minus eraser) with geometry output: zones minus the fixed
+    clip rectangle — concave L/C/ring-shaped results; exact area oracle."""
+    from ..functions import wkb as _w
+    from ..stages import layeralg
+
+    zones = _zones(sf_dir)
+    ds = rd.from_arrow(pa.table({"fid": zones["zone_key"], "wkb": zones["wkb"]}))
+    x0, y0, x1, y1 = CLIP_RECT
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    out = layeralg.erase_layer(ds, _w.encode_polygon([ring]))
+
+    def fin(t: pa.Table) -> pa.Table:
+        r = pa.table(
+            {"fid": t["fid"],
+             "erase_area_x10000": pc.cast(
+                 pc.round(pc.multiply(t["erase_area"], pa.scalar(10000.0)),
+                          round_mode="half_towards_infinity"),
+                 pa.int64())}
+        )
+        return r.filter(pc.greater(r["erase_area_x10000"], 0))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 CLIP_RECT = (-60.0, -40.0, 60.0, 40.0)
 
 

@@ -156,6 +156,127 @@ def polygon_join(
     )
 
 
+def overlay_join(
+    left_ds,
+    right_ds,
+    res: int = 5,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+):
+    """Layer-algebra overlay with GEOMETRY construction (Intersection /
+    Union / SymDifference output per intersecting pair — ogrlayer.cpp:5385,
+    :5803, :6340 semantics; Identity/Update/Erase compose from these plus
+    ``erase_layer``).  Same cell-partitioned shuffle as ``polygon_join``;
+    per-pair boolean ops run inside the group (stages/overlay.py, concave-
+    capable).  Emits (l_id, r_id, inter_wkb, inter_area, union_area,
+    symdiff_area); boundary-touch pairs (zero-area intersection) are skipped."""
+    from . import overlay
+
+    lt = left_ds.map_batches(lambda b: _tag_side(b, 0, res, left_id), batch_format="pyarrow")
+    rt = right_ds.map_batches(lambda b: _tag_side(b, 1, res, right_id), batch_format="pyarrow")
+    empty = pa.table(
+        {"l_id": pa.array([], pa.int64()), "r_id": pa.array([], pa.int64()),
+         "inter_wkb": pa.array([], pa.binary()),
+         "inter_area": pa.array([], pa.float64()),
+         "union_area": pa.array([], pa.float64()),
+         "symdiff_area": pa.array([], pa.float64())}
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        if not lmask.any() or lmask.all():
+            return empty
+        cell = int(group["cell"][0].as_py())
+        lbox = np.column_stack(
+            [group[c].to_numpy(zero_copy_only=False)[lmask] for c in ("minx", "miny", "maxx", "maxy")]
+        )
+        rbox = np.column_stack(
+            [group[c].to_numpy(zero_copy_only=False)[~lmask] for c in ("minx", "miny", "maxx", "maxy")]
+        )
+        lids = group["gid"].to_numpy(zero_copy_only=False)[lmask]
+        rids = group["gid"].to_numpy(zero_copy_only=False)[~lmask]
+        lwkb = [w for w, m in zip(group["wkb"].to_pylist(), lmask) if m]
+        rwkb = [w for w, m in zip(group["wkb"].to_pylist(), lmask) if not m]
+        cand = np.nonzero(pip.bbox_intersects(lbox, rbox))
+        rows = {k: [] for k in ("l_id", "r_id", "inter_wkb", "inter_area",
+                                "union_area", "symdiff_area")}
+        cache_l: dict = {}
+        cache_r: dict = {}
+        # owner-cell dedup: a pair sharing k cells is a candidate in all k
+        # groups, but only the cell containing the intersection-bbox min
+        # corner computes and emits it — once, with no dedup shuffle after
+        ocx = np.maximum(lbox[cand[0], 0], rbox[cand[1], 0])
+        ocy = np.maximum(lbox[cand[0], 1], rbox[cand[1], 1])
+        owner = geo.point_cells(ocx, ocy, res) if ocx.size else np.empty(0, np.int64)
+        for k, (li, ri) in enumerate(zip(*cand)):
+            if int(owner[k]) != cell:
+                continue
+            if li not in cache_l:
+                cache_l[li] = wkb.decode(lwkb[li])
+            if ri not in cache_r:
+                cache_r[ri] = wkb.decode(rwkb[ri])
+            gl = cache_l[li]
+            gr = cache_r[ri]
+            gi = overlay.boolean_op(gl, gr, "intersection")
+            ia = overlay.geom_area(gi)
+            if gi is None or ia <= 0:
+                continue
+            gu = overlay.boolean_op(gl, gr, "union")
+            gs = overlay.boolean_op(gl, gr, "symdifference")
+            rows["l_id"].append(int(lids[li]))
+            rows["r_id"].append(int(rids[ri]))
+            rows["inter_wkb"].append(overlay.encode(gi))
+            rows["inter_area"].append(ia)
+            rows["union_area"].append(overlay.geom_area(gu))
+            rows["symdiff_area"].append(overlay.geom_area(gs))
+        return pa.table(
+            {"l_id": pa.array(rows["l_id"], pa.int64()),
+             "r_id": pa.array(rows["r_id"], pa.int64()),
+             "inter_wkb": pa.array(rows["inter_wkb"], pa.binary()),
+             "inter_area": pa.array(rows["inter_area"], pa.float64()),
+             "union_area": pa.array(rows["union_area"], pa.float64()),
+             "symdiff_area": pa.array(rows["symdiff_area"], pa.float64())}
+        )
+
+    both = lt.union(rt)
+    return both.groupby("cell").map_groups(join_group, batch_format="pyarrow")
+
+
+def erase_layer(ds, eraser_wkb: bytes, id_col: str = "fid"):
+    """Erase: subtract a (possibly concave) eraser geometry from every
+    feature (ogrlayer.cpp Erase); features left empty are dropped.
+    Emits erased WKB + exact erased area."""
+    from . import overlay
+
+    ger = wkb.decode(eraser_wkb)
+    ebox = wkb.bboxes([eraser_wkb])[0]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, out_wkb, areas = [], [], []
+        for fid, w in zip(batch[id_col].to_pylist(), batch["wkb"].to_pylist()):
+            g = wkb.decode(w)
+            b = g.bbox()
+            if b[2] <= ebox[0] or b[0] >= ebox[2] or b[3] <= ebox[1] or b[1] >= ebox[3]:
+                ge = g  # no overlap: feature survives whole
+            else:
+                ge = overlay.boolean_op(g, ger, "difference")
+            if ge is None:
+                continue
+            a = overlay.geom_area(ge)
+            if a <= 0:
+                continue
+            ids.append(fid)
+            out_wkb.append(overlay.encode(ge))
+            areas.append(a)
+        return pa.table(
+            {id_col: pa.array(ids), "wkb": pa.array(out_wkb, pa.binary()),
+             "erase_area": pa.array(areas, pa.float64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def clip_layer(ds, clipper_wkb: bytes, id_col: str = "fid"):
     """Clip every polygon by a convex clipper (gdal vector clip /
     layer-algebra Clip with a convex clip geometry).  Emits clipped WKB +
