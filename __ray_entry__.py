@@ -591,6 +591,72 @@ def _overview_kernels_sql() -> str:
     """
 
 
+def _color_relief_sql() -> str:
+    """Per-band checksums of the piecewise-linear color ramp over the 3x3
+    ramp mosaic (rastermap.color_relief integer floor arithmetic)."""
+    from gdal_ray.pipelines.queries import COLOR_STOPS
+
+    sv = [s[0] for s in COLOR_STOPS]
+
+    def chan(ci: int) -> str:
+        branches = []
+        for si in range(len(COLOR_STOPS) - 1):
+            v0, v1 = sv[si], sv[si + 1]
+            c0, c1 = COLOR_STOPS[si][1 + ci], COLOR_STOPS[si + 1][1 + ci]
+            cond = f"v < {v1}" if si < len(COLOR_STOPS) - 2 else "true"
+            branches.append(
+                f"WHEN {cond} THEN ({c0} * ({v1} - v) + {c1} * (v - {v0})) // {v1 - v0}"
+            )
+        return "CASE " + " ".join(branches) + " END"
+
+    return f"""
+        WITH px AS (SELECT a.range AS gx, b.range AS gy FROM range(192) a, range(192) b),
+        pv AS (SELECT gx, gy, gx + gy AS v FROM px),
+        col AS (SELECT gx, gy, {chan(0)} AS cr, {chan(1)} AS cg, {chan(2)} AS cb FROM pv)
+        SELECT CAST(gx // 64 AS INTEGER) AS x, CAST(gy // 64 AS INTEGER) AS y,
+               CAST(sum(cr * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536 AS BIGINT)
+                 AS checksum_r,
+               CAST(sum(cg * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536 AS BIGINT)
+                 AS checksum_g,
+               CAST(sum(cb * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536 AS BIGINT)
+                 AS checksum_b
+        FROM col GROUP BY 1, 2
+    """
+
+
+def _predicate_counts_sql() -> str:
+    """Predicate classification over the two integer-grid rect layers —
+    exact integer interval arithmetic (pip.polygon_predicate mirror)."""
+    return """
+        WITH p AS (SELECT p_partkey AS l_id,
+                          -180 + (p_partkey * 7321) % 330 AS x0,
+                          -85 + (p_partkey * 4231) % 150 AS y0,
+                          2 + (p_partkey * 131) % 8 AS w,
+                          2 + (p_partkey * 197) % 6 AS h
+                   FROM part),
+        c AS (SELECT c_custkey AS r_id,
+                     -180 + (c_custkey * 5179) % 330 AS x0,
+                     -85 + (c_custkey * 3607) % 150 AS y0,
+                     2 + (c_custkey * 149) % 8 AS w,
+                     2 + (c_custkey * 211) % 6 AS h
+              FROM customer),
+        j AS (SELECT LEAST(p.x0 + p.w, c.x0 + c.w) - GREATEST(p.x0, c.x0) AS iw,
+                     LEAST(p.y0 + p.h, c.y0 + c.h) - GREATEST(p.y0, c.y0) AS ih,
+                     p.w * p.h AS aa, c.w * c.h AS ab
+              FROM p, c
+              WHERE LEAST(p.x0 + p.w, c.x0 + c.w) >= GREATEST(p.x0, c.x0)
+                AND LEAST(p.y0 + p.h, c.y0 + c.h) >= GREATEST(p.y0, c.y0)),
+        k AS (SELECT CASE WHEN iw = 0 OR ih = 0 THEN 'touches'
+                          WHEN iw * ih = aa AND iw * ih = ab THEN 'equals'
+                          WHEN iw * ih = ab THEN 'contains'
+                          WHEN iw * ih = aa THEN 'within'
+                          ELSE 'overlaps' END AS predicate
+              FROM j)
+        SELECT predicate, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM k GROUP BY predicate
+    """
+
+
 def _media_sql() -> str:
     """Media featurization over the synthetic 2000-doc interleaved corpus:
     span structure, md5-block fake decode, mean and dHash recomputed from
@@ -724,6 +790,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_areas": q.clip_areas_q,
         "dissolve_zones": q.dissolve_zones_q,
         "contour_ramp": q.contour_ramp_q,
+        "raster_as_features": q.raster_as_features_q,
+        "color_relief": q.color_relief_q,
+        "predicate_counts": q.predicate_counts_q,
         # aggregates: histogram + exact stats partials (SURVEY §2.5)
         "histogram_nchars": q.histogram_nchars_q,
         "agg_stats_quantity": q.agg_stats_quantity_q,
@@ -1092,6 +1161,12 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
         """,
+        "raster_as_features": f"""
+            WITH {_blobs_cte(3, 3)}
+            SELECT gx, gy, CAST(v AS DOUBLE) AS value FROM pv WHERE v > 0
+        """,
+        "color_relief": _color_relief_sql(),
+        "predicate_counts": _predicate_counts_sql(),
         "rasterize_polygons": f"""
             -- scanline burn of the zone rectangles into the 1440x680 quarter-
             -- degree grid (stages/rasterize: pixel-center parity rule, REPLACE

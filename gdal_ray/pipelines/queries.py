@@ -623,6 +623,58 @@ def dissolve_zones_q(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def raster_as_features_q(sf_dir: str):
+    """raster as-features: tiles -> one row per valid pixel (gx, gy, value)."""
+    from ..stages import rastermap
+
+    tiles_tbl = synthetic.make_raster_tiles("blobs", 3, 3, size=64)
+    return rastermap.as_features(rd.from_arrow(tiles_tbl), nodata=0.0, tile_size=64)
+
+
+COLOR_STOPS = ((0, 0, 0, 255), (100, 0, 255, 0), (200, 255, 255, 0), (400, 255, 0, 0))
+
+
+def color_relief_q(sf_dir: str):
+    """gdaldem color-relief over the ramp mosaic; per-band tile checksums."""
+    from ..stages import rastermap
+
+    tiles_tbl = synthetic.make_raster_tiles("ramp", 3, 3, size=64)
+    out = rastermap.color_relief(rd.from_arrow(tiles_tbl), COLOR_STOPS)
+    return out.select_columns(["x", "y", "checksum_r", "checksum_g", "checksum_b"])
+
+
+INT_RECT_L = dict(minx_mult=7321, minx_mod=330, miny_mult=4231, miny_mod=150,
+                  w_mult=131, w_mod=8, h_mult=197, h_mod=6)
+INT_RECT_R = dict(minx_mult=5179, minx_mod=330, miny_mult=3607, miny_mod=150,
+                  w_mult=149, w_mod=8, h_mult=211, h_mod=6)
+
+
+def _int_rect_layer(keys: np.ndarray, c: dict, id_name: str) -> pa.Table:
+    """Integer-coordinate rectangle layer: every coordinate is an exact
+    small integer, so touches/equals/contains classification has NO floating
+    point ambiguity (the predicate-join contract)."""
+    minx = (-180 + (keys * c["minx_mult"]) % c["minx_mod"]).astype(np.float64)
+    miny = (-85 + (keys * c["miny_mult"]) % c["miny_mod"]).astype(np.float64)
+    w = (2 + (keys * c["w_mult"]) % c["w_mod"]).astype(np.float64)
+    h = (2 + (keys * c["h_mult"]) % c["h_mod"]).astype(np.float64)
+    wkbs = synthetic.rect_wkbs(minx, miny, minx + w, miny + h)
+    return pa.table({id_name: pa.array(keys), "wkb": pa.array(wkbs, pa.binary())})
+
+
+def predicate_counts_q(sf_dir: str):
+    """Full spatial predicate set (touches/overlaps/equals/contains/within,
+    ogrgeometry.cpp:6009-6362) over two integer-grid rect layers: per-pair
+    classification -> count per predicate."""
+    from ..stages import layeralg
+
+    pk = np.sort(pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])["p_partkey"].to_numpy())
+    ck = np.sort(pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])["c_custkey"].to_numpy())
+    left = rd.from_arrow(_int_rect_layer(pk, INT_RECT_L, "l_id"))
+    right = rd.from_arrow(_int_rect_layer(ck, INT_RECT_R, "r_id"))
+    out = layeralg.predicate_join(left, right, res=4)
+    return relational.partial_aggregate(out, ["predicate"], count_alias="n_pairs")
+
+
 def contour_ramp_q(sf_dir: str):
     """Distributed marching-squares contour over the ramp fixture."""
     from ..stages import contour as cnt

@@ -243,6 +243,69 @@ def overlay_join(
     return both.groupby("cell").map_groups(join_group, batch_format="pyarrow")
 
 
+def predicate_join(
+    left_ds,
+    right_ds,
+    res: int = 5,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+):
+    """Full spatial-predicate join (ogr/ogrgeometry.cpp:6009-6362 predicate
+    set): emits (l_id, r_id, predicate) for every non-disjoint pair, with
+    predicate in equals | contains | within | overlaps | touches
+    (pip.polygon_predicate).  Cell-partitioned with owner-cell dedup."""
+    lt = left_ds.map_batches(lambda b: _tag_side(b, 0, res, left_id), batch_format="pyarrow")
+    rt = right_ds.map_batches(lambda b: _tag_side(b, 1, res, right_id), batch_format="pyarrow")
+    empty = pa.table(
+        {"l_id": pa.array([], pa.int64()), "r_id": pa.array([], pa.int64()),
+         "predicate": pa.array([], pa.string())}
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        if not lmask.any() or lmask.all():
+            return empty
+        cell = int(group["cell"][0].as_py())
+        lbox = np.column_stack(
+            [group[c].to_numpy(zero_copy_only=False)[lmask] for c in ("minx", "miny", "maxx", "maxy")]
+        )
+        rbox = np.column_stack(
+            [group[c].to_numpy(zero_copy_only=False)[~lmask] for c in ("minx", "miny", "maxx", "maxy")]
+        )
+        lids = group["gid"].to_numpy(zero_copy_only=False)[lmask]
+        rids = group["gid"].to_numpy(zero_copy_only=False)[~lmask]
+        lwkb = [w for w, m in zip(group["wkb"].to_pylist(), lmask) if m]
+        rwkb = [w for w, m in zip(group["wkb"].to_pylist(), lmask) if not m]
+        cand = np.nonzero(pip.bbox_intersects(lbox, rbox))
+        ocx = np.maximum(lbox[cand[0], 0], rbox[cand[1], 0])
+        ocy = np.maximum(lbox[cand[0], 1], rbox[cand[1], 1])
+        owner = geo.point_cells(ocx, ocy, res) if ocx.size else np.empty(0, np.int64)
+        out_l, out_r, out_p = [], [], []
+        cache_l: dict = {}
+        cache_r: dict = {}
+        for k, (li, ri) in enumerate(zip(*cand)):
+            if int(owner[k]) != cell:
+                continue
+            if li not in cache_l:
+                cache_l[li] = wkb.decode(lwkb[li])
+            if ri not in cache_r:
+                cache_r[ri] = wkb.decode(rwkb[ri])
+            pred = pip.polygon_predicate(cache_l[li], cache_r[ri])
+            if pred is None:
+                continue
+            out_l.append(int(lids[li]))
+            out_r.append(int(rids[ri]))
+            out_p.append(pred)
+        return pa.table(
+            {"l_id": pa.array(out_l, pa.int64()), "r_id": pa.array(out_r, pa.int64()),
+             "predicate": pa.array(out_p, pa.string())}
+        )
+
+    both = lt.union(rt)
+    return both.groupby("cell").map_groups(join_group, batch_format="pyarrow")
+
+
 def erase_layer(ds, eraser_wkb: bytes, id_col: str = "fid"):
     """Erase: subtract a (possibly concave) eraser geometry from every
     feature (ogrlayer.cpp Erase); features left empty are dropped.

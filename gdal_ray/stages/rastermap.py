@@ -168,6 +168,70 @@ def histogram(tiles_ds, bins: int, lo: float, hi: float) -> np.ndarray:
     return out
 
 
+def as_features(tiles_ds, nodata: float | None = None, tile_size: int = 64):
+    """gdal raster as-features (apps/gdalalg_raster_as_features.h:28): one
+    row per (valid) pixel with GLOBAL pixel coordinates + value — a pure
+    vectorized flat_map, the raster -> tabular bridge."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        gxs, gys, vals = [], [], []
+        for i in range(batch.num_rows):
+            arr = _arr_of(batch, i).astype(np.float64)
+            h, w = arr.shape
+            x = batch["x"][i].as_py()
+            y = batch["y"][i].as_py()
+            gy, gx = np.mgrid[0:h, 0:w]
+            m = np.ones(arr.shape, dtype=bool) if nodata is None else arr != nodata
+            gxs.append((gx[m] + x * tile_size).astype(np.int64))
+            gys.append((gy[m] + y * tile_size).astype(np.int64))
+            vals.append(arr[m])
+        if not gxs:
+            return pa.table({"gx": pa.array([], pa.int64()), "gy": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64())})
+        return pa.table(
+            {"gx": pa.array(np.concatenate(gxs)), "gy": pa.array(np.concatenate(gys)),
+             "value": pa.array(np.concatenate(vals))}
+        )
+
+    return tiles_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def color_relief(tiles_ds, stops):
+    """gdaldem color-relief (apps/gdaldem_lib.cpp): piecewise-linear color
+    ramp over integer-valued rasters.  stops = [(value, r, g, b)] ascending;
+    interpolation uses exact integer floor arithmetic
+    c = (c0*(v1-v) + c1*(v-v0)) // (v1-v0) — SQL-mirrorable (GDAL rounds;
+    the floor convention is documented).  Values below/above the ramp clamp
+    to the end colors.  Emits per-tile interleaved RGB + per-band checksums."""
+    sv = np.array([s[0] for s in stops], dtype=np.int64)
+    sc = np.array([[s[1], s[2], s[3]] for s in stops], dtype=np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            arr = _arr_of(batch, i)
+            v = arr.astype(np.int64)
+            h, w = v.shape
+            vc = np.clip(v, sv[0], sv[-1])
+            seg = np.clip(np.searchsorted(sv, vc, side="right") - 1, 0, len(sv) - 2)
+            v0, v1 = sv[seg], sv[seg + 1]
+            span = v1 - v0
+            rgb = np.empty((h, w, 3), dtype=np.uint8)
+            for ch in range(3):
+                c0 = sc[seg, ch]
+                c1 = sc[seg + 1, ch]
+                rgb[:, :, ch] = ((c0 * (v1 - vc) + c1 * (vc - v0)) // span).astype(np.uint8)
+            out = {c: batch[c][i].as_py() for c in batch.column_names if c not in ("data", "dtype")}
+            out["dtype"] = "uint8"
+            out["data"] = rgb.tobytes()
+            for ch, name in enumerate("rgb"):
+                out[f"checksum_{name}"] = cks.tile_checksum(rgb[:, :, ch])
+            rows.append(out)
+        return pa.Table.from_pylist(rows)
+
+    return tiles_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def mosaic(layers: list, nodata: float = 0.0):
     """Compose N tile datasets: last non-nodata wins per pixel, in layer-list
     order (gdalbuildvrt overlay resolution).  Shuffle key = (z, x, y)."""

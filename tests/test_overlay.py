@@ -117,3 +117,29 @@ def test_identity_composition():
     inter = overlay.boolean_op(a, b, "intersection")
     diff = overlay.boolean_op(a, b, "difference")
     assert area(inter) + area(diff) == pytest.approx(12.0, abs=1e-9)
+
+
+def test_polygon_predicates():
+    from gdal_ray.functions import pip
+
+    a = rect(0, 0, 4, 4)
+    assert pip.polygon_predicate(a, rect(0, 0, 4, 4)) == "equals"
+    assert pip.polygon_predicate(a, rect(1, 1, 2, 2)) == "contains"
+    assert pip.polygon_predicate(rect(1, 1, 2, 2), a) == "within"
+    assert pip.polygon_predicate(a, rect(2, 2, 6, 6)) == "overlaps"
+    assert pip.polygon_predicate(a, rect(4, 0, 8, 4)) == "touches"
+    assert pip.polygon_predicate(a, rect(4, 4, 8, 8)) == "touches"  # corner
+    assert pip.polygon_predicate(a, rect(9, 9, 10, 10)) is None
+
+
+def test_line_crosses_polygon():
+    from gdal_ray.functions import pip, wkb as w
+    import numpy as np
+
+    poly = rect(0, 0, 4, 4)
+    crossing = w.decode(w.encode_linestring(np.array([[-1.0, 2.0], [5.0, 2.0]])))
+    inside = w.decode(w.encode_linestring(np.array([[1.0, 1.0], [3.0, 3.0]])))
+    outside = w.decode(w.encode_linestring(np.array([[6.0, 6.0], [8.0, 8.0]])))
+    assert pip.line_crosses_polygon(crossing, poly)
+    assert not pip.line_crosses_polygon(inside, poly)
+    assert not pip.line_crosses_polygon(outside, poly)
