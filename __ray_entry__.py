@@ -803,6 +803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_polygons": q.rasterize_polygons_q,
         "polygonize_blobs": q.polygonize_blobs_q,
         "polygonize_rings": q.polygonize_rings_q,
+        "polygonize_holes": q.polygonize_holes_q,
+        "sieve_cross_tile": q.sieve_q,
         "tile_pyramid": q.tile_pyramid_q,
         "tile_pyramid_cubic": q.tile_pyramid_cubic_q,
         "overview_kernels": q.overview_kernels_q,
@@ -1229,6 +1231,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pixels,
                    CAST(count(*) * 100 AS BIGINT) AS ring_area_x100
             FROM pv WHERE v > 0 GROUP BY v
+        """,
+        "sieve_cross_tile": f"""
+            -- rects on a value-9 background; disjoint rects' only neighbor is
+            -- the background, so any rect below the threshold merges into it
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b),
+            rects(rid, x0, y0, x1, y1) AS (VALUES {", ".join(
+                f"({i}, {x0}, {y0}, {x1}, {y1})"
+                for i, (x0, y0, x1, y1) in enumerate(
+                    __import__("gdal_ray.sources.synthetic", fromlist=["RECTS"]).RECTS))}),
+            keep AS (SELECT * FROM rects WHERE (x1 - x0) * (y1 - y0) >= 350),
+            v AS (SELECT p.gx, p.gy, COALESCE(any_value(k.rid + 1), 9) AS v
+                  FROM px p LEFT JOIN keep k
+                    ON p.gx >= k.x0 AND p.gx < k.x1 AND p.gy >= k.y0 AND p.gy < k.y1
+                  GROUP BY 1, 2)
+            {_tile_checksum_sql("v", 64, "v")}
+        """,
+        "polygonize_holes": """
+            -- donut fixture: annulus [20,172)^2 \\ [60,132)^2, value 7; the
+            -- shell ring bounds the full outer square, the one hole ring the
+            -- inner square (pixel-corner areas = pixel counts)
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b),
+            ann AS (SELECT count(*) AS npx FROM px
+                    WHERE gx >= 20 AND gx < 172 AND gy >= 20 AND gy < 172
+                      AND NOT (gx >= 60 AND gx < 132 AND gy >= 60 AND gy < 132)),
+            hole AS (SELECT count(*) AS hpx FROM px
+                     WHERE gx >= 60 AND gx < 132 AND gy >= 60 AND gy < 132)
+            SELECT CAST(7 AS DOUBLE) AS value,
+                   CAST(ann.npx AS BIGINT) AS n_pixels,
+                   CAST(1 AS BIGINT) AS n_holes,
+                   CAST(hole.hpx AS BIGINT) AS hole_pixels,
+                   CAST((ann.npx + hole.hpx) * 100 AS BIGINT) AS shell_area_x100,
+                   CAST(hole.hpx * 100 AS BIGINT) AS hole_area_x100
+            FROM ann, hole
         """,
         "fingerprint": f"""
             WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),

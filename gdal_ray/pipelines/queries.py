@@ -744,6 +744,64 @@ def polygonize_rings_q(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def polygonize_holes_q(sf_dir: str):
+    """Polygonize with INTERIOR ring tracing (hole rings,
+    alg/polygonize_polygonizer.h:136-176): the donut fixture's annulus spans
+    every tile border and encloses one hole; shell + hole ring areas and
+    counts are closed-form."""
+    from ..functions import wkb as _w
+    from ..stages import polygonize as poly
+
+    tiles_tbl = synthetic.make_raster_tiles("donut", 3, 3, size=64)
+    out = poly.polygonize_rings(rd.from_arrow(tiles_tbl), nodata=0.0, tile_size=64)
+
+    def fin(t: pa.Table) -> pa.Table:
+        shell, hole = [], []
+        for w_ in t["wkb"].to_pylist():
+            g = _w.decode(w_)
+            rings = g.parts[0]
+            shell.append(int(round(abs(_w.ring_area(rings[0])) * 100)))
+            hole.append(sum(int(round(abs(_w.ring_area(r)) * 100)) for r in rings[1:]))
+        return pa.table(
+            {"value": t["value"], "n_pixels": t["n_pixels"],
+             "n_holes": t["n_holes"], "hole_pixels": t["hole_pixels"],
+             "shell_area_x100": pa.array(shell, pa.int64()),
+             "hole_area_x100": pa.array(hole, pa.int64())}
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SIEVE_THRESHOLD = 350
+
+
+def sieve_q(sf_dir: str):
+    """EXACT cross-tile sieve (gdal_sieve, alg/gdalsievefilter.cpp): rects
+    fixture with background reclassified to value 9 — the one rect smaller
+    than the threshold merges into the (largest-neighbor) background; rect
+    pixel counts are closed-form so the oracle recomputes the full mosaic."""
+    from ..functions import checksum as cks
+    from ..stages import polygonize as poly
+    from ..stages import rastermap
+
+    tiles_tbl = synthetic.make_raster_tiles("rects", 3, 3, size=64)
+    bg = rastermap.reclassify(rd.from_arrow(tiles_tbl), {0.0: 9.0})
+    cleaned = poly.sieve_global(bg, threshold=SIEVE_THRESHOLD, nodata=255.0)
+
+    def sums(t: pa.Table) -> pa.Table:
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            dt = np.float32 if t["dtype"][i].as_py() == "float32" else np.uint8
+            arr = np.frombuffer(t["data"][i].as_py(), dtype=dt).reshape(64, 64)
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks.tile_checksum(arr))
+        return pa.table({"x": pa.array(xs, pa.int32()), "y": pa.array(ys, pa.int32()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return cleaned.map_batches(sums, batch_format="pyarrow")
+
+
 def tile_pyramid_q(sf_dir: str):
     """Warp a synthetic EPSG:4326 ramp to EPSG:3857 XYZ tiles (z4) and build
     overviews to z2; returns per-tile checksums."""

@@ -261,6 +261,13 @@ def make_raster_tiles(kind: str, nx: int, ny: int, size: int = 64, z: int = 4) -
                 for r, (x0, y0, x1, y1) in enumerate(RECTS):
                     arr[(gx >= x0) & (gx < x1) & (gy >= y0) & (gy < y1)] = r + 1
                 dtype = "uint8"
+            elif kind == "donut":
+                # square annulus crossing every tile border: outer [20,172)^2
+                # minus inner [60,132)^2, value 7 — the hole-ring fixture
+                outer = (gx >= 20) & (gx < 172) & (gy >= 20) & (gy < 172)
+                inner = (gx >= 60) & (gx < 132) & (gy >= 60) & (gy < 132)
+                arr = np.where(outer & ~inner, 7, 0).astype(np.uint8)
+                dtype = "uint8"
             else:
                 raise ValueError(kind)
             zs.append(z)

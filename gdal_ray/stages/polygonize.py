@@ -554,18 +554,243 @@ def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile
             n_pix += group["n_pixels"][i].as_py()
         ring = trace_boundary(full)
         ring = ring + [gx0, gy0]
+        # interior rings (Two-Arm-Chains semantics, alg/polygonize_polygonizer
+        # .h:136-176): holes = connected components of the complement that do
+        # not reach the (1-px padded) window border — i.e. regions enclosed by
+        # the shell, whatever pixels fill them.  Traced like shells, reversed
+        # so hole orientation opposes the shell.
+        padded = np.zeros((full.shape[0] + 2, full.shape[1] + 2), dtype=bool)
+        padded[1:-1, 1:-1] = full
+        inv = (~padded).astype(np.uint8)
+        hlabels, hn = label_tile(inv, 0)
+        rings = [ring]
+        n_hole_px = 0
+        for lbl in range(hn):
+            hm = hlabels == lbl
+            if hm[0, :].any() or hm[-1, :].any() or hm[:, 0].any() or hm[:, -1].any():
+                continue  # touches outside — not enclosed
+            hring = trace_boundary(hm)[::-1] + [gx0 - 1, gy0 - 1]
+            rings.append(hring)
+            n_hole_px += int(hm.sum())
         return pa.table(
             {
                 "component": pa.array([group["component"][0].as_py()], pa.int64()),
                 "value": pa.array([group["value"][0].as_py()], pa.float64()),
                 "n_pixels": pa.array([n_pix], pa.int64()),
-                "wkb": pa.array([_wkb.encode_polygon([ring])], pa.binary()),
+                "n_holes": pa.array([len(rings) - 1], pa.int64()),
+                "hole_pixels": pa.array([n_hole_px], pa.int64()),
+                "wkb": pa.array([_wkb.encode_polygon(rings)], pa.binary()),
             }
         )
 
     return comps.map_batches(relabel, batch_format="pyarrow").groupby("component").map_groups(
         assemble, batch_format="pyarrow"
     )
+
+
+def sieve_global(tiles_ds, threshold: int, nodata: float = 0.0,
+                 connect8: bool = False, tile_size: int = 64):
+    """EXACT cross-tile sieve (alg/gdalsievefilter.cpp semantics): global
+    components smaller than ``threshold`` merge into their largest neighbor
+    component, iterated to fixpoint (a merge can push a survivor over the
+    threshold or give a small island a new neighbor).  Deterministic order:
+    small components processed by (size, key) ascending; neighbor tie-break =
+    (largest size, smallest key).
+
+    Distributed shape: per-tile CCL + metadata (sizes, same-value border runs
+    for the global merge, and component ADJACENCY edges — within-tile
+    vectorized pairs plus any-value cross-tile run overlaps); the driver
+    union-find + merge loop runs on metadata only (O(components + edges),
+    never pixels); pass 2 repaints tiles from a broadcast key->value map."""
+    import ray
+
+    def per_tile(batch: pa.Table) -> pa.Table:
+        rows = {"kind": [], "key": [], "key2": [], "edge_key": [],
+                "pos0": [], "pos1": [], "value": [], "n_pixels": []}
+
+        def add(kind, key, key2=0, ek=0, p0=0, p1=0, val=0.0, npx=0):
+            rows["kind"].append(kind)
+            rows["key"].append(key)
+            rows["key2"].append(key2)
+            rows["edge_key"].append(ek)
+            rows["pos0"].append(p0)
+            rows["pos1"].append(p1)
+            rows["value"].append(val)
+            rows["n_pixels"].append(npx)
+
+        for i in range(batch.num_rows):
+            tx = batch["x"][i].as_py()
+            ty = batch["y"][i].as_py()
+            wd = batch["width"][i].as_py()
+            ht = batch["height"][i].as_py()
+            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(ht, wd)
+            labels, n = label_tile(arr, nodata, connect8)
+            if n == 0:
+                continue
+            m = labels >= 0
+            counts = np.bincount(labels[m], minlength=n)
+            order = np.argsort(labels[m], kind="stable")
+            first_val = arr[m].astype(np.float64)[order][
+                np.concatenate(([0], np.cumsum(counts)[:-1]))]
+            for lbl in range(n):
+                add("comp", _ckey(tx, ty, lbl), val=float(first_val[lbl]),
+                    npx=int(counts[lbl]))
+            # within-tile adjacency between DIFFERENT components (4-conn)
+            for a, b in ((labels[:, :-1], labels[:, 1:]),
+                         (labels[:-1, :], labels[1:, :])):
+                mm = (a >= 0) & (b >= 0) & (a != b)
+                if mm.any():
+                    pairs = np.unique(a[mm] * np.int64(n) + b[mm])
+                    for p in pairs:
+                        add("adj", _ckey(tx, ty, int(p // n)),
+                            key2=_ckey(tx, ty, int(p % n)))
+            # border runs (any value): same-value overlaps merge components,
+            # different-value overlaps are adjacency
+            for side, vec_lbl, vec_val in (("R", labels[:, -1], arr[:, -1]),
+                                           ("B", labels[-1, :], arr[-1, :]),
+                                           ("L", labels[:, 0], arr[:, 0]),
+                                           ("T", labels[0, :], arr[0, :])):
+                if side == "R":
+                    ek = _ekey(tx, ty, "V")
+                elif side == "L":
+                    ek = _ekey(tx - 1, ty, "V")
+                elif side == "B":
+                    ek = _ekey(tx, ty, "H")
+                else:
+                    ek = _ekey(tx, ty - 1, "H")
+                owner = 1 if side in ("R", "B") else 0
+                for c0, c1, lbl in _runs_of(vec_lbl):
+                    add("border", _ckey(tx, ty, int(lbl)), key2=owner, ek=ek,
+                        p0=c0, p1=c1, val=float(vec_val[c0]))
+        return pa.table(
+            {"kind": pa.array(rows["kind"]),
+             "key": pa.array(rows["key"], pa.int64()),
+             "key2": pa.array(rows["key2"], pa.int64()),
+             "edge_key": pa.array(rows["edge_key"], pa.int64()),
+             "pos0": pa.array(rows["pos0"], pa.int64()),
+             "pos1": pa.array(rows["pos1"], pa.int64()),
+             "value": pa.array(rows["value"], pa.float64()),
+             "n_pixels": pa.array(rows["n_pixels"], pa.int64())}
+        )
+
+    tagged = tiles_ds.map_batches(per_tile, batch_format="pyarrow").materialize()
+
+    def edge_pairs(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_pylist()
+        idx = [i for i, k in enumerate(kinds) if k == "border"]
+        keys = group["key"].to_numpy(zero_copy_only=False)
+        own = group["key2"].to_numpy(zero_copy_only=False)
+        p0 = group["pos0"].to_numpy(zero_copy_only=False)
+        p1 = group["pos1"].to_numpy(zero_copy_only=False)
+        vals = group["value"].to_numpy(zero_copy_only=False)
+        oa, ob, same = [], [], []
+        a_idx = [i for i in idx if own[i] == 1]
+        b_idx = [i for i in idx if own[i] == 0]
+        for i in a_idx:
+            for j in b_idx:
+                if p0[i] < p1[j] and p1[i] > p0[j]:
+                    oa.append(int(keys[i]))
+                    ob.append(int(keys[j]))
+                    same.append(bool(vals[i] == vals[j]))
+        return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64()),
+                         "same": pa.array(same, pa.bool_())})
+
+    borders = tagged.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "border")), batch_format="pyarrow")
+    cross = borders.groupby("edge_key").map_groups(edge_pairs, batch_format="pyarrow").take_all()
+    adj_rows = tagged.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "adj")), batch_format="pyarrow"
+    ).select_columns(["key", "key2"]).take_all()
+    comp_rows = tagged.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "comp")), batch_format="pyarrow"
+    ).select_columns(["key", "value", "n_pixels"]).take_all()
+
+    parent: dict = {}
+
+    def find(z):
+        r = z
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(z, z) != z:
+            parent[z], z = r, parent[z]
+        return r
+
+    for row in cross:
+        if row["same"]:
+            a, b = find(row["a"]), find(row["b"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    size: dict = {}
+    value: dict = {}
+    for row in comp_rows:
+        r = find(row["key"])
+        size[r] = size.get(r, 0) + row["n_pixels"]
+        value[r] = row["value"]
+    neigh: dict = {r: set() for r in size}
+    for row in adj_rows:
+        a, b = find(row["key"]), find(row["key2"])
+        if a != b:
+            neigh[a].add(b)
+            neigh[b].add(a)
+    for row in cross:
+        if not row["same"]:
+            a, b = find(row["a"]), find(row["b"])
+            if a != b:
+                neigh[a].add(b)
+                neigh[b].add(a)
+    # fixpoint merge loop on metadata (merged-into tracking via union-find)
+    target: dict = {}
+
+    def tfind(z):
+        while target.get(z, z) != z:
+            z = target[z]
+        return z
+
+    changed = True
+    while changed:
+        changed = False
+        live = sorted((size[r], r) for r in size if tfind(r) == r)
+        for sz, r in live:
+            if size[r] >= threshold:
+                continue
+            nbrs = {tfind(x) for x in neigh.get(r, ())} - {r}
+            if not nbrs:
+                continue
+            tgt = max(nbrs, key=lambda x: (size[x], -x))
+            target[r] = tgt
+            size[tgt] += size[r]
+            size.pop(r)
+            neigh.setdefault(tgt, set()).update(nbrs - {tgt})
+            for x in nbrs:
+                neigh[x].discard(r)
+                if x != tgt:
+                    neigh[x].add(tgt)
+            neigh.pop(r, None)
+            changed = True
+    final_val = {row["key"]: value[tfind(find(row["key"]))] for row in comp_rows}
+    ref = ray.put(final_val)
+
+    def repaint(batch: pa.Table) -> pa.Table:
+        fv = ray.get(ref)
+        rows = []
+        for i in range(batch.num_rows):
+            tx = batch["x"][i].as_py()
+            ty = batch["y"][i].as_py()
+            wd = batch["width"][i].as_py()
+            ht = batch["height"][i].as_py()
+            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(ht, wd).copy()
+            labels, n = label_tile(arr, nodata, connect8)
+            if n:
+                lut = np.array([fv.get(_ckey(tx, ty, lbl), np.nan) for lbl in range(n)])
+                mm = labels >= 0
+                arr[mm] = lut[labels[mm]].astype(arr.dtype)
+            rows.append({**{c: batch[c][i].as_py() for c in batch.column_names if c != "data"},
+                         "data": arr.tobytes()})
+        return pa.Table.from_pylist(rows)
+
+    return tiles_ds.map_batches(repaint, batch_format="pyarrow")
 
 
 def _ckey(tx: int, ty: int, lbl: int) -> int:

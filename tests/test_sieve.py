@@ -1,0 +1,55 @@
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from gdal_ray.stages import polygonize as poly
+
+
+def tiles_of(arr, tile):
+    H, W = arr.shape
+    rows = []
+    for ty in range(H // tile):
+        for tx in range(W // tile):
+            sub = arr[ty*tile:(ty+1)*tile, tx*tile:(tx+1)*tile]
+            rows.append({"z": 0, "x": tx, "y": ty, "band": 1, "width": tile,
+                         "height": tile, "crs": "EPSG:3857", "nodata": 0.0,
+                         "dtype": "uint8", "data": np.ascontiguousarray(sub).tobytes()})
+    return pa.Table.from_pylist(rows)
+
+
+def mosaic_of(ds, tile, H, W):
+    out = np.zeros((H, W), np.uint8)
+    for r in ds.take_all():
+        arr = np.frombuffer(r["data"], np.uint8).reshape(r["height"], r["width"])
+        out[r["y"]*tile:(r["y"]+1)*tile, r["x"]*tile:(r["x"]+1)*tile] = arr
+    return out
+
+
+def test_sieve_global_cross_tile():
+    arr = np.ones((64, 64), np.uint8)
+    arr[20:40, 20:40] = 8          # big survivor (400 px)
+    arr[30:33, 38:42] = 5          # small island crossing into background+8
+    arr[2:4, 30:34] = 3            # small island crossing top tile border col
+    t2 = poly.sieve_global(rd.from_arrow(tiles_of(arr, 32)), threshold=20)
+    m2 = mosaic_of(t2, 32, 64, 64)
+    t1 = poly.sieve_global(rd.from_arrow(tiles_of(arr, 64)), threshold=20)
+    m1 = mosaic_of(t1, 64, 64, 64)
+    assert np.array_equal(m1, m2), "tiled != monolithic"
+    # small islands merged into largest neighbor
+    assert not (m2 == 3).any()
+    assert not (m2 == 5).any()
+    # island 5 (12 px) straddles 8 and 1: largest neighbor is background 1
+    # (64*64 - 400 - 12 - 8 px) -> becomes 1... unless touching-8 shape makes
+    # 8 its only/larger neighbor; assert against a scalar reference:
+    assert (m2 == 8).sum() == 400 - (arr[20:40, 20:40] == 5).sum()
+    assert (m2 == 1).sum() == 64*64 - (m2 == 8).sum()
+
+
+def test_sieve_chain_fixpoint():
+    # two small same-size islands adjacent to each other and to background:
+    # each merges into background in turn (fixpoint terminates)
+    arr = np.ones((32, 32), np.uint8)
+    arr[10:12, 10:12] = 4
+    arr[10:12, 12:14] = 6
+    out = mosaic_of(poly.sieve_global(rd.from_arrow(tiles_of(arr, 32)), threshold=10),
+                    32, 32, 32)
+    assert (out == 1).all()
