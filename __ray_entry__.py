@@ -497,6 +497,15 @@ p4px AS (SELECT x, y, i, j,
 """
 
 
+def _warp_inv_consts() -> dict:
+    """Inverse-geotransform constants of the ramp source as repr'd literals."""
+    from gdal_ray.functions import geo
+
+    inv = geo.inv_geotransform((-60.0, 120.0 / 256, 0.0, 60.0, 0.0, -120.0 / 256))
+    return {"inv0": repr(inv[0]), "inv1": repr(inv[1]),
+            "inv3": repr(inv[3]), "inv5": repr(inv[5])}
+
+
 def _cubic_weight_exprs(t: str) -> list:
     """Catmull-Rom weight SQL for offsets -1..2 — same parenthesization as
     pyramid.TileWarper._cubic_weights."""
@@ -808,6 +817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": q.tile_pyramid_q,
         "tile_pyramid_cubic": q.tile_pyramid_cubic_q,
         "overview_kernels": q.overview_kernels_q,
+        "warp_cutline": q.warp_cutline_q,
+        "grid_metrics": q.grid_metrics_q,
         "hillshade": q.hillshade_q,
         "footprint": q.footprint_q,
         "nearblack": q.nearblack_q,
@@ -1208,6 +1219,43 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid_cubic": _tile_pyramid_cubic_sql(),
         "overview_kernels": _overview_kernels_sql(),
         "media_features": _media_sql(),
+        "warp_cutline": f"""
+            WITH {_warp_grid_ctes()},
+            p4 AS (SELECT x, y, i, j,
+                     CASE WHEN CAST(floor(px) AS BIGINT) >= 0 AND CAST(floor(px) AS BIGINT) < 256
+                           AND CAST(floor(py) AS BIGINT) >= 0 AND CAST(floor(py) AS BIGINT) < 256
+                           AND lon >= -30.0 AND lon < 40.0
+                           AND lat >= -20.0 AND lat < 35.0
+                          THEN CAST(CAST(floor(px) AS BIGINT) + CAST(floor(py) AS BIGINT)
+                                    AS DOUBLE) + 1.0
+                          ELSE 0.0 END AS v
+                   FROM (SELECT x, y, i, j, lon, lat,
+                           {{inv0}} + lon * {{inv1}} AS px,
+                           {{inv3}} + lat * {{inv5}} AS py
+                         FROM p4l))
+            SELECT 4 AS z, CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+                   CAST(sum(CAST(trunc(v) AS BIGINT) * ((j * 64 + i) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM p4 GROUP BY 2, 3
+        """.format(**_warp_inv_consts()),
+        "grid_metrics": f"""
+            WITH {_DOCS_GEO},
+            cells AS (
+              SELECT a.range AS cx, b.range AS cy,
+                     -180.0 + (a.range + 0.5) * 5.625 AS ccx,
+                     -85.0 + (b.range + 0.5) * 5.3125 AS ccy
+              FROM range(64) a, range(32) b)
+            SELECT c.cx, c.cy,
+                   CAST(max(d.n_chars) - min(d.n_chars) AS BIGINT) AS vrange
+            FROM cells c JOIN d
+              ON (c.ccx - d.lon) * (c.ccx - d.lon)
+               + (c.ccy - d.lat) * (c.ccy - d.lat) <= 400.0
+            GROUP BY c.cx, c.cy
+            HAVING count(*) FILTER (d.lon >= c.ccx AND d.lat >= c.ccy) >= 1
+               AND count(*) FILTER (d.lon >= c.ccx AND d.lat < c.ccy) >= 1
+               AND count(*) FILTER (d.lon < c.ccx AND d.lat >= c.ccy) >= 1
+               AND count(*) FILTER (d.lon < c.ccx AND d.lat < c.ccy) >= 1
+        """,
         "hillshade": _hillshade_sql(),
         "proximity": _proximity_sql(),
         "fill_nodata": _fill_nodata_sql(),

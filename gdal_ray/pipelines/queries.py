@@ -843,6 +843,68 @@ def tile_pyramid_cubic_q(sf_dir: str):
     return out.select_columns(["z", "x", "y", "checksum"])
 
 
+CUTLINE_RECT = (-30.0, -20.0, 40.0, 35.0)
+
+
+def warp_cutline_q(sf_dir: str):
+    """gdalwarp -cutline analogue (alg/gdalwarper.cpp / gdalcutline.cpp):
+    nearest warp of the ramp with destination pixels outside the cutline
+    polygon masked to nodata; per-tile checksums."""
+    from ..functions import wkb as _w
+    from ..stages import pyramid as pyr
+
+    x0, y0, x1, y1 = CUTLINE_RECT
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    out = pyr.warp_to_tiles(
+        _ramp_src(), 4, (-59, -59, 59, 59), tile_px=64, resample="nearest",
+        skip_blank=False, concurrency=2, cutline_wkb=_w.encode_polygon([ring]),
+        dst_alpha=True,
+    )
+    return out.select_columns(["z", "x", "y", "checksum"])
+
+
+GRID_METRIC_RADIUS = 20.0
+
+
+def grid_metrics_q(sf_dir: str):
+    """gdal_grid data metrics (alg/gdalgrid.cpp GGA metrics): per-cell RANGE
+    of n_chars within the search radius, with the one-point-per-quadrant
+    validity constraint; cells failing it emit no row."""
+    from ..stages import gridinterp
+
+    grid = gridinterp.InterpGrid(-180.0, -85.0, 180.0, 85.0, 64, 32, tile=16)
+    pts = _docs(sf_dir, ("doc_id", "n_chars")).map_batches(
+        tiles.derive_geometry_batch, batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.append_column(
+            "value", pc.cast(t["n_chars"], pa.float64())), batch_format="pyarrow"
+    )
+    tiles_out = gridinterp.grid_interpolate(
+        pts, grid, algorithm="range", radius=GRID_METRIC_RADIUS,
+        seed_all_tiles=True, min_points_per_quadrant=1,
+    )
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        cxs, cys, vs = [], [], []
+        for i in range(t.num_rows):
+            h, w = t["height"][i].as_py(), t["width"][i].as_py()
+            tx, ty = t["tx"][i].as_py(), t["ty"][i].as_py()
+            arr = np.frombuffer(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
+            gy, gx = np.mgrid[0:h, 0:w]
+            m = np.isfinite(arr)
+            cxs.append((gx[m] + tx * grid.tile).astype(np.int64))
+            cys.append((gy[m] + ty * grid.tile).astype(np.int64))
+            vs.append(arr[m].astype(np.int64))
+        if not cxs:
+            return pa.table({"cx": pa.array([], pa.int64()), "cy": pa.array([], pa.int64()),
+                             "vrange": pa.array([], pa.int64())})
+        return pa.table({"cx": pa.array(np.concatenate(cxs)),
+                         "cy": pa.array(np.concatenate(cys)),
+                         "vrange": pa.array(np.concatenate(vs))})
+
+    return tiles_out.map_batches(to_cells, batch_format="pyarrow")
+
+
 OVERVIEW_KERNELS = ("nearest", "min", "max", "sum", "rms", "mode")
 
 

@@ -42,8 +42,12 @@ def grid_interpolate(
     y_col: str = "lat",
     v_col: str = "value",
     seed_all_tiles: bool = False,
+    min_points_per_quadrant: int = 0,
 ):
-    """algorithm: 'invdist' | 'nearest' | 'average' | 'count'.
+    """algorithm: 'invdist' | 'nearest' | 'average' | 'count' | 'minimum' |
+    'maximum' | 'range' | 'average_distance' (the GGA_* / data-metric set,
+    alg/gdal_alg.h:402-416); min_points_per_quadrant applies the per-quadrant
+    validity constraint of the data metrics.
     radius = search radius in world units (0 => invdist uses all points in
     tile+halo — halo must then cover the data extent, so pass a radius for
     distributed runs; nearest uses the nearest point within tile+halo).
@@ -124,8 +128,32 @@ def grid_interpolate(
             out = np.where(n > 0, np.where(in_r, pv[None, :], 0.0).sum(axis=1) / np.maximum(n, 1), np.nan)
         elif algorithm == "count":
             out = in_r.sum(axis=1).astype(np.float64)
+        elif algorithm in ("minimum", "maximum", "range"):
+            vmin = np.where(in_r, pv[None, :], np.inf).min(axis=1)
+            vmax = np.where(in_r, pv[None, :], -np.inf).max(axis=1)
+            any_in = in_r.any(axis=1)
+            if algorithm == "minimum":
+                out = np.where(any_in, vmin, np.nan)
+            elif algorithm == "maximum":
+                out = np.where(any_in, vmax, np.nan)
+            else:
+                out = np.where(any_in, vmax - vmin, np.nan)
+        elif algorithm == "average_distance":
+            n = in_r.sum(axis=1)
+            dsum = np.where(in_r, np.sqrt(d2), 0.0).sum(axis=1)
+            out = np.where(n > 0, dsum / np.maximum(n, 1), np.nan)
         else:
             raise ValueError(algorithm)
+        if min_points_per_quadrant > 0:
+            # GGA data-metric quadrant constraint (alg/gdalgrid.cpp): a cell
+            # is valid only if every quadrant around it holds >= K in-radius
+            # points; else nodata (NaN)
+            qx = px[None, :] >= gx.ravel()[:, None]
+            qy = py[None, :] >= gy.ravel()[:, None]
+            ok = np.ones(out.shape, dtype=bool)
+            for qmask in (qx & qy, qx & ~qy, ~qx & qy, ~qx & ~qy):
+                ok &= (in_r & qmask).sum(axis=1) >= min_points_per_quadrant
+            out = np.where(ok, out, np.nan)
         arr = out.reshape(h, w)
         return pa.table(
             {

@@ -68,12 +68,21 @@ class TileWarper:
     store) and the inverse geotransform — the PROJ-TLS-context pattern
     (ogr/ogr_proj_p.cpp:268)."""
 
-    def __init__(self, src_ref, tile_px: int = 256, resample: str = "nearest"):
+    def __init__(self, src_ref, tile_px: int = 256, resample: str = "nearest",
+                 cutline_wkb: bytes | None = None, dst_alpha: bool = False):
         src = ray.get(src_ref) if isinstance(src_ref, ray.ObjectRef) else src_ref
         self.src = src
         self.inv_gt = geo.inv_geotransform(src.gt)
         self.tile_px = tile_px
         self.resample = resample
+        # cutline masking (alg/gdalwarper.cpp cutline / gdalcutline.cpp): dst
+        # pixels whose CENTER falls outside the cutline polygon (src CRS
+        # coords) become nodata; dst_alpha additionally emits the validity
+        # mask as an 'alpha' band column
+        from ..functions import wkb as _wkb
+
+        self.cutline = _wkb.decode(cutline_wkb) if cutline_wkb else None
+        self.dst_alpha = dst_alpha
 
     def _sample(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         px, py = geo.apply_geotransform(self.inv_gt, lon, lat)
@@ -260,7 +269,7 @@ class TileWarper:
         zs = batch["z"].to_numpy(zero_copy_only=False)
         xs = batch["x"].to_numpy(zero_copy_only=False)
         ys = batch["y"].to_numpy(zero_copy_only=False)
-        datas, sums, blanks = [], [], []
+        datas, sums, blanks, alphas = [], [], [], []
         t = self.tile_px
         for i in range(n):
             z, x, y = int(zs[i]), int(xs[i]), int(ys[i])
@@ -282,6 +291,22 @@ class TileWarper:
                 gmx, gmy = np.meshgrid(mx, my)
                 lon, lat = geo.mercator_to_lonlat(gmx, gmy)
                 arr = self._sample(lon, lat)
+            if self.cutline is not None or self.dst_alpha:
+                from ..functions import pip as _pip
+
+                mx_c = minx[0] + (np.arange(t) + 0.5) * res
+                my_c = maxy[0] - (np.arange(t) + 0.5) * res
+                gcx, gcy = np.meshgrid(mx_c, my_c)
+                lon_c, lat_c = geo.mercator_to_lonlat(gcx, gcy)
+                valid = arr != self.src.nodata
+                if self.cutline is not None:
+                    inside = _pip.points_in_geom(
+                        lon_c.ravel(), lat_c.ravel(), self.cutline
+                    ).reshape(t, t)
+                    arr = np.where(inside, arr, self.src.nodata)
+                    valid &= inside
+                if self.dst_alpha:
+                    alphas.append((valid.astype(np.uint8) * 255).tobytes())
             blank = bool(np.all(arr == self.src.nodata))
             datas.append(arr.tobytes())
             sums.append(cks.tile_checksum(arr))
@@ -302,6 +327,7 @@ class TileWarper:
                 "data": pa.array(datas, pa.binary()),
                 "checksum": pa.array(sums, pa.int64()),
                 "blank": pa.array(blanks, pa.bool_()),
+                **({"alpha": pa.array(alphas, pa.binary())} if self.dst_alpha else {}),
             }
         )
 
@@ -332,6 +358,8 @@ def warp_to_tiles(
     resample: str = "nearest",
     concurrency: int | tuple = 4,
     skip_blank: bool = True,
+    cutline_wkb: bytes | None = None,
+    dst_alpha: bool = False,
 ):
     """Base-zoom warp: dst tile Dataset -> actor-pool warp kernel."""
     import ray.data as rd
@@ -340,7 +368,8 @@ def warp_to_tiles(
     src_ref = ray.put(src)
     out = tiles.map_batches(
         TileWarper,
-        fn_constructor_kwargs=dict(src_ref=src_ref, tile_px=tile_px, resample=resample),
+        fn_constructor_kwargs=dict(src_ref=src_ref, tile_px=tile_px, resample=resample,
+                                   cutline_wkb=cutline_wkb, dst_alpha=dst_alpha),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
