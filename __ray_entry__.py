@@ -799,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_areas": q.clip_areas_q,
         "dissolve_zones": q.dissolve_zones_q,
         "contour_ramp": q.contour_ramp_q,
+        "contour_polygons": q.contour_polygons_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
         "predicate_counts": q.predicate_counts_q,
@@ -1173,6 +1174,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "contour_polygons": """
+            -- ramp bands between half-integer levels: one connected diagonal
+            -- strip per band, no holes
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(128) b),
+            bands AS (SELECT CASE WHEN gx + gy < 30.5 THEN 0
+                                  WHEN gx + gy < 80.5 THEN 1
+                                  WHEN gx + gy < 130.5 THEN 2
+                                  ELSE 3 END AS band
+                      FROM px)
+            SELECT CAST(band AS DOUBLE) AS value,
+                   CAST(count(*) AS BIGINT) AS n_pixels,
+                   CAST(0 AS BIGINT) AS n_holes
+            FROM bands GROUP BY band
         """,
         "raster_as_features": f"""
             WITH {_blobs_cte(3, 3)}

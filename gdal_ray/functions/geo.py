@@ -73,6 +73,31 @@ def mercator_to_lonlat(mx: np.ndarray, my: np.ndarray) -> tuple[np.ndarray, np.n
 # ---------------------------------------------------------------------------
 
 
+def reproject_points(x: np.ndarray, y: np.ndarray, src_crs: str, dst_crs: str):
+    """General CRS transform: uses pyproj when importable (the PROJ-backed
+    path, ogr/ogrct.cpp role), else the built-in closed forms for
+    EPSG:4326 <-> EPSG:3857, else raises.  This is the `reproject` step's
+    transformer hook — the sandbox has no pyproj, production does."""
+    src, dst = src_crs.upper(), dst_crs.upper()
+    if src == dst:
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    try:  # pragma: no cover - pyproj absent in this container
+        from pyproj import Transformer
+
+        t = Transformer.from_crs(src, dst, always_xy=True)
+        return t.transform(np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+    except ImportError:
+        pass
+    if (src, dst) == ("EPSG:4326", "EPSG:3857"):
+        return lonlat_to_mercator(x, y)
+    if (src, dst) == ("EPSG:3857", "EPSG:4326"):
+        return mercator_to_lonlat(x, y)
+    raise NotImplementedError(
+        f"reproject {src_crs} -> {dst_crs} needs pyproj (not in this container); "
+        "built-in closed forms cover EPSG:4326 <-> EPSG:3857"
+    )
+
+
 def lonlat_to_tile(lon: np.ndarray, lat: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
     """(lon, lat) -> (tx, ty) XYZ tile indices at zoom z.
 

@@ -623,6 +623,16 @@ def dissolve_zones_q(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def contour_polygons_q(sf_dir: str):
+    """Contour POLYGON output (bands between levels) over the ramp: each band
+    is one diagonal strip — count/holes closed-form."""
+    from ..stages import contour as cnt
+
+    tiles_tbl = synthetic.make_raster_tiles("ramp", 3, 2, size=64)
+    out = cnt.contour_polygons(rd.from_arrow(tiles_tbl), [30.5, 80.5, 130.5])
+    return out.select_columns(["value", "n_pixels", "n_holes"])
+
+
 def raster_as_features_q(sf_dir: str):
     """raster as-features: tiles -> one row per valid pixel (gx, gy, value)."""
     from ..stages import rastermap

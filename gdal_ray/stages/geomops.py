@@ -206,6 +206,178 @@ def set_precision_batch(batch: pa.Table, grid: float, wkb_col: str = "wkb") -> p
     )
 
 
+def boundary_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """OGR Boundary (ogr/ogrgeometry.cpp:4825): polygon -> its rings as a
+    MULTILINESTRING (shells and holes), linestring -> endpoints dropped to a
+    MULTIPOINT-equivalent (emitted as degenerate linestring of the two ends).
+    Appends 'boundary_wkb' + 'boundary_len' (total ring length)."""
+    out_wkb, out_len = [], []
+    for w in batch[wkb_col].to_pylist():
+        g = _wkb.decode(w)
+        if g.kind in (_wkb.POLYGON, _wkb.MULTIPOLYGON):
+            rings = [np.asarray(r) for poly in g.shells_and_holes() for r in poly]
+            total = 0.0
+            for r in rings:
+                total += float(np.hypot(np.diff(r[:, 0]), np.diff(r[:, 1])).sum())
+            if len(rings) == 1:
+                out_wkb.append(_wkb.encode_linestring(rings[0]))
+            else:
+                out_wkb.append(_encode_multilinestring(rings))
+            out_len.append(total)
+        elif g.kind in (_wkb.LINESTRING, _wkb.MULTILINESTRING):
+            pts = np.vstack([np.asarray(p)[[0, -1]] for p in g.parts])
+            out_wkb.append(_wkb.encode_linestring(pts))
+            out_len.append(0.0)
+        else:
+            out_wkb.append(b"")
+            out_len.append(0.0)
+    return batch.append_column("boundary_wkb", pa.array(out_wkb, pa.binary())) \
+                .append_column("boundary_len", pa.array(out_len, pa.float64()))
+
+
+def _encode_multilinestring(lines) -> bytes:
+    import struct
+
+    buf = struct.pack("<BII", 1, 5, len(lines))
+    for pts in lines:
+        buf += _wkb.encode_linestring(np.asarray(pts))
+    return buf
+
+
+def set_geom_type_batch(batch: pa.Table, target: str, wkb_col: str = "wkb") -> pa.Table:
+    """OGR set-geom-type (apps/gdalalg_vector_set_geom_type): promote /
+    demote between single and multi variants.  target: 'multipolygon' |
+    'polygon' (demote keeps the LARGEST part, the common convention)."""
+    out = []
+    for w in batch[wkb_col].to_pylist():
+        g = _wkb.decode(w)
+        if target == "multipolygon":
+            polys = g.shells_and_holes()
+            out.append(_wkb.encode_multipolygon(polys))
+        elif target == "polygon":
+            polys = g.shells_and_holes()
+            if len(polys) <= 1:
+                out.append(_wkb.encode_polygon(polys[0]) if polys else w)
+            else:
+                best = max(polys, key=lambda p: abs(_wkb.ring_area(np.asarray(p[0]))))
+                out.append(_wkb.encode_polygon(best))
+        else:
+            raise ValueError(target)
+    return batch.set_column(
+        batch.column_names.index(wkb_col), wkb_col, pa.array(out, pa.binary())
+    )
+
+
+def make_valid_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """OGR MakeValid (ogr/ogrgeometry.cpp:4183) for the common invalidity:
+    self-intersecting ("bowtie") rings.  The ring is subdivided at its
+    self-intersections and re-stitched into simple loops (the overlay
+    engine's traversal); each loop becomes a polygon part with positive
+    area.  Valid inputs pass through unchanged (byte-identical)."""
+    from . import overlay
+
+    out, was_valid = [], []
+    for w in batch[wkb_col].to_pylist():
+        g = _wkb.decode(w)
+        if g.kind not in (_wkb.POLYGON, _wkb.MULTIPOLYGON):
+            out.append(w)
+            was_valid.append(True)
+            continue
+        new_polys = []
+        changed = False
+        for rings in g.shells_and_holes():
+            fixed_rings = []
+            for r in rings:
+                r = np.asarray(r, dtype=np.float64)
+                edges = [(r[i], r[i + 1]) for i in range(len(r) - 1)]
+                # self-intersection test: subdivide against own edges
+                segs = overlay._subdivide([r], edges)
+                if len(segs) == len(r) - 1:  # no splits -> simple ring
+                    fixed_rings.append([r])
+                    continue
+                changed = True
+                loops = overlay._stitch(segs)
+                fixed_rings.append([lp for lp in loops])
+            # first ring's loops are shells; subsequent rings' loops are holes
+            shells = fixed_rings[0] if fixed_rings else []
+            for s in shells:
+                new_polys.append([s])
+            for hole_loops in fixed_rings[1:]:
+                for hl in hole_loops:
+                    # attach hole to the shell containing it
+                    probe = ((hl[0][0] + hl[1][0]) / 2.0, (hl[0][1] + hl[1][1]) / 2.0)
+                    for poly in new_polys:
+                        if overlay._point_in_rings(probe, [poly[0]]):
+                            poly.append(hl)
+                            break
+        if not changed:
+            out.append(w)
+            was_valid.append(True)
+        else:
+            out.append(
+                _wkb.encode_polygon(new_polys[0]) if len(new_polys) == 1
+                else _wkb.encode_multipolygon(new_polys)
+            )
+            was_valid.append(False)
+    return batch.set_column(
+        batch.column_names.index(wkb_col), wkb_col, pa.array(out, pa.binary())
+    ).append_column("was_valid", pa.array(was_valid, pa.bool_()))
+
+
+def concave_hull(pts: np.ndarray, k: int = 8) -> np.ndarray:
+    """k-nearest-neighbors concave hull (Moreira & Santos 2007, public
+    algorithm; reference surface: ogr/ogrgeometry.cpp:4569 ConcaveHull).
+    Falls back to the convex hull when the walk fails to close."""
+    pts = np.unique(pts, axis=0)
+    n = len(pts)
+    if n < 4:
+        return convex_hull(pts)
+    k = max(3, min(k, n - 1))
+    start = int(np.lexsort((pts[:, 0], pts[:, 1]))[0])  # lowest y, then x
+    hull = [start]
+    used = {start}
+    cur = start
+    prev_dir = np.array([1.0, 0.0])
+    for _ in range(4 * n):
+        d = pts - pts[cur]
+        dist = np.hypot(d[:, 0], d[:, 1])
+        dist[cur] = np.inf
+        cand = np.argsort(dist)[:k]
+        if len(hull) > 2:
+            cand = np.append(cand, start)
+        # rightmost turn first (keeps the hull tight)
+        best, best_ang = -1, -np.inf
+        for c in cand:
+            if c in used and c != start:
+                continue
+            v = pts[c] - pts[cur]
+            nv = np.hypot(v[0], v[1])
+            if nv == 0:
+                continue
+            ang = np.arctan2(
+                prev_dir[0] * v[1] - prev_dir[1] * v[0],
+                prev_dir[0] * v[0] + prev_dir[1] * v[1],
+            )
+            if ang > best_ang:
+                best_ang, best = ang, int(c)
+        if best < 0:
+            return convex_hull(pts)
+        if best == start and len(hull) > 2:
+            hull.append(start)
+            ring = pts[hull]
+            # every point must be inside/on the hull, else widen k
+            from . import overlay
+
+            if abs(overlay.ring_signed_area(ring)) > 0:
+                return ring
+            return convex_hull(pts)
+        prev_dir = pts[best] - pts[cur]
+        hull.append(best)
+        used.add(best)
+        cur = best
+    return convex_hull(pts)
+
+
 def explode_collections(ds, wkb_col: str = "wkb"):
     """1 -> N: multi-geometries split into single-part rows (flat_map via
     map_batches emitting more rows; apps/gdalalg_vector_explode_collections.h)."""

@@ -77,13 +77,42 @@ def reclassify(tiles_ds, mapping: dict, default=None):
     return tiles_ds.map_batches(_tile_map(fn, "float32"), batch_format="pyarrow")
 
 
-def calc(tiles_ds, expr):
-    """Band algebra: expr is a python callable over the tile array (the
-    engine's UDF hook, standing in for muparser strings — e.g.
-    ``lambda a: a * 2 + 1``)."""
+_CALC_NS = {
+    "abs": np.abs, "sqrt": np.sqrt, "exp": np.exp, "log": np.log,
+    "log10": np.log10, "sin": np.sin, "cos": np.cos, "tan": np.tan,
+    "minimum": np.minimum, "maximum": np.maximum, "where": np.where,
+    "clip": np.clip, "floor": np.floor, "ceil": np.ceil, "round": np.round,
+    "pi": np.pi, "e": np.e,
+}
+
+
+def compile_calc_expr(expr: str):
+    """VRT pixel-function / gdal_calc string expression -> vectorized callable
+    (reference surface: VRTDerivedRasterBand pixel functions + gdal_calc's
+    expression strings).  The band variable is ``A``; namespace is a fixed
+    whitelist of numpy ufuncs — no builtins, no attribute access."""
+    if any(tok in expr for tok in ("__", "import", "lambda", ";", "exec", "eval")):
+        raise ValueError(f"disallowed token in calc expression: {expr!r}")
+    code = compile(expr, "<calc>", "eval")
+    for name in code.co_names:
+        if name not in _CALC_NS and name != "A":
+            raise ValueError(f"unknown name {name!r} in calc expression")
 
     def fn(arr):
-        return np.asarray(expr(arr.astype(np.float64)), dtype=np.float32)
+        return eval(code, {"__builtins__": {}}, {**_CALC_NS, "A": arr})
+
+    return fn
+
+
+def calc(tiles_ds, expr):
+    """Band algebra: expr is a python callable over the tile array OR a
+    gdal_calc-style string (e.g. ``"A * 2 + 1"``, ``"where(A > 10, A, 0)"``)
+    compiled against a whitelisted numpy namespace."""
+    if isinstance(expr, str):
+        expr = compile_calc_expr(expr)
+
+    def fn(arr, _e=expr):
+        return np.asarray(_e(arr.astype(np.float64)), dtype=np.float32)
 
     return tiles_ds.map_batches(_tile_map(fn, "float32"), batch_format="pyarrow")
 

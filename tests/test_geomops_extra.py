@@ -1,0 +1,110 @@
+"""Boundary / set-geom-type / make-valid / concave hull / calc strings /
+reproject hook (reference: ogr/ogrgeometry.cpp:4183,4569,4825;
+apps/gdalalg_vector_set_geom_type; VRT pixel-function strings)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.functions import geo, wkb
+from gdal_ray.stages import geomops
+
+
+def _sq(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+
+def test_boundary_polygon_with_hole():
+    w = wkb.encode_polygon([_sq(0, 0, 10, 10), _sq(2, 2, 4, 4)])
+    t = geomops.boundary_batch(pa.table({"wkb": pa.array([w], pa.binary())}))
+    assert t["boundary_len"][0].as_py() == pytest.approx(40 + 8)
+    g = wkb.decode(t["boundary_wkb"][0].as_py())
+    assert g.kind == wkb.MULTILINESTRING and len(g.parts) == 2
+
+
+def test_set_geom_type_roundtrip():
+    w = wkb.encode_polygon([_sq(0, 0, 2, 2)])
+    t = pa.table({"wkb": pa.array([w], pa.binary())})
+    up = geomops.set_geom_type_batch(t, "multipolygon")
+    assert wkb.decode(up["wkb"][0].as_py()).kind == wkb.MULTIPOLYGON
+    down = geomops.set_geom_type_batch(up, "polygon")
+    assert wkb.decode(down["wkb"][0].as_py()).kind == wkb.POLYGON
+    # demote multi keeps the largest part
+    multi = wkb.encode_multipolygon([[_sq(0, 0, 1, 1)], [_sq(5, 5, 9, 9)]])
+    d = geomops.set_geom_type_batch(
+        pa.table({"wkb": pa.array([multi], pa.binary())}), "polygon")
+    ring = wkb.decode(d["wkb"][0].as_py()).parts[0][0]
+    assert abs(wkb.ring_area(np.asarray(ring))) == pytest.approx(16.0)
+
+
+def test_make_valid_bowtie():
+    bowtie = np.array([[0, 0], [4, 4], [4, 0], [0, 4], [0, 0]], float)
+    w = wkb.encode_polygon([bowtie])
+    t = geomops.make_valid_batch(pa.table({"wkb": pa.array([w], pa.binary())}))
+    assert t["was_valid"][0].as_py() is False
+    g = wkb.decode(t["wkb"][0].as_py())
+    # bowtie splits into two triangles of area 4 each
+    polys = g.shells_and_holes()
+    areas = sorted(abs(wkb.ring_area(np.asarray(p[0]))) for p in polys)
+    assert len(polys) == 2
+    assert areas == pytest.approx([4.0, 4.0])
+
+
+def test_make_valid_passthrough():
+    w = wkb.encode_polygon([_sq(0, 0, 3, 3)])
+    t = geomops.make_valid_batch(pa.table({"wkb": pa.array([w], pa.binary())}))
+    assert t["was_valid"][0].as_py() is True
+    assert t["wkb"][0].as_py() == w
+
+
+def test_concave_hull_tighter_than_convex():
+    # C-shaped point cloud: concave hull area should be well below convex
+    rng_pts = []
+    for x in range(0, 11):
+        for y in range(0, 11):
+            if not (3 <= x <= 10 and 3 <= y <= 7):  # carve a notch
+                rng_pts.append((x, y))
+    pts = np.array(rng_pts, float)
+    ch = geomops.concave_hull(pts, k=6)
+    from gdal_ray.stages import overlay
+
+    concave_area = abs(overlay.ring_signed_area(ch))
+    convex_area = abs(overlay.ring_signed_area(geomops.convex_hull(pts)))
+    assert concave_area < convex_area * 0.85
+
+
+def test_calc_string_expression():
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import rastermap
+
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("ramp", 1, 1, size=16))
+    out = rastermap.calc(tiles, "where(A > 10, A * 2 + 1, 0)").take_all()
+    arr = np.frombuffer(out[0]["data"], dtype=np.float32).reshape(16, 16)
+    gy, gx = np.mgrid[0:16, 0:16]
+    v = (gx + gy).astype(np.float64)
+    exp = np.where(v > 10, v * 2 + 1, 0).astype(np.float32)
+    assert np.array_equal(arr, exp)
+
+
+def test_calc_string_rejects_unsafe():
+    from gdal_ray.stages import rastermap
+
+    with pytest.raises(ValueError):
+        rastermap.compile_calc_expr("__import__('os')")
+    with pytest.raises(ValueError):
+        rastermap.compile_calc_expr("open('x')")
+
+
+def test_reproject_hook_closed_form():
+    lon = np.array([10.0, -45.0])
+    lat = np.array([20.0, 60.0])
+    mx, my = geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:3857")
+    ex, ey = geo.lonlat_to_mercator(lon, lat)
+    assert np.array_equal(mx, ex) and np.array_equal(my, ey)
+    lo, la = geo.reproject_points(mx, my, "EPSG:3857", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    with pytest.raises(NotImplementedError):
+        geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:32633")
