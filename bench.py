@@ -27,7 +27,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "1600"))
+# default 6400 => 32M docs at sf0.1 — the SAME scale as BASELINE.md's
+# reference measurements, so the per-round BENCH ratio is apples-to-apples
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "6400"))
 KEY_STRIDE = 10_000_000
 
 
@@ -166,6 +168,32 @@ def run_bench() -> dict:
     return payload
 
 
+_CALIB_SNIPPET = (
+    "import numpy as a\n"
+    "x = a.random.default_rng(0).standard_normal(1_000_000)\n"
+    "s = 0.0\n"
+    "for _ in range(120): s += float((x * x).sum())\n"
+    "print(s)\n"
+)
+
+
+def _host_calibration(n_procs: int) -> float:
+    """Makespan (sec) of n_procs INDEPENDENT pure-CPU python processes each
+    doing identical fixed work — the host's own parallel-scaling ceiling,
+    measured in-session so the pipeline efficiency can be normalized by it."""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CALIB_SNIPPET],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        for _ in range(n_procs)
+    ]
+    t0 = time.time()
+    for p in procs:
+        p.wait()
+    return time.time() - t0
+
+
 def run_scaling():
     def run(ncpu: int) -> dict:
         # scaling legs need enough work that actor-pool compute dominates the
@@ -179,6 +207,11 @@ def run_scaling():
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    # host ceiling: with per-process fixed work, ideal scaling keeps makespan
+    # constant as process count rises — host_eff = T_lo / T_hi (<= 1)
+    t_cal_lo = _host_calibration(lo)
+    t_cal_hi = _host_calibration(hi)
+    host_eff = t_cal_lo / t_cal_hi
     r_lo = run(lo)
     r_hi = run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
@@ -191,6 +224,10 @@ def run_scaling():
                 "docs_per_sec_8": r_lo["docs_per_sec"],
                 "docs_per_sec_32": r_hi["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "host_calib_sec_8": round(t_cal_lo, 2),
+                "host_calib_sec_32": round(t_cal_hi, 2),
+                "host_ceiling_efficiency": round(host_eff, 3),
+                "host_normalized_efficiency": round(min(eff / host_eff, 1.0) if host_eff > 0 else 0.0, 3),
                 "docs": r_lo["docs"],
             }
         )

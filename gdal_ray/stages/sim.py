@@ -24,15 +24,17 @@ def _stack_embeddings(col) -> np.ndarray:
 
 
 class BroadcastCosineTopK:
-    """Scores every row against the broadcast query matrix; top-k selection
-    happens downstream (local combiner + final per-query group)."""
+    """Scores every row against the broadcast query matrix and emits only the
+    PER-BATCH top-k per query (the combiner is folded into the scoring actor,
+    so full score blocks never reach the object store)."""
 
-    def __init__(self, queries_ref, id_col: str, query_ids):
+    def __init__(self, queries_ref, id_col: str, query_ids, k: int = 0):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         qm = np.asarray(q, dtype=np.float64)
         self.qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
         self.id_col = id_col
         self.query_ids = list(query_ids)
+        self.k = k  # 0 = emit all scores
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _stack_embeddings(batch["embedding"])
@@ -42,9 +44,15 @@ class BroadcastCosineTopK:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         out_q, out_id, out_sim = [], [], []
         for qi in range(sims.shape[1]):
-            out_q.append(np.full(len(ids), self.query_ids[qi]))
-            out_id.append(ids)
-            out_sim.append(sims[:, qi])
+            col = sims[:, qi]
+            sel = np.arange(len(ids))
+            if self.k and len(ids) > self.k:
+                # ties at the boundary: lexsort (id asc, sim desc) keeps rank
+                # determinism identical to the final stage
+                sel = np.lexsort((ids, -col))[: self.k]
+            out_q.append(np.full(sel.size, self.query_ids[qi]))
+            out_id.append(ids[sel])
+            out_sim.append(col[sel])
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),
@@ -55,37 +63,16 @@ class BroadcastCosineTopK:
 
 
 def cosine_topk(ds, queries: np.ndarray, query_ids, k: int = 10, id_col: str = "vec_id"):
-    """Exact top-k per query: per-batch partial scores -> global top-k.
-
-    The per-batch stage emits ALL scores only for correctness-scale inputs;
-    at scale use ``cosine_topk_pruned`` which keeps per-batch top-k partials
-    (a combiner) before the final sort — same results, tiny shuffle.
-    """
+    """Exact top-k per query: the scoring actor emits per-batch top-k partials
+    (combiner folded into the actor — only k rows per query per batch reach
+    the object store), then a tiny per-query group picks the global top-k."""
     ref = ray.put(np.asarray(queries, dtype=np.float64))
-    scored = ds.map_batches(
+    pruned = ds.map_batches(
         BroadcastCosineTopK,
-        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, query_ids=query_ids),
+        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, query_ids=query_ids, k=k),
         batch_format="pyarrow",
         concurrency=2,
     )
-    # per-batch combiner: keep only local top-k per query before the shuffle
-    def local_topk(batch: pa.Table) -> pa.Table:
-        qids = batch["query_id"].to_numpy(zero_copy_only=False)
-        sims = batch["cos_sim"].to_numpy(zero_copy_only=False)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        keep = []
-        for q in np.unique(qids):
-            rows = np.nonzero(qids == q)[0]
-            if rows.size > k:
-                # ties at the boundary: lexsort (id asc, sim desc) keeps rank
-                # determinism identical to the final stage
-                order = np.lexsort((ids[rows], -sims[rows]))[:k]
-                rows = rows[order]
-            keep.append(rows)
-        keep = np.concatenate(keep) if keep else np.array([], dtype=np.int64)
-        return batch.take(pa.array(keep))
-
-    pruned = scored.map_batches(local_topk, batch_format="pyarrow")
 
     def final_topk(group: pa.Table) -> pa.Table:
         sims = group["cos_sim"].to_numpy(zero_copy_only=False)

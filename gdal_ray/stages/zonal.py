@@ -80,7 +80,28 @@ def zonal_stats_dense(
         batch_size=batch_size,
         zonal_reduce_col=value_col,
     )
-    partial_rows = partials.take_all()
+    # tree reduce: merge partial vectors WITHIN each block first (one row out
+    # per ~64 input partials), so the driver folds O(blocks/64) vectors instead
+    # of one per batch — at 1M+ zones x thousands of batches the flat fold
+    # would move GBs through the driver
+    def merge_block(t: pa.Table) -> pa.Table:
+        c = np.zeros(n_zones, dtype=np.int64)
+        s = np.zeros(n_zones, dtype=np.int64)
+        lo = np.full(n_zones, np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(n_zones, np.iinfo(np.int64).min, dtype=np.int64)
+        for i in range(t.num_rows):
+            c += np.frombuffer(t["cnt"][i].as_py(), dtype=np.int64)
+            s += np.frombuffer(t["sm"][i].as_py(), dtype=np.int64)
+            lo = np.minimum(lo, np.frombuffer(t["mn"][i].as_py(), dtype=np.int64))
+            hi = np.maximum(hi, np.frombuffer(t["mx"][i].as_py(), dtype=np.int64))
+        return pa.table({"cnt": pa.array([c.tobytes()], pa.binary()),
+                         "sm": pa.array([s.tobytes()], pa.binary()),
+                         "mn": pa.array([lo.tobytes()], pa.binary()),
+                         "mx": pa.array([hi.tobytes()], pa.binary())})
+
+    partial_rows = partials.map_batches(
+        merge_block, batch_format="pyarrow", batch_size=64
+    ).take_all()
     cnt = np.zeros(n_zones, dtype=np.int64)
     sm = np.zeros(n_zones, dtype=np.int64)
     mn = np.full(n_zones, np.iinfo(np.int64).max, dtype=np.int64)
