@@ -118,6 +118,7 @@ def run_bench() -> dict:
 
     # headline: read -> derive geometry -> tile-assign z8+z12 -> broadcast
     # spatial join vs zones -> dense zonal aggregate (vector combiner)
+    bsz = int(os.environ.get("GRAFT_BENCH_BATCH", "32768"))
     t0 = time.time()
     ds = rd.read_parquet(docs_path)
     tagged = tiles_stage.assign_tiles(ds, zooms=(8, 12), with_cell=True)
@@ -126,7 +127,7 @@ def run_bench() -> dict:
         zones,
         value_col="n_chars",
         concurrency=conc,
-        batch_size=32768,
+        batch_size=bsz,
     )
     n_zones_hit = agg.num_rows
     headline = time.time() - t0
@@ -209,11 +210,14 @@ def run_scaling():
     lo, hi = 8, 32
     # host ceiling: with per-process fixed work, ideal scaling keeps makespan
     # constant as process count rises — host_eff = T_lo / T_hi (<= 1)
-    t_cal_lo = _host_calibration(lo)
-    t_cal_hi = _host_calibration(hi)
+    t_cal_lo = min(_host_calibration(lo), _host_calibration(lo))
+    t_cal_hi = min(_host_calibration(hi), _host_calibration(hi))
     host_eff = t_cal_lo / t_cal_hi
-    r_lo = run(lo)
-    r_hi = run(hi)
+    # co-tenant wall-clock variance on this host is +-50-100% (BASELINE.md
+    # calibration); each leg takes the best of two runs so the ratio reflects
+    # steady-state capability, not a noise sample
+    r_lo = min(run(lo), run(lo), key=lambda r: r["value"])
+    r_hi = min(run(hi), run(hi), key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(

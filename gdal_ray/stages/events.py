@@ -182,3 +182,67 @@ def asof_join(
             return out.drop(columns=drop)
 
     return events_ds.map_batches(AsofJoiner, batch_format="pandas", concurrency=2)
+
+
+def asof_join_partitioned(
+    events_ds,
+    right_ds,
+    left_key: str = "user_id",
+    right_key: str = "o_custkey",
+    left_ts: str = "ts",
+    right_ts: str = "o_orderdate",
+    emit: tuple = ("o_orderkey",),
+    id_col: str = "event_id",
+):
+    """Both-sides-large as-of join: union-tag co-partition on the key, then a
+    per-group ``merge_asof`` — same backward-search + tie rules as the
+    broadcast path, but the right side is shuffled instead of broadcast
+    (the 100 TB plan when the right table exceeds the object store)."""
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"_k": t[left_key], "_side": pa.array(np.zeros(t.num_rows, np.int8)),
+             id_col: t[id_col], "_lts": t[left_ts],
+             "_rts": pa.nulls(t.num_rows, t[left_ts].type),
+             **{f"_e_{c}": pa.nulls(t.num_rows, pa.int64()) for c in emit}}
+        )
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"_k": t[right_key], "_side": pa.array(np.ones(t.num_rows, np.int8)),
+             id_col: pa.nulls(t.num_rows, pa.int64()), "_lts": pa.nulls(t.num_rows, t[right_ts].type),
+             "_rts": t[right_ts],
+             **{f"_e_{c}": pc_cast_int64(t[c]) for c in emit}}
+        )
+
+    import pyarrow.compute as _pc
+
+    def pc_cast_int64(col):
+        return _pc.cast(col, pa.int64())
+
+    unioned = events_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0]
+        right = g[g["_side"] == 1]
+        if left.empty:
+            return pd.DataFrame({id_col: [], **{c: [] for c in emit}})
+        if right.empty:
+            out = left[[id_col]].copy()
+            for c in emit:
+                out[c] = np.nan
+            return out
+        rs = right.sort_values(["_rts"] + [f"_e_{c}" for c in emit], kind="stable")
+        ls = left.sort_values("_lts", kind="stable")
+        merged = pd.merge_asof(
+            ls[[id_col, "_lts"]], rs[["_rts"] + [f"_e_{c}" for c in emit]],
+            left_on="_lts", right_on="_rts", direction="backward",
+        )
+        out = merged[[id_col]].copy()
+        for c in emit:
+            out[c] = merged[f"_e_{c}"]
+        return out
+
+    return unioned.groupby("_k").map_groups(per_key, batch_format="pandas")

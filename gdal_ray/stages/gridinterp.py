@@ -19,6 +19,77 @@ import pyarrow as pa
 from ..functions import checksum as cks
 
 
+def delaunay_triangulate(pts: np.ndarray) -> list:
+    """Bowyer-Watson incremental Delaunay triangulation (public algorithm;
+    reference surface: alg/delaunay.c).  Returns triangle index triples.
+    O(n^2) — intended for per-tile(+halo) point sets, not whole corpora."""
+    n = len(pts)
+    if n < 3:
+        return []
+    # super-triangle enclosing everything
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    span = max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]), 1e-9) * 20.0
+    sp = np.array([[cx - span, cy - span], [cx + span, cy - span], [cx, cy + span]])
+    P = np.vstack([pts, sp])
+    tris = [(n, n + 1, n + 2)]
+
+    def circum(tri):
+        a, b, c = P[tri[0]], P[tri[1]], P[tri[2]]
+        d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+        if d == 0:
+            return (0.0, 0.0), np.inf
+        ux = ((a[0] ** 2 + a[1] ** 2) * (b[1] - c[1]) + (b[0] ** 2 + b[1] ** 2) * (c[1] - a[1])
+              + (c[0] ** 2 + c[1] ** 2) * (a[1] - b[1])) / d
+        uy = ((a[0] ** 2 + a[1] ** 2) * (c[0] - b[0]) + (b[0] ** 2 + b[1] ** 2) * (a[0] - c[0])
+              + (c[0] ** 2 + c[1] ** 2) * (b[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        return (ux, uy), r2
+
+    circs = {tris[0]: circum(tris[0])}
+    for i in range(n):
+        px, py = P[i]
+        bad = []
+        for t in tris:
+            (ux, uy), r2 = circs[t]
+            if (px - ux) ** 2 + (py - uy) ** 2 <= r2 * (1 + 1e-12):
+                bad.append(t)
+        # boundary of the cavity = edges appearing exactly once among bad tris
+        edge_count: dict = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        for t in bad:
+            tris.remove(t)
+            circs.pop(t, None)
+        for (a, b), cnt in edge_count.items():
+            if cnt == 1:
+                nt = (a, b, i)
+                tris.append(nt)
+                circs[nt] = circum(nt)
+    out = [t for t in tris if max(t) < n]
+    return out
+
+
+def linear_interpolate_cells(pts: np.ndarray, vals: np.ndarray,
+                             cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    """Barycentric (Delaunay-linear, GGA_Linear) interpolation of cell
+    centers; NaN outside the triangulation's hull."""
+    out = np.full(cx.shape, np.nan)
+    tris = delaunay_triangulate(pts)
+    for (i, j, k) in tris:
+        a, b, c = pts[i], pts[j], pts[k]
+        det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
+        if det == 0:
+            continue
+        l1 = ((b[1] - c[1]) * (cx - c[0]) + (c[0] - b[0]) * (cy - c[1])) / det
+        l2 = ((c[1] - a[1]) * (cx - c[0]) + (a[0] - c[0]) * (cy - c[1])) / det
+        l3 = 1.0 - l1 - l2
+        inside = (l1 >= -1e-12) & (l2 >= -1e-12) & (l3 >= -1e-12) & np.isnan(out)
+        out[inside] = (l1 * vals[i] + l2 * vals[j] + l3 * vals[k])[inside]
+    return out
+
+
 class InterpGrid:
     """Output grid spec: world bbox + cells, tiled."""
 
@@ -44,10 +115,11 @@ def grid_interpolate(
     seed_all_tiles: bool = False,
     min_points_per_quadrant: int = 0,
 ):
-    """algorithm: 'invdist' | 'nearest' | 'average' | 'count' | 'minimum' |
-    'maximum' | 'range' | 'average_distance' (the GGA_* / data-metric set,
-    alg/gdal_alg.h:402-416); min_points_per_quadrant applies the per-quadrant
-    validity constraint of the data metrics.
+    """algorithm: 'invdist' | 'nearest' | 'average' | 'count' | 'linear'
+    (Delaunay barycentric) | 'minimum' | 'maximum' | 'range' |
+    'average_distance' (the GGA_* / data-metric set, alg/gdal_alg.h:402-416);
+    min_points_per_quadrant applies the per-quadrant validity constraint of
+    the data metrics.
     radius = search radius in world units (0 => invdist uses all points in
     tile+halo — halo must then cover the data extent, so pass a radius for
     distributed runs; nearest uses the nearest point within tile+halo).
@@ -142,6 +214,13 @@ def grid_interpolate(
             n = in_r.sum(axis=1)
             dsum = np.where(in_r, np.sqrt(d2), 0.0).sum(axis=1)
             out = np.where(n > 0, dsum / np.maximum(n, 1), np.nan)
+        elif algorithm == "linear":
+            # GGA_Linear (alg/delaunay.c role): barycentric interpolation on
+            # the tile(+halo) point set's Delaunay triangulation.  Halo must
+            # exceed the largest expected triangle edge for cross-tile
+            # continuity (the documented partitioning assumption).
+            pts_l = np.column_stack([px, py])
+            out = linear_interpolate_cells(pts_l, pv, gx.ravel(), gy.ravel())
         else:
             raise ValueError(algorithm)
         if min_points_per_quadrant > 0:

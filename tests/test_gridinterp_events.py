@@ -95,3 +95,61 @@ def test_sliding_and_session_windows():
     assert len(srows) == 1
     assert srows[0]["n_sessions"] == 3
     assert srows[0]["max_session_events"] == 2
+
+
+def test_delaunay_linear_reproduces_plane():
+    """Linear (Delaunay) interpolation of samples from a plane returns the
+    plane exactly at interior cells — any valid triangulation satisfies this."""
+    import numpy as np
+
+    from gdal_ray.stages import gridinterp as gi
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 10, (80, 2))
+    # include the corners so the hull covers the probe grid
+    pts = np.vstack([pts, [[0, 0], [10, 0], [0, 10], [10, 10]]])
+    vals = 3.0 * pts[:, 0] - 2.0 * pts[:, 1] + 7.0
+    gy, gx = np.mgrid[1:9, 1:9]
+    out = gi.linear_interpolate_cells(pts, vals, gx.ravel().astype(float),
+                                      gy.ravel().astype(float))
+    exp = 3.0 * gx.ravel() - 2.0 * gy.ravel() + 7.0
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out, exp, atol=1e-6)
+
+
+def test_delaunay_outside_hull_nan():
+    import numpy as np
+
+    from gdal_ray.stages import gridinterp as gi
+
+    pts = np.array([[0.0, 0.0], [4.0, 0.0], [2.0, 3.0]])
+    vals = np.array([1.0, 2.0, 3.0])
+    out = gi.linear_interpolate_cells(pts, vals, np.array([2.0, 50.0]),
+                                      np.array([1.0, 50.0]))
+    assert np.isfinite(out[0]) and np.isnan(out[1])
+
+
+def test_asof_join_partitioned_matches_broadcast():
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_ray.sources.io import read_table
+    from gdal_ray.stages import events as ev
+
+    sf = "/root/testdata/sf0.01"
+    e = read_table(sf, "events", columns=["event_id", "user_id", "ts"])
+    orders = pq.read_table(sf + "/orders.parquet",
+                           columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    b = ev.asof_join(read_table(sf, "events",
+                                columns=["event_id", "event_type", "user_id", "ts"]),
+                     orders).to_pandas()[["event_id", "o_orderkey"]]
+    p = ev.asof_join_partitioned(e, rd.from_arrow(orders)).to_pandas()
+    b = b.sort_values("event_id").reset_index(drop=True)
+    p = p.sort_values("event_id").reset_index(drop=True)
+    assert len(b) == len(p)
+    bv = b["o_orderkey"].to_numpy(dtype=float)
+    pv = p["o_orderkey"].to_numpy(dtype=float)
+    both_nan = np.isnan(bv) & np.isnan(pv)
+    assert np.all(both_nan | (bv == pv))
