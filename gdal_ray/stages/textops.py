@@ -37,6 +37,18 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pc.cast(counts, pa.int64()))
 
 
+# GPT-2-style pretokenizer pattern (public regex family); both pyarrow and
+# DuckDB use RE2, so the SQL oracle counts the SAME matches
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish pretoken count (the training-data token-budget estimator the
+    brief asks for): GPT-2-style regex pretokenization, counted vectorized."""
+    counts = pc.count_substring_regex(pc.fill_null(batch[text_col], ""), pattern=BPE_PATTERN)
+    return batch.append_column("n_bpe_tokens", pc.cast(counts, pa.int64()))
+
+
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer quality features: text length, punct count, token count,
     mean token length x100 (scaled int)."""

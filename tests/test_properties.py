@@ -86,3 +86,30 @@ def test_ccl_labels_partition_valid_pixels(seed):
         # each component has a single value
         for lbl in u:
             assert len(np.unique(arr[labels == lbl])) == 1
+
+
+def test_ivf_topk_probe_tradeoff():
+    """IVF ANN: full probe == brute exact; partial probe returns a subset-
+    quality result with nonzero recall that grows with nprobe."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.sources.io import read_table
+    from gdal_ray.stages import sim
+
+    sf = "/root/testdata/sf0.01"
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", 0)])
+    q0 = np.asarray(emb["embedding"].to_pylist()[0])
+    ds = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    brute = sim.cosine_topk(ds, np.array([q0]), [0], k=10).to_pandas()
+    truth = set(brute["vec_id"])
+    full = sim.ivf_topk(ds, np.array([q0]), [0], k=10, n_centroids=16, nprobe=16).to_pandas()
+    assert set(full["vec_id"]) == truth  # exhaustive probe == exact
+    r4 = len(set(sim.ivf_topk(ds, np.array([q0]), [0], k=10, n_centroids=16,
+                              nprobe=4).to_pandas()["vec_id"]) & truth)
+    r12 = len(set(sim.ivf_topk(ds, np.array([q0]), [0], k=10, n_centroids=16,
+                               nprobe=12).to_pandas()["vec_id"]) & truth)
+    assert 0 < r4 <= r12 <= 10
