@@ -404,6 +404,147 @@ def _overview_reduce(arr: np.ndarray, kernel: str) -> np.ndarray:
     raise ValueError(f"unknown overview kernel {kernel!r}")
 
 
+def warp_tiles_join(
+    src_tiles_ds,
+    src_gt,
+    z: int,
+    tile_px: int = 256,
+    resample: str = "nearest",
+    src_tile_size: int = 256,
+    nodata: float = 0.0,
+):
+    """The 100 TB warp plan: the source is a TILE DATASET, not a broadcast
+    array.  Each src tile flat_maps to the dst (z, x, y) tiles its
+    transformed bbox covers; ``groupby(dst tile)`` assembles the needed
+    source window from the shuffled tiles and runs the same sampling kernels
+    as ``TileWarper`` (SURVEY §2.9 "tile-join variant"; reference chunking
+    role: alg/gdalwarpoperation.cpp ComputeSourceWindow).
+
+    Src tiles: rows (x, y, width, height, dtype, data) on the ``src_gt``
+    EPSG:4326 grid (global pixel (0,0) at gt origin).  Supports nearest and
+    bilinear.  Emits the same schema as TileWarper incl. checksums."""
+    if resample not in ("nearest", "bilinear"):
+        raise ValueError("warp_tiles_join supports nearest|bilinear")
+    inv_gt = geo.inv_geotransform(src_gt)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        from .focal import _dtype_of
+
+        rows = []
+        for i in range(batch.num_rows):
+            sx = batch["x"][i].as_py()
+            sy = batch["y"][i].as_py()
+            w = batch["width"][i].as_py()
+            h = batch["height"][i].as_py()
+            px0, py0 = sx * src_tile_size, sy * src_tile_size
+            # src tile corner coords in src CRS (lon/lat)
+            cx = np.array([px0, px0 + w, px0, px0 + w], dtype=np.float64)
+            cy = np.array([py0, py0, py0 + h, py0 + h], dtype=np.float64)
+            lon, lat = geo.apply_geotransform(src_gt, cx, cy)
+            lat = np.clip(lat, -geo.MAX_MERC_LAT, geo.MAX_MERC_LAT)
+            tx, ty = geo.lonlat_to_tile(lon, lat, z)
+            # one-tile pad: bilinear taps can reach just outside the bbox
+            for dty in range(int(ty.min()) - 1, int(ty.max()) + 2):
+                for dtx in range(int(tx.min()) - 1, int(tx.max()) + 2):
+                    if not (0 <= dtx < (1 << z) and 0 <= dty < (1 << z)):
+                        continue
+                    rows.append(
+                        {"dst": (dtx << 32) | dty, "sx": sx, "sy": sy,
+                         "w": w, "h": h, "dtype": batch["dtype"][i].as_py(),
+                         "data": batch["data"][i].as_py()}
+                    )
+        return pa.Table.from_pylist(rows) if rows else pa.Table.from_pylist(
+            [{"dst": -1, "sx": 0, "sy": 0, "w": 0, "h": 0, "dtype": "uint8", "data": b""}]
+        )
+
+    def warp_group(group: pa.Table) -> pa.Table:
+        from .focal import _dtype_of
+
+        dst = int(group["dst"][0].as_py())
+        if dst < 0:
+            return pa.Table.from_pylist([])
+        dtx, dty = dst >> 32, dst & 0xFFFFFFFF
+        t = tile_px
+        minx, miny, maxx, maxy = geo.tile_bounds_mercator(
+            z, np.array([dtx]), np.array([dty])
+        )
+        res = (maxx[0] - minx[0]) / t
+        mx = minx[0] + (np.arange(t) + 0.5) * res
+        my = maxy[0] - (np.arange(t) + 0.5) * res
+        gmx, gmy = np.meshgrid(mx, my)
+        lon, lat = geo.mercator_to_lonlat(gmx, gmy)
+        px, py = geo.apply_geotransform(inv_gt, lon, lat)
+        # assemble the source window canvas covering the sample taps
+        x_lo = int(np.floor(px.min())) - 2
+        x_hi = int(np.floor(px.max())) + 3
+        y_lo = int(np.floor(py.min())) - 2
+        y_hi = int(np.floor(py.max())) + 3
+        canvas = np.full((y_hi - y_lo, x_hi - x_lo), nodata, dtype=np.float64)
+        covered = np.zeros(canvas.shape, dtype=bool)
+        for i in range(group.num_rows):
+            w = group["w"][i].as_py()
+            h = group["h"][i].as_py()
+            arr = np.frombuffer(
+                group["data"][i].as_py(), dtype=_dtype_of(group["dtype"][i].as_py())
+            ).reshape(h, w)
+            ox = group["sx"][i].as_py() * src_tile_size - x_lo
+            oy = group["sy"][i].as_py() * src_tile_size - y_lo
+            cx0, cy0 = max(0, ox), max(0, oy)
+            cx1 = min(canvas.shape[1], ox + w)
+            cy1 = min(canvas.shape[0], oy + h)
+            if cx1 > cx0 and cy1 > cy0:
+                canvas[cy0:cy1, cx0:cx1] = arr[cy0 - oy : cy1 - oy, cx0 - ox : cx1 - ox]
+                covered[cy0:cy1, cx0:cx1] = True
+        # sample via the SAME kernel math as TileWarper, shifted into canvas
+        # coords; validity requires the tap's SOURCE pixel to exist globally
+        src_w = None  # global width unknown; bounds enforced via 'covered'
+        if resample == "nearest":
+            cxp = np.floor(px).astype(np.int64) - x_lo
+            cyp = np.floor(py).astype(np.int64) - y_lo
+            ok = (cxp >= 0) & (cxp < canvas.shape[1]) & (cyp >= 0) & (cyp < canvas.shape[0])
+            okc = ok.copy()
+            okc[ok] = covered[cyp[ok], cxp[ok]]
+            arr_out = np.full(px.shape, nodata)
+            arr_out[okc] = canvas[cyp[okc], cxp[okc]]
+        else:
+            fx = px - 0.5
+            fy = py - 0.5
+            x0 = np.floor(fx).astype(np.int64) - x_lo
+            y0 = np.floor(fy).astype(np.int64) - y_lo
+            txf = (fx - np.floor(fx))
+            tyf = (fy - np.floor(fy))
+            ok = (x0 >= 0) & (x0 + 1 < canvas.shape[1]) & (y0 >= 0) & (y0 + 1 < canvas.shape[0])
+            okc = ok.copy()
+            okc[ok] = (covered[y0[ok], x0[ok]] & covered[y0[ok], x0[ok] + 1]
+                       & covered[y0[ok] + 1, x0[ok]] & covered[y0[ok] + 1, x0[ok] + 1])
+            arr_out = np.full(px.shape, nodata)
+            arr_out[okc] = (
+                canvas[y0[okc], x0[okc]] * (1 - txf[okc]) * (1 - tyf[okc])
+                + canvas[y0[okc], x0[okc] + 1] * txf[okc] * (1 - tyf[okc])
+                + canvas[y0[okc] + 1, x0[okc]] * (1 - txf[okc]) * tyf[okc]
+                + canvas[y0[okc] + 1, x0[okc] + 1] * txf[okc] * tyf[okc]
+            )
+        return pa.table(
+            {
+                "z": pa.array([z], pa.int16()),
+                "x": pa.array([dtx], pa.int32()),
+                "y": pa.array([dty], pa.int32()),
+                "band": pa.array([1], pa.int8()),
+                "width": pa.array([t], pa.int32()),
+                "height": pa.array([t], pa.int32()),
+                "crs": pa.array(["EPSG:3857"]),
+                "nodata": pa.array([nodata], pa.float64()),
+                "dtype": pa.array(["float64"]),
+                "data": pa.array([arr_out.tobytes()], pa.binary()),
+                "checksum": pa.array([cks.tile_checksum(arr_out)], pa.int64()),
+                "blank": pa.array([bool(np.all(arr_out == nodata))]),
+            }
+        )
+
+    expanded = src_tiles_ds.map_batches(expand, batch_format="pyarrow")
+    return expanded.groupby("dst").map_groups(warp_group, batch_format="pyarrow")
+
+
 def build_overview(tiles_ds, tile_px: int = 256, kernel: str = "average"):
     """One pyramid step: children (z, x, y) -> parents (z-1, x//2, y//2) by
     2x2 block reduction (gdal2tiles' per-zoom reduction, :4548-4560;

@@ -155,3 +155,39 @@ def test_overview_kernels():
     # mode: [1,2,3,4] all distinct -> smallest; [5,5,9] -> 5; [0,0,0,8] -> 0;
     # [7,7,7,1] -> 7
     assert np.array_equal(pyr._overview_reduce(arr, "mode"), [[1.0, 5.0], [0.0, 7.0]])
+
+
+def _ramp_src_tiles(n=256, tile=64):
+    import pyarrow as pa
+
+    gy, gx = np.mgrid[0:n, 0:n]
+    arr = (gx + gy).astype(np.float64) + 1.0
+    rows = []
+    for ty in range(n // tile):
+        for tx in range(n // tile):
+            sub = arr[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+            rows.append({"x": tx, "y": ty, "width": tile, "height": tile,
+                         "dtype": "float64", "data": np.ascontiguousarray(sub).tobytes()})
+    return pa.Table.from_pylist(rows)
+
+
+@pytest.mark.parametrize("resample", ["nearest", "bilinear"])
+def test_warp_tiles_join_matches_broadcast(resample):
+    """The no-broadcast tile-join warp produces the SAME tiles/checksums as
+    the broadcast-source TileWarper (the 100 TB plan equivalence)."""
+    import ray.data as rd
+
+    n = 256
+    gt = (-60.0, 120.0 / n, 0.0, 60.0, 0.0, -120.0 / n)
+    gy, gx = np.mgrid[0:n, 0:n]
+    src = pyr.SourceRaster((gx + gy).astype(np.float64) + 1.0, gt)
+    bro = pyr.warp_to_tiles(src, 4, (-59, -59, 59, 59), tile_px=64,
+                            resample=resample, skip_blank=False, concurrency=2)
+    bmap = {(r["x"], r["y"]): r["checksum"] for r in bro.take_all()
+            if not r["blank"]}
+    join = pyr.warp_tiles_join(rd.from_arrow(_ramp_src_tiles(n, 64)), gt, 4,
+                               tile_px=64, resample=resample, src_tile_size=64)
+    jmap = {(r["x"], r["y"]): r["checksum"] for r in join.take_all()}
+    assert bmap, "broadcast produced no non-blank tiles"
+    for k, v in bmap.items():
+        assert k in jmap and jmap[k] == v, (resample, k, v, jmap.get(k))
