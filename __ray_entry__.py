@@ -800,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_erase": q.polygon_erase_q,
         "clip_areas": q.clip_areas_q,
         "dissolve_zones": q.dissolve_zones_q,
+        "dissolve_union": q.dissolve_union_q,
         "contour_ramp": q.contour_ramp_q,
         "contour_polygons": q.contour_polygons_q,
         "raster_as_features": q.raster_as_features_q,
@@ -1160,6 +1161,25 @@ def oracle_sql() -> dict[str, str]:
                    max(maxx) AS maxx, max(maxy) AS maxy
             FROM zz
             GROUP BY 1
+        """,
+        "dissolve_union": """
+            -- union area of integer-grid rects = count of DISTINCT covered
+            -- unit cells (overlaps counted once — TRUE dissolve semantics)
+            WITH p AS (SELECT p_partkey AS fid, p_partkey % 100 AS cat,
+                              -180 + (p_partkey * 7321) % 330 AS x0,
+                              -85 + (p_partkey * 4231) % 150 AS y0,
+                              2 + (p_partkey * 131) % 8 AS w,
+                              2 + (p_partkey * 197) % 6 AS h
+                       FROM part),
+            cells AS (SELECT DISTINCT cat, x0 + cx.c AS cx, y0 + cy.c AS cy
+                      FROM p,
+                      LATERAL (SELECT unnest(generate_series(0, w - 1)) AS c) cx,
+                      LATERAL (SELECT unnest(generate_series(0, h - 1)) AS c) cy)
+            SELECT p.cat,
+                   CAST(count(DISTINCT p.fid) AS BIGINT) AS n_parts,
+                   CAST((SELECT count(*) FROM cells c WHERE c.cat = p.cat) AS BIGINT)
+                     AS union_area
+            FROM p GROUP BY p.cat
         """,
         "histogram_nchars": """
             SELECT n_chars // 100 AS bucket, CAST(count(*) AS BIGINT) AS n

@@ -711,6 +711,29 @@ def predicate_counts_q(sf_dir: str):
     return relational.partial_aggregate(out, ["predicate"], count_alias="n_pairs")
 
 
+def dissolve_union_q(sf_dir: str):
+    """TRUE geometric dissolve (union fold) over the integer rect layer
+    grouped by key % 100 — overlapping members count once; the oracle counts
+    DISTINCT covered unit cells (exact for integer rects)."""
+    from ..stages import layeralg
+
+    pk = np.sort(pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])["p_partkey"].to_numpy())
+    t = _int_rect_layer(pk, INT_RECT_L, "fid")
+    cat = (pk % 100).astype(np.int64)
+    ds = rd.from_arrow(t.append_column("cat", pa.array(cat)))
+    out = layeralg.dissolve_union(ds, "cat")
+
+    def fin(tt: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cat": tt["cat"], "n_parts": tt["n_parts"],
+             "union_area": pc.cast(
+                 pc.round(tt["union_area"], round_mode="half_towards_infinity"),
+                 pa.int64())}
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def contour_ramp_q(sf_dir: str):
     """Distributed marching-squares contour over the ramp fixture."""
     from ..stages import contour as cnt

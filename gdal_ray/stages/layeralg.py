@@ -371,7 +371,36 @@ def clip_layer(ds, clipper_wkb: bytes, id_col: str = "fid"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def dissolve_collect(ds, key_col: str, id_col: str = "fid"):
+def dissolve_union(ds, key_col: str, id_col: str = "fid"):
+    """Dissolve with TRUE geometric union (apps/gdalalg_vector_dissolve.cpp
+    UnaryUnion semantics): per attribute group, member polygons are folded
+    through the overlay engine's boolean union, so OVERLAPPING members
+    contribute their union area exactly (the round-1 ``dissolve_collect``
+    double-counts overlaps).  Emits (key, n_parts, union_area, wkb).
+
+    Per-group cost is O(members^2) segment work — partition the dissolve key
+    so groups stay small (the usual dissolve shape); huge groups would use a
+    tree-fold (pairwise union reduction), the documented scale path."""
+    from . import overlay
+
+    def per_group(group: pa.Table) -> pa.Table:
+        key = group[key_col][0].as_py()
+        geoms = [wkb.decode(w) for w in group["wkb"].to_pylist()]
+        acc = geoms[0]
+        for g in geoms[1:]:
+            u = overlay.boolean_op(acc, g, "union")
+            if u is not None:
+                acc = u
+        return pa.table(
+            {
+                key_col: pa.array([key]),
+                "n_parts": pa.array([len(geoms)], pa.int64()),
+                "union_area": pa.array([overlay.geom_area(acc)], pa.float64()),
+                "wkb": pa.array([overlay.encode(acc)], pa.binary()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
     """Dissolve (vector dissolve, apps/gdalalg_vector_dissolve.cpp:120):
     group by attribute, collect members into a MultiPolygon + aggregate
     bbox/total-area.  NOTE: member polygons are collected, not unioned —
