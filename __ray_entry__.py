@@ -389,45 +389,15 @@ def _contour_sql() -> str:
 def _tile_pyramid_sql() -> str:
     """Warp the 256x256 EPSG:4326 ramp to z4 XYZ tiles (nearest kernel) and
     reduce to z3/z2 overviews — mirrors stages/pyramid.TileWarper /
-    build_overview arithmetic with the engine's own float constants inlined
-    (inverse geotransform, mercator origin), nodata 0 outside the source."""
-    import numpy as np
-
-    from gdal_ray.functions import geo
-
-    O = geo.ORIGIN_SHIFT
-    size4 = 2.0 * O / 16.0
-    gt = (-60.0, 120.0 / 256, 0.0, 60.0, 0.0, -120.0 / 256)
-    inv = geo.inv_geotransform(gt)
-    deg = float(np.degrees(1.0))
-    half_pi = float(np.pi / 2.0)
-    # enumerate_tiles(4, -59, -59, 59, 59) — integer tile ranges via the same
-    # lonlat_to_tile formulas the engine uses
-    tx = ("CAST(floor(({lon} + 180.0) / 360.0 * 16.0) AS BIGINT)")
-    ty = ("CAST(floor((1.0 - ln(tan(radians({lat})) + 1.0/cos(radians({lat}))) / pi())"
-          " / 2.0 * 16.0) AS BIGINT)")
+    build_overview arithmetic; the grid/transform CTEs are the shared
+    ``_warp_grid_ctes`` block (same constants as the cubic / overview /
+    cutline oracles)."""
     return f"""
-        WITH xr AS (SELECT unnest(generate_series({tx.format(lon='-59.0')},
-                                                  {tx.format(lon='59.0')})) AS x),
-        yr AS (SELECT unnest(generate_series({ty.format(lat='59.0')},
-                                             {ty.format(lat='-59.0')})) AS y),
-        t4 AS (SELECT x, y FROM xr, yr),
-        ij AS (SELECT a.range AS i, b.range AS j FROM range(64) a, range(64) b),
-        p4g AS (SELECT x, y, i, j,
-                  (-{O!r} + x * {size4!r}) AS minx,
-                  ({O!r} - y * {size4!r}) AS maxy
-                FROM t4, ij),
-        p4m AS (SELECT x, y, i, j,
-                  minx + (i + 0.5) * (((minx + {size4!r}) - minx) / 64.0) AS mx,
-                  maxy - (j + 0.5) * (((minx + {size4!r}) - minx) / 64.0) AS my
-                FROM p4g),
-        p4l AS (SELECT x, y, i, j, mx / {O / 180.0!r} AS lon,
-                  (2.0 * atan(exp(my / {geo.EARTH_RADIUS!r})) - {half_pi!r}) * {deg!r} AS lat
-                FROM p4m),
+        WITH {_warp_grid_ctes()},
         p4s AS (SELECT x, y, i, j,
-                  CAST(floor({inv[0]!r} + lon * {inv[1]!r}) AS BIGINT) AS cx,
-                  CAST(floor({inv[3]!r} + lat * {inv[5]!r}) AS BIGINT) AS cy
-                FROM p4l),
+                  CAST(floor(px) AS BIGINT) AS cx,
+                  CAST(floor(py) AS BIGINT) AS cy
+                FROM p4px),
         p4 AS (SELECT x, y, i, j,
                  CASE WHEN cx >= 0 AND cx < 256 AND cy >= 0 AND cy < 256
                       THEN CAST(cx + cy AS DOUBLE) + 1.0 ELSE 0.0 END AS v

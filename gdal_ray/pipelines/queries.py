@@ -337,25 +337,7 @@ def grid_count_q(sf_dir: str):
         pts, grid, algorithm="count", radius=6.0, seed_all_tiles=True
     )
 
-    def to_cells(t: pa.Table) -> pa.Table:
-        cxs, cys, ns = [], [], []
-        for i in range(t.num_rows):
-            h, w = t["height"][i].as_py(), t["width"][i].as_py()
-            tx, ty = t["tx"][i].as_py(), t["ty"][i].as_py()
-            arr = np.frombuffer(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
-            gy, gx = np.mgrid[0:h, 0:w]
-            cxs.append((gx + tx * grid.tile).ravel().astype(np.int64))
-            cys.append((gy + ty * grid.tile).ravel().astype(np.int64))
-            ns.append(arr.ravel().astype(np.int64))
-        if not cxs:
-            return pa.table({"cx": pa.array([], pa.int64()), "cy": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        return pa.table(
-            {"cx": pa.array(np.concatenate(cxs)), "cy": pa.array(np.concatenate(cys)),
-             "n": pa.array(np.concatenate(ns))}
-        )
-
-    return tiles_out.map_batches(to_cells, batch_format="pyarrow")
+    return gridinterp.tiles_to_cells(tiles_out, grid, "n")
 
 
 def dedup_exact_q(sf_dir: str):
@@ -943,25 +925,7 @@ def grid_metrics_q(sf_dir: str):
         seed_all_tiles=True, min_points_per_quadrant=1,
     )
 
-    def to_cells(t: pa.Table) -> pa.Table:
-        cxs, cys, vs = [], [], []
-        for i in range(t.num_rows):
-            h, w = t["height"][i].as_py(), t["width"][i].as_py()
-            tx, ty = t["tx"][i].as_py(), t["ty"][i].as_py()
-            arr = np.frombuffer(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
-            gy, gx = np.mgrid[0:h, 0:w]
-            m = np.isfinite(arr)
-            cxs.append((gx[m] + tx * grid.tile).astype(np.int64))
-            cys.append((gy[m] + ty * grid.tile).astype(np.int64))
-            vs.append(arr[m].astype(np.int64))
-        if not cxs:
-            return pa.table({"cx": pa.array([], pa.int64()), "cy": pa.array([], pa.int64()),
-                             "vrange": pa.array([], pa.int64())})
-        return pa.table({"cx": pa.array(np.concatenate(cxs)),
-                         "cy": pa.array(np.concatenate(cys)),
-                         "vrange": pa.array(np.concatenate(vs))})
-
-    return tiles_out.map_batches(to_cells, batch_format="pyarrow")
+    return gridinterp.tiles_to_cells(tiles_out, grid, "vrange", finite_only=True)
 
 
 OVERVIEW_KERNELS = ("nearest", "min", "max", "sum", "rms", "mode")

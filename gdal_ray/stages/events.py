@@ -199,26 +199,30 @@ def asof_join_partitioned(
     broadcast path, but the right side is shuffled instead of broadcast
     (the 100 TB plan when the right table exceeds the object store)."""
 
+    import pyarrow.compute as _pc
+
+    # both timestamp columns are normalized to timestamp[us] so the tagged
+    # schemas agree even when left/right store different temporal types
+    # (e.g. timestamp events vs date32 order dates — dates become midnight,
+    # which preserves the backward-search semantics)
+    TS = pa.timestamp("us")
+
     def tag_left(t: pa.Table) -> pa.Table:
         return pa.table(
             {"_k": t[left_key], "_side": pa.array(np.zeros(t.num_rows, np.int8)),
-             id_col: t[id_col], "_lts": t[left_ts],
-             "_rts": pa.nulls(t.num_rows, t[left_ts].type),
+             id_col: t[id_col], "_lts": _pc.cast(t[left_ts], TS),
+             "_rts": pa.nulls(t.num_rows, TS),
              **{f"_e_{c}": pa.nulls(t.num_rows, pa.int64()) for c in emit}}
         )
 
     def tag_right(t: pa.Table) -> pa.Table:
         return pa.table(
             {"_k": t[right_key], "_side": pa.array(np.ones(t.num_rows, np.int8)),
-             id_col: pa.nulls(t.num_rows, pa.int64()), "_lts": pa.nulls(t.num_rows, t[right_ts].type),
-             "_rts": t[right_ts],
-             **{f"_e_{c}": pc_cast_int64(t[c]) for c in emit}}
+             id_col: pa.nulls(t.num_rows, pa.int64()),
+             "_lts": pa.nulls(t.num_rows, TS),
+             "_rts": _pc.cast(t[right_ts], TS),
+             **{f"_e_{c}": _pc.cast(t[c], pa.int64()) for c in emit}}
         )
-
-    import pyarrow.compute as _pc
-
-    def pc_cast_int64(col):
-        return _pc.cast(col, pa.int64())
 
     unioned = events_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")

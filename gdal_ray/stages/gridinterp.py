@@ -19,6 +19,33 @@ import pyarrow as pa
 from ..functions import checksum as cks
 
 
+def tiles_to_cells(tiles_ds, grid: "InterpGrid", value_name: str,
+                   finite_only: bool = False):
+    """Lazy tile -> (cx, cy, value:int64) cell-row expansion (shared by the
+    grid_count / grid_metrics queries).  finite_only drops NaN cells (the
+    data-metric validity convention)."""
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        cxs, cys, vs = [], [], []
+        for i in range(t.num_rows):
+            h, w = t["height"][i].as_py(), t["width"][i].as_py()
+            tx, ty = t["tx"][i].as_py(), t["ty"][i].as_py()
+            arr = np.frombuffer(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
+            gy, gx = np.mgrid[0:h, 0:w]
+            m = np.isfinite(arr) if finite_only else np.ones(arr.shape, dtype=bool)
+            cxs.append((gx[m] + tx * grid.tile).astype(np.int64))
+            cys.append((gy[m] + ty * grid.tile).astype(np.int64))
+            vs.append(arr[m].astype(np.int64))
+        if not cxs:
+            return pa.table({"cx": pa.array([], pa.int64()), "cy": pa.array([], pa.int64()),
+                             value_name: pa.array([], pa.int64())})
+        return pa.table({"cx": pa.array(np.concatenate(cxs)),
+                         "cy": pa.array(np.concatenate(cys)),
+                         value_name: pa.array(np.concatenate(vs))})
+
+    return tiles_ds.map_batches(to_cells, batch_format="pyarrow")
+
+
 def delaunay_triangulate(pts: np.ndarray) -> list:
     """Bowyer-Watson incremental Delaunay triangulation (public algorithm;
     reference surface: alg/delaunay.c).  Returns triangle index triples.
@@ -125,6 +152,10 @@ def grid_interpolate(
     distributed runs; nearest uses the nearest point within tile+halo).
     seed_all_tiles: emit every output tile even when no point falls in its
     halo (NaN seed rows union'd in; they never satisfy a radius test)."""
+    if seed_all_tiles and radius <= 0:
+        # with radius=0 every point (incl. the NaN seeds) enters every cell's
+        # aggregate — the seeds would poison the grid
+        raise ValueError("seed_all_tiles requires a positive search radius")
     halo = radius if radius > 0 else max(grid.dx, grid.dy) * grid.tile
 
     def expand(batch: pa.Table) -> pa.Table:

@@ -156,6 +156,44 @@ def polygon_join(
     )
 
 
+def _owner_cell_pairs(group: pa.Table, res: int):
+    """Yield (l_id, r_id, geom_l, geom_r) for every bbox-candidate pair of one
+    cell group whose OWNER cell is this group's cell.  Owner = the cell
+    containing the intersection-bbox min corner — a cell both sides' covers
+    are guaranteed to include — so a pair sharing k cells is emitted by
+    exactly ONE group (no dedup shuffle needed).  Shared by overlay_join and
+    predicate_join; geometries decode lazily, once per feature."""
+    side = group["side"].to_numpy(zero_copy_only=False)
+    lmask = side == 0
+    if not lmask.any() or lmask.all():
+        return
+    cell = int(group["cell"][0].as_py())
+    lbox = np.column_stack(
+        [group[c].to_numpy(zero_copy_only=False)[lmask] for c in ("minx", "miny", "maxx", "maxy")]
+    )
+    rbox = np.column_stack(
+        [group[c].to_numpy(zero_copy_only=False)[~lmask] for c in ("minx", "miny", "maxx", "maxy")]
+    )
+    lids = group["gid"].to_numpy(zero_copy_only=False)[lmask]
+    rids = group["gid"].to_numpy(zero_copy_only=False)[~lmask]
+    lwkb = [w for w, m in zip(group["wkb"].to_pylist(), lmask) if m]
+    rwkb = [w for w, m in zip(group["wkb"].to_pylist(), lmask) if not m]
+    cand = np.nonzero(pip.bbox_intersects(lbox, rbox))
+    ocx = np.maximum(lbox[cand[0], 0], rbox[cand[1], 0])
+    ocy = np.maximum(lbox[cand[0], 1], rbox[cand[1], 1])
+    owner = geo.point_cells(ocx, ocy, res) if ocx.size else np.empty(0, np.int64)
+    cache_l: dict = {}
+    cache_r: dict = {}
+    for k, (li, ri) in enumerate(zip(*cand)):
+        if int(owner[k]) != cell:
+            continue
+        if li not in cache_l:
+            cache_l[li] = wkb.decode(lwkb[li])
+        if ri not in cache_r:
+            cache_r[ri] = wkb.decode(rwkb[ri])
+        yield int(lids[li]), int(rids[ri]), cache_l[li], cache_r[ri]
+
+
 def overlay_join(
     left_ds,
     right_ds,
@@ -183,53 +221,23 @@ def overlay_join(
     )
 
     def join_group(group: pa.Table) -> pa.Table:
-        side = group["side"].to_numpy(zero_copy_only=False)
-        lmask = side == 0
-        if not lmask.any() or lmask.all():
-            return empty
-        cell = int(group["cell"][0].as_py())
-        lbox = np.column_stack(
-            [group[c].to_numpy(zero_copy_only=False)[lmask] for c in ("minx", "miny", "maxx", "maxy")]
-        )
-        rbox = np.column_stack(
-            [group[c].to_numpy(zero_copy_only=False)[~lmask] for c in ("minx", "miny", "maxx", "maxy")]
-        )
-        lids = group["gid"].to_numpy(zero_copy_only=False)[lmask]
-        rids = group["gid"].to_numpy(zero_copy_only=False)[~lmask]
-        lwkb = [w for w, m in zip(group["wkb"].to_pylist(), lmask) if m]
-        rwkb = [w for w, m in zip(group["wkb"].to_pylist(), lmask) if not m]
-        cand = np.nonzero(pip.bbox_intersects(lbox, rbox))
         rows = {k: [] for k in ("l_id", "r_id", "inter_wkb", "inter_area",
                                 "union_area", "symdiff_area")}
-        cache_l: dict = {}
-        cache_r: dict = {}
-        # owner-cell dedup: a pair sharing k cells is a candidate in all k
-        # groups, but only the cell containing the intersection-bbox min
-        # corner computes and emits it — once, with no dedup shuffle after
-        ocx = np.maximum(lbox[cand[0], 0], rbox[cand[1], 0])
-        ocy = np.maximum(lbox[cand[0], 1], rbox[cand[1], 1])
-        owner = geo.point_cells(ocx, ocy, res) if ocx.size else np.empty(0, np.int64)
-        for k, (li, ri) in enumerate(zip(*cand)):
-            if int(owner[k]) != cell:
-                continue
-            if li not in cache_l:
-                cache_l[li] = wkb.decode(lwkb[li])
-            if ri not in cache_r:
-                cache_r[ri] = wkb.decode(rwkb[ri])
-            gl = cache_l[li]
-            gr = cache_r[ri]
+        for lid, rid, gl, gr in _owner_cell_pairs(group, res):
             gi = overlay.boolean_op(gl, gr, "intersection")
             ia = overlay.geom_area(gi)
             if gi is None or ia <= 0:
                 continue
             gu = overlay.boolean_op(gl, gr, "union")
             gs = overlay.boolean_op(gl, gr, "symdifference")
-            rows["l_id"].append(int(lids[li]))
-            rows["r_id"].append(int(rids[ri]))
+            rows["l_id"].append(lid)
+            rows["r_id"].append(rid)
             rows["inter_wkb"].append(overlay.encode(gi))
             rows["inter_area"].append(ia)
             rows["union_area"].append(overlay.geom_area(gu))
             rows["symdiff_area"].append(overlay.geom_area(gs))
+        if not rows["l_id"]:
+            return empty
         return pa.table(
             {"l_id": pa.array(rows["l_id"], pa.int64()),
              "r_id": pa.array(rows["r_id"], pa.int64()),
@@ -262,41 +270,16 @@ def predicate_join(
     )
 
     def join_group(group: pa.Table) -> pa.Table:
-        side = group["side"].to_numpy(zero_copy_only=False)
-        lmask = side == 0
-        if not lmask.any() or lmask.all():
-            return empty
-        cell = int(group["cell"][0].as_py())
-        lbox = np.column_stack(
-            [group[c].to_numpy(zero_copy_only=False)[lmask] for c in ("minx", "miny", "maxx", "maxy")]
-        )
-        rbox = np.column_stack(
-            [group[c].to_numpy(zero_copy_only=False)[~lmask] for c in ("minx", "miny", "maxx", "maxy")]
-        )
-        lids = group["gid"].to_numpy(zero_copy_only=False)[lmask]
-        rids = group["gid"].to_numpy(zero_copy_only=False)[~lmask]
-        lwkb = [w for w, m in zip(group["wkb"].to_pylist(), lmask) if m]
-        rwkb = [w for w, m in zip(group["wkb"].to_pylist(), lmask) if not m]
-        cand = np.nonzero(pip.bbox_intersects(lbox, rbox))
-        ocx = np.maximum(lbox[cand[0], 0], rbox[cand[1], 0])
-        ocy = np.maximum(lbox[cand[0], 1], rbox[cand[1], 1])
-        owner = geo.point_cells(ocx, ocy, res) if ocx.size else np.empty(0, np.int64)
         out_l, out_r, out_p = [], [], []
-        cache_l: dict = {}
-        cache_r: dict = {}
-        for k, (li, ri) in enumerate(zip(*cand)):
-            if int(owner[k]) != cell:
-                continue
-            if li not in cache_l:
-                cache_l[li] = wkb.decode(lwkb[li])
-            if ri not in cache_r:
-                cache_r[ri] = wkb.decode(rwkb[ri])
-            pred = pip.polygon_predicate(cache_l[li], cache_r[ri])
+        for lid, rid, gl, gr in _owner_cell_pairs(group, res):
+            pred = pip.polygon_predicate(gl, gr)
             if pred is None:
                 continue
-            out_l.append(int(lids[li]))
-            out_r.append(int(rids[ri]))
+            out_l.append(lid)
+            out_r.append(rid)
             out_p.append(pred)
+        if not out_l:
+            return empty
         return pa.table(
             {"l_id": pa.array(out_l, pa.int64()), "r_id": pa.array(out_r, pa.int64()),
              "predicate": pa.array(out_p, pa.string())}
@@ -401,12 +384,15 @@ def dissolve_union(ds, key_col: str, id_col: str = "fid"):
         )
 
     return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def dissolve_collect(ds, key_col: str, id_col: str = "fid"):
     """Dissolve (vector dissolve, apps/gdalalg_vector_dissolve.cpp:120):
     group by attribute, collect members into a MultiPolygon + aggregate
     bbox/total-area.  NOTE: member polygons are collected, not unioned —
-    exact boundary union (GEOS UnaryUnion) is round-2 scope; for
-    non-overlapping inputs (the common dissolve case) collect == union in
-    area and bbox."""
+    use ``dissolve_union`` for exact boundary union of OVERLAPPING members;
+    for non-overlapping inputs (the common dissolve case) collect == union
+    in area and bbox."""
 
     def per_group(group: pa.Table) -> pa.Table:
         key = group[key_col][0].as_py()

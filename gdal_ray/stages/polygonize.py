@@ -636,15 +636,34 @@ def sieve_global(tiles_ds, threshold: int, nodata: float = 0.0,
             for lbl in range(n):
                 add("comp", _ckey(tx, ty, lbl), val=float(first_val[lbl]),
                     npx=int(counts[lbl]))
-            # within-tile adjacency between DIFFERENT components (4-conn)
-            for a, b in ((labels[:, :-1], labels[:, 1:]),
-                         (labels[:-1, :], labels[1:, :])):
+            # within-tile adjacency between DIFFERENT components (diagonals
+            # too when connect8)
+            shifts = [(labels[:, :-1], labels[:, 1:]), (labels[:-1, :], labels[1:, :])]
+            if connect8:
+                shifts += [(labels[:-1, :-1], labels[1:, 1:]),
+                           (labels[:-1, 1:], labels[1:, :-1])]
+            for a, b in shifts:
                 mm = (a >= 0) & (b >= 0) & (a != b)
                 if mm.any():
                     pairs = np.unique(a[mm] * np.int64(n) + b[mm])
                     for p in pairs:
                         add("adj", _ckey(tx, ty, int(p // n)),
                             key2=_ckey(tx, ty, int(p % n)))
+            if connect8:
+                # 4-tile corner junctions: register each corner pixel under the
+                # junction's corner key with a quadrant role (key2 = 2 + role)
+                for role_i, ((py_, px_), (ctx, cty)) in enumerate((
+                    ((-1, -1), (tx, ty)),          # NW of corner
+                    ((-1, 0), (tx - 1, ty)),       # NE
+                    ((0, -1), (tx, ty - 1)),       # SW
+                    ((0, 0), (tx - 1, ty - 1)),    # SE
+                )):
+                    lbl = labels[py_, px_]
+                    if lbl < 0 or ctx < 0 or cty < 0:
+                        continue
+                    add("border", _ckey(tx, ty, int(lbl)), key2=2 + role_i,
+                        ek=_ekey(ctx, cty, "C"), p0=0, p1=1,
+                        val=float(arr[py_, px_]))
             # border runs (any value): same-value overlaps merge components,
             # different-value overlaps are adjacency
             for side, vec_lbl, vec_val in (("R", labels[:, -1], arr[:, -1]),
@@ -676,6 +695,8 @@ def sieve_global(tiles_ds, threshold: int, nodata: float = 0.0,
 
     tagged = tiles_ds.map_batches(per_tile, batch_format="pyarrow").materialize()
 
+    slack = 1 if connect8 else 0
+
     def edge_pairs(group: pa.Table) -> pa.Table:
         kinds = group["kind"].to_pylist()
         idx = [i for i, k in enumerate(kinds) if k == "border"]
@@ -685,11 +706,22 @@ def sieve_global(tiles_ds, threshold: int, nodata: float = 0.0,
         p1 = group["pos1"].to_numpy(zero_copy_only=False)
         vals = group["value"].to_numpy(zero_copy_only=False)
         oa, ob, same = [], [], []
+        if idx and int(group["edge_key"][idx[0]].as_py()) & 0xF == 3:
+            # corner junction (connect8): diagonal quadrant pairs NW-SE, NE-SW
+            # (key2 = 2 + role: 2=NW, 3=NE, 4=SW, 5=SE)
+            for ra, rb in ((2, 5), (3, 4)):
+                for i in (k for k in idx if own[k] == ra):
+                    for j in (k for k in idx if own[k] == rb):
+                        oa.append(int(keys[i]))
+                        ob.append(int(keys[j]))
+                        same.append(bool(vals[i] == vals[j]))
+            return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64()),
+                             "same": pa.array(same, pa.bool_())})
         a_idx = [i for i in idx if own[i] == 1]
         b_idx = [i for i in idx if own[i] == 0]
         for i in a_idx:
             for j in b_idx:
-                if p0[i] < p1[j] and p1[i] > p0[j]:
+                if p0[i] < p1[j] + slack and p1[i] > p0[j] - slack:
                     oa.append(int(keys[i]))
                     ob.append(int(keys[j]))
                     same.append(bool(vals[i] == vals[j]))

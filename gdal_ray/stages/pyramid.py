@@ -457,12 +457,21 @@ def warp_tiles_join(
             [{"dst": -1, "sx": 0, "sy": 0, "w": 0, "h": 0, "dtype": "uint8", "data": b""}]
         )
 
+    _EMPTY = pa.table(
+        {"z": pa.array([], pa.int16()), "x": pa.array([], pa.int32()),
+         "y": pa.array([], pa.int32()), "band": pa.array([], pa.int8()),
+         "width": pa.array([], pa.int32()), "height": pa.array([], pa.int32()),
+         "crs": pa.array([], pa.string()), "nodata": pa.array([], pa.float64()),
+         "dtype": pa.array([], pa.string()), "data": pa.array([], pa.binary()),
+         "checksum": pa.array([], pa.int64()), "blank": pa.array([], pa.bool_())}
+    )
+
     def warp_group(group: pa.Table) -> pa.Table:
         from .focal import _dtype_of
 
         dst = int(group["dst"][0].as_py())
         if dst < 0:
-            return pa.Table.from_pylist([])
+            return _EMPTY  # placeholder group — same schema as real tiles
         dtx, dty = dst >> 32, dst & 0xFFFFFFFF
         t = tile_px
         minx, miny, maxx, maxy = geo.tile_bounds_mercator(

@@ -80,22 +80,26 @@ def _scanline_fill(mask: np.ndarray, rings: list[np.ndarray], px_off: float, py_
     xs = ex0[eidx] + (yc - ey0[eidx]) * (ex1[eidx] - ex0[eidx]) / (ey1[eidx] - ey0[eidx])
     order = np.lexsort((xs, rows))
     rows, xs = rows[order], xs[order]
-    # even-odd pairing within each row (crossing counts are even per row)
+    # even-odd pairing within each row.  Closed rings with the half-open rule
+    # give even per-row parity; for degenerate (unclosed) input a row may have
+    # an ODD count — drop that row's dangling LAST crossing (exactly what the
+    # sequential pairing loop did) so later rows stay aligned.
     row_start = np.r_[True, rows[1:] != rows[:-1]]
     pos_in_row = np.arange(rows.size) - np.maximum.accumulate(
         np.where(row_start, np.arange(rows.size), 0)
     )
+    starts_idx = np.flatnonzero(row_start)
+    counts = np.diff(np.r_[starts_idx, rows.size])
+    row_cnt = np.repeat(counts, counts)
+    keep = pos_in_row < row_cnt - (row_cnt % 2)
+    rows, xs, pos_in_row = rows[keep], xs[keep], pos_in_row[keep]
     even = pos_in_row % 2 == 0
     ie = np.flatnonzero(even)
     io = np.flatnonzero(~even)
-    n = min(ie.size, io.size)
-    ie, io = ie[:n], io[:n]
     c0 = np.maximum(np.ceil(xs[ie] - 0.5 - px_off).astype(np.int64), 0)
     c1 = np.minimum(np.ceil(xs[io] - 0.5 - px_off).astype(np.int64), w)
     rr = rows[ie]
-    # closed rings with the half-open rule give even per-row parity; the
-    # row-equality filter guards degenerate inputs
-    ok = (c1 > c0) & (rows[ie] == rows[io])
+    ok = c1 > c0
     c0, c1, rr = c0[ok], c1[ok], rr[ok]
     if c0.size == 0:
         return

@@ -53,3 +53,33 @@ def test_sieve_chain_fixpoint():
     out = mosaic_of(poly.sieve_global(rd.from_arrow(tiles_of(arr, 32)), threshold=10),
                     32, 32, 32)
     assert (out == 1).all()
+
+
+def test_sieve_global_connect8_cross_tile_diagonal():
+    # two same-value pixels DIAGONALLY adjacent across the tile corner: with
+    # connect8 they are one component; tiled == monolithic
+    arr = np.ones((64, 64), np.uint8)
+    arr[31, 31] = 5
+    arr[32, 32] = 5          # diagonal across both tile borders (corner case)
+    arr[10:30, 5:25] = 8     # big survivor
+    for tile in (32, 64):
+        out = mosaic_of(poly.sieve_global(rd.from_arrow(tiles_of(arr, tile)),
+                                          threshold=3, connect8=True),
+                        tile, 64, 64)
+        if tile == 64:
+            mono = out
+        else:
+            tiled = out
+    assert np.array_equal(mono, tiled)
+    # the 2-px diagonal component (< 3) merged into background
+    assert not (mono == 5).any()
+
+
+def test_sieve_global_connect8_survives_when_big_enough():
+    arr = np.ones((64, 64), np.uint8)
+    # 8-connected diagonal chain of 6 px crossing the tile border
+    for i in range(6):
+        arr[29 + i, 29 + i] = 5
+    out = mosaic_of(poly.sieve_global(rd.from_arrow(tiles_of(arr, 32)),
+                                      threshold=5, connect8=True), 32, 64, 64)
+    assert (out == 5).sum() == 6  # one 6-px component >= threshold survives
