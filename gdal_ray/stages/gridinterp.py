@@ -101,19 +101,33 @@ def delaunay_triangulate(pts: np.ndarray) -> list:
 def linear_interpolate_cells(pts: np.ndarray, vals: np.ndarray,
                              cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
     """Barycentric (Delaunay-linear, GGA_Linear) interpolation of cell
-    centers; NaN outside the triangulation's hull."""
+    centers; NaN outside the triangulation's hull.  Each triangle evaluates
+    only the cells inside its bbox (triangles are small vs the tile, so this
+    is the O(total-coverage) path, not O(tris x cells))."""
     out = np.full(cx.shape, np.nan)
     tris = delaunay_triangulate(pts)
     for (i, j, k) in tris:
         a, b, c = pts[i], pts[j], pts[k]
+        if not (np.isfinite(vals[i]) and np.isfinite(vals[j]) and np.isfinite(vals[k])):
+            continue
         det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
         if det == 0:
             continue
-        l1 = ((b[1] - c[1]) * (cx - c[0]) + (c[0] - b[0]) * (cy - c[1])) / det
-        l2 = ((c[1] - a[1]) * (cx - c[0]) + (a[0] - c[0]) * (cy - c[1])) / det
+        xs = (a[0], b[0], c[0])
+        ys = (a[1], b[1], c[1])
+        sel = np.flatnonzero(
+            (cx >= min(xs) - 1e-12) & (cx <= max(xs) + 1e-12)
+            & (cy >= min(ys) - 1e-12) & (cy <= max(ys) + 1e-12) & np.isnan(out)
+        )
+        if sel.size == 0:
+            continue
+        sx, sy = cx[sel], cy[sel]
+        l1 = ((b[1] - c[1]) * (sx - c[0]) + (c[0] - b[0]) * (sy - c[1])) / det
+        l2 = ((c[1] - a[1]) * (sx - c[0]) + (a[0] - c[0]) * (sy - c[1])) / det
         l3 = 1.0 - l1 - l2
-        inside = (l1 >= -1e-12) & (l2 >= -1e-12) & (l3 >= -1e-12) & np.isnan(out)
-        out[inside] = (l1 * vals[i] + l2 * vals[j] + l3 * vals[k])[inside]
+        inside = (l1 >= -1e-12) & (l2 >= -1e-12) & (l3 >= -1e-12)
+        tgt = sel[inside]
+        out[tgt] = l1[inside] * vals[i] + l2[inside] * vals[j] + l3[inside] * vals[k]
     return out
 
 
@@ -208,6 +222,19 @@ def grid_interpolate(
         px = group["px"].to_numpy(zero_copy_only=False)
         py = group["py"].to_numpy(zero_copy_only=False)
         pv = group["pv"].to_numpy(zero_copy_only=False)
+        # drop the NaN seed rows by construction (they are inert for the
+        # radius algorithms but would poison the Delaunay triangulation)
+        fin = np.isfinite(px) & np.isfinite(py)
+        px, py, pv = px[fin], py[fin], pv[fin]
+        if px.size == 0:
+            arr = (np.zeros((h, w)) if algorithm == "count"
+                   else np.full((h, w), np.nan))
+            return pa.table(
+                {"tx": pa.array([tx], pa.int32()), "ty": pa.array([ty], pa.int32()),
+                 "width": pa.array([w], pa.int32()), "height": pa.array([h], pa.int32()),
+                 "data": pa.array([arr.tobytes()], pa.binary()),
+                 "checksum": pa.array([cks.tile_checksum(np.nan_to_num(arr))], pa.int64())}
+            )
         d2 = (gx.ravel()[:, None] - px[None, :]) ** 2 + (gy.ravel()[:, None] - py[None, :]) ** 2
         if radius > 0:
             in_r = d2 <= radius * radius

@@ -372,8 +372,13 @@ def dissolve_union(ds, key_col: str, id_col: str = "fid"):
         acc = geoms[0]
         for g in geoms[1:]:
             u = overlay.boolean_op(acc, g, "union")
-            if u is not None:
-                acc = u
+            if u is None:
+                # union of two non-empty polygons can never be empty — fail
+                # loudly rather than silently shrinking the dissolve result
+                raise ValueError(
+                    f"dissolve_union: degenerate union in group {key!r}"
+                )
+            acc = u
         return pa.table(
             {
                 key_col: pa.array([key]),

@@ -51,6 +51,48 @@ def _mode_reduce(stack: np.ndarray) -> np.ndarray:
     return best
 
 
+def _grid_sample(a: np.ndarray, px: np.ndarray, py: np.ndarray, resample: str,
+                 nodata: float, valid: np.ndarray | None = None) -> np.ndarray:
+    """Shared nearest/bilinear tap math for BOTH warp plans (broadcast
+    TileWarper and the tile-join canvas) — one copy keeps the two plans
+    bit-identical.  Out-of-bounds taps (or taps on unpopulated canvas cells
+    when ``valid`` is given) yield ``nodata``."""
+    h, w = a.shape
+    if resample == "nearest":
+        cx = np.floor(px).astype(np.int64)
+        cy = np.floor(py).astype(np.int64)
+        ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+        if valid is not None:
+            okc = ok.copy()
+            okc[ok] = valid[cy[ok], cx[ok]]
+            ok = okc
+        out = np.full(px.shape, nodata)
+        out[ok] = a[cy[ok], cx[ok]]
+        return out
+    if resample != "bilinear":
+        raise ValueError(resample)
+    fx = px - 0.5
+    fy = py - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    tx = fx - x0
+    ty = fy - y0
+    ok = (x0 >= 0) & (x0 + 1 < w) & (y0 >= 0) & (y0 + 1 < h)
+    if valid is not None:
+        okc = ok.copy()
+        okc[ok] = (valid[y0[ok], x0[ok]] & valid[y0[ok], x0[ok] + 1]
+                   & valid[y0[ok] + 1, x0[ok]] & valid[y0[ok] + 1, x0[ok] + 1])
+        ok = okc
+    out = np.full(px.shape, nodata)
+    out[ok] = (
+        a[y0[ok], x0[ok]] * (1 - tx[ok]) * (1 - ty[ok])
+        + a[y0[ok], x0[ok] + 1] * tx[ok] * (1 - ty[ok])
+        + a[y0[ok] + 1, x0[ok]] * (1 - tx[ok]) * ty[ok]
+        + a[y0[ok] + 1, x0[ok] + 1] * tx[ok] * ty[ok]
+    )
+    return out
+
+
 class SourceRaster:
     """A single georeferenced source array (EPSG:4326 grid for tests)."""
 
@@ -86,32 +128,10 @@ class TileWarper:
 
     def _sample(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         px, py = geo.apply_geotransform(self.inv_gt, lon, lat)
-        h, w = self.src.arr.shape
-        a = self.src.arr
-        if self.resample == "nearest":
-            cx = np.floor(px).astype(np.int64)
-            cy = np.floor(py).astype(np.int64)
-            ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
-            out = np.full(lon.shape, self.src.nodata)
-            out[ok] = a[cy[ok], cx[ok]]
-            return out
-        if self.resample == "bilinear":
-            # bilinear on pixel centers (GDAL GRA_Bilinear semantics)
-            fx = px - 0.5
-            fy = py - 0.5
-            x0 = np.floor(fx).astype(np.int64)
-            y0 = np.floor(fy).astype(np.int64)
-            tx = fx - x0
-            ty = fy - y0
-            out = np.full(lon.shape, self.src.nodata)
-            ok = (x0 >= 0) & (x0 + 1 < w) & (y0 >= 0) & (y0 + 1 < h)
-            out[ok] = (
-                a[y0[ok], x0[ok]] * (1 - tx[ok]) * (1 - ty[ok])
-                + a[y0[ok], x0[ok] + 1] * tx[ok] * (1 - ty[ok])
-                + a[y0[ok] + 1, x0[ok]] * (1 - tx[ok]) * ty[ok]
-                + a[y0[ok] + 1, x0[ok] + 1] * tx[ok] * ty[ok]
-            )
-            return out
+        if self.resample in ("nearest", "bilinear"):
+            # GDAL GRA_NearestNeighbour / GRA_Bilinear on pixel centers —
+            # shared tap math with the tile-join plan (_grid_sample)
+            return _grid_sample(self.src.arr, px, py, self.resample, self.src.nodata)
         if self.resample in ("cubic", "cubicspline", "lanczos"):
             return self._sample_kernel(px, py)
         raise ValueError(f"unknown point-resample kernel {self.resample!r}; "
@@ -443,9 +463,11 @@ def warp_tiles_join(
             lon, lat = geo.apply_geotransform(src_gt, cx, cy)
             lat = np.clip(lat, -geo.MAX_MERC_LAT, geo.MAX_MERC_LAT)
             tx, ty = geo.lonlat_to_tile(lon, lat, z)
-            # one-tile pad: bilinear taps can reach just outside the bbox
-            for dty in range(int(ty.min()) - 1, int(ty.max()) + 2):
-                for dtx in range(int(tx.min()) - 1, int(tx.max()) + 2):
+            # bilinear taps can reach just outside the bbox; nearest cannot —
+            # no pad there (the pad multiplies shuffled bytes up to 9x)
+            pad = 1 if resample == "bilinear" else 0
+            for dty in range(int(ty.min()) - pad, int(ty.max()) + pad + 1):
+                for dtx in range(int(tx.min()) - pad, int(tx.max()) + pad + 1):
                     if not (0 <= dtx < (1 << z) and 0 <= dty < (1 << z)):
                         continue
                     rows.append(
@@ -504,35 +526,11 @@ def warp_tiles_join(
             if cx1 > cx0 and cy1 > cy0:
                 canvas[cy0:cy1, cx0:cx1] = arr[cy0 - oy : cy1 - oy, cx0 - ox : cx1 - ox]
                 covered[cy0:cy1, cx0:cx1] = True
-        # sample via the SAME kernel math as TileWarper, shifted into canvas
-        # coords; validity requires the tap's SOURCE pixel to exist globally
-        src_w = None  # global width unknown; bounds enforced via 'covered'
-        if resample == "nearest":
-            cxp = np.floor(px).astype(np.int64) - x_lo
-            cyp = np.floor(py).astype(np.int64) - y_lo
-            ok = (cxp >= 0) & (cxp < canvas.shape[1]) & (cyp >= 0) & (cyp < canvas.shape[0])
-            okc = ok.copy()
-            okc[ok] = covered[cyp[ok], cxp[ok]]
-            arr_out = np.full(px.shape, nodata)
-            arr_out[okc] = canvas[cyp[okc], cxp[okc]]
-        else:
-            fx = px - 0.5
-            fy = py - 0.5
-            x0 = np.floor(fx).astype(np.int64) - x_lo
-            y0 = np.floor(fy).astype(np.int64) - y_lo
-            txf = (fx - np.floor(fx))
-            tyf = (fy - np.floor(fy))
-            ok = (x0 >= 0) & (x0 + 1 < canvas.shape[1]) & (y0 >= 0) & (y0 + 1 < canvas.shape[0])
-            okc = ok.copy()
-            okc[ok] = (covered[y0[ok], x0[ok]] & covered[y0[ok], x0[ok] + 1]
-                       & covered[y0[ok] + 1, x0[ok]] & covered[y0[ok] + 1, x0[ok] + 1])
-            arr_out = np.full(px.shape, nodata)
-            arr_out[okc] = (
-                canvas[y0[okc], x0[okc]] * (1 - txf[okc]) * (1 - tyf[okc])
-                + canvas[y0[okc], x0[okc] + 1] * txf[okc] * (1 - tyf[okc])
-                + canvas[y0[okc] + 1, x0[okc]] * (1 - txf[okc]) * tyf[okc]
-                + canvas[y0[okc] + 1, x0[okc] + 1] * txf[okc] * tyf[okc]
-            )
+        # SAME kernel math as TileWarper via the shared _grid_sample, shifted
+        # into canvas coords (x_lo/y_lo are integers, so floor/frac are
+        # bit-identical); 'covered' marks populated canvas cells
+        arr_out = _grid_sample(canvas, px - x_lo, py - y_lo, resample, nodata,
+                               valid=covered)
         return pa.table(
             {
                 "z": pa.array([z], pa.int16()),

@@ -174,20 +174,59 @@ def ivf_topk(ds, queries: np.ndarray, query_ids, k: int = 10, id_col: str = "vec
     qm = np.asarray(queries, dtype=np.float64)
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    probed_sets = [set(map(int, row)) for row in probe]
-    state = ray.put((C, probed_sets))
+    state = ray.put((C, probe, qn))
+    qids = list(query_ids)
 
-    def assign_filter(batch: pa.Table) -> pa.Table:
-        Cb, probes = ray.get(state)
-        emb = _stack_embeddings(batch["embedding"])
-        norms = np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        cent = np.argmax((emb / norms) @ Cb.T, axis=1)
-        union = set().union(*probes) if probes else set()
-        keep = np.isin(cent, np.array(sorted(union), dtype=np.int64))
-        return batch.filter(pa.array(keep))
+    class IVFScorer:
+        """Per-batch: assign vectors to centroids, then score each query
+        against ONLY the rows of its probed lists (true IVF semantics — a
+        multi-query batch prunes per query, ~nprobe/n_centroids of the scan
+        each), emitting per-batch top-k partials."""
 
-    pruned = ds.map_batches(assign_filter, batch_format="pyarrow")
-    return cosine_topk(pruned, queries, query_ids, k=k, id_col=id_col)
+        def __init__(self):
+            self.C, self.probe, self.qn = ray.get(state)
+            self.probe_mask = np.zeros((len(self.qn), len(self.C)), dtype=bool)
+            for qi, row in enumerate(self.probe):
+                self.probe_mask[qi, row] = True
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _stack_embeddings(batch["embedding"])
+            norms = np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            embn = emb / norms
+            cent = np.argmax(embn @ self.C.T, axis=1)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(len(self.qn)):
+                rows = np.flatnonzero(self.probe_mask[qi][cent])
+                if rows.size == 0:
+                    continue
+                sims = embn[rows] @ self.qn[qi]
+                sel = np.arange(rows.size)
+                if rows.size > k:
+                    sel = np.lexsort((ids[rows], -sims))[:k]
+                out_q.append(np.full(sel.size, qids[qi]))
+                out_id.append(ids[rows[sel]])
+                out_sim.append(sims[sel])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "cos_sim": pa.array([], pa.float64())})
+            return pa.table(
+                {"query_id": pa.array(np.concatenate(out_q)),
+                 id_col: pa.array(np.concatenate(out_id)),
+                 "cos_sim": pa.array(np.concatenate(out_sim))}
+            )
+
+    pruned = ds.map_batches(IVFScorer, batch_format="pyarrow", concurrency=2)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        sims = group["cos_sim"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        out = group.take(pa.array(order))
+        return out.append_column("rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64)))
+
+    return pruned.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
 def lsh_bucket_pairs(ds, nplanes: int = 4, ntables: int = 16, threshold: float = 0.8,
