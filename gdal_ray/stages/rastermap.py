@@ -197,6 +197,71 @@ def histogram(tiles_ds, bins: int, lo: float, hi: float) -> np.ndarray:
     return out
 
 
+def resize(tiles_ds, out_w: int, out_h: int, resample: str = "nearest"):
+    """gdal_translate -outsize per tile: resample each tile to (out_w, out_h)
+    with the shared warp tap kernel (nearest | bilinear); pixel centers map
+    proportionally (GDAL's overview-style center alignment)."""
+    from .pyramid import _grid_sample
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            arr = _arr_of(batch, i).astype(np.float64)
+            h, w = arr.shape
+            px = (np.arange(out_w) + 0.5) * (w / out_w)
+            py = (np.arange(out_h) + 0.5) * (h / out_h)
+            gpx, gpy = np.meshgrid(px, py)
+            nodata = float(batch["nodata"][i].as_py()) if "nodata" in batch.column_names else 0.0
+            out = _grid_sample(arr, gpx, gpy, resample, nodata)
+            row = {c: batch[c][i].as_py() for c in batch.column_names
+                   if c not in ("data", "dtype", "width", "height")}
+            row.update({"width": out_w, "height": out_h, "dtype": "float64",
+                        "data": out.tobytes(),
+                        "checksum": cks.tile_checksum(out)})
+            rows.append(row)
+        return pa.Table.from_pylist(rows)
+
+    return tiles_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def clip_window(tiles_ds, x0: int, y0: int, x1: int, y1: int, tile_size: int = 64):
+    """gdal_translate -srcwin over the tiled mosaic: keep only the pixels in
+    the GLOBAL half-open window [x0,x1) x [y0,y1); tiles fully outside are
+    dropped, border tiles are cropped (their x/y stay, width/height shrink,
+    plus win_ox/win_oy give the crop's offset within the original tile)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            arr = _arr_of(batch, i)
+            h, w = arr.shape
+            tx = batch["x"][i].as_py()
+            ty = batch["y"][i].as_py()
+            gx0, gy0 = tx * tile_size, ty * tile_size
+            cx0 = max(x0, gx0) - gx0
+            cy0 = max(y0, gy0) - gy0
+            cx1 = min(x1, gx0 + w) - gx0
+            cy1 = min(y1, gy0 + h) - gy0
+            if cx1 <= cx0 or cy1 <= cy0:
+                continue
+            sub = np.ascontiguousarray(arr[cy0:cy1, cx0:cx1])
+            row = {c: batch[c][i].as_py() for c in batch.column_names
+                   if c not in ("data", "width", "height")}
+            row.update({"width": int(cx1 - cx0), "height": int(cy1 - cy0),
+                        "win_ox": int(cx0), "win_oy": int(cy0),
+                        "data": sub.tobytes(),
+                        "checksum": cks.tile_checksum(sub)})
+            rows.append(row)
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {"x": pa.array([], pa.int32()), "y": pa.array([], pa.int32()),
+             "width": pa.array([], pa.int32()), "height": pa.array([], pa.int32()),
+             "win_ox": pa.array([], pa.int64()), "win_oy": pa.array([], pa.int64()),
+             "data": pa.array([], pa.binary()), "checksum": pa.array([], pa.int64())}
+        )
+
+    return tiles_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def as_features(tiles_ds, nodata: float | None = None, tile_size: int = 64):
     """gdal raster as-features (apps/gdalalg_raster_as_features.h:28): one
     row per (valid) pixel with GLOBAL pixel coordinates + value — a pure

@@ -103,3 +103,46 @@ def test_mosaic_last_non_nodata_wins():
     m = np.ones((size, size), dtype=bool)
     m[4:8, 4:8] = False
     assert (t0[m] == base_full[:size, :size][m]).all()
+
+
+def test_resize_nearest_and_bilinear():
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import rastermap
+
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("ramp", 1, 1, size=16))
+    # 2x upscale nearest: each src pixel becomes a 2x2 block
+    up = rastermap.resize(tiles, 32, 32, "nearest").take_all()[0]
+    arr = np.frombuffer(up["data"], np.float64).reshape(32, 32)
+    gy, gx = np.mgrid[0:16, 0:16]
+    src = (gx + gy).astype(np.float64)
+    assert np.array_equal(arr, src.repeat(2, 0).repeat(2, 1))
+    # 2x downscale bilinear of a linear ramp stays linear at sampled centers
+    dn = rastermap.resize(tiles, 8, 8, "bilinear").take_all()[0]
+    arr2 = np.frombuffer(dn["data"], np.float64).reshape(8, 8)
+    px = (np.arange(8) + 0.5) * 2.0 - 0.5
+    exp = px[None, :] + px[:, None]
+    np.testing.assert_allclose(arr2, exp, atol=1e-9)
+
+
+def test_clip_window_cross_tile():
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import rastermap
+
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("ramp", 2, 2, size=16))
+    out = rastermap.clip_window(tiles, 10, 12, 25, 20, tile_size=16).take_all()
+    # window spans all 4 tiles? x 10..25 crosses 16; y 12..20 crosses 16 -> 4 crops
+    assert len(out) == 4
+    total = sum(r["width"] * r["height"] for r in out)
+    assert total == (25 - 10) * (20 - 12)
+    for r in out:
+        arr = np.frombuffer(r["data"], np.float32).reshape(r["height"], r["width"])
+        gx0 = r["x"] * 16 + r["win_ox"]
+        gy0 = r["y"] * 16 + r["win_oy"]
+        gy, gx = np.mgrid[0:r["height"], 0:r["width"]]
+        assert np.array_equal(arr, (gx + gx0 + gy + gy0).astype(np.float32))
