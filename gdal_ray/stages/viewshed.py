@@ -66,6 +66,66 @@ def viewshed_array(dem: np.ndarray, ox: int, oy: int, observer_height: float = 0
     return vis
 
 
+def viewshed_radius(tiles_ds, observer_x: int, observer_y: int,
+                    radius: int, observer_height: float = 0.0,
+                    tile_size: int = 64, nodata: float = 0.0):
+    """Multi-tile viewshed: every tile intersecting the observer's radius
+    window ships to ONE group, the window mosaic is assembled there, and the
+    O(H x W)-memory LOS sweep runs over it (closes the round-1 single-tile
+    scope).  Partitioning assumption (documented): the (2R)^2 window fits a
+    worker — the same bound the reference's per-analysis raster holds; a
+    truly window-exceeding viewshed would partition rays by angular sector.
+
+    Returns one row: global window origin + visibility mask + n_visible."""
+    x_lo, x_hi = observer_x - radius, observer_x + radius + 1
+    y_lo, y_hi = observer_y - radius, observer_y + radius + 1
+
+    def pick(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            w = batch["width"][i].as_py()
+            h = batch["height"][i].as_py()
+            gx0 = batch["x"][i].as_py() * tile_size
+            gy0 = batch["y"][i].as_py() * tile_size
+            if gx0 + w <= x_lo or gx0 >= x_hi or gy0 + h <= y_lo or gy0 >= y_hi:
+                continue
+            rows.append({"grp": 0, **{c: batch[c][i].as_py() for c in batch.column_names}})
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {"grp": pa.array([], pa.int64())}
+        )
+
+    picked = tiles_ds.map_batches(pick, batch_format="pyarrow")
+
+    def run(group: pa.Table) -> pa.Table:
+        from .focal import _dtype_of
+
+        W = x_hi - x_lo
+        H = y_hi - y_lo
+        dem = np.full((H, W), nodata, dtype=np.float64)
+        for i in range(group.num_rows):
+            w = group["width"][i].as_py()
+            h = group["height"][i].as_py()
+            gx0 = group["x"][i].as_py() * tile_size
+            gy0 = group["y"][i].as_py() * tile_size
+            arr = np.frombuffer(
+                group["data"][i].as_py(), dtype=_dtype_of(group["dtype"][i].as_py())
+            ).reshape(h, w)
+            sx0, sy0 = max(x_lo, gx0), max(y_lo, gy0)
+            sx1, sy1 = min(x_hi, gx0 + w), min(y_hi, gy0 + h)
+            dem[sy0 - y_lo : sy1 - y_lo, sx0 - x_lo : sx1 - x_lo] = (
+                arr[sy0 - gy0 : sy1 - gy0, sx0 - gx0 : sx1 - gx0]
+            )
+        vis = viewshed_array(dem, observer_x - x_lo, observer_y - y_lo, observer_height)
+        return pa.table(
+            {"x0": pa.array([x_lo], pa.int64()), "y0": pa.array([y_lo], pa.int64()),
+             "width": pa.array([W], pa.int32()), "height": pa.array([H], pa.int32()),
+             "n_visible": pa.array([int(vis.sum())], pa.int64()),
+             "data": pa.array([vis.astype(np.uint8).tobytes()], pa.binary())}
+        )
+
+    return picked.groupby("grp").map_groups(run, batch_format="pyarrow")
+
+
 def viewshed(tiles_ds, observer_x: int, observer_y: int, observer_height: float = 0.0,
              tile_size: int | None = None):
     """Per-tile viewshed: each tile whose pixel grid contains the observer

@@ -143,3 +143,79 @@ def test_line_crosses_polygon():
     assert pip.line_crosses_polygon(crossing, poly)
     assert not pip.line_crosses_polygon(inside, poly)
     assert not pip.line_crosses_polygon(outside, poly)
+
+
+def test_randomized_rect_boolean_areas():
+    """300 random axis-aligned rect pairs: every op's constructed geometry
+    area matches the closed-form interval arithmetic."""
+    rng = np.random.default_rng(20260817)
+    for _ in range(300):
+        ax0, ay0 = rng.integers(0, 50, 2)
+        aw, ah = rng.integers(1, 30, 2)
+        bx0, by0 = rng.integers(0, 50, 2)
+        bw, bh = rng.integers(1, 30, 2)
+        a = rect(ax0, ay0, ax0 + aw, ay0 + ah)
+        b = rect(bx0, by0, bx0 + bw, by0 + bh)
+        iw = max(0, min(ax0 + aw, bx0 + bw) - max(ax0, bx0))
+        ih = max(0, min(ay0 + ah, by0 + bh) - max(ay0, by0))
+        inter = iw * ih
+        aa, ab = aw * ah, bw * bh
+        assert area(overlay.boolean_op(a, b, "intersection")) == pytest.approx(
+            inter, abs=1e-9)
+        assert area(overlay.boolean_op(a, b, "union")) == pytest.approx(
+            aa + ab - inter, abs=1e-9)
+        assert area(overlay.boolean_op(a, b, "difference")) == pytest.approx(
+            aa - inter, abs=1e-9)
+        assert area(overlay.boolean_op(a, b, "symdifference")) == pytest.approx(
+            aa + ab - 2 * inter, abs=1e-9)
+
+
+def test_randomized_union_fold_vs_cell_oracle():
+    """40 random groups of overlapping integer rects: the dissolve union fold
+    equals the distinct-covered-cell count."""
+    rng = np.random.default_rng(77)
+    for _ in range(40):
+        n = int(rng.integers(2, 12))
+        acc = None
+        covered = set()
+        for _ in range(n):
+            x0, y0 = rng.integers(0, 25, 2)
+            w, h = rng.integers(1, 10, 2)
+            g = rect(x0, y0, x0 + w, y0 + h)
+            covered.update((x, y) for x in range(x0, x0 + w)
+                           for y in range(y0, y0 + h))
+            if acc is None:
+                acc = g
+            else:
+                u = overlay.boolean_op(acc, g, "union")
+                assert u is not None
+                acc = u
+        assert area(acc) == pytest.approx(len(covered), abs=1e-9)
+
+
+def test_randomized_concave_intersection_vs_pixel_oracle():
+    """Concave (L-shaped) subjects vs random rects: constructed intersection
+    area equals a fine-grid pixel-count oracle."""
+    rng = np.random.default_rng(99)
+    for _ in range(25):
+        # random L: outer rect minus a corner notch
+        x0, y0 = rng.integers(0, 10, 2)
+        w, h = rng.integers(6, 16, 2)
+        nw, nh = rng.integers(2, max(3, w // 2), 1)[0], rng.integers(2, max(3, h // 2), 1)[0]
+        ring = np.array([
+            [x0, y0], [x0 + w, y0], [x0 + w, y0 + h - nh], [x0 + w - nw, y0 + h - nh],
+            [x0 + w - nw, y0 + h], [x0, y0 + h], [x0, y0]], float)
+        lpoly = wkb.decode(wkb.encode_polygon([ring]))
+        bx0, by0 = rng.integers(0, 20, 2)
+        bw, bh = rng.integers(2, 12, 2)
+        b = rect(bx0, by0, bx0 + bw, by0 + bh)
+        got = area(overlay.boolean_op(lpoly, b, "intersection"))
+        # integer-grid oracle: count unit cells inside both
+        cnt = 0
+        for cx in range(bx0, bx0 + bw):
+            for cy in range(by0, by0 + bh):
+                inside_l = (x0 <= cx < x0 + w and y0 <= cy < y0 + h
+                            and not (cx >= x0 + w - nw and cy >= y0 + h - nh))
+                if inside_l:
+                    cnt += 1
+        assert got == pytest.approx(cnt, abs=1e-9)

@@ -70,3 +70,34 @@ def test_viewshed_stage():
     vism = np.frombuffer(out[0]["data"], np.uint8).reshape(size, size)
     assert vism[16, 2] == 1 and vism[16, 25] == 0
     assert out[0]["n_visible"] == int(vism.sum())
+
+
+def test_viewshed_radius_multi_tile_matches_monolithic():
+    """Radius-scoped viewshed across 4 tiles == single-array viewshed over the
+    same window (the multi-tile extension of the round-1 single-tile scope)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import viewshed as vs
+
+    size = 64
+    gy, gx = np.mgrid[0:2 * size, 0:2 * size]
+    dem = (((gx * 73 + gy * 151) % 37) + ((gx * gy) % 11) * 3).astype(np.float32)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            sub = dem[ty * size:(ty + 1) * size, tx * size:(tx + 1) * size]
+            rows.append({"z": 0, "x": tx, "y": ty, "band": 1, "width": size,
+                         "height": size, "crs": "EPSG:3857", "nodata": -1.0,
+                         "dtype": "float32",
+                         "data": np.ascontiguousarray(sub).tobytes()})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    ox, oy, R = 70, 58, 30  # observer near the 4-tile junction
+    out = vs.viewshed_radius(ds, ox, oy, R, observer_height=2.0, tile_size=size)
+    row = out.take_all()[0]
+    window = dem[oy - R:oy + R + 1, ox - R:ox + R + 1].astype(np.float64)
+    exp = vs.viewshed_array(window, R, R, 2.0)
+    got = np.frombuffer(row["data"], np.uint8).reshape(row["height"], row["width"])
+    assert row["n_visible"] == int(exp.sum())
+    assert np.array_equal(got.astype(bool), exp)
