@@ -717,6 +717,160 @@ def _tile_expr(z: int) -> str:
     return tx, ty
 
 
+def _transformer_oracles() -> dict[str, str]:
+    """SQL mirrors for the coordinate-transformer queries.
+
+    Each oracle re-fits / re-derives the exact constants the engine uses
+    (``gdal_ray.functions.transformer``) and inlines them via repr() so both
+    sides evaluate the identical float64 expression tree; hyperbolics are
+    exp/log-decomposed on both sides (transformer.py _sinh et al.)."""
+    import numpy as np
+
+    from gdal_ray.functions import transformer as tr
+    from gdal_ray.pipelines import queries as q
+
+    F = tr.sql_float
+
+    e = tr.WGS84_E
+    e2 = tr.WGS84_E2
+    a_ = tr.WGS84_A
+
+    # -- UTM zone 31: Krueger series (transformer.tmerc_forward) -----------
+    A, alpha, _beta = tr._tm_constants()
+    xi_terms = ["xi_p"]
+    eta_terms = ["eta_p"]
+    for j in range(6):
+        tj = 2.0 * (j + 1)
+        ch = f"((exp({F(tj)} * eta_p) + exp(-({F(tj)} * eta_p))) / 2.0)"
+        sh = f"((exp({F(tj)} * eta_p) - exp(-({F(tj)} * eta_p))) / 2.0)"
+        xi_terms.append(f"{F(alpha[j])} * sin({F(tj)} * xi_p) * {ch}")
+        eta_terms.append(f"{F(alpha[j])} * cos({F(tj)} * xi_p) * {sh}")
+    xi_expr = " + ".join(xi_terms)
+    eta_expr = " + ".join(eta_terms)
+    utm_sql = f"""
+        WITH {_DOCS_GEO},
+        f AS (SELECT doc_id, lon, lat FROM d
+              WHERE abs(lon - 3.0) <= 6.0 AND abs(lat) <= 84.0),
+        t1 AS (SELECT doc_id, radians(lat) AS phi, radians(lon - 3.0) AS lam FROM f),
+        t2 AS (SELECT doc_id, lam, sin(phi) AS sphi, tan(phi) AS tau FROM t1),
+        t3 AS (SELECT doc_id, lam,
+                      ln(tau + sqrt(tau * tau + 1.0))
+                      - {F(e)} * (0.5 * ln((1.0 + {F(e)} * sphi) / (1.0 - {F(e)} * sphi))) AS arg
+               FROM t2),
+        t4 AS (SELECT doc_id, lam, (exp(arg) - exp(-arg)) / 2.0 AS taup,
+                      cos(lam) AS coslam FROM t3),
+        t5 AS (SELECT doc_id, atan2(taup, coslam) AS xi_p,
+                      sin(lam) / sqrt(taup * taup + coslam * coslam) AS s_eta FROM t4),
+        t6 AS (SELECT doc_id, xi_p, ln(s_eta + sqrt(s_eta * s_eta + 1.0)) AS eta_p FROM t5),
+        t7 AS (SELECT doc_id, {xi_expr} AS xi, {eta_expr} AS eta FROM t6)
+        SELECT doc_id,
+               CAST(round((500000.0 + 0.9996 * {F(A)} * eta) * 100.0) AS BIGINT) AS e_cm,
+               CAST(round((0.0 + 0.9996 * {F(A)} * xi) * 100.0) AS BIGINT) AS n_cm
+        FROM t7
+    """
+
+    # -- Lambert Conformal Conic 2SP (transformer.lcc_forward) -------------
+    lp = q.LCC_PARAMS
+    n_c, F_c, t0_c = tr.lcc_constants(lp["lat1"], lp["lat2"], lp["lat0"])
+    rho0 = a_ * F_c * t0_c**n_c  # same scalar expression lcc_forward evaluates
+    pi4 = float(np.pi / 4.0)
+    half_e = e / 2.0
+    lcc_sql = f"""
+        WITH {_DOCS_GEO},
+        f AS (SELECT doc_id, lon, lat FROM d
+              WHERE abs(lon + 96.0) <= 30.0 AND lat >= 20.0 AND lat <= 60.0),
+        t1 AS (SELECT doc_id, lon, radians(lat) AS phi FROM f),
+        t2 AS (SELECT doc_id, lon, phi, sin(phi) AS sphi FROM t1),
+        t3 AS (SELECT doc_id, lon,
+                      tan({F(pi4)} - phi / 2.0)
+                      / power((1.0 - {F(e)} * sphi) / (1.0 + {F(e)} * sphi), {F(half_e)}) AS t
+               FROM t2),
+        t4 AS (SELECT doc_id, {F(a_)} * {F(F_c)} * power(t, {F(n_c)}) AS rho,
+                      {F(n_c)} * radians(lon - {F(lp['lon0'])}) AS theta FROM t3)
+        SELECT doc_id,
+               CAST(round((0.0 + rho * sin(theta)) * 100.0) AS BIGINT) AS e_cm,
+               CAST(round((0.0 + {F(rho0)} - rho * cos(theta)) * 100.0) AS BIGINT) AS n_cm
+        FROM t4
+    """
+
+    # -- 7-param Helmert datum shift + Bowring inverse ---------------------
+    hp = q.HELMERT_PARAMS
+    asec = np.pi / (180.0 * 3600.0)
+    rxv, ryv, rzv = hp[3] * asec, hp[4] * asec, hp[5] * asec
+    m = 1.0 + hp[6] * 1e-6
+    b_ = a_ * (1.0 - tr.WGS84_F)
+    ep2 = (a_ * a_ - b_ * b_) / (b_ * b_)
+    one_m_e2 = 1.0 - e2
+    datum_sql = f"""
+        WITH {_DOCS_GEO},
+        t1 AS (SELECT doc_id, radians(lon) AS lonr, radians(lat) AS latr FROM d),
+        t2 AS (SELECT doc_id, lonr, latr, sin(latr) AS slat FROM t1),
+        t3 AS (SELECT doc_id, lonr, latr, slat,
+                      {F(a_)} / sqrt(1.0 - {F(e2)} * slat * slat) AS nu FROM t2),
+        g AS (SELECT doc_id,
+                     (nu + 0.0) * cos(latr) * cos(lonr) AS X,
+                     (nu + 0.0) * cos(latr) * sin(lonr) AS Y,
+                     (nu * {F(one_m_e2)} + 0.0) * slat AS Z FROM t3),
+        hh AS (SELECT doc_id,
+                      {F(hp[0])} + {F(m)} * (X - {F(rzv)} * Y + {F(ryv)} * Z) AS Xp,
+                      {F(hp[1])} + {F(m)} * ({F(rzv)} * X + Y - {F(rxv)} * Z) AS Yp,
+                      {F(hp[2])} + {F(m)} * (-({F(ryv)}) * X + {F(rxv)} * Y + Z) AS Zp FROM g),
+        w AS (SELECT doc_id, Xp, Yp, Zp, sqrt(Xp * Xp + Yp * Yp) AS pr FROM hh),
+        th AS (SELECT doc_id, Xp, Yp, Zp, pr,
+                      atan2(Zp * {F(a_)}, pr * {F(b_)}) AS theta FROM w),
+        tt AS (SELECT doc_id, Xp, Yp, Zp, pr, sin(theta) AS st, cos(theta) AS ct FROM th),
+        ph AS (SELECT doc_id, Xp, Yp, pr,
+                      atan2(Zp + {F(ep2)} * {F(b_)} * st * st * st,
+                            pr - {F(e2)} * {F(a_)} * ct * ct * ct) AS phi FROM tt),
+        fin AS (SELECT doc_id, atan2(Yp, Xp) AS lam, phi, sin(phi) AS sphi, pr FROM ph),
+        fin2 AS (SELECT doc_id, lam, phi, pr,
+                        {F(a_)} / sqrt(1.0 - {F(e2)} * sphi * sphi) AS nu2 FROM fin)
+        SELECT doc_id,
+               CAST(round(degrees(lam) * 10000000.0) AS BIGINT) AS lon_e7,
+               CAST(round(degrees(phi) * 10000000.0) AS BIGINT) AS lat_e7,
+               CAST(round((pr / cos(phi) - nu2) * 1000.0) AS BIGINT) AS h_mm
+        FROM fin2
+    """
+
+    # -- fitted transformers: re-fit and inline coefficients ---------------
+    sc_x = 100.0 / 360.0
+    sc_y = 100.0 / 170.0
+    pts = (f"p AS (SELECT doc_id, (lon + 180.0) * {F(sc_x)} AS x, "
+           f"(lat + 85.0) * {F(sc_y)} AS y FROM d)")
+    gx, gy = q._fit_gcp_poly().sql_exprs("x", "y")
+    gcp_sql = f"""
+        WITH {_DOCS_GEO}, {pts}
+        SELECT doc_id,
+               CAST(round({gx} * 10000.0) AS BIGINT) AS ox_e4,
+               CAST(round({gy} * 10000.0) AS BIGINT) AS oy_e4
+        FROM p
+    """
+    tx_, ty_ = q._fit_tps().sql_exprs("x", "y")
+    tps_sql = f"""
+        WITH {_DOCS_GEO}, {pts}
+        SELECT doc_id,
+               CAST(round({tx_} * 10000.0) AS BIGINT) AS ox_e4,
+               CAST(round({ty_} * 10000.0) AS BIGINT) AS oy_e4
+        FROM p
+    """
+    cexpr, rexpr = q._make_rpc().sql_exprs("lon", "lat", h=q.RPC_H)
+    rpc_sql = f"""
+        WITH {_DOCS_GEO}
+        SELECT doc_id,
+               CAST(round(({cexpr}) * 10000.0) AS BIGINT) AS col_e4,
+               CAST(round(({rexpr}) * 10000.0) AS BIGINT) AS row_e4
+        FROM d
+    """
+    return {
+        "reproject_utm": utm_sql,
+        "reproject_lcc": lcc_sql,
+        "datum_helmert": datum_sql,
+        "gcp_polynomial": gcp_sql,
+        "tps_warp": tps_sql,
+        "rpc_transform": rpc_sql,
+    }
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: documents -> derive geometry ->
     tile-assign z8 -> spatial join vs zones -> zonal aggregate."""
@@ -801,6 +955,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewshed": q.viewshed_q,
         "palette_median_cut": q.palette_q,
         "media_features": q.media_features_q,
+        # coordinate transformers (SURVEY §2.3; alg/gdaltransformer.cpp family)
+        "reproject_utm": q.reproject_utm_q,
+        "reproject_lcc": q.reproject_lcc_q,
+        "datum_helmert": q.datum_helmert_q,
+        "gcp_polynomial": q.gcp_polynomial_q,
+        "tps_warp": q.tps_warp_q,
+        "rpc_transform": q.rpc_transform_q,
         # text sketches / near-dup (oracle-checked via SQL recomputation)
         "langid": q.langid_q,
         "fingerprint": q.fingerprint_q,
@@ -1392,4 +1553,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(jaccard_x1000 AS BIGINT) AS jaccard_x1000
             FROM jac WHERE jaccard_x1000 >= 300
         """,
+        **_transformer_oracles(),
     }

@@ -92,9 +92,32 @@ def reproject_points(x: np.ndarray, y: np.ndarray, src_crs: str, dst_crs: str):
         return lonlat_to_mercator(x, y)
     if (src, dst) == ("EPSG:3857", "EPSG:4326"):
         return mercator_to_lonlat(x, y)
+
+    def _utm(code: str):
+        """EPSG:326xx / 327xx -> (zone, south), else None."""
+        if not code.startswith("EPSG:") or len(code) != 10:
+            return None
+        num = code[5:]
+        if num.startswith("326") or num.startswith("327"):
+            zone = int(num[3:])
+            if 1 <= zone <= 60:
+                return zone, num.startswith("327")
+        return None
+
+    from . import transformer as _tr
+
+    utm_dst = _utm(dst)
+    if src == "EPSG:4326" and utm_dst is not None:
+        lon0, k0, fe, fn = _tr.utm_zone_params(*utm_dst)
+        return _tr.tmerc_forward(x, y, lon0=lon0, k0=k0, fe=fe, fn=fn)
+    utm_src = _utm(src)
+    if utm_src is not None and dst == "EPSG:4326":
+        lon0, k0, fe, fn = _tr.utm_zone_params(*utm_src)
+        return _tr.tmerc_inverse(x, y, lon0=lon0, k0=k0, fe=fe, fn=fn)
     raise NotImplementedError(
         f"reproject {src_crs} -> {dst_crs} needs pyproj (not in this container); "
-        "built-in closed forms cover EPSG:4326 <-> EPSG:3857"
+        "built-in closed forms cover EPSG:4326 <-> EPSG:3857 and UTM "
+        "EPSG:326xx/327xx (Krueger-series transverse mercator)"
     )
 
 

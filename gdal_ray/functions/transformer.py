@@ -1,0 +1,527 @@
+"""Coordinate transformers beyond the closed-form web-mercator pair.
+
+Re-answers the transformer-chain roles of the reference:
+
+- ``alg/gdaltransformer.cpp`` (GDALCreateGCPTransformer / GDALGCPTransform):
+  GCP polynomial transformers of order 1/2/3, least-squares fitted.
+- ``alg/thinplatespline.cpp`` (VizGeorefSpline2D): thin-plate-spline GCP
+  transformer.
+- ``alg/gdal_rpc.cpp`` (RPCEvaluate / GDALRPCTransform): rational polynomial
+  camera model, forward + iterative inverse.
+- ``ogr/ogrct.cpp``'s projection engine for the sandbox scope: ellipsoidal
+  Transverse Mercator (UTM) via the 6th-order Krueger series (Karney 2011,
+  "Transverse Mercator with an accuracy of a few nanometers" — public),
+  Lambert Conformal Conic 2SP (Snyder, USGS PP 1395), geodetic<->geocentric
+  conversion (Bowring closed form) and the 7-parameter Helmert datum shift
+  (position-vector convention), replacing PROJ datum pipelines.
+
+Everything is vectorized float64 numpy.  Hyperbolics are decomposed into
+exp/log primitives (``_sinh`` et al.) so SQL oracles can mirror the exact
+expression tree; fitted transformers (polynomial / TPS / RPC) expose their
+coefficients for inlining into oracle SQL as repr'd literals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+def sql_float(v: float) -> str:
+    """Float as a SQL literal DuckDB parses as DOUBLE (plain decimal literals
+    become DECIMAL and overflow in wide products); .17e round-trips exactly."""
+    return f"{float(v):.17e}"
+
+
+# WGS84 (same ellipsoid the reference defaults to; gcore/gdal.h SRS_WGS84)
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
+WGS84_E = float(np.sqrt(WGS84_E2))
+
+
+# -- exp/log-decomposed hyperbolics (mirrored verbatim by SQL oracles) -------
+
+
+def _sinh(x):
+    return (np.exp(x) - np.exp(-x)) / 2.0
+
+
+def _cosh(x):
+    return (np.exp(x) + np.exp(-x)) / 2.0
+
+
+def _asinh(x):
+    return np.log(x + np.sqrt(x * x + 1.0))
+
+
+def _atanh(x):
+    return 0.5 * np.log((1.0 + x) / (1.0 - x))
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (Krueger series, order n^6) — UTM when k0=0.9996.
+# ---------------------------------------------------------------------------
+
+
+def _tm_constants(a: float = WGS84_A, f: float = WGS84_F):
+    """Rectifying radius A and the Krueger alpha/beta series coefficients
+    (Karney 2011 eqs. 12, 35, 36) as plain floats for literal inlining."""
+    n = f / (2.0 - f)
+    n2, n3, n4, n5, n6 = n * n, n**3, n**4, n**5, n**6
+    A = a / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0)
+    alpha = [
+        n / 2.0 - 2.0 / 3.0 * n2 + 5.0 / 16.0 * n3 + 41.0 / 180.0 * n4
+        - 127.0 / 288.0 * n5 + 7891.0 / 37800.0 * n6,
+        13.0 / 48.0 * n2 - 3.0 / 5.0 * n3 + 557.0 / 1440.0 * n4
+        + 281.0 / 630.0 * n5 - 1983433.0 / 1935360.0 * n6,
+        61.0 / 240.0 * n3 - 103.0 / 140.0 * n4 + 15061.0 / 26880.0 * n5
+        + 167603.0 / 181440.0 * n6,
+        49561.0 / 161280.0 * n4 - 179.0 / 168.0 * n5 + 6601661.0 / 7257600.0 * n6,
+        34729.0 / 80640.0 * n5 - 3418889.0 / 1995840.0 * n6,
+        212378941.0 / 319334400.0 * n6,
+    ]
+    beta = [
+        n / 2.0 - 2.0 / 3.0 * n2 + 37.0 / 96.0 * n3 - 1.0 / 360.0 * n4
+        - 81.0 / 512.0 * n5 + 96199.0 / 604800.0 * n6,
+        1.0 / 48.0 * n2 + 1.0 / 15.0 * n3 - 437.0 / 1440.0 * n4
+        + 46.0 / 105.0 * n5 - 1118711.0 / 3870720.0 * n6,
+        17.0 / 480.0 * n3 - 37.0 / 840.0 * n4 - 209.0 / 4480.0 * n5
+        + 5569.0 / 90720.0 * n6,
+        4397.0 / 161280.0 * n4 - 11.0 / 504.0 * n5 - 830251.0 / 7257600.0 * n6,
+        4583.0 / 161280.0 * n5 - 108847.0 / 3991680.0 * n6,
+        20648693.0 / 638668800.0 * n6,
+    ]
+    return float(A), [float(v) for v in alpha], [float(v) for v in beta]
+
+
+def tmerc_forward(lon, lat, lon0: float, k0: float = 0.9996,
+                  fe: float = 500000.0, fn: float = 0.0):
+    """Ellipsoidal TM forward: (lon, lat) degrees -> (easting, northing) m.
+
+    Conformal latitude via tau' = sinh(asinh(tan phi) - e atanh(e sin phi));
+    Gauss-Schreiber coordinates (xi', eta'); Krueger series to (xi, eta).
+    Keep the expression ORDER identical to the SQL mirror in __ray_entry__.
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    A, alpha, _ = _tm_constants()
+    e = WGS84_E
+    phi = np.radians(lat)
+    lam = np.radians(lon - lon0)
+    sphi = np.sin(phi)
+    tau = np.tan(phi)
+    taup = _sinh(_asinh(tau) - e * _atanh(e * sphi))
+    coslam = np.cos(lam)
+    xi_p = np.arctan2(taup, coslam)
+    eta_p = _asinh(np.sin(lam) / np.sqrt(taup * taup + coslam * coslam))
+    xi = xi_p
+    eta = eta_p
+    for j in range(6):
+        two_j = 2.0 * (j + 1)
+        xi = xi + alpha[j] * np.sin(two_j * xi_p) * _cosh(two_j * eta_p)
+        eta = eta + alpha[j] * np.cos(two_j * xi_p) * _sinh(two_j * eta_p)
+    return fe + k0 * A * eta, fn + k0 * A * xi
+
+
+def tmerc_inverse(E, N, lon0: float, k0: float = 0.9996,
+                  fe: float = 500000.0, fn: float = 0.0):
+    """TM inverse: Krueger beta series back to Gauss-Schreiber, then Newton
+    from conformal tau' to geodetic tau (Karney 2011 sec. 6)."""
+    E = np.asarray(E, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    A, _, beta = _tm_constants()
+    e = WGS84_E
+    xi = (N - fn) / (k0 * A)
+    eta = (E - fe) / (k0 * A)
+    xi_p = xi
+    eta_p = eta
+    for j in range(6):
+        two_j = 2.0 * (j + 1)
+        xi_p = xi_p - beta[j] * np.sin(two_j * xi) * _cosh(two_j * eta)
+        eta_p = eta_p - beta[j] * np.cos(two_j * xi) * _sinh(two_j * eta)
+    sh = _sinh(eta_p)
+    taup = np.sin(xi_p) / np.sqrt(sh * sh + np.cos(xi_p) ** 2)
+    lam = np.arctan2(sh, np.cos(xi_p))
+    # Newton: find tau with tau'(tau) = taup
+    tau = taup.copy()
+    e2 = WGS84_E2
+    for _ in range(6):
+        sig = _sinh(e * _atanh(e * tau / np.sqrt(1.0 + tau * tau)))
+        f_tau = tau * np.sqrt(1.0 + sig * sig) - sig * np.sqrt(1.0 + tau * tau)
+        dtau = (
+            (taup - f_tau)
+            * (1.0 + (1.0 - e2) * tau * tau)
+            / ((1.0 - e2) * np.sqrt((1.0 + f_tau * f_tau) * (1.0 + tau * tau)))
+        )
+        tau = tau + dtau
+    lat = np.degrees(np.arctan(tau))
+    lon = lon0 + np.degrees(lam)
+    return lon, lat
+
+
+def utm_zone_params(zone: int, south: bool = False):
+    """UTM zone -> (lon0, k0, false easting, false northing)."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone {zone} out of range")
+    return (zone * 6.0 - 183.0, 0.9996, 500000.0, 10000000.0 if south else 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic, 2 standard parallels (Snyder PP1395 eq. 15-1..15-11)
+# ---------------------------------------------------------------------------
+
+
+def _lcc_m(phi):
+    return np.cos(phi) / np.sqrt(1.0 - WGS84_E2 * np.sin(phi) ** 2)
+
+
+def _lcc_t(phi):
+    e = WGS84_E
+    sphi = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * sphi) / (1.0 + e * sphi)
+    ) ** (e / 2.0)
+
+
+def lcc_constants(lat1: float, lat2: float, lat0: float):
+    """(n, F, rho0-scale t0) for the 2SP Lambert Conformal Conic."""
+    p1, p2, p0 = np.radians([lat1, lat2, lat0])
+    m1, m2 = _lcc_m(p1), _lcc_m(p2)
+    t1, t2, t0 = _lcc_t(p1), _lcc_t(p2), _lcc_t(p0)
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    F = m1 / (n * t1**n)
+    return float(n), float(F), float(t0)
+
+
+def lcc_forward(lon, lat, lon0: float, lat1: float, lat2: float, lat0: float,
+                fe: float = 0.0, fn: float = 0.0):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n, F, t0 = lcc_constants(lat1, lat2, lat0)
+    a = WGS84_A
+    t = _lcc_t(np.radians(lat))
+    rho = a * F * t**n
+    rho0 = a * F * t0**n
+    theta = n * np.radians(lon - lon0)
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def lcc_inverse(E, N, lon0: float, lat1: float, lat2: float, lat0: float,
+                fe: float = 0.0, fn: float = 0.0):
+    E = np.asarray(E, dtype=np.float64) - fe
+    N = np.asarray(N, dtype=np.float64)
+    n, F, t0 = lcc_constants(lat1, lat2, lat0)
+    a = WGS84_A
+    rho0 = a * F * t0**n
+    dN = rho0 - (N - fn)
+    rho = np.sign(n) * np.sqrt(E * E + dN * dN)
+    theta = np.arctan2(np.sign(n) * E, np.sign(n) * dN)
+    t = (rho / (a * F)) ** (1.0 / n)
+    # iterate Snyder 7-9 for phi
+    e = WGS84_E
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        sphi = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0)
+        )
+    return lon0 + np.degrees(theta / n), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Geodetic <-> geocentric + Helmert 7-parameter datum shift
+# ---------------------------------------------------------------------------
+
+
+def geodetic_to_geocentric(lon, lat, h=0.0):
+    """(lon, lat, h) -> ECEF (X, Y, Z) on WGS84."""
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    h = np.asarray(h, dtype=np.float64)
+    slat = np.sin(lat)
+    nu = WGS84_A / np.sqrt(1.0 - WGS84_E2 * slat * slat)
+    X = (nu + h) * np.cos(lat) * np.cos(lon)
+    Y = (nu + h) * np.cos(lat) * np.sin(lon)
+    Z = (nu * (1.0 - WGS84_E2) + h) * slat
+    return X, Y, Z
+
+
+def geocentric_to_geodetic(X, Y, Z):
+    """Bowring's closed-form (one trigonometric step, non-iterative) —
+    deterministic and SQL-expressible; accurate to sub-mm for |h| < 10 km."""
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    a = WGS84_A
+    b = a * (1.0 - WGS84_F)
+    ep2 = (a * a - b * b) / (b * b)
+    p = np.sqrt(X * X + Y * Y)
+    theta = np.arctan2(Z * a, p * b)
+    st, ct = np.sin(theta), np.cos(theta)
+    phi = np.arctan2(Z + ep2 * b * st * st * st, p - WGS84_E2 * a * ct * ct * ct)
+    lam = np.arctan2(Y, X)
+    sphi = np.sin(phi)
+    nu = a / np.sqrt(1.0 - WGS84_E2 * sphi * sphi)
+    h = p / np.cos(phi) - nu
+    return np.degrees(lam), np.degrees(phi), h
+
+
+def helmert_shift(X, Y, Z, params):
+    """7-parameter Helmert, position-vector convention (EPSG 9606):
+    params = (tx, ty, tz, rx, ry, rz, s) with rotations in arc-seconds and
+    scale in ppm.  Small-angle linearized rotation, matching PROJ +towgs84."""
+    tx, ty, tz, rx, ry, rz, s = params
+    asec = np.pi / (180.0 * 3600.0)
+    rx, ry, rz = rx * asec, ry * asec, rz * asec
+    m = 1.0 + s * 1e-6
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    Xp = tx + m * (X - rz * Y + ry * Z)
+    Yp = ty + m * (rz * X + Y - rx * Z)
+    Zp = tz + m * (-ry * X + rx * Y + Z)
+    return Xp, Yp, Zp
+
+
+def datum_shift_lonlat(lon, lat, params, h=0.0):
+    """Geodetic -> geocentric -> Helmert -> geodetic (the PROJ
+    +towgs84 pipeline shape)."""
+    X, Y, Z = geodetic_to_geocentric(lon, lat, h)
+    Xp, Yp, Zp = helmert_shift(X, Y, Z, params)
+    return geocentric_to_geodetic(Xp, Yp, Zp)
+
+
+# ---------------------------------------------------------------------------
+# GCP polynomial transformer (alg/gdaltransformer.cpp GDALGCPTransform role)
+# ---------------------------------------------------------------------------
+
+# term exponent tables per order: list of (px, py) with term x**px * y**py.
+_POLY_TERMS = {
+    1: [(0, 0), (1, 0), (0, 1)],
+    2: [(0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2)],
+    3: [(0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2),
+        (3, 0), (2, 1), (1, 2), (0, 3)],
+}
+
+
+def _poly_design(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    return np.stack([x**px * y**py for px, py in _POLY_TERMS[order]], axis=1)
+
+
+class GCPPolynomialTransformer:
+    """Least-squares polynomial GCP transformer, orders 1-3, fit in BOTH
+    directions like GDAL's GCP transformer (forward pixel->geo and reverse
+    geo->pixel solves are independent fits)."""
+
+    def __init__(self, src_x, src_y, dst_x, dst_y, order: int = 1):
+        if order not in _POLY_TERMS:
+            raise ValueError("order must be 1, 2 or 3")
+        self.order = order
+        sx = np.asarray(src_x, dtype=np.float64)
+        sy = np.asarray(src_y, dtype=np.float64)
+        dx = np.asarray(dst_x, dtype=np.float64)
+        dy = np.asarray(dst_y, dtype=np.float64)
+        need = len(_POLY_TERMS[order])
+        if len(sx) < need:
+            raise ValueError(f"order {order} needs >= {need} GCPs, got {len(sx)}")
+        A = _poly_design(sx, sy, order)
+        self.cx, *_ = np.linalg.lstsq(A, dx, rcond=None)
+        self.cy, *_ = np.linalg.lstsq(A, dy, rcond=None)
+        B = _poly_design(dx, dy, order)
+        self.inv_cx, *_ = np.linalg.lstsq(B, sx, rcond=None)
+        self.inv_cy, *_ = np.linalg.lstsq(B, sy, rcond=None)
+
+    @staticmethod
+    def _apply(cx, cy, x, y, order):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        # left-to-right accumulation; SQL mirrors this exact term order
+        ox = np.zeros_like(x)
+        oy = np.zeros_like(x)
+        for c_x, c_y, (px, py) in zip(cx, cy, _POLY_TERMS[order]):
+            t = x**px * y**py
+            ox = ox + c_x * t
+            oy = oy + c_y * t
+        return ox, oy
+
+    def forward(self, x, y):
+        return self._apply(self.cx, self.cy, x, y, self.order)
+
+    def inverse(self, x, y):
+        return self._apply(self.inv_cx, self.inv_cy, x, y, self.order)
+
+    def sql_exprs(self, xcol: str, ycol: str) -> tuple[str, str]:
+        """SQL expressions mirroring forward() term-by-term (literals via
+        repr so the float64 round-trips exactly)."""
+
+        def expr(coefs):
+            parts = []
+            for c, (px, py) in zip(coefs, _POLY_TERMS[self.order]):
+                t = " * ".join([xcol] * px + [ycol] * py) or "1.0"
+                parts.append(f"{sql_float(c)} * ({t})")
+            return "(" + " + ".join(parts) + ")"
+
+        return expr(self.cx), expr(self.cy)
+
+
+# ---------------------------------------------------------------------------
+# Thin-plate-spline transformer (alg/thinplatespline.cpp VizGeorefSpline2D)
+# ---------------------------------------------------------------------------
+
+
+class TPSTransformer:
+    """Thin plate spline: f(p) = a0 + a1 x + a2 y + sum_i w_i U(|p - p_i|),
+    U(r) = r^2 ln(r^2); the classic biharmonic interpolant the reference's
+    -tps mode solves per control point."""
+
+    def __init__(self, src_x, src_y, dst_x, dst_y):
+        sx = np.asarray(src_x, dtype=np.float64)
+        sy = np.asarray(src_y, dtype=np.float64)
+        n = len(sx)
+        if n < 3:
+            raise ValueError("TPS needs >= 3 control points")
+        d2 = (sx[:, None] - sx[None, :]) ** 2 + (sy[:, None] - sy[None, :]) ** 2
+        K = np.where(d2 > 0.0, d2 * np.log(np.where(d2 > 0.0, d2, 1.0)), 0.0)
+        P = np.column_stack([np.ones(n), sx, sy])
+        L = np.zeros((n + 3, n + 3))
+        L[:n, :n] = K
+        L[:n, n:] = P
+        L[n:, :n] = P.T
+        rhs = np.zeros((n + 3, 2))
+        rhs[:n, 0] = np.asarray(dst_x, dtype=np.float64)
+        rhs[:n, 1] = np.asarray(dst_y, dtype=np.float64)
+        sol = np.linalg.solve(L, rhs)
+        self.sx, self.sy = sx, sy
+        self.wx, self.wy = sol[:n, 0], sol[:n, 1]
+        self.ax, self.ay = sol[n:, 0], sol[n:, 1]
+
+    def forward(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        ox = self.ax[0] + self.ax[1] * x + self.ax[2] * y
+        oy = self.ay[0] + self.ay[1] * x + self.ay[2] * y
+        # accumulate control points left-to-right (SQL mirror order)
+        for i in range(len(self.sx)):
+            d2 = (x - self.sx[i]) ** 2 + (y - self.sy[i]) ** 2
+            u = np.where(d2 > 0.0, d2 * np.log(np.where(d2 > 0.0, d2, 1.0)), 0.0)
+            ox = ox + self.wx[i] * u
+            oy = oy + self.wy[i] * u
+        return ox, oy
+
+    def sql_exprs(self, xcol: str, ycol: str) -> tuple[str, str]:
+        def expr(a, w):
+            parts = [f"{sql_float(a[0])} + {sql_float(a[1])} * {xcol}"
+                     f" + {sql_float(a[2])} * {ycol}"]
+            for i in range(len(self.sx)):
+                xi, yi = sql_float(self.sx[i]), sql_float(self.sy[i])
+                d2 = (f"(({xcol} - {xi}) * ({xcol} - {xi})"
+                      f" + ({ycol} - {yi}) * ({ycol} - {yi}))")
+                parts.append(
+                    f"{sql_float(w[i])} * (CASE WHEN {d2} > 0.0 THEN {d2} * ln({d2}) ELSE 0.0 END)"
+                )
+            return "(" + " + ".join(parts) + ")"
+
+        return expr(self.ax, self.wx), expr(self.ay, self.wy)
+
+
+# ---------------------------------------------------------------------------
+# RPC transformer (alg/gdal_rpc.cpp RPCEvaluate term order, RPC00B layout)
+# ---------------------------------------------------------------------------
+
+# 20-term cubic in (P=lat_n, L=lon_n, H=h_n): the standard RPC00B ordering
+# used by RPCEvaluate.
+_RPC_TERMS = [
+    (0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),      # 1, L, P, H
+    (1, 1, 0), (1, 0, 1), (0, 1, 1),                 # LP, LH, PH
+    (2, 0, 0), (0, 2, 0), (0, 0, 2),                 # L2, P2, H2
+    (1, 1, 1), (3, 0, 0), (1, 2, 0), (1, 0, 2),      # PLH, L3, LP2, LH2
+    (2, 1, 0), (0, 3, 0), (0, 1, 2), (2, 0, 1),      # L2P, P3, PH2, L2H
+    (0, 2, 1), (0, 0, 3),                            # P2H, H3
+]
+
+
+def _rpc_poly(coefs, L, P, H):
+    out = np.zeros_like(L)
+    for c, (el, ep, eh) in zip(coefs, _RPC_TERMS):
+        out = out + c * (L**el) * (P**ep) * (H**eh)
+    return out
+
+
+class RPCTransformer:
+    """Rational polynomial camera model: normalized (lon, lat, h) ->
+    normalized (row, col) by ratios of 20-term cubics; inverse by damped
+    Newton iteration on the forward model (the reference's approach)."""
+
+    def __init__(self, line_num, line_den, samp_num, samp_den,
+                 lon_off=0.0, lon_scale=1.0, lat_off=0.0, lat_scale=1.0,
+                 h_off=0.0, h_scale=1.0, line_off=0.0, line_scale=1.0,
+                 samp_off=0.0, samp_scale=1.0):
+        self.line_num = np.asarray(line_num, dtype=np.float64)
+        self.line_den = np.asarray(line_den, dtype=np.float64)
+        self.samp_num = np.asarray(samp_num, dtype=np.float64)
+        self.samp_den = np.asarray(samp_den, dtype=np.float64)
+        for c in (self.line_num, self.line_den, self.samp_num, self.samp_den):
+            if len(c) != 20:
+                raise ValueError("RPC coefficient vectors must have 20 terms")
+        self.offsets = (lon_off, lon_scale, lat_off, lat_scale, h_off, h_scale,
+                        line_off, line_scale, samp_off, samp_scale)
+
+    def forward(self, lon, lat, h=0.0):
+        (lon_off, lon_s, lat_off, lat_s, h_off, h_s,
+         line_off, line_s, samp_off, samp_s) = self.offsets
+        L = (np.asarray(lon, dtype=np.float64) - lon_off) / lon_s
+        P = (np.asarray(lat, dtype=np.float64) - lat_off) / lat_s
+        H = (np.asarray(h, dtype=np.float64) - h_off) / h_s
+        if H.ndim == 0:
+            H = np.full_like(L, float(H))
+        row = _rpc_poly(self.line_num, L, P, H) / _rpc_poly(self.line_den, L, P, H)
+        col = _rpc_poly(self.samp_num, L, P, H) / _rpc_poly(self.samp_den, L, P, H)
+        return col * samp_s + samp_off, row * line_s + line_off
+
+    def inverse(self, col, row, h=0.0, iters: int = 12):
+        """(col, row) -> (lon, lat) at height h by Newton on the forward
+        model with numeric Jacobian (gdal_rpc.cpp RPCInverseTransformPoint)."""
+        (lon_off, lon_s, lat_off, lat_s, *_rest) = self.offsets
+        col = np.asarray(col, dtype=np.float64)
+        row = np.asarray(row, dtype=np.float64)
+        lon = np.full_like(col, lon_off)
+        lat = np.full_like(col, lat_off)
+        eps_l = 1e-7 * lon_s
+        eps_p = 1e-7 * lat_s
+        for _ in range(iters):
+            c0, r0 = self.forward(lon, lat, h)
+            cl, rl = self.forward(lon + eps_l, lat, h)
+            cp, rp = self.forward(lon, lat + eps_p, h)
+            j00 = (cl - c0) / eps_l
+            j01 = (cp - c0) / eps_p
+            j10 = (rl - r0) / eps_l
+            j11 = (rp - r0) / eps_p
+            det = j00 * j11 - j01 * j10
+            det = np.where(np.abs(det) < 1e-300, 1e-300, det)
+            dc = col - c0
+            dr = row - r0
+            lon = lon + (j11 * dc - j01 * dr) / det
+            lat = lat + (-j10 * dc + j00 * dr) / det
+        return lon, lat
+
+    def sql_exprs(self, loncol: str, latcol: str, h: float) -> tuple[str, str]:
+        """(col_expr, row_expr) mirroring forward() with literals inlined."""
+        (lon_off, lon_s, lat_off, lat_s, h_off, h_s,
+         line_off, line_s, samp_off, samp_s) = self.offsets
+        Lx = f"(({loncol} - {sql_float(lon_off)}) / {sql_float(lon_s)})"
+        Px = f"(({latcol} - {sql_float(lat_off)}) / {sql_float(lat_s)})"
+        Hv = float((h - h_off) / h_s)
+
+        def poly(coefs):
+            parts = []
+            for c, (el, ep, eh) in zip(coefs, _RPC_TERMS):
+                factors = [Lx] * el + [Px] * ep
+                t = " * ".join(factors) if factors else "1.0"
+                hv = float(Hv**eh)
+                parts.append(f"{sql_float(c)} * ({t}) * {sql_float(hv)}")
+            return "(" + " + ".join(parts) + ")"
+
+        col = (f"({poly(self.samp_num)} / {poly(self.samp_den)})"
+               f" * {sql_float(samp_s)} + {sql_float(samp_off)}")
+        row = (f"({poly(self.line_num)} / {poly(self.line_den)})"
+               f" * {sql_float(line_s)} + {sql_float(line_off)}")
+        return col, row

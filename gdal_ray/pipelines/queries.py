@@ -1147,3 +1147,200 @@ def knn_tree_q(sf_dir: str):
     )
     out = knn.knn_join(_docs_points(sf_dir), targets, k=KNN_K, tree=True)
     return out.select_columns(["doc_id", "zone_id", "rank"])
+
+
+# -- coordinate transformers (alg/gdaltransformer.cpp family) ----------------
+#
+# Fixed deterministic control data shared with the SQL oracles: the oracle
+# builder re-fits the same transformers from these literals and inlines the
+# resulting coefficients, so both sides apply identical float64 models.
+
+GCP_ORDER = 2
+GCP_SRC_X = [float((i * 37) % 100) for i in range(12)]
+GCP_SRC_Y = [float((i * 59) % 100) for i in range(12)]
+GCP_DST_X = [
+    5.0 + 1.02 * x - 0.15 * y + 0.0008 * x * y + ((i * 7) % 5 - 2) * 0.05
+    for i, (x, y) in enumerate(zip(GCP_SRC_X, GCP_SRC_Y))
+]
+GCP_DST_Y = [
+    -3.0 + 0.12 * x + 0.97 * y - 0.0005 * x * x + ((i * 11) % 5 - 2) * 0.05
+    for i, (x, y) in enumerate(zip(GCP_SRC_X, GCP_SRC_Y))
+]
+
+TPS_SRC_X = [0.0, 100.0, 0.0, 100.0, 50.0, 25.0, 75.0, 50.0]
+TPS_SRC_Y = [0.0, 0.0, 100.0, 100.0, 50.0, 75.0, 25.0, 10.0]
+TPS_DST_X = [2.0, 103.0, -1.0, 99.5, 52.5, 24.0, 77.0, 51.0]
+TPS_DST_Y = [-1.5, 1.0, 102.0, 98.0, 47.5, 77.5, 23.0, 12.0]
+
+# mild invertible rational camera (RPC00B coefficient layout)
+RPC_LINE_NUM = [0.002, 0.01, 1.0, 0.0, 0.0, 0.0, 0.0, 0.003, -0.002,
+                0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+RPC_LINE_DEN = [1.0, 0.001, -0.002] + [0.0] * 17
+RPC_SAMP_NUM = [-0.001, 1.0, 0.015, 0.0, 0.0, 0.0, 0.0, -0.004, 0.001,
+                0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+RPC_SAMP_DEN = [1.0, -0.0015, 0.001] + [0.0] * 17
+RPC_OFFSETS = dict(lon_off=0.0, lon_scale=90.0, lat_off=0.0, lat_scale=60.0,
+                   h_off=100.0, h_scale=500.0, line_off=2048.0,
+                   line_scale=2048.0, samp_off=2048.0, samp_scale=2048.0)
+RPC_H = 200.0
+
+# OSGB36 -> WGS84 Helmert parameters (public, OS legacy transformation)
+HELMERT_PARAMS = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+
+
+def _fit_gcp_poly():
+    from ..functions import transformer
+
+    return transformer.GCPPolynomialTransformer(
+        GCP_SRC_X, GCP_SRC_Y, GCP_DST_X, GCP_DST_Y, order=GCP_ORDER
+    )
+
+
+def _fit_tps():
+    from ..functions import transformer
+
+    return transformer.TPSTransformer(TPS_SRC_X, TPS_SRC_Y, TPS_DST_X, TPS_DST_Y)
+
+
+def _make_rpc():
+    from ..functions import transformer
+
+    return transformer.RPCTransformer(
+        RPC_LINE_NUM, RPC_LINE_DEN, RPC_SAMP_NUM, RPC_SAMP_DEN, **RPC_OFFSETS
+    )
+
+
+def reproject_utm_q(sf_dir: str):
+    """gdalwarp -t_srs EPSG:32631 point path: Krueger-series ellipsoidal
+    transverse mercator over docs inside UTM zone 31 (alg/gdaltransformer.cpp
+    GDALReprojectionTransform role; ogrct.cpp projection engine).  Easting /
+    northing quantized to cm so the SQL mirror's trig ULP noise cancels."""
+    ds = _docs_points(sf_dir)
+    from ..functions import transformer
+
+    def fn(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        m = (np.abs(lon - 3.0) <= 6.0) & (np.abs(lat) <= 84.0)
+        E, N = transformer.tmerc_forward(lon[m], lat[m], lon0=3.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(m)),
+                "e_cm": pa.array(np.round(E * 100.0).astype(np.int64)),
+                "n_cm": pa.array(np.round(N * 100.0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+LCC_PARAMS = dict(lon0=-96.0, lat1=33.0, lat2=45.0, lat0=39.0)
+
+
+def reproject_lcc_q(sf_dir: str):
+    """Lambert Conformal Conic 2SP (Snyder PP1395; the CONUS Albers/LCC family
+    ogrct.cpp serves) over docs in the projection's window; cm-quantized."""
+    ds = _docs_points(sf_dir)
+    from ..functions import transformer
+
+    def fn(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        m = (np.abs(lon + 96.0) <= 30.0) & (lat >= 20.0) & (lat <= 60.0)
+        E, N = transformer.lcc_forward(lon[m], lat[m], **LCC_PARAMS)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(m)),
+                "e_cm": pa.array(np.round(E * 100.0).astype(np.int64)),
+                "n_cm": pa.array(np.round(N * 100.0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def datum_helmert_q(sf_dir: str):
+    """7-parameter datum shift (geodetic -> geocentric -> Helmert -> Bowring
+    geodetic), the PROJ +towgs84 pipeline the reference delegates to; output
+    quantized to 1e-7 deg (~1 cm) and mm heights."""
+    ds = _docs_points(sf_dir)
+    from ..functions import transformer
+
+    def fn(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        lo, la, h = transformer.datum_shift_lonlat(lon, lat, HELMERT_PARAMS)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lon_e7": pa.array(np.round(lo * 1e7).astype(np.int64)),
+                "lat_e7": pa.array(np.round(la * 1e7).astype(np.int64)),
+                "h_mm": pa.array(np.round(h * 1000.0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def gcp_polynomial_q(sf_dir: str):
+    """GCP polynomial transformer (order 2) applied to doc points scaled into
+    the GCP domain — GDALGCPTransform role (alg/gdaltransformer.cpp).  The
+    fit happens once on the driver; workers apply broadcast coefficients."""
+    t = _fit_gcp_poly()
+    cx, cy, order = t.cx, t.cy, t.order
+    ds = _docs_points(sf_dir)
+    from ..functions.transformer import GCPPolynomialTransformer
+
+    def fn(b: pa.Table) -> pa.Table:
+        x = (b["lon"].to_numpy() + 180.0) * (100.0 / 360.0)
+        y = (b["lat"].to_numpy() + 85.0) * (100.0 / 170.0)
+        ox, oy = GCPPolynomialTransformer._apply(cx, cy, x, y, order)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "ox_e4": pa.array(np.round(ox * 1e4).astype(np.int64)),
+                "oy_e4": pa.array(np.round(oy * 1e4).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tps_warp_q(sf_dir: str):
+    """Thin-plate-spline GCP transformer (alg/thinplatespline.cpp role)
+    applied to doc points in the control domain."""
+    t = _fit_tps()
+    ds = _docs_points(sf_dir)
+
+    def fn(b: pa.Table) -> pa.Table:
+        x = (b["lon"].to_numpy() + 180.0) * (100.0 / 360.0)
+        y = (b["lat"].to_numpy() + 85.0) * (100.0 / 170.0)
+        ox, oy = t.forward(x, y)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "ox_e4": pa.array(np.round(ox * 1e4).astype(np.int64)),
+                "oy_e4": pa.array(np.round(oy * 1e4).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rpc_transform_q(sf_dir: str):
+    """RPC rational-polynomial ground->image transform at fixed height
+    (alg/gdal_rpc.cpp RPCEvaluate / RPC00B layout)."""
+    r = _make_rpc()
+    ds = _docs_points(sf_dir)
+
+    def fn(b: pa.Table) -> pa.Table:
+        col, row = r.forward(b["lon"].to_numpy(), b["lat"].to_numpy(), h=RPC_H)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "col_e4": pa.array(np.round(col * 1e4).astype(np.int64)),
+                "row_e4": pa.array(np.round(row * 1e4).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -106,5 +106,8 @@ def test_reproject_hook_closed_form():
     lo, la = geo.reproject_points(mx, my, "EPSG:3857", "EPSG:4326")
     np.testing.assert_allclose(lo, lon, atol=1e-9)
     np.testing.assert_allclose(la, lat, atol=1e-9)
+    # UTM is now routed through the built-in transverse-mercator closed form
+    ux, uy = geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:32633")
+    assert np.all(np.isfinite(ux)) and np.all(np.isfinite(uy))
     with pytest.raises(NotImplementedError):
-        geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:32633")
+        geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:2154")

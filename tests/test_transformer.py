@@ -1,0 +1,360 @@
+"""Transformer suite: TM/UTM (Krueger), LCC, datum shift, GCP poly, TPS, RPC.
+
+Validation strategy (no PROJ in the container, so everything is checked
+against independent math, not another library):
+- TM: round-trip to nm, easting==FE on the central meridian, northing on the
+  CM equals k0 x the meridian arc integral (independent numeric quadrature),
+  and agreement with an independently-coded 4th-order Snyder/Redfearn series
+  to < 5 mm inside the zone.
+- LCC: round-trip, scale == 1 on both standard parallels (finite-difference
+  scale factor), scale < 1 between and > 1 outside.
+- Geocentric/Helmert: round-trip, identity params, pure-translation check.
+- GCP polynomial: exact recovery of an affine (order 1) and quadratic
+  (order 2) mapping; inverse consistency.
+- TPS: exact interpolation at the control points; affine data -> affine TPS.
+- RPC: forward matches a direct evaluation; Newton inverse round-trips.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gdal_ray.functions import transformer as tr
+
+
+def _snyder_tm_forward(lon, lat, lon0, k0=0.9996, fe=500000.0, fn=0.0):
+    """Independent check implementation: classic Redfearn/Snyder TM series
+    (Snyder PP1395 eqs 8-9..8-15, 4th order) — different derivation from
+    the Krueger series under test."""
+    a, e2 = tr.WGS84_A, tr.WGS84_E2
+    ep2 = e2 / (1.0 - e2)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    N = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+    T = np.tan(phi) ** 2
+    C = ep2 * np.cos(phi) ** 2
+    A = lam * np.cos(phi)
+    M = a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * phi)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
+        - (35 * e2**3 / 3072) * np.sin(6 * phi)
+    )
+    E = fe + k0 * N * (
+        A + (1 - T + C) * A**3 / 6
+        + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120
+    )
+    Nn = fn + k0 * (
+        M + N * np.tan(phi) * (
+            A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+            + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720
+        )
+    )
+    return E, Nn
+
+
+def _meridian_arc(lat_deg: float, n_steps: int = 200001) -> float:
+    """Meridian arc length from equator by composite Simpson quadrature."""
+    a, e2 = tr.WGS84_A, tr.WGS84_E2
+    phi = np.linspace(0.0, np.radians(lat_deg), n_steps)
+    integrand = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    h = phi[1] - phi[0]
+    w = np.ones(n_steps)
+    w[1:-1:2] = 4.0
+    w[2:-1:2] = 2.0
+    return float((h / 3.0) * np.sum(w * integrand))
+
+
+class TestTransverseMercator:
+    def test_round_trip_nm(self):
+        rng = np.random.default_rng(7)
+        lon = 3.0 + rng.uniform(-5.9, 5.9, 300)
+        lat = rng.uniform(-80.0, 84.0, 300)
+        E, N = tr.tmerc_forward(lon, lat, lon0=3.0)
+        lon2, lat2 = tr.tmerc_inverse(E, N, lon0=3.0)
+        # degrees -> metres: 1e-12 deg ~ 0.1 um
+        np.testing.assert_allclose(lon2, lon, atol=1e-11)
+        np.testing.assert_allclose(lat2, lat, atol=1e-11)
+
+    def test_central_meridian_easting_and_arc(self):
+        lat = np.array([0.0, 15.0, 30.0, 45.0, 60.0, 75.0])
+        E, N = tr.tmerc_forward(np.full_like(lat, 9.0), lat, lon0=9.0)
+        np.testing.assert_allclose(E, 500000.0, atol=1e-6)
+        for la, nn in zip(lat, N):
+            arc = 0.9996 * _meridian_arc(float(la))
+            assert abs(nn - arc) < 2e-3, (la, nn, arc)  # quadrature-limited
+
+    def test_matches_snyder_series_in_zone(self):
+        rng = np.random.default_rng(11)
+        lon = -75.0 + rng.uniform(-3.0, 3.0, 200)
+        lat = rng.uniform(-70.0, 70.0, 200)
+        E1, N1 = tr.tmerc_forward(lon, lat, lon0=-75.0)
+        E2, N2 = _snyder_tm_forward(lon, lat, lon0=-75.0)
+        # Snyder's truncated series is itself only good to ~1 mm in-zone
+        np.testing.assert_allclose(E1, E2, atol=5e-3)
+        np.testing.assert_allclose(N1, N2, atol=5e-3)
+
+    def test_utm_zone_params(self):
+        assert tr.utm_zone_params(31) == (3.0, 0.9996, 500000.0, 0.0)
+        assert tr.utm_zone_params(18, south=True)[3] == 10000000.0
+        with pytest.raises(ValueError):
+            tr.utm_zone_params(61)
+
+    def test_east_west_symmetry(self):
+        lat = np.array([40.0])
+        Ew, _ = tr.tmerc_forward(np.array([1.0]), lat, lon0=3.0)
+        Ee, _ = tr.tmerc_forward(np.array([5.0]), lat, lon0=3.0)
+        np.testing.assert_allclose(Ew - 500000.0, -(Ee - 500000.0), atol=1e-6)
+
+
+class TestLambertConformalConic:
+    P = dict(lon0=-96.0, lat1=33.0, lat2=45.0, lat0=39.0)
+
+    def test_round_trip(self):
+        rng = np.random.default_rng(3)
+        lon = -96.0 + rng.uniform(-20, 20, 300)
+        lat = rng.uniform(20.0, 60.0, 300)
+        E, N = tr.lcc_forward(lon, lat, **self.P)
+        lon2, lat2 = tr.lcc_inverse(E, N, **self.P)
+        np.testing.assert_allclose(lon2, lon, atol=1e-10)
+        np.testing.assert_allclose(lat2, lat, atol=1e-10)
+
+    def _scale(self, lat: float) -> float:
+        # finite-difference scale factor along a parallel
+        d = 1e-6
+        e0, n0 = tr.lcc_forward(np.array([-96.0]), np.array([lat]), **self.P)
+        e1, n1 = tr.lcc_forward(np.array([-96.0 + d]), np.array([lat]), **self.P)
+        ground = (
+            np.radians(d)
+            * np.cos(np.radians(lat))
+            * tr.WGS84_A
+            / np.sqrt(1 - tr.WGS84_E2 * np.sin(np.radians(lat)) ** 2)
+        )
+        return float(np.hypot(e1 - e0, n1 - n0) / ground)
+
+    def test_scale_on_standard_parallels(self):
+        assert abs(self._scale(33.0) - 1.0) < 1e-7
+        assert abs(self._scale(45.0) - 1.0) < 1e-7
+        assert self._scale(39.0) < 1.0  # between: < 1
+        assert self._scale(50.0) > 1.0  # outside: > 1
+
+
+class TestDatumShift:
+    def test_geocentric_round_trip(self):
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(-180, 180, 300)
+        lat = rng.uniform(-89, 89, 300)
+        h = rng.uniform(-100, 9000, 300)
+        X, Y, Z = tr.geodetic_to_geocentric(lon, lat, h)
+        lon2, lat2, h2 = tr.geocentric_to_geodetic(X, Y, Z)
+        np.testing.assert_allclose(lon2, lon, atol=1e-10)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+        np.testing.assert_allclose(h2, h, atol=1e-4)
+
+    def test_identity_params(self):
+        lon, lat, h = tr.datum_shift_lonlat(
+            np.array([12.5]), np.array([41.9]), (0, 0, 0, 0, 0, 0, 0)
+        )
+        np.testing.assert_allclose(lon, 12.5, atol=1e-12)
+        np.testing.assert_allclose(lat, 41.9, atol=1e-12)
+
+    def test_pure_translation(self):
+        X, Y, Z = tr.geodetic_to_geocentric(np.array([0.0]), np.array([0.0]))
+        Xp, Yp, Zp = tr.helmert_shift(X, Y, Z, (100.0, -50.0, 25.0, 0, 0, 0, 0))
+        np.testing.assert_allclose(Xp - X, 100.0)
+        np.testing.assert_allclose(Yp - Y, -50.0)
+        np.testing.assert_allclose(Zp - Z, 25.0)
+
+    def test_scale_ppm(self):
+        X, Y, Z = tr.geodetic_to_geocentric(np.array([45.0]), np.array([30.0]))
+        Xp, _, _ = tr.helmert_shift(X, Y, Z, (0, 0, 0, 0, 0, 0, 10.0))
+        np.testing.assert_allclose(Xp / X, 1.0 + 10e-6, rtol=1e-12)
+
+
+class TestGCPPolynomial:
+    def test_order1_recovers_affine(self):
+        rng = np.random.default_rng(9)
+        sx = rng.uniform(0, 100, 8)
+        sy = rng.uniform(0, 100, 8)
+        dx = 3.5 + 2.0 * sx - 0.5 * sy
+        dy = -7.0 + 0.25 * sx + 1.5 * sy
+        t = tr.GCPPolynomialTransformer(sx, sy, dx, dy, order=1)
+        qx, qy = rng.uniform(0, 100, 50), rng.uniform(0, 100, 50)
+        ox, oy = t.forward(qx, qy)
+        np.testing.assert_allclose(ox, 3.5 + 2.0 * qx - 0.5 * qy, atol=1e-9)
+        np.testing.assert_allclose(oy, -7.0 + 0.25 * qx + 1.5 * qy, atol=1e-9)
+        ix, iy = t.inverse(ox, oy)
+        np.testing.assert_allclose(ix, qx, atol=1e-8)
+        np.testing.assert_allclose(iy, qy, atol=1e-8)
+
+    def test_order2_recovers_quadratic(self):
+        rng = np.random.default_rng(13)
+        sx = rng.uniform(-1, 1, 15)
+        sy = rng.uniform(-1, 1, 15)
+        dx = 1.0 + sx + 0.1 * sx * sx - 0.2 * sx * sy
+        dy = 2.0 + sy + 0.05 * sy * sy
+        t = tr.GCPPolynomialTransformer(sx, sy, dx, dy, order=2)
+        qx, qy = rng.uniform(-1, 1, 40), rng.uniform(-1, 1, 40)
+        ox, oy = t.forward(qx, qy)
+        np.testing.assert_allclose(ox, 1.0 + qx + 0.1 * qx * qx - 0.2 * qx * qy, atol=1e-10)
+        np.testing.assert_allclose(oy, 2.0 + qy + 0.05 * qy * qy, atol=1e-10)
+
+    def test_underdetermined_raises(self):
+        with pytest.raises(ValueError):
+            tr.GCPPolynomialTransformer([0, 1], [0, 1], [0, 1], [0, 1], order=2)
+        with pytest.raises(ValueError):
+            tr.GCPPolynomialTransformer([0], [0], [0], [0], order=4)
+
+    def test_sql_exprs_match_forward(self):
+        import duckdb
+
+        rng = np.random.default_rng(17)
+        sx = rng.uniform(0, 10, 9)
+        sy = rng.uniform(0, 10, 9)
+        dx = 1 + 2 * sx + sy + 0.1 * sx * sy
+        dy = 5 - sx + 3 * sy - 0.2 * sy * sy
+        t = tr.GCPPolynomialTransformer(sx, sy, dx, dy, order=2)
+        ex, ey = t.sql_exprs("x", "y")
+        qx, qy = 3.7, 8.1
+        ox, oy = t.forward(np.array([qx]), np.array([qy]))
+        rx, ry = duckdb.sql(
+            f"SELECT {ex}, {ey} FROM (SELECT CAST({qx!r} AS DOUBLE) AS x, CAST({qy!r} AS DOUBLE) AS y)"
+        ).fetchone()
+        assert abs(rx - ox[0]) < 1e-9
+        assert abs(ry - oy[0]) < 1e-9
+
+
+class TestTPS:
+    def test_interpolates_control_points(self):
+        rng = np.random.default_rng(21)
+        sx = rng.uniform(0, 50, 10)
+        sy = rng.uniform(0, 50, 10)
+        dx = rng.uniform(-10, 10, 10)
+        dy = rng.uniform(-10, 10, 10)
+        t = tr.TPSTransformer(sx, sy, dx, dy)
+        ox, oy = t.forward(sx, sy)
+        np.testing.assert_allclose(ox, dx, atol=1e-8)
+        np.testing.assert_allclose(oy, dy, atol=1e-8)
+
+    def test_affine_data_gives_affine_tps(self):
+        # affine displacement -> spline weights ~0, pure affine part
+        sx = np.array([0.0, 10.0, 0.0, 10.0, 5.0])
+        sy = np.array([0.0, 0.0, 10.0, 10.0, 5.0])
+        dx = 2.0 + 1.5 * sx - 0.5 * sy
+        dy = -1.0 + 0.5 * sx + 2.0 * sy
+        t = tr.TPSTransformer(sx, sy, dx, dy)
+        np.testing.assert_allclose(t.wx, 0.0, atol=1e-9)
+        np.testing.assert_allclose(t.wy, 0.0, atol=1e-9)
+        ox, oy = t.forward(np.array([3.3]), np.array([7.7]))
+        np.testing.assert_allclose(ox, 2.0 + 1.5 * 3.3 - 0.5 * 7.7, atol=1e-8)
+        np.testing.assert_allclose(oy, -1.0 + 0.5 * 3.3 + 2.0 * 7.7, atol=1e-8)
+
+    def test_sql_exprs_match_forward(self):
+        import duckdb
+
+        sx = np.array([0.0, 10.0, 0.0, 10.0, 6.0, 2.0])
+        sy = np.array([0.0, 0.0, 10.0, 10.0, 3.0, 8.0])
+        dx = sx + np.array([0.5, -0.3, 0.2, 0.1, -0.4, 0.6])
+        dy = sy + np.array([-0.2, 0.4, -0.1, 0.3, 0.2, -0.5])
+        t = tr.TPSTransformer(sx, sy, dx, dy)
+        ex, ey = t.sql_exprs("x", "y")
+        qx, qy = 4.25, 6.5
+        ox, oy = t.forward(np.array([qx]), np.array([qy]))
+        rx, ry = duckdb.sql(
+            f"SELECT {ex}, {ey} FROM (SELECT CAST({qx!r} AS DOUBLE) AS x, CAST({qy!r} AS DOUBLE) AS y)"
+        ).fetchone()
+        assert abs(rx - ox[0]) < 1e-9
+        assert abs(ry - oy[0]) < 1e-9
+
+
+def _toy_rpc() -> "tr.RPCTransformer":
+    line_num = np.zeros(20)
+    line_den = np.zeros(20)
+    samp_num = np.zeros(20)
+    samp_den = np.zeros(20)
+    # mild, invertible model: row ~ P + small nonlinearities, col ~ L + ...
+    line_num[[0, 2, 1, 7, 8]] = [0.002, 1.0, 0.01, 0.003, -0.002]
+    samp_num[[0, 1, 2, 7, 8]] = [-0.001, 1.0, 0.015, -0.004, 0.001]
+    line_den[0] = 1.0
+    line_den[[1, 2]] = [0.001, -0.002]
+    samp_den[0] = 1.0
+    samp_den[[1, 2]] = [-0.0015, 0.001]
+    return tr.RPCTransformer(
+        line_num, line_den, samp_num, samp_den,
+        lon_off=10.0, lon_scale=0.5, lat_off=45.0, lat_scale=0.5,
+        h_off=100.0, h_scale=500.0,
+        line_off=2048.0, line_scale=2048.0, samp_off=2048.0, samp_scale=2048.0,
+    )
+
+
+class TestRPC:
+    def test_forward_matches_direct(self):
+        r = _toy_rpc()
+        lon, lat = np.array([10.2]), np.array([44.9])
+        col, row = r.forward(lon, lat, h=150.0)
+        L = (10.2 - 10.0) / 0.5
+        P = (44.9 - 45.0) / 0.5
+        H = (150.0 - 100.0) / 500.0
+        num_r = 0.002 + 1.0 * P + 0.01 * L + 0.003 * L * L - 0.002 * P * P
+        den_r = 1.0 + 0.001 * L - 0.002 * P
+        assert abs(row[0] - (num_r / den_r * 2048.0 + 2048.0)) < 1e-9
+        num_c = -0.001 + 1.0 * L + 0.015 * P - 0.004 * L * L + 0.001 * P * P
+        den_c = 1.0 - 0.0015 * L + 0.001 * P
+        assert abs(col[0] - (num_c / den_c * 2048.0 + 2048.0)) < 1e-9
+        assert H == 0.1
+
+    def test_inverse_round_trip(self):
+        r = _toy_rpc()
+        rng = np.random.default_rng(31)
+        lon = 10.0 + rng.uniform(-0.4, 0.4, 100)
+        lat = 45.0 + rng.uniform(-0.4, 0.4, 100)
+        col, row = r.forward(lon, lat, h=200.0)
+        lon2, lat2 = r.inverse(col, row, h=200.0)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_bad_coef_length(self):
+        with pytest.raises(ValueError):
+            tr.RPCTransformer(np.zeros(19), np.zeros(20), np.zeros(20), np.zeros(20))
+
+    def test_sql_exprs_match_forward(self):
+        import duckdb
+
+        r = _toy_rpc()
+        cexpr, rexpr = r.sql_exprs("lon", "lat", h=150.0)
+        col, row = r.forward(np.array([10.33]), np.array([45.21]), h=150.0)
+        rc, rr = duckdb.sql(
+            f"SELECT {cexpr}, {rexpr} FROM (SELECT CAST(10.33 AS DOUBLE) AS lon, CAST(45.21 AS DOUBLE) AS lat)"
+        ).fetchone()
+        assert abs(rc - col[0]) < 1e-8
+        assert abs(rr - row[0]) < 1e-8
+
+
+class TestReprojectRouting:
+    def test_utm_epsg_codes(self):
+        from gdal_ray.functions import geo
+
+        lon = np.array([3.5])
+        lat = np.array([47.0])
+        x, y = geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:32631")
+        ex, ey = tr.tmerc_forward(lon, lat, lon0=3.0)
+        np.testing.assert_allclose(x, ex)
+        np.testing.assert_allclose(y, ey)
+        # and back
+        lon2, lat2 = geo.reproject_points(x, y, "EPSG:32631", "EPSG:4326")
+        np.testing.assert_allclose(lon2, lon, atol=1e-10)
+        np.testing.assert_allclose(lat2, lat, atol=1e-10)
+
+    def test_utm_south(self):
+        from gdal_ray.functions import geo
+
+        x, y = geo.reproject_points(
+            np.array([-60.0]), np.array([-33.0]), "EPSG:4326", "EPSG:32721"
+        )
+        ex, ey = tr.tmerc_forward(
+            np.array([-60.0]), np.array([-33.0]), lon0=-57.0, fn=10000000.0
+        )
+        np.testing.assert_allclose(x, ex)
+        np.testing.assert_allclose(y, ey)
+        assert y[0] > 0  # false northing applied
