@@ -386,6 +386,74 @@ def _contour_sql() -> str:
     """
 
 
+def _contour_band_sql() -> str:
+    """Interpolated band-polygon areas over the 3x2 ramp mosaic — mirrors
+    stages/contour.suplevel_area_cells per cell (same crossing-fraction,
+    corner-triangle and saddle expressions), then the per-cell x1e6 rounding
+    and band differencing of contour_band_areas."""
+
+    def interp(v0: str, v1: str) -> str:
+        return (f"LEAST(GREATEST((level - {v0}) / "
+                f"(CASE WHEN {v1} = {v0} THEN 1.0 ELSE {v1} - {v0} END),"
+                f" 0.0), 1.0)")
+
+    area_case = """
+        CASE code
+          WHEN 0 THEN 0.0
+          WHEN 1 THEN t * l / 2.0
+          WHEN 2 THEN (1.0 - t) * rr / 2.0
+          WHEN 4 THEN (1.0 - rr) * (1.0 - bm) / 2.0
+          WHEN 8 THEN (1.0 - l) * bm / 2.0
+          WHEN 3 THEN (l + rr) / 2.0
+          WHEN 6 THEN ((1.0 - t) + (1.0 - bm)) / 2.0
+          WHEN 12 THEN ((1.0 - l) + (1.0 - rr)) / 2.0
+          WHEN 9 THEN (t + bm) / 2.0
+          WHEN 7 THEN 1.0 - (1.0 - l) * bm / 2.0
+          WHEN 11 THEN 1.0 - (1.0 - rr) * (1.0 - bm) / 2.0
+          WHEN 13 THEN 1.0 - (1.0 - t) * rr / 2.0
+          WHEN 14 THEN 1.0 - t * l / 2.0
+          WHEN 5 THEN CASE WHEN center >= level
+               THEN 1.0 - ((1.0 - t) * rr / 2.0 + (1.0 - l) * bm / 2.0)
+               ELSE t * l / 2.0 + (1.0 - rr) * (1.0 - bm) / 2.0 END
+          WHEN 10 THEN CASE WHEN center >= level
+               THEN 1.0 - (t * l / 2.0 + (1.0 - rr) * (1.0 - bm) / 2.0)
+               ELSE (1.0 - t) * rr / 2.0 + (1.0 - l) * bm / 2.0 END
+          WHEN 15 THEN 1.0
+        END
+    """
+    return f"""
+        WITH cells AS (SELECT a.range AS c, b.range AS r FROM range(191) a, range(127) b),
+        lv(li, level) AS (VALUES (0, 30.5), (1, 80.5), (2, 130.5)),
+        e AS (SELECT li, level, c, r,
+                CAST(c + r AS DOUBLE) AS va, CAST(c + 1 + r AS DOUBLE) AS vb,
+                CAST(c + r + 2 AS DOUBLE) AS vcc, CAST(c + r + 1 AS DOUBLE) AS vd
+              FROM cells, lv),
+        f AS (SELECT li, level, c, r,
+                (CASE WHEN va >= level THEN 1 ELSE 0 END)
+              + (CASE WHEN vb >= level THEN 2 ELSE 0 END)
+              + (CASE WHEN vcc >= level THEN 4 ELSE 0 END)
+              + (CASE WHEN vd >= level THEN 8 ELSE 0 END) AS code,
+                {interp('va', 'vb')} AS t, {interp('vb', 'vcc')} AS rr,
+                {interp('vd', 'vcc')} AS bm, {interp('va', 'vd')} AS l,
+                (va + vb + vcc + vd) / 4.0 AS center
+              FROM e),
+        sup AS (SELECT li, c, r, {area_case} AS area FROM f),
+        supw AS (SELECT c, r,
+                   max(CASE WHEN li = 0 THEN area END) AS a0,
+                   max(CASE WHEN li = 1 THEN area END) AS a1,
+                   max(CASE WHEN li = 2 THEN area END) AS a2
+                 FROM sup GROUP BY c, r),
+        band_cells AS (
+          SELECT 0 AS band, 1.0 - a0 AS cell FROM supw
+          UNION ALL SELECT 1, a0 - a1 FROM supw
+          UNION ALL SELECT 2, a1 - a2 FROM supw
+          UNION ALL SELECT 3, a2 FROM supw)
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(sum(CAST(round(cell * 1000000.0) AS BIGINT)) AS BIGINT) AS area_x1e6
+        FROM band_cells GROUP BY band
+    """
+
+
 def _tile_pyramid_sql() -> str:
     """Warp the 256x256 EPSG:4326 ramp to z4 XYZ tiles (nearest kernel) and
     reduce to z3/z2 overviews — mirrors stages/pyramid.TileWarper /
@@ -927,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dissolve_union": q.dissolve_union_q,
         "contour_ramp": q.contour_ramp_q,
         "contour_polygons": q.contour_polygons_q,
+        "contour_band_areas": q.contour_band_areas_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
         "predicate_counts": q.predicate_counts_q,
@@ -1404,6 +1473,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tiles t LEFT JOIN sums s ON s.tx = t.tx AND s.ty = t.ty
         """,
         "contour_ramp": _contour_sql(),
+        "contour_band_areas": _contour_band_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
         "tile_pyramid_cubic": _tile_pyramid_cubic_sql(),
         "overview_kernels": _overview_kernels_sql(),

@@ -726,6 +726,19 @@ def contour_ramp_q(sf_dir: str):
     return cnt.contour(rd.from_arrow(tiles_tbl), [30.5, 80.5, 130.5], nx=3, ny=2, tile_size=64)
 
 
+def contour_band_areas_q(sf_dir: str):
+    """gdal_contour -p with INTERPOLATED level crossings: per-band region
+    areas of the marching-squares polygon fragments over the ramp mosaic
+    (alg/marching_squares/polygon_ring_appender.h semantics; half-integer
+    levels keep every crossing dyadic so the x1e6 fixed point is exact)."""
+    from ..stages import contour as cnt
+
+    tiles_tbl = synthetic.make_raster_tiles("ramp", 3, 2, size=64)
+    return cnt.contour_band_areas(
+        rd.from_arrow(tiles_tbl), [30.5, 80.5, 130.5], nx=3, ny=2, tile_size=64
+    )
+
+
 # -- rows-only checks (non-SQL-expressible) ----------------------------------
 
 

@@ -77,12 +77,16 @@ def marching_squares_cells(arr: np.ndarray, level: float, ox: float = 0.0, oy: f
     for code in np.unique(cs):
         sel = cs == code
         if code in (5, 10):
+            # standard disambiguation (alg/marching_squares/square.h): when
+            # the corner mean is >= level, the two HIGH corners connect
+            # through the center (cut_low pairing); otherwise they are
+            # isolated (cut_high pairing).
             hi_center = center[sel] >= level
-            pairs_a = [("left", "top"), ("right", "bottom")] if code == 5 else [("top", "right"), ("bottom", "left")]
-            pairs_b = [("left", "bottom"), ("right", "top")] if code == 5 else [("top", "left"), ("bottom", "right")]
+            cut_high = [("left", "top"), ("right", "bottom")] if code == 5 else [("top", "right"), ("bottom", "left")]
+            cut_low = [("left", "bottom"), ("right", "top")] if code == 5 else [("top", "left"), ("bottom", "right")]
             idx = np.nonzero(sel)[0]
-            for use_a, i in zip(hi_center, idx):
-                for e0, e1 in (pairs_a if use_a else pairs_b):
+            for connected, i in zip(hi_center, idx):
+                for e0, e1 in (cut_low if connected else cut_high):
                     out.append(np.concatenate([pts[e0][i], pts[e1][i]]))
             continue
         for e0, e1 in table[int(code)]:
@@ -164,6 +168,123 @@ def contour(tiles_ds, levels, nx: int, ny: int, tile_size: int = 64):
         )
 
     return segs_ds.groupby("level").map_groups(chain, batch_format="pyarrow")
+
+
+def suplevel_area_cells(arr: np.ndarray, level: float,
+                        max_row: int | None = None, max_col: int | None = None) -> np.ndarray:
+    """Per-cell area of the region ``{v >= level}`` under the same
+    straight-segment (linear edge interpolation) model and saddle rule as
+    ``marching_squares_cells`` — the fragments whose boundaries that function
+    emits.  Returns an (mr, mc) float array of areas in [0, 1] per cell.
+
+    Re-answers the polygon side of marching squares
+    (``alg/marching_squares/polygon_ring_appender.h``): GDAL assembles the
+    fragment rings; the exact region measure is the ring-free reduction."""
+    h, w = arr.shape
+    mr = (h - 1) if max_row is None else min(max_row, h - 1)
+    mc = (w - 1) if max_col is None else min(max_col, w - 1)
+    if mr <= 0 or mc <= 0:
+        return np.empty((0, 0))
+    a = arr[:mr, :mc]
+    b = arr[:mr, 1 : mc + 1]
+    c = arr[1 : mr + 1, 1 : mc + 1]
+    d = arr[1 : mr + 1, :mc]
+    case = (
+        (a >= level).astype(np.int8)
+        | ((b >= level).astype(np.int8) << 1)
+        | ((c >= level).astype(np.int8) << 2)
+        | ((d >= level).astype(np.int8) << 3)
+    )
+
+    def interp(v0, v1):
+        dd = v1 - v0
+        dd = np.where(dd == 0, 1.0, dd)
+        return np.clip((level - v0) / dd, 0.0, 1.0)
+
+    t = interp(a, b)      # crossing fraction on the top edge (a -> b)
+    r = interp(b, c)      # right edge (b -> c)
+    bm = interp(d, c)     # bottom edge (d -> c)
+    l = interp(a, d)      # left edge (a -> d)
+    center = (a + b + c + d) / 4.0
+    # corner triangles cut off by a single crossing-to-crossing segment
+    tri_a = t * l / 2.0
+    tri_b = (1.0 - t) * r / 2.0
+    tri_c = (1.0 - r) * (1.0 - bm) / 2.0
+    tri_d = (1.0 - l) * bm / 2.0
+    conn = center >= level
+    return np.select(
+        [case == 1, case == 2, case == 4, case == 8,
+         case == 3, case == 6, case == 12, case == 9,
+         case == 7, case == 11, case == 13, case == 14,
+         (case == 5) & conn, case == 5,
+         (case == 10) & conn, case == 10,
+         case == 15],
+        [tri_a, tri_b, tri_c, tri_d,
+         (l + r) / 2.0, ((1.0 - t) + (1.0 - bm)) / 2.0,
+         ((1.0 - l) + (1.0 - r)) / 2.0, (t + bm) / 2.0,
+         1.0 - tri_d, 1.0 - tri_c, 1.0 - tri_b, 1.0 - tri_a,
+         1.0 - (tri_b + tri_d), tri_a + tri_c,
+         1.0 - (tri_a + tri_c), tri_b + tri_d,
+         np.ones_like(t)],
+        default=0.0,
+    )
+
+
+def contour_band_areas(tiles_ds, levels, nx: int, ny: int, tile_size: int = 64):
+    """``gdal_contour -p`` with INTERPOLATED level crossings, reduced to exact
+    per-band region areas: each cell's band fragments are the straight-segment
+    marching-squares polygons (``alg/marching_squares/polygon_ring_appender.h``
+    semantics — vertices at linear level crossings, not pixel edges), and each
+    tile sums fragment areas over its own cells (right/bottom halo) so the
+    distributed total equals the monolithic trace.  Per-cell fixed-point x1e6
+    keeps the cross-tile reduction integer-exact under any order.
+
+    Returns (band, area_x1e6): band 0 = below levels[0], band i =
+    [levels[i-1], levels[i]), band len(levels) = above the last level."""
+    grouped = _halo_exchange(tiles_ds)
+    lv = [float(v) for v in levels]
+
+    def per_tile(group: pa.Table) -> pa.Table:
+        empty = pa.table({"band": pa.array([], pa.int64()),
+                          "area_x1e6": pa.array([], pa.int64())})
+        pad, xy, wh = _assemble_padded(group)
+        if pad is None:
+            return empty
+        x, y = xy
+        w, h = wh
+        arr2 = pad[1:, 1:]
+        own_cols = w if x < nx - 1 else w - 1
+        own_rows = h if y < ny - 1 else h - 1
+        if own_rows <= 0 or own_cols <= 0:
+            return empty
+        sup = [suplevel_area_cells(arr2, L, max_row=own_rows, max_col=own_cols)
+               for L in lv]
+        bands, partials = [], []
+        for i in range(len(lv) + 1):
+            if i == 0:
+                cell = 1.0 - sup[0]
+            elif i == len(lv):
+                cell = sup[-1]
+            else:
+                cell = sup[i - 1] - sup[i]
+            bands.append(i)
+            partials.append(int(np.round(cell * 1e6).astype(np.int64).sum()))
+        return pa.table({"band": pa.array(bands, pa.int64()),
+                         "area_x1e6": pa.array(partials, pa.int64())})
+
+    parts = grouped.map_groups(per_tile, batch_format="pyarrow")
+
+    def reduce_band(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "band": pa.array([g["band"][0].as_py()], pa.int64()),
+                "area_x1e6": pa.array([pc.sum(g["area_x1e6"]).as_py()], pa.int64()),
+            }
+        )
+
+    return parts.groupby("band").map_groups(reduce_band, batch_format="pyarrow")
 
 
 def contour_polygons(tiles_ds, levels, tile_size: int = 64):

@@ -122,3 +122,86 @@ def test_sieve_removes_interior_speck():
     got = np.frombuffer(out[0]["data"], dtype=np.uint8).reshape(size, size)
     assert (got[10:12, 10:12] == 3).all()
     assert (got[0:2, 0:2] == 9).all()
+
+
+def test_suplevel_area_plane_analytic():
+    # plane v = x + y: the straight-segment model is exact, so summed cell
+    # areas must equal the analytic area of {x + y >= L} in [0,W-1]x[0,H-1]
+    W, H = 41, 31
+    xx, yy = np.meshgrid(np.arange(W, dtype=float), np.arange(H, dtype=float))
+    arr = xx + yy
+    a, b = W - 1.0, H - 1.0
+
+    def below(L):  # area of {x + y < L} in [0,a]x[0,b]
+        t = 0.0
+        t += L * L / 2.0 if L > 0 else 0.0
+        t -= (L - a) ** 2 / 2.0 if L > a else 0.0
+        t -= (L - b) ** 2 / 2.0 if L > b else 0.0
+        t += (L - a - b) ** 2 / 2.0 if L > a + b else 0.0
+        return t
+
+    for L in (10.5, 35.25, 55.75):
+        got = contour_stage.suplevel_area_cells(arr, L).sum()
+        assert abs(got - (a * b - below(L))) < 1e-9, L
+
+
+def test_suplevel_area_saddles():
+    # case 5 (tl, br high), center == level -> connected high region
+    area = contour_stage.suplevel_area_cells(np.array([[1.0, 0.0], [0.0, 1.0]]), 0.5)
+    assert area.shape == (1, 1) and abs(area[0, 0] - 0.75) < 1e-12
+    # case 10 (tr, bl high), connected
+    area = contour_stage.suplevel_area_cells(np.array([[0.0, 1.0], [1.0, 0.0]]), 0.5)
+    assert abs(area[0, 0] - 0.75) < 1e-12
+    # center below level -> isolated corner triangles
+    area = contour_stage.suplevel_area_cells(np.array([[2.0, 0.0], [0.0, 2.0]]), 1.5)
+    assert abs(area[0, 0] - 0.0625) < 1e-12
+    # segments and area agree on the saddle pairing: the connected case cuts
+    # the LOW corners, so its two segments touch top-right / bottom-left
+    segs = contour_stage.marching_squares_cells(np.array([[1.0, 0.0], [0.0, 1.0]]), 0.5)
+    endpoints = {tuple(p) for s in segs for p in (s[:2], s[2:])}
+    assert endpoints == {(0.5, 0.0), (1.0, 0.5), (0.0, 0.5), (0.5, 1.0)}
+    assert len(segs) == 2
+
+
+def _tiles_from_full(full: np.ndarray, nx: int, ny: int, size: int) -> pa.Table:
+    rows = {"z": [], "x": [], "y": [], "band": [], "width": [], "height": [],
+            "crs": [], "nodata": [], "dtype": [], "data": []}
+    for ty in range(ny):
+        for tx in range(nx):
+            part = full[ty * size:(ty + 1) * size, tx * size:(tx + 1) * size]
+            rows["z"].append(4); rows["x"].append(tx); rows["y"].append(ty)
+            rows["band"].append(1); rows["width"].append(size)
+            rows["height"].append(size); rows["crs"].append("EPSG:3857")
+            rows["nodata"].append(0.0); rows["dtype"].append("float32")
+            rows["data"].append(part.astype(np.float32).tobytes())
+    return pa.table({
+        "z": pa.array(rows["z"], pa.int16()), "x": pa.array(rows["x"], pa.int32()),
+        "y": pa.array(rows["y"], pa.int32()), "band": pa.array(rows["band"], pa.int8()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "crs": pa.array(rows["crs"]), "nodata": pa.array(rows["nodata"]),
+        "dtype": pa.array(rows["dtype"]), "data": pa.array(rows["data"], pa.binary()),
+    })
+
+
+def test_contour_band_areas_tiled_equals_monolithic():
+    rng = np.random.default_rng(42)
+    size, nx, ny = 32, 3, 2
+    full = rng.integers(0, 10, size=(ny * size, nx * size)).astype(np.float64)
+    levels = [2.5, 6.5]
+    out = contour_stage.contour_band_areas(
+        rd.from_arrow(_tiles_from_full(full, nx, ny, size)), levels,
+        nx=nx, ny=ny, tile_size=size,
+    ).to_pandas().set_index("band")["area_x1e6"].to_dict()
+    sup = {L: contour_stage.suplevel_area_cells(full, L) for L in levels}
+
+    def q(cells):
+        return int(np.round(cells * 1e6).astype(np.int64).sum())
+
+    assert out[0] == q(1.0 - sup[2.5])
+    assert out[1] == q(sup[2.5] - sup[6.5])
+    assert out[2] == q(sup[6.5])
+    # bands partition the cell domain (up to the independent per-cell,
+    # per-band x1e6 rounding: at most 0.5 each)
+    n_cells = (nx * size - 1) * (ny * size - 1)
+    assert abs(sum(out.values()) - n_cells * 10**6) <= n_cells * len(out) // 2
