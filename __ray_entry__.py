@@ -184,6 +184,94 @@ def _hillshade_sql() -> str:
     """
 
 
+def _hillshade_variants_sql() -> str:
+    """gdaldem shading variants over the 3x3 hump paraboloid mosaic:
+    ZevenbergenThorne slope/aspect/hillshade plus combined, multidirectional
+    (USGS OF 92-422) and igor shading — exact double-arithmetic mirror of
+    stages/focal._apply_alg / _apply_shading_variant (term order and
+    parenthesization matched)."""
+    W = H = 192
+
+    def val(dx: int, dy: int) -> str:
+        cx = f"LEAST(GREATEST(gx+{dx},0),{W - 1})" if dx else "gx"
+        cy = f"LEAST(GREATEST(gy+{dy},0),{H - 1})" if dy else "gy"
+        return (f"CAST((({cx})-96)*(({cx})-96) + (({cy})-96)*(({cy})-96) AS DOUBLE)"
+                f" / 64.0")
+
+    a, b, c = val(-1, -1), val(0, -1), val(1, -1)
+    d, f = val(-1, 0), val(1, 0)
+    g, h, i = val(-1, 1), val(0, 1), val(1, 1)
+    horn_dx = f"((({c}) + 2*({f}) + ({i})) - (({a}) + 2*({d}) + ({g}))) / 8.0"
+    horn_dy = f"((({g}) + 2*({h}) + ({i})) - (({a}) + 2*({b}) + ({c}))) / 8.0"
+    zt_dx = f"(({f}) - ({d})) / 2.0"
+    zt_dy = f"(({h}) - ({b})) / 2.0"
+    # alt=45 az=315 z=1 res=1; az_math = radians(360-315+90) = radians(135)
+    s_alt = "sin(radians(45.0))"
+    c_alt = "cos(radians(45.0))"
+    modes = {
+        "slope_zt": "degrees(atan(sqrt(zx*zx + zy*zy)))",
+        "aspect_zt": """CASE WHEN degrees(atan2(zy, -zx)) < 0
+                             THEN 90.0 - degrees(atan2(zy, -zx))
+                             WHEN degrees(atan2(zy, -zx)) > 90.0
+                             THEN 360.0 - degrees(atan2(zy, -zx)) + 90.0
+                             ELSE 90.0 - degrees(atan2(zy, -zx)) END""",
+        "hillshade_zt": f"""LEAST(GREATEST(
+            ({s_alt} * cos(atan(sqrt(zx*zx + zy*zy)))
+           + {c_alt} * sin(atan(sqrt(zx*zx + zy*zy)))
+             * cos(radians(360.0 - 315.0 + 90.0) - atan2(zy, -zx))) * 254.0 + 1.0,
+            1.0), 255.0)""",
+        # combined: cang = 1 - acos(shade_norm) * atan(sqrt(m2)) * 4/pi^2
+        "combined": f"""CASE WHEN
+            1.0 - acos(LEAST(GREATEST(
+                ({s_alt} + {c_alt} * sqrt(hx*hx + hy*hy)
+                 * cos(radians(360.0 - 315.0 + 90.0) - atan2(hy, -hx)))
+                * (1.0/sqrt(1.0 + (hx*hx + hy*hy))), -1.0), 1.0))
+              * atan(sqrt(hx*hx + hy*hy)) * (4.0/(pi()*pi())) <= 0.0
+            THEN 1.0 ELSE
+            1.0 + 254.0 * (1.0 - acos(LEAST(GREATEST(
+                ({s_alt} + {c_alt} * sqrt(hx*hx + hy*hy)
+                 * cos(radians(360.0 - 315.0 + 90.0) - atan2(hy, -hx)))
+                * (1.0/sqrt(1.0 + (hx*hx + hy*hy))), -1.0), 1.0))
+              * atan(sqrt(hx*hx + hy*hy)) * (4.0/(pi()*pi()))) END""",
+        # multidirectional: x = -hx ... expressed via xg/yg columns below
+        "multidirectional": f"""1.0 + 254.0 * (CASE WHEN xg*xg + yg*yg = 0.0
+            THEN {s_alt} ELSE
+            0.5 * ((0.5*(xg*xg + yg*yg) - xg*yg) * GREATEST({s_alt} + {c_alt}*(xg - yg)*cos(radians(225.0)), 0.0)
+                 + (xg*xg) * GREATEST({s_alt} - {c_alt}*xg, 0.0)
+                 + (0.5*(xg*xg + yg*yg) + xg*yg) * GREATEST({s_alt} + {c_alt}*(xg + yg)*cos(radians(225.0)), 0.0)
+                 + (yg*yg) * GREATEST({s_alt} - {c_alt}*yg, 0.0))
+            / (xg*xg + yg*yg) * (1.0/sqrt(1.0 + (xg*xg + yg*yg))) END)""",
+        "igor": """255.0 * (1.0 - (degrees(atan(sqrt(hx*hx + hy*hy))) / 90.0)
+            * (1.0 - (CASE WHEN abs(
+                  (CASE WHEN atan2(hy, -hx) < 0.0 THEN atan2(hy, -hx) + 2.0*pi() ELSE atan2(hy, -hx) END)
+                - (CASE WHEN 1.5*pi() - radians(315.0) < 0.0 THEN 1.5*pi() - radians(315.0) + 2.0*pi() ELSE 1.5*pi() - radians(315.0) END)
+               ) > pi() THEN 2.0*pi() - abs(
+                  (CASE WHEN atan2(hy, -hx) < 0.0 THEN atan2(hy, -hx) + 2.0*pi() ELSE atan2(hy, -hx) END)
+                - (CASE WHEN 1.5*pi() - radians(315.0) < 0.0 THEN 1.5*pi() - radians(315.0) + 2.0*pi() ELSE 1.5*pi() - radians(315.0) END))
+               ELSE abs(
+                  (CASE WHEN atan2(hy, -hx) < 0.0 THEN atan2(hy, -hx) + 2.0*pi() ELSE atan2(hy, -hx) END)
+                - (CASE WHEN 1.5*pi() - radians(315.0) < 0.0 THEN 1.5*pi() - radians(315.0) + 2.0*pi() ELSE 1.5*pi() - radians(315.0) END))
+               END) / pi()))""",
+    }
+    arms = "\n UNION ALL\n".join(
+        f"SELECT '{m}' AS mode, gx, gy, ({e}) AS v FROM gr" for m, e in modes.items()
+    )
+    return f"""
+        WITH px AS (SELECT a.range AS gx, b.range AS gy FROM range({W}) a, range({H}) b),
+        gr AS (SELECT gx, gy,
+                 {horn_dx} AS hx, {horn_dy} AS hy,
+                 {zt_dx} AS zx, {zt_dy} AS zy,
+                 -({horn_dx}) AS xg, -({horn_dy}) AS yg
+               FROM px),
+        vv AS ({arms})
+        SELECT mode, CAST(gx // 64 AS INTEGER) AS x, CAST(gy // 64 AS INTEGER) AS y,
+               CAST(sum(CAST(trunc(v) AS BIGINT)
+                        * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                    AS BIGINT) AS checksum
+        FROM vv GROUP BY 1, 2, 3
+    """
+
+
 def _proximity_sql() -> str:
     """Exact EDT over the 3x3 blobs mosaic: min squared distance to any
     non-zero pixel, distance x100 rounded (stages/proximity.py)."""
@@ -1017,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warp_cutline": q.warp_cutline_q,
         "grid_metrics": q.grid_metrics_q,
         "hillshade": q.hillshade_q,
+        "hillshade_variants": q.hillshade_variants_q,
         "footprint": q.footprint_q,
         "nearblack": q.nearblack_q,
         "proximity": q.proximity_q,
@@ -1516,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
                AND count(*) FILTER (d.lon < c.ccx AND d.lat < c.ccy) >= 1
         """,
         "hillshade": _hillshade_sql(),
+        "hillshade_variants": _hillshade_variants_sql(),
         "proximity": _proximity_sql(),
         "fill_nodata": _fill_nodata_sql(),
         "nearblack": _nearblack_sql(),

@@ -980,6 +980,34 @@ def hillshade_q(sf_dir: str):
     return out.select_columns(["x", "y", "checksum"])
 
 
+HILLSHADE_VARIANTS = ["hillshade_zt", "slope_zt", "aspect_zt",
+                      "combined", "multidirectional", "igor"]
+
+
+def hillshade_variants_q(sf_dir: str):
+    """The rest of the gdaldem shading family over the hump paraboloid
+    fixture: ZevenbergenThorne gradients (slope/aspect/hillshade) plus
+    combined, multidirectional (USGS OF 92-422) and igor shading
+    (apps/gdaldem_lib.cpp:1390,1151,1010,947).  Per-tile checksums per
+    mode are the golden."""
+    from ..stages import focal
+
+    tiles_tbl = synthetic.make_raster_tiles("hump", 3, 3, size=64)
+    outs = []
+    for mode in HILLSHADE_VARIANTS:
+        out = focal.focal(rd.from_arrow(tiles_tbl), alg=mode, res=1.0)
+
+        def tag(t: pa.Table, mode=mode) -> pa.Table:
+            t = t.select(["x", "y", "checksum"])
+            return t.append_column("mode", pa.array([mode] * t.num_rows))
+
+        outs.append(out.map_batches(tag, batch_format="pyarrow"))
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds
+
+
 def media_features_q(sf_dir: str):
     """Multimodal span featurization over the synthetic interleaved corpus
     (decode stubbed deterministically; plumbing real)."""

@@ -227,7 +227,8 @@ RECTS = ((10, 8, 30, 24), (55, 45, 80, 65), (100, 82, 130, 106), (145, 119, 180,
 
 
 def make_raster_tiles(kind: str, nx: int, ny: int, size: int = 64, z: int = 4) -> pa.Table:
-    """Tile table per F3: kinds 'checker' | 'ramp' | 'blobs' | 'rects'.
+    """Tile table per F3: kinds 'checker' | 'ramp' | 'blobs' | 'rects' |
+    'donut' | 'hump'.
 
     data = C-order uint8 (checker/blobs/rects) or float32 (ramp) bytes.
     Global pixel coordinates: gx = x*size + col, gy = y*size + row.
@@ -268,6 +269,12 @@ def make_raster_tiles(kind: str, nx: int, ny: int, size: int = 64, z: int = 4) -
                 inner = (gx >= 60) & (gx < 132) & (gy >= 60) & (gy < 132)
                 arr = np.where(outer & ~inner, 7, 0).astype(np.uint8)
                 dtype = "uint8"
+            elif kind == "hump":
+                # paraboloid bowl: exact dyadic-rational float32 values
+                # ((gx-96)^2 + (gy-96)^2) / 64 — spatially varying gradient
+                # direction/magnitude (the shading-variant fixture; SQL-exact)
+                arr = (((gx - 96) ** 2 + (gy - 96) ** 2) / 64.0).astype(np.float32)
+                dtype = "float32"
             else:
                 raise ValueError(kind)
             zs.append(z)

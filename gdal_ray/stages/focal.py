@@ -134,14 +134,28 @@ def _horn_gradients(pad: np.ndarray, res: float):
     return dzdx, dzdy
 
 
+def _zt_gradients(pad: np.ndarray, res: float):
+    """Zevenbergen-Thorne central-difference gradient (gdaldem ``-alg
+    ZevenbergenThorne``, apps/gdaldem_lib.cpp:1390,1482: dx from the E/W
+    middle pair, dy from the N/S middle pair, z-factor 1/2 vs Horn's 1/8)."""
+    b = pad[:-2, 1:-1]; d = pad[1:-1, :-2]
+    f = pad[1:-1, 2:]; h = pad[2:, 1:-1]
+    dzdx = (f - d) / (2 * res)
+    dzdy = (h - b) / (2 * res)
+    return dzdx, dzdy
+
+
 def _apply_alg(pad: np.ndarray, alg: str, res: float, z_factor: float,
                azimuth: float, altitude: float) -> np.ndarray:
     center = pad[1:-1, 1:-1]
-    if alg in ("hillshade", "slope", "aspect"):
-        dzdx, dzdy = _horn_gradients(pad * z_factor if alg == "hillshade" else pad, res)
-        if alg == "slope":
+    base, _, grad = alg.partition("_")
+    zt = grad == "zt"
+    grad_fn = _zt_gradients if zt else _horn_gradients
+    if base in ("hillshade", "slope", "aspect"):
+        dzdx, dzdy = grad_fn(pad * z_factor if base == "hillshade" else pad, res)
+        if base == "slope":
             return np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
-        if alg == "aspect":
+        if base == "aspect":
             asp = np.degrees(np.arctan2(dzdy, -dzdx))
             asp = np.where(asp < 0, 90.0 - asp, np.where(asp > 90.0, 360.0 - asp + 90.0, 90.0 - asp))
             return asp
@@ -151,6 +165,8 @@ def _apply_alg(pad: np.ndarray, alg: str, res: float, z_factor: float,
         asp_r = np.arctan2(dzdy, -dzdx)
         shade = np.sin(alt) * np.cos(slope_r) + np.cos(alt) * np.sin(slope_r) * np.cos(az - asp_r)
         return np.clip(shade * 254.0 + 1.0, 1.0, 255.0)
+    if base in ("combined", "multidirectional", "igor"):
+        return _apply_shading_variant(pad, base, grad_fn, res, z_factor, azimuth, altitude)
     # windowed stats on the 3x3 neighborhood
     stack = np.stack([pad[dy : dy + pad.shape[0] - 2, dx : dx + pad.shape[1] - 2]
                       for dy in range(3) for dx in range(3)])
@@ -161,6 +177,60 @@ def _apply_alg(pad: np.ndarray, alg: str, res: float, z_factor: float,
     if alg == "roughness":
         return stack.max(axis=0) - stack.min(axis=0)
     raise ValueError(alg)
+
+
+def _apply_shading_variant(pad: np.ndarray, mode: str, grad_fn, res: float,
+                           z_factor: float, azimuth: float, altitude: float) -> np.ndarray:
+    """gdaldem hillshade ``-combined`` / ``-multidirectional`` / ``-igor``
+    (apps/gdaldem_lib.cpp:1151, :1010 (USGS OF 92-422 weights), :947).
+
+    Works in the classic x = -dzdx, y = -dzdy convention (z folded into the
+    gradients), which is algebraically identical to the reference's
+    normalized-numerator form: numerator/sqrt(1+m^2) with
+    numerator = sin(alt) + cos(alt)*(x*sin(az_math) + y*cos? ...) — verified
+    term-by-term against the az=225/270/315/360 specializations."""
+    dzdx, dzdy = grad_fn(pad * z_factor, res)
+    x = -dzdx
+    y = -dzdy
+    m2 = x * x + y * y
+    alt = np.radians(altitude)
+    sin_alt = np.sin(alt)
+    cos_alt = np.cos(alt)
+    inv_len = 1.0 / np.sqrt(1.0 + m2)
+    if mode == "combined":
+        # cang = 1 - acos(shade_norm) * slope_rad / (pi/2)^2 (gdaldem_lib.cpp:1172)
+        az_math = np.radians(360.0 - azimuth + 90.0)
+        asp = np.arctan2(dzdy, -dzdx)
+        shade = (sin_alt + cos_alt * np.sqrt(m2) * np.cos(az_math - asp)) * inv_len
+        cang = 1.0 - np.arccos(np.clip(shade, -1.0, 1.0)) * np.arctan(np.sqrt(m2)) \
+            * (4.0 / (np.pi * np.pi))
+        return np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    if mode == "multidirectional":
+        # weights sin^2(aspect - az) for az in {225, 270, 315, 360}, each
+        # directional shade clamped at 0 before weighting
+        c225 = np.cos(np.radians(225.0))
+        v225 = np.maximum(sin_alt + cos_alt * (x - y) * c225, 0.0)
+        v270 = np.maximum(sin_alt - cos_alt * x, 0.0)
+        v315 = np.maximum(sin_alt + cos_alt * (x + y) * c225, 0.0)
+        v360 = np.maximum(sin_alt - cos_alt * y, 0.0)
+        w225 = 0.5 * m2 - x * y
+        w270 = x * x
+        w315 = 0.5 * m2 + x * y
+        w360 = y * y
+        num = w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360
+        with np.errstate(invalid="ignore", divide="ignore"):
+            shade = np.where(m2 == 0.0, sin_alt, 0.5 * num / np.where(m2 == 0.0, 1.0, m2) * inv_len)
+        return 1.0 + 254.0 * shade
+    if mode == "igor":
+        slope_strength = np.degrees(np.arctan(np.sqrt(m2))) / 90.0
+        asp = np.arctan2(dzdy, -dzdx)
+        target = 1.5 * np.pi - np.radians(azimuth)
+        two_pi = 2.0 * np.pi
+        diff = np.abs(np.mod(asp, two_pi) - np.mod(target, two_pi))
+        diff = np.where(diff > np.pi, two_pi - diff, diff)
+        aspect_strength = 1.0 - diff / np.pi
+        return 255.0 * (1.0 - slope_strength * aspect_strength)
+    raise ValueError(mode)
 
 
 def focal(

@@ -49,6 +49,45 @@ def test_focal_hillshade_and_stats_algs_match_monolithic():
         assert np.allclose(got, expect), alg
 
 
+def test_focal_shading_variants_match_monolithic():
+    """ZT gradients + combined/multidirectional/igor shading: tile
+    decomposition must not change any pixel (hump has gradients in every
+    direction, exercising the clamps and saddle-free weighting)."""
+    tiles, full = _tiles_and_full(kind="hump", nx=3, ny=2)
+    pad = np.pad(full, 1, mode="edge")
+    for alg in ("slope_zt", "aspect_zt", "hillshade_zt",
+                "combined", "multidirectional", "igor"):
+        rows = focal_stage.focal(rd.from_arrow(tiles), alg=alg, res=1.0).take_all()
+        got = _assemble_out(rows, 32, 3, 2)
+        expect = focal_stage._apply_alg(pad, alg, 1.0, 1.0, 315.0, 45.0)
+        assert np.allclose(got, expect), alg
+
+
+def test_shading_variant_closed_forms():
+    """Flat terrain: multidirectional == 1 + 254*sin(alt); combined == its
+    no-slope limit 1 + 254*(1 - acos(sin(alt))*0); igor == 0 shadowness at
+    zero slope.  A 45-degree-from-azimuth plane darkens under igor exactly
+    by slope/90 * aspect alignment."""
+    flat = np.zeros((8, 8))
+    pad = np.pad(flat, 1, mode="edge")
+    alt = np.radians(45.0)
+    md = focal_stage._apply_alg(pad, "multidirectional", 1.0, 1.0, 315.0, 45.0)
+    assert np.allclose(md, 1.0 + 254.0 * np.sin(alt))
+    ig = focal_stage._apply_alg(pad, "igor", 1.0, 1.0, 315.0, 45.0)
+    assert np.allclose(ig, 255.0)
+    cb = focal_stage._apply_alg(pad, "combined", 1.0, 1.0, 315.0, 45.0)
+    assert np.allclose(cb, 1.0 + 254.0)  # acos(shade)*atan(0) == 0 -> cang 1
+    # tilted plane rising to the northwest (upslope faces the 315 az sun):
+    # the igor aspect term should make it BRIGHTER (less shadow) than the
+    # same plane rising to the southeast
+    gy, gx = np.mgrid[0:8, 0:8].astype(float)
+    nw = np.pad(-(gx + gy), 1, mode="edge")
+    se = np.pad(gx + gy, 1, mode="edge")
+    ig_nw = focal_stage._apply_alg(nw, "igor", 1.0, 1.0, 315.0, 45.0)[3, 3]
+    ig_se = focal_stage._apply_alg(se, "igor", 1.0, 1.0, 315.0, 45.0)[3, 3]
+    assert ig_nw < ig_se  # aspect aligned with the igor target gets full shadow weight
+
+
 def test_reclassify():
     tiles, full = _tiles_and_full(kind="checker")
     out = rastermap.reclassify(rd.from_arrow(tiles), {0.0: 7.0, 255.0: 9.0}).take_all()
