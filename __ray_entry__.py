@@ -373,6 +373,69 @@ def _viewshed_sql() -> str:
     """
 
 
+def _viewshed_modes_sql() -> str:
+    """gdal_viewshed NORMAL/DEM/GROUND output modes on the same integer DEM:
+    per-cell max interior-sample slope -> required sight-line height; DEM =
+    max(cell, required), GROUND = max(0, required - cell)
+    (stages/viewshed.viewshed_array mode semantics, mirrored bit-for-bit)."""
+    dem = "CAST((({x}*73 + {y}*151) % 37) + (({x}*{y}) % 11) * 3 AS DOUBLE)"
+    d00 = dem.format(x="x0", y="y0")
+    d01 = dem.format(x="(x0+1)", y="y0")
+    d10 = dem.format(x="x0", y="(y0+1)")
+    d11 = dem.format(x="(x0+1)", y="(y0+1)")
+    return f"""
+        WITH g AS (SELECT a.range AS x, b.range AS y FROM range(64) a, range(64) b),
+        t AS (SELECT x, y, {dem.format(x='x', y='y')} AS z,
+                     sqrt(CAST((x-32)*(x-32) + (y-32)*(y-32) AS DOUBLE)) AS dist
+              FROM g),
+        obs AS (SELECT z + 2.0 AS oz FROM t WHERE x = 32 AND y = 32),
+        nn AS (SELECT CAST(ceil(max(dist)) AS BIGINT) + 1 AS n FROM t),
+        samp AS (SELECT t.x, t.y, t.z, t.dist, obs.oz,
+                        CAST(s.s AS DOUBLE) / CAST(nn.n AS DOUBLE) AS tt
+                 FROM t, obs, nn,
+                      LATERAL (SELECT unnest(generate_series(1, nn.n - 1)) AS s) s),
+        ev AS (SELECT x, y, z, dist, oz, tt,
+                      LEAST(GREATEST(CAST(floor(32 + tt*(x-32)) AS BIGINT), 0), 62) AS x0,
+                      LEAST(GREATEST(CAST(floor(32 + tt*(y-32)) AS BIGINT), 0), 62) AS y0,
+                      32 + tt*(x-32) AS sx, 32 + tt*(y-32) AS sy
+               FROM samp),
+        ev2 AS (SELECT x, y, z, dist, oz, tt, x0, y0,
+                       LEAST(GREATEST(sx - x0, 0.0), 1.0) AS fx,
+                       LEAST(GREATEST(sy - y0, 0.0), 1.0) AS fy
+                FROM ev),
+        ms AS (SELECT x, y,
+                      max((({d00} * (1-fx) * (1-fy) + {d01} * fx * (1-fy)
+                          + {d10} * (1-fx) * fy + {d11} * fx * fy) - oz)
+                          / (tt*dist + 1e-300)) AS m
+               FROM ev2 WHERE tt*dist < dist - 1e-9 GROUP BY x, y),
+        cell AS (SELECT t.x, t.y, t.z, t.dist, obs.oz, ms.m
+                 FROM t CROSS JOIN obs
+                 LEFT JOIN ms ON ms.x = t.x AND ms.y = t.y)
+        SELECT 'normal' AS mode,
+               CAST(4096 - count(*) FILTER (m IS NOT NULL AND
+                    m > (z - oz) / (CASE WHEN dist = 0 THEN 1.0 ELSE dist END) + 1e-12)
+                    AS BIGINT) AS n_visible,
+               CAST(1000 * (4096 - count(*) FILTER (m IS NOT NULL AND
+                    m > (z - oz) / (CASE WHEN dist = 0 THEN 1.0 ELSE dist END) + 1e-12))
+                    AS BIGINT) AS sum_x1000
+        FROM cell
+        UNION ALL
+        SELECT 'dem' AS mode,
+               CAST(count(*) FILTER (m IS NOT NULL AND oz + m*dist > z) AS BIGINT) AS n_visible,
+               CAST(sum(floor((CASE WHEN m IS NULL THEN z
+                               ELSE GREATEST(z, oz + m*dist) END) * 1000.0 + 0.5))
+                    AS BIGINT) AS sum_x1000
+        FROM cell
+        UNION ALL
+        SELECT 'ground' AS mode,
+               CAST(count(*) FILTER (m IS NOT NULL AND oz + m*dist - z > 0) AS BIGINT) AS n_visible,
+               CAST(sum(floor((CASE WHEN m IS NULL THEN 0.0
+                               ELSE GREATEST(0.0, oz + m*dist - z) END) * 1000.0 + 0.5))
+                    AS BIGINT) AS sum_x1000
+        FROM cell
+    """
+
+
 def _footprint_sql() -> str:
     """Footprint of the rects fixture: per-rectangle component stats incl.
     n_fragments = number of per-tile pieces (a rect x tile intersection is
@@ -1111,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity": q.proximity_q,
         "fill_nodata": q.fill_nodata_q,
         "viewshed": q.viewshed_q,
+        "viewshed_modes": q.viewshed_modes_q,
         "palette_median_cut": q.palette_q,
         "media_features": q.media_features_q,
         # coordinate transformers (SURVEY §2.3; alg/gdaltransformer.cpp family)
@@ -1610,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
         "fill_nodata": _fill_nodata_sql(),
         "nearblack": _nearblack_sql(),
         "viewshed": _viewshed_sql(),
+        "viewshed_modes": _viewshed_modes_sql(),
         "footprint": _footprint_sql(),
         "palette_median_cut": _palette_sql(),
         "polygonize_blobs": f"""

@@ -1146,6 +1146,36 @@ def viewshed_q(sf_dir: str):
     return out.select_columns(["x", "y", "n_visible"])
 
 
+def viewshed_modes_q(sf_dir: str):
+    """gdal_viewshed output modes over the same integer DEM as viewshed_q:
+    NORMAL (mask), DEM (minimum visible elevation) and GROUND (extra height
+    needed) — alg/viewshed/viewshed_executor.cpp:228 setOutputNormal
+    semantics re-answered by the R3 max-slope accumulator."""
+    from ..stages import viewshed as vs
+
+    size = 64
+    gy, gx = np.mgrid[0:size, 0:size]
+    dem = (((gx * 73 + gy * 151) % 37) + ((gx * gy) % 11) * 3).astype(np.float32)
+    t = pa.Table.from_pylist([{
+        "z": 0, "x": 0, "y": 0, "band": 1, "width": size, "height": size,
+        "crs": "EPSG:3857", "nodata": -1.0, "dtype": "float32", "data": dem.tobytes(),
+    }])
+    outs = []
+    for mode in ("normal", "dem", "ground"):
+        out = vs.viewshed(rd.from_arrow(t), observer_x=32, observer_y=32,
+                          observer_height=2.0, mode=mode)
+
+        def tag(tbl: pa.Table, mode=mode) -> pa.Table:
+            tbl = tbl.select(["n_visible", "sum_x1000"])
+            return tbl.append_column("mode", pa.array([mode] * tbl.num_rows))
+
+        outs.append(out.map_batches(tag, batch_format="pyarrow"))
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds
+
+
 def langid_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

@@ -19,12 +19,19 @@ import pyarrow as pa
 
 
 def viewshed_array(dem: np.ndarray, ox: int, oy: int, observer_height: float = 0.0,
-                   n_steps: int | None = None) -> np.ndarray:
-    """Boolean visibility of every cell from observer at (col=ox, row=oy).
+                   n_steps: int | None = None, mode: str = "normal") -> np.ndarray:
+    """Visibility of every cell from observer at (col=ox, row=oy).
 
     Vectorized R3: elevations along each target's ray are sampled at
     ~unit-pixel spacing with bilinear interpolation; a cell is visible iff
     its sight-line clears all interior samples.
+
+    ``mode`` re-answers gdal_viewshed's output modes
+    (alg/viewshed/viewshed_executor.cpp:228 setOutputNormal):
+      - "normal": boolean visibility mask
+      - "dem":    minimum elevation the cell must have to be visible
+                  (max(cell, required sight-line height))
+      - "ground": extra height above ground needed (max(0, required - cell))
     """
     h, w = dem.shape
     gy, gx = np.mgrid[0:h, 0:w]
@@ -34,13 +41,15 @@ def viewshed_array(dem: np.ndarray, ox: int, oy: int, observer_height: float = 0
     obs_z = dem[oy, ox] + observer_height
     n = n_steps or int(np.ceil(dist.max())) + 1
     if n < 2:
-        return np.ones((h, w), dtype=bool)
+        if mode == "normal":
+            return np.ones((h, w), dtype=bool)
+        return dem.astype(np.float64) if mode == "dem" else np.zeros((h, w))
     with np.errstate(divide="ignore", invalid="ignore"):
         tgt_slope = (dem - obs_z) / np.where(dist == 0, 1.0, dist)
-    # iterate over ray steps with an O(H x W) running 'blocked' accumulator —
+    # iterate over ray steps with an O(H x W) running max-slope accumulator —
     # never materializing the (n_steps, H, W) stack (which for a 512x512
     # window would be tens of GB)
-    blocked = np.zeros((h, w), dtype=bool)
+    max_slope = np.full((h, w), -np.inf)
     for step in range(1, n):
         t = step / n
         sx = ox + t * dx
@@ -58,12 +67,24 @@ def viewshed_array(dem: np.ndarray, ox: int, oy: int, observer_height: float = 0
         )
         with np.errstate(divide="ignore", invalid="ignore"):
             samp_slope = (z - obs_z) / (t * dist + 1e-300)
+        # only samples strictly interior to the sight line count
+        np.maximum(max_slope, np.where(t * dist < dist - 1e-9, samp_slope, -np.inf),
+                   out=max_slope)
+    if mode == "normal":
         # a sample exactly ON the target's own sight line has equal slope; a
         # tiny tolerance keeps the target from occluding itself
-        blocked |= (samp_slope > tgt_slope + 1e-12) & (t * dist < dist - 1e-9)
-    vis = ~blocked
-    vis[oy, ox] = True
-    return vis
+        vis = ~(max_slope > tgt_slope + 1e-12)
+        vis[oy, ox] = True
+        return vis
+    # required sight-line height at the cell (cells with no interior sample —
+    # the observer and its 8 neighbors — need nothing)
+    with np.errstate(invalid="ignore"):
+        req = np.where(max_slope > -np.inf, obs_z + max_slope * dist, -np.inf)
+    if mode == "dem":
+        return np.maximum(dem.astype(np.float64), req)
+    if mode == "ground":
+        return np.maximum(0.0, req - dem)
+    raise ValueError(mode)
 
 
 def viewshed_radius(tiles_ds, observer_x: int, observer_y: int,
@@ -127,14 +148,21 @@ def viewshed_radius(tiles_ds, observer_x: int, observer_y: int,
 
 
 def viewshed(tiles_ds, observer_x: int, observer_y: int, observer_height: float = 0.0,
-             tile_size: int | None = None):
+             tile_size: int | None = None, mode: str = "normal"):
     """Per-tile viewshed: each tile whose pixel grid contains the observer
     computes visibility inside itself (observer given in GLOBAL pixel
     coordinates; round-1 scope: observer inside the tile).
 
     ``tile_size``: the nominal (grid-pitch) tile size — REQUIRED for mosaics
     with partial edge tiles, where a tile's own width/height is not the global
-    pitch; defaults to each tile's own size (single-tile / uniform case)."""
+    pitch; defaults to each tile's own size (single-tile / uniform case).
+
+    ``mode``: gdal_viewshed output mode — "normal" (visibility mask; n_visible
+    = visible cells), "dem" (minimum visible elevation; n_visible = cells that
+    must be RAISED to see the observer) or "ground" (extra height above
+    ground; n_visible = cells needing any extra height).  ``sum_x1000`` is the
+    half-up-rounded integer sum of the output raster (the conformance golden
+    for the float modes)."""
 
     def per_tile(batch: pa.Table) -> pa.Table:
         from .focal import _dtype_of
@@ -152,16 +180,26 @@ def viewshed(tiles_ds, observer_x: int, observer_y: int, observer_height: float 
             dem = np.frombuffer(
                 batch["data"][i].as_py(), dtype=_dtype_of(batch["dtype"][i].as_py())
             ).reshape(h, w).astype(np.float64)
-            vis = viewshed_array(dem, lx, ly, observer_height)
+            res = viewshed_array(dem, lx, ly, observer_height, mode=mode)
+            if mode == "normal":
+                n_stat = int(res.sum())
+                data = res.astype(np.uint8).tobytes()
+                valf = res.astype(np.float64)
+            else:
+                n_stat = int((res > dem).sum()) if mode == "dem" else int((res > 0).sum())
+                data = res.tobytes()
+                valf = res
             rows.append(
                 {"x": tx, "y": ty, "width": w, "height": h,
-                 "n_visible": int(vis.sum()),
-                 "data": vis.astype(np.uint8).tobytes()}
+                 "n_visible": n_stat,
+                 "sum_x1000": int(np.floor(valf * 1000.0 + 0.5).sum()),
+                 "data": data}
             )
         return pa.Table.from_pylist(rows) if rows else pa.table(
             {"x": pa.array([], pa.int32()), "y": pa.array([], pa.int32()),
              "width": pa.array([], pa.int32()), "height": pa.array([], pa.int32()),
-             "n_visible": pa.array([], pa.int64()), "data": pa.array([], pa.binary())}
+             "n_visible": pa.array([], pa.int64()),
+             "sum_x1000": pa.array([], pa.int64()), "data": pa.array([], pa.binary())}
         )
 
     return tiles_ds.map_batches(per_tile, batch_format="pyarrow")

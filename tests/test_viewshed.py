@@ -57,6 +57,37 @@ def test_matches_scalar_oracle_random_terrain():
         assert vis[ty, tx] == _brute_los(dem, ox, oy, tx, ty), (tx, ty)
 
 
+def test_output_modes_dem_ground():
+    """DEM mode = max(cell, required sight-line height); GROUND = the same
+    requirement expressed as extra height above ground.  Cross-mode
+    invariants + a closed form behind a wall."""
+    rng = np.random.default_rng(7)
+    dem = rng.uniform(0, 5, (24, 24))
+    dem[10, 14] = 30.0
+    ox, oy = 4, 12
+    vis = vs.viewshed_array(dem, ox, oy)
+    out_dem = vs.viewshed_array(dem, ox, oy, mode="dem")
+    out_gnd = vs.viewshed_array(dem, ox, oy, mode="ground")
+    assert (out_dem >= dem - 1e-9).all()
+    assert (out_gnd >= 0).all()
+    # wherever extra height is needed, DEM mode is exactly cell + extra
+    need = out_gnd > 0
+    assert np.allclose(out_dem[need], dem[need] + out_gnd[need])
+    # cells needing no extra height are visible (strict subset direction of
+    # the tolerance-padded visibility test)
+    assert vis[~need].all()
+    assert out_gnd[oy, ox] == 0.0 and out_dem[oy, ox] == dem[oy, ox]
+    # flat terrain with one wall: behind the wall the required height grows
+    # linearly with distance (similar triangles from the observer eye)
+    flat = np.zeros((32, 32))
+    flat[:, 20] = 50.0
+    g = vs.viewshed_array(flat, 5, 16, observer_height=2.0, mode="ground")
+    d_wall, d_t = 15.0, 20.0
+    expect = (50.0 - 2.0) / d_wall * d_t + 2.0  # sight line height at x=25
+    assert abs(g[16, 25] - expect) < 0.7  # ray sampled at ~unit spacing
+    assert g[16, 28] > g[16, 25] > 0
+
+
 def test_viewshed_stage():
     size = 32
     dem = np.zeros((size, size), dtype=np.float32)
