@@ -474,6 +474,32 @@ def _palette_sql() -> str:
     """
 
 
+def _pct2rgb_sql() -> str:
+    """rgb2pct -> pct2rgb round trip on the solid-color palette fixture:
+    each tile reconstructs to the quantized palette entry nearest its base
+    color (ties broken in ascending palette order, matching argmin over the
+    lexsorted palette)."""
+    from gdal_ray.pipelines.queries import PALETTE_BASE
+
+    base = ", ".join(
+        f"({i % 2}, {i // 2}, {r}, {g}, {b})" for i, (r, g, b) in enumerate(PALETTE_BASE)
+    )
+    return f"""
+        WITH base(tx, ty, r, g, b) AS (VALUES {base}),
+        pal AS (SELECT (r // 8) * 8 + 4 AS pr, (g // 8) * 8 + 4 AS pg,
+                       (b // 8) * 8 + 4 AS pb FROM base),
+        nearest AS (SELECT tx, ty, pr, pg, pb,
+                           row_number() OVER (PARTITION BY tx, ty
+                               ORDER BY (r-pr)*(r-pr) + (g-pg)*(g-pg) + (b-pb)*(b-pb),
+                                        pr, pg, pb) AS rn
+                    FROM base CROSS JOIN pal)
+        SELECT CAST(tx AS BIGINT) AS x, CAST(ty AS BIGINT) AS y,
+               CAST(pr AS BIGINT) AS r, CAST(pg AS BIGINT) AS g,
+               CAST(pb AS BIGINT) AS b, CAST(1 AS BIGINT) AS n_colors
+        FROM nearest WHERE rn = 1
+    """
+
+
 def _contour_sql() -> str:
     """Marching-squares contour over the 3x2 ramp mosaic at half-integer
     levels: per-cell corner codes + edge-interpolated segment endpoints
@@ -1175,6 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_nodata": q.fill_nodata_q,
         "viewshed": q.viewshed_q,
         "viewshed_modes": q.viewshed_modes_q,
+        "pct2rgb_roundtrip": q.pct2rgb_q,
         "palette_median_cut": q.palette_q,
         "media_features": q.media_features_q,
         # coordinate transformers (SURVEY §2.3; alg/gdaltransformer.cpp family)
@@ -1677,6 +1704,7 @@ def oracle_sql() -> dict[str, str]:
         "viewshed_modes": _viewshed_modes_sql(),
         "footprint": _footprint_sql(),
         "palette_median_cut": _palette_sql(),
+        "pct2rgb_roundtrip": _pct2rgb_sql(),
         "polygonize_blobs": f"""
             WITH {_blobs_cte(4, 4)}
             SELECT CAST(v AS DOUBLE) AS value,

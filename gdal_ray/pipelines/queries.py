@@ -1129,6 +1129,42 @@ def palette_q(sf_dir: str):
     )
 
 
+def pct2rgb_q(sf_dir: str):
+    """rgb2pct -> pct2rgb round trip: learn the median-cut palette, remap the
+    RGB tiles to palette indices, then expand indices back to RGB.  On the
+    solid-color fixture each tile reconstructs to the palette entry nearest
+    its base color — closed-form in SQL (quantize + argmin join)."""
+    from ..stages import fillpalette
+
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            c = np.array(PALETTE_BASE[ty * 2 + tx], dtype=np.uint8)
+            rgb = np.tile(c, (256, 1)).astype(np.uint8)
+            rows.append({"x": tx, "y": ty, "width": 16, "height": 16, "data": rgb.tobytes()})
+    tiles_tbl = pa.Table.from_pylist(rows)
+    hist = fillpalette.color_histogram(rd.from_arrow(tiles_tbl), bits=5)
+    pal = fillpalette.median_cut(hist, n_colors=4, bits=5)
+    pal = pal[np.lexsort((pal[:, 2], pal[:, 1], pal[:, 0]))]
+    idx_tiles = fillpalette.apply_palette(rd.from_arrow(tiles_tbl), pal)
+    rgb_tiles = fillpalette.expand_palette(idx_tiles, pal)
+
+    def per_tile(t: pa.Table) -> pa.Table:
+        out = {"x": [], "y": [], "r": [], "g": [], "b": [], "n_colors": []}
+        for i in range(t.num_rows):
+            rgb = np.frombuffer(t["data"][i].as_py(), dtype=np.uint8).reshape(-1, 3)
+            uniq = np.unique(rgb, axis=0)
+            out["x"].append(t["x"][i].as_py())
+            out["y"].append(t["y"][i].as_py())
+            out["r"].append(int(rgb[0, 0]))
+            out["g"].append(int(rgb[0, 1]))
+            out["b"].append(int(rgb[0, 2]))
+            out["n_colors"].append(len(uniq))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return rgb_tiles.map_batches(per_tile, batch_format="pyarrow")
+
+
 def viewshed_q(sf_dir: str):
     """Viewshed from an observer on a synthetic DEM (R3 exact LOS).
     Integer-valued DEM (exact in float32 AND in SQL) so the oracle can replay

@@ -203,6 +203,34 @@ def median_cut(hist: np.ndarray, n_colors: int = 16, bits: int = 5) -> np.ndarra
     return np.array(pal, dtype=np.uint8)
 
 
+def expand_palette(tiles_ds, palette: np.ndarray):
+    """pct2rgb: palette-index tiles -> RGB tiles via a broadcast palette
+    lookup (the inverse of apply_palette; re-answers the reference's
+    pct2rgb / color-table expansion, swig/python/gdal-utils pct2rgb)."""
+    import ray
+
+    ref = ray.put(np.asarray(palette, dtype=np.uint8))
+
+    class Expand:
+        def __init__(self):
+            self.pal = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in range(batch.num_rows):
+                h = batch["height"][i].as_py()
+                w = batch["width"][i].as_py()
+                idx = np.frombuffer(batch["data"][i].as_py(), dtype=np.uint8)
+                rgb = self.pal[idx]  # (h*w, 3) fancy-index expansion
+                rows.append(
+                    {"x": batch["x"][i].as_py(), "y": batch["y"][i].as_py(),
+                     "width": w, "height": h, "data": rgb.tobytes()}
+                )
+            return pa.Table.from_pylist(rows)
+
+    return tiles_ds.map_batches(Expand, batch_format="pyarrow", concurrency=2)
+
+
 def apply_palette(tiles_ds, palette: np.ndarray):
     """Broadcast palette -> nearest-color remap per tile (stateless map);
     emits single-band palette-index tiles."""

@@ -69,6 +69,25 @@ def test_median_cut_palette_and_remap():
         assert counts.max() >= 0.9 * idx.size
 
 
+def test_expand_palette_roundtrip():
+    """pct2rgb inverts rgb2pct up to quantization: every reconstructed pixel
+    is a palette color, and it is the palette color nearest the original."""
+    tiles = _rgb_tiles()
+    hist = fillpalette.color_histogram(rd.from_arrow(tiles), bits=5)
+    pal = fillpalette.median_cut(hist, n_colors=4, bits=5)
+    idx = fillpalette.apply_palette(rd.from_arrow(tiles), pal)
+    back = fillpalette.expand_palette(idx, pal).take_all()
+    orig = {(r["x"], r["y"]): np.frombuffer(r["data"], np.uint8).reshape(-1, 3)
+            for r in tiles.to_pylist()}
+    palf = pal.astype(np.float64)
+    for r in back:
+        rgb = np.frombuffer(r["data"], np.uint8).reshape(-1, 3)
+        src = orig[(r["x"], r["y"])]
+        d2 = ((src[:, None, :].astype(np.float64) - palf[None, :, :]) ** 2).sum(axis=2)
+        expect = pal.astype(np.uint8)[np.argmin(d2, axis=1)]
+        assert (rgb == expect).all()
+
+
 def test_pansharpen_brovey():
     size = 8
     rgb = np.full((size, size, 3), 60, dtype=np.uint8)
