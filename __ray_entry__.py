@@ -1159,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q.dedup_exact_q,
         "token_count": q.token_count_q,
         "text_quality": q.text_quality_q,
+        "repetition_stats": q.repetition_stats_q,
         "embedding_topk": q.embedding_topk_q,
         "embedding_ann_ivf": q.embedding_ann_ivf_q,
         "embedding_neardup": q.embedding_neardup_q,
@@ -1425,6 +1426,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
                    CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
             FROM documents
+        """,
+        "repetition_stats": """
+            WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            uni AS (SELECT doc_id, unnest(w) AS word FROM words),
+            ucnt AS (SELECT doc_id, word, count(*) AS c FROM uni GROUP BY 1, 2),
+            ustat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                             CAST(count(*) AS BIGINT) AS n_distinct_words,
+                             CAST(max(c) AS BIGINT) AS top_word_n
+                      FROM ucnt GROUP BY 1),
+            big AS (SELECT doc_id, w[s.i] || chr(1) || w[s.i + 1] AS bg
+                    FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) s),
+            bcnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+            bstat AS (SELECT doc_id, max(c) AS top_bigram_n FROM bcnt GROUP BY 1)
+            SELECT u.doc_id, u.n_words, u.n_distinct_words, u.top_word_n,
+                   CAST(COALESCE(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+            FROM ustat u LEFT JOIN bstat b ON u.doc_id = b.doc_id
         """,
         "embedding_topk": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),

@@ -388,6 +388,18 @@ def text_quality_q(sf_dir: str):
     )
 
 
+def repetition_stats_q(sf_dir: str):
+    """Gopher repetition filters' raw signals over the documents table:
+    word totals, distinct words, top unigram / bigram occurrence counts."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textops.repetition_stats_batch(t).select(
+            ["doc_id", "n_words", "n_distinct_words", "top_word_n", "top_bigram_n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def embedding_topk_q(sf_dir: str):
     emb = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],

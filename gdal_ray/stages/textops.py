@@ -62,6 +62,49 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021, repetition-removal
+    filters): per-doc word total, distinct-word count, top unigram count and
+    top bigram count.  Downstream filters threshold the implied fractions
+    (e.g. drop when top_bigram_n / (n_words - 1) is high); integer counts keep
+    the DuckDB oracle exact.
+
+    Vectorized: one pyarrow split over the batch, flattened word array with a
+    repeat-built doc index, then C-level pandas hash groupbys — no per-row
+    Python."""
+    import pandas as pd
+
+    text = pc.fill_null(batch[text_col], "")
+    words = pc.split_pattern(text, " ")
+    la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    counts = np.diff(la.offsets.to_numpy())
+    flat = np.asarray(la.flatten().to_pandas(), dtype=object)
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    uni = pd.DataFrame({"d": doc_idx, "w": flat})
+    ucnt = uni.groupby(["d", "w"], sort=False).size()
+    per = ucnt.groupby(level=0)
+    n_distinct = np.zeros(len(counts), dtype=np.int64)
+    top_word = np.zeros(len(counts), dtype=np.int64)
+    sizes = per.size()
+    n_distinct[sizes.index.to_numpy()] = sizes.to_numpy()
+    mx = per.max()
+    top_word[mx.index.to_numpy()] = mx.to_numpy()
+    top_bigram = np.zeros(len(counts), dtype=np.int64)
+    if len(flat) > 1:
+        same = doc_idx[:-1] == doc_idx[1:]
+        if same.any():
+            w1 = pd.Series(flat[:-1][same])
+            w2 = pd.Series(flat[1:][same])
+            big = pd.DataFrame({"d": doc_idx[:-1][same], "b": w1 + "\x01" + w2})
+            bmax = big.groupby(["d", "b"], sort=False).size().groupby(level=0).max()
+            top_bigram[bmax.index.to_numpy()] = bmax.to_numpy()
+    out = batch.append_column("n_words", pa.array(counts, pa.int64()))
+    out = out.append_column("n_distinct_words", pa.array(n_distinct, pa.int64()))
+    out = out.append_column("top_word_n", pa.array(top_word, pa.int64()))
+    out = out.append_column("top_bigram_n", pa.array(top_bigram, pa.int64()))
+    return out
+
+
 class LangId:
     """Stopword-voting language heuristic, fully vectorized: tokens are
     isolated by replacing every non-token run with TWO spaces (so adjacent
