@@ -474,6 +474,34 @@ def _palette_sql() -> str:
     """
 
 
+def _kmeans_cte(k: int = 8, iters: int = 2) -> str:
+    """Shared Lloyd-replay CTE chain: init = smallest-id vectors, then
+    ``iters`` x (assign -> per-dim mean, empty clusters keep the previous
+    centroid), mirroring stages/sim.kmeans_assign.  Exposes a{iters} as the
+    final assignment relation and e as the vector relation."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {k})",
+    ]
+    for it in range(iters + 1):
+        parts.append(f"""a{it} AS (SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+            FROM e CROSS JOIN c{it} c) WHERE rn = 1)""")
+        if it < iters:
+            parts.append(f"""m{it} AS (SELECT a{it}.cid, s.i, avg(e.v[s.i]) AS mv
+                FROM a{it} JOIN e USING (vec_id),
+                     LATERAL (SELECT unnest(range(1, len(e.v) + 1)) AS i) s
+                GROUP BY 1, 2)""")
+            parts.append(
+                f"n{it} AS (SELECT cid, list(mv ORDER BY i) AS v FROM m{it} GROUP BY 1)")
+            parts.append(
+                f"c{it + 1} AS (SELECT c.cid, COALESCE(n.v, c.v) AS v"
+                f" FROM c{it} c LEFT JOIN n{it} n USING (cid))")
+    return "WITH " + ",\n".join(parts)
+
+
 def _pct2rgb_sql() -> str:
     """rgb2pct -> pct2rgb round trip on the solid-color palette fixture:
     each tile reconstructs to the quantized palette entry nearest its base
@@ -1160,6 +1188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q.token_count_q,
         "text_quality": q.text_quality_q,
         "repetition_stats": q.repetition_stats_q,
+        "kmeans_clusters": q.kmeans_clusters_q,
+        "semantic_neardup": q.semantic_neardup_q,
         "embedding_topk": q.embedding_topk_q,
         "embedding_ann_ivf": q.embedding_ann_ivf_q,
         "embedding_neardup": q.embedding_neardup_q,
@@ -1426,6 +1456,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
                    CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
             FROM documents
+        """,
+        "kmeans_clusters": f"""
+            {_kmeans_cte(8, 2)}
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2
+        """,
+        "semantic_neardup": f"""
+            {_kmeans_cte(8, 2)},
+            pe AS (SELECT a2.vec_id, a2.cid, e.v FROM a2 JOIN e USING (vec_id))
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM pe a JOIN pe b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
         """,
         "repetition_stats": """
             WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

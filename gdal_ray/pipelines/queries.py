@@ -378,6 +378,38 @@ def embedding_ann_ivf_q(sf_dir: str):
     return out.select_columns(["vec_id", "rank"])
 
 
+def kmeans_clusters_q(sf_dir: str):
+    """Distributed Lloyd k-means (k=8, 2 iterations, smallest-id init) over
+    the embeddings table; the SemDeDup-style clustering stage.  Output =
+    final per-vector assignments."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sim.kmeans_assign(ds, k=8, iters=2)
+
+
+def semantic_neardup_q(sf_dir: str):
+    """SemDeDup plan: k-means cluster -> within-cluster exact pairwise cosine
+    above threshold.  The cluster keying bounds each task's candidate set
+    (the 100 TB shape: no all-pairs scan, one shuffle by cluster id)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    withc = sim.kmeans_assign(ds, k=8, iters=2, keep_embedding=True)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        x = sim._stack_embeddings(g["embedding"])
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        xn = x / n
+        s = xn @ xn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = s[ia, ib] >= 0.35
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64())})
+
+    return withc.groupby("cluster").map_groups(pairs, batch_format="pyarrow")
+
+
 def text_quality_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

@@ -286,3 +286,77 @@ def lsh_bucket_pairs(ds, nplanes: int = 4, ntables: int = 16, threshold: float =
     cand = bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
     # dedup pairs found in multiple tables
     return cand.groupby(["id_a", "id_b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))
+
+
+def kmeans_assign(ds, k: int = 8, iters: int = 2, id_col: str = "vec_id",
+                  keep_embedding: bool = False):
+    """Distributed Lloyd k-means over the embedding column; returns the
+    per-vector cluster assignment Dataset (id, cluster).
+
+    Ray-Data shape: centroids are broadcast each iteration (``ray.put`` of a
+    (k, d) float64 matrix); ONE streaming ``map_batches`` pass per iteration
+    emits per-batch partial sums + counts (a one-hot matmul, so a batch
+    contributes k rows of d doubles — O(k*d), not O(n)); the driver folds the
+    tiny partials into new means.  Empty clusters keep their previous
+    centroid (standard Lloyd handling).  Deterministic init: the k vectors
+    with the smallest ids.
+
+    This is the clustering stage behind SemDeDup-style semantic dedup
+    (cluster -> within-cluster pairwise cosine) and IVF codebook training at
+    corpus scale: per-iteration cost is one pass, no shuffle.
+    """
+    import pyarrow.compute as pc
+
+    seed_rows = ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col], "embedding": b["embedding"]})
+        .filter(pc.less(b[id_col], k)),
+        batch_format="pyarrow",
+    ).take_all()
+    seed_rows.sort(key=lambda r: r[id_col])
+    if len(seed_rows) < k:
+        raise ValueError(f"need ids 0..{k-1} present for deterministic init")
+    cent = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
+
+    def partials_fn(ref):
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = _stack_embeddings(batch["embedding"])
+            d2 = ((x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T)
+                  + (c * c).sum(axis=1)[None, :])
+            assign = np.argmin(d2, axis=1)
+            onehot = np.zeros((x.shape[0], c.shape[0]))
+            onehot[np.arange(x.shape[0]), assign] = 1.0
+            sums = onehot.T @ x  # (k, d)
+            counts = np.bincount(assign, minlength=c.shape[0]).astype(np.int64)
+            return pa.table(
+                {"cluster": pa.array(np.arange(c.shape[0], dtype=np.int64)),
+                 "count": pa.array(counts),
+                 "sum": pa.array([row.tobytes() for row in sums], pa.binary())}
+            )
+        return partials
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+        parts = ds.map_batches(partials_fn(ref), batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.frombuffer(r["sum"], dtype=np.float64)
+            counts[r["cluster"]] += r["count"]
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    ref = ray.put(cent)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _stack_embeddings(batch["embedding"])
+        d2 = ((x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        cols = {id_col: batch[id_col],
+                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64))}
+        if keep_embedding:
+            cols["embedding"] = batch["embedding"]
+        return pa.table(cols)
+
+    return ds.map_batches(assign_final, batch_format="pyarrow")

@@ -1,0 +1,46 @@
+"""Distributed Lloyd k-means (stages/sim.kmeans_assign)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from gdal_ray.stages import sim
+
+
+def _planted(k=3, per=40, d=8, sep=10.0, seed=11):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, (k, d)) * sep
+    pts = np.vstack([centers[i] + rng.normal(0, 0.5, (per, d)) for i in range(k)])
+    truth = np.repeat(np.arange(k), per)
+    # put one point of each planted cluster at the smallest ids so the
+    # deterministic smallest-id init starts near each plant
+    order = np.concatenate([np.arange(k) * per, np.delete(np.arange(k * per), np.arange(k) * per)])
+    return pts[order], truth[order]
+
+
+def test_kmeans_recovers_planted_clusters():
+    pts, truth = _planted()
+    tbl = pa.table({"vec_id": pa.array(np.arange(len(pts)), pa.int64()),
+                    "embedding": pa.array(list(pts), pa.list_(pa.float64()))})
+    out = sim.kmeans_assign(rd.from_arrow(tbl), k=3, iters=3).take_all()
+    got = {r["vec_id"]: r["cluster"] for r in out}
+    assign = np.array([got[i] for i in range(len(pts))])
+    # perfect recovery up to label permutation: each planted group lands in
+    # exactly one output cluster and groups don't merge
+    for g in range(3):
+        vals = np.unique(assign[truth == g])
+        assert len(vals) == 1, (g, vals)
+    assert len(np.unique([assign[truth == g][0] for g in range(3)])) == 3
+
+
+def test_kmeans_keep_embedding_and_empty_cluster():
+    """k larger than the data's natural spread: empty clusters keep their
+    init centroid and the run still terminates deterministically."""
+    pts, _ = _planted(k=2, per=10, d=4)
+    tbl = pa.table({"vec_id": pa.array(np.arange(len(pts)), pa.int64()),
+                    "embedding": pa.array(list(pts), pa.list_(pa.float64()))})
+    out = sim.kmeans_assign(rd.from_arrow(tbl), k=5, iters=2,
+                            keep_embedding=True).take_all()
+    assert len(out) == len(pts)
+    assert all("embedding" in r and len(r["embedding"]) == 4 for r in out)
+    assert all(0 <= r["cluster"] < 5 for r in out)
