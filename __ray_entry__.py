@@ -591,6 +591,98 @@ def _contour_sql() -> str:
     """
 
 
+def _contour_rings_sql() -> str:
+    """Interpolated contour rings on the 3x3 hump paraboloid at off-lattice
+    levels: per-cell marching-squares segment endpoints (crossing-fraction
+    mirror of stages/contour.marching_squares_cells), ring closure via
+    endpoint-degree==2, ring area as the complement of the suplevel region
+    (the traced iso-circle encloses {v < level}; {v >= level} touches the
+    mosaic border and is not traced), ring length as the segment-length sum.
+    One closed ring per level on this convex fixture (no saddles: code 5/10
+    impossible for a disc section)."""
+
+    def cn(dx: int, dy: int) -> str:
+        return (f"(CAST((c+{dx}-96)*(c+{dx}-96) + (r+{dy}-96)*(r+{dy}-96)"
+                f" AS DOUBLE) / 64.0)")
+
+    va, vb, vcc, vd = cn(0, 0), cn(1, 0), cn(1, 1), cn(0, 1)
+
+    def interp(v0: str, v1: str) -> str:
+        return (f"LEAST(GREATEST((level - {v0}) / "
+                f"(CASE WHEN {v1} = {v0} THEN 1.0 ELSE {v1} - {v0} END),"
+                f" 0.0), 1.0)")
+
+    pts = {
+        "top": ("c + t", "CAST(r AS DOUBLE)"),
+        "right": ("CAST(c + 1 AS DOUBLE)", "r + rr"),
+        "bottom": ("c + bm", "CAST(r + 1 AS DOUBLE)"),
+        "left": ("CAST(c AS DOUBLE)", "r + l"),
+    }
+    table = {1: ("left", "top"), 2: ("top", "right"), 3: ("left", "right"),
+             4: ("right", "bottom"), 6: ("top", "bottom"), 7: ("left", "bottom"),
+             8: ("bottom", "left"), 9: ("bottom", "top"), 11: ("bottom", "right"),
+             12: ("right", "left"), 13: ("right", "top"), 14: ("top", "left")}
+
+    def case_expr(which: int, axis: int) -> str:
+        branches = " ".join(
+            f"WHEN {code} THEN {pts[ends[which]][axis]}" for code, ends in table.items()
+        )
+        return f"CASE code {branches} END"
+
+    area_case = """
+        CASE code
+          WHEN 0 THEN 0.0
+          WHEN 1 THEN t * l / 2.0
+          WHEN 2 THEN (1.0 - t) * rr / 2.0
+          WHEN 4 THEN (1.0 - rr) * (1.0 - bm) / 2.0
+          WHEN 8 THEN (1.0 - l) * bm / 2.0
+          WHEN 3 THEN (l + rr) / 2.0
+          WHEN 6 THEN ((1.0 - t) + (1.0 - bm)) / 2.0
+          WHEN 12 THEN ((1.0 - l) + (1.0 - rr)) / 2.0
+          WHEN 9 THEN (t + bm) / 2.0
+          WHEN 7 THEN 1.0 - (1.0 - l) * bm / 2.0
+          WHEN 11 THEN 1.0 - (1.0 - rr) * (1.0 - bm) / 2.0
+          WHEN 13 THEN 1.0 - (1.0 - t) * rr / 2.0
+          WHEN 14 THEN 1.0 - t * l / 2.0
+          WHEN 15 THEN 1.0
+        END
+    """
+    return f"""
+        WITH cells AS (SELECT a.range AS c, b.range AS r FROM range(191) a, range(191) b),
+        lv(level) AS (VALUES (CAST(50.3 AS DOUBLE)), (CAST(120.7 AS DOUBLE))),
+        f AS (SELECT level, c, r,
+                (CASE WHEN {va} >= level THEN 1 ELSE 0 END)
+              + (CASE WHEN {vb} >= level THEN 2 ELSE 0 END)
+              + (CASE WHEN {vcc} >= level THEN 4 ELSE 0 END)
+              + (CASE WHEN {vd} >= level THEN 8 ELSE 0 END) AS code,
+                {interp(va, vb)} AS t, {interp(vb, vcc)} AS rr,
+                {interp(vd, vcc)} AS bm, {interp(va, vd)} AS l
+              FROM cells, lv),
+        sup AS (SELECT level, sum({area_case}) AS suparea FROM f GROUP BY 1),
+        seg AS (SELECT level,
+                       {case_expr(0, 0)} AS x0, {case_expr(0, 1)} AS y0,
+                       {case_expr(1, 0)} AS x1, {case_expr(1, 1)} AS y1
+                FROM f WHERE code NOT IN (0, 15)),
+        segagg AS (SELECT level, CAST(count(*) AS BIGINT) AS n_vertices,
+                          CAST(round(sum(sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)))
+                                     * 100.0) AS BIGINT) AS length_x100
+                   FROM seg GROUP BY 1),
+        ends AS (SELECT level, CAST(round(x0 / 1e-9) AS BIGINT) AS kx,
+                        CAST(round(y0 / 1e-9) AS BIGINT) AS ky FROM seg
+                 UNION ALL
+                 SELECT level, CAST(round(x1 / 1e-9) AS BIGINT),
+                        CAST(round(y1 / 1e-9) AS BIGINT) FROM seg),
+        closedagg AS (SELECT level, (min(cnt) = 2 AND max(cnt) = 2) AS closed
+                      FROM (SELECT level, kx, ky, count(*) AS cnt
+                            FROM ends GROUP BY 1, 2, 3) GROUP BY 1)
+        SELECT s.level, CAST(0 AS BIGINT) AS ring_id, s.n_vertices, c.closed,
+               CAST(round((CAST(191*191 AS DOUBLE) - p.suparea) * 100.0)
+                    AS BIGINT) AS area_x100,
+               s.length_x100
+        FROM segagg s JOIN closedagg c USING (level) JOIN sup p USING (level)
+    """
+
+
 def _contour_band_sql() -> str:
     """Interpolated band-polygon areas over the 3x2 ramp mosaic — mirrors
     stages/contour.suplevel_area_cells per cell (same crossing-fraction,
@@ -1204,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_ramp": q.contour_ramp_q,
         "contour_polygons": q.contour_polygons_q,
         "contour_band_areas": q.contour_band_areas_q,
+        "contour_rings_interp": q.contour_rings_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
         "predicate_counts": q.predicate_counts_q,
@@ -1712,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "contour_ramp": _contour_sql(),
         "contour_band_areas": _contour_band_sql(),
+        "contour_rings_interp": _contour_rings_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
         "tile_pyramid_cubic": _tile_pyramid_cubic_sql(),
         "overview_kernels": _overview_kernels_sql(),

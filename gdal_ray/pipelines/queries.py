@@ -783,6 +783,21 @@ def contour_band_areas_q(sf_dir: str):
     )
 
 
+def contour_rings_q(sf_dir: str):
+    """Interpolated contour rings over the hump paraboloid: marching-squares
+    segments with vertices AT the linear level crossings, chained cross-tile
+    into closed rings (closes the pixel-edge-ring gap).  Levels chosen off
+    the value lattice (k/64) so no crossing sits on a pixel corner."""
+    from ..stages import contour as cnt
+
+    tiles_tbl = synthetic.make_raster_tiles("hump", 3, 3, size=64)
+    out = cnt.contour_rings(rd.from_arrow(tiles_tbl), [50.3, 120.7],
+                            nx=3, ny=3, tile_size=64)
+    return out.select_columns(
+        ["level", "ring_id", "n_vertices", "closed", "area_x100", "length_x100"]
+    )
+
+
 # -- rows-only checks (non-SQL-expressible) ----------------------------------
 
 

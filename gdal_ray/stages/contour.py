@@ -287,6 +287,117 @@ def contour_band_areas(tiles_ds, levels, nx: int, ny: int, tile_size: int = 64):
     return parts.groupby("band").map_groups(reduce_band, batch_format="pyarrow")
 
 
+def contour_rings(tiles_ds, levels, nx: int, ny: int, tile_size: int = 64):
+    """Interpolated contour RINGS: per-tile marching-squares segments (vertex
+    coordinates at linear level crossings — the reference's smooth-ring
+    geometry, ``alg/marching_squares/polygon_ring_appender.h``) chained
+    cross-tile into closed ordered vertex loops.
+
+    Closes the round-2 gap where traced ring WKB was pixel-edge: here the
+    ring vertices ARE the interpolated crossings.  Scope: iso-lines that
+    close inside the mosaic (level sets touching the raster border stay open
+    and are reported with closed=false).
+
+    Returns per (level, ring): ring_id (minx/miny-ordered), n_vertices,
+    closed, area_x100 (shoelace), length_x100, wkb (LINESTRING ring)."""
+    import struct
+
+    grouped = _halo_exchange(tiles_ds)
+
+    def per_tile(group: pa.Table) -> pa.Table:
+        pad, xy, wh = _assemble_padded(group)
+        if pad is None:
+            return pa.table({"level": pa.array([], pa.float64()),
+                             "seg": pa.array([], pa.binary())})
+        x, y = xy
+        w, h = wh
+        arr2 = pad[1:, 1:]
+        own_cols = w if x < nx - 1 else w - 1
+        own_rows = h if y < ny - 1 else h - 1
+        lvls, blobs = [], []
+        for level in levels:
+            segs = marching_squares_cells(
+                arr2, level, ox=x * tile_size, oy=y * tile_size,
+                max_row=own_rows, max_col=own_cols,
+            )
+            if len(segs):
+                lvls.append(float(level))
+                blobs.append(segs.tobytes())
+        return pa.table({"level": pa.array(lvls, pa.float64()),
+                         "seg": pa.array(blobs, pa.binary())})
+
+    segs_ds = grouped.map_groups(per_tile, batch_format="pyarrow")
+
+    def assemble(group: pa.Table) -> pa.Table:
+        level = group["level"][0].as_py()
+        segs = np.vstack(
+            [np.frombuffer(b, dtype=np.float64).reshape(-1, 4)
+             for b in group["seg"].to_pylist()]
+        )
+
+        def key(p):
+            return (round(p[0] / _EPS), round(p[1] / _EPS))
+
+        adj: dict = {}
+        for i, s in enumerate(segs):
+            adj.setdefault(key(s[:2]), []).append((i, 0))
+            adj.setdefault(key(s[2:]), []).append((i, 1))
+        used = np.zeros(len(segs), dtype=bool)
+        rings = []
+        for i in range(len(segs)):
+            if used[i]:
+                continue
+            # walk forward from segment i's end; if we return to its start the
+            # chain is a closed ring, else walk the other direction too and
+            # report the open polyline
+            pts = [segs[i][:2].copy(), segs[i][2:].copy()]
+            used[i] = True
+            closed = False
+            while True:
+                nxt = [t for t in adj.get(key(pts[-1]), []) if not used[t[0]]]
+                if not nxt:
+                    break
+                cur, came = nxt[0]
+                used[cur] = True
+                pts.append(segs[cur][2:].copy() if came == 0 else segs[cur][:2].copy())
+                if key(pts[-1]) == key(pts[0]):
+                    closed = True
+                    break
+            if not closed:
+                while True:  # extend backwards for open chains
+                    nxt = [t for t in adj.get(key(pts[0]), []) if not used[t[0]]]
+                    if not nxt:
+                        break
+                    cur, came = nxt[0]
+                    used[cur] = True
+                    pts.insert(0, segs[cur][2:].copy() if came == 0 else segs[cur][:2].copy())
+            arrp = np.asarray(pts)
+            if closed:
+                arrp[-1] = arrp[0]  # snap the closure exactly
+            xs, ys = arrp[:, 0], arrp[:, 1]
+            area = 0.0
+            if closed:
+                area = abs(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1])) / 2.0
+            length = float(np.hypot(np.diff(xs), np.diff(ys)).sum())
+            wkb = struct.pack("<BII", 1, 2, len(arrp)) + arrp.astype("<f8").tobytes()
+            rings.append((float(xs.min()), float(ys.min()), len(arrp) - (1 if closed else 0),
+                          closed, area, length, wkb))
+        rings.sort(key=lambda r: (r[0], r[1]))
+        return pa.table(
+            {
+                "level": pa.array([level] * len(rings), pa.float64()),
+                "ring_id": pa.array(np.arange(len(rings), dtype=np.int64)),
+                "n_vertices": pa.array([r[2] for r in rings], pa.int64()),
+                "closed": pa.array([r[3] for r in rings], pa.bool_()),
+                "area_x100": pa.array([int(round(r[4] * 100)) for r in rings], pa.int64()),
+                "length_x100": pa.array([int(round(r[5] * 100)) for r in rings], pa.int64()),
+                "wkb": pa.array([r[6] for r in rings], pa.binary()),
+            }
+        )
+
+    return segs_ds.groupby("level").map_groups(assemble, batch_format="pyarrow")
+
+
 def contour_polygons(tiles_ds, levels, tile_size: int = 64):
     """gdal_contour -p analogue: POLYGON output between level bands
     (reference: alg/marching_squares/polygon_ring_appender.h).  Pixels are

@@ -109,6 +109,62 @@ def test_contour_tiled_matches_monolithic():
         assert int(row["n_polylines"]) == 1
 
 
+def test_contour_rings_tiled_matches_monolithic():
+    """Interpolated rings: tiled chaining reproduces the monolithic segment
+    set (vertex count == segments), rings close, and the shoelace area equals
+    the suplevel complement analytically derived from the same cells."""
+    size = 64
+    tiles = synthetic.make_raster_tiles("hump", 3, 3, size=size)
+    full = _assemble_tiles(tiles, size)
+    levels = [50.3, 120.7]
+    rows = contour_stage.contour_rings(
+        rd.from_arrow(tiles), levels, nx=3, ny=3, tile_size=size
+    ).take_all()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    for lv in levels:
+        mono = contour_stage.marching_squares_cells(full, lv)
+        rs = by_level[lv]
+        assert len(rs) == 1 and rs[0]["closed"]
+        assert rs[0]["n_vertices"] == len(mono)
+        sup = contour_stage.suplevel_area_cells(full, lv)
+        area_c = (full.shape[0] - 1) * (full.shape[1] - 1) - sup.sum()
+        assert abs(rs[0]["area_x100"] / 100.0 - area_c) < 0.006  # x100 rounding
+        # ring vertices are interpolated crossings, not pixel-edge lattice:
+        # fractional coordinates must appear
+        import struct
+        n = struct.unpack("<I", rs[0]["wkb"][5:9])[0]
+        pts = np.frombuffer(rs[0]["wkb"][9:9 + 16 * n], dtype="<f8").reshape(-1, 2)
+        fracs = np.abs(pts - np.round(pts))
+        assert (fracs > 1e-6).any()
+
+
+def test_contour_rings_multiple_components():
+    """Two disjoint bumps -> two closed rings per level, ordered by minx."""
+    size = 32
+    gy, gx = np.mgrid[0:size, 0:size]
+    arr = np.zeros((size, size), dtype=np.float32)
+    for cx in (8, 24):
+        arr += 50.0 / (1.0 + ((gx - cx) ** 2 + (gy - 16) ** 2) / 4.0)
+    t = pa.Table.from_pylist([{
+        "z": 0, "x": 0, "y": 0, "band": 1, "width": size, "height": size,
+        "crs": "EPSG:3857", "nodata": -1.0, "dtype": "float32",
+        "data": arr.tobytes(),
+    }])
+    rows = contour_stage.contour_rings(rd.from_arrow(t), [10.3], nx=1, ny=1,
+                                       tile_size=size).take_all()
+    assert len(rows) == 2
+    assert all(r["closed"] for r in rows)
+    assert rows[0]["ring_id"] == 0 and rows[1]["ring_id"] == 1
+    # ordered by minx: first ring belongs to the left bump
+    import struct
+    for r, cx in zip(rows, (8, 24)):
+        n = struct.unpack("<I", r["wkb"][5:9])[0]
+        pts = np.frombuffer(r["wkb"][9:9 + 16 * n], dtype="<f8").reshape(-1, 2)
+        assert abs(pts[:, 0].mean() - cx) < 2.0
+
+
 def test_sieve_removes_interior_speck():
     size = 32
     arr = np.full((size, size), 3, dtype=np.uint8)
