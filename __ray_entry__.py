@@ -591,6 +591,39 @@ def _contour_sql() -> str:
     """
 
 
+def _wrapdateline_sql() -> str:
+    """-wrapdateline replay on the fixture: lines unwrap the second vertex by
+    the nearest-360 multiple (crossing iff it leaves [-180, 180]); rectangles
+    split into two slabs when lon_w > lon_e (signed straddle).  Lengths /
+    areas are computed in unwrapped space — identical to the engine's
+    part-sum because the split is exact."""
+    from gdal_ray.pipelines.queries import WRAP_LINES, WRAP_POLYS
+
+    lines = ", ".join(f"({g}, {a}, {b}, {c}, {d})" for g, a, b, c, d in WRAP_LINES)
+    polys = ", ".join(f"({g}, {a}, {b}, {c}, {d})" for g, a, b, c, d in WRAP_POLYS)
+    return f"""
+        WITH lines(gid, x0, y0, x1, y1) AS (VALUES {lines}),
+        l AS (SELECT gid, x0, y0, y1,
+                     x1 - 360.0 * round((x1 - x0) / 360.0) AS x1u
+              FROM lines),
+        lo AS (SELECT CAST(gid AS BIGINT) AS gid,
+                      CAST(CASE WHEN x1u > 180.0 OR x1u < -180.0
+                           THEN 2 ELSE 1 END AS BIGINT) AS n_parts,
+                      CAST(round(sqrt((x1u-x0)*(x1u-x0) + (y1-y0)*(y1-y0))
+                                 * 1000000.0) AS BIGINT) AS len_x1e6,
+                      CAST(0 AS BIGINT) AS area_x1e6
+               FROM l),
+        polys(gid, xw, xe, y0, y1) AS (VALUES {polys}),
+        po AS (SELECT CAST(gid AS BIGINT) AS gid,
+                      CAST(CASE WHEN xw > xe THEN 2 ELSE 1 END AS BIGINT) AS n_parts,
+                      CAST(0 AS BIGINT) AS len_x1e6,
+                      CAST(round(((CASE WHEN xw > xe THEN xe + 360.0 ELSE xe END) - xw)
+                                 * (y1 - y0) * 1000000.0) AS BIGINT) AS area_x1e6
+               FROM polys)
+        SELECT * FROM lo UNION ALL SELECT * FROM po
+    """
+
+
 def _contour_rings_sql() -> str:
     """Interpolated contour rings on the 3x3 hump paraboloid at off-lattice
     levels: per-cell marching-squares segment endpoints (crossing-fraction
@@ -1297,6 +1330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_polygons": q.contour_polygons_q,
         "contour_band_areas": q.contour_band_areas_q,
         "contour_rings_interp": q.contour_rings_q,
+        "wrapdateline": q.wrapdateline_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
         "predicate_counts": q.predicate_counts_q,
@@ -1806,6 +1840,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_ramp": _contour_sql(),
         "contour_band_areas": _contour_band_sql(),
         "contour_rings_interp": _contour_rings_sql(),
+        "wrapdateline": _wrapdateline_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
         "tile_pyramid_cubic": _tile_pyramid_cubic_sql(),
         "overview_kernels": _overview_kernels_sql(),

@@ -783,6 +783,40 @@ def contour_band_areas_q(sf_dir: str):
     )
 
 
+WRAP_LINES = [
+    # (gid, x0, y0, x1, y1) — 2-point linestrings in lon/lat
+    (0, 170.0, 10.0, -170.0, 30.0),   # eastward crossing
+    (1, -10.0, 0.0, 10.0, 5.0),       # no crossing
+    (2, -170.0, -5.0, 170.0, -15.0),  # westward crossing
+    (3, 179.5, 0.0, -179.5, 1.0),     # near-pole-free thin crossing
+]
+WRAP_POLYS = [
+    # (gid, lon_w, lon_e (signed, crossing if w > e), y0, y1)
+    (4, 170.0, -170.0, 0.0, 20.0),    # straddles the dateline
+    (5, 0.0, 10.0, 0.0, 10.0),        # plain box
+]
+
+
+def wrapdateline_q(sf_dir: str):
+    """ogr2ogr -wrapdateline over a mixed line/polygon fixture: crossing
+    geometries split into [-180, 180]-normalized parts; per-geometry part
+    count, polyline length and polygon area are the goldens."""
+    from ..stages import geomops
+    from ..functions import wkb as _wkb
+
+    rows = []
+    for gid, x0, y0, x1, y1 in WRAP_LINES:
+        rows.append({"gid": gid,
+                     "wkb": _wkb.encode_linestring(np.array([[x0, y0], [x1, y1]]))})
+    for gid, xw, xe, y0, y1 in WRAP_POLYS:
+        ring = np.array([[xw, y0], [xe, y0], [xe, y1], [xw, y1], [xw, y0]])
+        rows.append({"gid": gid, "wkb": _wkb.encode_polygon([ring])})
+    tbl = pa.Table.from_pylist(rows)
+    out = rd.from_arrow(tbl).map_batches(geomops.wrap_dateline_batch,
+                                         batch_format="pyarrow")
+    return out.select_columns(["gid", "n_parts", "len_x1e6", "area_x1e6"])
+
+
 def contour_rings_q(sf_dir: str):
     """Interpolated contour rings over the hump paraboloid: marching-squares
     segments with vertices AT the linear level crossings, chained cross-tile

@@ -378,6 +378,140 @@ def concave_hull(pts: np.ndarray, k: int = 8) -> np.ndarray:
     return convex_hull(pts)
 
 
+def _unwrap_lons(pts: np.ndarray) -> np.ndarray:
+    """Make longitudes continuous: each vertex shifted by a multiple of 360
+    so |dlon| <= 180 between neighbors (the antimeridian-crossing test the
+    reference uses, ogr/ogrgeometryfactory.cpp WRAPDATELINE)."""
+    out = pts.astype(np.float64).copy()
+    d = np.diff(out[:, 0])
+    shift = -360.0 * np.cumsum(np.round(d / 360.0))
+    out[1:, 0] += shift
+    return out
+
+
+def _clip_lon_window(pts: np.ndarray, lo: float, hi: float, closed: bool) -> np.ndarray | list:
+    """Clip an unwrapped vertex chain to the lon slab [lo, hi].
+
+    closed=False: returns a list of polyline pieces (split at slab borders).
+    closed=True:  Sutherland-Hodgman against the two half-planes; returns the
+    clipped ring (possibly empty)."""
+    if closed:
+        ring = pts
+        for bound, keep_le in ((hi, True), (lo, False)):
+            if len(ring) == 0:
+                return np.empty((0, 2))
+            out = []
+            for i in range(len(ring) - 1):
+                a, b = ring[i], ring[i + 1]
+                ina = (a[0] <= bound) if keep_le else (a[0] >= bound)
+                inb = (b[0] <= bound) if keep_le else (b[0] >= bound)
+                if ina:
+                    out.append(a)
+                if ina != inb:
+                    t = (bound - a[0]) / (b[0] - a[0])
+                    out.append(np.array([bound, a[1] + t * (b[1] - a[1])]))
+            if not out:
+                return np.empty((0, 2))
+            out.append(out[0])
+            ring = np.asarray(out)
+        return ring
+    pieces, cur = [], []
+    for i in range(len(pts) - 1):
+        a, b = pts[i], pts[i + 1]
+        # param range of the segment inside [lo, hi]
+        if a[0] == b[0]:
+            inside = lo <= a[0] <= hi
+            t0, t1 = (0.0, 1.0) if inside else (1.0, 0.0)
+        else:
+            ta = (lo - a[0]) / (b[0] - a[0])
+            tb = (hi - a[0]) / (b[0] - a[0])
+            t0, t1 = max(0.0, min(ta, tb)), min(1.0, max(ta, tb))
+        if t0 >= t1:
+            if cur:
+                pieces.append(np.asarray(cur))
+                cur = []
+            continue
+        p0 = a + t0 * (b - a)
+        p1 = a + t1 * (b - a)
+        if not cur:
+            cur = [p0]
+        cur.append(p1)
+        if t1 < 1.0:
+            pieces.append(np.asarray(cur))
+            cur = []
+    if cur:
+        pieces.append(np.asarray(cur))
+    return pieces
+
+
+def wrap_dateline_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """ogr2ogr ``-wrapdateline``: split geometries crossing the antimeridian
+    into parts with longitudes normalized to [-180, 180]
+    (ogr/ogrgeometryfactory.cpp transformWithOptions WRAPDATELINE=YES).
+
+    Supported: POINT (lon normalization), LINESTRING (-> MULTILINESTRING
+    parts), POLYGON shell (-> MULTIPOLYGON parts via half-plane clipping of
+    the unwrapped ring).  Appends n_parts, len_x1e6 (polyline length over
+    parts) and area_x1e6 (shoelace sum over parts)."""
+    import struct
+
+    out_wkb, out_n, out_len, out_area = [], [], [], []
+    for w in batch[wkb_col].to_pylist():
+        g = _wkb.decode(w)
+        if g.kind == _wkb.POINT:
+            p = g.parts[0].astype(np.float64).copy()
+            p[0] = ((p[0] + 180.0) % 360.0) - 180.0
+            out_wkb.append(_wkb.encode_points(np.array([p[0]]), np.array([p[1]]))[0])
+            out_n.append(1); out_len.append(0); out_area.append(0)
+            continue
+        if g.kind == _wkb.LINESTRING:
+            pts = _unwrap_lons(g.parts[0])
+            k0 = int(np.floor((pts[:, 0].min() + 180.0) / 360.0))
+            k1 = int(np.floor((pts[:, 0].max() + 180.0) / 360.0 - 1e-12))
+            parts = []
+            for k in range(k0, k1 + 1):
+                for piece in _clip_lon_window(pts, -180.0 + 360.0 * k,
+                                              180.0 + 360.0 * k, closed=False):
+                    piece[:, 0] -= 360.0 * k
+                    parts.append(piece)
+            total = sum(float(np.hypot(np.diff(p[:, 0]), np.diff(p[:, 1])).sum())
+                        for p in parts)
+            out_wkb.append(_encode_multilinestring(parts) if len(parts) > 1
+                           else _wkb.encode_linestring(parts[0]))
+            out_n.append(len(parts)); out_len.append(int(round(total * 1e6)))
+            out_area.append(0)
+            continue
+        if g.kind == _wkb.POLYGON:
+            shell = _unwrap_lons(g.parts[0][0])
+            k0 = int(np.floor((shell[:, 0].min() + 180.0) / 360.0))
+            k1 = int(np.floor((shell[:, 0].max() + 180.0) / 360.0 - 1e-12))
+            polys, area = [], 0.0
+            for k in range(k0, k1 + 1):
+                ring = _clip_lon_window(shell, -180.0 + 360.0 * k,
+                                        180.0 + 360.0 * k, closed=True)
+                if len(ring) < 4:
+                    continue
+                ring = np.asarray(ring, dtype=np.float64).copy()
+                ring[:, 0] -= 360.0 * k
+                a = abs(np.sum(ring[:-1, 0] * ring[1:, 1]
+                               - ring[1:, 0] * ring[:-1, 1])) / 2.0
+                if a == 0.0:
+                    continue
+                polys.append([ring])
+                area += a
+            wkb_out = (_wkb.encode_polygon(polys[0]) if len(polys) == 1
+                       else _wkb.encode_multipolygon(polys))
+            out_wkb.append(wkb_out)
+            out_n.append(len(polys)); out_len.append(0)
+            out_area.append(int(round(area * 1e6)))
+            continue
+        out_wkb.append(w); out_n.append(1); out_len.append(0); out_area.append(0)
+    return (batch.append_column("wrapped_wkb", pa.array(out_wkb, pa.binary()))
+                 .append_column("n_parts", pa.array(out_n, pa.int64()))
+                 .append_column("len_x1e6", pa.array(out_len, pa.int64()))
+                 .append_column("area_x1e6", pa.array(out_area, pa.int64())))
+
+
 def explode_collections(ds, wkb_col: str = "wkb"):
     """1 -> N: multi-geometries split into single-part rows (flat_map via
     map_batches emitting more rows; apps/gdalalg_vector_explode_collections.h)."""

@@ -111,3 +111,36 @@ def test_reproject_hook_closed_form():
     assert np.all(np.isfinite(ux)) and np.all(np.isfinite(uy))
     with pytest.raises(NotImplementedError):
         geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:2154")
+
+
+def test_wrapdateline_line_split_and_interp():
+    """A dateline-crossing segment splits at lon ±180 with the latitude
+    linearly interpolated; a non-crossing segment passes through unchanged."""
+    t = pa.table({"gid": [0, 1], "wkb": [
+        wkb.encode_linestring(np.array([[170.0, 10.0], [-170.0, 30.0]])),
+        wkb.encode_linestring(np.array([[-10.0, 0.0], [10.0, 5.0]])),
+    ]})
+    out = geomops.wrap_dateline_batch(t).to_pylist()
+    g0 = wkb.decode(out[0]["wrapped_wkb"])
+    assert g0.kind == wkb.MULTILINESTRING and out[0]["n_parts"] == 2
+    p0, p1 = g0.parts
+    assert np.allclose(p0, [[170, 10], [180, 20]])
+    assert np.allclose(p1, [[-180, 20], [-170, 30]])
+    g1 = wkb.decode(out[1]["wrapped_wkb"])
+    assert g1.kind == wkb.LINESTRING and out[1]["n_parts"] == 1
+    assert np.allclose(g1.parts[0], [[-10, 0], [10, 5]])
+
+
+def test_wrapdateline_polygon_split_areas():
+    """A 20-degree-wide box straddling the dateline splits into two 10-degree
+    boxes whose areas sum to the original."""
+    ring = np.array([[170.0, 0.0], [-170.0, 0.0], [-170.0, 20.0],
+                     [170.0, 20.0], [170.0, 0.0]])
+    t = pa.table({"gid": [0], "wkb": [wkb.encode_polygon([ring])]})
+    out = geomops.wrap_dateline_batch(t).to_pylist()[0]
+    assert out["n_parts"] == 2
+    assert out["area_x1e6"] == 400_000_000
+    g = wkb.decode(out["wrapped_wkb"])
+    assert g.kind == wkb.MULTIPOLYGON
+    xs = g.vertices()[:, 0]
+    assert xs.min() >= -180.0 and xs.max() <= 180.0
