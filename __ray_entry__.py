@@ -591,6 +591,38 @@ def _contour_sql() -> str:
     """
 
 
+def _geodesic_sql() -> str:
+    """Spherical area/perimeter replay over the zone rectangles: the same
+    spherical-excess shoelace terms (in ring order, zero terms folded) and
+    per-edge haversine as stages/geomops — term order and parenthesization
+    mirrored for bit-stable rounding."""
+    R = repr(6371007.180918475)
+
+    def hav(x1, y1, x2, y2):
+        dphi = f"(radians({y2}) - radians({y1}))/2.0"
+        dlam = f"(radians({x2}) - radians({x1}))/2.0"
+        return (f"2.0*{R}*asin(sqrt(sin({dphi})*sin({dphi})"
+                f" + cos(radians({y1}))*cos(radians({y2}))"
+                f"*(sin({dlam})*sin({dlam}))))")
+
+    # ring order: (minx,miny)->(maxx,miny)->(maxx,maxy)->(minx,maxy)->close
+    edges = [("minx", "miny", "maxx", "miny"), ("maxx", "miny", "maxx", "maxy"),
+             ("maxx", "maxy", "minx", "maxy"), ("minx", "maxy", "minx", "miny")]
+    perim = " + ".join(hav(*e) for e in edges)
+    t1 = ("(radians(maxx) - radians(minx))"
+          " * (2.0 + sin(radians(miny)) + sin(radians(miny)))")
+    t3 = ("(radians(minx) - radians(maxx))"
+          " * (2.0 + sin(radians(maxy)) + sin(radians(maxy)))")
+    return f"""
+        WITH {_ZONES}
+        SELECT zone_key,
+               CAST(round(abs({t1} + {t3}) * ({R}*{R}) / 2.0 / 10.0) AS BIGINT)
+                 AS geo_area_10m2,
+               CAST(round({perim}) AS BIGINT) AS geo_perim_m
+        FROM zz
+    """
+
+
 def _wrapdateline_sql() -> str:
     """-wrapdateline replay on the fixture: lines unwrap the second vertex by
     the nearest-360 multiple (crossing iff it leaves [-180, 180]); rectangles
@@ -1331,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_band_areas": q.contour_band_areas_q,
         "contour_rings_interp": q.contour_rings_q,
         "wrapdateline": q.wrapdateline_q,
+        "geodesic_measures": q.geodesic_measures_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
         "predicate_counts": q.predicate_counts_q,
@@ -1841,6 +1874,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_band_areas": _contour_band_sql(),
         "contour_rings_interp": _contour_rings_sql(),
         "wrapdateline": _wrapdateline_sql(),
+        "geodesic_measures": _geodesic_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
         "tile_pyramid_cubic": _tile_pyramid_cubic_sql(),
         "overview_kernels": _overview_kernels_sql(),

@@ -817,6 +817,16 @@ def wrapdateline_q(sf_dir: str):
     return out.select_columns(["gid", "n_parts", "len_x1e6", "area_x1e6"])
 
 
+def geodesic_measures_q(sf_dir: str):
+    """Geodesic (spherical) area + perimeter of every zone polygon — the
+    get_GeodesicArea/Length surface on the authalic sphere."""
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+    out = zones.map_batches(geomops.geodesic_measures_batch, batch_format="pyarrow")
+    return out.select_columns(["zone_key", "geo_area_10m2", "geo_perim_m"])
+
+
 def contour_rings_q(sf_dir: str):
     """Interpolated contour rings over the hump paraboloid: marching-squares
     segments with vertices AT the linear level crossings, chained cross-tile

@@ -378,6 +378,55 @@ def concave_hull(pts: np.ndarray, k: int = 8) -> np.ndarray:
     return convex_hull(pts)
 
 
+_AUTHALIC_R = 6371007.180918475  # WGS84 authalic sphere radius (meters)
+
+
+def _sph_ring_area_m2(ring: np.ndarray) -> float:
+    """Spherical-excess shoelace (the classic lon/lat polygon area on the
+    authalic sphere): R^2/2 * |sum (lam2-lam1)(2 + sin phi1 + sin phi2)|.
+    Spherical approximation of the reference's geodesic Area()
+    (ogr/ogrcurvepolygon.cpp get_GeodesicArea; GeographicLib ellipsoid there,
+    authalic sphere here — documented approximation)."""
+    lam = np.radians(ring[:, 0])
+    phi = np.radians(ring[:, 1])
+    terms = (lam[1:] - lam[:-1]) * (2.0 + np.sin(phi[:-1]) + np.sin(phi[1:]))
+    return abs(terms.sum()) * (_AUTHALIC_R * _AUTHALIC_R) / 2.0
+
+
+def _haversine_len_m(pts: np.ndarray) -> float:
+    """Great-circle polyline length on the authalic sphere (haversine per
+    segment; spherical mirror of get_GeodesicLength)."""
+    lam = np.radians(pts[:, 0])
+    phi = np.radians(pts[:, 1])
+    a = (np.sin((phi[1:] - phi[:-1]) / 2.0) ** 2
+         + np.cos(phi[:-1]) * np.cos(phi[1:]) * np.sin((lam[1:] - lam[:-1]) / 2.0) ** 2)
+    return float((2.0 * _AUTHALIC_R * np.arcsin(np.sqrt(a))).sum())
+
+
+def geodesic_measures_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """Append geodesic (spherical) measures: geo_area_10m2 = round(area/10)
+    in 10 m^2 units (shells minus holes) and geo_perim_m = round(perimeter /
+    polyline length) in meters."""
+    areas, perims = [], []
+    for w in batch[wkb_col].to_pylist():
+        g = _wkb.decode(w)
+        area = 0.0
+        perim = 0.0
+        for rings in g.shells_and_holes():
+            for j, ring in enumerate(rings):
+                a = _sph_ring_area_m2(ring)
+                area += a if j == 0 else -a
+                perim += _haversine_len_m(ring)
+        if g.kind == _wkb.LINESTRING:
+            perim = _haversine_len_m(g.parts[0])
+        elif g.kind == _wkb.MULTILINESTRING:
+            perim = sum(_haversine_len_m(p) for p in g.parts)
+        areas.append(int(round(area / 10.0)))
+        perims.append(int(round(perim)))
+    return (batch.append_column("geo_area_10m2", pa.array(areas, pa.int64()))
+                 .append_column("geo_perim_m", pa.array(perims, pa.int64())))
+
+
 def _unwrap_lons(pts: np.ndarray) -> np.ndarray:
     """Make longitudes continuous: each vertex shifted by a multiple of 360
     so |dlon| <= 180 between neighbors (the antimeridian-crossing test the

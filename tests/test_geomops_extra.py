@@ -144,3 +144,26 @@ def test_wrapdateline_polygon_split_areas():
     assert g.kind == wkb.MULTIPOLYGON
     xs = g.vertices()[:, 0]
     assert xs.min() >= -180.0 and xs.max() <= 180.0
+
+
+def test_geodesic_measures_closed_forms():
+    """Sphere closed forms: a full-longitude equatorial band has area
+    2*pi*R^2*(sin(top) - sin(bottom)); a meridian segment's haversine length
+    is R * dphi."""
+    R = geomops._AUTHALIC_R
+    band = np.array([[-180.0, 0.0], [180.0, 0.0], [180.0, 30.0],
+                     [-180.0, 30.0], [-180.0, 0.0]])
+    a = geomops._sph_ring_area_m2(band)
+    expect = 2.0 * np.pi * R * R * np.sin(np.radians(30.0))
+    assert abs(a - expect) / expect < 1e-12
+    meridian = np.array([[10.0, 0.0], [10.0, 45.0]])
+    ln = geomops._haversine_len_m(meridian)
+    assert abs(ln - R * np.radians(45.0)) / ln < 1e-12
+    # batch surface: hole subtracts
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    inner = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)
+    t = pa.table({"wkb": [wkb.encode_polygon([outer, inner]),
+                          wkb.encode_polygon([outer])]})
+    rows = geomops.geodesic_measures_batch(t).to_pylist()
+    assert rows[0]["geo_area_10m2"] < rows[1]["geo_area_10m2"]
+    assert rows[0]["geo_perim_m"] > rows[1]["geo_perim_m"]  # hole ring adds length
