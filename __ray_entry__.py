@@ -1291,6 +1291,34 @@ def _transformer_oracles() -> dict[str, str]:
                CAST(round(({rexpr}) * 10000.0) AS BIGINT) AS row_e4
         FROM d
     """
+    # -- NTv2-style grid shift (transformer.GridShiftTransformer) ----------
+    def gnode(kind: str, ie: str, je: str) -> str:
+        if kind == "lon":
+            return f"(((({ie})*7 + ({je})*3) % 11) - 5) * 0.2"
+        return f"(((({ie})*5 + ({je})*11) % 13) - 6) * 0.15"
+
+    def bilin(kind: str) -> str:
+        return (f"({gnode(kind, 'i', 'j')} * (1.0 - tx) * (1.0 - ty)"
+                f" + {gnode(kind, 'i + 1', 'j')} * tx * (1.0 - ty)"
+                f" + {gnode(kind, 'i', 'j + 1')} * (1.0 - tx) * ty"
+                f" + {gnode(kind, 'i + 1', 'j + 1')} * tx * ty)")
+
+    grid_shift_sql = f"""
+        WITH {_DOCS_GEO},
+        p AS (SELECT doc_id, lon, lat,
+                     (lon - (-180.0)) / 10.0 AS fx,
+                     (lat - (-90.0)) / 10.0 AS fy FROM d),
+        qq AS (SELECT doc_id, lon, lat, fx, fy,
+                      LEAST(GREATEST(CAST(floor(fx) AS BIGINT), 0), 35) AS i,
+                      LEAST(GREATEST(CAST(floor(fy) AS BIGINT), 0), 17) AS j FROM p),
+        r AS (SELECT doc_id, lon, lat, i, j,
+                     LEAST(GREATEST(fx - i, 0.0), 1.0) AS tx,
+                     LEAST(GREATEST(fy - j, 0.0), 1.0) AS ty FROM qq)
+        SELECT doc_id,
+               CAST(floor((lon + {bilin('lon')} / 3600.0) * 10000000.0 + 0.5) AS BIGINT) AS lon_e7,
+               CAST(floor((lat + {bilin('lat')} / 3600.0) * 10000000.0 + 0.5) AS BIGINT) AS lat_e7
+        FROM r
+    """
     return {
         "reproject_utm": utm_sql,
         "reproject_lcc": lcc_sql,
@@ -1298,6 +1326,7 @@ def _transformer_oracles() -> dict[str, str]:
         "gcp_polynomial": gcp_sql,
         "tps_warp": tps_sql,
         "rpc_transform": rpc_sql,
+        "grid_shift": grid_shift_sql,
     }
 
 
@@ -1402,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gcp_polynomial": q.gcp_polynomial_q,
         "tps_warp": q.tps_warp_q,
         "rpc_transform": q.rpc_transform_q,
+        "grid_shift": q.grid_shift_q,
         # text sketches / near-dup (oracle-checked via SQL recomputation)
         "langid": q.langid_q,
         "fingerprint": q.fingerprint_q,

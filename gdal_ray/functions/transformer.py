@@ -525,3 +525,59 @@ class RPCTransformer:
         row = (f"({poly(self.line_num)} / {poly(self.line_den)})"
                f" * {sql_float(line_s)} + {sql_float(line_off)}")
         return col, row
+
+
+class GridShiftTransformer:
+    """NTv2-style grid-shift datum transform (the PROJ hgridshift role in the
+    reference's transformer chain, alg/gdaltransformer.cpp +
+    frmts/ntv2 grids): a regular lon/lat grid of (shift_lon, shift_lat)
+    values in arc-seconds, bilinearly interpolated; points outside the grid
+    clamp to the border cell (PROJ extrapolates the edge cell the same way).
+    Inverse is the NTv2 standard fixed-point iteration.
+
+    The grid arrays are small broadcast state (an actor-pool ``__init__``
+    load at scale — exactly how PROJ grids ship to workers)."""
+
+    def __init__(self, lon0: float, lat0: float, step: float,
+                 shift_lon: np.ndarray, shift_lat: np.ndarray):
+        self.lon0 = float(lon0)
+        self.lat0 = float(lat0)
+        self.step = float(step)
+        self.slon = np.asarray(shift_lon, dtype=np.float64)
+        self.slat = np.asarray(shift_lat, dtype=np.float64)
+
+    def _interp(self, grid: np.ndarray, lon, lat):
+        ny, nx = grid.shape
+        fx = (np.asarray(lon, dtype=np.float64) - self.lon0) / self.step
+        fy = (np.asarray(lat, dtype=np.float64) - self.lat0) / self.step
+        i = np.clip(np.floor(fx).astype(np.int64), 0, nx - 2)
+        j = np.clip(np.floor(fy).astype(np.int64), 0, ny - 2)
+        tx = np.clip(fx - i, 0.0, 1.0)
+        ty = np.clip(fy - j, 0.0, 1.0)
+        return (grid[j, i] * (1.0 - tx) * (1.0 - ty)
+                + grid[j, i + 1] * tx * (1.0 - ty)
+                + grid[j + 1, i] * (1.0 - tx) * ty
+                + grid[j + 1, i + 1] * tx * ty)
+
+    def forward(self, lon, lat):
+        return (lon + self._interp(self.slon, lon, lat) / 3600.0,
+                lat + self._interp(self.slat, lon, lat) / 3600.0)
+
+    def inverse(self, lon, lat, iters: int = 4):
+        x = np.asarray(lon, dtype=np.float64).copy()
+        y = np.asarray(lat, dtype=np.float64).copy()
+        for _ in range(iters):
+            x = lon - self._interp(self.slon, x, y) / 3600.0
+            y = lat - self._interp(self.slat, x, y) / 3600.0
+        return x, y
+
+
+def demo_shift_grid(lon0: float = -180.0, lat0: float = -90.0,
+                    step: float = 10.0, nx: int = 37, ny: int = 19):
+    """Deterministic synthetic NTv2 grid (integer node formula, SQL-exact):
+    shift_lon(i, j) = ((i*7 + j*3) % 11 - 5) * 0.2 arcsec,
+    shift_lat(i, j) = ((i*5 + j*11) % 13 - 6) * 0.15 arcsec."""
+    j, i = np.mgrid[0:ny, 0:nx]
+    slon = (((i * 7 + j * 3) % 11) - 5) * 0.2
+    slat = (((i * 5 + j * 11) % 13) - 6) * 0.15
+    return GridShiftTransformer(lon0, lat0, step, slon, slat)

@@ -1469,6 +1469,34 @@ def reproject_lcc_q(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def grid_shift_q(sf_dir: str):
+    """NTv2-style grid-shift datum transform over the docs points: bilinear
+    shift-grid interpolation (the PROJ hgridshift role), plus a fixed-point
+    inverse round-trip error ceiling asserted in tests.  Output quantized to
+    1e-7 deg (~1 cm)."""
+    ds = _docs_points(sf_dir)
+    from ..functions import transformer
+
+    t = transformer.demo_shift_grid()
+
+    def fn(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        lo, la = t.forward(lon, lat)
+        # floor(x + 0.5) on BOTH sides: grid-aligned points can land exactly
+        # on .5 ties, where np.round (half-even) and SQL round (half-away)
+        # disagree
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lon_e7": pa.array(np.floor(lo * 1e7 + 0.5).astype(np.int64)),
+                "lat_e7": pa.array(np.floor(la * 1e7 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def datum_helmert_q(sf_dir: str):
     """7-parameter datum shift (geodetic -> geocentric -> Helmert -> Bowring
     geodetic), the PROJ +towgs84 pipeline the reference delegates to; output

@@ -358,3 +358,27 @@ class TestReprojectRouting:
         np.testing.assert_allclose(x, ex)
         np.testing.assert_allclose(y, ey)
         assert y[0] > 0  # false northing applied
+
+
+def test_grid_shift_forward_inverse_roundtrip():
+    """NTv2-style grid shift: bilinear node reproduction, edge clamping, and
+    the standard fixed-point inverse recovering inputs to float precision."""
+    t = tr.demo_shift_grid()
+    # exactly on a node: shift equals the node value
+    lon, lat = np.array([-180.0 + 10.0 * 3]), np.array([-90.0 + 10.0 * 2])
+    lo, la = t.forward(lon, lat)
+    exp_lon = ((3 * 7 + 2 * 3) % 11 - 5) * 0.2 / 3600.0
+    exp_lat = ((3 * 5 + 2 * 11) % 13 - 6) * 0.15 / 3600.0
+    assert abs((lo[0] - lon[0]) - exp_lon) < 1e-15
+    assert abs((la[0] - lat[0]) - exp_lat) < 1e-15
+    # random points: inverse(forward) == identity to ~1e-12 deg
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-89, 89, 200)
+    lo, la = t.forward(lon, lat)
+    xi, yi = t.inverse(lo, la)
+    assert np.abs(xi - lon).max() < 1e-12
+    assert np.abs(yi - lat).max() < 1e-12
+    # outside the grid: clamps to border cell (PROJ edge behavior), no nan
+    lo, la = t.forward(np.array([-200.0, 200.0]), np.array([-95.0, 95.0]))
+    assert np.isfinite(lo).all() and np.isfinite(la).all()
