@@ -591,6 +591,29 @@ def _contour_sql() -> str:
     """
 
 
+def _stack_bands_sql() -> str:
+    """Band stack over the 2x2 ramp/checker/hump fixtures: per-band per-tile
+    checksums (each mod 65536, like functions/checksum) combined with band
+    weights 1/2/3 — pins both pixel content and band ordering."""
+    return """
+        WITH px AS (SELECT a.range AS gx, b.range AS gy FROM range(128) a, range(128) b),
+        v AS (SELECT gx, gy, ((gy % 64) * 64 + gx % 64) % 7 + 1 AS w,
+                     CAST(gx + gy AS BIGINT) AS v1,
+                     ((gx // 8 + gy // 8) % 2) * 255 AS v2,
+                     CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96) AS DOUBLE)
+                                / 64.0) AS BIGINT) AS v3
+              FROM px),
+        c AS (SELECT CAST(gx // 64 AS INTEGER) AS x, CAST(gy // 64 AS INTEGER) AS y,
+                     sum(v1 * w) % 65536 AS c1,
+                     sum(v2 * w) % 65536 AS c2,
+                     sum(v3 * w) % 65536 AS c3
+              FROM v GROUP BY 1, 2)
+        SELECT x, y, CAST(3 AS BIGINT) AS n_bands,
+               CAST((1 * c1 + 2 * c2 + 3 * c3) % 65536 AS BIGINT) AS checksum
+        FROM c
+    """
+
+
 def _geodesic_sql() -> str:
     """Spherical area/perimeter replay over the zone rectangles: the same
     spherical-excess shoelace terms (in ring order, zero terms folded) and
@@ -1393,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_rings_interp": q.contour_rings_q,
         "wrapdateline": q.wrapdateline_q,
         "geodesic_measures": q.geodesic_measures_q,
+        "stack_bands": q.stack_bands_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
         "predicate_counts": q.predicate_counts_q,
@@ -1905,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_rings_interp": _contour_rings_sql(),
         "wrapdateline": _wrapdateline_sql(),
         "geodesic_measures": _geodesic_sql(),
+        "stack_bands": _stack_bands_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
         "tile_pyramid_cubic": _tile_pyramid_cubic_sql(),
         "overview_kernels": _overview_kernels_sql(),

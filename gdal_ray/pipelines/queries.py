@@ -817,6 +817,17 @@ def wrapdateline_q(sf_dir: str):
     return out.select_columns(["gid", "n_parts", "len_x1e6", "area_x1e6"])
 
 
+def stack_bands_q(sf_dir: str):
+    """gdal_merge -separate: stack the ramp, checker and hump fixtures into
+    3-band tiles; the band-weighted checksum pins content and band order."""
+    from ..stages import rastermap
+
+    layers = [rd.from_arrow(synthetic.make_raster_tiles(k, 2, 2, size=64))
+              for k in ("ramp", "checker", "hump")]
+    out = rastermap.stack_bands(layers)
+    return out.select_columns(["x", "y", "n_bands", "checksum"])
+
+
 def geodesic_measures_q(sf_dir: str):
     """Geodesic (spherical) area + perimeter of every zone polygon — the
     get_GeodesicArea/Length surface on the authalic sphere."""

@@ -326,6 +326,47 @@ def color_relief(tiles_ds, stops):
     return tiles_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def stack_bands(layers: list):
+    """gdal_merge -separate / ``gdal raster stack``: one MULTIBAND tile per
+    (z, x, y) from N single-band tile datasets, band order = layer-list order
+    (apps/gdalalg_raster_stack.h role).  Shuffle key = (z, x, y); per-band
+    payloads are concatenated and a band-weighted checksum
+    sum((i+1) * cks_i) % 65536 pins both content AND band ordering."""
+    tagged = []
+    for li, ds in enumerate(layers):
+        tagged.append(
+            ds.map_batches(
+                lambda t, li=li: t.append_column("layer", pa.array([li] * t.num_rows, pa.int32())),
+                batch_format="pyarrow",
+            )
+        )
+    allds = tagged[0]
+    for t in tagged[1:]:
+        allds = allds.union(t)
+
+    def stack(group: pa.Table) -> pa.Table:
+        order = np.argsort(group["layer"].to_numpy(zero_copy_only=False), kind="stable")
+        datas, dtypes, wsum = [], [], 0
+        for bi, j in enumerate(order):
+            arr = _arr_of(group, int(j))
+            datas.append(group["data"][int(j)].as_py())
+            dtypes.append(group["dtype"][int(j)].as_py())
+            wsum += (bi + 1) * cks.tile_checksum(arr)
+        i0 = int(order[0])
+        return pa.Table.from_pylist([{
+            "z": group["z"][i0].as_py(), "x": group["x"][i0].as_py(),
+            "y": group["y"][i0].as_py(),
+            "width": group["width"][i0].as_py(),
+            "height": group["height"][i0].as_py(),
+            "n_bands": len(order),
+            "dtypes": ",".join(dtypes),
+            "data": b"".join(datas),
+            "checksum": wsum % 65536,
+        }])
+
+    return allds.groupby(["z", "x", "y"]).map_groups(stack, batch_format="pyarrow")
+
+
 def mosaic(layers: list, nodata: float = 0.0):
     """Compose N tile datasets: last non-nodata wins per pixel, in layer-list
     order (gdalbuildvrt overlay resolution).  Shuffle key = (z, x, y)."""

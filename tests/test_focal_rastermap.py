@@ -185,3 +185,18 @@ def test_clip_window_cross_tile():
         gy0 = r["y"] * 16 + r["win_oy"]
         gy, gx = np.mgrid[0:r["height"], 0:r["width"]]
         assert np.array_equal(arr, (gx + gx0 + gy + gy0).astype(np.float32))
+
+
+def test_stack_bands_orders_and_concatenates():
+    """Band stack: payload = band-ordered concatenation; swapping layer order
+    changes the weighted checksum (ordering is pinned)."""
+    import ray.data as rd2
+    a = synthetic.make_raster_tiles("ramp", 1, 1, size=16)
+    b = synthetic.make_raster_tiles("checker", 1, 1, size=16)
+    out = rastermap.stack_bands([rd2.from_arrow(a), rd2.from_arrow(b)]).take_all()
+    assert len(out) == 1 and out[0]["n_bands"] == 2
+    assert out[0]["data"] == a["data"][0].as_py() + b["data"][0].as_py()
+    assert out[0]["dtypes"] == "float32,uint8"
+    rev = rastermap.stack_bands([rd2.from_arrow(b), rd2.from_arrow(a)]).take_all()
+    assert rev[0]["checksum"] != out[0]["checksum"]
+    assert rev[0]["data"] == b["data"][0].as_py() + a["data"][0].as_py()
