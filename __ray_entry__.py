@@ -474,6 +474,33 @@ def _palette_sql() -> str:
     """
 
 
+def _scrub_pii_sql() -> str:
+    """PII scrub replay: the same RE2 patterns (pyarrow and DuckDB both use
+    RE2, so match sets are identical), applied in the same email -> url ->
+    phone order with counts taken before each replacement."""
+    from gdal_ray.stages.textops import SCRUB_PATTERNS
+
+    em, url, ph = (SCRUB_PATTERNS["email"], SCRUB_PATTERNS["url"],
+                   SCRUB_PATTERNS["phone"])
+    return f"""
+        WITH aug AS (SELECT doc_id,
+               text || ' mail doc' || CAST(doc_id AS VARCHAR)
+                    || '@ex.com see https://ex.org/p/' || CAST(doc_id AS VARCHAR)
+                    || ' call +1202555' || CAST(doc_id AS VARCHAR) || ' end' AS t
+             FROM documents),
+        s1 AS (SELECT doc_id,
+                      CAST(length(regexp_extract_all(t, '{em}')) AS BIGINT) AS n_email,
+                      regexp_replace(t, '{em}', '<EMAIL>', 'g') AS t1 FROM aug),
+        s2 AS (SELECT doc_id, n_email,
+                      CAST(length(regexp_extract_all(t1, '{url}')) AS BIGINT) AS n_url,
+                      regexp_replace(t1, '{url}', '<URL>', 'g') AS t2 FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_url,
+                      CAST(length(regexp_extract_all(t2, '{ph}')) AS BIGINT) AS n_phone,
+                      regexp_replace(t2, '{ph}', '<PHONE>', 'g') AS t3 FROM s2)
+        SELECT doc_id, n_email, n_url, n_phone, t3 AS text_scrubbed FROM s3
+    """
+
+
 def _kmeans_cte(k: int = 8, iters: int = 2) -> str:
     """Shared Lloyd-replay CTE chain: init = smallest-id vectors, then
     ``iters`` x (assign -> per-dim mean, empty clusters keep the previous
@@ -1397,6 +1424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q.token_count_q,
         "text_quality": q.text_quality_q,
         "repetition_stats": q.repetition_stats_q,
+        "scrub_pii": q.scrub_pii_q,
+        "decontaminate": q.decontaminate_q,
         "kmeans_clusters": q.kmeans_clusters_q,
         "semantic_neardup": q.semantic_neardup_q,
         "embedding_topk": q.embedding_topk_q,
@@ -1670,6 +1699,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
                    CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
             FROM documents
+        """,
+        "scrub_pii": _scrub_pii_sql(),
+        "decontaminate": """
+            WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         w[s.i] || chr(1) || w[s.i+1] || chr(1) || w[s.i+2]
+                         || chr(1) || w[s.i+3] || chr(1) || w[s.i+4] AS gram
+                  FROM w, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) s),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+            hits AS (SELECT g.doc_id, count(*) AS n
+                     FROM g JOIN bench USING (gram) GROUP BY 1)
+            SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_gram_hits,
+                   COALESCE(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         """,
         "kmeans_clusters": f"""
             {_kmeans_cte(8, 2)}

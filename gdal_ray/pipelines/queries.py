@@ -378,6 +378,43 @@ def embedding_ann_ivf_q(sf_dir: str):
     return out.select_columns(["vec_id", "rank"])
 
 
+def scrub_pii_q(sf_dir: str):
+    """PII/URL redaction over the documents table (texts augmented with
+    deterministic synthetic contact strings so every pattern fires): emails,
+    URLs and phone-like runs become typed placeholders."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        sid = pc.cast(t["doc_id"], pa.string())
+        aug = pc.binary_join_element_wise(
+            pc.cast(t["text"], pa.string()), " mail doc", sid,
+            "@ex.com see https://ex.org/p/", sid, " call +1202555", sid, " end",
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": aug})
+
+    out = ds.map_batches(augment, batch_format="pyarrow").map_batches(
+        textops.scrub_pii_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_email", "n_url", "n_phone",
+                               "text_scrubbed"])
+
+
+def decontaminate_q(sf_dir: str):
+    """Benchmark decontamination: flag corpus documents sharing any 5-word
+    n-gram with the benchmark slice (doc_id < 20) — broadcast gram set,
+    vectorized membership per batch."""
+    bench_tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"],
+                              filters=[("doc_id", "<", 20)])
+    grams = textops.text_ngrams(bench_tbl["text"].to_pylist(), n=5)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: textops.ngram_decontaminate_batch(t, grams, n=5),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["doc_id", "n_gram_hits", "contaminated"])
+
+
 def kmeans_clusters_q(sf_dir: str):
     """Distributed Lloyd k-means (k=8, 2 iterations, smallest-id init) over
     the embeddings table; the SemDeDup-style clustering stage.  Output =

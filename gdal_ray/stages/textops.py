@@ -62,6 +62,72 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+# PII/URL scrub patterns (RE2-compatible on both pyarrow and DuckDB —
+# no backreferences/lookaround, so the SQL oracle counts/replaces the SAME
+# matches)
+SCRUB_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def scrub_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Training-data PII/URL redaction: replace emails, URLs and phone-like
+    runs with typed placeholders, vectorized (one RE2 pass per pattern).
+    Appends the scrubbed text and per-kind match counts."""
+    text = pc.fill_null(batch[text_col], "")
+    out = batch
+    scrubbed = text
+    for kind, pat in SCRUB_PATTERNS.items():
+        n = pc.cast(pc.count_substring_regex(scrubbed, pattern=pat), pa.int64())
+        scrubbed = pc.replace_substring_regex(scrubbed, pattern=pat,
+                                              replacement=f"<{kind.upper()}>")
+        out = out.append_column(f"n_{kind}", n)
+    return out.append_column("text_scrubbed", scrubbed)
+
+
+def ngram_decontaminate_batch(batch: pa.Table, bench_grams: set,
+                              n: int = 5, text_col: str = "text") -> pa.Table:
+    """Benchmark decontamination: flag documents sharing any word n-gram with
+    the (broadcast) benchmark set — the standard eval-overlap filter for
+    training corpora.  bench_grams is a set of '\\x01'-joined lowercase word
+    n-grams (small broadcast state; ray.put it and load in an actor
+    ``__init__`` at scale).  Appends n_gram_hits (count of overlapping
+    n-gram OCCURRENCES) and contaminated."""
+    import pandas as pd
+
+    text = pc.fill_null(batch[text_col], "")
+    words = pc.split_pattern(pc.utf8_lower(text), " ")
+    la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    counts = np.diff(la.offsets.to_numpy())
+    flat = np.asarray(la.flatten().to_pandas(), dtype=object)
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    hits = np.zeros(len(counts), dtype=np.int64)
+    if len(flat) >= n:
+        parts = [pd.Series(flat[i:len(flat) - (n - 1) + i]).reset_index(drop=True)
+                 for i in range(n)]
+        grams = parts[0]
+        for p in parts[1:]:
+            grams = grams + "\x01" + p
+        same = doc_idx[: len(flat) - (n - 1)] == doc_idx[n - 1:]
+        hit = grams.isin(bench_grams).to_numpy() & same
+        np.add.at(hits, doc_idx[: len(flat) - (n - 1)][hit], 1)
+    return (batch.append_column("n_gram_hits", pa.array(hits, pa.int64()))
+                 .append_column("contaminated", pa.array(hits > 0, pa.bool_())))
+
+
+def text_ngrams(texts, n: int = 5) -> set:
+    """All lowercase word n-grams of the given texts as '\\x01'-joined keys
+    (the benchmark side of decontamination)."""
+    out = set()
+    for t in texts:
+        w = t.lower().split(" ")
+        for i in range(len(w) - n + 1):
+            out.add("\x01".join(w[i:i + n]))
+    return out
+
+
 def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Gopher-style repetition signals (Rae et al. 2021, repetition-removal
     filters): per-doc word total, distinct-word count, top unigram count and

@@ -46,3 +46,32 @@ def test_repetition_stats_flags_degenerate_docs():
     out = textops.repetition_stats_batch(batch).to_pylist()
     frac = [r["top_bigram_n"] / max(r["n_words"] - 1, 1) for r in out]
     assert frac[0] > 0.4 and frac[1] < 0.2
+
+
+def test_scrub_pii_redacts_and_counts():
+    texts = [
+        "write to alice.smith+x@corp.example.org or see https://a.b/c?d=1 now",
+        "call +1 (202) 555-0147 today",
+        "nothing sensitive here",
+    ]
+    batch = pa.table({"doc_id": [0, 1, 2], "text": texts})
+    out = textops.scrub_pii_batch(batch).to_pylist()
+    assert out[0]["n_email"] == 1 and "<EMAIL>" in out[0]["text_scrubbed"]
+    assert out[0]["n_url"] == 1 and "<URL>" in out[0]["text_scrubbed"]
+    assert "alice" not in out[0]["text_scrubbed"].split("<EMAIL>")[1]
+    assert out[1]["n_phone"] == 1 and "<PHONE>" in out[1]["text_scrubbed"]
+    assert out[2]["text_scrubbed"] == texts[2]
+    assert out[2]["n_email"] == out[2]["n_url"] == out[2]["n_phone"] == 0
+
+
+def test_ngram_decontaminate_flags_overlap():
+    bench = textops.text_ngrams(["the quick brown fox jumps over the dog"], n=5)
+    batch = pa.table({"doc_id": [0, 1, 2], "text": [
+        "intro text the quick brown fox jumps over something",  # 5-gram overlap
+        "the quick brown fox sleeps",                            # only 4 shared words
+        "completely different content entirely here now",
+    ]})
+    out = textops.ngram_decontaminate_batch(batch, bench, n=5).to_pylist()
+    assert out[0]["contaminated"] and out[0]["n_gram_hits"] >= 1
+    assert not out[1]["contaminated"]
+    assert not out[2]["contaminated"]
