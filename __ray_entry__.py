@@ -618,6 +618,25 @@ def _contour_sql() -> str:
     """
 
 
+def _retile_sql() -> str:
+    """gdal_retile -ps 50 -overlap 10 replay on the 192x192 ramp: output
+    origins at 40-px steps, edge tiles clipped, local-index checksum weights
+    over each clipped size."""
+    return """
+        WITH ti AS (SELECT a.range AS i, b.range AS j FROM range(5) a, range(5) b),
+        dims AS (SELECT i, j, LEAST(50, 192 - 40*i) AS w, LEAST(50, 192 - 40*j) AS h
+                 FROM ti),
+        px AS (SELECT i, j, w, h, u.range AS u, v.range AS v
+               FROM dims, range(50) u, range(50) v
+               WHERE u.range < w AND v.range < h)
+        SELECT CAST(i AS BIGINT) AS x, CAST(j AS BIGINT) AS y,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(sum((40*i + u + 40*j + v) * ((v * w + u) % 7 + 1)) % 65536
+                    AS BIGINT) AS checksum
+        FROM px GROUP BY i, j, w, h
+    """
+
+
 def _stack_bands_sql() -> str:
     """Band stack over the 2x2 ramp/checker/hump fixtures: per-band per-tile
     checksums (each mod 65536, like functions/checksum) combined with band
@@ -1446,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wrapdateline": q.wrapdateline_q,
         "geodesic_measures": q.geodesic_measures_q,
         "stack_bands": q.stack_bands_q,
+        "retile_overlap": q.retile_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
         "predicate_counts": q.predicate_counts_q,
@@ -1974,6 +1994,7 @@ def oracle_sql() -> dict[str, str]:
         "wrapdateline": _wrapdateline_sql(),
         "geodesic_measures": _geodesic_sql(),
         "stack_bands": _stack_bands_sql(),
+        "retile_overlap": _retile_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
         "tile_pyramid_cubic": _tile_pyramid_cubic_sql(),
         "overview_kernels": _overview_kernels_sql(),

@@ -865,6 +865,18 @@ def stack_bands_q(sf_dir: str):
     return out.select_columns(["x", "y", "n_bands", "checksum"])
 
 
+def retile_q(sf_dir: str):
+    """gdal_retile -ps 50x50 -overlap 10 over the 3x3 ramp mosaic: output
+    origins advance by 40 px; edge tiles clip.  Per-output-tile checksums
+    (local weights over the clipped size) are the golden."""
+    from ..stages import rastermap
+
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("ramp", 3, 3, size=64))
+    out = rastermap.retile(tiles, tile_size=64, out_size=50, overlap=10,
+                           nx=3, ny=3)
+    return out.select_columns(["x", "y", "width", "height", "checksum"])
+
+
 def geodesic_measures_q(sf_dir: str):
     """Geodesic (spherical) area + perimeter of every zone polygon — the
     get_GeodesicArea/Length surface on the authalic sphere."""

@@ -262,6 +262,80 @@ def clip_window(tiles_ds, x0: int, y0: int, x1: int, y1: int, tile_size: int = 6
     return tiles_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def retile(tiles_ds, tile_size: int, out_size: int, overlap: int,
+           nx: int, ny: int):
+    """gdal_retile.py with ``-overlap``: re-cut the tiled mosaic into NEW
+    tiles of ``out_size`` px whose origins advance by (out_size - overlap),
+    so neighboring output tiles share ``overlap`` columns/rows.  Edge tiles
+    clip to the mosaic extent (GDAL behavior).
+
+    Ray-Data shape: each input tile flat-maps its pixel block to every
+    output tile it intersects (bounded fan-out of ~(1 + out/src)^2 pieces);
+    one (i, j)-keyed groupby assembles output tiles — the same
+    shuffle-to-owner pattern as the halo exchange, no broadcast."""
+    step = out_size - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than out_size")
+    W, H = nx * tile_size, ny * tile_size
+    n_out_x = (W - overlap + step - 1) // step
+    n_out_y = (H - overlap + step - 1) // step
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in range(batch.num_rows):
+            arr = _arr_of(batch, r)
+            h, w = arr.shape
+            gx0 = batch["x"][r].as_py() * tile_size
+            gy0 = batch["y"][r].as_py() * tile_size
+            i_min = max(0, (gx0 - out_size) // step + 1)
+            i_max = min(n_out_x - 1, (gx0 + w - 1) // step)
+            j_min = max(0, (gy0 - out_size) // step + 1)
+            j_max = min(n_out_y - 1, (gy0 + h - 1) // step)
+            for j in range(j_min, j_max + 1):
+                for i in range(i_min, i_max + 1):
+                    ox0, oy0 = i * step, j * step
+                    ow = min(out_size, W - ox0)
+                    oh = min(out_size, H - oy0)
+                    sx0 = max(gx0, ox0); sy0 = max(gy0, oy0)
+                    sx1 = min(gx0 + w, ox0 + ow); sy1 = min(gy0 + h, oy0 + oh)
+                    if sx1 <= sx0 or sy1 <= sy0:
+                        continue
+                    piece = np.ascontiguousarray(
+                        arr[sy0 - gy0:sy1 - gy0, sx0 - gx0:sx1 - gx0])
+                    rows.append({
+                        "dest": (i << 32) | j, "i": i, "j": j,
+                        "ow": ow, "oh": oh,
+                        "px": sx0 - ox0, "py": sy0 - oy0,
+                        "pw": sx1 - sx0, "ph": sy1 - sy0,
+                        "dtype": batch["dtype"][r].as_py(),
+                        "data": piece.tobytes(),
+                    })
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {"dest": pa.array([], pa.int64())})
+
+    def assemble(group: pa.Table) -> pa.Table:
+        from .focal import _dtype_of
+
+        ow = group["ow"][0].as_py()
+        oh = group["oh"][0].as_py()
+        out = np.zeros((oh, ow), dtype=np.float64)
+        for r in range(group.num_rows):
+            piece = np.frombuffer(
+                group["data"][r].as_py(),
+                dtype=_dtype_of(group["dtype"][r].as_py()),
+            ).reshape(group["ph"][r].as_py(), group["pw"][r].as_py())
+            px, py = group["px"][r].as_py(), group["py"][r].as_py()
+            out[py:py + piece.shape[0], px:px + piece.shape[1]] = piece
+        return pa.Table.from_pylist([{
+            "x": group["i"][0].as_py(), "y": group["j"][0].as_py(),
+            "width": ow, "height": oh, "dtype": "float64",
+            "data": out.tobytes(), "checksum": cks.tile_checksum(out),
+        }])
+
+    return (tiles_ds.map_batches(scatter, batch_format="pyarrow")
+            .groupby("dest").map_groups(assemble, batch_format="pyarrow"))
+
+
 def as_features(tiles_ds, nodata: float | None = None, tile_size: int = 64):
     """gdal raster as-features (apps/gdalalg_raster_as_features.h:28): one
     row per (valid) pixel with GLOBAL pixel coordinates + value — a pure

@@ -200,3 +200,19 @@ def test_stack_bands_orders_and_concatenates():
     rev = rastermap.stack_bands([rd2.from_arrow(b), rd2.from_arrow(a)]).take_all()
     assert rev[0]["checksum"] != out[0]["checksum"]
     assert rev[0]["data"] == b["data"][0].as_py() + a["data"][0].as_py()
+
+
+def test_retile_overlap_shares_columns():
+    """Adjacent retiled outputs share `overlap` columns of identical pixels,
+    and every output pixel equals the mosaic pixel at its global position."""
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("ramp", 2, 2, size=32))
+    out = {(r["x"], r["y"]): np.frombuffer(r["data"], np.float64).reshape(r["height"], r["width"])
+           for r in rastermap.retile(tiles, tile_size=32, out_size=24, overlap=8,
+                                     nx=2, ny=2).take_all()}
+    full = _assemble_tiles(synthetic.make_raster_tiles("ramp", 2, 2, size=32), 32)
+    step = 16
+    for (i, j), arr in out.items():
+        gx0, gy0 = i * step, j * step
+        assert np.array_equal(arr, full[gy0:gy0 + arr.shape[0], gx0:gx0 + arr.shape[1]])
+    a = out[(0, 0)]; b = out[(1, 0)]
+    assert np.array_equal(a[:, step:], b[:, :8])  # shared overlap columns
