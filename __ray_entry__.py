@@ -1363,8 +1363,8 @@ def _transformer_oracles() -> dict[str, str]:
     # -- NTv2-style grid shift (transformer.GridShiftTransformer) ----------
     def gnode(kind: str, ie: str, je: str) -> str:
         if kind == "lon":
-            return f"(((({ie})*7 + ({je})*3) % 11) - 5) * 0.2"
-        return f"(((({ie})*5 + ({je})*11) % 13) - 6) * 0.15"
+            return f"(((({ie})*7 + ({je})*3) % 11) - 5) * 0.25"
+        return f"(((({ie})*5 + ({je})*11) % 13) - 6) * 0.125"
 
     def bilin(kind: str) -> str:
         return (f"({gnode(kind, 'i', 'j')} * (1.0 - tx) * (1.0 - ty)"
@@ -1396,6 +1396,7 @@ def _transformer_oracles() -> dict[str, str]:
         "tps_warp": tps_sql,
         "rpc_transform": rpc_sql,
         "grid_shift": grid_shift_sql,
+        "grid_shift_gsb": grid_shift_sql,
     }
 
 
@@ -1505,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tps_warp": q.tps_warp_q,
         "rpc_transform": q.rpc_transform_q,
         "grid_shift": q.grid_shift_q,
+        "grid_shift_gsb": q.grid_shift_gsb_q,
         # text sketches / near-dup (oracle-checked via SQL recomputation)
         "langid": q.langid_q,
         "fingerprint": q.fingerprint_q,

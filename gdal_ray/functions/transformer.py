@@ -575,9 +575,10 @@ class GridShiftTransformer:
 def demo_shift_grid(lon0: float = -180.0, lat0: float = -90.0,
                     step: float = 10.0, nx: int = 37, ny: int = 19):
     """Deterministic synthetic NTv2 grid (integer node formula, SQL-exact):
-    shift_lon(i, j) = ((i*7 + j*3) % 11 - 5) * 0.2 arcsec,
-    shift_lat(i, j) = ((i*5 + j*11) % 13 - 6) * 0.15 arcsec."""
+    shift_lon(i, j) = ((i*7 + j*3) % 11 - 5) * 0.25 arcsec,
+    shift_lat(i, j) = ((i*5 + j*11) % 13 - 6) * 0.125 arcsec
+    (dyadic values: exact in float32, so NTv2 .gsb round trips are bitwise)."""
     j, i = np.mgrid[0:ny, 0:nx]
-    slon = (((i * 7 + j * 3) % 11) - 5) * 0.2
-    slat = (((i * 5 + j * 11) % 13) - 6) * 0.15
+    slon = (((i * 7 + j * 3) % 11) - 5) * 0.25
+    slat = (((i * 5 + j * 11) % 13) - 6) * 0.125
     return GridShiftTransformer(lon0, lat0, step, slon, slat)

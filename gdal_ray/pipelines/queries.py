@@ -1557,6 +1557,37 @@ def grid_shift_q(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def grid_shift_gsb_q(sf_dir: str):
+    """Same grid-shift transform, but the grid travels through the NTv2 .gsb
+    BINARY FORMAT: write the demo grid as a spec-conformant single-subgrid
+    .gsb (positive-west longitudes, SE-origin node order, float32 records),
+    parse it back, and apply.  The demo grid's dyadic arc-second values make
+    the float32 round trip bitwise, so the oracle is the grid_shift SQL."""
+    import tempfile
+
+    from ..functions import transformer
+    from ..sources import ntv2
+
+    path = f"{tempfile.gettempdir()}/gdal_ray_demo_grid.gsb"
+    ntv2.write_gsb(path, transformer.demo_shift_grid())
+    t = ntv2.read_gsb(path)
+    ds = _docs_points(sf_dir)
+
+    def fn(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        lo, la = t.forward(lon, lat)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lon_e7": pa.array(np.floor(lo * 1e7 + 0.5).astype(np.int64)),
+                "lat_e7": pa.array(np.floor(la * 1e7 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def datum_helmert_q(sf_dir: str):
     """7-parameter datum shift (geodetic -> geocentric -> Helmert -> Bowring
     geodetic), the PROJ +towgs84 pipeline the reference delegates to; output

@@ -367,10 +367,10 @@ def test_grid_shift_forward_inverse_roundtrip():
     # exactly on a node: shift equals the node value
     lon, lat = np.array([-180.0 + 10.0 * 3]), np.array([-90.0 + 10.0 * 2])
     lo, la = t.forward(lon, lat)
-    exp_lon = ((3 * 7 + 2 * 3) % 11 - 5) * 0.2 / 3600.0
-    exp_lat = ((3 * 5 + 2 * 11) % 13 - 6) * 0.15 / 3600.0
-    assert abs((lo[0] - lon[0]) - exp_lon) < 1e-15
-    assert abs((la[0] - lat[0]) - exp_lat) < 1e-15
+    exp_lon = ((3 * 7 + 2 * 3) % 11 - 5) * 0.25 / 3600.0
+    exp_lat = ((3 * 5 + 2 * 11) % 13 - 6) * 0.125 / 3600.0
+    assert abs((lo[0] - lon[0]) - exp_lon) < 1e-13
+    assert abs((la[0] - lat[0]) - exp_lat) < 1e-13
     # random points: inverse(forward) == identity to ~1e-12 deg
     rng = np.random.default_rng(5)
     lon = rng.uniform(-179, 179, 200)
@@ -382,3 +382,26 @@ def test_grid_shift_forward_inverse_roundtrip():
     # outside the grid: clamps to border cell (PROJ edge behavior), no nan
     lo, la = t.forward(np.array([-200.0, 200.0]), np.array([-95.0, 95.0]))
     assert np.isfinite(lo).all() and np.isfinite(la).all()
+
+
+def test_ntv2_gsb_roundtrip_bitwise():
+    """NTv2 .gsb writer/reader: spec header layout, positive-west node order,
+    float32 records; the dyadic demo grid round-trips bitwise."""
+    import os
+    import struct
+    import tempfile
+
+    from gdal_ray.sources import ntv2
+
+    t = tr.demo_shift_grid()
+    path = os.path.join(tempfile.gettempdir(), "test_grid.gsb")
+    ntv2.write_gsb(path, t)
+    raw = open(path, "rb").read()
+    assert raw[0:8] == b"NUM_OREC" and struct.unpack_from("<i", raw, 8)[0] == 11
+    assert os.path.getsize(path) == 22 * 16 + t.slon.size * 16
+    t2 = ntv2.read_gsb(path)
+    assert np.array_equal(t.slon, t2.slon) and np.array_equal(t.slat, t2.slat)
+    assert (t2.lon0, t2.lat0, t2.step) == (t.lon0, t.lat0, t.step)
+    lo1, la1 = t.forward(np.array([12.3]), np.array([45.6]))
+    lo2, la2 = t2.forward(np.array([12.3]), np.array([45.6]))
+    assert lo1[0] == lo2[0] and la1[0] == la2[0]
