@@ -1466,7 +1466,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wrapdateline": q.wrapdateline_q,
         "geodesic_measures": q.geodesic_measures_q,
         "stack_bands": q.stack_bands_q,
+        "select_band": q.select_band_q,
         "retile_overlap": q.retile_q,
+        "left_join_orders": q.left_join_orders_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
         "predicate_counts": q.predicate_counts_q,
@@ -1996,6 +1998,25 @@ def oracle_sql() -> dict[str, str]:
         "wrapdateline": _wrapdateline_sql(),
         "geodesic_measures": _geodesic_sql(),
         "stack_bands": _stack_bands_sql(),
+        "select_band": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(128) a, range(128) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(2 AS BIGINT) AS band,
+                   CAST(sum(((gx // 8 + gy // 8) % 2) * 255
+                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        "left_join_orders": """
+            SELECT c.c_custkey,
+                   CAST(a.n AS BIGINT) AS n_orders,
+                   CAST(a.s AS BIGINT) AS sum_cents
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, count(*) AS n,
+                     sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS s
+              FROM orders GROUP BY 1) a ON a.o_custkey = c.c_custkey
+        """,
         "retile_overlap": _retile_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
         "tile_pyramid_cubic": _tile_pyramid_cubic_sql(),

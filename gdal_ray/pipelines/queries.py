@@ -378,6 +378,40 @@ def embedding_ann_ivf_q(sf_dir: str):
     return out.select_columns(["vec_id", "rank"])
 
 
+def select_band_q(sf_dir: str):
+    """gdal_translate -b 2: slice the checker band back out of the 3-band
+    stack — checksum must equal the standalone checker fixture's."""
+    from ..stages import rastermap
+
+    layers = [rd.from_arrow(synthetic.make_raster_tiles(k, 2, 2, size=64))
+              for k in ("ramp", "checker", "hump")]
+    out = rastermap.select_band(rastermap.stack_bands(layers), band=2)
+    return out.select_columns(["x", "y", "band", "checksum"])
+
+
+def left_join_orders_q(sf_dir: str):
+    """OGR SQL LEFT JOIN: every customer row survives, order aggregates are
+    NULL for customers with no orders (broadcast build side = the per-custkey
+    order aggregate, itself computed distributed)."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = orders.map_batches(
+        lambda t: relational.scaled_int_column(t, "o_totalprice", 100, "total_cents")
+        .drop_columns(["o_totalprice"]),
+        batch_format="pyarrow",
+    ).groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_cents")
+    )
+    small = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    out = relational.hash_join_broadcast_left(
+        cust, small, key="c_custkey", small_key="o_custkey",
+        emit=["n_orders", "sum_cents"],
+    )
+    return out.select_columns(["c_custkey", "n_orders", "sum_cents"])
+
+
 def scrub_pii_q(sf_dir: str):
     """PII/URL redaction over the documents table (texts augmented with
     deterministic synthetic contact strings so every pattern fires): emails,

@@ -441,6 +441,37 @@ def stack_bands(layers: list):
     return allds.groupby(["z", "x", "y"]).map_groups(stack, batch_format="pyarrow")
 
 
+def select_band(stacked_ds, band: int):
+    """gdal_translate -b N over stack_bands output: slice one band back out
+    of the multiband payload (band is 1-based, GDAL convention)."""
+    _SIZES = {"uint8": 1, "int16": 2, "int32": 4, "float32": 4, "float64": 8}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            dtypes = batch["dtypes"][i].as_py().split(",")
+            if not (1 <= band <= len(dtypes)):
+                raise ValueError(f"band {band} out of range 1..{len(dtypes)}")
+            w = batch["width"][i].as_py()
+            h = batch["height"][i].as_py()
+            data = batch["data"][i].as_py()
+            off = sum(w * h * _SIZES[d] for d in dtypes[: band - 1])
+            n = w * h * _SIZES[dtypes[band - 1]]
+            payload = data[off:off + n]
+            from .focal import _dtype_of
+
+            arr = np.frombuffer(payload, dtype=_dtype_of(dtypes[band - 1])).reshape(h, w)
+            rows.append({
+                "z": batch["z"][i].as_py(), "x": batch["x"][i].as_py(),
+                "y": batch["y"][i].as_py(), "band": band,
+                "width": w, "height": h, "dtype": dtypes[band - 1],
+                "data": payload, "checksum": cks.tile_checksum(arr),
+            })
+        return pa.Table.from_pylist(rows)
+
+    return stacked_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def mosaic(layers: list, nodata: float = 0.0):
     """Compose N tile datasets: last non-nodata wins per pixel, in layer-list
     order (gdalbuildvrt overlay resolution).  Shuffle key = (z, x, y)."""

@@ -142,3 +142,48 @@ def hash_join_broadcast(ds, small: pa.Table, key: str, small_key: str, emit: lis
             return out
 
     return ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
+
+
+def hash_join_broadcast_left(ds, small: pa.Table, key: str, small_key: str,
+                             emit: list[str]):
+    """LEFT OUTER equi-join with a broadcast small side (OGR SQL LEFT JOIN,
+    ogr_gensql.cpp secondary-table semantics: unmatched probe rows survive
+    with NULL build columns).  Duplicate build keys keep the FIRST occurrence
+    (matching the sorted-probe inner join's stable tie-break)."""
+    import ray
+
+    ref = ray.put(small)
+
+    class Joiner:
+        def __init__(self):
+            t = ray.get(ref)
+            keys = t[small_key].to_numpy(zero_copy_only=False)
+            order = np.argsort(keys, kind="stable")
+            self.sorted_keys = keys[order]
+            self.order = order
+            self.table = t
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            probe = batch[key].to_numpy(zero_copy_only=False)
+            out = batch
+            if len(self.sorted_keys) == 0:
+                for c in emit:
+                    out = out.append_column(
+                        c, pa.nulls(out.num_rows, self.table.schema.field(c).type))
+                return out
+            pos = np.searchsorted(self.sorted_keys, probe)
+            pos = np.clip(pos, 0, len(self.sorted_keys) - 1)
+            hit = self.sorted_keys[pos] == probe
+            src = self.order[pos]
+            import pyarrow.compute as pc
+
+            hit_arr = pa.array(hit)
+            for c in emit:
+                col = self.table[c].take(pa.array(src))
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                out = out.append_column(
+                    c, pc.if_else(hit_arr, col, pa.scalar(None, col.type)))
+            return out
+
+    return ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)

@@ -216,3 +216,13 @@ def test_retile_overlap_shares_columns():
         assert np.array_equal(arr, full[gy0:gy0 + arr.shape[0], gx0:gx0 + arr.shape[1]])
     a = out[(0, 0)]; b = out[(1, 0)]
     assert np.array_equal(a[:, step:], b[:, :8])  # shared overlap columns
+
+
+def test_select_band_inverts_stack():
+    a = synthetic.make_raster_tiles("ramp", 1, 1, size=16)
+    b = synthetic.make_raster_tiles("checker", 1, 1, size=16)
+    stacked = rastermap.stack_bands([rd.from_arrow(a), rd.from_arrow(b)])
+    b2 = rastermap.select_band(stacked, band=2).take_all()[0]
+    assert b2["data"] == b["data"][0].as_py() and b2["dtype"] == "uint8"
+    b1 = rastermap.select_band(stacked, band=1).take_all()[0]
+    assert b1["data"] == a["data"][0].as_py() and b1["dtype"] == "float32"

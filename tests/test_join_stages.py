@@ -142,3 +142,24 @@ def test_knn_matches_brute(docs, rect_zones):
             order = np.lexsort((keys, d2))[:3]
             for rank, j in enumerate(order, start=1):
                 assert got[(did, rank)] == ids[j], (did, rank, tree)
+
+
+def test_left_join_broadcast_nulls():
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from gdal_ray.stages import relational
+
+    probe = pa.table({"k": [1, 2, 3, 4]})
+    small = pa.table({"sk": [2, 4], "v": [20, 40]})
+    out = {r["k"]: r["v"] for r in relational.hash_join_broadcast_left(
+        rd.from_arrow(probe), small, key="k", small_key="sk", emit=["v"]
+    ).take_all()}
+    assert out == {1: None, 2: 20, 3: None, 4: 40}
+    # empty build side: all nulls, all probe rows survive
+    empty = pa.table({"sk": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    out2 = relational.hash_join_broadcast_left(
+        rd.from_arrow(probe), empty, key="k", small_key="sk", emit=["v"]
+    ).take_all()
+    assert len(out2) == 4 and all(r["v"] is None for r in out2)
