@@ -1444,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q.token_count_q,
         "text_quality": q.text_quality_q,
         "repetition_stats": q.repetition_stats_q,
+        "scalar_funcs2": q.scalar_funcs2_q,
         "scrub_pii": q.scrub_pii_q,
         "decontaminate": q.decontaminate_q,
         "kmeans_clusters": q.kmeans_clusters_q,
@@ -1722,6 +1723,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars_calc,
                    CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
                    CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+            FROM documents
+        """,
+        "scalar_funcs2": """
+            SELECT doc_id,
+                   COALESCE(NULLIF(lang, 'en'), 'default') AS coalesced,
+                   lang IN ('en', 'fr', 'de') AS in_set,
+                   trim('  ' || lang || ' ') AS trimmed,
+                   replace(source, 'a', '_') AS replaced,
+                   CAST(n_chars % 7 AS BIGINT) AS mod7,
+                   CAST(floor(CAST(n_chars AS DOUBLE) / 8.0) AS BIGINT) AS floor8,
+                   CAST(ceil(CAST(n_chars AS DOUBLE) / 8.0) AS BIGINT) AS ceil8,
+                   CAST(power(CAST((n_chars % 7) % 5 + 1 AS DOUBLE), 2.0) AS BIGINT) AS pow2,
+                   CAST(abs(n_chars - 250) AS BIGINT) AS abs250
             FROM documents
         """,
         "scrub_pii": _scrub_pii_sql(),

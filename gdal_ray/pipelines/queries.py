@@ -263,6 +263,39 @@ def scalar_funcs_q(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def scalar_funcs2_q(sf_dir: str):
+    """More OGR SQL scalar surface: COALESCE/NULLIF, IN lists, TRIM, REPLACE,
+    MOD, FLOOR/CEIL, POWER, ABS — pyarrow.compute kernels, integer/exact
+    outputs so the mirror is hash-stable."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        lang = pc.cast(t["lang"], pa.string())
+        n = pc.cast(t["n_chars"], pa.int64())
+        # COALESCE(NULLIF(lang, 'en'), 'default')
+        coalesced = pc.if_else(pc.equal(lang, "en"), pa.scalar("default"), lang)
+        in_set = pc.is_in(lang, value_set=pa.array(["en", "fr", "de"]))
+        trimmed = pc.utf8_trim_whitespace(
+            pc.binary_join_element_wise("  ", lang, " ", ""))
+        replaced = pc.replace_substring(pc.cast(t["source"], pa.string()), "a", "_")
+        modv = pc.subtract(n, pc.multiply(pc.divide(n, 7), pa.scalar(7, pa.int64())))
+        fl = pc.cast(pc.floor(pc.divide(pc.cast(n, pa.float64()), 8.0)), pa.int64())
+        ce = pc.cast(pc.ceil(pc.divide(pc.cast(n, pa.float64()), 8.0)), pa.int64())
+        powv = pc.cast(pc.power(
+            pc.cast(pc.add(pc.subtract(modv, pc.multiply(pc.divide(modv, 5),
+                                                         pa.scalar(5, pa.int64()))),
+                           pa.scalar(1, pa.int64())), pa.float64()),
+            pa.scalar(2.0)), pa.int64())
+        absv = pc.abs(pc.subtract(n, pa.scalar(250, pa.int64())))
+        return pa.table(
+            {"doc_id": t["doc_id"], "coalesced": coalesced, "in_set": in_set,
+             "trimmed": trimmed, "replaced": replaced, "mod7": modv,
+             "floor8": fl, "ceil8": ce, "pow2": powv, "abs250": absv}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def sample_docs_q(sf_dir: str):
     """Deterministic Bernoulli-by-key sampling (approx-stats subsample path,
     SURVEY §2.6) — hash-free integer scheme so the SQL oracle reproduces it."""
