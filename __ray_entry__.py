@@ -1466,6 +1466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_rings_interp": q.contour_rings_q,
         "wrapdateline": q.wrapdateline_q,
         "geodesic_measures": q.geodesic_measures_q,
+        "layer_info": q.layer_info_q,
+        "quantiles_quantity": q.quantiles_quantity_q,
         "stack_bands": q.stack_bands_q,
         "select_band": q.select_band_q,
         "retile_overlap": q.retile_q,
@@ -2011,6 +2013,26 @@ def oracle_sql() -> dict[str, str]:
         "contour_rings_interp": _contour_rings_sql(),
         "wrapdateline": _wrapdateline_sql(),
         "geodesic_measures": _geodesic_sql(),
+        "layer_info": f"""
+            WITH {_ZONES}
+            SELECT CAST(count(*) AS BIGINT) AS n_features,
+                   min(minx) AS ext_minx, min(miny) AS ext_miny,
+                   max(maxx) AS ext_maxx, max(maxy) AS ext_maxy,
+                   'POLYGON' AS geom_type
+            FROM zz
+        """,
+        "quantiles_quantity": """
+            WITH vc AS (SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+                        FROM lineitem GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+            cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM vc)
+            SELECT t.n,
+              (SELECT min(v) FROM cum WHERE cc >= CAST(floor(0.25*(t.n-1)) AS BIGINT) + 1) AS q25,
+              (SELECT min(v) FROM cum WHERE cc >= CAST(floor(0.5*(t.n-1)) AS BIGINT) + 1) AS q50,
+              (SELECT min(v) FROM cum WHERE cc >= CAST(floor(0.75*(t.n-1)) AS BIGINT) + 1) AS q75,
+              (SELECT min(v) FROM cum WHERE cc >= CAST(floor(0.9*(t.n-1)) AS BIGINT) + 1) AS q90
+            FROM tot t
+        """,
         "stack_bands": _stack_bands_sql(),
         "select_band": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy

@@ -944,6 +944,55 @@ def retile_q(sf_dir: str):
     return out.select_columns(["x", "y", "width", "height", "checksum"])
 
 
+def layer_info_q(sf_dir: str):
+    """ogrinfo -so summary of the zones layer: feature count, layer extent
+    (aggregate of per-feature bboxes), geometry type."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+    boxed = zones.map_batches(
+        lambda t: geomops.bbox_batch(t.select(["zone_key", "wkb"])).drop_columns(["wkb"]),
+        batch_format="pyarrow",
+    )
+    res = boxed.aggregate(
+        Count(alias_name="n_features"),
+        Min("minx", alias_name="ext_minx"), Min("miny", alias_name="ext_miny"),
+        Max("maxx", alias_name="ext_maxx"), Max("maxy", alias_name="ext_maxy"),
+    )
+    return pa.table({
+        "n_features": pa.array([res["n_features"]], pa.int64()),
+        "ext_minx": pa.array([res["ext_minx"]], pa.float64()),
+        "ext_miny": pa.array([res["ext_miny"]], pa.float64()),
+        "ext_maxx": pa.array([res["ext_maxx"]], pa.float64()),
+        "ext_maxy": pa.array([res["ext_maxy"]], pa.float64()),
+        "geom_type": pa.array(["POLYGON"]),
+    })
+
+
+def quantiles_quantity_q(sf_dir: str):
+    """Exact distributed quantiles of l_quantity via the value-histogram
+    plan (groupby count -> tiny cumulative pick): rank = floor(p*(n-1)) + 1,
+    'lower' interpolation — integer-exact at any scale for discrete-valued
+    columns."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity"])
+    vc = ds.map_batches(
+        lambda t: pa.table({"v": pc.cast(t["l_quantity"], pa.int64())}),
+        batch_format="pyarrow",
+    ).groupby("v").count()
+    rows = sorted(vc.take_all(), key=lambda r: r["v"])
+    vals = np.array([r["v"] for r in rows], dtype=np.int64)
+    counts = np.array([r["count()"] for r in rows], dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = {"n": n}
+    for p, name in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.9, "q90")):
+        rank = int(np.floor(p * (n - 1))) + 1
+        out[name] = int(vals[np.searchsorted(cum, rank)])
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
+
+
 def geodesic_measures_q(sf_dir: str):
     """Geodesic (spherical) area + perimeter of every zone polygon — the
     get_GeodesicArea/Length surface on the authalic sphere."""
