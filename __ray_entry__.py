@@ -880,7 +880,7 @@ def _contour_band_sql() -> str:
           UNION ALL SELECT 2, a1 - a2 FROM supw
           UNION ALL SELECT 3, a2 FROM supw)
         SELECT CAST(band AS BIGINT) AS band,
-               CAST(sum(CAST(round(cell * 1000000.0) AS BIGINT)) AS BIGINT) AS area_x1e6
+               CAST(sum(CAST(floor(cell * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS area_x1e6
         FROM band_cells GROUP BY band
     """
 

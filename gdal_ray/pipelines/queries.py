@@ -303,10 +303,11 @@ def sample_docs_q(sf_dir: str):
 
     def fn(t: pa.Table) -> pa.Table:
         # int64 wraparound only occurs for keys >= ~3.47e9, where the BIGINT
-        # oracle would error too — assert instead of paying a per-row loop
+        # oracle would error too — an explicit raise (asserts vanish under
+        # python -O) instead of paying a per-row loop
         k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if k.size:
-            assert int(k.max()) < (1 << 63) // 2654435761, "doc_id beyond BIGINT sample domain"
+        if k.size and int(k.max()) >= (1 << 63) // 2654435761:
+            raise OverflowError("doc_id beyond BIGINT sample domain")
         keep = (k * np.int64(2654435761)) % 100 < 10
         return t.filter(pa.array(keep))
 
@@ -1122,9 +1123,11 @@ def sieve_q(sf_dir: str):
     cleaned = poly.sieve_global(bg, threshold=SIEVE_THRESHOLD, nodata=255.0)
 
     def sums(t: pa.Table) -> pa.Table:
+        from ..stages.focal import _dtype_of
+
         xs, ys, cs = [], [], []
         for i in range(t.num_rows):
-            dt = np.float32 if t["dtype"][i].as_py() == "float32" else np.uint8
+            dt = _dtype_of(t["dtype"][i].as_py())
             arr = np.frombuffer(t["data"][i].as_py(), dtype=dt).reshape(64, 64)
             xs.append(t["x"][i].as_py())
             ys.append(t["y"][i].as_py())
@@ -1225,17 +1228,18 @@ OVERVIEW_KERNELS = ("nearest", "min", "max", "sum", "rms", "mode")
 
 def overview_kernels_q(sf_dir: str):
     """Overview reduction kernel family (gcore/overview.cpp): one z3 overview
-    of the nearest-warped z4 base per kernel, tagged by kernel name.  Each
-    branch re-executes the (36-tile) base warp — at real scale the base level
-    would be checkpointed to parquet first."""
+    of the nearest-warped z4 base per kernel, tagged by kernel name.  The
+    36-tile base warp runs ONCE and is materialized (the checkpoint step a
+    real-scale pipeline would write to parquet) so the per-kernel branches
+    reuse its blocks instead of re-executing the warp."""
     from ..stages import pyramid as pyr
 
+    base = pyr.warp_to_tiles(
+        _ramp_src(), 4, (-59, -59, 59, 59), tile_px=64, resample="nearest",
+        skip_blank=False, concurrency=2,
+    ).materialize()
     outs = []
     for k in OVERVIEW_KERNELS:
-        base = pyr.warp_to_tiles(
-            _ramp_src(), 4, (-59, -59, 59, 59), tile_px=64, resample="nearest",
-            skip_blank=False, concurrency=2,
-        )
         ov = pyr.build_overview(base, kernel=k)
 
         def tag(t: pa.Table, kernel=k) -> pa.Table:

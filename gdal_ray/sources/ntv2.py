@@ -82,6 +82,14 @@ def read_gsb(path: str) -> GridShiftTransformer:
     with open(path, "rb") as f:
         raw = f.read()
 
+    if raw[0:8].decode(errors="replace").strip() != "NUM_OREC":
+        raise ValueError("not an NTv2 file (missing NUM_OREC header record)")
+    if struct.unpack_from("<i", raw, 8)[0] != 11:
+        if struct.unpack_from(">i", raw, 8)[0] == 11:
+            raise ValueError("big-endian NTv2 files not supported "
+                             "(this reader handles little-endian only)")
+        raise ValueError("malformed NTv2 header: NUM_OREC != 11")
+
     pos = 0
     hdr = {}
     for _ in range(11):
@@ -93,6 +101,11 @@ def read_gsb(path: str) -> GridShiftTransformer:
         else:
             hdr[name] = raw[pos + 8:pos + 16].decode().strip()
         pos += 16
+    if hdr.get("NUM_SREC") != 11:
+        raise ValueError("malformed NTv2 header: NUM_SREC != 11")
+    if hdr.get("GS_TYPE", "SECONDS") != "SECONDS":
+        raise ValueError(f"unsupported NTv2 GS_TYPE {hdr.get('GS_TYPE')!r}: "
+                         "only SECONDS grids are handled")
     if hdr.get("NUM_FILE", 1) != 1:
         raise ValueError("multi-subgrid NTv2 files not supported")
     sub = {}

@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .focal import _dtype_of
+
 from .polygonize import _ckey, _ekey, _runs_of, label_tile, polygonize
 
 
@@ -29,7 +31,7 @@ def footprint(tiles_ds, nodata: float = 0.0, tile_size: int = 64):
     def to_mask(batch: pa.Table) -> pa.Table:
         rows = []
         for i in range(batch.num_rows):
-            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            dt = _dtype_of(batch["dtype"][i].as_py())
             h = batch["height"][i].as_py()
             w = batch["width"][i].as_py()
             arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w)
@@ -62,7 +64,7 @@ def nearblack(tiles_ds, threshold: float = 10.0, nodata: float = 255.0,
         for i in range(batch.num_rows):
             x = batch["x"][i].as_py()
             y = batch["y"][i].as_py()
-            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            dt = _dtype_of(batch["dtype"][i].as_py())
             h = batch["height"][i].as_py()
             w = batch["width"][i].as_py()
             arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w)
@@ -167,7 +169,7 @@ def nearblack(tiles_ds, threshold: float = 10.0, nodata: float = 255.0,
         for i in range(batch.num_rows):
             x = batch["x"][i].as_py()
             y = batch["y"][i].as_py()
-            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            dt = _dtype_of(batch["dtype"][i].as_py())
             h = batch["height"][i].as_py()
             w = batch["width"][i].as_py()
             arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w).copy()

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .focal import _assemble_padded, _halo_exchange
+from .focal import _assemble_padded, _dtype_of, _halo_exchange
 from .polygonize import label_tile
 
 _EPS = 1e-9
@@ -268,7 +268,9 @@ def contour_band_areas(tiles_ds, levels, nx: int, ny: int, tile_size: int = 64):
             else:
                 cell = sup[i - 1] - sup[i]
             bands.append(i)
-            partials.append(int(np.round(cell * 1e6).astype(np.int64).sum()))
+            # floor(x+0.5) (not np.round): half-even vs SQL half-away diverge
+            # on exact .5 ties — same convention as the grid-shift oracles
+            partials.append(int(np.floor(cell * 1e6 + 0.5).astype(np.int64).sum()))
         return pa.table({"band": pa.array(bands, pa.int64()),
                          "area_x1e6": pa.array(partials, pa.int64())})
 
@@ -442,7 +444,7 @@ def sieve(tiles_ds, threshold: int, nodata: float = 0.0, connect8: bool = False)
     def per_tile(batch: pa.Table) -> pa.Table:
         rows = []
         for i in range(batch.num_rows):
-            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            dt = _dtype_of(batch["dtype"][i].as_py())
             h = batch["height"][i].as_py()
             w = batch["width"][i].as_py()
             arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w).copy()

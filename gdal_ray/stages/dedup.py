@@ -74,12 +74,12 @@ def minhash_lsh_candidates(
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
 
-    # a bucket of > MAX_BUCKET signatures is a degenerate boilerplate cluster
-    # (exact dedup should run first); cap pair emission deterministically by
-    # keeping the MAX_BUCKET smallest ids so one hot bucket cannot explode to
-    # O(n^2) pairs.  Results change only when > MAX_BUCKET mutual near-dups
-    # share a band — and then every kept doc still pairs with a representative.
-    MAX_BUCKET = 512
+    # a degenerate boilerplate bucket inherently has O(B^2) candidate PAIRS —
+    # that is its LSH output, not an implementation choice (run exact dedup
+    # first to collapse identical texts).  Emission is EXACT but chunked so
+    # per-step memory stays O(CHUNK x B) instead of O(B^2): no silent
+    # truncation, matching the uncapped SQL oracle at every scale.
+    CHUNK = 512
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -89,23 +89,29 @@ def minhash_lsh_candidates(
                  "est_jaccard_x1000": pa.array([], pa.int64())}
             )
         ids = group[id_col].to_numpy(zero_copy_only=False)
-        if n > MAX_BUCKET:
-            keep = np.argsort(ids)[:MAX_BUCKET]
-            group = group.take(pa.array(keep))
-            ids = ids[keep]
-            n = MAX_BUCKET
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
         sigs = np.vstack(
             [np.frombuffer(s, dtype=np.int64) for s in group["sig"].to_pylist()]
-        )
-        a_idx, b_idx = np.triu_indices(n, k=1)
-        est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
-        lo = np.minimum(ids[a_idx], ids[b_idx])
-        hi = np.maximum(ids[a_idx], ids[b_idx])
+        )[order]
+        nperm = sigs.shape[1]
+        out_a, out_b, out_e = [], [], []
+        col = np.arange(n)[None, :]
+        for s in range(0, n - 1, CHUNK):
+            e = min(n, s + CHUNK)
+            counts = np.zeros((e - s, n), dtype=np.int16)
+            for p in range(nperm):
+                counts += (sigs[s:e, p][:, None] == sigs[:, p][None, :])
+            ii, jj = np.nonzero(col > np.arange(s, e)[:, None])
+            est = counts[ii, jj] / nperm
+            out_a.append(ids[s + ii])
+            out_b.append(ids[jj])
+            out_e.append((est * 1000).astype(np.int64))
         return pa.table(
             {
-                "id_a": pa.array(lo),
-                "id_b": pa.array(hi),
-                "est_jaccard_x1000": pa.array((est * 1000).astype(np.int64)),
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "est_jaccard_x1000": pa.array(np.concatenate(out_e)),
             }
         )
 

@@ -327,12 +327,42 @@ def make_valid_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
 def concave_hull(pts: np.ndarray, k: int = 8) -> np.ndarray:
     """k-nearest-neighbors concave hull (Moreira & Santos 2007, public
     algorithm; reference surface: ogr/ogrgeometry.cpp:4569 ConcaveHull).
-    Falls back to the convex hull when the walk fails to close."""
+
+    Full M&S checks: a candidate edge is rejected if it intersects any
+    non-adjacent hull edge (keeps the ring simple), and a closed ring is only
+    accepted if EVERY input point lies inside it; otherwise the walk retries
+    with a widened k.  Falls back to the convex hull when no k closes."""
     pts = np.unique(pts, axis=0)
     n = len(pts)
     if n < 4:
         return convex_hull(pts)
-    k = max(3, min(k, n - 1))
+    kk = max(3, min(k, n - 1))
+    while kk <= n - 1:
+        ring = _concave_hull_walk(pts, kk)
+        if ring is not None:
+            return ring
+        kk += 1
+    return convex_hull(pts)
+
+
+def _on_ring_edges(p: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """True per point iff it lies exactly ON some ring edge (the half-open
+    crossing parity counts boundary points as outside, so containment checks
+    must accept them separately)."""
+    on = np.zeros(len(p), dtype=bool)
+    for i in range(len(ring) - 1):
+        a, b = ring[i], ring[i + 1]
+        d = (b[0] - a[0]) * (p[:, 1] - a[1]) - (b[1] - a[1]) * (p[:, 0] - a[0])
+        within = ((np.minimum(a[0], b[0]) <= p[:, 0]) & (p[:, 0] <= np.maximum(a[0], b[0]))
+                  & (np.minimum(a[1], b[1]) <= p[:, 1]) & (p[:, 1] <= np.maximum(a[1], b[1])))
+        on |= (d == 0) & within
+    return on
+
+
+def _concave_hull_walk(pts: np.ndarray, k: int) -> np.ndarray | None:
+    from ..functions import pip
+
+    n = len(pts)
     start = int(np.lexsort((pts[:, 0], pts[:, 1]))[0])  # lowest y, then x
     hull = [start]
     used = {start}
@@ -342,40 +372,57 @@ def concave_hull(pts: np.ndarray, k: int = 8) -> np.ndarray:
         d = pts - pts[cur]
         dist = np.hypot(d[:, 0], d[:, 1])
         dist[cur] = np.inf
-        cand = np.argsort(dist)[:k]
-        if len(hull) > 2:
-            cand = np.append(cand, start)
-        # rightmost turn first (keeps the hull tight)
-        best, best_ang = -1, -np.inf
-        for c in cand:
-            if c in used and c != start:
-                continue
-            v = pts[c] - pts[cur]
-            nv = np.hypot(v[0], v[1])
-            if nv == 0:
-                continue
-            ang = np.arctan2(
-                prev_dir[0] * v[1] - prev_dir[1] * v[0],
-                prev_dir[0] * v[0] + prev_dir[1] * v[1],
-            )
-            if ang > best_ang:
-                best_ang, best = ang, int(c)
-        if best < 0:
-            return convex_hull(pts)
-        if best == start and len(hull) > 2:
-            hull.append(start)
-            ring = pts[hull]
-            # every point must be inside/on the hull, else widen k
-            from . import overlay
+        near = [int(c) for c in np.argsort(dist)[:k]]
+        cand = [c for c in near if c not in used]
+        can_close = len(hull) > 2
+        if can_close and start in near:
+            cand.append(start)  # close only when start is genuinely near —
+            # a far start would tempt a premature chord across the shape
 
-            if abs(overlay.ring_signed_area(ring)) > 0:
+        def turn_angle(c: int) -> float:
+            v = pts[c] - pts[cur]
+            return float(np.arctan2(prev_dir[0] * v[1] - prev_dir[1] * v[0],
+                                    prev_dir[0] * v[0] + prev_dir[1] * v[1]))
+
+        cand.sort(key=turn_angle, reverse=True)  # rightmost turn first
+
+        def acceptable(c: int) -> bool:
+            v = pts[c] - pts[cur]
+            if np.hypot(v[0], v[1]) == 0:
+                return False
+            # simplicity check: the new edge may not intersect/touch any
+            # hull edge except the one incident at cur (and, when closing,
+            # the first edge which shares the start vertex)
+            if len(hull) >= 2:
+                seg_p0 = pts[np.asarray(hull[:-1])]
+                seg_p1 = pts[np.asarray(hull[1:])]
+                seg_p0, seg_p1 = seg_p0[:-1], seg_p1[:-1]  # drop edge at cur
+                if c == start and len(seg_p0) > 0:
+                    seg_p0, seg_p1 = seg_p0[1:], seg_p1[1:]  # drop first edge
+                if len(seg_p0) and pip._segments_intersect(
+                        seg_p0, seg_p1, pts[cur], pts[c]).any():
+                    return False
+            return True
+
+        chosen = next((c for c in cand if acceptable(c)), -1)
+        if chosen < 0 and can_close and start not in near and acceptable(start):
+            chosen = start  # stuck: closing is the only simple continuation
+        if chosen < 0:
+            return None  # dead end: widen k
+        if chosen == start and len(hull) > 2:
+            ring = pts[hull + [start]]
+            inside = pip.points_in_ring(pts[:, 0], pts[:, 1], ring)
+            rest = np.ones(n, dtype=bool)
+            rest[list(used)] = False
+            miss = pts[rest][~inside[rest]]
+            if len(miss) == 0 or _on_ring_edges(miss, ring).all():
                 return ring
-            return convex_hull(pts)
-        prev_dir = pts[best] - pts[cur]
-        hull.append(best)
-        used.add(best)
-        cur = best
-    return convex_hull(pts)
+            return None  # excluded points: widen k
+        prev_dir = pts[chosen] - pts[cur]
+        hull.append(chosen)
+        used.add(chosen)
+        cur = chosen
+    return None
 
 
 _AUTHALIC_R = 6371007.180918475  # WGS84 authalic sphere radius (meters)

@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .focal import _dtype_of
+
 
 def _extract_runs(arr: np.ndarray, nodata):
     """Vectorized run extraction: row-major (run_row, run_c0, run_c1, value)
@@ -202,7 +204,7 @@ def polygonize(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size:
             ty = batch["y"][i].as_py()
             wd = batch["width"][i].as_py()
             ht = batch["height"][i].as_py()
-            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            dt = _dtype_of(batch["dtype"][i].as_py())
             arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(ht, wd)
             labels, n = label_tile(arr, nodata, connect8)
             if n == 0:
@@ -432,7 +434,7 @@ def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile
             ty = batch["y"][i].as_py()
             wd = batch["width"][i].as_py()
             ht = batch["height"][i].as_py()
-            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            dt = _dtype_of(batch["dtype"][i].as_py())
             arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(ht, wd)
             labels, n = label_tile(arr, nodata, connect8)
             for lbl in range(n):
@@ -623,7 +625,7 @@ def sieve_global(tiles_ds, threshold: int, nodata: float = 0.0,
             ty = batch["y"][i].as_py()
             wd = batch["width"][i].as_py()
             ht = batch["height"][i].as_py()
-            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            dt = _dtype_of(batch["dtype"][i].as_py())
             arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(ht, wd)
             labels, n = label_tile(arr, nodata, connect8)
             if n == 0:
@@ -811,7 +813,7 @@ def sieve_global(tiles_ds, threshold: int, nodata: float = 0.0,
             ty = batch["y"][i].as_py()
             wd = batch["width"][i].as_py()
             ht = batch["height"][i].as_py()
-            dt = np.float32 if batch["dtype"][i].as_py() == "float32" else np.uint8
+            dt = _dtype_of(batch["dtype"][i].as_py())
             arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(ht, wd).copy()
             labels, n = label_tile(arr, nodata, connect8)
             if n:

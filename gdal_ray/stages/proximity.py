@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .focal import _dtype_of
+
 INF = 1e18
 
 
@@ -82,7 +84,7 @@ def proximity(tiles_ds, target_value: float | None = None, nodata: float = 0.0):
     == target_value (or != nodata when target_value is None)."""
 
     def _arr(b, i):
-        dt = np.float32 if b["dtype"][i].as_py() == "float32" else np.uint8
+        dt = _dtype_of(b["dtype"][i].as_py())
         h = b["height"][i].as_py()
         w = b["width"][i].as_py()
         return np.frombuffer(b["data"][i].as_py(), dtype=dt).reshape(h, w)

@@ -305,16 +305,19 @@ def kmeans_assign(ds, k: int = 8, iters: int = 2, id_col: str = "vec_id",
     (cluster -> within-cluster pairwise cosine) and IVF codebook training at
     corpus scale: per-iteration cost is one pass, no shuffle.
     """
-    import pyarrow.compute as pc
+    def local_smallest(b: pa.Table) -> pa.Table:
+        t = pa.table({id_col: b[id_col], "embedding": b["embedding"]})
+        if t.num_rows > k:  # per-batch combiner: only k candidates survive
+            order = np.argsort(t[id_col].to_numpy(zero_copy_only=False),
+                               kind="stable")[:k]
+            t = t.take(pa.array(order))
+        return t
 
-    seed_rows = ds.map_batches(
-        lambda b: pa.table({id_col: b[id_col], "embedding": b["embedding"]})
-        .filter(pc.less(b[id_col], k)),
-        batch_format="pyarrow",
-    ).take_all()
+    seed_rows = ds.map_batches(local_smallest, batch_format="pyarrow").take_all()
     seed_rows.sort(key=lambda r: r[id_col])
+    seed_rows = seed_rows[:k]
     if len(seed_rows) < k:
-        raise ValueError(f"need ids 0..{k-1} present for deterministic init")
+        raise ValueError(f"need at least k={k} vectors for deterministic init")
     cent = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
 
     def partials_fn(ref):

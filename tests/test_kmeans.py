@@ -44,3 +44,18 @@ def test_kmeans_keep_embedding_and_empty_cluster():
     assert len(out) == len(pts)
     assert all("embedding" in r and len(r["embedding"]) == 4 for r in out)
     assert all(0 <= r["cluster"] < 5 for r in out)
+
+
+def test_kmeans_init_takes_k_smallest_ids():
+    """Init must be the k SMALLEST ids, not ids < k: offset/sparse id spaces
+    work and give identical clusters to the 0-based labeling."""
+    pts, _ = _planted()
+    base = pa.table({"vec_id": pa.array(np.arange(len(pts)), pa.int64()),
+                     "embedding": pa.array(list(pts), pa.list_(pa.float64()))})
+    off = pa.table({"vec_id": pa.array(np.arange(len(pts)) * 3 + 1000, pa.int64()),
+                    "embedding": pa.array(list(pts), pa.list_(pa.float64()))})
+    a = sim.kmeans_assign(rd.from_arrow(base), k=3, iters=2).take_all()
+    b = sim.kmeans_assign(rd.from_arrow(off), k=3, iters=2).take_all()
+    am = {r["vec_id"]: r["cluster"] for r in a}
+    bm = {(r["vec_id"] - 1000) // 3: r["cluster"] for r in b}
+    assert am == bm

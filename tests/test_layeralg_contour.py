@@ -252,7 +252,7 @@ def test_contour_band_areas_tiled_equals_monolithic():
     sup = {L: contour_stage.suplevel_area_cells(full, L) for L in levels}
 
     def q(cells):
-        return int(np.round(cells * 1e6).astype(np.int64).sum())
+        return int(np.floor(cells * 1e6 + 0.5).astype(np.int64).sum())
 
     assert out[0] == q(1.0 - sup[2.5])
     assert out[1] == q(sup[2.5] - sup[6.5])

@@ -272,3 +272,24 @@ def test_doc_id_key_roundtrip_above_1e9():
     ids = synthetic.doc_key_to_id(keys)
     back = synthetic.doc_id_to_key(ids)
     assert (back == keys).all()
+
+
+def test_lsh_bucket_pairs_exact_beyond_chunk():
+    """Oversized LSH buckets must emit EVERY pair (chunked, not truncated):
+    600 mutual near-dups in one bucket -> C(600,2) candidate pairs."""
+    from gdal_ray.stages import dedup
+
+    n = 600
+    texts = [f"the common boilerplate text block shared by all docs {i % 3}"
+             for i in range(n)]
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()), "text": texts})
+    cands = dedup.minhash_lsh_candidates(rd.from_arrow(t)).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in cands}
+    # docs with identical text (same i%3 class) are guaranteed same-bucket in
+    # EVERY band; cross-class pairs may or may not collide.  All 3 classes
+    # have 200 members -> at least 3 * C(200,2) distinct pairs
+    import itertools
+    for cls in range(3):
+        ids = [i for i in range(n) if i % 3 == cls]
+        expect = {(a, b) for a, b in itertools.combinations(ids, 2)}
+        assert expect <= pairs, f"class {cls}: missing {len(expect - pairs)} pairs"
