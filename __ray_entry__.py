@@ -1471,6 +1471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stack_bands": q.stack_bands_q,
         "select_band": q.select_band_q,
         "retile_overlap": q.retile_q,
+        "asc_roundtrip": q.asc_roundtrip_q,
+        "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
@@ -2054,6 +2056,26 @@ def oracle_sql() -> dict[str, str]:
               FROM orders GROUP BY 1) a ON a.o_custkey = c.c_custkey
         """,
         "retile_overlap": _retile_sql(),
+        "png_tiles_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(((gx // 8 + gy // 8) % 2) * 255
+                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum,
+                   true AS written
+            FROM px GROUP BY 1, 2
+        """,
+        "asc_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
+                                        AS DOUBLE) / 64.0) AS BIGINT)
+                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
         "tile_pyramid": _tile_pyramid_sql(),
         "tile_pyramid_cubic": _tile_pyramid_cubic_sql(),
         "overview_kernels": _overview_kernels_sql(),

@@ -933,6 +933,69 @@ def stack_bands_q(sf_dir: str):
     return out.select_columns(["x", "y", "n_bands", "checksum"])
 
 
+def png_tiles_q(sf_dir: str):
+    """z/x/y.png tile sink round trip: write the checker mosaic as PNG tiles
+    (dependency-free encoder), decode every file back and checksum — the
+    sink + codec must be lossless for 8-bit tiles."""
+    import shutil
+    import tempfile
+
+    from ..functions import checksum as cks_f
+    from ..sources import png as png_mod
+
+    root = f"{tempfile.gettempdir()}/gdal_ray_png_tiles"
+    shutil.rmtree(root, ignore_errors=True)
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("checker", 3, 3, size=64))
+    receipts = png_mod.write_png_tiles(tiles, root, resume=True)
+
+    def verify(t: pa.Table) -> pa.Table:
+        xs, ys, cs, ok = [], [], [], []
+        for i in range(t.num_rows):
+            with open(t["path"][i].as_py(), "rb") as f:
+                arr = png_mod.decode_png(f.read())
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks_f.tile_checksum(arr))
+            ok.append(not t["skipped"][i].as_py())
+        return pa.table({"x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64()),
+                         "checksum": pa.array(cs, pa.int64()),
+                         "written": pa.array(ok, pa.bool_())})
+
+    return receipts.map_batches(verify, batch_format="pyarrow")
+
+
+def asc_roundtrip_q(sf_dir: str):
+    """ESRI ASCII Grid driver: serialize the 192x192 hump mosaic to .asc
+    (repr round-trip floats), parse it back into engine tiles, and checksum —
+    the format layer must be transparent to every downstream stage."""
+    import tempfile
+
+    from ..functions import checksum as cks_f
+    from ..sources import aaigrid
+
+    gy, gx = np.mgrid[0:192, 0:192]
+    arr = (((gx - 96) ** 2 + (gy - 96) ** 2) / 64.0).astype(np.float32).astype(np.float64)
+    path = f"{tempfile.gettempdir()}/gdal_ray_hump.asc"
+    aaigrid.write_asc(path, arr, nodata=-9999.0)
+    tiles = aaigrid.read_asc_tiles(path, tile_size=64)
+
+    def sums(t: pa.Table) -> pa.Table:
+        from ..stages.focal import _dtype_of
+
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=_dtype_of(t["dtype"][i].as_py()))
+            a = a.reshape(t["height"][i].as_py(), t["width"][i].as_py())
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks_f.tile_checksum(a))
+        return pa.table({"x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return tiles.map_batches(sums, batch_format="pyarrow")
+
+
 def retile_q(sf_dir: str):
     """gdal_retile -ps 50x50 -overlap 10 over the 3x3 ramp mosaic: output
     origins advance by 40 px; edge tiles clip.  Per-output-tile checksums

@@ -1,0 +1,130 @@
+"""Minimal PNG codec + z/x/y.png tile-directory sink.
+
+Re-answers the reference's tile-output path (``apps/gdalalg_raster_tile.cpp``
+/ gdal2tiles: PNG tiles in a z/x/y directory tree) with a dependency-free
+encoder: PNG signature + IHDR/IDAT/IEND chunks, zlib (stdlib) compression,
+filter type 0 on every scanline, grayscale (1 band) or RGB (3 band) 8-bit.
+The matching decoder handles exactly what the encoder emits (filter 0 only)
+so round trips are testable without an image library.
+
+Determinism: zlib.compress(level=6) is deterministic for a given input, so
+tile files are byte-stable across runs (the resume manifest can trust file
+existence, matching the reference's tile-skip behavior,
+apps/gdalalg_raster_tile.cpp:676-682).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> PNG bytes."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, channels = 0, 1
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError("encode_png expects (h,w) gray or (h,w,3) RGB uint8")
+    h, w = a.shape[0], a.shape[1]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.empty((h, 1 + w * channels), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = a.reshape(h, w * channels)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Parse PNGs produced by encode_png (8-bit gray/RGB, filter 0)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        if struct.unpack_from(">I", data, pos + 8 + ln)[0] != (
+                zlib.crc32(tag + payload) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise ValueError("decode_png supports 8-bit gray/RGB non-interlaced only")
+    channels = 1 if color_type == 0 else 3
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + w * channels)
+    if (raw[:, 0] != 0).any():
+        raise ValueError("decode_png supports filter type 0 only")
+    px = raw[:, 1:]
+    return px.reshape(h, w) if channels == 1 else px.reshape(h, w, 3)
+
+
+def write_png_tiles(tiles_ds, root: str, resume: bool = True):
+    """Tile rows -> <root>/<z>/<x>/<y>.png (+ a resumable manifest).
+
+    Ray-Data shape: a streaming map_batches writes each tile from the worker
+    (shared filesystem / object-store mount assumption — the same contract
+    as the reference's tile output directory); with ``resume``, tiles whose
+    file already exists are skipped (reference behavior,
+    apps/gdalalg_raster_tile.cpp:676-682).  Returns a Dataset of
+    (z, x, y, path, n_bytes, skipped) receipts — consume it to execute."""
+    from ..stages.focal import _dtype_of
+
+    os.makedirs(root, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        out = {"z": [], "x": [], "y": [], "path": [], "n_bytes": [], "skipped": []}
+        for i in range(batch.num_rows):
+            z = batch["z"][i].as_py()
+            x = batch["x"][i].as_py()
+            y = batch["y"][i].as_py()
+            path = os.path.join(root, str(z), str(x), f"{y}.png")
+            skipped = resume and os.path.exists(path)
+            n_bytes = 0
+            if not skipped:
+                arr = np.frombuffer(
+                    batch["data"][i].as_py(),
+                    dtype=_dtype_of(batch["dtype"][i].as_py()),
+                ).reshape(batch["height"][i].as_py(), batch["width"][i].as_py())
+                png = encode_png(np.clip(arr, 0, 255).astype(np.uint8))
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(png)
+                os.replace(tmp, path)  # atomic publish (resume-safe)
+                n_bytes = len(png)
+            out["z"].append(z); out["x"].append(x); out["y"].append(y)
+            out["path"].append(path); out["n_bytes"].append(n_bytes)
+            out["skipped"].append(bool(skipped))
+        return pa.table({
+            "z": pa.array(out["z"], pa.int64()), "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64()), "path": pa.array(out["path"]),
+            "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+            "skipped": pa.array(out["skipped"], pa.bool_()),
+        })
+
+    return tiles_ds.map_batches(write_batch, batch_format="pyarrow")

@@ -118,3 +118,33 @@ def test_span_sequence_invariant_through_pipeline():
         ]
         offs = [s["offset"] for s in new]
         assert offs == sorted(offs)
+
+
+def test_png_codec_roundtrip_and_tile_sink_resume():
+    """PNG encode/decode round trip (gray + RGB), tile-directory layout, and
+    file-existence resume (second write run skips everything)."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.sources import png as png_mod
+    from gdal_ray.sources import synthetic
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    assert np.array_equal(png_mod.decode_png(png_mod.encode_png(gray)), gray)
+    rgb = rng.integers(0, 256, (9, 5, 3), dtype=np.uint8)
+    assert np.array_equal(png_mod.decode_png(png_mod.encode_png(rgb)), rgb)
+
+    root = os.path.join(tempfile.gettempdir(), "png_sink_test")
+    shutil.rmtree(root, ignore_errors=True)
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("checker", 2, 2, size=16))
+    r1 = png_mod.write_png_tiles(tiles, root, resume=True).take_all()
+    assert len(r1) == 4 and not any(r["skipped"] for r in r1)
+    assert os.path.exists(os.path.join(root, "4", "1", "1.png"))
+    r2 = png_mod.write_png_tiles(tiles, root, resume=True).take_all()
+    assert all(r["skipped"] for r in r2)  # resume: nothing rewritten

@@ -300,3 +300,32 @@ def test_polygonize_rings_cross_tile():
     # square ring area matches pixel count (no holes)
     sq_ring = wkb.decode(by_val[7.0]["wkb"]).parts[0][0]
     assert abs(wkb.ring_area(sq_ring)) == 16.0
+
+
+def test_aaigrid_roundtrip_and_header():
+    """ESRI ASCII grid: repr floats round-trip bitwise; header parsed;
+    edge tiles clip; malformed inputs fail loudly."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from gdal_ray.sources import aaigrid
+
+    rng = np.random.default_rng(9)
+    arr = np.round(rng.uniform(-5, 5, (40, 50)), 3)
+    path = os.path.join(tempfile.gettempdir(), "t.asc")
+    aaigrid.write_asc(path, arr, xll=10.5, yll=-3.25, cellsize=0.5, nodata=-9999.0)
+    back, hdr = aaigrid.read_asc(path)
+    assert np.array_equal(back, arr)
+    assert hdr["xllcorner"] == 10.5 and hdr["cellsize"] == 0.5
+    tiles = aaigrid.read_asc_tiles(path, tile_size=32).take_all()
+    assert len(tiles) == 4  # 2x2 with clipped edges
+    t11 = [t for t in tiles if t["x"] == 1 and t["y"] == 1][0]
+    assert t11["width"] == 50 - 32 and t11["height"] == 40 - 32
+    got = np.frombuffer(t11["data"], np.float32).reshape(8, 18)
+    assert np.array_equal(got, arr[32:, 32:].astype(np.float32))
+    with open(path + ".bad", "w") as f:
+        f.write("not a grid\n1 2 3\n")
+    with pytest.raises(ValueError):
+        aaigrid.read_asc(path + ".bad")
