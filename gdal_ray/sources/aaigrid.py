@@ -78,3 +78,42 @@ def read_asc_tiles(path: str, tile_size: int = 64, z: int = 4):
                 "data": sub.astype(np.float32).tobytes(),
             })
     return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def write_xyz(path: str, arr: np.ndarray, x0: float = 0.0, y0: float = 0.0,
+              cellsize: float = 1.0) -> None:
+    """GDAL XYZ driver format (frmts/xyz): one 'x y z' line per pixel,
+    row-major, pixel-center coordinates, constant spacing."""
+    h, w = arr.shape
+    with open(path, "w") as f:
+        for r in range(h):
+            ys = y0 + r * cellsize
+            f.write("\n".join(
+                f"{x0 + c * cellsize!r} {ys!r} {float(arr[r, c])!r}"
+                for c in range(w)) + "\n")
+
+
+def read_xyz(path: str):
+    """Parse an XYZ raster (regular grid required, like the reference's
+    driver) -> (array float64, (x0, y0, cellsize))."""
+    vals = np.loadtxt(path, dtype=np.float64)
+    if vals.ndim != 2 or vals.shape[1] != 3:
+        raise ValueError("XYZ file must have three columns")
+    xs = np.unique(vals[:, 0])
+    ys = np.unique(vals[:, 1])
+    w, h = len(xs), len(ys)
+    if w * h != len(vals):
+        raise ValueError("XYZ points do not form a complete grid")
+    dx = np.diff(xs)
+    dy = np.diff(ys)
+    if w > 1 and not np.allclose(dx, dx[0]):
+        raise ValueError("XYZ grid spacing is irregular in x")
+    if h > 1 and not np.allclose(dy, dy[0]):
+        raise ValueError("XYZ grid spacing is irregular in y")
+    arr = np.full((h, w), np.nan)
+    ci = np.searchsorted(xs, vals[:, 0])
+    ri = np.searchsorted(ys, vals[:, 1])
+    arr[ri, ci] = vals[:, 2]
+    if np.isnan(arr).any():
+        raise ValueError("XYZ grid has duplicate/missing cells")
+    return arr, (float(xs[0]), float(ys[0]), float(dx[0]) if w > 1 else 1.0)

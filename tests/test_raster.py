@@ -329,3 +329,23 @@ def test_aaigrid_roundtrip_and_header():
         f.write("not a grid\n1 2 3\n")
     with pytest.raises(ValueError):
         aaigrid.read_asc(path + ".bad")
+
+
+def test_xyz_driver_roundtrip_and_validation():
+    import os
+    import tempfile
+
+    import pytest
+
+    from gdal_ray.sources import aaigrid
+
+    rng = np.random.default_rng(4)
+    arr = np.round(rng.uniform(0, 9, (7, 11)), 2)
+    path = os.path.join(tempfile.gettempdir(), "t2.xyz")
+    aaigrid.write_xyz(path, arr, x0=100.0, y0=50.0, cellsize=2.0)
+    back, (x0, y0, cs) = aaigrid.read_xyz(path)
+    assert np.array_equal(back, arr) and (x0, y0, cs) == (100.0, 50.0, 2.0)
+    with open(path, "a") as f:
+        f.write("100.0 50.0 1.0\n")  # duplicate cell -> incomplete grid
+    with pytest.raises(ValueError):
+        aaigrid.read_xyz(path)
