@@ -1388,6 +1388,59 @@ def _transformer_oracles() -> dict[str, str]:
                CAST(floor((lat + {bilin('lat')} / 3600.0) * 10000000.0 + 0.5) AS BIGINT) AS lat_e7
         FROM r
     """
+    # -- composed chain: grid shift -> Helmert datum -> UTM ----------------
+    chain_sql = f"""
+        WITH {_DOCS_GEO},
+        p0 AS (SELECT doc_id, lon, lat,
+                      (lon - (-180.0)) / 10.0 AS fx,
+                      (lat - (-90.0)) / 10.0 AS fy FROM d),
+        p1 AS (SELECT doc_id, lon, lat, fx, fy,
+                      LEAST(GREATEST(CAST(floor(fx) AS BIGINT), 0), 35) AS i,
+                      LEAST(GREATEST(CAST(floor(fy) AS BIGINT), 0), 17) AS j FROM p0),
+        p2 AS (SELECT doc_id, lon, lat, i, j,
+                      LEAST(GREATEST(fx - i, 0.0), 1.0) AS tx,
+                      LEAST(GREATEST(fy - j, 0.0), 1.0) AS ty FROM p1),
+        p3 AS (SELECT doc_id, lon + {bilin('lon')} / 3600.0 AS lon1,
+                      lat + {bilin('lat')} / 3600.0 AS lat1 FROM p2),
+        d1 AS (SELECT doc_id, radians(lon1) AS lonr, radians(lat1) AS latr FROM p3),
+        d2 AS (SELECT doc_id, lonr, latr, sin(latr) AS slat FROM d1),
+        d3 AS (SELECT doc_id, lonr, latr, slat,
+                      {F(a_)} / sqrt(1.0 - {F(e2)} * slat * slat) AS nu FROM d2),
+        dg AS (SELECT doc_id,
+                      (nu + 0.0) * cos(latr) * cos(lonr) AS X,
+                      (nu + 0.0) * cos(latr) * sin(lonr) AS Y,
+                      (nu * {F(one_m_e2)} + 0.0) * slat AS Z FROM d3),
+        dh AS (SELECT doc_id,
+                      {F(hp[0])} + {F(m)} * (X - {F(rzv)} * Y + {F(ryv)} * Z) AS Xp,
+                      {F(hp[1])} + {F(m)} * ({F(rzv)} * X + Y - {F(rxv)} * Z) AS Yp,
+                      {F(hp[2])} + {F(m)} * (-({F(ryv)}) * X + {F(rxv)} * Y + Z) AS Zp FROM dg),
+        dw AS (SELECT doc_id, Xp, Yp, Zp, sqrt(Xp * Xp + Yp * Yp) AS pr FROM dh),
+        dth AS (SELECT doc_id, Xp, Yp, Zp, pr,
+                       atan2(Zp * {F(a_)}, pr * {F(b_)}) AS theta FROM dw),
+        dtt AS (SELECT doc_id, Xp, Yp, Zp, pr, sin(theta) AS st, cos(theta) AS ct FROM dth),
+        dph AS (SELECT doc_id, Xp, Yp,
+                       atan2(Zp + {F(ep2)} * {F(b_)} * st * st * st,
+                             pr - {F(e2)} * {F(a_)} * ct * ct * ct) AS phi FROM dtt),
+        dd AS (SELECT doc_id, degrees(atan2(Yp, Xp)) AS lon2, degrees(phi) AS lat2 FROM dph),
+        ff AS (SELECT doc_id, lon2, lat2 FROM dd
+               WHERE abs(lon2 - 3.0) <= 6.0 AND abs(lat2) <= 84.0),
+        u1 AS (SELECT doc_id, radians(lat2) AS phi, radians(lon2 - 3.0) AS lam FROM ff),
+        u2 AS (SELECT doc_id, lam, sin(phi) AS sphi, tan(phi) AS tau FROM u1),
+        u3 AS (SELECT doc_id, lam,
+                      ln(tau + sqrt(tau * tau + 1.0))
+                      - {F(e)} * (0.5 * ln((1.0 + {F(e)} * sphi) / (1.0 - {F(e)} * sphi))) AS arg
+               FROM u2),
+        u4 AS (SELECT doc_id, lam, (exp(arg) - exp(-arg)) / 2.0 AS taup,
+                      cos(lam) AS coslam FROM u3),
+        u5 AS (SELECT doc_id, atan2(taup, coslam) AS xi_p,
+                      sin(lam) / sqrt(taup * taup + coslam * coslam) AS s_eta FROM u4),
+        u6 AS (SELECT doc_id, xi_p, ln(s_eta + sqrt(s_eta * s_eta + 1.0)) AS eta_p FROM u5),
+        u7 AS (SELECT doc_id, {xi_expr} AS xi, {eta_expr} AS eta FROM u6)
+        SELECT doc_id,
+               CAST(floor((500000.0 + 0.9996 * {F(A)} * eta) * 100.0 + 0.5) AS BIGINT) AS e_cm,
+               CAST(floor((0.0 + 0.9996 * {F(A)} * xi) * 100.0 + 0.5) AS BIGINT) AS n_cm
+        FROM u7
+    """
     return {
         "reproject_utm": utm_sql,
         "reproject_lcc": lcc_sql,
@@ -1397,6 +1450,7 @@ def _transformer_oracles() -> dict[str, str]:
         "rpc_transform": rpc_sql,
         "grid_shift": grid_shift_sql,
         "grid_shift_gsb": grid_shift_sql,
+        "transform_chain": chain_sql,
     }
 
 
@@ -1514,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rpc_transform": q.rpc_transform_q,
         "grid_shift": q.grid_shift_q,
         "grid_shift_gsb": q.grid_shift_gsb_q,
+        "transform_chain": q.transform_chain_q,
         # text sketches / near-dup (oracle-checked via SQL recomputation)
         "langid": q.langid_q,
         "fingerprint": q.fingerprint_q,

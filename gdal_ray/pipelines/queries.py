@@ -1740,6 +1740,35 @@ def grid_shift_q(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def transform_chain_q(sf_dir: str):
+    """The reference's COMPOSED transformer chain (alg/gdaltransformer.cpp
+    GDALGenImgProjTransform role; PROJ pipeline +nadgrids -> +towgs84 ->
+    +proj=tmerc): NTv2 grid shift, then the 7-parameter Helmert datum shift,
+    then ellipsoidal UTM zone 31 — every stage the already-verified engine
+    transformer, chained.  Output quantized to cm with tie-safe floor(x+.5)."""
+    ds = _docs_points(sf_dir)
+    from ..functions import transformer
+
+    g = transformer.demo_shift_grid()
+
+    def fn(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        lon1, lat1 = g.forward(lon, lat)
+        lon2, lat2, _h = transformer.datum_shift_lonlat(lon1, lat1, HELMERT_PARAMS)
+        m = (np.abs(lon2 - 3.0) <= 6.0) & (np.abs(lat2) <= 84.0)
+        E, N = transformer.tmerc_forward(lon2[m], lat2[m], lon0=3.0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(pa.array(m)),
+                "e_cm": pa.array(np.floor(E * 100.0 + 0.5).astype(np.int64)),
+                "n_cm": pa.array(np.floor(N * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def grid_shift_gsb_q(sf_dir: str):
     """Same grid-shift transform, but the grid travels through the NTv2 .gsb
     BINARY FORMAT: write the demo grid as a spec-conformant single-subgrid
