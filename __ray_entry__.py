@@ -1524,6 +1524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_quantity": q.quantiles_quantity_q,
         "stack_bands": q.stack_bands_q,
         "select_band": q.select_band_q,
+        "calc_two_bands": q.calc_two_bands_q,
+        "having_segments": q.having_segments_q,
         "retile_overlap": q.retile_q,
         "asc_roundtrip": q.asc_roundtrip_q,
         "png_tiles_roundtrip": q.png_tiles_q,
@@ -2091,6 +2093,23 @@ def oracle_sql() -> dict[str, str]:
             FROM tot t
         """,
         "stack_bands": _stack_bands_sql(),
+        "calc_two_bands": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(128) a, range(128) b),
+            v AS (SELECT gx, gy,
+                         (CAST(gx + gy AS DOUBLE)
+                          + CAST(((gx // 8 + gy // 8) % 2) * 255 AS DOUBLE)) / 2.0 AS v
+                  FROM px)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(CAST(trunc(v) AS BIGINT)
+                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM v GROUP BY 1, 2
+        """,
+        "having_segments": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1 HAVING count(*) >= 250
+        """,
         "select_band": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy
                         FROM range(128) a, range(128) b)

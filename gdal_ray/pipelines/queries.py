@@ -412,6 +412,31 @@ def embedding_ann_ivf_q(sf_dir: str):
     return out.select_columns(["vec_id", "rank"])
 
 
+def calc_two_bands_q(sf_dir: str):
+    """gdal_calc -A ramp -B checker --calc '(A + B) / 2.0' over the stacked
+    fixtures; per-tile checksums of the float result."""
+    from ..stages import rastermap
+
+    layers = [rd.from_arrow(synthetic.make_raster_tiles(k, 2, 2, size=64))
+              for k in ("ramp", "checker")]
+    out = rastermap.calc_multi(rastermap.stack_bands(layers), "(A + B) / 2.0")
+    return out.select_columns(["x", "y", "checksum"])
+
+
+def having_segments_q(sf_dir: str):
+    """OGR SQL GROUP BY ... HAVING: distributed aggregate then a vectorized
+    post-filter on the aggregate rows."""
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
+    agg = ds.groupby("c_mktsegment").count()
+
+    def having(t: pa.Table) -> pa.Table:
+        t = pa.table({"c_mktsegment": t["c_mktsegment"],
+                      "n": pc.cast(t["count()"], pa.int64())})
+        return t.filter(pc.greater_equal(t["n"], 250))
+
+    return agg.map_batches(having, batch_format="pyarrow")
+
+
 def select_band_q(sf_dir: str):
     """gdal_translate -b 2: slice the checker band back out of the 3-band
     stack — checksum must equal the standalone checker fixture's."""

@@ -104,6 +104,52 @@ def compile_calc_expr(expr: str):
     return fn
 
 
+def calc_multi(stacked_ds, expr: str):
+    """gdal_calc with MULTIPLE inputs (-A ... -B ... --calc "A + B"): the
+    band variables A..Z map to the bands of ``stack_bands`` output in order.
+    Same whitelisted-numpy expression compilation as ``calc``."""
+    if any(tok in expr for tok in ("__", "import", "lambda", ";", "exec", "eval")):
+        raise ValueError(f"disallowed token in calc expression: {expr!r}")
+    code = compile(expr, "<calc>", "eval")
+    band_vars = sorted({n for n in code.co_names if len(n) == 1 and "A" <= n <= "Z"})
+    for name in code.co_names:
+        if name not in _CALC_NS and name not in band_vars:
+            raise ValueError(f"unknown name {name!r} in calc expression")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from .focal import _dtype_of
+
+        _SIZES = {"uint8": 1, "int16": 2, "int32": 4, "float32": 4, "float64": 8}
+        rows = []
+        for i in range(batch.num_rows):
+            dtypes = batch["dtypes"][i].as_py().split(",")
+            if len(band_vars) > len(dtypes):
+                raise ValueError(
+                    f"expression uses {len(band_vars)} bands, stack has {len(dtypes)}")
+            w = batch["width"][i].as_py()
+            h = batch["height"][i].as_py()
+            data = batch["data"][i].as_py()
+            env = dict(_CALC_NS)
+            off = 0
+            for bi, dt in enumerate(dtypes):
+                n = w * h * _SIZES[dt]
+                if bi < len(band_vars):
+                    env[band_vars[bi]] = np.frombuffer(
+                        data[off:off + n], dtype=_dtype_of(dt)
+                    ).reshape(h, w).astype(np.float64)
+                off += n
+            out = np.asarray(eval(code, {"__builtins__": {}}, env), dtype=np.float64)
+            rows.append({
+                "z": batch["z"][i].as_py(), "x": batch["x"][i].as_py(),
+                "y": batch["y"][i].as_py(), "width": w, "height": h,
+                "dtype": "float64", "data": out.tobytes(),
+                "checksum": cks.tile_checksum(out),
+            })
+        return pa.Table.from_pylist(rows)
+
+    return stacked_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def calc(tiles_ds, expr):
     """Band algebra: expr is a python callable over the tile array OR a
     gdal_calc-style string (e.g. ``"A * 2 + 1"``, ``"where(A > 10, A, 0)"``)
