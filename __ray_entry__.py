@@ -1521,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wrapdateline": q.wrapdateline_q,
         "geodesic_measures": q.geodesic_measures_q,
         "layer_info": q.layer_info_q,
+        "line_interpolate": q.line_interpolate_q,
         "quantiles_quantity": q.quantiles_quantity_q,
         "stack_bands": q.stack_bands_q,
         "select_band": q.select_band_q,
@@ -2072,6 +2073,33 @@ def oracle_sql() -> dict[str, str]:
         "contour_rings_interp": _contour_rings_sql(),
         "wrapdateline": _wrapdateline_sql(),
         "geodesic_measures": _geodesic_sql(),
+        "line_interpolate": f"""
+            -- ring order (minx,miny)->(maxx,miny)->(maxx,maxy)->(minx,maxy);
+            -- boundaries use STRICT < so an exact edge-end lands on the next
+            -- segment with t=0, matching np.searchsorted(side='right')
+            WITH {_ZONES},
+            m AS (SELECT zone_key, minx, miny, maxx, maxy,
+                         maxx - minx AS wl, maxy - miny AS hl,
+                         0.3 * ((maxx - minx) + (maxy - miny)
+                                + (maxx - minx) + (maxy - miny)) AS dd
+                  FROM zz)
+            SELECT zone_key,
+                   CAST(floor((CASE
+                       WHEN dd < wl THEN minx + ((dd - 0.0) / wl) * (maxx - minx)
+                       WHEN dd < wl + hl THEN maxx + ((dd - wl) / hl) * (maxx - maxx)
+                       WHEN dd < wl + hl + wl
+                            THEN maxx + ((dd - (wl + hl)) / wl) * (minx - maxx)
+                       ELSE minx + ((dd - (wl + hl + wl)) / hl) * (minx - minx)
+                   END) * 10000000.0 + 0.5) AS BIGINT) AS px_e7,
+                   CAST(floor((CASE
+                       WHEN dd < wl THEN miny + ((dd - 0.0) / wl) * (miny - miny)
+                       WHEN dd < wl + hl THEN miny + ((dd - wl) / hl) * (maxy - miny)
+                       WHEN dd < wl + hl + wl
+                            THEN maxy + ((dd - (wl + hl)) / wl) * (maxy - maxy)
+                       ELSE maxy + ((dd - (wl + hl + wl)) / hl) * (miny - maxy)
+                   END) * 10000000.0 + 0.5) AS BIGINT) AS py_e7
+            FROM m
+        """,
         "layer_info": f"""
             WITH {_ZONES}
             SELECT CAST(count(*) AS BIGINT) AS n_features,

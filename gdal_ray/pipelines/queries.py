@@ -1033,6 +1033,26 @@ def retile_q(sf_dir: str):
     return out.select_columns(["x", "y", "width", "height", "checksum"])
 
 
+def line_interpolate_q(sf_dir: str):
+    """OGR_G_Value / ST_LineInterpolatePoint: the point 30% of the way along
+    each zone ring; tie-safe 1e-7-deg quantization."""
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = geomops.line_interpolate_batch(t.select(["zone_key", "wkb"]), 0.3)
+        return pa.table({
+            "zone_key": out["zone_key"],
+            "px_e7": pa.array(np.floor(
+                out["pt_x"].to_numpy(zero_copy_only=False) * 1e7 + 0.5).astype(np.int64)),
+            "py_e7": pa.array(np.floor(
+                out["pt_y"].to_numpy(zero_copy_only=False) * 1e7 + 0.5).astype(np.int64)),
+        })
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
 def layer_info_q(sf_dir: str):
     """ogrinfo -so summary of the zones layer: feature count, layer extent
     (aggregate of per-feature bboxes), geometry type."""

@@ -474,6 +474,47 @@ def geodesic_measures_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
                  .append_column("geo_perim_m", pa.array(perims, pa.int64())))
 
 
+def line_point_at_distance(pts: np.ndarray, d: float) -> tuple[float, float]:
+    """OGR_G_Value / ST_LineInterpolatePoint: the point at planar distance
+    ``d`` along the vertex chain (clamped to the endpoints;
+    ogr/ogrlinestring.cpp OGRLineString::Value)."""
+    seg = np.hypot(np.diff(pts[:, 0]), np.diff(pts[:, 1]))
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    if d <= 0:
+        return float(pts[0, 0]), float(pts[0, 1])
+    if d >= cum[-1]:
+        return float(pts[-1, 0]), float(pts[-1, 1])
+    i = int(np.searchsorted(cum, d, side="right")) - 1
+    t = (d - cum[i]) / seg[i]
+    x = pts[i, 0] + t * (pts[i + 1, 0] - pts[i, 0])
+    y = pts[i, 1] + t * (pts[i + 1, 1] - pts[i, 1])
+    return float(x), float(y)
+
+
+def line_interpolate_batch(batch: pa.Table, fraction: float,
+                           wkb_col: str = "wkb") -> pa.Table:
+    """Per geometry: the point at ``fraction`` of the total length along its
+    vertex chain (polygon shells walk the ring).  Appends pt_x / pt_y."""
+    xs, ys = [], []
+    for w in batch[wkb_col].to_pylist():
+        g = _wkb.decode(w)
+        if g.kind == _wkb.LINESTRING:
+            pts = g.parts[0]
+        elif g.kind == _wkb.POLYGON:
+            pts = g.parts[0][0]
+        else:
+            xs.append(None)
+            ys.append(None)
+            continue
+        seg = np.hypot(np.diff(pts[:, 0]), np.diff(pts[:, 1]))
+        x, y = line_point_at_distance(np.asarray(pts, dtype=np.float64),
+                                      fraction * float(seg.sum()))
+        xs.append(x)
+        ys.append(y)
+    return (batch.append_column("pt_x", pa.array(xs, pa.float64()))
+                 .append_column("pt_y", pa.array(ys, pa.float64())))
+
+
 def _unwrap_lons(pts: np.ndarray) -> np.ndarray:
     """Make longitudes continuous: each vertex shifted by a multiple of 360
     so |dlon| <= 180 between neighbors (the antimeridian-crossing test the

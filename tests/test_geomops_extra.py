@@ -167,3 +167,16 @@ def test_geodesic_measures_closed_forms():
     rows = geomops.geodesic_measures_batch(t).to_pylist()
     assert rows[0]["geo_area_10m2"] < rows[1]["geo_area_10m2"]
     assert rows[0]["geo_perim_m"] > rows[1]["geo_perim_m"]  # hole ring adds length
+
+
+def test_line_point_at_distance():
+    pts = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 5.0]])
+    assert geomops.line_point_at_distance(pts, 0.0) == (0.0, 0.0)
+    assert geomops.line_point_at_distance(pts, 4.0) == (4.0, 0.0)
+    assert geomops.line_point_at_distance(pts, 12.0) == (10.0, 2.0)
+    assert geomops.line_point_at_distance(pts, 99.0) == (10.0, 5.0)  # clamp
+    # exact edge boundary lands on the NEXT segment with t=0 (same point)
+    assert geomops.line_point_at_distance(pts, 10.0) == (10.0, 0.0)
+    t = pa.table({"wkb": [wkb.encode_linestring(pts)]})
+    out = geomops.line_interpolate_batch(t, 0.5).to_pylist()[0]
+    assert (out["pt_x"], out["pt_y"]) == (7.5, 0.0)
