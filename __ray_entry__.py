@@ -208,6 +208,11 @@ def _hillshade_variants_sql() -> str:
     # alt=45 az=315 z=1 res=1; az_math = radians(360-315+90) = radians(135)
     s_alt = "sin(radians(45.0))"
     c_alt = "cos(radians(45.0))"
+    c0 = val(0, 0)
+    # neighbor diffs are exact dyadic rationals on the hump fixture, so the
+    # 8-term sum is EXACT under any association — no ordering hazard
+    riley = " + ".join(f"(({n}) - ({c0})) * (({n}) - ({c0}))"
+                       for n in (a, b, c, d, f, g, h, i))
     modes = {
         "slope_zt": "degrees(atan(sqrt(zx*zx + zy*zy)))",
         "aspect_zt": """CASE WHEN degrees(atan2(zy, -zx)) < 0
@@ -241,6 +246,7 @@ def _hillshade_variants_sql() -> str:
                  + (0.5*(xg*xg + yg*yg) + xg*yg) * GREATEST({s_alt} + {c_alt}*(xg + yg)*cos(radians(225.0)), 0.0)
                  + (yg*yg) * GREATEST({s_alt} - {c_alt}*yg, 0.0))
             / (xg*xg + yg*yg) * (1.0/sqrt(1.0 + (xg*xg + yg*yg))) END)""",
+        "tri_riley": f"sqrt({riley})",
         "igor": """255.0 * (1.0 - (degrees(atan(sqrt(hx*hx + hy*hy))) / 90.0)
             * (1.0 - (CASE WHEN abs(
                   (CASE WHEN atan2(hy, -hx) < 0.0 THEN atan2(hy, -hx) + 2.0*pi() ELSE atan2(hy, -hx) END)

@@ -1372,7 +1372,7 @@ def hillshade_q(sf_dir: str):
 
 
 HILLSHADE_VARIANTS = ["hillshade_zt", "slope_zt", "aspect_zt",
-                      "combined", "multidirectional", "igor"]
+                      "combined", "multidirectional", "igor", "tri_riley"]
 
 
 def hillshade_variants_q(sf_dir: str):

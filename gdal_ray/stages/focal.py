@@ -172,6 +172,9 @@ def _apply_alg(pad: np.ndarray, alg: str, res: float, z_factor: float,
                       for dy in range(3) for dx in range(3)])
     if alg == "tri":  # mean abs diff from center (Wilson)
         return np.abs(stack - center).sum(axis=0) / 8.0
+    if alg == "tri_riley":  # sqrt of sum of squared diffs (Riley et al. 1999,
+        # the reference's default TRI alg, apps/gdaldem_lib.cpp GDALTriAlg)
+        return np.sqrt(((stack - center) ** 2).sum(axis=0))
     if alg == "tpi":  # center minus neighbor mean
         return center - (stack.sum(axis=0) - center) / 8.0
     if alg == "roughness":

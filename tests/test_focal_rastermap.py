@@ -56,7 +56,7 @@ def test_focal_shading_variants_match_monolithic():
     tiles, full = _tiles_and_full(kind="hump", nx=3, ny=2)
     pad = np.pad(full, 1, mode="edge")
     for alg in ("slope_zt", "aspect_zt", "hillshade_zt",
-                "combined", "multidirectional", "igor"):
+                "combined", "multidirectional", "igor", "tri_riley"):
         rows = focal_stage.focal(rd.from_arrow(tiles), alg=alg, res=1.0).take_all()
         got = _assemble_out(rows, 32, 3, 2)
         expect = focal_stage._apply_alg(pad, alg, 1.0, 1.0, 315.0, 45.0)
