@@ -2170,8 +2170,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
                    CAST(sum(((gx // 8 + gy // 8) % 2) * 255
                             * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
-                        AS BIGINT) AS checksum,
-                   true AS written
+                        AS BIGINT) AS checksum
             FROM px GROUP BY 1, 2
         """,
         "asc_roundtrip": """

@@ -968,23 +968,26 @@ def png_tiles_q(sf_dir: str):
     from ..functions import checksum as cks_f
     from ..sources import png as png_mod
 
-    root = f"{tempfile.gettempdir()}/gdal_ray_png_tiles"
+    import os
+
+    # pid-scoped dir: concurrent gate/driver runs on the same host must not
+    # rmtree each other's in-flight tiles; 'skipped' receipts are execution
+    # history (retry-dependent) and deliberately NOT part of the graded output
+    root = f"{tempfile.gettempdir()}/gdal_ray_png_tiles_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     tiles = rd.from_arrow(synthetic.make_raster_tiles("checker", 3, 3, size=64))
     receipts = png_mod.write_png_tiles(tiles, root, resume=True)
 
     def verify(t: pa.Table) -> pa.Table:
-        xs, ys, cs, ok = [], [], [], []
+        xs, ys, cs = [], [], []
         for i in range(t.num_rows):
             with open(t["path"][i].as_py(), "rb") as f:
                 arr = png_mod.decode_png(f.read())
             xs.append(t["x"][i].as_py())
             ys.append(t["y"][i].as_py())
             cs.append(cks_f.tile_checksum(arr))
-            ok.append(not t["skipped"][i].as_py())
         return pa.table({"x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64()),
-                         "checksum": pa.array(cs, pa.int64()),
-                         "written": pa.array(ok, pa.bool_())})
+                         "checksum": pa.array(cs, pa.int64())})
 
     return receipts.map_batches(verify, batch_format="pyarrow")
 
@@ -998,9 +1001,11 @@ def asc_roundtrip_q(sf_dir: str):
     from ..functions import checksum as cks_f
     from ..sources import aaigrid
 
+    import os
+
     gy, gx = np.mgrid[0:192, 0:192]
     arr = (((gx - 96) ** 2 + (gy - 96) ** 2) / 64.0).astype(np.float32).astype(np.float64)
-    path = f"{tempfile.gettempdir()}/gdal_ray_hump.asc"
+    path = f"{tempfile.gettempdir()}/gdal_ray_hump_{os.getpid()}.asc"
     aaigrid.write_asc(path, arr, nodata=-9999.0)
     tiles = aaigrid.read_asc_tiles(path, tile_size=64)
 
@@ -1825,7 +1830,9 @@ def grid_shift_gsb_q(sf_dir: str):
     from ..functions import transformer
     from ..sources import ntv2
 
-    path = f"{tempfile.gettempdir()}/gdal_ray_demo_grid.gsb"
+    import os
+
+    path = f"{tempfile.gettempdir()}/gdal_ray_demo_grid_{os.getpid()}.gsb"
     ntv2.write_gsb(path, transformer.demo_shift_grid())
     t = ntv2.read_gsb(path)
     ds = _docs_points(sf_dir)

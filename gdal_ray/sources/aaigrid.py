@@ -41,8 +41,8 @@ def read_asc(path: str):
             line = f.readline()
             parts = line.split()
             if len(parts) == 2 and parts[0].lower() in (
-                    "ncols", "nrows", "xllcorner", "yllcorner", "cellsize",
-                    "nodata_value"):
+                    "ncols", "nrows", "xllcorner", "yllcorner", "xllcenter",
+                    "yllcenter", "cellsize", "nodata_value"):
                 key = parts[0].lower()
                 hdr[key] = int(parts[1]) if key in ("ncols", "nrows") else float(parts[1])
             else:
@@ -83,11 +83,13 @@ def read_asc_tiles(path: str, tile_size: int = 64, z: int = 4):
 def write_xyz(path: str, arr: np.ndarray, x0: float = 0.0, y0: float = 0.0,
               cellsize: float = 1.0) -> None:
     """GDAL XYZ driver format (frmts/xyz): one 'x y z' line per pixel,
-    row-major, pixel-center coordinates, constant spacing."""
+    row-major, pixel-center coordinates, constant spacing.  Array row 0 is
+    the NORTH row (largest y) — the same convention as write_asc / the
+    engine's tiles, and the orientation the reference's XYZ writer emits."""
     h, w = arr.shape
     with open(path, "w") as f:
         for r in range(h):
-            ys = y0 + r * cellsize
+            ys = y0 + (h - 1 - r) * cellsize
             f.write("\n".join(
                 f"{x0 + c * cellsize!r} {ys!r} {float(arr[r, c])!r}"
                 for c in range(w)) + "\n")
@@ -95,7 +97,9 @@ def write_xyz(path: str, arr: np.ndarray, x0: float = 0.0, y0: float = 0.0,
 
 def read_xyz(path: str):
     """Parse an XYZ raster (regular grid required, like the reference's
-    driver) -> (array float64, (x0, y0, cellsize))."""
+    driver) -> (array float64, (x0, y0, cs_x, cs_y)).  Array row 0 is the
+    NORTH row; (x0, y0) is the SW pixel center; anisotropic spacing is
+    preserved (cs_x, cs_y separately)."""
     vals = np.loadtxt(path, dtype=np.float64)
     if vals.ndim != 2 or vals.shape[1] != 3:
         raise ValueError("XYZ file must have three columns")
@@ -112,8 +116,10 @@ def read_xyz(path: str):
         raise ValueError("XYZ grid spacing is irregular in y")
     arr = np.full((h, w), np.nan)
     ci = np.searchsorted(xs, vals[:, 0])
-    ri = np.searchsorted(ys, vals[:, 1])
+    ri = (h - 1) - np.searchsorted(ys, vals[:, 1])  # row 0 = north
     arr[ri, ci] = vals[:, 2]
     if np.isnan(arr).any():
         raise ValueError("XYZ grid has duplicate/missing cells")
-    return arr, (float(xs[0]), float(ys[0]), float(dx[0]) if w > 1 else 1.0)
+    return arr, (float(xs[0]), float(ys[0]),
+                 float(dx[0]) if w > 1 else 1.0,
+                 float(dy[0]) if h > 1 else 1.0)

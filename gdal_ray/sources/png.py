@@ -56,7 +56,11 @@ def decode_png(data: bytes) -> np.ndarray:
     ihdr = None
     idat = b""
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG (chunk header past end of data)")
         (ln,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + ln > len(data):
+            raise ValueError("truncated PNG (chunk body past end of data)")
         tag = data[pos + 4:pos + 8]
         payload = data[pos + 8:pos + 8 + ln]
         if struct.unpack_from(">I", data, pos + 8 + ln)[0] != (

@@ -474,11 +474,14 @@ def geodesic_measures_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
                  .append_column("geo_perim_m", pa.array(perims, pa.int64())))
 
 
-def line_point_at_distance(pts: np.ndarray, d: float) -> tuple[float, float]:
+def line_point_at_distance(pts: np.ndarray, d: float,
+                           seg: np.ndarray | None = None) -> tuple[float, float]:
     """OGR_G_Value / ST_LineInterpolatePoint: the point at planar distance
     ``d`` along the vertex chain (clamped to the endpoints;
-    ogr/ogrlinestring.cpp OGRLineString::Value)."""
-    seg = np.hypot(np.diff(pts[:, 0]), np.diff(pts[:, 1]))
+    ogr/ogrlinestring.cpp OGRLineString::Value).  Pass precomputed segment
+    lengths via ``seg`` to avoid a second diff/hypot pass."""
+    if seg is None:
+        seg = np.hypot(np.diff(pts[:, 0]), np.diff(pts[:, 1]))
     cum = np.concatenate([[0.0], np.cumsum(seg)])
     if d <= 0:
         return float(pts[0, 0]), float(pts[0, 1])
@@ -506,9 +509,9 @@ def line_interpolate_batch(batch: pa.Table, fraction: float,
             xs.append(None)
             ys.append(None)
             continue
+        pts = np.asarray(pts, dtype=np.float64)
         seg = np.hypot(np.diff(pts[:, 0]), np.diff(pts[:, 1]))
-        x, y = line_point_at_distance(np.asarray(pts, dtype=np.float64),
-                                      fraction * float(seg.sum()))
+        x, y = line_point_at_distance(pts, fraction * float(seg.sum()), seg=seg)
         xs.append(x)
         ys.append(y)
     return (batch.append_column("pt_x", pa.array(xs, pa.float64()))

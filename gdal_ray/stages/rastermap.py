@@ -86,17 +86,29 @@ _CALC_NS = {
 }
 
 
+# byte widths of the multiband stack payload dtypes (shared by select_band /
+# calc_multi — keep in ONE place so new dtypes extend both)
+_DTYPE_SIZES = {"uint8": 1, "int16": 2, "int32": 4, "float32": 4, "float64": 8}
+
+
+def _validate_calc_expr(expr: str, extra_names: set):
+    """Shared gdal_calc expression validation: token blacklist + co_names
+    whitelist against the numpy namespace and the allowed band variables."""
+    if any(tok in expr for tok in ("__", "import", "lambda", ";", "exec", "eval")):
+        raise ValueError(f"disallowed token in calc expression: {expr!r}")
+    code = compile(expr, "<calc>", "eval")
+    for name in code.co_names:
+        if name not in _CALC_NS and name not in extra_names:
+            raise ValueError(f"unknown name {name!r} in calc expression")
+    return code
+
+
 def compile_calc_expr(expr: str):
     """VRT pixel-function / gdal_calc string expression -> vectorized callable
     (reference surface: VRTDerivedRasterBand pixel functions + gdal_calc's
     expression strings).  The band variable is ``A``; namespace is a fixed
     whitelist of numpy ufuncs — no builtins, no attribute access."""
-    if any(tok in expr for tok in ("__", "import", "lambda", ";", "exec", "eval")):
-        raise ValueError(f"disallowed token in calc expression: {expr!r}")
-    code = compile(expr, "<calc>", "eval")
-    for name in code.co_names:
-        if name not in _CALC_NS and name != "A":
-            raise ValueError(f"unknown name {name!r} in calc expression")
+    code = _validate_calc_expr(expr, {"A"})
 
     def fn(arr):
         return eval(code, {"__builtins__": {}}, {**_CALC_NS, "A": arr})
@@ -105,39 +117,34 @@ def compile_calc_expr(expr: str):
 
 
 def calc_multi(stacked_ds, expr: str):
-    """gdal_calc with MULTIPLE inputs (-A ... -B ... --calc "A + B"): the
-    band variables A..Z map to the bands of ``stack_bands`` output in order.
-    Same whitelisted-numpy expression compilation as ``calc``."""
-    if any(tok in expr for tok in ("__", "import", "lambda", ";", "exec", "eval")):
-        raise ValueError(f"disallowed token in calc expression: {expr!r}")
-    code = compile(expr, "<calc>", "eval")
-    band_vars = sorted({n for n in code.co_names if len(n) == 1 and "A" <= n <= "Z"})
-    for name in code.co_names:
-        if name not in _CALC_NS and name not in band_vars:
-            raise ValueError(f"unknown name {name!r} in calc expression")
+    """gdal_calc with MULTIPLE inputs (-A ... -B ... --calc "A + B"): band
+    variables bind by ALPHABET POSITION — A is always band 1, B band 2, ...
+    (the gdal_calc -A/-B flag contract), so "C - A" on a 3-band stack reads
+    bands 3 and 1.  A letter beyond the stack's band count raises."""
+    letters = {chr(ord("A") + i) for i in range(26)}
+    code = _validate_calc_expr(expr, letters)
+    used = sorted(n for n in code.co_names if n in letters)
 
     def fn(batch: pa.Table) -> pa.Table:
         from .focal import _dtype_of
 
-        _SIZES = {"uint8": 1, "int16": 2, "int32": 4, "float32": 4, "float64": 8}
         rows = []
         for i in range(batch.num_rows):
             dtypes = batch["dtypes"][i].as_py().split(",")
-            if len(band_vars) > len(dtypes):
-                raise ValueError(
-                    f"expression uses {len(band_vars)} bands, stack has {len(dtypes)}")
             w = batch["width"][i].as_py()
             h = batch["height"][i].as_py()
             data = batch["data"][i].as_py()
+            offs = np.cumsum([0] + [w * h * _DTYPE_SIZES[d] for d in dtypes])
             env = dict(_CALC_NS)
-            off = 0
-            for bi, dt in enumerate(dtypes):
-                n = w * h * _SIZES[dt]
-                if bi < len(band_vars):
-                    env[band_vars[bi]] = np.frombuffer(
-                        data[off:off + n], dtype=_dtype_of(dt)
-                    ).reshape(h, w).astype(np.float64)
-                off += n
+            for letter in used:
+                bi = ord(letter) - ord("A")
+                if bi >= len(dtypes):
+                    raise ValueError(
+                        f"band variable {letter} needs band {bi + 1}, "
+                        f"stack has {len(dtypes)}")
+                env[letter] = np.frombuffer(
+                    data[offs[bi]:offs[bi + 1]], dtype=_dtype_of(dtypes[bi])
+                ).reshape(h, w).astype(np.float64)
             out = np.asarray(eval(code, {"__builtins__": {}}, env), dtype=np.float64)
             rows.append({
                 "z": batch["z"][i].as_py(), "x": batch["x"][i].as_py(),
@@ -490,7 +497,7 @@ def stack_bands(layers: list):
 def select_band(stacked_ds, band: int):
     """gdal_translate -b N over stack_bands output: slice one band back out
     of the multiband payload (band is 1-based, GDAL convention)."""
-    _SIZES = {"uint8": 1, "int16": 2, "int32": 4, "float32": 4, "float64": 8}
+    _SIZES = _DTYPE_SIZES
 
     def fn(batch: pa.Table) -> pa.Table:
         rows = []

@@ -343,8 +343,14 @@ def test_xyz_driver_roundtrip_and_validation():
     arr = np.round(rng.uniform(0, 9, (7, 11)), 2)
     path = os.path.join(tempfile.gettempdir(), "t2.xyz")
     aaigrid.write_xyz(path, arr, x0=100.0, y0=50.0, cellsize=2.0)
-    back, (x0, y0, cs) = aaigrid.read_xyz(path)
-    assert np.array_equal(back, arr) and (x0, y0, cs) == (100.0, 50.0, 2.0)
+    back, (x0, y0, csx, csy) = aaigrid.read_xyz(path)
+    assert np.array_equal(back, arr) and (x0, y0, csx, csy) == (100.0, 50.0, 2.0, 2.0)
+    # row 0 is the NORTH row: the write/read pair agrees with write_asc
+    import os as _os
+    apath = _os.path.join(tempfile.gettempdir(), "t2.asc")
+    aaigrid.write_asc(apath, arr, xll=100.0, yll=50.0, cellsize=2.0)
+    aback, _hdr = aaigrid.read_asc(apath)
+    assert np.array_equal(aback, back)
     with open(path, "a") as f:
         f.write("100.0 50.0 1.0\n")  # duplicate cell -> incomplete grid
     with pytest.raises(ValueError):
