@@ -1533,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_band": q.select_band_q,
         "calc_two_bands": q.calc_two_bands_q,
         "having_segments": q.having_segments_q,
+        "rank_orders": q.rank_orders_q,
         "retile_overlap": q.retile_q,
         "asc_roundtrip": q.asc_roundtrip_q,
         "png_tiles_roundtrip": q.png_tiles_q,
@@ -2143,6 +2144,14 @@ def oracle_sql() -> dict[str, str]:
         "having_segments": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
             FROM customer GROUP BY 1 HAVING count(*) >= 250
+        """,
+        "rank_orders": """
+            SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn
+            FROM (SELECT o_custkey, o_orderkey,
+                         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3
         """,
         "select_band": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy

@@ -437,6 +437,15 @@ def having_segments_q(sf_dir: str):
     return agg.map_batches(having, batch_format="pyarrow")
 
 
+def rank_orders_q(sf_dir: str):
+    """ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+    o_orderkey) <= 3 — distributed per-group top-N with rank (SQLite-dialect
+    window function surface; the per-batch combiner bounds the shuffle)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = relational.group_top_n(ds, "o_custkey", "o_totalprice", 3, "o_orderkey")
+    return out.select_columns(["o_custkey", "o_orderkey", "rn"])
+
+
 def select_band_q(sf_dir: str):
     """gdal_translate -b 2: slice the checker band back out of the 3-band
     stack — checksum must equal the standalone checker fixture's."""

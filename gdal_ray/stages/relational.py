@@ -187,3 +187,60 @@ def hash_join_broadcast_left(ds, small: pa.Table, key: str, small_key: str,
             return out
 
     return ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
+
+
+def _topn_mask(key: np.ndarray, order_val: np.ndarray, tie: np.ndarray, n: int):
+    """Sort rows (key asc, order_val desc, tie asc) and return (sort_order,
+    within-key rank 0-based).  All inputs numeric numpy arrays."""
+    order = np.lexsort((tie, -order_val, key))
+    k = key[order]
+    new_key = np.ones(k.size, dtype=bool)
+    new_key[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(new_key)
+    sizes = np.diff(np.r_[starts, k.size])
+    within = np.arange(k.size) - np.repeat(starts, sizes)
+    return order, within
+
+
+def group_top_n(ds, key_col: str, order_col: str, n: int, tie_col: str,
+                num_partitions: int = 64):
+    """ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_col DESC, tie_col)
+    <= n, i.e. distributed per-group top-N with rank (the OGR SQL dialect has
+    no window functions; the SQLite dialect the reference exposes does —
+    ``ogr/ogrsf_frmts/sqlite``).
+
+    Scale shape: a per-batch COMBINER keeps at most n rows per key locally, so
+    the shuffle moves O(n x keys x blocks) candidate rows, not O(rows); the
+    final pass is ONE hash-partition shuffle on the key with each partition
+    ranking all of its keys in a single vectorized lexsort (no per-key Python
+    callback).  Requires numeric key/order/tie columns.
+    """
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_part", pa.array([], pa.int64()))
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, within = _topn_mask(k, v, t, n)
+        keep = order[within < n]
+        keep.sort()  # preserve input order for stability
+        out = batch.take(pa.array(keep))
+        kk = k[keep]
+        part = np.abs((kk * np.int64(2654435761)) % np.int64(num_partitions))
+        return out.append_column("_part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return g.append_column("rn", pa.array([], pa.int64()))
+        k = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = g[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, within = _topn_mask(k, v, t, n)
+        keep = within < n
+        out = g.take(pa.array(order[keep]))
+        return out.append_column("rn", pa.array(within[keep] + 1))
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+    return pruned.groupby("_part").map_groups(per_part, batch_format="pyarrow")
