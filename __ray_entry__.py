@@ -1501,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_count": q.grid_count_q,
         # text / dedup / similarity (training-data ops)
         "dedup_exact": q.dedup_exact_q,
+        "chunk_dedup": q.chunk_dedup_q,
         "token_count": q.token_count_q,
         "text_quality": q.text_quality_q,
         "repetition_stats": q.repetition_stats_q,
@@ -1781,6 +1782,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS keep_id,
                    CAST(count(*) AS BIGINT) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "chunk_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            c AS (SELECT doc_id,
+                         md5(array_to_string(w[(s.j-1)*3+1 : s.j*3], ' ')) AS h
+                  FROM w, LATERAL (SELECT unnest(range(1, len(w)//3 + 1)) AS j) s),
+            n AS (SELECT h, count(*) AS cnt FROM c GROUP BY 1)
+            SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN n.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_chunks
+            FROM c JOIN n USING (h) GROUP BY 1
         """,
         "token_count": """
             SELECT doc_id,

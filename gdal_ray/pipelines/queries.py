@@ -378,6 +378,13 @@ def dedup_exact_q(sf_dir: str):
     return dedup.exact_dedup(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def chunk_dedup_q(sf_dir: str):
+    """Duplicated-span statistics (RefinedWeb-style span dedup unit): per doc,
+    how many 3-word spans occur more than once corpus-wide."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.chunk_dedup_stats(ds, chunk_words=3)
+
+
 def token_count_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

@@ -244,3 +244,101 @@ def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", shingle_k=3, min_x
         return out.filter(pa.compute.greater_equal(out["jaccard_x1000"], min_x1000))
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def chunk_spans(ds, chunk_words: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    """Split docs into consecutive non-overlapping chunk_words-word spans and
+    hash each (the RefinedWeb/C4 "duplicated span" unit; trailing partial
+    spans are discarded).  Output: one row per span (id, chunk_md5, h64).
+
+    Vectorized: one C-level split (pc.split_pattern), numpy offset arithmetic
+    to gather span words, one C-level join (pc.binary_join), then one md5
+    digest per span (same policy as md5_hex_batch).  ``h64`` is the first 8
+    digest bytes as int64 — a cheap numeric shuffle/partition key; grouping
+    for correctness always uses the full hex string.
+    """
+    import hashlib
+
+    K = chunk_words
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        words = pc.split_pattern(batch[text_col], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(offsets)
+        n_spans = lens // K
+        total = int(n_spans.sum())
+        doc_idx = np.repeat(np.arange(len(lens)), n_spans)
+        first = np.cumsum(n_spans) - n_spans
+        within = np.arange(total) - np.repeat(first, n_spans)
+        starts = np.repeat(offsets[:-1], n_spans) + within * K
+        idx = (starts[:, None] + np.arange(K)).ravel()
+        flat = words.values.take(pa.array(idx))
+        spans = pa.ListArray.from_arrays(
+            pa.array(np.arange(total + 1) * K, pa.int32()), flat)
+        span_str = pc.binary_join(spans, " ")
+        hexes = np.empty(total, dtype=object)
+        h64 = np.empty(total, dtype=np.uint64)
+        for i, s in enumerate(span_str.to_pylist()):
+            d = hashlib.md5(s.encode()).digest()
+            hexes[i] = d.hex()
+            h64[i] = np.frombuffer(d[:8], dtype=np.uint64)[0]
+        return pa.table(
+            {id_col: batch[id_col].take(pa.array(doc_idx)),
+             "chunk_md5": pa.array(hexes, pa.string()),
+             "h64": pa.array(h64.view(np.int64))}
+        )
+
+    return ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+
+def chunk_dedup_stats(ds, chunk_words: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id", num_partitions: int = 64):
+    """Per-doc duplicated-span statistics: (doc_id, n_chunks, n_dup_chunks)
+    where a span is "dup" when its text occurs more than once corpus-wide
+    (including within the same doc).
+
+    Scale shape: spans are hash-partitioned on h64 (ONE shuffle of the span
+    table); each partition flags duplicate occurrences with a single
+    vectorized sort + run-length pass; the per-doc rollup is a pre-aggregated
+    keyed combine (shuffle of O(docs) partials).
+    """
+    from .relational import partial_aggregate
+
+    spans = chunk_spans(ds, chunk_words, text_col, id_col)
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = t["h64"].to_numpy(zero_copy_only=False)
+        part = np.abs(h % np.int64(num_partitions))
+        return t.append_column("_part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], g[id_col].type),
+                             "is_dup": pa.array([], pa.int64())})
+        h = np.asarray(g["chunk_md5"].to_pylist(), dtype=object)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, n])
+        dup_sorted = np.repeat(sizes > 1, sizes)
+        dup = np.empty(n, dtype=np.int64)
+        dup[order] = dup_sorted.astype(np.int64)
+        return pa.table({id_col: g[id_col], "is_dup": pa.array(dup)})
+
+    flagged = spans.map_batches(tag, batch_format="pyarrow") \
+                   .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+    agg = partial_aggregate(flagged, [id_col], sums=["is_dup"], count_alias="n_chunks")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col],
+                         "n_chunks": t["n_chunks"],
+                         "n_dup_chunks": t["is_dup_sum"]})
+
+    return agg.map_batches(rename, batch_format="pyarrow")

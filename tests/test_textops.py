@@ -75,3 +75,31 @@ def test_ngram_decontaminate_flags_overlap():
     assert out[0]["contaminated"] and out[0]["n_gram_hits"] >= 1
     assert not out[1]["contaminated"]
     assert not out[2]["contaminated"]
+
+
+def test_chunk_dedup_stats_brute():
+    """Known duplicated 3-word spans across and within docs."""
+    import collections
+    import ray.data as rd
+    from gdal_ray.stages import dedup
+
+    texts = [
+        "a b c d e f",          # spans: "a b c", "d e f"
+        "a b c x y z extra",    # "a b c" (dup with doc0), "x y z"; "extra" dropped
+        "d e f d e f",          # "d e f" twice (within-doc dup, also dup with doc0)
+        "q w",                  # < 3 words -> no spans, absent from output
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = dedup.chunk_dedup_stats(rd.from_arrow(t), chunk_words=3).take_all()
+    got = {r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"]) for r in out}
+    # brute: span occurrences corpus-wide
+    occ = collections.Counter()
+    per_doc = {}
+    for i, txt in enumerate(texts):
+        w = txt.split(" ")
+        spans = [" ".join(w[j * 3:(j + 1) * 3]) for j in range(len(w) // 3)]
+        per_doc[i] = spans
+        occ.update(spans)
+    exp = {i: (len(s), sum(occ[x] > 1 for x in s)) for i, s in per_doc.items() if s}
+    assert got == exp
