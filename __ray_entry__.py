@@ -1502,6 +1502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / dedup / similarity (training-data ops)
         "dedup_exact": q.dedup_exact_q,
         "chunk_dedup": q.chunk_dedup_q,
+        "target_affinity": q.target_affinity_q,
+        "tfidf_top": q.tfidf_top_q,
         "token_count": q.token_count_q,
         "text_quality": q.text_quality_q,
         "repetition_stats": q.repetition_stats_q,
@@ -1793,6 +1795,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_dup_chunks
             FROM c JOIN n USING (h) GROUP BY 1
+        """,
+        "target_affinity": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            tgt AS (SELECT term, count(*) AS c
+                    FROM tok t JOIN documents d USING (doc_id)
+                    WHERE d.lang = 'en' GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(sum(COALESCE(g.c, 0)) AS BIGINT) AS affinity,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM tok t LEFT JOIN tgt g USING (term) GROUP BY 1
+        """,
+        "tfidf_top": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                             ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term)
+                             AS rn
+                  FROM tf JOIN df USING (term))
+            SELECT doc_id, term AS top_term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df
+            FROM s WHERE rn = 1
         """,
         "token_count": """
             SELECT doc_id,

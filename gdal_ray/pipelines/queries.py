@@ -385,6 +385,30 @@ def chunk_dedup_q(sf_dir: str):
     return dedup.chunk_dedup_stats(ds, chunk_words=3)
 
 
+def target_affinity_q(sf_dir: str):
+    """DSIR-shaped importance scoring: pass 1 aggregates target-corpus
+    (lang='en') token counts to a vocabulary-sized table, pass 2 broadcasts it
+    and scores every doc with an integer token-weight sum."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    stats_ds = textops.term_counts(ds, row_filter=lambda b: pc.equal(b["lang"], "en"))
+    stats = pa.Table.from_pylist(stats_ds.take_all())
+    if stats.num_rows == 0:
+        stats = pa.table({"term": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+    scored = textops.target_affinity(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), stats)
+    return scored.select_columns(["doc_id", "affinity", "n_tokens"])
+
+
+def tfidf_top_q(sf_dir: str):
+    """TF-IDF top term per doc: pass 1 document frequencies (per-batch
+    distinct-pair combiner), pass 2 broadcast df + vectorized per-doc argmax
+    on the exact tf/df rational score (ties -> smallest term)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    dfs = pa.Table.from_pylist(textops.doc_frequencies(ds).take_all())
+    return textops.tfidf_top_term(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), dfs)
+
+
 def token_count_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

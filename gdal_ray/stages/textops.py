@@ -343,3 +343,153 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+# -- corpus statistics (two-pass broadcast: global stats -> per-doc score) --
+
+
+def _batch_doc_tokens(batch: pa.Table, text_col: str):
+    """One C-level split; returns (doc_idx int64[], flat terms StringArray,
+    per-doc token counts int64[])."""
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    return doc_idx, words.values, lens
+
+
+def term_counts(ds, text_col: str = "text", row_filter=None):
+    """Global term -> occurrence-count table (pass 1 of corpus scoring).
+
+    Scale shape: per-batch pyarrow value_counts combiner, so the shuffle moves
+    O(vocab x blocks) partials, not O(tokens); the result is vocabulary-sized
+    (the legit broadcast side).  ``row_filter(batch) -> BooleanArray``
+    restricts to a target subset (DSIR's target corpus).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if row_filter is not None:
+            batch = batch.filter(row_filter(batch))
+        _, terms, _ = _batch_doc_tokens(batch, text_col)
+        vc = pc.value_counts(terms)
+        return pa.table({"term": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("term").aggregate(Sum("c", alias_name="c"))
+
+
+def doc_frequencies(ds, text_col: str = "text"):
+    """Global term -> document-frequency table (docs containing the term).
+    Same combiner shape as term_counts; per-batch distinct (doc, term) pairs
+    are exact because a document never spans batches."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_idx, terms, _ = _batch_doc_tokens(batch, text_col)
+        t = np.asarray(terms.to_pylist(), dtype=object)
+        uniq, codes = np.unique(t, return_inverse=True)
+        order = np.lexsort((codes, doc_idx))
+        ds_, cs_ = doc_idx[order], codes[order]
+        first = np.ones(len(cs_), dtype=bool)
+        first[1:] = (ds_[1:] != ds_[:-1]) | (cs_[1:] != cs_[:-1])
+        vc = pc.value_counts(pa.array(uniq[cs_[first]], pa.string()))
+        return pa.table({"term": vc.field("values"),
+                         "df": pc.cast(vc.field("counts"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("term").aggregate(Sum("df", alias_name="df"))
+
+
+def target_affinity(ds, stats: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """DSIR-shaped importance scoring pass 2: per doc, the integer sum of the
+    broadcast target-corpus occurrence count of each token (tokens unseen in
+    the target contribute 0).  Integer-exact under any reduction order.
+
+    The stats table is ray.put once and looked up via sorted searchsorted in
+    every batch (broadcast small side, never re-shipped per batch)."""
+    import ray
+
+    ref = ray.put(stats)
+
+    class Scorer:
+        def __init__(self):
+            t = ray.get(ref)
+            terms = np.asarray(t["term"].to_pylist(), dtype=object)
+            counts = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(terms, kind="stable")
+            self.terms = terms[order]
+            self.counts = counts[order]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_idx, terms, lens = _batch_doc_tokens(batch, text_col)
+            t = np.asarray(terms.to_pylist(), dtype=object)
+            if len(self.terms):
+                pos = np.searchsorted(self.terms, t)
+                pos = np.clip(pos, 0, len(self.terms) - 1)
+                w = np.where(self.terms[pos] == t, self.counts[pos], 0)
+            else:
+                w = np.zeros(len(t), dtype=np.int64)
+            aff = np.bincount(doc_idx, weights=w, minlength=len(lens)).astype(np.int64)
+            return pa.table({id_col: batch[id_col],
+                             "affinity": pa.array(aff),
+                             "n_tokens": pa.array(lens)})
+
+    return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+
+
+def tfidf_top_term(ds, dfs: pa.Table, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Per doc, the term maximizing tf/df (rank-equivalent to tf-idf for a
+    fixed corpus size), ties broken by lexicographically smallest term.
+    Output: (doc_id, top_term, tf, df).
+
+    The score is ONE float64 division computed identically by numpy and the
+    SQL oracle (IEEE-exact), so the argmax is deterministic; the df table is
+    the pass-1 broadcast."""
+    import ray
+
+    ref = ray.put(dfs)
+
+    class Top:
+        def __init__(self):
+            t = ray.get(ref)
+            terms = np.asarray(t["term"].to_pylist(), dtype=object)
+            df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(terms, kind="stable")
+            self.terms = terms[order]
+            self.df = df[order]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_idx, terms, lens = _batch_doc_tokens(batch, text_col)
+            t = np.asarray(terms.to_pylist(), dtype=object)
+            uniq, codes = np.unique(t, return_inverse=True)
+            order = np.lexsort((codes, doc_idx))
+            d_, c_ = doc_idx[order], codes[order]
+            first = np.ones(len(c_), dtype=bool)
+            first[1:] = (d_[1:] != d_[:-1]) | (c_[1:] != c_[:-1])
+            starts = np.flatnonzero(first)
+            tf = np.diff(np.r_[starts, len(c_)]).astype(np.int64)
+            d_u, c_u = d_[starts], c_[starts]
+            t_u = uniq[c_u]
+            pos = np.searchsorted(self.terms, t_u)
+            pos = np.clip(pos, 0, max(len(self.terms) - 1, 0))
+            df = self.df[pos]
+            assert (self.terms[pos] == t_u).all(), "df table must cover the corpus"
+            score = tf.astype(np.float64) / df
+            o2 = np.lexsort((c_u, -score, d_u))
+            keep_first = np.ones(len(o2), dtype=bool)
+            keep_first[1:] = d_u[o2][1:] != d_u[o2][:-1]
+            win = o2[keep_first]
+            return pa.table({id_col: batch[id_col].take(pa.array(d_u[win])),
+                             "top_term": pa.array(t_u[win], pa.string()),
+                             "tf": pa.array(tf[win]),
+                             "df": pa.array(df[win])})
+
+    return ds.map_batches(Top, batch_format="pyarrow", concurrency=2)

@@ -103,3 +103,45 @@ def test_chunk_dedup_stats_brute():
         occ.update(spans)
     exp = {i: (len(s), sum(occ[x] > 1 for x in s)) for i, s in per_doc.items() if s}
     assert got == exp
+
+
+def test_tfidf_top_term_and_affinity_brute():
+    import ray.data as rd
+
+    texts = ["cat cat dog", "dog dog dog bird", "cat bird bird", "fish"]
+    langs = ["en", "fr", "en", "fr"]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts), "lang": pa.array(langs)})
+    ds = rd.from_arrow(t).repartition(3)
+
+    dfs = pa.Table.from_pylist(textops.doc_frequencies(ds).take_all())
+    df_map = {r["term"]: r["df"] for r in dfs.to_pylist()}
+    assert df_map == {"cat": 2, "dog": 2, "bird": 2, "fish": 1}
+
+    top = {r["doc_id"]: (r["top_term"], r["tf"], r["df"])
+           for r in textops.tfidf_top_term(ds, dfs).take_all()}
+    # doc0: cat tf2/df2=1.0 > dog 0.5 -> cat; doc1: dog 3/2 -> dog
+    # doc2: bird 2/2=1.0 vs cat 1/2 -> bird; doc3: fish 1/1
+    assert top == {0: ("cat", 2, 2), 1: ("dog", 3, 2),
+                   2: ("bird", 2, 2), 3: ("fish", 1, 1)}
+
+    stats_ds = textops.term_counts(
+        ds, row_filter=lambda b: pa.compute.equal(b["lang"], "en"))
+    stats = pa.Table.from_pylist(stats_ds.take_all())
+    got = {r["doc_id"]: (r["affinity"], r["n_tokens"])
+           for r in textops.target_affinity(ds, stats).take_all()}
+    # en corpus tokens: cat cat dog cat bird bird -> cat:3 dog:1 bird:2
+    assert got == {0: (3 + 3 + 1, 3), 1: (1 + 1 + 1 + 2, 4),
+                   2: (3 + 2 + 2, 3), 3: (0, 1)}
+
+
+def test_tfidf_tie_breaks_to_smallest_term():
+    import ray.data as rd
+
+    # both terms tf=1, df=1 -> identical score; tie -> "alpha"
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["zeta alpha"])})
+    ds = rd.from_arrow(t)
+    dfs = pa.Table.from_pylist(textops.doc_frequencies(ds).take_all())
+    top = textops.tfidf_top_term(ds, dfs).take_all()
+    assert top[0]["top_term"] == "alpha"
