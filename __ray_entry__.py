@@ -1498,6 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scalar_funcs": q.scalar_funcs_q,
         "sample_docs": q.sample_docs_q,
         "point_raster_lookup": q.point_raster_lookup_q,
+        "point_sample_bilinear": q.point_sample_bilinear_q,
         "grid_count": q.grid_count_q,
         # text / dedup / similarity (training-data ops)
         "dedup_exact": q.dedup_exact_q,
@@ -1764,6 +1765,23 @@ def oracle_sql() -> dict[str, str]:
                  + LEAST(GREATEST(CAST(floor((85.0 - lat) / 170.0 * 170.0) AS BIGINT), 0), 169)
                    AS raster_value
             FROM d
+        """,
+        "point_sample_bilinear": f"""
+            WITH {_DOCS_GEO},
+            p AS (SELECT doc_id,
+                    LEAST(GREATEST((lon + 180.0) / 360.0 * 360.0 - 0.5, 0.0), 359.0) AS pxc,
+                    LEAST(GREATEST((85.0 - lat) / 170.0 * 170.0 - 0.5, 0.0), 169.0) AS pyc
+                  FROM d),
+            q AS (SELECT doc_id,
+                    floor(pxc) AS x0, floor(pyc) AS y0,
+                    LEAST(floor(pxc) + 1.0, 359.0) AS x1,
+                    LEAST(floor(pyc) + 1.0, 169.0) AS y1,
+                    pxc - floor(pxc) AS dx, pyc - floor(pyc) AS dy
+                  FROM p)
+            SELECT doc_id,
+                   ((x0 + y0) * (1.0 - dx) + (x1 + y0) * dx) * (1.0 - dy)
+                 + ((x0 + y1) * (1.0 - dx) + (x1 + y1) * dx) * dy AS sampled
+            FROM q
         """,
         "grid_count": f"""
             WITH {_DOCS_GEO},
@@ -2182,7 +2200,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "having_segments": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
-            FROM customer GROUP BY 1 HAVING count(*) >= 250
+            FROM customer GROUP BY 1
+            HAVING count(*) * 5 >= (SELECT count(*) FROM customer)
         """,
         "rank_orders": """
             SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn

@@ -355,6 +355,62 @@ def point_raster_lookup_q(sf_dir: str):
     return _docs_points(sf_dir).map_batches(Lookup, batch_format="pyarrow", concurrency=2)
 
 
+def point_sample_bilinear_q(sf_dir: str):
+    """gdallocationinfo -r bilinear (GDALRasterBand::InterpolateAtPoint,
+    gcore/rasterband.cpp): pixel-center bilinear sampling of the broadcast
+    tiled ramp at each doc's lon/lat, with edge-replicate clamping.  The
+    engine gathers the 4 real neighbor pixels from the tile dict (cross-tile
+    gathers included); the oracle mirrors the IEEE-exact float64 formula."""
+    import ray
+
+    W, H = RASTER_LOOKUP_W, RASTER_LOOKUP_H
+    tile = 64
+    tiles = {}
+    for ty in range((H + tile - 1) // tile):
+        for tx in range((W + tile - 1) // tile):
+            w = min(tile, W - tx * tile)
+            h = min(tile, H - ty * tile)
+            gy, gx = np.mgrid[0:h, 0:w]
+            tiles[(tx, ty)] = (gx + tx * tile) + (gy + ty * tile)  # value = px + py
+    ref = ray.put(tiles)
+
+    class Sample:
+        def __init__(self):
+            self.tiles = ray.get(ref)
+
+        def _gather(self, xi: np.ndarray, yi: np.ndarray) -> np.ndarray:
+            vals = np.empty(len(xi), dtype=np.float64)
+            for (tx, ty), arr in self.tiles.items():
+                m = (xi // tile == tx) & (yi // tile == ty)
+                if m.any():
+                    vals[m] = arr[yi[m] - ty * tile, xi[m] - tx * tile]
+            return vals
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lon = t["lon"].to_numpy(zero_copy_only=False)
+            lat = t["lat"].to_numpy(zero_copy_only=False)
+            pxc = np.minimum(np.maximum((lon + 180.0) / 360.0 * float(W) - 0.5, 0.0), W - 1.0)
+            pyc = np.minimum(np.maximum((85.0 - lat) / 170.0 * float(H) - 0.5, 0.0), H - 1.0)
+            x0 = np.floor(pxc)
+            y0 = np.floor(pyc)
+            dx = pxc - x0
+            dy = pyc - y0
+            x1 = np.minimum(x0 + 1.0, W - 1.0)
+            y1 = np.minimum(y0 + 1.0, H - 1.0)
+            xi0, yi0 = x0.astype(np.int64), y0.astype(np.int64)
+            xi1, yi1 = x1.astype(np.int64), y1.astype(np.int64)
+            v00 = self._gather(xi0, yi0)
+            v10 = self._gather(xi1, yi0)
+            v01 = self._gather(xi0, yi1)
+            v11 = self._gather(xi1, yi1)
+            top = v00 * (1.0 - dx) + v10 * dx
+            bot = v01 * (1.0 - dx) + v11 * dx
+            val = top * (1.0 - dy) + bot * dy
+            return pa.table({"doc_id": t["doc_id"], "sampled": pa.array(val)})
+
+    return _docs_points(sf_dir).map_batches(Sample, batch_format="pyarrow", concurrency=2)
+
+
 def grid_count_q(sf_dir: str):
     """gdal_grid 'count' data metric: per-cell count of docs within radius of
     the cell center, on a 64x32 world grid."""
@@ -456,14 +512,17 @@ def calc_two_bands_q(sf_dir: str):
 
 def having_segments_q(sf_dir: str):
     """OGR SQL GROUP BY ... HAVING: distributed aggregate then a vectorized
-    post-filter on the aggregate rows."""
+    post-filter on the aggregate rows.  The threshold is RELATIVE (segments
+    holding >= 1/5 of all customers) so the predicate filters at every scale
+    factor instead of degenerating to all-or-nothing."""
     ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
+    total = ds.count()
     agg = ds.groupby("c_mktsegment").count()
 
     def having(t: pa.Table) -> pa.Table:
         t = pa.table({"c_mktsegment": t["c_mktsegment"],
                       "n": pc.cast(t["count()"], pa.int64())})
-        return t.filter(pc.greater_equal(t["n"], 250))
+        return t.filter(pc.greater_equal(pc.multiply(t["n"], pa.scalar(5)), total))
 
     return agg.map_batches(having, batch_format="pyarrow")
 
