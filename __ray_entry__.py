@@ -1528,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_polygons": q.contour_polygons_q,
         "contour_band_areas": q.contour_band_areas_q,
         "contour_rings_interp": q.contour_rings_q,
+        "contour_rings_closed": q.contour_rings_closed_q,
         "wrapdateline": q.wrapdateline_q,
         "geodesic_measures": q.geodesic_measures_q,
         "layer_info": q.layer_info_q,
@@ -2135,6 +2136,27 @@ def oracle_sql() -> dict[str, str]:
         "contour_ramp": _contour_sql(),
         "contour_band_areas": _contour_band_sql(),
         "contour_rings_interp": _contour_rings_sql(),
+        "contour_rings_closed": """
+            -- diagonal ramp v = gx + gy on [0,127]^2 (2x2 tiles of 64).
+            -- L=50.25: suplevel region = domain minus the (0,0) corner
+            -- triangle; ring = iso chain (2*floor(L)+2 vertices) + 3 corners,
+            -- border walk length 4*127 - 2*L.  L=180.75: the (127,127)
+            -- corner triangle; chain 2*(254-floor(L)) vertices + 1 corner,
+            -- border walk 2*(254-L).  All vertices dyadic -> shoelace exact.
+            SELECT CAST(50.25 AS DOUBLE) AS level, CAST(0 AS BIGINT) AS ring_id,
+                   CAST(2*50 + 2 + 3 AS BIGINT) AS n_vertices, TRUE AS closed,
+                   CAST(floor((127.0*127.0 - 50.25*50.25/2.0) * 100.0 + 0.5)
+                        AS BIGINT) AS area_x100,
+                   CAST(floor((50.25*sqrt(2.0) + 508.0 - 2.0*50.25) * 100.0 + 0.5)
+                        AS BIGINT) AS length_x100
+            UNION ALL
+            SELECT CAST(180.75 AS DOUBLE), CAST(0 AS BIGINT),
+                   CAST(2*(254 - 180) + 1 AS BIGINT), TRUE,
+                   CAST(floor(((254.0 - 180.75)*(254.0 - 180.75)/2.0) * 100.0 + 0.5)
+                        AS BIGINT),
+                   CAST(floor(((254.0 - 180.75)*sqrt(2.0) + 2.0*(254.0 - 180.75))
+                              * 100.0 + 0.5) AS BIGINT)
+        """,
         "wrapdateline": _wrapdateline_sql(),
         "geodesic_measures": _geodesic_sql(),
         "line_interpolate": f"""

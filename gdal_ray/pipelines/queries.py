@@ -1231,6 +1231,22 @@ def contour_rings_q(sf_dir: str):
     )
 
 
+def contour_rings_closed_q(sf_dir: str):
+    """Border-closing contour rings (polygon-output semantics): level sets of
+    the diagonal ramp touch the raster border, and the suplevel-region
+    boundary is closed by walking the domain border between chain endpoints,
+    inserting raster corners.  Dyadic levels (k/4) keep every vertex, the
+    shoelace area and the x100 quantization tie-free on both sides."""
+    from ..stages import contour as cnt
+
+    tiles_tbl = synthetic.make_raster_tiles("ramp", 2, 2, size=64)
+    out = cnt.contour_rings(rd.from_arrow(tiles_tbl), [50.25, 180.75],
+                            nx=2, ny=2, tile_size=64, close_border=True)
+    return out.select_columns(
+        ["level", "ring_id", "n_vertices", "closed", "area_x100", "length_x100"]
+    )
+
+
 # -- rows-only checks (non-SQL-expressible) ----------------------------------
 
 

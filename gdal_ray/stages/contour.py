@@ -289,20 +289,110 @@ def contour_band_areas(tiles_ds, levels, nx: int, ny: int, tile_size: int = 64):
     return parts.groupby("band").map_groups(reduce_band, batch_format="pyarrow")
 
 
-def contour_rings(tiles_ds, levels, nx: int, ny: int, tile_size: int = 64):
+def _perimeter_s(x: np.ndarray, y: np.ndarray, max_x: float, max_y: float,
+                 eps: float) -> np.ndarray:
+    """Perimeter coordinate of border points along the directed border cycle
+    that keeps the domain interior on the marching-squares high side:
+    top edge walked -x, left edge +y, bottom edge +x, right edge -y
+    (start at (max_x, 0)).  Points not on the border get -1."""
+    s = np.full(len(x), -1.0)
+    on_top = np.abs(y) <= eps
+    on_left = np.abs(x) <= eps
+    on_bottom = np.abs(y - max_y) <= eps
+    on_right = np.abs(x - max_x) <= eps
+    # corners are assigned by FIRST matching edge in walk order (top before
+    # left etc.) — any consistent choice works since s is only compared
+    s[on_right] = max_x + max_y + max_x + (max_y - y[on_right])
+    s[on_bottom] = max_x + max_y + x[on_bottom]
+    s[on_left] = max_x + y[on_left]
+    s[on_top] = max_x - x[on_top]
+    return s
+
+
+def _close_chains_on_border(chains, max_x: float, max_y: float, eps: float):
+    """Stitch open marching-squares chains into closed rings by walking the
+    directed border cycle between chain endpoints, inserting domain corners
+    (the reference's polygon output closes level sets against the raster
+    edge, ``alg/marching_squares/polygon_ring_appender.h``).  Orientation
+    invariant: every segment keeps {v >= level} on its (dy, -dx) side, so
+    the border arc following a chain END (in cycle direction) is inside the
+    region and ends at the next chain START."""
+    P = 2.0 * (max_x + max_y)
+    corners = [  # (s, x, y) along the cycle
+        (max_x, 0.0, 0.0),
+        (max_x + max_y, 0.0, max_y),
+        (max_x + max_y + max_x, max_x, max_y),
+        (P, max_x, 0.0),
+    ]
+    opens = []
+    for pts in chains:
+        se = _perimeter_s(np.array([pts[0][0], pts[-1][0]]),
+                          np.array([pts[0][1], pts[-1][1]]), max_x, max_y, eps)
+        if se[0] < 0 or se[1] < 0:
+            return None  # unexpected interior endpoint: keep chains open
+        opens.append({"pts": pts, "s_start": se[0], "s_end": se[1]})
+    starts = sorted(range(len(opens)), key=lambda i: opens[i]["s_start"])
+    used = [False] * len(opens)
+    rings = []
+    for i0 in range(len(opens)):
+        if used[i0]:
+            continue
+        ring = [opens[i0]["pts"]]
+        used[i0] = True
+        cur = i0
+        while True:
+            s_from = opens[cur]["s_end"]
+            # next chain start strictly after s_from on the cycle
+            nxt = None
+            best = None
+            for j in starts:
+                ds = (opens[j]["s_start"] - s_from) % P
+                if ds == 0.0 and j == cur and len(ring) == 1:
+                    ds = P  # a single chain may close around the full border
+                if (not used[j] or j == i0) and (best is None or ds < best):
+                    best, nxt = ds, j
+            if nxt is None:
+                return None
+            # border corners passed while walking from s_from by `best`
+            walk = []
+            for cs, cx, cy in corners:
+                dc = (cs - s_from) % P
+                if 0.0 < dc < best or (dc == 0.0 and best == P):
+                    walk.append((dc, cx, cy))
+            walk.sort()
+            for _, cx, cy in walk:
+                ring.append(np.array([[cx, cy]]))
+            if nxt == i0:
+                break
+            used[nxt] = True
+            ring.append(opens[nxt]["pts"])
+            cur = nxt
+        pts = np.vstack(ring)
+        pts = np.vstack([pts, pts[:1]])  # exact closure
+        rings.append(pts)
+    return rings
+
+
+def contour_rings(tiles_ds, levels, nx: int, ny: int, tile_size: int = 64,
+                  close_border: bool = False):
     """Interpolated contour RINGS: per-tile marching-squares segments (vertex
     coordinates at linear level crossings — the reference's smooth-ring
     geometry, ``alg/marching_squares/polygon_ring_appender.h``) chained
     cross-tile into closed ordered vertex loops.
 
     Closes the round-2 gap where traced ring WKB was pixel-edge: here the
-    ring vertices ARE the interpolated crossings.  Scope: iso-lines that
-    close inside the mosaic (level sets touching the raster border stay open
-    and are reported with closed=false).
+    ring vertices ARE the interpolated crossings.  With
+    ``close_border=False``, iso-lines touching the raster border stay open
+    (closed=false); with ``close_border=True`` they are closed by walking the
+    domain border between endpoints (polygon-output semantics — the suplevel
+    region boundary including raster-edge arcs and corners).
 
     Returns per (level, ring): ring_id (minx/miny-ordered), n_vertices,
     closed, area_x100 (shoelace), length_x100, wkb (LINESTRING ring)."""
     import struct
+
+    max_x = float(nx * tile_size - 1)
+    max_y = float(ny * tile_size - 1)
 
     grouped = _halo_exchange(tiles_ds)
 
@@ -376,15 +466,28 @@ def contour_rings(tiles_ds, levels, nx: int, ny: int, tile_size: int = 64):
             arrp = np.asarray(pts)
             if closed:
                 arrp[-1] = arrp[0]  # snap the closure exactly
+            rings.append((arrp, closed))
+        if close_border:
+            opens = [arrp for arrp, c in rings if not c]
+            rings = [(arrp, True) for arrp, c in rings if c]
+            if opens:
+                stitched = _close_chains_on_border(opens, max_x, max_y, _EPS)
+                if stitched is None:  # interior endpoint anomaly: keep open
+                    rings += [(arrp, False) for arrp in opens]
+                else:
+                    rings += [(arrp, True) for arrp in stitched]
+        out_rings = []
+        for arrp, closed in rings:
             xs, ys = arrp[:, 0], arrp[:, 1]
             area = 0.0
             if closed:
                 area = abs(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1])) / 2.0
             length = float(np.hypot(np.diff(xs), np.diff(ys)).sum())
             wkb = struct.pack("<BII", 1, 2, len(arrp)) + arrp.astype("<f8").tobytes()
-            rings.append((float(xs.min()), float(ys.min()), len(arrp) - (1 if closed else 0),
-                          closed, area, length, wkb))
-        rings.sort(key=lambda r: (r[0], r[1]))
+            out_rings.append((float(xs.min()), float(ys.min()),
+                              len(arrp) - (1 if closed else 0),
+                              closed, area, length, wkb))
+        rings = sorted(out_rings, key=lambda r: (r[0], r[1]))
         return pa.table(
             {
                 "level": pa.array([level] * len(rings), pa.float64()),

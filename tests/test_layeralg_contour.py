@@ -261,3 +261,40 @@ def test_contour_band_areas_tiled_equals_monolithic():
     # per-band x1e6 rounding: at most 0.5 each)
     n_cells = (nx * size - 1) * (ny * size - 1)
     assert abs(sum(out.values()) - n_cells * 10**6) <= n_cells * len(out) // 2
+
+
+def test_contour_rings_close_border_ramp_exact():
+    """Diagonal ramp: suplevel boundary closed along the domain border with
+    exact dyadic shoelace areas (corner-triangle complements)."""
+    import ray.data as rd
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import contour as cnt
+
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("ramp", 2, 2, size=64))
+    out = cnt.contour_rings(tiles, [50.25, 180.75], 2, 2, 64,
+                            close_border=True).take_all()
+    by_level = {r["level"]: r for r in out}
+    assert len(out) == 2 and all(r["closed"] for r in out)
+    assert by_level[50.25]["area_x100"] == round((127 * 127 - 50.25 ** 2 / 2) * 100)
+    assert by_level[50.25]["n_vertices"] == 2 * 50 + 2 + 3  # chain + 3 corners
+    assert by_level[180.75]["area_x100"] == round((254 - 180.75) ** 2 / 2 * 100)
+    assert by_level[180.75]["n_vertices"] == 2 * (254 - 180) + 1
+
+
+def test_contour_rings_close_border_four_corners():
+    """Hump paraboloid at a level where the sublevel disc exceeds the domain:
+    four independent corner regions, each stitched with exactly one raster
+    corner; off-center hump makes opposite corners differ."""
+    import ray.data as rd
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import contour as cnt
+
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("hump", 3, 3, size=64))
+    out = cnt.contour_rings(tiles, [189.1], 3, 3, 64, close_border=True).take_all()
+    assert len(out) == 4 and all(r["closed"] for r in out)
+    areas = sorted(r["area_x100"] for r in out)
+    assert areas[1] == areas[2]          # the two symmetric corners
+    assert areas[0] < areas[1] < areas[3]  # off-center ordering
+    # open-chain mode reports the same four chains unclosed
+    open_out = cnt.contour_rings(tiles, [189.1], 3, 3, 64).take_all()
+    assert len(open_out) == 4 and not any(r["closed"] for r in open_out)
