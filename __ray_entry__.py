@@ -1394,6 +1394,49 @@ def _transformer_oracles() -> dict[str, str]:
                CAST(floor((lat + {bilin('lat')} / 3600.0) * 10000000.0 + 0.5) AS BIGINT) AS lat_e7
         FROM r
     """
+    # -- multi-subgrid grid shift: child (2.5 deg, [0,40]x[0,30]) wins ------
+    def cnode(kind: str, ie: str, je: str) -> str:
+        if kind == "lon":
+            return f"(((({ie})*3 + ({je})*5) % 9) - 4) * 0.25"
+        return f"(((({ie})*11 + ({je})*7) % 7) - 3) * 0.125"
+
+    def cbilin(kind: str) -> str:
+        return (f"({cnode(kind, 'ci', 'cj')} * (1.0 - ctx) * (1.0 - cty)"
+                f" + {cnode(kind, 'ci + 1', 'cj')} * ctx * (1.0 - cty)"
+                f" + {cnode(kind, 'ci', 'cj + 1')} * (1.0 - ctx) * cty"
+                f" + {cnode(kind, 'ci + 1', 'cj + 1')} * ctx * cty)")
+
+    grid_shift_multi_sql = f"""
+        WITH {_DOCS_GEO},
+        p AS (SELECT doc_id, lon, lat,
+                     (lon - (-180.0)) / 10.0 AS fx,
+                     (lat - (-90.0)) / 10.0 AS fy,
+                     (lon - 0.0) / 2.5 AS cfx,
+                     (lat - 0.0) / 2.5 AS cfy,
+                     lon >= 0.0 AND lon <= 40.0 AND lat >= 0.0 AND lat <= 30.0
+                         AS in_child
+              FROM d),
+        qq AS (SELECT doc_id, lon, lat, fx, fy, cfx, cfy, in_child,
+                      LEAST(GREATEST(CAST(floor(fx) AS BIGINT), 0), 35) AS i,
+                      LEAST(GREATEST(CAST(floor(fy) AS BIGINT), 0), 17) AS j,
+                      LEAST(GREATEST(CAST(floor(cfx) AS BIGINT), 0), 15) AS ci,
+                      LEAST(GREATEST(CAST(floor(cfy) AS BIGINT), 0), 11) AS cj
+               FROM p),
+        r AS (SELECT doc_id, lon, lat, i, j, ci, cj, in_child,
+                     LEAST(GREATEST(fx - i, 0.0), 1.0) AS tx,
+                     LEAST(GREATEST(fy - j, 0.0), 1.0) AS ty,
+                     LEAST(GREATEST(cfx - ci, 0.0), 1.0) AS ctx,
+                     LEAST(GREATEST(cfy - cj, 0.0), 1.0) AS cty
+              FROM qq)
+        SELECT doc_id,
+               CAST(floor((lon + (CASE WHEN in_child THEN {cbilin('lon')}
+                                       ELSE {bilin('lon')} END) / 3600.0)
+                          * 10000000.0 + 0.5) AS BIGINT) AS lon_e7,
+               CAST(floor((lat + (CASE WHEN in_child THEN {cbilin('lat')}
+                                       ELSE {bilin('lat')} END) / 3600.0)
+                          * 10000000.0 + 0.5) AS BIGINT) AS lat_e7
+        FROM r
+    """
     # -- composed chain: grid shift -> Helmert datum -> UTM ----------------
     chain_sql = f"""
         WITH {_DOCS_GEO},
@@ -1456,6 +1499,7 @@ def _transformer_oracles() -> dict[str, str]:
         "rpc_transform": rpc_sql,
         "grid_shift": grid_shift_sql,
         "grid_shift_gsb": grid_shift_sql,
+        "grid_shift_multi": grid_shift_multi_sql,
         "transform_chain": chain_sql,
     }
 
@@ -1583,6 +1627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rpc_transform": q.rpc_transform_q,
         "grid_shift": q.grid_shift_q,
         "grid_shift_gsb": q.grid_shift_gsb_q,
+        "grid_shift_multi": q.grid_shift_multi_q,
         "transform_chain": q.transform_chain_q,
         # text sketches / near-dup (oracle-checked via SQL recomputation)
         "langid": q.langid_q,

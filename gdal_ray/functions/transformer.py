@@ -582,3 +582,89 @@ def demo_shift_grid(lon0: float = -180.0, lat0: float = -90.0,
     slon = (((i * 7 + j * 3) % 11) - 5) * 0.25
     slat = (((i * 5 + j * 11) % 13) - 6) * 0.125
     return GridShiftTransformer(lon0, lat0, step, slon, slat)
+
+
+class MultiGridShiftTransformer:
+    """Multi-subgrid NTv2 transform (NUM_FILE > 1, ``frmts/ntv2``): a root
+    grid plus denser child subgrids nested inside parent extents.  Point
+    lookup selects the DEEPEST subgrid whose node extent contains the point
+    (children take precedence over parents, the NTv2/PROJ rule); points
+    outside every subgrid fall back to the root grid's edge-clamp behavior,
+    matching GridShiftTransformer.
+
+    ``grids`` is a list of (name, parent_name, GridShiftTransformer); the
+    root has parent 'NONE'.  Selection is vectorized per subgrid (one
+    containment mask + one bilinear pass each) — subgrid count is small,
+    point count is not."""
+
+    def __init__(self, grids):
+        self.grids = list(grids)
+        names = [g[0] for g in self.grids]
+        depth = {}
+
+        def _depth(i):
+            name, parent, _ = self.grids[i]
+            if name in depth:
+                return depth[name]
+            d = 0 if parent not in names else _depth(names.index(parent)) + 1
+            depth[name] = d
+            return d
+
+        self.order = sorted(range(len(self.grids)), key=_depth)
+        if _depth(self.order[0]) != 0:
+            raise ValueError("multi-grid needs a root subgrid (PARENT NONE)")
+
+    def _extent(self, t: GridShiftTransformer):
+        ny, nx = t.slon.shape
+        return (t.lon0, t.lon0 + t.step * (nx - 1),
+                t.lat0, t.lat0 + t.step * (ny - 1))
+
+    def _shift(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        root = self.grids[self.order[0]][2]
+        dlon = root._interp(root.slon, lon, lat)
+        dlat = root._interp(root.slat, lon, lat)
+        for i in self.order[1:]:
+            t = self.grids[i][2]
+            x0, x1, y0, y1 = self._extent(t)
+            m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+            if m.any():
+                dlon[m] = t._interp(t.slon, lon[m], lat[m])
+                dlat[m] = t._interp(t.slat, lon[m], lat[m])
+        return dlon, dlat
+
+    def forward(self, lon, lat):
+        dlon, dlat = self._shift(lon, lat)
+        return (np.asarray(lon, dtype=np.float64) + dlon / 3600.0,
+                np.asarray(lat, dtype=np.float64) + dlat / 3600.0)
+
+    def inverse(self, lon, lat, iters: int = 4):
+        x = np.asarray(lon, dtype=np.float64).copy()
+        y = np.asarray(lat, dtype=np.float64).copy()
+        for _ in range(iters):
+            dlon, dlat = self._shift(x, y)
+            x = lon - dlon / 3600.0
+            y = lat - dlat / 3600.0
+        return x, y
+
+
+def demo_child_grid(lon0: float = 0.0, lat0: float = 0.0,
+                    step: float = 2.5, nx: int = 17, ny: int = 13):
+    """Dense child subgrid for the multi-subgrid demo, nested in the
+    [0,40] x [0,30] extent (aligned to the 10-deg parent cells):
+    shift_lon(i, j) = ((i*3 + j*5) % 9 - 4) * 0.25 arcsec,
+    shift_lat(i, j) = ((i*11 + j*7) % 7 - 3) * 0.125 arcsec (dyadic)."""
+    j, i = np.mgrid[0:ny, 0:nx]
+    slon = (((i * 3 + j * 5) % 9) - 4) * 0.25
+    slat = (((i * 11 + j * 7) % 7) - 3) * 0.125
+    return GridShiftTransformer(lon0, lat0, step, slon, slat)
+
+
+def demo_multi_grid():
+    """Root world grid + nested dense child (the SQL-exact multi-subgrid
+    fixture)."""
+    return MultiGridShiftTransformer([
+        ("DEMOGRID", "NONE", demo_shift_grid()),
+        ("CHILD0", "DEMOGRID", demo_child_grid()),
+    ])

@@ -1905,6 +1905,39 @@ def grid_shift_q(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def grid_shift_multi_q(sf_dir: str):
+    """Multi-subgrid NTv2 grid shift (NUM_FILE=2) THROUGH the .gsb binary
+    format: root world grid + nested dense child over [0,40]x[0,30]; points
+    inside the child extent use the child's bilinear shift (NTv2 child-wins
+    rule), everything else the root.  Dyadic node values keep the float32
+    round trip bitwise, so the oracle is the two-branch CASE mirror."""
+    import os
+    import tempfile
+
+    from ..functions import transformer
+    from ..sources import ntv2
+
+    path = f"{tempfile.gettempdir()}/gdal_ray_multi_grid_{os.getpid()}.gsb"
+    mg = transformer.demo_multi_grid()
+    ntv2.write_gsb_multi(path, mg.grids)
+    t = ntv2.read_gsb(path)
+    ds = _docs_points(sf_dir)
+
+    def fn(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        lo, la = t.forward(lon, lat)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lon_e7": pa.array(np.floor(lo * 1e7 + 0.5).astype(np.int64)),
+                "lat_e7": pa.array(np.floor(la * 1e7 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def transform_chain_q(sf_dir: str):
     """The reference's COMPOSED transformer chain (alg/gdaltransformer.cpp
     GDALGenImgProjTransform role; PROJ pipeline +nadgrids -> +towgs84 ->

@@ -14,8 +14,9 @@ NTv2 conventions honored here:
 
 ``read_gsb`` converts back to this engine's convention (degrees east,
 arc-second shifts positive east) and returns a
-``functions.transformer.GridShiftTransformer``.  Single-subgrid scope
-(NUM_FILE == 1); multi-subgrid files raise.
+``functions.transformer.GridShiftTransformer`` for NUM_FILE == 1 files, or a
+``MultiGridShiftTransformer`` (child subgrids take precedence inside their
+extents) for multi-subgrid files.
 """
 
 from __future__ import annotations
@@ -43,8 +44,8 @@ def _drec(name: str, val: float) -> bytes:
     return struct.pack(_DBL_REC, name.ljust(8).encode(), val)
 
 
-def write_gsb(path: str, t: GridShiftTransformer, name: str = "DEMOGRID") -> None:
-    """Serialize a GridShiftTransformer as a single-subgrid NTv2 file."""
+def _subgrid_block(t: GridShiftTransformer, name: str, parent: str) -> bytes:
+    """11-record subgrid header + SE-origin node records for one subgrid."""
     ny, nx = t.slon.shape
     lat_inc = t.step * 3600.0  # header increments are in arc-seconds
     lon_inc = t.step * 3600.0
@@ -54,12 +55,7 @@ def write_gsb(path: str, t: GridShiftTransformer, name: str = "DEMOGRID") -> Non
     e_long = -(t.lon0 + t.step * (nx - 1)) * 3600.0
     w_long = -t.lon0 * 3600.0
     buf = [
-        _irec("NUM_OREC", 11), _irec("NUM_SREC", 11), _irec("NUM_FILE", 1),
-        _srec("GS_TYPE", "SECONDS"), _srec("VERSION", "NTV2.0"),
-        _srec("SYSTEM_F", "SRC"), _srec("SYSTEM_T", "DST"),
-        _drec("MAJOR_F", 6378137.0), _drec("MINOR_F", 6356752.314),
-        _drec("MAJOR_T", 6378137.0), _drec("MINOR_T", 6356752.314),
-        _srec("SUB_NAME", name), _srec("PARENT", "NONE"),
+        _srec("SUB_NAME", name), _srec("PARENT", parent),
         _srec("CREATED", "20260101"), _srec("UPDATED", "20260101"),
         _drec("S_LAT", s_lat), _drec("N_LAT", n_lat),
         _drec("E_LONG", e_long), _drec("W_LONG", w_long),
@@ -72,9 +68,34 @@ def write_gsb(path: str, t: GridShiftTransformer, name: str = "DEMOGRID") -> Non
     slon = np.ascontiguousarray(-t.slon[:, ::-1], dtype=np.float32)
     acc = np.full_like(slat, -1.0)  # unknown accuracy, NTv2 sentinel
     nodes = np.stack([slat, slon, acc, acc], axis=-1).reshape(-1, 4)
+    return b"".join(buf) + nodes.astype("<f4").tobytes()
+
+
+def _overview_block(num_file: int) -> bytes:
+    return b"".join([
+        _irec("NUM_OREC", 11), _irec("NUM_SREC", 11), _irec("NUM_FILE", num_file),
+        _srec("GS_TYPE", "SECONDS"), _srec("VERSION", "NTV2.0"),
+        _srec("SYSTEM_F", "SRC"), _srec("SYSTEM_T", "DST"),
+        _drec("MAJOR_F", 6378137.0), _drec("MINOR_F", 6356752.314),
+        _drec("MAJOR_T", 6378137.0), _drec("MINOR_T", 6356752.314),
+    ])
+
+
+def write_gsb(path: str, t: GridShiftTransformer, name: str = "DEMOGRID") -> None:
+    """Serialize a GridShiftTransformer as a single-subgrid NTv2 file."""
     with open(path, "wb") as f:
-        f.write(b"".join(buf))
-        f.write(nodes.astype("<f4").tobytes())
+        f.write(_overview_block(1))
+        f.write(_subgrid_block(t, name, "NONE"))
+
+
+def write_gsb_multi(path: str, grids) -> None:
+    """Serialize a multi-subgrid NTv2 file (NUM_FILE > 1).  ``grids`` is a
+    list of (name, parent_name, GridShiftTransformer) with the root's parent
+    'NONE' — the MultiGridShiftTransformer layout."""
+    with open(path, "wb") as f:
+        f.write(_overview_block(len(grids)))
+        for name, parent, t in grids:
+            f.write(_subgrid_block(t, name, parent))
 
 
 def read_gsb(path: str) -> GridShiftTransformer:
@@ -106,31 +127,41 @@ def read_gsb(path: str) -> GridShiftTransformer:
     if hdr.get("GS_TYPE", "SECONDS") != "SECONDS":
         raise ValueError(f"unsupported NTv2 GS_TYPE {hdr.get('GS_TYPE')!r}: "
                          "only SECONDS grids are handled")
-    if hdr.get("NUM_FILE", 1) != 1:
-        raise ValueError("multi-subgrid NTv2 files not supported")
-    sub = {}
-    for _ in range(11):
-        name = raw[pos:pos + 8].decode().strip()
-        if name == "GS_COUNT":
-            sub[name] = struct.unpack_from("<i", raw, pos + 8)[0]
-        elif name in ("S_LAT", "N_LAT", "E_LONG", "W_LONG", "LAT_INC", "LONG_INC"):
-            sub[name] = struct.unpack_from("<d", raw, pos + 8)[0]
-        else:
-            sub[name] = raw[pos + 8:pos + 16].decode().strip()
-        pos += 16
-    lat_inc = sub["LAT_INC"] / 3600.0
-    lon_inc = sub["LONG_INC"] / 3600.0
-    ny = int(round((sub["N_LAT"] - sub["S_LAT"]) / sub["LAT_INC"])) + 1
-    nx = int(round((sub["W_LONG"] - sub["E_LONG"]) / sub["LONG_INC"])) + 1
-    if nx * ny != sub["GS_COUNT"]:
-        raise ValueError("GS_COUNT does not match grid dimensions")
-    nodes = np.frombuffer(raw, dtype="<f4", count=sub["GS_COUNT"] * 4,
-                          offset=pos).reshape(ny, nx, 4)
-    # back to degrees-east, arc-seconds-east
-    slat = nodes[:, ::-1, 0].astype(np.float64)
-    slon = -nodes[:, ::-1, 1].astype(np.float64)
-    lon0 = -sub["W_LONG"] / 3600.0
-    lat0 = sub["S_LAT"] / 3600.0
-    if abs(lat_inc - lon_inc) > 1e-12:
-        raise ValueError("anisotropic grids not supported by this transformer")
-    return GridShiftTransformer(lon0, lat0, lat_inc, slon, slat)
+    num_file = hdr.get("NUM_FILE", 1)
+    if num_file < 1:
+        raise ValueError("malformed NTv2 header: NUM_FILE < 1")
+    grids = []
+    for _ in range(num_file):
+        sub = {}
+        for _ in range(11):
+            name = raw[pos:pos + 8].decode().strip()
+            if name == "GS_COUNT":
+                sub[name] = struct.unpack_from("<i", raw, pos + 8)[0]
+            elif name in ("S_LAT", "N_LAT", "E_LONG", "W_LONG", "LAT_INC", "LONG_INC"):
+                sub[name] = struct.unpack_from("<d", raw, pos + 8)[0]
+            else:
+                sub[name] = raw[pos + 8:pos + 16].decode().strip()
+            pos += 16
+        lat_inc = sub["LAT_INC"] / 3600.0
+        lon_inc = sub["LONG_INC"] / 3600.0
+        ny = int(round((sub["N_LAT"] - sub["S_LAT"]) / sub["LAT_INC"])) + 1
+        nx = int(round((sub["W_LONG"] - sub["E_LONG"]) / sub["LONG_INC"])) + 1
+        if nx * ny != sub["GS_COUNT"]:
+            raise ValueError("GS_COUNT does not match grid dimensions")
+        nodes = np.frombuffer(raw, dtype="<f4", count=sub["GS_COUNT"] * 4,
+                              offset=pos).reshape(ny, nx, 4)
+        pos += sub["GS_COUNT"] * 16
+        # back to degrees-east, arc-seconds-east
+        slat = nodes[:, ::-1, 0].astype(np.float64)
+        slon = -nodes[:, ::-1, 1].astype(np.float64)
+        lon0 = -sub["W_LONG"] / 3600.0
+        lat0 = sub["S_LAT"] / 3600.0
+        if abs(lat_inc - lon_inc) > 1e-12:
+            raise ValueError("anisotropic grids not supported by this transformer")
+        grids.append((sub["SUB_NAME"], sub["PARENT"],
+                      GridShiftTransformer(lon0, lat0, lat_inc, slon, slat)))
+    if num_file == 1:
+        return grids[0][2]
+    from ..functions.transformer import MultiGridShiftTransformer
+
+    return MultiGridShiftTransformer(grids)

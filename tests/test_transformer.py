@@ -405,3 +405,47 @@ def test_ntv2_gsb_roundtrip_bitwise():
     lo1, la1 = t.forward(np.array([12.3]), np.array([45.6]))
     lo2, la2 = t2.forward(np.array([12.3]), np.array([45.6]))
     assert lo1[0] == lo2[0] and la1[0] == la2[0]
+
+
+def test_multi_subgrid_gsb_roundtrip_and_child_wins(tmp_path):
+    """NUM_FILE=2 .gsb round trip is bitwise (dyadic nodes); child subgrid
+    overrides the root inside its extent, root applies outside."""
+    import numpy as np
+    from gdal_ray.functions import transformer
+    from gdal_ray.sources import ntv2
+
+    mg = transformer.demo_multi_grid()
+    path = str(tmp_path / "multi.gsb")
+    ntv2.write_gsb_multi(path, mg.grids)
+    back = ntv2.read_gsb(path)
+    assert isinstance(back, transformer.MultiGridShiftTransformer)
+    for (n0, p0, t0), (n1, p1, t1) in zip(mg.grids, back.grids):
+        assert (n0, p0) == (n1, p1)
+        assert (t0.slon == t1.slon).all() and (t0.slat == t1.slat).all()
+
+    child = mg.grids[1][2]
+    root = mg.grids[0][2]
+    inside = (np.array([5.3, 20.0, 40.0]), np.array([2.1, 15.7, 30.0]))
+    outside = (np.array([-50.0, 41.0, 5.0]), np.array([10.0, 10.0, -1.0]))
+    lo_i, la_i = back.forward(*inside)
+    ce_lo, ce_la = child.forward(*inside)
+    assert np.allclose(lo_i, ce_lo, atol=0) and np.allclose(la_i, ce_la, atol=0)
+    lo_o, la_o = back.forward(*outside)
+    r_lo, r_la = root.forward(*outside)
+    assert np.allclose(lo_o, r_lo, atol=0) and np.allclose(la_o, r_la, atol=0)
+    # fixed-point inverse round trip through the mixed selection
+    x, y = back.inverse(lo_i, la_i)
+    assert np.abs(x - inside[0]).max() < 1e-9
+    assert np.abs(y - inside[1]).max() < 1e-9
+
+
+def test_single_subgrid_read_back_compat(tmp_path):
+    from gdal_ray.functions import transformer
+    from gdal_ray.sources import ntv2
+
+    t = transformer.demo_shift_grid()
+    path = str(tmp_path / "single.gsb")
+    ntv2.write_gsb(path, t)
+    back = ntv2.read_gsb(path)
+    assert isinstance(back, transformer.GridShiftTransformer)
+    assert (back.slon == t.slon).all()
