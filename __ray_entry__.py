@@ -379,6 +379,58 @@ def _viewshed_sql() -> str:
     """
 
 
+def _viewshed_sectors_sql() -> str:
+    """Ray-partitioned viewshed mirror: same R3 step arithmetic as
+    _viewshed_sql on the 128x128 integer DEM, observer (64,64) h=2, radius-40
+    disc, grouped by the 8-sector atan2 assignment (floor(theta / (2*pi/8))
+    with theta normalized to [0, 2*pi))."""
+    dem = "CAST((({x}*73 + {y}*151) % 37) + (({x}*{y}) % 11) * 3 AS DOUBLE)"
+    d00 = dem.format(x="x0", y="y0")
+    d01 = dem.format(x="(x0+1)", y="y0")
+    d10 = dem.format(x="x0", y="(y0+1)")
+    d11 = dem.format(x="(x0+1)", y="(y0+1)")
+    return f"""
+        WITH g AS (SELECT 24 + a.range AS x, 24 + b.range AS y
+                   FROM range(81) a, range(81) b),
+        t0 AS (SELECT x, y, {dem.format(x='x', y='y')} AS z,
+                      sqrt(CAST((x-64)*(x-64) + (y-64)*(y-64) AS DOUBLE)) AS dist,
+                      atan2(CAST(y-64 AS DOUBLE), CAST(x-64 AS DOUBLE)) AS th0
+               FROM g),
+        t1 AS (SELECT x, y, z, dist,
+                      CASE WHEN th0 < 0 THEN th0 + 2*pi() ELSE th0 END AS th
+               FROM t0 WHERE dist <= 40.0),
+        t AS (SELECT x, y, z, dist,
+                     LEAST(GREATEST(CAST(floor(th / (2*pi()/8)) AS BIGINT), 0), 7)
+                         AS sector
+              FROM t1),
+        obs AS (SELECT {dem.format(x='64', y='64')} + 2.0 AS oz),
+        nn AS (SELECT CAST(ceil(sqrt(CAST(3200 AS DOUBLE))) AS BIGINT) + 1 AS n),
+        samp AS (SELECT t.x, t.y, t.z, t.dist, t.sector, obs.oz,
+                        CAST(s.s AS DOUBLE) / CAST(nn.n AS DOUBLE) AS tt
+                 FROM t, obs, nn,
+                      LATERAL (SELECT unnest(generate_series(1, nn.n - 1)) AS s) s),
+        ev AS (SELECT x, y, z, dist, sector, oz, tt,
+                      LEAST(GREATEST(CAST(floor(64 + tt*(x-64)) AS BIGINT), 0), 126) AS x0,
+                      LEAST(GREATEST(CAST(floor(64 + tt*(y-64)) AS BIGINT), 0), 126) AS y0,
+                      64 + tt*(x-64) AS sx, 64 + tt*(y-64) AS sy
+               FROM samp),
+        ev2 AS (SELECT x, y, z, dist, sector, oz, tt, x0, y0,
+                       LEAST(GREATEST(sx - x0, 0.0), 1.0) AS fx,
+                       LEAST(GREATEST(sy - y0, 0.0), 1.0) AS fy
+                FROM ev),
+        blocked AS (
+            SELECT DISTINCT x, y, sector FROM ev2
+            WHERE (({d00} * (1-fx) * (1-fy) + {d01} * fx * (1-fy)
+                  + {d10} * (1-fx) * fy + {d11} * fx * fy) - oz) / (tt*dist + 1e-300)
+                  > (z - oz) / (CASE WHEN dist = 0 THEN 1.0 ELSE dist END) + 1e-12
+              AND tt*dist < dist - 1e-9)
+        SELECT t.sector, CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(count(*) - (SELECT count(*) FROM blocked b
+                                WHERE b.sector = t.sector) AS BIGINT) AS n_visible
+        FROM t GROUP BY 1
+    """
+
+
 def _viewshed_modes_sql() -> str:
     """gdal_viewshed NORMAL/DEM/GROUND output modes on the same integer DEM:
     per-cell max interior-sample slope -> required sight-line height; DEM =
@@ -1614,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity": q.proximity_q,
         "fill_nodata": q.fill_nodata_q,
         "viewshed": q.viewshed_q,
+        "viewshed_sectors": q.viewshed_sectors_q,
         "viewshed_modes": q.viewshed_modes_q,
         "pct2rgb_roundtrip": q.pct2rgb_q,
         "palette_median_cut": q.palette_q,
@@ -2364,6 +2417,7 @@ def oracle_sql() -> dict[str, str]:
         "fill_nodata": _fill_nodata_sql(),
         "nearblack": _nearblack_sql(),
         "viewshed": _viewshed_sql(),
+        "viewshed_sectors": _viewshed_sectors_sql(),
         "viewshed_modes": _viewshed_modes_sql(),
         "footprint": _footprint_sql(),
         "palette_median_cut": _palette_sql(),

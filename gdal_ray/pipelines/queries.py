@@ -1693,6 +1693,32 @@ def viewshed_q(sf_dir: str):
     return out.select_columns(["x", "y", "n_visible"])
 
 
+def viewshed_sectors_q(sf_dir: str):
+    """Ray-partitioned viewshed (angular-sector decomposition): a 128x128
+    integer DEM shipped as 2x2 tiles, observer (64,64), radius-40 disc split
+    over 8 sector workers, each assembling only its wedge bbox.  Per-cell
+    results are exactly the monolithic window run (pytest asserts mask
+    equality); the oracle replays the ray sampling per sector."""
+    from ..stages import viewshed as vs
+
+    size = 64
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            gy, gx = np.mgrid[0:size, 0:size]
+            gx = gx + tx * size
+            gy = gy + ty * size
+            dem = (((gx * 73 + gy * 151) % 37) + ((gx * gy) % 11) * 3).astype(np.float32)
+            rows.append({"z": 0, "x": tx, "y": ty, "band": 1, "width": size,
+                         "height": size, "crs": "EPSG:3857", "nodata": -1.0,
+                         "dtype": "float32", "data": dem.tobytes()})
+    tiles_tbl = pa.Table.from_pylist(rows)
+    out = vs.viewshed_sectors(rd.from_arrow(tiles_tbl), observer_x=64,
+                              observer_y=64, radius=40, n_sectors=8,
+                              observer_height=2.0)
+    return out.select_columns(["sector", "n_cells", "n_visible"])
+
+
 def viewshed_modes_q(sf_dir: str):
     """gdal_viewshed output modes over the same integer DEM as viewshed_q:
     NORMAL (mask), DEM (minimum visible elevation) and GROUND (extra height

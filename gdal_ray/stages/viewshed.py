@@ -203,3 +203,116 @@ def viewshed(tiles_ds, observer_x: int, observer_y: int, observer_height: float 
         )
 
     return tiles_ds.map_batches(per_tile, batch_format="pyarrow")
+
+
+def _sector_bbox(ox: int, oy: int, radius: int, a0: float, a1: float):
+    """Integer bbox of the wedge {angle in [a0,a1], dist <= radius} from the
+    observer, +1 px margin for the bilinear stencil."""
+    pts_x = [0.0, radius * np.cos(a0), radius * np.cos(a1)]
+    pts_y = [0.0, radius * np.sin(a0), radius * np.sin(a1)]
+    for axis_a, px, py in ((0.0, radius, 0), (np.pi / 2, 0, radius),
+                           (np.pi, -radius, 0), (3 * np.pi / 2, 0, -radius)):
+        if a0 <= axis_a <= a1:
+            pts_x.append(float(px))
+            pts_y.append(float(py))
+    x_lo = int(np.floor(min(pts_x))) - 1 + ox
+    x_hi = int(np.ceil(max(pts_x))) + 1 + ox
+    y_lo = int(np.floor(min(pts_y))) - 1 + oy
+    y_hi = int(np.ceil(max(pts_y))) + 1 + oy
+    return x_lo, x_hi, y_lo, y_hi
+
+
+def viewshed_sectors(tiles_ds, observer_x: int, observer_y: int, radius: int,
+                     n_sectors: int = 8, observer_height: float = 0.0,
+                     tile_size: int = 64, nodata: float = 0.0):
+    """Ray-partitioned viewshed (the fully-distributed variant beyond
+    viewshed_radius's one-window scope): every target cell of the radius disc
+    is assigned to ONE angular sector by atan2; each sector worker assembles
+    only the wedge's bounding-box sub-DEM (+1 px bilinear margin) and runs
+    the same R3 max-slope sweep with the GLOBAL step count, so per-cell
+    results equal the monolithic window run exactly (rays from the observer
+    stay inside their convex wedge, and every bilinear stencil read is
+    interior to the margin-expanded bbox).
+
+    Partitioning assumption (documented): one wedge bbox — about (R+1)^2/2
+    cells at n_sectors=8, vs (2R)^2 for the full window — fits a worker;
+    tiles replicate only to the sectors whose bbox they intersect.
+
+    Returns per sector: (sector, x0, y0, width, height, n_cells, n_visible,
+    data) where data is the uint8 visibility mask of the bbox with cells
+    OUTSIDE the sector's disc wedge zeroed (so sector masks OR together into
+    the disc's visibility)."""
+    S = n_sectors
+    if S < 4:
+        raise ValueError("n_sectors must be >= 4 (wedges must stay convex)")
+    wsec = 2 * np.pi / S
+    win_lo_x, win_hi_x = observer_x - radius, observer_x + radius
+    win_lo_y, win_hi_y = observer_y - radius, observer_y + radius
+    n_global = int(np.ceil(np.hypot(radius, radius))) + 1
+    boxes = []
+    for k in range(S):
+        x0, x1, y0, y1 = _sector_bbox(observer_x, observer_y, radius,
+                                      k * wsec, (k + 1) * wsec)
+        boxes.append((max(x0, win_lo_x), min(x1, win_hi_x),
+                      max(y0, win_lo_y), min(y1, win_hi_y)))
+
+    def ship(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            w = batch["width"][i].as_py()
+            h = batch["height"][i].as_py()
+            gx0 = batch["x"][i].as_py() * tile_size
+            gy0 = batch["y"][i].as_py() * tile_size
+            for k, (x0, x1, y0, y1) in enumerate(boxes):
+                if gx0 + w <= x0 or gx0 > x1 or gy0 + h <= y0 or gy0 > y1:
+                    continue
+                rows.append({"sector": k,
+                             **{c: batch[c][i].as_py() for c in batch.column_names}})
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {"sector": pa.array([], pa.int64())})
+
+    shipped = tiles_ds.map_batches(ship, batch_format="pyarrow")
+
+    def run(group: pa.Table) -> pa.Table:
+        from .focal import _dtype_of
+
+        k = group["sector"][0].as_py()
+        x0, x1, y0, y1 = boxes[k]
+        W = x1 - x0 + 1
+        H = y1 - y0 + 1
+        dem = np.full((H, W), nodata, dtype=np.float64)
+        for i in range(group.num_rows):
+            w = group["width"][i].as_py()
+            h = group["height"][i].as_py()
+            gx0 = group["x"][i].as_py() * tile_size
+            gy0 = group["y"][i].as_py() * tile_size
+            arr = np.frombuffer(
+                group["data"][i].as_py(), dtype=_dtype_of(group["dtype"][i].as_py())
+            ).reshape(h, w)
+            sx0, sy0 = max(x0, gx0), max(y0, gy0)
+            sx1, sy1 = min(x1 + 1, gx0 + w), min(y1 + 1, gy0 + h)
+            if sx1 <= sx0 or sy1 <= sy0:
+                continue
+            dem[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = (
+                arr[sy0 - gy0:sy1 - gy0, sx0 - gx0:sx1 - gx0])
+        vis = viewshed_array(dem, observer_x - x0, observer_y - y0,
+                             observer_height, n_steps=n_global)
+        gy, gx = np.mgrid[y0:y1 + 1, x0:x1 + 1]
+        dx = (gx - observer_x).astype(np.float64)
+        dy = (gy - observer_y).astype(np.float64)
+        dist = np.sqrt(dx * dx + dy * dy)
+        theta = np.arctan2(dy, dx)
+        theta = np.where(theta < 0, theta + 2 * np.pi, theta)
+        sec = np.clip(np.floor(theta / wsec).astype(np.int64), 0, S - 1)
+        mine = (dist <= radius) & (sec == k)
+        out = vis & mine
+        return pa.table(
+            {"sector": pa.array([k], pa.int64()),
+             "x0": pa.array([x0], pa.int64()), "y0": pa.array([y0], pa.int64()),
+             "width": pa.array([W], pa.int32()), "height": pa.array([H], pa.int32()),
+             "n_cells": pa.array([int(mine.sum())], pa.int64()),
+             "n_visible": pa.array([int(out.sum())], pa.int64()),
+             "data": pa.array([out.astype(np.uint8).tobytes()], pa.binary())}
+        )
+
+    return shipped.groupby("sector").map_groups(run, batch_format="pyarrow")

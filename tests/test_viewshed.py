@@ -132,3 +132,45 @@ def test_viewshed_radius_multi_tile_matches_monolithic():
     got = np.frombuffer(row["data"], np.uint8).reshape(row["height"], row["width"])
     assert row["n_visible"] == int(exp.sum())
     assert np.array_equal(got.astype(bool), exp)
+
+
+def test_viewshed_sectors_equals_monolithic():
+    """Ray-partitioned (8-sector) viewshed reproduces the monolithic window
+    run cell-for-cell on the radius disc, with disjoint sector coverage."""
+    import ray.data as rd
+    from gdal_ray.stages import viewshed as vs
+
+    size = 64
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            gy, gx = np.mgrid[0:size, 0:size]
+            gx = gx + tx * size
+            gy = gy + ty * size
+            dem = (((gx * 73 + gy * 151) % 37) + ((gx * gy) % 11) * 3).astype(np.float32)
+            rows.append({"z": 0, "x": tx, "y": ty, "band": 1, "width": size,
+                         "height": size, "crs": "EPSG:3857", "nodata": -1.0,
+                         "dtype": "float32", "data": dem.tobytes()})
+    tiles = rd.from_arrow(pa.Table.from_pylist(rows))
+    OX, OY, R = 64, 64, 40
+    mono = vs.viewshed_radius(tiles, OX, OY, R, observer_height=2.0).take_all()[0]
+    mvis = np.frombuffer(mono["data"], dtype=np.uint8).reshape(
+        mono["height"], mono["width"]).astype(bool)
+    gy, gx = np.mgrid[0:mono["height"], 0:mono["width"]]
+    disc = np.hypot(gx + mono["x0"] - OX, gy + mono["y0"] - OY) <= R
+
+    sect = vs.viewshed_sectors(tiles, OX, OY, R, n_sectors=8,
+                               observer_height=2.0).take_all()
+    assert len(sect) == 8
+    recon = np.zeros_like(mvis)
+    n_cells = 0
+    for r in sect:
+        v = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+            r["height"], r["width"]).astype(bool)
+        oy0, ox0 = r["y0"] - mono["y0"], r["x0"] - mono["x0"]
+        assert not (recon[oy0:oy0 + r["height"], ox0:ox0 + r["width"]] & v).any(), \
+            "sector masks must be disjoint"
+        recon[oy0:oy0 + r["height"], ox0:ox0 + r["width"]] |= v
+        n_cells += r["n_cells"]
+    assert n_cells == int(disc.sum())  # every disc cell in exactly one sector
+    assert (recon == (mvis & disc)).all()
