@@ -1667,6 +1667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_nodata": q.fill_nodata_q,
         "viewshed": q.viewshed_q,
         "viewshed_sectors": q.viewshed_sectors_q,
+        "band_stats": q.band_stats_q,
+        "tile_index": q.tile_index_q,
+        "translate_window": q.translate_window_q,
         "viewshed_modes": q.viewshed_modes_q,
         "pct2rgb_roundtrip": q.pct2rgb_q,
         "palette_median_cut": q.palette_q,
@@ -2418,6 +2421,53 @@ def oracle_sql() -> dict[str, str]:
         "nearblack": _nearblack_sql(),
         "viewshed": _viewshed_sql(),
         "viewshed_sectors": _viewshed_sectors_sql(),
+        "band_stats": """
+            WITH g AS (SELECT a.range AS x, b.range AS y
+                       FROM range(128) a, range(128) b),
+            t AS (SELECT CAST(((x*73 + y*151) % 37) + ((x*y) % 11) * 3
+                              AS BIGINT) AS z FROM g),
+            a AS (SELECT count(*) AS n, sum(z) AS s, sum(z*z) AS ss,
+                         min(z) AS mn, max(z) AS mx FROM t)
+            SELECT CAST(1 AS BIGINT) AS band, CAST(n AS BIGINT) AS n,
+                   CAST(mn AS BIGINT) AS mn, CAST(mx AS BIGINT) AS mx,
+                   CAST(floor((CAST(s AS DOUBLE) / n) * 1000000.0 + 0.5)
+                        AS BIGINT) AS mean_e6,
+                   CAST(floor(sqrt(GREATEST(CAST(ss AS DOUBLE) / n
+                            - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                            0.0)) * 1000000.0 + 0.5) AS BIGINT) AS std_e6
+            FROM a
+        """,
+        "tile_index": """
+            WITH g AS (SELECT a.range AS gx, b.range AS gy
+                       FROM range(128) a, range(128) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST((gx // 64) * 64 AS BIGINT) AS minx,
+                   CAST((gy // 64) * 64 AS BIGINT) AS miny,
+                   CAST((gx // 64) * 64 + 64 AS BIGINT) AS maxx,
+                   CAST((gy // 64) * 64 + 64 AS BIGINT) AS maxy,
+                   CAST(sum((gx + gy) * ((gy * 128 + gx) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM g GROUP BY 1, 2, 3, 4, 5, 6
+        """,
+        "translate_window": """
+            WITH g AS (SELECT a.range AS gx, b.range AS gy
+                       FROM range(128) a, range(128) b),
+            c AS (SELECT gx, gy, gx // 64 AS tx, gy // 64 AS ty FROM g
+                  WHERE gx >= 20 AND gx < 100 AND gy >= 30 AND gy < 90),
+            d AS (SELECT tx, ty, gx, gy,
+                         GREATEST(20, tx * 64) AS cx0, GREATEST(30, ty * 64) AS cy0,
+                         LEAST(100, tx * 64 + 64) AS cx1, LEAST(90, ty * 64 + 64) AS cy1
+                  FROM c)
+            SELECT CAST(tx AS BIGINT) AS x, CAST(ty AS BIGINT) AS y,
+                   CAST(cx1 - cx0 AS BIGINT) AS width,
+                   CAST(cy1 - cy0 AS BIGINT) AS height,
+                   CAST(cx0 - tx * 64 AS BIGINT) AS win_ox,
+                   CAST(cy0 - ty * 64 AS BIGINT) AS win_oy,
+                   CAST(sum((gx + gy)
+                            * (((gy - cy0) * (cx1 - cx0) + (gx - cx0)) % 7 + 1))
+                        % 65536 AS BIGINT) AS checksum
+            FROM d GROUP BY 1, 2, 3, 4, 5, 6
+        """,
         "viewshed_modes": _viewshed_modes_sql(),
         "footprint": _footprint_sql(),
         "palette_median_cut": _palette_sql(),

@@ -1719,6 +1719,54 @@ def viewshed_sectors_q(sf_dir: str):
     return out.select_columns(["sector", "n_cells", "n_visible"])
 
 
+def _intdem_tiles_2x2(size: int = 64) -> pa.Table:
+    """2x2 mosaic of the integer conformance DEM (the viewshed formula)."""
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            gy, gx = np.mgrid[0:size, 0:size]
+            gx = gx + tx * size
+            gy = gy + ty * size
+            dem = (((gx * 73 + gy * 151) % 37) + ((gx * gy) % 11) * 3).astype(np.float32)
+            rows.append({"z": 0, "x": tx, "y": ty, "band": 1, "width": size,
+                         "height": size, "crs": "EPSG:3857", "nodata": -1.0,
+                         "dtype": "float32", "data": dem.tobytes()})
+    return pa.Table.from_pylist(rows)
+
+
+def band_stats_q(sf_dir: str):
+    """gdalinfo -stats as a lazy distributed pipeline (GDALRasterBand::
+    ComputeStatistics, gcore/rasterband.cpp): exact integer partials per tile,
+    one keyed combine, scaled-integer mean/std."""
+    from ..stages import rastermap
+
+    return rastermap.band_stats_lazy(rd.from_arrow(_intdem_tiles_2x2()))
+
+
+def tile_index_q(sf_dir: str):
+    """gdaltindex / gdalbuildvrt catalog row per tile: pixel extent + the
+    composable global-weighted checksum (mosaic-integrity manifest)."""
+    from ..stages import rastermap
+
+    tiles_tbl = synthetic.make_raster_tiles("ramp", 2, 2, size=64)
+    out = rastermap.tile_index(rd.from_arrow(tiles_tbl), tile_size=64,
+                               global_width=128)
+    return out.select_columns(["x", "y", "minx", "miny", "maxx", "maxy", "checksum"])
+
+
+def translate_window_q(sf_dir: str):
+    """gdal_translate -srcwin 20 30 80 60 over the tiled ramp: border tiles
+    crop (win_ox/win_oy record the intra-tile offset), fully-outside tiles
+    drop, checksums re-key to the crop-local weight layout."""
+    from ..stages import rastermap
+
+    tiles_tbl = synthetic.make_raster_tiles("ramp", 2, 2, size=64)
+    out = rastermap.clip_window(rd.from_arrow(tiles_tbl), 20, 30, 100, 90,
+                                tile_size=64)
+    return out.select_columns(["x", "y", "width", "height", "win_ox", "win_oy",
+                               "checksum"])
+
+
 def viewshed_modes_q(sf_dir: str):
     """gdal_viewshed output modes over the same integer DEM as viewshed_q:
     NORMAL (mask), DEM (minimum visible elevation) and GROUND (extra height

@@ -558,3 +558,71 @@ def mosaic(layers: list, nodata: float = 0.0):
     # shuffle key = full tile address incl. band (multi-band layers compose
     # per band; no bit-packing so large z/x/y never collide)
     return allds.groupby(["z", "band", "x", "y"]).map_groups(compose, batch_format="pyarrow")
+
+
+def band_stats_lazy(tiles_ds):
+    """gdalinfo -stats as a LAZY pipeline (no driver-side merge): exact
+    per-tile integer partials (n, sum, sumsq, min, max) -> one tiny keyed
+    combine -> scaled-integer stats row.  Requires an integer-valued raster
+    so the partials (and hence the mean/std quantization) are bit-stable
+    under any reduction order.  Output: (band, n, mn, mx, mean_e6, std_e6)."""
+    from .relational import partial_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            arr = _arr_of(batch, i).astype(np.int64).ravel()
+            rows.append({"band": int(batch["band"][i].as_py()),
+                         "n": int(arr.size), "s": int(arr.sum()),
+                         "ss": int((arr * arr).sum()),
+                         "mn": int(arr.min()), "mx": int(arr.max())})
+        if not rows:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("band", "n", "s", "ss", "mn", "mx")})
+        return pa.Table.from_pylist(rows)
+
+    agg = partial_aggregate(tiles_ds.map_batches(partial, batch_format="pyarrow"),
+                            ["band"], sums=["n", "s", "ss"],
+                            mins=["mn"], maxs=["mx"])
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = t["ss_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        var = np.maximum(ss / n - mean * mean, 0.0)
+        std = np.sqrt(var)
+        return pa.table({"band": t["band"],
+                         "n": t["n_sum"],
+                         "mn": t["mn_min"], "mx": t["mx_max"],
+                         "mean_e6": pa.array(np.floor(mean * 1e6 + 0.5).astype(np.int64)),
+                         "std_e6": pa.array(np.floor(std * 1e6 + 0.5).astype(np.int64))})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def tile_index(tiles_ds, tile_size: int = 64, global_width: int = 0):
+    """gdaltindex / gdalbuildvrt catalog: one footprint row per tile with its
+    pixel-space extent and the composable position-weighted checksum (global
+    weights when global_width > 0, so the index doubles as a mosaic-integrity
+    manifest: per-tile checksums sum mod 65536 to the mosaic checksum)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(batch.num_rows):
+            arr = _arr_of(batch, i)
+            h, w = arr.shape
+            tx = batch["x"][i].as_py()
+            ty = batch["y"][i].as_py()
+            rows.append({"x": tx, "y": ty,
+                         "minx": tx * tile_size, "miny": ty * tile_size,
+                         "maxx": tx * tile_size + w, "maxy": ty * tile_size + h,
+                         "checksum": cks.tile_checksum(
+                             arr, tx * tile_size, ty * tile_size, global_width)})
+        if not rows:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("x", "y", "minx", "miny", "maxx", "maxy",
+                                       "checksum")})
+        return pa.Table.from_pylist(rows)
+
+    return tiles_ds.map_batches(fn, batch_format="pyarrow")

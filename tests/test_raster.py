@@ -355,3 +355,32 @@ def test_xyz_driver_roundtrip_and_validation():
         f.write("100.0 50.0 1.0\n")  # duplicate cell -> incomplete grid
     with pytest.raises(ValueError):
         aaigrid.read_xyz(path)
+
+
+def test_band_stats_lazy_matches_eager():
+    import ray.data as rd
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import rastermap
+
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("ramp", 2, 2, size=64))
+    eager = rastermap.band_stats(tiles)
+    lazy = rastermap.band_stats_lazy(tiles).take_all()[0]
+    assert lazy["n"] == eager["count"]
+    assert lazy["mn"] == eager["min"] and lazy["mx"] == eager["max"]
+    assert lazy["mean_e6"] == int(np.floor(eager["mean"] * 1e6 + 0.5))
+    assert lazy["std_e6"] == int(np.floor(eager["std"] * 1e6 + 0.5))
+
+
+def test_tile_index_checksums_compose():
+    import ray.data as rd
+    from gdal_ray.functions import checksum as cks
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import rastermap
+
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("ramp", 2, 2, size=64))
+    idx = rastermap.tile_index(tiles, tile_size=64, global_width=128).take_all()
+    assert len(idx) == 4
+    gy, gx = np.mgrid[0:128, 0:128]
+    mosaic = (gx + gy).astype(np.float32)
+    assert sum(r["checksum"] for r in idx) % 65536 == cks.tile_checksum(
+        mosaic, 0, 0, 128)
