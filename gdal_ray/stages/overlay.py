@@ -28,6 +28,8 @@ driver-side geometry.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 import numpy as np
 
 from ..functions import wkb
@@ -38,6 +40,28 @@ _KEY_SCALE = 1e7
 
 def _cross(ax, ay, bx, by):
     return ax * by - ay * bx
+
+
+def _exact_cross(a, b, c, d):
+    """cross(b - a, d - c) computed EXACTLY over the input float coordinates
+    (floats are exact rationals, so Fraction arithmetic has no rounding) —
+    the adaptive-precision slow path used only when the float predicate is
+    inside its error bound (Shewchuk-style filter)."""
+    ax, ay = Fraction(float(a[0])), Fraction(float(a[1]))
+    bx, by = Fraction(float(b[0])), Fraction(float(b[1]))
+    cx, cy = Fraction(float(c[0])), Fraction(float(c[1]))
+    dx, dy = Fraction(float(d[0])), Fraction(float(d[1]))
+    return (bx - ax) * (dy - cy) - (by - ay) * (dx - cx)
+
+
+def _mag(*pts) -> float:
+    """Coordinate magnitude of the involved points (>= 1), for scaling the
+    semantic epsilons so overlay is translation-invariant at webmercator-
+    meter magnitudes, not just near the origin."""
+    m = 1.0
+    for p in pts:
+        m = max(m, abs(float(p[0])), abs(float(p[1])))
+    return m
 
 
 def ring_signed_area(ring: np.ndarray) -> float:
@@ -65,9 +89,10 @@ def _on_edge(pt, p, q) -> bool:
     dx, dy = q[0] - p[0], q[1] - p[1]
     ex, ey = pt[0] - p[0], pt[1] - p[1]
     L2 = dx * dx + dy * dy
+    tol = _EPS_ON * max(1.0, _mag(pt, p, q) * 1e-6)  # distance tolerance
     if L2 == 0:
-        return abs(ex) + abs(ey) < _EPS_ON
-    if abs(_cross(dx, dy, ex, ey)) > _EPS_ON * np.sqrt(L2):
+        return abs(ex) + abs(ey) < tol
+    if abs(_cross(dx, dy, ex, ey)) > tol * np.sqrt(L2):
         return False
     t = (ex * dx + ey * dy) / L2
     return -_EPS_ON <= t <= 1 + _EPS_ON
@@ -85,23 +110,32 @@ def _split_params(p, q, other_edges) -> list:
     """Parameters t in (0,1) where edge p->q crosses (or collinearly meets
     endpoints of) any edge in other_edges."""
     d1x, d1y = q[0] - p[0], q[1] - p[1]
+    L1 = d1x * d1x + d1y * d1y
     ts = []
     for (u, v) in other_edges:
         d2x, d2y = v[0] - u[0], v[1] - u[1]
+        L2 = d2x * d2x + d2y * d2y
         denom = _cross(d1x, d1y, d2x, d2y)
         wx, wy = u[0] - p[0], u[1] - p[1]
-        if abs(denom) < 1e-14:
-            # parallel: collinear overlap -> split at the other edge's endpoints
-            if abs(_cross(d1x, d1y, wx, wy)) < _EPS_ON:
-                L2 = d1x * d1x + d1y * d1y
-                if L2 > 0:
-                    for pt in (u, v):
-                        t = ((pt[0] - p[0]) * d1x + (pt[1] - p[1]) * d1y) / L2
-                        if 1e-12 < t < 1 - 1e-12:
-                            ts.append(t)
-            continue
-        t = _cross(wx, wy, d2x, d2y) / denom
-        s = _cross(wx, wy, d1x, d1y) / denom
+        # relative near-parallel filter (|sin angle| ~ denom / (|d1||d2|)),
+        # resolved EXACTLY in the ambiguous zone
+        if abs(denom) <= 1e-9 * np.sqrt(L1 * L2):
+            de = _exact_cross(p, q, u, v)
+            if de == 0:
+                # truly parallel: exact collinearity, then overlap splits
+                if _exact_cross(p, q, p, u) == 0:
+                    if L1 > 0:
+                        for pt in (u, v):
+                            t = ((pt[0] - p[0]) * d1x + (pt[1] - p[1]) * d1y) / L1
+                            if 1e-12 < t < 1 - 1e-12:
+                                ts.append(t)
+                continue
+            # nearly-parallel genuine crossing: exact rational t, s
+            t = float(Fraction(_exact_cross(p, u, u, v)) / de)
+            s = float(Fraction(_exact_cross(p, u, p, q)) / de)
+        else:
+            t = _cross(wx, wy, d2x, d2y) / denom
+            s = _cross(wx, wy, d1x, d1y) / denom
         if -1e-12 <= s <= 1 + 1e-12 and 1e-12 < t < 1 - 1e-12:
             ts.append(t)
     return ts
@@ -116,7 +150,7 @@ def _subdivide(rings, other_edges):
             ts = sorted(set([0.0, 1.0] + _split_params(p, q, other_edges)))
             pts = [(p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])) for t in ts]
             for a, b in zip(pts[:-1], pts[1:]):
-                if abs(a[0] - b[0]) + abs(a[1] - b[1]) > 1e-12:
+                if abs(a[0] - b[0]) + abs(a[1] - b[1]) > max(1e-12, _mag(a, b) * 4e-15):
                     segs.append((a, b))
     return segs
 
@@ -184,7 +218,8 @@ def _stitch(segs) -> list:
         if ring is not None and len(ring) >= 4:
             arr = np.array(ring)
             arr[-1] = arr[0]
-            if abs(ring_signed_area(arr)) > 1e-12:
+            m = float(np.abs(arr).max())
+            if abs(ring_signed_area(arr)) > max(1e-12, m * m * 1e-15):
                 rings.append(arr)
     return rings
 

@@ -219,3 +219,36 @@ def test_randomized_concave_intersection_vs_pixel_oracle():
                 if inside_l:
                     cnt += 1
         assert got == pytest.approx(cnt, abs=1e-9)
+
+
+def test_overlay_translation_invariance_webmercator_magnitude():
+    """Epsilon policy scales with coordinate magnitude: overlays remain
+    structurally exact (inclusion-exclusion closes) at webmercator-meter
+    offsets, where absolute 1e-9/1e-14 thresholds would misclassify."""
+    def poly(coords, off):
+        r = np.array([(x + off, y + off) for x, y in coords + [coords[0]]])
+        return wkb.Geom(wkb.POLYGON, [[r]])
+
+    A = [(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (1.5, 4.5), (0.0, 3.0)]
+    B = [(2.0, 1.0), (6.0, 1.0), (6.0, 5.0), (2.0, 5.0)]
+    for off in (0.0, 1e6, 2.0e7):
+        ga, gb = poly(A, off), poly(B, off)
+        inter = overlay.geom_area(overlay.boolean_op(ga, gb, "intersection"))
+        union = overlay.geom_area(overlay.boolean_op(ga, gb, "union"))
+        diff = overlay.geom_area(overlay.boolean_op(ga, gb, "difference"))
+        sym = overlay.geom_area(overlay.boolean_op(ga, gb, "symdifference"))
+        area_a = overlay.geom_area(ga)
+        area_b = overlay.geom_area(gb)
+        tol = max(1e-9, off * off * 1e-14)
+        assert abs(inter + union - (area_a + area_b)) < tol
+        assert abs(diff + inter - area_a) < tol
+        assert abs(sym - (union - inter)) < tol
+
+    # diagonal shared edge (collinear-overlap path) at magnitude
+    T1 = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0)]
+    T2 = [(0.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    for off in (0.0, 2.0e7):
+        ga, gb = poly(T1, off), poly(T2, off)
+        assert abs(overlay.geom_area(overlay.boolean_op(ga, gb, "union")) - 16.0) < 1e-6
+        g = overlay.boolean_op(ga, gb, "intersection")
+        assert overlay.geom_area(g) < 1e-6
