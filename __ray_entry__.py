@@ -1599,6 +1599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / dedup / similarity (training-data ops)
         "dedup_exact": q.dedup_exact_q,
         "chunk_dedup": q.chunk_dedup_q,
+        "sample_stratified": q.sample_stratified_q,
+        "pack_sequences": q.pack_sequences_q,
         "target_affinity": q.target_affinity_q,
         "tfidf_top": q.tfidf_top_q,
         "token_count": q.token_count_q,
@@ -1904,6 +1906,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS keep_id,
                    CAST(count(*) AS BIGINT) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 100
+                  < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
+        """,
+        "pack_sequences": """
+            WITH tok AS (SELECT doc_id,
+                           CAST(length(regexp_extract_all(text, '[^ ]+'))
+                                AS BIGINT) AS n_tokens
+                         FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             0) AS cum
+                  FROM tok)
+            SELECT doc_id, n_tokens,
+                   CAST(cum // 256 AS BIGINT) AS pack_id,
+                   CAST(cum % 256 AS BIGINT) AS pack_offset
+            FROM c
         """,
         "chunk_dedup": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -314,6 +314,45 @@ def sample_docs_q(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def sample_stratified_q(sf_dir: str):
+    """Per-stratum Bernoulli sampling (training-data mixture control): the
+    target stratum (lang='en') keeps 20%, every other stratum 5%, with the
+    same deterministic integer scheme as sample_docs."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.size and int(k.max()) >= (1 << 63) // 2654435761:
+            raise OverflowError("doc_id beyond BIGINT sample domain")
+        rate = np.where(pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False),
+                        20, 5)
+        keep = (k * np.int64(2654435761)) % 100 < rate
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences_q(sf_dir: str):
+    """Token-budget sequence packing (training-batch assembly): a distributed
+    EXCLUSIVE prefix sum of per-doc token counts in doc_id order assigns each
+    doc its pack (budget 256 tokens) and intra-pack offset — the two-pass
+    bucket-offset scan, all int64-exact."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tok = ds.map_batches(
+        lambda t: textops.token_count_batch(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    cum = relational.global_prefix_sum(tok, "doc_id", "n_tokens", bucket_size=64)
+
+    def packs(t: pa.Table) -> pa.Table:
+        c = t["cum"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+                         "pack_id": pa.array(c // 256),
+                         "pack_offset": pa.array(c % 256)})
+
+    return cum.map_batches(packs, batch_format="pyarrow")
+
+
 RASTER_LOOKUP_W, RASTER_LOOKUP_H = 360, 170
 
 

@@ -244,3 +244,67 @@ def group_top_n(ds, key_col: str, order_col: str, n: int, tie_col: str,
 
     pruned = ds.map_batches(local_prune, batch_format="pyarrow")
     return pruned.groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def global_prefix_sum(ds, order_col: str, value_col: str, bucket_size: int,
+                      out: str = "cum"):
+    """EXCLUSIVE prefix sum of value_col in global order_col order (integer
+    keys >= 0), the distributed-scan primitive behind sequence packing /
+    global offsets.
+
+    Two-pass shape: (1) per-batch partial sums keyed by
+    ``bucket = order_col // bucket_size`` (a combiner — the shuffle moves one
+    row per bucket per block), folded into per-bucket totals whose driver-side
+    cumsum is the tiny broadcast offset table; (2) a second streaming pass
+    re-buckets each batch and adds the bucket offset to the exact in-bucket
+    prefix (each bucket's rows are ranked by order_col with bincount/cumsum,
+    so blocks never need to see each other).  All arithmetic is int64-exact.
+
+    Requires order_col values unique; rows with equal buckets may be spread
+    over any blocks.
+    """
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = k // bucket_size
+        g = pa.table({"b": pa.array(b), "s": pa.array(v)}).group_by("b").aggregate(
+            [("s", "sum")])
+        return pa.table({"b": g["b"], "s": g["s_sum"]})
+
+    from ray.data.aggregate import Sum
+
+    totals = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby("b").aggregate(Sum("s", alias_name="s")).take_all()
+    totals.sort(key=lambda r: r["b"])
+    offs = {}
+    acc = 0
+    for r in totals:
+        offs[r["b"]] = acc
+        acc += r["s"]
+    ref = ray.put(offs)
+
+    # within a bucket the prefix over OTHER rows of the same bucket must be
+    # global — only possible when a bucket never spans blocks, so pass 2
+    # first re-shuffles rows onto their bucket
+    def tag(t: pa.Table) -> pa.Table:
+        k = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_bucket", pa.array(k // bucket_size))
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        if g.num_rows == 0:
+            return g.append_column(out, pa.array([], pa.int64()))
+        offs_ = ray.get(ref)
+        k = g[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        cum_sorted = np.cumsum(v[order]) - v[order]  # exclusive, in-bucket
+        cum = np.empty(len(k), dtype=np.int64)
+        cum[order] = cum_sorted
+        base = offs_.get(int(k[0]) // bucket_size, 0)
+        return g.append_column(out, pa.array(cum + base))
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby("_bucket").map_groups(scan, batch_format="pyarrow")

@@ -45,3 +45,18 @@ def test_group_top_n_small_groups_and_empty():
     got = relational.group_top_n(rd.from_arrow(t), "k", "v", 3, "i").take_all()
     rows = sorted((r["k"], r["i"], r["rn"]) for r in got)
     assert rows == [(1, 10, 2), (1, 11, 1), (2, 12, 1)]
+
+
+def test_global_prefix_sum_exclusive_exact():
+    rng = np.random.default_rng(11)
+    n = 3000
+    ids = rng.permutation(n).astype(np.int64)  # unique, shuffled across blocks
+    vals = rng.integers(1, 50, n).astype(np.int64)
+    t = pa.table({"k": ids, "v": vals})
+    ds = rd.from_arrow(t).repartition(11)
+    out = relational.global_prefix_sum(ds, "k", "v", bucket_size=97).take_all()
+    got = {r["k"]: r["cum"] for r in out}
+    by_key = vals[np.argsort(ids)]
+    expect_sorted = np.cumsum(by_key) - by_key
+    for i, k in enumerate(np.sort(ids)):
+        assert got[int(k)] == int(expect_sorted[i])
