@@ -1693,6 +1693,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q.minhash_lsh_q,
         "simhash_signatures": q.simhash_q,
         "ngram_jaccard_pairs": q.ngram_jaccard_q,
+        "dup_clusters": q.dup_clusters_q,
+        "dedup_keep_best": q.dedup_keep_best_q,
+        "quality_classifier": q.quality_classifier_q,
     }
 
 
@@ -2574,6 +2577,59 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY c.id_a, c.id_b)
             SELECT id_a, id_b, CAST(est_jaccard_x1000 AS BIGINT) AS est_jaccard_x1000
             FROM est WHERE est_jaccard_x1000 >= 500
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE {_shingle_cte(5)}, {_minhash_ctes(64, 16)},
+            est AS (SELECT c.id_a, c.id_b,
+                           (sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END) * 1000) // 64 AS e
+                    FROM cand c
+                    JOIN mh ma ON ma.doc_id = c.id_a
+                    JOIN mh mb ON mb.doc_id = c.id_b AND mb.p = ma.p
+                    GROUP BY c.id_a, c.id_b),
+            edges AS (SELECT id_a AS a, id_b AS b FROM est WHERE e >= 500
+                      UNION SELECT id_b, id_a FROM est WHERE e >= 500),
+            r(n, m) AS (SELECT a, a FROM edges
+                        UNION SELECT r.n, e.b FROM r JOIN edges e ON e.a = r.m)
+            SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+            FROM r GROUP BY n
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_shingle_cte(5)}, {_minhash_ctes(64, 16)},
+            est AS (SELECT c.id_a, c.id_b,
+                           (sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END) * 1000) // 64 AS e
+                    FROM cand c
+                    JOIN mh ma ON ma.doc_id = c.id_a
+                    JOIN mh mb ON mb.doc_id = c.id_b AND mb.p = ma.p
+                    GROUP BY c.id_a, c.id_b),
+            edges AS (SELECT id_a AS a, id_b AS b FROM est WHERE e >= 500
+                      UNION SELECT id_b, id_a FROM est WHERE e >= 500),
+            r(n, m) AS (SELECT a, a FROM edges
+                        UNION SELECT r.n, e.b FROM r JOIN edges e ON e.a = r.m),
+            cc AS (SELECT n, min(m) AS cluster_id FROM r GROUP BY n),
+            j AS (SELECT cc.cluster_id, cc.n AS doc_id, d.n_chars
+                  FROM cc JOIN documents d ON d.doc_id = cc.n),
+            rw AS (SELECT *,
+                         row_number() OVER (PARTITION BY cluster_id
+                                            ORDER BY n_chars DESC, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY cluster_id) AS nm
+                  FROM j)
+            SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(doc_id AS BIGINT) AS keep_id,
+                   CAST(nm AS BIGINT) AS n_members,
+                   CAST(n_chars AS BIGINT) AS best_score
+            FROM rw WHERE rn = 1
+        """,
+        "quality_classifier": f"""
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            h AS (SELECT doc_id, md5(term) AS h FROM tok),
+            b AS (SELECT doc_id, {_hex_u64('h')} % 64 AS bk FROM h),
+            s AS (SELECT doc_id,
+                         sum((bk * 2654435761) % 2001 - 1000) AS score
+                  FROM b GROUP BY doc_id)
+            SELECT doc_id, CAST(score AS BIGINT) AS score_x1000,
+                   CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+            FROM s
         """,
         "ngram_jaccard_pairs": f"""
             WITH {_shingle_cte(3)}, {_minhash_ctes(32, 8)},

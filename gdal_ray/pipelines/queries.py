@@ -1868,6 +1868,34 @@ def simhash_q(sf_dir: str):
     return dedup.simhash_signatures(ds)
 
 
+def dup_clusters_q(sf_dir: str):
+    """Duplicate clusters: connected components over the MinHash-LSH pair
+    graph via distributed min-label propagation (cluster_id = min reachable
+    doc_id)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.dup_clusters(ds, min_jaccard_x1000=500)
+
+
+def dedup_keep_best_q(sf_dir: str):
+    """Canonical-doc selection per duplicate cluster: keep the member with
+    max n_chars (ties -> min doc_id); membership attached via keyed union-tag
+    groupby (no broadcast of the cluster set)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    clusters = dedup.dup_clusters(ds, min_jaccard_x1000=500)
+    return dedup.cluster_keep_best(docs, clusters)
+
+
+def quality_classifier_q(sf_dir: str):
+    """Hashed-bag-of-words linear quality classifier (fastText shape):
+    stateful actor pool holds the word->bucket cache; integer fixed-point
+    scores."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        textops.HashedLinearScorer, batch_format="pyarrow", concurrency=2
+    )
+
+
 def knn_tree_q(sf_dir: str):
     """kNN via best-first STRtree traversal (scale path) — same rows as join_knn."""
     z = _zones(sf_dir)

@@ -246,6 +246,164 @@ def ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text", shingle_k=3, min_x
     return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
+def dup_clusters(ds, min_jaccard_x1000: int = 500, max_iters: int = 64, **kwargs):
+    """Connected components over the near-dup pair graph: every doc that
+    appears in a MinHash-LSH pair gets ``cluster_id`` = the smallest doc_id
+    reachable through pairs (the standard "duplicate cluster" unit that web
+    dedup keeps one representative of).
+
+    Output: (doc_id, cluster_id) for every doc appearing in >=1 pair.
+
+    Scale shape: min-label propagation over the symmetrized edge list —
+    per iteration ONE keyed groupby ships each node's current label along its
+    outgoing edges and ONE groupby takes the min candidate per node.  The
+    iterated state (labels) is O(candidate-dup docs), a small fraction of the
+    corpus, and lives as a materialized Dataset — never on the driver.
+    Convergence: labels are non-increasing, so the label SUM is strictly
+    decreasing until fixpoint; iteration stops when the sum repeats (driver
+    reads one scalar per iteration).  Iterations needed = component diameter
+    (dup clusters are near-cliques, so 2-3 in practice).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    pairs = minhash_lsh_dedup_pairs(ds, min_jaccard_x1000, **kwargs)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": pa.array(np.concatenate([a, b])),
+             "dst": pa.array(np.concatenate([b, a]))}
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    labels = (
+        edges.groupby("src")
+        .map_groups(
+            lambda g: pa.table({"node": g["src"][:1], "label": g["src"][:1]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"_k": t["src"], "dst": t["dst"],
+             "label": pa.nulls(t.num_rows, pa.int64())}
+        )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"_k": t["node"], "dst": pa.nulls(t.num_rows, pa.int64()),
+             "label": pa.compute.cast(t["label"], pa.int64())}
+        )
+
+    def propagate(g: pa.Table) -> pa.Table:
+        valid = pa.compute.is_valid(g["label"]).to_numpy(zero_copy_only=False)
+        lab_rows = np.flatnonzero(valid)
+        edge_rows = np.flatnonzero(~valid)
+        l = g["label"][int(lab_rows[0])].as_py()
+        dst = (
+            g["dst"].take(pa.array(edge_rows)).to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        node = np.concatenate([dst, np.array([g["_k"][0].as_py()], dtype=np.int64)])
+        return pa.table(
+            {"node": pa.array(node),
+             "cand": pa.array(np.full(node.size, l, dtype=np.int64))}
+        )
+
+    prev_sum = None
+    for _ in range(max_iters):
+        unioned = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+        )
+        labels = (
+            unioned.groupby("_k")
+            .map_groups(propagate, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"],
+                            "cluster_id": pa.compute.cast(t["label"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def cluster_keep_best(docs_ds, clusters_ds, id_col: str = "doc_id",
+                      score_col: str = "n_chars"):
+    """Per-duplicate-cluster canonical selection: keep the member with the
+    highest ``score_col`` (ties -> smallest doc_id) — the "keep best quality
+    doc per dup cluster" policy.  Output: (cluster_id, keep_id, n_members,
+    best_score).
+
+    Scale shape: cluster membership is attached to the docs table with a
+    keyed union-tag groupby on doc_id (no broadcast — the cluster set can be
+    corpus-sized at 100 TB), then a per-cluster vectorized argmax.
+    """
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"_k": t[id_col],
+             "cluster_id": pa.nulls(t.num_rows, pa.int64()),
+             "score": pa.compute.cast(t[score_col], pa.int64())}
+        )
+
+    def tag_clusters(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"_k": t["doc_id"], "cluster_id": t["cluster_id"],
+             "score": pa.nulls(t.num_rows, pa.int64())}
+        )
+
+    empty = pa.table(
+        {"cluster_id": pa.array([], pa.int64()),
+         "doc_id": pa.array([], pa.int64()),
+         "score": pa.array([], pa.int64())}
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        cmask = pa.compute.is_valid(g["cluster_id"]).to_numpy(zero_copy_only=False)
+        crow = np.flatnonzero(cmask)
+        srow = np.flatnonzero(~cmask)
+        if crow.size == 0 or srow.size == 0:
+            return empty
+        return pa.table(
+            {"cluster_id": pa.array([g["cluster_id"][int(crow[0])].as_py()], pa.int64()),
+             "doc_id": g["_k"][:1],
+             "score": pa.array([g["score"][int(srow[0])].as_py()], pa.int64())}
+        )
+
+    joined = (
+        docs_ds.map_batches(tag_docs, batch_format="pyarrow")
+        .union(clusters_ds.map_batches(tag_clusters, batch_format="pyarrow"))
+        .groupby("_k")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+    def pick(g: pa.Table) -> pa.Table:
+        s = g["score"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        best = s.max()
+        cand = np.flatnonzero(s == best)
+        keep = ids[cand].min()
+        return pa.table(
+            {"cluster_id": g["cluster_id"][:1],
+             "keep_id": pa.array([keep], pa.int64()),
+             "n_members": pa.array([g.num_rows], pa.int64()),
+             "best_score": pa.array([int(best)], pa.int64())}
+        )
+
+    return joined.groupby("cluster_id").map_groups(pick, batch_format="pyarrow")
+
+
 def chunk_spans(ds, chunk_words: int = 3, text_col: str = "text", id_col: str = "doc_id"):
     """Split docs into consecutive non-overlapping chunk_words-word spans and
     hash each (the RefinedWeb/C4 "duplicated span" unit; trailing partial

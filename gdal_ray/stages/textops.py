@@ -493,3 +493,57 @@ def tfidf_top_term(ds, dfs: pa.Table, text_col: str = "text",
                              "df": pa.array(df[win])})
 
     return ds.map_batches(Top, batch_format="pyarrow", concurrency=2)
+
+
+def qc_weight(bucket):
+    """Closed-form integer weight (x1000) for hash bucket ``bucket`` — the
+    'model' of the hashed linear classifier, derivable by the SQL oracle."""
+    return (bucket * 2654435761) % 2001 - 1000
+
+
+class HashedLinearScorer:
+    """fastText-style hashed bag-of-words linear quality classifier.
+
+    Each word hashes (md5, first 8 bytes LE) to one of ``buckets`` buckets;
+    the doc score is the integer sum of per-bucket weights (x1000 fixed point,
+    closed-form ``qc_weight``), label = score > 0.  This is the exact shape of
+    a production fastText/linear quality filter — swap ``qc_weight`` for
+    learned weights and the pipeline is unchanged.
+
+    Stateful actor stage: the word->bucket md5 cache persists across batches
+    (__init__-once pattern), so repeated vocabulary costs one digest total.
+    Integer arithmetic end to end -> bit-stable oracle.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 buckets: int = 64):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.buckets = buckets
+        j = np.arange(buckets, dtype=np.int64)
+        self.w = (j * np.int64(2654435761)) % 2001 - 1000
+        self._cache: dict = {}
+
+    def _bucket_of(self, word: str) -> int:
+        b = self._cache.get(word)
+        if b is None:
+            d = hashlib.md5(word.encode()).digest()
+            # int() BEFORE the modulo: np.uint64 % python-int promotes to
+            # float64 and silently drops the low bits of large digests
+            b = int.from_bytes(d[:8], "little") % self.buckets
+            self._cache[word] = b
+        return b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_idx, terms, lens = _batch_doc_tokens(batch, self.text_col)
+        t = np.asarray(terms.to_pylist(), dtype=object)
+        uniq, codes = np.unique(t, return_inverse=True)
+        bu = np.fromiter((self._bucket_of(w) for w in uniq),
+                         dtype=np.int64, count=len(uniq))
+        wt = self.w[bu[codes]]
+        score = np.bincount(doc_idx, weights=wt, minlength=len(lens)).astype(np.int64)
+        return pa.table(
+            {self.id_col: batch[self.id_col],
+             "score_x1000": pa.array(score),
+             "label": pa.array((score > 0).astype(np.int64))}
+        )
