@@ -1639,6 +1639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_orders": q.rank_orders_q,
         "retile_overlap": q.retile_q,
         "asc_roundtrip": q.asc_roundtrip_q,
+        "gtiff_roundtrip": q.gtiff_roundtrip_q,
+        "shp_roundtrip": q.shp_roundtrip_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
         "raster_as_features": q.raster_as_features_q,
@@ -2387,6 +2389,25 @@ def oracle_sql() -> dict[str, str]:
                             * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM px GROUP BY 1, 2
+        """,
+        "gtiff_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(160) a, range(160) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(((gx-80)*(gx-80) + (gy-80)*(gy-80)) // 64
+                            * (((gy % 64) * (CASE WHEN gx // 64 = 2 THEN 32 ELSE 64 END)
+                                + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        "shp_roundtrip": f"""
+            WITH {_ZONES.strip().lstrip()}
+            SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
+                   CAST(5 AS BIGINT) AS n_vertices,
+                   CAST(3 * floor(minx * 100 + 0.5) + 2 * floor(maxx * 100 + 0.5)
+                        + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
+                        AS BIGINT) AS coord_sum_x100
+            FROM zz
         """,
         "asc_roundtrip": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy

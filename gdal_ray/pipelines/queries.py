@@ -1164,6 +1164,79 @@ def asc_roundtrip_q(sf_dir: str):
     return tiles.map_batches(sums, batch_format="pyarrow")
 
 
+def gtiff_roundtrip_q(sf_dir: str):
+    """GeoTIFF driver: serialize the 160x160 hump (float32, exact dyadic
+    rationals) as a TILED uncompressed GeoTIFF (64-px tiles -> padded edge
+    tiles on the right/bottom), range-read it back through the IFD-manifest
+    Ray path, and checksum per clipped tile — write, tile padding/trimming,
+    and the distributed read plan are all on the graded path."""
+    import os
+    import tempfile
+
+    from ..functions import checksum as cks_f
+    from ..sources import gtiff
+
+    gy, gx = np.mgrid[0:160, 0:160]
+    arr = (((gx - 80) ** 2 + (gy - 80) ** 2) / 64.0).astype(np.float32)
+    path = f"{tempfile.gettempdir()}/gdal_ray_hump_{os.getpid()}.tif"
+    gtiff.write_gtiff(path, arr, tile_size=64, nodata=-9999.0)
+    tiles = gtiff.read_gtiff_tiles(path)
+
+    def sums(t: pa.Table) -> pa.Table:
+        from ..stages.focal import _dtype_of
+
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=_dtype_of(t["dtype"][i].as_py()))
+            a = a.reshape(t["height"][i].as_py(), t["width"][i].as_py())
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks_f.tile_checksum(a))
+        return pa.table({"x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return tiles.map_batches(sums, batch_format="pyarrow")
+
+
+def shp_roundtrip_q(sf_dir: str):
+    """Shapefile driver: write the zones layer (polygon WKB + C/N attribute
+    fields) to .shp/.shx/.dbf, stream it back through the shx-manifest Ray
+    path, and emit per-feature attribute echo + exact 0.01-grid vertex sums —
+    the OGR shapefile read/write surface on the graded path."""
+    import os
+    import tempfile
+
+    from ..functions import wkb as wkb_f
+    from ..sources import shapefile as shp_drv
+
+    zones = _zones(sf_dir)
+    base = f"{tempfile.gettempdir()}/gdal_ray_zones_{os.getpid()}"
+    shp_drv.write_shapefile(
+        base, zones["wkb"].to_pylist(),
+        pa.table({"zone_id": zones["zone_id"], "zone_key": zones["zone_key"]}))
+    ds = shp_drv.read_shapefile_dataset(base, records_per_block=512)
+
+    def verify(t: pa.Table) -> pa.Table:
+        ks, ids, nv, cs = [], [], [], []
+        for i in range(t.num_rows):
+            g = wkb_f.decode(t["wkb"][i].as_py())
+            v = g.vertices()
+            q = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            ks.append(t["zone_key"][i].as_py())
+            ids.append(t["zone_id"][i].as_py())
+            nv.append(len(v))
+            cs.append(int(q.sum()))
+        return pa.table({
+            "zone_key": pa.array(ks, pa.int64()),
+            "zone_id": pa.array(ids, pa.string()),
+            "n_vertices": pa.array(nv, pa.int64()),
+            "coord_sum_x100": pa.array(cs, pa.int64()),
+        })
+
+    return ds.map_batches(verify, batch_format="pyarrow")
+
+
 def retile_q(sf_dir: str):
     """gdal_retile -ps 50x50 -overlap 10 over the 3x3 ramp mosaic: output
     origins advance by 40 px; edge tiles clip.  Per-output-tile checksums

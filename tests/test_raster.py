@@ -384,3 +384,58 @@ def test_tile_index_checksums_compose():
     mosaic = (gx + gy).astype(np.float32)
     assert sum(r["checksum"] for r in idx) % 65536 == cks.tile_checksum(
         mosaic, 0, 0, 128)
+
+
+def test_gtiff_roundtrip_dtypes_layouts_endians(tmp_path):
+    """GeoTIFF driver: every dtype x {tiled, stripped} x {II, MM} roundtrips
+    bitwise; geo metadata (origin/scale/EPSG/nodata) survives."""
+    from gdal_ray.sources import gtiff
+
+    rng = np.random.default_rng(7)
+    for dname in ("uint8", "uint16", "uint32", "int16", "int32",
+                  "float32", "float64"):
+        base = rng.integers(0, 250, size=(70, 53)).astype(dname)
+        for en in ("<", ">"):
+            for kw in ({"tile_size": 32}, {"rows_per_strip": 17}):
+                p = str(tmp_path / f"t_{dname}_{en=='<'}_{len(kw)}.tif")
+                gtiff.write_gtiff(p, base, origin=(-5.5, 12.25),
+                                  pixel_size=(0.5, 0.5), epsg=4326,
+                                  nodata=7.0, endian=en, **kw)
+                got, meta = gtiff.read_gtiff(p)
+                assert got.dtype == base.dtype
+                assert np.array_equal(got, base)
+                assert meta["origin"] == (-5.5, 12.25)
+                assert meta["pixel_size"] == (0.5, 0.5)
+                assert meta["epsg"] == 4326 and meta["nodata"] == 7.0
+
+
+def test_gtiff_tiles_dataset_trims_padding(tmp_path):
+    """The Ray manifest path trims TIFF edge-tile padding to clipped tiles
+    and matches the source array exactly."""
+    from gdal_ray.sources import gtiff
+
+    gy, gx = np.mgrid[0:100, 0:90]
+    arr = (gx * 3 + gy).astype(np.int32)
+    p = str(tmp_path / "pad.tif")
+    gtiff.write_gtiff(p, arr, tile_size=64)
+    rows = gtiff.read_gtiff_tiles(p).take_all()
+    assert sorted((r["x"], r["y"], r["width"], r["height"]) for r in rows) == [
+        (0, 0, 64, 64), (0, 1, 64, 36), (1, 0, 26, 64), (1, 1, 26, 36)]
+    for r in rows:
+        a = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(
+            r["height"], r["width"])
+        assert np.array_equal(
+            a, arr[r["y"] * 64:(r["y"] + 1) * 64, r["x"] * 64:(r["x"] + 1) * 64])
+
+
+def test_gtiff_rejects_malformed(tmp_path):
+    from gdal_ray.sources import gtiff
+
+    bad = tmp_path / "bad.tif"
+    bad.write_bytes(b"PK\x03\x04 not a tiff at all")
+    with pytest.raises(ValueError, match="byte-order"):
+        gtiff.read_gtiff(str(bad))
+    with pytest.raises(ValueError, match="single-band"):
+        gtiff.write_gtiff(str(bad), np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="unsupported dtype"):
+        gtiff.write_gtiff(str(bad), np.zeros((2, 2), dtype=np.complex64))
