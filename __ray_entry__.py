@@ -1641,6 +1641,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asc_roundtrip": q.asc_roundtrip_q,
         "gtiff_roundtrip": q.gtiff_roundtrip_q,
         "shp_roundtrip": q.shp_roundtrip_q,
+        "semi_join_orders": q.semi_join_orders_q,
+        "anti_join_customers": q.anti_join_customers_q,
+        "event_gaps": q.event_gaps_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
         "raster_as_features": q.raster_as_features_q,
@@ -2408,6 +2411,29 @@ def oracle_sql() -> dict[str, str]:
                         + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
                         AS BIGINT) AS coord_sum_x100
             FROM zz
+        """,
+        "semi_join_orders": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_nationkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000)
+        """,
+        "event_gaps": """
+            SELECT event_id, user_id,
+                   COALESCE(epoch_us(ts) // 1000000
+                            - lag(epoch_us(ts) // 1000000)
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            -1) AS gap_prev_s,
+                   COALESCE(lead(epoch_us(ts) // 1000000)
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            - epoch_us(ts) // 1000000,
+                            -1) AS gap_next_s
+            FROM events
         """,
         "asc_roundtrip": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy

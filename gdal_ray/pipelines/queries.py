@@ -2299,3 +2299,36 @@ def rpc_transform_q(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def semi_join_orders_q(sf_dir: str):
+    """Semi join (EXISTS subquery): orders with at least one heavy lineitem
+    (l_quantity >= 48) — no broadcast; both sides hash-partition on the key."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    heavy = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    heavy = heavy.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["l_quantity"], 48))
+                   .select(["l_orderkey"]),
+        batch_format="pyarrow")
+    return relational.semi_anti_join_partitioned(
+        orders, heavy, key="o_orderkey", build_key="l_orderkey")
+
+
+def anti_join_customers_q(sf_dir: str):
+    """Anti join (NOT EXISTS): customers with no high-value orders
+    (o_totalprice > 400000) — the TPC-H Q22 shape."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["o_totalprice"], 400000.0))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow")
+    return relational.semi_anti_join_partitioned(
+        cust, big, key="c_custkey", build_key="o_custkey", anti=True)
+
+
+def event_gaps_q(sf_dir: str):
+    """LAG/LEAD window: per event, whole seconds to the previous/next event
+    of the same user (-1 at stream edges)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return events.lag_lead_gaps(ev)

@@ -250,3 +250,48 @@ def asof_join_partitioned(
         return out
 
     return unioned.groupby("_k").map_groups(per_key, batch_format="pandas")
+
+
+def lag_lead_gaps(ds, ts_col: str = "ts", key_col: str = "user_id",
+                  id_col: str = "event_id", num_partitions: int = 64):
+    """LAG/LEAD window over (key ORDER BY ts, id): per event, whole seconds
+    to the previous and next event of the same key (-1 at the edges, exact
+    integer arithmetic).  Output: (event_id, user_id, gap_prev_s, gap_next_s).
+
+    Scale shape: the session-windows plan — ONE hash-partition shuffle on the
+    key, then each partition computes every key's gaps in a single vectorized
+    lexsort + diff pass (one Python call per partition, not per key)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (u * np.int64(2654435761)) % np.int64(num_partitions)
+        return batch.append_column("_part", pa.array(np.abs(part)))
+
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), key_col: pa.array([], pa.int64()),
+         "gap_prev_s": pa.array([], pa.int64()),
+         "gap_next_s": pa.array([], pa.int64())}
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return empty
+        u = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sec = _epoch_us(g[ts_col]) // 1_000_000
+        eid = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, sec, u))
+        u, sec, eid = u[order], sec[order], eid[order]
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = u[1:] == u[:-1]
+        gap_prev = np.full(n, -1, dtype=np.int64)
+        gap_next = np.full(n, -1, dtype=np.int64)
+        gap_prev[1:][same_prev[1:]] = (sec[1:] - sec[:-1])[same_prev[1:]]
+        gap_next[:-1][same_prev[1:]] = (sec[1:] - sec[:-1])[same_prev[1:]]
+        return pa.table(
+            {id_col: pa.array(eid), key_col: pa.array(u),
+             "gap_prev_s": pa.array(gap_prev), "gap_next_s": pa.array(gap_next)}
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby("_part").map_groups(per_part, batch_format="pyarrow")

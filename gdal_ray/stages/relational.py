@@ -308,3 +308,53 @@ def global_prefix_sum(ds, order_col: str, value_col: str, bucket_size: int,
 
     return ds.map_batches(tag, batch_format="pyarrow") \
              .groupby("_bucket").map_groups(scan, batch_format="pyarrow")
+
+
+def semi_anti_join_partitioned(probe, build, key: str, build_key: str | None = None,
+                               anti: bool = False, num_partitions: int = 64):
+    """Distributed semi / anti equi-join (OGR SQL ``WHERE [NOT] EXISTS`` /
+    ``IN (subquery)`` shape, reference ``ogr/ogrsf_frmts/generic`` SQL
+    dialect via SWQ expressions): emit probe rows whose key does (semi) or
+    does not (anti) appear in the build side.
+
+    Scale shape: NO broadcast — both sides hash-partition on the key (the
+    build side can be corpus-sized), ONE shuffle, and each partition resolves
+    membership with a single vectorized ``np.isin`` over all its keys —
+    one Python call per partition, not per key (the session-windows plan).
+    """
+    build_key = build_key or key
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (k * np.int64(2654435761)) % np.int64(num_partitions)
+        return t.append_column("_part", pa.array(np.abs(part))) \
+                .append_column("_side", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    probe_schema = None
+
+    def tag_build(t: pa.Table) -> pa.Table:
+        k = pa.compute.cast(t[build_key], pa.int64())
+        kn = k.to_numpy(zero_copy_only=False)
+        part = (kn * np.int64(2654435761)) % np.int64(num_partitions)
+        cols = {key: k}
+        for name in probe_schema:
+            if name != key:
+                cols[name] = pa.nulls(t.num_rows, probe_schema[name])
+        out = pa.table(cols).select(list(probe_schema.keys()))
+        return out.append_column("_part", pa.array(np.abs(part))) \
+                  .append_column("_side", pa.array(np.ones(t.num_rows, np.int8)))
+
+    probe_schema = {f.name: f.type for f in probe.schema().base_schema}
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkeys = np.unique(k[side == 1])
+        prow = np.flatnonzero(side == 0)
+        member = np.isin(k[prow], bkeys)
+        keep = prow[~member if anti else member]
+        return g.take(pa.array(keep)).drop_columns(["_part", "_side"])
+
+    return probe.map_batches(tag_probe, batch_format="pyarrow").union(
+        build.map_batches(tag_build, batch_format="pyarrow")
+    ).groupby("_part").map_groups(resolve, batch_format="pyarrow")

@@ -163,3 +163,52 @@ def test_left_join_broadcast_nulls():
         rd.from_arrow(probe), empty, key="k", small_key="sk", emit=["v"]
     ).take_all()
     assert len(out2) == 4 and all(r["v"] is None for r in out2)
+
+
+def test_semi_anti_join_partitioned(ray_session):
+    """Semi keeps exactly the keyed probe rows; anti the complement;
+    duplicate build keys don't duplicate probe rows; empty build side ->
+    semi empty / anti everything (schema preserved)."""
+    import ray.data as rd
+
+    from gdal_ray.stages import relational
+
+    probe = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "v": pa.array(list("abcdef"))}))
+    build = rd.from_arrow(pa.table({
+        "bk": pa.array([2, 2, 2, 5, 99], pa.int64())}))
+    semi = relational.semi_anti_join_partitioned(probe, build, "k", "bk")
+    got = sorted(r["k"] for r in semi.take_all())
+    assert got == [2, 5]
+    anti = relational.semi_anti_join_partitioned(probe, build, "k", "bk", anti=True)
+    rows = sorted(anti.take_all(), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [1, 3, 4, 6]
+    assert [r["v"] for r in rows] == ["a", "c", "d", "f"]
+
+    empty = rd.from_arrow(pa.table({"bk": pa.array([], pa.int64())}))
+    assert relational.semi_anti_join_partitioned(probe, empty, "k", "bk").count() == 0
+    assert relational.semi_anti_join_partitioned(
+        probe, empty, "k", "bk", anti=True).count() == 6
+
+
+def test_lag_lead_gaps_ties_and_edges(ray_session):
+    """Gap ordering contract (ts, event_id); single-event users get -1/-1;
+    simultaneous events produce 0 gaps."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.stages import events as ev_stage
+
+    t0 = pd.Timestamp("2024-01-01")
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8, 9], pa.int64()),
+        "ts": pa.array([t0, t0, t0 + pd.Timedelta(seconds=10), t0, t0 + pd.Timedelta(seconds=3)]),
+    })
+    out = {r["event_id"]: r for r in ev_stage.lag_lead_gaps(rd.from_arrow(tbl)).take_all()}
+    assert (out[1]["gap_prev_s"], out[1]["gap_next_s"]) == (-1, 0)
+    assert (out[2]["gap_prev_s"], out[2]["gap_next_s"]) == (0, 10)
+    assert (out[3]["gap_prev_s"], out[3]["gap_next_s"]) == (10, -1)
+    assert (out[4]["gap_prev_s"], out[4]["gap_next_s"]) == (-1, -1)
+    assert (out[5]["gap_prev_s"], out[5]["gap_next_s"]) == (-1, -1)
