@@ -1644,6 +1644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_orders": q.semi_join_orders_q,
         "anti_join_customers": q.anti_join_customers_q,
         "event_gaps": q.event_gaps_q,
+        "span_stats": q.span_stats_q,
+        "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
         "raster_as_features": q.raster_as_features_q,
@@ -2411,6 +2413,62 @@ def oracle_sql() -> dict[str, str]:
                         + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
                         AS BIGINT) AS coord_sum_x100
             FROM zz
+        """,
+        "hilbert_sort_topk": f"""
+            WITH RECURSIVE {_DOCS_GEO.strip().rstrip()},
+            pts AS (SELECT doc_id, {_tile_expr(12)[0]} AS tx_12,
+                           {_tile_expr(12)[1]} AS ty_12 FROM d),
+            hs(doc_id, tx_12, ty_12, x, y, s, hd) AS (
+              SELECT doc_id, tx_12, ty_12, tx_12, ty_12,
+                     CAST(2048 AS BIGINT), CAST(0 AS BIGINT) FROM pts
+              UNION ALL
+              SELECT doc_id, tx_12, ty_12,
+                CASE WHEN (y & s) = 0
+                     THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END)
+                     ELSE x END,
+                CASE WHEN (y & s) = 0
+                     THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END)
+                     ELSE y END,
+                s // 2,
+                hd + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                                 CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)
+              FROM hs WHERE s > 0
+            )
+            SELECT doc_id, tx_12, ty_12, hd AS hkey
+            FROM hs WHERE s = 0
+            ORDER BY hkey, doc_id LIMIT 100
+        """,
+        "span_stats": """
+            WITH docs AS (SELECT range AS k FROM range(2000)),
+            sp AS (SELECT k, j.j AS j FROM docs,
+                   LATERAL (SELECT unnest(generate_series(0, k % 4)) AS j) j),
+            ks AS (SELECT k, j,
+                          ['text','image','audio','video'][(k + j) % 4 + 1] AS kind,
+                          (k * 2654435761 + j * 40503) % 4294967296 AS h
+                   FROM sp),
+            tw AS (SELECT k, j, h, i.i AS i FROM ks,
+                   LATERAL (SELECT unnest(generate_series(0, h % 7)) AS i) i
+                   WHERE kind = 'text'),
+            wl AS (SELECT k, j,
+                          len(['raster','vector','tile','warp','merge','cell',
+                               'join','span','layer','band','pixel','zone',
+                               'index','stream','batch','arrow','shuffle',
+                               'actor','block','mosaic']
+                              [CAST((h >> (3 * i)) % 20 AS INTEGER) + 1]) AS wlen
+                   FROM tw),
+            tl AS (SELECT k, j, CAST(sum(wlen) + count(*) - 1 AS BIGINT) AS text_len
+                   FROM wl GROUP BY 1, 2),
+            adv AS (SELECT ks.k, ks.kind,
+                           CASE WHEN ks.kind = 'text' THEN tl.text_len
+                                ELSE 1 END AS step
+                    FROM ks LEFT JOIN tl ON tl.k = ks.k AND tl.j = ks.j)
+            SELECT printf('doc-%09d', k) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+                   CAST(sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+                   CAST(sum(CASE WHEN kind = 'text' THEN step ELSE 0 END) AS BIGINT) AS text_chars,
+                   CAST(sum(step) AS BIGINT) AS last_offset
+            FROM adv GROUP BY k
         """,
         "semi_join_orders": """
             SELECT o_orderkey, o_custkey FROM orders o

@@ -2332,3 +2332,29 @@ def event_gaps_q(sf_dir: str):
     of the same user (-1 at stream edges)."""
     ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
     return events.lag_lead_gaps(ev)
+
+
+def span_stats_q(sf_dir: str):
+    """Interleaved-corpus span statistics: per-doc span counts by kind, text
+    char total, and the final offset (re-derives the offset invariant)."""
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    return media.span_stats(docs)
+
+
+def hilbert_sort_topk_q(sf_dir: str):
+    """TRUE Hilbert spatial sort (SURVEY §2.6, alg/hilbert rotate-and-flip
+    curve): encode z12 tile coords to Hilbert distance per batch, then
+    distributed top-k on (hkey, doc_id) — the physical-clustering order a
+    spatially-sorted write would use."""
+    ds = tiles.assign_tiles(_docs(sf_dir), zooms=(12,)).select_columns(
+        ["doc_id", "tx_12", "ty_12"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        tx = t["tx_12"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t["ty_12"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("hkey", pa.array(geo.hilbert_encode(tx, ty, order=12)))
+
+    return relational.top_k(ds.map_batches(encode, batch_format="pyarrow"),
+                            ["hkey", "doc_id"], descending=[False, False], k=100)

@@ -103,3 +103,48 @@ def featurize_media(docs_ds, backend: str = "fake", concurrency: int | tuple = 2
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def span_stats(docs_ds):
+    """Per-document span-sequence statistics over the interleaved corpus:
+    (doc_id, n_spans, n_text, n_media, text_chars, last_offset).
+
+    ``last_offset`` re-derives the strictly-increasing offset invariant
+    (text spans advance by their length, media spans by 1), so any stage that
+    reorders or perturbs spans upstream breaks this query — it is the
+    BASELINE input_hint's span-sequence-equality check in aggregate form.
+
+    Fully vectorized: one Arrow flatten + numpy segmented bincount per batch;
+    no per-row Python on the spans column.
+    """
+    import pyarrow.compute as pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n = t.num_rows
+        lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+        structs = spans.flatten()
+        kind = structs.field("kind")
+        is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(structs.field("text")).to_numpy(zero_copy_only=False)
+        off = structs.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(n), lens)
+        n_text = np.bincount(parent, weights=is_text, minlength=n).astype(np.int64)
+        text_chars = np.bincount(parent, weights=tlen * is_text,
+                                 minlength=n).astype(np.int64)
+        last = np.zeros(n, dtype=np.int64)
+        ends = np.cumsum(lens)
+        nz = lens > 0
+        last[nz] = off[ends[nz] - 1]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_spans": pa.array(lens),
+            "n_text": pa.array(n_text),
+            "n_media": pa.array(lens - n_text),
+            "text_chars": pa.array(text_chars),
+            "last_offset": pa.array(last),
+        })
+
+    return docs_ds.map_batches(stats, batch_format="pyarrow")

@@ -148,3 +148,31 @@ def test_png_codec_roundtrip_and_tile_sink_resume():
     assert os.path.exists(os.path.join(root, "4", "1", "1.png"))
     r2 = png_mod.write_png_tiles(tiles, root, resume=True).take_all()
     assert all(r["skipped"] for r in r2)  # resume: nothing rewritten
+
+
+def test_span_stats_vectorized_and_empty_lists(ray_session):
+    """span_stats: empty span lists produce zeros, mixed kinds count right,
+    last_offset reproduces the accumulation invariant."""
+    import ray.data as rd
+
+    from gdal_ray.sources.synthetic import SPANS_TYPE
+    from gdal_ray.stages import media
+
+    spans = pa.array(
+        [
+            [],
+            [{"kind": "text", "text": "ab cd", "media_ref": "", "offset": 5}],
+            [
+                {"kind": "image", "text": "", "media_ref": "media://image/1/0", "offset": 1},
+                {"kind": "text", "text": "xyz", "media_ref": "", "offset": 4},
+                {"kind": "audio", "text": "", "media_ref": "media://audio/1/2", "offset": 5},
+            ],
+        ],
+        type=SPANS_TYPE,
+    )
+    tbl = pa.table({"doc_id": pa.array(["doc-0", "doc-1", "doc-2"]), "spans": spans})
+    out = {r["doc_id"]: r for r in media.span_stats(rd.from_arrow(tbl)).take_all()}
+    assert (out["doc-0"]["n_spans"], out["doc-0"]["last_offset"]) == (0, 0)
+    assert (out["doc-1"]["n_text"], out["doc-1"]["text_chars"], out["doc-1"]["last_offset"]) == (1, 5, 5)
+    assert (out["doc-2"]["n_spans"], out["doc-2"]["n_media"], out["doc-2"]["text_chars"],
+            out["doc-2"]["last_offset"]) == (3, 2, 3, 5)
