@@ -1641,6 +1641,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asc_roundtrip": q.asc_roundtrip_q,
         "gtiff_roundtrip": q.gtiff_roundtrip_q,
         "shp_roundtrip": q.shp_roundtrip_q,
+        "geojson_roundtrip": q.geojson_roundtrip_q,
+        "gpkg_roundtrip": q.gpkg_roundtrip_q,
         "semi_join_orders": q.semi_join_orders_q,
         "anti_join_customers": q.anti_join_customers_q,
         "event_gaps": q.event_gaps_q,
@@ -2404,6 +2406,24 @@ def oracle_sql() -> dict[str, str]:
                                 + gx % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM px GROUP BY 1, 2
+        """,
+        "geojson_roundtrip": f"""
+            WITH {_ZONES.strip().lstrip()}
+            SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
+                   CAST(5 AS BIGINT) AS n_vertices,
+                   CAST(3 * floor(minx * 100 + 0.5) + 2 * floor(maxx * 100 + 0.5)
+                        + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
+                        AS BIGINT) AS coord_sum_x100
+            FROM zz
+        """,
+        "gpkg_roundtrip": f"""
+            WITH {_ZONES.strip().lstrip()}
+            SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
+                   CAST(5 AS BIGINT) AS n_vertices,
+                   CAST(3 * floor(minx * 100 + 0.5) + 2 * floor(maxx * 100 + 0.5)
+                        + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
+                        AS BIGINT) AS coord_sum_x100
+            FROM zz
         """,
         "shp_roundtrip": f"""
             WITH {_ZONES.strip().lstrip()}

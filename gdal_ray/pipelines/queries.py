@@ -1207,7 +1207,6 @@ def shp_roundtrip_q(sf_dir: str):
     import os
     import tempfile
 
-    from ..functions import wkb as wkb_f
     from ..sources import shapefile as shp_drv
 
     zones = _zones(sf_dir)
@@ -1215,26 +1214,8 @@ def shp_roundtrip_q(sf_dir: str):
     shp_drv.write_shapefile(
         base, zones["wkb"].to_pylist(),
         pa.table({"zone_id": zones["zone_id"], "zone_key": zones["zone_key"]}))
-    ds = shp_drv.read_shapefile_dataset(base, records_per_block=512)
-
-    def verify(t: pa.Table) -> pa.Table:
-        ks, ids, nv, cs = [], [], [], []
-        for i in range(t.num_rows):
-            g = wkb_f.decode(t["wkb"][i].as_py())
-            v = g.vertices()
-            q = np.floor(v * 100.0 + 0.5).astype(np.int64)
-            ks.append(t["zone_key"][i].as_py())
-            ids.append(t["zone_id"][i].as_py())
-            nv.append(len(v))
-            cs.append(int(q.sum()))
-        return pa.table({
-            "zone_key": pa.array(ks, pa.int64()),
-            "zone_id": pa.array(ids, pa.string()),
-            "n_vertices": pa.array(nv, pa.int64()),
-            "coord_sum_x100": pa.array(cs, pa.int64()),
-        })
-
-    return ds.map_batches(verify, batch_format="pyarrow")
+    return _zones_vertex_verify(
+        shp_drv.read_shapefile_dataset(base, records_per_block=512))
 
 
 def retile_q(sf_dir: str):
@@ -2358,3 +2339,62 @@ def hilbert_sort_topk_q(sf_dir: str):
 
     return relational.top_k(ds.map_batches(encode, batch_format="pyarrow"),
                             ["hkey", "doc_id"], descending=[False, False], k=100)
+
+
+def _zones_vertex_verify(ds):
+    """Shared verifier for vector-driver roundtrips: per-feature attribute
+    echo + exact 0.01-grid vertex sums from the decoded WKB."""
+    from ..functions import wkb as wkb_f
+
+    def verify(t: pa.Table) -> pa.Table:
+        ks, ids, nv, cs = [], [], [], []
+        for i in range(t.num_rows):
+            g = wkb_f.decode(t["wkb"][i].as_py())
+            v = g.vertices()
+            q = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            ks.append(t["zone_key"][i].as_py())
+            ids.append(t["zone_id"][i].as_py())
+            nv.append(len(v))
+            cs.append(int(q.sum()))
+        return pa.table({
+            "zone_key": pa.array(ks, pa.int64()),
+            "zone_id": pa.array(ids, pa.string()),
+            "n_vertices": pa.array(nv, pa.int64()),
+            "coord_sum_x100": pa.array(cs, pa.int64()),
+        })
+
+    return ds.map_batches(verify, batch_format="pyarrow")
+
+
+def geojson_roundtrip_q(sf_dir: str):
+    """GeoJSONSeq driver: zones -> newline-delimited GeoJSON -> parallel
+    line-split read -> WKB; repr-shortest JSON floats keep f64 bitwise."""
+    import os
+    import tempfile
+
+    from ..sources import geojson as gj
+
+    zones = _zones(sf_dir)
+    path = f"{tempfile.gettempdir()}/gdal_ray_zones_{os.getpid()}.geojsonl"
+    gj.write_geojson(path, zones["wkb"].to_pylist(),
+                     pa.table({"zone_id": zones["zone_id"],
+                               "zone_key": zones["zone_key"]}), seq=True)
+    return _zones_vertex_verify(gj.read_geojsonseq_dataset(path))
+
+
+def gpkg_roundtrip_q(sf_dir: str):
+    """GeoPackage driver: zones -> .gpkg (GP-binary blobs, spec metadata
+    tables) -> fid-range parallel scan -> WKB (bitwise through the blob)."""
+    import os
+    import tempfile
+
+    from ..sources import gpkg
+
+    zones = _zones(sf_dir)
+    path = f"{tempfile.gettempdir()}/gdal_ray_zones_{os.getpid()}.gpkg"
+    if os.path.exists(path):
+        os.remove(path)
+    gpkg.write_gpkg(path, "zones", zones["wkb"].to_pylist(),
+                    pa.table({"zone_id": zones["zone_id"],
+                              "zone_key": zones["zone_key"]}))
+    return _zones_vertex_verify(gpkg.read_gpkg_dataset(path, "zones"))

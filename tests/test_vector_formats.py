@@ -1,0 +1,86 @@
+"""GeoJSON(-Seq) and GeoPackage drivers: bitwise WKB round trips, property
+typing, null geometries, spec metadata, and the parallel read paths."""
+import sqlite3
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.functions import wkb as wkb_f
+from gdal_ray.sources import geojson as gj
+from gdal_ray.sources import gpkg
+
+
+def sq(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+
+def all_kinds():
+    w_mpt = struct.pack("<BII", 1, wkb_f.MULTIPOINT, 2) + b"".join(
+        struct.pack("<BI2d", 1, wkb_f.POINT, x, y) for x, y in [(1, 2), (3.5, -4)])
+    return [
+        wkb_f.encode_points(np.array([1.125]), np.array([-2.0625]))[0],
+        wkb_f.encode_linestring(np.array([[0, 0], [5.5, 5.5], [7, -1]], float)),
+        wkb_f.encode_polygon([sq(0, 0, 10, 10), sq(2, 2, 4, 4)]),
+        wkb_f.encode_multipolygon([[sq(20, 0, 25, 5)], [sq(40, 0, 60, 20)]]),
+        w_mpt,
+        None,
+    ]
+
+
+def test_geojson_all_kinds_bitwise(tmp_path):
+    wkbs = all_kinds()
+    attrs = pa.table({"i": pa.array(range(6), pa.int64()),
+                      "t": pa.array(list("abcdef"))})
+    p = str(tmp_path / "fc.geojson")
+    gj.write_geojson(p, wkbs, attrs)
+    t = gj.read_geojson(p)
+    assert [t["wkb"][i].as_py() for i in range(6)] == wkbs
+    assert t["t"].to_pylist() == list("abcdef")
+    p2 = str(tmp_path / "fc.geojsonl")
+    gj.write_geojson(p2, wkbs, attrs, seq=True)
+    t2 = gj.read_geojson(p2)
+    assert [t2["wkb"][i].as_py() for i in range(6)] == wkbs
+
+
+def test_geojsonseq_dataset_parallel(tmp_path, ray_session):
+    n = 500
+    wkbs = wkb_f.encode_points(np.arange(n, dtype=float),
+                               np.arange(n, dtype=float) * 0.5)
+    p = str(tmp_path / "pts.geojsonl")
+    gj.write_geojson(p, list(wkbs),
+                     pa.table({"k": pa.array(range(n), pa.int64())}), seq=True)
+    rows = gj.read_geojsonseq_dataset(p).take_all()
+    assert sorted(r["k"] for r in rows) == list(range(n))
+    by_k = {r["k"]: r["wkb"] for r in rows}
+    assert all(by_k[i] == wkbs[i] for i in range(n))
+
+
+def test_gpkg_roundtrip_and_spec_tables(tmp_path):
+    wkbs = all_kinds()
+    attrs = pa.table({"name": pa.array(["x"] * 6),
+                      "v": pa.array([0.5] * 6)})
+    p = str(tmp_path / "t.gpkg")
+    gpkg.write_gpkg(p, "layer1", wkbs, attrs)
+    assert gpkg.list_layers(p) == ["layer1"]
+    t = gpkg.read_gpkg(p, "layer1")
+    assert [t["wkb"][i].as_py() for i in range(6)] == wkbs
+    con = sqlite3.connect(p)
+    (app_id,) = con.execute("PRAGMA application_id").fetchone()
+    assert app_id == 0x47504B47
+    rows = con.execute("SELECT table_name, data_type, srs_id FROM gpkg_contents").fetchall()
+    assert rows == [("layer1", "features", 4326)]
+    assert con.execute("SELECT count(*) FROM gpkg_spatial_ref_sys WHERE srs_id = 4326").fetchone()[0] == 1
+    con.close()
+
+
+def test_gpkg_gp_header_envelope_variants():
+    w = wkb_f.encode_points(np.array([1.0]), np.array([2.0]))[0]
+    assert gpkg.gp_unwrap(gpkg.gp_wrap(w)) == w
+    # synthetic blob with an XY envelope (indicator 1 -> 4 doubles)
+    blob = b"GP" + bytes([0, 0x03]) + struct.pack("<i", 4326) + \
+        struct.pack("<4d", 0, 0, 0, 0) + w
+    assert gpkg.gp_unwrap(blob) == w
+    with pytest.raises(ValueError, match="GeoPackage"):
+        gpkg.gp_unwrap(b"XX" + b"\x00" * 10)
