@@ -1643,9 +1643,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shp_roundtrip": q.shp_roundtrip_q,
         "geojson_roundtrip": q.geojson_roundtrip_q,
         "gpkg_roundtrip": q.gpkg_roundtrip_q,
+        "ogr2ogr_convert": q.ogr2ogr_convert_q,
         "semi_join_orders": q.semi_join_orders_q,
         "anti_join_customers": q.anti_join_customers_q,
         "event_gaps": q.event_gaps_q,
+        "running_total": q.running_total_q,
         "span_stats": q.span_stats_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
@@ -2425,6 +2427,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS coord_sum_x100
             FROM zz
         """,
+        "ogr2ogr_convert": f"""
+            WITH {_ZONES.strip().lstrip()}
+            SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
+                   CAST(5 AS BIGINT) AS n_vertices,
+                   CAST(3 * floor(minx * 100 + 0.5) + 2 * floor(maxx * 100 + 0.5)
+                        + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
+                        AS BIGINT) AS coord_sum_x100
+            FROM zz WHERE zone_key % 5 = 0
+        """,
         "shp_roundtrip": f"""
             WITH {_ZONES.strip().lstrip()}
             SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
@@ -2500,6 +2511,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 400000)
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_x100
+            FROM events
         """,
         "event_gaps": """
             SELECT event_id, user_id,

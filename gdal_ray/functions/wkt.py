@@ -1,0 +1,167 @@
+"""WKT (Well-Known Text) geometry encoding — OGR's exportToWkt /
+importFromWkt surface (reference ``ogr/ogrgeometrytotext.cpp`` /
+``ogr/ogr_api.h``), reimplemented from the OGC Simple Features spec.
+
+Bridges the engine's WKB column to text formats (CSV driver, ogrinfo-style
+output).  Coordinates serialize via Python ``repr`` (shortest round-trip),
+so WKT -> WKB -> WKT is bitwise-stable for float64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wkb as wkb_f
+
+_KIND_NAME = {
+    wkb_f.POINT: "POINT", wkb_f.LINESTRING: "LINESTRING",
+    wkb_f.POLYGON: "POLYGON", wkb_f.MULTIPOINT: "MULTIPOINT",
+    wkb_f.MULTILINESTRING: "MULTILINESTRING",
+    wkb_f.MULTIPOLYGON: "MULTIPOLYGON",
+}
+
+
+def _num(v: float) -> str:
+    r = repr(float(v))
+    return r[:-2] if r.endswith(".0") else r
+
+
+def _pts(arr) -> str:
+    return ", ".join(f"{_num(x)} {_num(y)}" for x, y in arr)
+
+
+def encode_wkt(wkb: bytes) -> str:
+    g = wkb_f.decode(wkb)
+    if g.kind == wkb_f.POINT:
+        p = g.parts[0][0]
+        return f"POINT ({_num(p[0])} {_num(p[1])})"
+    if g.kind == wkb_f.LINESTRING:
+        return f"LINESTRING ({_pts(g.parts[0])})"
+    if g.kind == wkb_f.POLYGON:
+        rings = ", ".join(f"({_pts(r)})" for r in g.parts[0])
+        return f"POLYGON ({rings})"
+    if g.kind == wkb_f.MULTIPOINT:
+        return "MULTIPOINT (" + ", ".join(
+            f"({_num(p[0][0])} {_num(p[0][1])})" for p in g.parts) + ")"
+    if g.kind == wkb_f.MULTILINESTRING:
+        return "MULTILINESTRING (" + ", ".join(
+            f"({_pts(p)})" for p in g.parts) + ")"
+    if g.kind == wkb_f.MULTIPOLYGON:
+        polys = ", ".join(
+            "(" + ", ".join(f"({_pts(r)})" for r in rings) + ")"
+            for rings in g.parts)
+        return f"MULTIPOLYGON ({polys})"
+    raise ValueError(f"unsupported WKB kind {g.kind} for WKT")
+
+
+class _P:
+    __slots__ = ("s", "i")
+
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def ws(self):
+        while self.i < len(self.s) and self.s[self.i] in " \t\n":
+            self.i += 1
+
+    def expect(self, ch: str):
+        self.ws()
+        if self.i >= len(self.s) or self.s[self.i] != ch:
+            raise ValueError(f"WKT parse error at {self.i}: expected {ch!r}")
+        self.i += 1
+
+    def peek(self) -> str:
+        self.ws()
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def word(self) -> str:
+        self.ws()
+        j = self.i
+        while j < len(self.s) and (self.s[j].isalpha()):
+            j += 1
+        w = self.s[self.i:j]
+        self.i = j
+        return w.upper()
+
+    def number(self) -> float:
+        self.ws()
+        j = self.i
+        while j < len(self.s) and self.s[j] not in " \t\n,()":
+            j += 1
+        v = float(self.s[self.i:j])
+        self.i = j
+        return v
+
+
+def _parse_point_seq(p: _P) -> np.ndarray:
+    p.expect("(")
+    pts = []
+    while True:
+        x = p.number()
+        y = p.number()
+        pts.append((x, y))
+        if p.peek() == ",":
+            p.expect(",")
+            continue
+        break
+    p.expect(")")
+    return np.array(pts, dtype=np.float64)
+
+
+def _parse_ring_list(p: _P) -> list[np.ndarray]:
+    p.expect("(")
+    rings = [_parse_point_seq(p)]
+    while p.peek() == ",":
+        p.expect(",")
+        rings.append(_parse_point_seq(p))
+    p.expect(")")
+    return rings
+
+
+def parse_wkt(text: str) -> bytes | None:
+    """WKT -> WKB; EMPTY geometries return None."""
+    import struct
+
+    p = _P(text)
+    kind = p.word()
+    save = p.i
+    if p.word() == "EMPTY":
+        return None
+    p.i = save
+    if kind == "POINT":
+        pts = _parse_point_seq(p)
+        return wkb_f.encode_points(pts[:, 0], pts[:, 1])[0]
+    if kind == "LINESTRING":
+        return wkb_f.encode_linestring(_parse_point_seq(p))
+    if kind == "POLYGON":
+        return wkb_f.encode_polygon(_parse_ring_list(p))
+    if kind == "MULTIPOINT":
+        p.expect("(")
+        pts = []
+        while True:
+            if p.peek() == "(":
+                pts.append(_parse_point_seq(p)[0])
+            else:
+                pts.append((p.number(), p.number()))
+            if p.peek() == ",":
+                p.expect(",")
+                continue
+            break
+        p.expect(")")
+        head = struct.pack("<BII", 1, wkb_f.MULTIPOINT, len(pts))
+        return head + b"".join(
+            struct.pack("<BI2d", 1, wkb_f.POINT, x, y) for x, y in pts)
+    if kind == "MULTILINESTRING":
+        parts = _parse_ring_list(p)
+        head = struct.pack("<BII", 1, wkb_f.MULTILINESTRING, len(parts))
+        return head + b"".join(wkb_f.encode_linestring(q) for q in parts)
+    if kind == "MULTIPOLYGON":
+        p.expect("(")
+        polys = [_parse_ring_list(p)]
+        while p.peek() == ",":
+            p.expect(",")
+            polys.append(_parse_ring_list(p))
+        p.expect(")")
+        return wkb_f.encode_multipolygon(polys)
+    raise ValueError(f"unsupported WKT type {kind!r}")

@@ -2398,3 +2398,44 @@ def gpkg_roundtrip_q(sf_dir: str):
                     pa.table({"zone_id": zones["zone_id"],
                               "zone_key": zones["zone_key"]}))
     return _zones_vertex_verify(gpkg.read_gpkg_dataset(path, "zones"))
+
+
+def ogr2ogr_convert_q(sf_dir: str):
+    """ogr2ogr-style conversion chain (apps/ogr2ogr_lib.cpp surface): zones
+    -> GeoPackage -> parallel fid-range read -> attribute filter (-where
+    "zone_key % 5 = 0") -> distributed CSV sink with a WKT geometry column
+    -> parallel CSV read -> WKT parse -> vertex verification.  Geometry is
+    bitwise through GPKG blobs and WKT repr floats."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import csvgeo, gpkg
+
+    zones = _zones(sf_dir)
+    base = f"{tempfile.gettempdir()}/gdal_ray_o2o_{os.getpid()}"
+    path = base + ".gpkg"
+    if os.path.exists(path):
+        os.remove(path)
+    gpkg.write_gpkg(path, "zones", zones["wkb"].to_pylist(),
+                    pa.table({"zone_id": zones["zone_id"],
+                              "zone_key": zones["zone_key"]}))
+    ds = gpkg.read_gpkg_dataset(path, "zones").map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(
+                pa.compute.subtract(
+                    t["zone_key"],
+                    pa.compute.multiply(pa.compute.divide(t["zone_key"], 5), 5)),
+                0))
+        .select(["zone_id", "zone_key", "wkb"]),
+        batch_format="pyarrow")
+    out_dir = base + "_csv"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    csvgeo.write_csv_layer(ds, out_dir)
+    return _zones_vertex_verify(csvgeo.read_csv_layer(out_dir))
+
+
+def running_total_q(sf_dir: str):
+    """Window cumulative SUM per user ordered by (ts, event_id), exact cents."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    return events.running_totals(ev)

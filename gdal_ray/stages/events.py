@@ -295,3 +295,50 @@ def lag_lead_gaps(ds, ts_col: str = "ts", key_col: str = "user_id",
 
     return ds.map_batches(tag, batch_format="pyarrow") \
              .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def running_totals(ds, value_col: str = "value", ts_col: str = "ts",
+                   key_col: str = "user_id", id_col: str = "event_id",
+                   num_partitions: int = 64):
+    """Cumulative SUM window per key ordered by (ts, id) — exact cents
+    fixed-point so distributed results hash-match any serial evaluation.
+    Output: (event_id, user_id, running_x100).
+
+    Scale shape: one hash-partition shuffle; each partition computes every
+    key's prefix sums in one vectorized lexsort + cumsum-with-key-reset pass.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (u * np.int64(2654435761)) % np.int64(num_partitions)
+        return batch.append_column("_part", pa.array(np.abs(part)))
+
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), key_col: pa.array([], pa.int64()),
+         "running_x100": pa.array([], pa.int64())}
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return empty
+        u = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sec = _epoch_us(g[ts_col])
+        eid = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, sec, u))
+        u, eid, cents = u[order], eid[order], cents[order]
+        run = np.cumsum(cents)
+        # reset at key boundaries: subtract the cumulative total before each key
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        base_vals = np.r_[np.int64(0), run[starts[1:] - 1]]
+        base = np.repeat(base_vals, counts)  # sign-safe (no monotonicity assumed)
+        return pa.table(
+            {id_col: pa.array(eid), key_col: pa.array(u),
+             "running_x100": pa.array(run - base)}
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby("_part").map_groups(per_part, batch_format="pyarrow")

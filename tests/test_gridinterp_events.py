@@ -153,3 +153,24 @@ def test_asof_join_partitioned_matches_broadcast():
     pv = p["o_orderkey"].to_numpy(dtype=float)
     both_nan = np.isnan(bv) & np.isnan(pv)
     assert np.all(both_nan | (bv == pv))
+
+
+def test_running_totals_negative_values(ray_session):
+    """Cumulative sums reset per key and stay exact with negative values
+    (the base-offset subtraction must not assume monotone prefix sums)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.stages import events as ev_stage
+
+    t0 = pd.Timestamp("2024-01-01")
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([5, 5, 5, 6], pa.int64()),
+        "ts": pa.array([t0, t0 + pd.Timedelta(seconds=1),
+                        t0 + pd.Timedelta(seconds=2), t0]),
+        "value": pa.array([-10.0, 4.5, -1.25, 2.0]),
+    })
+    out = {r["event_id"]: r["running_x100"]
+           for r in ev_stage.running_totals(rd.from_arrow(tbl)).take_all()}
+    assert out == {1: -1000, 2: -550, 3: -675, 4: 200}

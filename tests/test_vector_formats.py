@@ -84,3 +84,37 @@ def test_gpkg_gp_header_envelope_variants():
     assert gpkg.gp_unwrap(blob) == w
     with pytest.raises(ValueError, match="GeoPackage"):
         gpkg.gp_unwrap(b"XX" + b"\x00" * 10)
+
+
+def test_wkt_bitwise_roundtrip_all_kinds():
+    from gdal_ray.functions import wkt as wkt_f
+
+    for w in all_kinds():
+        if w is None:
+            continue
+        assert wkt_f.parse_wkt(wkt_f.encode_wkt(w)) == w
+    assert wkt_f.parse_wkt("POINT EMPTY") is None
+    assert wkt_f.parse_wkt("MULTIPOINT ((1 2), (3 4))") == \
+        wkt_f.parse_wkt("MULTIPOINT (1 2, 3 4)")
+    with pytest.raises(ValueError, match="unsupported WKT"):
+        wkt_f.parse_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)")
+
+
+def test_csv_layer_distributed_roundtrip(tmp_path, ray_session):
+    import ray.data as rd
+
+    from gdal_ray.sources import csvgeo
+
+    n = 200
+    wkbs = wkb_f.encode_points(np.arange(n) + 0.125, np.arange(n) * -0.5)
+    tbl = pa.table({"k": pa.array(range(n), pa.int64()),
+                    "wkb": pa.array(list(wkbs), pa.binary()),
+                    "label": pa.array([f"x,{i}" for i in range(n)])})
+    out = str(tmp_path / "csv_layer")
+    csvgeo.write_csv_layer(rd.from_arrow(tbl), out)
+    rows = csvgeo.read_csv_layer(out).take_all()
+    assert len(rows) == n
+    by_k = {r["k"]: r for r in rows}
+    for i in range(n):
+        assert by_k[i]["wkb"] == wkbs[i]
+        assert by_k[i]["label"] == f"x,{i}"  # comma survives quoting
