@@ -1640,6 +1640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retile_overlap": q.retile_q,
         "asc_roundtrip": q.asc_roundtrip_q,
         "gtiff_roundtrip": q.gtiff_roundtrip_q,
+        "gdal_translate_chain": q.gdal_translate_chain_q,
+        "gdalcompare": q.gdalcompare_q,
         "shp_roundtrip": q.shp_roundtrip_q,
         "geojson_roundtrip": q.geojson_roundtrip_q,
         "gpkg_roundtrip": q.gpkg_roundtrip_q,
@@ -2398,6 +2400,37 @@ def oracle_sql() -> dict[str, str]:
                             * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM px GROUP BY 1, 2
+        """,
+        "gdal_translate_chain": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(160) a, range(160) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(CAST(trunc(
+                            CAST((gx-80)*(gx-80) + (gy-80)*(gy-80) AS DOUBLE)
+                            / 64.0 * 2.0 + 1.0) AS BIGINT)
+                            * (((gy % 64) * (CASE WHEN gx // 64 = 2 THEN 32 ELSE 64 END)
+                                + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        "gdalcompare": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b),
+            d AS (SELECT gx, gy, gx // 64 AS x, gy // 64 AS y,
+                         CAST(gx + gy AS DOUBLE) AS v,
+                         CASE WHEN gx + gy >= 200 THEN 5.0 ELSE 0.0 END AS delta
+                  FROM px)
+            SELECT CAST(4 AS BIGINT) AS z, CAST(x AS BIGINT) AS x,
+                   CAST(y AS BIGINT) AS y,
+                   CAST(sum(CASE WHEN delta <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+                   CAST(floor(max(delta) * 100 + 0.5) AS BIGINT) AS max_abs_x100,
+                   CAST(((sum(CAST(trunc(v + delta) AS BIGINT)
+                              * (((gy % 64) * 64 + gx % 64) % 7 + 1))
+                          - sum(CAST(trunc(v) AS BIGINT)
+                                * (((gy % 64) * 64 + gx % 64) % 7 + 1)))
+                         % 65536 + 65536) % 65536
+                        AS BIGINT) AS checksum_delta
+            FROM d GROUP BY x, y
         """,
         "gtiff_roundtrip": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy

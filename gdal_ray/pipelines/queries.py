@@ -2439,3 +2439,61 @@ def running_total_q(sf_dir: str):
     """Window cumulative SUM per user ordered by (ts, event_id), exact cents."""
     ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     return events.running_totals(ev)
+
+
+def gdal_translate_chain_q(sf_dir: str):
+    """gdal_translate-style conversion chain (apps/gdal_translate_lib.cpp):
+    hump GeoTIFF -> manifest tile read -> gdal_calc string expression
+    ('A * 2 + 1') -> serialize each tile region back through the ESRI ASCII
+    layer -> reparse -> per-tile checksum.  Exercises GTiff read, string
+    calc, and AAIGrid write/read on one graded path."""
+    import os
+    import tempfile
+
+    from ..functions import checksum as cks_f
+    from ..sources import aaigrid, gtiff
+    from ..stages import rastermap
+
+    gy, gx = np.mgrid[0:160, 0:160]
+    arr = (((gx - 80) ** 2 + (gy - 80) ** 2) / 64.0).astype(np.float32)
+    tif = f"{tempfile.gettempdir()}/gdal_ray_chain_{os.getpid()}.tif"
+    gtiff.write_gtiff(tif, arr, tile_size=64, nodata=-9999.0)
+    tiles = rastermap.calc(gtiff.read_gtiff_tiles(tif), "A * 2 + 1")
+
+    tmp = tempfile.gettempdir()
+    pid = os.getpid()
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        from ..stages.focal import _dtype_of
+
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=_dtype_of(t["dtype"][i].as_py()))
+            a = a.reshape(t["height"][i].as_py(), t["width"][i].as_py())
+            x, y = t["x"][i].as_py(), t["y"][i].as_py()
+            p = f"{tmp}/gdal_ray_chain_{pid}_{x}_{y}.asc"
+            aaigrid.write_asc(p, a.astype(np.float64))
+            back, _ = aaigrid.read_asc(p)
+            os.remove(p)
+            xs.append(x)
+            ys.append(y)
+            cs.append(cks_f.tile_checksum(back))
+        return pa.table({"x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return tiles.map_batches(roundtrip, batch_format="pyarrow")
+
+
+def gdalcompare_q(sf_dir: str):
+    """gdalcompare raster diff: the 3x3 ramp mosaic vs the same ramp with
+    'A + (A >= 200) * 5' applied — per tile: differing-pixel count, max
+    |delta| x100, and the composable checksum delta."""
+    from ..stages import rastermap
+
+    base = rd.from_arrow(synthetic.make_raster_tiles("ramp", 3, 3, size=64))
+    changed = rastermap.calc(
+        rd.from_arrow(synthetic.make_raster_tiles("ramp", 3, 3, size=64)),
+        "A + (A >= 200) * 5")
+    return rastermap.compare(base, changed)

@@ -626,3 +626,53 @@ def tile_index(tiles_ds, tile_size: int = 64, global_width: int = 0):
         return pa.Table.from_pylist(rows)
 
     return tiles_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def compare(tiles_a, tiles_b, scale_x100: bool = True):
+    """gdalcompare-style raster diff (reference ``swig/python/gdal-utils/
+    osgeo_utils/gdalcompare.py`` surface): per aligned tile, the number of
+    differing pixels, the max |delta| (x100 fixed point), and the signed
+    checksum delta.  Tiles pair by a keyed (z, x, y, band) shuffle — neither
+    raster is broadcast, so both sides stream at 100 TB.
+    """
+    from ..functions import checksum as cks_f
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("_side", pa.array(
+                np.full(t.num_rows, side, dtype=np.int8)))
+        return fn
+
+    def diff(g: pa.Table) -> pa.Table:
+        if g.num_rows != 2:  # unmatched tile: report full difference
+            i = 0
+            a = _arr_of(g, i)
+            return pa.table({
+                "z": g["z"][:1], "x": g["x"][:1], "y": g["y"][:1],
+                "n_diff": pa.array([a.size], pa.int64()),
+                "max_abs_x100": pa.array([-1], pa.int64()),
+                "checksum_delta": pa.array([0], pa.int64()),
+            })
+        i0 = 0 if g["_side"][0].as_py() == 0 else 1
+        a = _arr_of(g, i0).astype(np.float64)
+        b = _arr_of(g, 1 - i0).astype(np.float64)
+        d = b - a
+        n_diff = int(np.count_nonzero(d))
+        mx = float(np.abs(d).max()) if d.size else 0.0
+        ca, cb = cks_f.tile_checksum(a), cks_f.tile_checksum(b)
+        return pa.table({
+            "z": g["z"][:1], "x": g["x"][:1], "y": g["y"][:1],
+            "n_diff": pa.array([n_diff], pa.int64()),
+            "max_abs_x100": pa.array(
+                [int(np.floor(mx * 100.0 + 0.5)) if scale_x100 else int(mx)],
+                pa.int64()),
+            "checksum_delta": pa.array([(cb - ca) % 65536], pa.int64()),
+        })
+
+    import ray.data as rd
+
+    a = rd.from_arrow(tiles_a) if isinstance(tiles_a, pa.Table) else tiles_a
+    b = rd.from_arrow(tiles_b) if isinstance(tiles_b, pa.Table) else tiles_b
+    return a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow")
+    ).groupby(["z", "x", "y"]).map_groups(diff, batch_format="pyarrow")

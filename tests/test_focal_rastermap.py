@@ -226,3 +226,21 @@ def test_select_band_inverts_stack():
     assert b2["data"] == b["data"][0].as_py() and b2["dtype"] == "uint8"
     b1 = rastermap.select_band(stacked, band=1).take_all()[0]
     assert b1["data"] == a["data"][0].as_py() and b1["dtype"] == "float32"
+
+
+def test_gdalcompare_identical_and_unmatched(ray_session):
+    """Identical mosaics diff to zeros; an extra tile on one side reports
+    full difference with the -1 sentinel."""
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import rastermap
+
+    a = synthetic.make_raster_tiles("checker", 2, 2, size=32)
+    same = rastermap.compare(rd.from_arrow(a), rd.from_arrow(a)).take_all()
+    assert all(r["n_diff"] == 0 and r["checksum_delta"] == 0 for r in same)
+
+    b = synthetic.make_raster_tiles("checker", 2, 1, size=32)  # missing row
+    out = rastermap.compare(rd.from_arrow(a), rd.from_arrow(b)).take_all()
+    unmatched = [r for r in out if r["max_abs_x100"] == -1]
+    assert len(unmatched) == 2 and all(r["n_diff"] == 32 * 32 for r in unmatched)
