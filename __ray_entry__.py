@@ -1650,6 +1650,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": q.anti_join_customers_q,
         "event_gaps": q.event_gaps_q,
         "running_total": q.running_total_q,
+        "join_dwithin": q.join_dwithin_q,
+        "count_distinct": q.count_distinct_q,
         "span_stats": q.span_stats_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
@@ -2544,6 +2546,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 400000)
+        """,
+        "join_dwithin": f"""
+            WITH {_DOCS_GEO}, {_ZONES},
+            c AS (SELECT zone_key, (minx + maxx) / 2.0 AS cx,
+                         (miny + maxy) / 2.0 AS cy FROM zz)
+            SELECT d.doc_id, c.zone_key,
+                   CAST(floor(sqrt((d.lon - c.cx) * (d.lon - c.cx)
+                                   + (d.lat - c.cy) * (d.lat - c.cy)) * 1000000
+                              + 0.5) AS BIGINT) AS dist_x1m
+            FROM d, c
+            WHERE (d.lon - c.cx) * (d.lon - c.cx)
+                  + (d.lat - c.cy) * (d.lat - c.cy) <= 2.25
+        """,
+        "count_distinct": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+            FROM orders GROUP BY o_orderpriority
         """,
         "running_total": """
             SELECT event_id, user_id,

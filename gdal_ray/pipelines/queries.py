@@ -2497,3 +2497,29 @@ def gdalcompare_q(sf_dir: str):
         rd.from_arrow(synthetic.make_raster_tiles("ramp", 3, 3, size=64)),
         "A + (A >= 200) * 5")
     return rastermap.compare(base, changed)
+
+
+def join_dwithin_q(sf_dir: str):
+    """ST_DWithin radius join: every (doc, zone-centroid) pair within 1.5
+    planar degrees, with the exact distance (x1e6 fixed point)."""
+    z = _zones(sf_dir)
+    cx = (z["minx"].to_numpy() + z["maxx"].to_numpy()) / 2.0
+    cy = (z["miny"].to_numpy() + z["maxy"].to_numpy()) / 2.0
+    targets = pa.table({"zone_key": z["zone_key"], "cx": pa.array(cx), "cy": pa.array(cy)})
+    return knn.dwithin_join(_docs_points(sf_dir), targets, radius=1.5)
+
+
+def count_distinct_q(sf_dir: str):
+    """COUNT(DISTINCT ...) aggregate (OGR SQL SWQ distinct-count): distinct
+    customers per order priority via a two-level groupby — the partial-dedup
+    first level bounds the shuffle to (priority, custkey) pairs."""
+    from ray.data.aggregate import Count
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+    pairs = orders.map_batches(
+        lambda t: t.group_by(["o_orderpriority", "o_custkey"]).aggregate([]),
+        batch_format="pyarrow")
+    distinct_pairs = pairs.groupby(["o_orderpriority", "o_custkey"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return distinct_pairs.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_customers"))

@@ -204,3 +204,74 @@ def knn_join(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class BroadcastDWithin:
+    """ST_DWithin-style radius join (OGR spatial-filter + distance predicate
+    surface, reference ogr/ogrgeometry.cpp Distance): emit every
+    (point, target) pair with planar distance <= radius.
+
+    Broadcast-build actor stage: targets ship once via ray.put; per batch a
+    chunked (points x targets) distance matrix — same in-place kernels as
+    BroadcastKNN — filters pairs vectorized.  For corpus-sized target sets
+    use the cell-partitioned spatial join with a radius-expanded cover
+    instead (stages/join.partitioned_spatial_join).
+    """
+
+    def __init__(self, targets_ref, radius: float, id_col: str = "doc_id",
+                 chunk: int = 256):
+        t = ray.get(targets_ref) if isinstance(targets_ref, ray.ObjectRef) else targets_ref
+        self.tkey = t["zone_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.cx = t["cx"].to_numpy(zero_copy_only=False)
+        self.cy = t["cy"].to_numpy(zero_copy_only=False)
+        self.r2 = float(radius) * float(radius)
+        self.id_col = id_col
+        self.chunk = chunk
+        m = self.cx.size
+        self._d2 = np.empty((chunk, m))
+        self._tmp = np.empty((chunk, m))
+        self._d2.fill(0.0)
+        self._tmp.fill(0.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch["lon"].to_numpy(zero_copy_only=False)
+        py = batch["lat"].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_ids, out_keys, out_d2 = [], [], []
+        for s in range(0, px.size, self.chunk):
+            e = min(px.size, s + self.chunk)
+            c = e - s
+            d2 = self._d2[:c]
+            tmp = self._tmp[:c]
+            np.subtract(px[s:e, None], self.cx[None, :], out=d2)
+            np.multiply(d2, d2, out=d2)
+            np.subtract(py[s:e, None], self.cy[None, :], out=tmp)
+            np.multiply(tmp, tmp, out=tmp)
+            np.add(d2, tmp, out=d2)
+            r, ci = np.nonzero(d2 <= self.r2)
+            out_ids.append(ids[s:e][r])
+            out_keys.append(self.tkey[ci])
+            out_d2.append(d2[r, ci])
+        ids_a = np.concatenate(out_ids) if out_ids else np.empty(0, ids.dtype)
+        keys_a = np.concatenate(out_keys) if out_keys else np.empty(0, np.int64)
+        d2_a = np.concatenate(out_d2) if out_d2 else np.empty(0)
+        dist_x1m = np.floor(np.sqrt(d2_a) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            self.id_col: pa.array(ids_a),
+            "zone_key": pa.array(keys_a),
+            "dist_x1m": pa.array(dist_x1m),
+        })
+
+
+def dwithin_join(points_ds, targets: pa.Table, radius: float,
+                 id_col: str = "doc_id", concurrency: int | tuple = 4,
+                 batch_size: int = 32768):
+    """targets: table with (zone_key, cx, cy)."""
+    ref = ray.put(targets)
+    return points_ds.map_batches(
+        BroadcastDWithin,
+        fn_constructor_kwargs=dict(targets_ref=ref, radius=radius, id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -212,3 +212,24 @@ def test_lag_lead_gaps_ties_and_edges(ray_session):
     assert (out[3]["gap_prev_s"], out[3]["gap_next_s"]) == (10, -1)
     assert (out[4]["gap_prev_s"], out[4]["gap_next_s"]) == (-1, -1)
     assert (out[5]["gap_prev_s"], out[5]["gap_next_s"]) == (-1, -1)
+
+
+def test_dwithin_radius_join_matches_brute(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages import knn as knn_stage
+
+    rng = np.random.default_rng(11)
+    n, m = 400, 37
+    px, py = rng.uniform(-10, 10, n), rng.uniform(-10, 10, n)
+    cx, cy = rng.uniform(-10, 10, m), rng.uniform(-10, 10, m)
+    pts = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "lon": pa.array(px), "lat": pa.array(py)}))
+    targets = pa.table({"zone_key": pa.array(np.arange(m), pa.int64()),
+                        "cx": pa.array(cx), "cy": pa.array(cy)})
+    out = knn_stage.dwithin_join(pts, targets, radius=2.0, concurrency=2).take_all()
+    got = {(r["doc_id"], r["zone_key"]) for r in out}
+    d2 = (px[:, None] - cx[None, :]) ** 2 + (py[:, None] - cy[None, :]) ** 2
+    expect = {(int(i), int(j)) for i, j in zip(*np.nonzero(d2 <= 4.0))}
+    assert got == expect
