@@ -1653,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_dwithin": q.join_dwithin_q,
         "count_distinct": q.count_distinct_q,
         "span_stats": q.span_stats_q,
+        "span_roundtrip": q.span_roundtrip_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
@@ -2535,6 +2536,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN kind = 'text' THEN step ELSE 0 END) AS BIGINT) AS text_chars,
                    CAST(sum(step) AS BIGINT) AS last_offset
             FROM adv GROUP BY k
+        """,
+        # span-sequence-equality invariant: recompute the FULL span tuples
+        # (kind, generated text, media_ref, running offset) from the corpus
+        # definition and md5 the order-sensitive US/RS-joined sequence —
+        # identical digest iff the engine's sink+source preserved every span.
+        "span_roundtrip": """
+            WITH docs AS (SELECT range AS k FROM range(2000)),
+            sp AS (SELECT k, j.j AS j FROM docs,
+                   LATERAL (SELECT unnest(generate_series(0, k % 4)) AS j) j),
+            ks AS (SELECT k, j,
+                          ['text','image','audio','video'][(k + j) % 4 + 1] AS kind,
+                          (k * 2654435761 + j * 40503) % 4294967296 AS h
+                   FROM sp),
+            tw AS (SELECT k, j, h, i.i AS i FROM ks,
+                   LATERAL (SELECT unnest(generate_series(0, h % 7)) AS i) i
+                   WHERE kind = 'text'),
+            wtxt AS (SELECT k, j,
+                            string_agg(['raster','vector','tile','warp','merge','cell',
+                                        'join','span','layer','band','pixel','zone',
+                                        'index','stream','batch','arrow','shuffle',
+                                        'actor','block','mosaic']
+                                       [CAST((h >> (3 * i)) % 20 AS INTEGER) + 1],
+                                       ' ' ORDER BY i) AS txt
+                     FROM tw GROUP BY k, j),
+            spans AS (SELECT ks.k, ks.j, ks.kind,
+                             CASE WHEN ks.kind = 'text' THEN wtxt.txt ELSE '' END AS text,
+                             CASE WHEN ks.kind = 'text' THEN ''
+                                  ELSE 'media://' || ks.kind || '/'
+                                       || printf('%09d', ks.k) || '/' || ks.j
+                             END AS media_ref,
+                             CASE WHEN ks.kind = 'text' THEN len(wtxt.txt)
+                                  ELSE 1 END AS step
+                      FROM ks LEFT JOIN wtxt ON wtxt.k = ks.k AND wtxt.j = ks.j),
+            offs AS (SELECT k, j, kind, text, media_ref,
+                            CAST(sum(step) OVER (PARTITION BY k ORDER BY j
+                                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS off
+                     FROM spans)
+            SELECT printf('doc-%09d', k) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   md5(string_agg(kind || chr(31) || text || chr(31)
+                                  || media_ref || chr(31) || off,
+                                  chr(30) ORDER BY j)) AS seq_sig
+            FROM offs GROUP BY k
         """,
         "semi_join_orders": """
             SELECT o_orderkey, o_custkey FROM orders o

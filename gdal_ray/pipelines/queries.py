@@ -2324,6 +2324,48 @@ def span_stats_q(sf_dir: str):
     return media.span_stats(docs)
 
 
+def span_roundtrip_q(sf_dir: str):
+    """North-rule per-row invariant, end to end THROUGH the engine's own
+    sink + source: interleaved docs -> key-partitioned parquet sink (atomic
+    publish + resume manifest, io.write_partitioned) -> parallel read-back ->
+    order-sensitive span-sequence digest over (kind, text, media_ref, offset).
+
+    The oracle recomputes the digest from the deterministic corpus definition
+    alone, so any span lost, reordered, or mutated anywhere in the sink/source
+    path hash-fails — span-sequence equality per BASELINE input_hint."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import io as gio
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    root = f"{tempfile.gettempdir()}/gdal_ray_spanrt_{os.getpid()}"
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    nparts = 4
+
+    def part_fn(ds, pid):
+        p = int(pid)
+
+        def flt(t: pa.Table) -> pa.Table:
+            k = synthetic.doc_id_to_key(t["doc_id"])
+            return t.filter(pa.array((k % nparts) == p))
+
+        return ds.map_batches(flt, batch_format="pyarrow")
+
+    gio.write_partitioned(docs, root, [str(i) for i in range(nparts)], part_fn,
+                          lineage={"op": "span_roundtrip"})
+    files = sorted(
+        os.path.join(root, d, f)
+        for d in os.listdir(root) if d.startswith("part=")
+        for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")
+    )
+    back = rd.read_parquet(files)
+    return media.span_sequence_signature(back)
+
+
 def hilbert_sort_topk_q(sf_dir: str):
     """TRUE Hilbert spatial sort (SURVEY §2.6, alg/hilbert rotate-and-flip
     curve): encode z12 tile coords to Hilbert distance per batch, then

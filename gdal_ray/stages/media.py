@@ -148,3 +148,48 @@ def span_stats(docs_ds):
         })
 
     return docs_ds.map_batches(stats, batch_format="pyarrow")
+
+
+def span_sequence_signature(docs_ds):
+    """Per-document ORDER-SENSITIVE span-sequence digest: md5 over the
+    US-joined (kind, text, media_ref, offset) tuples, RS-joined in span order
+    (US=\\x1f, RS=\\x1e).
+
+    This is the BASELINE input_hint's per-row span-sequence-equality invariant
+    ("kind, text, media_ref, order") reduced to one comparable scalar: any
+    span lost, reordered, or mutated by an engine stage changes the digest.
+    Field extraction and string assembly are vectorized Arrow kernels; the
+    digest is one C-level md5 per document (same budget as fingerprint).
+    """
+    import pyarrow.compute as pc
+
+    def sig(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        structs = spans.flatten()  # concatenated span structs (no null lists)
+        per_span = pc.binary_join_element_wise(
+            structs.field("kind"),
+            structs.field("text"),
+            structs.field("media_ref"),
+            pc.cast(structs.field("offset"), pa.string()),
+            "\x1f",
+        )
+        # rebase offsets: a sliced ListArray's offsets need not start at 0,
+        # but flatten() always returns exactly the covered values
+        off = spans.offsets.to_numpy().astype(np.int64)
+        off = off - off[0]
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off, type=pa.int32()), per_span),
+            "\x1e",
+        )
+        sigs = [
+            hashlib.md5(s.encode()).hexdigest() for s in joined.to_pylist()
+        ]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_spans": pc.cast(pc.list_value_length(spans), pa.int64()),
+            "seq_sig": pa.array(sigs, type=pa.string()),
+        })
+
+    return docs_ds.map_batches(sig, batch_format="pyarrow")

@@ -176,3 +176,33 @@ def test_span_stats_vectorized_and_empty_lists(ray_session):
     assert (out["doc-1"]["n_text"], out["doc-1"]["text_chars"], out["doc-1"]["last_offset"]) == (1, 5, 5)
     assert (out["doc-2"]["n_spans"], out["doc-2"]["n_media"], out["doc-2"]["text_chars"],
             out["doc-2"]["last_offset"]) == (3, 2, 3, 5)
+
+
+def test_span_sequence_signature_order_sensitive(ray_session):
+    """span_sequence_signature: the digest is order-SENSITIVE (the input_hint
+    invariant names order), changes on any field mutation, and matches a
+    hand-computed md5 of the US/RS-joined tuple sequence."""
+    import hashlib
+
+    import ray.data as rd
+
+    from gdal_ray.sources.synthetic import SPANS_TYPE
+    from gdal_ray.stages import media
+
+    a = {"kind": "text", "text": "ab cd", "media_ref": "", "offset": 5}
+    b = {"kind": "image", "text": "", "media_ref": "media://image/7/1", "offset": 6}
+
+    def sig_of(spans_py):
+        spans = pa.array([spans_py], type=SPANS_TYPE)
+        tbl = pa.table({"doc_id": pa.array(["doc-0"]), "spans": spans})
+        return media.span_sequence_signature(rd.from_arrow(tbl)).take_all()[0]["seq_sig"]
+
+    s_ab = sig_of([a, b])
+    expected = hashlib.md5(
+        "\x1e".join("\x1f".join([s["kind"], s["text"], s["media_ref"], str(s["offset"])])
+                    for s in [a, b]).encode()
+    ).hexdigest()
+    assert s_ab == expected
+    assert sig_of([b, a]) != s_ab  # reorder detected
+    assert sig_of([a, {**b, "media_ref": "media://image/7/2"}]) != s_ab  # mutation detected
+    assert sig_of([a]) != s_ab  # loss detected
