@@ -1654,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct": q.count_distinct_q,
         "span_stats": q.span_stats_q,
         "span_roundtrip": q.span_roundtrip_q,
+        "delaunay_triangles": q.delaunay_triangles_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
@@ -2536,6 +2537,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN kind = 'text' THEN step ELSE 0 END) AS BIGINT) AS text_chars,
                    CAST(sum(step) AS BIGINT) AS last_offset
             FROM adv GROUP BY k
+        """,
+        # Delaunay by DEFINITION: a non-degenerate triple is a Delaunay
+        # triangle iff no other point of its cell lies strictly inside its
+        # circumcircle — exact BIGINT sign tests (orient/incircle signs
+        # compared, never multiplied: the product would overflow BIGINT).
+        "delaunay_triangles": """
+            WITH d AS (SELECT doc_id AS k, doc_id % 8 AS cell,
+                              (doc_id * 2654435761) % 2039 AS x,
+                              (doc_id * 40503 + 12345) % 2039 AS y
+                       FROM documents WHERE doc_id < 400),
+            tri AS (SELECT p1.cell, p1.k AS ka, p2.k AS kb, p3.k AS kc,
+                           p1.x AS ax, p1.y AS ay, p2.x AS bx, p2.y AS by,
+                           p3.x AS cx, p3.y AS cy,
+                           (p2.x - p1.x) * (p3.y - p1.y)
+                           - (p2.y - p1.y) * (p3.x - p1.x) AS orient
+                    FROM d p1 JOIN d p2 ON p2.cell = p1.cell AND p2.k > p1.k
+                              JOIN d p3 ON p3.cell = p1.cell AND p3.k > p2.k
+                    WHERE (p2.x - p1.x) * (p3.y - p1.y)
+                          - (p2.y - p1.y) * (p3.x - p1.x) <> 0),
+            chk AS (SELECT t.cell, t.ka, t.kb, t.kc, t.orient,
+                           t.ax - q.x AS adx, t.ay - q.y AS ady,
+                           t.bx - q.x AS bdx, t.by - q.y AS bdy,
+                           t.cx - q.x AS cdx, t.cy - q.y AS cdy
+                    FROM tri t JOIN d q ON q.cell = t.cell
+                         AND q.k <> t.ka AND q.k <> t.kb AND q.k <> t.kc),
+            inc AS (SELECT cell, ka, kb, kc, orient,
+                           adx * (bdy * (cdx * cdx + cdy * cdy)
+                                  - (bdx * bdx + bdy * bdy) * cdy)
+                         - ady * (bdx * (cdx * cdx + cdy * cdy)
+                                  - (bdx * bdx + bdy * bdy) * cdx)
+                         + (adx * adx + ady * ady) * (bdx * cdy - bdy * cdx) AS det
+                    FROM chk),
+            bad AS (SELECT DISTINCT cell, ka, kb, kc FROM inc
+                    WHERE (orient > 0 AND det > 0) OR (orient < 0 AND det < 0))
+            SELECT t.cell, t.ka AS a_id, t.kb AS b_id, t.kc AS c_id,
+                   CAST(abs(t.orient) AS BIGINT) AS area2
+            FROM tri t ANTI JOIN bad b
+                 ON b.cell = t.cell AND b.ka = t.ka AND b.kb = t.kb AND b.kc = t.kc
         """,
         # span-sequence-equality invariant: recompute the FULL span tuples
         # (kind, generated text, media_ref, running offset) from the corpus

@@ -2324,6 +2324,32 @@ def span_stats_q(sf_dir: str):
     return media.span_stats(docs)
 
 
+def delaunay_triangles_q(sf_dir: str):
+    """OGR DelaunayTriangulation (ogr/ogrgeometry.cpp surface, alg/delaunay.c
+    algorithm role) as a distributed per-cell op: docs (doc_id < 400) hash to
+    integer scatter coordinates, group into 8 cells, exact-integer
+    Bowyer-Watson per cell.  The oracle is the Delaunay DEFINITION itself —
+    every non-degenerate triple whose circumcircle is empty (exact BIGINT
+    sign tests) — so the triangle sets match exactly in general position."""
+    from ..stages import geomops
+
+    docs = _docs(sf_dir)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = k < 400
+        k = k[keep]
+        return pa.table({
+            "pt_id": pa.array(k),
+            "cell": pa.array(k % 8),
+            "x": pa.array((k * 2654435761) % 2039),
+            "y": pa.array((k * 40503 + 12345) % 2039),
+        })
+
+    pts = docs.map_batches(scatter, batch_format="pyarrow")
+    return geomops.delaunay_per_cell(pts)
+
+
 def span_roundtrip_q(sf_dir: str):
     """North-rule per-row invariant, end to end THROUGH the engine's own
     sink + source: interleaved docs -> key-partitioned parquet sink (atomic

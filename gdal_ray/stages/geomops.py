@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import wkb as _wkb
 
@@ -681,3 +682,109 @@ def explode_collections(ds, wkb_col: str = "wkb"):
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Delaunay triangulation (OGR_G_DelaunayTriangulation surface,
+# ogr/ogrgeometry.cpp:5042-ish; algorithm role: alg/delaunay.c)
+# ---------------------------------------------------------------------------
+
+
+def delaunay_triangulate_int(P) -> list:
+    """Bowyer-Watson Delaunay triangulation with EXACT integer predicates.
+
+    ``P`` is an (n, 2) array of INTEGER coordinates.  All orientation and
+    in-circumcircle tests run in arbitrary-precision Python ints, so the
+    result is the exact Delaunay set (verified against the brute
+    empty-circumcircle definition in tests) — the float circumcenter variant
+    in gridinterp can drop near-degenerate hull triangles.
+
+    O(n^2); intended for per-cell / per-tile point sets (the same
+    partitioning assumption gridinterp's linear kernel documents), not whole
+    corpora.  Returns sorted index triples.
+    """
+    n = len(P)
+    pts = [(int(x), int(y)) for x, y in P]
+    if n < 3:
+        return []
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    span = max(max(xs) - min(xs), max(ys) - min(ys), 1)
+    cx = (max(xs) + min(xs)) // 2
+    cy = (max(ys) + min(ys)) // 2
+    big = 4096 * span  # far enough that hull topology is exact in tests
+    A = pts + [(cx - big, cy - big), (cx + big, cy - big), (cx, cy + big)]
+
+    def orient(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    def incircle(t, d):
+        a, b, c = A[t[0]], A[t[1]], A[t[2]]
+        adx = a[0] - d[0]; ady = a[1] - d[1]
+        bdx = b[0] - d[0]; bdy = b[1] - d[1]
+        cdx = c[0] - d[0]; cdy = c[1] - d[1]
+        ad = adx * adx + ady * ady
+        bd = bdx * bdx + bdy * bdy
+        cd = cdx * cdx + cdy * cdy
+        return (adx * (bdy * cd - bd * cdy) - ady * (bdx * cd - bd * cdx)
+                + ad * (bdx * cdy - bdy * cdx))
+
+    def norm(t):
+        a, b, c = t
+        return (a, b, c) if orient(A[a], A[b], A[c]) > 0 else (a, c, b)
+
+    tris = {norm((n, n + 1, n + 2))}
+    for i in range(n):
+        d = A[i]
+        bad = [t for t in tris if incircle(t, d) > 0]
+        edges: dict = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edges[k] = edges.get(k, 0) + 1
+            tris.discard(t)
+        for (a, b), cnt in edges.items():
+            if cnt == 1:
+                tris.add(norm((a, b, i)))
+    return sorted(tuple(sorted(t)) for t in tris if max(t) < n)
+
+
+def delaunay_per_cell(ds, cell_col: str = "cell", id_col: str = "pt_id",
+                      x_col: str = "x", y_col: str = "y"):
+    """Distributed Delaunay: one exact triangulation per cell group.
+
+    One hash shuffle on ``cell_col``, then an independent exact triangulation
+    per group — the layer-level analogue of gridinterp's per-tile linear
+    kernel.  Output rows: (cell, a_id, b_id, c_id, area2) with the triangle's
+    point ids ascending and area2 = |cross product| (twice the area, exact
+    integer).  Global stitching across cells is NOT attempted (GDAL's own
+    DelaunayTriangulation is a single-geometry, in-memory op).
+    """
+    import numpy as np
+
+    def per_cell(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        t = t.take(order)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        P = np.stack(
+            [t[x_col].to_numpy(zero_copy_only=False).astype(np.int64),
+             t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)], axis=1)
+        tris = delaunay_triangulate_int(P)
+        cell = t[cell_col][0].as_py() if t.num_rows else 0
+        a = np.array([ids[i] for i, _, _ in tris], dtype=np.int64)
+        b = np.array([ids[j] for _, j, _ in tris], dtype=np.int64)
+        c = np.array([ids[k] for _, _, k in tris], dtype=np.int64)
+        ax = np.array([P[i, 0] for i, _, _ in tris], dtype=np.int64)
+        ay = np.array([P[i, 1] for i, _, _ in tris], dtype=np.int64)
+        bx = np.array([P[j, 0] for _, j, _ in tris], dtype=np.int64)
+        by = np.array([P[j, 1] for _, j, _ in tris], dtype=np.int64)
+        cxx = np.array([P[k, 0] for _, _, k in tris], dtype=np.int64)
+        cy = np.array([P[k, 1] for _, _, k in tris], dtype=np.int64)
+        area2 = np.abs((bx - ax) * (cy - ay) - (by - ay) * (cxx - ax))
+        return pa.table({
+            "cell": pa.array(np.full(len(tris), cell, dtype=np.int64)),
+            "a_id": pa.array(a), "b_id": pa.array(b), "c_id": pa.array(c),
+            "area2": pa.array(area2),
+        })
+
+    return ds.groupby(cell_col).map_groups(per_cell, batch_format="pyarrow")

@@ -180,3 +180,78 @@ def test_line_point_at_distance():
     t = pa.table({"wkb": [wkb.encode_linestring(pts)]})
     out = geomops.line_interpolate_batch(t, 0.5).to_pylist()[0]
     assert (out["pt_x"], out["pt_y"]) == (7.5, 0.0)
+
+
+def _brute_delaunay(P):
+    """Delaunay by definition: every non-degenerate triple whose circumcircle
+    is strictly empty (exact Python-int arithmetic)."""
+    from itertools import combinations
+
+    n = len(P)
+    pts = [(int(x), int(y)) for x, y in P]
+    out = []
+    for i, j, k in combinations(range(n), 3):
+        a, b, c = pts[i], pts[j], pts[k]
+        orient = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if orient == 0:
+            continue
+        if orient < 0:
+            b, c = c, b
+        empty = True
+        for d in range(n):
+            if d in (i, j, k):
+                continue
+            q = pts[d]
+            adx = a[0] - q[0]; ady = a[1] - q[1]
+            bdx = b[0] - q[0]; bdy = b[1] - q[1]
+            cdx = c[0] - q[0]; cdy = c[1] - q[1]
+            ad = adx * adx + ady * ady
+            bd = bdx * bdx + bdy * bdy
+            cd = cdx * cdx + cdy * cdy
+            det = (adx * (bdy * cd - bd * cdy) - ady * (bdx * cd - bd * cdx)
+                   + ad * (bdx * cdy - bdy * cdx))
+            if det > 0:
+                empty = False
+                break
+        if empty:
+            out.append(tuple(sorted((i, j, k))))
+    return sorted(out)
+
+
+def test_delaunay_exact_vs_brute_random():
+    """Exact-integer Bowyer-Watson == the empty-circumcircle definition on
+    random integer point sets (incl. near-degenerate hull triangles that the
+    float circumcenter variant drops)."""
+    import numpy as np
+
+    from gdal_ray.stages import geomops
+
+    rng = np.random.RandomState(7)
+    for _ in range(40):
+        P = np.unique(rng.randint(0, 500, size=(rng.randint(4, 20), 2)), axis=0)
+        assert geomops.delaunay_triangulate_int(P) == _brute_delaunay(P)
+
+
+def test_delaunay_per_cell_distributed(ray_session):
+    """Per-cell grouping triangulates each cell independently and emits
+    ascending ids + exact doubled areas."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import geomops
+
+    k = np.arange(60, dtype=np.int64)
+    tbl = pa.table({
+        "pt_id": pa.array(k), "cell": pa.array(k % 2),
+        "x": pa.array((k * 2654435761) % 2039),
+        "y": pa.array((k * 40503 + 12345) % 2039),
+    })
+    out = geomops.delaunay_per_cell(rd.from_arrow(tbl)).take_all()
+    for c in (0, 1):
+        ks = k[k % 2 == c]
+        P = np.stack([(ks * 2654435761) % 2039, (ks * 40503 + 12345) % 2039], axis=1)
+        expect = {tuple(ks[list(t)]) for t in _brute_delaunay(P)}
+        got = {(r["a_id"], r["b_id"], r["c_id"]) for r in out if r["cell"] == c}
+        assert got == expect
+    assert all(r["a_id"] < r["b_id"] < r["c_id"] and r["area2"] > 0 for r in out)
