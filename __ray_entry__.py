@@ -63,6 +63,18 @@ def _hex_u64(hcol: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _hex_be32(hcol: str, off: int) -> str:
+    """SQL expression: big-endian uint32 from 8 hex chars of ``hcol``
+    starting at 0-based char offset ``off`` — mirrors
+    int(md5hex[off:off+8], 16)."""
+    terms = [
+        f"CAST(strpos('123456789abcdef', substr({hcol}, {off + i + 1}, 1)) AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 _U64_TO_I64 = (
     "CAST(CASE WHEN {v} >= 9223372036854775808 THEN {v} - 18446744073709551616 "
     "ELSE {v} END AS BIGINT)"
@@ -1655,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stats": q.span_stats_q,
         "span_roundtrip": q.span_roundtrip_q,
         "delaunay_triangles": q.delaunay_triangles_q,
+        "bloom_dedup": q.bloom_dedup_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
@@ -2537,6 +2550,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN kind = 'text' THEN step ELSE 0 END) AS BIGINT) AS text_chars,
                    CAST(sum(step) AS BIGINT) AS last_offset
             FROM adv GROUP BY k
+        """,
+        # Bloom membership recomputed bit-for-bit: the reference corpus's
+        # k=3 positions (big-endian md5 hex windows mod 8192) form the bit
+        # set; a candidate hits iff all 3 of its positions are present —
+        # false positives and all.
+        "bloom_dedup": f"""
+            WITH ref AS (SELECT md5(substr(text, 1, 24)) AS h FROM documents WHERE doc_id % 7 = 0),
+            bits AS (SELECT DISTINCT pos FROM (
+                SELECT {_hex_be32('h', 0)} % 8192 AS pos FROM ref
+                UNION ALL SELECT {_hex_be32('h', 8)} % 8192 FROM ref
+                UNION ALL SELECT {_hex_be32('h', 16)} % 8192 FROM ref)),
+            cand AS (SELECT doc_id, md5(substr(text, 1, 24)) AS h FROM documents
+                     WHERE doc_id % 7 <> 0),
+            cp AS (SELECT doc_id, {_hex_be32('h', 0)} % 8192 AS pos FROM cand
+                   UNION ALL SELECT doc_id, {_hex_be32('h', 8)} % 8192 FROM cand
+                   UNION ALL SELECT doc_id, {_hex_be32('h', 16)} % 8192 FROM cand),
+            m AS (SELECT cp.doc_id, count(*) AS nhit
+                  FROM cp JOIN bits USING (pos) GROUP BY 1)
+            SELECT c.doc_id,
+                   CAST(CASE WHEN coalesce(m.nhit, 0) = 3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS bloom_hit
+            FROM cand c LEFT JOIN m ON m.doc_id = c.doc_id
         """,
         # Delaunay by DEFINITION: a non-degenerate triple is a Delaunay
         # triangle iff no other point of its cell lies strictly inside its

@@ -2324,6 +2324,30 @@ def span_stats_q(sf_dir: str):
     return media.span_stats(docs)
 
 
+def bloom_dedup_q(sf_dir: str):
+    """Cross-corpus Bloom membership (constant-memory decontamination): the
+    held-out set (doc_id % 7 == 0) builds an m=8192/k=3 Bloom filter (bounded
+    distinct shuffle + one broadcast); candidates test their boilerplate
+    PREFIX key (first 24 chars — whole texts are all-distinct in this corpus,
+    prefixes genuinely collide) against it.  The oracle recomputes every bit
+    position from md5 hex-char arithmetic, so hits AND any false positives
+    match exactly."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(want_ref: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            is_ref = (k % 7) == 0
+            t = t.set_column(t.column_names.index("text"), "text",
+                             pc.utf8_slice_codeunits(t["text"], 0, 24))
+            return t.filter(pa.array(is_ref if want_ref else ~is_ref))
+        return fn
+
+    ref = docs.map_batches(split(True), batch_format="pyarrow")
+    cand = docs.map_batches(split(False), batch_format="pyarrow")
+    return dedup.bloom_decontaminate(cand, ref)
+
+
 def delaunay_triangles_q(sf_dir: str):
     """OGR DelaunayTriangulation (ogr/ogrgeometry.cpp surface, alg/delaunay.c
     algorithm role) as a distributed per-cell op: docs (doc_id < 400) hash to

@@ -500,3 +500,79 @@ def chunk_dedup_stats(ds, chunk_words: int = 3, text_col: str = "text",
                          "n_dup_chunks": t["is_dup_sum"]})
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (cross-corpus decontamination at constant memory)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 3     # hash functions (md5 hex windows, big-endian)
+
+
+def bloom_positions(texts: list) -> "np.ndarray":
+    """(n, BLOOM_K) bit positions: the K big-endian 8-hex-char windows of
+    md5(text), each mod BLOOM_M — one C-level digest per doc, and
+    SQL-mirrorable via hex-char arithmetic over DuckDB's md5()."""
+    import hashlib
+
+    pos = np.empty((len(texts), BLOOM_K), dtype=np.int64)
+    for i, t in enumerate(texts):
+        h = hashlib.md5((t or "").encode()).hexdigest()
+        for j in range(BLOOM_K):
+            pos[i, j] = int(h[8 * j:8 * j + 8], 16) % BLOOM_M
+    return pos
+
+
+def bloom_build(ref_ds, text_col: str = "text"):
+    """Distributed Bloom build: per-batch UNIQUE positions (<= BLOOM_M rows
+    per block, however large the block), one bounded distinct shuffle, then
+    a <= BLOOM_M-row driver collect -> packed bool bitset.
+
+    The collect is O(BLOOM_M), independent of corpus size — the whole point
+    of a Bloom sketch at 100 TB: the reference corpus never moves, only its
+    fixed-size bit positions do."""
+    def to_pos(t: pa.Table) -> pa.Table:
+        p = bloom_positions(t[text_col].to_pylist()).ravel()
+        return pa.table({"pos": pa.array(np.unique(p))})
+
+    pos_rows = ref_ds.map_batches(to_pos, batch_format="pyarrow").unique("pos")
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    for r in pos_rows:
+        bits[r] = True
+    return bits
+
+
+class BloomMember:
+    """Actor-pool membership test: the bitset ships ONCE per actor via the
+    object store (ray.put handle in the constructor), never per batch."""
+
+    def __init__(self, bits_ref):
+        import ray
+
+        self.bits = ray.get(bits_ref) if not isinstance(bits_ref, np.ndarray) else bits_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pos = bloom_positions(t["text"].to_pylist())
+        hit = self.bits[pos].all(axis=1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "bloom_hit": pa.array(hit.astype(np.int64)),
+        })
+
+
+def bloom_decontaminate(cand_ds, ref_ds, text_col: str = "text",
+                        concurrency: int = 2):
+    """Membership of each candidate doc's content hash in the reference
+    corpus's Bloom filter (RefinedWeb/CCNet-style held-out-set scrubbing):
+    (doc_id, bloom_hit).  False positives are the documented Bloom trade
+    (k=3, m=8192 here; size both for the real corpus at deploy time)."""
+    import ray
+
+    bits_ref = ray.put(bloom_build(ref_ds, text_col))
+    return cand_ds.map_batches(
+        BloomMember,
+        fn_constructor_kwargs=dict(bits_ref=bits_ref),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

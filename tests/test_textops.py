@@ -145,3 +145,43 @@ def test_tfidf_tie_breaks_to_smallest_term():
     dfs = pa.Table.from_pylist(textops.doc_frequencies(ds).take_all())
     top = textops.tfidf_top_term(ds, dfs).take_all()
     assert top[0]["top_term"] == "alpha"
+
+
+def test_bloom_membership_exact_and_false_positive(ray_session):
+    """Bloom build + membership: every reference doc hits (no false
+    negatives, by construction); a crafted non-member whose k positions are
+    all covered false-positives — the documented Bloom trade."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import dedup
+
+    ref_texts = [f"ref doc {i}" for i in range(20)]
+    ref = rd.from_arrow(pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                                  "text": pa.array(ref_texts)}))
+    bits = dedup.bloom_build(ref)
+    assert bits.sum() <= 20 * dedup.BLOOM_K  # bounded fill
+    # positions mirror int(md5[8j:8j+8], 16) % M
+    h = hashlib.md5(b"ref doc 0").hexdigest()
+    expect = [int(h[8 * j:8 * j + 8], 16) % dedup.BLOOM_M for j in range(dedup.BLOOM_K)]
+    assert list(dedup.bloom_positions(["ref doc 0"])[0]) == expect
+    # find a guaranteed false positive by brute search
+    fp_text = None
+    for i in range(100000):
+        cand = f"novel {i}"
+        if bits[dedup.bloom_positions([cand])[0]].all():
+            fp_text = cand
+            break
+    cand_texts = ref_texts[:3] + ["definitely novel text"] + ([fp_text] if fp_text else [])
+    cand = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(cand_texts)), pa.int64()),
+        "text": pa.array(cand_texts)}))
+    out = {r["doc_id"]: r["bloom_hit"]
+           for r in dedup.bloom_decontaminate(cand, ref).take_all()}
+    assert out[0] == out[1] == out[2] == 1  # members always hit
+    assert out[3] == 0                      # novel text misses
+    if fp_text:
+        assert out[4] == 1                  # false positive hits (expected)
