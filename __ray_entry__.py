@@ -1656,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gdalcompare": q.gdalcompare_q,
         "shp_roundtrip": q.shp_roundtrip_q,
         "geojson_roundtrip": q.geojson_roundtrip_q,
+        "kml_roundtrip": q.kml_roundtrip_q,
         "gpkg_roundtrip": q.gpkg_roundtrip_q,
         "ogr2ogr_convert": q.ogr2ogr_convert_q,
         "semi_join_orders": q.semi_join_orders_q,
@@ -2460,6 +2461,15 @@ def oracle_sql() -> dict[str, str]:
             FROM px GROUP BY 1, 2
         """,
         "geojson_roundtrip": f"""
+            WITH {_ZONES.strip().lstrip()}
+            SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
+                   CAST(5 AS BIGINT) AS n_vertices,
+                   CAST(3 * floor(minx * 100 + 0.5) + 2 * floor(maxx * 100 + 0.5)
+                        + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
+                        AS BIGINT) AS coord_sum_x100
+            FROM zz
+        """,
+        "kml_roundtrip": f"""
             WITH {_ZONES.strip().lstrip()}
             SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
                    CAST(5 AS BIGINT) AS n_vertices,

@@ -2492,6 +2492,33 @@ def gpkg_roundtrip_q(sf_dir: str):
     return _zones_vertex_verify(gpkg.read_gpkg_dataset(path, "zones"))
 
 
+def kml_roundtrip_q(sf_dir: str):
+    """KML driver: zones -> Placemark/ExtendedData KML -> driver-side
+    placemark byte-range scan -> parallel per-range XML parse -> WKB
+    (repr-shortest floats keep f64 bitwise).  KML attributes are untyped
+    strings per the spec, so the pipeline casts them back explicitly."""
+    import os
+    import tempfile
+
+    from ..sources import kml as kml_drv
+
+    zones = _zones(sf_dir)
+    path = f"{tempfile.gettempdir()}/gdal_ray_zones_{os.getpid()}.kml"
+    kml_drv.write_kml(path, zones["wkb"].to_pylist(),
+                      pa.table({"zone_id": zones["zone_id"],
+                                "zone_key": zones["zone_key"]}))
+    ds = kml_drv.read_kml_dataset(path, per_block=64)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "zone_id": t["zone_id"],
+            "zone_key": pc.cast(t["zone_key"], pa.int64()),
+            "wkb": t["wkb"],
+        })
+
+    return _zones_vertex_verify(ds.map_batches(cast, batch_format="pyarrow"))
+
+
 def ogr2ogr_convert_q(sf_dir: str):
     """ogr2ogr-style conversion chain (apps/ogr2ogr_lib.cpp surface): zones
     -> GeoPackage -> parallel fid-range read -> attribute filter (-where

@@ -118,3 +118,57 @@ def test_csv_layer_distributed_roundtrip(tmp_path, ray_session):
     for i in range(n):
         assert by_k[i]["wkb"] == wkbs[i]
         assert by_k[i]["label"] == f"x,{i}"  # comma survives quoting
+
+
+def test_kml_roundtrip_geometry_kinds(tmp_path):
+    """KML writer/reader: point, line, polygon-with-hole, multipolygon all
+    roundtrip bitwise; XML-special attribute values escape correctly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.sources import kml as kml_drv
+
+    sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    hole = np.array([[1.0, 1.0], [1.0, 2.0], [2.0, 2.0], [2.0, 1.0], [1.0, 1.0]])
+    wkbs = [
+        wkb_f.encode_points(np.array([1.25]), np.array([-2.5]))[0],
+        wkb_f.encode_linestring(np.array([[0.1, 0.2], [3.4, 5.6], [7.8, 9.0]])),
+        wkb_f.encode_polygon([sq, hole]),
+        wkb_f.encode_multipolygon([[sq], [sq + 10.0]]),
+    ]
+    attrs = pa.table({"name": ["a<b", 'q"uote', "amp&ersand", "plain"],
+                      "k": [1, 2, 3, 4]})
+    path = str(tmp_path / "t.kml")
+    kml_drv.write_kml(path, wkbs, attrs)
+    back = kml_drv.read_kml(path)
+    assert back.num_rows == 4
+    assert back["name"].to_pylist() == ["a<b", 'q"uote', "amp&ersand", "plain"]
+    assert back["k"].to_pylist() == ["1", "2", "3", "4"]  # KML attrs untyped
+    for orig, got in zip(wkbs, back["wkb"].to_pylist()):
+        a, b = wkb_f.decode(orig), wkb_f.decode(got)
+        assert a.kind == b.kind
+        assert np.array_equal(a.vertices(), b.vertices())
+
+
+def test_kml_range_scan_matches_eager(tmp_path, ray_session):
+    """Parallel byte-range read == eager full parse, across block splits."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.sources import kml as kml_drv
+
+    n = 37
+    wkbs = [wkb_f.encode_points(np.array([float(i)]), np.array([float(-i)]))[0]
+            for i in range(n)]
+    path = str(tmp_path / "many.kml")
+    kml_drv.write_kml(path, wkbs, pa.table({"i": list(range(n))}))
+    assert len(kml_drv.placemark_ranges(path)) == n
+    rows = kml_drv.read_kml_dataset(path, per_block=5).take_all()
+    got = sorted(int(r["i"]) for r in rows)
+    assert got == list(range(n))
+    by_i = {int(r["i"]): r["wkb"] for r in rows}
+    for i in range(n):
+        assert np.array_equal(wkb_f.decode(by_i[i]).vertices(),
+                              np.array([[float(i), float(-i)]]))
