@@ -1669,6 +1669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_roundtrip": q.span_roundtrip_q,
         "delaunay_triangles": q.delaunay_triangles_q,
         "bloom_dedup": q.bloom_dedup_q,
+        "set_intersect_nations": q.set_intersect_q,
+        "set_except_nations": q.set_except_q,
+        "rank_events": q.rank_events_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
@@ -2560,6 +2563,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN kind = 'text' THEN step ELSE 0 END) AS BIGINT) AS text_chars,
                    CAST(sum(step) AS BIGINT) AS last_offset
             FROM adv GROUP BY k
+        """,
+        "set_intersect_nations": """
+            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey
+            FROM customer WHERE c_acctbal > 9000
+            INTERSECT
+            SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier
+            WHERE s_acctbal < 1000
+        """,
+        "set_except_nations": """
+            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey
+            FROM customer WHERE c_acctbal > 9000
+            EXCEPT
+            SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier
+            WHERE s_acctbal < 1000
+        """,
+        "rank_events": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(RANK() OVER (PARTITION BY user_id
+                        ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC)
+                        AS BIGINT) AS rnk,
+                   CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                        ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC)
+                        AS BIGINT) AS drnk
+            FROM events
         """,
         # Bloom membership recomputed bit-for-bit: the reference corpus's
         # k=3 positions (big-endian md5 hex windows mod 8192) form the bit

@@ -2324,6 +2324,54 @@ def span_stats_q(sf_dir: str):
     return media.span_stats(docs)
 
 
+def _nations_of(sf_dir: str, table: str, key: str, bal: str, pred):
+    ds = read_table(sf_dir, table, columns=[key, bal])
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = t[bal].to_numpy(zero_copy_only=False)
+        return pa.table({"nationkey": pc.cast(t[key], pa.int64())}).filter(
+            pa.array(pred(b)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def set_intersect_q(sf_dir: str):
+    """SQL INTERSECT (distinct set semantics) as a combiner-bounded shuffle:
+    nations having a rich customer AND a poor supplier."""
+    a = _nations_of(sf_dir, "customer", "c_nationkey", "c_acctbal",
+                    lambda b: b > 9000)
+    b = _nations_of(sf_dir, "supplier", "s_nationkey", "s_acctbal",
+                    lambda b: b < 1000)
+    return relational.set_op(a, b, "nationkey", "intersect")
+
+
+def set_except_q(sf_dir: str):
+    """SQL EXCEPT: nations having a rich customer but NO poor supplier."""
+    a = _nations_of(sf_dir, "customer", "c_nationkey", "c_acctbal",
+                    lambda b: b > 9000)
+    b = _nations_of(sf_dir, "supplier", "s_nationkey", "s_acctbal",
+                    lambda b: b < 1000)
+    return relational.set_op(a, b, "nationkey", "except")
+
+
+def rank_events_q(sf_dir: str):
+    """RANK + DENSE_RANK windows (ties share ranks — 42 tie groups at
+    sf0.01): per user, events ranked by value_x100 descending."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "value_x100": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    ranked = relational.group_rank(ev.map_batches(prep, batch_format="pyarrow"),
+                                   "user_id", "value_x100", "event_id")
+    return ranked.select_columns(["event_id", "user_id", "rnk", "drnk"])
+
+
 def bloom_dedup_q(sf_dir: str):
     """Cross-corpus Bloom membership (constant-memory decontamination): the
     held-out set (doc_id % 7 == 0) builds an m=8192/k=3 Bloom filter (bounded

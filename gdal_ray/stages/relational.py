@@ -358,3 +358,90 @@ def semi_anti_join_partitioned(probe, build, key: str, build_key: str | None = N
     return probe.map_batches(tag_probe, batch_format="pyarrow").union(
         build.map_batches(tag_build, batch_format="pyarrow")
     ).groupby("_part").map_groups(resolve, batch_format="pyarrow")
+
+
+def set_op(a_ds, b_ds, col: str, op: str, num_partitions: int = 64):
+    """SQL INTERSECT / EXCEPT (DISTINCT set semantics) over one projected
+    column (reference surface: OGR SQL set queries via the SQLite dialect,
+    ``ogr/ogrsf_frmts/sqlite``).
+
+    Scale shape: each side reduces to its per-batch UNIQUE values first (the
+    combiner — shuffle volume is O(distinct x blocks), not O(rows)), then ONE
+    hash-partition shuffle; each partition resolves presence with two
+    vectorized ``np.isin`` calls.  ``op``: 'intersect' | 'except'.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect|except, got {op!r}")
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = np.unique(t[col].to_numpy(zero_copy_only=False).astype(np.int64))
+            part = np.abs((k * np.int64(2654435761)) % np.int64(num_partitions))
+            return pa.table({
+                col: pa.array(k),
+                "_part": pa.array(part),
+                "_side": pa.array(np.full(k.size, side, np.int8)),
+            })
+        return fn
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        k = g[col].to_numpy(zero_copy_only=False)
+        a = np.unique(k[side == 0])
+        b = np.unique(k[side == 1])
+        keep = a[np.isin(a, b)] if op == "intersect" else a[~np.isin(a, b)]
+        return pa.table({col: pa.array(keep)})
+
+    return a_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        b_ds.map_batches(tag(1), batch_format="pyarrow")
+    ).groupby("_part").map_groups(resolve, batch_format="pyarrow")
+
+
+def group_rank(ds, key_col: str, order_col: str, tie_col: str,
+               descending: bool = True, num_partitions: int = 64):
+    """RANK() and DENSE_RANK() OVER (PARTITION BY key ORDER BY order_col
+    [DESC]) — full-group window ranks (SQLite-dialect window surface).
+
+    ONE hash-partition shuffle on the key, then each partition ranks ALL its
+    keys in a single vectorized lexsort + run-length scan (the group_top_n /
+    session-windows plan: no per-key Python callback).  ``tie_col`` breaks
+    nothing — RANK ties share a rank — it only pins the OUTPUT ordering so
+    results are deterministic.  Numeric columns required.
+    """
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs((k * np.int64(2654435761)) % np.int64(num_partitions))
+        return t.append_column("_part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return g.append_column("rnk", pa.array([], pa.int64())) \
+                    .append_column("drnk", pa.array([], pa.int64()))
+        k = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = -v if descending else v
+        order = np.lexsort((t, sv, k))
+        ks, vs = k[order], sv[order]
+        new_key = np.empty(len(order), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        new_val = np.empty(len(order), dtype=bool)
+        new_val[0] = True
+        new_val[1:] = new_key[1:] | (vs[1:] != vs[:-1])
+        pos = np.arange(len(order), dtype=np.int64)
+        group_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+        # RANK: 1 + rows before the first row of this value run (within key)
+        val_start = np.maximum.accumulate(np.where(new_val, pos, 0))
+        rnk = val_start - group_start + 1
+        # DENSE_RANK: 1 + number of distinct value runs before this one
+        runs = np.cumsum(new_val)
+        drnk = runs - runs[group_start] + 1
+        out = g.take(pa.array(order))
+        return out.append_column("rnk", pa.array(rnk)) \
+                  .append_column("drnk", pa.array(drnk))
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "_part").map_groups(per_part, batch_format="pyarrow")

@@ -60,3 +60,45 @@ def test_global_prefix_sum_exclusive_exact():
     expect_sorted = np.cumsum(by_key) - by_key
     for i, k in enumerate(np.sort(ids)):
         assert got[int(k)] == int(expect_sorted[i])
+
+
+def test_set_op_intersect_except(ray_session):
+    """set_op matches Python set semantics incl. duplicates on both sides."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import relational
+
+    a = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3, 5, 8, 8], pa.int64())}))
+    b = rd.from_arrow(pa.table({"k": pa.array([2, 3, 3, 4, 9], pa.int64())}))
+    inter = sorted(r["k"] for r in relational.set_op(a, b, "k", "intersect").take_all())
+    exc = sorted(r["k"] for r in relational.set_op(a, b, "k", "except").take_all())
+    assert inter == [2, 3]
+    assert exc == [1, 5, 8]
+
+
+def test_group_rank_matches_duckdb(ray_session):
+    """group_rank == DuckDB RANK/DENSE_RANK on random data with many ties."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import relational
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    tbl = pa.table({"k": rng.randint(0, 19, n).astype(np.int64),
+                    "v": rng.randint(0, 7, n).astype(np.int64),
+                    "t": np.arange(n, dtype=np.int64)})
+    out = relational.group_rank(rd.from_arrow(tbl), "k", "v", "t").take_all()
+    got = pd.DataFrame(out).sort_values("t").reset_index(drop=True)
+    df = tbl.to_pandas()
+    exp = duckdb.sql("""SELECT t,
+        RANK() OVER (PARTITION BY k ORDER BY v DESC) rnk,
+        DENSE_RANK() OVER (PARTITION BY k ORDER BY v DESC) drnk
+        FROM df ORDER BY t""").df()
+    assert (got["rnk"].values == exp["rnk"].values).all()
+    assert (got["drnk"].values == exp["drnk"].values).all()
