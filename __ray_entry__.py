@@ -1672,6 +1672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_intersect_nations": q.set_intersect_q,
         "set_except_nations": q.set_except_q,
         "rank_events": q.rank_events_q,
+        "bpe_pairs": q.bpe_pairs_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
@@ -2563,6 +2564,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN kind = 'text' THEN step ELSE 0 END) AS BIGINT) AS text_chars,
                    CAST(sum(step) AS BIGINT) AS last_offset
             FROM adv GROUP BY k
+        """,
+        "bpe_pairs": """
+            WITH w AS (SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS word
+                       FROM documents),
+            p AS (SELECT substr(word, i.i, 2) AS pair FROM w,
+                  LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) AS i) i
+                  WHERE len(word) >= 2),
+            c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
+            SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20
         """,
         "set_intersect_nations": """
             SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey

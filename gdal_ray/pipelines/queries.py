@@ -2324,6 +2324,13 @@ def span_stats_q(sf_dir: str):
     return media.span_stats(docs)
 
 
+def bpe_pairs_q(sf_dir: str):
+    """BPE tokenizer-training step 1: corpus-wide top-20 adjacent byte pairs
+    (within words), one bincount(65536) partial per batch."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return textops.bpe_pair_counts(docs, top_n=20)
+
+
 def _nations_of(sf_dir: str, table: str, key: str, bal: str, pred):
     ds = read_table(sf_dir, table, columns=[key, bal])
 

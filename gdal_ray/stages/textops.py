@@ -547,3 +547,45 @@ class HashedLinearScorer:
              "score_x1000": pa.array(score),
              "label": pa.array((score > 0).astype(np.int64))}
         )
+
+
+def bpe_pair_counts(ds, text_col: str = "text", top_n: int = 20):
+    """Corpus-level adjacent byte-pair frequencies — the first merge-candidate
+    table of BPE tokenizer training (beyond-reference; project brief's
+    'BPE-ish' text analysis family).
+
+    Fully vectorized: each batch's texts concatenate into ONE byte buffer
+    (space-separated, so no cross-word or cross-doc pair survives the space
+    mask), pair codes are a[:-1]*256 + a[1:], and one ``np.bincount(65536)``
+    produces the batch's partial counts.  The shuffle carries at most 65536
+    rows per block (pair codes, not corpus bytes); the final top-N is a
+    combiner-folded distributed sort.
+    """
+    from . import relational
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        blob = (" ".join(x or "" for x in texts)).encode()
+        if len(blob) < 2:
+            return pa.table({"pair_code": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        a = np.frombuffer(blob, np.uint8)
+        pairs = a[:-1].astype(np.int32) * 256 + a[1:]
+        sep = a == 32
+        counts = np.bincount(pairs[~(sep[:-1] | sep[1:])], minlength=65536)
+        nz = np.flatnonzero(counts)
+        return pa.table({"pair_code": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(counts[nz].astype(np.int64))})
+
+    summed = relational.partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["pair_code"], sums=["cnt"])
+
+    def to_pair(t: pa.Table) -> pa.Table:
+        code = t["pair_code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = [chr(c >> 8) + chr(c & 255) for c in code]
+        return pa.table({"pair": pa.array(pair, pa.string()),
+                         "cnt": t["cnt_sum"]})
+
+    pairs = summed.map_batches(to_pair, batch_format="pyarrow")
+    return relational.top_k(pairs, ["cnt", "pair"], [True, False], top_n)

@@ -185,3 +185,24 @@ def test_bloom_membership_exact_and_false_positive(ray_session):
     assert out[3] == 0                      # novel text misses
     if fp_text:
         assert out[4] == 1                  # false positive hits (expected)
+
+
+def test_bpe_pair_counts_brute(ray_session):
+    """bpe_pair_counts == brute per-word pair counting; no cross-word or
+    cross-document pairs leak through the space mask."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import textops
+
+    texts = ["abab ba", "aa abab", "x", "", "zz zz zz"]
+    brute = Counter()
+    for t in texts:
+        for w in t.split():
+            for i in range(len(w) - 1):
+                brute[w[i:i + 2]] += 1
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+    out = {r["pair"]: r["cnt"] for r in textops.bpe_pair_counts(ds, top_n=50).take_all()}
+    assert out == dict(brute)
