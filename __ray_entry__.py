@@ -1673,6 +1673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_except_nations": q.set_except_q,
         "rank_events": q.rank_events_q,
         "bpe_pairs": q.bpe_pairs_q,
+        "gtiff_overviews": q.gtiff_overviews_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
@@ -2573,6 +2574,30 @@ def oracle_sql() -> dict[str, str]:
                   WHERE len(word) >= 2),
             c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
             SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20
+        """,
+        "gtiff_overviews": """
+            WITH base AS (SELECT a.range AS gx, b.range AS gy,
+                                 ((gx - 96) * (gx - 96) + (gy - 96) * (gy - 96)) // 64 AS v
+                          FROM range(192) a, range(192) b),
+            ov2 AS (SELECT gx // 2 AS ox, gy // 2 AS oy,
+                           (2 * sum(v) + 4) // 8 AS val
+                    FROM base GROUP BY 1, 2),
+            ov4 AS (SELECT gx // 4 AS ox, gy // 4 AS oy,
+                           (2 * sum(v) + 16) // 32 AS val
+                    FROM base GROUP BY 1, 2),
+            t2 AS (SELECT CAST(2 AS BIGINT) AS level,
+                          CAST(ox // 64 AS BIGINT) AS x,
+                          CAST(oy // 64 AS BIGINT) AS y,
+                          CAST(sum(val * (((oy % 64)
+                                 * (CASE WHEN ox // 64 = 1 THEN 32 ELSE 64 END)
+                                 + ox % 64) % 7 + 1)) % 65536 AS BIGINT) AS checksum
+                   FROM ov2 GROUP BY 2, 3),
+            t4 AS (SELECT CAST(4 AS BIGINT) AS level,
+                          CAST(0 AS BIGINT) AS x, CAST(0 AS BIGINT) AS y,
+                          CAST(sum(val * ((oy * 48 + ox) % 7 + 1)) % 65536
+                               AS BIGINT) AS checksum
+                   FROM ov4)
+            SELECT * FROM t2 UNION ALL SELECT * FROM t4
         """,
         "set_intersect_nations": """
             SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey

@@ -1199,6 +1199,43 @@ def gtiff_roundtrip_q(sf_dir: str):
     return tiles.map_batches(sums, batch_format="pyarrow")
 
 
+def gtiff_overviews_q(sf_dir: str):
+    """gdaladdo -r average 2 4 (apps/gdaladdo.cpp): integer hump 192x192
+    uint16 GeoTIFF -> distributed per-tile decimation -> internal-overview
+    IFDs appended in place -> both levels range-read back through the
+    manifest path -> per-tile checksums.  The oracle recomputes the
+    round-half-up block averages and the clipped-tile checksum weights."""
+    import os
+    import tempfile
+
+    from ..functions import checksum as cks_f
+    from ..sources import gtiff
+
+    gy, gx = np.mgrid[0:192, 0:192]
+    arr = (((gx - 96) ** 2 + (gy - 96) ** 2) // 64).astype(np.uint16)
+    path = f"{tempfile.gettempdir()}/gdal_ray_ovr_{os.getpid()}.tif"
+    gtiff.write_gtiff(path, arr, tile_size=64)
+    gtiff.gtiff_build_overviews(path, levels=(2, 4), kernel="average")
+
+    def sums(level: int):
+        def fn(t: pa.Table) -> pa.Table:
+            rows = []
+            for i in range(t.num_rows):
+                a = np.frombuffer(t["data"][i].as_py(), dtype=np.uint16)
+                a = a.reshape(t["height"][i].as_py(), t["width"][i].as_py())
+                rows.append({"level": level, "x": t["x"][i].as_py(),
+                             "y": t["y"][i].as_py(),
+                             "checksum": cks_f.tile_checksum(a)})
+            return pa.Table.from_pylist(rows)
+        return fn
+
+    ov2 = gtiff.read_gtiff_tiles(path, image=1).map_batches(
+        sums(2), batch_format="pyarrow")
+    ov4 = gtiff.read_gtiff_tiles(path, image=2).map_batches(
+        sums(4), batch_format="pyarrow")
+    return ov2.union(ov4)
+
+
 def shp_roundtrip_q(sf_dir: str):
     """Shapefile driver: write the zones layer (polygon WKB + C/N attribute
     fields) to .shp/.shx/.dbf, stream it back through the shx-manifest Ray

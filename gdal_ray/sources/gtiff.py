@@ -64,21 +64,22 @@ def _entry(tag: int, typ: int, values, en: str = "<") -> tuple[int, int, int, by
     return tag, typ, len(values), payload
 
 
-def write_gtiff(path: str, arr: np.ndarray, *, tile_size: int | None = None,
-                rows_per_strip: int = 64, origin=(0.0, 0.0),
-                pixel_size=(1.0, 1.0), epsg: int = 3857,
-                nodata: float | None = None, endian: str = "<") -> None:
-    """Serialize a 2-D array as a single-band uncompressed GeoTIFF.
+TAG_SUBFILE_TYPE = 254  # NewSubfileType: 1 = reduced-resolution (overview)
 
-    ``tile_size`` -> tiled layout (TIFF tiles pad to the full tile size with
-    zeros, per spec); None -> strips of ``rows_per_strip`` rows (the final
-    strip is short, unpadded).  ``origin`` is the outer corner of pixel (0,0)
-    (PixelIsArea); north-up files have positive ``pixel_size[1]`` stored as a
-    positive ModelPixelScale y (the reader re-applies the north-up sign).
-    """
+
+def _serialize_image(arr: np.ndarray, *, ifd_off: int, next_ifd: int = 0,
+                     tile_size: int | None = None, rows_per_strip: int = 64,
+                     origin=(0.0, 0.0), pixel_size=(1.0, 1.0), epsg: int = 3857,
+                     nodata: float | None = None, endian: str = "<",
+                     subfile_type: int | None = None) -> bytes:
+    """One complete image unit (IFD + out-of-line payloads + pixel chunks)
+    laid out starting at absolute file offset ``ifd_off``.  ``next_ifd`` is
+    written into the IFD's next-pointer slot (0 terminates the chain).
+    ``subfile_type=1`` marks a reduced-resolution overview image (gdaladdo's
+    internal-overview convention, frmts/gtiff surface)."""
     arr = np.ascontiguousarray(arr)
     if arr.ndim != 2:
-        raise ValueError("write_gtiff expects a single-band 2-D array")
+        raise ValueError("expected a single-band 2-D array")
     if str(arr.dtype) not in _DTYPE_TO_FMT:
         raise ValueError(f"unsupported dtype {arr.dtype}")
     if endian not in ("<", ">"):
@@ -125,6 +126,8 @@ def write_gtiff(path: str, arr: np.ndarray, *, tile_size: int | None = None,
     ]
     if nodata is not None:
         entries.append(_entry(TAG_GDAL_NODATA, 2, repr(float(nodata)), en=en))
+    if subfile_type is not None:
+        entries.append(_entry(TAG_SUBFILE_TYPE, 4, subfile_type, en=en))
     counts = [len(c) for c in chunks]
     if tile_size:
         entries.append(_entry(TAG_TILE_W, 3, tile_size, en=en))
@@ -139,7 +142,7 @@ def write_gtiff(path: str, arr: np.ndarray, *, tile_size: int | None = None,
     entries.sort(key=lambda e: e[0])
 
     ifd_size = 2 + 12 * len(entries) + 4
-    ext_off = 8 + ifd_size
+    ext_off = ifd_off + ifd_size
     ext_payloads: list[bytes] = []
     slots = {}  # tag -> external offset (0 = inline)
     for tag, typ, count, payload in entries:
@@ -166,34 +169,45 @@ def write_gtiff(path: str, arr: np.ndarray, *, tile_size: int | None = None,
             tail = payload + b"\x00" * (4 - len(payload))
         return struct.pack(en + "HHI", tag, typ, count) + tail
 
+    out = [struct.pack(en + "H", len(entries))]
+    for e in entries:
+        out.append(render(*e))
+    out.append(struct.pack(en + "I", next_ifd))
+    for tag, typ, count, payload in entries:
+        if slots[tag]:
+            if tag == off_tag:
+                payload = struct.pack(en + "%dI" % len(offsets), *offsets)
+                if len(payload) % 2:
+                    payload += b"\x00"
+            out.append(payload)
+    out.extend(chunks)
+    return b"".join(out)
+
+
+def write_gtiff(path: str, arr: np.ndarray, *, tile_size: int | None = None,
+                rows_per_strip: int = 64, origin=(0.0, 0.0),
+                pixel_size=(1.0, 1.0), epsg: int = 3857,
+                nodata: float | None = None, endian: str = "<") -> None:
+    """Serialize a 2-D array as a single-band uncompressed GeoTIFF.
+
+    ``tile_size`` -> tiled layout (TIFF tiles pad to the full tile size with
+    zeros, per spec); None -> strips of ``rows_per_strip`` rows (the final
+    strip is short, unpadded).  ``origin`` is the outer corner of pixel (0,0)
+    (PixelIsArea); north-up files have positive ``pixel_size[1]`` stored as a
+    positive ModelPixelScale y (the reader re-applies the north-up sign).
+    """
+    en = "<" if endian == "<" else ">"
+    body = _serialize_image(
+        arr, ifd_off=8, next_ifd=0, tile_size=tile_size,
+        rows_per_strip=rows_per_strip, origin=origin, pixel_size=pixel_size,
+        epsg=epsg, nodata=nodata, endian=endian)
     with open(path, "wb") as f:
         f.write(struct.pack(en + "2sHI", b"II" if en == "<" else b"MM", 42, 8))
-        f.write(struct.pack(en + "H", len(entries)))
-        for e in entries:
-            f.write(render(*e))
-        f.write(struct.pack(en + "I", 0))
-        for tag, typ, count, payload in entries:
-            if slots[tag]:
-                if tag == off_tag:
-                    payload = struct.pack(en + "%dI" % len(offsets), *offsets)
-                    if len(payload) % 2:
-                        payload += b"\x00"
-                f.write(payload)
-        for c in chunks:
-            f.write(c)
+        f.write(body)
 
 
-def _parse_ifd(buf: bytes):
-    """-> (endian '<'/'>', {tag: list-of-values})."""
-    if buf[:2] == b"II":
-        en = "<"
-    elif buf[:2] == b"MM":
-        en = ">"
-    else:
-        raise ValueError("not a TIFF: bad byte-order mark")
-    magic, ifd_off = struct.unpack(en + "HI", buf[2:8])
-    if magic != 42:
-        raise ValueError(f"not a classic TIFF (magic {magic})")
+def _parse_one_ifd(buf: bytes, en: str, ifd_off: int):
+    """-> ({tag: values}, next_ifd_offset) for the IFD at ``ifd_off``."""
     (n,) = struct.unpack_from(en + "H", buf, ifd_off)
     tags = {}
     for i in range(n):
@@ -207,7 +221,110 @@ def _parse_ifd(buf: bytes):
         elif typ in _TYPE_FMT:
             tags[tag] = list(struct.unpack_from(en + "%d%s" % (count, _TYPE_FMT[typ]), buf, voff))
         # unknown types are skipped, per the TIFF readers-ignore rule
+    (nxt,) = struct.unpack_from(en + "I", buf, ifd_off + 2 + 12 * n)
+    return tags, nxt
+
+
+def _tiff_header(buf: bytes):
+    if buf[:2] == b"II":
+        en = "<"
+    elif buf[:2] == b"MM":
+        en = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, ifd_off = struct.unpack(en + "HI", buf[2:8])
+    if magic != 42:
+        raise ValueError(f"not a classic TIFF (magic {magic})")
+    return en, ifd_off
+
+
+def _parse_ifd_chain(buf: bytes):
+    """-> (endian, [tags, ...]) — image 0 is the full raster, the rest are
+    reduced-resolution overviews in chain order (gdaladdo layout)."""
+    en, off = _tiff_header(buf)
+    images = []
+    while off:
+        tags, off = _parse_one_ifd(buf, en, off)
+        images.append(tags)
+        if len(images) > 64:
+            raise ValueError("IFD chain too long / cyclic")
+    return en, images
+
+
+def _parse_ifd(buf: bytes):
+    """-> (endian '<'/'>', {tag: list-of-values}) for the FIRST image."""
+    en, off = _tiff_header(buf)
+    tags, _ = _parse_one_ifd(buf, en, off)
     return en, tags
+
+
+def _parse_one_ifd_file(f, en: str, ifd_off: int):
+    """Seek-based single-IFD parse — only the IFD and its out-of-line
+    payloads are read (a few hundred bytes), never pixel data."""
+    f.seek(ifd_off)
+    (n,) = struct.unpack(en + "H", f.read(2))
+    body = f.read(12 * n + 4)
+    tags = {}
+    for i in range(n):
+        tag, typ, count = struct.unpack_from(en + "HHI", body, 12 * i)
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size > 4:
+            (voff,) = struct.unpack_from(en + "I", body, 12 * i + 8)
+            f.seek(voff)
+            raw = f.read(size)
+        else:
+            raw = body[12 * i + 8:12 * i + 12]
+        if typ == 2:
+            tags[tag] = raw[:count].split(b"\x00")[0].decode("latin1")
+        elif typ in _TYPE_FMT:
+            tags[tag] = list(struct.unpack_from(
+                en + "%d%s" % (count, _TYPE_FMT[typ]), raw, 0))
+    (nxt,) = struct.unpack_from(en + "I", body, 12 * n)
+    return tags, nxt
+
+
+def append_gtiff_images(path: str, arrs, *, tile_size: int | None = None,
+                        rows_per_strip: int = 64, origin=(0.0, 0.0),
+                        pixel_size=(1.0, 1.0), epsg: int = 3857,
+                        nodata: float | None = None,
+                        subfile_type: int = 1) -> None:
+    """Append reduced-resolution images to an existing GeoTIFF IN PLACE —
+    gdaladdo's internal-overview behavior (apps/gdaladdo.cpp surface, layout
+    per the frmts/gtiff internal-overview convention): each new image gets
+    its own IFD chained off the last one, tagged NewSubfileType=1.  Only the
+    4-byte next-IFD pointer of the existing file is rewritten; existing
+    bytes are never moved (so finished byte ranges in any tile manifest
+    stay valid — the resume property)."""
+    with open(path, "r+b") as f:
+        head = f.read(8)
+        en, off = _tiff_header(head)
+        while True:
+            f.seek(off)
+            (n,) = struct.unpack(en + "H", f.read(2))
+            ptr_off = off + 2 + 12 * n
+            f.seek(ptr_off)
+            (nxt,) = struct.unpack(en + "I", f.read(4))
+            if nxt == 0:
+                break
+            off = nxt
+        for i, arr in enumerate(arrs):
+            end = f.seek(0, 2)
+            if end % 2:  # keep word alignment, per spec
+                f.write(b"\x00")
+                end += 1
+            # per-image pixel size (overviews have coarser ground pitch)
+            ps = pixel_size[i] if isinstance(pixel_size, list) else pixel_size
+            body = _serialize_image(
+                arr, ifd_off=end, next_ifd=0, tile_size=tile_size,
+                rows_per_strip=rows_per_strip, origin=origin, pixel_size=ps,
+                epsg=epsg, nodata=nodata, endian=en, subfile_type=subfile_type)
+            f.seek(end)
+            f.write(body)
+            f.seek(ptr_off)
+            f.write(struct.pack(en + "I", end))
+            f.seek(end)
+            (n2,) = struct.unpack(en + "H", f.read(2))
+            ptr_off = end + 2 + 12 * n2
 
 
 def _chunk_layout(tags, en):
@@ -259,15 +376,19 @@ def _chunk_layout(tags, en):
                 zip(tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_COUNTS]))
         ]
     return {"width": w, "height": h, "dtype": dname, "endian": en,
+            "layout": "tiles" if TAG_TILE_OFFSETS in tags else "strips",
             "chunks": chunks, **geo}
 
 
-def read_gtiff(path: str):
-    """Eager parse -> (2-D array in native byte order, meta dict)."""
+def read_gtiff(path: str, image: int = 0):
+    """Eager parse -> (2-D array in native byte order, meta dict).
+    ``image`` indexes the IFD chain: 0 = full raster, 1.. = overviews."""
     with open(path, "rb") as f:
         buf = f.read()
-    en, tags = _parse_ifd(buf)
+    en, images = _parse_ifd_chain(buf)
+    tags = images[image]
     lay = _chunk_layout(tags, en)
+    lay["n_images"] = len(images)
     dt = np.dtype(lay["dtype"]).newbyteorder(en)
     out = np.zeros((lay["height"], lay["width"]), dtype=lay["dtype"])
     for c in lay["chunks"]:
@@ -282,29 +403,38 @@ def read_gtiff(path: str):
         out[y0:y0 + c["clip_h"], x0:x0 + c["clip_w"]] = \
             a[: c["clip_h"], : c["clip_w"]].astype(lay["dtype"])
     meta = {k: lay[k] for k in ("origin", "pixel_size", "epsg", "nodata",
-                                "width", "height", "dtype")}
+                                "width", "height", "dtype", "n_images")}
     return out, meta
 
 
-def read_gtiff_manifest(path: str) -> dict:
-    """Parse only the IFD (header bytes) -> layout dict with chunk ranges.
-    At 100 TB this is the ONLY driver-side read; pixels stay on workers."""
+def read_gtiff_manifest(path: str, image: int = 0) -> dict:
+    """Parse only the IFD chain (seek-based, a few hundred bytes per IFD) ->
+    layout dict with chunk ranges for image ``image`` (0 = full raster,
+    1.. = overviews).  At 100 TB this is the ONLY driver-side read; pixels
+    stay on workers."""
     with open(path, "rb") as f:
-        head = f.read(65536)
-    en, tags = _parse_ifd(head)
-    return _chunk_layout(tags, en)
+        en, off = _tiff_header(f.read(8))
+        images = []
+        while off:
+            tags, off = _parse_one_ifd_file(f, en, off)
+            images.append(tags)
+            if len(images) > 64:
+                raise ValueError("IFD chain too long / cyclic")
+    lay = _chunk_layout(images[image], en)
+    lay["n_images"] = len(images)
+    return lay
 
 
-def read_gtiff_tiles(path: str, z: int = 4, band: int = 1):
+def read_gtiff_tiles(path: str, z: int = 4, band: int = 1, image: int = 0):
     """GeoTIFF -> the engine's standard tile-row Dataset.
 
     Driver parses the IFD only; each worker range-reads its chunks' bytes
     (``map_batches`` over the manifest) and trims TIFF edge-tile padding to
-    the engine's clipped-edge convention.
+    the engine's clipped-edge convention.  ``image`` selects an overview.
     """
     import ray.data as rd
 
-    lay = read_gtiff_manifest(path)
+    lay = read_gtiff_manifest(path, image=image)
     man = pa.Table.from_pylist([
         {"tx": c["tx"], "ty": c["ty"], "offset": c["offset"],
          "nbytes": c["nbytes"], "chunk_w": c["chunk_w"], "chunk_h": c["chunk_h"],
@@ -336,3 +466,82 @@ def read_gtiff_tiles(path: str, z: int = 4, band: int = 1):
         return pa.Table.from_pylist(rows)
 
     return rd.from_arrow(man).map_batches(fetch, batch_format="pyarrow")
+
+
+def _decimate_int(arr: np.ndarray, L: int, kernel: str) -> np.ndarray:
+    """One L x L block reduction with exact integer arithmetic: 'average' is
+    round-half-up over the pixels actually present (edge blocks may be
+    partial), 'nearest' takes the top-left sample — gcore/overview.cpp
+    semantics for integer bands."""
+    h, w = arr.shape
+    if kernel == "nearest":
+        return np.ascontiguousarray(arr[::L, ::L])
+    if kernel != "average":
+        raise ValueError(f"unsupported overview kernel {kernel!r}")
+    H, W = -(-h // L), -(-w // L)
+    a = np.zeros((H * L, W * L), dtype=np.int64)
+    a[:h, :w] = arr
+    m = np.zeros((H * L, W * L), dtype=np.int64)
+    m[:h, :w] = 1
+    s = a.reshape(H, L, W, L).sum(axis=(1, 3))
+    n = m.reshape(H, L, W, L).sum(axis=(1, 3))
+    return ((2 * s + n) // (2 * n)).astype(arr.dtype)
+
+
+def gtiff_build_overviews(path: str, levels=(2, 4), kernel: str = "average"):
+    """gdaladdo (apps/gdaladdo.cpp surface): build internal overviews for an
+    existing GeoTIFF and append them as chained reduced-resolution IFDs.
+
+    Distributed shape: decimation runs per SOURCE tile inside map_batches
+    (the tile pitch must be divisible by every level, so L x L blocks never
+    straddle tiles — asserted); only the decimated fragments (1/L^2 of the
+    base, per level) return to the driver for assembly + append.  Appending
+    to one file is inherently a single-writer step; at 100 TB the overview
+    LEVELS themselves would be separate tiled objects (the engine's pyramid
+    stage) — this driver path mirrors gdaladdo's in-place file semantics.
+    """
+    import ray.data as rd  # noqa: F401
+
+    lay = read_gtiff_manifest(path)
+    if lay["layout"] != "tiles":
+        raise ValueError("tiled layout required for overview build")
+    ts = lay["chunks"][0]["chunk_w"]
+    if lay["chunks"][0]["chunk_h"] != ts:
+        raise ValueError("square tiles required for overview build")
+    for L in levels:
+        if ts % L:
+            raise ValueError(f"tile size {ts} not divisible by level {L}")
+    dname = lay["dtype"]
+    levels = list(levels)
+    tiles = read_gtiff_tiles(path)
+
+    def frags(t: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(t.num_rows):
+            h_, w_ = t["height"][i].as_py(), t["width"][i].as_py()
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=dname).reshape(h_, w_)
+            tx, ty = t["x"][i].as_py(), t["y"][i].as_py()
+            for L in levels:
+                d = _decimate_int(a, L, kernel)
+                rows.append({"level": L, "fx": tx * ts // L, "fy": ty * ts // L,
+                             "fh": d.shape[0], "fw": d.shape[1],
+                             "data": d.tobytes()})
+        return pa.Table.from_pylist(rows)
+
+    frag_rows = tiles.map_batches(frags, batch_format="pyarrow").take_all()
+    arrs, sizes = [], []
+    for L in levels:
+        H, W = -(-lay["height"] // L), -(-lay["width"] // L)
+        out = np.zeros((H, W), dtype=dname)
+        for r in frag_rows:
+            if r["level"] != L:
+                continue
+            d = np.frombuffer(r["data"], dtype=dname).reshape(r["fh"], r["fw"])
+            out[r["fy"]:r["fy"] + r["fh"], r["fx"]:r["fx"] + r["fw"]] = d
+        arrs.append(out)
+        sizes.append((lay["pixel_size"][0] * L, lay["pixel_size"][1] * L))
+    append_gtiff_images(path, arrs, tile_size=ts, origin=lay["origin"],
+                        pixel_size=sizes, epsg=lay["epsg"] or 3857,
+                        nodata=lay["nodata"])
+    return [a.shape for a in arrs]

@@ -439,3 +439,66 @@ def test_gtiff_rejects_malformed(tmp_path):
         gtiff.write_gtiff(str(bad), np.zeros((2, 2, 3), dtype=np.uint8))
     with pytest.raises(ValueError, match="unsupported dtype"):
         gtiff.write_gtiff(str(bad), np.zeros((2, 2), dtype=np.complex64))
+
+
+def test_gtiff_overviews_chain_and_edges(ray_session, tmp_path):
+    """gdaladdo path: append internal overviews, read back via both the
+    eager and manifest paths; partial edge blocks average over the pixels
+    actually present; nearest kernel takes top-left; base image bytes are
+    untouched by the in-place append."""
+    import numpy as np
+
+    from gdal_ray.sources import gtiff
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 1000, size=(100, 70)).astype(np.uint16)
+    path = str(tmp_path / "ov.tif")
+    gtiff.write_gtiff(path, arr, tile_size=64, nodata=0.0)
+    base_bytes = open(path, "rb").read()
+    gtiff.gtiff_build_overviews(path, levels=(2,), kernel="average")
+    after = open(path, "rb").read()[:len(base_bytes)]
+    # in-place append: ONLY the 4-byte next-IFD pointer differs in the prefix
+    diff = [i for i in range(len(base_bytes)) if base_bytes[i] != after[i]]
+    assert len(diff) <= 4 and (not diff or diff[-1] - diff[0] < 4)
+    a0, m0 = gtiff.read_gtiff(path, image=0)
+    a2, m2 = gtiff.read_gtiff(path, image=1)
+    assert np.array_equal(a0, arr) and m0["n_images"] == 2
+    assert a2.shape == (50, 35)
+    assert m2["pixel_size"] == (2.0, 2.0) and m2["nodata"] == 0.0
+    # brute round-half-up block average incl. the odd right edge (70 = 2*35)
+    for oy in (0, 17, 49):
+        for ox in (0, 9, 34):
+            blk = arr[oy * 2:oy * 2 + 2, ox * 2:ox * 2 + 2].astype(np.int64)
+            n = blk.size
+            assert a2[oy, ox] == (2 * blk.sum() + n) // (2 * n)
+    # nearest kernel + manifest/tiles read of the overview image
+    path2 = str(tmp_path / "ov2.tif")
+    gtiff.write_gtiff(path2, arr, tile_size=64)
+    gtiff.gtiff_build_overviews(path2, levels=(2,), kernel="nearest")
+    an, _ = gtiff.read_gtiff(path2, image=1)
+    assert np.array_equal(an, arr[::2, ::2])
+    rows = gtiff.read_gtiff_tiles(path2, image=1).take_all()
+    got = np.zeros((50, 35), np.uint16)
+    for r in rows:
+        a = np.frombuffer(r["data"], np.uint16).reshape(r["height"], r["width"])
+        got[r["y"] * 64:r["y"] * 64 + r["height"],
+            r["x"] * 64:r["x"] * 64 + r["width"]] = a
+    assert np.array_equal(got, an)
+
+
+def test_gtiff_overview_guards(tmp_path):
+    """Stripped layouts and non-divisible levels are rejected loudly."""
+    import numpy as np
+    import pytest
+
+    from gdal_ray.sources import gtiff
+
+    arr = np.arange(64 * 64, dtype=np.uint16).reshape(64, 64)
+    p1 = str(tmp_path / "strips.tif")
+    gtiff.write_gtiff(p1, arr)  # stripped
+    with pytest.raises(ValueError, match="tiled"):
+        gtiff.gtiff_build_overviews(p1, levels=(2,))
+    p2 = str(tmp_path / "tiled.tif")
+    gtiff.write_gtiff(p2, arr, tile_size=64)
+    with pytest.raises(ValueError, match="divisible"):
+        gtiff.gtiff_build_overviews(p2, levels=(3,))
