@@ -1674,6 +1674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_events": q.rank_events_q,
         "bpe_pairs": q.bpe_pairs_q,
         "gtiff_overviews": q.gtiff_overviews_q,
+        "cell_cover": q.cell_cover_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
@@ -2574,6 +2575,41 @@ def oracle_sql() -> dict[str, str]:
                   WHERE len(word) >= 2),
             c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
             SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20
+        """,
+        "cell_cover": f"""
+            WITH RECURSIVE {_ZONES.strip().lstrip()},
+            zb AS (SELECT zone_key,
+                          LEAST(GREATEST((minx + 180.0) / 360.0, 0.0), 1.0) AS fx0,
+                          LEAST(GREATEST((maxx + 180.0) / 360.0, 0.0), 1.0) AS fx1,
+                          LEAST(GREATEST((1.0 - ln(tan(radians(maxy))
+                                + 1.0 / cos(radians(maxy))) / pi()) / 2.0, 0.0), 1.0) AS fy0,
+                          LEAST(GREATEST((1.0 - ln(tan(radians(miny))
+                                + 1.0 / cos(radians(miny))) / pi()) / 2.0, 0.0), 1.0) AS fy1
+                   FROM zz),
+            cov AS (
+                SELECT zone_key, 0 AS zl, CAST(0 AS BIGINT) AS x,
+                       CAST(0 AS BIGINT) AS y,
+                       fx0 AS fx0s, fx1 AS fx1s, fy0 AS fy0s, fy1 AS fy1s
+                FROM zb
+                UNION ALL
+                SELECT c.zone_key, c.zl + 1, 2 * c.x + d.dx, 2 * c.y + d.dy,
+                       c.fx0s * 2, c.fx1s * 2, c.fy0s * 2, c.fy1s * 2
+                FROM cov c, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)
+                WHERE c.zl < 8
+                  AND NOT (c.x >= c.fx0s AND c.x + 1 <= c.fx1s
+                           AND c.y >= c.fy0s AND c.y + 1 <= c.fy1s)
+                  AND (2 * c.x + d.dx) + 1 > c.fx0s * 2
+                  AND (2 * c.x + d.dx) < c.fx1s * 2
+                  AND (2 * c.y + d.dy) + 1 > c.fy0s * 2
+                  AND (2 * c.y + d.dy) < c.fy1s * 2
+            )
+            SELECT zone_key, CAST(zl AS BIGINT) AS z, x, y,
+                   CAST(CASE WHEN x >= fx0s AND x + 1 <= fx1s
+                             AND y >= fy0s AND y + 1 <= fy1s
+                        THEN 1 ELSE 0 END AS BIGINT) AS contained
+            FROM cov
+            WHERE (x >= fx0s AND x + 1 <= fx1s AND y >= fy0s AND y + 1 <= fy1s)
+               OR zl = 8
         """,
         "gtiff_overviews": """
             WITH base AS (SELECT a.range AS gx, b.range AS gy,

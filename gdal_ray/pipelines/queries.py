@@ -2361,6 +2361,17 @@ def span_stats_q(sf_dir: str):
     return media.span_stats(docs)
 
 
+def cell_cover_q(sf_dir: str):
+    """S2-RegionCoverer-role quadtree cell cover (north-star H3/S2 index
+    surface): mixed-level XYZ cells per zone — interior cells at the
+    coarsest level that fits, boundary cells subdivided to z8.  The oracle
+    replays the identical subdivision as a recursive CTE (power-of-two
+    scaling is FP-exact, so the frontier matches cell for cell)."""
+    zones = rd.from_arrow(_zones(sf_dir)).select_columns(
+        ["zone_key", "minx", "miny", "maxx", "maxy"])
+    return tiles.quad_cell_cover(zones, max_level=8)
+
+
 def bpe_pairs_q(sf_dir: str):
     """BPE tokenizer-training step 1: corpus-wide top-20 adjacent byte pairs
     (within words), one bincount(65536) partial per batch."""

@@ -65,3 +65,70 @@ def assign_tiles(ds, zooms=(8,), key_col: str = "doc_id", with_cell: bool = True
         return assign_tiles_batch(derive_geometry_batch(batch, key_col), zooms, with_cell)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quad_cell_cover(zones_ds, max_level: int = 8):
+    """S2/H3-RegionCoverer-role quadtree cell cover (north-star surface;
+    reference analogue: the tile-index walk of apps/gdalalg_raster_tile.cpp):
+    each zone rectangle gets a MIXED-LEVEL set of XYZ cells — cells fully
+    inside the zone emit at the coarsest level that fits ('contained'),
+    boundary cells subdivide down to ``max_level`` ('partial').
+
+    Fully vectorized level-synchronous BFS: one frontier array per level for
+    the WHOLE batch (np.repeat fan-out to 4 children), no per-zone Python.
+    Output: (zone_key, z, x, y, contained).
+    """
+
+    def cover(t: pa.Table) -> pa.Table:
+        minx = t["minx"].to_numpy(zero_copy_only=False)
+        miny = t["miny"].to_numpy(zero_copy_only=False)
+        maxx = t["maxx"].to_numpy(zero_copy_only=False)
+        maxy = t["maxy"].to_numpy(zero_copy_only=False)
+        keys = t["zone_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+
+        def clamp01(f):
+            return np.minimum(np.maximum(f, 0.0), 1.0)
+
+        def merc_y(lat):
+            return (1.0 - np.log(np.tan(np.radians(lat))
+                                 + 1.0 / np.cos(np.radians(lat))) / np.pi) / 2.0
+
+        f0x0 = clamp01((minx + 180.0) / 360.0)
+        f0x1 = clamp01((maxx + 180.0) / 360.0)
+        f0y0 = clamp01(merc_y(maxy))  # top of rect = smaller tile y
+        f0y1 = clamp01(merc_y(miny))
+
+        r = np.arange(n, dtype=np.int64)
+        x = np.zeros(n, dtype=np.int64)
+        y = np.zeros(n, dtype=np.int64)
+        out_k, out_z, out_x, out_y, out_c = [], [], [], [], []
+        for z in range(max_level + 1):
+            s = float(1 << z)
+            fx0, fx1 = f0x0[r] * s, f0x1[r] * s
+            fy0, fy1 = f0y0[r] * s, f0y1[r] * s
+            inter = (x + 1 > fx0) & (x < fx1) & (y + 1 > fy0) & (y < fy1)
+            cont = (x >= fx0) & (x + 1 <= fx1) & (y >= fy0) & (y + 1 <= fy1)
+            done = inter & (cont | (z == max_level))
+            if done.any():
+                out_k.append(keys[r[done]])
+                out_z.append(np.full(int(done.sum()), z, dtype=np.int64))
+                out_x.append(x[done])
+                out_y.append(y[done])
+                out_c.append(cont[done].astype(np.int64))
+            live = inter & ~cont & (z < max_level)
+            if not live.any():
+                break
+            r = np.repeat(r[live], 4)
+            cx = np.repeat(2 * x[live], 4) + np.tile([0, 1, 0, 1], int(live.sum()))
+            cy = np.repeat(2 * y[live], 4) + np.tile([0, 0, 1, 1], int(live.sum()))
+            x, y = cx, cy
+        return pa.table({
+            "zone_key": pa.array(np.concatenate(out_k) if out_k else np.array([], np.int64)),
+            "z": pa.array(np.concatenate(out_z) if out_z else np.array([], np.int64)),
+            "x": pa.array(np.concatenate(out_x) if out_x else np.array([], np.int64)),
+            "y": pa.array(np.concatenate(out_y) if out_y else np.array([], np.int64)),
+            "contained": pa.array(np.concatenate(out_c) if out_c else np.array([], np.int64)),
+        })
+
+    return zones_ds.map_batches(cover, batch_format="pyarrow")

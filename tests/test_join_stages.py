@@ -233,3 +233,53 @@ def test_dwithin_radius_join_matches_brute(ray_session):
     d2 = (px[:, None] - cx[None, :]) ** 2 + (py[:, None] - cy[None, :]) ** 2
     expect = {(int(i), int(j)) for i, j in zip(*np.nonzero(d2 <= 4.0))}
     assert got == expect
+
+
+def test_quad_cell_cover_partition_invariant(ray_session):
+    """Cover cells are a PARTITION of the zone's z8 footprint: every z8 cell
+    intersecting the rect descends from exactly one emitted cover cell, and
+    'contained' cells lie fully inside the rect."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import tiles
+
+    keys = np.array([3, 17, 999, 424242], dtype=np.int64)
+    zones = rd.from_arrow(synthetic.make_rect_zones(keys).select(
+        ["zone_key", "minx", "miny", "maxx", "maxy"]))
+    out = tiles.quad_cell_cover(zones, max_level=8).take_all()
+    rects = dict(zip(keys.tolist(), zip(*synthetic.zone_rects_from_keys(keys))))
+
+    def fx(lon):
+        return min(max((lon + 180.0) / 360.0, 0.0), 1.0)
+
+    def fy(lat):
+        v = (1.0 - np.log(np.tan(np.radians(lat))
+                          + 1.0 / np.cos(np.radians(lat))) / np.pi) / 2.0
+        return min(max(v, 0.0), 1.0)
+
+    for k in keys.tolist():
+        minx, miny, maxx, maxy = rects[k]
+        fx0, fx1, fy0, fy1 = fx(minx), fx(maxx), fy(maxy), fy(miny)
+        cells = [(r["z"], r["x"], r["y"], r["contained"]) for r in out
+                 if r["zone_key"] == k]
+        # every z8 cell intersecting the rect -> exactly one covering ancestor
+        s8 = 256.0
+        x8lo, x8hi = int(np.floor(fx0 * s8)), int(np.ceil(fx1 * s8))
+        y8lo, y8hi = int(np.floor(fy0 * s8)), int(np.ceil(fy1 * s8))
+        by_anc = {(z, x, y) for z, x, y, _ in cells}
+        for x in range(x8lo, x8hi):
+            for y in range(y8lo, y8hi):
+                if not (x + 1 > fx0 * s8 and x < fx1 * s8
+                        and y + 1 > fy0 * s8 and y < fy1 * s8):
+                    continue
+                ancs = [(z, x >> (8 - z), y >> (8 - z)) for z in range(9)]
+                hits = [a for a in ancs if a in by_anc]
+                assert len(hits) == 1, (k, x, y, hits)
+        for z, x, y, cont in cells:
+            if cont:
+                s = float(1 << z)
+                assert x >= fx0 * s and x + 1 <= fx1 * s
+                assert y >= fy0 * s and y + 1 <= fy1 * s
