@@ -1675,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": q.bpe_pairs_q,
         "gtiff_overviews": q.gtiff_overviews_q,
         "cell_cover": q.cell_cover_q,
+        "hll_users": q.hll_users_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
@@ -2575,6 +2576,24 @@ def oracle_sql() -> dict[str, str]:
                   WHERE len(word) >= 2),
             c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
             SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20
+        """,
+        "hll_users": f"""
+            WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+            v AS (SELECT {_hex_be32('h', 0)} AS v FROM h),
+            rw AS (SELECT v // 67108864 AS register, v % 67108864 AS w FROM v),
+            rk AS (SELECT register,
+                          CASE WHEN w > 0 THEN 27 - len(bin(w)) ELSE 27 END AS rank
+                   FROM rw),
+            mx AS (SELECT register, max(rank) AS rank FROM rk GROUP BY 1),
+            regs AS (SELECT g.range AS register, coalesce(mx.rank, 0) AS rank
+                     FROM range(64) g LEFT JOIN mx ON mx.register = g.range),
+            s AS (SELECT sum(power(2.0, -rank)) AS denom,
+                         sum(CASE WHEN rank > 0 THEN 1 ELSE 0 END) AS nz
+                  FROM regs)
+            SELECT CAST(nz AS BIGINT) AS n_registers,
+                   CAST(floor(0.709 * 64 * 64 / denom * 1000.0 + 0.5) AS BIGINT)
+                        AS est_x1000
+            FROM s
         """,
         "cell_cover": f"""
             WITH RECURSIVE {_ZONES.strip().lstrip()},

@@ -2361,6 +2361,18 @@ def span_stats_q(sf_dir: str):
     return media.span_stats(docs)
 
 
+def hll_users_q(sf_dir: str):
+    """HyperLogLog distinct-user estimate over events — the constant-memory
+    COUNT(DISTINCT) sketch for 100 TB streams (64 registers; batch partials
+    merge with max in any tree order).  The oracle recomputes every register
+    from md5 hex arithmetic and the estimate from the same dyadic-exact
+    sum, so even the float estimate hash-matches."""
+    from ..stages import sim
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    return sim.hll_estimate(ev, "user_id")
+
+
 def cell_cover_q(sf_dir: str):
     """S2-RegionCoverer-role quadtree cell cover (north-star H3/S2 index
     surface): mixed-level XYZ cells per zone — interior cells at the

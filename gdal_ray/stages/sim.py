@@ -363,3 +363,71 @@ def kmeans_assign(ds, k: int = 8, iters: int = 2, id_col: str = "vec_id",
         return pa.table(cols)
 
     return ds.map_batches(assign_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (beyond-reference; the constant-memory
+# COUNT(DISTINCT) at 100 TB — registers merge with max, so partials combine
+# in any order and any tree shape)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64          # registers (b = 6 index bits)
+HLL_ALPHA = 0.709   # alpha_64 (Flajolet et al. 2007, public constant)
+
+
+def hll_partials(ds, key_col: str):
+    """Per-batch HLL register partials: md5(key) -> 32-bit value; top 6 bits
+    pick the register, rank = leading-zero count of the remaining 26 bits
+    + 1 (capped at 27).  Emits only (register, rank) maxima — 64 rows per
+    batch regardless of batch size."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        vals = np.empty(len(keys), dtype=np.int64)
+        for i, k in enumerate(keys):
+            h = hashlib.md5(str(k).encode()).hexdigest()
+            vals[i] = int(h[:8], 16)
+        reg = vals >> 26
+        w = vals & ((1 << 26) - 1)
+        # rank = 27 - bit_length(w): frexp's exponent IS bit_length, exactly
+        # (f64 represents every int < 2^53 exactly; log2 would misround at
+        # power-of-two boundaries)
+        ranks = np.where(w > 0,
+                         27 - np.frexp(w.astype(np.float64))[1].astype(np.int64),
+                         27)
+        m = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(m, reg, ranks)
+        nz = np.flatnonzero(m)
+        return pa.table({"register": pa.array(nz.astype(np.int64)),
+                         "rank": pa.array(m[nz])})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def hll_estimate(ds, key_col: str):
+    """Distributed HLL: register partials -> one tiny max-merge groupby ->
+    the raw HLL estimate.  Output: (n_registers, est_x1000).
+
+    The estimate is FP-exact across reduction orders: every 2^-rank term is
+    a dyadic rational with <= 27 fractional bits, and 64 such terms span at
+    most 33 mantissa bits, so the f64 sum is exact regardless of order."""
+    from ray.data.aggregate import Max
+
+    merged = hll_partials(ds, key_col).groupby("register").aggregate(
+        Max("rank", alias_name="rank"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        reg = t["register"].to_numpy(zero_copy_only=False)
+        rk = t["rank"].to_numpy(zero_copy_only=False)
+        m = np.zeros(HLL_M, dtype=np.int64)
+        m[reg] = rk
+        denom = np.sum(np.ldexp(1.0, -m.astype(np.int64)))
+        est = HLL_ALPHA * HLL_M * HLL_M / denom
+        return pa.table({
+            "n_registers": pa.array([int((m > 0).sum())], pa.int64()),
+            "est_x1000": pa.array([int(np.floor(est * 1000.0 + 0.5))], pa.int64()),
+        })
+
+    # 64-row final fold — a driver-sized reduce by construction
+    return merged.repartition(1).map_batches(finalize, batch_format="pyarrow")

@@ -113,3 +113,24 @@ def test_ivf_topk_probe_tradeoff():
     r12 = len(set(sim.ivf_topk(ds, np.array([q0]), [0], k=10, n_centroids=16,
                                nprobe=12).to_pandas()["vec_id"]) & truth)
     assert 0 < r4 <= r12 <= 10
+
+
+def test_hll_estimate_accuracy_and_merge_invariance(ray_session):
+    """HLL: estimate within the ~13% (1.04/sqrt(64)) band on known
+    cardinalities, and batch-split layout does not change the result
+    (register max-merge is associative/commutative)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import sim
+
+    for true_n in (150, 2000):
+        keys = np.repeat(np.arange(true_n, dtype=np.int64), 3)
+        tbl = pa.table({"k": pa.array(keys)})
+        one = sim.hll_estimate(rd.from_arrow(tbl), "k").take_all()[0]
+        est = one["est_x1000"] / 1000.0
+        assert abs(est - true_n) / true_n < 0.35  # 64 registers: sigma ~13%
+        many = sim.hll_estimate(
+            rd.from_arrow(tbl).repartition(7), "k").take_all()[0]
+        assert many == one
