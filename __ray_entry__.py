@@ -1676,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gtiff_overviews": q.gtiff_overviews_q,
         "cell_cover": q.cell_cover_q,
         "hll_users": q.hll_users_q,
+        "mix_sources": q.mix_sources_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
@@ -2576,6 +2577,14 @@ def oracle_sql() -> dict[str, str]:
                   WHERE len(word) >= 2),
             c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
             SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20
+        """,
+        "mix_sources": """
+            SELECT doc_id, source,
+                   CAST((25 + (CAST(substr(source, 4) AS BIGINT) * 37) % 300) // 100
+                        + CASE WHEN (doc_id * 2654435761) % 100
+                               < (25 + (CAST(substr(source, 4) AS BIGINT) * 37) % 300) % 100
+                          THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+            FROM documents
         """,
         "hll_users": f"""
             WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events),

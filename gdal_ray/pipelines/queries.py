@@ -2361,6 +2361,13 @@ def span_stats_q(sf_dir: str):
     return media.span_stats(docs)
 
 
+def mix_sources_q(sf_dir: str):
+    """Data-mixture epoch weighting: per-source weights 0.25x-3.24x applied
+    as deterministic repeat counts (floor + hash-Bernoulli fraction)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return textops.epoch_mix(docs)
+
+
 def hll_users_q(sf_dir: str):
     """HyperLogLog distinct-user estimate over events — the constant-memory
     COUNT(DISTINCT) sketch for 100 TB streams (64 registers; batch partials

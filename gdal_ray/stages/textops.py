@@ -589,3 +589,40 @@ def bpe_pair_counts(ds, text_col: str = "text", top_n: int = 20):
 
     pairs = summed.map_batches(to_pair, batch_format="pyarrow")
     return relational.top_k(pairs, ["cnt", "pair"], [True, False], top_n)
+
+
+def epoch_mix(ds, weight_x100_fn=None, id_col: str = "doc_id",
+              source_col: str = "source", expand: bool = False):
+    """DoReMi/data-mixture epoch weighting (beyond-reference; the 'repeat
+    hot sources, subsample cold ones' step of LLM corpus assembly): each doc
+    gets n_repeats = floor(w) + Bernoulli(frac(w)) where w is its source's
+    mixture weight and the Bernoulli draw is a DETERMINISTIC hash of the doc
+    key — reproducible across runs and SQL-mirrorable.
+
+    ``weight_x100_fn(source_index) -> weight*100`` defaults to
+    25 + (idx * 37) % 300 (weights 0.25x..3.24x).  ``expand=True`` emits one
+    row per repeat (the actual epoch stream); default emits per-doc counts.
+    Stateless map — no shuffle at any corpus size.
+    """
+    def wfn(idx):
+        return 25 + (idx * 37) % 300
+    weight_x100_fn = weight_x100_fn or wfn
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t[source_col].to_pylist()
+        idx = np.array([int(s[3:]) for s in src], dtype=np.int64)
+        w = np.array([weight_x100_fn(int(i)) for i in idx], dtype=np.int64)
+        frac_draw = (k * np.int64(2654435761)) % 100
+        n = w // 100 + (frac_draw < w % 100)
+        out = pa.table({id_col: t[id_col], source_col: t[source_col],
+                        "n_repeats": pa.array(n.astype(np.int64))})
+        if not expand:
+            return out
+        rep = np.repeat(np.arange(t.num_rows), n)
+        epoch = np.concatenate([np.arange(c) for c in n]) if len(n) else np.array([], np.int64)
+        return pa.table({id_col: t[id_col].take(pa.array(rep)),
+                         source_col: t[source_col].take(pa.array(rep)),
+                         "epoch": pa.array(epoch.astype(np.int64))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -206,3 +206,30 @@ def test_bpe_pair_counts_brute(ray_session):
     ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
     out = {r["pair"]: r["cnt"] for r in textops.bpe_pair_counts(ds, top_n=50).take_all()}
     assert out == dict(brute)
+
+
+def test_epoch_mix_expand_consistent(ray_session):
+    """expand=True emits exactly n_repeats rows per doc with 0..n-1 epochs;
+    expected count ratio tracks the weights."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import textops
+
+    n = 400
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "source": pa.array([f"src{i % 4}" for i in range(n)])})
+    counts = {r["doc_id"]: r["n_repeats"]
+              for r in textops.epoch_mix(rd.from_arrow(tbl)).take_all()}
+    rows = textops.epoch_mix(rd.from_arrow(tbl), expand=True).take_all()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for d, c in counts.items():
+        assert sorted(per_doc.get(d, [])) == list(range(c))
+    # weight for src0 = 0.25x -> mean repeats ~0.25; src3 = (25+111)%.. = 1.36x
+    s0 = [counts[d] for d in range(0, n, 4)]
+    s3 = [counts[d] for d in range(3, n, 4)]
+    assert abs(np.mean(s0) - 0.25) < 0.15
+    assert abs(np.mean(s3) - 1.36) < 0.2
