@@ -1677,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_cover": q.cell_cover_q,
         "hll_users": q.hll_users_q,
         "mix_sources": q.mix_sources_q,
+        "ogrmerge_layers": q.ogrmerge_layers_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
@@ -2577,6 +2578,24 @@ def oracle_sql() -> dict[str, str]:
                   WHERE len(word) >= 2),
             c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
             SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20
+        """,
+        "ogrmerge_layers": f"""
+            WITH {_ZONES.strip().lstrip()}
+            SELECT 'part_zones' AS layer, zone_id, zone_key,
+                   minx, miny, maxx, maxy,
+                   CAST(NULL AS BIGINT) AS r_id
+            FROM zz
+            UNION ALL
+            SELECT 'cust_zones' AS layer, CAST(NULL AS VARCHAR) AS zone_id,
+                   CAST(NULL AS BIGINT) AS zone_key,
+                   -180.0 + ((c_custkey * 5179) % 33000) / 100.0 AS minx,
+                   -85.0 + ((c_custkey * 3607) % 15000) / 100.0 AS miny,
+                   (-180.0 + ((c_custkey * 5179) % 33000) / 100.0)
+                       + (2.0 + ((c_custkey * 149) % 900) / 100.0) AS maxx,
+                   (-85.0 + ((c_custkey * 3607) % 15000) / 100.0)
+                       + (2.0 + ((c_custkey * 211) % 700) / 100.0) AS maxy,
+                   c_custkey AS r_id
+            FROM customer
         """,
         "mix_sources": """
             SELECT doc_id, source,

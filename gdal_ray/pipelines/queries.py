@@ -2361,6 +2361,24 @@ def span_stats_q(sf_dir: str):
     return media.span_stats(docs)
 
 
+def ogrmerge_layers_q(sf_dir: str):
+    """ogrmerge.py append mode: two vector layers with DIFFERENT schemas
+    merge into one (union schema, typed nulls for absent fields, layer
+    provenance tag) — pure map + UNION ALL, no shuffle."""
+    zones = _zones(sf_dir).select(
+        ["zone_id", "zone_key", "minx", "miny", "maxx", "maxy"])
+    keys = np.sort(pq.read_table(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])["c_custkey"].to_numpy())
+    minx, miny, maxx, maxy = synthetic.zone_rects_from_keys(keys, CUST_RECT)
+    cust = pa.table({"r_id": pa.array(keys.astype(np.int64)),
+                     "minx": pa.array(minx), "miny": pa.array(miny),
+                     "maxx": pa.array(maxx), "maxy": pa.array(maxy)})
+    return relational.union_layers({
+        "part_zones": rd.from_arrow(zones),
+        "cust_zones": rd.from_arrow(cust),
+    })
+
+
 def mix_sources_q(sf_dir: str):
     """Data-mixture epoch weighting: per-source weights 0.25x-3.24x applied
     as deterministic repeat counts (floor + hash-Bernoulli fraction)."""

@@ -445,3 +445,37 @@ def group_rank(ds, key_col: str, order_col: str, tie_col: str,
 
     return ds.map_batches(tag, batch_format="pyarrow").groupby(
         "_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def union_layers(layers: dict):
+    """ogrmerge.py surface (reference osgeo_utils/ogrmerge role): append
+    N vector layers with DIFFERENT schemas into one — the union schema keeps
+    first-seen column order, sides missing a column emit typed nulls, and a
+    ``layer`` tag records provenance.  Pure map + UNION ALL: no shuffle.
+    Type conflicts raise (the reference promotes; we fail loudly)."""
+    names: list = []
+    types: dict = {}
+    for lname, ds in layers.items():
+        for f in ds.schema().base_schema:
+            if f.name in types:
+                if types[f.name] != f.type:
+                    raise ValueError(
+                        f"column {f.name!r}: {types[f.name]} != {f.type}")
+            else:
+                types[f.name] = f.type
+                names.append(f.name)
+
+    def pad(lname: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {"layer": pa.array([lname] * t.num_rows, pa.string())}
+            for n in names:
+                cols[n] = t[n] if n in t.column_names else pa.nulls(
+                    t.num_rows, types[n])
+            return pa.table(cols)
+        return fn
+
+    out = None
+    for lname, ds in layers.items():
+        part = ds.map_batches(pad(lname), batch_format="pyarrow")
+        out = part if out is None else out.union(part)
+    return out

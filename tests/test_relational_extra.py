@@ -102,3 +102,26 @@ def test_group_rank_matches_duckdb(ray_session):
         FROM df ORDER BY t""").df()
     assert (got["rnk"].values == exp["rnk"].values).all()
     assert (got["drnk"].values == exp["drnk"].values).all()
+
+
+def test_union_layers_schema_harmonization(ray_session):
+    """union_layers: union schema in first-seen order, typed nulls, layer
+    tags; type conflicts raise."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from gdal_ray.stages import relational
+
+    a = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                "name": pa.array(["a", "b"])}))
+    b = rd.from_arrow(pa.table({"k": pa.array([3], pa.int64()),
+                                "score": pa.array([0.5], pa.float64())}))
+    out = relational.union_layers({"la": a, "lb": b})
+    assert out.schema().names == ["layer", "k", "name", "score"]
+    rows = sorted(out.take_all(), key=lambda r: r["k"])
+    assert [r["layer"] for r in rows] == ["la", "la", "lb"]
+    assert rows[0]["score"] is None and rows[2]["name"] is None
+    c = rd.from_arrow(pa.table({"k": pa.array(["x"])}))  # k type conflict
+    with pytest.raises(ValueError, match="column 'k'"):
+        relational.union_layers({"la": a, "lc": c})
