@@ -1678,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": q.hll_users_q,
         "mix_sources": q.mix_sources_q,
         "ogrmerge_layers": q.ogrmerge_layers_q,
+        "polygonize_rings8": q.polygonize_rings8_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "left_join_orders": q.left_join_orders_q,
@@ -2578,6 +2579,27 @@ def oracle_sql() -> dict[str, str]:
                   WHERE len(word) >= 2),
             c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
             SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20
+        """,
+        "polygonize_rings8": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b),
+            diag AS (SELECT count(*) AS n FROM px
+                     WHERE gx = gy AND gx >= 10 AND gx <= 180),
+            antid AS (SELECT count(*) AS n FROM px
+                     WHERE gx + gy = 191 AND gx >= 20 AND gx <= 170),
+            wall AS (SELECT count(*) AS n FROM px
+                     WHERE abs(gx - 64) + abs(gy - 96) = 12),
+            hole AS (SELECT count(*) AS n FROM px
+                     WHERE abs(gx - 64) + abs(gy - 96) < 12)
+            SELECT 1.0 AS value, CAST(n AS BIGINT) AS n_pixels,
+                   CAST(0 AS BIGINT) AS n_holes, CAST(0 AS BIGINT) AS hole_pixels,
+                   CAST(n AS BIGINT) AS ring_area FROM diag
+            UNION ALL
+            SELECT 2.0, CAST(n AS BIGINT), 0, 0, CAST(n AS BIGINT) FROM antid
+            UNION ALL
+            SELECT 3.0, CAST(w.n AS BIGINT), 1, CAST(h.n AS BIGINT),
+                   CAST(w.n + h.n AS BIGINT)
+            FROM wall w, hole h
         """,
         "ogrmerge_layers": f"""
             WITH {_ZONES.strip().lstrip()}

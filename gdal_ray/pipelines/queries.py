@@ -1436,6 +1436,34 @@ def polygonize_rings_q(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def polygonize_rings8_q(sf_dir: str):
+    """GDALPolygonize 8CONNECTED=8 with ring output: the diag fixture's two
+    diagonal chains cross 4-tile corner junctions (NW-SE and NE-SW) and the
+    hollow diamond's 8-connected wall encloses a 4-connected-complement
+    hole — each is ONE component iff the 8-conn cross-tile merge is exact.
+    Shell ring area == n_pixels + hole_pixels (pixel-edge ring identity)."""
+    from ..functions import wkb as _w
+    from ..stages import polygonize as poly
+
+    tiles_tbl = synthetic.make_raster_tiles("diag", 3, 3, size=64)
+    out = poly.polygonize_rings(rd.from_arrow(tiles_tbl), nodata=0.0,
+                                connect8=True, tile_size=64)
+
+    def fin(t: pa.Table) -> pa.Table:
+        areas = []
+        for w_ in t["wkb"].to_pylist():
+            areas.append(int(round(abs(_w.ring_area(_w.decode(w_).parts[0][0])))))
+        return pa.table({
+            "value": t["value"],
+            "n_pixels": t["n_pixels"],
+            "n_holes": t["n_holes"],
+            "hole_pixels": t["hole_pixels"],
+            "ring_area": pa.array(areas, pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def polygonize_holes_q(sf_dir: str):
     """Polygonize with INTERIOR ring tracing (hole rings,
     alg/polygonize_polygonizer.h:136-176): the donut fixture's annulus spans

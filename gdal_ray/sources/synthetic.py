@@ -275,6 +275,17 @@ def make_raster_tiles(kind: str, nx: int, ny: int, size: int = 64, z: int = 4) -
                 # direction/magnitude (the shading-variant fixture; SQL-exact)
                 arr = (((gx - 96) ** 2 + (gy - 96) ** 2) / 64.0).astype(np.float32)
                 dtype = "float32"
+            elif kind == "diag":
+                # 8-connectivity fixture: a main-diagonal chain (crosses tile
+                # corners exactly — the 4-tile NW-SE junction), an
+                # anti-diagonal chain (NE-SW junction), and a hollow diamond
+                # |dx|+|dy| == 12 (8-connected wall enclosing a 4-connected
+                # complement hole).  All disjoint; closed-form counts.
+                arr = np.zeros((size, size), dtype=np.uint8)
+                arr[(gx == gy) & (gx >= 10) & (gx <= 180)] = 1
+                arr[(gx + gy == 191) & (gx >= 20) & (gx <= 170)] = 2
+                arr[np.abs(gx - 64) + np.abs(gy - 96) == 12] = 3
+                dtype = "uint8"
             else:
                 raise ValueError(kind)
             zs.append(z)

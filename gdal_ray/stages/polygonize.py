@@ -416,16 +416,17 @@ def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile
 
     Returns (component, value, n_pixels, wkb) — shell rings in global pixel
     coordinates (holes reported via n_pixels vs ring area mismatch).
+
+    ``connect8=True`` gives GDALPolygonize's 8CONNECTED=8 semantics:
+    diagonal pixels join (in-tile via label_tile; across tiles via slack-1
+    run overlap + 4-tile corner-junction keys, the sieve_global convention);
+    the shell tracer passes through diagonal pinch corners so one
+    self-touching ring covers the whole component, and holes use the
+    4-connected complement (the correct dual of 8-connected foreground).
     """
     import ray
 
     from ..functions import wkb as _wkb
-
-    if connect8:
-        raise NotImplementedError(
-            "polygonize_rings supports 4-connectivity; use polygonize() for "
-            "8-connected component stats"
-        )
 
     def per_tile(batch: pa.Table) -> pa.Table:
         rows = []
@@ -455,6 +456,25 @@ def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile
                         "mh": int(gy.max() - gy.min() + 1),
                     }
                 )
+            if connect8:
+                # 4-tile corner junctions (the sieve_global convention):
+                # register each corner pixel under the junction's corner key
+                # with a quadrant role stashed in y1 (2=NW 3=NE 4=SW 5=SE)
+                for role_i, ((py_, px_), (ctx, cty)) in enumerate((
+                    ((-1, -1), (tx, ty)),          # NW of corner
+                    ((-1, 0), (tx - 1, ty)),       # NE
+                    ((0, -1), (tx, ty - 1)),       # SW
+                    ((0, 0), (tx - 1, ty - 1)),    # SE
+                )):
+                    lbl = labels[py_, px_]
+                    if lbl < 0 or ctx < 0 or cty < 0:
+                        continue
+                    rows.append(
+                        {"key": _ckey(tx, ty, int(lbl)), "tx": -1, "ty": -1,
+                         "value": float(arr[py_, px_]), "n_pixels": -1,
+                         "x0": int(_ekey(ctx, cty, "C")), "y0": 0, "x1": 1,
+                         "y1": 2 + role_i, "mask": b"", "mw": 0, "mh": 0}
+                    )
             # border runs (same as polygonize)
             for side, vec in (("R", labels[:, -1]), ("B", labels[-1, :]),
                               ("L", labels[:, 0]), ("T", labels[0, :])):
@@ -487,6 +507,8 @@ def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile
         lambda t: t.filter(pa.compute.greater_equal(t["n_pixels"], 0)), batch_format="pyarrow"
     )
 
+    slack = 1 if connect8 else 0
+
     def edge_pairs(group: pa.Table) -> pa.Table:
         # x0 holds the edge key, y0/x1 the run interval; value must match
         keys = group["key"].to_numpy(zero_copy_only=False)
@@ -498,6 +520,18 @@ def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile
         ety = ((ek >> 4) & 0xFFFFF) - 1
         vertical = (ek & 0xF) == 1
         oa, ob = [], []
+        if (ek & 0xF) == 3:
+            # corner junction (connect8): diagonal quadrant pairs NW-SE and
+            # NE-SW (role in y1: 2=NW 3=NE 4=SW 5=SE); same value required
+            roles = group["y1"].to_numpy(zero_copy_only=False)
+            for ra, rb in ((2, 5), (3, 4)):
+                for i in np.flatnonzero(roles == ra):
+                    for j in np.flatnonzero(roles == rb):
+                        if vals[i] == vals[j]:
+                            oa.append(int(keys[i]))
+                            ob.append(int(keys[j]))
+            return pa.table({"a": pa.array(oa, pa.int64()),
+                             "b": pa.array(ob, pa.int64())})
         if vertical:
             # owner tile tx == etx (R side); neighbor tx == etx + 1 (L side)
             own = [(keys[i] >> 40) == etx for i in range(len(keys))]
@@ -506,7 +540,8 @@ def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile
             own = [((keys[i] >> 20) & 0xFFFFF) == ety for i in range(len(keys))]
         for i in range(len(keys)):
             for j in range(len(keys)):
-                if own[i] and not own[j] and vals[i] == vals[j] and p0[i] < p1[j] and p1[i] > p0[j]:
+                if (own[i] and not own[j] and vals[i] == vals[j]
+                        and p0[i] < p1[j] + slack and p1[i] > p0[j] - slack):
                     oa.append(int(keys[i]))
                     ob.append(int(keys[j]))
         return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64())})

@@ -502,3 +502,31 @@ def test_gtiff_overview_guards(tmp_path):
     gtiff.write_gtiff(p2, arr, tile_size=64)
     with pytest.raises(ValueError, match="divisible"):
         gtiff.gtiff_build_overviews(p2, levels=(3,))
+
+
+def test_polygonize_rings_8conn_tiled_equals_monolithic(ray_session):
+    """connect8 ring output: tiled (3x3) == monolithic (1x1) on the diag
+    fixture, and 4-conn on the same fixture shatters the chains (proving the
+    corner-junction merge is what joins them)."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import polygonize as poly
+
+    tiled = synthetic.make_raster_tiles("diag", 3, 3, size=64)
+    mono = synthetic.make_raster_tiles("diag", 1, 1, size=192)
+
+    def norm(rows):
+        return sorted((r["value"], r["n_pixels"], r["n_holes"],
+                       r["hole_pixels"]) for r in rows)
+
+    t8 = norm(poly.polygonize_rings(rd.from_arrow(tiled), nodata=0.0,
+                                    connect8=True, tile_size=64).take_all())
+    m8 = norm(poly.polygonize_rings(rd.from_arrow(mono), nodata=0.0,
+                                    connect8=True, tile_size=192).take_all())
+    assert t8 == m8
+    assert len(t8) == 3  # one component per value
+    t4 = poly.polygonize_rings(rd.from_arrow(tiled), nodata=0.0,
+                               connect8=False, tile_size=64).take_all()
+    assert len(t4) > 3 * 50  # 4-conn: diagonal chains shatter into singletons
