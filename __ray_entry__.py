@@ -1667,6 +1667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct": q.count_distinct_q,
         "span_stats": q.span_stats_q,
         "span_roundtrip": q.span_roundtrip_q,
+        "span_text_extract": q.span_text_extract_q,
+        "span_media_bytes": q.span_media_bytes_q,
         "delaunay_triangles": q.delaunay_triangles_q,
         "bloom_dedup": q.bloom_dedup_q,
         "set_intersect_nations": q.set_intersect_q,
@@ -2788,6 +2790,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(abs(t.orient) AS BIGINT) AS area2
             FROM tri t ANTI JOIN bad b
                  ON b.cell = t.cell AND b.ka = t.ka AND b.kb = t.kb AND b.kc = t.kc
+        """,
+        "span_text_extract": f"""
+            WITH docs AS (SELECT range AS k FROM range(2000)),
+            sp AS (SELECT k, j.j AS j FROM docs,
+                   LATERAL (SELECT unnest(generate_series(0, k % 4)) AS j) j),
+            ks AS (SELECT k, j,
+                          ['text','image','audio','video'][(k + j) % 4 + 1] AS kind,
+                          (k * 2654435761 + j * 40503) % 4294967296 AS h
+                   FROM sp),
+            tw AS (SELECT k, j, h, i.i AS i FROM ks,
+                   LATERAL (SELECT unnest(generate_series(0, h % 7)) AS i) i
+                   WHERE kind = 'text'),
+            wtxt AS (SELECT k, j,
+                            string_agg(['raster','vector','tile','warp','merge','cell',
+                                        'join','span','layer','band','pixel','zone',
+                                        'index','stream','batch','arrow','shuffle',
+                                        'actor','block','mosaic']
+                                       [CAST((h >> (3 * i)) % 20 AS INTEGER) + 1],
+                                       ' ' ORDER BY i) AS txt
+                     FROM tw GROUP BY k, j),
+            ft AS (SELECT ks.k,
+                            coalesce(string_agg(
+                                CASE WHEN ks.kind = 'text'
+                                     THEN coalesce(wtxt.txt, '') ELSE '' END,
+                                '' ORDER BY ks.j), '') AS full_text
+                     FROM ks LEFT JOIN wtxt ON wtxt.k = ks.k AND wtxt.j = ks.j
+                     GROUP BY ks.k)
+            SELECT printf('doc-%09d', k) AS doc_id,
+                   CAST(len(full_text) AS BIGINT) AS n_chars,
+                   md5(full_text) AS text_md5
+            FROM ft
+        """,
+        "span_media_bytes": f"""
+            WITH docs AS (SELECT range AS k FROM range(2000)),
+            sp AS (SELECT k, j.j AS j FROM docs,
+                   LATERAL (SELECT unnest(generate_series(0, k % 4)) AS j) j),
+            ks AS (SELECT k, j,
+                          ['text','image','audio','video'][(k + j) % 4 + 1] AS kind,
+                          (k * 2654435761 + j * 40503) % 4294967296 AS h
+                   FROM sp),
+            tw AS (SELECT k, j, h, i.i AS i FROM ks,
+                   LATERAL (SELECT unnest(generate_series(0, h % 7)) AS i) i
+                   WHERE kind = 'text'),
+            wtxt AS (SELECT k, j,
+                            string_agg(['raster','vector','tile','warp','merge','cell',
+                                        'join','span','layer','band','pixel','zone',
+                                        'index','stream','batch','arrow','shuffle',
+                                        'actor','block','mosaic']
+                                       [CAST((h >> (3 * i)) % 20 AS INTEGER) + 1],
+                                       ' ' ORDER BY i) AS txt
+                     FROM tw GROUP BY k, j),
+            m AS (SELECT ks.k, ks.kind, ks.j,
+                         'media://' || ks.kind || '/' || printf('%09d', ks.k)
+                             || '/' || ks.j AS ref
+                  FROM ks WHERE ks.kind <> 'text'),
+            hx2 AS (SELECT k, md5(ref) AS h FROM m),
+            sz AS (SELECT k, 1 + ({_hex_be32('h', 0)} % 65536) AS bytes FROM hx2),
+            agg AS (SELECT k, count(*) AS n_media, sum(bytes) AS media_bytes
+                    FROM sz GROUP BY k)
+            SELECT printf('doc-%09d', d.k) AS doc_id,
+                   CAST(coalesce(a.n_media, 0) AS BIGINT) AS n_media,
+                   CAST(coalesce(a.media_bytes, 0) AS BIGINT) AS media_bytes
+            FROM docs d LEFT JOIN agg a ON a.k = d.k
         """,
         # span-sequence-equality invariant: recompute the FULL span tuples
         # (kind, generated text, media_ref, running offset) from the corpus

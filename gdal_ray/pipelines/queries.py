@@ -2584,6 +2584,25 @@ def span_roundtrip_q(sf_dir: str):
     return media.span_sequence_signature(back)
 
 
+def span_text_extract_q(sf_dir: str):
+    """Interleaved corpus -> per-doc full text (text spans concatenated in
+    span order): n_chars + md5 digest, oracle-recomputed from the corpus
+    definition including the generated words themselves."""
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    return media.span_text_extract(docs)
+
+
+def span_media_bytes_q(sf_dir: str):
+    """Media-ref resolution: per-doc media span count + total payload bytes
+    (deterministic md5-derived sizes) — the storage-planning aggregate."""
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    return media.span_media_bytes(docs)
+
+
 def hilbert_sort_topk_q(sf_dir: str):
     """TRUE Hilbert spatial sort (SURVEY §2.6, alg/hilbert rotate-and-flip
     curve): encode z12 tile coords to Hilbert distance per batch, then

@@ -193,3 +193,69 @@ def span_sequence_signature(docs_ds):
         })
 
     return docs_ds.map_batches(sig, batch_format="pyarrow")
+
+
+def span_text_extract(docs_ds):
+    """Interleaved doc -> its full text: the text spans concatenated IN SPAN
+    ORDER (media spans contribute nothing) — the first stage of every text
+    pipeline over the interleaved corpus.  Output: (doc_id, n_chars,
+    text_md5).  Vectorized: mask non-text spans to '', one Arrow list-join
+    per batch, one C-level md5 per doc.
+    """
+    import pyarrow.compute as pc
+
+    def extract(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        structs = spans.flatten()
+        is_text = pc.equal(structs.field("kind"), "text")
+        texts = pc.if_else(is_text, structs.field("text"), "")
+        off = spans.offsets.to_numpy().astype(np.int64)
+        off = off - off[0]
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off, type=pa.int32()), texts), "")
+        full = joined.to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pa.array([len(s or "") for s in full], pa.int64()),
+            "text_md5": pa.array(
+                [hashlib.md5((s or "").encode()).hexdigest() for s in full],
+                pa.string()),
+        })
+
+    return docs_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def span_media_bytes(docs_ds):
+    """Resolve every media span's ref to its (deterministic) payload size and
+    aggregate per doc — the storage-planning pass before a decode pool ships
+    bytes.  size(ref) = 1 + (first md5 hex window of the ref mod 65536);
+    output (doc_id, n_media, media_bytes).  Segmented sum, no shuffle.
+    """
+    import pyarrow.compute as pc
+
+    def resolve(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n = t.num_rows
+        structs = spans.flatten()
+        refs = structs.field("media_ref").to_pylist()
+        is_media = np.array([bool(r) for r in refs])
+        sizes = np.zeros(len(refs), dtype=np.int64)
+        for i, r in enumerate(refs):
+            if r:
+                sizes[i] = 1 + (int(hashlib.md5(r.encode()).hexdigest()[:8], 16)
+                                % 65536)
+        lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(n), lens)
+        n_media = np.bincount(parent, weights=is_media, minlength=n).astype(np.int64)
+        total = np.bincount(parent, weights=sizes, minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_media": pa.array(n_media),
+            "media_bytes": pa.array(total),
+        })
+
+    return docs_ds.map_batches(resolve, batch_format="pyarrow")

@@ -206,3 +206,38 @@ def test_span_sequence_signature_order_sensitive(ray_session):
     assert sig_of([b, a]) != s_ab  # reorder detected
     assert sig_of([a, {**b, "media_ref": "media://image/7/2"}]) != s_ab  # mutation detected
     assert sig_of([a]) != s_ab  # loss detected
+
+
+def test_span_text_extract_and_media_bytes(ray_session):
+    """Text extraction keeps span order (media spans contribute nothing);
+    media byte resolution sums only media spans."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.sources.synthetic import SPANS_TYPE
+    from gdal_ray.stages import media
+
+    spans = pa.array(
+        [
+            [
+                {"kind": "text", "text": "ab ", "media_ref": "", "offset": 3},
+                {"kind": "image", "text": "", "media_ref": "media://image/9/1", "offset": 4},
+                {"kind": "text", "text": "cd", "media_ref": "", "offset": 6},
+            ],
+            [{"kind": "audio", "text": "", "media_ref": "media://audio/9/0", "offset": 1}],
+        ],
+        type=SPANS_TYPE,
+    )
+    tbl = pa.table({"doc_id": pa.array(["doc-0", "doc-1"]), "spans": spans})
+    txt = {r["doc_id"]: r for r in media.span_text_extract(rd.from_arrow(tbl)).take_all()}
+    assert txt["doc-0"]["n_chars"] == 5
+    assert txt["doc-0"]["text_md5"] == hashlib.md5(b"ab cd").hexdigest()
+    assert txt["doc-1"]["n_chars"] == 0
+    assert txt["doc-1"]["text_md5"] == hashlib.md5(b"").hexdigest()
+    mb = {r["doc_id"]: r for r in media.span_media_bytes(rd.from_arrow(tbl)).take_all()}
+    exp_img = 1 + (int(hashlib.md5(b"media://image/9/1").hexdigest()[:8], 16) % 65536)
+    exp_aud = 1 + (int(hashlib.md5(b"media://audio/9/0").hexdigest()[:8], 16) % 65536)
+    assert (mb["doc-0"]["n_media"], mb["doc-0"]["media_bytes"]) == (1, exp_img)
+    assert (mb["doc-1"]["n_media"], mb["doc-1"]["media_bytes"]) == (1, exp_aud)
