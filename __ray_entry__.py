@@ -1657,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shp_roundtrip": q.shp_roundtrip_q,
         "geojson_roundtrip": q.geojson_roundtrip_q,
         "kml_roundtrip": q.kml_roundtrip_q,
+        "gml_roundtrip": q.gml_roundtrip_q,
         "gpkg_roundtrip": q.gpkg_roundtrip_q,
         "ogr2ogr_convert": q.ogr2ogr_convert_q,
         "semi_join_orders": q.semi_join_orders_q,
@@ -1676,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_events": q.rank_events_q,
         "bpe_pairs": q.bpe_pairs_q,
         "gtiff_overviews": q.gtiff_overviews_q,
+        "warp_affine": q.warp_affine_q,
         "cell_cover": q.cell_cover_q,
         "hll_users": q.hll_users_q,
         "mix_sources": q.mix_sources_q,
@@ -2481,6 +2483,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS coord_sum_x100
             FROM zz
         """,
+        "gml_roundtrip": f"""
+            WITH {_ZONES.strip().lstrip()}
+            SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
+                   CAST(5 AS BIGINT) AS n_vertices,
+                   CAST(3 * floor(minx * 100 + 0.5) + 2 * floor(maxx * 100 + 0.5)
+                        + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
+                        AS BIGINT) AS coord_sum_x100
+            FROM zz
+        """,
         "kml_roundtrip": f"""
             WITH {_ZONES.strip().lstrip()}
             SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
@@ -2681,6 +2692,30 @@ def oracle_sql() -> dict[str, str]:
             FROM cov
             WHERE (x >= fx0s AND x + 1 <= fx1s AND y >= fy0s AND y + 1 <= fy1s)
                OR zl = 8
+        """,
+        "warp_affine": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(80) a, range(80) b),
+            d AS (SELECT gx, gy,
+                         5.0 + (gx + 0.5) * 0.375 AS dx,
+                         35.0 - (gy + 0.5) * 0.375 AS dy FROM px),
+            s AS (SELECT gx, gy, dx * 4.0 - 0.5 AS fx,
+                         (160.0 - dy * 4.0) - 0.5 AS fy FROM d),
+            t AS (SELECT gx, gy, CAST(floor(fx) AS BIGINT) AS x0,
+                         CAST(floor(fy) AS BIGINT) AS y0,
+                         fx - floor(fx) AS tx, fy - floor(fy) AS ty FROM s),
+            v AS (SELECT gx, gy,
+                         (x0 + 2 * y0) * (1 - tx) * (1 - ty)
+                         + (x0 + 1 + 2 * y0) * tx * (1 - ty)
+                         + (x0 + 2 * (y0 + 1)) * (1 - tx) * ty
+                         + (x0 + 1 + 2 * (y0 + 1)) * tx * ty AS val
+                  FROM t)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(CAST(trunc(val) AS BIGINT)
+                            * (((gy % 64)
+                                * (CASE WHEN gx // 64 = 1 THEN 16 ELSE 64 END)
+                                + gx % 64) % 7 + 1)) % 65536 AS BIGINT) AS checksum
+            FROM v GROUP BY 1, 2
         """,
         "gtiff_overviews": """
             WITH base AS (SELECT a.range AS gx, b.range AS gy,

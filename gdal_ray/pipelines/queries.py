@@ -1199,6 +1199,23 @@ def gtiff_roundtrip_q(sf_dir: str):
     return tiles.map_batches(sums, batch_format="pyarrow")
 
 
+def warp_affine_q(sf_dir: str):
+    """gdalwarp -te 5 5 35 35 -tr 0.375 0.375 (arbitrary target grid, not
+    XYZ tiles): linear-ramp source on a 0.25-deg grid, bilinear regrid to a
+    non-commensurate 80x80 destination; per-dst-tile checksums.  All values
+    are exact dyadic rationals, so the oracle's tap-formula mirror is
+    bit-identical."""
+    from ..stages import pyramid
+
+    row = np.arange(160, dtype=np.float64)
+    arr = row[None, :] + 2.0 * row[:, None]  # v(col,row) = col + 2*row
+    src = pyramid.SourceRaster(arr, gt=(0.0, 0.25, 0.0, 40.0, 0.0, -0.25),
+                               nodata=-1.0)
+    out = pyramid.warp_affine(src, dst_gt=(5.0, 0.375, 0.0, 35.0, 0.0, -0.375),
+                              width=80, height=80, resample="bilinear")
+    return out.select_columns(["x", "y", "checksum"])
+
+
 def gtiff_overviews_q(sf_dir: str):
     """gdaladdo -r average 2 4 (apps/gdaladdo.cpp): integer hump 192x192
     uint16 GeoTIFF -> distributed per-tile decimation -> internal-overview
@@ -2695,6 +2712,32 @@ def kml_roundtrip_q(sf_dir: str):
                       pa.table({"zone_id": zones["zone_id"],
                                 "zone_key": zones["zone_key"]}))
     ds = kml_drv.read_kml_dataset(path, per_block=64)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "zone_id": t["zone_id"],
+            "zone_key": pc.cast(t["zone_key"], pa.int64()),
+            "wkb": t["wkb"],
+        })
+
+    return _zones_vertex_verify(ds.map_batches(cast, batch_format="pyarrow"))
+
+
+def gml_roundtrip_q(sf_dir: str):
+    """GML driver: zones -> GML 3.2 featureMembers (ogr: attribute layout)
+    -> driver-side byte-range scan -> parallel per-range XML parse -> WKB
+    (repr-shortest floats keep f64 bitwise)."""
+    import os
+    import tempfile
+
+    from ..sources import gml as gml_drv
+
+    zones = _zones(sf_dir)
+    path = f"{tempfile.gettempdir()}/gdal_ray_zones_{os.getpid()}.gml"
+    gml_drv.write_gml(path, zones["wkb"].to_pylist(),
+                      pa.table({"zone_id": zones["zone_id"],
+                                "zone_key": zones["zone_key"]}))
+    ds = gml_drv.read_gml_dataset(path, per_block=64)
 
     def cast(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -612,3 +612,72 @@ def tile_pyramid(src: SourceRaster, z_max: int, z_min: int, bbox,
     for z in range(z_max - 1, z_min - 1, -1):
         out[z] = build_overview(out[z + 1], kernel=overview_kernel)
     return out
+
+
+class AffineWarper:
+    """Actor: warp dst tiles of an ARBITRARY affine target grid
+    (gdalwarp -te/-tr/-ts surface, apps/gdalwarp_lib.cpp) — generalizes
+    TileWarper from XYZ mercator tiles to any destination geotransform.
+    ``dst_crs`` 'EPSG:3857' converts dst coords to the source's EPSG:4326
+    before the inverse geotransform; None means dst grid is in src CRS."""
+
+    def __init__(self, src_ref, dst_gt, resample: str = "bilinear",
+                 dst_crs: str | None = None):
+        src = ray.get(src_ref) if isinstance(src_ref, ray.ObjectRef) else src_ref
+        self.src = src
+        self.inv_gt = geo.inv_geotransform(src.gt)
+        self.dst_gt = tuple(dst_gt)
+        self.resample = resample
+        self.dst_crs = dst_crs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        g = self.dst_gt
+        for i in range(batch.num_rows):
+            x0 = batch["px0"][i].as_py()
+            y0 = batch["py0"][i].as_py()
+            w = batch["w"][i].as_py()
+            h = batch["h"][i].as_py()
+            cols, rws = np.meshgrid(x0 + np.arange(w) + 0.5,
+                                    y0 + np.arange(h) + 0.5)
+            dx = g[0] + cols * g[1] + rws * g[2]
+            dy = g[3] + cols * g[4] + rws * g[5]
+            if self.dst_crs == "EPSG:3857":
+                dx, dy = geo.mercator_to_lonlat(dx, dy)
+            px, py = geo.apply_geotransform(self.inv_gt, dx, dy)
+            arr = _grid_sample(self.src.arr, px, py, self.resample,
+                               self.src.nodata)
+            rows.append({
+                "z": 0, "x": batch["tx"][i].as_py(), "y": batch["ty"][i].as_py(),
+                "band": 1,
+                "width": w, "height": h, "crs": self.dst_crs or self.src.crs,
+                "nodata": float(self.src.nodata), "dtype": "float64",
+                "data": arr.tobytes(),
+                "checksum": cks.tile_checksum(arr),
+                "blank": bool(np.all(arr == self.src.nodata)),
+            })
+        return pa.Table.from_pylist(rows)
+
+
+def warp_affine(src: SourceRaster, dst_gt, width: int, height: int,
+                resample: str = "bilinear", tile: int = 64,
+                dst_crs: str | None = None, concurrency: int | tuple = 2):
+    """Warp to an arbitrary affine destination grid: the dst raster tiles
+    into ``tile``-sized pieces (distributed; edge tiles clip), each warped
+    by an actor holding the broadcast source."""
+    import ray.data as rd
+
+    rows = [
+        {"px0": tx * tile, "py0": ty * tile, "tx": tx, "ty": ty,
+         "w": min(tile, width - tx * tile), "h": min(tile, height - ty * tile)}
+        for ty in range((height + tile - 1) // tile)
+        for tx in range((width + tile - 1) // tile)
+    ]
+    src_ref = ray.put(src)
+    return rd.from_arrow(pa.Table.from_pylist(rows)).map_batches(
+        AffineWarper,
+        fn_constructor_kwargs=dict(src_ref=src_ref, dst_gt=dst_gt,
+                                   resample=resample, dst_crs=dst_crs),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -191,3 +191,36 @@ def test_warp_tiles_join_matches_broadcast(resample):
     assert bmap, "broadcast produced no non-blank tiles"
     for k, v in bmap.items():
         assert k in jmap and jmap[k] == v, (resample, k, v, jmap.get(k))
+
+
+def test_warp_affine_identity_and_bilinear(ray_session):
+    """warp_affine: an identity target grid reproduces the source exactly
+    (nearest); a half-pixel-shifted bilinear grid averages neighbors; edge
+    tiles clip and keep their nominal tile indices."""
+    import numpy as np
+
+    from gdal_ray.stages import pyramid
+
+    row = np.arange(40, dtype=np.float64)
+    arr = row[None, :] + 10.0 * row[:, None]
+    src = pyramid.SourceRaster(arr, gt=(0.0, 1.0, 0.0, 40.0, 0.0, -1.0),
+                               nodata=-1.0)
+    # identity grid: dst pixel centers == src pixel centers
+    rows = pyramid.warp_affine(src, dst_gt=(0.0, 1.0, 0.0, 40.0, 0.0, -1.0),
+                               width=40, height=40, resample="nearest",
+                               tile=32).take_all()
+    assert sorted((r["x"], r["y"], r["width"], r["height"]) for r in rows) == [
+        (0, 0, 32, 32), (0, 1, 32, 8), (1, 0, 8, 32), (1, 1, 8, 8)]
+    got = np.zeros((40, 40))
+    for r in rows:
+        a = np.frombuffer(r["data"], np.float64).reshape(r["height"], r["width"])
+        got[r["y"] * 32:r["y"] * 32 + r["height"],
+            r["x"] * 32:r["x"] * 32 + r["width"]] = a
+    assert np.array_equal(got, arr)
+    # half-pixel shift, bilinear: value = average of 2x2 neighborhood
+    rows2 = pyramid.warp_affine(src, dst_gt=(0.5, 1.0, 0.0, 39.5, 0.0, -1.0),
+                                width=39, height=39, resample="bilinear",
+                                tile=64).take_all()
+    a2 = np.frombuffer(rows2[0]["data"], np.float64).reshape(39, 39)
+    expect = (arr[:-1, :-1] + arr[:-1, 1:] + arr[1:, :-1] + arr[1:, 1:]) / 4.0
+    assert np.allclose(a2, expect)

@@ -172,3 +172,47 @@ def test_kml_range_scan_matches_eager(tmp_path, ray_session):
     for i in range(n):
         assert np.array_equal(wkb_f.decode(by_i[i]).vertices(),
                               np.array([[float(i), float(-i)]]))
+
+
+def test_gml_roundtrip_geometry_kinds(tmp_path):
+    """GML writer/reader: point, line, polygon-with-hole, multipolygon
+    roundtrip bitwise; attributes come back as strings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.sources import gml as gml_drv
+
+    sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    hole = np.array([[1.0, 1.0], [1.0, 2.0], [2.0, 2.0], [2.0, 1.0], [1.0, 1.0]])
+    wkbs = [
+        wkb_f.encode_points(np.array([1.25]), np.array([-2.5]))[0],
+        wkb_f.encode_linestring(np.array([[0.1, 0.2], [3.4, 5.6]])),
+        wkb_f.encode_polygon([sq, hole]),
+        wkb_f.encode_multipolygon([[sq], [sq + 7.0]]),
+    ]
+    path = str(tmp_path / "t.gml")
+    gml_drv.write_gml(path, wkbs, pa.table({"nm": ["a<b", "x", "y", "z&w"]}))
+    back = gml_drv.read_gml(path)
+    assert back["nm"].to_pylist() == ["a<b", "x", "y", "z&w"]
+    for orig, got in zip(wkbs, back["wkb"].to_pylist()):
+        a, b = wkb_f.decode(orig), wkb_f.decode(got)
+        assert a.kind == b.kind
+        assert np.array_equal(a.vertices(), b.vertices())
+
+
+def test_gml_range_scan_matches_eager(tmp_path, ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.sources import gml as gml_drv
+
+    n = 23
+    wkbs = [wkb_f.encode_points(np.array([float(i)]), np.array([float(i + 1)]))[0]
+            for i in range(n)]
+    path = str(tmp_path / "many.gml")
+    gml_drv.write_gml(path, wkbs, pa.table({"i": list(range(n))}))
+    assert len(gml_drv.feature_ranges(path)) == n
+    rows = gml_drv.read_gml_dataset(path, per_block=4).take_all()
+    assert sorted(int(r["i"]) for r in rows) == list(range(n))
