@@ -1668,6 +1668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct": q.count_distinct_q,
         "span_stats": q.span_stats_q,
         "span_roundtrip": q.span_roundtrip_q,
+        "span_filter_media": q.span_filter_media_q,
         "span_text_extract": q.span_text_extract_q,
         "span_media_bytes": q.span_media_bytes_q,
         "delaunay_triangles": q.delaunay_triangles_q,
@@ -2825,6 +2826,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(abs(t.orient) AS BIGINT) AS area2
             FROM tri t ANTI JOIN bad b
                  ON b.cell = t.cell AND b.ka = t.ka AND b.kb = t.kb AND b.kc = t.kc
+        """,
+        "span_filter_media": """
+            WITH docs AS (SELECT range AS k FROM range(2000)),
+            sp AS (SELECT k, j.j AS j FROM docs,
+                   LATERAL (SELECT unnest(generate_series(0, k % 4)) AS j) j),
+            ks AS (SELECT k, j,
+                          ['text','image','audio','video'][(k + j) % 4 + 1] AS kind,
+                          (k * 2654435761 + j * 40503) % 4294967296 AS h
+                   FROM sp),
+            tw AS (SELECT k, j, h, i.i AS i FROM ks,
+                   LATERAL (SELECT unnest(generate_series(0, h % 7)) AS i) i
+                   WHERE kind = 'text'),
+            wtxt AS (SELECT k, j,
+                            string_agg(['raster','vector','tile','warp','merge','cell',
+                                        'join','span','layer','band','pixel','zone',
+                                        'index','stream','batch','arrow','shuffle',
+                                        'actor','block','mosaic']
+                                       [CAST((h >> (3 * i)) % 20 AS INTEGER) + 1],
+                                       ' ' ORDER BY i) AS txt
+                     FROM tw GROUP BY k, j),
+            spans AS (SELECT ks.k, ks.j, ks.kind,
+                             CASE WHEN ks.kind = 'text' THEN wtxt.txt ELSE '' END AS text,
+                             CASE WHEN ks.kind = 'text' THEN ''
+                                  ELSE 'media://' || ks.kind || '/'
+                                       || printf('%09d', ks.k) || '/' || ks.j
+                             END AS media_ref,
+                             CASE WHEN ks.kind = 'text' THEN len(wtxt.txt)
+                                  ELSE 1 END AS step
+                      FROM ks LEFT JOIN wtxt ON wtxt.k = ks.k AND wtxt.j = ks.j
+                      WHERE ks.kind <> 'video'),
+            offs AS (SELECT k, j, kind, text, media_ref,
+                            CAST(sum(step) OVER (PARTITION BY k ORDER BY j
+                                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS off
+                     FROM spans)
+            SELECT printf('doc-%09d', d.k) AS doc_id,
+                   CAST(coalesce(o.n_spans, 0) AS BIGINT) AS n_spans,
+                   coalesce(o.seq_sig, md5('')) AS seq_sig
+            FROM docs d LEFT JOIN (
+                SELECT k, count(*) AS n_spans,
+                       md5(string_agg(kind || chr(31) || text || chr(31)
+                                      || media_ref || chr(31) || off,
+                                      chr(30) ORDER BY j)) AS seq_sig
+                FROM offs GROUP BY k) o ON o.k = d.k
         """,
         "span_text_extract": f"""
             WITH docs AS (SELECT range AS k FROM range(2000)),

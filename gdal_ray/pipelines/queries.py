@@ -2601,6 +2601,17 @@ def span_roundtrip_q(sf_dir: str):
     return media.span_sequence_signature(back)
 
 
+def span_filter_media_q(sf_dir: str):
+    """Span surgery: drop all video spans, recompute the running-offset
+    invariant, and digest the resulting span sequences — proves the engine
+    TRANSFORMS interleaved payloads while preserving the input_hint
+    contract (the oracle rebuilds the filtered sequences from scratch)."""
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    return media.span_sequence_signature(media.filter_spans(docs, ("video",)))
+
+
 def span_text_extract_q(sf_dir: str):
     """Interleaved corpus -> per-doc full text (text spans concatenated in
     span order): n_chars + md5 digest, oracle-recomputed from the corpus

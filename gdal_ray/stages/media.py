@@ -259,3 +259,61 @@ def span_media_bytes(docs_ds):
         })
 
     return docs_ds.map_batches(resolve, batch_format="pyarrow")
+
+
+def filter_spans(docs_ds, drop_kinds=("video",)):
+    """Span surgery over the interleaved corpus: remove spans of the given
+    kinds and RECOMPUTE the running-offset invariant for the survivors
+    (text spans advance by their length, media spans by 1) — the transform
+    every span-level filter must perform to keep the input_hint's
+    span-sequence contract intact downstream.
+
+    Fully vectorized: one boolean mask over the flattened structs, list
+    offsets rebuilt from segmented counts, offsets re-cumsummed with one
+    global cumsum minus per-doc base.
+    """
+    import pyarrow.compute as pc
+
+    drop = set(drop_kinds)
+
+    def fn(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n = t.num_rows
+        structs = spans.flatten()
+        kind = structs.field("kind")
+        keep = np.ones(len(structs), dtype=bool)
+        for k in drop:
+            keep &= ~pc.equal(kind, k).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(n), lens)
+        kept = structs.filter(pa.array(keep))
+        kparent = parent[keep]
+        # rebuild list offsets from per-doc survivor counts
+        new_counts = np.bincount(kparent, minlength=n).astype(np.int64)
+        new_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(new_counts, out=new_off[1:])
+        # recompute the running offset: text -> len(text), media -> 1
+        is_text = pc.equal(kept.field("kind"), "text").to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(kept.field("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        step = np.where(is_text, tlen, 1)
+        run = np.cumsum(step)
+        base = np.zeros(len(step), dtype=np.int64)
+        starts = new_off[:-1][new_counts > 0]
+        if len(step):
+            base_vals = np.zeros(n, dtype=np.int64)
+            nzdocs = new_counts > 0
+            base_vals[nzdocs] = run[starts] - step[starts]
+            base = base_vals[kparent]
+        new_offset = (run - base).astype(np.int32)
+        rebuilt = pa.StructArray.from_arrays(
+            [kept.field("kind"), kept.field("text"), kept.field("media_ref"),
+             pa.array(new_offset, pa.int32())],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        new_spans = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()).cast(pa.int32()), rebuilt)
+        return pa.table({"doc_id": t["doc_id"], "spans": new_spans})
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

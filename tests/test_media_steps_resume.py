@@ -241,3 +241,34 @@ def test_span_text_extract_and_media_bytes(ray_session):
     exp_aud = 1 + (int(hashlib.md5(b"media://audio/9/0").hexdigest()[:8], 16) % 65536)
     assert (mb["doc-0"]["n_media"], mb["doc-0"]["media_bytes"]) == (1, exp_img)
     assert (mb["doc-1"]["n_media"], mb["doc-1"]["media_bytes"]) == (1, exp_aud)
+
+
+def test_filter_spans_recomputes_offsets(ray_session):
+    """filter_spans drops the kind, keeps order, and rebuilds the running
+    offsets (text += len, media += 1); empty survivors give empty lists."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.sources.synthetic import SPANS_TYPE
+    from gdal_ray.stages import media
+
+    spans = pa.array(
+        [
+            [
+                {"kind": "video", "text": "", "media_ref": "media://video/0/0", "offset": 1},
+                {"kind": "text", "text": "abc", "media_ref": "", "offset": 4},
+                {"kind": "video", "text": "", "media_ref": "media://video/0/2", "offset": 5},
+                {"kind": "image", "text": "", "media_ref": "media://image/0/3", "offset": 6},
+            ],
+            [{"kind": "video", "text": "", "media_ref": "media://video/1/0", "offset": 1}],
+        ],
+        type=SPANS_TYPE,
+    )
+    tbl = pa.table({"doc_id": pa.array(["doc-0", "doc-1"]), "spans": spans})
+    out = {r["doc_id"]: r["spans"]
+           for r in media.filter_spans(rd.from_arrow(tbl), ("video",)).take_all()}
+    assert out["doc-0"] == [
+        {"kind": "text", "text": "abc", "media_ref": "", "offset": 3},
+        {"kind": "image", "text": "", "media_ref": "media://image/0/3", "offset": 4},
+    ]
+    assert out["doc-1"] == []
