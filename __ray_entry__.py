@@ -1681,6 +1681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warp_affine": q.warp_affine_q,
         "cell_cover": q.cell_cover_q,
         "hll_users": q.hll_users_q,
+        "cms_word_freq": q.cms_word_freq_q,
         "mix_sources": q.mix_sources_q,
         "ogrmerge_layers": q.ogrmerge_layers_q,
         "polygonize_rings8": q.polygonize_rings8_q,
@@ -2640,6 +2641,27 @@ def oracle_sql() -> dict[str, str]:
                                < (25 + (CAST(substr(source, 4) AS BIGINT) * 37) % 300) % 100
                           THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
             FROM documents
+        """,
+        "cms_word_freq": f"""
+            WITH w AS (SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS word
+                       FROM documents),
+            wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+            hb AS (SELECT word, cnt, md5(word) AS h FROM wc),
+            wb AS (SELECT word, cnt,
+                          ({_hex_be32('h', 0)} % 1024) AS b0, ({_hex_be32('h', 8)} % 1024) AS b1,
+                          ({_hex_be32('h', 16)} % 1024) AS b2, ({_hex_be32('h', 24)} % 1024) AS b3 FROM hb),
+            qq AS (SELECT unnest(['table','scan','join','window','hash','merge','value','zebra']) AS word),
+            qh AS (SELECT word, md5(word) AS h FROM qq),
+            qb AS (SELECT word,
+                          ({_hex_be32('h', 0)} % 1024) AS b0, ({_hex_be32('h', 8)} % 1024) AS b1,
+                          ({_hex_be32('h', 16)} % 1024) AS b2, ({_hex_be32('h', 24)} % 1024) AS b3 FROM qh),
+            est AS (SELECT q.word,
+                           (SELECT coalesce(sum(cnt), 0) FROM wb WHERE wb.b0 = q.b0) AS e0,
+                           (SELECT coalesce(sum(cnt), 0) FROM wb WHERE wb.b1 = q.b1) AS e1,
+                           (SELECT coalesce(sum(cnt), 0) FROM wb WHERE wb.b2 = q.b2) AS e2,
+                           (SELECT coalesce(sum(cnt), 0) FROM wb WHERE wb.b3 = q.b3) AS e3
+                    FROM qb q)
+            SELECT word, CAST(LEAST(e0, e1, e2, e3) AS BIGINT) AS est FROM est
         """,
         "hll_users": f"""
             WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events),

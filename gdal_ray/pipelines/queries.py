@@ -2431,6 +2431,21 @@ def mix_sources_q(sf_dir: str):
     return textops.epoch_mix(docs)
 
 
+CMS_QUERY_WORDS = ["table", "scan", "join", "window", "hash", "merge",
+                   "value", "zebra"]
+
+
+def cms_word_freq_q(sf_dir: str):
+    """Count-Min sketch word-frequency estimates (4x1024 cells, md5 rows):
+    bounded-memory heavy-hitter counting whose merge is an elementwise sum.
+    The oracle rebuilds the identical sketch in SQL, so estimates —
+    including any collision overcounts — hash-match exactly."""
+    from ..stages import sim
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return sim.count_min_estimate(docs, CMS_QUERY_WORDS)
+
+
 def hll_users_q(sf_dir: str):
     """HyperLogLog distinct-user estimate over events — the constant-memory
     COUNT(DISTINCT) sketch for 100 TB streams (64 registers; batch partials

@@ -431,3 +431,70 @@ def hll_estimate(ds, key_col: str):
 
     # 64-row final fold — a driver-sized reduce by construction
     return merged.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (beyond-reference; bounded-memory frequency estimates
+# whose merge is an elementwise sum — order-invariant across any reduction
+# tree, like the HLL registers above)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4      # hash rows (md5 hex windows)
+CMS_W = 1024   # buckets per row
+
+
+def _cms_buckets(word: str) -> list:
+    import hashlib
+
+    h = hashlib.md5(word.encode()).hexdigest()
+    return [int(h[8 * j:8 * j + 8], 16) % CMS_W for j in range(CMS_D)]
+
+
+def count_min_estimate(ds, queries: list, text_col: str = "text"):
+    """Count-Min frequency estimates for ``queries`` over the corpus's
+    whitespace words.  Per batch: one np.unique over the batch's words, one
+    md5 per DISTINCT word (not per occurrence), partials as (row, bucket,
+    cnt) rows — <= 4096 cells per batch however big the batch.  One tiny
+    groupby-sum merge, then the driver reads the 4096-cell sketch and
+    answers the queries.  Estimates overcount on collisions, never
+    undercount — the CMS guarantee, reproduced exactly by the oracle."""
+    from . import relational
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        words = " ".join(x or "" for x in texts).split()
+        if not words:
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.asarray(words), return_counts=True)
+        rows, buckets, cnts = [], [], []
+        for wrd, c in zip(uniq.tolist(), counts.tolist()):
+            for j, b in enumerate(_cms_buckets(wrd)):
+                rows.append(j)
+                buckets.append(b)
+                cnts.append(c)
+        return pa.table({"row": pa.array(rows, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    merged = relational.partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["row", "bucket"], sums=["cnt"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sk = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        r = t["row"].to_numpy(zero_copy_only=False)
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        c = t["cnt_sum"].to_numpy(zero_copy_only=False)
+        sk[r, b] = c
+        out_w, out_e = [], []
+        for q in queries:
+            bs = _cms_buckets(q)
+            out_w.append(q)
+            out_e.append(int(min(sk[j, bs[j]] for j in range(CMS_D))))
+        return pa.table({"word": pa.array(out_w, pa.string()),
+                         "est": pa.array(out_e, pa.int64())})
+
+    # <= 4096-cell final fold — driver-sized by construction
+    return merged.repartition(1).map_batches(finalize, batch_format="pyarrow")

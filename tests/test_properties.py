@@ -134,3 +134,23 @@ def test_hll_estimate_accuracy_and_merge_invariance(ray_session):
         many = sim.hll_estimate(
             rd.from_arrow(tbl).repartition(7), "k").take_all()[0]
         assert many == one
+
+
+def test_count_min_never_undercounts(ray_session):
+    """CMS property: estimate >= true count for every queried word, exact on
+    a collision-free toy vocab; merge across repartitions is invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import sim
+
+    texts = ["alpha beta beta", "gamma alpha", "alpha"] * 5
+    true = {"alpha": 15, "beta": 10, "gamma": 5, "absent": 0}
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+    one = {r["word"]: r["est"]
+           for r in sim.count_min_estimate(ds, list(true)).take_all()}
+    for w, c in true.items():
+        assert one[w] >= c
+    many = {r["word"]: r["est"]
+            for r in sim.count_min_estimate(ds.repartition(5), list(true)).take_all()}
+    assert many == one
