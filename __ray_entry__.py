@@ -1682,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_cover": q.cell_cover_q,
         "hll_users": q.hll_users_q,
         "cms_word_freq": q.cms_word_freq_q,
+        "hll_window_users": q.hll_window_users_q,
         "mix_sources": q.mix_sources_q,
         "ogrmerge_layers": q.ogrmerge_layers_q,
         "polygonize_rings8": q.polygonize_rings8_q,
@@ -2641,6 +2642,34 @@ def oracle_sql() -> dict[str, str]:
                                < (25 + (CAST(substr(source, 4) AS BIGINT) * 37) % 300) % 100
                           THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
             FROM documents
+        """,
+        "hll_window_users": f"""
+            WITH e AS (SELECT epoch_us(ts) // 1000000 // 3600 AS window_id,
+                              md5(CAST(user_id AS VARCHAR)) AS h
+                       FROM events),
+            v AS (SELECT window_id, {_hex_be32('h', 0)} AS v FROM e),
+            rw AS (SELECT window_id, v // 67108864 AS register,
+                          v % 67108864 AS w FROM v),
+            rk AS (SELECT window_id, register,
+                          CASE WHEN w > 0 THEN 27 - len(bin(w)) ELSE 27 END AS rank
+                   FROM rw),
+            mx AS (SELECT window_id, register, max(rank) AS rank
+                   FROM rk GROUP BY 1, 2),
+            wins AS (SELECT DISTINCT window_id FROM e),
+            grid AS (SELECT wins.window_id, g.range AS register
+                     FROM wins CROSS JOIN range(64) g),
+            regs AS (SELECT grid.window_id, grid.register,
+                            coalesce(mx.rank, 0) AS rank
+                     FROM grid LEFT JOIN mx ON mx.window_id = grid.window_id
+                                           AND mx.register = grid.register),
+            s AS (SELECT window_id, sum(power(2.0, -rank)) AS denom,
+                         sum(CASE WHEN rank > 0 THEN 1 ELSE 0 END) AS nz
+                  FROM regs GROUP BY 1)
+            SELECT CAST(window_id AS BIGINT) AS window_id,
+                   CAST(nz AS BIGINT) AS n_registers,
+                   CAST(floor(0.709 * 64 * 64 / denom * 1000.0 + 0.5) AS BIGINT)
+                        AS est_x1000
+            FROM s
         """,
         "cms_word_freq": f"""
             WITH w AS (SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS word

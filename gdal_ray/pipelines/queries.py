@@ -2431,6 +2431,15 @@ def mix_sources_q(sf_dir: str):
     return textops.epoch_mix(docs)
 
 
+def hll_window_users_q(sf_dir: str):
+    """Streaming COUNT(DISTINCT) at constant memory: HLL distinct-user
+    estimate per tumbling hour over the events log."""
+    from ..stages import sim
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return sim.hll_window_estimate(ev)
+
+
 CMS_QUERY_WORDS = ["table", "scan", "join", "window", "hash", "merge",
                    "value", "zebra"]
 

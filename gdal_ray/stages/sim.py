@@ -498,3 +498,57 @@ def count_min_estimate(ds, queries: list, text_col: str = "text"):
 
     # <= 4096-cell final fold — driver-sized by construction
     return merged.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+def hll_window_estimate(events_ds, key_col: str = "user_id", ts_col: str = "ts",
+                        window_s: int = 3600):
+    """Windowed HLL: distinct-``key_col`` estimate per tumbling window — the
+    streaming COUNT(DISTINCT) at constant memory per window.  Per batch:
+    one register-max partial per (window, register) (<= windows x 64 rows per
+    block), one max-merge shuffle, one 64-row finalize per window."""
+    import hashlib
+
+    from . import relational
+    from .events import _epoch_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        sec = _epoch_us(t[ts_col]) // 1_000_000
+        wid = (sec // window_s).astype(np.int64)
+        keys = t[key_col].to_pylist()
+        vals = np.empty(len(keys), dtype=np.int64)
+        for i, k in enumerate(keys):
+            vals[i] = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        reg = vals >> 26
+        w = vals & ((1 << 26) - 1)
+        ranks = np.where(w > 0,
+                         27 - np.frexp(w.astype(np.float64))[1].astype(np.int64),
+                         27)
+        # dense (window, register) max via one np.maximum.at over packed keys
+        uw, winv = np.unique(wid, return_inverse=True)
+        packed = winv * HLL_M + reg
+        m = np.zeros(len(uw) * HLL_M, dtype=np.int64)
+        np.maximum.at(m, packed, ranks)
+        nz = np.flatnonzero(m)
+        return pa.table({
+            "window_id": pa.array(uw[nz // HLL_M]),
+            "register": pa.array((nz % HLL_M).astype(np.int64)),
+            "rank": pa.array(m[nz]),
+        })
+
+    merged = relational.partial_aggregate(
+        events_ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["window_id", "register"], maxs=["rank"])
+
+    def finalize(g: pa.Table) -> pa.Table:
+        m = np.zeros(HLL_M, dtype=np.int64)
+        m[g["register"].to_numpy(zero_copy_only=False)] = \
+            g["rank_max"].to_numpy(zero_copy_only=False)
+        denom = np.sum(np.ldexp(1.0, -m.astype(np.int64)))
+        est = HLL_ALPHA * HLL_M * HLL_M / denom
+        return pa.table({
+            "window_id": pa.array([int(g["window_id"][0].as_py())], pa.int64()),
+            "n_registers": pa.array([int((m > 0).sum())], pa.int64()),
+            "est_x1000": pa.array([int(np.floor(est * 1000.0 + 0.5))], pa.int64()),
+        })
+
+    return merged.groupby("window_id").map_groups(finalize, batch_format="pyarrow")

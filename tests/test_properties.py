@@ -154,3 +154,22 @@ def test_count_min_never_undercounts(ray_session):
     many = {r["word"]: r["est"]
             for r in sim.count_min_estimate(ds.repartition(5), list(true)).take_all()}
     assert many == one
+
+
+def test_hll_window_matches_unwindowed_on_single_window(ray_session):
+    """A stream confined to one window reproduces the plain HLL estimate."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import sim
+
+    n = 500
+    ts = pa.array(np.full(n, 1_700_000_000_000_000, dtype=np.int64),
+                  pa.timestamp("us"))
+    tbl = pa.table({"user_id": pa.array(np.arange(n) % 77), "ts": ts})
+    win = sim.hll_window_estimate(rd.from_arrow(tbl)).take_all()
+    assert len(win) == 1
+    plain = sim.hll_estimate(rd.from_arrow(tbl), "user_id").take_all()[0]
+    assert win[0]["est_x1000"] == plain["est_x1000"]
+    assert win[0]["n_registers"] == plain["n_registers"]
