@@ -165,6 +165,100 @@ FROM {src} GROUP BY 1, 2
 """
 
 
+def _neighbors_sql() -> str:
+    """gdal raster neighbors over the 3x3 blobs mosaic: weighted kernel sums
+    (edge2/gaussian) + order statistics min/max/median/mode + the stddev
+    variance numerator 9*sum(v^2)-sum(v)^2, all integer-exact; per-tile
+    sum/min/max of the focal output mirror stages/focal.neighbors.  Blob
+    value: LAST disc assignment wins = highest b inside (loop order in
+    sources/synthetic.make_raster_tiles), so GREATEST over the 6 disc cases."""
+    W = H = 192
+    discs = [((b * 157) % W, (b * 211) % H, 10 + (b * 7) % 20) for b in range(6)]
+
+    def val(dx: int, dy: int) -> str:
+        cx = f"LEAST(GREATEST(gx+{dx},0),{W - 1})" if dx else "gx"
+        cy = f"LEAST(GREATEST(gy+{dy},0),{H - 1})" if dy else "gy"
+        terms = ", ".join(
+            f"CASE WHEN ({cx}-{cxb})*({cx}-{cxb}) + ({cy}-{cyb})*({cy}-{cyb})"
+            f" <= {r * r} THEN {b + 1} ELSE 0 END"
+            for b, (cxb, cyb, r) in enumerate(discs)
+        )
+        return f"GREATEST({terms})"
+
+    # row-major (dy, dx) matches stages/focal._neighbors_apply stack order
+    n9 = [val(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    edge2_coef = [-1, -1, -1, -1, 8, -1, -1, -1, -1]
+    gauss_coef = [1, 2, 1, 2, 4, 2, 1, 2, 1]
+    edge2 = " + ".join(f"({c})*({v})" for c, v in zip(edge2_coef, n9))
+    gauss = " + ".join(f"({c})*({v})" for c, v in zip(gauss_coef, n9))
+    nv_list = ", ".join(n9)
+    finals = []
+    for mode, o in [
+        ("sum_edge2", "o_edge2"), ("sum_gaussian", "o_gauss"),
+        ("min_equal", "o_min"), ("max_equal", "o_max"),
+        ("median_equal", "o_med"), ("mode_equal", "o_mode"),
+        ("stddev_equal", "o_var"),
+    ]:
+        finals.append(f"""
+            SELECT '{mode}' AS mode,
+                   CAST(gx // 64 AS INT) AS x, CAST(gy // 64 AS INT) AS y,
+                   CAST(sum({o}) AS BIGINT) AS vsum,
+                   CAST(min({o}) AS BIGINT) AS vmin,
+                   CAST(max({o}) AS BIGINT) AS vmax
+            FROM allpx GROUP BY 2, 3""")
+    union = "\n            UNION ALL".join(finals)
+    return f"""
+        WITH px AS (SELECT a.range AS gx, b.range AS gy
+                    FROM range({W}) a, range({H}) b),
+        nb AS (SELECT gx, gy, unnest([{nv_list}]) AS nv FROM px),
+        sums AS (SELECT gx, gy, {edge2} AS o_edge2, {gauss} AS o_gauss FROM px),
+        st AS (SELECT gx, gy, min(nv) AS o_min, max(nv) AS o_max,
+                      quantile_disc(nv, 0.5) AS o_med,
+                      9 * sum(nv * nv) - sum(nv) * sum(nv) AS o_var
+               FROM nb GROUP BY 1, 2),
+        mc AS (SELECT gx, gy, nv, count(*) AS c FROM nb GROUP BY 1, 2, 3),
+        mr AS (SELECT gx, gy, nv,
+                      row_number() OVER (PARTITION BY gx, gy
+                                         ORDER BY c DESC, nv ASC) AS rn
+               FROM mc),
+        md AS (SELECT gx, gy, nv AS o_mode FROM mr WHERE rn = 1),
+        allpx AS (SELECT s.gx, s.gy, o_edge2, o_gauss, o_min, o_max, o_med,
+                         o_var, o_mode
+                  FROM sums s JOIN st USING (gx, gy) JOIN md USING (gx, gy))
+        {union}
+    """
+
+
+def _dither_sql() -> str:
+    """Ordered Bayer dithering of the ramp mosaic: adj = 64*(gx+gy) +
+    (2*B(gx%8,gy%8) - 63)*24, nearest 7-level palette with ties to the
+    smallest index (mirrors stages/fillpalette.dither_ordered exactly)."""
+    from gdal_ray.pipelines.queries import DITHER_PALETTE
+    from gdal_ray.stages.fillpalette import BAYER8
+
+    bayer = ", ".join(str(int(v)) for v in BAYER8.ravel())  # row-major (y, x)
+    pal = ", ".join(f"({i}, {p})" for i, p in enumerate(DITHER_PALETTE))
+    return f"""
+        WITH px AS (SELECT a.range AS gx, b.range AS gy
+                    FROM range(192) a, range(192) b),
+        adj AS (SELECT gx, gy,
+                  64 * (gx + gy)
+                  + (2 * ([{bayer}])[(gy % 8) * 8 + (gx % 8) + 1] - 63) * 24
+                  AS v
+                FROM px),
+        pal(idx, p) AS (VALUES {pal}),
+        d AS (SELECT gx, gy, idx, abs(v - 64 * p) AS dist FROM adj, pal),
+        r AS (SELECT gx, gy, idx,
+                row_number() OVER (PARTITION BY gx, gy
+                                   ORDER BY dist ASC, idx ASC) AS rn
+              FROM d)
+        SELECT CAST(gx // 64 AS INT) AS x, CAST(gy // 64 AS INT) AS y,
+               CAST(idx AS BIGINT) AS idx, CAST(count(*) AS BIGINT) AS n
+        FROM r WHERE rn = 1
+        GROUP BY 1, 2, 3
+    """
+
+
 def _hillshade_sql() -> str:
     """gdaldem hillshade over the 3x3 ramp mosaic: Horn 3x3 gradients with
     edge replication (== coordinate clamping on the closed-form ramp),
@@ -1591,6 +1685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_knn": q.join_knn,
         "knn_tree": q.knn_tree_q,
         "zonal_stats": q.zonal_stats_q,
+        "zonal_extended": q.zonal_extended_q,
+        "zonal_modes": q.zonal_modes_q,
         # relational conformance (SURVEY §2.2/2.5/2.6/2.7/2.11)
         "q1_pricing": q.q1_pricing,
         "join_orders_customer": q.join_orders_customer,
@@ -1710,6 +1806,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warp_cutline": q.warp_cutline_q,
         "grid_metrics": q.grid_metrics_q,
         "hillshade": q.hillshade_q,
+        "focal_neighbors": q.focal_neighbors_q,
+        "dither_ordered": q.dither_ordered_q,
         "hillshade_variants": q.hillshade_variants_q,
         "footprint": q.footprint_q,
         "nearblack": q.nearblack_q,
@@ -1814,6 +1912,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.lon >= zz.minx AND d.lon <= zz.maxx
               AND d.lat >= zz.miny AND d.lat <= zz.maxy
             GROUP BY zz.zone_id
+        """,
+        "zonal_extended": f"""
+            WITH {_DOCS_GEO}, {_ZONES},
+            p AS (
+              SELECT zz.zone_id, CAST(d.n_chars AS BIGINT) AS v
+              FROM d, zz
+              WHERE d.lon >= zz.minx AND d.lon <= zz.maxx
+                AND d.lat >= zz.miny AND d.lat <= zz.maxy
+            )
+            SELECT zone_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(v) AS BIGINT) AS n_chars_sum,
+                   CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT)
+                     AS var_num
+            FROM p
+            GROUP BY zone_id
+        """,
+        "zonal_modes": f"""
+            WITH {_DOCS_GEO}, {_ZONES},
+            p AS (
+              SELECT zz.zone_id, CAST(d.n_chars AS BIGINT) AS v
+              FROM d, zz
+              WHERE d.lon >= zz.minx AND d.lon <= zz.maxx
+                AND d.lat >= zz.miny AND d.lat <= zz.maxy
+            ),
+            c AS (SELECT zone_id, v, count(*) AS cnt FROM p GROUP BY 1, 2),
+            r AS (
+              SELECT zone_id, v,
+                     row_number() OVER (PARTITION BY zone_id
+                                        ORDER BY cnt DESC, v ASC) AS rmaj,
+                     row_number() OVER (PARTITION BY zone_id
+                                        ORDER BY cnt ASC, v ASC) AS rmin
+              FROM c
+            )
+            SELECT zone_id,
+                   CAST(max(CASE WHEN rmaj = 1 THEN v END) AS BIGINT)
+                     AS majority_val,
+                   CAST(max(CASE WHEN rmin = 1 THEN v END) AS BIGINT)
+                     AS minority_val
+            FROM r
+            GROUP BY zone_id
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
@@ -3126,6 +3265,8 @@ def oracle_sql() -> dict[str, str]:
                AND count(*) FILTER (d.lon < c.ccx AND d.lat < c.ccy) >= 1
         """,
         "hillshade": _hillshade_sql(),
+        "focal_neighbors": _neighbors_sql(),
+        "dither_ordered": _dither_sql(),
         "hillshade_variants": _hillshade_variants_sql(),
         "proximity": _proximity_sql(),
         "fill_nodata": _fill_nodata_sql(),

@@ -106,6 +106,24 @@ def zonal_stats_q(sf_dir: str):
     return zonal.zonal_stats(pts, _zones(sf_dir), value_col="n_chars")
 
 
+def zonal_extended_q(sf_dir: str):
+    """Zonal mean/stddev sufficient statistics (alg/zonal.cpp:661-701 stat
+    names) as exact integers: n, sum, var_num = n*sum(v^2)-sum(v)^2."""
+    pts = _docs(sf_dir, ("doc_id", "n_chars")).map_batches(
+        tiles.derive_geometry_batch, batch_format="pyarrow"
+    )
+    return zonal.zonal_stats_extended(pts, _zones(sf_dir), value_col="n_chars")
+
+
+def zonal_modes_q(sf_dir: str):
+    """Zonal MAJORITY / MINORITY value per zone (alg/zonal.cpp:661-701),
+    ties -> smallest value."""
+    pts = _docs(sf_dir, ("doc_id", "n_chars")).map_batches(
+        tiles.derive_geometry_batch, batch_format="pyarrow"
+    )
+    return zonal.zonal_value_modes(pts, _zones(sf_dir), value_col="n_chars")
+
+
 # -- relational conformance (OGR SQL surface) --------------------------------
 
 
@@ -1692,6 +1710,56 @@ def hillshade_variants_q(sf_dir: str):
     for o in outs[1:]:
         ds = ds.union(o)
     return ds
+
+
+NEIGHBOR_COMBOS = [
+    ("sum", "edge2"),
+    ("sum", "gaussian"),
+    ("min", "equal"),
+    ("max", "equal"),
+    ("median", "equal"),
+    ("mode", "equal"),
+    ("stddev", "equal"),
+]
+
+
+def focal_neighbors_q(sf_dir: str):
+    """gdal raster neighbors (generic focal statistics,
+    apps/gdalalg_raster_neighbors.h:29) over the blobs mosaic: weighted
+    convolution sums (edge2/gaussian kernels) plus order statistics
+    min/max/median/mode and the exact stddev variance numerator.  Per-tile
+    integer aggregates of the focal output are the golden."""
+    from ..stages import focal
+
+    tiles_tbl = synthetic.make_raster_tiles("blobs", 3, 3, size=64)
+    outs = []
+    for method, kern in NEIGHBOR_COMBOS:
+        out = focal.neighbors(rd.from_arrow(tiles_tbl), method=method, kernel=kern)
+
+        def tag(t: pa.Table, m=f"{method}_{kern}") -> pa.Table:
+            return t.append_column("mode", pa.array([m] * t.num_rows))
+
+        outs.append(out.map_batches(tag, batch_format="pyarrow"))
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds
+
+
+DITHER_PALETTE = [0, 64, 128, 192, 256, 320, 384]
+
+
+def dither_ordered_q(sf_dir: str):
+    """Ordered Bayer-8x8 dithering of the ramp mosaic to a 7-level gray
+    palette (the tile-parallel replacement for alg/gdaldither.cpp's
+    sequential Floyd-Steinberg; see stages/fillpalette.dither_ordered).
+    Per-tile palette-index histograms are the golden."""
+    from ..stages import fillpalette
+
+    tiles_tbl = synthetic.make_raster_tiles("ramp", 3, 3, size=64)
+    return fillpalette.dither_ordered(
+        rd.from_arrow(tiles_tbl), DITHER_PALETTE, spread=24
+    )
 
 
 def media_features_q(sf_dir: str):

@@ -257,3 +257,62 @@ def apply_palette(tiles_ds, palette: np.ndarray):
             return pa.Table.from_pylist(rows)
 
     return tiles_ds.map_batches(Remap, batch_format="pyarrow", concurrency=2)
+
+
+# -- ordered dithering (rgb2pct -dither analogue) -----------------------------
+
+# standard recursive Bayer construction: B2 = [[0,2],[3,1]], B_{2n} = 4*Bn (+)
+BAYER8 = np.array(
+    [[0, 32, 8, 40, 2, 34, 10, 42],
+     [48, 16, 56, 24, 50, 18, 58, 26],
+     [12, 44, 4, 36, 14, 46, 6, 38],
+     [60, 28, 52, 20, 62, 30, 54, 22],
+     [3, 35, 11, 43, 1, 33, 9, 41],
+     [51, 19, 59, 27, 49, 17, 57, 25],
+     [15, 47, 7, 39, 13, 45, 5, 37],
+     [63, 31, 55, 23, 61, 29, 53, 21]], dtype=np.int64)
+
+
+def dither_ordered(tiles_ds, palette, spread: int = 24):
+    """Ordered (Bayer 8x8) dithering to a fixed gray palette.
+
+    The reference dithers with Floyd-Steinberg error diffusion
+    (``alg/gdaldither.cpp:5-24``, error split 2/6 right + 1/6+rem+1/6 next
+    line), whose scanline error carry is inherently sequential whole-image —
+    the reference itself runs it single-threaded.  The tile-parallel
+    equivalent is the ordered threshold matrix: per-pixel deterministic, so
+    tiling cannot change any output pixel.  Integer-exact:
+
+        adj64 = 64*v + (2*B(gx%8, gy%8) - 63) * spread
+        out   = argmin_p |adj64 - 64*palette[p]|   (ties -> smallest index)
+
+    Emits per-tile palette-index histograms (x, y, idx, n) — the exact,
+    order-invariant golden.  Assumes uniform tile sizes (global pixel
+    coordinate = tile_index * width + col).
+    """
+    pal = np.asarray(palette, dtype=np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from .focal import _dtype_of
+
+        rows = []
+        for i in range(batch.num_rows):
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            dt = _dtype_of(batch["dtype"][i].as_py())
+            v = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w)
+            v = v.astype(np.int64)
+            tx = batch["x"][i].as_py()
+            ty = batch["y"][i].as_py()
+            gy, gx = np.mgrid[0:h, 0:w]
+            b = BAYER8[(gy + ty * h) % 8, (gx + tx * w) % 8]
+            adj = 64 * v + (2 * b - 63) * spread
+            d = np.abs(adj[:, :, None] - 64 * pal[None, None, :])
+            idx = np.argmin(d, axis=2)  # argmin takes FIRST min = smallest idx
+            n = np.bincount(idx.ravel(), minlength=pal.size)
+            nz = np.flatnonzero(n)
+            for j in nz:
+                rows.append({"x": tx, "y": ty, "idx": int(j), "n": int(n[j])})
+        return pa.Table.from_pylist(rows)
+
+    return tiles_ds.map_batches(fn, batch_format="pyarrow")

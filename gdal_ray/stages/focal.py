@@ -267,3 +267,93 @@ def focal(
         )
 
     return grouped.map_groups(run, batch_format="pyarrow")
+
+
+# -- gdal raster neighbors (generic focal statistics) -------------------------
+
+NEIGHBOR_KERNELS = {
+    # apps/gdalalg_raster_neighbors.cpp:48-77 (oMapKernelNameToMatrix)
+    "equal": [[1, 1, 1], [1, 1, 1], [1, 1, 1]],
+    "u": [[0, 0, 0], [-1, 0, 1], [0, 0, 0]],
+    "v": [[0, -1, 0], [0, 0, 0], [0, 1, 0]],
+    "edge1": [[0, -1, 0], [-1, 4, -1], [0, -1, 0]],
+    "edge2": [[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]],
+    "sharpen": [[0, -1, 0], [-1, 5, -1], [0, -1, 0]],
+    "gaussian": [[1, 2, 1], [2, 4, 2], [1, 2, 1]],
+}
+
+NEIGHBOR_METHODS = ("sum", "min", "max", "median", "mode", "stddev")
+
+
+def _neighbors_apply(pad: np.ndarray, method: str, coef: np.ndarray) -> np.ndarray:
+    """Integer-exact 3x3 focal statistic on a padded int64 array.
+
+    Order statistics follow ``gdal raster neighbors`` methods
+    (apps/gdalalg_raster_neighbors.cpp:207 SetChoices); exactness policy:
+    ``stddev`` emits the variance NUMERATOR 9*sum(v^2)-sum(v)^2 (population
+    variance x81), ``mode`` ties resolve to the smallest value, ``median`` is
+    the 5th smallest of the 9 (odd window, exact)."""
+    h, w = pad.shape[0] - 2, pad.shape[1] - 2
+    stack = np.stack(
+        [pad[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+    ).astype(np.int64)
+    if method == "sum":
+        return np.tensordot(coef.reshape(9), stack, axes=(0, 0))
+    if method == "min":
+        return stack.min(axis=0)
+    if method == "max":
+        return stack.max(axis=0)
+    if method == "median":
+        return np.sort(stack, axis=0)[4]
+    if method == "mode":
+        s = np.sort(stack, axis=0)
+        # count of each sorted layer via 81 equality sums; argmax returns the
+        # FIRST maximal index = smallest value among the modes (sorted asc)
+        counts = (s[:, None, :, :] == s[None, :, :, :]).sum(axis=1)
+        pick = counts.argmax(axis=0)
+        return np.take_along_axis(s, pick[None], axis=0)[0]
+    if method == "stddev":
+        sv = stack.sum(axis=0)
+        sv2 = (stack * stack).sum(axis=0)
+        return 9 * sv2 - sv * sv
+    raise ValueError(method)
+
+
+def neighbors(tiles_ds, method: str = "sum", kernel: str = "equal"):
+    """``gdal raster neighbors`` (apps/gdalalg_raster_neighbors.h:29): generic
+    3x3 focal statistics over the halo-exchanged tile mosaic.  Integer tiles
+    only; emits per-tile exact integer aggregates (x, y, vsum, vmin, vmax)
+    of the focal output so any reduction order hash-matches the SQL mirror.
+
+    ``method='sum'`` applies the weighted convolution kernel
+    (VRTKernelFilteredSource SetNormalized(false) path,
+    gdalalg_raster_neighbors.cpp:110-114); order-statistic methods use the
+    plain 3x3 window (kernel must be 'equal')."""
+    if method not in NEIGHBOR_METHODS:
+        raise ValueError(f"method {method!r}; known: {NEIGHBOR_METHODS}")
+    if method != "sum" and kernel != "equal":
+        raise ValueError("order-statistic methods take kernel='equal'")
+    coef = np.asarray(NEIGHBOR_KERNELS[kernel], dtype=np.int64)
+    grouped = _halo_exchange(tiles_ds)
+
+    def run(group: pa.Table) -> pa.Table:
+        pad, xy, _wh = _assemble_padded(group)
+        empty = {
+            "x": pa.array([], pa.int32()), "y": pa.array([], pa.int32()),
+            "vsum": pa.array([], pa.int64()), "vmin": pa.array([], pa.int64()),
+            "vmax": pa.array([], pa.int64()),
+        }
+        if pad is None:
+            return pa.table(empty)
+        out = _neighbors_apply(pad.astype(np.int64), method, coef)
+        return pa.table(
+            {
+                "x": pa.array([xy[0]], pa.int32()),
+                "y": pa.array([xy[1]], pa.int32()),
+                "vsum": pa.array([int(out.sum())], pa.int64()),
+                "vmin": pa.array([int(out.min())], pa.int64()),
+                "vmax": pa.array([int(out.max())], pa.int64()),
+            }
+        )
+
+    return grouped.map_groups(run, batch_format="pyarrow")

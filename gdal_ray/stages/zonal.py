@@ -10,7 +10,9 @@ Stats are exact scaled integers (see relational.py numeric policy).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .join import broadcast_spatial_join
 from .relational import partial_aggregate
@@ -123,3 +125,133 @@ def zonal_stats_dense(
             f"{value_col}_max": pa.array(mx[idx]),
         }
     )
+
+
+def zonal_stats_extended(
+    points_ds,
+    zones: pa.Table,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    predicate: str = "intersects",
+    concurrency: int | tuple = 4,
+):
+    """Per-zone mean/stddev as EXACT integer sufficient statistics.
+
+    GDAL's zonal mean/stddev (``alg/zonal.cpp:661-701``) emit floats; to keep
+    the bit-stable hash policy we emit n, sum(v), and the variance numerator
+    ``var_num = n * sum(v^2) - sum(v)^2`` (population variance = var_num/n^2,
+    mean = sum/n) — all reductions are order-invariant int64 sums.  int64
+    bound: |v| < ~3e4 with <1e6 rows/zone stays well inside 2^63.
+    """
+
+    def add_sq(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.int64())
+        return t.append_column("_v2", pc.multiply(v, v))
+
+    pairs = broadcast_spatial_join(
+        points_ds,
+        zones,
+        predicate=predicate,
+        id_col=id_col,
+        concurrency=concurrency,
+        emit_cols=(value_col,),
+    ).map_batches(add_sq, batch_format="pyarrow")
+    agg = partial_aggregate(
+        pairs, ["zone_id"], sums=[value_col, "_v2"], count_alias="n_docs"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_docs"], pa.int64())
+        s = pc.cast(t[f"{value_col}_sum"], pa.int64())
+        s2 = pc.cast(t["_v2_sum"], pa.int64())
+        var_num = pc.subtract(pc.multiply(n, s2), pc.multiply(s, s))
+        return pa.table(
+            {
+                "zone_id": t["zone_id"],
+                "n_docs": n,
+                f"{value_col}_sum": s,
+                "var_num": var_num,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zonal_value_modes(
+    points_ds,
+    zones: pa.Table,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    predicate: str = "intersects",
+    concurrency: int | tuple = 4,
+    num_partitions: int = 64,
+):
+    """Per-zone MAJORITY / MINORITY value (stat names ``alg/zonal.cpp:661-701``):
+    the most / least frequent value in the zone; ties resolve to the SMALLEST
+    value (mirrors SQL ``row_number() OVER (... ORDER BY cnt DESC|ASC, v ASC)``).
+
+    Scale shape: join pairs -> two-phase (zone, value) count (the per-batch
+    combiner shrinks the shuffle to unique pairs per block) -> ONE hash
+    shuffle of the already-global counts -> a single vectorized lexsort per
+    partition resolves both extremes for every zone in it.  No per-key Python
+    callback; the shuffle moves O(zones x distinct values) rows, not O(rows).
+    """
+    pairs = broadcast_spatial_join(
+        points_ds,
+        zones,
+        predicate=predicate,
+        id_col=id_col,
+        concurrency=concurrency,
+        emit_cols=(value_col,),
+        emit_zone_index=True,
+    )
+    counts = partial_aggregate(pairs, ["zone_idx", value_col], count_alias="cnt")
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t["zone_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs((k * np.int64(2654435761)) % np.int64(num_partitions))
+        return t.append_column("_part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "zone_idx": pa.array([], pa.int32()),
+                    "majority_val": pa.array([], pa.int64()),
+                    "minority_val": pa.array([], pa.int64()),
+                }
+            )
+        k = g["zone_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        omaj = np.lexsort((v, -c, k))
+        kmaj = k[omaj]
+        first = np.r_[True, kmaj[1:] != kmaj[:-1]]
+        omin = np.lexsort((v, c, k))
+        firstn = np.r_[True, k[omin][1:] != k[omin][:-1]]
+        return pa.table(
+            {
+                "zone_idx": pa.array(kmaj[first].astype(np.int32)),
+                "majority_val": pa.array(v[omaj][first]),
+                "minority_val": pa.array(v[omin][firstn]),
+            }
+        )
+
+    modes = (
+        counts.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+    zone_ids = zones["zone_id"].combine_chunks()
+
+    def resolve(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "zone_id": zone_ids.take(t["zone_idx"]),
+                "majority_val": t["majority_val"],
+                "minority_val": t["minority_val"],
+            }
+        )
+
+    return modes.map_batches(resolve, batch_format="pyarrow")

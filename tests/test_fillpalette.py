@@ -100,3 +100,28 @@ def test_pansharpen_brovey():
     got = np.frombuffer(out[0]["data"], np.uint8).reshape(size * 2, size * 2, 3)
     assert (got == 120).all()  # ratio 2.0 applied to every band
     assert out[0]["width"] == size * 2
+
+
+def test_dither_ordered_tiled_equals_monolithic(ray_session):
+    """Ordered dithering is per-pixel deterministic: per-tile histograms must
+    equal the same formula applied to the assembled mosaic."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages.fillpalette import BAYER8, dither_ordered
+
+    pal = np.array([0, 64, 128, 192, 256, 320, 384], dtype=np.int64)
+    tiles = synthetic.make_raster_tiles("ramp", 3, 2, size=32)
+    rows = dither_ordered(rd.from_arrow(tiles), pal, spread=24).take_all()
+
+    gy, gx = np.mgrid[0:64, 0:96]
+    adj = 64 * (gx + gy) + (2 * BAYER8[gy % 8, gx % 8] - 63) * 24
+    idx = np.argmin(np.abs(adj[:, :, None] - 64 * pal[None, None, :]), axis=2)
+    for r in rows:
+        sub = idx[r["y"] * 32:(r["y"] + 1) * 32, r["x"] * 32:(r["x"] + 1) * 32]
+        assert r["n"] == int((sub == r["idx"]).sum())
+    # ties break to the smaller index (argmin returns the first minimum):
+    # adj=2048 is equidistant from palette 0 (64*0) and 64 (64*64=4096)
+    d = np.abs(np.array([[2048]]) - 64 * np.array([0, 64]))
+    assert int(np.argmin(d)) == 0

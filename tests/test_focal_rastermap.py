@@ -244,3 +244,91 @@ def test_gdalcompare_identical_and_unmatched(ray_session):
     out = rastermap.compare(rd.from_arrow(a), rd.from_arrow(b)).take_all()
     unmatched = [r for r in out if r["max_abs_x100"] == -1]
     assert len(unmatched) == 2 and all(r["n_diff"] == 32 * 32 for r in unmatched)
+
+
+def test_neighbors_tiled_equals_monolithic(ray_session):
+    """gdal raster neighbors: every method's per-tile integer aggregates must
+    equal the same stencil run on the assembled mosaic with edge padding."""
+    from gdal_ray.pipelines.queries import NEIGHBOR_COMBOS
+
+    tiles, full = _tiles_and_full("blobs", 3, 2, size=32)
+    pad = np.pad(full.astype(np.int64), 1, mode="edge")
+    for method, kern in NEIGHBOR_COMBOS:
+        coef = np.asarray(focal_stage.NEIGHBOR_KERNELS[kern], dtype=np.int64)
+        expect = focal_stage._neighbors_apply(pad, method, coef)
+        rows = focal_stage.neighbors(
+            rd.from_arrow(tiles), method=method, kernel=kern
+        ).take_all()
+        assert len(rows) == 6
+        for r in rows:
+            sub = expect[r["y"] * 32 : (r["y"] + 1) * 32,
+                         r["x"] * 32 : (r["x"] + 1) * 32]
+            assert r["vsum"] == sub.sum(), (method, kern, r["x"], r["y"])
+            assert r["vmin"] == sub.min() and r["vmax"] == sub.max()
+
+
+def test_neighbors_mode_tie_breaks_smallest(ray_session):
+    """3x3 window with a 4-4 tie must pick the smaller value (SQL mirror:
+    ORDER BY cnt DESC, v ASC)."""
+    pad = np.pad(np.array([[5, 2], [2, 5]], dtype=np.int64), 1, mode="edge")
+    out = focal_stage._neighbors_apply(
+        pad, "mode", np.ones((3, 3), dtype=np.int64))
+    # each 3x3 window over this 2x2 edge-padded patch holds 4/5 or 5/4 of
+    # each value; verify against a brute count per pixel
+    for yy in range(2):
+        for xx in range(2):
+            win = pad[yy:yy + 3, xx:xx + 3].ravel()
+            vals, cnts = np.unique(win, return_counts=True)
+            best = vals[cnts == cnts.max()].min()
+            assert out[yy, xx] == best
+
+
+def test_zonal_modes_and_extended(ray_session):
+    """Majority/minority + exact variance numerator vs a pandas recompute."""
+    from gdal_ray.sources.io import read_table
+    from gdal_ray.stages import tiles as tiles_stage, zonal
+
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(f"{sf}/part.parquet", columns=["p_partkey"])["p_partkey"].to_numpy()
+    zones = synthetic.make_rect_zones(np.sort(keys))
+    pts = read_table(sf, "documents", columns=["doc_id", "n_chars"]).map_batches(
+        tiles_stage.derive_geometry_batch, batch_format="pyarrow"
+    )
+    modes = zonal.zonal_value_modes(
+        pts, zones, value_col="n_chars", concurrency=2
+    ).to_pandas()
+    ext = zonal.zonal_stats_extended(
+        pts, zones, value_col="n_chars", concurrency=2
+    ).to_pandas()
+
+    # brute: pandas join
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+    from gdal_ray.functions import geo
+
+    lon, lat = geo.derive_lonlat(docs["doc_id"].to_numpy())
+    zl = zones.to_pandas()
+    rows = []
+    for _, z in zl.iterrows():
+        m = (lon >= z.minx) & (lon <= z.maxx) & (lat >= z.miny) & (lat <= z.maxy)
+        if not m.any():
+            continue
+        v = docs["n_chars"].to_numpy()[m]
+        vals, cnts = np.unique(v, return_counts=True)
+        maj = vals[cnts == cnts.max()].min()
+        mino = vals[cnts == cnts.min()].min()
+        n = int(m.sum())
+        rows.append((z.zone_id, maj, mino, n, int(v.sum()),
+                     n * int((v.astype(np.int64) ** 2).sum()) - int(v.sum()) ** 2))
+    import pandas as pd
+
+    exp = pd.DataFrame(rows, columns=["zone_id", "maj", "mino", "n", "s", "var_num"])
+    got_m = modes.set_index("zone_id").sort_index()
+    got_e = ext.set_index("zone_id").sort_index()
+    exp = exp.set_index("zone_id").sort_index()
+    assert len(got_m) == len(exp) and len(got_e) == len(exp)
+    assert (got_m["majority_val"].to_numpy() == exp["maj"].to_numpy()).all()
+    assert (got_m["minority_val"].to_numpy() == exp["mino"].to_numpy()).all()
+    assert (got_e["n_docs"].to_numpy() == exp["n"].to_numpy()).all()
+    assert (got_e["var_num"].to_numpy() == exp["var_num"].to_numpy()).all()
