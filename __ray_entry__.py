@@ -1739,7 +1739,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geodesic_measures": q.geodesic_measures_q,
         "layer_info": q.layer_info_q,
         "line_interpolate": q.line_interpolate_q,
+        "line_locate": q.line_locate_q,
         "quantiles_quantity": q.quantiles_quantity_q,
+        "group_quantiles": q.group_quantiles_q,
         "stack_bands": q.stack_bands_q,
         "select_band": q.select_band_q,
         "calc_two_bands": q.calc_two_bands_q,
@@ -1760,6 +1762,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": q.anti_join_customers_q,
         "event_gaps": q.event_gaps_q,
         "running_total": q.running_total_q,
+        "window_frames": q.window_frames_q,
+        "scalar_funcs_datetime": q.scalar_funcs_datetime_q,
         "join_dwithin": q.join_dwithin_q,
         "count_distinct": q.count_distinct_q,
         "span_stats": q.span_stats_q,
@@ -2499,6 +2503,53 @@ def oracle_sql() -> dict[str, str]:
                    END) * 10000000.0 + 0.5) AS BIGINT) AS py_e7
             FROM m
         """,
+        "line_locate": f"""
+            -- ST_LineLocatePoint mirror: project the key-derived probe onto
+            -- each rect-ring edge (order (minx,miny)->(maxx,miny)->(maxx,maxy)
+            -- ->(minx,maxy)->close), argmin d2 with ties -> lowest edge index
+            -- (numpy argmin first-min).  Segment length = greatest(|dx|,|dy|)
+            -- == hypot exactly for axis-aligned edges; cumulative starts use
+            -- numpy cumsum's left association ((wl+hl)+wl).
+            WITH {_ZONES},
+            m AS (SELECT zone_key, minx, miny, maxx, maxy,
+                         maxx - minx AS wl, maxy - miny AS hl,
+                         minx + (CAST((zone_key * 37) % 300 AS DOUBLE) / 100.0)
+                                * (maxx - minx) AS px,
+                         miny + ((CAST((zone_key * 53) % 300 AS DOUBLE) / 100.0)
+                                 - 1.0) * (maxy - miny) AS py
+                  FROM zz),
+            edges AS (
+              SELECT zone_key, px, py, wl, hl, 0 AS edge,
+                     minx AS x1, miny AS y1,
+                     maxx - minx AS dx, 0.0 AS dy, 0.0 AS cums FROM m
+              UNION ALL
+              SELECT zone_key, px, py, wl, hl, 1,
+                     maxx, miny, 0.0, maxy - miny, wl FROM m
+              UNION ALL
+              SELECT zone_key, px, py, wl, hl, 2,
+                     maxx, maxy, minx - maxx, 0.0, wl + hl FROM m
+              UNION ALL
+              SELECT zone_key, px, py, wl, hl, 3,
+                     minx, maxy, 0.0, miny - maxy, (wl + hl) + wl FROM m),
+            tt AS (SELECT *,
+                     LEAST(GREATEST(((px - x1) * dx + (py - y1) * dy)
+                                    / (dx * dx + dy * dy), 0.0), 1.0) AS t
+                   FROM edges),
+            d AS (SELECT *,
+                    (px - (x1 + t * dx)) * (px - (x1 + t * dx))
+                  + (py - (y1 + t * dy)) * (py - (y1 + t * dy)) AS d2
+                  FROM tt),
+            r AS (SELECT *, row_number() OVER (PARTITION BY zone_key
+                                               ORDER BY d2 ASC, edge ASC) AS rn
+                  FROM d)
+            SELECT zone_key, CAST(edge AS BIGINT) AS edge,
+                   CAST(floor(((cums + t * greatest(abs(dx), abs(dy)))
+                               / (((wl + hl) + wl) + hl)) * 10000000.0 + 0.5)
+                        AS BIGINT) AS frac_e7,
+                   CAST(floor(sqrt(d2) * 10000000.0 + 0.5) AS BIGINT)
+                     AS dist_e7
+            FROM r WHERE rn = 1
+        """,
         "layer_info": f"""
             WITH {_ZONES}
             SELECT CAST(count(*) AS BIGINT) AS n_features,
@@ -2517,6 +2568,25 @@ def oracle_sql() -> dict[str, str]:
               (SELECT min(v) FROM cum WHERE cc >= CAST(floor(0.5*(t.n-1)) AS BIGINT) + 1) AS q50,
               (SELECT min(v) FROM cum WHERE cc >= CAST(floor(0.75*(t.n-1)) AS BIGINT) + 1) AS q75,
               (SELECT min(v) FROM cum WHERE cc >= CAST(floor(0.9*(t.n-1)) AS BIGINT) + 1) AS q90
+            FROM tot t
+        """,
+        "group_quantiles": """
+            WITH vc AS (SELECT l_returnflag,
+                               CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+                        FROM lineitem GROUP BY 1, 2),
+            tot AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n
+                    FROM vc GROUP BY 1),
+            cum AS (SELECT l_returnflag, v,
+                           sum(c) OVER (PARTITION BY l_returnflag
+                                        ORDER BY v) AS cc
+                    FROM vc)
+            SELECT t.l_returnflag, t.n,
+              (SELECT min(v) FROM cum c WHERE c.l_returnflag = t.l_returnflag
+                 AND cc >= CAST(floor(0.25*(t.n-1)) AS BIGINT) + 1) AS q25,
+              (SELECT min(v) FROM cum c WHERE c.l_returnflag = t.l_returnflag
+                 AND cc >= CAST(floor(0.5*(t.n-1)) AS BIGINT) + 1) AS q50,
+              (SELECT min(v) FROM cum c WHERE c.l_returnflag = t.l_returnflag
+                 AND cc >= CAST(floor(0.75*(t.n-1)) AS BIGINT) + 1) AS q75
             FROM tot t
         """,
         "stack_bands": _stack_bands_sql(),
@@ -3200,6 +3270,44 @@ def oracle_sql() -> dict[str, str]:
                           OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_x100
             FROM events
+        """,
+        "scalar_funcs_datetime": """
+            SELECT o_orderkey,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+                   CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+                   CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS dy,
+                   CAST(isodow(o_orderdate) - 1 AS BIGINT) AS dow,
+                   CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                     AS epoch_day,
+                   CAST(epoch_us(o_orderdate) // 86400000000 - 9131 AS BIGINT)
+                     AS days_since_95,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+                        + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT)
+                     AS ym_bucket
+            FROM orders
+        """,
+        "window_frames": """
+            WITH v AS (SELECT event_id, user_id, ts,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(ntile(4) OVER w AS BIGINT) AS ntile,
+                   first_value(cents) OVER w AS first_x100,
+                   last_value(cents) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS last_x100,
+                   CAST(sum(cents) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN 2 PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                     AS mov_sum_x100,
+                   CAST(count(*) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN 2 PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS mov_cnt
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "event_gaps": """
             SELECT event_id, user_id,

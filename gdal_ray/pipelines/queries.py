@@ -1322,6 +1322,30 @@ def line_interpolate_q(sf_dir: str):
     return zones.map_batches(fn, batch_format="pyarrow")
 
 
+def line_locate_q(sf_dir: str):
+    """ST_LineLocatePoint over every zone ring: a key-derived probe point
+    (lands in all 9 sectors around/inside the rectangle) is projected onto
+    the ring; emits nearest edge, fraction-along, and distance (1e-7 fixed
+    point).  Inverse of line_interpolate."""
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t["zone_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        minx = t["minx"].to_numpy(zero_copy_only=False)
+        miny = t["miny"].to_numpy(zero_copy_only=False)
+        wl = t["maxx"].to_numpy(zero_copy_only=False) - minx
+        hl = t["maxy"].to_numpy(zero_copy_only=False) - miny
+        px = minx + ((k * 37) % 300) / 100.0 * wl
+        py = miny + (((k * 53) % 300) / 100.0 - 1.0) * hl
+        t = t.append_column("px", pa.array(px)).append_column("py", pa.array(py))
+        out = geomops.line_locate_batch(t)
+        return out.select(["zone_key", "edge", "frac_e7", "dist_e7"])
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
 def layer_info_q(sf_dir: str):
     """ogrinfo -so summary of the zones layer: feature count, layer extent
     (aggregate of per-feature bboxes), geometry type."""
@@ -1369,6 +1393,13 @@ def quantiles_quantity_q(sf_dir: str):
         rank = int(np.floor(p * (n - 1))) + 1
         out[name] = int(vals[np.searchsorted(cum, rank)])
     return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
+
+
+def group_quantiles_q(sf_dir: str):
+    """Exact per-group quantiles (PERCENTILE_DISC per l_returnflag) via the
+    value-histogram plan — see relational.group_quantiles."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return relational.group_quantiles(ds, "l_returnflag", "l_quantity")
 
 
 def geodesic_measures_q(sf_dir: str):
@@ -2891,6 +2922,48 @@ def running_total_q(sf_dir: str):
     """Window cumulative SUM per user ordered by (ts, event_id), exact cents."""
     ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     return events.running_totals(ev)
+
+
+def scalar_funcs_datetime_q(sf_dir: str):
+    """Datetime scalar surface (OGR SQL datetime field semantics,
+    ogr/ogr_swq.h field types; SQLite dialect date functions): EXTRACT
+    year/month/day, ISO day-of-week, epoch days, day difference to a fixed
+    date, and a month bucket — all integer-exact pyarrow temporal kernels."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        us = pc.cast(d, pa.int64())  # epoch microseconds
+        epoch_day = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        # days since 1995-01-01 (may be negative; exact integer arithmetic)
+        ref_day = pa.scalar(9131, pa.int64())  # 1995-01-01 in epoch days
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "yr": pc.cast(pc.year(d), pa.int64()),
+                "mo": pc.cast(pc.month(d), pa.int64()),
+                "dy": pc.cast(pc.day(d), pa.int64()),
+                # pyarrow day_of_week: Monday=0 == DuckDB isodow-1
+                "dow": pc.cast(pc.day_of_week(d), pa.int64()),
+                "epoch_day": epoch_day,
+                "days_since_95": pc.subtract(epoch_day, ref_day),
+                "ym_bucket": pc.add(
+                    pc.multiply(pc.cast(pc.year(d), pa.int64()),
+                                pa.scalar(12, pa.int64())),
+                    pc.subtract(pc.cast(pc.month(d), pa.int64()),
+                                pa.scalar(1, pa.int64()))),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def window_frames_q(sf_dir: str):
+    """Framed windows per user ordered by (ts, event_id): NTILE(4),
+    FIRST_VALUE/LAST_VALUE over the partition, and a ROWS 2 PRECEDING moving
+    sum+count — exact cents (SQLite-dialect window surface, Ray-partitioned)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    return events.window_frames(ev)
 
 
 def gdal_translate_chain_q(sf_dir: str):

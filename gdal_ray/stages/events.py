@@ -342,3 +342,86 @@ def running_totals(ds, value_col: str = "value", ts_col: str = "ts",
 
     return ds.map_batches(tag, batch_format="pyarrow") \
              .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def window_frames(ds, value_col: str = "value", ts_col: str = "ts",
+                  key_col: str = "user_id", id_col: str = "event_id",
+                  n_tiles: int = 4, preceding: int = 2,
+                  num_partitions: int = 64):
+    """Framed window functions per key ordered by (ts, id): NTILE(n),
+    FIRST_VALUE / LAST_VALUE over the whole partition, and a ROWS BETWEEN
+    ``preceding`` PRECEDING AND CURRENT ROW moving sum+count (the exact
+    integer form of a moving average).  The OGR SQL dialect has no window
+    functions; the reference exposes them via its SQLite dialect
+    (ogr/ogrsf_frmts/sqlite/) — same surface, Ray-partitioned.
+
+    NTILE follows the SQL definition: the first n_rows %% n groups get
+    ceil(n_rows/n) rows, the rest floor(n_rows/n).
+
+    Scale shape: ONE hash-partition shuffle on the key; each partition
+    resolves every key in a single vectorized lexsort + repeat/cumsum pass.
+    Output: (event_id, user_id, ntile, first_x100, last_x100, mov_sum_x100,
+    mov_cnt) — all exact cents fixed-point.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (u * np.int64(2654435761)) % np.int64(num_partitions)
+        return batch.append_column("_part", pa.array(np.abs(part)))
+
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), key_col: pa.array([], pa.int64()),
+         "ntile": pa.array([], pa.int64()),
+         "first_x100": pa.array([], pa.int64()),
+         "last_x100": pa.array([], pa.int64()),
+         "mov_sum_x100": pa.array([], pa.int64()),
+         "mov_cnt": pa.array([], pa.int64())}
+    )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return empty
+        u = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sec = _epoch_us(g[ts_col])
+        eid = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, sec, u))
+        u, eid, cents = u[order], eid[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        rank = np.arange(n) - np.repeat(starts, counts)  # 0-based within key
+        size = np.repeat(counts, counts)
+        # NTILE: first (size % k) buckets hold q+1 rows, the rest q
+        q, rem = size // n_tiles, size % n_tiles
+        big = rem * (q + 1)  # rows covered by the larger buckets
+        in_big = rank < big
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                in_big,
+                rank // np.maximum(q + 1, 1),
+                rem + np.where(q > 0, (rank - big) // np.maximum(q, 1), 0),
+            ) + 1
+        first = np.repeat(cents[starts], counts)
+        last = np.repeat(cents[starts + counts - 1], counts)
+        # moving sum over the last `preceding`+1 rows within the key
+        run = np.cumsum(cents)
+        base_vals = np.r_[np.int64(0), run[starts[1:] - 1]]
+        prefix = run - np.repeat(base_vals, counts)  # inclusive in-key prefix
+        back = np.minimum(rank, preceding)  # rows actually available
+        lo_idx = np.arange(n) - back  # global index of window start
+        # exclusive prefix before the window: prefix at (lo_idx - 1), which
+        # stays inside the key whenever the window does not start at rank 0
+        excl = np.where(rank - back > 0, prefix[lo_idx - 1], 0)
+        mov = prefix - excl
+        mov_cnt = back + 1
+        return pa.table(
+            {id_col: pa.array(eid), key_col: pa.array(u),
+             "ntile": pa.array(tile.astype(np.int64)),
+             "first_x100": pa.array(first), "last_x100": pa.array(last),
+             "mov_sum_x100": pa.array(mov), "mov_cnt": pa.array(mov_cnt)}
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+             .groupby("_part").map_groups(per_part, batch_format="pyarrow")

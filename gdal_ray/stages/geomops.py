@@ -788,3 +788,51 @@ def delaunay_per_cell(ds, cell_col: str = "cell", id_col: str = "pt_id",
         })
 
     return ds.groupby(cell_col).map_groups(per_cell, batch_format="pyarrow")
+
+
+def line_locate_batch(batch: pa.Table, px_col: str = "px", py_col: str = "py",
+                      wkb_col: str = "wkb") -> pa.Table:
+    """ST_LineLocatePoint + nearest-point distance: for each row's probe
+    point, project onto every segment of the geometry's vertex chain
+    (polygon shells walk the ring), keep the closest (ties -> LOWEST edge
+    index, numpy argmin first-min), and report the location as a fraction of
+    total length plus the distance (the inverse of line_interpolate_batch;
+    reference surface: SQLite dialect ST_Line_Locate_Point /
+    ogr ogrlineref-style linear referencing).
+
+    Appends: edge (int64), frac_e7, dist_e7 (floor(x*1e7+0.5) fixed point so
+    distributed results hash-match the SQL mirror bit-for-bit)."""
+    edges, fracs, dists = [], [], []
+    px_a = batch[px_col].to_numpy(zero_copy_only=False)
+    py_a = batch[py_col].to_numpy(zero_copy_only=False)
+    for i, w in enumerate(batch[wkb_col].to_pylist()):
+        g = _wkb.decode(w)
+        if g.kind == _wkb.LINESTRING:
+            pts = g.parts[0]
+        elif g.kind == _wkb.POLYGON:
+            pts = g.parts[0][0]
+        else:
+            edges.append(None); fracs.append(None); dists.append(None)
+            continue
+        pts = np.asarray(pts, dtype=np.float64)
+        px, py = float(px_a[i]), float(py_a[i])
+        x1, y1 = pts[:-1, 0], pts[:-1, 1]
+        dx, dy = np.diff(pts[:, 0]), np.diff(pts[:, 1])
+        len2 = dx * dx + dy * dy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = np.clip(((px - x1) * dx + (py - y1) * dy) / len2, 0.0, 1.0)
+        t = np.where(len2 == 0.0, 0.0, t)
+        qx = x1 + t * dx
+        qy = y1 + t * dy
+        d2 = (px - qx) ** 2 + (py - qy) ** 2
+        j = int(np.argmin(d2))
+        seg = np.hypot(dx, dy)
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        loc = cum[j] + t[j] * seg[j]
+        frac = loc / cum[-1]
+        edges.append(j)
+        fracs.append(int(np.floor(frac * 1e7 + 0.5)))
+        dists.append(int(np.floor(np.sqrt(d2[j]) * 1e7 + 0.5)))
+    return (batch.append_column("edge", pa.array(edges, pa.int64()))
+                 .append_column("frac_e7", pa.array(fracs, pa.int64()))
+                 .append_column("dist_e7", pa.array(dists, pa.int64())))

@@ -125,3 +125,96 @@ def test_union_layers_schema_harmonization(ray_session):
     c = rd.from_arrow(pa.table({"k": pa.array(["x"])}))  # k type conflict
     with pytest.raises(ValueError, match="column 'k'"):
         relational.union_layers({"la": a, "lc": c})
+
+
+def test_group_quantiles_matches_numpy_lower(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import relational
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 5, 5000)
+    vals = rng.integers(0, 40, 5000)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys), "v": pa.array(vals)}))
+    out = relational.group_quantiles(ds, "k", "v").to_pandas().set_index("k").sort_index()
+    for k in range(5):
+        v = np.sort(vals[keys == k])
+        n = v.size
+        assert out.loc[k, "n"] == n
+        for p, name in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            assert out.loc[k, name] == v[int(np.floor(p * (n - 1)))], (k, name)
+
+
+def test_window_frames_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import events
+
+    rng = np.random.default_rng(11)
+    n = 800
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 37, n),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s"),
+        "value": np.round(rng.uniform(-50, 50, n), 2),
+    })
+    ds = rd.from_pandas(df)
+    got = events.window_frames(ds).to_pandas().set_index("event_id").sort_index()
+    cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    df = df.assign(cents=cents)
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ids = g["event_id"].to_numpy()
+        c = g["cents"].to_numpy()
+        m = len(g)
+        q, rem = divmod(m, 4)
+        for r, eid in enumerate(ids):
+            row = got.loc[eid]
+            big = rem * (q + 1)
+            tile = (r // (q + 1) if r < big else rem + (r - big) // q) + 1
+            assert row["ntile"] == tile, (uid, eid)
+            assert row["first_x100"] == c[0] and row["last_x100"] == c[-1]
+            lo = max(0, r - 2)
+            assert row["mov_sum_x100"] == c[lo:r + 1].sum()
+            assert row["mov_cnt"] == r + 1 - lo
+
+
+def test_line_locate_polyline_brute(ray_session):
+    """LINESTRING path: probe projects onto the correct segment of a zigzag
+    (brute per-segment check), clamped at the ends."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.functions import wkb as wkbf
+    from gdal_ray.stages import geomops
+
+    pts = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [8.0, 3.0]])
+    w = wkbf.encode_linestring(pts)
+    probes = [(1.0, 1.0), (5.0, 1.0), (9.0, 9.9), (-3.0, -4.0), (4.0, 1.5)]
+    t = pa.table({
+        "px": pa.array([p[0] for p in probes]),
+        "py": pa.array([p[1] for p in probes]),
+        "wkb": pa.array([w] * len(probes), pa.binary()),
+    })
+    out = geomops.line_locate_batch(t)
+    seg = np.hypot(np.diff(pts[:, 0]), np.diff(pts[:, 1]))
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    for i, (px, py) in enumerate(probes):
+        best = None
+        for j in range(3):
+            a, b = pts[j], pts[j + 1]
+            d = b - a
+            tt = np.clip(np.dot([px - a[0], py - a[1]], d) / np.dot(d, d), 0, 1)
+            qq = a + tt * d
+            d2 = (px - qq[0]) ** 2 + (py - qq[1]) ** 2
+            if best is None or d2 < best[0]:
+                best = (d2, j, cum[j] + tt * seg[j])
+        assert out["edge"][i].as_py() == best[1], (i, probes[i])
+        frac = best[2] / cum[-1]
+        assert abs(out["frac_e7"][i].as_py() - int(np.floor(frac * 1e7 + 0.5))) <= 0
+        assert out["dist_e7"][i].as_py() == int(np.floor(np.sqrt(best[0]) * 1e7 + 0.5))
