@@ -165,6 +165,27 @@ FROM {src} GROUP BY 1, 2
 """
 
 
+def _mosaic_sql() -> str:
+    """rects composed over checker, last non-nodata wins (rastermap.mosaic):
+    v = rect value where a rect covers the pixel, else the checker value;
+    per-tile local checksums."""
+    from gdal_ray.sources.synthetic import RECTS
+
+    rect_case = "CASE " + " ".join(
+        f"WHEN gx >= {x0} AND gx < {x1} AND gy >= {y0} AND gy < {y1} THEN {r + 1}"
+        for r, (x0, y0, x1, y1) in enumerate(RECTS)
+    ) + " ELSE 0 END"
+    return f"""
+        WITH px AS (SELECT a.range AS gx, b.range AS gy
+                    FROM range(192) a, range(192) b),
+        v AS (SELECT gx, gy,
+                CASE WHEN ({rect_case}) != 0 THEN ({rect_case})
+                     ELSE ((gx // 8 + gy // 8) % 2) * 255 END AS v
+              FROM px)
+        {_tile_checksum_sql("v", 64, "v")}
+    """
+
+
 def _neighbors_sql() -> str:
     """gdal raster neighbors over the 3x3 blobs mosaic: weighted kernel sums
     (edge2/gaussian) + order statistics min/max/median/mode + the stddev
@@ -1764,6 +1785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": q.running_total_q,
         "window_frames": q.window_frames_q,
         "scalar_funcs_datetime": q.scalar_funcs_datetime_q,
+        "scalar_funcs_props": q.scalar_funcs_props_q,
+        "mosaic_compose": q.mosaic_compose_q,
+        "char_entropy": q.char_entropy_q,
         "join_dwithin": q.join_dwithin_q,
         "count_distinct": q.count_distinct_q,
         "span_stats": q.span_stats_q,
@@ -3270,6 +3294,36 @@ def oracle_sql() -> dict[str, str]:
                           OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_x100
             FROM events
+        """,
+        "mosaic_compose": _mosaic_sql(),
+        "scalar_funcs_props": r"""
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+                     AS k_val,
+                   upper(event_type) LIKE '%CK%' AS ilike_ck,
+                   CASE WHEN CAST(regexp_extract(props, '"k": (\d+)', 1)
+                              AS BIGINT) >= 66 THEN 'hi'
+                        WHEN CAST(regexp_extract(props, '"k": (\d+)', 1)
+                              AS BIGINT) >= 33 THEN 'mid'
+                        ELSE 'lo' END AS bucket
+            FROM events
+        """,
+        "char_entropy": r"""
+            WITH ch AS (SELECT doc_id,
+                               unnest(regexp_extract_all(text, '[\s\S]')) AS c
+                        FROM documents),
+            cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+            agg AS (SELECT doc_id,
+                      CAST(sum(CAST(floor(cnt * ln(cnt) * 1000000.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS ent_num,
+                      CAST(sum(cnt) AS BIGINT) AS n_chars_t,
+                      CAST(count(*) AS BIGINT) AS distinct_chars
+                    FROM cc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.ent_num, 0) AS ent_num,
+                   COALESCE(a.n_chars_t, 0) AS n_chars_t,
+                   COALESCE(a.distinct_chars, 0) AS distinct_chars
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "scalar_funcs_datetime": """
             SELECT o_orderkey,

@@ -2924,6 +2924,52 @@ def running_total_q(sf_dir: str):
     return events.running_totals(ev)
 
 
+def char_entropy_q(sf_dir: str):
+    """Character-entropy quality signal per doc (order-invariant integer
+    entropy numerator; see textops.char_entropy_batch)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        textops.char_entropy_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "ent_num", "n_chars_t", "distinct_chars"])
+
+
+def mosaic_compose_q(sf_dir: str):
+    """gdalbuildvrt / raster mosaic overlay resolution: rects composed over
+    checker, last non-nodata wins per pixel ((z,x,y)-keyed shuffle,
+    rastermap.mosaic).  Per-tile checksums are the golden."""
+    from ..stages import rastermap
+
+    a = synthetic.make_raster_tiles("checker", 3, 3, size=64)
+    b = synthetic.make_raster_tiles("rects", 3, 3, size=64)
+    out = rastermap.mosaic([rd.from_arrow(a), rd.from_arrow(b)], nodata=0.0)
+    return out.select_columns(["x", "y", "checksum"])
+
+
+def scalar_funcs_props_q(sf_dir: str):
+    """HSTORE_GET_VALUE analogue + ILIKE (ogr/swq_op_registrar.cpp:28-61,
+    ogr/swq_op_general.cpp): extract the numeric 'k' property from the JSON
+    props string with one RE2 pass (pyarrow == DuckDB match sets, same
+    guarantee as scrub_pii), case-insensitive LIKE on event_type, and a
+    CASE bucket over the extracted value."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], r'"k": (?P<v>\d+)')
+        kv = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        up = pc.utf8_upper(t["event_type"])
+        ilike_ck = pc.match_substring(up, "CK")  # event_type ILIKE '%ck%'
+        bucket = pc.if_else(
+            pc.greater_equal(kv, pa.scalar(66, pa.int64())), pa.scalar("hi"),
+            pc.if_else(pc.greater_equal(kv, pa.scalar(33, pa.int64())),
+                       pa.scalar("mid"), pa.scalar("lo")))
+        return pa.table(
+            {"event_id": t["event_id"], "k_val": kv,
+             "ilike_ck": ilike_ck, "bucket": bucket}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def scalar_funcs_datetime_q(sf_dir: str):
     """Datetime scalar surface (OGR SQL datetime field semantics,
     ogr/ogr_swq.h field types; SQLite dialect date functions): EXTRACT

@@ -626,3 +626,41 @@ def epoch_mix(ds, weight_x100_fn=None, id_col: str = "doc_id",
                          "epoch": pa.array(epoch.astype(np.int64))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def char_entropy_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Character-frequency entropy signal (the compression-proxy quality
+    filter of C4/Gopher-style pipelines): per doc, the Shannon-entropy
+    numerator over character counts, ORDER-INVARIANT by quantizing each
+    term to int64 before summing:
+
+        ent_num = sum_c floor(cnt_c * ln(cnt_c) * 1e6 + 0.5)
+
+    (entropy in nats = ln(n) - ent_num/1e6/n).  Zero-copy: character counts
+    come straight off the Arrow string buffers (one np.bincount over
+    doc_idx*256 + byte per batch, no per-row Python).  ASCII corpus
+    assumption (byte == character) matches the driver testdata; documented.
+    Appends ent_num, n_chars_t, distinct_chars."""
+    arr = batch[text_col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lengths = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    bytes_flat = data[offsets[0]:offsets[-1]]
+    key = doc_idx * 256 + bytes_flat.astype(np.int64)
+    cnt = np.bincount(key, minlength=n * 256).reshape(n, 256)
+    pos = cnt > 0
+    terms = np.zeros_like(cnt, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms[pos] = np.floor(cnt[pos] * np.log(cnt[pos]) * 1e6 + 0.5)
+    ent_num = terms.sum(axis=1).astype(np.int64)
+    return (batch.append_column("ent_num", pa.array(ent_num))
+                 .append_column("n_chars_t", pa.array(lengths))
+                 .append_column("distinct_chars",
+                                pa.array(pos.sum(axis=1).astype(np.int64))))

@@ -233,3 +233,28 @@ def test_epoch_mix_expand_consistent(ray_session):
     s3 = [counts[d] for d in range(3, n, 4)]
     assert abs(np.mean(s0) - 0.25) < 0.15
     assert abs(np.mean(s3) - 1.36) < 0.2
+
+
+def test_char_entropy_brute(ray_session):
+    """Zero-copy buffer bincount vs per-doc Counter recompute, including an
+    empty doc and chunked input."""
+    import collections
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import textops
+
+    texts = ["hello world", "", "aaaa", "abcabcabc", "the quick brown fox"]
+    t = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    out = rd.from_arrow(t).map_batches(
+        textops.char_entropy_batch, batch_format="pyarrow"
+    ).to_pandas().set_index("doc_id").sort_index()
+    for i, s in enumerate(texts):
+        cnts = collections.Counter(s.encode())
+        ent = sum(int(np.floor(c * math.log(c) * 1e6 + 0.5)) for c in cnts.values())
+        assert out.loc[i, "ent_num"] == ent
+        assert out.loc[i, "n_chars_t"] == len(s)
+        assert out.loc[i, "distinct_chars"] == len(cnts)
