@@ -1788,6 +1788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scalar_funcs_props": q.scalar_funcs_props_q,
         "mosaic_compose": q.mosaic_compose_q,
         "char_entropy": q.char_entropy_q,
+        "duplicated_spans": q.duplicated_spans_q,
+        "mvt_roundtrip": q.mvt_roundtrip_q,
         "join_dwithin": q.join_dwithin_q,
         "count_distinct": q.count_distinct_q,
         "span_stats": q.span_stats_q,
@@ -3307,6 +3309,48 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) >= 33 THEN 'mid'
                         ELSE 'lo' END AS bucket
             FROM events
+        """,
+        "mvt_roundtrip": f"""
+            WITH {_DOCS_GEO},
+            q AS (SELECT doc_id, n_chars, lon, lat,
+                         {_tile_expr(6)[0]} AS tx, {_tile_expr(6)[1]} AS ty
+                  FROM d),
+            p AS (SELECT tx, ty, n_chars,
+                    LEAST(GREATEST(CAST(floor(((lon + 180.0) / 360.0 * 64.0
+                                               - tx) * 4096.0) AS BIGINT),
+                                   0), 4095) AS px,
+                    LEAST(GREATEST(CAST(floor(((1.0 - ln(tan(radians(lat))
+                                                + 1.0/cos(radians(lat)))
+                                               / pi()) / 2.0 * 64.0
+                                               - ty) * 4096.0) AS BIGINT),
+                                   0), 4095) AS py
+                  FROM q)
+            SELECT tx, ty,
+                   CAST(count(*) AS BIGINT) AS n_features,
+                   CAST(sum(px) AS BIGINT) AS sum_px,
+                   CAST(sum(py) AS BIGINT) AS sum_py,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_nchars
+            FROM p GROUP BY tx, ty
+        """,
+        "duplicated_spans": """
+            WITH g0 AS (SELECT doc_id, text,
+                               unnest(range(0, length(text) - 15)) AS pos
+                        FROM documents WHERE length(text) >= 16),
+            g AS (SELECT doc_id, pos, substr(text, pos + 1, 16) AS gram
+                  FROM g0),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+            p AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+            s AS (SELECT doc_id, pos,
+                    CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) + 16
+                         THEN 0 ELSE 1 END AS brk
+                  FROM p),
+            isl AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+                    FROM s)
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 16 - min(pos) AS BIGINT) AS span_len
+            FROM isl GROUP BY doc_id, gid
         """,
         "char_entropy": r"""
             WITH ch AS (SELECT doc_id,

@@ -2924,6 +2924,44 @@ def running_total_q(sf_dir: str):
     return events.running_totals(ev)
 
 
+def mvt_roundtrip_q(sf_dir: str):
+    """MVT vector-tile driver roundtrip (ogr/ogrsf_frmts/mvt analogue):
+    docs -> z6 tile assignment + in-tile extent-4096 quantization -> one
+    protobuf tile blob per (x, y) -> parse every blob back and aggregate the
+    DECODED features, proving the codec end-to-end.  Oracle recomputes the
+    quantized coordinates closed-form."""
+    from ..sources import mvt
+
+    ds = _docs(sf_dir, ("doc_id", "n_chars"))
+    tiles_ds = mvt.mvt_point_tiles(ds, zoom=6)
+
+    def verify(t: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(t.num_rows):
+            (ly,) = mvt.parse_tile(t["mvt"][i].as_py())
+            if ly["version"] != 2 or ly["extent"] != 4096:
+                raise ValueError("bad MVT layer header")
+            feats = ly["features"]
+            rows.append({
+                "tx": t["tx"][i].as_py(), "ty": t["ty"][i].as_py(),
+                "n_features": len(feats),
+                "sum_px": sum(p[0] for f in feats for p in f["points"]),
+                "sum_py": sum(p[1] for f in feats for p in f["points"]),
+                "sum_nchars": sum(f["attrs"]["n_chars"] for f in feats),
+            })
+        return pa.Table.from_pylist(rows)
+
+    return tiles_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def duplicated_spans_q(sf_dir: str):
+    """Exact duplicated-substring spans (every byte position whose 16-gram
+    occurs >1 time in the corpus, merged to maximal per-doc spans) — the
+    substring-level dedup of Lee et al. 2022, gram-partitioned."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.duplicated_spans(ds)
+
+
 def char_entropy_q(sf_dir: str):
     """Character-entropy quality signal per doc (order-invariant integer
     entropy numerator; see textops.char_entropy_batch)."""

@@ -576,3 +576,125 @@ def bloom_decontaminate(cand_ds, ref_ds, text_col: str = "text",
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def _string_buffer_views(col: pa.ChunkedArray):
+    """Zero-copy (offsets, data, lengths) for a string column."""
+    arr = col.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return offsets, data, np.diff(offsets)
+
+
+def duplicated_spans(ds, k: int = 16, id_col: str = "doc_id",
+                     text_col: str = "text", num_partitions: int = 64):
+    """Exact duplicated-substring spans: every byte position whose k-gram
+    occurs more than once in the corpus, merged into maximal per-doc spans
+    (the substring-level dedup of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — gram-partition formulation instead
+    of their monolithic suffix array).
+
+    Shape: (1) zero-copy sliding-window gram extraction per batch (no
+    per-row Python; the gram bytes ARE the shuffle key, swap for a 64-bit
+    rolling hash at 100 TB where the 16-byte key dominates the exchange);
+    (2) ONE hash shuffle on the gram -> per-partition vectorized big-endian
+    lexsort + run-length scan keeps positions of grams with global count>1;
+    (3) ONE hash shuffle on the doc -> vectorized interval merge of
+    [pos, pos+k) into maximal spans.  Output: (doc_id, span_start, span_len).
+    """
+    if k != 16:
+        raise ValueError("k=16 only (two-u64 lexsort fast path)")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        offsets, data, lengths = _string_buffer_views(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        total = int(offsets[-1] - base)
+        empty = pa.table({
+            "gram": pa.Array.from_buffers(pa.binary(16), 0, [None, pa.py_buffer(b"")]),
+            id_col: pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "_part": pa.array([], pa.int64()),
+        })
+        if total < k:
+            return empty
+        buf = data[base : base + total]
+        win = np.lib.stride_tricks.sliding_window_view(buf, k)  # (total-k+1, k)
+        starts = np.arange(total - k + 1, dtype=np.int64)
+        doc = np.searchsorted(offsets - base, starts, side="right") - 1
+        pos = starts - (offsets[doc] - base)
+        ok = pos <= lengths[doc] - k
+        if not ok.any():
+            return empty
+        win = np.ascontiguousarray(win[ok])
+        doc, pos = doc[ok], pos[ok]
+        hi = win[:, :8].copy().view(">u8").ravel().astype(np.uint64)
+        lo = win[:, 8:].copy().view(">u8").ravel().astype(np.uint64)
+        mix = (hi * np.uint64(0x9E3779B97F4A7C15)) ^ lo
+        part = ((mix * np.uint64(2654435761)) % np.uint64(num_partitions)).astype(np.int64)
+        gram = pa.Array.from_buffers(
+            pa.binary(16), len(doc), [None, pa.py_buffer(win.tobytes())])
+        return pa.table({
+            "gram": gram,
+            id_col: pa.array(ids[doc]),
+            "pos": pa.array(pos),
+            "_part": pa.array(part),
+        })
+
+    def dup_positions(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "_dpart": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        grams = g["gram"].combine_chunks()
+        mat = np.frombuffer(grams.buffers()[1], dtype=np.uint8)
+        mat = mat[grams.offset * 16 : (grams.offset + len(grams)) * 16].reshape(-1, 16)
+        hi = mat[:, :8].copy().view(">u8").ravel()
+        lo = mat[:, 8:].copy().view(">u8").ravel()
+        order = np.lexsort((lo, hi))
+        hs, ls = hi[order], lo[order]
+        new = np.r_[True, (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])]
+        run_id = np.cumsum(new) - 1
+        run_sizes = np.bincount(run_id)
+        dup = run_sizes[run_id] > 1
+        keep = order[dup]
+        if keep.size == 0:
+            return empty
+        doc = g[id_col].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        pos = g["pos"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        dpart = np.abs((doc * np.int64(2654435761)) % np.int64(num_partitions))
+        return pa.table({id_col: pa.array(doc), "pos": pa.array(pos),
+                         "_dpart": pa.array(dpart)})
+
+    def merge_spans(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "span_start": pa.array([], pa.int64()),
+                          "span_len": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        doc = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = g["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        # new span when the doc changes or the gap exceeds the gram length
+        brk = np.r_[True, (doc[1:] != doc[:-1]) | (pos[1:] > pos[:-1] + k)]
+        gid = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], doc.size] - 1
+        return pa.table({
+            id_col: pa.array(doc[starts]),
+            "span_start": pa.array(pos[starts]),
+            "span_len": pa.array(pos[ends] + k - pos[starts]),
+        })
+
+    grams = ds.map_batches(extract, batch_format="pyarrow")
+    dups = grams.groupby("_part").map_groups(dup_positions, batch_format="pyarrow")
+    return dups.groupby("_dpart").map_groups(
+        lambda t: merge_spans(t.drop_columns(["_dpart"])), batch_format="pyarrow")

@@ -293,3 +293,35 @@ def test_lsh_bucket_pairs_exact_beyond_chunk():
         ids = [i for i in range(n) if i % 3 == cls]
         expect = {(a, b) for a, b in itertools.combinations(ids, 2)}
         assert expect <= pairs, f"class {cls}: missing {len(expect - pairs)} pairs"
+
+
+def test_duplicated_spans_crafted(ray_session):
+    """Known cross-doc and within-doc duplicated substrings produce exactly
+    the expected maximal spans (k=16)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import dedup
+
+    shared = "the boilerplate header text!"  # 28 chars -> spans whole prefix
+    docs = [
+        (0, shared + " unique tail zero zero"),
+        (1, shared + " different ending one"),
+        (2, "totally unique document body with no repeats at all"),
+        (3, "xyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxy"),  # self-repeating 32 chars
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs]),
+        "text": pa.array([d[1] for d in docs]),
+    }))
+    rows = dedup.duplicated_spans(ds).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_len"]))
+    # docs 0 and 1 share a 29-char prefix (the header + the following
+    # space): every 16-gram in [0, 13] dups -> one maximal span [0, 29)
+    assert by_doc[0] == [(0, 29)]
+    assert by_doc[1] == [(0, 29)]
+    assert 2 not in by_doc
+    # doc 3: "xy"*16 — gram at pos p equals gram at p+2 -> all positions dup
+    assert by_doc[3] == [(0, 32)]

@@ -216,3 +216,51 @@ def test_gml_range_scan_matches_eager(tmp_path, ray_session):
     assert len(gml_drv.feature_ranges(path)) == n
     rows = gml_drv.read_gml_dataset(path, per_block=4).take_all()
     assert sorted(int(r["i"]) for r in rows) == list(range(n))
+
+
+def test_mvt_codec_roundtrip():
+    """Protobuf tile codec: ids, cursor-delta geometry, shared key/value
+    tables with string / negative-int / bool values all roundtrip."""
+    import numpy as np
+
+    from gdal_ray.sources import mvt
+
+    ids = np.array([7, 3, 12], dtype=np.int64)
+    px = np.array([0, 4095, 2048], dtype=np.int64)
+    py = np.array([4095, 0, 17], dtype=np.int64)
+    attrs = {
+        "n": np.array([-5, 0, 123456789], dtype=np.int64),
+        "s": np.array(["alpha", "beta", "alpha"]),  # dedup in value table
+        "b": np.array([True, False, True]),
+    }
+    blob = mvt.encode_point_layer("docs", ids, px, py, attrs)
+    (layer,) = mvt.parse_tile(blob)
+    assert layer["version"] == 2 and layer["extent"] == 4096
+    assert layer["name"] == "docs"
+    # value table dedup: 3 n-values + 2 strings + 2 bools
+    assert len(layer["values"]) == 7
+    assert len(layer["features"]) == 3
+    for j, f in enumerate(layer["features"]):
+        assert f["id"] == ids[j] and f["type"] == mvt.POINT
+        assert f["points"] == [(px[j], py[j])]
+        assert f["attrs"]["n"] == attrs["n"][j]
+        assert f["attrs"]["s"] == attrs["s"][j]
+        assert f["attrs"]["b"] == bool(attrs["b"][j])
+
+
+def test_mvt_tiles_deterministic(ray_session):
+    """Same input -> byte-identical tile blobs (feature order pinned by id)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.sources import mvt
+
+    t = pa.table({
+        "doc_id": pa.array([5, 1, 9], pa.int64()),
+        "n_chars": pa.array([10, 20, 30], pa.int64()),
+    })
+    a = {(r["tx"], r["ty"]): r["mvt"] for r in
+         mvt.mvt_point_tiles(rd.from_arrow(t), zoom=4).take_all()}
+    b = {(r["tx"], r["ty"]): r["mvt"] for r in
+         mvt.mvt_point_tiles(rd.from_arrow(t), zoom=4).take_all()}
+    assert a == b and len(a) >= 1
