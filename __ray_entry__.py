@@ -280,6 +280,54 @@ def _dither_sql() -> str:
     """
 
 
+def _line_substring_sql() -> str:
+    """ST_LineSubstring mirror over the rect rings: both endpoints via the
+    line_interpolate CASE walk (strict < boundaries) at dd = 0.2 and 0.55 of
+    the perimeter, plus the count of ring corners strictly inside the
+    measure range."""
+
+    def walk_x(dd: str) -> str:
+        return f"""CASE
+            WHEN {dd} < wl THEN minx + (({dd} - 0.0) / wl) * (maxx - minx)
+            WHEN {dd} < wl + hl THEN maxx + (({dd} - wl) / hl) * (maxx - maxx)
+            WHEN {dd} < wl + hl + wl
+                 THEN maxx + (({dd} - (wl + hl)) / wl) * (minx - maxx)
+            ELSE minx + (({dd} - (wl + hl + wl)) / hl) * (minx - minx)
+        END"""
+
+    def walk_y(dd: str) -> str:
+        return f"""CASE
+            WHEN {dd} < wl THEN miny + (({dd} - 0.0) / wl) * (miny - miny)
+            WHEN {dd} < wl + hl THEN miny + (({dd} - wl) / hl) * (maxy - miny)
+            WHEN {dd} < wl + hl + wl
+                 THEN maxy + (({dd} - (wl + hl)) / wl) * (maxy - maxy)
+            ELSE maxy + (({dd} - (wl + hl + wl)) / hl) * (miny - maxy)
+        END"""
+
+    q = "CAST(floor(({e}) * 10000000.0 + 0.5) AS BIGINT)"
+    return f"""
+        WITH {{zones}},
+        m AS (SELECT zone_key, minx, miny, maxx, maxy,
+                     maxx - minx AS wl, maxy - miny AS hl,
+                     0.2 * (((maxx - minx) + (maxy - miny))
+                            + (maxx - minx) + (maxy - miny)) AS d0,
+                     0.55 * (((maxx - minx) + (maxy - miny))
+                             + (maxx - minx) + (maxy - miny)) AS d1
+              FROM zz)
+        SELECT zone_key,
+               CAST(2 + (CASE WHEN wl > d0 AND wl < d1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN wl + hl > d0 AND wl + hl < d1
+                              THEN 1 ELSE 0 END)
+                      + (CASE WHEN (wl + hl) + wl > d0 AND (wl + hl) + wl < d1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_vertices,
+               {q.format(e=walk_x("d0"))} AS p0x_e7,
+               {q.format(e=walk_y("d0"))} AS p0y_e7,
+               {q.format(e=walk_x("d1"))} AS p1x_e7,
+               {q.format(e=walk_y("d1"))} AS p1y_e7
+        FROM m
+    """
+
+
 def _hillshade_sql() -> str:
     """gdaldem hillshade over the 3x3 ramp mosaic: Horn 3x3 gradients with
     edge replication (== coordinate clamping on the closed-form ramp),
@@ -1761,6 +1809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layer_info": q.layer_info_q,
         "line_interpolate": q.line_interpolate_q,
         "line_locate": q.line_locate_q,
+        "line_substring": q.line_substring_q,
         "quantiles_quantity": q.quantiles_quantity_q,
         "group_quantiles": q.group_quantiles_q,
         "stack_bands": q.stack_bands_q,
@@ -1826,6 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_sort_topk": q.spatial_sort_topk_q,
         # raster<->vector + warp/pyramid (SURVEY §2.8/2.9; rows-only goldens)
         "rasterize_polygons": q.rasterize_polygons_q,
+        "rasterize_invert": q.rasterize_invert_q,
         "polygonize_blobs": q.polygonize_blobs_q,
         "polygonize_rings": q.polygonize_rings_q,
         "polygonize_holes": q.polygonize_holes_q,
@@ -1846,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewshed": q.viewshed_q,
         "viewshed_sectors": q.viewshed_sectors_q,
         "band_stats": q.band_stats_q,
+        "band_stats_approx": q.band_stats_approx_q,
         "tile_index": q.tile_index_q,
         "translate_window": q.translate_window_q,
         "viewshed_modes": q.viewshed_modes_q,
@@ -2476,6 +2527,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(s.s, 0) % 65536 AS BIGINT) AS checksum
             FROM tiles t LEFT JOIN sums s ON s.tx = t.tx AND s.ty = t.ty
         """,
+        "rasterize_invert": f"""
+            -- gdal_rasterize -i: 9 where NO zone covers the pixel center
+            -- (complement of the rasterize_polygons coverage), checksum with
+            -- GLOBAL pixel weights over each tile's clipped extent.
+            WITH {_ZONES},
+            zp AS (SELECT zone_key,
+                     (minx - (-180.0)) / 0.25 AS pxlo, (maxx - (-180.0)) / 0.25 AS pxhi,
+                     (maxy - 85.0) / (-0.25) AS pylo, (miny - 85.0) / (-0.25) AS pyhi
+                   FROM zz),
+            burned AS (
+              SELECT DISTINCT c.c AS gx, r.r AS gy
+              FROM zp,
+              LATERAL (SELECT unnest(generate_series(
+                 GREATEST(CAST(floor(pylo - 0.5) AS BIGINT) + 1, 0),
+                 LEAST(CAST(floor(pyhi - 0.5) AS BIGINT), 679))) AS r) r,
+              LATERAL (SELECT unnest(generate_series(
+                 GREATEST(CAST(ceil(pxlo - 0.5) AS BIGINT), 0),
+                 LEAST(CAST(ceil(pxhi - 0.5) AS BIGINT) - 1, 1439))) AS c) c),
+            px AS (SELECT a.range AS gx, b.range AS gy
+                   FROM range(1440) a, range(680) b),
+            inv AS (SELECT px.gx, px.gy,
+                           CASE WHEN b.gx IS NULL THEN 9 ELSE 0 END AS v
+                    FROM px LEFT JOIN burned b
+                    ON b.gx = px.gx AND b.gy = px.gy)
+            SELECT CAST(gx // 256 AS INTEGER) AS tx,
+                   CAST(gy // 256 AS INTEGER) AS ty,
+                   CAST(sum(v * ((gy * 1440 + gx) % 7 + 1)) % 65536 AS BIGINT)
+                     AS checksum
+            FROM inv GROUP BY 1, 2
+        """,
         "contour_ramp": _contour_sql(),
         "contour_band_areas": _contour_band_sql(),
         "contour_rings_interp": _contour_rings_sql(),
@@ -2576,6 +2657,7 @@ def oracle_sql() -> dict[str, str]:
                      AS dist_e7
             FROM r WHERE rn = 1
         """,
+        "line_substring": _line_substring_sql().replace("{zones}", _ZONES),
         "layer_info": f"""
             WITH {_ZONES}
             SELECT CAST(count(*) AS BIGINT) AS n_features,
@@ -3482,6 +3564,23 @@ def oracle_sql() -> dict[str, str]:
         "band_stats": """
             WITH g AS (SELECT a.range AS x, b.range AS y
                        FROM range(128) a, range(128) b),
+            t AS (SELECT CAST(((x*73 + y*151) % 37) + ((x*y) % 11) * 3
+                              AS BIGINT) AS z FROM g),
+            a AS (SELECT count(*) AS n, sum(z) AS s, sum(z*z) AS ss,
+                         min(z) AS mn, max(z) AS mx FROM t)
+            SELECT CAST(1 AS BIGINT) AS band, CAST(n AS BIGINT) AS n,
+                   CAST(mn AS BIGINT) AS mn, CAST(mx AS BIGINT) AS mx,
+                   CAST(floor((CAST(s AS DOUBLE) / n) * 1000000.0 + 0.5)
+                        AS BIGINT) AS mean_e6,
+                   CAST(floor(sqrt(GREATEST(CAST(ss AS DOUBLE) / n
+                            - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                            0.0)) * 1000000.0 + 0.5) AS BIGINT) AS std_e6
+            FROM a
+        """,
+        "band_stats_approx": """
+            WITH g AS (SELECT a.range AS x, b.range AS y
+                       FROM range(128) a, range(128) b
+                       WHERE a.range % 4 = 0 AND b.range % 4 = 0),
             t AS (SELECT CAST(((x*73 + y*151) % 37) + ((x*y) % 11) * 3
                               AS BIGINT) AS z FROM g),
             a AS (SELECT count(*) AS n, sum(z) AS s, sum(z*z) AS ss,

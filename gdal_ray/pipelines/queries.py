@@ -1346,6 +1346,21 @@ def line_locate_q(sf_dir: str):
     return zones.map_batches(fn, batch_format="pyarrow")
 
 
+def line_substring_q(sf_dir: str):
+    """ST_LineSubstring over every zone ring: endpoints + vertex count of the
+    [0.2, 0.55] measure range."""
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = geomops.line_substring_batch(t.select(["zone_key", "wkb"]), 0.2, 0.55)
+        return out.select(
+            ["zone_key", "n_vertices", "p0x_e7", "p0y_e7", "p1x_e7", "p1y_e7"])
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
 def layer_info_q(sf_dir: str):
     """ogrinfo -so summary of the zones layer: feature count, layer extent
     (aggregate of per-feature bboxes), geometry type."""
@@ -1464,6 +1479,46 @@ def rasterize_polygons_q(sf_dir: str):
     grid = rast.GridSpec(gt=(-180.0, 0.25, 0.0, 85.0, 0.0, -0.25), width=1440, height=680, tile=256)
     tiles_out = rast.rasterize(rd.from_arrow(feats), grid)
     return tiles_out.select_columns(["tx", "ty", "checksum"])
+
+
+def rasterize_invert_q(sf_dir: str):
+    """gdal_rasterize -i (invert): burn 9 where NO geometry covers the pixel
+    (apps/gdal_rasterize_lib.cpp -i flag) — the complement pass over the
+    same distributed scanline rasterization."""
+    from ..functions import checksum as cks
+    from ..stages import rasterize as rast
+
+    zones = _zones(sf_dir)
+    feats = pa.table(
+        {
+            "feat_id": zones["zone_key"],
+            "wkb": zones["wkb"],
+            "burn_value": pa.array(
+                (zones["zone_key"].to_numpy() % 250 + 1).astype(np.float64)
+            ),
+        }
+    )
+    grid = rast.GridSpec(gt=(-180.0, 0.25, 0.0, 85.0, 0.0, -0.25),
+                         width=1440, height=680, tile=256)
+    tiles_out = rast.rasterize(rd.from_arrow(feats), grid)
+
+    def invert(t: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(t.num_rows):
+            h = t["height"][i].as_py()
+            w = t["width"][i].as_py()
+            arr = np.frombuffer(t["data"][i].as_py(), np.float64).reshape(h, w)
+            inv = np.where(arr == 0.0, 9.0, 0.0)
+            tx = t["tx"][i].as_py()
+            ty = t["ty"][i].as_py()
+            rows.append({
+                "tx": tx, "ty": ty,
+                "checksum": cks.tile_checksum(
+                    inv, tx * grid.tile, ty * grid.tile, grid.width),
+            })
+        return pa.Table.from_pylist(rows)
+
+    return tiles_out.map_batches(invert, batch_format="pyarrow")
 
 
 def polygonize_blobs_q(sf_dir: str):
@@ -2015,6 +2070,15 @@ def band_stats_q(sf_dir: str):
     from ..stages import rastermap
 
     return rastermap.band_stats_lazy(rd.from_arrow(_intdem_tiles_2x2()))
+
+
+def band_stats_approx_q(sf_dir: str):
+    """Approximate band statistics (ComputeStatistics bApproxOK,
+    gcore/gdal_rasterband.h:543-548): every 4th pixel per axis, exact over
+    the sample so the oracle hash-matches."""
+    from ..stages import rastermap
+
+    return rastermap.band_stats_lazy(rd.from_arrow(_intdem_tiles_2x2()), stride=4)
 
 
 def tile_index_q(sf_dir: str):

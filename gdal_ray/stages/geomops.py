@@ -836,3 +836,40 @@ def line_locate_batch(batch: pa.Table, px_col: str = "px", py_col: str = "py",
     return (batch.append_column("edge", pa.array(edges, pa.int64()))
                  .append_column("frac_e7", pa.array(fracs, pa.int64()))
                  .append_column("dist_e7", pa.array(dists, pa.int64())))
+
+
+def line_substring_batch(batch: pa.Table, f0: float, f1: float,
+                         wkb_col: str = "wkb") -> pa.Table:
+    """ST_LineSubstring / ogrlineref part extraction: the sub-chain between
+    fractions ``f0 < f1`` of total length — both interpolated endpoints plus
+    every original vertex strictly between them.  Appends n_vertices and the
+    two endpoints (1e-7 fixed point)."""
+    nv, x0s, y0s, x1s, y1s = [], [], [], [], []
+    for w in batch[wkb_col].to_pylist():
+        g = _wkb.decode(w)
+        if g.kind == _wkb.LINESTRING:
+            pts = g.parts[0]
+        elif g.kind == _wkb.POLYGON:
+            pts = g.parts[0][0]
+        else:
+            nv.append(None); x0s.append(None); y0s.append(None)
+            x1s.append(None); y1s.append(None)
+            continue
+        pts = np.asarray(pts, dtype=np.float64)
+        seg = np.hypot(np.diff(pts[:, 0]), np.diff(pts[:, 1]))
+        total = float(seg.sum())
+        d0, d1 = f0 * total, f1 * total
+        x0, y0 = line_point_at_distance(pts, d0, seg=seg)
+        x1, y1 = line_point_at_distance(pts, d1, seg=seg)
+        cum = np.cumsum(seg)  # distance at vertex j+1
+        inner = int(np.count_nonzero((cum[:-1] > d0) & (cum[:-1] < d1)))
+        nv.append(2 + inner)
+        x0s.append(int(np.floor(x0 * 1e7 + 0.5)))
+        y0s.append(int(np.floor(y0 * 1e7 + 0.5)))
+        x1s.append(int(np.floor(x1 * 1e7 + 0.5)))
+        y1s.append(int(np.floor(y1 * 1e7 + 0.5)))
+    return (batch.append_column("n_vertices", pa.array(nv, pa.int64()))
+                 .append_column("p0x_e7", pa.array(x0s, pa.int64()))
+                 .append_column("p0y_e7", pa.array(y0s, pa.int64()))
+                 .append_column("p1x_e7", pa.array(x1s, pa.int64()))
+                 .append_column("p1y_e7", pa.array(y1s, pa.int64())))

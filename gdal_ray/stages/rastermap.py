@@ -560,18 +560,24 @@ def mosaic(layers: list, nodata: float = 0.0):
     return allds.groupby(["z", "band", "x", "y"]).map_groups(compose, batch_format="pyarrow")
 
 
-def band_stats_lazy(tiles_ds):
+def band_stats_lazy(tiles_ds, stride: int = 1):
     """gdalinfo -stats as a LAZY pipeline (no driver-side merge): exact
     per-tile integer partials (n, sum, sumsq, min, max) -> one tiny keyed
     combine -> scaled-integer stats row.  Requires an integer-valued raster
     so the partials (and hence the mean/std quantization) are bit-stable
-    under any reduction order.  Output: (band, n, mn, mx, mean_e6, std_e6)."""
+    under any reduction order.  Output: (band, n, mn, mx, mean_e6, std_e6).
+
+    ``stride > 1`` = APPROXIMATE statistics by decimated sampling (the
+    bApproxOK path of GDALRasterBand::ComputeStatistics,
+    gcore/gdal_rasterband.h:543-548 — approximate via overview/subsampling):
+    every stride-th pixel per axis, exact over the sample.  Tile sizes must
+    be stride-aligned so per-tile slicing equals global-stride sampling."""
     from .relational import partial_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
         rows = []
         for i in range(batch.num_rows):
-            arr = _arr_of(batch, i).astype(np.int64).ravel()
+            arr = _arr_of(batch, i).astype(np.int64)[::stride, ::stride].ravel()
             rows.append({"band": int(batch["band"][i].as_py()),
                          "n": int(arr.size), "s": int(arr.sum()),
                          "ss": int((arr * arr).sum()),

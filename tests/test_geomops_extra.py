@@ -255,3 +255,24 @@ def test_delaunay_per_cell_distributed(ray_session):
         got = {(r["a_id"], r["b_id"], r["c_id"]) for r in out if r["cell"] == c}
         assert got == expect
     assert all(r["a_id"] < r["b_id"] < r["c_id"] and r["area2"] > 0 for r in out)
+
+
+def test_line_substring_polyline_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.functions import wkb as wkbf
+    from gdal_ray.stages import geomops
+
+    pts = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [8.0, 3.0]])
+    t = pa.table({"wkb": pa.array([wkbf.encode_linestring(pts)], pa.binary())})
+    out = geomops.line_substring_batch(t, 0.1, 0.9)
+    total = 4 + 3 + 4  # 11
+    d0, d1 = 1.1, 9.9
+    # vertices at cum 4 and 7 both inside (1.1, 9.9) -> 2 + 2
+    assert out["n_vertices"][0].as_py() == 4
+    assert out["p0x_e7"][0].as_py() == int(np.floor(1.1 * 1e7 + 0.5))
+    assert out["p0y_e7"][0].as_py() == 0
+    # d1 = 9.9 -> on last segment: x = 4 + (9.9 - 7) = 6.9, y = 3
+    assert out["p1x_e7"][0].as_py() == int(np.floor((4 + (0.9 * total - 7)) * 1e7 + 0.5))
+    assert out["p1y_e7"][0].as_py() == int(np.floor(3.0 * 1e7 + 0.5))
