@@ -453,6 +453,44 @@ def _hillshade_variants_sql() -> str:
     """
 
 
+def _dem_derivatives_sql() -> str:
+    """Plain Wilson TRI / TPI / roughness over the hump mosaic
+    (stages/focal._apply_alg windowed stats; hump diffs are dyadic-exact so
+    every sum is association-free).  TPI is signed, so the checksum mirror
+    uses the sign-safe double mod ((s % m) + m) % m matching numpy's
+    non-negative %."""
+    W = H = 192
+
+    def val(dx: int, dy: int) -> str:
+        cx = f"LEAST(GREATEST(gx+{dx},0),{W - 1})" if dx else "gx"
+        cy = f"LEAST(GREATEST(gy+{dy},0),{H - 1})" if dy else "gy"
+        return (f"CAST((({cx})-96)*(({cx})-96) + (({cy})-96)*(({cy})-96) AS DOUBLE)"
+                f" / 64.0")
+
+    n9 = [val(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    c0 = n9[4]
+    tri = "(" + " + ".join(f"abs(({n}) - ({c0}))" for n in n9) + ") / 8.0"
+    s9 = "(" + " + ".join(f"({n})" for n in n9) + ")"
+    tpi = f"({c0}) - ({s9} - ({c0})) / 8.0"
+    rough = ("GREATEST(" + ", ".join(f"({n})" for n in n9) + ")"
+             " - LEAST(" + ", ".join(f"({n})" for n in n9) + ")")
+    arms = "\n UNION ALL\n".join(
+        f"SELECT '{m}' AS mode, gx, gy, ({e}) AS v FROM px"
+        for m, e in (("tri", tri), ("tpi", tpi), ("roughness", rough))
+    )
+    return f"""
+        WITH px AS (SELECT a.range AS gx, b.range AS gy
+                    FROM range({W}) a, range({H}) b),
+        vv AS ({arms})
+        SELECT mode, CAST(gx // 64 AS INTEGER) AS x,
+               CAST(gy // 64 AS INTEGER) AS y,
+               CAST(((sum(CAST(trunc(v) AS BIGINT)
+                          * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536)
+                     + 65536) % 65536 AS BIGINT) AS checksum
+        FROM vv GROUP BY 1, 2, 3
+    """
+
+
 def _proximity_sql() -> str:
     """Exact EDT over the 3x3 blobs mosaic: min squared distance to any
     non-zero pixel, distance x100 rounded (stages/proximity.py)."""
@@ -760,6 +798,38 @@ def _kmeans_cte(k: int = 8, iters: int = 2) -> str:
                 f"c{it + 1} AS (SELECT c.cid, COALESCE(n.v, c.v) AS v"
                 f" FROM c{it} c LEFT JOIN n{it} n USING (cid))")
     return "WITH " + ",\n".join(parts)
+
+
+def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, d: int = 64) -> str:
+    """Product-quantization replay: m independent sliced Lloyd chains (same
+    shape as _kmeans_cte, one per subspace), joined into per-vector codes —
+    mirrors stages/sim.pq_encode (init = k smallest ids, ties -> lowest
+    codeword, empty clusters keep their centroid)."""
+    dsub = d // m
+    parts = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        parts.append(f"e{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)")
+        parts.append(f"s{j}c0 AS (SELECT vec_id AS cid, v FROM e{j} WHERE vec_id < {k})")
+        for it in range(iters + 1):
+            parts.append(f"""s{j}a{it} AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+                FROM e{j} e CROSS JOIN s{j}c{it} c) WHERE rn = 1)""")
+            if it < iters:
+                parts.append(f"""s{j}m{it} AS (SELECT a.cid, s.i, avg(e.v[s.i]) AS mv
+                    FROM s{j}a{it} a JOIN e{j} e USING (vec_id),
+                         LATERAL (SELECT unnest(range(1, len(e.v) + 1)) AS i) s
+                    GROUP BY 1, 2)""")
+                parts.append(f"s{j}n{it} AS (SELECT cid, list(mv ORDER BY i) AS v"
+                             f" FROM s{j}m{it} GROUP BY 1)")
+                parts.append(f"s{j}c{it + 1} AS (SELECT c.cid, COALESCE(n.v, c.v) AS v"
+                             f" FROM s{j}c{it} c LEFT JOIN s{j}n{it} n USING (cid))")
+    sel = ", ".join(f"CAST(s{j}a{iters}.cid AS BIGINT) AS code_{j}" for j in range(m))
+    joins = " ".join(f"JOIN s{j}a{iters} USING (vec_id)" for j in range(m))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT e.vec_id, {sel} FROM e {joins}")
 
 
 def _pct2rgb_sql() -> str:
@@ -1839,6 +1909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": q.char_entropy_q,
         "duplicated_spans": q.duplicated_spans_q,
         "mvt_roundtrip": q.mvt_roundtrip_q,
+        "pq_codes": q.pq_codes_q,
         "join_dwithin": q.join_dwithin_q,
         "count_distinct": q.count_distinct_q,
         "span_stats": q.span_stats_q,
@@ -1886,6 +1957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warp_cutline": q.warp_cutline_q,
         "grid_metrics": q.grid_metrics_q,
         "hillshade": q.hillshade_q,
+        "dem_derivatives": q.dem_derivatives_q,
         "focal_neighbors": q.focal_neighbors_q,
         "dither_ordered": q.dither_ordered_q,
         "hillshade_variants": q.hillshade_variants_q,
@@ -1897,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewshed_sectors": q.viewshed_sectors_q,
         "band_stats": q.band_stats_q,
         "band_stats_approx": q.band_stats_approx_q,
+        "raster_histogram": q.raster_histogram_q,
         "tile_index": q.tile_index_q,
         "translate_window": q.translate_window_q,
         "viewshed_modes": q.viewshed_modes_q,
@@ -3392,6 +3465,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'lo' END AS bucket
             FROM events
         """,
+        "pq_codes": _pq_sql(),
         "mvt_roundtrip": f"""
             WITH {_DOCS_GEO},
             q AS (SELECT doc_id, n_chars, lon, lat,
@@ -3553,6 +3627,7 @@ def oracle_sql() -> dict[str, str]:
                AND count(*) FILTER (d.lon < c.ccx AND d.lat < c.ccy) >= 1
         """,
         "hillshade": _hillshade_sql(),
+        "dem_derivatives": _dem_derivatives_sql(),
         "focal_neighbors": _neighbors_sql(),
         "dither_ordered": _dither_sql(),
         "hillshade_variants": _hillshade_variants_sql(),
@@ -3576,6 +3651,17 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
                             0.0)) * 1000000.0 + 0.5) AS BIGINT) AS std_e6
             FROM a
+        """,
+        "raster_histogram": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b),
+            v AS (SELECT CAST((gx-96)*(gx-96) + (gy-96)*(gy-96) AS DOUBLE)
+                         / 64.0 AS v FROM px),
+            b AS (SELECT LEAST(CAST(floor(v / 18.0) AS BIGINT), 15) AS bin
+                  FROM v WHERE v >= 0.0 AND v <= 288.0),
+            c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
+            SELECT r.range AS bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM range(16) r LEFT JOIN c ON c.bin = r.range
         """,
         "band_stats_approx": """
             WITH g AS (SELECT a.range AS x, b.range AS y

@@ -1848,6 +1848,28 @@ def dither_ordered_q(sf_dir: str):
     )
 
 
+def dem_derivatives_q(sf_dir: str):
+    """Plain gdaldem TRI (Wilson) / TPI / roughness over the hump paraboloid
+    (apps/gdaldem_lib.cpp windowed stats; tri_riley is graded separately in
+    hillshade_variants).  Per-tile checksums per mode are the golden."""
+    from ..stages import focal
+
+    tiles_tbl = synthetic.make_raster_tiles("hump", 3, 3, size=64)
+    outs = []
+    for mode in ("tri", "tpi", "roughness"):
+        out = focal.focal(rd.from_arrow(tiles_tbl), alg=mode, res=1.0)
+
+        def tag(t: pa.Table, mode=mode) -> pa.Table:
+            t = t.select(["x", "y", "checksum"])
+            return t.append_column("mode", pa.array([mode] * t.num_rows))
+
+        outs.append(out.map_batches(tag, batch_format="pyarrow"))
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds
+
+
 def media_features_q(sf_dir: str):
     """Multimodal span featurization over the synthetic interleaved corpus
     (decode stubbed deterministically; plumbing real)."""
@@ -2070,6 +2092,20 @@ def band_stats_q(sf_dir: str):
     from ..stages import rastermap
 
     return rastermap.band_stats_lazy(rd.from_arrow(_intdem_tiles_2x2()))
+
+
+def raster_histogram_q(sf_dir: str):
+    """GetHistogram (gcore/gdal_rasterband.h:585) over the hump mosaic:
+    16 uniform buckets on [0, 288], np.histogram edge semantics (right edge
+    inclusive only for the last bucket)."""
+    from ..stages import rastermap
+
+    tiles_tbl = synthetic.make_raster_tiles("hump", 3, 3, size=64)
+    hist = rastermap.histogram(rd.from_arrow(tiles_tbl), 16, 0.0, 288.0)
+    return pa.table({
+        "bin": pa.array(np.arange(16, dtype=np.int64)),
+        "n": pa.array(hist),
+    })
 
 
 def band_stats_approx_q(sf_dir: str):
@@ -3016,6 +3052,14 @@ def mvt_roundtrip_q(sf_dir: str):
         return pa.Table.from_pylist(rows)
 
     return tiles_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def pq_codes_q(sf_dir: str):
+    """Product-quantization codes over the embeddings table: 4 subspaces x
+    8 codewords, 2 deterministic Lloyd iterations per codebook — the IVF-PQ
+    compression stage for corpus-scale ANN."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sim.pq_encode(ds, m=4, k=8, iters=2)
 
 
 def duplicated_spans_q(sf_dir: str):

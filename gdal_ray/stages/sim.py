@@ -552,3 +552,93 @@ def hll_window_estimate(events_ds, key_col: str = "user_id", ts_col: str = "ts",
         })
 
     return merged.groupby("window_id").map_groups(finalize, batch_format="pyarrow")
+
+
+def pq_encode(ds, m: int = 4, k: int = 8, iters: int = 2,
+              id_col: str = "vec_id"):
+    """Product-quantization codes (Jegou et al. 2011, public): split each
+    embedding into ``m`` subspaces, train an independent k-means codebook per
+    subspace (same deterministic Lloyd as ``kmeans_assign``: init = the k
+    smallest-id vectors, empty clusters keep their centroid), and emit each
+    vector's per-subspace nearest-codeword indices — the compressed
+    representation behind IVF-PQ ANN at corpus scale.
+
+    Ray-Data shape: ONE streaming pass per Lloyd iteration computes the
+    partial sums for ALL subspaces at once (each batch contributes m*k rows
+    of d/m doubles); codebooks are broadcast per iteration.  Output:
+    (vec_id, code_0 .. code_{m-1}).
+    """
+    def local_smallest(b: pa.Table) -> pa.Table:
+        t = pa.table({id_col: b[id_col], "embedding": b["embedding"]})
+        if t.num_rows > k:
+            order = np.argsort(t[id_col].to_numpy(zero_copy_only=False),
+                               kind="stable")[:k]
+            t = t.take(pa.array(order))
+        return t
+
+    seed_rows = ds.map_batches(local_smallest, batch_format="pyarrow").take_all()
+    seed_rows.sort(key=lambda r: r[id_col])
+    seed_rows = seed_rows[:k]
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors for deterministic init")
+    seed = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
+    d = seed.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    # cent[m_idx] is the (k, dsub) codebook of subspace m_idx
+    cent = np.stack([seed[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)])
+
+    def partials_fn(ref):
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)  # (m, k, dsub)
+            x = _stack_embeddings(batch["embedding"])
+            rows = {"sub": [], "cluster": [], "count": [], "sum": []}
+            for j in range(m):
+                xs = x[:, j * dsub : (j + 1) * dsub]
+                cj = c[j]
+                d2 = ((xs * xs).sum(axis=1)[:, None] - 2.0 * (xs @ cj.T)
+                      + (cj * cj).sum(axis=1)[None, :])
+                assign = np.argmin(d2, axis=1)
+                onehot = np.zeros((xs.shape[0], k))
+                onehot[np.arange(xs.shape[0]), assign] = 1.0
+                sums = onehot.T @ xs
+                counts = np.bincount(assign, minlength=k).astype(np.int64)
+                rows["sub"].extend([j] * k)
+                rows["cluster"].extend(range(k))
+                rows["count"].extend(counts.tolist())
+                rows["sum"].extend(row.tobytes() for row in sums)
+            return pa.table({
+                "sub": pa.array(rows["sub"], pa.int64()),
+                "cluster": pa.array(rows["cluster"], pa.int64()),
+                "count": pa.array(rows["count"], pa.int64()),
+                "sum": pa.array(rows["sum"], pa.binary()),
+            })
+        return partials
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+        parts = ds.map_batches(partials_fn(ref), batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cent)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for r in parts:
+            sums[r["sub"], r["cluster"]] += np.frombuffer(r["sum"], dtype=np.float64)
+            counts[r["sub"], r["cluster"]] += r["count"]
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+
+    ref = ray.put(cent)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _stack_embeddings(batch["embedding"])
+        cols = {id_col: batch[id_col]}
+        for j in range(m):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            cj = c[j]
+            d2 = ((xs * xs).sum(axis=1)[:, None] - 2.0 * (xs @ cj.T)
+                  + (cj * cj).sum(axis=1)[None, :])
+            cols[f"code_{j}"] = pa.array(np.argmin(d2, axis=1).astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow")

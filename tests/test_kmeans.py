@@ -59,3 +59,35 @@ def test_kmeans_init_takes_k_smallest_ids():
     am = {r["vec_id"]: r["cluster"] for r in a}
     bm = {(r["vec_id"] - 1000) // 3: r["cluster"] for r in b}
     assert am == bm
+
+
+def test_pq_encode_recovers_planted_codewords(ray_session):
+    """Vectors constructed per-subspace from k well-separated codewords (plus
+    tiny jitter) must encode to the planted code tuples."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import sim
+
+    rng = np.random.default_rng(3)
+    m, k, dsub = 4, 8, 16
+    books = rng.normal(0, 1, (m, k, dsub)) * 50.0  # well separated
+    n = 200
+    codes = rng.integers(0, k, (n, m))
+    x = np.concatenate(
+        [books[j, codes[:, j]] + rng.normal(0, 0.01, (n, dsub))
+         for j in range(m)], axis=1)
+    # seed determinism needs the k smallest ids to cover all codewords in
+    # every subspace: pin the first k rows to codes (0..k-1, same everywhere)
+    for c in range(k):
+        codes[c] = c
+        x[c] = np.concatenate([books[j, c] for j in range(m)])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([row.astype(np.float32).tolist() for row in x]),
+    }))
+    out = sim.pq_encode(ds, m=m, k=k, iters=2).to_pandas().set_index("vec_id").sort_index()
+    got = out[[f"code_{j}" for j in range(m)]].to_numpy()
+    # planted codeword c seeds cluster c exactly (ids 0..k-1), so codes match
+    assert (got == codes).mean() > 0.99
