@@ -800,11 +800,10 @@ def _kmeans_cte(k: int = 8, iters: int = 2) -> str:
     return "WITH " + ",\n".join(parts)
 
 
-def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, d: int = 64) -> str:
-    """Product-quantization replay: m independent sliced Lloyd chains (same
-    shape as _kmeans_cte, one per subspace), joined into per-vector codes —
-    mirrors stages/sim.pq_encode (init = k smallest ids, ties -> lowest
-    codeword, empty clusters keep their centroid)."""
+def _pq_parts(m: int, k: int, iters: int, d: int) -> list[str]:
+    """Shared CTE chain for the PQ oracles: m independent sliced Lloyd
+    replays (same shape as _kmeans_cte), exposing s{j}a{iters} (assignments)
+    and s{j}c{iters} (codebooks) per subspace."""
     dsub = d // m
     parts = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
     for j in range(m):
@@ -826,10 +825,44 @@ def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, d: int = 64) -> str:
                              f" FROM s{j}m{it} GROUP BY 1)")
                 parts.append(f"s{j}c{it + 1} AS (SELECT c.cid, COALESCE(n.v, c.v) AS v"
                              f" FROM s{j}c{it} c LEFT JOIN s{j}n{it} n USING (cid))")
+    return parts
+
+
+def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, d: int = 64) -> str:
+    """PQ codes replay — mirrors stages/sim.pq_encode (init = k smallest
+    ids, ties -> lowest codeword, empty clusters keep their centroid)."""
+    parts = _pq_parts(m, k, iters, d)
     sel = ", ".join(f"CAST(s{j}a{iters}.cid AS BIGINT) AS code_{j}" for j in range(m))
     joins = " ".join(f"JOIN s{j}a{iters} USING (vec_id)" for j in range(m))
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT e.vec_id, {sel} FROM e {joins}")
+
+
+def _pq_adc_sql(m: int = 4, k: int = 8, iters: int = 2, d: int = 64,
+                topk: int = 10) -> str:
+    """ADC top-k replay: exact integer per-subspace distance tables between
+    the e6-quantized closed-form query and the e6-quantized replayed
+    codebooks (stages/sim.pq_adc_topk), summed per vector via the code
+    assignments, ordered by (adc, vec_id)."""
+    dsub = d // m
+    parts = _pq_parts(m, k, iters, d)
+    for j in range(m):
+        qe = f"((((i - 1) + {j * dsub}) * 37) % 19 - 9) * 100000"
+        ce = "CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT)"
+        diff = f"(({qe}) - {ce})"
+        parts.append(f"""q{j} AS (SELECT cid,
+            CAST(sum({diff} * {diff}) AS BIGINT) AS dt
+            FROM s{j}c{iters},
+                 LATERAL (SELECT unnest(range(1, {dsub + 1})) AS i) s
+            GROUP BY cid)""")
+    adc = " + ".join(f"q{j}.dt" for j in range(m))
+    joins = " ".join(
+        f"JOIN s{j}a{iters} a{j} USING (vec_id) JOIN q{j} ON q{j}.cid = a{j}.cid"
+        for j in range(m))
+    return ("WITH " + ",\n".join(parts)
+            + f"""\nSELECT e.vec_id, CAST({adc} AS BIGINT) AS adc_e6
+            FROM e {joins}
+            ORDER BY adc_e6, e.vec_id LIMIT {topk}""")
 
 
 def _pct2rgb_sql() -> str:
@@ -1910,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_spans": q.duplicated_spans_q,
         "mvt_roundtrip": q.mvt_roundtrip_q,
         "pq_codes": q.pq_codes_q,
+        "pq_adc_topk": q.pq_adc_topk_q,
         "join_dwithin": q.join_dwithin_q,
         "count_distinct": q.count_distinct_q,
         "span_stats": q.span_stats_q,
@@ -3466,6 +3500,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "pq_codes": _pq_sql(),
+        "pq_adc_topk": _pq_adc_sql(),
         "mvt_roundtrip": f"""
             WITH {_DOCS_GEO},
             q AS (SELECT doc_id, n_chars, lon, lat,

@@ -188,13 +188,18 @@ def join_orders_customer(sf_dir: str):
 
 
 def filter_like_between(sf_dir: str):
-    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_type", "p_size"])
+    # BETWEEN is pushed down to the parquet scan (row-group pruning at the
+    # read, the OGR SetAttributeFilter-pushdown analogue); only the LIKE
+    # residual runs in the vectorized filter stage
+    import pyarrow.dataset as pads
+
+    ds = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_type", "p_size"],
+        filter=(pads.field("p_size") >= 10) & (pads.field("p_size") <= 30),
+    )
 
     def fn(t: pa.Table):
-        return pc.and_(
-            pc.match_like(t["p_type"], "%AND%"),
-            pc.and_(pc.greater_equal(t["p_size"], 10), pc.less_equal(t["p_size"], 30)),
-        )
+        return pc.match_like(t["p_type"], "%AND%")
 
     return relational.filter_expr(ds, fn).select_columns(["p_partkey", "p_name", "p_size"])
 
@@ -3060,6 +3065,14 @@ def pq_codes_q(sf_dir: str):
     compression stage for corpus-scale ANN."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return sim.pq_encode(ds, m=4, k=8, iters=2)
+
+
+def pq_adc_topk_q(sf_dir: str):
+    """IVF-PQ-style asymmetric-distance top-10: exact integer ADC over the
+    e6-quantized codebooks for a closed-form query vector."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_e6 = ((np.arange(64, dtype=np.int64) * 37) % 19 - 9) * 100000
+    return sim.pq_adc_topk(ds, q_e6, m=4, k=8, iters=2, topk=10)
 
 
 def duplicated_spans_q(sf_dir: str):

@@ -568,6 +568,13 @@ def pq_encode(ds, m: int = 4, k: int = 8, iters: int = 2,
     of d/m doubles); codebooks are broadcast per iteration.  Output:
     (vec_id, code_0 .. code_{m-1}).
     """
+    cent = _pq_train(ds, m, k, iters, id_col)
+    return _pq_assign(ds, cent, id_col)
+
+
+def _pq_train(ds, m: int, k: int, iters: int, id_col: str) -> np.ndarray:
+    """Train the (m, k, d/m) PQ codebooks (deterministic Lloyd per
+    subspace, one streaming pass per iteration for all subspaces)."""
     def local_smallest(b: pa.Table) -> pa.Table:
         t = pa.table({id_col: b[id_col], "embedding": b["embedding"]})
         if t.num_rows > k:
@@ -627,6 +634,12 @@ def pq_encode(ds, m: int = 4, k: int = 8, iters: int = 2,
         nonempty = counts > 0
         cent[nonempty] = sums[nonempty] / counts[nonempty][:, None]
 
+    return cent
+
+
+def _pq_assign(ds, cent: np.ndarray, id_col: str):
+    """Per-vector nearest-codeword indices for trained codebooks."""
+    m, k, dsub = cent.shape
     ref = ray.put(cent)
 
     def encode(batch: pa.Table) -> pa.Table:
@@ -642,3 +655,47 @@ def pq_encode(ds, m: int = 4, k: int = 8, iters: int = 2,
         return pa.table(cols)
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_adc_topk(ds, q_e6: np.ndarray, m: int = 4, k: int = 8, iters: int = 2,
+                topk: int = 10, id_col: str = "vec_id"):
+    """Asymmetric-distance (ADC) top-k search over PQ codes: per-subspace
+    lookup tables of EXACT integer squared distances between the e6-quantized
+    query and the e6-quantized trained codewords, so the per-vector ADC sum
+    is order-invariant int64 and hash-stable.
+
+    ``q_e6`` is the query vector pre-quantized to 1e-6 fixed point (int64,
+    length d).  Shape: train codebooks (streaming Lloyd), broadcast the tiny
+    (m, k) distance table, per-batch encode + table lookup + LOCAL top-k
+    combiner, final small sort.  Output: (vec_id, adc_e6) x topk ordered by
+    (adc, id).
+    """
+    cent = _pq_train(ds, m, k, iters, id_col)
+    dsub = cent.shape[2]
+    cent_e6 = np.floor(cent * 1e6 + 0.5).astype(np.int64)
+    q_e6 = np.asarray(q_e6, dtype=np.int64)
+    dt = np.empty((m, k), dtype=np.int64)
+    for j in range(m):
+        diff = q_e6[j * dsub : (j + 1) * dsub][None, :] - cent_e6[j]
+        dt[j] = (diff * diff).sum(axis=1)
+    cent_ref = ray.put(cent)
+    dt_ref = ray.put(dt)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        table = ray.get(dt_ref)
+        x = _stack_embeddings(batch["embedding"])
+        adc = np.zeros(x.shape[0], dtype=np.int64)
+        for j in range(m):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            cj = c[j]
+            d2 = ((xs * xs).sum(axis=1)[:, None] - 2.0 * (xs @ cj.T)
+                  + (cj * cj).sum(axis=1)[None, :])
+            adc += table[j][np.argmin(d2, axis=1)]
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, adc))[:topk]  # combiner: topk per batch
+        return pa.table({id_col: pa.array(ids[order]),
+                         "adc_e6": pa.array(adc[order])})
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow")
+              .sort(["adc_e6", id_col]).limit(topk))
