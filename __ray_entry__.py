@@ -474,9 +474,21 @@ def _dem_derivatives_sql() -> str:
     tpi = f"({c0}) - ({s9} - ({c0})) / 8.0"
     rough = ("GREATEST(" + ", ".join(f"({n})" for n in n9) + ")"
              " - LEAST(" + ", ".join(f"({n})" for n in n9) + ")")
+    a, b, c = n9[0], n9[1], n9[2]
+    d, f = n9[3], n9[5]
+    g, h, i = n9[6], n9[7], n9[8]
+    horn_dx = f"((({c}) + 2*({f}) + ({i})) - (({a}) + 2*({d}) + ({g}))) / 8.0"
+    horn_dy = f"((({g}) + 2*({h}) + ({i})) - (({a}) + 2*({b}) + ({c}))) / 8.0"
+    zt_dx = f"(({f}) - ({d})) / 2.0"
+    zt_dy = f"(({h}) - ({b})) / 2.0"
+    slope_pct = (f"100.0 * sqrt(({horn_dx}) * ({horn_dx})"
+                 f" + ({horn_dy}) * ({horn_dy}))")
+    slope_pct_zt = (f"100.0 * sqrt(({zt_dx}) * ({zt_dx})"
+                    f" + ({zt_dy}) * ({zt_dy}))")
     arms = "\n UNION ALL\n".join(
         f"SELECT '{m}' AS mode, gx, gy, ({e}) AS v FROM px"
-        for m, e in (("tri", tri), ("tpi", tpi), ("roughness", rough))
+        for m, e in (("tri", tri), ("tpi", tpi), ("roughness", rough),
+                     ("slope_pct", slope_pct), ("slope_pct_zt", slope_pct_zt))
     )
     return f"""
         WITH px AS (SELECT a.range AS gx, b.range AS gy
@@ -1854,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_intersects": q.join_intersects,
         "join_within": q.join_within,
         "join_partitioned_intersects": q.join_partitioned_intersects,
+        "join_anti_spatial": q.join_anti_spatial_q,
         "join_knn": q.join_knn,
         "knn_tree": q.knn_tree_q,
         "zonal_stats": q.zonal_stats_q,
@@ -2004,6 +2017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_stats": q.band_stats_q,
         "band_stats_approx": q.band_stats_approx_q,
         "raster_histogram": q.raster_histogram_q,
+        "equalize": q.equalize_q,
         "tile_index": q.tile_index_q,
         "translate_window": q.translate_window_q,
         "viewshed_modes": q.viewshed_modes_q,
@@ -3686,6 +3700,29 @@ def oracle_sql() -> dict[str, str]:
                             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
                             0.0)) * 1000000.0 + 0.5) AS BIGINT) AS std_e6
             FROM a
+        """,
+        "join_anti_spatial": f"""
+            WITH {_DOCS_GEO}, {_ZONES}
+            SELECT d.doc_id FROM d
+            WHERE NOT EXISTS (SELECT 1 FROM zz
+                              WHERE d.lon >= zz.minx AND d.lon <= zz.maxx
+                                AND d.lat >= zz.miny AND d.lat <= zz.maxy)
+        """,
+        "equalize": f"""
+            WITH g AS (SELECT a.range AS gx, b.range AS gy
+                       FROM range(128) a, range(128) b),
+            t AS (SELECT gx, gy, CAST(((gx*73 + gy*151) % 37)
+                                      + ((gx*gy) % 11) * 3 AS BIGINT) AS z
+                  FROM g),
+            c AS (SELECT z, count(*) AS c FROM t GROUP BY z),
+            cd AS (SELECT z, CAST(sum(c) OVER (ORDER BY z) AS BIGINT) AS cdf
+                   FROM c),
+            cm AS (SELECT min(cdf) AS cdfmin,
+                          (SELECT count(*) FROM t) AS n FROM cd),
+            lut AS (SELECT z, CAST((cdf - cdfmin) * 255 // (n - cdfmin)
+                                   AS BIGINT) AS o FROM cd, cm),
+            v AS (SELECT gx, gy, o AS v FROM t JOIN lut USING (z))
+            {_tile_checksum_sql("v", 64, "v")}
         """,
         "raster_histogram": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy

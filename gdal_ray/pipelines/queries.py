@@ -106,6 +106,14 @@ def zonal_stats_q(sf_dir: str):
     return zonal.zonal_stats(pts, _zones(sf_dir), value_col="n_chars")
 
 
+def join_anti_spatial_q(sf_dir: str):
+    """Spatial anti join: docs covered by NO zone (NOT EXISTS; the
+    point-layer Erase analogue, ogrlayer.cpp:6770 family)."""
+    return join.broadcast_spatial_join(
+        _docs_points(sf_dir), _zones(sf_dir), "intersects", anti=True
+    )
+
+
 def zonal_extended_q(sf_dir: str):
     """Zonal mean/stddev sufficient statistics (alg/zonal.cpp:661-701 stat
     names) as exact integers: n, sum, var_num = n*sum(v^2)-sum(v)^2."""
@@ -1861,7 +1869,7 @@ def dem_derivatives_q(sf_dir: str):
 
     tiles_tbl = synthetic.make_raster_tiles("hump", 3, 3, size=64)
     outs = []
-    for mode in ("tri", "tpi", "roughness"):
+    for mode in ("tri", "tpi", "roughness", "slope_pct", "slope_pct_zt"):
         out = focal.focal(rd.from_arrow(tiles_tbl), alg=mode, res=1.0)
 
         def tag(t: pa.Table, mode=mode) -> pa.Table:
@@ -2097,6 +2105,14 @@ def band_stats_q(sf_dir: str):
     from ..stages import rastermap
 
     return rastermap.band_stats_lazy(rd.from_arrow(_intdem_tiles_2x2()))
+
+
+def equalize_q(sf_dir: str):
+    """Histogram equalization of the integer DEM mosaic (two-phase global
+    CDF transfer curve, pure integer remap)."""
+    from ..stages import rastermap
+
+    return rastermap.equalize(rd.from_arrow(_intdem_tiles_2x2()))
 
 
 def raster_histogram_q(sf_dir: str):

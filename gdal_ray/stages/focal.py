@@ -148,6 +148,13 @@ def _zt_gradients(pad: np.ndarray, res: float):
 def _apply_alg(pad: np.ndarray, alg: str, res: float, z_factor: float,
                azimuth: float, altitude: float) -> np.ndarray:
     center = pad[1:-1, 1:-1]
+    if alg in ("slope_pct", "slope_pct_zt"):
+        # gdaldem slope -p: percent slope = 100 * tan = 100 * |grad|
+        # (np.sqrt of the exact squared sum so the SQL sqrt mirror is
+        # bit-identical; np.hypot may differ in the last ulp)
+        grad_fn = _zt_gradients if alg.endswith("_zt") else _horn_gradients
+        dzdx, dzdy = grad_fn(pad, res)
+        return 100.0 * np.sqrt(dzdx * dzdx + dzdy * dzdy)
     base, _, grad = alg.partition("_")
     zt = grad == "zt"
     grad_fn = _zt_gradients if zt else _horn_gradients

@@ -204,7 +204,11 @@ class BroadcastPointJoin:
         emit_cols: tuple = (),
         emit_zone_index: bool = False,
         zonal_reduce_col: str | None = None,
+        anti: bool = False,
     ):
+        # anti=True: emit points matching NO zone (spatial NOT EXISTS — the
+        # point-layer Erase analogue, ogrlayer.cpp:6770 Identity/Erase family)
+        self.anti = anti
         self.emit_zone_index = emit_zone_index
         # aggregate pushdown (GDAL zonal RASTER_SEQUENTIAL analogue,
         # alg/zonal.cpp:201-208): when set, __call__ reduces each batch's
@@ -231,6 +235,13 @@ class BroadcastPointJoin:
         px = batch[self.lon_col].to_numpy(zero_copy_only=False)
         py = batch[self.lat_col].to_numpy(zero_copy_only=False)
         rows, zidx = self.index.probe_points(px, py, self.predicate)
+        if self.anti:
+            mask = np.ones(batch.num_rows, dtype=bool)
+            mask[rows] = False
+            out = {self.id_col: batch[self.id_col].filter(pa.array(mask))}
+            for c in self.emit_cols:
+                out[c] = batch[c].filter(pa.array(mask))
+            return pa.table(out)
         if self.zonal_reduce_col is not None:
             return self._zonal_reduce(batch, rows, zidx)
         out = {self.id_col: batch[self.id_col].take(pa.array(rows))}
@@ -280,6 +291,7 @@ def broadcast_spatial_join(
     emit_cols: tuple = (),
     emit_zone_index: bool = False,
     zonal_reduce_col: str | None = None,
+    anti: bool = False,
 ):
     """Plan 1: broadcast the zone table, stream the points.  Zero shuffle."""
     zones_ref = ray.put(zones)
@@ -292,6 +304,7 @@ def broadcast_spatial_join(
             emit_cols=emit_cols,
             emit_zone_index=emit_zone_index,
             zonal_reduce_col=zonal_reduce_col,
+            anti=anti,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -682,3 +682,55 @@ def compare(tiles_a, tiles_b, scale_x100: bool = True):
     return a.map_batches(tag(0), batch_format="pyarrow").union(
         b.map_batches(tag(1), batch_format="pyarrow")
     ).groupby(["z", "x", "y"]).map_groups(diff, batch_format="pyarrow")
+
+
+def equalize(tiles_ds, levels: int = 256):
+    """Histogram equalization: two-phase global transfer curve
+    (the data-driven contrast stretch; gdal_translate -scale analogue with a
+    CDF curve, cf. gdal_contrast_stretch of the gdal-utils family).
+
+    Phase 1 streams per-batch value counts (integer rasters) into one tiny
+    keyed fold; the CDF lookup table broadcasts to a stateless per-tile remap
+    with out = (cdf(v) - cdf_min) * (levels-1) // (n - cdf_min) — pure
+    integer floor arithmetic, so the remap is bit-stable.  Emits per-tile
+    (x, y, checksum)."""
+    from ..functions import checksum as cks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals_all, cnts_all = [], []
+        for i in range(batch.num_rows):
+            v, c = np.unique(_arr_of(batch, i).astype(np.int64), return_counts=True)
+            vals_all.append(v)
+            cnts_all.append(c)
+        if not vals_all:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        v = np.concatenate(vals_all)
+        c = np.concatenate(cnts_all)
+        g = pa.table({"v": pa.array(v), "c": pa.array(c)}).group_by("v") \
+            .aggregate([("c", "sum")])
+        return pa.table({"v": g["v"], "c": g["c_sum"]})
+
+    rows = tiles_ds.map_batches(partial, batch_format="pyarrow") \
+                   .groupby("v").sum("c").take_all()
+    rows.sort(key=lambda r: r["v"])
+    vals = np.array([r["v"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["sum(c)"] for r in rows], dtype=np.int64)
+    cdf = np.cumsum(cnts)
+    n = int(cdf[-1])
+    cdfmin = int(cdf[0])
+    out_lut = (cdf - cdfmin) * (levels - 1) // max(n - cdfmin, 1)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for i in range(batch.num_rows):
+            arr = _arr_of(batch, i).astype(np.int64)
+            idx = np.searchsorted(vals, arr)
+            out = out_lut[idx]
+            out_rows.append({
+                "x": int(batch["x"][i].as_py()), "y": int(batch["y"][i].as_py()),
+                "checksum": cks.tile_checksum(out),
+            })
+        return pa.Table.from_pylist(out_rows)
+
+    return tiles_ds.map_batches(remap, batch_format="pyarrow")
