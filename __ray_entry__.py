@@ -1926,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_interpolate": q.line_interpolate_q,
         "line_locate": q.line_locate_q,
         "line_substring": q.line_substring_q,
+        "geom_transforms": q.geom_transforms_q,
         "quantiles_quantity": q.quantiles_quantity_q,
         "group_quantiles": q.group_quantiles_q,
         "stack_bands": q.stack_bands_q,
@@ -2779,6 +2780,20 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1
         """,
         "line_substring": _line_substring_sql().replace("{zones}", _ZONES),
+        "geom_transforms": f"""
+            WITH {_ZONES}
+            SELECT zone_key,
+                   CAST(1 + ceil((maxx - minx) / 0.7) + ceil((maxy - miny) / 0.7)
+                          + ceil((maxx - minx) / 0.7) + ceil((maxy - miny) / 0.7)
+                        AS BIGINT) AS n_seg_vertices,
+                   CAST(floor(miny * 10000000.0 + 0.5) AS BIGINT) AS sw_x0_e7,
+                   CAST(floor(minx * 10000000.0 + 0.5) AS BIGINT) AS sw_y0_e7,
+                   CAST(floor((round(minx / 0.03) * 0.03) * 10000000.0 + 0.5)
+                        AS BIGINT) AS sp_x0_e7,
+                   CAST(floor((round(miny / 0.03) * 0.03) * 10000000.0 + 0.5)
+                        AS BIGINT) AS sp_y0_e7
+            FROM zz
+        """,
         "layer_info": f"""
             WITH {_ZONES}
             SELECT CAST(count(*) AS BIGINT) AS n_features,

@@ -1359,6 +1359,44 @@ def line_locate_q(sf_dir: str):
     return zones.map_batches(fn, batch_format="pyarrow")
 
 
+def geom_transforms_q(sf_dir: str):
+    """Graded segmentize / swap-xy / set-precision (apps/gdalalg_vector_
+    segmentize.h, ogrgeometry SwapXY / SetPrecision): per zone ring, the
+    densified vertex count at max spacing 0.7, the first vertex after
+    swap-xy, and the first vertex after snapping to a 0.03 grid (grid chosen
+    so no coordinate lands on an exact .5 rounding boundary — np.round is
+    half-even, SQL round is half-away; they agree everywhere else)."""
+    from ..functions import wkb as wkbf
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+
+    def fn(t: pa.Table) -> pa.Table:
+        base = t.select(["zone_key", "wkb"])
+        seg = geomops.segmentize_batch(base, 0.7)
+        sw = geomops.swap_xy_batch(base)
+        sp = geomops.set_precision_batch(base, 0.03)
+        nv, swx, swy, spx, spy = [], [], [], [], []
+        for i in range(t.num_rows):
+            nv.append(len(wkbf.decode(seg["wkb"][i].as_py()).parts[0][0]))
+            p_sw = wkbf.decode(sw["wkb"][i].as_py()).parts[0][0][0]
+            p_sp = wkbf.decode(sp["wkb"][i].as_py()).parts[0][0][0]
+            swx.append(int(np.floor(p_sw[0] * 1e7 + 0.5)))
+            swy.append(int(np.floor(p_sw[1] * 1e7 + 0.5)))
+            spx.append(int(np.floor(p_sp[0] * 1e7 + 0.5)))
+            spy.append(int(np.floor(p_sp[1] * 1e7 + 0.5)))
+        return pa.table({
+            "zone_key": t["zone_key"],
+            "n_seg_vertices": pa.array(nv, pa.int64()),
+            "sw_x0_e7": pa.array(swx, pa.int64()),
+            "sw_y0_e7": pa.array(swy, pa.int64()),
+            "sp_x0_e7": pa.array(spx, pa.int64()),
+            "sp_y0_e7": pa.array(spy, pa.int64()),
+        })
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
 def line_substring_q(sf_dir: str):
     """ST_LineSubstring over every zone ring: endpoints + vertex count of the
     [0.2, 0.55] measure range."""

