@@ -1927,6 +1927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_locate": q.line_locate_q,
         "line_substring": q.line_substring_q,
         "geom_transforms": q.geom_transforms_q,
+        "explode_collections": q.explode_collections_q,
         "quantiles_quantity": q.quantiles_quantity_q,
         "group_quantiles": q.group_quantiles_q,
         "stack_bands": q.stack_bands_q,
@@ -1954,6 +1955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scalar_funcs_props": q.scalar_funcs_props_q,
         "mosaic_compose": q.mosaic_compose_q,
         "char_entropy": q.char_entropy_q,
+        "text_normalize": q.text_normalize_q,
         "duplicated_spans": q.duplicated_spans_q,
         "mvt_roundtrip": q.mvt_roundtrip_q,
         "pq_codes": q.pq_codes_q,
@@ -2780,6 +2782,13 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1
         """,
         "line_substring": _line_substring_sql().replace("{zones}", _ZONES),
+        "explode_collections": f"""
+            WITH {_ZONES}
+            SELECT zone_key // 2 AS pair_key,
+                   CAST(floor(minx * 10000000.0 + 0.5) AS BIGINT) AS x0_e7,
+                   CAST(floor(miny * 10000000.0 + 0.5) AS BIGINT) AS y0_e7
+            FROM zz
+        """,
         "geom_transforms": f"""
             WITH {_ZONES}
             SELECT zone_key,
@@ -3571,6 +3580,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(pos) + 16 - min(pos) AS BIGINT) AS span_len
             FROM isl GROUP BY doc_id, gid
+        """,
+        "text_normalize": """
+            WITH n AS (SELECT doc_id,
+                              trim(regexp_replace(lower(text), ' +', ' ', 'g'))
+                                AS norm
+                       FROM documents)
+            SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_len,
+                   substr(norm, 1, 16) AS prefix16
+            FROM n
         """,
         "char_entropy": r"""
             WITH ch AS (SELECT doc_id,

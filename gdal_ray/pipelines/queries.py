@@ -1359,6 +1359,44 @@ def line_locate_q(sf_dir: str):
     return zones.map_batches(fn, batch_format="pyarrow")
 
 
+def explode_collections_q(sf_dir: str):
+    """Graded explode-collections (apps/gdalalg_vector_explode_collections.h):
+    zone rings paired by zone_key//2 into MULTIPOLYGONs, exploded back to one
+    row per part; each part's first vertex identifies it exactly."""
+    from ..functions import wkb as wkbf
+    from ..stages import geomops
+
+    zones = _zones(sf_dir)
+    keys = zones["zone_key"].to_numpy()
+    groups: dict[int, list] = {}
+    for i, k in enumerate(keys):
+        groups.setdefault(int(k) // 2, []).append(
+            wkbf.decode(zones["wkb"][i].as_py()).parts[0])
+    pair_keys, blobs = [], []
+    for pk in sorted(groups):
+        pair_keys.append(pk)
+        blobs.append(wkbf.encode_multipolygon(groups[pk]))
+    multis = pa.table({
+        "pair_key": pa.array(pair_keys, pa.int64()),
+        "wkb": pa.array(blobs, pa.binary()),
+    })
+    exploded = geomops.explode_collections(rd.from_arrow(multis))
+
+    def first_vertex(t: pa.Table) -> pa.Table:
+        xs, ys = [], []
+        for w in t["wkb"].to_pylist():
+            p0 = wkbf.decode(w).parts[0][0][0]
+            xs.append(int(np.floor(p0[0] * 1e7 + 0.5)))
+            ys.append(int(np.floor(p0[1] * 1e7 + 0.5)))
+        return pa.table({
+            "pair_key": t["pair_key"],
+            "x0_e7": pa.array(xs, pa.int64()),
+            "y0_e7": pa.array(ys, pa.int64()),
+        })
+
+    return exploded.map_batches(first_vertex, batch_format="pyarrow")
+
+
 def geom_transforms_q(sf_dir: str):
     """Graded segmentize / swap-xy / set-precision (apps/gdalalg_vector_
     segmentize.h, ogrgeometry SwapXY / SetPrecision): per zone ring, the
@@ -3135,6 +3173,25 @@ def duplicated_spans_q(sf_dir: str):
     substring-level dedup of Lee et al. 2022, gram-partitioned."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.duplicated_spans(ds)
+
+
+def text_normalize_q(sf_dir: str):
+    """Text normalization (C4-style cleaning): lowercase, collapse internal
+    whitespace runs, trim — emit normalized length and a 16-char prefix
+    (one RE2 pass per rule; pyarrow == DuckDB match sets)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t["text"]), pattern=" +", replacement=" "))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_len": pc.cast(pc.utf8_length(norm), pa.int64()),
+            "prefix16": pc.utf8_slice_codeunits(norm, 0, 16),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def char_entropy_q(sf_dir: str):
