@@ -2027,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pct2rgb_roundtrip": q.pct2rgb_q,
         "palette_median_cut": q.palette_q,
         "media_features": q.media_features_q,
+        "media_inventory": q.media_inventory_q,
         # coordinate transformers (SURVEY §2.3; alg/gdaltransformer.cpp family)
         "reproject_utm": q.reproject_utm_q,
         "reproject_lcc": q.reproject_lcc_q,
@@ -3016,6 +3017,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, tx_12, ty_12, hd AS hkey
             FROM hs WHERE s = 0
             ORDER BY hkey, doc_id LIMIT 100
+        """,
+        "media_inventory": """
+            WITH docs AS (SELECT range AS k FROM range(2000)),
+            sp AS (SELECT k, j.j AS j FROM docs,
+                   LATERAL (SELECT unnest(generate_series(0, k % 4)) AS j) j),
+            ks AS (SELECT k, j,
+                          ['text','image','audio','video'][(k + j) % 4 + 1] AS kind
+                   FROM sp),
+            med AS (SELECT k, j, kind,
+                           printf('media://%s/%09d/%d', kind, k, j) AS ref
+                    FROM ks WHERE kind <> 'text')
+            SELECT kind, CAST(count(*) AS BIGINT) AS n_refs,
+                   CAST(count(DISTINCT k) AS BIGINT) AS n_docs,
+                   min(ref) AS min_ref, max(ref) AS max_ref
+            FROM med GROUP BY kind
         """,
         "span_stats": """
             WITH docs AS (SELECT range AS k FROM range(2000)),

@@ -1968,6 +1968,14 @@ def media_features_q(sf_dir: str):
     return media.featurize_media(docs, concurrency=2)
 
 
+def media_inventory_q(sf_dir: str):
+    """Per-kind media-reference catalog over the interleaved corpus."""
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    return media.media_inventory(docs)
+
+
 def footprint_q(sf_dir: str):
     """Raster footprint: mask -> distributed polygonize component summary.
     The rects fixture has closed-form component structure (disjoint

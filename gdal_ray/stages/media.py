@@ -317,3 +317,68 @@ def filter_spans(docs_ds, drop_kinds=("video",)):
         return pa.table({"doc_id": t["doc_id"], "spans": new_spans})
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def media_inventory(docs_ds):
+    """Per-kind media-reference inventory over the interleaved corpus
+    (the gdaltindex-style catalog for media spans): n_refs, n_docs holding
+    at least one ref of the kind, and the lexicographic ref range.
+
+    Shape: vectorized Arrow flatten; per-kind count/min/max fold via
+    per-batch combiners; distinct-doc counts via the two-level plan
+    (groupby (kind, doc) dedup -> per-kind count) so no stage ever holds a
+    kind's full doc set.  Final merge is a 3-row driver join.
+    """
+    import pyarrow.compute as pc
+
+    from ..sources.synthetic import doc_id_to_key
+
+    def flat_refs(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+        structs = spans.flatten()
+        kind = structs.field("kind")
+        keys = doc_id_to_key(t["doc_id"])
+        flat = pa.table({
+            "kind": kind,
+            "ref": structs.field("media_ref"),
+            "doc_key": pa.array(np.repeat(keys, lens)),
+        }).filter(pc.not_equal(kind, "text"))
+        return flat
+
+    flat = docs_ds.map_batches(flat_refs, batch_format="pyarrow")
+
+    def ref_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("kind").aggregate(
+            [("ref", "count"), ("ref", "min"), ("ref", "max")])
+        return pa.table({"kind": g["kind"],
+                         "n": pc.cast(g["ref_count"], pa.int64()),
+                         "mn": g["ref_min"], "mx": g["ref_max"]})
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ref_stats = flat.map_batches(ref_partial, batch_format="pyarrow")         .groupby("kind").aggregate(Sum("n", alias_name="n_refs"),
+                                   Min("mn", alias_name="min_ref"),
+                                   Max("mx", alias_name="max_ref")).take_all()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["kind", "doc_key"]).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    doc_counts = flat.map_batches(pair_partial, batch_format="pyarrow")         .groupby(["kind", "doc_key"]).aggregate(Count(alias_name="_c"))         .map_batches(lambda t: pa.table({
+            "kind": t["kind"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow")         .groupby("kind").aggregate(Sum("one", alias_name="n_docs")).take_all()
+
+    nd = {r["kind"]: r["n_docs"] for r in doc_counts}
+    ref_stats.sort(key=lambda r: r["kind"])
+    return pa.table({
+        "kind": pa.array([r["kind"] for r in ref_stats]),
+        "n_refs": pa.array([int(r["n_refs"]) for r in ref_stats], pa.int64()),
+        "n_docs": pa.array([int(nd[r["kind"]]) for r in ref_stats], pa.int64()),
+        "min_ref": pa.array([r["min_ref"] for r in ref_stats]),
+        "max_ref": pa.array([r["max_ref"] for r in ref_stats]),
+    })
