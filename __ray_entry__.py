@@ -2021,6 +2021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_stats_approx": q.band_stats_approx_q,
         "raster_histogram": q.raster_histogram_q,
         "equalize": q.equalize_q,
+        "translate_scale": q.translate_scale_q,
         "tile_index": q.tile_index_q,
         "translate_window": q.translate_window_q,
         "viewshed_modes": q.viewshed_modes_q,
@@ -3756,6 +3757,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM zz
                               WHERE d.lon >= zz.minx AND d.lon <= zz.maxx
                                 AND d.lat >= zz.miny AND d.lat <= zz.maxy)
+        """,
+        "translate_scale": f"""
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(128) b),
+            sc AS (SELECT gx, gy,
+                     CAST((CAST(gx + gy AS DOUBLE) - 0.0)
+                          * ((255.0 - 0.0) / (318.0 - 0.0)) + 0.0 AS FLOAT)
+                       AS v
+                   FROM px)
+            {_tile_checksum_sql("trunc(v)", 64, "sc")}
         """,
         "equalize": f"""
             WITH g AS (SELECT a.range AS gx, b.range AS gy

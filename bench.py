@@ -143,6 +143,8 @@ def run_bench() -> dict:
         ("events_tumbling_1h", q.events_tumbling_1h),
         ("dedup_exact", q.dedup_exact_q),
         ("embedding_topk", q.embedding_topk_q),
+        ("window_frames", q.window_frames_q),
+        ("duplicated_spans", q.duplicated_spans_q),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)

@@ -2191,6 +2191,27 @@ def band_stats_q(sf_dir: str):
     return rastermap.band_stats_lazy(rd.from_arrow(_intdem_tiles_2x2()))
 
 
+def translate_scale_q(sf_dir: str):
+    """gdal_translate -scale 0 318 0 255 over the ramp mosaic (linear
+    rescale, float32 output); per-tile checksums."""
+    from ..functions import checksum as cks
+    from ..stages import rastermap
+
+    tiles_tbl = synthetic.make_raster_tiles("ramp", 3, 2, size=64)
+    out = rastermap.scale(rd.from_arrow(tiles_tbl), 0.0, 318.0, 0.0, 255.0)
+
+    def ck(t: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(t.num_rows):
+            arr = np.frombuffer(t["data"][i].as_py(), np.float32).reshape(
+                t["height"][i].as_py(), t["width"][i].as_py())
+            rows.append({"x": t["x"][i].as_py(), "y": t["y"][i].as_py(),
+                         "checksum": cks.tile_checksum(arr)})
+        return pa.Table.from_pylist(rows)
+
+    return out.map_batches(ck, batch_format="pyarrow")
+
+
 def equalize_q(sf_dir: str):
     """Histogram equalization of the integer DEM mosaic (two-phase global
     CDF transfer curve, pure integer remap)."""
