@@ -1928,6 +1928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_substring": q.line_substring_q,
         "geom_transforms": q.geom_transforms_q,
         "explode_collections": q.explode_collections_q,
+        "simplify_roundtrip": q.simplify_roundtrip_q,
         "quantiles_quantity": q.quantiles_quantity_q,
         "group_quantiles": q.group_quantiles_q,
         "stack_bands": q.stack_bands_q,
@@ -2784,6 +2785,18 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1
         """,
         "line_substring": _line_substring_sql().replace("{zones}", _ZONES),
+        "simplify_roundtrip": f"""
+            -- densify + DP-simplify must recover exactly the 5 ring corners;
+            -- vertex-coordinate sums in ring order, left-associated like
+            -- np.sum over the 5-element array
+            WITH {_ZONES}
+            SELECT zone_key, CAST(5 AS BIGINT) AS n_vertices,
+                   CAST(floor(((((minx + maxx) + maxx) + minx) + minx)
+                              * 10000000.0 + 0.5) AS BIGINT) AS sx_e7,
+                   CAST(floor(((((miny + miny) + maxy) + maxy) + miny)
+                              * 10000000.0 + 0.5) AS BIGINT) AS sy_e7
+            FROM zz
+        """,
         "explode_collections": f"""
             WITH {_ZONES}
             SELECT zone_key // 2 AS pair_key,

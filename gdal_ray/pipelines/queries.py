@@ -1359,6 +1359,36 @@ def line_locate_q(sf_dir: str):
     return zones.map_batches(fn, batch_format="pyarrow")
 
 
+def simplify_roundtrip_q(sf_dir: str):
+    """Densify-then-simplify roundtrip: segmentize each zone ring at max
+    spacing 0.7 and Douglas-Peucker simplify at tolerance 0.01 — the interior
+    collinear vertices must vanish, recovering exactly the 5 corner vertices
+    (ogr Simplify, ogrgeometry.cpp:6778).  Emits the vertex count and the
+    ring's vertex-coordinate sums (1e-7 fixed point)."""
+    from ..functions import wkb as wkbf
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+
+    def fn(t: pa.Table) -> pa.Table:
+        dens = geomops.segmentize_batch(t.select(["zone_key", "wkb"]), 0.7)
+        simp = geomops.simplify_batch(dens, 0.01)
+        nv, sx, sy = [], [], []
+        for w in simp["wkb"].to_pylist():
+            ring = wkbf.decode(w).parts[0][0]
+            nv.append(len(ring))
+            sx.append(int(np.floor(float(np.sum(ring[:, 0])) * 1e7 + 0.5)))
+            sy.append(int(np.floor(float(np.sum(ring[:, 1])) * 1e7 + 0.5)))
+        return pa.table({
+            "zone_key": t["zone_key"],
+            "n_vertices": pa.array(nv, pa.int64()),
+            "sx_e7": pa.array(sx, pa.int64()),
+            "sy_e7": pa.array(sy, pa.int64()),
+        })
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
 def explode_collections_q(sf_dir: str):
     """Graded explode-collections (apps/gdalalg_vector_explode_collections.h):
     zone rings paired by zone_key//2 into MULTIPOLYGONs, exploded back to one

@@ -96,8 +96,12 @@ def simplify_batch(batch: pa.Table, tolerance: float, wkb_col: str = "wkb") -> p
         elif g.kind == _wkb.POLYGON:
             rings = []
             for r in g.parts[0]:
-                s = _dp_simplify(r[:-1], tolerance)
-                rings.append(np.vstack([s, s[:1]]))
+                # run DP on the CLOSED ring (first == last anchors, GEOS
+                # semantics): the ln==0 branch splits at the vertex farthest
+                # from the anchor point, so collinear vertices on the closing
+                # edge simplify away too (the opened-ring variant always kept
+                # the last pre-closure vertex)
+                rings.append(_dp_simplify(r, tolerance))
             out.append(_wkb.encode_polygon(rings))
         else:
             out.append(w)
