@@ -1929,6 +1929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_transforms": q.geom_transforms_q,
         "explode_collections": q.explode_collections_q,
         "simplify_roundtrip": q.simplify_roundtrip_q,
+        "boundary": q.boundary_q,
         "quantiles_quantity": q.quantiles_quantity_q,
         "group_quantiles": q.group_quantiles_q,
         "stack_bands": q.stack_bands_q,
@@ -2023,6 +2024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_histogram": q.raster_histogram_q,
         "equalize": q.equalize_q,
         "translate_scale": q.translate_scale_q,
+        "pansharpen": q.pansharpen_q,
         "tile_index": q.tile_index_q,
         "translate_window": q.translate_window_q,
         "viewshed_modes": q.viewshed_modes_q,
@@ -2785,6 +2787,16 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1
         """,
         "line_substring": _line_substring_sql().replace("{zones}", _ZONES),
+        "boundary": f"""
+            -- perimeter = np.hypot(diff).sum() over [wl, hl, wl, hl]
+            -- (left-assoc); hypot of an axis-aligned edge == the exact side
+            WITH {_ZONES}
+            SELECT zone_key, CAST(5 AS BIGINT) AS n_vertices,
+                   CAST(floor(((((maxx - minx) + (maxy - miny))
+                                + (maxx - minx)) + (maxy - miny))
+                              * 10000000.0 + 0.5) AS BIGINT) AS blen_e7
+            FROM zz
+        """,
         "simplify_roundtrip": f"""
             -- densify + DP-simplify must recover exactly the 5 ring corners;
             -- vertex-coordinate sums in ring order, left-associated like
@@ -3770,6 +3782,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM zz
                               WHERE d.lon >= zz.minx AND d.lon <= zz.maxx
                                 AND d.lat >= zz.miny AND d.lat <= zz.maxy)
+        """,
+        "pansharpen": """
+            -- weighted Brovey: out_c = trunc(clip(up_c * pan/pseudo, 0, 255))
+            -- with pseudo = r/3 + g/3 + b/3 at pan resolution (nearest
+            -- upsample = ms pixel at pgx//2, pgy//2); per-(tile, band)
+            -- LOCAL-weight checksums mirror stages/fillpalette.pansharpen
+            WITH px AS (SELECT a.range AS pgx, b.range AS pgy
+                        FROM range(256) a, range(256) b),
+            v AS (SELECT pgx, pgy,
+                    CAST(((pgx//2)*7 + (pgy//2)*11) % 256 AS DOUBLE) AS r,
+                    CAST(((pgx//2)*13 + (pgy//2)*3) % 256 AS DOUBLE) AS g,
+                    CAST(((pgx//2)*5 + (pgy//2)*17) % 256 AS DOUBLE) AS b,
+                    CAST((pgx + 2*pgy) % 256 AS DOUBLE) + 0.25 AS pan
+                  FROM px),
+            w AS (SELECT pgx, pgy, r, g, b, pan,
+                    r * (1.0/3.0) + g * (1.0/3.0) + b * (1.0/3.0) AS pseudo
+                  FROM v),
+            o AS (
+              SELECT pgx, pgy, 0 AS band,
+                     trunc(LEAST(GREATEST(r * (CASE WHEN pseudo > 0
+                       THEN pan / pseudo ELSE 0 END), 0.0), 255.0)) AS val
+              FROM w
+              UNION ALL
+              SELECT pgx, pgy, 1,
+                     trunc(LEAST(GREATEST(g * (CASE WHEN pseudo > 0
+                       THEN pan / pseudo ELSE 0 END), 0.0), 255.0))
+              FROM w
+              UNION ALL
+              SELECT pgx, pgy, 2,
+                     trunc(LEAST(GREATEST(b * (CASE WHEN pseudo > 0
+                       THEN pan / pseudo ELSE 0 END), 0.0), 255.0))
+              FROM w)
+            SELECT CAST(pgx // 128 AS BIGINT) AS x,
+                   CAST(pgy // 128 AS BIGINT) AS y,
+                   CAST(band AS BIGINT) AS band,
+                   CAST(sum(CAST(val AS BIGINT)
+                            * (((pgy % 128) * 128 + pgx % 128) % 7 + 1))
+                        % 65536 AS BIGINT) AS checksum
+            FROM o GROUP BY 1, 2, 3
         """,
         "translate_scale": f"""
             WITH px AS (SELECT a.range AS gx, b.range AS gy

@@ -1359,6 +1359,28 @@ def line_locate_q(sf_dir: str):
     return zones.map_batches(fn, batch_format="pyarrow")
 
 
+def boundary_q(sf_dir: str):
+    """OGR Boundary (ogrgeometry.cpp:4825) graded: each zone ring's boundary
+    length (= perimeter) plus the boundary vertex count."""
+    from ..functions import wkb as wkbf
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = geomops.boundary_batch(t.select(["zone_key", "wkb"]))
+        nv = [len(wkbf.decode(w).parts[0]) if w else 0
+              for w in out["boundary_wkb"].to_pylist()]
+        blen = out["boundary_len"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "zone_key": t["zone_key"],
+            "n_vertices": pa.array(nv, pa.int64()),
+            "blen_e7": pa.array(np.floor(blen * 1e7 + 0.5).astype(np.int64)),
+        })
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
 def simplify_roundtrip_q(sf_dir: str):
     """Densify-then-simplify roundtrip: segmentize each zone ring at max
     spacing 0.7 and Douglas-Peucker simplify at tolerance 0.01 — the interior
@@ -2219,6 +2241,49 @@ def band_stats_q(sf_dir: str):
     from ..stages import rastermap
 
     return rastermap.band_stats_lazy(rd.from_arrow(_intdem_tiles_2x2()))
+
+
+def pansharpen_q(sf_dir: str):
+    """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp) over closed-form
+    co-registered RGB + 2x pan fixtures; per-(tile, band) checksums of the
+    sharpened uint8 output."""
+    from ..functions import checksum as cks
+    from ..stages import fillpalette
+
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            gy, gx = np.mgrid[0:64, 0:64]
+            gx = gx + tx * 64
+            gy = gy + ty * 64
+            r = (gx * 7 + gy * 11) % 256
+            g = (gx * 13 + gy * 3) % 256
+            b = (gx * 5 + gy * 17) % 256
+            rgb = np.stack([r, g, b], axis=2).astype(np.uint8)
+            pgy, pgx = np.mgrid[0:128, 0:128]
+            pgx = pgx + tx * 128
+            pgy = pgy + ty * 128
+            pan = (((pgx + 2 * pgy) % 256) + 0.25).astype(np.float64)
+            rows.append({"x": tx, "y": ty, "width": 64, "height": 64,
+                         "data": rgb.tobytes(), "pan": pan.tobytes()})
+    ms = pa.Table.from_pylist(rows)
+    out = fillpalette.pansharpen(rd.from_arrow(ms))
+
+    def ck(t: pa.Table) -> pa.Table:
+        rows2 = []
+        for i in range(t.num_rows):
+            h = t["height"][i].as_py()
+            w = t["width"][i].as_py()
+            arr = np.frombuffer(t["data"][i].as_py(), np.uint8).reshape(h, w, 3)
+            for band in range(3):
+                rows2.append({
+                    "x": t["x"][i].as_py(), "y": t["y"][i].as_py(),
+                    "band": band,
+                    "checksum": cks.tile_checksum(arr[:, :, band]),
+                })
+        return pa.Table.from_pylist(rows2)
+
+    return out.map_batches(ck, batch_format="pyarrow")
 
 
 def translate_scale_q(sf_dir: str):
