@@ -1930,6 +1930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_collections": q.explode_collections_q,
         "simplify_roundtrip": q.simplify_roundtrip_q,
         "boundary": q.boundary_q,
+        "convex_hull": q.convex_hull_q,
         "quantiles_quantity": q.quantiles_quantity_q,
         "group_quantiles": q.group_quantiles_q,
         "stack_bands": q.stack_bands_q,
@@ -2787,6 +2788,18 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1
         """,
         "line_substring": _line_substring_sql().replace("{zones}", _ZONES),
+        "convex_hull": f"""
+            -- hull of corners + interior points == the corner ring
+            -- ((minx,miny) -> (maxx,miny) -> (maxx,maxy) -> (minx,maxy) ->
+            -- close); sums in ring order, left-associated like np.sum
+            WITH {_ZONES}
+            SELECT zone_key, CAST(5 AS BIGINT) AS n_vertices,
+                   CAST(floor(((((minx + maxx) + maxx) + minx) + minx)
+                              * 10000000.0 + 0.5) AS BIGINT) AS sx_e7,
+                   CAST(floor(((((miny + miny) + maxy) + maxy) + miny)
+                              * 10000000.0 + 0.5) AS BIGINT) AS sy_e7
+            FROM zz
+        """,
         "boundary": f"""
             -- perimeter = np.hypot(diff).sum() over [wl, hl, wl, hl]
             -- (left-assoc); hypot of an axis-aligned edge == the exact side

@@ -1359,6 +1359,46 @@ def line_locate_q(sf_dir: str):
     return zones.map_batches(fn, batch_format="pyarrow")
 
 
+def convex_hull_q(sf_dir: str):
+    """Graded convex hull (ogrgeometry.cpp:4449): per zone, the hull of its
+    4 corners plus 3 key-derived strictly-interior points must be exactly the
+    corner ring; emits vertex count and ring-ordered coordinate sums."""
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t["zone_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        minx = t["minx"].to_numpy(zero_copy_only=False)
+        miny = t["miny"].to_numpy(zero_copy_only=False)
+        maxx = t["maxx"].to_numpy(zero_copy_only=False)
+        maxy = t["maxy"].to_numpy(zero_copy_only=False)
+        wl, hl = maxx - minx, maxy - miny
+        nv, sx, sy = [], [], []
+        for i in range(t.num_rows):
+            fx = ((int(k[i]) * 13) % 70 + 15) / 100.0
+            fy = ((int(k[i]) * 29) % 70 + 15) / 100.0
+            pts = np.array([
+                [minx[i], miny[i]], [maxx[i], miny[i]],
+                [maxx[i], maxy[i]], [minx[i], maxy[i]],
+                [minx[i] + fx * wl[i], miny[i] + fy * hl[i]],
+                [minx[i] + fy * wl[i], miny[i] + fx * hl[i]],
+                [minx[i] + 0.5 * wl[i], miny[i] + 0.5 * hl[i]],
+            ])
+            hull = geomops.convex_hull(pts)
+            nv.append(len(hull))
+            sx.append(int(np.floor(float(np.sum(hull[:, 0])) * 1e7 + 0.5)))
+            sy.append(int(np.floor(float(np.sum(hull[:, 1])) * 1e7 + 0.5)))
+        return pa.table({
+            "zone_key": t["zone_key"],
+            "n_vertices": pa.array(nv, pa.int64()),
+            "sx_e7": pa.array(sx, pa.int64()),
+            "sy_e7": pa.array(sy, pa.int64()),
+        })
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
 def boundary_q(sf_dir: str):
     """OGR Boundary (ogrgeometry.cpp:4825) graded: each zone ring's boundary
     length (= perimeter) plus the boundary vertex count."""
