@@ -173,3 +173,82 @@ def test_hll_window_matches_unwindowed_on_single_window(ray_session):
     plain = sim.hll_estimate(rd.from_arrow(tbl), "user_id").take_all()[0]
     assert win[0]["est_x1000"] == plain["est_x1000"]
     assert win[0]["n_registers"] == plain["n_registers"]
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=60),
+                min_size=1, max_size=12))
+@settings(max_examples=25, deadline=None)
+def test_duplicated_spans_matches_brute(texts):
+    """duplicated_spans == brute dict-of-grams + interval merge on random
+    low-alphabet corpora (low alphabet forces heavy duplication)."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import dedup
+
+    k = 16
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = sorted((r["doc_id"], r["span_start"], r["span_len"]) for r in
+                 dedup.duplicated_spans(rd.from_arrow(t)).take_all())
+    # brute
+    grams = collections.Counter()
+    for s in texts:
+        b = s.encode()
+        for p in range(len(b) - k + 1):
+            grams[b[p:p + k]] += 1
+    exp = []
+    for i, s in enumerate(texts):
+        b = s.encode()
+        pos = [p for p in range(len(b) - k + 1) if grams[b[p:p + k]] > 1]
+        start = end = None
+        for p in pos:
+            if start is None:
+                start, end = p, p + k
+            elif p <= end:
+                end = p + k
+            else:
+                exp.append((i, start, end - start))
+                start, end = p, p + k
+        if start is not None:
+            exp.append((i, start, end - start))
+    assert got == sorted(exp)
+
+
+@given(st.lists(st.integers(0, 6), min_size=2, max_size=60),
+       st.lists(st.integers(-500, 500), min_size=2, max_size=60))
+@settings(max_examples=25, deadline=None)
+def test_window_frames_matches_pandas(users, vals):
+    """window_frames == pandas groupby-apply on random keys/values."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.stages import events
+
+    n = min(len(users), len(vals))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.array(users[:n], dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) % 7, unit="s"),  # deliberate ties
+        "value": np.array(vals[:n], dtype=np.float64) / 4.0,
+    })
+    got = events.window_frames(rd.from_pandas(df)).to_pandas() \
+        .set_index("event_id").sort_index()
+    cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    df = df.assign(cents=cents)
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        c = g["cents"].to_numpy()
+        m = len(g)
+        q, rem = divmod(m, 4)
+        for r, eid in enumerate(g["event_id"].to_numpy()):
+            row = got.loc[eid]
+            big = rem * (q + 1)
+            tile = (r // (q + 1) if r < big else rem + (r - big) // max(q, 1)) + 1
+            assert row["ntile"] == tile
+            assert row["first_x100"] == c[0] and row["last_x100"] == c[-1]
+            lo = max(0, r - 2)
+            assert row["mov_sum_x100"] == c[lo:r + 1].sum()
+            assert row["mov_cnt"] == r + 1 - lo
