@@ -1922,6 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_rings_closed": q.contour_rings_closed_q,
         "wrapdateline": q.wrapdateline_q,
         "geodesic_measures": q.geodesic_measures_q,
+        "geodesic_azimuth": q.geodesic_azimuth_q,
         "layer_info": q.layer_info_q,
         "line_interpolate": q.line_interpolate_q,
         "line_locate": q.line_locate_q,
@@ -2842,6 +2843,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((round(miny / 0.03) * 0.03) * 10000000.0 + 0.5)
                         AS BIGINT) AS sp_y0_e7
             FROM zz
+        """,
+        "geodesic_azimuth": f"""
+            WITH {_ZONES},
+            m AS (SELECT zone_key,
+                    radians((miny + maxy) / 2.0) AS p1,
+                    radians((minx + maxx) / 2.0) AS l1,
+                    radians(miny) AS p2, radians(minx) AS l2,
+                    radians(45.0 + CAST(zone_key % 270 AS DOUBLE)) AS b,
+                    CAST(100000 + (zone_key % 900) * 1000 AS DOUBLE)
+                      / 6371007.180918475 AS d
+                  FROM zz),
+            a AS (SELECT zone_key, p1, l1, b, d,
+                    degrees(atan2(sin(l2 - l1) * cos(p2),
+                                  cos(p1) * sin(p2)
+                                  - sin(p1) * cos(p2) * cos(l2 - l1))) AS az,
+                    asin(sin(p1) * cos(d) + cos(p1) * sin(d) * cos(b)) AS dp
+                  FROM m)
+            SELECT zone_key,
+                   CAST(floor((CASE WHEN az < 0.0 THEN az + 360.0 ELSE az END)
+                              * 1000000.0 + 0.5) AS BIGINT) AS az_e6,
+                   CAST(floor(degrees(l1 + atan2(sin(b) * sin(d) * cos(p1),
+                                                 cos(d) - sin(p1) * sin(dp)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS dst_x_e6,
+                   CAST(floor(degrees(dp) * 1000000.0 + 0.5) AS BIGINT)
+                     AS dst_y_e6
+            FROM a
         """,
         "layer_info": f"""
             WITH {_ZONES}

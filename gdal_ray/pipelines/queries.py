@@ -1608,6 +1608,25 @@ def geodesic_measures_q(sf_dir: str):
     return out.select_columns(["zone_key", "geo_area_10m2", "geo_perim_m"])
 
 
+def geodesic_azimuth_q(sf_dir: str):
+    """Spherical forward azimuth (centroid -> corner) + destination point at
+    a key-derived bearing/distance on the authalic sphere — the remaining
+    geodesic siblings of geodesic_measures."""
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t["zone_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.append_column("bearing", pa.array((45.0 + (k % 270)).astype(np.float64)))
+        t = t.append_column("dist_m", pa.array(
+            (100000 + (k % 900) * 1000).astype(np.float64)))
+        out = geomops.spherical_azimuth_dest_batch(t, "bearing", "dist_m")
+        return out.select(["zone_key", "az_e6", "dst_x_e6", "dst_y_e6"])
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
 def contour_rings_q(sf_dir: str):
     """Interpolated contour rings over the hump paraboloid: marching-squares
     segments with vertices AT the linear level crossings, chained cross-tile

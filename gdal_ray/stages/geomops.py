@@ -877,3 +877,47 @@ def line_substring_batch(batch: pa.Table, f0: float, f1: float,
                  .append_column("p0y_e7", pa.array(y0s, pa.int64()))
                  .append_column("p1x_e7", pa.array(x1s, pa.int64()))
                  .append_column("p1y_e7", pa.array(y1s, pa.int64())))
+
+
+def spherical_azimuth_dest_batch(batch: pa.Table, bearing_col: str,
+                                 dist_col: str) -> pa.Table:
+    """Forward azimuth + destination point on the authalic sphere (the
+    geodesic siblings of get_GeodesicLength — spherical approximations of
+    ogrlinearring geodesic ops, same _AUTHALIC_R as geodesic_measures).
+
+    Azimuth: from the rect centroid (cx, cy) to its (minx, miny) corner:
+      az = degrees(atan2(sin dl * cos p2, cos p1 * sin p2
+                         - sin p1 * cos p2 * cos dl)), normalized to [0,360).
+    Destination from the centroid at (bearing, dist):
+      p2 = asin(sin p1 cos d + cos p1 sin d cos b)
+      l2 = l1 + atan2(sin b sin d cos p1, cos d - sin p1 sin p2)
+    Appends az_e6, dst_x_e6, dst_y_e6 (1e-6-degree fixed point).  All
+    expressions mirror the SQL oracle term-for-term."""
+    minx = batch["minx"].to_numpy(zero_copy_only=False)
+    miny = batch["miny"].to_numpy(zero_copy_only=False)
+    maxx = batch["maxx"].to_numpy(zero_copy_only=False)
+    maxy = batch["maxy"].to_numpy(zero_copy_only=False)
+    cx = (minx + maxx) / 2.0
+    cy = (miny + maxy) / 2.0
+    p1 = np.radians(cy)
+    l1 = np.radians(cx)
+    p2 = np.radians(miny)
+    l2 = np.radians(minx)
+    dl = l2 - l1
+    az = np.degrees(np.arctan2(
+        np.sin(dl) * np.cos(p2),
+        np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dl)))
+    az = np.where(az < 0.0, az + 360.0, az)
+    b = np.radians(batch[bearing_col].to_numpy(zero_copy_only=False))
+    d = batch[dist_col].to_numpy(zero_copy_only=False) / _AUTHALIC_R
+    dp = np.arcsin(np.sin(p1) * np.cos(d) + np.cos(p1) * np.sin(d) * np.cos(b))
+    dlmb = l1 + np.arctan2(np.sin(b) * np.sin(d) * np.cos(p1),
+                           np.cos(d) - np.sin(p1) * np.sin(dp))
+    return (batch.append_column(
+                "az_e6", pa.array(np.floor(az * 1e6 + 0.5).astype(np.int64)))
+            .append_column(
+                "dst_x_e6", pa.array(np.floor(np.degrees(dlmb) * 1e6 + 0.5)
+                                     .astype(np.int64)))
+            .append_column(
+                "dst_y_e6", pa.array(np.floor(np.degrees(dp) * 1e6 + 0.5)
+                                     .astype(np.int64))))
