@@ -1923,6 +1923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wrapdateline": q.wrapdateline_q,
         "geodesic_measures": q.geodesic_measures_q,
         "geodesic_azimuth": q.geodesic_azimuth_q,
+        "arrow_ipc_roundtrip": q.arrow_ipc_roundtrip_q,
         "layer_info": q.layer_info_q,
         "line_interpolate": q.line_interpolate_q,
         "line_locate": q.line_locate_q,
@@ -2843,6 +2844,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((round(miny / 0.03) * 0.03) * 10000000.0 + 0.5)
                         AS BIGINT) AS sp_y0_e7
             FROM zz
+        """,
+        "arrow_ipc_roundtrip": f"""
+            -- zones are written key-ascending; IPC batches split
+            -- sequentially at 256 rows, so batch_idx = rank // 256
+            WITH {_ZONES},
+            rr AS (SELECT zone_key, minx,
+                     (row_number() OVER (ORDER BY zone_key) - 1) // 256
+                       AS batch_idx
+                   FROM zz)
+            SELECT CAST(batch_idx AS BIGINT) AS batch_idx,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(zone_key) AS BIGINT) AS key_sum,
+                   CAST(floor(min(minx) * 10000000.0 + 0.5) AS BIGINT)
+                     AS minx_e7_min
+            FROM rr GROUP BY batch_idx
         """,
         "geodesic_azimuth": f"""
             WITH {_ZONES},

@@ -1608,6 +1608,47 @@ def geodesic_measures_q(sf_dir: str):
     return out.select_columns(["zone_key", "geo_area_10m2", "geo_perim_m"])
 
 
+def arrow_ipc_roundtrip_q(sf_dir: str):
+    """Arrow IPC stream driver roundtrip (the explicit ogrlayerarrow surface,
+    65536-row batch cap; forced to 256 here so the parallel per-batch read
+    path actually fans out): zones -> IPC file -> footer-manifest parallel
+    read -> per-batch aggregate proving every row came back."""
+    import os
+    import tempfile
+
+    from ..sources import arrowipc
+
+    zones = _zones(sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"gdal_ray_ipc_{os.getpid()}_{zones.num_rows}.arrow")
+    arrowipc.write_ipc(zones.select(["zone_key", "minx", "miny"]), path,
+                       batch_rows=256)
+    ds = arrowipc.read_ipc(path, with_batch_idx=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        minx_e7 = np.floor(
+            t["minx"].to_numpy(zero_copy_only=False) * 1e7 + 0.5).astype(np.int64)
+        return pa.table({
+            "batch_idx": t["batch_idx"],
+            "zone_key": pc.cast(t["zone_key"], pa.int64()),
+            "minx_e7": pa.array(minx_e7),
+        })
+
+    return relational.partial_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["batch_idx"], sums=["zone_key"], mins=["minx_e7"], count_alias="n",
+    ).map_batches(
+        lambda t: pa.table({
+            "batch_idx": t["batch_idx"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "key_sum": pc.cast(t["zone_key_sum"], pa.int64()),
+            "minx_e7_min": pc.cast(t["minx_e7_min"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def geodesic_azimuth_q(sf_dir: str):
     """Spherical forward azimuth (centroid -> corner) + destination point at
     a key-derived bearing/distance on the authalic sphere — the remaining

@@ -264,3 +264,24 @@ def test_mvt_tiles_deterministic(ray_session):
     b = {(r["tx"], r["ty"]): r["mvt"] for r in
          mvt.mvt_point_tiles(rd.from_arrow(t), zoom=4).take_all()}
     assert a == b and len(a) >= 1
+
+
+def test_arrow_ipc_parallel_read_roundtrip(ray_session, tmp_path):
+    """IPC write with a batch cap, footer-manifest parallel read: every row
+    returns exactly once with its batch index."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.sources import arrowipc
+
+    t = pa.table({"k": pa.array(np.arange(1000, dtype=np.int64)),
+                  "v": pa.array(np.arange(1000, dtype=np.float64) / 8.0)})
+    path = str(tmp_path / "t.arrow")
+    nb = arrowipc.write_ipc(t, path, batch_rows=128)
+    assert nb == 8  # ceil(1000/128)
+    got = arrowipc.read_ipc(path, with_batch_idx=True).to_pandas()
+    assert len(got) == 1000
+    assert sorted(got["k"]) == list(range(1000))
+    # batch index = sequential split
+    assert (got.sort_values("k")["batch_idx"].to_numpy()
+            == np.arange(1000) // 128).all()
