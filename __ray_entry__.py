@@ -1961,6 +1961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_compose": q.mosaic_compose_q,
         "char_entropy": q.char_entropy_q,
         "text_normalize": q.text_normalize_q,
+        "filter_cascade": q.filter_cascade_q,
         "duplicated_spans": q.duplicated_spans_q,
         "mvt_roundtrip": q.mvt_roundtrip_q,
         "pq_codes": q.pq_codes_q,
@@ -3678,6 +3679,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(pos) + 16 - min(pos) AS BIGINT) AS span_len
             FROM isl GROUP BY doc_id, gid
+        """,
+        "filter_cascade": f"""
+            WITH h AS (SELECT doc_id, lang, text, md5(text) AS h
+                       FROM documents),
+            f AS (SELECT doc_id, lang,
+                    len(regexp_extract_all(text, '[^ ]+')) AS ntok,
+                    {_U64_TO_I64.format(v=_hex_u64('h'))} AS fp
+                  FROM h),
+            w AS (SELECT fp, min(doc_id) AS keep_id, count(*) AS c
+                  FROM f GROUP BY fp),
+            r AS (SELECT f.doc_id,
+                    CASE WHEN ntok < 5 THEN 'short'
+                         WHEN COALESCE(lang, '') <> 'en' THEN 'lang'
+                         WHEN w.c > 1 AND f.doc_id <> w.keep_id THEN 'dup'
+                         ELSE '' END AS reason
+                  FROM f JOIN w USING (fp))
+            SELECT doc_id, reason, reason = '' AS keep FROM r
         """,
         "text_normalize": """
             WITH n AS (SELECT doc_id,

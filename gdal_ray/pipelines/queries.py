@@ -3399,6 +3399,13 @@ def duplicated_spans_q(sf_dir: str):
     return dedup.duplicated_spans(ds)
 
 
+def filter_cascade_q(sf_dir: str):
+    """FineWeb/C4-style keep/drop cascade with reason codes: short -> lang ->
+    content-fingerprint dup -> keep (see textops.filter_cascade)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return textops.filter_cascade(ds)
+
+
 def text_normalize_q(sf_dir: str):
     """Text normalization (C4-style cleaning): lowercase, collapse internal
     whitespace runs, trim — emit normalized length and a 16-char prefix

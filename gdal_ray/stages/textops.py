@@ -664,3 +664,66 @@ def char_entropy_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
                  .append_column("n_chars_t", pa.array(lengths))
                  .append_column("distinct_chars",
                                 pa.array(pos.sum(axis=1).astype(np.int64))))
+
+
+def filter_cascade(ds, id_col: str = "doc_id", text_col: str = "text",
+                   lang_col: str = "lang", min_tokens: int = 5,
+                   keep_lang: str = "en", num_partitions: int = 64):
+    """FineWeb/C4-style filter cascade composed end-to-end: per doc a keep
+    decision with the FIRST matching drop reason —
+
+        'short' (token count < min_tokens)  ->  'lang' (not keep_lang)
+        ->  'dup' (another doc with the same 64-bit content fingerprint and
+        a smaller id exists)  ->  '' (keep).
+
+    Dedup flags come from ONE hash shuffle on the fingerprint with a single
+    vectorized run-length pass per partition (first-of-run wins); the
+    fingerprint (not the full digest) is the key on BOTH engine and oracle,
+    so collision behavior is identical at any scale.  Output: (doc_id,
+    reason, keep).
+    """
+    def flags(t: pa.Table) -> pa.Table:
+        t2 = fingerprint_batch(t, text_col)
+        ntok = pc.cast(pc.count_substring_regex(
+            pc.fill_null(t[text_col], ""), pattern="[^ ]+"), pa.int64())
+        fp = t2["fingerprint"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs((fp * np.int64(2654435761)) % np.int64(num_partitions))
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "fp": pa.array(fp),
+            "ntok": ntok,
+            "lang_ok": pc.equal(pc.fill_null(t[lang_col], ""), keep_lang),
+            "_part": pa.array(part),
+        })
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "reason": pa.array([], pa.string()),
+                      "keep": pa.array([], pa.bool_())})
+
+    def resolve(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return empty
+        fp = g["fp"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fp))
+        sfp, sids = fp[order], ids[order]
+        new = np.r_[True, sfp[1:] != sfp[:-1]]
+        run_id = np.cumsum(new) - 1
+        run_sizes = np.bincount(run_id)
+        is_dup_sorted = (run_sizes[run_id] > 1) & ~new
+        is_dup = np.empty(n, dtype=bool)
+        is_dup[order] = is_dup_sorted
+        ntok = g["ntok"].to_numpy(zero_copy_only=False)
+        lang_ok = g["lang_ok"].to_numpy(zero_copy_only=False)
+        reason = np.where(ntok < min_tokens, "short",
+                          np.where(~lang_ok, "lang",
+                                   np.where(is_dup, "dup", "")))
+        return pa.table({
+            id_col: pa.array(ids),
+            "reason": pa.array(reason.tolist(), pa.string()),
+            "keep": pa.array(reason == ""),
+        })
+
+    return ds.map_batches(flags, batch_format="pyarrow") \
+             .groupby("_part").map_groups(resolve, batch_format="pyarrow")
