@@ -237,10 +237,11 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
         grams = [" ".join(words)] if words else [""]
     else:
         grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = np.frombuffer(hashlib.md5(g.encode()).digest()[:8], dtype=np.uint64)[0]
-    return out
+    md5 = hashlib.md5
+    # one buffer join + ONE frombuffer instead of a numpy scalar write per
+    # gram (identical values; ~2x on the signature stage at corpus scale)
+    buf = b"".join(md5(g.encode()).digest()[:8] for g in grams)
+    return np.frombuffer(buf, dtype=np.uint64)
 
 
 _MINHASH_A = None
