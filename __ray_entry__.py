@@ -3625,16 +3625,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mosaic_compose": _mosaic_sql(),
         "scalar_funcs_props": r"""
-            SELECT event_id,
-                   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
-                     AS k_val,
+            -- NULLIF handles a no-match (regexp_extract returns '' there,
+            -- and CAST('') errors), mirroring pc.extract_regex's null: the
+            -- bucket CASE then yields NULL like the engine's null propagation
+            WITH e AS (SELECT event_id, event_type,
+                              TRY_CAST(NULLIF(regexp_extract(
+                                  props, '"k": (\d+)', 1), '') AS BIGINT)
+                                AS k_val
+                       FROM events)
+            SELECT event_id, k_val,
                    upper(event_type) LIKE '%CK%' AS ilike_ck,
-                   CASE WHEN CAST(regexp_extract(props, '"k": (\d+)', 1)
-                              AS BIGINT) >= 66 THEN 'hi'
-                        WHEN CAST(regexp_extract(props, '"k": (\d+)', 1)
-                              AS BIGINT) >= 33 THEN 'mid'
+                   CASE WHEN k_val IS NULL THEN NULL
+                        WHEN k_val >= 66 THEN 'hi'
+                        WHEN k_val >= 33 THEN 'mid'
                         ELSE 'lo' END AS bucket
-            FROM events
+            FROM e
         """,
         "pq_codes": _pq_sql(),
         "pq_adc_topk": _pq_adc_sql(),
@@ -3917,7 +3922,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM c),
             cm AS (SELECT min(cdf) AS cdfmin,
                           (SELECT count(*) FROM t) AS n FROM cd),
-            lut AS (SELECT z, CAST((cdf - cdfmin) * 255 // (n - cdfmin)
+            lut AS (SELECT z, CAST((cdf - cdfmin) * 255
+                                   // GREATEST(n - cdfmin, 1)
                                    AS BIGINT) AS o FROM cd, cm),
             v AS (SELECT gx, gy, o AS v FROM t JOIN lut USING (z))
             {_tile_checksum_sql("v", 64, "v")}

@@ -1741,7 +1741,9 @@ def rasterize_invert_q(sf_dir: str):
     )
     grid = rast.GridSpec(gt=(-180.0, 0.25, 0.0, 85.0, 0.0, -0.25),
                          width=1440, height=680, tile=256)
-    tiles_out = rast.rasterize(rd.from_arrow(feats), grid)
+    # -i must cover the FULL output extent: tiles untouched by any feature
+    # invert to all-9s, so seed every grid tile (not just bbox-covered ones)
+    tiles_out = rast.rasterize(rd.from_arrow(feats), grid, seed_all_tiles=True)
 
     def invert(t: pa.Table) -> pa.Table:
         rows = []

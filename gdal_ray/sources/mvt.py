@@ -201,10 +201,12 @@ def _parse_feature(buf: bytes, layer: dict) -> dict:
             while i < end:
                 v, i = _read_varint(buf, i)
                 vals.append(v)
+            # protobuf allows a packed repeated field split across multiple
+            # occurrences of the field number: concatenate, never overwrite
             if field == 2:
-                tags = vals
+                tags += vals
             elif field == 4:
-                geom = vals
+                geom += vals
     for ki, vi in zip(tags[::2], tags[1::2]):
         f["attrs"][layer["keys"][ki]] = layer["values"][vi]
     # decode command stream (cursor-relative zigzag deltas)

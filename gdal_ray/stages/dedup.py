@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.arrowbuf import string_buffer_views
 from . import textops
 
 
@@ -578,18 +579,22 @@ def bloom_decontaminate(cand_ds, ref_ds, text_col: str = "text",
     )
 
 
-def _string_buffer_views(col: pa.ChunkedArray):
-    """Zero-copy (offsets, data, lengths) for a string column."""
-    arr = col.combine_chunks()
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n = len(arr)
-    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
-        arr.offset : arr.offset + n + 1
-    ].astype(np.int64)
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    return offsets, data, np.diff(offsets)
+def _emit_dups(g: pa.Table, order: np.ndarray, new: np.ndarray,
+               id_col: str, num_partitions: int) -> pa.Table:
+    """Rows of grams whose sorted run has size > 1, tagged by doc partition."""
+    run_id = np.cumsum(new) - 1
+    run_sizes = np.bincount(run_id)
+    dup = run_sizes[run_id] > 1
+    keep = order[dup]
+    if keep.size == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "_dpart": pa.array([], pa.int64())})
+    doc = g[id_col].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+    pos = g["pos"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+    dpart = np.abs((doc * np.int64(2654435761)) % np.int64(num_partitions))
+    return pa.table({id_col: pa.array(doc), "pos": pa.array(pos),
+                     "_dpart": pa.array(dpart)})
 
 
 def duplicated_spans(ds, k: int = 16, id_col: str = "doc_id",
@@ -623,7 +628,7 @@ def duplicated_spans(ds, k: int = 16, id_col: str = "doc_id",
     hashed = key_mode == "hash"
 
     def extract(batch: pa.Table) -> pa.Table:
-        offsets, data, lengths = _string_buffer_views(batch[text_col])
+        offsets, data, lengths = string_buffer_views(batch[text_col])
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         base = offsets[0]
         total = int(offsets[-1] - base)
@@ -672,27 +677,20 @@ def duplicated_spans(ds, k: int = 16, id_col: str = "doc_id",
             return empty
         if hashed:
             hi = g["gram"].to_numpy(zero_copy_only=False)
-            lo = np.zeros_like(hi)
+            order = np.argsort(hi, kind="stable")
+            hs = hi[order]
+            new = np.r_[True, hs[1:] != hs[:-1]]
+            return _emit_dups(g, order, new, id_col, num_partitions)
         else:
             grams = g["gram"].combine_chunks()
             mat = np.frombuffer(grams.buffers()[1], dtype=np.uint8)
             mat = mat[grams.offset * 16 : (grams.offset + len(grams)) * 16].reshape(-1, 16)
             hi = mat[:, :8].copy().view(">u8").ravel()
             lo = mat[:, 8:].copy().view(">u8").ravel()
-        order = np.lexsort((lo, hi))
-        hs, ls = hi[order], lo[order]
-        new = np.r_[True, (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])]
-        run_id = np.cumsum(new) - 1
-        run_sizes = np.bincount(run_id)
-        dup = run_sizes[run_id] > 1
-        keep = order[dup]
-        if keep.size == 0:
-            return empty
-        doc = g[id_col].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
-        pos = g["pos"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
-        dpart = np.abs((doc * np.int64(2654435761)) % np.int64(num_partitions))
-        return pa.table({id_col: pa.array(doc), "pos": pa.array(pos),
-                         "_dpart": pa.array(dpart)})
+            order = np.lexsort((lo, hi))
+            hs, ls = hi[order], lo[order]
+            new = np.r_[True, (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])]
+        return _emit_dups(g, order, new, id_col, num_partitions)
 
     def merge_spans(g: pa.Table) -> pa.Table:
         empty = pa.table({id_col: pa.array([], pa.int64()),
@@ -706,7 +704,6 @@ def duplicated_spans(ds, k: int = 16, id_col: str = "doc_id",
         doc, pos = doc[order], pos[order]
         # new span when the doc changes or the gap exceeds the gram length
         brk = np.r_[True, (doc[1:] != doc[:-1]) | (pos[1:] > pos[:-1] + k)]
-        gid = np.cumsum(brk) - 1
         starts = np.flatnonzero(brk)
         ends = np.r_[starts[1:], doc.size] - 1
         return pa.table({

@@ -348,7 +348,9 @@ def media_inventory(docs_ds):
         }).filter(pc.not_equal(kind, "text"))
         return flat
 
-    flat = docs_ds.map_batches(flat_refs, batch_format="pyarrow")
+    # the two reductions below both consume `flat`; materialize once so the
+    # docs->flatten pipeline doesn't re-execute per branch
+    flat = docs_ds.map_batches(flat_refs, batch_format="pyarrow").materialize()
 
     def ref_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("kind").aggregate(

@@ -216,6 +216,7 @@ def rasterize(
     id_col: str = "feat_id",
     merge_alg: str = "replace",
     all_touched: bool = False,
+    seed_all_tiles: bool = False,
 ):
     """Distributed rasterize.  Returns a Dataset of tile rows
     (tx, ty, width, height, data: float64 bytes, checksum: int64).
@@ -223,6 +224,12 @@ def rasterize(
     Shuffle key = tile id; features are duplicated only to tiles their bbox
     covers (the distributed analogue of gdalrasterize's cache-sized row-band
     chunking, alg/gdalrasterize.cpp:1183-1197).
+
+    ``seed_all_tiles``: also emit every grid tile NOT touched by any feature
+    bbox (as all-nodata) — required by consumers that must see the full
+    extent, e.g. gdal_rasterize -i (invert burns exactly those pixels).
+    Seed rows carry null wkb and are skipped by the burn loop; int64 feature
+    ids assumed when seeding.
     """
     gt = grid.gt
     tile = grid.tile
@@ -255,6 +262,17 @@ def rasterize(
         )
 
     expanded = features_ds.map_batches(expand, batch_format="pyarrow")
+    if seed_all_tiles:
+        import ray.data as _rd
+
+        n_tiles = grid.ntx * grid.nty
+        seed = pa.table({
+            "tile_id": pa.array(np.arange(n_tiles, dtype=np.int64)),
+            id_col: pa.nulls(n_tiles, pa.int64()),
+            "wkb": pa.nulls(n_tiles, pa.binary()),
+            burn_col: pa.nulls(n_tiles, pa.float64()),
+        })
+        expanded = expanded.union(_rd.from_arrow(seed))
 
     def burn_tile(group: pa.Table) -> pa.Table:
         tid = int(group["tile_id"][0].as_py())
@@ -267,6 +285,8 @@ def rasterize(
         for key, geom_wkb, burn in zip(
             group[id_col].to_pylist(), group["wkb"].to_pylist(), group[burn_col].to_pylist()
         ):
+            if geom_wkb is None:  # seed row (seed_all_tiles)
+                continue
             g = _wkb.decode(geom_wkb)
             # to pixel space
             parts_px = _geom_to_pixel(g, gt)

@@ -642,16 +642,10 @@ def char_entropy_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     doc_idx*256 + byte per batch, no per-row Python).  ASCII corpus
     assumption (byte == character) matches the driver testdata; documented.
     Appends ent_num, n_chars_t, distinct_chars."""
-    arr = batch[text_col].combine_chunks()
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n = len(arr)
-    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
-        arr.offset : arr.offset + n + 1
-    ].astype(np.int64)
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    lengths = np.diff(offsets)
+    from ..functions.arrowbuf import string_buffer_views
+
+    offsets, data, lengths = string_buffer_views(batch[text_col])
+    n = len(lengths)
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
     bytes_flat = data[offsets[0]:offsets[-1]]
     key = doc_idx * 256 + bytes_flat.astype(np.int64)

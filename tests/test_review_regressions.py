@@ -348,3 +348,65 @@ def test_duplicated_spans_hash_mode_matches_exact(ray_session):
                     dedup.duplicated_spans(rd.from_arrow(t),
                                            key_mode="hash").take_all())
     assert exact == hashed and len(exact) == 3
+
+
+def test_rasterize_seed_all_tiles_sparse(ray_session):
+    """A feature set leaving grid tiles untouched must still emit those
+    tiles (all-nodata) when seed_all_tiles is on — the gdal_rasterize -i
+    contract (-i burns exactly the uncovered pixels of the FULL extent)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.functions import wkb as wkbf
+    from gdal_ray.stages import rasterize as rast
+
+    # one small polygon in the top-left tile of a 2x2-tile grid
+    ring = np.array([[1.0, -1.0], [3.0, -1.0], [3.0, -3.0], [1.0, -3.0],
+                     [1.0, -1.0]])
+    feats = pa.table({
+        "feat_id": pa.array([1], pa.int64()),
+        "wkb": pa.array([wkbf.encode_polygon([ring])], pa.binary()),
+        "burn_value": pa.array([5.0]),
+    })
+    grid = rast.GridSpec(gt=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                         width=20, height=20, tile=10)
+    sparse = rast.rasterize(rd.from_arrow(feats), grid).take_all()
+    assert len(sparse) == 1  # default: only the touched tile
+    seeded = rast.rasterize(rd.from_arrow(feats), grid,
+                            seed_all_tiles=True).take_all()
+    assert len(seeded) == 4
+    by_tile = {(r["tx"], r["ty"]): r for r in seeded}
+    arr = np.frombuffer(by_tile[(1, 1)]["data"], np.float64)
+    assert (arr == grid.nodata).all()  # untouched tile = all nodata
+    assert np.frombuffer(by_tile[(0, 0)]["data"], np.float64).max() == 5.0
+
+
+def test_mvt_parser_concatenates_split_packed_fields():
+    """Spec-valid tiles may split a packed repeated field over multiple
+    occurrences of the same field number; the parser must concatenate."""
+    import numpy as np
+
+    from gdal_ray.sources import mvt
+
+    blob = mvt.encode_point_layer(
+        "l", np.array([1]), np.array([7]), np.array([9]),
+        {"a": np.array([3], dtype=np.int64)})
+    (layer,) = mvt.parse_tile(blob)
+    f = layer["features"][0]
+    # re-encode the feature with the geometry command stream split in two
+    geom = (mvt._varint(mvt.MOVETO | (1 << 3)) + mvt._varint(mvt._zigzag(7))
+            + mvt._varint(mvt._zigzag(9)))
+    body = (mvt._tag(1, 0) + mvt._varint(1)
+            + mvt._len_delim(2, mvt._varint(0) + mvt._varint(0))
+            + mvt._tag(3, 0) + mvt._varint(mvt.POINT)
+            + mvt._len_delim(4, geom[:1]) + mvt._len_delim(4, geom[1:]))
+    split_layer = (mvt._tag(15, 0) + mvt._varint(2)
+                   + mvt._len_delim(1, b"l") + mvt._len_delim(2, body)
+                   + mvt._len_delim(3, b"a")
+                   + mvt._len_delim(4, mvt.encode_value(3))
+                   + mvt._tag(5, 0) + mvt._varint(4096))
+    (layer2,) = mvt.parse_tile(mvt._len_delim(3, split_layer))
+    f2 = layer2["features"][0]
+    assert f2["points"] == f["points"] == [(7, 9)]
+    assert f2["attrs"] == {"a": 3}
