@@ -1962,6 +1962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": q.char_entropy_q,
         "text_normalize": q.text_normalize_q,
         "filter_cascade": q.filter_cascade_q,
+        "weighted_sample": q.weighted_sample_q,
         "duplicated_spans": q.duplicated_spans_q,
         "mvt_roundtrip": q.mvt_roundtrip_q,
         "pq_codes": q.pq_codes_q,
@@ -3684,6 +3685,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(pos) + 16 - min(pos) AS BIGINT) AS span_len
             FROM isl GROUP BY doc_id, gid
+        """,
+        "weighted_sample": f"""
+            WITH h AS (SELECT doc_id, n_chars,
+                              md5(CAST(doc_id AS VARCHAR)) AS h
+                       FROM documents),
+            f AS (SELECT doc_id, n_chars, {_hex_u64('h')} AS fp FROM h),
+            k AS (SELECT doc_id,
+                    CAST(floor((-ln((CAST(fp % 9007199254740992 AS DOUBLE)
+                                     + 1.0) / 9007199254740992.0)
+                                / GREATEST(CAST(n_chars AS DOUBLE), 1.0))
+                               * 1000000000000.0 + 0.5) AS BIGINT)
+                      AS es_key_e12
+                  FROM f)
+            SELECT doc_id, es_key_e12 FROM k
+            ORDER BY es_key_e12, doc_id LIMIT 20
         """,
         "filter_cascade": f"""
             WITH h AS (SELECT doc_id, lang, text, md5(text) AS h

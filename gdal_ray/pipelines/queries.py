@@ -3401,6 +3401,17 @@ def duplicated_spans_q(sf_dir: str):
     return dedup.duplicated_spans(ds)
 
 
+def weighted_sample_q(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis-Spirakis exponential
+    keys, deterministic md5-derived uniforms): the 20 docs with the smallest
+    -ln(u)/weight keys — the quality-weighted corpus subsample primitive."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    keyed = ds.map_batches(textops.weighted_sample_keys, batch_format="pyarrow")
+    return relational.top_k(
+        keyed.select_columns(["doc_id", "es_key_e12"]),
+        ["es_key_e12", "doc_id"], descending=[False, False], k=20)
+
+
 def filter_cascade_q(sf_dir: str):
     """FineWeb/C4-style keep/drop cascade with reason codes: short -> lang ->
     content-fingerprint dup -> keep (see textops.filter_cascade)."""

@@ -722,3 +722,23 @@ def filter_cascade(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.map_batches(flags, batch_format="pyarrow") \
              .groupby("_part").map_groups(resolve, batch_format="pyarrow")
+
+
+def weighted_sample_keys(batch: pa.Table, id_col: str = "doc_id",
+                         weight_col: str = "n_chars") -> pa.Table:
+    """Efraimidis-Spirakis (A-ES) weighted-sampling keys: the k rows with the
+    SMALLEST e = -ln(u)/w form an exact weighted sample without replacement
+    (u derived deterministically from md5(id) so the distributed sample is
+    reproducible and SQL-mirrorable).  u = (fp mod 2^53 + 1) / 2^53 in (0,1].
+    Appends es_key_e12 (1e-12 fixed point int64)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    fps = np.empty(len(ids), dtype=np.uint64)
+    md5 = hashlib.md5
+    buf = b"".join(md5(str(int(i)).encode()).digest()[:8] for i in ids)
+    fps = np.frombuffer(buf, dtype=np.uint64) if len(ids) else fps
+    u = ((fps % np.uint64(1 << 53)).astype(np.float64) + 1.0) / float(1 << 53)
+    with np.errstate(divide="ignore"):
+        e = -np.log(u) / np.maximum(w, 1.0)
+    key = np.floor(e * 1e12 + 0.5).astype(np.int64)
+    return batch.append_column("es_key_e12", pa.array(key))
