@@ -527,13 +527,19 @@ def _fill_nodata_sql() -> str:
         offs AS (SELECT a.range AS dx, b.range AS dy
                  FROM range(-8, 9) a, range(-8, 9) b
                  WHERE NOT (a.range = 0 AND b.range = 0)),
-        fills AS (SELECT h.gx, h.gy,
+        -- materialize the shifted keys so DuckDB hash-joins (the previous
+        -- join on computed expressions fell back to a nested loop: 427s vs
+        -- 0.6s for the identical result)
+        cand AS (SELECT h.gx, h.gy, h.gx + o.dx AS nx, h.gy + o.dy AS ny,
+                        o.dx, o.dy
+                 FROM (SELECT gx, gy FROM pv WHERE v = 0) h CROSS JOIN offs o),
+        fills AS (SELECT c.gx, c.gy,
                          sum(255.0 * (1.0 / CAST(dx*dx + dy*dy AS DOUBLE)))
                        / sum(1.0 / CAST(dx*dx + dy*dy AS DOUBLE)) AS f
-                  FROM pv h CROSS JOIN offs
-                  JOIN pv nb ON nb.gx = h.gx + dx AND nb.gy = h.gy + dy
-                  WHERE h.v = 0 AND nb.v = 255
-                  GROUP BY h.gx, h.gy),
+                  FROM cand c
+                  JOIN (SELECT gx, gy FROM pv WHERE v = 255) nb
+                    ON nb.gx = c.nx AND nb.gy = c.ny
+                  GROUP BY c.gx, c.gy),
         outv AS (SELECT p.gx, p.gy,
                         CASE WHEN p.v = 255 THEN 25500.0
                              ELSE COALESCE(round(100.0 * f.f), 0.0) END AS v100
