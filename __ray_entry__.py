@@ -1969,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": q.text_normalize_q,
         "filter_cascade": q.filter_cascade_q,
         "weighted_sample": q.weighted_sample_q,
+        "string_agg_top": q.string_agg_top_q,
         "duplicated_spans": q.duplicated_spans_q,
         "mvt_roundtrip": q.mvt_roundtrip_q,
         "pq_codes": q.pq_codes_q,
@@ -3691,6 +3692,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(pos) + 16 - min(pos) AS BIGINT) AS span_len
             FROM isl GROUP BY doc_id, gid
+        """,
+        "string_agg_top": """
+            WITH r AS (SELECT c_mktsegment, c_name,
+                         row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY CAST(round(c_acctbal * 100.0) AS BIGINT)
+                                    DESC, c_custkey) AS rn
+                       FROM customer)
+            SELECT c_mktsegment,
+                   string_agg(c_name, ',' ORDER BY rn) AS top_names,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM r WHERE rn <= 3 GROUP BY 1
         """,
         "weighted_sample": f"""
             WITH h AS (SELECT doc_id, n_chars,

@@ -3401,6 +3401,20 @@ def duplicated_spans_q(sf_dir: str):
     return dedup.duplicated_spans(ds)
 
 
+def string_agg_top_q(sf_dir: str):
+    """Ordered STRING_AGG per segment: comma-joined names of the 3 customers
+    with the highest account balances (ties -> lowest key)."""
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_mktsegment", "c_name", "c_acctbal", "c_custkey"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return relational.scaled_int_column(t, "c_acctbal", 100, "bal_cents")
+
+    return relational.group_string_agg_topn(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "c_mktsegment", "c_name", "bal_cents", "c_custkey", n=3)
+
+
 def weighted_sample_q(sf_dir: str):
     """Weighted sampling without replacement (Efraimidis-Spirakis exponential
     keys, deterministic md5-derived uniforms): the 20 docs with the smallest

@@ -518,3 +518,42 @@ def group_quantiles(ds, key_col: str, value_col: str,
         )
 
     return counts.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def group_string_agg_topn(ds, key_col: str, name_col: str, order_col: str,
+                          tie_col: str, n: int = 3):
+    """Ordered STRING_AGG of each group's top-N rows (SQLite-dialect
+    string_agg(... ORDER BY) surface): per group, the comma-joined
+    ``name_col`` values of the N best rows by (order_col DESC, tie_col ASC).
+
+    Scale shape: a per-batch combiner keeps at most N rows per key (local
+    argsort against per-batch factorized key codes), so the final
+    ``groupby(key).map_groups`` sees O(N x blocks) rows per key — and the
+    key cardinality for this aggregate is bounded (segments, categories),
+    never the data."""
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(keys, return_inverse=True)
+        v = batch[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, within = _topn_mask(codes.astype(np.int64), v, t, n)
+        keep = order[within < n]
+        keep.sort()
+        return batch.take(pa.array(keep))
+
+    def per_group(g: pa.Table) -> pa.Table:
+        v = g[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = g[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((t, -v))[:n]
+        names = [g[name_col][int(i)].as_py() for i in order]
+        return pa.table({
+            key_col: pa.array([g[key_col][0].as_py()]),
+            "top_names": pa.array([",".join(names)]),
+            "n_rows": pa.array([len(names)], pa.int64()),
+        })
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+    return pruned.groupby(key_col).map_groups(per_group, batch_format="pyarrow")

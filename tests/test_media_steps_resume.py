@@ -272,3 +272,32 @@ def test_filter_spans_recomputes_offsets(ray_session):
         {"kind": "image", "text": "", "media_ref": "media://image/0/3", "offset": 4},
     ]
     assert out["doc-1"] == []
+
+
+def test_media_inventory_counts(ray_session):
+    """Per-kind ref counts / distinct docs / ref ranges vs a brute recount
+    of the deterministic span fixture."""
+    import collections
+
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import media
+
+    docs = synthetic.make_docs(300)
+    out = media.media_inventory(rd.from_arrow(docs)).to_pandas() \
+        .set_index("kind").sort_index()
+    refs = collections.defaultdict(list)
+    docs_per = collections.defaultdict(set)
+    for k in range(300):
+        nspans = 1 + k % 4
+        for j in range(nspans):
+            kind = ["text", "image", "audio", "video"][(k + j) % 4]
+            if kind != "text":
+                refs[kind].append(f"media://{kind}/{k:09d}/{j}")
+                docs_per[kind].add(k)
+    for kind in refs:
+        assert out.loc[kind, "n_refs"] == len(refs[kind])
+        assert out.loc[kind, "n_docs"] == len(docs_per[kind])
+        assert out.loc[kind, "min_ref"] == min(refs[kind])
+        assert out.loc[kind, "max_ref"] == max(refs[kind])
