@@ -40,7 +40,15 @@ def read_table(path_or_dir: str, table: str | None = None, columns=None, **kwarg
     else:
         lance_path = pq_path = path_or_dir
     if HAVE_LANCE and os.path.exists(lance_path):
-        return rd.read_lance(lance_path, columns=columns, **kwargs)
+        # read_lance's ``filter`` expects an SQL string, not the
+        # pyarrow.dataset Expression read_parquet takes: translate the
+        # Expression via its stable str() form (e.g. '(p_size >= 10)')
+        # so the pushdown survives on the lance branch instead of failing
+        lkw = dict(kwargs)
+        flt = lkw.pop("filter", None)
+        if flt is not None:
+            lkw["filter"] = str(flt)
+        return rd.read_lance(lance_path, columns=columns, **lkw)
     return rd.read_parquet(pq_path, columns=columns, **kwargs)
 
 

@@ -96,6 +96,11 @@ def encode_point_layer(name: str, ids, pxs, pys, attrs: dict | None = None,
     per-feature int/str values; value table is deduped in first-seen order
     (the spec's shared string/value tables)."""
     attrs = attrs or {}
+    ids_arr = np.asarray(ids)
+    if ids_arr.size and int(ids_arr.min()) < 0:
+        # MVT feature id is a uint64 per spec; _varint would silently mask a
+        # negative id to its two's-complement and break the id round-trip
+        raise ValueError("MVT feature ids must be non-negative (spec: uint64)")
     keys = list(attrs)
     val_index: dict = {}
     vals: list = []

@@ -273,7 +273,8 @@ BAYER8 = np.array(
      [63, 31, 55, 23, 61, 29, 53, 21]], dtype=np.int64)
 
 
-def dither_ordered(tiles_ds, palette, spread: int = 24):
+def dither_ordered(tiles_ds, palette, spread: int = 24,
+                   tile_w: int | None = None, tile_h: int | None = None):
     """Ordered (Bayer 8x8) dithering to a fixed gray palette.
 
     The reference dithers with Floyd-Steinberg error diffusion
@@ -287,18 +288,30 @@ def dither_ordered(tiles_ds, palette, spread: int = 24):
         out   = argmin_p |adj64 - 64*palette[p]|   (ties -> smallest index)
 
     Emits per-tile palette-index histograms (x, y, idx, n) — the exact,
-    order-invariant golden.  Assumes uniform tile sizes (global pixel
-    coordinate = tile_index * width + col).
+    order-invariant golden.  Requires uniform tile sizes (global pixel
+    coordinate = tile_index * width + col): pass ``tile_w``/``tile_h`` to
+    pin the expected shape, else the first tile seen per batch pins it; a
+    ragged mosaic fails loudly instead of producing a wrong Bayer phase.
     """
     pal = np.asarray(palette, dtype=np.int64)
 
     def fn(batch: pa.Table) -> pa.Table:
         from .focal import _dtype_of
 
+        exp_w, exp_h = tile_w, tile_h
         rows = []
         for i in range(batch.num_rows):
             h = batch["height"][i].as_py()
             w = batch["width"][i].as_py()
+            if exp_w is None:
+                exp_w, exp_h = w, h
+            elif (w, h) != (exp_w, exp_h):
+                raise ValueError(
+                    f"dither_ordered requires uniform tile sizes: tile "
+                    f"({batch['x'][i].as_py()},{batch['y'][i].as_py()}) is "
+                    f"{w}x{h}, expected {exp_w}x{exp_h} — the Bayer phase "
+                    f"gy+ty*h would be wrong on a ragged mosaic"
+                )
             dt = _dtype_of(batch["dtype"][i].as_py())
             v = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(h, w)
             v = v.astype(np.int64)

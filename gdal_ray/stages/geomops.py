@@ -101,7 +101,13 @@ def simplify_batch(batch: pa.Table, tolerance: float, wkb_col: str = "wkb") -> p
                 # from the anchor point, so collinear vertices on the closing
                 # edge simplify away too (the opened-ring variant always kept
                 # the last pre-closure vertex)
-                rings.append(_dp_simplify(r, tolerance))
+                simp = _dp_simplify(r, tolerance)
+                # a WKB ring needs >=4 points (3 distinct + closure); if DP
+                # collapsed the whole ring within tolerance, keep the original
+                # ring rather than emitting degenerate 2-point geometry
+                # (GEOS would collapse to EMPTY; we preserve instead so the
+                # span-carrying row survives downstream area/centroid ops)
+                rings.append(simp if len(simp) >= 4 else r)
             out.append(_wkb.encode_polygon(rings))
         else:
             out.append(w)
@@ -832,6 +838,12 @@ def line_locate_batch(batch: pa.Table, px_col: str = "px", py_col: str = "py",
         j = int(np.argmin(d2))
         seg = np.hypot(dx, dy)
         cum = np.concatenate([[0.0], np.cumsum(seg)])
+        if cum[-1] == 0.0:
+            # zero-length chain (all vertices coincident): the location
+            # fraction is undefined — emit nulls like the non-LINESTRING
+            # path instead of NaN -> ValueError crashing the whole batch
+            edges.append(None); fracs.append(None); dists.append(None)
+            continue
         loc = cum[j] + t[j] * seg[j]
         frac = loc / cum[-1]
         edges.append(j)
