@@ -2043,6 +2043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pct2rgb_roundtrip": q.pct2rgb_q,
         "palette_median_cut": q.palette_q,
         "media_features": q.media_features_q,
+        "media_features_real": q.media_features_real_q,
         "media_inventory": q.media_inventory_q,
         # coordinate transformers (SURVEY §2.3; alg/gdaltransformer.cpp family)
         "reproject_utm": q.reproject_utm_q,
@@ -3827,6 +3828,9 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid_cubic": _tile_pyramid_cubic_sql(),
         "overview_kernels": _overview_kernels_sql(),
         "media_features": _media_sql(),
+        # the real-codec path (store PNGs -> decode_png) produces the same
+        # pixel values by construction; the oracle recomputes them from scratch
+        "media_features_real": _media_sql(),
         "warp_cutline": f"""
             WITH {_warp_grid_ctes()},
             p4 AS (SELECT x, y, i, j,

@@ -2122,6 +2122,25 @@ def media_features_q(sf_dir: str):
     return media.featurize_media(docs, concurrency=2)
 
 
+def media_features_real_q(sf_dir: str):
+    """Multimodal featurization through the REAL byte-level codec path:
+    payload PNGs are materialized to an on-disk store (resume = file
+    existence), then the decode actor pool reads each image payload back and
+    parses it with the engine's own PNG decoder (signature, chunk CRCs, zlib
+    inflate) before feature extraction.  audio/video kinds fall back to the
+    deterministic pixels (no codec in this container).  Pixel values equal
+    the fake path's by construction, so the features are SQL-recomputable."""
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    store = "/tmp/gdal_ray_media_store"
+    # ingest stage: write (or resume-skip) every image payload
+    for _ in media.materialize_payload_store(docs, store).iter_batches():
+        pass
+    return media.featurize_media(docs, backend="real", store_root=store,
+                                 concurrency=2)
+
+
 def media_inventory_q(sf_dir: str):
     """Per-kind media-reference catalog over the interleaved corpus."""
     from ..stages import media

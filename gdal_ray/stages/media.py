@@ -2,11 +2,19 @@
 over the interleaved corpus's media spans.
 
 The Ray-side plumbing (schema, actor pools, batch sizing for large binary
-payloads, output layout) is real and tested; the codec itself is STUBBED —
-this container ships no image/audio libraries — behind ``DecodeBackend``:
-``backend="fake"`` produces a deterministic array from the media_ref (so
-tests have exact goldens), ``backend="real"`` raises NotImplementedError with
-the dependency it needs (Pillow / soundfile at deploy time).
+payloads, output layout) is real and tested.  Two codec backends behind
+``DecodeBackend``:
+
+- ``backend="fake"``: deterministic pixels straight from the media_ref (md5
+  block stream) — exact goldens an ANSI-SQL oracle can recompute.
+- ``backend="real"``: a REAL byte-level decode — the payload bytes (fetched
+  from an on-disk store directory, or synthesized deterministically when no
+  store is given) are parsed by the engine's own PNG codec
+  (``sources/png.py:decode_png``: signature, chunk CRCs, zlib inflate,
+  scanline filters).  'image' refs go through the PNG path end-to-end; audio /
+  video kinds fall back to the fake pixels (no audio/video codec ships in
+  this container — reference analogue: a driver registry with some formats
+  absent, gcore/gdaldrivermanager.cpp).
 
 Scale notes: media rows are wide — the stage runs with a SMALL batch_size and
 ``batch_format="pyarrow"`` so binary payloads stay zero-copy in Arrow, and the
@@ -17,32 +25,128 @@ geometry/span columns are projected away before the heavy stage (SURVEY §7
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
 
 
+def fake_pixels(media_ref: str, thumb: int = 8) -> np.ndarray:
+    """Deterministic pixels for a media_ref: (thumb, thumb) uint8 whose values
+    are consecutive md5 digest bytes of '{ref}:{block}' — a pure function of
+    the ref that an ANSI-SQL oracle can recompute (unlike an RNG stream)."""
+    n = thumb * thumb
+    nblk = (n + 15) // 16
+    raw = b"".join(
+        hashlib.md5(f"{media_ref}:{b}".encode()).digest() for b in range(nblk)
+    )
+    return np.frombuffer(raw[:n], dtype=np.uint8).reshape(thumb, thumb)
+
+
+def payload_for_ref(media_ref: str, thumb: int = 8) -> bytes:
+    """The deterministic PNG payload a media_ref resolves to — the stand-in
+    for the object-store fetch a deployment would perform.  Byte-stable
+    (zlib level 6 is deterministic) so store files can be resume-skipped by
+    existence, like the tile sink (apps/gdalalg_raster_tile.cpp:676-682)."""
+    from ..sources.png import encode_png
+
+    return encode_png(fake_pixels(media_ref, thumb))
+
+
+def _ref_store_path(root: str, media_ref: str) -> str:
+    """media://kind/000000123/j -> <root>/kind/000000123/j.png"""
+    rel = media_ref.split("://", 1)[-1]
+    return os.path.join(root, *rel.split("/")) + ".png"
+
+
 class DecodeBackend:
-    def __init__(self, backend: str = "fake", thumb: int = 8):
+    """``backend="fake"``: ref -> deterministic pixels directly.
+    ``backend="real"``: ref -> payload BYTES -> the in-repo PNG codec
+    (decode_png) for image refs; fake fallback for kinds with no codec.
+    ``store_root``: directory of materialized payloads (see
+    ``materialize_payload_store``); when None the payload bytes are
+    synthesized in memory — the codec still runs on real PNG bytes."""
+
+    def __init__(self, backend: str = "fake", thumb: int = 8,
+                 store_root: str | None = None):
+        if backend not in ("fake", "real"):
+            raise ValueError(f"unknown decode backend {backend!r}")
         self.backend = backend
         self.thumb = thumb
-        if backend == "real":  # pragma: no cover
-            raise NotImplementedError(
-                "real media decode needs Pillow/soundfile, not present in this "
-                "container; deploy with backend='real' once available"
-            )
+        self.store_root = store_root
+        if backend == "real":
+            from ..sources.png import decode_png
 
-    def decode(self, media_ref: str) -> np.ndarray:
-        """Deterministic fake decode: media_ref -> (thumb, thumb) uint8.
-        Pixels are consecutive md5 digest bytes of '{ref}:{block}' — a pure
-        function of the ref that an ANSI-SQL oracle can recompute (unlike an
-        RNG stream)."""
-        n = self.thumb * self.thumb
-        nblk = (n + 15) // 16
-        raw = b"".join(
-            hashlib.md5(f"{media_ref}:{b}".encode()).digest() for b in range(nblk)
-        )
-        return np.frombuffer(raw[:n], dtype=np.uint8).reshape(self.thumb, self.thumb)
+            self._decode_png = decode_png
+
+    def fetch(self, media_ref: str) -> bytes:
+        """Resolve a ref to its payload bytes (store file, else synthesized)."""
+        if self.store_root is not None:
+            path = _ref_store_path(self.store_root, media_ref)
+            try:
+                with open(path, "rb") as f:
+                    return f.read()
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"media payload for {media_ref!r} not found at {path}; "
+                    f"run materialize_payload_store first (or pass "
+                    f"store_root=None to synthesize payloads in memory)"
+                ) from None
+        return payload_for_ref(media_ref, self.thumb)
+
+    def decode(self, media_ref: str, kind: str = "image") -> np.ndarray:
+        if self.backend == "real" and kind == "image":
+            arr = self._decode_png(self.fetch(media_ref))
+            if arr.ndim == 3:  # RGB -> luma-free gray (mean of channels)
+                arr = arr.mean(axis=2).astype(np.uint8)
+            return arr
+        return fake_pixels(media_ref, self.thumb)
+
+
+def materialize_payload_store(docs_ds, root: str, kinds=("image",),
+                              thumb: int = 8):
+    """Write every media span's deterministic PNG payload to
+    ``<root>/<kind>/<doc>/<j>.png`` — the 'ingest to object store' stage the
+    real decode pool reads from.  Resume = file existence (payloads are
+    byte-stable), atomic tmp+rename publish.  Returns a Dataset of
+    (media_ref, path, n_bytes, skipped) receipts — consume it to execute."""
+    import pyarrow.compute as pc
+
+    keep = set(kinds)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        structs = spans.flatten()
+        kind = structs.field("kind").to_pylist()
+        refs = structs.field("media_ref").to_pylist()
+        out_ref, out_path, out_bytes, out_skip = [], [], [], []
+        for k, r in zip(kind, refs):
+            if k not in keep or not r:
+                continue
+            path = _ref_store_path(root, r)
+            skipped = os.path.exists(path)
+            n = 0
+            if not skipped:
+                payload = payload_for_ref(r, thumb)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, path)  # atomic publish (resume-safe)
+                n = len(payload)
+            out_ref.append(r); out_path.append(path)
+            out_bytes.append(n); out_skip.append(skipped)
+        return pa.table({
+            "media_ref": pa.array(out_ref, pa.string()),
+            "path": pa.array(out_path, pa.string()),
+            "n_bytes": pa.array(out_bytes, pa.int64()),
+            "skipped": pa.array(out_skip, pa.bool_()),
+        })
+
+    return docs_ds.select_columns(["doc_id", "spans"]).map_batches(
+        write_batch, batch_format="pyarrow")
 
 
 class MediaFeaturizer:
@@ -53,8 +157,9 @@ class MediaFeaturizer:
     Backend construction happens once per actor (the model-load slot).
     """
 
-    def __init__(self, backend: str = "fake", thumb: int = 8):
-        self.codec = DecodeBackend(backend, thumb)
+    def __init__(self, backend: str = "fake", thumb: int = 8,
+                 store_root: str | None = None):
+        self.codec = DecodeBackend(backend, thumb, store_root=store_root)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, span_idx, kinds, refs, means, phashes = [], [], [], [], [], []
@@ -64,7 +169,7 @@ class MediaFeaturizer:
             for j, s in enumerate(spans):
                 if s["kind"] == "text" or not s["media_ref"]:
                     continue
-                arr = self.codec.decode(s["media_ref"])
+                arr = self.codec.decode(s["media_ref"], kind=s["kind"])
                 doc_ids.append(batch["doc_id"][i].as_py())
                 span_idx.append(j)
                 kinds.append(s["kind"])
@@ -89,7 +194,7 @@ class MediaFeaturizer:
 
 
 def featurize_media(docs_ds, backend: str = "fake", concurrency: int | tuple = 2,
-                    batch_size: int = 1024):
+                    batch_size: int = 1024, store_root: str | None = None):
     """Media pipeline: project to (doc_id, spans) -> actor pool decode."""
     cols = docs_ds.schema().names
     if set(cols) - {"doc_id", "spans"}:
@@ -98,7 +203,7 @@ def featurize_media(docs_ds, backend: str = "fake", concurrency: int | tuple = 2
         docs_ds = docs_ds.select_columns(["doc_id", "spans"])
     return docs_ds.map_batches(
         MediaFeaturizer,
-        fn_constructor_kwargs=dict(backend=backend),
+        fn_constructor_kwargs=dict(backend=backend, store_root=store_root),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
