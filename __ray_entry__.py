@@ -2351,27 +2351,36 @@ def oracle_sql() -> dict[str, str]:
                        AS n_dup_chunks
             FROM c JOIN n USING (h) GROUP BY 1
         """,
-        "target_affinity": """
+        "target_affinity": f"""
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),
-            tgt AS (SELECT term, count(*) AS c
-                    FROM tok t JOIN documents d USING (doc_id)
+            bk AS (SELECT doc_id,
+                          CAST({_hex_u64("md5(term)")} % 65536 AS BIGINT) AS bucket
+                   FROM tok),
+            tgt AS (SELECT bucket, count(*) AS c
+                    FROM bk t JOIN documents d USING (doc_id)
                     WHERE d.lang = 'en' GROUP BY 1)
             SELECT t.doc_id,
                    CAST(sum(COALESCE(g.c, 0)) AS BIGINT) AS affinity,
                    CAST(count(*) AS BIGINT) AS n_tokens
-            FROM tok t LEFT JOIN tgt g USING (term) GROUP BY 1
+            FROM bk t LEFT JOIN tgt g USING (bucket) GROUP BY 1
         """,
-        "tfidf_top": """
+        "tfidf_top": f"""
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),
-            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+            bk AS (SELECT doc_id, term,
+                          CAST({_hex_u64("md5(term)")} % 65536 AS BIGINT) AS bucket
+                   FROM tok),
+            tf AS (SELECT doc_id, term, any_value(bucket) AS bucket,
+                          count(*) AS tf
+                   FROM bk GROUP BY 1, 2),
+            df AS (SELECT bucket, count(DISTINCT doc_id) AS df
+                   FROM bk GROUP BY 1),
             s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
                          ROW_NUMBER() OVER (PARTITION BY tf.doc_id
                              ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term)
                              AS rn
-                  FROM tf JOIN df USING (term))
+                  FROM tf JOIN df USING (bucket))
             SELECT doc_id, term AS top_term, CAST(tf AS BIGINT) AS tf,
                    CAST(df AS BIGINT) AS df
             FROM s WHERE rn = 1

@@ -512,26 +512,31 @@ def chunk_dedup_q(sf_dir: str):
 
 
 def target_affinity_q(sf_dir: str):
-    """DSIR-shaped importance scoring: pass 1 aggregates target-corpus
-    (lang='en') token counts to a vocabulary-sized table, pass 2 broadcasts it
-    and scores every doc with an integer token-weight sum."""
+    """DSIR-shaped importance scoring over HASHED features: pass 1 aggregates
+    target-corpus (lang='en') token counts into a FIXED-SIZE bucket table
+    (n_buckets rows, independent of vocabulary — DSIR's own hashed n-gram
+    design), pass 2 broadcasts the dense vector and scores every doc with an
+    integer bucket-weight sum.  Nothing vocabulary-sized ever reaches the
+    driver; the fold is bounded metadata (same class as the IVF codebook)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    stats_ds = textops.term_counts(ds, row_filter=lambda b: pc.equal(b["lang"], "en"))
-    stats = pa.Table.from_pylist(stats_ds.take_all())
-    if stats.num_rows == 0:
-        stats = pa.table({"term": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
-    scored = textops.target_affinity(
-        read_table(sf_dir, "documents", columns=["doc_id", "text"]), stats)
+    counts = textops.fold_bucket_table(
+        textops.hashed_term_counts(
+            ds, row_filter=lambda b: pc.equal(b["lang"], "en")),
+        "c", textops.N_FEATURE_BUCKETS)
+    scored = textops.target_affinity_hashed(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), counts)
     return scored.select_columns(["doc_id", "affinity", "n_tokens"])
 
 
 def tfidf_top_q(sf_dir: str):
-    """TF-IDF top term per doc: pass 1 document frequencies (per-batch
-    distinct-pair combiner), pass 2 broadcast df + vectorized per-doc argmax
-    on the exact tf/df rational score (ties -> smallest term)."""
+    """TF-IDF top term per doc with HASHED document frequencies: pass 1 folds
+    distinct (doc, bucket) counts into a fixed-size bucket table (bounded,
+    never vocabulary-sized), pass 2 broadcasts the dense df vector and takes
+    the vectorized per-doc argmax of tf/df_bucket (ties -> smallest term)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    dfs = pa.Table.from_pylist(textops.doc_frequencies(ds).take_all())
-    return textops.tfidf_top_term(
+    dfs = textops.fold_bucket_table(
+        textops.hashed_doc_frequencies(ds), "df", textops.N_FEATURE_BUCKETS)
+    return textops.tfidf_top_term_hashed(
         read_table(sf_dir, "documents", columns=["doc_id", "text"]), dfs)
 
 

@@ -45,6 +45,7 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket: int | None = 4096,
 ):
     """MinHash-LSH near-dup candidate pairs with verified Jaccard.
 
@@ -55,6 +56,17 @@ def minhash_lsh_candidates(
     Returns Dataset of (id_a, id_b, est_jaccard_x1000:int64); pairs may appear
     once per matching band — final consumer dedups by (id_a, id_b) min/first
     (same pattern as the spatial pair dedup, SURVEY §2.7).
+
+    ``max_bucket`` is the degenerate-bucket ceiling: a bucket of B near-
+    identical boilerplate texts inherently emits O(B^2) pairs, which floods
+    the pair shuffle at corpus scale.  Buckets larger than ``max_bucket``
+    are salt-split into ceil(B / max_bucket) sub-buckets (salt = a band-seeded
+    integer mix of the doc id) and pairs are emitted within sub-buckets only.
+    RECALL NOTE: a pair that only ever meets in oversized buckets survives a
+    given band with probability ~1/S (same salt), so across the OR-
+    construction recall is ~1-(1-1/S)^bands; run ``exact_dedup`` first to
+    collapse identical texts so only genuinely distinct near-dups pay this.
+    ``max_bucket=None`` disables the ceiling (exact, test/oracle mode).
     """
     def to_bands(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -77,24 +89,20 @@ def minhash_lsh_candidates(
 
     # a degenerate boilerplate bucket inherently has O(B^2) candidate PAIRS —
     # that is its LSH output, not an implementation choice (run exact dedup
-    # first to collapse identical texts).  Emission is EXACT but chunked so
-    # per-step memory stays O(CHUNK x B) instead of O(B^2): no silent
-    # truncation, matching the uncapped SQL oracle at every scale.
+    # first to collapse identical texts).  Below max_bucket, emission is
+    # EXACT but chunked so per-step memory stays O(CHUNK x B) instead of
+    # O(B^2); above it, the salted sub-split caps both memory AND pair
+    # output (recall trade documented above).
     CHUNK = 512
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "est_jaccard_x1000": pa.array([], pa.int64())}
-            )
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        sigs = np.vstack(
-            [np.frombuffer(s, dtype=np.int64) for s in group["sig"].to_pylist()]
-        )[order]
+    _EMPTY = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "est_jaccard_x1000": pa.array([], pa.int64())}
+    )
+
+    def _emit_pairs(ids: np.ndarray, sigs: np.ndarray):
+        """All (a < b) pairs within one (sub-)bucket, chunked."""
+        n = len(ids)
         nperm = sigs.shape[1]
         out_a, out_b, out_e = [], [], []
         col = np.arange(n)[None, :]
@@ -108,6 +116,40 @@ def minhash_lsh_candidates(
             out_a.append(ids[s + ii])
             out_b.append(ids[jj])
             out_e.append((est * 1000).astype(np.int64))
+        return out_a, out_b, out_e
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return _EMPTY
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        sigs = np.vstack(
+            [np.frombuffer(s, dtype=np.int64) for s in group["sig"].to_pylist()]
+        )[order]
+        out_a, out_b, out_e = [], [], []
+        if max_bucket is not None and n > max_bucket:
+            # degenerate-bucket ceiling: band-seeded salt sub-split (see
+            # docstring recall note); within-sub-bucket id order is preserved
+            # because the stable sort keys on (salt, original id position)
+            n_salts = -(-n // max_bucket)
+            band = int(group["band_id"][0].as_py())
+            mix = (ids.astype(np.uint64) + np.uint64(band * 0x9E3779B9))
+            mix ^= mix >> np.uint64(33)
+            mix *= np.uint64(0xFF51AFD7ED558CCD)
+            mix ^= mix >> np.uint64(33)
+            salt = (mix % np.uint64(n_salts)).astype(np.int64)
+            for sv in range(n_salts):
+                sel = salt == sv
+                if sel.sum() < 2:
+                    continue
+                a, b, e = _emit_pairs(ids[sel], sigs[sel])
+                out_a += a; out_b += b; out_e += e
+        else:
+            out_a, out_b, out_e = _emit_pairs(ids, sigs)
+        if not out_a:
+            return _EMPTY
         return pa.table(
             {
                 "id_a": pa.array(np.concatenate(out_a)),

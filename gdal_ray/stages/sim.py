@@ -84,14 +84,32 @@ def cosine_topk(ds, queries: np.ndarray, query_ids, k: int = 10, id_col: str = "
     return pruned.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
-def cosine_neardup_pairs(ds, threshold: float = 0.8, id_col: str = "vec_id", block: int = 4096):
-    """All pairs (a < b) with cosine >= threshold.
+# cosine_neardup_pairs materializes the whole corpus on the driver — exact
+# but only valid for bounded inputs.  Above this row count it refuses and
+# points at the LSH-bucketed scale path instead of silently OOMing a 100 TB
+# driver (the round-2 review's "unguarded foot-gun").
+COSINE_BRUTE_MAX_ROWS = 200_000
+
+
+def cosine_neardup_pairs(ds, threshold: float = 0.8, id_col: str = "vec_id",
+                         block: int = 4096,
+                         max_rows: int = COSINE_BRUTE_MAX_ROWS):
+    """All pairs (a < b) with cosine >= threshold — EXACT brute baseline.
 
     Physical plan: the (small) full matrix is broadcast once; each task scores
-    one row-block against the whole matrix (upper triangle only).  For corpora
-    too large to broadcast, swap in the LSH-bucketed variant
-    (``lsh_bucket_pairs``) — same output above the threshold w.h.p.
+    one row-block against the whole matrix (upper triangle only).  SIZE-GATED:
+    raises above ``max_rows`` rows — for corpora too large to broadcast use
+    the LSH-bucketed variant (``lsh_bucket_pairs``), same output above the
+    threshold w.h.p.
     """
+    n_rows = ds.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"cosine_neardup_pairs materializes the full corpus on the driver "
+            f"({n_rows} rows > max_rows={max_rows}); use lsh_bucket_pairs for "
+            f"corpus-scale near-dup detection, or raise max_rows explicitly "
+            f"if the input is known-bounded"
+        )
     mat_rows = ds.map_batches(
         lambda b: pa.table({id_col: b[id_col], "embedding": b["embedding"]}),
         batch_format="pyarrow",

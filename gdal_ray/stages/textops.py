@@ -496,6 +496,183 @@ def tfidf_top_term(ds, dfs: pa.Table, text_col: str = "text",
     return ds.map_batches(Top, batch_format="pyarrow", concurrency=2)
 
 
+N_FEATURE_BUCKETS = 65536
+
+
+def _md5_buckets(uniq, n_buckets: int, cache: dict) -> np.ndarray:
+    """word -> md5-first-8-LE % n_buckets for each distinct word, through a
+    per-actor cache (repeated vocabulary costs one digest total)."""
+    out = np.empty(len(uniq), dtype=np.int64)
+    for i, w in enumerate(uniq):
+        b = cache.get(w)
+        if b is None:
+            b = int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                               "little") % n_buckets
+            cache[w] = b
+        out[i] = b
+    return out
+
+
+def hashed_term_counts(ds, text_col: str = "text", row_filter=None,
+                       n_buckets: int = N_FEATURE_BUCKETS):
+    """DSIR pass 1, hashed features: bucket -> target-corpus token
+    occurrences.  Unlike ``term_counts`` the result is FIXED-SIZE
+    (≤ n_buckets rows) regardless of vocabulary — the driver-side fold is
+    bounded metadata, never corpus-derived, which is what makes the plan
+    100 TB-safe (DSIR itself scores over hashed n-gram buckets).  Shuffle
+    carries ≤ n_buckets partial rows per block."""
+
+    class Partial:
+        def __init__(self):
+            self._cache: dict = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if row_filter is not None:
+                batch = batch.filter(row_filter(batch))
+            _, terms, _ = _batch_doc_tokens(batch, text_col)
+            t = np.asarray(terms.to_pylist(), dtype=object)
+            if not len(t):
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            uniq, codes = np.unique(t, return_inverse=True)
+            bu = _md5_buckets(uniq, n_buckets, self._cache)
+            counts = np.bincount(bu[codes], minlength=n_buckets)
+            nz = np.flatnonzero(counts)
+            return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                             "c": pa.array(counts[nz].astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(Partial, batch_format="pyarrow", concurrency=2) \
+             .groupby("bucket").aggregate(Sum("c", alias_name="c"))
+
+
+def hashed_doc_frequencies(ds, text_col: str = "text",
+                           n_buckets: int = N_FEATURE_BUCKETS):
+    """Hashed document frequencies: bucket -> number of docs containing at
+    least one term of the bucket.  Exact per-batch distinct (doc, bucket)
+    combiner (a document never spans batches); fixed-size result like
+    ``hashed_term_counts``."""
+
+    class Partial:
+        def __init__(self):
+            self._cache: dict = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_idx, terms, _ = _batch_doc_tokens(batch, text_col)
+            t = np.asarray(terms.to_pylist(), dtype=object)
+            if not len(t):
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 "df": pa.array([], pa.int64())})
+            uniq, codes = np.unique(t, return_inverse=True)
+            bu = _md5_buckets(uniq, n_buckets, self._cache)
+            key = np.unique(doc_idx.astype(np.int64) * n_buckets + bu[codes])
+            counts = np.bincount(key % n_buckets, minlength=n_buckets)
+            nz = np.flatnonzero(counts)
+            return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                             "df": pa.array(counts[nz].astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(Partial, batch_format="pyarrow", concurrency=2) \
+             .groupby("bucket").aggregate(Sum("df", alias_name="df"))
+
+
+def fold_bucket_table(bucket_ds, value_col: str, n_buckets: int) -> np.ndarray:
+    """Collect a bucket-keyed aggregate (≤ n_buckets rows — BOUNDED by
+    construction, independent of corpus size) into a dense int64 vector for
+    broadcast.  This is the documented metadata-sized fold, same class as the
+    IVF codebook collect."""
+    dense = np.zeros(n_buckets, dtype=np.int64)
+    for row in bucket_ds.take_all():
+        dense[int(row["bucket"])] = int(row[value_col])
+    return dense
+
+
+def target_affinity_hashed(ds, bucket_counts: np.ndarray,
+                           text_col: str = "text", id_col: str = "doc_id"):
+    """DSIR importance scoring pass 2 over HASHED features: per doc, the
+    integer sum of the broadcast per-bucket target count of each token.
+    The broadcast side is a fixed n_buckets int64 vector (ray.put once,
+    fetched per actor), so vocabulary growth never reaches the driver."""
+    import ray
+
+    n_buckets = len(bucket_counts)
+    ref = ray.put(np.ascontiguousarray(bucket_counts, dtype=np.int64))
+
+    class Scorer:
+        def __init__(self):
+            self.counts = ray.get(ref)
+            self._cache: dict = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_idx, terms, lens = _batch_doc_tokens(batch, text_col)
+            t = np.asarray(terms.to_pylist(), dtype=object)
+            if len(t):
+                uniq, codes = np.unique(t, return_inverse=True)
+                bu = _md5_buckets(uniq, n_buckets, self._cache)
+                w = self.counts[bu[codes]]
+            else:
+                w = np.zeros(0, dtype=np.int64)
+            aff = np.bincount(doc_idx, weights=w,
+                              minlength=len(lens)).astype(np.int64)
+            return pa.table({id_col: batch[id_col],
+                             "affinity": pa.array(aff),
+                             "n_tokens": pa.array(lens)})
+
+    return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+
+
+def tfidf_top_term_hashed(ds, bucket_df: np.ndarray, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Per doc, the term maximizing tf / df_bucket(term) (hashed document
+    frequencies — the fixed-size-broadcast variant of ``tfidf_top_term``),
+    ties broken by lexicographically smallest term.  Output: (doc_id,
+    top_term, tf, df).  The score is ONE float64 division computed
+    identically by numpy and the SQL oracle (IEEE-exact)."""
+    import ray
+
+    n_buckets = len(bucket_df)
+    ref = ray.put(np.ascontiguousarray(bucket_df, dtype=np.int64))
+
+    class Top:
+        def __init__(self):
+            self.df = ray.get(ref)
+            self._cache: dict = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_idx, terms, lens = _batch_doc_tokens(batch, text_col)
+            t = np.asarray(terms.to_pylist(), dtype=object)
+            if not len(t):
+                return pa.table({id_col: batch[id_col].slice(0, 0),
+                                 "top_term": pa.array([], pa.string()),
+                                 "tf": pa.array([], pa.int64()),
+                                 "df": pa.array([], pa.int64())})
+            uniq, codes = np.unique(t, return_inverse=True)
+            order = np.lexsort((codes, doc_idx))
+            d_, c_ = doc_idx[order], codes[order]
+            first = np.ones(len(c_), dtype=bool)
+            first[1:] = (d_[1:] != d_[:-1]) | (c_[1:] != c_[:-1])
+            starts = np.flatnonzero(first)
+            tf = np.diff(np.r_[starts, len(c_)]).astype(np.int64)
+            d_u, c_u = d_[starts], c_[starts]
+            t_u = uniq[c_u]
+            bu = _md5_buckets(t_u, n_buckets, self._cache)
+            df = self.df[bu]
+            assert (df > 0).all(), "df buckets must cover the corpus"
+            score = tf.astype(np.float64) / df
+            o2 = np.lexsort((c_u, -score, d_u))
+            keep_first = np.ones(len(o2), dtype=bool)
+            keep_first[1:] = d_u[o2][1:] != d_u[o2][:-1]
+            win = o2[keep_first]
+            return pa.table({id_col: batch[id_col].take(pa.array(d_u[win])),
+                             "top_term": pa.array(t_u[win], pa.string()),
+                             "tf": pa.array(tf[win]),
+                             "df": pa.array(df[win])})
+
+    return ds.map_batches(Top, batch_format="pyarrow", concurrency=2)
+
+
 def qc_weight(bucket):
     """Closed-form integer weight (x1000) for hash bucket ``bucket`` — the
     'model' of the hashed linear classifier, derivable by the SQL oracle."""
