@@ -113,7 +113,9 @@ def _minhash_ctes(num_perm: int, bands: int) -> str:
     )
     return f"""
 params(p, a, b) AS (VALUES {params}),
-mh AS (SELECT doc_id, p, min((a * (x % 4294967296) + b) % {_M61}) AS sig
+mh AS (SELECT doc_id, p,
+              CAST(min((CAST(a AS HUGEINT) * (x % 4294967296) + b) % {_M61})
+                   AS BIGINT) AS sig
        FROM xs, params GROUP BY doc_id, p),
 bk(i, kk, ll) AS (VALUES {bk}),
 bh AS (SELECT doc_id, p // {r} AS band_id,

