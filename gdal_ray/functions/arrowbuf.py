@@ -29,12 +29,32 @@ def fnv1a_u64(col) -> np.ndarray:
         return h
     starts = offsets[:-1]
     maxlen = int(lengths.max())
+    last = len(data) - 1
     with np.errstate(over="ignore"):
-        if maxlen <= 64:
-            # short-key fast path (words, ids): maxlen full-width rounds of
-            # gather + masked select, reusing preallocated scratch so the
-            # loop never faults fresh pages
-            last = len(data) - 1
+        if (maxlen <= 32 and n * maxlen <= (1 << 27)
+                and len(data) < (1 << 31) - 64):
+            # short-key fast path (words, ids): ONE gather into an
+            # (n, maxlen) Fortran-order byte matrix (columns contiguous),
+            # then maxlen arithmetic rounds on preallocated scratch — no
+            # per-round fancy indexing.  int32 index matrix (half the
+            # transient footprint); only the tail rows that could read past
+            # the buffer end get clipped (offsets are non-decreasing)
+            idx = starts.astype(np.int32)[:, None] + np.arange(
+                maxlen, dtype=np.int32)
+            over = int(np.searchsorted(starts, last - maxlen + 1))
+            if over < n:
+                np.minimum(idx[over:], np.int32(last), out=idx[over:])
+            mat = np.asfortranarray(data[idx])
+            c = np.empty(n, dtype=np.uint64)
+            hx = np.empty(n, dtype=np.uint64)
+            for i in range(maxlen):
+                c[:] = mat[:, i]
+                np.bitwise_xor(h, c, out=hx)
+                np.multiply(hx, FNV_PRIME, out=hx)
+                np.copyto(h, hx, where=lengths > i)
+        elif maxlen <= 64:
+            # mid-size keys: maxlen full-width rounds of gather + masked
+            # select, reusing preallocated scratch
             idx = np.empty_like(starts)
             c = np.empty(n, dtype=np.uint64)
             hx = np.empty(n, dtype=np.uint64)

@@ -341,6 +341,20 @@ def _minhash_params(num_perm: int):
     return _MINHASH_A[:num_perm], _MINHASH_B[:num_perm]
 
 
+_MINHASH_MULSHIFT = None
+
+
+def _minhash_mulshift_params(num_perm: int) -> np.ndarray:
+    """Odd seeded 64-bit multipliers for the key_mode='hash' signature
+    family (stable prefix across growing num_perm, like _minhash_params)."""
+    global _MINHASH_MULSHIFT
+    if _MINHASH_MULSHIFT is None or len(_MINHASH_MULSHIFT) < num_perm:
+        size = max(256, num_perm)
+        _MINHASH_MULSHIFT = (np.random.default_rng(24681357).integers(
+            1, 1 << 63, size, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    return _MINHASH_MULSHIFT[:num_perm]
+
+
 def _m61_mulx32(a, x: np.ndarray) -> np.ndarray:
     """(a * x) mod M61, exact in uint64, for a < 2^61 and x < 2^32.
 
@@ -384,16 +398,28 @@ def minhash_signatures_batch(texts, num_perm: int = 64, shingle_k: int = 5,
     (graded default), values are identical to per-doc ``minhash_signature``
     (same params, same Mersenne61 arithmetic); key_mode='hash' swaps the
     per-gram digests for the fully-vectorized FNV/window-fold shingles
-    (``_shingle_hashes_batch``) — the 100 TB throughput path."""
-    a, b = _minhash_params(num_perm)
+    (``_shingle_hashes_batch``) AND the per-permutation modular hash for a
+    multiply-shift family (Dietzfelbinger et al. 1997: x -> a_p * x over
+    Z/2^64 with odd seeded a_p — 1 multiply per permutation instead of the
+    ~10-op exact-M61 chain; min-wise uniform enough for Jaccard estimates,
+    ~10x faster fold) — together the 100 TB throughput path."""
     if not len(texts):
         return np.empty((0, num_perm), dtype=np.uint64)
     flat, lens = _shingle_hashes_batch(texts, shingle_k, key_mode)
     # every doc contributes >= 1 hash (empty text -> hash of "")
     offsets = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
-    x = flat.astype(np.uint64) & np.uint64(0xFFFFFFFF)
     out = np.empty((len(lens), num_perm), dtype=np.uint64)
+    if key_mode == "hash":
+        am = _minhash_mulshift_params(num_perm)
+        v = np.empty(len(flat), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for p in range(num_perm):
+                np.multiply(flat, am[p], out=v)
+                out[:, p] = np.minimum.reduceat(v, offsets)
+        return out
+    a, b = _minhash_params(num_perm)
+    x = flat.astype(np.uint64) & np.uint64(0xFFFFFFFF)
     with np.errstate(over="ignore"):
         for p in range(num_perm):
             v = _m61_mulx32(a[p], x) + b[p]            # < 2^62, uint64-exact
