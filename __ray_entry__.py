@@ -1840,9 +1840,103 @@ def _transformer_oracles() -> dict[str, str]:
                CAST(floor((0.0 + 0.9996 * {F(A)} * xi) * 100.0 + 0.5) AS BIGINT) AS n_cm
         FROM u7
     """
+    # -- polar stereographic variant B (transformer.stereo_polar_forward) --
+    sp = q.STEREO_POLAR_PARAMS
+    K_sp = tr.stereo_polar_constants(sp["lat_ts"], north=True)
+    stereo_polar_sql = f"""
+        WITH {_DOCS_GEO},
+        f AS (SELECT doc_id, lon, lat FROM d WHERE lat >= 60.0),
+        t1 AS (SELECT doc_id, radians(lat) AS phi,
+                      radians(lon - {F(sp['lon0'])}) AS lam FROM f),
+        t2 AS (SELECT doc_id, lam, sin(phi) AS sphi, phi FROM t1),
+        t3 AS (SELECT doc_id, lam,
+                      tan({F(float(np.pi / 4.0))} - phi / 2.0)
+                      / power((1.0 - {F(e)} * sphi) / (1.0 + {F(e)} * sphi), {F(e / 2.0)}) AS t
+               FROM t2)
+        SELECT doc_id,
+               CAST(round(({F(K_sp)} * t * sin(lam)) * 100.0) AS BIGINT) AS e_cm,
+               CAST(round((-({F(K_sp)} * t * cos(lam))) * 100.0) AS BIGINT) AS n_cm
+        FROM t3
+    """
+
+    # -- oblique stereographic on the conformal latitude -------------------
+    so = q.STEREO_OBLIQUE_PARAMS
+    phi1_so = np.radians(so["lat0"])
+    chi1_so = float(tr._conformal_lat(np.float64(phi1_so)))
+    m1_so = float(tr._lcc_m(np.float64(phi1_so)))
+    s1_so, c1_so = float(np.sin(chi1_so)), float(np.cos(chi1_so))
+    num_so = 2.0 * a_ * so["k0"] * m1_so  # same scalar product the engine forms
+    stereo_oblique_sql = f"""
+        WITH {_DOCS_GEO},
+        f AS (SELECT doc_id, lon, lat FROM d
+              WHERE abs(lon - {F(so['lon0'])}) <= 30.0 AND lat >= 20.0 AND lat <= 70.0),
+        t1 AS (SELECT doc_id, radians(lat) AS phi,
+                      radians(lon - {F(so['lon0'])}) AS lam FROM f),
+        t2 AS (SELECT doc_id, lam, sin(phi) AS sphi, tan(phi) AS tau FROM t1),
+        t3 AS (SELECT doc_id, lam,
+                      ln(tau + sqrt(tau * tau + 1.0))
+                      - {F(e)} * (0.5 * ln((1.0 + {F(e)} * sphi) / (1.0 - {F(e)} * sphi))) AS arg
+               FROM t2),
+        t4 AS (SELECT doc_id, lam, atan((exp(arg) - exp(-arg)) / 2.0) AS chi FROM t3),
+        t5 AS (SELECT doc_id, lam, sin(chi) AS schi, cos(chi) AS cchi,
+                      cos(lam) AS coslam FROM t4),
+        t6 AS (SELECT doc_id, lam, schi, cchi, coslam,
+                      {F(num_so)} / ({F(c1_so)} * (1.0 + {F(s1_so)} * schi
+                                     + {F(c1_so)} * cchi * coslam)) AS A FROM t5)
+        SELECT doc_id,
+               CAST(round((0.0 + A * cchi * sin(lam)) * 100.0) AS BIGINT) AS e_cm,
+               CAST(round((0.0 + A * ({F(c1_so)} * schi - {F(s1_so)} * cchi * coslam))
+                          * 100.0) AS BIGINT) AS n_cm
+        FROM t6
+    """
+
+    # -- Albers equal-area conic 2SP (transformer.aea_forward) -------------
+    ap = q.AEA_PARAMS
+    n_ae, C_ae, rho0_ae = tr.aea_constants(ap["lat1"], ap["lat2"], ap["lat0"])
+    one_m_e2_ae = 1.0 - e2
+    inv_2e = 1.0 / (2.0 * e)
+    albers_sql = f"""
+        WITH {_DOCS_GEO},
+        f AS (SELECT doc_id, lon, lat FROM d
+              WHERE abs(lon + 96.0) <= 30.0 AND lat >= 23.0 AND lat <= 52.0),
+        t1 AS (SELECT doc_id, lon, sin(radians(lat)) AS sphi FROM f),
+        t2 AS (SELECT doc_id, lon,
+                      {F(one_m_e2_ae)} * (sphi / (1.0 - {F(e2)} * sphi * sphi)
+                        - {F(inv_2e)} * ln((1.0 - {F(e)} * sphi) / (1.0 + {F(e)} * sphi))) AS qv
+               FROM t1),
+        t3 AS (SELECT doc_id,
+                      {F(a_)} * sqrt({F(C_ae)} - {F(n_ae)} * qv) / {F(n_ae)} AS rho,
+                      {F(n_ae)} * radians(lon - {F(ap['lon0'])}) AS theta FROM t2)
+        SELECT doc_id,
+               CAST(round((0.0 + rho * sin(theta)) * 100.0) AS BIGINT) AS e_cm,
+               CAST(round((0.0 + {F(rho0_ae)} - rho * cos(theta)) * 100.0) AS BIGINT) AS n_cm
+        FROM t3
+    """
+
+    # -- polar azimuthal equidistant (transformer.aeqd_polar_forward) ------
+    (c0m, c2m, c4m, c6m), _dser = tr._merid_coeffs()
+    Mp = float(tr.meridian_arc(np.float64(np.pi / 2.0)))
+    aeqd_sql = f"""
+        WITH {_DOCS_GEO},
+        f AS (SELECT doc_id, lon, lat FROM d WHERE lat >= 50.0),
+        t1 AS (SELECT doc_id, radians(lat) AS phi, radians(lon) AS lam FROM f),
+        t2 AS (SELECT doc_id, lam,
+                      {F(Mp)} - {F(a_)} * ({F(c0m)} * phi - {F(c2m)} * sin(2.0 * phi)
+                        + {F(c4m)} * sin(4.0 * phi) - {F(c6m)} * sin(6.0 * phi)) AS rho
+               FROM t1)
+        SELECT doc_id,
+               CAST(round((rho * sin(lam)) * 100.0) AS BIGINT) AS e_cm,
+               CAST(round((-(rho * cos(lam))) * 100.0) AS BIGINT) AS n_cm
+        FROM t2
+    """
+
     return {
         "reproject_utm": utm_sql,
         "reproject_lcc": lcc_sql,
+        "reproject_stereo_polar": stereo_polar_sql,
+        "reproject_stereo_oblique": stereo_oblique_sql,
+        "reproject_albers": albers_sql,
+        "reproject_aeqd": aeqd_sql,
         "datum_helmert": datum_sql,
         "gcp_polynomial": gcp_sql,
         "tps_warp": tps_sql,
@@ -2049,6 +2143,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_inventory": q.media_inventory_q,
         # coordinate transformers (SURVEY §2.3; alg/gdaltransformer.cpp family)
         "reproject_utm": q.reproject_utm_q,
+        "reproject_stereo_polar": q.reproject_stereo_polar_q,
+        "reproject_stereo_oblique": q.reproject_stereo_oblique_q,
+        "reproject_albers": q.reproject_albers_q,
+        "reproject_aeqd": q.reproject_aeqd_q,
         "reproject_lcc": q.reproject_lcc_q,
         "datum_helmert": q.datum_helmert_q,
         "gcp_polynomial": q.gcp_polynomial_q,

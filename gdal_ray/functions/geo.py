@@ -114,10 +114,28 @@ def reproject_points(x: np.ndarray, y: np.ndarray, src_crs: str, dst_crs: str):
     if utm_src is not None and dst == "EPSG:4326":
         lon0, k0, fe, fn = _tr.utm_zone_params(*utm_src)
         return _tr.tmerc_inverse(x, y, lon0=lon0, k0=k0, fe=fe, fn=fn)
+    # WGS84-based fixed-parameter projected CRSs (Snyder closed forms).
+    # EPSG:3413/3031 are exact; EPSG:5070 is NAD83/GRS80 in the registry —
+    # served here on WGS84 (sub-mm ellipsoid delta, same projection method).
+    named = {
+        "EPSG:3413": (_tr.stereo_polar_forward, _tr.stereo_polar_inverse,
+                      dict(lon0=-45.0, lat_ts=70.0, north=True)),
+        "EPSG:3031": (_tr.stereo_polar_forward, _tr.stereo_polar_inverse,
+                      dict(lon0=0.0, lat_ts=-71.0, north=False)),
+        "EPSG:5070": (_tr.aea_forward, _tr.aea_inverse,
+                      dict(lon0=-96.0, lat1=29.5, lat2=45.5, lat0=23.0)),
+    }
+    if src == "EPSG:4326" and dst in named:
+        fwd, _, kw = named[dst]
+        return fwd(x, y, **kw)
+    if src in named and dst == "EPSG:4326":
+        _, inv, kw = named[src]
+        return inv(x, y, **kw)
     raise NotImplementedError(
         f"reproject {src_crs} -> {dst_crs} needs pyproj (not in this container); "
-        "built-in closed forms cover EPSG:4326 <-> EPSG:3857 and UTM "
-        "EPSG:326xx/327xx (Krueger-series transverse mercator)"
+        "built-in closed forms cover EPSG:4326 <-> EPSG:3857, UTM "
+        "EPSG:326xx/327xx (Krueger-series transverse mercator), polar "
+        "stereographic EPSG:3413/3031, and CONUS Albers EPSG:5070"
     )
 
 

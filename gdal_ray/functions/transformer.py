@@ -228,6 +228,247 @@ def lcc_inverse(E, N, lon0: float, lat1: float, lat2: float, lat0: float,
 
 
 # ---------------------------------------------------------------------------
+# Polar Stereographic, std-parallel variant (Snyder PP1395 eq. 21-33..21-41;
+# EPSG 9829 "Polar Stereographic variant B" — the EPSG:3413 / EPSG:3031 family)
+# ---------------------------------------------------------------------------
+
+
+def stereo_polar_constants(lat_ts: float, north: bool = True):
+    """rho(phi) scale factor a*m_c/t_c for the standard-parallel polar
+    stereographic (Snyder 21-34): m at the std parallel over t there."""
+    sgn = 1.0 if north else -1.0
+    pc = np.radians(sgn * lat_ts)
+    return float(WGS84_A * _lcc_m(pc) / _lcc_t(pc))
+
+
+def stereo_polar_forward(lon, lat, lon0: float, lat_ts: float,
+                         fe: float = 0.0, fn: float = 0.0, north: bool = True):
+    """Ellipsoidal polar stereographic forward, degrees -> meters.
+
+    North: x = fe + rho sin(lam), y = fn - rho cos(lam); south mirrors by
+    negating (lat, lam, y-offset) — Snyder 21-30/31 with rho = (a m_c/t_c) t.
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    sgn = 1.0 if north else -1.0
+    k = stereo_polar_constants(lat_ts, north)
+    t = _lcc_t(np.radians(sgn * lat))
+    lam = np.radians(sgn * (lon - lon0))
+    rho = k * t
+    return fe + sgn * rho * np.sin(lam), fn - sgn * rho * np.cos(lam)
+
+
+def stereo_polar_inverse(E, N, lon0: float, lat_ts: float,
+                         fe: float = 0.0, fn: float = 0.0, north: bool = True):
+    """Polar stereographic inverse (Snyder 21-39/40 + iterated 7-9)."""
+    sgn = 1.0 if north else -1.0
+    x = sgn * (np.asarray(E, dtype=np.float64) - fe)
+    y = sgn * (np.asarray(N, dtype=np.float64) - fn)
+    k = stereo_polar_constants(lat_ts, north)
+    rho = np.sqrt(x * x + y * y)
+    t = rho / k
+    e = WGS84_E
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        sphi = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0)
+        )
+    lam = np.arctan2(x, -y)
+    return lon0 + sgn * np.degrees(lam), sgn * np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Oblique / equatorial Stereographic on the conformal latitude (Snyder PP1395
+# eq. 21-27..21-29 ellipsoidal form; ogr/ogrct.cpp SRS_PT_STEREOGRAPHIC role)
+# ---------------------------------------------------------------------------
+
+
+def _conformal_lat(phi):
+    """chi(phi): conformal latitude via the same tau' chain the TM uses."""
+    e = WGS84_E
+    tau = np.tan(phi)
+    taup = _sinh(_asinh(tau) - e * _atanh(e * np.sin(phi)))
+    return np.arctan(taup)
+
+
+def stereo_oblique_forward(lon, lat, lon0: float, lat0: float, k0: float = 1.0,
+                           fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal oblique stereographic (Snyder 21-27..21-29): project the
+    conformal latitude chi on a sphere centered at (lon0, chi1), scaled by
+    m1/cos(chi1) to preserve scale at the origin parallel."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    phi1 = np.radians(lat0)
+    chi1 = float(_conformal_lat(np.float64(phi1)))
+    m1 = float(_lcc_m(np.float64(phi1)))
+    chi = _conformal_lat(np.radians(lat))
+    lam = np.radians(lon - lon0)
+    schi, cchi = np.sin(chi), np.cos(chi)
+    s1, c1 = np.sin(chi1), np.cos(chi1)
+    A = (2.0 * WGS84_A * k0 * m1
+         / (c1 * (1.0 + s1 * schi + c1 * cchi * np.cos(lam))))
+    x = A * cchi * np.sin(lam)
+    y = A * (c1 * schi - s1 * cchi * np.cos(lam))
+    return fe + x, fn + y
+
+
+def stereo_oblique_inverse(E, N, lon0: float, lat0: float, k0: float = 1.0,
+                           fe: float = 0.0, fn: float = 0.0):
+    """Inverse of the oblique stereographic: spherical inverse to chi
+    (Snyder 21-38), then chi -> phi by Newton on tau (Karney's tau chain)."""
+    x = np.asarray(E, dtype=np.float64) - fe
+    y = np.asarray(N, dtype=np.float64) - fn
+    phi1 = np.radians(lat0)
+    chi1 = float(_conformal_lat(np.float64(phi1)))
+    m1 = float(_lcc_m(np.float64(phi1)))
+    s1, c1 = np.sin(chi1), np.cos(chi1)
+    rho = np.sqrt(x * x + y * y)
+    # A at the origin = 2 a k0 m1 / (c1 (1 + s1^2 + c1^2)) = a k0 m1 / c1
+    Re = 2.0 * WGS84_A * k0 * m1 / (2.0 * c1)
+    c = 2.0 * np.arctan2(rho, 2.0 * Re)
+    sc, cc = np.sin(c), np.cos(c)
+    safe = np.where(rho == 0.0, 1.0, rho)
+    chi = np.where(rho == 0.0, chi1,
+                   np.arcsin(np.clip(cc * s1 + y * sc * c1 / safe, -1.0, 1.0)))
+    lam = np.arctan2(x * sc, safe * c1 * cc - y * s1 * sc)
+    # chi -> phi: Newton on tau with target tau' = tan(chi)
+    taup = np.tan(chi)
+    tau = taup.copy()
+    e = WGS84_E
+    e2 = WGS84_E2
+    for _ in range(6):
+        sig = _sinh(e * _atanh(e * tau / np.sqrt(1.0 + tau * tau)))
+        f_tau = tau * np.sqrt(1.0 + sig * sig) - sig * np.sqrt(1.0 + tau * tau)
+        tau = tau + (
+            (taup - f_tau)
+            * (1.0 + (1.0 - e2) * tau * tau)
+            / ((1.0 - e2) * np.sqrt((1.0 + f_tau * f_tau) * (1.0 + tau * tau)))
+        )
+    return lon0 + np.degrees(lam), np.degrees(np.arctan(tau))
+
+
+# ---------------------------------------------------------------------------
+# Albers Equal-Area Conic, 2SP (Snyder PP1395 eq. 14-1..14-21; the CONUS
+# EPSG:5070 family; ogr/ogrct.cpp SRS_PT_ALBERS_CONIC_EQUAL_AREA role)
+# ---------------------------------------------------------------------------
+
+
+def _aea_q(phi):
+    """Authalic q (Snyder 3-12)."""
+    e = WGS84_E
+    sphi = np.sin(phi)
+    return (1.0 - WGS84_E2) * (
+        sphi / (1.0 - WGS84_E2 * sphi * sphi)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * sphi) / (1.0 + e * sphi))
+    )
+
+
+def aea_constants(lat1: float, lat2: float, lat0: float):
+    """(n, C, rho0) for the 2SP Albers equal-area conic."""
+    p1, p2, p0 = np.radians([lat1, lat2, lat0])
+    m1, m2 = _lcc_m(p1), _lcc_m(p2)
+    q1, q2, q0 = _aea_q(p1), _aea_q(p2), _aea_q(p0)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = WGS84_A * np.sqrt(C - n * q0) / n
+    return float(n), float(C), float(rho0)
+
+
+def aea_forward(lon, lat, lon0: float, lat1: float, lat2: float, lat0: float,
+                fe: float = 0.0, fn: float = 0.0):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n, C, rho0 = aea_constants(lat1, lat2, lat0)
+    q = _aea_q(np.radians(lat))
+    rho = WGS84_A * np.sqrt(C - n * q) / n
+    theta = n * np.radians(lon - lon0)
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def aea_inverse(E, N, lon0: float, lat1: float, lat2: float, lat0: float,
+                fe: float = 0.0, fn: float = 0.0):
+    """Albers inverse: rho/theta back to q, then Newton (Snyder 3-16)."""
+    x = np.asarray(E, dtype=np.float64) - fe
+    n, C, rho0 = aea_constants(lat1, lat2, lat0)
+    dN = rho0 - (np.asarray(N, dtype=np.float64) - fn)
+    rho = np.sqrt(x * x + dN * dN)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * dN)
+    q = (C - (rho * n / WGS84_A) ** 2) / n
+    e = WGS84_E
+    e2 = WGS84_E2
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(10):
+        sphi = np.sin(phi)
+        one = 1.0 - e2 * sphi * sphi
+        phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+            q / (1.0 - e2)
+            - sphi / one
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * sphi) / (1.0 + e * sphi))
+        )
+    return lon0 + np.degrees(theta / n), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Azimuthal Equidistant, polar aspect (Snyder PP1395 eq. 25-1..25-15: rho is
+# the meridian arc from the pole; EPSG 1028-series meridian-arc coefficients)
+# ---------------------------------------------------------------------------
+
+
+def _merid_coeffs():
+    """Meridian-arc series coefficients (Snyder 3-21) and the rectifying
+    inverse series mu -> phi (Snyder 3-26), as plain floats."""
+    e2 = WGS84_E2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+    c4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+    c6 = 35.0 * e6 / 3072.0
+    e1 = (1.0 - np.sqrt(1.0 - e2)) / (1.0 + np.sqrt(1.0 - e2))
+    d2 = 3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0
+    d4 = 21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0
+    d6 = 151.0 * e1**3 / 96.0
+    d8 = 1097.0 * e1**4 / 512.0
+    return ([float(v) for v in (c0, c2, c4, c6)],
+            [float(v) for v in (d2, d4, d6, d8)])
+
+
+def meridian_arc(phi):
+    """M(phi): meridian arc length from the equator (Snyder 3-21)."""
+    (c0, c2, c4, c6), _ = _merid_coeffs()
+    return WGS84_A * (c0 * phi - c2 * np.sin(2.0 * phi)
+                      + c4 * np.sin(4.0 * phi) - c6 * np.sin(6.0 * phi))
+
+
+def aeqd_polar_forward(lon, lat, lon0: float, fe: float = 0.0, fn: float = 0.0,
+                       north: bool = True):
+    """Polar azimuthal equidistant: rho = M(pole) - M(phi) (Snyder 25-1/2)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    sgn = 1.0 if north else -1.0
+    Mp = float(meridian_arc(np.float64(np.pi / 2.0)))
+    rho = Mp - meridian_arc(np.radians(sgn * lat))
+    lam = np.radians(sgn * (lon - lon0))
+    return fe + sgn * rho * np.sin(lam), fn - sgn * rho * np.cos(lam)
+
+
+def aeqd_polar_inverse(E, N, lon0: float, fe: float = 0.0, fn: float = 0.0,
+                       north: bool = True):
+    """Inverse via the rectifying-latitude series (Snyder 3-26)."""
+    sgn = 1.0 if north else -1.0
+    x = sgn * (np.asarray(E, dtype=np.float64) - fe)
+    y = sgn * (np.asarray(N, dtype=np.float64) - fn)
+    (c0, _, _, _), (d2, d4, d6, d8) = _merid_coeffs()
+    Mp = float(meridian_arc(np.float64(np.pi / 2.0)))
+    rho = np.sqrt(x * x + y * y)
+    mu = (Mp - rho) / (WGS84_A * c0)
+    phi = (mu + d2 * np.sin(2.0 * mu) + d4 * np.sin(4.0 * mu)
+           + d6 * np.sin(6.0 * mu) + d8 * np.sin(8.0 * mu))
+    lam = np.arctan2(x, -y)
+    return lon0 + sgn * np.degrees(lam), sgn * np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # Geodetic <-> geocentric + Helmert 7-parameter datum shift
 # ---------------------------------------------------------------------------
 

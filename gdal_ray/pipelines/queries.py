@@ -2700,6 +2700,75 @@ def reproject_lcc_q(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+STEREO_POLAR_PARAMS = dict(lon0=-45.0, lat_ts=70.0)   # EPSG:3413 method/params
+STEREO_OBLIQUE_PARAMS = dict(lon0=5.0, lat0=52.0, k0=0.9999)
+AEA_PARAMS = dict(lon0=-96.0, lat1=29.5, lat2=45.5, lat0=23.0)  # EPSG:5070
+
+
+def _reproject_points_q(sf_dir: str, fwd, mask_fn, **kw):
+    """Shared shape of the fixed-projection reproject queries: derive points,
+    window-filter to the projection's domain, forward-project, cm-quantize."""
+    ds = _docs_points(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        m = mask_fn(lon, lat)
+        E, N = fwd(lon[m], lat[m], **kw)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(m)),
+                "e_cm": pa.array(np.round(E * 100.0).astype(np.int64)),
+                "n_cm": pa.array(np.round(N * 100.0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def reproject_stereo_polar_q(sf_dir: str):
+    """Polar stereographic variant-B (EPSG 9829, the EPSG:3413 NSIDC grid)
+    over docs north of 60N; Snyder 21-33..41 (ogr/ogrct.cpp
+    SRS_PT_POLAR_STEREOGRAPHIC role)."""
+    from ..functions import transformer
+
+    return _reproject_points_q(
+        sf_dir, transformer.stereo_polar_forward,
+        lambda lon, lat: lat >= 60.0, **STEREO_POLAR_PARAMS)
+
+
+def reproject_stereo_oblique_q(sf_dir: str):
+    """Oblique (conformal-latitude) stereographic, Snyder 21-27..29 — the
+    EPSG 9809 double-projection family (RD-New-style params on WGS84)."""
+    from ..functions import transformer
+
+    return _reproject_points_q(
+        sf_dir, transformer.stereo_oblique_forward,
+        lambda lon, lat: (np.abs(lon - 5.0) <= 30.0) & (lat >= 20.0) & (lat <= 70.0),
+        **STEREO_OBLIQUE_PARAMS)
+
+
+def reproject_albers_q(sf_dir: str):
+    """Albers equal-area conic 2SP (Snyder 14-1..21; CONUS EPSG:5070 params)
+    over docs in the projection window."""
+    from ..functions import transformer
+
+    return _reproject_points_q(
+        sf_dir, transformer.aea_forward,
+        lambda lon, lat: (np.abs(lon + 96.0) <= 30.0) & (lat >= 23.0) & (lat <= 52.0),
+        **AEA_PARAMS)
+
+
+def reproject_aeqd_q(sf_dir: str):
+    """North-polar azimuthal equidistant (Snyder 25-1..15, meridian-arc rho)
+    over docs north of 50N."""
+    from ..functions import transformer
+
+    return _reproject_points_q(
+        sf_dir, transformer.aeqd_polar_forward,
+        lambda lon, lat: lat >= 50.0, lon0=0.0)
+
+
 def grid_shift_q(sf_dir: str):
     """NTv2-style grid-shift datum transform over the docs points: bilinear
     shift-grid interpolation (the PROJ hgridshift role), plus a fixed-point

@@ -449,3 +449,114 @@ def test_single_subgrid_read_back_compat(tmp_path):
     back = ntv2.read_gsb(path)
     assert isinstance(back, transformer.GridShiftTransformer)
     assert (back.slon == t.slon).all()
+
+
+# -- Snyder projection family round 3: stereographic / Albers / AEQD ---------
+
+
+def test_stereo_polar_roundtrip_and_scale():
+    from gdal_ray.functions import transformer as tr
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(60, 89.9, 500)
+    E, N = tr.stereo_polar_forward(lon, lat, lon0=-45.0, lat_ts=70.0)
+    lo, la = tr.stereo_polar_inverse(E, N, lon0=-45.0, lat_ts=70.0)
+    assert np.abs((lo - lon + 540) % 360 - 180).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+    # true scale at the standard parallel (k=1), shrinking toward the pole
+    d = 1e-7
+    for lat_c, expect in ((70.0, 1.0), (89.0, 0.97)):
+        E0, N0 = tr.stereo_polar_forward(30.0, lat_c, lon0=-45.0, lat_ts=70.0)
+        E1, N1 = tr.stereo_polar_forward(30.0 + d, lat_c, lon0=-45.0, lat_ts=70.0)
+        ground = tr.WGS84_A * tr._lcc_m(np.radians(lat_c)) * np.radians(d)
+        k = float(np.hypot(E1 - E0, N1 - N0) / ground)
+        assert abs(k - expect) < 2e-3
+    # south aspect (EPSG:3031 params)
+    lat_s = rng.uniform(-89.9, -60, 200)
+    E, N = tr.stereo_polar_forward(lon[:200], lat_s, lon0=0.0, lat_ts=-71.0, north=False)
+    lo, la = tr.stereo_polar_inverse(E, N, lon0=0.0, lat_ts=-71.0, north=False)
+    assert np.abs(la - lat_s).max() < 1e-9
+
+
+def test_stereo_oblique_roundtrip_and_origin_scale():
+    from gdal_ray.functions import transformer as tr
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-30, 40, 500)
+    lat = rng.uniform(20, 70, 500)
+    E, N = tr.stereo_oblique_forward(lon, lat, lon0=5.0, lat0=52.0, k0=0.9999)
+    lo, la = tr.stereo_oblique_inverse(E, N, lon0=5.0, lat0=52.0, k0=0.9999)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+    # origin maps to (fe, fn) with scale k0
+    E0, N0 = tr.stereo_oblique_forward(5.0, 52.0, lon0=5.0, lat0=52.0, k0=0.9999)
+    assert abs(float(E0)) < 1e-6 and abs(float(N0)) < 1e-6
+    d = 1e-7
+    E1, N1 = tr.stereo_oblique_forward(5.0 + d, 52.0, lon0=5.0, lat0=52.0, k0=0.9999)
+    ground = tr.WGS84_A * tr._lcc_m(np.radians(52.0)) * np.radians(d)
+    assert abs(float(np.hypot(E1 - E0, N1 - N0) / ground) - 0.9999) < 1e-4
+
+
+def test_albers_roundtrip_and_equal_area():
+    from gdal_ray.functions import transformer as tr
+
+    kw = dict(lon0=-96.0, lat1=29.5, lat2=45.5, lat0=23.0)
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-125, -66, 500)
+    lat = rng.uniform(23, 52, 500)
+    E, N = tr.aea_forward(lon, lat, **kw)
+    lo, la = tr.aea_inverse(E, N, **kw)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+    # the defining property: a small quad's projected area equals its
+    # ellipsoidal area (shoelace vs M*N*cos(phi) patch), anywhere
+    d = 1e-3
+    for la_c in (25.0, 37.0, 50.0):
+        pts_lon = np.array([-100.0, -100.0 + d, -100.0 + d, -100.0])
+        pts_lat = np.array([la_c, la_c, la_c + d, la_c + d])
+        Ep, Np = tr.aea_forward(pts_lon, pts_lat, **kw)
+        area = 0.5 * abs(sum(Ep[i] * Np[(i + 1) % 4] - Ep[(i + 1) % 4] * Np[i]
+                             for i in range(4)))
+        phi = np.radians(la_c + d / 2)
+        sphi = np.sin(phi)
+        M = tr.WGS84_A * (1 - tr.WGS84_E2) / (1 - tr.WGS84_E2 * sphi * sphi) ** 1.5
+        Nr = tr.WGS84_A / np.sqrt(1 - tr.WGS84_E2 * sphi * sphi)
+        true = (M * np.radians(d)) * (Nr * np.cos(phi) * np.radians(d))
+        assert abs(area / true - 1.0) < 1e-6
+
+
+def test_aeqd_polar_roundtrip_and_meridian_distance():
+    from gdal_ray.functions import transformer as tr
+
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(50, 89.9, 500)
+    E, N = tr.aeqd_polar_forward(lon, lat, lon0=0.0)
+    lo, la = tr.aeqd_polar_inverse(E, N, lon0=0.0)
+    assert np.abs((lo - lon + 540) % 360 - 180).max() < 1e-6
+    assert np.abs(la - lat).max() < 1e-6
+    # rho equals the meridian arc pole->phi (numerical integral check)
+    E1, N1 = tr.aeqd_polar_forward(0.0, 60.0, lon0=0.0)
+    rho = float(np.hypot(E1, N1))
+    ps = np.linspace(np.radians(60.0), np.pi / 2, 200001)
+    f = tr.WGS84_A * (1 - tr.WGS84_E2) / (1 - tr.WGS84_E2 * np.sin(ps) ** 2) ** 1.5
+    assert abs(rho - np.trapz(f, ps)) < 0.01
+
+
+def test_reproject_points_epsg_routing():
+    from gdal_ray.functions import geo
+
+    lon = np.array([-40.0, 10.0])
+    lat = np.array([75.0, 80.0])
+    E, N = geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:3413")
+    lo, la = geo.reproject_points(E, N, "EPSG:3413", "EPSG:4326")
+    assert np.abs(lo - lon).max() < 1e-9 and np.abs(la - lat).max() < 1e-9
+    E, N = geo.reproject_points(np.array([-100.0]), np.array([40.0]),
+                                "EPSG:4326", "EPSG:5070")
+    lo, la = geo.reproject_points(E, N, "EPSG:5070", "EPSG:4326")
+    assert abs(float(lo) + 100.0) < 1e-9 and abs(float(la) - 40.0) < 1e-9
+    E, N = geo.reproject_points(np.array([120.0]), np.array([-75.0]),
+                                "EPSG:4326", "EPSG:3031")
+    lo, la = geo.reproject_points(E, N, "EPSG:3031", "EPSG:4326")
+    assert abs(float(lo) - 120.0) < 1e-9 and abs(float(la) + 75.0) < 1e-9
