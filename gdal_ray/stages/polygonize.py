@@ -179,13 +179,172 @@ def trace_boundary(mask: np.ndarray) -> np.ndarray:
     return pts[keep]
 
 
-def polygonize(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size: int = 64):
+def _components_distributed(pairs, num_buckets: int = 64, max_iters: int = 64):
+    """Distributed connected components over an (a, b) int64 equivalence-pair
+    Dataset: returns (node, label) with label = the minimum key reachable.
+
+    Vectorized min-label propagation (the ``dedup.dup_clusters`` plan with
+    the per-key map_groups replaced by BUCKET-keyed vectorized joins): per
+    iteration ONE hash-bucket groupby joins each node's current label onto
+    its outgoing edges with np.searchsorted inside the bucket — no per-key
+    Python — and ONE groupby(node).min folds the candidates.  Labels are
+    non-increasing, so sum(label) strictly decreases until fixpoint; the
+    driver reads one scalar per iteration and never holds the edge list
+    (the 100 TB replacement for the driver union-find, whose edge fold is a
+    serial Python loop).  Iterations needed = component diameter in the
+    tile-adjacency graph (long snaking components cost more rounds).
+    """
+    from ray.data.aggregate import Min
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # init: label(node) = min(node, min direct neighbor) — one free hop
+    def init_lab(t: pa.Table) -> pa.Table:
+        n = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = t["_mn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(n), "label": pa.array(np.minimum(n, m))})
+
+    labels = (
+        edges.groupby("src").aggregate(Min("dst", alias_name="_mn"))
+        .map_batches(init_lab, batch_format="pyarrow").materialize()
+    )
+
+    def bucket_of(k: np.ndarray) -> np.ndarray:
+        return np.abs((k * np.int64(2654435761)) % np.int64(num_buckets))
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        k = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"_part": pa.array(bucket_of(k)), "_k": t["src"],
+                         "dst": t["dst"],
+                         "label": pa.nulls(t.num_rows, pa.int64())})
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        k = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"_part": pa.array(bucket_of(k)), "_k": t["node"],
+                         "dst": pa.nulls(t.num_rows, pa.int64()),
+                         "label": pa.compute.cast(t["label"], pa.int64())})
+
+    empty_cand = pa.table({"node": pa.array([], pa.int64()),
+                           "cand": pa.array([], pa.int64())})
+
+    def bucket_prop(g: pa.Table) -> pa.Table:
+        valid = pa.compute.is_valid(g["label"]).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return empty_cand
+        k = g["_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = pa.compute.fill_null(g["label"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dst = pa.compute.fill_null(g["dst"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nodes = k[valid]
+        lab_v = labs[valid]
+        order = np.argsort(nodes, kind="stable")
+        nodes_s, lab_s = nodes[order], lab_v[order]
+        esrc = k[~valid]
+        edst = dst[~valid]
+        pos = np.searchsorted(nodes_s, esrc)  # every edge src has a label
+        return pa.table({
+            "node": pa.array(np.concatenate([edst, nodes_s])),
+            "cand": pa.array(np.concatenate([lab_s[pos], lab_s])),
+        })
+
+    prev_sum = None
+    for _ in range(max_iters):
+        unioned = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+            labels.map_batches(tag_labels, batch_format="pyarrow"))
+        labels = (
+            unioned.groupby("_part")
+            .map_groups(bucket_prop, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def _attach_component(comps, labels, num_buckets: int = 64):
+    """Join (node -> label) onto the per-(tile,label) component rows with the
+    same bucket-keyed vectorized pattern (keys absent from ``labels`` keep
+    their own key — fragments untouched by any cross-tile pair).  Input
+    ``comps`` columns: key, value, n_pixels, minx, miny, maxx, maxy; output
+    replaces ``key`` with ``component``."""
+    PAYLOAD = ["value", "n_pixels", "minx", "miny", "maxx", "maxy"]
+
+    def bucket_of(k: np.ndarray) -> np.ndarray:
+        return np.abs((k * np.int64(2654435761)) % np.int64(num_buckets))
+
+    def tag_comps(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"_part": pa.array(bucket_of(k)), "_k": t["key"],
+                "_lab": pa.nulls(t.num_rows, pa.int64())}
+        for c in PAYLOAD:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        k = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"_part": pa.array(bucket_of(k)), "_k": t["node"],
+                "_lab": pa.compute.cast(t["label"], pa.int64()),
+                "value": pa.nulls(t.num_rows, pa.float64())}
+        for c in PAYLOAD[1:]:
+            cols[c] = pa.nulls(t.num_rows, pa.int64())
+        return pa.table(cols)
+
+    def bucket_join(g: pa.Table) -> pa.Table:
+        isl = pa.compute.is_valid(g["_lab"]).to_numpy(zero_copy_only=False)
+        k = g["_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        crow = np.flatnonzero(~isl)
+        comp_k = k[crow]
+        if isl.any():
+            labs = pa.compute.fill_null(g["_lab"], 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nodes = k[isl]
+            lab_v = labs[isl]
+            order = np.argsort(nodes, kind="stable")
+            nodes_s, lab_s = nodes[order], lab_v[order]
+            pos = np.searchsorted(nodes_s, comp_k)
+            pos_c = np.minimum(pos, len(nodes_s) - 1)
+            hit = nodes_s[pos_c] == comp_k
+            root = np.where(hit, lab_s[pos_c], comp_k)
+        else:
+            root = comp_k
+        take = pa.array(crow)
+        cols = {"component": pa.array(root)}
+        for c in PAYLOAD:
+            cols[c] = g[c].take(take)
+        return pa.table(cols)
+
+    unioned = comps.map_batches(tag_comps, batch_format="pyarrow").union(
+        labels.map_batches(tag_labels, batch_format="pyarrow"))
+    return unioned.groupby("_part").map_groups(bucket_join, batch_format="pyarrow")
+
+
+def polygonize(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size: int = 64,
+               labels_mode: str = "auto", distributed_threshold: int = 1_000_000):
     """Distributed polygonize over a tile table (schema per FIXTURES F3).
 
     Returns a Dataset of components: (value: float64, n_pixels: int64,
     minx/miny/maxx/maxy: int64 global pixel bounds, n_fragments: int64 —
     the member (tile, label) fragment count, an upper bound on distinct
     tiles touched).
+
+    ``labels_mode``: 'driver' folds the label-equivalence edges with a
+    driver union-find (fast when the edge list is metadata-sized);
+    'distributed' runs the bucket-keyed min-label propagation
+    (``_components_distributed``) so nothing edge-list-sized touches the
+    driver — the 100 TB path; 'auto' (default) picks by the edge count vs
+    ``distributed_threshold``.  Both produce identical components (min
+    reachable key).
     """
 
     def per_tile(batch: pa.Table) -> pa.Table:
@@ -354,36 +513,51 @@ def polygonize(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size:
     )
     pairs = borders.groupby("edge_key").map_groups(edge_pairs, batch_format="pyarrow")
 
-    # driver-side union-find over label-equivalence EDGES (metadata-sized)
-    import ray
+    if labels_mode not in ("auto", "driver", "distributed"):
+        raise ValueError(labels_mode)
+    mode = labels_mode
+    if mode == "auto":
+        pairs = pairs.materialize()
+        mode = "driver" if pairs.count() <= distributed_threshold else "distributed"
 
-    pair_rows = pairs.take_all()
-    parent: dict[int, int] = {}
+    comps_payload = comps.map_batches(
+        lambda t: t.drop_columns(["kind", "edge_key", "pos0", "pos1", "side"]),
+        batch_format="pyarrow",
+    )
+    if mode == "distributed":
+        labels = _components_distributed(pairs)
+        relabeled = _attach_component(comps_payload, labels)
+    else:
+        # driver-side union-find over label-equivalence EDGES (metadata-sized)
+        import ray
 
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+        pair_rows = pairs.take_all()
+        parent: dict[int, int] = {}
 
-    for row in pair_rows:
-        a, b = find(row["a"]), find(row["b"])
-        if a != b:
-            parent[max(a, b)] = min(a, b)
-    remap = {k: find(k) for k in list(parent)}
-    remap_ref = ray.put(remap)
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
 
-    def relabel(batch: pa.Table) -> pa.Table:
-        rm = ray.get(remap_ref)
-        keys = batch["key"].to_pylist()
-        root = [rm.get(k, k) for k in keys]
-        return batch.drop_columns(["key", "kind", "edge_key", "pos0", "pos1", "side"]).append_column(
-            "component", pa.array(root, pa.int64())
-        )
+        for row in pair_rows:
+            a, b = find(row["a"]), find(row["b"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        remap = {k: find(k) for k in list(parent)}
+        remap_ref = ray.put(remap)
 
-    relabeled = comps.map_batches(relabel, batch_format="pyarrow")
+        def relabel(batch: pa.Table) -> pa.Table:
+            rm = ray.get(remap_ref)
+            keys = batch["key"].to_pylist()
+            root = [rm.get(k, k) for k in keys]
+            return batch.drop_columns(["key"]).append_column(
+                "component", pa.array(root, pa.int64())
+            )
+
+        relabeled = comps_payload.map_batches(relabel, batch_format="pyarrow")
 
     from ray.data.aggregate import Count, Max, Min, Sum
 

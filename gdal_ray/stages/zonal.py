@@ -101,7 +101,12 @@ def zonal_stats_dense(
                          "mn": pa.array([lo.tobytes()], pa.binary()),
                          "mx": pa.array([hi.tobytes()], pa.binary())})
 
+    # two tree levels (64^2 partials collapse to one row) so the driver-side
+    # fold below touches O(1) vectors even at thousands of batches — the
+    # serial tail at high parallelism is one vector read, not a fold loop
     partial_rows = partials.map_batches(
+        merge_block, batch_format="pyarrow", batch_size=64
+    ).map_batches(
         merge_block, batch_format="pyarrow", batch_size=64
     ).take_all()
     cnt = np.zeros(n_zones, dtype=np.int64)

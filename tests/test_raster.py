@@ -530,3 +530,50 @@ def test_polygonize_rings_8conn_tiled_equals_monolithic(ray_session):
     t4 = poly.polygonize_rings(rd.from_arrow(tiled), nodata=0.0,
                                connect8=False, tile_size=64).take_all()
     assert len(t4) > 3 * 50  # 4-conn: diagonal chains shatter into singletons
+
+
+@pytest.mark.parametrize("kind", ["blobs", "checker"])
+def test_polygonize_distributed_labels_match_driver(kind):
+    """labels_mode='distributed' (bucket-keyed min-label propagation) must
+    produce the exact same component set as the driver union-find."""
+    size = 32
+    tiles = synthetic.make_raster_tiles(kind, 3, 3, size=size)
+
+    def norm(df):
+        return sorted(
+            (float(r.value), int(r.n_pixels), int(r.minx), int(r.miny),
+             int(r.maxx), int(r.maxy), int(r.n_fragments))
+            for r in df.itertuples()
+        )
+
+    drv = poly_stage.polygonize(
+        rd.from_arrow(tiles), nodata=0.0, tile_size=size, labels_mode="driver"
+    ).to_pandas()
+    dist = poly_stage.polygonize(
+        rd.from_arrow(tiles), nodata=0.0, tile_size=size, labels_mode="distributed"
+    ).to_pandas()
+    assert norm(drv) == norm(dist)
+
+
+def test_polygonize_distributed_snake_component():
+    """A serpentine one-pixel-wide path across a 4x1 tile strip: component
+    diameter spans every tile, exercising multi-iteration propagation."""
+    size = 16
+    arr = np.zeros((16, 64), dtype=np.uint8)
+    arr[8, :] = 7          # long horizontal line through all 4 tiles
+    arr[2:9, 0] = 7        # hook at the left end
+    rows = []
+    for tx in range(4):
+        rows.append(
+            {"z": 4, "x": tx, "y": 0, "band": 1, "width": size, "height": size,
+             "crs": "EPSG:3857", "nodata": 0.0, "dtype": "uint8",
+             "data": arr[:, tx * size:(tx + 1) * size].tobytes()}
+        )
+    tiles = pa.Table.from_pylist(rows)
+    out = poly_stage.polygonize(
+        rd.from_arrow(tiles), nodata=0.0, tile_size=size,
+        labels_mode="distributed"
+    ).to_pandas()
+    assert len(out) == 1
+    assert int(out["n_pixels"][0]) == int((arr == 7).sum())
+    assert int(out["n_fragments"][0]) == 4
