@@ -1978,6 +1978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": q.q1_pricing,
         "join_orders_customer": q.join_orders_customer,
         "filter_like_between": q.filter_like_between,
+        "filter_sql": q.filter_sql_q,
+        "select_sql_expr": q.select_sql_expr_q,
         "topk_orders": q.topk_orders,
         "distinct_segments": q.distinct_segments,
         # stream-shaped (SURVEY §2.12 analogues)
@@ -2301,6 +2303,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_name, p_size
             FROM part
             WHERE p_type LIKE '%AND%' AND p_size >= 10 AND p_size <= 30
+        """,
+        "filter_sql": """
+            SELECT p_partkey, p_name, p_size
+            FROM part
+            WHERE p_size BETWEEN 10 AND 30 AND p_type LIKE '%AND%'
+        """,
+        "select_sql_expr": """
+            SELECT doc_id, n_chars * 3 - 1 AS x3,
+                   n_chars - n_chars // 7 * 7 AS bucket7,
+                   upper(substr(lang, 1, 2)) AS lang_uc,
+                   CAST(length(source) AS INTEGER) AS src_len
+            FROM documents
+            WHERE n_chars - n_chars // 7 * 7 IN (1, 3, 5)
+              AND NOT (n_chars BETWEEN 100 AND 200)
+            ORDER BY doc_id LIMIT 200
         """,
         "topk_orders": """
             SELECT o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS total_cents

@@ -1,0 +1,566 @@
+"""OGR-SQL string front end: WHERE / SELECT parsing to Arrow expressions.
+
+Re-answers the reference's SQL text surface for vector pipelines —
+``ogr/swq_parser.y`` (the swq expression grammar), ``ogr/swq.cpp:998``
+(swq_expr_compile), ``ogr/ogrfeaturequery.cpp`` (SetAttributeFilter) — as a
+recursive-descent parser that compiles to pyarrow compute Expressions.  One
+compiled tree serves both roles:
+
+- scan pushdown: the WHERE tree over ``pyarrow.dataset.field`` refs is a
+  ``pads.Expression`` accepted by ``read_parquet(filter=...)`` (row-group
+  pruning at the read);
+- residual / projection: the same tree evaluated per batch (kernels accept
+  Arrays and Expressions alike; ``Table.filter`` accepts an Expression).
+
+Dialect notes (documented deviations from OGR, chosen so DuckDB oracles
+mirror directly): LIKE is case-SENSITIVE (SQL standard / DuckDB; OGR's is
+case-insensitive — use ILIKE for that), ``/`` on integers is truncating
+division (Arrow semantics; mirror with ``//`` in DuckDB), ``%`` is the
+truncated modulo.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+      | '(?P<str>(?:[^']|'')*)'
+      | "(?P<qid>(?:[^"]|"")*)"
+      | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<op><>|!=|<=|>=|<|>|=|\(|\)|,|\+|-|\*|/|%)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL",
+    "SELECT", "FROM", "WHERE", "ORDER", "BY", "ASC", "DESC", "LIMIT", "AS",
+    "CAST", "DISTINCT", "TRUE", "FALSE",
+}
+
+
+def tokenize(sql: str) -> list[tuple[str, object]]:
+    """[(kind, value)] with kind in num/str/ident/kw/op."""
+    out = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            if sql[pos:].strip() == "":
+                break
+            raise ValueError(f"bad SQL token at: {sql[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.lastgroup == "num":
+            txt = m.group("num")
+            out.append(("num", float(txt) if ("." in txt or "e" in txt.lower()) else int(txt)))
+        elif m.lastgroup == "str":
+            out.append(("str", m.group("str").replace("''", "'")))
+        elif m.lastgroup == "qid":
+            out.append(("ident", m.group("qid").replace('""', '"')))
+        elif m.lastgroup == "id":
+            word = m.group("id")
+            if word.upper() in _KEYWORDS:
+                out.append(("kw", word.upper()))
+            else:
+                out.append(("ident", word))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+# -- AST --------------------------------------------------------------------
+
+
+@dataclass
+class Col:
+    name: str
+
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Op:
+    op: str
+    args: list
+
+
+@dataclass
+class Func:
+    name: str
+    args: list
+
+
+@dataclass
+class Cast:
+    expr: object
+    type: str
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, kind=None, value=None):
+        if self.i >= len(self.toks):
+            return None
+        k, v = self.toks[self.i]
+        if kind is not None and k != kind:
+            return None
+        if value is not None and v != value:
+            return None
+        return v
+
+    def take(self, kind=None, value=None):
+        v = self.peek(kind, value)
+        if v is None:
+            got = self.toks[self.i] if self.i < len(self.toks) else "<end>"
+            raise ValueError(f"expected {value or kind}, got {got}")
+        self.i += 1
+        return v
+
+    def at_end(self):
+        return self.i >= len(self.toks)
+
+    # precedence: OR < AND < NOT < predicate < add < mul < unary < primary
+    def expr(self):
+        node = self.and_expr()
+        while self.peek("kw", "OR") is not None:
+            self.take()
+            node = Op("or", [node, self.and_expr()])
+        return node
+
+    def and_expr(self):
+        node = self.not_expr()
+        while self.peek("kw", "AND") is not None:
+            self.take()
+            node = Op("and", [node, self.not_expr()])
+        return node
+
+    def not_expr(self):
+        if self.peek("kw", "NOT") is not None:
+            self.take()
+            return Op("not", [self.not_expr()])
+        return self.predicate()
+
+    def predicate(self):
+        node = self.additive()
+        negate = False
+        if self.peek("kw", "NOT") is not None:
+            self.take()
+            negate = True
+        if self.peek("kw", "BETWEEN") is not None:
+            self.take()
+            lo = self.additive()
+            self.take("kw", "AND")
+            hi = self.additive()
+            node = Op("and", [Op(">=", [node, lo]), Op("<=", [node, hi])])
+        elif self.peek("kw", "IN") is not None:
+            self.take()
+            self.take("op", "(")
+            vals = [self.additive()]
+            while self.peek("op", ",") is not None:
+                self.take()
+                vals.append(self.additive())
+            self.take("op", ")")
+            node = Op("in", [node] + vals)
+        elif self.peek("kw", "LIKE") is not None:
+            self.take()
+            node = Op("like", [node, self.additive()])
+        elif self.peek("kw", "ILIKE") is not None:
+            self.take()
+            node = Op("ilike", [node, self.additive()])
+        elif self.peek("kw", "IS") is not None:
+            if negate:
+                raise ValueError("NOT IS is not valid SQL")
+            self.take()
+            isnot = self.peek("kw", "NOT") is not None
+            if isnot:
+                self.take()
+            self.take("kw", "NULL")
+            node = Op("notnull" if isnot else "isnull", [node])
+        else:
+            if negate:
+                raise ValueError("dangling NOT before non-predicate")
+            for sym in ("<>", "!=", "<=", ">=", "<", ">", "="):
+                if self.peek("op", sym) is not None:
+                    self.take()
+                    node = Op(sym, [node, self.additive()])
+                    return node
+            return node
+        if negate:
+            node = Op("not", [node])
+        return node
+
+    def additive(self):
+        node = self.mult()
+        while True:
+            if self.peek("op", "+") is not None:
+                self.take()
+                node = Op("+", [node, self.mult()])
+            elif self.peek("op", "-") is not None:
+                self.take()
+                node = Op("-", [node, self.mult()])
+            else:
+                return node
+
+    def mult(self):
+        node = self.unary()
+        while True:
+            for sym in ("*", "/", "%"):
+                if self.peek("op", sym) is not None:
+                    self.take()
+                    node = Op(sym, [node, self.unary()])
+                    break
+            else:
+                return node
+
+    def unary(self):
+        if self.peek("op", "-") is not None:
+            self.take()
+            return Op("neg", [self.unary()])
+        return self.primary()
+
+    def primary(self):
+        if self.peek("num") is not None:
+            return Lit(self.take("num"))
+        if self.peek("str") is not None:
+            return Lit(self.take("str"))
+        if self.peek("kw", "NULL") is not None:
+            self.take()
+            return Lit(None)
+        if self.peek("kw", "TRUE") is not None:
+            self.take()
+            return Lit(True)
+        if self.peek("kw", "FALSE") is not None:
+            self.take()
+            return Lit(False)
+        if self.peek("kw", "CAST") is not None:
+            self.take()
+            self.take("op", "(")
+            e = self.expr()
+            self.take("kw", "AS")
+            ty = self.take("ident")
+            self.take("op", ")")
+            return Cast(e, ty.upper())
+        if self.peek("op", "(") is not None:
+            self.take()
+            e = self.expr()
+            self.take("op", ")")
+            return e
+        name = self.take("ident")
+        if self.peek("op", "(") is not None:
+            self.take()
+            args = []
+            if self.peek("op", ")") is None:
+                args.append(self.expr())
+                while self.peek("op", ",") is not None:
+                    self.take()
+                    args.append(self.expr())
+            self.take("op", ")")
+            return Func(name.lower(), args)
+        return Col(name)
+
+
+def parse_where(sql: str):
+    """Parse a bare WHERE-clause expression string to an AST."""
+    p = _Parser(tokenize(sql))
+    node = p.expr()
+    if not p.at_end():
+        raise ValueError(f"trailing tokens: {p.toks[p.i:]}")
+    return node
+
+
+# -- compiler ---------------------------------------------------------------
+
+_CAST_TYPES = {
+    "BIGINT": pa.int64(), "INTEGER": pa.int32(), "INT": pa.int32(),
+    "DOUBLE": pa.float64(), "FLOAT": pa.float64(), "REAL": pa.float64(),
+    "VARCHAR": pa.string(), "TEXT": pa.string(), "STRING": pa.string(),
+    "BOOLEAN": pa.bool_(),
+}
+
+_FUNCS = {
+    "upper": lambda a: pc.utf8_upper(a),
+    "lower": lambda a: pc.utf8_lower(a),
+    "length": lambda a: pc.utf8_length(a),
+    "trim": lambda a: pc.utf8_trim_whitespace(a),
+    "ltrim": lambda a: pc.utf8_ltrim_whitespace(a),
+    "rtrim": lambda a: pc.utf8_rtrim_whitespace(a),
+    "abs": lambda a: pc.abs(a),
+    "floor": lambda a: pc.floor(a),
+    "ceil": lambda a: pc.ceil(a),
+    "sqrt": lambda a: pc.sqrt(a),
+    "round": lambda a: pc.round(a, round_mode="half_towards_infinity"),
+    "coalesce": lambda *a: pc.coalesce(*a),
+    "concat": lambda *a: pc.binary_join_element_wise(*a, ""),
+    "substr": lambda a, start, n=None: _substr(a, start, n),
+}
+
+
+def _substr(a, start, n=None):
+    """SQL 1-based substr; start/n must be literals (pre-extracted ints)."""
+    s = int(_literal_of(start)) - 1
+    if n is None:
+        return pc.utf8_slice_codeunits(a, s)
+    return pc.utf8_slice_codeunits(a, s, s + int(_literal_of(n)))
+
+
+def _literal_of(v):
+    if isinstance(v, pa.Scalar):
+        return v.as_py()
+    return v
+
+
+def compile_node(node, resolver):
+    """AST -> value via ``resolver(column_name)``.
+
+    resolver returns ``pyarrow.dataset.field(name)`` for a scan filter /
+    lazy expression, or ``table[name]`` for eager per-batch evaluation —
+    every kernel below accepts both (Expression in, Expression out)."""
+    if isinstance(node, Col):
+        return resolver(node.name)
+    if isinstance(node, Lit):
+        return pa.scalar(node.value)
+    if isinstance(node, Cast):
+        v = compile_node(node.expr, resolver)
+        ty = _CAST_TYPES[node.type]
+        if pa.types.is_integer(ty):
+            # SQL CAST(float AS int) rounds (DuckDB: half away from zero);
+            # Arrow's safe cast raises on truncation — round first (no-op on
+            # integer inputs)
+            v = pc.round(v, round_mode="half_towards_infinity")
+        return pc.cast(v, ty)
+    if isinstance(node, Func):
+        if node.name not in _FUNCS:
+            raise ValueError(f"unknown SQL function {node.name!r}; "
+                             f"known: {sorted(_FUNCS)}")
+        if node.name == "substr":
+            a = compile_node(node.args[0], resolver)
+            rest = [compile_node(x, resolver) for x in node.args[1:]]
+            return _FUNCS["substr"](a, *rest)
+        return _FUNCS[node.name](*[compile_node(a, resolver) for a in node.args])
+    assert isinstance(node, Op)
+    if node.op == "and":
+        return pc.and_kleene(*[compile_node(a, resolver) for a in node.args])
+    if node.op == "or":
+        return pc.or_kleene(*[compile_node(a, resolver) for a in node.args])
+    if node.op == "not":
+        return pc.invert(compile_node(node.args[0], resolver))
+    if node.op == "in":
+        target = compile_node(node.args[0], resolver)
+        vals = [a.value for a in node.args[1:]]
+        if not all(isinstance(a, Lit) for a in node.args[1:]):
+            raise ValueError("IN list must be literals")
+        return pc.is_in(target, value_set=pa.array(vals))
+    if node.op in ("like", "ilike"):
+        pat = node.args[1]
+        if not isinstance(pat, Lit):
+            raise ValueError("LIKE pattern must be a string literal")
+        return pc.match_like(compile_node(node.args[0], resolver),
+                             pat.value, ignore_case=(node.op == "ilike"))
+    if node.op == "isnull":
+        return pc.is_null(compile_node(node.args[0], resolver))
+    if node.op == "notnull":
+        return pc.is_valid(compile_node(node.args[0], resolver))
+    if node.op == "neg":
+        return pc.negate(compile_node(node.args[0], resolver))
+    a = compile_node(node.args[0], resolver)
+    b = compile_node(node.args[1], resolver)
+    if node.op == "=":
+        return pc.equal(a, b)
+    if node.op in ("<>", "!="):
+        return pc.not_equal(a, b)
+    if node.op == "<":
+        return pc.less(a, b)
+    if node.op == "<=":
+        return pc.less_equal(a, b)
+    if node.op == ">":
+        return pc.greater(a, b)
+    if node.op == ">=":
+        return pc.greater_equal(a, b)
+    if node.op == "+":
+        return pc.add(a, b)
+    if node.op == "-":
+        return pc.subtract(a, b)
+    if node.op == "*":
+        return pc.multiply(a, b)
+    if node.op == "/":
+        return pc.divide(a, b)
+    if node.op == "%":
+        # truncated modulo: a - (a / b) * b with Arrow's truncating int divide
+        return pc.subtract(a, pc.multiply(pc.divide(a, b), b))
+    raise ValueError(f"unknown op {node.op!r}")
+
+
+def columns_used(node) -> set[str]:
+    if isinstance(node, Col):
+        return {node.name}
+    if isinstance(node, Lit):
+        return set()
+    if isinstance(node, Cast):
+        return columns_used(node.expr)
+    return set().union(*[columns_used(a) for a in node.args]) if node.args else set()
+
+
+def scan_filter(where_sql: str):
+    """WHERE string -> pads.Expression for read_parquet(filter=...), or None
+    when some construct can't build a dataset expression (caller then runs
+    the whole predicate as a residual batch filter)."""
+    import pyarrow.dataset as pads
+
+    try:
+        return compile_node(parse_where(where_sql), pads.field)
+    except (ValueError, KeyError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return None
+
+
+# -- SELECT statements ------------------------------------------------------
+
+
+@dataclass
+class Select:
+    projections: list  # [(ast, alias)]
+    table: str | None
+    where: object | None
+    order_by: list  # [(col_name, descending)]
+    limit: int | None
+    distinct: bool = False
+    star: bool = False
+
+    @property
+    def columns_needed(self) -> set[str]:
+        cols = set()
+        for a, _alias in self.projections:
+            cols |= columns_used(a)
+        if self.where is not None:
+            cols |= columns_used(self.where)
+        for c, _ in self.order_by:
+            cols.add(c)
+        return cols
+
+
+def _default_alias(node, idx: int) -> str:
+    if isinstance(node, Col):
+        return node.name
+    return f"col{idx}"
+
+
+def parse_select(sql: str) -> Select:
+    """Parse ``SELECT [DISTINCT] items FROM table [WHERE ...]
+    [ORDER BY c [ASC|DESC], ...] [LIMIT n]`` (the ogr_gensql.cpp execution
+    surface minus JOIN/GROUP BY, which the engine exposes as dedicated
+    stages — relational.hash_join_broadcast / partial_aggregate)."""
+    p = _Parser(tokenize(sql))
+    p.take("kw", "SELECT")
+    distinct = False
+    if p.peek("kw", "DISTINCT") is not None:
+        p.take()
+        distinct = True
+    star = False
+    projections = []
+    if p.peek("op", "*") is not None:
+        p.take()
+        star = True
+    else:
+        while True:
+            e = p.expr()
+            alias = None
+            if p.peek("kw", "AS") is not None:
+                p.take()
+                alias = p.take("ident")
+            projections.append((e, alias or _default_alias(e, len(projections))))
+            if p.peek("op", ",") is None:
+                break
+            p.take()
+    table = None
+    if p.peek("kw", "FROM") is not None:
+        p.take()
+        table = p.take("ident")
+    where = None
+    if p.peek("kw", "WHERE") is not None:
+        p.take()
+        where = p.expr()
+    order_by = []
+    if p.peek("kw", "ORDER") is not None:
+        p.take()
+        p.take("kw", "BY")
+        while True:
+            c = p.take("ident")
+            desc = False
+            if p.peek("kw", "DESC") is not None:
+                p.take()
+                desc = True
+            elif p.peek("kw", "ASC") is not None:
+                p.take()
+            order_by.append((c, desc))
+            if p.peek("op", ",") is None:
+                break
+            p.take()
+    limit = None
+    if p.peek("kw", "LIMIT") is not None:
+        p.take()
+        limit = int(p.take("num"))
+    if not p.at_end():
+        raise ValueError(f"trailing tokens: {p.toks[p.i:]}")
+    return Select(projections, table, where, order_by, limit, distinct, star)
+
+
+def apply_select(ds, sel: Select, skip_where: bool = False):
+    """Run a parsed Select over a Ray Dataset: residual WHERE filter ->
+    vectorized projection -> ORDER BY (range-partitioned sort) -> LIMIT.
+    ``skip_where=True`` when the caller already pushed the whole predicate
+    into the scan."""
+    where = None if skip_where else sel.where
+    proj = sel.projections
+    order_cols = {c for c, _ in sel.order_by}
+    out_names = [alias for _, alias in proj]
+    extra_sort = [c for c in order_cols
+                  if c not in out_names] if not sel.star else []
+
+    def run_batch(t: pa.Table) -> pa.Table:
+        if where is not None:
+            t = t.filter(compile_node(where, lambda n: t[n]))
+        if sel.star:
+            return t
+        cols = {}
+        for node, alias in proj:
+            v = compile_node(node, lambda n: t[n])
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+            cols[alias] = v
+        for c in extra_sort:  # carry sort keys not in the projection
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    out = ds.map_batches(run_batch, batch_format="pyarrow")
+    if sel.distinct:
+        from ..stages.relational import distinct as _distinct
+
+        out = _distinct(out, out_names)
+    if sel.order_by:
+        out = out.sort([c for c, _ in sel.order_by],
+                       descending=[d for _, d in sel.order_by])
+    if sel.limit is not None:
+        out = out.limit(sel.limit)
+    if extra_sort:
+        out = out.select_columns(out_names)
+    return out
+
+
+def sql_filter(ds, where_sql: str):
+    """WHERE-string residual filter over a Dataset (SetAttributeFilter)."""
+    node = parse_where(where_sql)
+    return ds.map_batches(
+        lambda t: t.filter(compile_node(node, lambda n: t[n])),
+        batch_format="pyarrow",
+    )

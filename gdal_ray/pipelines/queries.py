@@ -212,6 +212,39 @@ def filter_like_between(sf_dir: str):
     return relational.filter_expr(ds, fn).select_columns(["p_partkey", "p_name", "p_size"])
 
 
+def filter_sql_q(sf_dir: str):
+    """filter_like_between driven from an OGR-SQL STRING instead of Python
+    callables (reference grammar ogr/swq_parser.y; SetAttributeFilter
+    ogr/ogrfeaturequery.cpp): the BETWEEN prefix compiles to a
+    pads.Expression pushed into the parquet scan, the full predicate runs
+    as the vectorized residual."""
+    from ..functions import sqlexpr
+
+    sql = ("SELECT p_partkey, p_name, p_size FROM part "
+           "WHERE p_size BETWEEN 10 AND 30 AND p_type LIKE '%AND%'")
+    sel = sqlexpr.parse_select(sql)
+    push = sqlexpr.scan_filter("p_size BETWEEN 10 AND 30")
+    ds = read_table(sf_dir, "part", columns=sorted(sel.columns_needed), filter=push)
+    return sqlexpr.apply_select(ds, sel)
+
+
+def select_sql_expr_q(sf_dir: str):
+    """SQL SELECT with projection expressions, scalar functions, DISTINCT-free
+    ORDER BY + LIMIT — the ogr_gensql.cpp evaluation surface from a string.
+    Integer arithmetic only (truncating / and %, mirrored by DuckDB // )."""
+    from ..functions import sqlexpr
+
+    sql = ("SELECT doc_id, n_chars * 3 - 1 AS x3, "
+           "n_chars - n_chars / 7 * 7 AS bucket7, "
+           "upper(substr(lang, 1, 2)) AS lang_uc, length(source) AS src_len "
+           "FROM documents "
+           "WHERE n_chars - n_chars / 7 * 7 IN (1, 3, 5) AND NOT (n_chars BETWEEN 100 AND 200) "
+           "ORDER BY doc_id LIMIT 200")
+    sel = sqlexpr.parse_select(sql)
+    ds = read_table(sf_dir, "documents", columns=sorted(sel.columns_needed))
+    return sqlexpr.apply_select(ds, sel)
+
+
 def topk_orders(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     ds = ds.map_batches(

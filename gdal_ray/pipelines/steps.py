@@ -39,9 +39,13 @@ def list_steps() -> list[str]:
 
 def run_pipeline(ds, spec: str):
     """Run a '!'-chained step spec:
-    "derive_geometry ! filter_ge col=n_chars value=100 ! select cols=doc_id ! limit n=10"."""
+    "derive_geometry ! filter_ge col=n_chars value=100 ! select cols=doc_id ! limit n=10".
+    Values are shlex-quoted, so SQL strings survive:
+    ``sql_filter where='p_size >= 10 AND p_type LIKE ''%AND%''' ``."""
+    import shlex
+
     for part in spec.split("!"):
-        tokens = part.strip().split()
+        tokens = shlex.split(part.strip())
         if not tokens:
             continue
         name, kwargs = tokens[0], {}
@@ -76,6 +80,25 @@ def _filter_ge(ds, col, value):
     return ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t[col], value)), batch_format="pyarrow"
     )
+
+
+@register_step("sql_filter")
+def _sql_filter(ds, where):
+    """OGR SetAttributeFilter role: WHERE string -> vectorized Arrow filter
+    (ogr/ogrfeaturequery.cpp; grammar ogr/swq_parser.y)."""
+    from ..functions import sqlexpr
+
+    return sqlexpr.sql_filter(ds, where)
+
+
+@register_step("sql_select")
+def _sql_select(ds, sql):
+    """OGR SQL SELECT over the current dataset (ogr/ogr_gensql.cpp role):
+    projection expressions, WHERE, ORDER BY, LIMIT, DISTINCT.  The FROM
+    clause, if present, is ignored — the input Dataset IS the layer."""
+    from ..functions import sqlexpr
+
+    return sqlexpr.apply_select(ds, sqlexpr.parse_select(sql))
 
 
 def _truthy(v) -> bool:

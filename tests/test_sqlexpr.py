@@ -1,0 +1,124 @@
+"""OGR-SQL string front end (functions/sqlexpr.py): parser, compiler,
+scan-filter pushdown, Select application, and step-registry integration."""
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from gdal_ray.functions import sqlexpr
+
+
+def _mask(sql, table):
+    node = sqlexpr.parse_where(sql)
+    return sqlexpr.compile_node(node, lambda n: table[n]).to_pylist()
+
+
+T = pa.table({
+    "a": pa.array([1, 2, 3, 4, 5, None], pa.int64()),
+    "s": pa.array(["Apple", "banana", "Cherry", "date", None, "fig"]),
+    "x": pa.array([1.5, -2.0, 0.0, 3.25, 10.0, 2.0]),
+})
+
+
+def test_comparisons_and_precedence():
+    assert _mask("a > 2 AND a < 5", T) == [False, False, True, True, False, None]
+    # OR binds looser than AND
+    assert _mask("a = 1 OR a > 2 AND a < 5", T) == [True, False, True, True, False, None]
+    assert _mask("(a = 1 OR a > 2) AND a < 5", T) == [True, False, True, True, False, None]
+    assert _mask("NOT a = 2", T) == [True, False, True, True, True, None]
+
+
+def test_between_in_like_null():
+    assert _mask("a BETWEEN 2 AND 4", T) == [False, True, True, True, False, None]
+    assert _mask("a NOT BETWEEN 2 AND 4", T) == [True, False, False, False, True, None]
+    assert _mask("a IN (1, 4)", T) == [True, False, False, True, False, False]
+    assert _mask("s LIKE '%an%'", T) == [False, True, False, False, None, False]
+    assert _mask("s ILIKE 'a%'", T) == [True, False, False, False, None, False]
+    assert _mask("s IS NULL", T) == [False, False, False, False, True, False]
+    assert _mask("s IS NOT NULL", T) == [True, True, True, True, False, True]
+    # string literal escaping
+    assert _mask("s = 'It''s'", T) == [False, False, False, False, None, False]
+
+
+def test_arithmetic_and_functions():
+    node = sqlexpr.parse_where("a * 2 + 1")
+    got = sqlexpr.compile_node(node, lambda n: T[n]).to_pylist()
+    assert got == [3, 5, 7, 9, 11, None]
+    # truncating integer division + derived modulo
+    node = sqlexpr.parse_where("a - a / 2 * 2")
+    got = sqlexpr.compile_node(node, lambda n: T[n]).to_pylist()
+    assert got == [1, 0, 1, 0, 1, None]
+    node = sqlexpr.parse_where("a % 2")
+    assert sqlexpr.compile_node(node, lambda n: T[n]).to_pylist() == got
+    node = sqlexpr.parse_where("upper(substr(s, 1, 3))")
+    got = sqlexpr.compile_node(node, lambda n: T[n]).to_pylist()
+    assert got == ["APP", "BAN", "CHE", "DAT", None, "FIG"]
+    node = sqlexpr.parse_where("CAST(x AS BIGINT)")
+    got = sqlexpr.compile_node(node, lambda n: T[n]).to_pylist()
+    assert got[1] == -2 and got[4] == 10
+
+
+def test_columns_used_and_errors():
+    node = sqlexpr.parse_where("a > 1 AND upper(s) = 'Q' OR x IS NULL")
+    assert sqlexpr.columns_used(node) == {"a", "s", "x"}
+    with pytest.raises(ValueError):
+        sqlexpr.parse_where("a >")
+    with pytest.raises(ValueError):
+        sqlexpr.parse_where("a = 1 extra junk ^^")
+    with pytest.raises(ValueError):
+        sqlexpr.compile_node(sqlexpr.parse_where("nosuchfn(a)"), lambda n: T[n])
+
+
+def test_scan_filter_pushdown_matches_residual():
+    import pyarrow.dataset as pads
+
+    expr = sqlexpr.scan_filter("a BETWEEN 2 AND 4 AND s LIKE '%a%'")
+    assert expr is not None
+    got = T.filter(expr)
+    # same rows as the residual path
+    res = T.filter(pa.array([bool(v) if v is not None else False
+                             for v in _mask("a BETWEEN 2 AND 4 AND s LIKE '%a%'", T)]))
+    assert got.equals(res)
+
+
+def test_parse_select_full():
+    sel = sqlexpr.parse_select(
+        "SELECT a, a * 2 AS dbl, upper(s) AS su FROM t "
+        "WHERE a >= 2 ORDER BY a DESC LIMIT 3")
+    assert [alias for _, alias in sel.projections] == ["a", "dbl", "su"]
+    assert sel.table == "t"
+    assert sel.order_by == [("a", True)]
+    assert sel.limit == 3
+    assert sel.columns_needed == {"a", "s"}
+
+
+def test_apply_select_over_dataset(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(T)
+    sel = sqlexpr.parse_select(
+        "SELECT a, a * 10 AS a10 FROM t WHERE a IS NOT NULL AND a <> 3 "
+        "ORDER BY a DESC LIMIT 2")
+    rows = sqlexpr.apply_select(ds, sel).take_all()
+    assert rows == [{"a": 5, "a10": 50}, {"a": 4, "a10": 40}]
+    # ORDER BY a column not in the projection: carried then dropped
+    sel2 = sqlexpr.parse_select(
+        "SELECT s FROM t WHERE a IS NOT NULL ORDER BY a DESC LIMIT 2")
+    rows2 = sqlexpr.apply_select(ds, sel2).take_all()
+    assert rows2 == [{"s": None}, {"s": "date"}]
+
+
+def test_sql_steps_in_pipeline(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.pipelines import steps
+
+    ds = rd.from_arrow(T)
+    out = steps.run_pipeline(
+        ds, "sql_filter where='a BETWEEN 2 AND 4' ! select cols=a ! limit n=10"
+    ).take_all()
+    assert sorted(r["a"] for r in out) == [2, 3, 4]
+    out2 = steps.run_pipeline(
+        ds, 'sql_select sql="SELECT a, a + 1 AS b FROM t WHERE a IN (1, 5)"'
+    ).take_all()
+    assert sorted((r["a"], r["b"]) for r in out2) == [(1, 2), (5, 6)]
