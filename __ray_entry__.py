@@ -167,6 +167,41 @@ FROM {src} GROUP BY 1, 2
 """
 
 
+def _warp_blend_sql() -> str:
+    """Feather-blend mosaic (rastermap.mosaic_blend): two footprint sources,
+    integer edge-distance densities clamped at 16, half-up weighted mean."""
+    from gdal_ray.pipelines.queries import WARP_BLEND_RECT_A, WARP_BLEND_RECT_B
+
+    def val(rect, a, b, mod):
+        x0, y0, x1, y1 = rect
+        return (f"CASE WHEN gx >= {x0} AND gx < {x1} AND gy >= {y0} AND gy < {y1} "
+                f"THEN ({a} * gx + {b} * gy) % {mod} + 1 ELSE 0 END")
+
+    def dens(rect, vcol):
+        x0, y0, x1, y1 = rect
+        return (f"CASE WHEN {vcol} = 0 THEN 0 ELSE "
+                f"LEAST(gx - {x0} + 1, {x1} - gx, gy - {y0} + 1, {y1} - gy, 16) END")
+
+    return f"""
+        WITH px AS (SELECT a.range AS gx, b.range AS gy
+                    FROM range(192) a, range(192) b),
+        v AS (SELECT gx, gy,
+                     {val(WARP_BLEND_RECT_A, 1, 2, 251)} AS va,
+                     {val(WARP_BLEND_RECT_B, 3, 1, 241)} AS vb
+              FROM px),
+        d AS (SELECT gx, gy, va, vb,
+                     {dens(WARP_BLEND_RECT_A, 'va')} AS da,
+                     {dens(WARP_BLEND_RECT_B, 'vb')} AS db
+              FROM v),
+        o AS (SELECT gx, gy,
+                     CASE WHEN da + db > 0
+                          THEN (2 * (da * va + db * vb) + (da + db)) // (2 * (da + db))
+                          ELSE 0 END AS v
+              FROM d)
+        {_tile_checksum_sql("v", 64, "o")}
+    """
+
+
 def _mosaic_sql() -> str:
     """rects composed over checker, last non-nodata wins (rastermap.mosaic):
     v = rect value where a rect covers the pixel, else the checker value;
@@ -2063,6 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scalar_funcs_datetime": q.scalar_funcs_datetime_q,
         "scalar_funcs_props": q.scalar_funcs_props_q,
         "mosaic_compose": q.mosaic_compose_q,
+        "warp_blend": q.warp_blend_q,
         "char_entropy": q.char_entropy_q,
         "text_normalize": q.text_normalize_q,
         "filter_cascade": q.filter_cascade_q,
@@ -3759,6 +3795,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "mosaic_compose": _mosaic_sql(),
+        "warp_blend": _warp_blend_sql(),
         "scalar_funcs_props": r"""
             -- NULLIF handles a no-match (regexp_extract returns '' there,
             -- and CAST('') errors), mirroring pc.extract_regex's null: the

@@ -3599,6 +3599,27 @@ def mosaic_compose_q(sf_dir: str):
     return out.select_columns(["x", "y", "checksum"])
 
 
+WARP_BLEND_RECT_A = (10, 10, 150, 150)
+WARP_BLEND_RECT_B = (60, 40, 180, 170)
+
+
+def warp_blend_q(sf_dir: str):
+    """gdalwarp density/feather blending of two overlapping sources
+    (alg/gdalwarper.cpp density masks): per-pixel integer edge-distance
+    densities (ramp width 16), exact weighted-mean blend, per-tile
+    checksums as the golden."""
+    from ..stages import rastermap
+
+    a = synthetic.make_footprint_layer(WARP_BLEND_RECT_A, 1, 2, 251, 3, 3)
+    b = synthetic.make_footprint_layer(WARP_BLEND_RECT_B, 3, 1, 241, 3, 3)
+    out = rastermap.mosaic_blend(
+        [(rd.from_arrow(a), WARP_BLEND_RECT_A),
+         (rd.from_arrow(b), WARP_BLEND_RECT_B)],
+        feather=16,
+    )
+    return out.select_columns(["x", "y", "checksum"])
+
+
 def scalar_funcs_props_q(sf_dir: str):
     """HSTORE_GET_VALUE analogue + ILIKE (ogr/swq_op_registrar.cpp:28-61,
     ogr/swq_op_general.cpp): extract the numeric 'k' property from the JSON

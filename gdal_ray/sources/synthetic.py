@@ -308,3 +308,40 @@ def make_raster_tiles(kind: str, nx: int, ny: int, size: int = 64, z: int = 4) -
             "data": pa.array(datas, type=pa.binary()),
         }
     )
+
+
+def make_footprint_layer(rect, a: int, b: int, mod: int,
+                         nx: int, ny: int, size: int = 64, z: int = 4) -> pa.Table:
+    """Tile table for one mosaic SOURCE with a rectangular footprint: value
+    ((a*gx + b*gy) % mod) + 1 inside the half-open rect [x0,x1) x [y0,y1)
+    (always >= 1, so 0 is unambiguously nodata), 0 outside.  The
+    feather-blend fixture (rastermap.mosaic_blend): closed-form per-pixel
+    values + a straight-edged footprint make the density ramp SQL-exact."""
+    x0, y0, x1, y1 = rect
+    zs, xs, ys, datas = [], [], [], []
+    for ty in range(ny):
+        for tx in range(nx):
+            gy, gx = np.mgrid[0:size, 0:size]
+            gx = gx + tx * size
+            gy = gy + ty * size
+            inside = (gx >= x0) & (gx < x1) & (gy >= y0) & (gy < y1)
+            arr = np.where(inside, (a * gx + b * gy) % mod + 1, 0).astype(np.uint8)
+            zs.append(z)
+            xs.append(tx)
+            ys.append(ty)
+            datas.append(arr.tobytes())
+    n = len(datas)
+    return pa.table(
+        {
+            "z": pa.array(zs, type=pa.int16()),
+            "x": pa.array(xs, type=pa.int32()),
+            "y": pa.array(ys, type=pa.int32()),
+            "band": pa.array([1] * n, type=pa.int8()),
+            "width": pa.array([size] * n, type=pa.int32()),
+            "height": pa.array([size] * n, type=pa.int32()),
+            "crs": pa.array(["EPSG:3857"] * n),
+            "nodata": pa.array([0.0] * n),
+            "dtype": pa.array(["uint8"] * n),
+            "data": pa.array(datas, type=pa.binary()),
+        }
+    )

@@ -560,6 +560,79 @@ def mosaic(layers: list, nodata: float = 0.0):
     return allds.groupby(["z", "band", "x", "y"]).map_groups(compose, batch_format="pyarrow")
 
 
+def mosaic_blend(layers: list, feather: int = 16, nodata: float = 0.0):
+    """Density/feather-blended mosaic of overlapping sources — the
+    ``alg/gdalwarper.cpp`` density-mask blend (GDALWarpSrcDensityMasker /
+    dfDensity weighting) for multi-source compositing, on top of the same
+    (z,band,x,y)-keyed shuffle as ``mosaic``.
+
+    ``layers`` = [(tiles_ds, footprint)] with footprint the source's
+    half-open global-pixel rect (x0, y0, x1, y1).  Per pixel each source
+    gets an INTEGER density d = clamp(min(dist to each footprint edge),
+    0, feather) (1 at the edge row, ``feather`` in the interior — GDAL's
+    linear alpha ramp quantized to whole pixels), zeroed where the source
+    pixel is nodata; the blended value is the density-weighted mean,
+    rounded half-up with exact integer arithmetic:
+
+        v = (2 * sum(d_i * v_i) + sum(d_i)) // (2 * sum(d_i))
+
+    so the result is bit-stable and SQL-mirrorable.  Pixels with total
+    density 0 become nodata.  Integer sources only (the float path would
+    not be order-exact); output int32 + per-tile checksum.
+    """
+    import ray.data as rd  # noqa: F401  (parity with mosaic; layers are Datasets)
+
+    from ..functions import checksum as cks
+
+    rects = [tuple(int(v) for v in r) for _, r in layers]
+    F = int(feather)
+
+    tagged = []
+    for li, (ds, _rect) in enumerate(layers):
+        tagged.append(
+            ds.map_batches(
+                lambda t, li=li: t.append_column(
+                    "layer", pa.array([li] * t.num_rows, pa.int32())),
+                batch_format="pyarrow",
+            )
+        )
+    allds = tagged[0]
+    for t in tagged[1:]:
+        allds = allds.union(t)
+
+    def blend(group: pa.Table) -> pa.Table:
+        i0 = 0
+        h = group["height"][i0].as_py()
+        w = group["width"][i0].as_py()
+        tx = group["x"][i0].as_py()
+        ty = group["y"][i0].as_py()
+        gy, gx = np.mgrid[0:h, 0:w]
+        gx = gx + tx * w
+        gy = gy + ty * h
+        num = np.zeros((h, w), dtype=np.int64)
+        den = np.zeros((h, w), dtype=np.int64)
+        for i in range(group.num_rows):
+            li = group["layer"][i].as_py()
+            x0, y0, x1, y1 = rects[li]
+            arr = _arr_of(group, i)
+            if arr.dtype.kind not in "iu":
+                raise ValueError("mosaic_blend requires integer sources")
+            v = arr.astype(np.int64)
+            d = np.minimum.reduce([gx - x0 + 1, x1 - gx, gy - y0 + 1, y1 - gy])
+            d = np.clip(d, 0, F)
+            d[v == int(nodata)] = 0
+            num += d * v
+            den += d
+        safe = np.maximum(den, 1)
+        out = np.where(den > 0, (2 * num + den) // (2 * safe), np.int64(nodata))
+        row = _tile_out(group, i0, out.astype(np.int32), "int32")
+        row["checksum"] = cks.tile_checksum(out)
+        return pa.Table.from_pylist([row])
+
+    return allds.groupby(["z", "band", "x", "y"]).map_groups(
+        blend, batch_format="pyarrow")
+
+
 def band_stats_lazy(tiles_ds, stride: int = 1):
     """gdalinfo -stats as a LAZY pipeline (no driver-side merge): exact
     per-tile integer partials (n, sum, sumsq, min, max) -> one tiny keyed

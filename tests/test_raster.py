@@ -577,3 +577,44 @@ def test_polygonize_distributed_snake_component():
     assert len(out) == 1
     assert int(out["n_pixels"][0]) == int((arr == 7).sum())
     assert int(out["n_fragments"][0]) == 4
+
+
+def test_mosaic_blend_matches_brute(ray_session):
+    """Feather blend vs a per-pixel numpy recomputation over the assembled
+    mosaic, plus edge semantics: pure-A interior, blended overlap, nodata
+    where no source covers."""
+    from gdal_ray.stages import rastermap
+
+    ra = (10, 10, 150, 150)
+    rb = (60, 40, 180, 170)
+    F = 16
+    a = synthetic.make_footprint_layer(ra, 1, 2, 251, 3, 3)
+    b = synthetic.make_footprint_layer(rb, 3, 1, 241, 3, 3)
+    out = rastermap.mosaic_blend(
+        [(rd.from_arrow(a), ra), (rd.from_arrow(b), rb)], feather=F
+    ).to_pandas()
+    full = np.zeros((192, 192), dtype=np.int64)
+    for r in out.itertuples():
+        arr = np.frombuffer(r.data, dtype=np.int32).reshape(64, 64)
+        full[r.y * 64:(r.y + 1) * 64, r.x * 64:(r.x + 1) * 64] = arr
+    gy, gx = np.mgrid[0:192, 0:192]
+    num = np.zeros((192, 192), dtype=np.int64)
+    den = np.zeros((192, 192), dtype=np.int64)
+    for (x0, y0, x1, y1), aa, bb, mod in ((ra, 1, 2, 251), (rb, 3, 1, 241)):
+        inside = (gx >= x0) & (gx < x1) & (gy >= y0) & (gy < y1)
+        v = np.where(inside, (aa * gx + bb * gy) % mod + 1, 0).astype(np.int64)
+        d = np.clip(np.minimum.reduce(
+            [gx - x0 + 1, x1 - gx, gy - y0 + 1, y1 - gy]), 0, F)
+        d[v == 0] = 0
+        num += d * v
+        den += d
+    expect = np.where(den > 0, (2 * num + den) // (2 * np.maximum(den, 1)), 0)
+    assert (full == expect).all()
+    # pure-A interior (far from A edges, outside B): exact A values
+    assert (full[30, 20] == (20 + 2 * 30) % 251 + 1)
+    # outside both: nodata
+    assert full[0, 0] == 0 and full[185, 5] == 0
+    # overlap interior (both at full density): plain average half-up
+    va = (100 + 2 * 100) % 251 + 1
+    vb = (3 * 100 + 100) % 241 + 1
+    assert full[100, 100] == (2 * (16 * va + 16 * vb) + 32) // 64
