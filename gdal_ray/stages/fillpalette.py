@@ -56,7 +56,18 @@ def fill_nodata(tiles_ds, nodata: float = 0.0, max_dist: int = 8):
     def fill_group(group: pa.Table) -> pa.Table:
         roles = group["role"].to_pylist()
         if "body" not in roles:
-            return pa.Table.from_pylist([])
+            # schema-pinned empty (a zero-COLUMN table makes Ray log
+            # RefBundle schema-mismatch warnings and would break if enforced)
+            return pa.table(
+                {"z": pa.array([], pa.int64()), "x": pa.array([], pa.int64()),
+                 "y": pa.array([], pa.int64()), "band": pa.array([], pa.int64()),
+                 "width": pa.array([], pa.int64()),
+                 "height": pa.array([], pa.int64()),
+                 "crs": pa.array([], pa.string()),
+                 "nodata": pa.array([], pa.float64()),
+                 "dtype": pa.array([], pa.string()),
+                 "data": pa.array([], pa.binary())}
+            )
         bi = roles.index("body")
         h = group["h"][bi].as_py()
         w = group["w"][bi].as_py()

@@ -111,9 +111,21 @@ class TileWarper:
     (ogr/ogr_proj_p.cpp:268)."""
 
     def __init__(self, src_ref, tile_px: int = 256, resample: str = "nearest",
-                 cutline_wkb: bytes | None = None, dst_alpha: bool = False):
+                 cutline_wkb: bytes | None = None, dst_alpha: bool = False,
+                 cache_blocks: int = 64):
         src = ray.get(src_ref) if isinstance(src_ref, ray.ObjectRef) else src_ref
         self.src = src
+        # a block-sharded source gets a per-actor LRU (gdalrasterblock.cpp
+        # Touch/FlushBlock role) instead of holding the whole raster: each
+        # warped tile reads only its source window through the cache
+        from ..state.blockcache import BlockCache, RasterBlockStore
+
+        self.cache = (BlockCache(src, capacity=cache_blocks)
+                      if isinstance(src, RasterBlockStore) else None)
+        if self.cache is not None and resample not in ("nearest", "bilinear"):
+            raise ValueError(
+                "block-cached source supports nearest/bilinear point "
+                "kernels; pass a SourceRaster for area/cubic warps")
         self.inv_gt = geo.inv_geotransform(src.gt)
         self.tile_px = tile_px
         self.resample = resample
@@ -128,6 +140,16 @@ class TileWarper:
 
     def _sample(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         px, py = geo.apply_geotransform(self.inv_gt, lon, lat)
+        if self.cache is not None:
+            if self.resample not in ("nearest", "bilinear"):
+                raise ValueError(
+                    "block-cached source supports nearest/bilinear point "
+                    "kernels; pass a SourceRaster for area/cubic warps")
+            W, ox, oy = self.cache.window_for(px, py, margin=2)
+            if W.size == 0:
+                return np.full(px.shape, self.src.nodata)
+            return _grid_sample(W, px - ox, py - oy, self.resample,
+                                self.src.nodata)
         if self.resample in ("nearest", "bilinear"):
             # GDAL GRA_NearestNeighbour / GRA_Bilinear on pixel centers —
             # shared tap math with the tile-join plan (_grid_sample)
