@@ -71,7 +71,8 @@ def _serialize_image(arr: np.ndarray, *, ifd_off: int, next_ifd: int = 0,
                      tile_size: int | None = None, rows_per_strip: int = 64,
                      origin=(0.0, 0.0), pixel_size=(1.0, 1.0), epsg: int = 3857,
                      nodata: float | None = None, endian: str = "<",
-                     subfile_type: int | None = None) -> bytes:
+                     subfile_type: int | None = None,
+                     compress: str | None = None) -> bytes:
     """One complete image unit (IFD + out-of-line payloads + pixel chunks)
     laid out starting at absolute file offset ``ifd_off``.  ``next_ifd`` is
     written into the IFD's next-pointer slot (0 terminates the chain).
@@ -102,6 +103,16 @@ def _serialize_image(arr: np.ndarray, *, ifd_off: int, next_ifd: int = 0,
     else:
         for y0 in range(0, h, rows_per_strip):
             chunks.append(le[y0:y0 + rows_per_strip].tobytes())
+    if compress is not None:
+        if compress != "deflate":
+            raise ValueError(f"unsupported compression {compress!r} "
+                             "(supported: 'deflate')")
+        import zlib
+
+        # Compression=8 (Adobe DEFLATE, frmts/gtiff COMPRESS=DEFLATE / the
+        # perftests/cog.py bench codec): independent zlib streams per chunk
+        # so workers still range-read and decode tiles independently
+        chunks = [zlib.compress(c, 6) for c in chunks]
 
     geo_keys = [1, 1, 0, 3,
                 _KEY_MODEL_TYPE, 0, 1, 1 if 3000 <= epsg else 2,
@@ -113,7 +124,7 @@ def _serialize_image(arr: np.ndarray, *, ifd_off: int, next_ifd: int = 0,
         _entry(TAG_WIDTH, 4, w, en=en),
         _entry(TAG_HEIGHT, 4, h, en=en),
         _entry(TAG_BITS, 3, bits, en=en),
-        _entry(TAG_COMPRESSION, 3, 1, en=en),
+        _entry(TAG_COMPRESSION, 3, 8 if compress == "deflate" else 1, en=en),
         _entry(TAG_PHOTOMETRIC, 3, 1, en=en),
         _entry(TAG_SAMPLES_PER_PIXEL, 3, 1, en=en),
         _entry(TAG_PLANAR, 3, 1, en=en),
@@ -187,8 +198,10 @@ def _serialize_image(arr: np.ndarray, *, ifd_off: int, next_ifd: int = 0,
 def write_gtiff(path: str, arr: np.ndarray, *, tile_size: int | None = None,
                 rows_per_strip: int = 64, origin=(0.0, 0.0),
                 pixel_size=(1.0, 1.0), epsg: int = 3857,
-                nodata: float | None = None, endian: str = "<") -> None:
-    """Serialize a 2-D array as a single-band uncompressed GeoTIFF.
+                nodata: float | None = None, endian: str = "<",
+                compress: str | None = None) -> None:
+    """Serialize a 2-D array as a single-band GeoTIFF (uncompressed or
+    ``compress='deflate'`` — Compression=8, one zlib stream per chunk).
 
     ``tile_size`` -> tiled layout (TIFF tiles pad to the full tile size with
     zeros, per spec); None -> strips of ``rows_per_strip`` rows (the final
@@ -200,7 +213,7 @@ def write_gtiff(path: str, arr: np.ndarray, *, tile_size: int | None = None,
     body = _serialize_image(
         arr, ifd_off=8, next_ifd=0, tile_size=tile_size,
         rows_per_strip=rows_per_strip, origin=origin, pixel_size=pixel_size,
-        epsg=epsg, nodata=nodata, endian=endian)
+        epsg=epsg, nodata=nodata, endian=endian, compress=compress)
     with open(path, "wb") as f:
         f.write(struct.pack(en + "2sHI", b"II" if en == "<" else b"MM", 42, 8))
         f.write(body)
@@ -287,7 +300,8 @@ def append_gtiff_images(path: str, arrs, *, tile_size: int | None = None,
                         rows_per_strip: int = 64, origin=(0.0, 0.0),
                         pixel_size=(1.0, 1.0), epsg: int = 3857,
                         nodata: float | None = None,
-                        subfile_type: int = 1) -> None:
+                        subfile_type: int = 1,
+                        compress: str | None = None) -> None:
     """Append reduced-resolution images to an existing GeoTIFF IN PLACE —
     gdaladdo's internal-overview behavior (apps/gdaladdo.cpp surface, layout
     per the frmts/gtiff internal-overview convention): each new image gets
@@ -317,7 +331,8 @@ def append_gtiff_images(path: str, arrs, *, tile_size: int | None = None,
             body = _serialize_image(
                 arr, ifd_off=end, next_ifd=0, tile_size=tile_size,
                 rows_per_strip=rows_per_strip, origin=origin, pixel_size=ps,
-                epsg=epsg, nodata=nodata, endian=en, subfile_type=subfile_type)
+                epsg=epsg, nodata=nodata, endian=en, subfile_type=subfile_type,
+                compress=compress)
             f.seek(end)
             f.write(body)
             f.seek(ptr_off)
@@ -330,8 +345,11 @@ def append_gtiff_images(path: str, arrs, *, tile_size: int | None = None,
 def _chunk_layout(tags, en):
     """-> dict describing the pixel chunks (shared by eager + manifest paths)."""
     w, h = tags[TAG_WIDTH][0], tags[TAG_HEIGHT][0]
-    if tags.get(TAG_COMPRESSION, [1])[0] != 1:
-        raise ValueError("only uncompressed (Compression=1) TIFFs supported")
+    compression = tags.get(TAG_COMPRESSION, [1])[0]
+    if compression not in (1, 8):
+        raise ValueError(
+            "only uncompressed (1) or DEFLATE (8) TIFFs supported, "
+            f"got Compression={compression}")
     if tags.get(TAG_SAMPLES_PER_PIXEL, [1])[0] != 1:
         raise ValueError("only single-band TIFFs supported")
     bits = tags[TAG_BITS][0]
@@ -377,7 +395,7 @@ def _chunk_layout(tags, en):
         ]
     return {"width": w, "height": h, "dtype": dname, "endian": en,
             "layout": "tiles" if TAG_TILE_OFFSETS in tags else "strips",
-            "chunks": chunks, **geo}
+            "compression": compression, "chunks": chunks, **geo}
 
 
 def read_gtiff(path: str, image: int = 0):
@@ -392,8 +410,16 @@ def read_gtiff(path: str, image: int = 0):
     dt = np.dtype(lay["dtype"]).newbyteorder(en)
     out = np.zeros((lay["height"], lay["width"]), dtype=lay["dtype"])
     for c in lay["chunks"]:
-        a = np.frombuffer(buf, dtype=dt, count=c["chunk_w"] * c["chunk_h"],
-                          offset=c["offset"]).reshape(c["chunk_h"], c["chunk_w"])
+        if lay["compression"] == 8:
+            import zlib
+
+            raw = zlib.decompress(buf[c["offset"]:c["offset"] + c["nbytes"]])
+            a = np.frombuffer(raw, dtype=dt,
+                              count=c["chunk_w"] * c["chunk_h"]
+                              ).reshape(c["chunk_h"], c["chunk_w"])
+        else:
+            a = np.frombuffer(buf, dtype=dt, count=c["chunk_w"] * c["chunk_h"],
+                              offset=c["offset"]).reshape(c["chunk_h"], c["chunk_w"])
         # grid pitch: tiles advance by the tile size, strips by rows-per-strip
         # (both equal the FIRST chunk's extent; later chunks may be clipped)
         ts_h = lay["chunks"][0]["chunk_h"]
@@ -452,6 +478,10 @@ def read_gtiff_tiles(path: str, z: int = 4, band: int = 1, image: int = 0):
             for i in range(t.num_rows):
                 f.seek(t["offset"][i].as_py())
                 raw = f.read(t["nbytes"][i].as_py())
+                if lay["compression"] == 8:
+                    import zlib
+
+                    raw = zlib.decompress(raw)
                 ch, cw = t["chunk_h"][i].as_py(), t["chunk_w"][i].as_py()
                 clh, clw = t["clip_h"][i].as_py(), t["clip_w"][i].as_py()
                 a = np.frombuffer(raw, dtype=dt, count=ch * cw).reshape(ch, cw)

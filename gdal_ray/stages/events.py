@@ -12,8 +12,8 @@ join sorts within (key) groups only — no global ordering assumption.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .relational import partial_aggregate
 
@@ -137,6 +137,43 @@ def session_windows(ds, gap_s: int, ts_col: str = "ts", key_col: str = "user_id"
     return tagged.groupby("_part").map_groups(per_part, batch_format="pyarrow")
 
 
+def _asof_backward_idx(lk: np.ndarray, lts: np.ndarray, rk: np.ndarray,
+                       rts: np.ndarray, remit: list) -> np.ndarray:
+    """Vectorized per-key backward as-of: for each left row, the index into
+    the right arrays of the latest right row with the same key and
+    rts <= lts (ties on rts -> max emit tuple), or -1.
+
+    One np.lexsort over the concatenated rows (key, ts, side, emit) + one
+    np.maximum.accumulate segment scan — no per-key loop, no pandas.  Right
+    rows sort before left rows at equal (key, ts) (backward join is
+    INCLUSIVE), and among tied rights the emit-ascending order makes the
+    max-index pick the max emit (the SQL row_number() ORDER BY ts DESC,
+    emit DESC mirror)."""
+    nl, nr = len(lk), len(rk)
+    if nl == 0 or nr == 0:
+        return np.full(nl, -1, dtype=np.int64)
+    key = np.concatenate([rk, lk])
+    ts = np.concatenate([rts, lts])
+    side = np.concatenate([np.zeros(nr, np.int8), np.ones(nl, np.int8)])
+    emit_keys = []
+    for e in reversed(remit):  # lexsort: later entries are more significant
+        emit_keys.append(np.concatenate([e, np.zeros(nl, e.dtype)]))
+    order = np.lexsort(tuple(emit_keys) + (side, ts, key))
+    side_s = side[order]
+    key_s = key[order]
+    rpos = np.where(side_s == 0, np.arange(nl + nr), -1)
+    acc = np.maximum.accumulate(rpos)
+    lrows = np.flatnonzero(side_s == 1)
+    cand = acc[lrows]
+    ok = cand >= 0
+    # accumulate can carry a right row across a key boundary — reject it
+    ok[ok] = key_s[cand[ok]] == key_s[lrows[ok]]
+    out = np.full(nl, -1, dtype=np.int64)
+    left_orig = order[lrows] - nr
+    out[left_orig[ok]] = order[cand[ok]]
+    return out
+
+
 def asof_join(
     events_ds,
     right: pa.Table,
@@ -148,40 +185,43 @@ def asof_join(
 ):
     """As-of join: latest right row with right_ts <= left ts per key.
 
-    Physical plan: broadcast the (small) right table sorted per key; per batch
-    use ``pd.merge_asof`` — vectorized backward search.  For a large right
-    side this becomes a co-partitioned groupby(key).map_groups with the same
-    per-group merge_asof body.
+    Physical plan: broadcast the (small) right table as Arrow; per batch the
+    vectorized ``_asof_backward_idx`` segment scan matches every left row at
+    once (zero-copy pyarrow batches end to end — no pandas conversion).
+    Output: the left columns + ``emit`` columns (null where unmatched),
+    input row order preserved.  Keys/timestamps must be non-null.  For a
+    large right side use ``asof_join_partitioned``.
     """
     import ray
 
-    # tie-break duplicate right_ts per key deterministically: merge_asof takes
-    # the LAST matching row, so sorting by (right_ts, emit cols) makes the
-    # winner the max emit value — mirrored in the SQL oracle's row_number()
-    rdf = right.to_pandas().sort_values([right_ts, *emit], kind="stable")
-    ref = ray.put(rdf)
+    TS = pa.timestamp("us")
+    rk = pc.cast(right[right_key], pa.int64()).to_numpy(zero_copy_only=False)
+    rts = pc.cast(pc.cast(right[right_ts], TS), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    remit = {c: pc.cast(right[c], pa.int64()).to_numpy(zero_copy_only=False)
+             for c in emit}
+    ref = ray.put((rk, rts, remit))
 
     class AsofJoiner:
         def __init__(self):
-            self.right = ray.get(ref)
+            self.rk, self.rts, self.remit = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch.sort_values(left_ts, kind="stable")
-            out = pd.merge_asof(
-                b,
-                self.right[[right_key, right_ts, *emit]],
-                left_on=left_ts,
-                right_on=right_ts,
-                left_by=left_key,
-                right_by=right_key,
-                direction="backward",
-            )
-            # merge_asof keeps BOTH by-columns; drop the right-side key (it
-            # duplicates left_key) along with the right timestamp
-            drop = [right_ts] + ([right_key] if right_key != left_key else [])
-            return out.drop(columns=drop)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lk = pc.cast(batch[left_key], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            lts = pc.cast(pc.cast(batch[left_ts], TS), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            idx = _asof_backward_idx(lk, lts, self.rk, self.rts,
+                                     [self.remit[c] for c in emit])
+            ok = idx >= 0
+            out = batch
+            for c in emit:
+                vals = np.where(ok, self.remit[c][np.maximum(idx, 0)], 0)
+                out = out.append_column(
+                    c, pa.array(vals, pa.int64(), mask=~ok))
+            return out
 
-    return events_ds.map_batches(AsofJoiner, batch_format="pandas", concurrency=2)
+    return events_ds.map_batches(AsofJoiner, batch_format="pyarrow", concurrency=2)
 
 
 def asof_join_partitioned(
@@ -228,28 +268,43 @@ def asof_join_partitioned(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["_side"] == 0]
-        right = g[g["_side"] == 1]
-        if left.empty:
-            return pd.DataFrame({id_col: [], **{c: [] for c in emit}})
-        if right.empty:
-            out = left[[id_col]].copy()
-            for c in emit:
-                out[c] = np.nan
-            return out
-        rs = right.sort_values(["_rts"] + [f"_e_{c}" for c in emit], kind="stable")
-        ls = left.sort_values("_lts", kind="stable")
-        merged = pd.merge_asof(
-            ls[[id_col, "_lts"]], rs[["_rts"] + [f"_e_{c}" for c in emit]],
-            left_on="_lts", right_on="_rts", direction="backward",
-        )
-        out = merged[[id_col]].copy()
-        for c in emit:
-            out[c] = merged[f"_e_{c}"]
-        return out
+    num_buckets = 64
 
-    return unioned.groupby("_k").map_groups(per_key, batch_format="pandas")
+    def tag_part(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["_k"], pa.int64()).to_numpy(zero_copy_only=False)
+        part = np.abs((k * np.int64(2654435761)) % np.int64(num_buckets))
+        return t.append_column("_part", pa.array(part))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        """All of a hash bucket's keys at once: the _asof_backward_idx
+        segment scan handles mixed keys, so the shuffle granularity is
+        BUCKETS (64 vectorized groups), not per-key pandas frames."""
+        isl = g["_side"].to_numpy(zero_copy_only=False) == 0
+        k = pc.cast(g["_k"], pa.int64()).to_numpy(zero_copy_only=False)
+        lrow = np.flatnonzero(isl)
+        rrow = np.flatnonzero(~isl)
+        if lrow.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             **{c: pa.array([], pa.int64()) for c in emit}})
+        lts = pc.cast(pc.fill_null(g["_lts"], 0), pa.int64()).to_numpy(
+            zero_copy_only=False)[lrow]
+        rts = pc.cast(pc.fill_null(g["_rts"], 0), pa.int64()).to_numpy(
+            zero_copy_only=False)[rrow]
+        remit = [pc.fill_null(g[f"_e_{c}"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)[rrow] for c in emit]
+        idx = _asof_backward_idx(k[lrow], lts, k[rrow], rts, remit)
+        ok = idx >= 0
+        cols = {id_col: g[id_col].take(pa.array(lrow))}
+        for c, e in zip(emit, remit):
+            vals = np.where(ok, e[np.maximum(idx, 0)], 0)
+            cols[c] = pa.array(vals, pa.int64(), mask=~ok)
+        return pa.table(cols)
+
+    return (
+        unioned.map_batches(tag_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def lag_lead_gaps(ds, ts_col: str = "ts", key_col: str = "user_id",

@@ -618,3 +618,38 @@ def test_mosaic_blend_matches_brute(ray_session):
     va = (100 + 2 * 100) % 251 + 1
     vb = (3 * 100 + 100) % 241 + 1
     assert full[100, 100] == (2 * (16 * va + 16 * vb) + 32) // 64
+
+
+def test_gtiff_deflate_roundtrip(ray_session, tmp_path):
+    """COMPRESS=DEFLATE (Compression=8, frmts/gtiff codec surface): tiled +
+    stripped roundtrips bit-exact, files shrink, manifest reader decodes."""
+    from gdal_ray.sources import gtiff
+    import os
+
+    rng = np.random.default_rng(4)
+    # compressible content: smooth ramp + sparse noise
+    gy, gx = np.mgrid[0:150, 0:200]
+    arr = ((gx + gy) // 4).astype(np.uint16)
+    arr[rng.integers(0, 150, 50), rng.integers(0, 200, 50)] = 999
+    for kw in (dict(tile_size=64), dict(rows_per_strip=32)):
+        p = str(tmp_path / f"c_{'t' if 'tile_size' in kw else 's'}.tif")
+        u = p + ".raw.tif"
+        gtiff.write_gtiff(p, arr, nodata=0.0, compress="deflate", **kw)
+        gtiff.write_gtiff(u, arr, nodata=0.0, **kw)
+        assert os.path.getsize(p) < os.path.getsize(u) * 0.7
+        back, meta = gtiff.read_gtiff(p)
+        assert (back == arr).all() and meta["nodata"] == 0.0
+    # manifest/tile Dataset path decodes deflate chunks in workers
+    p = str(tmp_path / "c_t.tif")
+    tiles = gtiff.read_gtiff_tiles(p, z=4).take_all()
+    full = np.zeros((150, 200), dtype=np.uint16)
+    for r in tiles:
+        a = np.frombuffer(r["data"], dtype="uint16").reshape(r["height"], r["width"])
+        full[r["y"] * 64:r["y"] * 64 + r["height"],
+             r["x"] * 64:r["x"] * 64 + r["width"]] = a
+    assert (full == arr).all()
+    # overview append keeps the codec
+    gtiff.append_gtiff_images(p, [arr[::2, ::2]], tile_size=64,
+                              pixel_size=[(2.0, 2.0)], compress="deflate")
+    ov, meta = gtiff.read_gtiff(p, image=1)
+    assert (ov == arr[::2, ::2]).all()
