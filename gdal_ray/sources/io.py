@@ -133,6 +133,7 @@ def write_partitioned(
             if os.path.exists(d):
                 shutil.rmtree(d)
         part.write_parquet(tmp_dir)
+        os.makedirs(tmp_dir, exist_ok=True)  # empty partition -> empty dir
         os.replace(tmp_dir, out_dir)
         rows = sum(
             pq.read_metadata(os.path.join(out_dir, f)).num_rows

@@ -19,8 +19,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ALLOWED = {
     # per-tile-border component pairs / components: O(tiles), not O(pixels)
     ("gdal_ray/stages/collar.py", "nearblack"),
-    # broadcast right side of the asof join is documented small-side
-    ("gdal_ray/stages/events.py", "asof_join"),
+    # (asof_join's former to_pandas collect removed in r3 — the broadcast
+    # right side now ships as numpy key/ts/emit arrays)
     # 256-entry color histogram partials
     ("gdal_ray/stages/fillpalette.py", "color_histogram"),
     # per-cell count table (grid-sized)
@@ -96,3 +96,36 @@ def test_no_new_driver_collect_sites():
     )
     stale = ALLOWED - sites
     assert not stale, f"prune removed sites from ALLOWED: {sorted(stale)}"
+
+
+def test_run_job_resume_skips_finished_partitions(ray_session, tmp_path, monkeypatch):
+    """scripts/run_job.py (the ray-job-submit entry): partitioned output +
+    manifest lineage; a re-run skips every finished partition."""
+    import importlib
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    run_job = importlib.import_module("run_job")
+    out = str(tmp_path / "job")
+
+    def run():
+        monkeypatch.setattr(sys, "argv", [
+            "run_job.py", "--query", "distinct_segments",
+            "--sf-dir", "/root/testdata/sf0.001", "--output", out,
+            "--partitions", "4"])
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert run_job.main() == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    first = run()
+    assert first["partitions_written"] == 4 and first["rows"] == 5
+    second = run()
+    assert second["partitions_written"] == 0 and second["partitions_skipped"] == 4
+    man = json.load(open(f"{out}/_manifest/1.json"))
+    assert man["lineage"]["query"] == "distinct_segments"
+    assert "seconds" in man["metrics"]
