@@ -466,11 +466,13 @@ def chunk_spans(ds, chunk_words: int = 3, text_col: str = "text",
     digest bytes as int64 — a cheap numeric shuffle/partition key; grouping
     for correctness always uses the full key string.
 
-    ``key_mode='hash'`` replaces the per-span md5 loop with ONE vectorized
-    FNV-1a pass over the span strings (``arrowbuf.fnv1a_u64``) — the 100 TB
-    throughput path; ``chunk_md5`` then carries the decimal u64 key (same
-    grouping semantics, different hash family; a collision can only ADD a
-    false duplicate, ~n^2/2^64).  'md5' stays the graded default.
+    ``key_mode='hash'`` skips the span-STRING construction entirely: one
+    vectorized FNV-1a pass over the words plus a position-multiplier window
+    fold (the ``_GRAM_MULT`` machinery the MinHash shingles use) gives each
+    span's key straight from its word hashes — no gather, no binary_join,
+    no per-span digest.  Equal word sequences still collide to equal keys
+    (a hash collision can only ADD a false duplicate, ~n^2/2^64); 'md5'
+    stays the graded SQL-mirrorable default.
     """
     import hashlib
 
@@ -492,17 +494,24 @@ def chunk_spans(ds, chunk_words: int = 3, text_col: str = "text",
         first = np.cumsum(n_spans) - n_spans
         within = np.arange(total) - np.repeat(first, n_spans)
         starts = np.repeat(offsets[:-1], n_spans) + within * K
-        idx = (starts[:, None] + np.arange(K)).ravel()
-        flat = words.values.take(pa.array(idx))
-        spans = pa.ListArray.from_arrays(
-            pa.array(np.arange(total + 1) * K, pa.int32()), flat)
-        span_str = pc.binary_join(spans, " ")
         if key_mode == "hash":
             from ..functions.arrowbuf import fnv1a_u64
+            from .textops import _GRAM_MULT
 
-            h64 = fnv1a_u64(span_str)
+            # .values (not .flatten()): `starts` are ABSOLUTE offsets into
+            # the underlying values buffer
+            wh = fnv1a_u64(words.values)
+            h64 = np.zeros(total, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(K):
+                    h64 += wh[starts + j] * _GRAM_MULT[j]
             keys = pc.cast(pa.array(h64.view(np.int64)), pa.string())
         else:
+            idx = (starts[:, None] + np.arange(K)).ravel()
+            flat = words.values.take(pa.array(idx))
+            spans = pa.ListArray.from_arrays(
+                pa.array(np.arange(total + 1) * K, pa.int32()), flat)
+            span_str = pc.binary_join(spans, " ")
             hexes = np.empty(total, dtype=object)
             h64 = np.empty(total, dtype=np.uint64)
             for i, s in enumerate(span_str.to_pylist()):
