@@ -184,16 +184,33 @@ def minhash_lsh_dedup_pairs(ds, min_jaccard_x1000: int = 500, **kwargs):
     )
 
 
-def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 3):
-    """Attach 64-bit SimHash per doc (hamming-near docs share band keys)."""
+def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
+                       shingle_k: int = 3, key_mode: str = "md5"):
+    """Attach 64-bit SimHash per doc (hamming-near docs share band keys).
+
+    Whole-batch vectorized: one shingle pass for every doc
+    (``_shingle_hashes_batch``, honoring ``key_mode`` — 'hash' is the
+    vectorized FNV/window-fold throughput path), then 64 ``add.reduceat``
+    bit votes over the doc offsets — no per-doc Python."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        sigs = [
-            textops.simhash64(textops._shingle_hashes(t, shingle_k))
-            for t in batch[text_col].to_pylist()
-        ]
+        texts = batch[text_col].to_pylist()
+        flat, lens = textops._shingle_hashes_batch(texts, shingle_k, key_mode)
+        nd = len(lens)
+        if nd == 0:
+            return pa.table({id_col: batch[id_col],
+                             "simhash": pa.array([], pa.int64())})
+        offsets = np.zeros(nd, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        sig = np.zeros(nd, dtype=np.uint64)
+        n = lens.astype(np.int64)
+        for b in range(64):
+            ones = np.add.reduceat(
+                ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64), offsets)
+            # votes = 2*ones - n > 0  <=>  bit set (matches simhash64)
+            sig |= (2 * ones > n).astype(np.uint64) << np.uint64(b)
         return pa.table(
-            {id_col: batch[id_col], "simhash": pa.array(np.array(sigs, dtype=np.int64))}
+            {id_col: batch[id_col], "simhash": pa.array(sig.view(np.int64))}
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
