@@ -272,13 +272,19 @@ def _components_distributed(pairs, num_buckets: int = 64, max_iters: int = 64):
     return labels
 
 
-def _attach_component(comps, labels, num_buckets: int = 64):
-    """Join (node -> label) onto the per-(tile,label) component rows with the
+_POLY_PAYLOAD = [("value", pa.float64()), ("n_pixels", pa.int64()),
+                 ("minx", pa.int64()), ("miny", pa.int64()),
+                 ("maxx", pa.int64()), ("maxy", pa.int64())]
+
+
+def _attach_component(comps, labels, payload=None, num_buckets: int = 64,
+                      out_col: str = "component"):
+    """Join (node -> label) onto per-(tile,label) component rows with the
     same bucket-keyed vectorized pattern (keys absent from ``labels`` keep
-    their own key — fragments untouched by any cross-tile pair).  Input
-    ``comps`` columns: key, value, n_pixels, minx, miny, maxx, maxy; output
-    replaces ``key`` with ``component``."""
-    PAYLOAD = ["value", "n_pixels", "minx", "miny", "maxx", "maxy"]
+    their own key — fragments untouched by any cross-tile pair).
+    ``payload`` = [(name, pa type)] of the columns to carry besides ``key``;
+    output replaces ``key`` with ``out_col``."""
+    PAYLOAD = payload if payload is not None else _POLY_PAYLOAD
 
     def bucket_of(k: np.ndarray) -> np.ndarray:
         return np.abs((k * np.int64(2654435761)) % np.int64(num_buckets))
@@ -287,17 +293,16 @@ def _attach_component(comps, labels, num_buckets: int = 64):
         k = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {"_part": pa.array(bucket_of(k)), "_k": t["key"],
                 "_lab": pa.nulls(t.num_rows, pa.int64())}
-        for c in PAYLOAD:
-            cols[c] = t[c]
+        for c, ty in PAYLOAD:
+            cols[c] = pa.compute.cast(t[c], ty)
         return pa.table(cols)
 
     def tag_labels(t: pa.Table) -> pa.Table:
         k = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {"_part": pa.array(bucket_of(k)), "_k": t["node"],
-                "_lab": pa.compute.cast(t["label"], pa.int64()),
-                "value": pa.nulls(t.num_rows, pa.float64())}
-        for c in PAYLOAD[1:]:
-            cols[c] = pa.nulls(t.num_rows, pa.int64())
+                "_lab": pa.compute.cast(t["label"], pa.int64())}
+        for c, ty in PAYLOAD:
+            cols[c] = pa.nulls(t.num_rows, ty)
         return pa.table(cols)
 
     def bucket_join(g: pa.Table) -> pa.Table:
@@ -319,8 +324,8 @@ def _attach_component(comps, labels, num_buckets: int = 64):
         else:
             root = comp_k
         take = pa.array(crow)
-        cols = {"component": pa.array(root)}
-        for c in PAYLOAD:
+        cols = {out_col: pa.array(root)}
+        for c, _ty in PAYLOAD:
             cols[c] = g[c].take(take)
         return pa.table(cols)
 
@@ -575,7 +580,9 @@ def polygonize(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size:
     )
 
 
-def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile_size: int = 64):
+def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False,
+                     tile_size: int = 64, labels_mode: str = "auto",
+                     distributed_threshold: int = 1_000_000):
     """Polygonize with exact ring geometry for EVERY component, including
     cross-tile ones (SURVEY §7 known-hard item).
 
@@ -720,30 +727,51 @@ def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile
                     ob.append(int(keys[j]))
         return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64())})
 
-    pair_rows = borders.groupby("x0").map_groups(edge_pairs, batch_format="pyarrow").take_all()
-    parent: dict[int, int] = {}
+    pairs = borders.groupby("x0").map_groups(edge_pairs, batch_format="pyarrow")
 
-    def find(z):
-        r = z
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(z, z) != z:
-            parent[z], z = r, parent[z]
-        return r
+    if labels_mode not in ("auto", "driver", "distributed"):
+        raise ValueError(labels_mode)
+    mode = labels_mode
+    if mode == "auto":
+        pairs = pairs.materialize()
+        mode = "driver" if pairs.count() <= distributed_threshold else "distributed"
 
-    for row in pair_rows:
-        a, b = find(row["a"]), find(row["b"])
-        if a != b:
-            parent[max(a, b)] = min(a, b)
-    remap = {k: find(k) for k in list(parent)}
-    remap_ref = ray.put(remap)
+    if mode == "distributed":
+        RINGS_PAYLOAD = [
+            ("tx", pa.int64()), ("ty", pa.int64()), ("value", pa.float64()),
+            ("n_pixels", pa.int64()), ("x0", pa.int64()), ("y0", pa.int64()),
+            ("x1", pa.int64()), ("y1", pa.int64()), ("mask", pa.binary()),
+            ("mw", pa.int64()), ("mh", pa.int64()),
+        ]
+        lab = _components_distributed(pairs)
+        relabeled_ds = _attach_component(comps, lab, payload=RINGS_PAYLOAD)
+    else:
+        pair_rows = pairs.take_all()
+        parent: dict[int, int] = {}
 
-    def relabel(batch: pa.Table) -> pa.Table:
-        rm = ray.get(remap_ref)
-        keys = batch["key"].to_pylist()
-        return batch.append_column(
-            "component", pa.array([rm.get(k, k) for k in keys], pa.int64())
-        )
+        def find(z):
+            r = z
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(z, z) != z:
+                parent[z], z = r, parent[z]
+            return r
+
+        for row in pair_rows:
+            a, b = find(row["a"]), find(row["b"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        remap = {k: find(k) for k in list(parent)}
+        remap_ref = ray.put(remap)
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            rm = ray.get(remap_ref)
+            keys = batch["key"].to_pylist()
+            return batch.append_column(
+                "component", pa.array([rm.get(k, k) for k in keys], pa.int64())
+            )
+
+        relabeled_ds = comps.map_batches(relabel, batch_format="pyarrow")
 
     def assemble(group: pa.Table) -> pa.Table:
         ts = tile_size
@@ -794,7 +822,7 @@ def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False, tile
             }
         )
 
-    return comps.map_batches(relabel, batch_format="pyarrow").groupby("component").map_groups(
+    return relabeled_ds.groupby("component").map_groups(
         assemble, batch_format="pyarrow"
     )
 

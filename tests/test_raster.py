@@ -653,3 +653,22 @@ def test_gtiff_deflate_roundtrip(ray_session, tmp_path):
                               pixel_size=[(2.0, 2.0)], compress="deflate")
     ov, meta = gtiff.read_gtiff(p, image=1)
     assert (ov == arr[::2, ::2]).all()
+
+
+def test_polygonize_rings_distributed_labels_match_driver(ray_session):
+    tiles = synthetic.make_raster_tiles("blobs", 3, 3, size=32)
+
+    def norm(df):
+        return sorted(
+            (float(r.value), int(r.n_pixels), int(r.n_holes), r.wkb)
+            for r in df.itertuples()
+        )
+
+    drv = poly_stage.polygonize_rings(
+        rd.from_arrow(tiles), nodata=0.0, tile_size=32, labels_mode="driver"
+    ).to_pandas()
+    dist = poly_stage.polygonize_rings(
+        rd.from_arrow(tiles), nodata=0.0, tile_size=32,
+        labels_mode="distributed"
+    ).to_pandas()
+    assert norm(drv) == norm(dist)
