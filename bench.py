@@ -210,16 +210,24 @@ def run_scaling():
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    # host ceiling: with per-process fixed work, ideal scaling keeps makespan
-    # constant as process count rises — host_eff = T_lo / T_hi (<= 1)
-    t_cal_lo = min(_host_calibration(lo), _host_calibration(lo))
-    t_cal_hi = min(_host_calibration(hi), _host_calibration(hi))
+    # Host ceiling: with per-process fixed work, ideal scaling keeps makespan
+    # constant as process count rises — host_eff = T_lo / T_hi (<= 1).
+    # Calibration runs IMMEDIATELY BEFORE ITS OWN LEG (r3: co-tenant load on
+    # this host moves minute-to-minute, so a start-of-invocation calibration
+    # mis-normalizes any leg that lands in a different load window; pairing
+    # each leg with an adjacent calibration shrinks that window to ~1 min).
+    # Each leg is best-of-2, carrying the calibration adjacent to the chosen
+    # run.
+    def leg(ncpu: int):
+        c = _host_calibration(ncpu)
+        r = run(ncpu)
+        return c, r
+
+    lo_pairs = [leg(lo), leg(lo)]
+    hi_pairs = [leg(hi), leg(hi)]
+    t_cal_lo, r_lo = min(lo_pairs, key=lambda p: p[1]["value"])
+    t_cal_hi, r_hi = min(hi_pairs, key=lambda p: p[1]["value"])
     host_eff = t_cal_lo / t_cal_hi
-    # co-tenant wall-clock variance on this host is +-50-100% (BASELINE.md
-    # calibration); each leg takes the best of two runs so the ratio reflects
-    # steady-state capability, not a noise sample
-    r_lo = min(run(lo), run(lo), key=lambda r: r["value"])
-    r_hi = min(run(hi), run(hi), key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(
