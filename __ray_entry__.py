@@ -1965,9 +1965,35 @@ def _transformer_oracles() -> dict[str, str]:
         FROM t2
     """
 
+    # -- sinusoidal + equidistant cylindrical (meridian-arc built) ---------
+    merid_expr = (f"{F(a_)} * ({F(c0m)} * phi - {F(c2m)} * sin(2.0 * phi)"
+                  f" + {F(c4m)} * sin(4.0 * phi) - {F(c6m)} * sin(6.0 * phi))")
+    sinusoidal_sql = f"""
+        WITH {_DOCS_GEO},
+        t1 AS (SELECT doc_id, radians(lat) AS phi, radians(lon) AS lam FROM d),
+        t2 AS (SELECT doc_id, lam, phi, sin(phi) AS sphi FROM t1)
+        SELECT doc_id,
+               CAST(round(({F(a_)} * lam * cos(phi)
+                           / sqrt(1.0 - {F(e2)} * sphi * sphi)) * 100.0)
+                    AS BIGINT) AS e_cm,
+               CAST(round(({merid_expr}) * 100.0) AS BIGINT) AS n_cm
+        FROM t2
+    """
+    nu1cos_eqc = float(a_ * tr._lcc_m(np.float64(np.radians(30.0))))
+    eqc_sql = f"""
+        WITH {_DOCS_GEO},
+        t1 AS (SELECT doc_id, radians(lat) AS phi, radians(lon) AS lam FROM d)
+        SELECT doc_id,
+               CAST(round(({F(nu1cos_eqc)} * lam) * 100.0) AS BIGINT) AS e_cm,
+               CAST(round(({merid_expr}) * 100.0) AS BIGINT) AS n_cm
+        FROM t1
+    """
+
     return {
         "reproject_utm": utm_sql,
         "reproject_lcc": lcc_sql,
+        "reproject_sinusoidal": sinusoidal_sql,
+        "reproject_eqc": eqc_sql,
         "reproject_stereo_polar": stereo_polar_sql,
         "reproject_stereo_oblique": stereo_oblique_sql,
         "reproject_albers": albers_sql,
@@ -2181,6 +2207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_inventory": q.media_inventory_q,
         # coordinate transformers (SURVEY §2.3; alg/gdaltransformer.cpp family)
         "reproject_utm": q.reproject_utm_q,
+        "reproject_sinusoidal": q.reproject_sinusoidal_q,
+        "reproject_eqc": q.reproject_eqc_q,
         "reproject_stereo_polar": q.reproject_stereo_polar_q,
         "reproject_stereo_oblique": q.reproject_stereo_oblique_q,
         "reproject_albers": q.reproject_albers_q,

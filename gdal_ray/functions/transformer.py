@@ -469,6 +469,68 @@ def aeqd_polar_inverse(E, N, lon0: float, fe: float = 0.0, fn: float = 0.0,
 
 
 # ---------------------------------------------------------------------------
+# Sinusoidal (Snyder PP1395 eq. 30-8/30-9, ellipsoidal) and Equidistant
+# Cylindrical (EPSG 1028, ellipsoidal: x = a nu1 cos(phi1) lam, y = M(phi))
+# — both equal-area/equidistant staples built on the meridian-arc series
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_forward(lon, lat, lon0: float = 0.0,
+                       fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal sinusoidal (equal-area, MODIS grid family):
+    x = a lam cos(phi) / sqrt(1 - e^2 sin^2 phi), y = M(phi)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    phi = np.radians(lat)
+    lam = np.radians(lon - lon0)
+    sphi = np.sin(phi)
+    x = WGS84_A * lam * np.cos(phi) / np.sqrt(1.0 - WGS84_E2 * sphi * sphi)
+    return fe + x, fn + meridian_arc(phi)
+
+
+def sinusoidal_inverse(E, N, lon0: float = 0.0,
+                       fe: float = 0.0, fn: float = 0.0):
+    """Inverse via the rectifying-latitude series (Snyder 3-26), then the
+    closed-form lam."""
+    x = np.asarray(E, dtype=np.float64) - fe
+    y = np.asarray(N, dtype=np.float64) - fn
+    (c0, _, _, _), (d2, d4, d6, d8) = _merid_coeffs()
+    mu = y / (WGS84_A * c0)
+    phi = (mu + d2 * np.sin(2.0 * mu) + d4 * np.sin(4.0 * mu)
+           + d6 * np.sin(6.0 * mu) + d8 * np.sin(8.0 * mu))
+    sphi = np.sin(phi)
+    denom = WGS84_A * np.cos(phi) / np.sqrt(1.0 - WGS84_E2 * sphi * sphi)
+    lam = np.where(np.abs(denom) > 0, x / np.where(denom == 0, 1.0, denom), 0.0)
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def eqc_forward(lon, lat, lon0: float = 0.0, lat_ts: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0):
+    """Equidistant Cylindrical, ellipsoidal (EPSG method 1028; plate carree
+    when lat_ts = 0): x = a cos(phi1)/sqrt(1-e^2 sin^2 phi1) * lam,
+    y = M(phi) — meridians true to scale."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    p1 = np.radians(lat_ts)
+    nu1_cos = float(WGS84_A * _lcc_m(np.float64(p1)))
+    lam = np.radians(lon - lon0)
+    return fe + nu1_cos * lam, fn + meridian_arc(np.radians(lat))
+
+
+def eqc_inverse(E, N, lon0: float = 0.0, lat_ts: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0):
+    x = np.asarray(E, dtype=np.float64) - fe
+    y = np.asarray(N, dtype=np.float64) - fn
+    p1 = np.radians(lat_ts)
+    nu1_cos = float(WGS84_A * _lcc_m(np.float64(p1)))
+    (c0, _, _, _), (d2, d4, d6, d8) = _merid_coeffs()
+    mu = y / (WGS84_A * c0)
+    phi = (mu + d2 * np.sin(2.0 * mu) + d4 * np.sin(4.0 * mu)
+           + d6 * np.sin(6.0 * mu) + d8 * np.sin(8.0 * mu))
+    return lon0 + np.degrees(x / nu1_cos), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # Geodetic <-> geocentric + Helmert 7-parameter datum shift
 # ---------------------------------------------------------------------------
 

@@ -2802,6 +2802,26 @@ def reproject_aeqd_q(sf_dir: str):
         lambda lon, lat: lat >= 50.0, lon0=0.0)
 
 
+def reproject_sinusoidal_q(sf_dir: str):
+    """Ellipsoidal sinusoidal (Snyder 30-8/9; the MODIS ESRI:54008 family)
+    over the full docs domain — equal-area, closed-form, no window filter."""
+    from ..functions import transformer
+
+    return _reproject_points_q(
+        sf_dir, transformer.sinusoidal_forward,
+        lambda lon, lat: np.ones(len(lon), dtype=bool), lon0=0.0)
+
+
+def reproject_eqc_q(sf_dir: str):
+    """Equidistant cylindrical, ellipsoidal (EPSG method 1028 / EPSG:4087
+    at lat_ts=30 here): x along the standard parallel, y = meridian arc."""
+    from ..functions import transformer
+
+    return _reproject_points_q(
+        sf_dir, transformer.eqc_forward,
+        lambda lon, lat: np.ones(len(lon), dtype=bool), lon0=0.0, lat_ts=30.0)
+
+
 def grid_shift_q(sf_dir: str):
     """NTv2-style grid-shift datum transform over the docs points: bilinear
     shift-grid interpolation (the PROJ hgridshift role), plus a fixed-point

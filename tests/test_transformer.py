@@ -560,3 +560,51 @@ def test_reproject_points_epsg_routing():
                                 "EPSG:4326", "EPSG:3031")
     lo, la = geo.reproject_points(E, N, "EPSG:3031", "EPSG:4326")
     assert abs(float(lo) - 120.0) < 1e-9 and abs(float(la) + 75.0) < 1e-9
+
+
+def test_sinusoidal_roundtrip_and_equal_area():
+    from gdal_ray.functions import transformer as tr
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-85, 85, 500)
+    E, N = tr.sinusoidal_forward(lon, lat)
+    lo, la = tr.sinusoidal_inverse(E, N)
+    assert np.abs(lo - lon).max() < 1e-6
+    assert np.abs(la - lat).max() < 1e-6
+    # equal-area invariant on a small quad
+    d = 1e-3
+    for la_c in (-40.0, 10.0, 55.0):
+        pl = np.array([20.0, 20.0 + d, 20.0 + d, 20.0])
+        pq = np.array([la_c, la_c, la_c + d, la_c + d])
+        Ep, Np = tr.sinusoidal_forward(pl, pq)
+        area = 0.5 * abs(sum(Ep[i] * Np[(i + 1) % 4] - Ep[(i + 1) % 4] * Np[i]
+                             for i in range(4)))
+        phi = np.radians(la_c + d / 2)
+        sphi = np.sin(phi)
+        M = tr.WGS84_A * (1 - tr.WGS84_E2) / (1 - tr.WGS84_E2 * sphi * sphi) ** 1.5
+        Nr = tr.WGS84_A / np.sqrt(1 - tr.WGS84_E2 * sphi * sphi)
+        true = (M * np.radians(d)) * (Nr * np.cos(phi) * np.radians(d))
+        assert abs(area / true - 1.0) < 1e-5
+
+
+def test_eqc_roundtrip_and_meridian_scale():
+    from gdal_ray.functions import transformer as tr
+
+    rng = np.random.default_rng(13)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-85, 85, 500)
+    E, N = tr.eqc_forward(lon, lat, lat_ts=30.0)
+    lo, la = tr.eqc_inverse(E, N, lat_ts=30.0)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-6
+    # meridians true to scale: dy equals the meridian arc difference
+    E1, N1 = tr.eqc_forward(0.0, 10.0, lat_ts=30.0)
+    E2, N2 = tr.eqc_forward(0.0, 11.0, lat_ts=30.0)
+    arc = tr.meridian_arc(np.radians(11.0)) - tr.meridian_arc(np.radians(10.0))
+    assert abs((float(N2) - float(N1)) - float(arc)) < 1e-9
+    # parallels true at lat_ts: dx along 30N equals ground distance
+    E3, N3 = tr.eqc_forward(10.0, 30.0, lat_ts=30.0)
+    E4, N4 = tr.eqc_forward(11.0, 30.0, lat_ts=30.0)
+    ground = tr.WGS84_A * tr._lcc_m(np.radians(30.0)) * np.radians(1.0)
+    assert abs((float(E4) - float(E3)) - float(ground)) < 1e-9
