@@ -2227,6 +2227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.fingerprint_q,
         "minhash_lsh_pairs": q.minhash_lsh_q,
         "simhash_signatures": q.simhash_q,
+        "simhash_neardup": q.simhash_neardup_q,
         "ngram_jaccard_pairs": q.ngram_jaccard_q,
         "dup_clusters": q.dup_clusters_q,
         "dedup_keep_best": q.dedup_keep_best_q,
@@ -4289,6 +4290,21 @@ def oracle_sql() -> dict[str, str]:
                            sum(CASE WHEN b.votes > 0 THEN p.pj ELSE 0::HUGEINT END) AS v
                     FROM bits b JOIN pw p ON p.j = b.j GROUP BY b.doc_id)
             SELECT doc_id, {_U64_TO_I64.format(v='v')} AS simhash FROM val
+        """,
+        "simhash_neardup": f"""
+            WITH {_shingle_cte(3)},
+            pw(j, pj) AS (VALUES {", ".join(f"({j}, {1 << j}::HUGEINT)" for j in range(64))}),
+            bits AS (SELECT doc_id, j,
+                            sum(CASE WHEN (x // pj) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+                     FROM xs, pw GROUP BY doc_id, j),
+            val AS (SELECT b.doc_id,
+                           sum(CASE WHEN b.votes > 0 THEN p.pj ELSE 0::HUGEINT END) AS v
+                    FROM bits b JOIN pw p ON p.j = b.j GROUP BY b.doc_id),
+            s AS (SELECT doc_id, {_U64_TO_I64.format(v='v')} AS sig FROM val)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "minhash_lsh_pairs": f"""
             WITH {_shingle_cte(5)}, {_minhash_ctes(64, 16)},

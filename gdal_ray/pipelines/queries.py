@@ -2583,6 +2583,14 @@ def simhash_q(sf_dir: str):
     return dedup.simhash_signatures(ds)
 
 
+def simhash_neardup_q(sf_dir: str):
+    """SimHash near-dup pairs at Hamming <= 3: 4x16-bit band join (recall 1
+    at this threshold by pigeonhole) + exact SWAR-popcount verify, so the
+    oracle is the pure Hamming self-join."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.simhash_neardup_pairs(ds, max_hamming=3, max_bucket=None)
+
+
 def dup_clusters_q(sf_dir: str):
     """Duplicate clusters: connected components over the MinHash-LSH pair
     graph via distributed min-label propagation (cluster_id = min reachable

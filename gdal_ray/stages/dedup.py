@@ -216,6 +216,81 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (public bit-twiddling identity)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_neardup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                          id_col: str = "doc_id", shingle_k: int = 3,
+                          key_mode: str = "md5", max_bucket: int | None = 4096):
+    """SimHash near-dup pairs: 4 x 16-bit band join + exact Hamming verify.
+
+    Candidates = pairs sharing at least one of the four 16-bit signature
+    bands (pigeonhole: Hamming distance <= 3 GUARANTEES a shared band, so
+    recall is 1 at the default threshold; higher thresholds keep the same
+    band precondition — candidates only, documented recall note).  Each
+    candidate's exact Hamming distance (vectorized SWAR popcount of the
+    XOR) filters to ``<= max_hamming``; duplicates across bands collapse
+    with one (id_a, id_b) groupby.  Shuffle is band-keyed only; bucket
+    emission is capped at ``max_bucket`` rows per band value
+    (exact-duplicate texts should be collapsed by ``exact_dedup`` first,
+    same policy as minhash_lsh_candidates).
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    from ray.data.aggregate import Min
+
+    sigs = simhash_signatures(ds, text_col, id_col, shingle_k, key_mode)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        s = t["simhash"].to_numpy(zero_copy_only=False)
+        u = s.view(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(u)
+        band_key = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            band_val = (u >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            band_key[b * n:(b + 1) * n] = (b << 16) | band_val.astype(np.int64)
+        return pa.table({
+            "band_key": pa.array(band_key),
+            id_col: pa.array(np.tile(ids, 4)),
+            "sig": pa.array(np.tile(s, 4)),
+        })
+
+    def bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        if max_bucket is not None and n > max_bucket:
+            g = g.slice(0, max_bucket)  # degenerate band value; capped
+            n = max_bucket
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sg = g["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sg = ids[order], sg[order]
+        ii, jj = np.triu_indices(n, k=1)
+        ham = _popcount64(sg[ii] ^ sg[jj]).astype(np.int64)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        return pa.table({"id_a": pa.array(ids[ii[keep]]),
+                         "id_b": pa.array(ids[jj[keep]]),
+                         "hamming": pa.array(ham[keep])})
+
+    pairs = sigs.map_batches(to_bands, batch_format="pyarrow").groupby(
+        "band_key").map_groups(bucket, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
 def _attach_blob(pairs_ds, blob_ds, key_name: str, out_name: str, carry: list):
     """Keyed join: attach ``blob_ds``'s (_k, _blob) rows to ``pairs_ds`` on
     ``pairs[key_name] == _k`` via a union-tag groupby shuffle — no driver-side

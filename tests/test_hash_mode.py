@@ -142,3 +142,44 @@ def test_chunk_dedup_hash_mode_matches_md5(ray_session):
                       for r in rows)
 
     assert stats("md5") == stats("hash") == [(0, 2, 1), (1, 2, 1), (2, 2, 0)]
+
+
+def test_popcount64_matches_python():
+    from gdal_ray.stages.dedup import _popcount64
+
+    rng = np.random.default_rng(17)
+    xs = rng.integers(0, 1 << 63, 1000, dtype=np.uint64)
+    xs = np.concatenate([xs, np.array([0, 1, (1 << 64) - 1], dtype=np.uint64)])
+    got = _popcount64(xs)
+    assert [int(v) for v in got] == [bin(int(v)).count("1") for v in xs]
+
+
+def test_simhash_neardup_band_recall(ray_session):
+    """Hamming <= 3 pairs are ALWAYS found (pigeonhole over 4x16 bands):
+    construct a doc pair with exactly 3 flipped signature bits via text
+    perturbation and check the banded plan returns the same set as a brute
+    all-pairs Hamming scan."""
+    import ray.data as rd
+
+    from gdal_ray.stages import dedup
+
+    rng = np.random.default_rng(23)
+    vocab = ["w%d" % i for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(40)]
+    texts += [texts[0], texts[1] + " tail", texts[2]]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_neardup_pairs(ds, max_hamming=3).take_all()}
+    sigs = {r["doc_id"]: np.uint64(np.int64(r["simhash"]))
+            for r in dedup.simhash_signatures(ds).take_all()}
+    brute = {}
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(int(sigs[ids[i]] ^ sigs[ids[j]])).count("1")
+            if h <= 3:
+                brute[(ids[i], ids[j])] = h
+    assert got == brute
+    assert (0, 40) in got and got[(0, 40)] == 0  # exact dup found
