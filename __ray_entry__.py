@@ -2040,6 +2040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": q.join_orders_customer,
         "filter_like_between": q.filter_like_between,
         "filter_sql": q.filter_sql_q,
+        "range_join": q.range_join_q,
         "select_sql_expr": q.select_sql_expr_q,
         "topk_orders": q.topk_orders,
         "distinct_segments": q.distinct_segments,
@@ -2368,6 +2369,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_name, p_size
             FROM part
             WHERE p_type LIKE '%AND%' AND p_size >= 10 AND p_size <= 30
+        """,
+        "range_join": """
+            WITH iv AS (SELECT p_partkey,
+                               CAST((p_partkey * 37) % 1200 AS DOUBLE) AS lo,
+                               CAST((p_partkey * 37) % 1200
+                                    + 15 + p_partkey % 50 AS DOUBLE) AS hi
+                        FROM (SELECT p_partkey FROM part
+                              ORDER BY p_partkey LIMIT 500))
+            SELECT d.doc_id, d.n_chars, iv.p_partkey
+            FROM documents d JOIN iv
+              ON d.n_chars >= iv.lo AND d.n_chars < iv.hi
         """,
         "filter_sql": """
             SELECT p_partkey, p_name, p_size

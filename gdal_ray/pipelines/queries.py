@@ -212,6 +212,24 @@ def filter_like_between(sf_dir: str):
     return relational.filter_expr(ds, fn).select_columns(["p_partkey", "p_name", "p_size"])
 
 
+def range_join_q(sf_dir: str):
+    """Interval (range) join — the brief's named custom operator: docs'
+    n_chars probed against OVERLAPPING part-keyed value bands via the CSR
+    slab index (relational.range_join_broadcast).  Bands are deterministic
+    from p_partkey so the oracle is a plain theta join."""
+    probe = _docs(sf_dir, ("doc_id", "n_chars"))
+    keys = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])[
+        "p_partkey"].to_numpy()
+    keys = np.sort(keys)[:500]  # bounded broadcast side
+    lo = (keys * 37) % 1200
+    hi = lo + 15 + (keys % 50)
+    intervals = pa.table({"p_partkey": pa.array(keys),
+                          "lo": pa.array(lo.astype(np.float64)),
+                          "hi": pa.array(hi.astype(np.float64))})
+    return relational.range_join_broadcast(
+        probe, intervals, "n_chars", "lo", "hi", emit=["p_partkey"])
+
+
 def filter_sql_q(sf_dir: str):
     """filter_like_between driven from an OGR-SQL STRING instead of Python
     callables (reference grammar ogr/swq_parser.y; SetAttributeFilter

@@ -557,3 +557,85 @@ def group_string_agg_topn(ds, key_col: str, name_col: str, order_col: str,
 
     pruned = ds.map_batches(local_prune, batch_format="pyarrow")
     return pruned.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def range_join_broadcast(probe_ds, intervals: pa.Table, value_col: str,
+                         lo_col: str, hi_col: str, emit: list,
+                         concurrency: int | tuple = 4):
+    """Interval / range join: each probe row matches every interval with
+    ``lo <= value < hi`` (intervals may OVERLAP arbitrarily).
+
+    Physical plan (the 1-D cousin of the CSR cell-grid spatial join,
+    join.py): the interval endpoints cut the value axis into elementary
+    SLABS; a CSR (slab -> covering-interval list) index is built ONCE per
+    actor from the broadcast interval table, and each probe batch is one
+    searchsorted + one CSR gather — candidates are EXACT matches (slab
+    boundaries are interval endpoints), so there is no post-filter.
+    Broadcast side must be metadata-sized; for a corpus-sized build side,
+    range-partition the value domain, replicate each interval to every
+    partition it overlaps, and run this per partition (the events.py
+    asof_join_partitioned shape).
+    Output: probe id/value columns + the interval's ``emit`` columns.
+    """
+    import ray
+
+    ref = ray.put(intervals)
+
+    class RangeJoiner:
+        def __init__(self):
+            t = ray.get(ref)
+            lo = t[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            hi = t[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            keep = hi > lo
+            lo, hi = lo[keep], hi[keep]
+            self.table = t.filter(pa.array(keep))
+            # elementary slabs between consecutive distinct endpoints
+            B = np.unique(np.concatenate([lo, hi]))
+            self.bounds = B
+            nslabs = max(len(B) - 1, 0)
+            s0 = np.searchsorted(B, lo, side="left")
+            s1 = np.searchsorted(B, hi, side="left")
+            counts = np.zeros(nslabs + 1, dtype=np.int64)
+            np.add.at(counts, s0, 1)
+            np.add.at(counts, s1, -1)
+            cover = np.cumsum(counts[:-1])  # intervals covering each slab
+            self.indptr = np.zeros(nslabs + 1, dtype=np.int64)
+            np.cumsum(cover, out=self.indptr[1:])
+            # fill CSR: for each interval, write its id into every slab it
+            # covers (total size = sum of coverage; bounded by overlap depth)
+            self.indices = np.empty(int(self.indptr[-1]), dtype=np.int64)
+            cursor = self.indptr[:-1].copy()
+            for k in range(len(lo)):
+                for s in range(int(s0[k]), int(s1[k])):
+                    self.indices[cursor[s]] = k
+                    cursor[s] += 1
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            B = self.bounds
+            slab = np.searchsorted(B, v, side="right") - 1
+            ok = (slab >= 0) & (slab < len(B) - 1)
+            slab_ok = slab[ok]
+            rows_ok = np.flatnonzero(ok)
+            cnt = self.indptr[slab_ok + 1] - self.indptr[slab_ok]
+            probe_rows = np.repeat(rows_ok, cnt)
+            total = int(cnt.sum())
+            if total == 0:
+                cols = {c: batch[c].slice(0, 0) for c in batch.column_names}
+                for c in emit:
+                    cols[c] = self.table[c].slice(0, 0)
+                return pa.table(cols)
+            starts = np.repeat(self.indptr[slab_ok], cnt)
+            offs = np.zeros(len(cnt), dtype=np.int64)
+            np.cumsum(cnt[:-1], out=offs[1:])
+            pos = starts + (np.arange(total) - np.repeat(offs, cnt))
+            ivl = self.indices[pos]
+            cols = {c: batch[c].take(pa.array(probe_rows))
+                    for c in batch.column_names}
+            take = pa.array(ivl)
+            for c in emit:
+                cols[c] = self.table[c].take(take)
+            return pa.table(cols)
+
+    return probe_ds.map_batches(
+        RangeJoiner, batch_format="pyarrow", concurrency=concurrency)

@@ -218,3 +218,37 @@ def test_line_locate_polyline_brute(ray_session):
         frac = best[2] / cum[-1]
         assert abs(out["frac_e7"][i].as_py() - int(np.floor(frac * 1e7 + 0.5))) <= 0
         assert out["dist_e7"][i].as_py() == int(np.floor(np.sqrt(best[0]) * 1e7 + 0.5))
+
+
+def test_range_join_overlapping_intervals(ray_session):
+    """CSR-slab range join vs brute nested loop, with overlapping, nested,
+    empty, and out-of-domain intervals."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import relational
+
+    intervals = pa.table({
+        "iid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "lo": pa.array([0.0, 5.0, 5.0, 20.0, 7.0]),
+        "hi": pa.array([10.0, 15.0, 6.0, 20.0, 8.0]),  # iid=3 empty (lo==hi)
+    })
+    vals = [0.0, 4.9, 5.0, 5.5, 7.5, 9.9, 10.0, 14.9, 15.0, 50.0, -1.0]
+    probe = pa.table({"pid": pa.array(range(len(vals)), pa.int64()),
+                      "v": pa.array(vals)})
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in relational.range_join_broadcast(
+            rd.from_arrow(probe), intervals, "v", "lo", "hi",
+            emit=["iid"]).take_all()
+    )
+    brute = sorted(
+        (p, i)
+        for p, v in enumerate(vals)
+        for i, (lo, hi) in enumerate(zip(intervals["lo"].to_pylist(),
+                                         intervals["hi"].to_pylist()))
+        if lo <= v < hi
+    )
+    assert got == brute
+    assert (4, 4) in got and (4, 0) in got and (4, 1) in got  # 3-deep overlap
