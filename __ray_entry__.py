@@ -2048,6 +2048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": q.events_tumbling_1h,
         "asof_join_events": q.asof_join_events,
         "sliding_window_2h": q.sliding_window_q,
+        "late_event_windows": q.late_events_q,
         "session_windows": q.session_windows_q,
         # scalar functions / sampling / raster lookup / grid metric
         "scalar_funcs": q.scalar_funcs_q,
@@ -2425,6 +2426,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_matched
             FROM m WHERE rn = 1
             GROUP BY event_type
+        """,
+        "late_event_windows": """
+            WITH w AS (
+              SELECT event_id, ts, value,
+                     max(epoch_us(ts)) OVER (
+                         ORDER BY (event_id // 16) * 16 + 15 - event_id % 16
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max
+              FROM events),
+            f AS (SELECT epoch_us(ts) // 1000000 // 3600 AS window_id,
+                         CASE WHEN prev_max IS NOT NULL
+                               AND epoch_us(ts) < prev_max - 1800000000
+                              THEN 1 ELSE 0 END AS late,
+                         CAST(round(value * 100.0) AS BIGINT) AS cents
+                  FROM w)
+            SELECT window_id,
+                   CAST(sum(1 - late) AS BIGINT) AS n_on_time,
+                   CAST(sum(late) AS BIGINT) AS n_late,
+                   CAST(sum(CASE WHEN late = 0 THEN cents ELSE 0 END) AS BIGINT)
+                     AS value_cents_sum
+            FROM f GROUP BY window_id
         """,
         "sliding_window_2h": """
             WITH w AS (

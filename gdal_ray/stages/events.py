@@ -480,3 +480,93 @@ def window_frames(ds, value_col: str = "value", ts_col: str = "ts",
 
     return ds.map_batches(tag, batch_format="pyarrow") \
              .groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def late_event_windows(ds, window_s: int = 3600, lateness_s: int = 1800,
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       value_col: str = "value", bucket_size: int = 4096):
+    """Tumbling windows with Flink-style WATERMARK late-event handling,
+    batch-recomputed: processing order = ``id_col`` (monotone ingest id);
+    the watermark at each event is max(ts of STRICTLY earlier events) -
+    ``lateness_s``, and an event is LATE (dropped from the aggregate, but
+    counted) when its ts falls below that watermark.
+
+    Distributed shape: the running max-ts is a global prefix-MAX in id
+    order — the two-pass ``global_prefix_sum`` plan with max instead of
+    sum: (1) per-bucket ts maxima (one row per id-bucket per block) fold
+    into a driver-side O(buckets) exclusive scan broadcast via ray.put;
+    (2) each bucket's rows compute their exact in-bucket exclusive cummax
+    vectorized and combine with the bucket offset.  Window aggregates are
+    then ordinary pre-aggregated partials.
+
+    Output: (window_id, n_on_time, n_late, value_cents_sum) with
+    value_cents_sum over ON-TIME events only — all int64-exact.
+    """
+    import ray
+
+    from ray.data.aggregate import Max, Sum
+
+    NEG = np.int64(-(1 << 62))
+
+    def partial_max(t: pa.Table) -> pa.Table:
+        k = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = _epoch_us(t[ts_col])
+        b = k // bucket_size
+        g = pa.table({"b": pa.array(b), "m": pa.array(us)}).group_by("b").aggregate(
+            [("m", "max")])
+        return pa.table({"b": g["b"], "m": g["m_max"]})
+
+    totals = ds.map_batches(partial_max, batch_format="pyarrow") \
+               .groupby("b").aggregate(Max("m", alias_name="m")).take_all()
+    totals.sort(key=lambda r: r["b"])
+    offs = {}
+    acc = int(NEG)
+    for r in totals:
+        offs[r["b"]] = acc            # exclusive: max over EARLIER buckets
+        acc = max(acc, int(r["m"]))
+    ref = ray.put(offs)
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_bucket", pa.array(k // bucket_size))
+
+    def scan(g: pa.Table) -> pa.Table:
+        offs_ = ray.get(ref)
+        k = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = _epoch_us(g[ts_col])
+        order = np.argsort(k, kind="stable")
+        us_s = us[order]
+        # exclusive in-bucket running max
+        run = np.maximum.accumulate(us_s)
+        excl = np.concatenate(([NEG], run[:-1]))
+        base = offs_.get(int(k[0]) // bucket_size, int(NEG))
+        wm = np.maximum(excl, base) - np.int64(lateness_s) * 1_000_000
+        late_s = us_s < wm
+        late = np.empty(len(k), dtype=bool)
+        late[order] = late_s
+        wid = (us // 1_000_000) // window_s
+        # half-away-from-zero to match SQL round() (relational.py policy)
+        cents = pc.cast(
+            pc.round(pc.multiply(g[value_col], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "window_id": pa.array(wid),
+            "on_time": pa.array((~late).astype(np.int64)),
+            "late": pa.array(late.astype(np.int64)),
+            "cents": pa.array(np.where(late, 0, cents)),
+        })
+
+    scanned = ds.map_batches(tag, batch_format="pyarrow") \
+                .groupby("_bucket").map_groups(scan, batch_format="pyarrow")
+    return partial_aggregate(
+        scanned, ["window_id"], sums=["on_time", "late", "cents"],
+    ).map_batches(
+        lambda t: pa.table({
+            "window_id": t["window_id"],
+            "n_on_time": t["on_time_sum"],
+            "n_late": t["late_sum"],
+            "value_cents_sum": t["cents_sum"],
+        }),
+        batch_format="pyarrow",
+    )

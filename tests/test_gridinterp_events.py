@@ -174,3 +174,46 @@ def test_running_totals_negative_values(ray_session):
     out = {r["event_id"]: r["running_x100"]
            for r in ev_stage.running_totals(rd.from_arrow(tbl)).take_all()}
     assert out == {1: -1000, 2: -550, 3: -675, 4: 200}
+
+
+def test_late_event_windows_watermark(ray_session):
+    """Hand-built stream: ids are processing order; watermark = running max
+    ts (strictly earlier) - lateness; late events excluded from the sum but
+    counted."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import events as ev
+
+    base = dt.datetime(2024, 1, 1)
+    # proc order:   ts offsets (s):
+    rows = [
+        (0, 0),        # watermark -inf -> on time
+        (1, 7200),     # jumps ahead; on time
+        (2, 3000),     # wm = 7200-1800 = 5400 > 3000 -> LATE
+        (3, 5400),     # 5400 >= 5400 -> on time (strict <)
+        (4, 5399),     # LATE by 1s
+        (5, 7300),     # on time
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0] * len(rows)),
+    })
+    out = {r["window_id"]: r for r in ev.late_event_windows(
+        rd.from_arrow(t), window_s=3600, lateness_s=1800,
+        bucket_size=2).take_all()}
+    w0 = int(base.timestamp() // 3600)
+    w1, w2 = w0 + 1, w0 + 2
+    # hour 0..3600: ts 0 (on time) and ts 3000 (late: wm = 7200-1800)
+    assert out[w0]["n_on_time"] == 1 and out[w0]["n_late"] == 1
+    assert out[w0]["value_cents_sum"] == 100  # late event excluded
+    # hour 3600..7200: ts 5400 exactly AT the watermark (strict <) is on
+    # time; 5399 is late by one second
+    assert out[w1]["n_on_time"] == 1 and out[w1]["n_late"] == 1
+    # hour 7200..: 7200 and 7300 both on time
+    assert out[w2]["n_on_time"] == 2 and out[w2]["n_late"] == 0
+    assert sum(r["n_late"] for r in out.values()) == 2
