@@ -2203,16 +2203,19 @@ def media_features_real_q(sf_dir: str):
     """Multimodal featurization through the REAL byte-level codec path:
     payload PNGs are materialized to an on-disk store (resume = file
     existence), then the decode actor pool reads each image payload back and
-    parses it with the engine's own PNG decoder (signature, chunk CRCs, zlib
-    inflate) before feature extraction.  audio/video kinds fall back to the
-    deterministic pixels (no codec in this container).  Pixel values equal
-    the fake path's by construction, so the features are SQL-recomputable."""
+    parses it with the engine's own codecs — PNG for images (signature,
+    chunk CRCs, zlib inflate) and RIFF/WAV for audio (chunk walk, PCM
+    validation) — before feature extraction.  video falls back to the
+    deterministic pixels (no video codec in this container).  Decoded bytes
+    equal the fake path's by construction, so the features are
+    SQL-recomputable."""
     from ..stages import media
 
     docs = rd.from_arrow(synthetic.make_docs(2000))
     store = "/tmp/gdal_ray_media_store"
-    # ingest stage: write (or resume-skip) every image payload
-    for _ in media.materialize_payload_store(docs, store).iter_batches():
+    # ingest stage: write (or resume-skip) every image + audio payload
+    for _ in media.materialize_payload_store(
+            docs, store, kinds=("image", "audio")).iter_batches():
         pass
     return media.featurize_media(docs, backend="real", store_root=store,
                                  concurrency=2)

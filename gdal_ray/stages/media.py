@@ -43,20 +43,32 @@ def fake_pixels(media_ref: str, thumb: int = 8) -> np.ndarray:
     return np.frombuffer(raw[:n], dtype=np.uint8).reshape(thumb, thumb)
 
 
+def _ref_kind(media_ref: str) -> str:
+    return media_ref.split("://", 1)[-1].split("/", 1)[0]
+
+
 def payload_for_ref(media_ref: str, thumb: int = 8) -> bytes:
-    """The deterministic PNG payload a media_ref resolves to — the stand-in
-    for the object-store fetch a deployment would perform.  Byte-stable
-    (zlib level 6 is deterministic) so store files can be resume-skipped by
-    existence, like the tile sink (apps/gdalalg_raster_tile.cpp:676-682)."""
+    """The deterministic payload a media_ref resolves to — the stand-in for
+    the object-store fetch a deployment would perform: PNG for image refs,
+    8-bit PCM WAV for audio refs (both carry the fake_pixels bytes, so real
+    decode == fake decode and the oracle stays SQL-recomputable).
+    Byte-stable (zlib level 6 / PCM are deterministic) so store files can be
+    resume-skipped by existence, like the tile sink
+    (apps/gdalalg_raster_tile.cpp:676-682)."""
+    if _ref_kind(media_ref) == "audio":
+        from ..sources.wav import encode_wav
+
+        return encode_wav(fake_pixels(media_ref, thumb).ravel(), rate=8000)
     from ..sources.png import encode_png
 
     return encode_png(fake_pixels(media_ref, thumb))
 
 
 def _ref_store_path(root: str, media_ref: str) -> str:
-    """media://kind/000000123/j -> <root>/kind/000000123/j.png"""
+    """media://kind/000000123/j -> <root>/kind/000000123/j.{png|wav}"""
     rel = media_ref.split("://", 1)[-1]
-    return os.path.join(root, *rel.split("/")) + ".png"
+    ext = ".wav" if _ref_kind(media_ref) == "audio" else ".png"
+    return os.path.join(root, *rel.split("/")) + ext
 
 
 class DecodeBackend:
@@ -76,8 +88,10 @@ class DecodeBackend:
         self.store_root = store_root
         if backend == "real":
             from ..sources.png import decode_png
+            from ..sources.wav import decode_wav
 
             self._decode_png = decode_png
+            self._decode_wav = decode_wav
 
     def fetch(self, media_ref: str) -> bytes:
         """Resolve a ref to its payload bytes (store file, else synthesized)."""
@@ -100,6 +114,10 @@ class DecodeBackend:
             if arr.ndim == 3:  # RGB -> luma-free gray (mean of channels)
                 arr = arr.mean(axis=2).astype(np.uint8)
             return arr
+        if self.backend == "real" and kind == "audio":
+            samples, _rate = self._decode_wav(self.fetch(media_ref))
+            # 8-bit PCM carries the thumb x thumb byte grid (payload_for_ref)
+            return samples.reshape(self.thumb, self.thumb)
         return fake_pixels(media_ref, self.thumb)
 
 
