@@ -67,16 +67,16 @@ def sliding_window(ds, window_s: int, step_s: int, ts_col: str = "ts", key_col: 
     def tag(batch: pa.Table) -> pa.Table:
         sec = _epoch_us(batch[ts_col]) // 1_000_000
         base = sec // step_s
-        keys_all, wids_all = [], []
-        key_list = batch[key_col].to_pylist()
+        rows_all, wids_all = [], []
         for j in range(max_windows):
             wid = base - j
             keep = wid * step_s + window_s > sec  # window still covers sec
+            rows_all.append(np.flatnonzero(keep))
             wids_all.append(wid[keep])
-            keys_all.extend(k for k, m in zip(key_list, keep) if m)
+        take = pa.array(np.concatenate(rows_all))
         return pa.table(
             {
-                key_col: pa.array(keys_all),
+                key_col: batch[key_col].take(take),
                 "window_id": pa.array(np.concatenate(wids_all)),
             }
         )
