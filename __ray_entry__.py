@@ -1526,6 +1526,40 @@ def _predicate_counts_sql() -> str:
     """
 
 
+def _video_frames_sql() -> str:
+    """Frame-sample oracle: every video span's frames 0 and 2 (stride 2 of
+    4), pixel chain md5('{fref}:{block}') with fref = ref (frame 0) or
+    ref#f{k}; exact integer mean (stages/media.fake_frames/FrameSampler)."""
+    return """
+        WITH docs AS (SELECT range AS k FROM range(2000)),
+        sp AS (SELECT k, j.j AS j FROM docs,
+               LATERAL (SELECT unnest(generate_series(0, k % 4)) AS j) j),
+        ms AS (SELECT k, j,
+                      ['text','image','audio','video'][(k + j) % 4 + 1] AS kind
+               FROM sp),
+        med AS (SELECT k, j,
+                       'media://video/' || printf('%09d', k) || '/'
+                         || CAST(j AS VARCHAR) AS ref
+                FROM ms WHERE kind = 'video'),
+        fr AS (SELECT k, j, ref, f.f AS fi,
+                      CASE WHEN f.f = 0 THEN ref
+                           ELSE ref || '#f' || CAST(f.f AS VARCHAR) END AS fref
+               FROM med, (SELECT unnest([0, 2]) AS f) f),
+        pxm AS (SELECT k, j, ref, fi, i.i AS idx,
+                       md5(fref || ':' || CAST(i.i // 16 AS VARCHAR)) AS h
+                FROM fr, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) i),
+        pxv AS (SELECT k, j, ref, fi,
+                       strpos('123456789abcdef', substr(h, 2 * (idx % 16) + 1, 1)) * 16
+                     + strpos('123456789abcdef', substr(h, 2 * (idx % 16) + 2, 1)) AS val
+                FROM pxm)
+        SELECT printf('doc-%09d', k) AS doc_id,
+               CAST(j AS BIGINT) AS span_idx, ref AS media_ref,
+               CAST(fi AS BIGINT) AS frame_idx,
+               CAST((sum(val) * 200 + 64) // 128 AS BIGINT) AS mean_x100
+        FROM pxv GROUP BY 1, 2, 3, 4
+    """
+
+
 def _media_sql() -> str:
     """Media featurization over the synthetic 2000-doc interleaved corpus:
     span structure, md5-block fake decode, mean and dHash recomputed from
@@ -2206,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "palette_median_cut": q.palette_q,
         "media_features": q.media_features_q,
         "media_features_real": q.media_features_real_q,
+        "video_frame_sample": q.video_frame_sample_q,
         "media_inventory": q.media_inventory_q,
         # coordinate transformers (SURVEY §2.3; alg/gdaltransformer.cpp family)
         "reproject_utm": q.reproject_utm_q,
@@ -4057,6 +4092,7 @@ def oracle_sql() -> dict[str, str]:
         # the real-codec path (store PNGs -> decode_png) produces the same
         # pixel values by construction; the oracle recomputes them from scratch
         "media_features_real": _media_sql(),
+        "video_frame_sample": _video_frames_sql(),
         "warp_cutline": f"""
             WITH {_warp_grid_ctes()},
             p4 AS (SELECT x, y, i, j,

@@ -2215,10 +2215,25 @@ def media_features_real_q(sf_dir: str):
     store = "/tmp/gdal_ray_media_store"
     # ingest stage: write (or resume-skip) every image + audio payload
     for _ in media.materialize_payload_store(
-            docs, store, kinds=("image", "audio")).iter_batches():
+            docs, store, kinds=("image", "audio", "video")).iter_batches():
         pass
     return media.featurize_media(docs, backend="real", store_root=store,
                                  concurrency=2)
+
+
+def video_frame_sample_q(sf_dir: str):
+    """Frame-sampling over video spans through the REAL AVI codec: payloads
+    materialized to the store, each video decoded in the actor pool, every
+    2nd frame's exact integer mean emitted (the brief's frame-sample op)."""
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    store = "/tmp/gdal_ray_media_store"
+    for _ in media.materialize_payload_store(
+            docs, store, kinds=("image", "audio", "video")).iter_batches():
+        pass
+    return media.sample_frames(docs, stride=2, backend="real",
+                               store_root=store, concurrency=2)
 
 
 def media_inventory_q(sf_dir: str):

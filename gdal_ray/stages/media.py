@@ -11,10 +11,10 @@ payloads, output layout) is real and tested.  Two codec backends behind
   from an on-disk store directory, or synthesized deterministically when no
   store is given) are parsed by the engine's own PNG codec
   (``sources/png.py:decode_png``: signature, chunk CRCs, zlib inflate,
-  scanline filters).  'image' refs go through the PNG path end-to-end; audio /
-  video kinds fall back to the fake pixels (no audio/video codec ships in
-  this container — reference analogue: a driver registry with some formats
-  absent, gcore/gdaldrivermanager.cpp).
+  scanline filters), the RIFF/WAV codec (``sources/wav.py``) for audio, and
+  the RIFF/AVI codec (``sources/avi.py``) for video — every media kind runs
+  a real byte-level parse end-to-end.  Payload bytes carry the same values
+  as the fake path by construction, so the SQL oracles hold for both.
 
 Scale notes: media rows are wide — the stage runs with a SMALL batch_size and
 ``batch_format="pyarrow"`` so binary payloads stay zero-copy in Arrow, and the
@@ -47,6 +47,17 @@ def _ref_kind(media_ref: str) -> str:
     return media_ref.split("://", 1)[-1].split("/", 1)[0]
 
 
+def fake_frames(media_ref: str, n_frames: int = 4, thumb: int = 8) -> np.ndarray:
+    """(n_frames, thumb, thumb) deterministic video frames: frame 0 is the
+    span's fake_pixels (so frame-0 features equal the image path's), later
+    frames derive from '{ref}#f{k}' — all md5-chains an ANSI-SQL oracle can
+    recompute."""
+    return np.stack([
+        fake_pixels(media_ref if k == 0 else f"{media_ref}#f{k}", thumb)
+        for k in range(n_frames)
+    ])
+
+
 def payload_for_ref(media_ref: str, thumb: int = 8) -> bytes:
     """The deterministic payload a media_ref resolves to — the stand-in for
     the object-store fetch a deployment would perform: PNG for image refs,
@@ -55,26 +66,34 @@ def payload_for_ref(media_ref: str, thumb: int = 8) -> bytes:
     Byte-stable (zlib level 6 / PCM are deterministic) so store files can be
     resume-skipped by existence, like the tile sink
     (apps/gdalalg_raster_tile.cpp:676-682)."""
-    if _ref_kind(media_ref) == "audio":
+    kind = _ref_kind(media_ref)
+    if kind == "audio":
         from ..sources.wav import encode_wav
 
         return encode_wav(fake_pixels(media_ref, thumb).ravel(), rate=8000)
+    if kind == "video":
+        from ..sources.avi import encode_avi
+
+        return encode_avi(fake_frames(media_ref, thumb=thumb), fps=10)
     from ..sources.png import encode_png
 
     return encode_png(fake_pixels(media_ref, thumb))
 
 
+_KIND_EXT = {"audio": ".wav", "video": ".avi"}
+
+
 def _ref_store_path(root: str, media_ref: str) -> str:
-    """media://kind/000000123/j -> <root>/kind/000000123/j.{png|wav}"""
+    """media://kind/000000123/j -> <root>/kind/000000123/j.{png|wav|avi}"""
     rel = media_ref.split("://", 1)[-1]
-    ext = ".wav" if _ref_kind(media_ref) == "audio" else ".png"
+    ext = _KIND_EXT.get(_ref_kind(media_ref), ".png")
     return os.path.join(root, *rel.split("/")) + ext
 
 
 class DecodeBackend:
     """``backend="fake"``: ref -> deterministic pixels directly.
-    ``backend="real"``: ref -> payload BYTES -> the in-repo PNG codec
-    (decode_png) for image refs; fake fallback for kinds with no codec.
+    ``backend="real"``: ref -> payload BYTES -> the in-repo codecs
+    (PNG for image, RIFF/WAV for audio, RIFF/AVI for video).
     ``store_root``: directory of materialized payloads (see
     ``materialize_payload_store``); when None the payload bytes are
     synthesized in memory — the codec still runs on real PNG bytes."""
@@ -87,11 +106,13 @@ class DecodeBackend:
         self.thumb = thumb
         self.store_root = store_root
         if backend == "real":
+            from ..sources.avi import decode_avi
             from ..sources.png import decode_png
             from ..sources.wav import decode_wav
 
             self._decode_png = decode_png
             self._decode_wav = decode_wav
+            self._decode_avi = decode_avi
 
     def fetch(self, media_ref: str) -> bytes:
         """Resolve a ref to its payload bytes (store file, else synthesized)."""
@@ -118,7 +139,18 @@ class DecodeBackend:
             samples, _rate = self._decode_wav(self.fetch(media_ref))
             # 8-bit PCM carries the thumb x thumb byte grid (payload_for_ref)
             return samples.reshape(self.thumb, self.thumb)
+        if self.backend == "real" and kind == "video":
+            # span-level features use frame 0 (== the fake pixels)
+            return self.decode_frames(media_ref)[0]
         return fake_pixels(media_ref, self.thumb)
+
+    def decode_frames(self, media_ref: str) -> np.ndarray:
+        """(n_frames, thumb, thumb) frames of a video ref (real: the AVI
+        codec on the payload bytes; fake: the deterministic frame chain)."""
+        if self.backend == "real":
+            frames, _fps = self._decode_avi(self.fetch(media_ref))
+            return frames
+        return fake_frames(media_ref, thumb=self.thumb)
 
 
 def materialize_payload_store(docs_ds, root: str, kinds=("image",),
@@ -507,3 +539,57 @@ def media_inventory(docs_ds):
         "min_ref": pa.array([r["min_ref"] for r in ref_stats]),
         "max_ref": pa.array([r["max_ref"] for r in ref_stats]),
     })
+
+
+class FrameSampler:
+    """Actor-pool stage: explode VIDEO spans -> sampled per-frame features
+    (the brief's frame-sample op): every ``stride``-th frame of each video
+    ref decoded once per actor-held codec, one output row per sampled frame
+    with its exact integer mean."""
+
+    def __init__(self, stride: int = 2, backend: str = "fake", thumb: int = 8,
+                 store_root: str | None = None):
+        self.codec = DecodeBackend(backend, thumb, store_root=store_root)
+        self.stride = int(stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, span_idx, refs, fidx, means = [], [], [], [], []
+        spans_col = batch["spans"]
+        for i in range(batch.num_rows):
+            spans = spans_col[i].as_py() or []
+            for j, s in enumerate(spans):
+                if s["kind"] != "video" or not s["media_ref"]:
+                    continue
+                frames = self.codec.decode_frames(s["media_ref"])
+                for k in range(0, frames.shape[0], self.stride):
+                    fr = frames[k]
+                    n_px = fr.size
+                    doc_ids.append(batch["doc_id"][i].as_py())
+                    span_idx.append(j)
+                    refs.append(s["media_ref"])
+                    fidx.append(k)
+                    means.append((int(fr.sum()) * 200 + n_px) // (2 * n_px))
+        return pa.table({
+            "doc_id": pa.array(doc_ids),
+            "span_idx": pa.array(span_idx, pa.int32()),
+            "media_ref": pa.array(refs),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "mean_x100": pa.array(means, pa.int64()),
+        })
+
+
+def sample_frames(docs_ds, stride: int = 2, backend: str = "fake",
+                  concurrency: int | tuple = 2, batch_size: int = 1024,
+                  store_root: str | None = None):
+    """Video frame-sampling pipeline: project -> actor-pool frame decode."""
+    cols = docs_ds.schema().names
+    if set(cols) - {"doc_id", "spans"}:
+        docs_ds = docs_ds.select_columns(["doc_id", "spans"])
+    return docs_ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=dict(stride=stride, backend=backend,
+                                   store_root=store_root),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -65,14 +65,14 @@ def test_media_store_materialize_resume_and_real_featurize(tmp_path):
     docs = synthetic.make_docs(60)
     ds = rd.from_arrow(docs)
     r1 = media.materialize_payload_store(
-        ds, root, kinds=("image", "audio")).take_all()
+        ds, root, kinds=("image", "audio", "video")).take_all()
     n_media = sum(1 for i in range(docs.num_rows)
                   for s in docs["spans"][i].as_py()
-                  if s["kind"] in ("image", "audio"))
+                  if s["kind"] in ("image", "audio", "video"))
     assert len(r1) == n_media and not any(r["skipped"] for r in r1)
     assert all(r["n_bytes"] > 0 for r in r1)
     r2 = media.materialize_payload_store(
-        ds, root, kinds=("image", "audio")).take_all()
+        ds, root, kinds=("image", "audio", "video")).take_all()
     assert all(r["skipped"] for r in r2)  # resume: nothing rewritten
 
     real = media.featurize_media(ds, backend="real", store_root=root).take_all()
@@ -385,7 +385,7 @@ def test_real_audio_decode_matches_fake(ray_session, tmp_path):
     docs = rd.from_arrow(synthetic.make_docs(60))
     store = str(tmp_path / "store")
     for _ in media.materialize_payload_store(
-            docs, store, kinds=("image", "audio")).iter_batches():
+            docs, store, kinds=("image", "audio", "video")).iter_batches():
         pass
     real = {(r["doc_id"], r["span_idx"]): (r["mean_x100"], r["phash"])
             for r in media.featurize_media(
@@ -397,3 +397,47 @@ def test_real_audio_decode_matches_fake(ray_session, tmp_path):
     kinds = {r["kind"] for r in media.featurize_media(
         docs, backend="real", store_root=store).take_all()}
     assert "audio" in kinds
+
+
+def test_avi_codec_roundtrip_and_validation():
+    import pytest
+
+    from gdal_ray.sources.avi import decode_avi, encode_avi
+
+    rng = np.random.default_rng(31)
+    frames = rng.integers(0, 256, (5, 12, 16)).astype(np.uint8)
+    buf = encode_avi(frames, fps=24)
+    back, fps = decode_avi(buf)
+    assert fps == 24 and back.shape == frames.shape
+    assert (back == frames).all()
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi(buf[:60])
+    with pytest.raises(ValueError):
+        encode_avi(frames.astype(np.int16))
+
+
+def test_real_video_frames_match_fake(ray_session, tmp_path):
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(60))
+    store = str(tmp_path / "store")
+    for _ in media.materialize_payload_store(
+            docs, store, kinds=("image", "audio", "video")).iter_batches():
+        pass
+    real = sorted(
+        (r["doc_id"], r["span_idx"], r["frame_idx"], r["mean_x100"])
+        for r in media.sample_frames(docs, stride=2, backend="real",
+                                     store_root=store).take_all())
+    fake = sorted(
+        (r["doc_id"], r["span_idx"], r["frame_idx"], r["mean_x100"])
+        for r in media.sample_frames(docs, stride=2, backend="fake").take_all())
+    assert real == fake and len(real) > 0
+    assert {r[2] for r in real} == {0, 2}  # stride-2 of 4 frames
+    # full span features with real backend cover all three media kinds
+    feats = media.featurize_media(docs, backend="real", store_root=store).take_all()
+    assert {r["kind"] for r in feats} == {"image", "audio", "video"}
