@@ -1526,7 +1526,42 @@ def _predicate_counts_sql() -> str:
     """
 
 
+def _media_resize_sql() -> str:
+    """Resized-thumb oracle: pixel chain -> 2x2 half-up block average ->
+    mean_x100 + position-weighted mod-65536 checksum (ThumbResizer)."""
+    return """
+        WITH docs AS (SELECT range AS k FROM range(2000)),
+        sp AS (SELECT k, j.j AS j FROM docs,
+               LATERAL (SELECT unnest(generate_series(0, k % 4)) AS j) j),
+        ms AS (SELECT k, j,
+                      ['text','image','audio','video'][(k + j) % 4 + 1] AS kind
+               FROM sp),
+        med AS (SELECT k, j, kind,
+                       'media://' || kind || '/' || printf('%09d', k) || '/'
+                         || CAST(j AS VARCHAR) AS ref
+                FROM ms WHERE kind <> 'text'),
+        pxm AS (SELECT k, j, ref, i.i AS idx,
+                       md5(ref || ':' || CAST(i.i // 16 AS VARCHAR)) AS h
+                FROM med, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) i),
+        pxv AS (SELECT k, j, ref, idx,
+                       strpos('123456789abcdef', substr(h, 2 * (idx % 16) + 1, 1)) * 16
+                     + strpos('123456789abcdef', substr(h, 2 * (idx % 16) + 2, 1)) AS val
+                FROM pxm),
+        blk AS (SELECT k, j, ref,
+                       (idx // 8) // 2 AS br, (idx % 8) // 2 AS bc,
+                       (2 * sum(val) + 4) // 8 AS bval
+                FROM pxv GROUP BY 1, 2, 3, 4, 5)
+        SELECT printf('doc-%09d', k) AS doc_id,
+               CAST(j AS BIGINT) AS span_idx, ref AS media_ref,
+               CAST((sum(bval) * 200 + 16) // 32 AS BIGINT) AS r_mean_x100,
+               CAST(sum(bval * ((br * 4 + bc) % 7 + 1)) % 65536 AS BIGINT)
+                 AS r_checksum
+        FROM blk GROUP BY 1, 2, 3
+    """
+
+
 def _video_frames_sql() -> str:
+
     """Frame-sample oracle: every video span's frames 0 and 2 (stride 2 of
     4), pixel chain md5('{fref}:{block}') with fref = ref (frame 0) or
     ref#f{k}; exact integer mean (stages/media.fake_frames/FrameSampler)."""
@@ -2241,6 +2276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.media_features_q,
         "media_features_real": q.media_features_real_q,
         "video_frame_sample": q.video_frame_sample_q,
+        "media_resize": q.media_resize_q,
         "media_inventory": q.media_inventory_q,
         # coordinate transformers (SURVEY §2.3; alg/gdaltransformer.cpp family)
         "reproject_utm": q.reproject_utm_q,
@@ -4093,6 +4129,7 @@ def oracle_sql() -> dict[str, str]:
         # pixel values by construction; the oracle recomputes them from scratch
         "media_features_real": _media_sql(),
         "video_frame_sample": _video_frames_sql(),
+        "media_resize": _media_resize_sql(),
         "warp_cutline": f"""
             WITH {_warp_grid_ctes()},
             p4 AS (SELECT x, y, i, j,

@@ -2236,6 +2236,24 @@ def video_frame_sample_q(sf_dir: str):
                                store_root=store, concurrency=2)
 
 
+def media_resize_q(sf_dir: str):
+    """Media RESIZE through the real codecs: decode every media span, exact
+    2x2 block-average downscale (round half up), emit the resized thumb's
+    integer mean + position-weighted checksum; resized PNGs land in an
+    output store with existence-resume."""
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    store = "/tmp/gdal_ray_media_store"
+    for _ in media.materialize_payload_store(
+            docs, store, kinds=("image", "audio", "video")).iter_batches():
+        pass
+    return media.resize_media(docs, factor=2, backend="real",
+                              store_root=store,
+                              out_root="/tmp/gdal_ray_media_resized",
+                              concurrency=2)
+
+
 def media_inventory_q(sf_dir: str):
     """Per-kind media-reference catalog over the interleaved corpus."""
     from ..stages import media

@@ -593,3 +593,84 @@ def sample_frames(docs_ds, stride: int = 2, backend: str = "fake",
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def block_average(arr: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Exact integer area-average downscale by ``factor`` (round half up) —
+    the media 'resize' kernel (gcore/overview.cpp average semantics on the
+    thumbnail grid).  Requires factor-aligned dimensions."""
+    h, w = arr.shape
+    if h % factor or w % factor:
+        raise ValueError(f"shape {arr.shape} not divisible by {factor}")
+    b = arr.astype(np.int64).reshape(h // factor, factor, w // factor, factor)
+    s = b.sum(axis=(1, 3))
+    n = factor * factor
+    return ((2 * s + n) // (2 * n)).astype(np.uint8)
+
+
+class ThumbResizer:
+    """Actor-pool media RESIZE stage: decode -> exact block-average downscale
+    -> (optionally) re-encode the resized PNG to an output store + emit the
+    resized thumb's integer features (mean_x100 and the position-weighted
+    checksum, functions/checksum convention)."""
+
+    def __init__(self, factor: int = 2, backend: str = "fake", thumb: int = 8,
+                 store_root: str | None = None, out_root: str | None = None):
+        self.codec = DecodeBackend(backend, thumb, store_root=store_root)
+        self.factor = int(factor)
+        self.out_root = out_root
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, span_idx, refs, means, sums = [], [], [], [], []
+        spans_col = batch["spans"]
+        for i in range(batch.num_rows):
+            spans = spans_col[i].as_py() or []
+            for j, s in enumerate(spans):
+                if s["kind"] == "text" or not s["media_ref"]:
+                    continue
+                arr = self.codec.decode(s["media_ref"], kind=s["kind"])
+                small = block_average(arr, self.factor)
+                if self.out_root is not None:
+                    from ..sources.png import encode_png
+
+                    path = _ref_store_path(self.out_root, s["media_ref"])
+                    if not path.endswith(".png"):
+                        path = path.rsplit(".", 1)[0] + ".png"
+                    if not os.path.exists(path):  # resume by existence
+                        os.makedirs(os.path.dirname(path), exist_ok=True)
+                        tmp = f"{path}.tmp.{os.getpid()}"
+                        with open(tmp, "wb") as f:
+                            f.write(encode_png(small))
+                        os.replace(tmp, path)
+                n_px = small.size
+                flat = small.astype(np.int64).ravel()
+                w = (np.arange(n_px) % 7) + 1
+                doc_ids.append(batch["doc_id"][i].as_py())
+                span_idx.append(j)
+                refs.append(s["media_ref"])
+                means.append((int(flat.sum()) * 200 + n_px) // (2 * n_px))
+                sums.append(int((flat * w).sum() % 65536))
+        return pa.table({
+            "doc_id": pa.array(doc_ids),
+            "span_idx": pa.array(span_idx, pa.int32()),
+            "media_ref": pa.array(refs),
+            "r_mean_x100": pa.array(means, pa.int64()),
+            "r_checksum": pa.array(sums, pa.int64()),
+        })
+
+
+def resize_media(docs_ds, factor: int = 2, backend: str = "fake",
+                 concurrency: int | tuple = 2, batch_size: int = 1024,
+                 store_root: str | None = None, out_root: str | None = None):
+    """Media resize pipeline: project -> actor-pool decode + downscale."""
+    cols = docs_ds.schema().names
+    if set(cols) - {"doc_id", "spans"}:
+        docs_ds = docs_ds.select_columns(["doc_id", "spans"])
+    return docs_ds.map_batches(
+        ThumbResizer,
+        fn_constructor_kwargs=dict(factor=factor, backend=backend,
+                                   store_root=store_root, out_root=out_root),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -441,3 +441,39 @@ def test_real_video_frames_match_fake(ray_session, tmp_path):
     # full span features with real backend cover all three media kinds
     feats = media.featurize_media(docs, backend="real", store_root=store).take_all()
     assert {r["kind"] for r in feats} == {"image", "audio", "video"}
+
+
+def test_resize_media_exact_and_sink(ray_session, tmp_path):
+    """Block-average resize: exact half-up integers vs brute; resized PNGs
+    written once (existence resume) and decodable."""
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.sources.png import decode_png
+    from gdal_ray.stages import media
+
+    # kernel check
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    small = media.block_average(arr, 2)
+    for r in range(4):
+        for c in range(4):
+            s = int(arr[2 * r:2 * r + 2, 2 * c:2 * c + 2].astype(int).sum())
+            assert small[r, c] == (2 * s + 4) // 8
+    with pytest.raises(ValueError):
+        media.block_average(np.zeros((7, 8), np.uint8), 2)
+
+    docs = rd.from_arrow(synthetic.make_docs(40))
+    out_root = str(tmp_path / "resized")
+    rows = media.resize_media(docs, factor=2, backend="fake",
+                              out_root=out_root).take_all()
+    assert rows
+    r0 = rows[0]
+    full = media.fake_pixels(r0["media_ref"])
+    small = media.block_average(full, 2)
+    n = small.size
+    assert r0["r_mean_x100"] == (int(small.astype(int).sum()) * 200 + n) // (2 * n)
+    # the sink holds a decodable PNG of exactly the resized thumb
+    path = media._ref_store_path(out_root, r0["media_ref"])
+    if not path.endswith(".png"):
+        path = path.rsplit(".", 1)[0] + ".png"
+    assert np.array_equal(decode_png(open(path, "rb").read()), small)
