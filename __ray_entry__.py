@@ -2111,6 +2111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_sql": q.filter_sql_q,
         "range_join": q.range_join_q,
         "select_sql_expr": q.select_sql_expr_q,
+        "select_sql_group": q.select_sql_group_q,
         "topk_orders": q.topk_orders,
         "distinct_segments": q.distinct_segments,
         # stream-shaped (SURVEY §2.12 analogues)
@@ -2467,6 +2468,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars - n_chars // 7 * 7 IN (1, 3, 5)
               AND NOT (n_chars BETWEEN 100 AND 200)
             ORDER BY doc_id LIMIT 200
+        """,
+        "select_sql_group": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c_nationkey) AS BIGINT) AS nat_sum,
+                   CAST(min(c_custkey) AS BIGINT) AS min_key,
+                   CAST(max(c_custkey) AS BIGINT) AS max_key
+            FROM customer WHERE c_custkey % 3 <> 0
+            GROUP BY c_mktsegment HAVING count(*) > 10
+            ORDER BY c_mktsegment
         """,
         "topk_orders": """
             SELECT o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS total_cents

@@ -41,7 +41,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL",
     "SELECT", "FROM", "WHERE", "ORDER", "BY", "ASC", "DESC", "LIMIT", "AS",
-    "CAST", "DISTINCT", "TRUE", "FALSE",
+    "CAST", "DISTINCT", "TRUE", "FALSE", "GROUP", "HAVING",
 }
 
 
@@ -261,6 +261,10 @@ class _Parser:
         if self.peek("op", "(") is not None:
             self.take()
             args = []
+            if name.lower() == "count" and self.peek("op", "*") is not None:
+                self.take()
+                self.take("op", ")")
+                return Func("count", [Lit("*")])
             if self.peek("op", ")") is None:
                 args.append(self.expr())
                 while self.peek("op", ",") is not None:
@@ -427,6 +431,13 @@ def scan_filter(where_sql: str):
 # -- SELECT statements ------------------------------------------------------
 
 
+AGG_FUNCS = {"count", "sum", "min", "max"}
+
+
+def _is_agg(node) -> bool:
+    return isinstance(node, Func) and node.name in AGG_FUNCS
+
+
 @dataclass
 class Select:
     projections: list  # [(ast, alias)]
@@ -436,6 +447,8 @@ class Select:
     limit: int | None
     distinct: bool = False
     star: bool = False
+    group_by: list = None  # [col_name]
+    having: object | None = None
 
     @property
     def columns_needed(self) -> set[str]:
@@ -444,8 +457,10 @@ class Select:
             cols |= columns_used(a)
         if self.where is not None:
             cols |= columns_used(self.where)
-        for c, _ in self.order_by:
-            cols.add(c)
+        if not self.group_by:  # grouped ORDER BY refers to output aliases
+            for c, _ in self.order_by:
+                cols.add(c)
+        cols.discard("*")
         return cols
 
 
@@ -457,9 +472,11 @@ def _default_alias(node, idx: int) -> str:
 
 def parse_select(sql: str) -> Select:
     """Parse ``SELECT [DISTINCT] items FROM table [WHERE ...]
-    [ORDER BY c [ASC|DESC], ...] [LIMIT n]`` (the ogr_gensql.cpp execution
-    surface minus JOIN/GROUP BY, which the engine exposes as dedicated
-    stages — relational.hash_join_broadcast / partial_aggregate)."""
+    [GROUP BY k, ...] [HAVING ...] [ORDER BY c [ASC|DESC], ...] [LIMIT n]``
+    (the ogr_gensql.cpp execution surface minus JOIN, which the engine
+    exposes as relational.hash_join_broadcast).  Grouped selects compile to
+    the two-phase ``relational.partial_aggregate`` with count(*) / sum /
+    min / max over plain columns."""
     p = _Parser(tokenize(sql))
     p.take("kw", "SELECT")
     distinct = False
@@ -490,6 +507,19 @@ def parse_select(sql: str) -> Select:
     if p.peek("kw", "WHERE") is not None:
         p.take()
         where = p.expr()
+    group_by = []
+    if p.peek("kw", "GROUP") is not None:
+        p.take()
+        p.take("kw", "BY")
+        while True:
+            group_by.append(p.take("ident"))
+            if p.peek("op", ",") is None:
+                break
+            p.take()
+    having = None
+    if p.peek("kw", "HAVING") is not None:
+        p.take()
+        having = p.expr()
     order_by = []
     if p.peek("kw", "ORDER") is not None:
         p.take()
@@ -512,15 +542,87 @@ def parse_select(sql: str) -> Select:
         limit = int(p.take("num"))
     if not p.at_end():
         raise ValueError(f"trailing tokens: {p.toks[p.i:]}")
-    return Select(projections, table, where, order_by, limit, distinct, star)
+    return Select(projections, table, where, order_by, limit, distinct, star,
+                  group_by, having)
+
+
+def _apply_grouped(ds, sel: Select, where):
+    """GROUP BY execution: WHERE filter -> two-phase partial_aggregate ->
+    alias projection -> HAVING -> ORDER BY/LIMIT.  Projections must be
+    group keys or count(*)/sum/min/max over plain columns (the
+    ogr_gensql.cpp aggregate surface); HAVING and ORDER BY refer to the
+    OUTPUT aliases."""
+    from ..stages.relational import partial_aggregate
+
+    sums, mins, maxs = [], [], []
+    renames = []  # (source_col_in_agg_output, alias)
+    count_alias = None
+    for node, alias in sel.projections:
+        if isinstance(node, Col):
+            if node.name not in sel.group_by:
+                raise ValueError(f"non-aggregated column {node.name!r} "
+                                 "not in GROUP BY")
+            renames.append((node.name, alias))
+        elif _is_agg(node):
+            if node.name == "count":
+                if not (len(node.args) == 1 and isinstance(node.args[0], Lit)
+                        and node.args[0].value == "*"):
+                    raise ValueError("only count(*) is supported (count(col) "
+                                     "skips nulls — use a WHERE filter)")
+                if count_alias is not None:
+                    raise ValueError("only one count(*) per grouped select")
+                count_alias = alias
+                renames.append((alias, alias))
+            else:
+                if len(node.args) != 1 or not isinstance(node.args[0], Col):
+                    raise ValueError(
+                        f"{node.name}() argument must be a plain column")
+                argn = node.args[0].name
+                {"sum": sums, "min": mins, "max": maxs}[node.name].append(argn)
+                renames.append((f"{argn}_{node.name}", alias))
+        else:
+            raise ValueError("grouped projections must be group keys or "
+                             "count(*)/sum/min/max aggregates")
+
+    if where is not None:
+        def flt(t: pa.Table) -> pa.Table:
+            return t.filter(compile_node(where, lambda n: t[n]))
+
+        ds = ds.map_batches(flt, batch_format="pyarrow")
+
+    agg = partial_aggregate(
+        ds, list(sel.group_by),
+        sums=list(dict.fromkeys(sums)), mins=list(dict.fromkeys(mins)),
+        maxs=list(dict.fromkeys(maxs)), count_alias=count_alias)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({alias: t[src] for src, alias in renames})
+
+    out = agg.map_batches(project, batch_format="pyarrow")
+    if sel.having is not None:
+        having = sel.having
+
+        def hflt(t: pa.Table) -> pa.Table:
+            return t.filter(compile_node(having, lambda n: t[n]))
+
+        out = out.map_batches(hflt, batch_format="pyarrow")
+    if sel.order_by:
+        out = out.sort([c for c, _ in sel.order_by],
+                       descending=[d for _, d in sel.order_by])
+    if sel.limit is not None:
+        out = out.limit(sel.limit)
+    return out
 
 
 def apply_select(ds, sel: Select, skip_where: bool = False):
     """Run a parsed Select over a Ray Dataset: residual WHERE filter ->
-    vectorized projection -> ORDER BY (range-partitioned sort) -> LIMIT.
+    vectorized projection -> ORDER BY (range-partitioned sort) -> LIMIT;
+    grouped selects route through ``_apply_grouped``.
     ``skip_where=True`` when the caller already pushed the whole predicate
     into the scan."""
     where = None if skip_where else sel.where
+    if sel.group_by:
+        return _apply_grouped(ds, sel, where)
     proj = sel.projections
     order_cols = {c for c, _ in sel.order_by}
     out_names = [alias for _, alias in proj]

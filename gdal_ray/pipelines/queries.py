@@ -263,6 +263,21 @@ def select_sql_expr_q(sf_dir: str):
     return sqlexpr.apply_select(ds, sel)
 
 
+def select_sql_group_q(sf_dir: str):
+    """SQL GROUP BY from a string (ogr_gensql.cpp aggregate surface):
+    count(*)/sum/min/max compile to the two-phase partial_aggregate, HAVING
+    and ORDER BY run over the output aliases."""
+    from ..functions import sqlexpr
+
+    sql = ("SELECT c_mktsegment, count(*) AS n, sum(c_nationkey) AS nat_sum, "
+           "min(c_custkey) AS min_key, max(c_custkey) AS max_key "
+           "FROM customer WHERE c_custkey % 3 <> 0 "
+           "GROUP BY c_mktsegment HAVING n > 10 ORDER BY c_mktsegment")
+    sel = sqlexpr.parse_select(sql)
+    ds = read_table(sf_dir, "customer", columns=sorted(sel.columns_needed))
+    return sqlexpr.apply_select(ds, sel)
+
+
 def topk_orders(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     ds = ds.map_batches(

@@ -122,3 +122,35 @@ def test_sql_steps_in_pipeline(ray_session):
         ds, 'sql_select sql="SELECT a, a + 1 AS b FROM t WHERE a IN (1, 5)"'
     ).take_all()
     assert sorted((r["a"], r["b"]) for r in out2) == [(1, 2), (5, 6)]
+
+
+def test_group_by_aggregates(ray_session):
+    import ray.data as rd
+
+    t2 = pa.table({
+        "k": pa.array(["a", "a", "b", "b", "b", "c"]),
+        "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    ds = rd.from_arrow(t2)
+    sel = sqlexpr.parse_select(
+        "SELECT k, count(*) AS n, sum(v) AS sv, min(v) AS lo, max(v) AS hi "
+        "FROM t WHERE v <> 6 GROUP BY k ORDER BY k")
+    rows = sqlexpr.apply_select(ds, sel).take_all()
+    assert rows == [
+        {"k": "a", "n": 2, "sv": 3, "lo": 1, "hi": 2},
+        {"k": "b", "n": 3, "sv": 12, "lo": 3, "hi": 5},
+    ]
+    # HAVING over output aliases
+    sel2 = sqlexpr.parse_select(
+        "SELECT k, sum(v) AS sv FROM t GROUP BY k HAVING sv >= 12 ORDER BY k")
+    assert sqlexpr.apply_select(ds, sel2).take_all() == [{"k": "b", "sv": 12}]
+    # errors: naked non-key column; count(col); non-column agg arg
+    with pytest.raises(ValueError, match="GROUP BY"):
+        sqlexpr.apply_select(ds, sqlexpr.parse_select(
+            "SELECT v, count(*) AS n FROM t GROUP BY k"))
+    with pytest.raises(ValueError, match="count"):
+        sqlexpr.apply_select(ds, sqlexpr.parse_select(
+            "SELECT k, count(v) AS n FROM t GROUP BY k"))
+    with pytest.raises(ValueError, match="plain column"):
+        sqlexpr.apply_select(ds, sqlexpr.parse_select(
+            "SELECT k, sum(v * 2) AS s FROM t GROUP BY k"))
