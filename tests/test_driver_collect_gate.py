@@ -39,6 +39,9 @@ ALLOWED = {
     ("gdal_ray/stages/rastermap.py", "equalize"),
     # per-block offset table: O(blocks)
     ("gdal_ray/stages/relational.py", "global_prefix_sum"),
+    # per-id-bucket ts maxima: O(id_range / bucket_size), the prefix-MAX
+    # twin of global_prefix_sum's offset table
+    ("gdal_ray/stages/events.py", "late_event_windows"),
     # size-gated API: raises above COSINE_BRUTE_MAX_ROWS
     ("gdal_ray/stages/sim.py", "cosine_neardup_pairs"),
     # bounded training sample (limit(train_sample))
