@@ -2304,6 +2304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": q.simhash_neardup_q,
         "ngram_jaccard_pairs": q.ngram_jaccard_q,
         "dup_clusters": q.dup_clusters_q,
+        "cluster_split": q.cluster_split_q,
         "dedup_keep_best": q.dedup_keep_best_q,
         "quality_classifier": q.quality_classifier_q,
     }
@@ -4449,6 +4450,25 @@ def oracle_sql() -> dict[str, str]:
                         UNION SELECT r.n, e.b FROM r JOIN edges e ON e.a = r.m)
             SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
             FROM r GROUP BY n
+        """,
+        "cluster_split": f"""
+            WITH RECURSIVE {_shingle_cte(5)}, {_minhash_ctes(64, 16)},
+            est AS (SELECT c.id_a, c.id_b,
+                           (sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END) * 1000) // 64 AS e
+                    FROM cand c
+                    JOIN mh ma ON ma.doc_id = c.id_a
+                    JOIN mh mb ON mb.doc_id = c.id_b AND mb.p = ma.p
+                    GROUP BY c.id_a, c.id_b),
+            edges AS (SELECT id_a AS a, id_b AS b FROM est WHERE e >= 500
+                      UNION SELECT id_b, id_a FROM est WHERE e >= 500),
+            r(n, m) AS (SELECT a, a FROM edges
+                        UNION SELECT r.n, e2.b FROM r JOIN edges e2 ON e2.a = r.m),
+            cl AS (SELECT n AS doc_id, min(m) AS cid FROM r GROUP BY n)
+            SELECT d.doc_id,
+                   CAST(COALESCE(cl.cid, d.doc_id) AS BIGINT) AS cluster_id,
+                   CASE WHEN COALESCE(cl.cid, d.doc_id) % 5 = 0
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
         """,
         "dedup_keep_best": f"""
             WITH RECURSIVE {_shingle_cte(5)}, {_minhash_ctes(64, 16)},

@@ -2689,6 +2689,14 @@ def dup_clusters_q(sf_dir: str):
     return dedup.dup_clusters(ds, min_jaccard_x1000=500)
 
 
+def cluster_split_q(sf_dir: str):
+    """Leakage-free train/val split: near-dup cluster members co-assigned
+    (dedup.cluster_split — the post-dedup hygiene step; split key is the
+    dup-cluster id, singletons their own id)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.cluster_split(ds, min_jaccard_x1000=500)
+
+
 def dedup_keep_best_q(sf_dir: str):
     """Canonical-doc selection per duplicate cluster: keep the member with
     max n_chars (ties -> min doc_id); membership attached via keyed union-tag

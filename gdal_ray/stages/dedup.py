@@ -883,3 +883,62 @@ def duplicated_spans(ds, k: int = 16, id_col: str = "doc_id",
     dups = grams.groupby("_part").map_groups(dup_positions, batch_format="pyarrow")
     return dups.groupby("_dpart").map_groups(
         lambda t: merge_spans(t.drop_columns(["_dpart"])), batch_format="pyarrow")
+
+
+def cluster_split(ds, min_jaccard_x1000: int = 500, id_col: str = "doc_id",
+                  val_mod: int = 5, num_buckets: int = 64, **kwargs):
+    """Leakage-free train/val split: every member of a near-dup cluster
+    lands in the SAME split (the held-out-set hygiene step after dedup —
+    a doc and its near-duplicate must never straddle train/val).
+
+    Split key = the doc's dup-cluster id (``dup_clusters`` min-reachable
+    label; singletons use their own id); split = 'val' when
+    cluster_id % val_mod == 0 else 'train' — deterministic and
+    SQL-mirrorable.  Output: (doc_id, cluster_id, split) for EVERY doc.
+
+    Scale shape: one bucket-keyed vectorized left join of the cluster
+    labels onto the id column (searchsorted inside hash buckets — the
+    ``_attach_component`` pattern); nothing corpus-sized on the driver.
+    """
+    clusters = dup_clusters(ds, min_jaccard_x1000, **kwargs)
+
+    def bucket_of(k: np.ndarray) -> np.ndarray:
+        return np.abs((k * np.int64(2654435761)) % np.int64(num_buckets))
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        k = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"_part": pa.array(bucket_of(k)), "_k": t[id_col],
+                         "_cid": pa.nulls(t.num_rows, pa.int64()),
+                         "_isdoc": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def tag_clusters(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"_part": pa.array(bucket_of(k)), "_k": t["doc_id"],
+                         "_cid": pa.compute.cast(t["cluster_id"], pa.int64()),
+                         "_isdoc": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def bucket_join(g: pa.Table) -> pa.Table:
+        isdoc = g["_isdoc"].to_numpy(zero_copy_only=False) == 1
+        k = g["_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        drow = np.flatnonzero(isdoc)
+        dk = k[drow]
+        cid = dk.copy()  # default: singleton cluster = own id
+        crow = np.flatnonzero(~isdoc)
+        if crow.size:
+            labs = pa.compute.fill_null(g["_cid"], 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ck, cv = k[crow], labs[crow]
+            order = np.argsort(ck, kind="stable")
+            ck_s, cv_s = ck[order], cv[order]
+            pos = np.minimum(np.searchsorted(ck_s, dk), len(ck_s) - 1)
+            hit = ck_s[pos] == dk
+            cid = np.where(hit, cv_s[pos], dk)
+        split = np.where(cid % val_mod == 0, "val", "train")
+        return pa.table({id_col: pa.array(dk), "cluster_id": pa.array(cid),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    unioned = (
+        ds.select_columns([id_col]).map_batches(tag_docs, batch_format="pyarrow")
+        .union(clusters.map_batches(tag_clusters, batch_format="pyarrow"))
+    )
+    return unioned.groupby("_part").map_groups(bucket_join, batch_format="pyarrow")

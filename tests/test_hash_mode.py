@@ -183,3 +183,28 @@ def test_simhash_neardup_band_recall(ray_session):
                 brute[(ids[i], ids[j])] = h
     assert got == brute
     assert (0, 40) in got and got[(0, 40)] == 0  # exact dup found
+
+
+def test_cluster_split_coassigns_neardups(ray_session):
+    """Near-dup pair members always land in the same split; singletons keep
+    their own id as the split key."""
+    import ray.data as rd
+
+    from gdal_ray.stages import dedup
+
+    rng = np.random.default_rng(41)
+    vocab = ["v%d" % i for i in range(400)]
+    base = " ".join(rng.choice(vocab, 80))
+    texts = [base, base + " tail", base + " x",           # one cluster
+             " ".join(rng.choice(vocab, 80)),              # singletons
+             " ".join(rng.choice(vocab, 80))]
+    ids = [10, 11, 15, 20, 21]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = {r["doc_id"]: (r["cluster_id"], r["split"])
+           for r in dedup.cluster_split(
+               rd.from_arrow(t), min_jaccard_x1000=400).take_all()}
+    assert set(out) == set(ids)                 # every doc assigned
+    assert out[10] == out[11] == out[15]        # cluster co-assigned
+    assert out[10][0] == 10 and out[10][1] == "val"   # 10 % 5 == 0
+    assert out[20] == (20, "val") and out[21] == (21, "train")
