@@ -145,6 +145,8 @@ def run_bench() -> dict:
         ("embedding_topk", q.embedding_topk_q),
         ("window_frames", q.window_frames_q),
         ("duplicated_spans", q.duplicated_spans_q),
+        ("late_event_windows", q.late_events_q),
+        ("simhash_neardup", q.simhash_neardup_q),
     ]:
         t0 = time.time()
         out = fn(SF_DIR)
