@@ -601,14 +601,18 @@ def range_join_broadcast(probe_ds, intervals: pa.Table, value_col: str,
             cover = np.cumsum(counts[:-1])  # intervals covering each slab
             self.indptr = np.zeros(nslabs + 1, dtype=np.int64)
             np.cumsum(cover, out=self.indptr[1:])
-            # fill CSR: for each interval, write its id into every slab it
-            # covers (total size = sum of coverage; bounded by overlap depth)
-            self.indices = np.empty(int(self.indptr[-1]), dtype=np.int64)
-            cursor = self.indptr[:-1].copy()
-            for k in range(len(lo)):
-                for s in range(int(s0[k]), int(s1[k])):
-                    self.indices[cursor[s]] = k
-                    cursor[s] += 1
+            # fill CSR fully vectorized: expand every interval to its
+            # (slab, interval) incidences with repeat/arange, then one
+            # stable argsort on slab groups the lists (total size = sum of
+            # coverage, bounded by overlap depth x slabs)
+            span = s1 - s0
+            total = int(span.sum())
+            rep_k = np.repeat(np.arange(len(lo)), span)
+            offs = np.zeros(len(lo), dtype=np.int64)
+            np.cumsum(span[:-1], out=offs[1:])
+            slab_of = s0[rep_k] + (np.arange(total) - np.repeat(offs, span))
+            order = np.argsort(slab_of, kind="stable")
+            self.indices = rep_k[order]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
