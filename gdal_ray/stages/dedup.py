@@ -276,14 +276,24 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
         sg = g["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
         order = np.argsort(ids, kind="stable")
         ids, sg = ids[order], sg[order]
-        ii, jj = np.triu_indices(n, k=1)
-        ham = _popcount64(sg[ii] ^ sg[jj]).astype(np.int64)
-        keep = ham <= max_hamming
-        if not keep.any():
+        # blocked emission (the LSH bucket_pairs policy): per step an
+        # (s, n) XOR/popcount matrix, O(CHUNK x B) memory instead of O(B^2)
+        CHUNK = 512
+        col = np.arange(n)[None, :]
+        out_a, out_b, out_h = [], [], []
+        for s in range(0, n - 1, CHUNK):
+            e = min(n, s + CHUNK)
+            ham = _popcount64(sg[s:e, None] ^ sg[None, :]).astype(np.int64)
+            keep = (ham <= max_hamming) & (col > np.arange(s, e)[:, None])
+            ii, jj = np.nonzero(keep)
+            out_a.append(ids[s + ii])
+            out_b.append(ids[jj])
+            out_h.append(ham[ii, jj])
+        if not out_a or not sum(a.size for a in out_a):
             return empty
-        return pa.table({"id_a": pa.array(ids[ii[keep]]),
-                         "id_b": pa.array(ids[jj[keep]]),
-                         "hamming": pa.array(ham[keep])})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                         "id_b": pa.array(np.concatenate(out_b)),
+                         "hamming": pa.array(np.concatenate(out_h))})
 
     pairs = sigs.map_batches(to_bands, batch_format="pyarrow").groupby(
         "band_key").map_groups(bucket, batch_format="pyarrow")
