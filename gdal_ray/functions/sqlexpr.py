@@ -227,7 +227,10 @@ class _Parser:
     def unary(self):
         if self.peek("op", "-") is not None:
             self.take()
-            return Op("neg", [self.unary()])
+            operand = self.unary()
+            if isinstance(operand, Lit) and isinstance(operand.value, (int, float)):
+                return Lit(-operand.value)  # fold: negative literals stay Lit
+            return Op("neg", [operand])
         return self.primary()
 
     def primary(self):
@@ -362,10 +365,19 @@ def compile_node(node, resolver):
         return pc.invert(compile_node(node.args[0], resolver))
     if node.op == "in":
         target = compile_node(node.args[0], resolver)
-        vals = [a.value for a in node.args[1:]]
         if not all(isinstance(a, Lit) for a in node.args[1:]):
             raise ValueError("IN list must be literals")
-        return pc.is_in(target, value_set=pa.array(vals))
+        vals = [a.value for a in node.args[1:]]
+        # SQL three-valued IN: NULL IN (...) is NULL, and a miss against a
+        # list containing NULL is NULL.  Arrow's is_in emits false for null
+        # inputs (pyarrow 16 has no null_matching_behavior yet), so build
+        # the SQL semantics from primitives.
+        non_null = [v for v in vals if v is not None]
+        base = pc.is_in(target, value_set=pa.array(non_null))
+        if any(v is None for v in vals):
+            base = pc.if_else(base, pa.scalar(True), pa.scalar(None, pa.bool_()))
+        return pc.if_else(pc.is_valid(target), base,
+                          pa.scalar(None, pa.bool_()))
     if node.op in ("like", "ilike"):
         pat = node.args[1]
         if not isinstance(pat, Lit):

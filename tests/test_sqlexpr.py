@@ -31,7 +31,8 @@ def test_comparisons_and_precedence():
 def test_between_in_like_null():
     assert _mask("a BETWEEN 2 AND 4", T) == [False, True, True, True, False, None]
     assert _mask("a NOT BETWEEN 2 AND 4", T) == [True, False, False, False, True, None]
-    assert _mask("a IN (1, 4)", T) == [True, False, False, True, False, False]
+    # SQL three-valued IN: NULL IN (...) is NULL
+    assert _mask("a IN (1, 4)", T) == [True, False, False, True, False, None]
     assert _mask("s LIKE '%an%'", T) == [False, True, False, False, None, False]
     assert _mask("s ILIKE 'a%'", T) == [True, False, False, False, None, False]
     assert _mask("s IS NULL", T) == [False, False, False, False, True, False]

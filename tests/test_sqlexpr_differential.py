@@ -1,0 +1,106 @@
+"""Differential fuzzing of the OGR-SQL compiler: randomly generated WHERE
+expressions must evaluate identically via pyarrow compute (compile_node) and
+via DuckDB over the same table — including SQL three-valued NULL logic.
+
+Dialect bridges in the emitted DuckDB text: integer '/' and '%' become
+'//' and '%' over DuckDB's integer ops (both truncating), everything else
+is shared syntax.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_ray.functions import sqlexpr
+
+T = pa.table({
+    "a": pa.array([0, 1, 2, 3, 4, 5, 6, 7, None, -3], pa.int64()),
+    "b": pa.array([5, None, 2, 2, 9, -1, 0, 7, 3, 3], pa.int64()),
+    "s": pa.array(["x", "yy", "Abc", "", None, "zz", "x", "qq", "Ab", "x"]),
+})
+
+_CON = duckdb.connect()
+_CON.register("t", T)
+
+
+# -- expression generator ----------------------------------------------------
+
+_num_leaf = st.one_of(
+    st.sampled_from(["a", "b"]),
+    st.integers(min_value=-9, max_value=9).map(str),
+)
+
+
+def _num_expr(depth: int):
+    if depth <= 0:
+        return _num_leaf
+    sub = _num_expr(depth - 1)
+    return st.one_of(
+        _num_leaf,
+        st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"),
+        # division/modulo by a non-zero literal only (x/0 errors both ways
+        # but with different failure surfaces)
+        st.tuples(sub, st.sampled_from(["/", "%"]),
+                  st.integers(1, 7).map(str)).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"),
+    )
+
+
+def _bool_expr(depth: int):
+    num = _num_expr(2)
+    leaf = st.one_of(
+        st.tuples(num, st.sampled_from(["=", "<>", "<", "<=", ">", ">="]),
+                  num).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+        st.tuples(num, num, num).map(
+            lambda t: f"{t[0]} BETWEEN {t[1]} AND {t[2]}"),
+        st.tuples(num, st.lists(st.integers(-5, 9), min_size=1, max_size=4)).map(
+            lambda t: f"{t[0]} IN ({', '.join(map(str, t[1]))})"),
+        st.sampled_from(["a IS NULL", "b IS NOT NULL", "s IS NULL",
+                         "s LIKE '%x%'", "s ILIKE 'a%'", "s = 'x'"]),
+    )
+    if depth <= 0:
+        return leaf
+    sub = _bool_expr(depth - 1)
+    return st.one_of(
+        leaf,
+        st.tuples(sub, st.sampled_from(["AND", "OR"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"),
+        sub.map(lambda e: f"NOT ({e})"),
+    )
+
+
+def _to_duckdb(sql: str) -> str:
+    # arrow '/' on int64 truncates; DuckDB's integer '//' matches
+    return sql.replace("/", "//").replace("%//", "%").replace("////", "//")
+
+
+@settings(max_examples=300, deadline=None)
+@given(_bool_expr(3))
+def test_where_matches_duckdb(sql):
+    node = sqlexpr.parse_where(sql)
+    ours = sqlexpr.compile_node(node, lambda n: T[n])
+    if isinstance(ours, pa.Scalar):
+        ours_list = [ours.as_py()] * T.num_rows
+    else:
+        ours_list = ours.to_pylist()
+    theirs = _CON.execute(
+        f"SELECT {_to_duckdb(sql)} FROM t").fetchall()
+    theirs_list = [r[0] for r in theirs]
+    assert ours_list == theirs_list, f"divergence for {sql!r}"
+
+
+@settings(max_examples=150, deadline=None)
+@given(_num_expr(3))
+def test_numeric_matches_duckdb(sql):
+    node = sqlexpr.parse_where(sql)
+    ours = sqlexpr.compile_node(node, lambda n: T[n])
+    if isinstance(ours, pa.Scalar):
+        ours_list = [ours.as_py()] * T.num_rows
+    else:
+        ours_list = ours.to_pylist()
+    theirs = [r[0] for r in _CON.execute(
+        f"SELECT {_to_duckdb(sql)} FROM t").fetchall()]
+    assert ours_list == theirs, f"divergence for {sql!r}"
