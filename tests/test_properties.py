@@ -252,3 +252,48 @@ def test_window_frames_matches_pandas(users, vals):
             lo = max(0, r - 2)
             assert row["mov_sum_x100"] == c[lo:r + 1].sum()
             assert row["mov_cnt"] == r + 1 - lo
+
+
+# -- round 3: codec + kernel property tests ----------------------------------
+
+
+@given(st.lists(st.integers(0, 255), min_size=0, max_size=400),
+       st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_u8_property(vals, rate):
+    from gdal_ray.sources.wav import decode_wav, encode_wav
+
+    arr = np.array(vals, dtype=np.uint8)
+    back, r = decode_wav(encode_wav(arr, rate=rate))
+    assert r == rate and (back == arr).all()
+
+
+@given(st.integers(1, 6), st.integers(1, 20), st.integers(1, 20),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_avi_roundtrip_property(n, h, w, seed):
+    from gdal_ray.sources.avi import decode_avi, encode_avi
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n, h, w)).astype(np.uint8)
+    back, _fps = decode_avi(encode_avi(frames))
+    assert (back == frames).all()
+
+
+@given(st.lists(st.text(max_size=120), min_size=0, max_size=60))
+@settings(max_examples=80, deadline=None)
+def test_fnv1a_matches_scalar_property(strs):
+    """Vectorized FNV-1a equals the scalar definition for arbitrary unicode
+    (exercises the int32 gather-matrix, mid-size, and alive-set paths)."""
+    import pyarrow as pa
+
+    from gdal_ray.functions.arrowbuf import fnv1a_u64
+
+    def ref(s: str) -> int:
+        hsh = 0xCBF29CE484222325
+        for byt in s.encode():
+            hsh = ((hsh ^ byt) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return hsh
+
+    got = fnv1a_u64(pa.array(strs, pa.string()))
+    assert [int(v) for v in got] == [ref(s) for s in strs]
