@@ -309,7 +309,13 @@ _FUNCS = {
     "sqrt": lambda a: pc.sqrt(a),
     "round": lambda a: pc.round(a, round_mode="half_towards_infinity"),
     "coalesce": lambda *a: pc.coalesce(*a),
-    "concat": lambda *a: pc.binary_join_element_wise(*a, ""),
+    # DuckDB/MySQL concat() SKIPS null arguments (unlike standard || which
+    # propagates) — match the oracle dialect.  Each argument is coalesced
+    # to '' first: Arrow 16's null_handling='skip' drops whole ROWS with
+    # nulls rather than skipping the null value (observed), so it is not
+    # usable here.
+    "concat": lambda *a: pc.binary_join_element_wise(
+        *[pc.coalesce(x, "") for x in a], ""),
     "substr": lambda a, start, n=None: _substr(a, start, n),
 }
 

@@ -104,3 +104,22 @@ def test_numeric_matches_duckdb(sql):
     theirs = [r[0] for r in _CON.execute(
         f"SELECT {_to_duckdb(sql)} FROM t").fetchall()]
     assert ours_list == theirs, f"divergence for {sql!r}"
+
+
+_STR_FUNCS = ["upper(s)", "lower(s)", "length(s)", "trim(s)",
+              "concat(s, 'Z')", "concat(s, s)", "coalesce(s, 'd')",
+              "substr(s, 1, 2)", "substr(s, 2)"]
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.sampled_from(_STR_FUNCS),
+       st.lists(st.one_of(st.none(), st.text(max_size=12)),
+                min_size=1, max_size=8))
+def test_string_functions_match_duckdb(fn_sql, vals):
+    tbl = pa.table({"s": pa.array(vals, pa.string())})
+    con = duckdb.connect()
+    con.register("t2", tbl)
+    node = sqlexpr.parse_where(fn_sql)
+    ours = sqlexpr.compile_node(node, lambda n: tbl[n]).to_pylist()
+    theirs = [r[0] for r in con.execute(f"SELECT {fn_sql} FROM t2").fetchall()]
+    assert ours == theirs, f"divergence for {fn_sql!r} on {vals!r}"
