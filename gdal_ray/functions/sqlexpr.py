@@ -300,9 +300,11 @@ _FUNCS = {
     "upper": lambda a: pc.utf8_upper(a),
     "lower": lambda a: pc.utf8_lower(a),
     "length": lambda a: pc.utf8_length(a),
-    "trim": lambda a: pc.utf8_trim_whitespace(a),
-    "ltrim": lambda a: pc.utf8_ltrim_whitespace(a),
-    "rtrim": lambda a: pc.utf8_rtrim_whitespace(a),
+    # DuckDB/OGR trim(s) strips ONLY spaces (0x20), not \t\r\n — match the
+    # oracle dialect (utf8_trim_whitespace would strip all unicode ws).
+    "trim": lambda a: pc.utf8_trim(a, characters=" "),
+    "ltrim": lambda a: pc.utf8_ltrim(a, characters=" "),
+    "rtrim": lambda a: pc.utf8_rtrim(a, characters=" "),
     "abs": lambda a: pc.abs(a),
     "floor": lambda a: pc.floor(a),
     "ceil": lambda a: pc.ceil(a),
@@ -348,10 +350,27 @@ def compile_node(node, resolver):
         v = compile_node(node.expr, resolver)
         ty = _CAST_TYPES[node.type]
         if pa.types.is_integer(ty):
-            # SQL CAST(float AS int) rounds (DuckDB: half away from zero);
-            # Arrow's safe cast raises on truncation — round first (no-op on
-            # integer inputs)
-            v = pc.round(v, round_mode="half_towards_infinity")
+            # SQL CAST(x AS int): DuckDB rounds floats (half away from zero)
+            # and parses numeric strings (incl. ' 42 ', '3.7').  Arrow's
+            # pc.round has no string/bool kernel, so only round when the
+            # source really is floating; strings go through a trimmed direct
+            # parse with a float64 fallback for decimal literals.
+            vt = getattr(v, "type", None)
+            if vt is None:
+                # lazy dataset Expression — no type info; assume numeric
+                # (scan filters cast numeric columns; string casts use the
+                # eager per-batch path)
+                v = pc.round(v, round_mode="half_towards_infinity")
+            elif pa.types.is_floating(vt):
+                v = pc.round(v, round_mode="half_towards_infinity")
+            elif pa.types.is_string(vt) or pa.types.is_large_string(vt):
+                s = pc.utf8_trim_whitespace(v)
+                try:
+                    return pc.cast(s, ty)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    f = pc.cast(s, pa.float64())
+                    return pc.cast(
+                        pc.round(f, round_mode="half_towards_infinity"), ty)
         return pc.cast(v, ty)
     if isinstance(node, Func):
         if node.name not in _FUNCS:
