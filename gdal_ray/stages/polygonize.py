@@ -192,7 +192,13 @@ def _components_distributed(pairs, num_buckets: int = 64, max_iters: int = 64):
     driver reads one scalar per iteration and never holds the edge list
     (the 100 TB replacement for the driver union-find, whose edge fold is a
     serial Python loop).  Iterations needed = component diameter in the
-    tile-adjacency graph (long snaking components cost more rounds).
+    tile-adjacency graph (long snaking components cost more rounds) —
+    pointer doubling below cuts that to O(log diameter).
+
+    ``num_buckets`` is a CAP: the actual bucket count adapts to the edge
+    count (~1 bucket per 200k symmetric edges) so small graphs don't pay
+    64 all-to-all partitions of fixed Ray overhead per round; raise the
+    cap for graphs with more than ~13M equivalence edges.
     """
     from ray.data.aggregate import Min
 
@@ -203,6 +209,16 @@ def _components_distributed(pairs, num_buckets: int = 64, max_iters: int = 64):
                          "dst": pa.array(np.concatenate([b, a]))})
 
     edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    num_buckets = max(1, min(int(num_buckets), 1 + edges.count() // 200_000))
+
+    def snap(ds):
+        """Truncate lineage: iterative reuse of a materialized Dataset keeps
+        the WHOLE per-round plan chain alive for lineage recovery, and both
+        plan handling and object recovery grow with rounds (measured: round
+        time 3s -> 50s by round 10).  A labels snapshot is tiny (2 int64
+        cols), so trade recoverability of one round for flat round cost."""
+        import ray.data as rd
+        return rd.from_arrow_refs(ds.to_arrow_refs())
 
     # init: label(node) = min(node, min direct neighbor) — one free hop
     def init_lab(t: pa.Table) -> pa.Table:
@@ -254,21 +270,49 @@ def _components_distributed(pairs, num_buckets: int = 64, max_iters: int = 64):
             "cand": pa.array(np.concatenate([lab_s[pos], lab_s])),
         })
 
+    def as_comp(t: pa.Table) -> pa.Table:
+        return pa.table({"key": pa.compute.cast(t["label"], pa.int64()),
+                         "node": pa.compute.cast(t["node"], pa.int64())})
+
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         unioned = edges.map_batches(tag_edges, batch_format="pyarrow").union(
             labels.map_batches(tag_labels, batch_format="pyarrow"))
-        labels = (
+        labels = snap(
             unioned.groupby("_part")
             .map_groups(bucket_prop, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("cand", alias_name="label"))
             .materialize()
         )
+        # pointer-doubling contraction: label(n) <- label(label(n)).  Labels
+        # are non-increasing node ids and every label value is itself a node
+        # with a label row, so each extra bucket join halves the remaining
+        # root distance; two per round make the reached window grow 4x per
+        # round -> O(log4 diameter) rounds total instead of O(diameter)
+        # one-hop rounds (a snaking component's tile-graph diameter easily
+        # exceeds any fixed round cap).
+        # repartition keeps the block count bounded across rounds: each
+        # union+groupby round otherwise roughly doubles the number of
+        # blocks (measured 4 -> 766 in 7 rounds), and per-round scheduling
+        # overhead grows with it.
+        for _dbl in range(2):
+            labels = snap(_attach_component(
+                labels.map_batches(as_comp, batch_format="pyarrow"), labels,
+                payload=[("node", pa.int64())], out_col="label",
+                num_buckets=num_buckets).repartition(num_buckets).materialize())
         s = labels.sum("label")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        raise RuntimeError(
+            f"_components_distributed: min-label propagation still "
+            f"decreasing after {max_iters} rounds (label sum {prev_sum}); "
+            f"with pointer doubling this needs ~log2(component diameter) "
+            f"rounds — raise max_iters.")
     return labels
 
 
