@@ -598,7 +598,9 @@ def chunk_spans(ds, chunk_words: int = 3, text_col: str = "text",
         starts = np.repeat(offsets[:-1], n_spans) + within * K
         if key_mode == "hash":
             from ..functions.arrowbuf import fnv1a_u64
-            from .textops import _GRAM_MULT
+            from .textops import gram_mult
+
+            gm = gram_mult(K)
 
             # .values (not .flatten()): `starts` are ABSOLUTE offsets into
             # the underlying values buffer
@@ -606,7 +608,7 @@ def chunk_spans(ds, chunk_words: int = 3, text_col: str = "text",
             h64 = np.zeros(total, dtype=np.uint64)
             with np.errstate(over="ignore"):
                 for j in range(K):
-                    h64 += wh[starts + j] * _GRAM_MULT[j]
+                    h64 += wh[starts + j] * gm[j]
             keys = pc.cast(pa.array(h64.view(np.int64)), pa.string())
         else:
             idx = (starts[:, None] + np.arange(K)).ravel()

@@ -188,9 +188,12 @@ def asof_join(
     Physical plan: broadcast the (small) right table as Arrow; per batch the
     vectorized ``_asof_backward_idx`` segment scan matches every left row at
     once (zero-copy pyarrow batches end to end — no pandas conversion).
-    Output: the left columns + ``emit`` columns (null where unmatched),
-    input row order preserved.  Keys/timestamps must be non-null.  For a
-    large right side use ``asof_join_partitioned``.
+    Output: the left columns + ``emit`` columns (null where unmatched,
+    ORIGINAL right dtype preserved — emitted values are taken from the right
+    table by index; the tie-break "max emit" ordering uses order-preserving
+    rank codes, so any orderable dtype works, with emit nulls ranked
+    lowest).  Input row order preserved.  Keys/timestamps must be non-null.
+    For a large right side use ``asof_join_partitioned`` (int64 emits only).
     """
     import ray
 
@@ -198,13 +201,15 @@ def asof_join(
     rk = pc.cast(right[right_key], pa.int64()).to_numpy(zero_copy_only=False)
     rts = pc.cast(pc.cast(right[right_ts], TS), pa.int64()).to_numpy(
         zero_copy_only=False)
-    remit = {c: pc.cast(right[c], pa.int64()).to_numpy(zero_copy_only=False)
+    rank = {c: _rank_codes(right[c]) for c in emit}
+    rcols = {c: (right[c].combine_chunks()
+                 if isinstance(right[c], pa.ChunkedArray) else right[c])
              for c in emit}
-    ref = ray.put((rk, rts, remit))
+    ref = ray.put((rk, rts, rank, rcols))
 
     class AsofJoiner:
         def __init__(self):
-            self.rk, self.rts, self.remit = ray.get(ref)
+            self.rk, self.rts, self.rank, self.rcols = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             lk = pc.cast(batch[left_key], pa.int64()).to_numpy(
@@ -212,16 +217,28 @@ def asof_join(
             lts = pc.cast(pc.cast(batch[left_ts], TS), pa.int64()).to_numpy(
                 zero_copy_only=False)
             idx = _asof_backward_idx(lk, lts, self.rk, self.rts,
-                                     [self.remit[c] for c in emit])
-            ok = idx >= 0
+                                     [self.rank[c] for c in emit])
+            ok = pa.array(idx >= 0)
+            take = pa.array(np.maximum(idx, 0))
             out = batch
             for c in emit:
-                vals = np.where(ok, self.remit[c][np.maximum(idx, 0)], 0)
+                vals = self.rcols[c].take(take)
                 out = out.append_column(
-                    c, pa.array(vals, pa.int64(), mask=~ok))
+                    c, pc.if_else(ok, vals, pa.scalar(None, vals.type)))
             return out
 
     return events_ds.map_batches(AsofJoiner, batch_format="pyarrow", concurrency=2)
+
+
+def _rank_codes(col) -> np.ndarray:
+    """Order-preserving int64 codes for any orderable Arrow column (the
+    numeric tie-break key _asof_backward_idx's lexsort needs); nulls -> -1
+    (ranked lowest)."""
+    import pandas as pd
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    codes, _ = pd.factorize(arr.to_pandas(), sort=True)
+    return codes.astype(np.int64)
 
 
 def asof_join_partitioned(
@@ -237,7 +254,11 @@ def asof_join_partitioned(
     """Both-sides-large as-of join: union-tag co-partition on the key, then a
     per-group ``merge_asof`` — same backward-search + tie rules as the
     broadcast path, but the right side is shuffled instead of broadcast
-    (the 100 TB plan when the right table exceeds the object store)."""
+    (the 100 TB plan when the right table exceeds the object store).
+
+    RESTRICTION: ``emit`` columns must be int64-castable (the tagged union
+    schema carries them as int64) and emit nulls become 0; use the
+    broadcast ``asof_join`` when arbitrary emit dtypes must be preserved."""
 
     import pyarrow.compute as _pc
 

@@ -251,6 +251,16 @@ _GRAM_MULT = (np.random.default_rng(31337).integers(
     1, 1 << 63, 64, dtype=np.uint64) | np.uint64(1))
 
 
+def gram_mult(k: int) -> np.ndarray:
+    """First ``k`` odd uint64 position multipliers.  Extends the cached
+    64-entry table on demand (same seeded stream, so the first 64 values
+    are identical) instead of raising IndexError for k/chunk_words > 64."""
+    if k <= len(_GRAM_MULT):
+        return _GRAM_MULT[:k]
+    return (np.random.default_rng(31337).integers(
+        1, 1 << 63, k, dtype=np.uint64) | np.uint64(1))
+
+
 def _shingle_hashes_batch(texts, k: int = 5, key_mode: str = "md5"):
     """(flat gram hashes uint64, per-doc gram counts int64) for a whole batch.
 
@@ -296,6 +306,7 @@ def _shingle_hashes_batch(texts, k: int = 5, key_mode: str = "md5"):
     out = np.empty(int(gram_off[-1]), dtype=np.uint64)
     word_off = np.zeros(ndocs + 1, dtype=np.int64)
     np.cumsum(lens_w, out=word_off[1:])
+    gm = gram_mult(k)
     with np.errstate(over="ignore"):
         if len(wh) >= k:
             win = np.lib.stride_tricks.sliding_window_view(wh, k)
@@ -304,14 +315,14 @@ def _shingle_hashes_batch(texts, k: int = 5, key_mode: str = "md5"):
             vstart = starts[valid]
             gram = np.zeros(len(vstart), dtype=np.uint64)
             for j in range(k):
-                gram += win[valid, j] * _GRAM_MULT[j]
+                gram += win[valid, j] * gm[j]
             out_idx = gram_off[parent[vstart]] + (vstart - word_off[parent[vstart]])
             out[out_idx] = gram
         # docs with 0 < n_words < k: one whole-text gram (rare tail, small loop)
         for d in np.flatnonzero((lens_w > 0) & (lens_w < k)):
             g = np.uint64(0)
             for j in range(int(lens_w[d])):
-                g += wh[word_off[d] + j] * _GRAM_MULT[j]
+                g += wh[word_off[d] + j] * gm[j]
             out[gram_off[d]] = g
     out[gram_off[:-1][lens_w == 0]] = FNV_OFFSET  # empty text -> hash("")
     return out, gram_lens

@@ -217,3 +217,53 @@ def test_late_event_windows_watermark(ray_session):
     # hour 7200..: 7200 and 7300 both on time
     assert out[w2]["n_on_time"] == 2 and out[w2]["n_late"] == 0
     assert sum(r["n_late"] for r in out.values()) == 2
+
+
+def test_asof_join_preserves_emit_dtype(ray_session):
+    """ADVICE r3: broadcast asof_join must emit the right column's ORIGINAL
+    dtype (string / non-integral float), not an int64 round-trip."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import events as ev
+
+    left = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([7, 7, 8], pa.int64()),
+        "ts": pa.array([100, 200, 50], pa.timestamp("us")),
+    })
+    right = pa.table({
+        "o_custkey": pa.array([7, 7, 8], pa.int64()),
+        "o_orderdate": pa.array([90, 150, 60], pa.timestamp("us")),
+        "label": pa.array(["early", "late", "future"], pa.string()),
+        "price": pa.array([1.5, 2.25, 9.75], pa.float64()),
+    })
+    out = ev.asof_join(rd.from_arrow(left), right,
+                       emit=("label", "price")).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    assert list(out["label"]) == ["early", "late", None]
+    assert out["price"].tolist()[:2] == [1.5, 2.25]
+    assert out["price"].isna().tolist() == [False, False, True]
+
+
+def test_asof_join_tiebreak_max_emit_rank(ray_session):
+    """Tied right timestamps pick the max emit value under the rank-coded
+    tie-break, matching the former raw-int ordering."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import events as ev
+
+    left = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([7], pa.int64()),
+        "ts": pa.array([100], pa.timestamp("us")),
+    })
+    right = pa.table({
+        "o_custkey": pa.array([7, 7, 7], pa.int64()),
+        "o_orderdate": pa.array([90, 90, 90], pa.timestamp("us")),
+        "o_orderkey": pa.array([5, 11, 3], pa.int64()),
+    })
+    rows = ev.asof_join(rd.from_arrow(left), right,
+                        emit=("o_orderkey",)).take_all()
+    assert rows[0]["o_orderkey"] == 11

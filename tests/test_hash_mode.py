@@ -208,3 +208,31 @@ def test_cluster_split_coassigns_neardups(ray_session):
     assert out[10] == out[11] == out[15]        # cluster co-assigned
     assert out[10][0] == 10 and out[10][1] == "val"   # 10 % 5 == 0
     assert out[20] == (20, "val") and out[21] == (21, "train")
+
+
+def test_gram_mult_extends_beyond_64():
+    """ADVICE r3: k/chunk_words > 64 must not IndexError; multipliers extend
+    on demand with the first 64 values unchanged."""
+    import numpy as np
+
+    from gdal_ray.stages.textops import _GRAM_MULT, _shingle_hashes_batch, gram_mult
+
+    assert (gram_mult(100)[:64] == _GRAM_MULT).all()
+    assert len(set(gram_mult(100).tolist())) == 100
+    txt = " ".join(f"w{i}" for i in range(200))
+    flat, lens = _shingle_hashes_batch([txt], k=100, key_mode="hash")
+    assert lens.tolist() == [101]
+
+
+def test_chunk_spans_large_chunk_words(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import chunk_spans
+
+    txt = " ".join(f"tok{i}" for i in range(140))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                                 "text": [txt, txt]}))
+    rows = chunk_spans(ds, chunk_words=70, key_mode="hash").take_all()
+    # two identical docs -> each 70-word chunk key appears twice
+    assert len(rows) == 4
