@@ -237,10 +237,12 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
     band precondition — candidates only, documented recall note).  Each
     candidate's exact Hamming distance (vectorized SWAR popcount of the
     XOR) filters to ``<= max_hamming``; duplicates across bands collapse
-    with one (id_a, id_b) groupby.  Shuffle is band-keyed only; bucket
-    emission is capped at ``max_bucket`` rows per band value
-    (exact-duplicate texts should be collapsed by ``exact_dedup`` first,
-    same policy as minhash_lsh_candidates).
+    with one (id_a, id_b) groupby.  Shuffle is band-keyed only; a band
+    value larger than ``max_bucket`` is salt-split into ceil(n/max_bucket)
+    band-seeded sub-buckets (the minhash_lsh_candidates policy — within-salt
+    pairs are kept, bounding memory AND emission by construction instead of
+    silently truncating; exact-duplicate texts should be collapsed by
+    ``exact_dedup`` first).
     Output: (id_a, id_b, hamming), id_a < id_b.
     """
     from ray.data.aggregate import Min
@@ -269,26 +271,47 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, text_col: str = "text",
                           "hamming": pa.array([], pa.int64())})
         if n < 2:
             return empty
-        if max_bucket is not None and n > max_bucket:
-            g = g.slice(0, max_bucket)  # degenerate band value; capped
-            n = max_bucket
         ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sg = g["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
         order = np.argsort(ids, kind="stable")
         ids, sg = ids[order], sg[order]
-        # blocked emission (the LSH bucket_pairs policy): per step an
-        # (s, n) XOR/popcount matrix, O(CHUNK x B) memory instead of O(B^2)
-        CHUNK = 512
-        col = np.arange(n)[None, :]
+
+        def emit(ids_s: np.ndarray, sg_s: np.ndarray, out_a, out_b, out_h):
+            # blocked emission (the LSH bucket_pairs policy): per step an
+            # (s, n) XOR/popcount matrix, O(CHUNK x B) memory not O(B^2)
+            CHUNK = 512
+            m = len(ids_s)
+            col = np.arange(m)[None, :]
+            for s in range(0, m - 1, CHUNK):
+                e = min(m, s + CHUNK)
+                ham = _popcount64(sg_s[s:e, None] ^ sg_s[None, :]).astype(np.int64)
+                keep = (ham <= max_hamming) & (col > np.arange(s, e)[:, None])
+                ii, jj = np.nonzero(keep)
+                out_a.append(ids_s[s + ii])
+                out_b.append(ids_s[jj])
+                out_h.append(ham[ii, jj])
+
         out_a, out_b, out_h = [], [], []
-        for s in range(0, n - 1, CHUNK):
-            e = min(n, s + CHUNK)
-            ham = _popcount64(sg[s:e, None] ^ sg[None, :]).astype(np.int64)
-            keep = (ham <= max_hamming) & (col > np.arange(s, e)[:, None])
-            ii, jj = np.nonzero(keep)
-            out_a.append(ids[s + ii])
-            out_b.append(ids[jj])
-            out_h.append(ham[ii, jj])
+        if max_bucket is not None and n > max_bucket:
+            # degenerate band value: band-seeded salt sub-split (the
+            # minhash_lsh_candidates policy) — within-salt pairs survive
+            # instead of silently dropping everything past a slice cap;
+            # the 4-band OR keeps recall high for true near-dups
+            n_salts = -(-n // max_bucket)
+            band = int(g["band_key"][0].as_py())
+            mix = (ids.astype(np.uint64) + np.uint64((band & 0xFFFF_FFFF)
+                                                     * 0x9E3779B9))
+            mix ^= mix >> np.uint64(33)
+            mix *= np.uint64(0xFF51AFD7ED558CCD)
+            mix ^= mix >> np.uint64(33)
+            salt = (mix % np.uint64(n_salts)).astype(np.int64)
+            for sv in range(n_salts):
+                sel = salt == sv
+                if sel.sum() < 2:
+                    continue
+                emit(ids[sel], sg[sel], out_a, out_b, out_h)
+        else:
+            emit(ids, sg, out_a, out_b, out_h)
         if not out_a or not sum(a.size for a in out_a):
             return empty
         return pa.table({"id_a": pa.array(np.concatenate(out_a)),
