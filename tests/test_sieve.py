@@ -83,3 +83,20 @@ def test_sieve_global_connect8_survives_when_big_enough():
     out = mosaic_of(poly.sieve_global(rd.from_arrow(tiles_of(arr, 32)),
                                       threshold=5, connect8=True), 32, 64, 64)
     assert (out == 5).sum() == 6  # one 6-px component >= threshold survives
+
+
+def test_sieve_global_many_components_parity(ray_session):
+    """Round-4: distributed contraction parity on a many-component random
+    fixture — tiled output must equal the monolithic (no cross-tile pairs)
+    run of the same code, and drive the small-subgraph merge loop hard."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(1, 5, size=(128, 128)).astype(np.uint8)
+    t4 = poly.sieve_global(rd.from_arrow(tiles_of(arr, 32)), threshold=6,
+                           tile_size=32)
+    m4 = mosaic_of(t4, 32, 128, 128)
+    t1 = poly.sieve_global(rd.from_arrow(tiles_of(arr, 128)), threshold=6,
+                           tile_size=128)
+    m1 = mosaic_of(t1, 128, 128, 128)
+    assert np.array_equal(m1, m4), "tiled != monolithic on random fixture"
+    # sieve actually changed something (non-trivial merge load)
+    assert not np.array_equal(m4, arr)
