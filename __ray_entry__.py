@@ -2112,6 +2112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q.range_join_q,
         "select_sql_expr": q.select_sql_expr_q,
         "select_sql_group": q.select_sql_group_q,
+        "select_sql_join": q.select_sql_join_q,
+        "select_sql_left_join_group": q.select_sql_left_join_group_q,
         "topk_orders": q.topk_orders,
         "distinct_segments": q.distinct_segments,
         # stream-shaped (SURVEY §2.12 analogues)
@@ -2469,6 +2471,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars - n_chars // 7 * 7 IN (1, 3, 5)
               AND NOT (n_chars BETWEEN 100 AND 200)
             ORDER BY doc_id LIMIT 200
+        """,
+        "select_sql_join": """
+            SELECT o_orderkey, c_name, c_mktsegment FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey LIMIT 300
+        """,
+        "select_sql_left_join_group": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c_custkey) AS BIGINT) AS key_sum
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey % 7 <> 0 GROUP BY n_name ORDER BY n_name
         """,
         "select_sql_group": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,

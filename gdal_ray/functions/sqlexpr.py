@@ -33,7 +33,7 @@ _TOKEN_RE = re.compile(
       | '(?P<str>(?:[^']|'')*)'
       | "(?P<qid>(?:[^"]|"")*)"
       | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
-      | (?P<op><>|!=|<=|>=|<|>|=|\(|\)|,|\+|-|\*|/|%)
+      | (?P<op><>|!=|<=|>=|<|>|=|\(|\)|,|\+|-|\*|/|%|\.)
     )""",
     re.VERBOSE,
 )
@@ -42,6 +42,7 @@ _KEYWORDS = {
     "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL",
     "SELECT", "FROM", "WHERE", "ORDER", "BY", "ASC", "DESC", "LIMIT", "AS",
     "CAST", "DISTINCT", "TRUE", "FALSE", "GROUP", "HAVING",
+    "JOIN", "LEFT", "INNER", "OUTER", "ON",
 }
 
 
@@ -80,6 +81,7 @@ def tokenize(sql: str) -> list[tuple[str, object]]:
 @dataclass
 class Col:
     name: str
+    table: str | None = None  # optional "table." qualifier (JOIN disambiguation)
 
 
 @dataclass
@@ -261,6 +263,9 @@ class _Parser:
             self.take("op", ")")
             return e
         name = self.take("ident")
+        if self.peek("op", ".") is not None:
+            self.take()
+            return Col(self.take("ident"), table=name)
         if self.peek("op", "(") is not None:
             self.take()
             args = []
@@ -486,6 +491,7 @@ class Select:
     star: bool = False
     group_by: list = None  # [col_name]
     having: object | None = None
+    join: dict | None = None  # {table, left_col, right_col, how}
 
     @property
     def columns_needed(self) -> set[str]:
@@ -508,12 +514,14 @@ def _default_alias(node, idx: int) -> str:
 
 
 def parse_select(sql: str) -> Select:
-    """Parse ``SELECT [DISTINCT] items FROM table [WHERE ...]
-    [GROUP BY k, ...] [HAVING ...] [ORDER BY c [ASC|DESC], ...] [LIMIT n]``
-    (the ogr_gensql.cpp execution surface minus JOIN, which the engine
-    exposes as relational.hash_join_broadcast).  Grouped selects compile to
-    the two-phase ``relational.partial_aggregate`` with count(*) / sum /
-    min / max over plain columns."""
+    """Parse ``SELECT [DISTINCT] items FROM t [[LEFT] JOIN u ON a = b]
+    [WHERE ...] [GROUP BY k, ...] [HAVING ...]
+    [ORDER BY c [ASC|DESC], ...] [LIMIT n]`` — the ogr_gensql.cpp execution
+    surface (reference: ogr/ogr_gensql.cpp:1334-1530 JOIN eval, :2218 ORDER
+    BY index).  JOIN routes to relational.hash_join_broadcast[_left]; pass
+    the joined table to ``apply_select(..., tables={name: pa.Table})``.
+    Grouped selects compile to the two-phase ``relational.partial_aggregate``
+    with count(*) / sum / min / max over plain columns."""
     p = _Parser(tokenize(sql))
     p.take("kw", "SELECT")
     distinct = False
@@ -537,9 +545,41 @@ def parse_select(sql: str) -> Select:
                 break
             p.take()
     table = None
+    join = None
     if p.peek("kw", "FROM") is not None:
         p.take()
         table = p.take("ident")
+        how = None
+        if p.peek("kw", "LEFT") is not None:
+            p.take()
+            if p.peek("kw", "OUTER") is not None:
+                p.take()
+            how = "left"
+        elif p.peek("kw", "INNER") is not None:
+            p.take()
+            how = "inner"
+        if p.peek("kw", "JOIN") is not None or how is not None:
+            p.take("kw", "JOIN")
+            jt = p.take("ident")
+            p.take("kw", "ON")
+
+            def qcol():
+                n = p.take("ident")
+                if p.peek("op", ".") is not None:
+                    p.take()
+                    return Col(p.take("ident"), table=n)
+                return Col(n)
+
+            c1 = qcol()
+            p.take("op", "=")
+            c2 = qcol()
+            # assign sides by qualifier; unqualified defaults to written order
+            if c1.table == jt and c2.table != jt:
+                left_col, right_col = c2.name, c1.name
+            else:
+                left_col, right_col = c1.name, c2.name
+            join = {"table": jt, "left_col": left_col,
+                    "right_col": right_col, "how": how or "inner"}
     where = None
     if p.peek("kw", "WHERE") is not None:
         p.take()
@@ -580,7 +620,7 @@ def parse_select(sql: str) -> Select:
     if not p.at_end():
         raise ValueError(f"trailing tokens: {p.toks[p.i:]}")
     return Select(projections, table, where, order_by, limit, distinct, star,
-                  group_by, having)
+                  group_by, having, join)
 
 
 def _apply_grouped(ds, sel: Select, where):
@@ -651,13 +691,19 @@ def _apply_grouped(ds, sel: Select, where):
     return out
 
 
-def apply_select(ds, sel: Select, skip_where: bool = False):
-    """Run a parsed Select over a Ray Dataset: residual WHERE filter ->
-    vectorized projection -> ORDER BY (range-partitioned sort) -> LIMIT;
-    grouped selects route through ``_apply_grouped``.
+def apply_select(ds, sel: Select, skip_where: bool = False, tables=None):
+    """Run a parsed Select over a Ray Dataset: broadcast JOIN (when the
+    statement has one) -> residual WHERE filter -> vectorized projection ->
+    ORDER BY (range-partitioned sort) -> LIMIT; grouped selects route
+    through ``_apply_grouped``.
     ``skip_where=True`` when the caller already pushed the whole predicate
-    into the scan."""
+    into the scan.  ``tables``: {name: pyarrow.Table | small Dataset} for
+    the JOIN right side (broadcast via ray.put — the OGR secondary-table
+    model; a collision between a needed right column and a left column
+    keeps the LEFT column)."""
     where = None if skip_where else sel.where
+    if sel.join is not None:
+        ds = _apply_join(ds, sel, tables)
     if sel.group_by:
         return _apply_grouped(ds, sel, where)
     proj = sel.projections
@@ -694,6 +740,43 @@ def apply_select(ds, sel: Select, skip_where: bool = False):
     if extra_sort:
         out = out.select_columns(out_names)
     return out
+
+
+def _apply_join(ds, sel: Select, tables):
+    """Broadcast equi-join per the Select's JOIN clause.  The right side
+    must be small (it is ray.put as one Arrow table); emit = the right
+    columns the statement references (or all of them for SELECT *),
+    minus the join key and any name the left side already has."""
+    from ..stages.relational import (hash_join_broadcast,
+                                     hash_join_broadcast_left)
+
+    j = sel.join
+    if not tables or j["table"] not in tables:
+        raise ValueError(
+            f"JOIN references table {j['table']!r}; pass "
+            f"apply_select(..., tables={{{j['table']!r}: pyarrow.Table}})")
+    right = tables[j["table"]]
+    if not isinstance(right, pa.Table):
+        import ray
+        import ray.data as rd
+
+        if isinstance(right, rd.Dataset):
+            refs = ray.get(right.to_arrow_refs())
+            if not refs:
+                raise ValueError("empty JOIN right side: pass a pyarrow.Table")
+            right = pa.concat_tables(refs, promote_options="default")
+        else:
+            raise TypeError(f"unsupported JOIN table type {type(right)}")
+    left_names = set(ds.schema().names)
+    rnames = [c for c in right.column_names
+              if c != j["right_col"] and c not in left_names]
+    if sel.star:
+        emit = rnames
+    else:
+        needed = set(sel.columns_needed) | set(sel.group_by or [])
+        emit = [c for c in rnames if c in needed]
+    fn = hash_join_broadcast_left if j["how"] == "left" else hash_join_broadcast
+    return fn(ds, right, j["left_col"], j["right_col"], emit)
 
 
 def sql_filter(ds, where_sql: str):

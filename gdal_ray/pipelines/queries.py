@@ -278,6 +278,37 @@ def select_sql_group_q(sf_dir: str):
     return sqlexpr.apply_select(ds, sel)
 
 
+def select_sql_join_q(sf_dir: str):
+    """SQL JOIN from a string (ogr_gensql.cpp:1334-1530 secondary-table
+    join, re-expressed as a broadcast hash join): the statement names the
+    right table, apply_select routes it to relational.hash_join_broadcast
+    and emits only the referenced right columns."""
+    from ..functions import sqlexpr
+
+    sql = ("SELECT o_orderkey, c_name, c_mktsegment FROM orders "
+           "JOIN customer ON o_custkey = c_custkey "
+           "WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey LIMIT 300")
+    sel = sqlexpr.parse_select(sql)
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_mktsegment"])
+    return sqlexpr.apply_select(ds, sel, tables={"customer": cust})
+
+
+def select_sql_left_join_group_q(sf_dir: str):
+    """SQL LEFT JOIN + GROUP BY from one string: broadcast left join
+    (null-filled misses) feeding the two-phase aggregate."""
+    from ..functions import sqlexpr
+
+    sql = ("SELECT n_name, count(*) AS n, sum(c_custkey) AS key_sum "
+           "FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey "
+           "WHERE c_custkey % 7 <> 0 GROUP BY n_name ORDER BY n_name")
+    sel = sqlexpr.parse_select(sql)
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    return sqlexpr.apply_select(ds, sel, tables={"nation": nat})
+
+
 def topk_orders(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     ds = ds.map_batches(

@@ -155,3 +155,51 @@ def test_group_by_aggregates(ray_session):
     with pytest.raises(ValueError, match="plain column"):
         sqlexpr.apply_select(ds, sqlexpr.parse_select(
             "SELECT k, sum(v * 2) AS s FROM t GROUP BY k"))
+
+
+def test_sql_string_join(ray_session):
+    """Round-4: JOIN routed from the SQL string to hash_join_broadcast."""
+    import duckdb
+    import ray.data as rd
+
+    orders = pa.table({"o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                       "o_custkey": pa.array([10, 20, 10, 30], pa.int64()),
+                       "o_totalprice": pa.array([5.0, 50.0, 500.0, 5000.0])})
+    cust = pa.table({"c_custkey": pa.array([10, 20], pa.int64()),
+                     "c_name": ["alice", "bob"]})
+    con = duckdb.connect()
+    con.register("orders", orders)
+    con.register("customer", cust)
+
+    def run(sql):
+        got = sqlexpr.apply_select(rd.from_arrow(orders),
+                                   sqlexpr.parse_select(sql),
+                                   tables={"customer": cust}).take_all()
+        exp = [dict(zip([d[0] for d in con.sql(sql).description], r))
+               for r in con.sql(sql).fetchall()]
+        return got, exp
+
+    got, exp = run("SELECT o_orderkey, c_name FROM orders JOIN customer "
+                   "ON o_custkey = c_custkey WHERE o_totalprice > 10 "
+                   "ORDER BY o_orderkey DESC LIMIT 2")
+    assert got == exp
+    got, exp = run("SELECT o_orderkey, c_name FROM orders LEFT JOIN customer "
+                   "ON o_custkey = c_custkey ORDER BY o_orderkey")
+    assert got == exp
+    got, exp = run("SELECT c_name, count(*) AS n, sum(o_totalprice) AS total "
+                   "FROM orders JOIN customer ON orders.o_custkey = "
+                   "customer.c_custkey GROUP BY c_name ORDER BY c_name")
+    assert got == exp
+    # right side may also be a (small) Ray Dataset
+    got2 = sqlexpr.apply_select(
+        rd.from_arrow(orders),
+        sqlexpr.parse_select("SELECT o_orderkey, c_name FROM orders JOIN "
+                             "customer ON o_custkey = c_custkey "
+                             "ORDER BY o_orderkey"),
+        tables={"customer": rd.from_arrow(cust)}).take_all()
+    assert [r["c_name"] for r in got2] == ["alice", "bob", "alice"]
+    # missing table -> clear error
+    with pytest.raises(ValueError, match="JOIN references table"):
+        sqlexpr.apply_select(rd.from_arrow(orders), sqlexpr.parse_select(
+            "SELECT o_orderkey FROM orders JOIN customer ON "
+            "o_custkey = c_custkey"))
