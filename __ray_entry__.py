@@ -2058,7 +2058,53 @@ def _transformer_oracles() -> dict[str, str]:
         FROM t1
     """
 
+    # -- LAEA oblique/polar + CEA (transformer.laea/cea_forward) ----------
+    qp_ = float(tr._aea_q(np.pi / 2.0))
+    p0_ = float(np.radians(52.0))
+    beta1_ = float(np.arcsin(tr._aea_q(p0_) / qp_))
+    Rq_ = float(a_ * np.sqrt(qp_ / 2.0))
+    m1_ = float(tr._lcc_m(np.float64(p0_)))
+    D_ = float(a_ * m1_ / (Rq_ * np.cos(beta1_)))
+    sb1_, cb1_ = float(np.sin(beta1_)), float(np.cos(beta1_))
+    k0cea_ = float(tr._lcc_m(np.float64(np.radians(30.0))))
+    q_expr = (f"(1.0 - {F(e2)}) * (sphi / (1.0 - {F(e2)} * sphi * sphi)"
+              f" - (1.0 / (2.0 * {F(e)}))"
+              f" * ln((1.0 - {F(e)} * sphi) / (1.0 + {F(e)} * sphi)))")
+    laea_cea_sql = f"""
+        WITH {_DOCS_GEO},
+        f AS (SELECT doc_id, lon, lat FROM d
+              WHERE abs(lon - 10.0) <= 25.0 AND lat >= 35.0 AND lat <= 70.0),
+        t1 AS (SELECT doc_id, lon, sin(radians(lat)) AS sphi FROM f),
+        t2 AS (SELECT doc_id, lon, {q_expr} AS q FROM t1),
+        t3 AS (SELECT doc_id, lon, q,
+                      asin(least(greatest(q / {F(qp_)}, -1.0), 1.0)) AS beta
+               FROM t2),
+        ob AS (SELECT doc_id, q, sin(beta) AS sb, cos(beta) AS cb,
+                      radians(lon - 10.0) AS lam, radians(lon) AS lamp
+               FROM t3),
+        b AS (SELECT doc_id, q, sb, cb, lam, lamp,
+                     {F(Rq_)} * sqrt(2.0 / (1.0 + {F(sb1_)} * sb
+                                            + {F(cb1_)} * cb * cos(lam))) AS B
+              FROM ob)
+        SELECT doc_id,
+          CAST(round((4321000.0 + B * {F(D_)} * cb * sin(lam)) * 100.0)
+               AS BIGINT) AS laea_e_cm,
+          CAST(round((3210000.0 + (B / {F(D_)})
+                      * ({F(cb1_)} * sb - {F(sb1_)} * cb * cos(lam))) * 100.0)
+               AS BIGINT) AS laea_n_cm,
+          CAST(round(({F(a_)} * sqrt(greatest({F(qp_)} - q, 0.0)) * sin(lamp))
+                     * 100.0) AS BIGINT) AS pol_e_cm,
+          CAST(round((-({F(a_)} * sqrt(greatest({F(qp_)} - q, 0.0))
+                        * cos(lamp))) * 100.0) AS BIGINT) AS pol_n_cm,
+          CAST(round(({F(a_)} * {F(k0cea_)} * lamp) * 100.0) AS BIGINT)
+               AS cea_e_cm,
+          CAST(round(({F(a_)} * q / (2.0 * {F(k0cea_)})) * 100.0) AS BIGINT)
+               AS cea_n_cm
+        FROM b
+    """
+
     return {
+        "reproject_laea_cea": laea_cea_sql,
         "reproject_utm": utm_sql,
         "reproject_lcc": lcc_sql,
         "reproject_sinusoidal": sinusoidal_sql,
@@ -2290,6 +2336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reproject_albers": q.reproject_albers_q,
         "reproject_aeqd": q.reproject_aeqd_q,
         "reproject_lcc": q.reproject_lcc_q,
+        "reproject_laea_cea": q.reproject_laea_cea_q,
         "datum_helmert": q.datum_helmert_q,
         "gcp_polynomial": q.gcp_polynomial_q,
         "tps_warp": q.tps_warp_q,

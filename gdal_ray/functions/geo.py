@@ -93,50 +93,131 @@ def reproject_points(x: np.ndarray, y: np.ndarray, src_crs: str, dst_crs: str):
     if (src, dst) == ("EPSG:3857", "EPSG:4326"):
         return mercator_to_lonlat(x, y)
 
-    def _utm(code: str):
-        """EPSG:326xx / 327xx -> (zone, south), else None."""
-        if not code.startswith("EPSG:") or len(code) != 10:
-            return None
-        num = code[5:]
-        if num.startswith("326") or num.startswith("327"):
-            zone = int(num[3:])
-            if 1 <= zone <= 60:
-                return zone, num.startswith("327")
-        return None
-
     from . import transformer as _tr
 
-    utm_dst = _utm(dst)
-    if src == "EPSG:4326" and utm_dst is not None:
-        lon0, k0, fe, fn = _tr.utm_zone_params(*utm_dst)
-        return _tr.tmerc_forward(x, y, lon0=lon0, k0=k0, fe=fe, fn=fn)
-    utm_src = _utm(src)
-    if utm_src is not None and dst == "EPSG:4326":
-        lon0, k0, fe, fn = _tr.utm_zone_params(*utm_src)
-        return _tr.tmerc_inverse(x, y, lon0=lon0, k0=k0, fe=fe, fn=fn)
-    # WGS84-based fixed-parameter projected CRSs (Snyder closed forms).
-    # EPSG:3413/3031 are exact; EPSG:5070 is NAD83/GRS80 in the registry —
-    # served here on WGS84 (sub-mm ellipsoid delta, same projection method).
-    named = {
-        "EPSG:3413": (_tr.stereo_polar_forward, _tr.stereo_polar_inverse,
-                      dict(lon0=-45.0, lat_ts=70.0, north=True)),
-        "EPSG:3031": (_tr.stereo_polar_forward, _tr.stereo_polar_inverse,
-                      dict(lon0=0.0, lat_ts=-71.0, north=False)),
-        "EPSG:5070": (_tr.aea_forward, _tr.aea_inverse,
-                      dict(lon0=-96.0, lat1=29.5, lat2=45.5, lat0=23.0)),
-    }
-    if src == "EPSG:4326" and dst in named:
-        fwd, _, kw = named[dst]
-        return fwd(x, y, **kw)
-    if src in named and dst == "EPSG:4326":
-        _, inv, kw = named[src]
-        return inv(x, y, **kw)
+    src_p = epsg_params(src)
+    dst_p = epsg_params(dst)
+    if src == "EPSG:4326" and dst_p is not None:
+        fam, kw = dst_p
+        return _PROJ_FAMILIES[fam][0](x, y, **kw)
+    if src_p is not None and dst == "EPSG:4326":
+        fam, kw = src_p
+        return _PROJ_FAMILIES[fam][1](x, y, **kw)
+    if src_p is not None and dst_p is not None:
+        # projected -> projected: chain through geographic
+        fam_s, kw_s = src_p
+        fam_d, kw_d = dst_p
+        lon, lat = _PROJ_FAMILIES[fam_s][1](x, y, **kw_s)
+        return _PROJ_FAMILIES[fam_d][0](lon, lat, **kw_d)
     raise NotImplementedError(
-        f"reproject {src_crs} -> {dst_crs} needs pyproj (not in this container); "
-        "built-in closed forms cover EPSG:4326 <-> EPSG:3857, UTM "
-        "EPSG:326xx/327xx (Krueger-series transverse mercator), polar "
-        "stereographic EPSG:3413/3031, and CONUS Albers EPSG:5070"
+        f"reproject {src_crs} -> {dst_crs} needs pyproj (not in this "
+        "container); built-in closed forms cover EPSG:4326 <-> EPSG:3857 and "
+        f"the {len(_EPSG_TABLE)} table-routed codes plus the UTM families "
+        "EPSG:326xx/327xx (WGS84), EPSG:258xx (ETRS89), EPSG:269xx (NAD83) "
+        f"— see geo.epsg_params: {sorted(_EPSG_TABLE)}"
     )
+
+
+def _proj_families():
+    from . import transformer as _tr
+
+    return {
+        "tmerc": (_tr.tmerc_forward, _tr.tmerc_inverse),
+        "lcc": (_tr.lcc_forward, _tr.lcc_inverse),
+        "aea": (_tr.aea_forward, _tr.aea_inverse),
+        "stereo_polar": (_tr.stereo_polar_forward, _tr.stereo_polar_inverse),
+        "eqc": (_tr.eqc_forward, _tr.eqc_inverse),
+        "laea": (_tr.laea_forward, _tr.laea_inverse),
+        "cea": (_tr.cea_forward, _tr.cea_inverse),
+        "merc": (lambda lon, lat: lonlat_to_mercator(lon, lat),
+                 lambda x, y: mercator_to_lonlat(x, y)),
+    }
+
+
+class _LazyFamilies(dict):
+    def __missing__(self, k):
+        self.update(_proj_families())
+        return dict.__getitem__(self, k)
+
+
+_PROJ_FAMILIES = _LazyFamilies()
+
+# Data-driven EPSG routing (reference: ogr/ogrct.cpp PROJ-backed generality;
+# here a registry extract of (projection family, parameters) over the
+# in-repo Snyder/Krueger kernels).  Datum note: every entry is WGS84-,
+# GRS80-, ETRS89-, NAD83-, GDA94- or CGCS2000-based — all coincident with
+# WGS84 at or below the ~1-2 m datum-drift level, served on the WGS84
+# ellipsoid (GRS80 flattening delta is sub-mm).  Non-WGS84-ellipsoid grids
+# (OSGB36 Airy, Hughes sea-ice, Swiss oblique Mercator) are intentionally
+# NOT listed rather than silently wrong.
+_EPSG_TABLE = {
+    # --- Lambert Conformal Conic (2SP) ---
+    "EPSG:2154": ("lcc", dict(lon0=3.0, lat1=44.0, lat2=49.0, lat0=46.5,
+                              fe=700000.0, fn=6600000.0)),   # RGF93 Lambert-93
+    "EPSG:3978": ("lcc", dict(lon0=-95.0, lat1=49.0, lat2=77.0, lat0=49.0)),
+    "EPSG:3347": ("lcc", dict(lon0=-91.8666666666667, lat1=49.0, lat2=77.0,
+                              lat0=63.390675, fe=6200000.0, fn=3000000.0)),
+    # --- Albers Equal-Area ---
+    "EPSG:5070": ("aea", dict(lon0=-96.0, lat1=29.5, lat2=45.5, lat0=23.0)),
+    "EPSG:6350": ("aea", dict(lon0=-96.0, lat1=29.5, lat2=45.5, lat0=23.0)),
+    "EPSG:3577": ("aea", dict(lon0=132.0, lat1=-18.0, lat2=-36.0, lat0=0.0)),
+    "EPSG:3338": ("aea", dict(lon0=-154.0, lat1=55.0, lat2=65.0, lat0=50.0)),
+    # --- polar stereographic ---
+    "EPSG:3413": ("stereo_polar", dict(lon0=-45.0, lat_ts=70.0, north=True)),
+    "EPSG:3031": ("stereo_polar", dict(lon0=0.0, lat_ts=-71.0, north=False)),
+    "EPSG:3995": ("stereo_polar", dict(lon0=0.0, lat_ts=71.0, north=True)),
+    "EPSG:3976": ("stereo_polar", dict(lon0=0.0, lat_ts=-70.0, north=False)),
+    # --- transverse mercator national grids (lat0 = 0) ---
+    "EPSG:2193": ("tmerc", dict(lon0=173.0, k0=0.9996, fe=1600000.0,
+                                fn=10000000.0)),             # NZTM2000
+    "EPSG:3067": ("tmerc", dict(lon0=27.0, k0=0.9996, fe=500000.0, fn=0.0)),
+    # --- equidistant cylindrical ---
+    "EPSG:4087": ("eqc", dict(lon0=0.0, lat_ts=0.0)),
+    "EPSG:32662": ("eqc", dict(lon0=0.0, lat_ts=0.0)),       # deprecated alias
+    # --- Lambert azimuthal equal-area ---
+    "EPSG:3035": ("laea", dict(lon0=10.0, lat0=52.0,
+                               fe=4321000.0, fn=3210000.0)), # ETRS89-LAEA
+    "EPSG:6931": ("laea", dict(lon0=0.0, lat0=90.0)),        # EASE2 North
+    "EPSG:6932": ("laea", dict(lon0=0.0, lat0=-90.0)),       # EASE2 South
+    "EPSG:3573": ("laea", dict(lon0=-100.0, lat0=90.0)),     # Arctic LAEA CA
+    "EPSG:3574": ("laea", dict(lon0=-40.0, lat0=90.0)),      # Arctic Atlantic
+    "EPSG:3575": ("laea", dict(lon0=10.0, lat0=90.0)),       # Arctic Europe
+    "EPSG:3576": ("laea", dict(lon0=180.0, lat0=90.0)),      # Arctic Russia
+    # --- cylindrical equal-area ---
+    "EPSG:6933": ("cea", dict(lon0=0.0, lat_ts=30.0)),       # EASE2 global
+    # --- web-mercator aliases ---
+    "EPSG:3857": ("merc", {}),
+    "EPSG:900913": ("merc", {}),
+}
+
+
+def epsg_params(code: str):
+    """(projection family, kernel kwargs) for a projected EPSG code, or
+    None.  Table lookups first, then the three UTM zone families:
+    EPSG:326xx/327xx (WGS84 N/S), EPSG:258xx (ETRS89 zones 28-38),
+    EPSG:269xx (NAD83 zones 1-23)."""
+    from . import transformer as _tr
+
+    hit = _EPSG_TABLE.get(code)
+    if hit is not None:
+        return hit
+    if not code.startswith("EPSG:") or not code[5:].isdigit():
+        return None
+    num = int(code[5:])
+    zone = None
+    south = False
+    if 32601 <= num <= 32660:
+        zone = num - 32600
+    elif 32701 <= num <= 32760:
+        zone, south = num - 32700, True
+    elif 25828 <= num <= 25838:   # ETRS89 / UTM
+        zone = num - 25800
+    elif 26901 <= num <= 26923:   # NAD83 / UTM
+        zone = num - 26900
+    if zone is None:
+        return None
+    lon0, k0, fe, fn = _tr.utm_zone_params(zone, south)
+    return ("tmerc", dict(lon0=lon0, k0=k0, fe=fe, fn=fn))
 
 
 def lonlat_to_tile(lon: np.ndarray, lat: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:

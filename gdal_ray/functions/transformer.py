@@ -535,6 +535,131 @@ def eqc_inverse(E, N, lon0: float = 0.0, lat_ts: float = 0.0,
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Lambert Azimuthal Equal-Area + cylindrical equal-area (Snyder PP1395
+# eq. 3-11/3-12 authalic latitude, 24-2..24-16 LAEA, 10-1/10-2 CEA;
+# reference surface ogr/ogrct.cpp SRS_PT_LAMBERT_AZIMUTHAL_EQUAL_AREA /
+# SRS_PT_CYLINDRICAL_EQUAL_AREA).  Covers EPSG:3035, the EASE-Grid 2.0
+# family (6931/6932/6933) and the arctic LAEA set (3573-3576).
+# ---------------------------------------------------------------------------
+
+_QP = None
+
+
+def _qp() -> float:
+    """q at the pole (total authalic q range)."""
+    global _QP
+    if _QP is None:
+        _QP = float(_aea_q(np.pi / 2.0))
+    return _QP
+
+
+def _authalic_to_geodetic(beta):
+    """Authalic -> geodetic latitude series (Snyder 3-18)."""
+    e2 = WGS84_E2
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return (beta
+            + (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0)
+            * np.sin(2.0 * beta)
+            + (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * np.sin(4.0 * beta)
+            + (761.0 * e6 / 45360.0) * np.sin(6.0 * beta))
+
+
+def laea_forward(lon, lat, lon0: float, lat0: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal LAEA forward (Snyder 24-2..24-14; polar aspects 24-23/24).
+
+    Oblique aspect maps onto the authalic sphere of radius Rq = a sqrt(qp/2)
+    with D correcting the azimuthal scale at the center; polar aspects use
+    rho = a sqrt(qp -+ q)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    a = WGS84_A
+    qp = _qp()
+    q = _aea_q(np.radians(lat))
+    lam = np.radians(lon - lon0)
+    if lat0 >= 90.0 - 1e-12:
+        rho = a * np.sqrt(np.maximum(qp - q, 0.0))
+        return fe + rho * np.sin(lam), fn - rho * np.cos(lam)
+    if lat0 <= -90.0 + 1e-12:
+        rho = a * np.sqrt(np.maximum(qp + q, 0.0))
+        return fe + rho * np.sin(lam), fn + rho * np.cos(lam)
+    p0 = np.radians(lat0)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    beta1 = np.arcsin(np.clip(_aea_q(p0) / qp, -1.0, 1.0))
+    Rq = a * np.sqrt(qp / 2.0)
+    m1 = _lcc_m(p0)
+    D = a * m1 / (Rq * np.cos(beta1))
+    sb, cb = np.sin(beta), np.cos(beta)
+    sb1, cb1 = np.sin(beta1), np.cos(beta1)
+    denom = 1.0 + sb1 * sb + cb1 * cb * np.cos(lam)
+    B = Rq * np.sqrt(2.0 / denom)
+    x = B * D * cb * np.sin(lam)
+    y = (B / D) * (cb1 * sb - sb1 * cb * np.cos(lam))
+    return fe + x, fn + y
+
+
+def laea_inverse(E, N, lon0: float, lat0: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal LAEA inverse (Snyder 24-16..24-21 oblique; 24-31 polar)."""
+    x = np.asarray(E, dtype=np.float64) - fe
+    y = np.asarray(N, dtype=np.float64) - fn
+    a = WGS84_A
+    qp = _qp()
+    if abs(lat0) >= 90.0 - 1e-12:
+        north = lat0 > 0
+        rho = np.sqrt(x * x + y * y)
+        q = qp - (rho / a) ** 2
+        if not north:
+            q = -q
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        lam = np.arctan2(x, -y) if north else np.arctan2(x, y)
+        return (lon0 + np.degrees(lam),
+                np.degrees(_authalic_to_geodetic(beta)))
+    p0 = np.radians(lat0)
+    beta1 = np.arcsin(np.clip(_aea_q(p0) / qp, -1.0, 1.0))
+    Rq = a * np.sqrt(qp / 2.0)
+    m1 = _lcc_m(p0)
+    D = a * m1 / (Rq * np.cos(beta1))
+    sb1, cb1 = np.sin(beta1), np.cos(beta1)
+    rho = np.sqrt((x / D) ** 2 + (D * y) ** 2)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * Rq), -1.0, 1.0))
+    sce, cce = np.sin(ce), np.cos(ce)
+    with np.errstate(invalid="ignore"):
+        beta = np.arcsin(np.clip(
+            cce * sb1 + np.where(rho == 0.0, 0.0, D * y * sce * cb1 / rho),
+            -1.0, 1.0))
+    lam = np.arctan2(x * sce, D * rho * cb1 * cce - D * D * y * sb1 * sce)
+    return (lon0 + np.degrees(lam),
+            np.degrees(_authalic_to_geodetic(beta)))
+
+
+def cea_forward(lon, lat, lon0: float = 0.0, lat_ts: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal Lambert Cylindrical Equal-Area (Snyder 10-1/10-2):
+    x = a k0 lam, y = a q / (2 k0), k0 = m(lat_ts)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    a = WGS84_A
+    k0 = _lcc_m(np.radians(lat_ts))
+    q = _aea_q(np.radians(lat))
+    return (fe + a * k0 * np.radians(lon - lon0),
+            fn + a * q / (2.0 * k0))
+
+
+def cea_inverse(E, N, lon0: float = 0.0, lat_ts: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0):
+    x = np.asarray(E, dtype=np.float64) - fe
+    y = np.asarray(N, dtype=np.float64) - fn
+    a = WGS84_A
+    k0 = _lcc_m(np.radians(lat_ts))
+    q = 2.0 * y * k0 / a
+    beta = np.arcsin(np.clip(q / _qp(), -1.0, 1.0))
+    return (lon0 + np.degrees(x / (a * k0)),
+            np.degrees(_authalic_to_geodetic(beta)))
+
+
 def geodetic_to_geocentric(lon, lat, h=0.0):
     """(lon, lat, h) -> ECEF (X, Y, Z) on WGS84."""
     lon = np.radians(np.asarray(lon, dtype=np.float64))

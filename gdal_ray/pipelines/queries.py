@@ -2848,6 +2848,38 @@ def reproject_utm_q(sf_dir: str):
 LCC_PARAMS = dict(lon0=-96.0, lat1=33.0, lat2=45.0, lat0=39.0)
 
 
+def reproject_laea_cea_q(sf_dir: str):
+    """Round-4 data-driven EPSG table sampler: ETRS89-LAEA (EPSG:3035,
+    oblique Lambert azimuthal equal-area), EASE-Grid-2.0 North (EPSG:6931,
+    polar LAEA) and EASE-Grid-2.0 global (EPSG:6933, cylindrical
+    equal-area) over the Europe doc window; cm-quantized (reference:
+    ogr/ogrct.cpp PROJ method routing for these EPSG codes)."""
+    ds = _docs_points(sf_dir)
+    from ..functions import transformer
+
+    def fn(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        m = (np.abs(lon - 10.0) <= 25.0) & (lat >= 35.0) & (lat <= 70.0)
+        lo, la = lon[m], lat[m]
+        e1, n1 = transformer.laea_forward(lo, la, lon0=10.0, lat0=52.0,
+                                          fe=4321000.0, fn=3210000.0)
+        e2_, n2 = transformer.laea_forward(lo, la, lon0=0.0, lat0=90.0)
+        e3, n3 = transformer.cea_forward(lo, la, lon0=0.0, lat_ts=30.0)
+
+        def cm(v):
+            return pa.array(np.round(v * 100.0).astype(np.int64))
+
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(m)),
+            "laea_e_cm": cm(e1), "laea_n_cm": cm(n1),
+            "pol_e_cm": cm(e2_), "pol_n_cm": cm(n2),
+            "cea_e_cm": cm(e3), "cea_n_cm": cm(n3),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def reproject_lcc_q(sf_dir: str):
     """Lambert Conformal Conic 2SP (Snyder PP1395; the CONUS Albers/LCC family
     ogrct.cpp serves) over docs in the projection's window; cm-quantized."""

@@ -608,3 +608,80 @@ def test_eqc_roundtrip_and_meridian_scale():
     E4, N4 = tr.eqc_forward(11.0, 30.0, lat_ts=30.0)
     ground = tr.WGS84_A * tr._lcc_m(np.radians(30.0)) * np.radians(1.0)
     assert abs((float(E4) - float(E3)) - float(ground)) < 1e-9
+
+
+def test_laea_cea_kernels_roundtrip_and_equal_area():
+    """Round-4 LAEA/CEA kernels: forward/inverse roundtrip and the
+    equal-area Jacobian property (|J| == a^2 cos(phi) (1-e^2) /
+    (1-e^2 sin^2 phi)^2, the ellipsoid's area element)."""
+    from gdal_ray.functions import transformer as tr
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (tr.laea_forward, tr.laea_inverse,
+         dict(lon0=10.0, lat0=52.0, fe=4321000.0, fn=3210000.0), (-60, 80), (-80, 80)),
+        (tr.laea_forward, tr.laea_inverse, dict(lon0=0.0, lat0=90.0), (-170, 170), (5, 89)),
+        (tr.laea_forward, tr.laea_inverse, dict(lon0=0.0, lat0=-90.0), (-170, 170), (-89, -5)),
+        (tr.cea_forward, tr.cea_inverse, dict(lon0=0.0, lat_ts=30.0), (-170, 170), (-80, 80)),
+    ]
+    for fwd, inv, kw, lon_rng, lat_rng in cases:
+        lon = rng.uniform(*lon_rng, 100)
+        lat = rng.uniform(*lat_rng, 100)
+        E, N = fwd(lon, lat, **kw)
+        lon2, lat2 = inv(E, N, **kw)
+        assert np.max(np.abs(((lon2 - lon + 180) % 360) - 180)) < 1e-7
+        assert np.max(np.abs(lat2 - lat)) < 1e-6
+    # equal-area Jacobian on the oblique + cylindrical kernels
+    a, e2 = tr.WGS84_A, tr.WGS84_E2
+    h = 1e-6
+    for fwd, kw in [(tr.laea_forward, dict(lon0=10.0, lat0=52.0)),
+                    (tr.cea_forward, dict(lon0=0.0, lat_ts=30.0))]:
+        lon = np.array([5.0, 60.0, -120.0])
+        lat = np.array([50.0, 10.0, -45.0])
+        E0, N0 = fwd(lon, lat, **kw)
+        E1, N1 = fwd(lon + h, lat, **kw)
+        E2_, N2 = fwd(lon, lat + h, **kw)
+        J = ((E1 - E0) * (N2 - N0) - (E2_ - E0) * (N1 - N0)) / np.radians(h) ** 2
+        phi = np.radians(lat)
+        truth = a * a * np.cos(phi) * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 2
+        assert np.max(np.abs(J / truth - 1.0)) < 1e-5
+
+
+def test_epsg_table_routing_roundtrips():
+    """Round-4 data-driven EPSG routing: every table code and the three UTM
+    zone families roundtrip through reproject_points; unknown codes raise."""
+    import pytest
+
+    from gdal_ray.functions import geo
+
+    centers = {"EPSG:3031": (-60, -75), "EPSG:3976": (10, -70),
+               "EPSG:6932": (0, -60), "EPSG:3577": (135, -25)}
+    codes = sorted(geo._EPSG_TABLE) + ["EPSG:25832", "EPSG:26915",
+                                       "EPSG:32633", "EPSG:32722"]
+    for c in codes:
+        if c in centers:
+            lon0, lat0 = centers[c]
+        else:
+            fam, kw = geo.epsg_params(c)
+            lon0 = kw.get("lon0", 0.0)
+            lat0 = abs(kw.get("lat0", kw.get("lat_ts", 45.0)) or 45.0)
+            lat0 = min(lat0 or 45.0, 85.0) or 45.0
+            if lat0 == 0:
+                lat0 = 45.0
+        if c == "EPSG:32722":
+            lon0, lat0 = -51.0, -20.0
+        lon = np.array([lon0, lon0 + 3.0])
+        lat = np.array([lat0, max(min(lat0 - 5.0, 84.0), -84.0)])
+        E, N = geo.reproject_points(lon, lat, "EPSG:4326", c)
+        lon2, lat2 = geo.reproject_points(E, N, c, "EPSG:4326")
+        err = max(np.max(np.abs(((lon2 - lon + 180) % 360) - 180)),
+                  np.max(np.abs(lat2 - lat)))
+        assert err < 1e-6, (c, err)
+    # projected -> projected chains through geographic
+    E, N = geo.reproject_points(np.array([1e6]), np.array([6.5e6]),
+                                "EPSG:2154", "EPSG:3035")
+    x2, y2 = geo.reproject_points(E, N, "EPSG:3035", "EPSG:2154")
+    assert abs(x2[0] - 1e6) < 1e-3 and abs(y2[0] - 6.5e6) < 1e-3
+    with pytest.raises(NotImplementedError, match="27700"):
+        geo.reproject_points(np.array([0.0]), np.array([51.0]),
+                             "EPSG:4326", "EPSG:27700")
