@@ -2159,6 +2159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_sql_expr": q.select_sql_expr_q,
         "select_sql_group": q.select_sql_group_q,
         "select_sql_join": q.select_sql_join_q,
+        "quantiles_continuous": q.quantiles_continuous_q,
         "select_sql_left_join_group": q.select_sql_left_join_group_q,
         "topk_orders": q.topk_orders,
         "distinct_segments": q.distinct_segments,
@@ -2518,6 +2519,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars - n_chars // 7 * 7 IN (1, 3, 5)
               AND NOT (n_chars BETWEEN 100 AND 200)
             ORDER BY doc_id LIMIT 200
+        """,
+        "quantiles_continuous": """
+            WITH s AS (SELECT o_totalprice AS v FROM orders),
+            r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+            n AS (SELECT count(*) AS c FROM s)
+            SELECT (SELECT c FROM n) AS n,
+              (SELECT CAST(round(v * 100.0) AS BIGINT) FROM r
+               WHERE rn = CAST(floor(0.25 * ((SELECT c FROM n) - 1)) AS BIGINT) + 1) AS q25_cents,
+              (SELECT CAST(round(v * 100.0) AS BIGINT) FROM r
+               WHERE rn = CAST(floor(0.50 * ((SELECT c FROM n) - 1)) AS BIGINT) + 1) AS q50_cents,
+              (SELECT CAST(round(v * 100.0) AS BIGINT) FROM r
+               WHERE rn = CAST(floor(0.75 * ((SELECT c FROM n) - 1)) AS BIGINT) + 1) AS q75_cents,
+              (SELECT CAST(round(v * 100.0) AS BIGINT) FROM r
+               WHERE rn = CAST(floor(0.90 * ((SELECT c FROM n) - 1)) AS BIGINT) + 1) AS q90_cents
         """,
         "select_sql_join": """
             SELECT o_orderkey, c_name, c_mktsegment FROM orders

@@ -1693,25 +1693,33 @@ def layer_info_q(sf_dir: str):
 
 
 def quantiles_quantity_q(sf_dir: str):
-    """Exact distributed quantiles of l_quantity via the value-histogram
-    plan (groupby count -> tiny cumulative pick): rank = floor(p*(n-1)) + 1,
-    'lower' interpolation — integer-exact at any scale for discrete-valued
-    columns."""
+    """Exact distributed quantiles of l_quantity (rank = floor(p*(n-1)) + 1,
+    'lower' interpolation) via relational.exact_quantiles: the
+    distinct-count pre-check routes this discrete column to the
+    value-histogram plan; continuous columns refine bounded histograms
+    instead of collecting the distinct set (round-4 guard)."""
     ds = read_table(sf_dir, "lineitem", columns=["l_quantity"])
-    vc = ds.map_batches(
+    ds = ds.map_batches(
         lambda t: pa.table({"v": pc.cast(t["l_quantity"], pa.int64())}),
         batch_format="pyarrow",
-    ).groupby("v").count()
-    rows = sorted(vc.take_all(), key=lambda r: r["v"])
-    vals = np.array([r["v"] for r in rows], dtype=np.int64)
-    counts = np.array([r["count()"] for r in rows], dtype=np.int64)
-    cum = np.cumsum(counts)
-    n = int(cum[-1])
-    out = {"n": n}
-    for p, name in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.9, "q90")):
-        rank = int(np.floor(p * (n - 1))) + 1
-        out[name] = int(vals[np.searchsorted(cum, rank)])
-    return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
+    )
+    out = relational.exact_quantiles(ds, "v")
+    return pa.table({k: pa.array([int(v)], pa.int64())
+                     for k, v in out.items()})
+
+
+def quantiles_continuous_q(sf_dir: str):
+    """Exact quantiles of the CONTINUOUS o_totalprice column (float64, one
+    distinct value per row at scale): histogram-refinement rounds with an
+    O(bins) driver fold per round — never a distinct-value collect.
+    Output cents-quantized for the oracle."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    out = relational.exact_quantiles(ds, "o_totalprice", max_distinct=4096)
+    t = {"n": pa.array([out["n"]], pa.int64())}
+    for p in (25, 50, 75, 90):
+        t[f"q{p}_cents"] = pa.array(
+            [int(np.round(out[f"q{p}"] * 100.0))], pa.int64())
+    return pa.table(t)
 
 
 def group_quantiles_q(sf_dir: str):

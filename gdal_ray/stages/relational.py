@@ -643,3 +643,149 @@ def range_join_broadcast(probe_ds, intervals: pa.Table, value_col: str,
 
     return probe_ds.map_batches(
         RangeJoiner, batch_format="pyarrow", concurrency=concurrency)
+
+
+def exact_quantiles(ds, value_col: str, ps: tuple = (0.25, 0.5, 0.75, 0.9),
+                    max_distinct: int = 65536, max_rounds: int = 64):
+    """EXACT distributed quantiles with BOUNDED driver memory (reference
+    semantics: PERCENTILE_DISC 'lower' pick, rank = floor(p*(n-1)) + 1 on
+    the sorted multiset).
+
+    Discrete columns (<= ``max_distinct`` distinct values, checked with a
+    distributed count — never collected first) use the value-histogram
+    plan: groupby(value).count -> tiny cumulative pick.  Continuous
+    columns use iterative histogram refinement: each round ONE pass bins
+    every live quantile's candidate interval into ``max_distinct``
+    equal-width bins (a per-batch numpy histogram folded by a bucket
+    groupby), and each rank descends into its containing bin — the driver
+    holds one O(bins) vector per rank per round, never the value set.
+    Rounds needed ~ log_bins(range/ulp), in practice <= 4 for float64.
+
+    Returns {"n": total_rows, f"q{int(p*100)}": value} as Python floats.
+    """
+    import ray
+
+    n = ds.count()
+    if n == 0:
+        raise ValueError("exact_quantiles over an empty dataset")
+    ranks = {p: int(np.floor(p * (n - 1))) + 1 for p in ps}
+
+    vc = ds.groupby(value_col).count()
+    if vc.count() <= max_distinct:
+        rows = sorted(vc.take_all(), key=lambda r: r[value_col])
+        vals = np.array([r[value_col] for r in rows], dtype=np.float64)
+        cum = np.cumsum([r["count()"] for r in rows])
+        out = {"n": n}
+        for p, r in ranks.items():
+            out[f"q{int(round(p * 100))}"] = float(vals[np.searchsorted(cum, r)])
+        return out
+
+    # continuous: histogram refinement.  State per rank: [lo, hi] interval
+    # known to contain the rank'th value, and less = #values < lo.
+    stats = ds.map_batches(
+        lambda t: pa.table({
+            "mn": pa.array([pc.min(t[value_col]).as_py()], pa.float64()),
+            "mx": pa.array([pc.max(t[value_col]).as_py()], pa.float64())}),
+        batch_format="pyarrow")
+    gmin = stats.min("mn")
+    gmax = stats.max("mx")
+    B = int(max_distinct)
+    state = {p: [float(gmin), float(gmax), 0] for p in ps}
+    out = {"n": n}
+    live = dict(state)
+    for _round in range(max_rounds):
+        if not live:
+            break
+        intervals = [(p, lo, hi) for p, (lo, hi, _l) in live.items()]
+        iv_ref = ray.put(intervals)
+
+        def bin_counts(t: pa.Table) -> pa.Table:
+            ivs = ray.get(iv_ref)
+            v = pc.cast(t[value_col], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            ks, bs, cs = [], [], []
+            for k, (p, lo, hi) in enumerate(ivs):
+                w = (hi - lo) / B
+                if w <= 0:
+                    continue
+                sel = v[(v >= lo) & (v <= hi)]
+                idx = np.clip(((sel - lo) / w).astype(np.int64), 0, B - 1)
+                cnt = np.bincount(idx, minlength=B)
+                nz = np.flatnonzero(cnt)
+                ks.append(np.full(nz.size, k, np.int64))
+                bs.append(nz.astype(np.int64))
+                cs.append(cnt[nz].astype(np.int64))
+            if not ks:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({"k": pa.array(np.concatenate(ks)),
+                             "b": pa.array(np.concatenate(bs)),
+                             "c": pa.array(np.concatenate(cs))})
+
+        from ray.data.aggregate import Sum
+
+        folded = (ds.map_batches(bin_counts, batch_format="pyarrow")
+                  .groupby(["k", "b"]).aggregate(Sum("c", alias_name="c"))
+                  .take_all())  # O(#live * B) rows, bounded by construction
+        per_k: dict = {}
+        for r in folded:
+            per_k.setdefault(r["k"], {})[r["b"]] = r["c"]
+        nxt = {}
+        for k, (p, lo, hi) in enumerate(intervals):
+            rank = ranks[p]
+            less = live[p][2]
+            w = (hi - lo) / B
+            if w <= 0:
+                out[f"q{int(round(p * 100))}"] = lo
+                continue
+            cnt = np.zeros(B, np.int64)
+            for b, c in per_k.get(k, {}).items():
+                cnt[b] = c
+            cum = less + np.cumsum(cnt)
+            bi = int(np.searchsorted(cum, rank))
+            new_lo = lo + bi * w
+            new_hi = lo + (bi + 1) * w if bi < B - 1 else hi
+            new_less = int(less + (cum[bi - 1] - less if bi > 0 else 0))
+            if cnt[bi] == 1 or new_hi - new_lo <= 0 or \
+                    np.nextafter(new_lo, new_hi) >= new_hi:
+                # isolated: the rank'th value is the min value in the bin
+                fin = ds.map_batches(
+                    lambda t, lo_=new_lo, hi_=new_hi: pa.table({
+                        "mn": pa.array([_min_in(t[value_col], lo_, hi_)],
+                                       pa.float64())}),
+                    batch_format="pyarrow").min("mn")
+                out[f"q{int(round(p * 100))}"] = float(fin)
+                continue
+            nxt[p] = [new_lo, new_hi, new_less]
+        # switch any interval whose distinct count now fits to the exact plan
+        still = {}
+        for p, (lo, hi, less) in nxt.items():
+            sub = ds.map_batches(
+                lambda t, lo_=lo, hi_=hi: _filter_range(t, value_col, lo_, hi_),
+                batch_format="pyarrow")
+            dvc = sub.groupby(value_col).count()
+            if dvc.count() <= max_distinct:
+                rows = sorted(dvc.take_all(), key=lambda r: r[value_col])
+                vals = np.array([r[value_col] for r in rows], np.float64)
+                cum = less + np.cumsum([r["count()"] for r in rows])
+                out[f"q{int(round(p * 100))}"] = float(
+                    vals[np.searchsorted(cum, ranks[p])])
+            else:
+                still[p] = [lo, hi, less]
+        live = still
+    if live:
+        raise RuntimeError(f"exact_quantiles did not converge: {live}")
+    return out
+
+
+def _min_in(col, lo, hi):
+    v = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+    sel = v[(v >= lo) & (v <= hi)]
+    return float(sel.min()) if sel.size else np.inf
+
+
+def _filter_range(t, col, lo, hi):
+    v = pc.cast(t[col], pa.float64())
+    m = pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+    return t.filter(m)

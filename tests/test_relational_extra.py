@@ -252,3 +252,44 @@ def test_range_join_overlapping_intervals(ray_session):
     )
     assert got == brute
     assert (4, 4) in got and (4, 0) in got and (4, 1) in got  # 3-deep overlap
+
+
+def test_exact_quantiles_continuous_matches_numpy(ray_session):
+    """Round-4 guard: continuous columns refine bounded histograms (driver
+    holds O(bins) per round) yet return the EXACT rank-statistic values."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.relational import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(1000.0, 250.0, 60_001)
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)}))
+    got = exact_quantiles(ds, "x", ps=(0.25, 0.5, 0.9), max_distinct=1024)
+    sv = np.sort(v)
+    assert got["n"] == len(v)
+    for p in (0.25, 0.5, 0.9):
+        assert got[f"q{int(p * 100)}"] == sv[int(np.floor(p * (len(v) - 1)))]
+
+
+def test_exact_quantiles_discrete_and_duplicates(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.relational import exact_quantiles
+
+    # heavy duplication: distinct count small -> value-histogram path
+    v = np.repeat(np.array([1.0, 2.0, 7.0]), [5000, 3000, 2000])
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)}))
+    got = exact_quantiles(ds, "x", ps=(0.5, 0.9))
+    sv = np.sort(v)
+    assert got["q50"] == sv[int(np.floor(0.5 * (len(v) - 1)))]
+    assert got["q90"] == sv[int(np.floor(0.9 * (len(v) - 1)))]
+    # continuous values with one giant duplicate spike (degenerate bin)
+    rng = np.random.default_rng(9)
+    v2 = np.concatenate([rng.uniform(0, 1, 20_000), np.full(30_000, 0.5)])
+    ds2 = rd.from_arrow(pa.table({"x": pa.array(v2)}))
+    got2 = exact_quantiles(ds2, "x", ps=(0.5,), max_distinct=512)
+    assert got2["q50"] == np.sort(v2)[int(np.floor(0.5 * (len(v2) - 1)))]
