@@ -1208,6 +1208,59 @@ def _contour_rings_sql() -> str:
     """
 
 
+def _contour_polygons_interp_sql() -> str:
+    """Suplevel-area oracle for the interpolated contour POLYGONS on the
+    3x3 hump: the per-cell 16-case fragment-area mirror (same expressions
+    as _contour_rings_sql); one polygon per level with the domain
+    rectangle as shell and the iso-circle as its single hole."""
+
+    def cn(dx: int, dy: int) -> str:
+        return (f"(CAST((c+{dx}-96)*(c+{dx}-96) + (r+{dy}-96)*(r+{dy}-96)"
+                f" AS DOUBLE) / 64.0)")
+
+    va, vb, vcc, vd = cn(0, 0), cn(1, 0), cn(1, 1), cn(0, 1)
+
+    def interp(v0: str, v1: str) -> str:
+        return (f"LEAST(GREATEST((level - {v0}) / "
+                f"(CASE WHEN {v1} = {v0} THEN 1.0 ELSE {v1} - {v0} END),"
+                f" 0.0), 1.0)")
+
+    area_case = """
+        CASE code
+          WHEN 0 THEN 0.0
+          WHEN 1 THEN t * l / 2.0
+          WHEN 2 THEN (1.0 - t) * rr / 2.0
+          WHEN 4 THEN (1.0 - rr) * (1.0 - bm) / 2.0
+          WHEN 8 THEN (1.0 - l) * bm / 2.0
+          WHEN 3 THEN (l + rr) / 2.0
+          WHEN 6 THEN ((1.0 - t) + (1.0 - bm)) / 2.0
+          WHEN 12 THEN ((1.0 - l) + (1.0 - rr)) / 2.0
+          WHEN 9 THEN (t + bm) / 2.0
+          WHEN 7 THEN 1.0 - (1.0 - l) * bm / 2.0
+          WHEN 11 THEN 1.0 - (1.0 - rr) * (1.0 - bm) / 2.0
+          WHEN 13 THEN 1.0 - (1.0 - t) * rr / 2.0
+          WHEN 14 THEN 1.0 - t * l / 2.0
+          WHEN 15 THEN 1.0
+        END
+    """
+    return f"""
+        WITH cells AS (SELECT a.range AS c, b.range AS r FROM range(191) a, range(191) b),
+        lv(level) AS (VALUES (CAST(50.3 AS DOUBLE)), (CAST(120.7 AS DOUBLE))),
+        f AS (SELECT level, c, r,
+                (CASE WHEN {va} >= level THEN 1 ELSE 0 END)
+              + (CASE WHEN {vb} >= level THEN 2 ELSE 0 END)
+              + (CASE WHEN {vcc} >= level THEN 4 ELSE 0 END)
+              + (CASE WHEN {vd} >= level THEN 8 ELSE 0 END) AS code,
+                {interp(va, vb)} AS t, {interp(vb, vcc)} AS rr,
+                {interp(vd, vcc)} AS bm, {interp(va, vd)} AS l
+              FROM cells, lv),
+        sup AS (SELECT level, sum({area_case}) AS suparea FROM f GROUP BY 1)
+        SELECT level, CAST(0 AS BIGINT) AS poly_id, CAST(1 AS BIGINT) AS n_holes,
+               CAST(round(suparea * 100.0) AS BIGINT) AS area_x100
+        FROM sup
+    """
+
+
 def _contour_band_sql() -> str:
     """Interpolated band-polygon areas over the 3x2 ramp mosaic — mirrors
     stages/contour.suplevel_area_cells per cell (same crossing-fraction,
@@ -2205,6 +2258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_polygons": q.contour_polygons_q,
         "contour_band_areas": q.contour_band_areas_q,
         "contour_rings_interp": q.contour_rings_q,
+        "contour_polygons_interp": q.contour_polygons_interp_q,
         "contour_rings_closed": q.contour_rings_closed_q,
         "wrapdateline": q.wrapdateline_q,
         "geodesic_measures": q.geodesic_measures_q,
@@ -3084,6 +3138,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_ramp": _contour_sql(),
         "contour_band_areas": _contour_band_sql(),
         "contour_rings_interp": _contour_rings_sql(),
+        "contour_polygons_interp": _contour_polygons_interp_sql(),
         "contour_rings_closed": """
             -- diagonal ramp v = gx + gy on [0,127]^2 (2x2 tiles of 64).
             -- L=50.25: suplevel region = domain minus the (0,0) corner

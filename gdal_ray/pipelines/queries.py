@@ -1799,6 +1799,20 @@ def geodesic_azimuth_q(sf_dir: str):
     return zones.map_batches(fn, batch_format="pyarrow")
 
 
+def contour_polygons_interp_q(sf_dir: str):
+    """Interpolated contour POLYGONS over the hump paraboloid: suplevel
+    region per level as polygons-with-holes (domain-rectangle shell + the
+    iso-circle hole on this fixture); area_x100 equals the per-cell
+    suplevel fragment sum the SQL oracle recomputes."""
+    from ..stages import contour as cnt
+
+    tiles_tbl = synthetic.make_raster_tiles("hump", 3, 3, size=64)
+    out = cnt.contour_polygons_interp(rd.from_arrow(tiles_tbl),
+                                      [50.3, 120.7], nx=3, ny=3,
+                                      tile_size=64)
+    return out.select_columns(["level", "poly_id", "n_holes", "area_x100"])
+
+
 def contour_rings_q(sf_dir: str):
     """Interpolated contour rings over the hump paraboloid: marching-squares
     segments with vertices AT the linear level crossings, chained cross-tile

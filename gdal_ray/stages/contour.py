@@ -503,6 +503,134 @@ def contour_rings(tiles_ds, levels, nx: int, ny: int, tile_size: int = 64,
     return segs_ds.groupby("level").map_groups(assemble, batch_format="pyarrow")
 
 
+def contour_polygons_interp(tiles_ds, levels, nx: int, ny: int,
+                            tile_size: int = 64):
+    """gdal_contour -p with INTERPOLATED vertices: each level's suplevel
+    region boundary ({v >= level}, border-closed) assembled into WKB
+    POLYGONs with holes (reference alg/marching_squares/
+    polygon_ring_appender.h emits smooth band rings; band i's region is
+    suplevel(level_i) minus suplevel(level_{i+1}), the identity
+    contour_band_areas verifies).
+
+    Plan: ``contour_rings(close_border=True)`` (distributed chaining) ->
+    per-level nesting of the closed rings by containment parity.  The
+    domain exterior is below-level by construction, so rings at even
+    containment depth are shells and odd-depth rings are holes of their
+    immediate (depth-1, smallest-area) parent.  Per-level ring sets are
+    the natural partition grain — a polygon cannot split below ring
+    granularity.
+
+    Returns per (level, poly): poly_id ((minx,miny)-ordered), n_holes,
+    n_vertices (total incl. holes), area_x100 (shell minus holes), wkb
+    (POLYGON, shell CCW / holes CW)."""
+    import struct
+
+    max_x = float(nx * tile_size - 1)
+    max_y = float(ny * tile_size - 1)
+    rings_ds = contour_rings(tiles_ds, levels, nx, ny, tile_size,
+                             close_border=True)
+    # corner sample: decides whether the DOMAIN RECTANGLE is an implicit
+    # shell (border entirely above-level with no iso-chain touching it —
+    # e.g. a below-level basin in an above-level plain).  One tiny filtered
+    # read; the level loop below handles per-level parity.
+    from .focal import _dtype_of
+
+    def corner(t: pa.Table) -> pa.Table:
+        m = pa.compute.and_(pa.compute.equal(t["x"], 0),
+                            pa.compute.equal(t["y"], 0))
+        f = t.filter(m)
+        vals = []
+        for i in range(f.num_rows):
+            arr = np.frombuffer(f["data"][i].as_py(),
+                                dtype=_dtype_of(f["dtype"][i].as_py()))
+            vals.append(float(arr[0]))
+        return pa.table({"v": pa.array(vals, pa.float64())})
+
+    cv = tiles_ds.map_batches(corner, batch_format="pyarrow").take_all()
+    corner_v = cv[0]["v"] if cv else -np.inf
+    rect = np.array([[0.0, 0.0], [max_x, 0.0], [max_x, max_y],
+                     [0.0, max_y], [0.0, 0.0]])
+    _EPS_B = 1e-9
+
+    def _pip(pt: np.ndarray, ring: np.ndarray) -> bool:
+        """Crossing-number point-in-polygon (ring closed, first==last)."""
+        x, y = pt
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        cond = (y0 > y) != (y1 > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+        return bool(np.count_nonzero(cond & (x < xs)) & 1)
+
+    def per_level(g: pa.Table) -> pa.Table:
+        level = g["level"][0].as_py()
+        rings = []
+        border_touch = False
+        for i in range(g.num_rows):
+            if not g["closed"][i].as_py():
+                continue  # open anomaly: not part of any polygon
+            blob = g["wkb"][i].as_py()
+            npts = struct.unpack_from("<I", blob, 5)[0]
+            pts = np.frombuffer(blob, dtype="<f8", offset=9,
+                                count=npts * 2).reshape(-1, 2)
+            if ((pts[:, 0] < _EPS_B) | (pts[:, 0] > max_x - _EPS_B)
+                    | (pts[:, 1] < _EPS_B) | (pts[:, 1] > max_y - _EPS_B)).any():
+                border_touch = True
+            rings.append(pts)
+        if corner_v >= level and not border_touch:
+            rings.append(rect)
+        n = len(rings)
+        depth = np.zeros(n, dtype=np.int64)
+        areas = np.empty(n, dtype=np.float64)
+        signed = np.empty(n, dtype=np.float64)
+        for i, r in enumerate(rings):
+            xs, ys = r[:, 0], r[:, 1]
+            signed[i] = np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]) / 2.0
+            areas[i] = abs(signed[i])
+        for i, r in enumerate(rings):
+            probe = (r[0] + r[1]) / 2.0  # edge midpoint: off other rings
+            depth[i] = sum(_pip(probe, rings[j]) for j in range(n) if j != i)
+        shells = [i for i in range(n) if depth[i] % 2 == 0]
+        holes_of: dict = {i: [] for i in shells}
+        for i in range(n):
+            if depth[i] % 2 == 0:
+                continue
+            parents = [j for j in shells if depth[j] == depth[i] - 1
+                       and areas[j] > areas[i]
+                       and _pip((rings[i][0] + rings[i][1]) / 2.0, rings[j])]
+            if parents:
+                holes_of[min(parents, key=lambda j: areas[j])].append(i)
+        out = []
+        for si in shells:
+            shell = rings[si] if signed[si] > 0 else rings[si][::-1]
+            hole_ids = holes_of[si]
+            parts = [shell] + [
+                rings[h] if signed[h] < 0 else rings[h][::-1]
+                for h in hole_ids]
+            wkb = struct.pack("<BII", 1, 3, len(parts))
+            nverts = 0
+            for p in parts:
+                wkb += struct.pack("<I", len(p)) + p.astype("<f8").tobytes()
+                nverts += len(p) - 1
+            area = areas[si] - sum(areas[h] for h in hole_ids)
+            out.append((float(rings[si][:, 0].min()),
+                        float(rings[si][:, 1].min()),
+                        len(hole_ids), nverts, area, wkb))
+        out.sort(key=lambda r: (r[0], r[1]))
+        return pa.table({
+            "level": pa.array([level] * len(out), pa.float64()),
+            "poly_id": pa.array(np.arange(len(out), dtype=np.int64)),
+            "n_holes": pa.array([r[2] for r in out], pa.int64()),
+            "n_vertices": pa.array([r[3] for r in out], pa.int64()),
+            "area_x100": pa.array([int(round(r[4] * 100)) for r in out],
+                                  pa.int64()),
+            "wkb": pa.array([r[5] for r in out], pa.binary()),
+        })
+
+    return rings_ds.groupby("level").map_groups(per_level,
+                                                batch_format="pyarrow")
+
+
 def contour_polygons(tiles_ds, levels, tile_size: int = 64):
     """gdal_contour -p analogue: POLYGON output between level bands
     (reference: alg/marching_squares/polygon_ring_appender.h).  Pixels are

@@ -298,3 +298,53 @@ def test_contour_rings_close_border_four_corners():
     # open-chain mode reports the same four chains unclosed
     open_out = cnt.contour_rings(tiles, [189.1], 3, 3, 64).take_all()
     assert len(open_out) == 4 and not any(r["closed"] for r in open_out)
+
+
+def test_contour_polygons_interp_nesting(ray_session):
+    """Round-4 interpolated contour polygons: suplevel region as
+    polygons-with-holes, tiled == monolithic, nested basin-in-hill."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import contour as cnt
+
+    # hill above level with a basin (below level) inside it, inside a
+    # below-level plain: 1 shell with 1 hole at level 50
+    size = 64
+    yy, xx = np.mgrid[0:2 * size, 0:2 * size].astype(np.float64)
+    r2 = (xx - 64) ** 2 + (yy - 64) ** 2
+    arr = np.where(r2 < 40 ** 2, 100.0, 0.0)
+    arr[r2 < 15 ** 2] = 10.0  # basin
+    # smooth edges slightly so crossings are interpolated, not degenerate
+    arr = arr + 0.001 * (xx + yy)
+
+    def tiles_of(a, tile):
+        rows = []
+        for ty in range(a.shape[0] // tile):
+            for tx in range(a.shape[1] // tile):
+                sub = a[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+                rows.append({"z": 0, "x": tx, "y": ty, "band": 1,
+                             "width": tile, "height": tile,
+                             "crs": "EPSG:3857", "nodata": -1.0,
+                             "dtype": "float64",
+                             "data": np.ascontiguousarray(sub).tobytes()})
+        return pa.Table.from_pylist(rows)
+
+    t2 = cnt.contour_polygons_interp(rd.from_arrow(tiles_of(arr, size)),
+                                     [50.0], nx=2, ny=2,
+                                     tile_size=size).take_all()
+    t1 = cnt.contour_polygons_interp(rd.from_arrow(tiles_of(arr, 2 * size)),
+                                     [50.0], nx=1, ny=1,
+                                     tile_size=2 * size).take_all()
+    assert len(t2) == 1 and len(t1) == 1
+    assert t2[0]["n_holes"] == 1
+    assert t2[0]["area_x100"] == t1[0]["area_x100"]
+    # area ~ pi*(40^2 - 15^2)
+    assert abs(t2[0]["area_x100"] / 100.0 - np.pi * (40 ** 2 - 15 ** 2)) < 150
+    # wkb is a POLYGON with 2 rings, shell CCW / hole CW
+    blob = t2[0]["wkb"]
+    tag, typ, nrings = struct.unpack_from("<BII", blob, 0)
+    assert (tag, typ, nrings) == (1, 3, 2)
