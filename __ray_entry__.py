@@ -1083,6 +1083,110 @@ def _geodesic_sql() -> str:
     """
 
 
+def _geodesic_ellipsoidal_sql() -> str:
+    """Ellipsoidal replay over the zone rectangles: authalic-q trapezoid
+    area terms in ring order and a 20-iteration recursive-CTE Vincenty
+    inverse per edge (fixed iteration count on both sides — the converged
+    lambda is a fixed point, so whole-meter rounding is bit-stable)."""
+    from gdal_ray.functions import transformer as tr
+
+    F = tr.sql_float
+    a_ = tr.WGS84_A
+    f_ = tr.WGS84_F
+    b_ = a_ * (1.0 - f_)
+    e_ = tr.WGS84_E
+    e2 = tr.WGS84_E2
+    import numpy as np
+
+    qp = float(tr._aea_q(np.pi / 2.0))
+
+    def qof(lat_expr: str) -> str:
+        s = f"sin(radians({lat_expr}))"
+        return (f"(1.0 - {F(e2)}) * ({s} / (1.0 - {F(e2)} * {s} * {s})"
+                f" - (1.0 / (2.0 * {F(e_)}))"
+                f" * ln((1.0 - {F(e_)} * {s}) / (1.0 + {F(e_)} * {s})))")
+
+    # ring order: (minx,miny)->(maxx,miny)->(maxx,maxy)->(minx,maxy)->close;
+    # vertical edges have dlam = 0 exactly, so only the two parallels count
+    t1 = (f"(radians(maxx) - radians(minx))"
+          f" * (2.0 * {F(qp)} + {qof('miny')} + {qof('miny')})")
+    t3 = (f"(radians(minx) - radians(maxx))"
+          f" * (2.0 * {F(qp)} + {qof('maxy')} + {qof('maxy')})")
+
+    # per-edge Vincenty: 4 edges per zone, 20 fixed iterations
+    lam_step = """
+        L + (1.0 - C) * {f} * sin_alpha * (sig + C * sin_sig
+            * (cos2sigm + C * cos_sig * (2.0 * cos2sigm * cos2sigm - 1.0)))
+    """.replace("{f}", F(f_))
+    inner = """
+        SELECT zone_key, eid, L, sU1, cU1, sU2, cU2, i, lam,
+               sin_sig, cos_sig, atan2(sin_sig, cos_sig) AS sig,
+               CASE WHEN sin_sig = 0.0 THEN 0.0
+                    ELSE cU1 * cU2 * sin(lam) / sin_sig END AS sin_alpha
+        FROM (SELECT *, sqrt((cU2 * sin(lam)) * (cU2 * sin(lam))
+                             + (cU1 * sU2 - sU1 * cU2 * cos(lam))
+                             * (cU1 * sU2 - sU1 * cU2 * cos(lam))) AS sin_sig,
+                      sU1 * sU2 + cU1 * cU2 * cos(lam) AS cos_sig
+              FROM it WHERE i < 20) s1
+    """
+    mid = f"""
+        SELECT *, 1.0 - sin_alpha * sin_alpha AS cos2_alpha FROM ({inner}) s2
+    """
+    mid2 = f"""
+        SELECT *, CASE WHEN cos2_alpha = 0.0 THEN 0.0
+                       ELSE cos_sig - 2.0 * sU1 * sU2 / cos2_alpha END AS cos2sigm,
+               {F(f_)} / 16.0 * cos2_alpha
+               * (4.0 + {F(f_)} * (4.0 - 3.0 * cos2_alpha)) AS C
+        FROM ({mid}) s3
+    """
+    return f"""
+        WITH RECURSIVE {_ZONES},
+        edges AS (
+          SELECT zone_key, 1 AS eid, minx AS x1, miny AS y1, maxx AS x2, miny AS y2 FROM zz
+          UNION ALL SELECT zone_key, 2, maxx, miny, maxx, maxy FROM zz
+          UNION ALL SELECT zone_key, 3, maxx, maxy, minx, maxy FROM zz
+          UNION ALL SELECT zone_key, 4, minx, maxy, minx, miny FROM zz),
+        e2 AS (SELECT zone_key, eid,
+                      radians(x2) - radians(x1) AS L,
+                      atan((1.0 - {F(f_)}) * tan(radians(y1))) AS U1,
+                      atan((1.0 - {F(f_)}) * tan(radians(y2))) AS U2
+               FROM edges),
+        e3 AS (SELECT zone_key, eid, L, sin(U1) AS sU1, cos(U1) AS cU1,
+                      sin(U2) AS sU2, cos(U2) AS cU2 FROM e2),
+        it AS (
+          SELECT zone_key, eid, L, sU1, cU1, sU2, cU2, 0 AS i, L AS lam FROM e3
+          UNION ALL
+          SELECT zone_key, eid, L, sU1, cU1, sU2, cU2, i + 1,
+                 {lam_step}
+          FROM ({mid2}) s4
+        ),
+        fin AS ({mid2.replace("FROM it WHERE i < 20", "FROM it WHERE i = 20")}),
+        dist AS (
+          SELECT zone_key, eid,
+                 CASE WHEN sin_sig = 0.0 THEN 0.0 ELSE
+                   {F(b_)} * (1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0
+                       + u2 * (320.0 - 175.0 * u2))))
+                   * (sig - (u2 / 1024.0 * (256.0 + u2 * (-128.0
+                       + u2 * (74.0 - 47.0 * u2)))) * sin_sig
+                     * (cos2sigm + (u2 / 1024.0 * (256.0 + u2 * (-128.0
+                         + u2 * (74.0 - 47.0 * u2)))) / 4.0
+                       * (cos_sig * (-1.0 + 2.0 * cos2sigm * cos2sigm)
+                          - (u2 / 1024.0 * (256.0 + u2 * (-128.0
+                              + u2 * (74.0 - 47.0 * u2)))) / 6.0 * cos2sigm
+                            * (-3.0 + 4.0 * sin_sig * sin_sig)
+                            * (-3.0 + 4.0 * cos2sigm * cos2sigm))))
+                 END AS s
+          FROM (SELECT *, cos2_alpha * ({F(a_)} * {F(a_)} - {F(b_)} * {F(b_)})
+                          / ({F(b_)} * {F(b_)}) AS u2 FROM fin) s5),
+        perim AS (SELECT zone_key, sum(s ORDER BY eid) AS p FROM dist GROUP BY 1)
+        SELECT z.zone_key,
+               CAST(round(abs({t1} + {t3}) * ({F(a_)} * {F(a_)}) / 4.0 / 10.0)
+                    AS BIGINT) AS geo_area_10m2,
+               CAST(round(p.p) AS BIGINT) AS geo_perim_m
+        FROM zz z JOIN perim p USING (zone_key)
+    """
+
+
 def _wrapdateline_sql() -> str:
     """-wrapdateline replay on the fixture: lines unwrap the second vertex by
     the nearest-360 multiple (crossing iff it leaves [-180, 180]); rectangles
@@ -2262,6 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_rings_closed": q.contour_rings_closed_q,
         "wrapdateline": q.wrapdateline_q,
         "geodesic_measures": q.geodesic_measures_q,
+        "geodesic_ellipsoidal": q.geodesic_ellipsoidal_q,
         "geodesic_azimuth": q.geodesic_azimuth_q,
         "arrow_ipc_roundtrip": q.arrow_ipc_roundtrip_q,
         "layer_info": q.layer_info_q,
@@ -3162,6 +3267,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wrapdateline": _wrapdateline_sql(),
         "geodesic_measures": _geodesic_sql(),
+        "geodesic_ellipsoidal": _geodesic_ellipsoidal_sql(),
         "line_interpolate": f"""
             -- ring order (minx,miny)->(maxx,miny)->(maxx,maxy)->(minx,maxy);
             -- boundaries use STRICT < so an exact edge-end lands on the next

@@ -1739,6 +1739,21 @@ def geodesic_measures_q(sf_dir: str):
     return out.select_columns(["zone_key", "geo_area_10m2", "geo_perim_m"])
 
 
+def geodesic_ellipsoidal_q(sf_dir: str):
+    """Ellipsoidal geodesic area + perimeter of every zone polygon
+    (round-4): authalic-q trapezoid area (exact for the lat-lon-aligned
+    zone edges) + Vincenty inverse per edge — the GeographicLib-grade
+    upgrade of the spherical geodesic_measures (reference
+    ogr/ogrcurvepolygon.cpp get_GeodesicArea/Length)."""
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+    out = zones.map_batches(
+        lambda t: geomops.geodesic_measures_batch(t, mode="ellipsoidal"),
+        batch_format="pyarrow")
+    return out.select_columns(["zone_key", "geo_area_10m2", "geo_perim_m"])
+
+
 def arrow_ipc_roundtrip_q(sf_dir: str):
     """Arrow IPC stream driver roundtrip (the explicit ogrlayerarrow surface,
     65536-row batch cap; forced to 256 here so the parallel per-batch read

@@ -109,8 +109,12 @@ def test_reproject_hook_closed_form():
     # UTM is now routed through the built-in transverse-mercator closed form
     ux, uy = geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:32633")
     assert np.all(np.isfinite(ux)) and np.all(np.isfinite(uy))
+    # EPSG:2154 is table-routed since round 4; OSGB (non-WGS84 ellipsoid)
+    # still raises
+    fx, fy = geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:2154")
+    assert np.all(np.isfinite(fx)) and np.all(np.isfinite(fy))
     with pytest.raises(NotImplementedError):
-        geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:2154")
+        geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:27700")
 
 
 def test_wrapdateline_line_split_and_interp():
@@ -276,3 +280,44 @@ def test_line_substring_polyline_brute(ray_session):
     # d1 = 9.9 -> on last segment: x = 4 + (9.9 - 7) = 6.9, y = 3
     assert out["p1x_e7"][0].as_py() == int(np.floor((4 + (0.9 * total - 7)) * 1e7 + 0.5))
     assert out["p1y_e7"][0].as_py() == int(np.floor(3.0 * 1e7 + 0.5))
+
+
+def test_vincenty_known_wgs84_figures():
+    """Round-4 ellipsoidal geodesics: Vincenty inverse vs known WGS84
+    figures (quarter meridian 10001965.7293 m, exact equatorial arc) and
+    the authalic-q rectangle area vs the closed-form band integral."""
+    from gdal_ray.functions import transformer as tr
+    from gdal_ray.stages.geomops import (_ell_ring_area_m2, _sph_ring_area_m2,
+                                         _vincenty_len_m)
+
+    qm = _vincenty_len_m(np.array([[0.0, 0.0], [0.0, 90.0]]))
+    assert abs(qm - 10001965.7293) < 0.01
+    assert abs(qm - float(tr.meridian_arc(np.pi / 2.0))) < 0.001
+    eq = _vincenty_len_m(np.array([[0.0, 0.0], [90.0, 0.0]]))
+    assert abs(eq - tr.WGS84_A * np.pi / 2.0) < 1e-6
+    rect = np.array([[10.0, 40.0], [13.0, 40.0], [13.0, 42.5],
+                     [10.0, 42.5], [10.0, 40.0]])
+    exact = (np.radians(3.0) * tr.WGS84_A ** 2 / 2.0
+             * (tr._aea_q(np.radians(42.5)) - tr._aea_q(np.radians(40.0))))
+    assert abs(_ell_ring_area_m2(rect) / exact - 1.0) < 1e-12
+    # the spherical mode keeps its documented ~0.1% bias; ellipsoidal fixes it
+    assert abs(_sph_ring_area_m2(rect) / exact - 1.0) > 1e-4
+
+
+def test_geodesic_measures_ellipsoidal_mode(ray_session):
+    import pyarrow as pa
+
+    from gdal_ray.functions import wkt as _wkt
+    from gdal_ray.stages import geomops
+
+    w = _wkt.parse_wkt("POLYGON ((10 40, 13 40, 13 42.5, 10 42.5, 10 40))")
+    t = pa.table({"wkb": pa.array([w], pa.binary())})
+    sph = geomops.geodesic_measures_batch(t, mode="sphere").to_pylist()[0]
+    ell = geomops.geodesic_measures_batch(t, mode="ellipsoidal").to_pylist()[0]
+    assert sph["geo_area_10m2"] != ell["geo_area_10m2"]
+    # ellipsoidal area within 1e-9 of the exact band integral
+    from gdal_ray.functions import transformer as tr
+
+    exact = (np.radians(3.0) * tr.WGS84_A ** 2 / 2.0
+             * (tr._aea_q(np.radians(42.5)) - tr._aea_q(np.radians(40.0))))
+    assert abs(ell["geo_area_10m2"] * 10.0 / exact - 1.0) < 1e-9
