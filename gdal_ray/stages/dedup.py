@@ -429,83 +429,23 @@ def dup_clusters(ds, min_jaccard_x1000: int = 500, max_iters: int = 64, **kwargs
 
     Output: (doc_id, cluster_id) for every doc appearing in >=1 pair.
 
-    Scale shape: min-label propagation over the symmetrized edge list —
-    per iteration ONE keyed groupby ships each node's current label along its
-    outgoing edges and ONE groupby takes the min candidate per node.  The
-    iterated state (labels) is O(candidate-dup docs), a small fraction of the
-    corpus, and lives as a materialized Dataset — never on the driver.
-    Convergence: labels are non-increasing, so the label SUM is strictly
-    decreasing until fixpoint; iteration stops when the sum repeats (driver
-    reads one scalar per iteration).  Iterations needed = component diameter
-    (dup clusters are near-cliques, so 2-3 in practice).
+    Scale shape (round 4): routed through the shared distributed min-label
+    propagation (``polygonize._components_distributed``) — bucket-keyed
+    VECTORIZED joins (no per-key Python map_groups), pointer doubling for
+    O(log diameter) rounds, per-round repartition + lineage snapshots so
+    block counts and plan depth stay flat across iterations, and a hard
+    error on non-convergence.  Dup clusters are near-cliques, so 2-3
+    rounds in practice; the iterated labels are O(candidate-dup docs) and
+    live as a materialized Dataset — never on the driver.
     """
-    from ray.data.aggregate import Min, Sum
+    from .polygonize import _components_distributed
 
     pairs = minhash_lsh_dedup_pairs(ds, min_jaccard_x1000, **kwargs)
-
-    def sym(t: pa.Table) -> pa.Table:
-        a = t["id_a"].to_numpy(zero_copy_only=False)
-        b = t["id_b"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"src": pa.array(np.concatenate([a, b])),
-             "dst": pa.array(np.concatenate([b, a]))}
-        )
-
-    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
-
-    labels = (
-        edges.groupby("src")
-        .map_groups(
-            lambda g: pa.table({"node": g["src"][:1], "label": g["src"][:1]}),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
-
-    def tag_edges(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"_k": t["src"], "dst": t["dst"],
-             "label": pa.nulls(t.num_rows, pa.int64())}
-        )
-
-    def tag_labels(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"_k": t["node"], "dst": pa.nulls(t.num_rows, pa.int64()),
-             "label": pa.compute.cast(t["label"], pa.int64())}
-        )
-
-    def propagate(g: pa.Table) -> pa.Table:
-        valid = pa.compute.is_valid(g["label"]).to_numpy(zero_copy_only=False)
-        lab_rows = np.flatnonzero(valid)
-        edge_rows = np.flatnonzero(~valid)
-        l = g["label"][int(lab_rows[0])].as_py()
-        dst = (
-            g["dst"].take(pa.array(edge_rows)).to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        node = np.concatenate([dst, np.array([g["_k"][0].as_py()], dtype=np.int64)])
-        return pa.table(
-            {"node": pa.array(node),
-             "cand": pa.array(np.full(node.size, l, dtype=np.int64))}
-        )
-
-    prev_sum = None
-    for _ in range(max_iters):
-        unioned = edges.map_batches(tag_edges, batch_format="pyarrow").union(
-            labels.map_batches(tag_labels, batch_format="pyarrow")
-        )
-        labels = (
-            unioned.groupby("_k")
-            .map_groups(propagate, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
-            .materialize()
-        )
-        s = labels.sum("label")
-        if s == prev_sum:
-            break
-        prev_sum = s
-
+    labels = _components_distributed(
+        pairs.map_batches(
+            lambda t: pa.table({"a": t["id_a"], "b": t["id_b"]}),
+            batch_format="pyarrow"),
+        max_iters=max_iters)
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["node"],
                             "cluster_id": pa.compute.cast(t["label"], pa.int64())}),

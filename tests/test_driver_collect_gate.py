@@ -19,6 +19,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ALLOWED = {
     # per-tile-border component pairs / components: O(tiles), not O(pixels)
     ("gdal_ray/stages/collar.py", "nearblack"),
+    # corner-pixel sample: tile (0,0) only -> O(1) rows
+    ("gdal_ray/stages/contour.py", "contour_polygons_interp"),
+    # rank-encodes the already-broadcast SMALL asof right table (pa column
+    # in driver memory by contract), not a Dataset collect
+    ("gdal_ray/stages/events.py", "_rank_codes"),
+    # O(bins)-per-round histogram folds + distinct-count-GUARDED value
+    # histograms (the round-4 continuous-quantile bounded plan)
+    ("gdal_ray/stages/relational.py", "exact_quantiles"),
     # (asof_join's former to_pandas collect removed in r3 — the broadcast
     # right side now ships as numpy key/ts/emit arrays)
     # 256-entry color histogram partials
@@ -58,7 +66,6 @@ ALLOWED = {
     ("gdal_ray/stages/zonal.py", "zonal_stats_dense"),
     # 5-row / quantile-sized / per-tile-checksum query-level folds
     ("gdal_ray/pipelines/queries.py", "left_join_orders_q"),
-    ("gdal_ray/pipelines/queries.py", "quantiles_quantity_q"),
     ("gdal_ray/pipelines/queries.py", "tile_pyramid_q"),
     # per-tile fragment table for overview build: O(tiles)
     ("gdal_ray/sources/gtiff.py", "gtiff_build_overviews"),
