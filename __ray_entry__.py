@@ -2388,6 +2388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retile_overlap": q.retile_q,
         "asc_roundtrip": q.asc_roundtrip_q,
         "gtiff_roundtrip": q.gtiff_roundtrip_q,
+        "gtiff_stream_roundtrip": q.gtiff_stream_roundtrip_q,
         "gdal_translate_chain": q.gdal_translate_chain_q,
         "gdalcompare": q.gdalcompare_q,
         "shp_roundtrip": q.shp_roundtrip_q,
@@ -3564,6 +3565,16 @@ def oracle_sql() -> dict[str, str]:
                          % 65536 + 65536) % 65536
                         AS BIGINT) AS checksum_delta
             FROM d GROUP BY x, y
+        """,
+        "gtiff_stream_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(160) a, range(160) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(((gx-80)*(gx-80) + (gy-80)*(gy-80)) // 64
+                            * (((gy % 64) * (CASE WHEN gx // 64 = 2 THEN 32 ELSE 64 END)
+                                + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
         """,
         "gtiff_roundtrip": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy

@@ -1353,6 +1353,59 @@ def gtiff_roundtrip_q(sf_dir: str):
     return tiles.map_batches(sums, batch_format="pyarrow")
 
 
+def gtiff_stream_roundtrip_q(sf_dir: str):
+    """Round-4 STREAMING GeoTIFF sink roundtrip: the same 160x160 float32
+    hump as gtiff_roundtrip, but written by write_gtiff_tiles_streaming —
+    the driver lays out header+IFD only and worker tasks pwrite their
+    tiles at preallocated offsets (pixels never transit the driver) —
+    then range-read back and checksummed per clipped tile (same oracle
+    as gtiff_roundtrip by construction)."""
+    import os
+    import tempfile
+
+    from ..functions import checksum as cks_f
+    from ..sources import gtiff
+
+    ts, n = 64, 3
+    W = H = 160
+    path = f"{tempfile.gettempdir()}/gdal_ray_stream_{os.getpid()}.tif"
+
+    def gen(t: pa.Table) -> pa.Table:
+        rows = []
+        for i in t["id"].to_pylist():
+            tx, ty = i % n, i // n
+            w = min(ts, W - tx * ts)
+            h = min(ts, H - ty * ts)
+            gy, gx = np.mgrid[ty * ts:ty * ts + h, tx * ts:tx * ts + w]
+            sub = (((gx - 80) ** 2 + (gy - 80) ** 2) / 64.0).astype(np.float32)
+            rows.append({"x": tx, "y": ty, "width": w, "height": h,
+                         "dtype": "float32",
+                         "data": np.ascontiguousarray(sub).tobytes()})
+        return pa.Table.from_pylist(rows)
+
+    tiles_in = rd.range(n * n).map_batches(gen, batch_format="pyarrow")
+    gtiff.write_gtiff_tiles_streaming(tiles_in, path, width=W, height=H,
+                                      tile_size=ts, dtype="float32",
+                                      nodata=-9999.0)
+    tiles = gtiff.read_gtiff_tiles(path)
+
+    def sums(t: pa.Table) -> pa.Table:
+        from ..stages.focal import _dtype_of
+
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=_dtype_of(t["dtype"][i].as_py()))
+            a = a.reshape(t["height"][i].as_py(), t["width"][i].as_py())
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks_f.tile_checksum(a))
+        return pa.table({"x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return tiles.map_batches(sums, batch_format="pyarrow")
+
+
 def warp_affine_q(sf_dir: str):
     """gdalwarp -te 5 5 35 35 -tr 0.375 0.375 (arbitrary target grid, not
     XYZ tiles): linear-ramp source on a 0.25-deg grid, bilinear regrid to a

@@ -219,6 +219,139 @@ def write_gtiff(path: str, arr: np.ndarray, *, tile_size: int | None = None,
         f.write(body)
 
 
+def _tiled_header(*, width: int, height: int, tile_size: int, dtype: str,
+                  origin=(0.0, 0.0), pixel_size=(1.0, 1.0), epsg: int = 3857,
+                  nodata: float | None = None, endian: str = "<"):
+    """Header + IFD bytes for an UNCOMPRESSED tiled single-band GeoTIFF
+    whose pixel chunks will be written LATER at preallocated offsets
+    (every uncompressed tile chunk has the fixed size ts*ts*itemsize, so
+    the whole layout is known without touching a pixel).
+
+    Returns (header_bytes, data_start, ntx, nty, chunk_bytes)."""
+    en = endian
+    if en not in ("<", ">"):
+        raise ValueError("endian must be '<' (II) or '>' (MM)")
+    if dtype not in _DTYPE_TO_FMT:
+        raise ValueError(f"unsupported dtype {dtype}")
+    bits, sfmt = _DTYPE_TO_FMT[dtype]
+    ts = int(tile_size)
+    ntx, nty = (width + ts - 1) // ts, (height + ts - 1) // ts
+    n_chunks = ntx * nty
+    chunk = ts * ts * np.dtype(dtype).itemsize
+    geo_keys = [1, 1, 0, 3,
+                _KEY_MODEL_TYPE, 0, 1, 1 if 3000 <= epsg else 2,
+                _KEY_RASTER_TYPE, 0, 1, 1,
+                (_KEY_PROJECTED_CS if 3000 <= epsg else _KEY_GEOGRAPHIC_CS),
+                0, 1, epsg]
+    entries = [
+        _entry(TAG_WIDTH, 4, width, en=en),
+        _entry(TAG_HEIGHT, 4, height, en=en),
+        _entry(TAG_BITS, 3, bits, en=en),
+        _entry(TAG_COMPRESSION, 3, 1, en=en),
+        _entry(TAG_PHOTOMETRIC, 3, 1, en=en),
+        _entry(TAG_SAMPLES_PER_PIXEL, 3, 1, en=en),
+        _entry(TAG_PLANAR, 3, 1, en=en),
+        _entry(TAG_SAMPLE_FORMAT, 3, sfmt, en=en),
+        _entry(TAG_PIXEL_SCALE, 12,
+               [float(pixel_size[0]), float(pixel_size[1]), 0.0], en=en),
+        _entry(TAG_TIEPOINT, 12,
+               [0.0, 0.0, 0.0, float(origin[0]), float(origin[1]), 0.0], en=en),
+        _entry(TAG_GEO_KEYS, 3, geo_keys, en=en),
+        _entry(TAG_TILE_W, 3, ts, en=en),
+        _entry(TAG_TILE_H, 3, ts, en=en),
+        _entry(TAG_TILE_COUNTS, 4, [chunk] * n_chunks, en=en),
+        _entry(TAG_TILE_OFFSETS, 4, [0] * n_chunks, en=en),
+    ]
+    if nodata is not None:
+        entries.append(_entry(TAG_GDAL_NODATA, 2, repr(float(nodata)), en=en))
+    entries.sort(key=lambda e: e[0])
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext_off = ifd_off + ifd_size
+    slots = {}
+    for tag, typ, count, payload in entries:
+        if len(payload) > 4:
+            slots[tag] = ext_off
+            ext_off += len(payload) + (len(payload) % 2)
+        else:
+            slots[tag] = 0
+    data_start = ext_off
+    offsets = [data_start + i * chunk for i in range(n_chunks)]
+    out = [struct.pack(en + "2sHI", b"II" if en == "<" else b"MM", 42, 8),
+           struct.pack(en + "H", len(entries))]
+    for tag, typ, count, payload in entries:
+        if tag == TAG_TILE_OFFSETS:
+            payload = struct.pack(en + "%dI" % n_chunks, *offsets)
+        if slots[tag]:
+            tail = struct.pack(en + "I", slots[tag])
+        else:
+            tail = payload + b"\x00" * (4 - len(payload))
+        out.append(struct.pack(en + "HHI", tag, typ, count) + tail)
+    out.append(struct.pack(en + "I", 0))
+    for tag, typ, count, payload in entries:
+        if slots[tag]:
+            if tag == TAG_TILE_OFFSETS:
+                payload = struct.pack(en + "%dI" % n_chunks, *offsets)
+            if len(payload) % 2:
+                payload += b"\x00"
+            out.append(payload)
+    return b"".join(out), data_start, ntx, nty, chunk
+
+
+def write_gtiff_tiles_streaming(tiles_ds, path: str, *, width: int,
+                                height: int, tile_size: int,
+                                dtype: str = "uint8", origin=(0.0, 0.0),
+                                pixel_size=(1.0, 1.0), epsg: int = 3857,
+                                nodata: float | None = None) -> int:
+    """STREAMING single-file tiled GeoTIFF sink: the driver writes only the
+    header/IFD (O(#tiles) metadata) and preallocates the fixed-size chunk
+    region; worker tasks os.pwrite their tiles at arithmetic offsets —
+    pixel bytes never transit the driver (round-4 replacement for the
+    driver-side assembly; reference streams blocks through
+    gcore/gdalrasterblock.cpp).  Uncompressed tiles only (fixed chunk size
+    is what makes offsets preallocatable; deflate needs the existing
+    two-pass driver path).  Disjoint-offset pwrite is safe from concurrent
+    local workers; multi-node needs the file on a shared filesystem (else
+    write per-partition objects + compose).
+
+    tiles_ds rows: (x, y, width, height, dtype, data) on a ``tile_size``
+    grid.  Returns the number of tiles written."""
+    header, data_start, ntx, nty, chunk = _tiled_header(
+        width=width, height=height, tile_size=tile_size, dtype=dtype,
+        origin=origin, pixel_size=pixel_size, epsg=epsg, nodata=nodata)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.truncate(data_start + chunk * ntx * nty)
+    ts = int(tile_size)
+
+    def put(t: pa.Table) -> pa.Table:
+        import os as _os
+
+        fd = _os.open(path, _os.O_WRONLY)
+        n = 0
+        try:
+            for i in range(t.num_rows):
+                tx = t["x"][i].as_py()
+                ty = t["y"][i].as_py()
+                h_ = t["height"][i].as_py()
+                w_ = t["width"][i].as_py()
+                arr = np.frombuffer(t["data"][i].as_py(),
+                                    dtype=dtype).reshape(h_, w_)
+                if not (0 <= tx < ntx and 0 <= ty < nty):
+                    raise ValueError(f"tile ({tx},{ty}) outside {ntx}x{nty}")
+                pad = np.zeros((ts, ts), dtype=np.dtype(dtype).newbyteorder("<"))
+                pad[:h_, :w_] = arr
+                _os.pwrite(fd, pad.tobytes(),
+                           data_start + (ty * ntx + tx) * chunk)
+                n += 1
+        finally:
+            _os.close(fd)
+        return pa.table({"written": pa.array([n], pa.int64())})
+
+    total = tiles_ds.map_batches(put, batch_format="pyarrow").sum("written")
+    return int(total or 0)
+
+
 def _parse_one_ifd(buf: bytes, en: str, ifd_off: int):
     """-> ({tag: values}, next_ifd_offset) for the IFD at ``ifd_off``."""
     (n,) = struct.unpack_from(en + "H", buf, ifd_off)

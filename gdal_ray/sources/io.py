@@ -48,8 +48,21 @@ def read_table(path_or_dir: str, table: str | None = None, columns=None, **kwarg
         flt = lkw.pop("filter", None)
         if flt is not None:
             lkw["filter"] = str(flt)
-        return rd.read_lance(lance_path, columns=columns, **lkw)
-    return rd.read_parquet(pq_path, columns=columns, **kwargs)
+        return _strip_schema_metadata(rd.read_lance(lance_path,
+                                                    columns=columns, **lkw))
+    return _strip_schema_metadata(rd.read_parquet(pq_path, columns=columns,
+                                                  **kwargs))
+
+
+def _strip_schema_metadata(ds: "rd.Dataset") -> "rd.Dataset":
+    """Drop schema-level metadata (e.g. the pandas block written by
+    pandas-authored parquet): pa.Schema.__hash__ raises on metadata dicts,
+    which defeats Ray Data's per-worker schema dedup and floods worker logs
+    with 'Failed to hash the schemas' warnings.  Zero-copy, and the map
+    fuses onto the read tasks."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None) if t.schema.metadata else t,
+        batch_format="pyarrow")
 
 
 def write_table(ds: "rd.Dataset", path: str, **kwargs) -> None:
