@@ -100,3 +100,12 @@ def test_sieve_global_many_components_parity(ray_session):
     assert np.array_equal(m1, m4), "tiled != monolithic on random fixture"
     # sieve actually changed something (non-trivial merge load)
     assert not np.array_equal(m4, arr)
+
+
+def test_runs_of_np_matches_scalar():
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        vec = rng.integers(-1, 4, size=rng.integers(0, 40))
+        got = list(zip(*(a.tolist() for a in poly._runs_of_np(vec)))) \
+            if len(vec) else []
+        assert got == poly._runs_of(vec)
