@@ -2485,6 +2485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "palette_median_cut": q.palette_q,
         "media_features": q.media_features_q,
         "media_features_real": q.media_features_real_q,
+        "media_features_jpeg": q.media_features_jpeg_q,
         "video_frame_sample": q.video_frame_sample_q,
         "media_resize": q.media_resize_q,
         "media_inventory": q.media_inventory_q,
@@ -4386,6 +4387,7 @@ def oracle_sql() -> dict[str, str]:
         # the real-codec path (store PNGs -> decode_png) produces the same
         # pixel values by construction; the oracle recomputes them from scratch
         "media_features_real": _media_sql(),
+        "media_features_jpeg": _media_sql(),
         "video_frame_sample": _video_frames_sql(),
         "media_resize": _media_resize_sql(),
         "warp_cutline": f"""

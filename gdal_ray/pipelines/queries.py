@@ -2357,6 +2357,25 @@ def media_features_real_q(sf_dir: str):
                                  concurrency=2)
 
 
+def media_features_jpeg_q(sf_dir: str):
+    """Round-4 multimodal featurization through the BASELINE JPEG codec
+    (sources/jpeg — ITU-T T.81 Annex K tables, full entropy pipeline):
+    image payloads are stored as JFIF with the fake pixels upscaled to
+    constant 8x8 blocks (pure-DC blocks round-trip the lossy path exactly at quality >= 75; 90 here), the decode actor pool sniffs the JPEG magic and runs
+    Huffman decode + dequant + IDCT, and the extracted features equal the
+    fake path's — so the media SQL oracle stays exact."""
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    store = "/tmp/gdal_ray_media_store_jpeg"
+    for _ in media.materialize_payload_store(
+            docs, store, kinds=("image", "audio", "video"),
+            image_codec="jpeg").iter_batches():
+        pass
+    return media.featurize_media(docs, backend="real", store_root=store,
+                                 concurrency=2)
+
+
 def video_frame_sample_q(sf_dir: str):
     """Frame-sampling over video spans through the REAL AVI codec: payloads
     materialized to the store, each video decoded in the actor pool, every

@@ -58,14 +58,20 @@ def fake_frames(media_ref: str, n_frames: int = 4, thumb: int = 8) -> np.ndarray
     ])
 
 
-def payload_for_ref(media_ref: str, thumb: int = 8) -> bytes:
+def payload_for_ref(media_ref: str, thumb: int = 8,
+                    image_codec: str = "png", jpeg_quality: int = 90) -> bytes:
     """The deterministic payload a media_ref resolves to — the stand-in for
-    the object-store fetch a deployment would perform: PNG for image refs,
-    8-bit PCM WAV for audio refs (both carry the fake_pixels bytes, so real
-    decode == fake decode and the oracle stays SQL-recomputable).
-    Byte-stable (zlib level 6 / PCM are deterministic) so store files can be
-    resume-skipped by existence, like the tile sink
-    (apps/gdalalg_raster_tile.cpp:676-682)."""
+    the object-store fetch a deployment would perform: PNG (or baseline
+    JPEG) for image refs, 8-bit PCM WAV for audio refs.
+    Byte-stable (zlib level 6 / PCM / fixed Huffman tables are
+    deterministic) so store files can be resume-skipped by existence, like
+    the tile sink (apps/gdalalg_raster_tile.cpp:676-682).
+
+    ``image_codec='jpeg'``: the thumb x thumb fake pixels are upscaled to
+    CONSTANT 8x8 blocks before encoding — a pure-DC image round-trips the
+    lossy pipeline exactly at quality >= 75, and MediaFeaturizer's mean
+    (scale-invariant on constant blocks) and dHash (samples block corners)
+    come out IDENTICAL to the fake path, keeping the SQL oracle exact."""
     kind = _ref_kind(media_ref)
     if kind == "audio":
         from ..sources.wav import encode_wav
@@ -75,6 +81,12 @@ def payload_for_ref(media_ref: str, thumb: int = 8) -> bytes:
         from ..sources.avi import encode_avi
 
         return encode_avi(fake_frames(media_ref, thumb=thumb), fps=10)
+    if image_codec == "jpeg":
+        from ..sources.jpeg import encode_baseline
+
+        px = fake_pixels(media_ref, thumb)
+        big = np.repeat(np.repeat(px, 8, axis=0), 8, axis=1)
+        return encode_baseline(big, quality=jpeg_quality)
     from ..sources.png import encode_png
 
     return encode_png(fake_pixels(media_ref, thumb))
@@ -83,10 +95,11 @@ def payload_for_ref(media_ref: str, thumb: int = 8) -> bytes:
 _KIND_EXT = {"audio": ".wav", "video": ".avi"}
 
 
-def _ref_store_path(root: str, media_ref: str) -> str:
-    """media://kind/000000123/j -> <root>/kind/000000123/j.{png|wav|avi}"""
+def _ref_store_path(root: str, media_ref: str, image_codec: str = "png") -> str:
+    """media://kind/000000123/j -> <root>/kind/000000123/j.{png|jpg|wav|avi}"""
     rel = media_ref.split("://", 1)[-1]
-    ext = _KIND_EXT.get(_ref_kind(media_ref), ".png")
+    ext = _KIND_EXT.get(_ref_kind(media_ref),
+                        ".jpg" if image_codec == "jpeg" else ".png")
     return os.path.join(root, *rel.split("/")) + ext
 
 
@@ -96,7 +109,10 @@ class DecodeBackend:
     (PNG for image, RIFF/WAV for audio, RIFF/AVI for video).
     ``store_root``: directory of materialized payloads (see
     ``materialize_payload_store``); when None the payload bytes are
-    synthesized in memory — the codec still runs on real PNG bytes."""
+    synthesized in memory — the codec still runs on real PNG bytes.
+    Image payloads are sniffed by magic: PNG (\x89PNG) via the in-repo PNG
+    codec, baseline JPEG (\xff\xd8) via sources/jpeg.decode_baseline
+    (round-4: real corpora are JPEG-heavy)."""
 
     def __init__(self, backend: str = "fake", thumb: int = 8,
                  store_root: str | None = None):
@@ -107,10 +123,12 @@ class DecodeBackend:
         self.store_root = store_root
         if backend == "real":
             from ..sources.avi import decode_avi
+            from ..sources.jpeg import decode_baseline
             from ..sources.png import decode_png
             from ..sources.wav import decode_wav
 
             self._decode_png = decode_png
+            self._decode_jpeg = decode_baseline
             self._decode_wav = decode_wav
             self._decode_avi = decode_avi
 
@@ -122,6 +140,10 @@ class DecodeBackend:
                 with open(path, "rb") as f:
                     return f.read()
             except FileNotFoundError:
+                jpath = _ref_store_path(self.store_root, media_ref, "jpeg")
+                if jpath != path and os.path.exists(jpath):
+                    with open(jpath, "rb") as f:
+                        return f.read()
                 raise FileNotFoundError(
                     f"media payload for {media_ref!r} not found at {path}; "
                     f"run materialize_payload_store first (or pass "
@@ -131,7 +153,11 @@ class DecodeBackend:
 
     def decode(self, media_ref: str, kind: str = "image") -> np.ndarray:
         if self.backend == "real" and kind == "image":
-            arr = self._decode_png(self.fetch(media_ref))
+            buf = self.fetch(media_ref)
+            if buf[:2] == b"\xff\xd8":  # baseline JPEG by magic
+                arr = self._decode_jpeg(buf)
+            else:
+                arr = self._decode_png(buf)
             if arr.ndim == 3:  # RGB -> luma-free gray (mean of channels)
                 arr = arr.mean(axis=2).astype(np.uint8)
             return arr
@@ -154,12 +180,17 @@ class DecodeBackend:
 
 
 def materialize_payload_store(docs_ds, root: str, kinds=("image",),
-                              thumb: int = 8):
-    """Write every media span's deterministic PNG payload to
-    ``<root>/<kind>/<doc>/<j>.png`` — the 'ingest to object store' stage the
-    real decode pool reads from.  Resume = file existence (payloads are
-    byte-stable), atomic tmp+rename publish.  Returns a Dataset of
-    (media_ref, path, n_bytes, skipped) receipts — consume it to execute."""
+                              thumb: int = 8, image_codec: str = "png",
+                              jpeg_quality: int = 90):
+    """Write every media span's deterministic payload to
+    ``<root>/<kind>/<doc>/<j>.{png|jpg}`` — the 'ingest to object store'
+    stage the real decode pool reads from.  Resume = file existence
+    (payloads are byte-stable), atomic tmp+rename publish.
+    ``image_codec='jpeg'`` writes baseline JFIF via sources/jpeg instead of
+    PNG (the 8x8-constant-block fake pixels round-trip JPEG exactly at
+    quality >= ~62, so downstream features stay bit-stable).  Returns a
+    Dataset of (media_ref, path, n_bytes, skipped) receipts — consume it
+    to execute."""
     import pyarrow.compute as pc
 
     keep = set(kinds)
@@ -175,11 +206,12 @@ def materialize_payload_store(docs_ds, root: str, kinds=("image",),
         for k, r in zip(kind, refs):
             if k not in keep or not r:
                 continue
-            path = _ref_store_path(root, r)
+            path = _ref_store_path(root, r, image_codec)
             skipped = os.path.exists(path)
             n = 0
             if not skipped:
-                payload = payload_for_ref(r, thumb)
+                payload = payload_for_ref(r, thumb, image_codec=image_codec,
+                                          jpeg_quality=jpeg_quality)
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "wb") as f:
