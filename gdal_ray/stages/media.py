@@ -188,7 +188,7 @@ def materialize_payload_store(docs_ds, root: str, kinds=("image",),
     (payloads are byte-stable), atomic tmp+rename publish.
     ``image_codec='jpeg'`` writes baseline JFIF via sources/jpeg instead of
     PNG (the 8x8-constant-block fake pixels round-trip JPEG exactly at
-    quality >= ~62, so downstream features stay bit-stable).  Returns a
+    quality >= 75, so downstream features stay bit-stable).  Returns a
     Dataset of (media_ref, path, n_bytes, skipped) receipts — consume it
     to execute."""
     import pyarrow.compute as pc
