@@ -2486,6 +2486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.media_features_q,
         "media_features_real": q.media_features_real_q,
         "media_features_jpeg": q.media_features_jpeg_q,
+        "dither_fs": q.dither_fs_q,
         "video_frame_sample": q.video_frame_sample_q,
         "media_resize": q.media_resize_q,
         "media_inventory": q.media_inventory_q,

@@ -2357,6 +2357,38 @@ def media_features_real_q(sf_dir: str):
                                  concurrency=2)
 
 
+def dither_fs_q(sf_dir: str):
+    """Floyd-Steinberg error diffusion (rgb2pct's default dither,
+    alg/gdaldither.cpp exact error split) over the ramp mosaic as the
+    row-band Ray-task pipeline.  NO SQL oracle: FS is a whole-image
+    sequential recurrence (each pixel's output depends on every earlier
+    pixel via clamped carries) — not expressible in DuckDB SQL; the
+    engine-side parity test (tests/test_fs_dither.py) checks the banded
+    pipeline against an independent whole-image transliteration of the
+    reference scan instead."""
+    from ..stages import fillpalette as fp
+
+    tiles_tbl = synthetic.make_raster_tiles("ramp", 3, 2, size=64)
+
+    def to_u8(t: pa.Table) -> pa.Table:
+        from ..stages.focal import _dtype_of
+
+        rows = []
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              _dtype_of(t["dtype"][i].as_py())).reshape(
+                t["height"][i].as_py(), t["width"][i].as_py())
+            rows.append({**{c: t[c][i].as_py() for c in t.column_names
+                            if c not in ("data", "dtype")},
+                         "dtype": "uint8",
+                         "data": np.clip(a, 0, 255).astype(np.uint8).tobytes()})
+        return pa.Table.from_pylist(rows)
+
+    tiles = rd.from_arrow(tiles_tbl).map_batches(to_u8, batch_format="pyarrow")
+    return fp.dither_floyd_steinberg(
+        tiles, [0, 85, 170, 255], nx=3, ny=2, tile_size=64)
+
+
 def media_features_jpeg_q(sf_dir: str):
     """Round-4 multimodal featurization through the BASELINE JPEG codec
     (sources/jpeg — ITU-T T.81 Annex K tables, full entropy pipeline):

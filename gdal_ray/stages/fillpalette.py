@@ -340,3 +340,152 @@ def dither_ordered(tiles_ds, palette, spread: int = 24,
         return pa.Table.from_pylist(rows)
 
     return tiles_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# -- Floyd-Steinberg error diffusion (rgb2pct default; round-4) ---------------
+
+
+def _fs_rows(band: np.ndarray, pal: np.ndarray, err_in: np.ndarray):
+    """Sequential FS over one row band (exact alg/gdaldither.cpp:584-596
+    single-band analog): returns (palette-index array, bottom error vector).
+
+    Per pixel: v = clamp(pixel + carry_below + carry_right); idx = nearest
+    palette entry (ties -> smallest index); e = v - pal[idx]; sixth = e / 6
+    with C TRUNCATION toward zero; right += 2*sixth, below-left += sixth,
+    below += e - 5*sixth, below-right = sixth (assigned, not accumulated —
+    the reference writes panError[i*3+6] = nSixth)."""
+    h, w = band.shape
+    idx_out = np.empty((h, w), np.int64)
+    err = err_in.astype(np.int64).copy()  # w+2, offset by 1
+    for y in range(h):
+        nxt = np.zeros(w + 2, np.int64)
+        last = 0
+        row = band[y]
+        for x in range(w):
+            v = int(row[x]) + int(err[x + 1])
+            v = 0 if v < 0 else (255 if v > 255 else v)
+            v += last
+            v = 0 if v < 0 else (255 if v > 255 else v)
+            j = int(np.argmin(np.abs(pal - v)))
+            idx_out[y, x] = j
+            e = v - int(pal[j])
+            # exact C truncation toward zero (e / 6 in the reference)
+            sixth = -((-e) // 6) if e < 0 else e // 6
+            nxt[x] += sixth          # below-left
+            nxt[x + 2] = sixth       # below-right (assigned)
+            nxt[x + 1] += e - 5 * sixth  # below (+ remainder)
+            last = 2 * sixth         # right
+        err = nxt
+    return idx_out, err
+
+
+def dither_floyd_steinberg(tiles_ds, palette, nx: int, ny: int,
+                           tile_size: int = 64):
+    """Floyd-Steinberg error diffusion to a gray palette — EXACT
+    ``alg/gdaldither.cpp`` semantics (error split right 2*(e/6), below-left
+    e/6, below e-5*(e/6), below-right e/6, C truncation, clamped carries),
+    which the ordered-Bayer ``dither_ordered`` documents as its known gap.
+
+    Distributed shape: FS's scanline error carry is inherently sequential
+    (the reference runs it single-threaded), so the mosaic runs as a
+    ROW-BAND PIPELINE of raw Ray tasks — the one place the Dataset API
+    can't express the dependency: band k is one task that assembles its
+    tile row, diffuses its rows, and ships ONLY the (W+2)-int bottom error
+    vector to band k+1.  Pixels never transit the driver; driver state is
+    O(W) + the per-tile histograms.  Parallelism comes from pipelining
+    successive MOSAICS/bands' assembly against diffusion, not within one
+    raster — exactly the reference's own constraint.
+
+    Output: per-tile palette-index histograms (x, y, idx, n), the same
+    golden shape as ``dither_ordered``."""
+    import ray
+
+    from .focal import _dtype_of
+
+    pal = np.asarray(palette, dtype=np.int64)
+
+    def assemble(g: pa.Table) -> pa.Table:
+        ty = int(g["y"][0].as_py())
+        xs = g["x"].to_numpy(zero_copy_only=False)
+        order = np.argsort(xs)
+        h = int(g["height"][0].as_py())
+        w_total = int(sum(g["width"][i].as_py() for i in range(g.num_rows)))
+        band = np.zeros((h, w_total), np.int64)
+        x0 = 0
+        widths = []
+        for i in order:
+            w_ = int(g["width"][int(i)].as_py())
+            dt = _dtype_of(g["dtype"][int(i)].as_py())
+            band[:, x0:x0 + w_] = np.frombuffer(
+                g["data"][int(i)].as_py(), dtype=dt).reshape(h, w_)
+            x0 += w_
+            widths.append(w_)
+        return pa.table({
+            "y": pa.array([ty], pa.int64()),
+            "height": pa.array([h], pa.int64()),
+            "widths": pa.array([np.asarray(widths, np.int64).tobytes()],
+                               pa.binary()),
+            "band": pa.array([band.astype(np.int16).tobytes()], pa.binary()),
+        })
+
+    bands = tiles_ds.groupby("y").map_groups(
+        assemble, batch_format="pyarrow").materialize()
+    blocks = bands.to_arrow_refs()
+
+    @ray.remote
+    def block_meta(tbl: pa.Table):
+        return [(int(tbl["y"][i].as_py()), i) for i in range(tbl.num_rows)]
+
+    @ray.remote
+    def pick_band(tbl: pa.Table, row: int):
+        return (int(tbl["y"][row].as_py()), int(tbl["height"][row].as_py()),
+                np.frombuffer(tbl["widths"][row].as_py(), np.int64),
+                tbl["band"][row].as_py())
+
+    @ray.remote(num_returns=2)
+    def fs_band(band_tuple, err_vec, pal_):
+        ty, h, widths, raw = band_tuple
+        w_total = int(widths.sum())
+        band = np.frombuffer(raw, np.int16).reshape(h, w_total).astype(np.int64)
+        idx, err_out = _fs_rows(band, pal_, err_vec)
+        # per-tile histograms
+        out = []
+        x0 = 0
+        for tx, w_ in enumerate(widths):
+            sub = idx[:, x0:x0 + int(w_)]
+            n = np.bincount(sub.ravel(), minlength=len(pal_))
+            for j in np.flatnonzero(n):
+                out.append((tx, ty, int(j), int(n[j])))
+            x0 += int(w_)
+        return out, err_out
+
+    meta = []
+    for bi, blk in enumerate(blocks):
+        for ty, row in ray.get(block_meta.remote(blk)):
+            meta.append((ty, bi, row))
+    meta.sort()
+    if not meta:
+        return pa.table({"x": pa.array([], pa.int64()),
+                         "y": pa.array([], pa.int64()),
+                         "idx": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    first_w = None
+    hist_refs = []
+    err = None
+    for ty, bi, row in meta:
+        band_ref = pick_band.remote(blocks[bi], row)
+        if err is None:
+            # width from the first band (cheap metadata fetch)
+            _ty, _h, widths, _ = ray.get(band_ref)
+            first_w = int(widths.sum())
+            err = ray.put(np.zeros(first_w + 2, np.int64))
+            band_ref = pick_band.remote(blocks[bi], row)
+        hist, err = fs_band.remote(band_ref, err, pal)
+        hist_refs.append(hist)
+    rows = [r for h in ray.get(hist_refs) for r in h]
+    return pa.table({
+        "x": pa.array([r[0] for r in rows], pa.int64()),
+        "y": pa.array([r[1] for r in rows], pa.int64()),
+        "idx": pa.array([r[2] for r in rows], pa.int64()),
+        "n": pa.array([r[3] for r in rows], pa.int64()),
+    })
