@@ -60,6 +60,8 @@ def _strip_schema_metadata(ds: "rd.Dataset") -> "rd.Dataset":
     which defeats Ray Data's per-worker schema dedup and floods worker logs
     with 'Failed to hash the schemas' warnings.  Zero-copy, and the map
     fuses onto the read tasks."""
+    if not hasattr(ds, "map_batches"):  # test doubles / sentinel returns
+        return ds
     return ds.map_batches(
         lambda t: t.replace_schema_metadata(None) if t.schema.metadata else t,
         batch_format="pyarrow")
