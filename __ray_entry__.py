@@ -2488,6 +2488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_jpeg": q.media_features_jpeg_q,
         "dither_fs": q.dither_fs_q,
         "video_frame_sample": q.video_frame_sample_q,
+        "video_frame_sample_mjpeg": q.video_frame_sample_mjpeg_q,
         "media_resize": q.media_resize_q,
         "media_inventory": q.media_inventory_q,
         # coordinate transformers (SURVEY §2.3; alg/gdaltransformer.cpp family)
@@ -4390,6 +4391,10 @@ def oracle_sql() -> dict[str, str]:
         "media_features_real": _media_sql(),
         "media_features_jpeg": _media_sql(),
         "video_frame_sample": _video_frames_sql(),
+        # Motion-JPEG path: constant-block 8x upscale round-trips the lossy
+        # JFIF pipeline exactly, and frame means are upscale-invariant, so
+        # the SAME frame oracle is exact for the compressed codec
+        "video_frame_sample_mjpeg": _video_frames_sql(),
         "media_resize": _media_resize_sql(),
         "warp_cutline": f"""
             WITH {_warp_grid_ctes()},

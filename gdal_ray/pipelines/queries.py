@@ -2423,6 +2423,25 @@ def video_frame_sample_q(sf_dir: str):
                                store_root=store, concurrency=2)
 
 
+def video_frame_sample_mjpeg_q(sf_dir: str):
+    """Frame-sampling through the COMPRESSED video path: payloads are
+    Motion-JPEG AVIs (each frame an independent baseline-JFIF stream,
+    sources/avi.py codec='mjpeg' + sources/jpeg.py), decoded frame-by-frame
+    in the actor pool.  Frames are 8x-upscaled constant blocks so the lossy
+    pipeline round-trips exactly and frame MEANS equal the fake path's —
+    the same SQL oracle as video_frame_sample holds bit-for-bit."""
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    store = "/tmp/gdal_ray_media_store_mjpeg"
+    for _ in media.materialize_payload_store(
+            docs, store, kinds=("video",),
+            video_codec="mjpeg").iter_batches():
+        pass
+    return media.sample_frames(docs, stride=2, backend="real",
+                               store_root=store, concurrency=2)
+
+
 def media_resize_q(sf_dir: str):
     """Media RESIZE through the real codecs: decode every media span, exact
     2x2 block-average downscale (round half up), emit the resized thumb's

@@ -59,7 +59,8 @@ def fake_frames(media_ref: str, n_frames: int = 4, thumb: int = 8) -> np.ndarray
 
 
 def payload_for_ref(media_ref: str, thumb: int = 8,
-                    image_codec: str = "png", jpeg_quality: int = 90) -> bytes:
+                    image_codec: str = "png", jpeg_quality: int = 90,
+                    video_codec: str = "raw") -> bytes:
     """The deterministic payload a media_ref resolves to — the stand-in for
     the object-store fetch a deployment would perform: PNG (or baseline
     JPEG) for image refs, 8-bit PCM WAV for audio refs.
@@ -71,7 +72,13 @@ def payload_for_ref(media_ref: str, thumb: int = 8,
     CONSTANT 8x8 blocks before encoding — a pure-DC image round-trips the
     lossy pipeline exactly at quality >= 75, and MediaFeaturizer's mean
     (scale-invariant on constant blocks) and dHash (samples block corners)
-    come out IDENTICAL to the fake path, keeping the SQL oracle exact."""
+    come out IDENTICAL to the fake path, keeping the SQL oracle exact.
+
+    ``video_codec='mjpeg'``: frames are 8x-upscaled to constant blocks the
+    same way, then each frame is an independent baseline-JFIF stream inside
+    the AVI (Motion-JPEG) — frame MEANS are invariant under the constant
+    upscale ((64*sum*200 + 64*n) // (2*64*n) == (sum*200 + n) // (2*n)), so
+    the frame-sample SQL oracle stays exact through the lossy pipeline."""
     kind = _ref_kind(media_ref)
     if kind == "audio":
         from ..sources.wav import encode_wav
@@ -80,7 +87,11 @@ def payload_for_ref(media_ref: str, thumb: int = 8,
     if kind == "video":
         from ..sources.avi import encode_avi
 
-        return encode_avi(fake_frames(media_ref, thumb=thumb), fps=10)
+        frames = fake_frames(media_ref, thumb=thumb)
+        if video_codec == "mjpeg":
+            big = np.repeat(np.repeat(frames, 8, axis=1), 8, axis=2)
+            return encode_avi(big, fps=10, codec="mjpeg", quality=90)
+        return encode_avi(frames, fps=10)
     if image_codec == "jpeg":
         from ..sources.jpeg import encode_baseline
 
@@ -181,7 +192,8 @@ class DecodeBackend:
 
 def materialize_payload_store(docs_ds, root: str, kinds=("image",),
                               thumb: int = 8, image_codec: str = "png",
-                              jpeg_quality: int = 90):
+                              jpeg_quality: int = 90,
+                              video_codec: str = "raw"):
     """Write every media span's deterministic payload to
     ``<root>/<kind>/<doc>/<j>.{png|jpg}`` — the 'ingest to object store'
     stage the real decode pool reads from.  Resume = file existence
@@ -211,7 +223,8 @@ def materialize_payload_store(docs_ds, root: str, kinds=("image",),
             n = 0
             if not skipped:
                 payload = payload_for_ref(r, thumb, image_codec=image_codec,
-                                          jpeg_quality=jpeg_quality)
+                                          jpeg_quality=jpeg_quality,
+                                          video_codec=video_codec)
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "wb") as f:

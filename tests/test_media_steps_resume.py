@@ -418,6 +418,60 @@ def test_avi_codec_roundtrip_and_validation():
         encode_avi(frames.astype(np.int16))
 
 
+def test_mjpeg_avi_codec():
+    import pytest
+
+    from gdal_ray.sources.avi import decode_avi, encode_avi
+    from gdal_ray.stages.media import fake_frames
+
+    # constant 8x8 blocks: the lossy JFIF pipeline round-trips EXACTLY
+    fr = fake_frames("media://video/000000042/1", thumb=8)
+    big = np.repeat(np.repeat(fr, 8, axis=1), 8, axis=2)
+    buf = encode_avi(big, fps=10, codec="mjpeg", quality=90)
+    back, fps = decode_avi(buf)
+    assert fps == 10 and back.shape == big.shape
+    assert (back == big).all()
+    # compressed stream is actually smaller than the raw frames
+    assert len(buf) < big.nbytes
+    # natural (noisy) frames: lossy but tight at high quality
+    rng = np.random.default_rng(17)
+    nat = rng.integers(0, 256, (3, 24, 40)).astype(np.uint8)
+    nbuf = encode_avi(nat, codec="mjpeg", quality=95)
+    nback, _ = decode_avi(nbuf)
+    assert nback.shape == nat.shape
+    assert np.abs(nback.astype(int) - nat.astype(int)).max() <= 12
+    with pytest.raises(ValueError, match="unknown AVI codec"):
+        encode_avi(nat, codec="h264")
+    # foreign compression fourccs are rejected loudly, not mis-decoded
+    import struct as _s
+
+    h264 = bytearray(encode_avi(nat, codec="mjpeg"))
+    pos = h264.find(b"strf") + 8 + 16
+    h264[pos:pos + 4] = b"H264"
+    with pytest.raises(ValueError, match="unsupported AVI compression"):
+        decode_avi(bytes(h264))
+
+
+def test_mjpeg_frame_sample_matches_fake(ray_session, tmp_path):
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(200))
+    store = str(tmp_path / "mjpeg_store")
+    for _ in media.materialize_payload_store(
+            docs, store, kinds=("video",), video_codec="mjpeg").iter_batches():
+        pass
+    real = sorted(
+        tuple(r.values()) for r in media.sample_frames(
+            docs, stride=2, backend="real", store_root=store).take_all())
+    fake = sorted(
+        tuple(r.values()) for r in media.sample_frames(
+            docs, stride=2, backend="fake").take_all())
+    assert real == fake and len(real) > 0
+
+
 def test_real_video_frames_match_fake(ray_session, tmp_path):
     import ray.data as rd
 
