@@ -2489,6 +2489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dither_fs": q.dither_fs_q,
         "video_frame_sample": q.video_frame_sample_q,
         "video_frame_sample_mjpeg": q.video_frame_sample_mjpeg_q,
+        "media_features_adpcm": q.media_features_adpcm_q,
         "media_resize": q.media_resize_q,
         "media_inventory": q.media_inventory_q,
         # coordinate transformers (SURVEY §2.3; alg/gdaltransformer.cpp family)
@@ -4395,6 +4396,11 @@ def oracle_sql() -> dict[str, str]:
         # JFIF pipeline exactly, and frame means are upscale-invariant, so
         # the SAME frame oracle is exact for the compressed codec
         "video_frame_sample_mjpeg": _video_frames_sql(),
+        # IMA-ADPCM path: constant-per-block holds round-trip the 4-bit
+        # compressed format exactly (predictor stores the first sample
+        # verbatim, zero deltas encode losslessly at step-table start), so
+        # the media-features oracle is exact for the compressed codec too
+        "media_features_adpcm": _media_sql(),
         "media_resize": _media_resize_sql(),
         "warp_cutline": f"""
             WITH {_warp_grid_ctes()},

@@ -2423,6 +2423,25 @@ def video_frame_sample_q(sf_dir: str):
                                store_root=store, concurrency=2)
 
 
+def media_features_adpcm_q(sf_dir: str):
+    """Multimodal featurization with COMPRESSED audio payloads: audio spans
+    are IMA-ADPCM WAVs (wFormatTag 0x11, sources/wav.py) decoded through the
+    real 4-bit nibble recurrence in the actor pool.  The payload holds each
+    sample constant across one ADPCM block, which round-trips the lossy
+    format exactly, so the features match the fake path and the same SQL
+    oracle as media_features_real is exact."""
+    from ..stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(2000))
+    store = "/tmp/gdal_ray_media_store_adpcm"
+    for _ in media.materialize_payload_store(
+            docs, store, kinds=("image", "audio", "video"),
+            audio_codec="ima_adpcm").iter_batches():
+        pass
+    return media.featurize_media(docs, backend="real", store_root=store,
+                                 concurrency=2)
+
+
 def video_frame_sample_mjpeg_q(sf_dir: str):
     """Frame-sampling through the COMPRESSED video path: payloads are
     Motion-JPEG AVIs (each frame an independent baseline-JFIF stream,

@@ -1,12 +1,28 @@
-"""WAV (RIFF PCM) audio codec — dependency-free reader + writer.
+"""WAV (RIFF) audio codec — dependency-free reader + writer.
 
 Role model: the audio ingest step of a multimodal pipeline (the reference's
 driver-decode analogue: any frmts/ codec).  Independent implementation from
-the public RIFF/WAVE spec: RIFF/WAVE container, 'fmt ' chunk (PCM format 1,
-mono/stereo, 8-bit unsigned or 16-bit signed little-endian), 'data' chunk;
+the public RIFF/WAVE spec: RIFF/WAVE container, 'fmt ' chunk, 'data' chunk;
 unknown chunks are skipped per spec.  Full header validation so corrupted
 payloads fail loudly in the decode pool rather than producing garbage
 features.
+
+Two formats:
+- PCM (wFormatTag 1): mono 8-bit unsigned or 16-bit signed little-endian.
+- IMA ADPCM (wFormatTag 0x0011, a.k.a. DVI ADPCM): the standard 4-bit
+  compressed format from the public IMA/Microsoft spec — per-block header
+  (int16 predictor = the block's first sample verbatim, uint8 step index),
+  then 4-bit nibbles (low nibble first), the 89-entry step table and the
+  {-1,-1,-1,-1,2,4,6,8} index-adaptation table.  The per-sample recurrence
+  is sequential WITHIN a block; corpus-scale parallelism comes from the
+  actor-pool ``map_batches`` stage across payload blobs (stages/media.py),
+  the same stance as the JPEG codec.
+
+Exactness note for oracles: a signal that is CONSTANT within each block
+round-trips EXACTLY — the predictor stores the first sample verbatim, a
+zero delta encodes as nibble 0, and nibble-0 reconstruction adds step>>3
+which is 0 while the step index sits at table start (step 7), where it
+stays because nibble 0 adapts the index by -1 (clamped at 0).
 """
 
 from __future__ import annotations
@@ -14,6 +30,18 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+# IMA ADPCM tables (public IMA ADPCM / DVI spec)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -35,6 +63,123 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+def _ima_encode_block(samples: np.ndarray, index: int) -> tuple[bytes, int]:
+    """One IMA block: samples[0] goes into the header verbatim; the rest
+    become 4-bit nibbles.  len(samples) must be odd (even nibble count)."""
+    pred = int(samples[0])
+    header = struct.pack("<hBB", pred, index, 0)
+    nibbles = []
+    for s in samples[1:]:
+        delta = int(s) - pred
+        sign = 8 if delta < 0 else 0
+        delta = -delta if sign else delta
+        step = int(_IMA_STEPS[index])
+        n = 0
+        diff = step >> 3
+        if delta >= step:
+            n |= 4
+            delta -= step
+            diff += step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+            diff += step >> 1
+        if delta >= step >> 2:
+            n |= 1
+            diff += step >> 2
+        pred = pred - diff if sign else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX[n])))
+        nibbles.append(sign | n)
+    packed = bytes(nibbles[i] | (nibbles[i + 1] << 4)
+                   for i in range(0, len(nibbles), 2))
+    return header + packed, index
+
+
+def _ima_decode_block(header: bytes, nib: np.ndarray) -> np.ndarray:
+    """Inverse of _ima_encode_block: header + nibble array -> int16 samples."""
+    pred, index, _rsv = struct.unpack("<hBB", header)
+    if index > 88:
+        raise ValueError(f"ADPCM step index {index} out of range")
+    out = np.empty(1 + len(nib), dtype=np.int16)
+    out[0] = pred
+    pred = int(pred)
+    for i, n in enumerate(nib):
+        n = int(n)
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX[n & 7])))
+        out[1 + i] = pred
+    return out
+
+
+def encode_wav_adpcm(samples: np.ndarray, rate: int = 8000,
+                     samples_per_block: int = 505) -> bytes:
+    """Mono int16 samples -> IMA ADPCM WAV (wFormatTag 0x0011).
+
+    ``samples_per_block`` must be odd (1 header sample + an even nibble
+    count); total length must divide into whole blocks.  A 'fact' chunk
+    records the true sample count, as the spec requires for compressed
+    formats."""
+    a = np.asarray(samples).ravel()
+    if a.dtype != np.int16:
+        raise ValueError(f"ADPCM input must be int16 (got {a.dtype})")
+    spb = int(samples_per_block)
+    if spb < 3 or spb % 2 == 0:
+        raise ValueError(f"samples_per_block must be odd >= 3 (got {spb})")
+    if len(a) == 0 or len(a) % spb:
+        raise ValueError(f"{len(a)} samples do not divide into {spb}-sample blocks")
+    block_align = 4 + (spb - 1) // 2
+    index = 0
+    blocks = []
+    for s in range(0, len(a), spb):
+        blk, index = _ima_encode_block(a[s:s + spb], index)
+        blocks.append(blk)
+    data = b"".join(blocks)
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4,
+                      2, spb)
+    fact = struct.pack("<I", len(a))
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"fact" + struct.pack("<I", len(fact)) + fact
+              + b"data" + struct.pack("<I", len(data)) + data
+              + (b"\x00" if len(data) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _decode_adpcm_data(data: bytes, block_align: int, spb: int,
+                       n_samples: int | None) -> np.ndarray:
+    if block_align < 5 or spb != (block_align - 4) * 2 + 1:
+        raise ValueError(
+            f"inconsistent ADPCM framing: block_align={block_align}, "
+            f"samples_per_block={spb}")
+    if len(data) % block_align:
+        raise ValueError("ADPCM data is not whole blocks")
+    out = []
+    for s in range(0, len(data), block_align):
+        blk = data[s:s + block_align]
+        nib_bytes = np.frombuffer(blk, dtype=np.uint8, offset=4)
+        nib = np.empty(2 * len(nib_bytes), dtype=np.uint8)
+        nib[0::2] = nib_bytes & 0x0F
+        nib[1::2] = nib_bytes >> 4
+        out.append(_ima_decode_block(blk[:4], nib))
+    samples = np.concatenate(out) if out else np.empty(0, np.int16)
+    if n_samples is not None:
+        if n_samples > len(samples):
+            raise ValueError("fact chunk claims more samples than decoded")
+        samples = samples[:n_samples]
+    return samples
+
+
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """Parse a mono PCM WAV -> (samples, rate).  8-bit -> uint8, 16-bit ->
     int16.  Validates the RIFF/WAVE magic, chunk sizes, PCM format code,
@@ -46,7 +191,9 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("RIFF size exceeds payload")
     pos = 12
     fmt = None
+    fmt_body = None
     data = None
+    n_samples = None
     while pos + 8 <= len(buf):
         cid = buf[pos:pos + 4]
         (sz,) = struct.unpack_from("<I", buf, pos + 4)
@@ -57,16 +204,26 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
             if sz < 16:
                 raise ValueError("fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
+        elif cid == b"fact":
+            (n_samples,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             data = body
         pos += 8 + sz + (sz % 2)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt / data chunk")
-    audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
-    if audio_fmt != 1:
-        raise ValueError(f"not PCM (format {audio_fmt})")
+    audio_fmt, channels, rate, _byte_rate, block_align, bits = fmt
     if channels != 1:
         raise ValueError(f"only mono supported (got {channels} channels)")
+    if audio_fmt == 0x11:  # IMA ADPCM
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM must be 4-bit (got {bits})")
+        if len(fmt_body) < 20:
+            raise ValueError("ADPCM fmt chunk missing samples-per-block")
+        (spb,) = struct.unpack_from("<H", fmt_body, 18)
+        return _decode_adpcm_data(data, block_align, spb, n_samples), rate
+    if audio_fmt != 1:
+        raise ValueError(f"unsupported format {audio_fmt} (PCM and IMA ADPCM)")
     if bits == 8:
         return np.frombuffer(data, dtype=np.uint8), rate
     if bits == 16:

@@ -60,7 +60,8 @@ def fake_frames(media_ref: str, n_frames: int = 4, thumb: int = 8) -> np.ndarray
 
 def payload_for_ref(media_ref: str, thumb: int = 8,
                     image_codec: str = "png", jpeg_quality: int = 90,
-                    video_codec: str = "raw") -> bytes:
+                    video_codec: str = "raw",
+                    audio_codec: str = "pcm") -> bytes:
     """The deterministic payload a media_ref resolves to — the stand-in for
     the object-store fetch a deployment would perform: PNG (or baseline
     JPEG) for image refs, 8-bit PCM WAV for audio refs.
@@ -81,6 +82,16 @@ def payload_for_ref(media_ref: str, thumb: int = 8,
     the frame-sample SQL oracle stays exact through the lossy pipeline."""
     kind = _ref_kind(media_ref)
     if kind == "audio":
+        if audio_codec == "ima_adpcm":
+            from ..sources.wav import encode_wav_adpcm
+
+            # per-sample 9x constant hold: each source byte becomes one
+            # constant ADPCM block (predictor verbatim + zero nibbles),
+            # which round-trips the compressed format EXACTLY
+            vals = fake_pixels(media_ref, thumb).ravel()
+            sig = ((vals.astype(np.int32) - 128) << 8).astype(np.int16)
+            return encode_wav_adpcm(np.repeat(sig, 9), rate=8000,
+                                    samples_per_block=9)
         from ..sources.wav import encode_wav
 
         return encode_wav(fake_pixels(media_ref, thumb).ravel(), rate=8000)
@@ -174,6 +185,16 @@ class DecodeBackend:
             return arr
         if self.backend == "real" and kind == "audio":
             samples, _rate = self._decode_wav(self.fetch(media_ref))
+            n = self.thumb * self.thumb
+            if samples.dtype == np.int16:
+                # ADPCM payload: int16 constant-hold stream; invert the
+                # (v-128)<<8 mapping and collapse each hold run to its value
+                u = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
+                if u.size % n:
+                    raise ValueError(
+                        f"audio stream length {u.size} is not a whole "
+                        f"multiple of the {n}-sample grid")
+                return u.reshape(n, -1)[:, 0].reshape(self.thumb, self.thumb)
             # 8-bit PCM carries the thumb x thumb byte grid (payload_for_ref)
             return samples.reshape(self.thumb, self.thumb)
         if self.backend == "real" and kind == "video":
@@ -193,7 +214,8 @@ class DecodeBackend:
 def materialize_payload_store(docs_ds, root: str, kinds=("image",),
                               thumb: int = 8, image_codec: str = "png",
                               jpeg_quality: int = 90,
-                              video_codec: str = "raw"):
+                              video_codec: str = "raw",
+                              audio_codec: str = "pcm"):
     """Write every media span's deterministic payload to
     ``<root>/<kind>/<doc>/<j>.{png|jpg}`` — the 'ingest to object store'
     stage the real decode pool reads from.  Resume = file existence
@@ -224,7 +246,8 @@ def materialize_payload_store(docs_ds, root: str, kinds=("image",),
             if not skipped:
                 payload = payload_for_ref(r, thumb, image_codec=image_codec,
                                           jpeg_quality=jpeg_quality,
-                                          video_codec=video_codec)
+                                          video_codec=video_codec,
+                                          audio_codec=audio_codec)
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "wb") as f:

@@ -452,6 +452,70 @@ def test_mjpeg_avi_codec():
         decode_avi(bytes(h264))
 
 
+def test_ima_adpcm_codec():
+    import pytest
+
+    from gdal_ray.sources.wav import decode_wav, encode_wav_adpcm
+
+    # constant-per-block signal round-trips EXACTLY (oracle contract)
+    vals = (np.arange(64) * 37 % 256).astype(np.uint8)
+    sig = ((vals.astype(np.int32) - 128) << 8).astype(np.int16)
+    up = np.repeat(sig, 9)
+    buf = encode_wav_adpcm(up, rate=8000, samples_per_block=9)
+    back, rate = decode_wav(buf)
+    assert rate == 8000 and np.array_equal(back, up)
+    assert len(buf) < up.nbytes  # actually compressed (4-bit vs 16-bit)
+    # natural signal: lossy 4:1-ish, bounded relative error once adapted
+    t = np.arange(505 * 2)
+    nat = (6000 * np.sin(t / 25)).astype(np.int16)
+    nbuf = encode_wav_adpcm(nat, samples_per_block=505)
+    nback, _ = decode_wav(nbuf)
+    assert nback.shape == nat.shape
+    err = np.abs(nback[50:].astype(int) - nat[50:].astype(int))
+    assert err.mean() < 200  # smooth signal tracks tightly after onset
+    assert len(nbuf) < 0.3 * nat.nbytes
+    # validation: framing and inputs fail loudly
+    with pytest.raises(ValueError, match="must be odd"):
+        encode_wav_adpcm(up, samples_per_block=8)
+    with pytest.raises(ValueError, match="do not divide"):
+        encode_wav_adpcm(up[:-1], samples_per_block=9)
+    with pytest.raises(ValueError, match="int16"):
+        encode_wav_adpcm(vals)
+    with pytest.raises(ValueError, match="truncated|whole blocks|RIFF"):
+        decode_wav(buf[:-7])
+
+
+def test_adpcm_media_features_match_fake(ray_session, tmp_path):
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import media
+
+    docs = rd.from_arrow(synthetic.make_docs(200))
+    store = str(tmp_path / "adpcm_store")
+    for _ in media.materialize_payload_store(
+            docs, store, kinds=("image", "audio", "video"),
+            audio_codec="ima_adpcm").iter_batches():
+        pass
+    real = sorted(
+        tuple(r.values()) for r in media.featurize_media(
+            docs, backend="real", store_root=store).take_all())
+    fake = sorted(
+        tuple(r.values()) for r in media.featurize_media(
+            docs, backend="fake").take_all())
+    assert real == fake and len(real) > 0
+    # audio spans actually exercised the ADPCM branch (int16 WAV payloads)
+    import glob
+
+    wavs = glob.glob(f"{store}/audio/**/*.wav", recursive=True)
+    assert wavs
+    from gdal_ray.sources.wav import decode_wav
+
+    with open(wavs[0], "rb") as f:
+        s, _ = decode_wav(f.read())
+    assert s.dtype == np.int16
+
+
 def test_mjpeg_frame_sample_matches_fake(ray_session, tmp_path):
     import ray.data as rd
 
