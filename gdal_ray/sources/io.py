@@ -124,6 +124,7 @@ def write_partitioned(
     partition_ids: list[str],
     partition_filter_fn,
     lineage: dict | None = None,
+    progress_callback=None,
 ) -> list[str]:
     """Write one output directory per partition, skipping finished ones.
 
@@ -131,12 +132,20 @@ def write_partitioned(
     Returns the list of partitions actually (re)written.  This is the
     driver-side resume loop; each partition is an independent Ray Data
     execution so a crash loses at most one partition.
-    """
+
+    ``progress_callback(complete, message) -> bool`` (the GDALProgressFunc
+    shape, state/progress.py) is invoked after every partition — including
+    resume-skipped ones, so a resumed run starts from its true fraction.
+    Returning False cancels at the next partition boundary (partitions
+    already recorded stay valid; the run resumes where it stopped)."""
     manifest = Manifest(root)
     done = manifest.done_partitions()
     written = []
-    for pid in partition_ids:
+    n_total = max(len(partition_ids), 1)
+    for i, pid in enumerate(partition_ids):
         if pid in done:
+            if progress_callback is not None:
+                progress_callback((i + 1) / n_total, f"part={pid} (resumed)")
             continue
         t0 = time.time()
         part = partition_filter_fn(ds, pid)
@@ -161,4 +170,7 @@ def write_partitioned(
             metrics={"rows": int(rows), "seconds": time.time() - t0},
         )
         written.append(pid)
+        if progress_callback is not None:
+            if progress_callback((i + 1) / n_total, f"part={pid}") is False:
+                break
     return written

@@ -55,6 +55,8 @@ def main() -> int:
                     help="hash partitions of the result (resume granularity)")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only used when no Ray session exists yet")
+    ap.add_argument("--progress", action="store_true",
+                    help="GDAL-style terminal progress line on stderr")
     args = ap.parse_args()
 
     import ray
@@ -124,9 +126,14 @@ def main() -> int:
                "git_rev": _git_rev(os.path.dirname(os.path.dirname(
                    os.path.abspath(__file__)))),
                "partitions": P}
+    progress_cb = None
+    if args.progress:
+        from gdal_ray.state.progress import TermProgress
+
+        progress_cb = TermProgress()
     written = write_partitioned(
         result, args.output, [str(i) for i in range(P)], part_filter,
-        lineage=lineage)
+        lineage=lineage, progress_callback=progress_cb)
     rows = result.count()
     print(json.dumps({
         "job": job_name, "rows": int(rows), "partitions": P,
