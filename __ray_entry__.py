@@ -2316,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_sql_expr": q.select_sql_expr_q,
         "select_sql_group": q.select_sql_group_q,
         "select_sql_join": q.select_sql_join_q,
+        "select_sql_distinct": q.select_sql_distinct_q,
         "quantiles_continuous": q.quantiles_continuous_q,
         "select_sql_left_join_group": q.select_sql_left_join_group_q,
         "topk_orders": q.topk_orders,
@@ -2702,6 +2703,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, c_name, c_mktsegment FROM orders
             JOIN customer ON o_custkey = c_custkey
             WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey LIMIT 300
+        """,
+        "select_sql_distinct": """
+            SELECT DISTINCT c_mktsegment,
+                   CAST(c_nationkey // 5 AS BIGINT) AS nat_bucket
+            FROM customer WHERE c_acctbal >= 0
+            ORDER BY c_mktsegment, nat_bucket
         """,
         "select_sql_left_join_group": """
             SELECT n_name, CAST(count(*) AS BIGINT) AS n,

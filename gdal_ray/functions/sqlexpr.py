@@ -501,8 +501,10 @@ class Select:
         if self.where is not None:
             cols |= columns_used(self.where)
         if not self.group_by:  # grouped ORDER BY refers to output aliases
+            aliases = {alias for _, alias in self.projections}
             for c, _ in self.order_by:
-                cols.add(c)
+                if c not in aliases:  # ORDER BY an output alias needs no scan col
+                    cols.add(c)
         cols.discard("*")
         return cols
 

@@ -278,6 +278,21 @@ def select_sql_group_q(sf_dir: str):
     return sqlexpr.apply_select(ds, sel)
 
 
+def select_sql_distinct_q(sf_dir: str):
+    """SELECT DISTINCT from a string (ogr/ogr_swq.h:322 DISTINCT mode,
+    generic executor ogr_gensql.cpp): the parser's distinct flag routes the
+    projected expressions through the engine's distinct groupby before the
+    ORDER BY sort."""
+    from ..functions import sqlexpr
+
+    sql = ("SELECT DISTINCT c_mktsegment, c_nationkey / 5 AS nat_bucket "
+           "FROM customer WHERE c_acctbal >= 0 "
+           "ORDER BY c_mktsegment, nat_bucket")
+    sel = sqlexpr.parse_select(sql)
+    ds = read_table(sf_dir, "customer", columns=sorted(sel.columns_needed))
+    return sqlexpr.apply_select(ds, sel)
+
+
 def select_sql_join_q(sf_dir: str):
     """SQL JOIN from a string (ogr_gensql.cpp:1334-1530 secondary-table
     join, re-expressed as a broadcast hash join): the statement names the
