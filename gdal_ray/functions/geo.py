@@ -112,8 +112,10 @@ def reproject_points(x: np.ndarray, y: np.ndarray, src_crs: str, dst_crs: str):
     raise NotImplementedError(
         f"reproject {src_crs} -> {dst_crs} needs pyproj (not in this "
         "container); built-in closed forms cover EPSG:4326 <-> EPSG:3857 and "
-        f"the {len(_EPSG_TABLE)} table-routed codes plus the UTM families "
-        "EPSG:326xx/327xx (WGS84), EPSG:258xx (ETRS89), EPSG:269xx (NAD83) "
+        f"the {len(_EPSG_TABLE)} table-routed codes plus the zone families "
+        "EPSG:326xx/327xx (WGS84 UTM), EPSG:258xx (ETRS89 UTM), EPSG:269xx "
+        "(NAD83 UTM), EPSG:283xx (GDA94 MGA), EPSG:784x/785x (GDA2020 MGA), "
+        "EPSG:4534-4554 (CGCS2000 3-deg Gauss-Kruger) "
         f"— see geo.epsg_params: {sorted(_EPSG_TABLE)}"
     )
 
@@ -204,6 +206,9 @@ def epsg_params(code: str):
     if not code.startswith("EPSG:") or not code[5:].isdigit():
         return None
     num = int(code[5:])
+    if 4534 <= num <= 4554:  # CGCS2000 / 3-degree Gauss-Kruger CM 75E..135E
+        return ("tmerc", dict(lon0=75.0 + 3.0 * (num - 4534), k0=1.0,
+                              fe=500000.0, fn=0.0))
     zone = None
     south = False
     if 32601 <= num <= 32660:
@@ -214,6 +219,10 @@ def epsg_params(code: str):
         zone = num - 25800
     elif 26901 <= num <= 26923:   # NAD83 / UTM
         zone = num - 26900
+    elif 28348 <= num <= 28358:   # GDA94 / MGA (UTM south)
+        zone, south = num - 28300, True
+    elif 7846 <= num <= 7859:     # GDA2020 / MGA (UTM south)
+        zone, south = num - 7800, True
     if zone is None:
         return None
     lon0, k0, fe, fn = _tr.utm_zone_params(zone, south)

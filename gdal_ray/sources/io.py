@@ -50,6 +50,20 @@ def read_table(path_or_dir: str, table: str | None = None, columns=None, **kwarg
             lkw["filter"] = str(flt)
         return _strip_schema_metadata(rd.read_lance(lance_path,
                                                     columns=columns, **lkw))
+    if "schema" not in kwargs:
+        # hand read_parquet a metadata-free schema up front: the READ
+        # operator's own output blocks then hash cleanly for Ray's schema
+        # dedup (the downstream strip map can't fix the read op itself)
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            sch = pq.read_schema(pq_path).remove_metadata()
+            if columns is not None:
+                sch = pa.schema([sch.field(c) for c in columns])
+            kwargs = dict(kwargs, schema=sch)
+        except Exception:
+            pass  # directory inputs etc.: fall back to the strip map alone
     return _strip_schema_metadata(rd.read_parquet(pq_path, columns=columns,
                                                   **kwargs))
 

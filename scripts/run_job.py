@@ -68,6 +68,15 @@ def main() -> int:
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    # Ray-internal cosmetic on tiny results: empty sort partitions emit
+    # schema-less zero-row RefBundles and the streaming executor warns per
+    # bundle (same stance as bench.py's documented log routing) — keep the
+    # job's stdout/stderr contract clean like the reference utilities
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
     t0 = time.time()
     if args.query:

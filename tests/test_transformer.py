@@ -657,7 +657,9 @@ def test_epsg_table_routing_roundtrips():
     centers = {"EPSG:3031": (-60, -75), "EPSG:3976": (10, -70),
                "EPSG:6932": (0, -60), "EPSG:3577": (135, -25)}
     codes = sorted(geo._EPSG_TABLE) + ["EPSG:25832", "EPSG:26915",
-                                       "EPSG:32633", "EPSG:32722"]
+                                       "EPSG:32633", "EPSG:32722",
+                                       "EPSG:28355", "EPSG:7850",
+                                       "EPSG:4534", "EPSG:4548", "EPSG:4554"]
     for c in codes:
         if c in centers:
             lon0, lat0 = centers[c]
@@ -685,3 +687,13 @@ def test_epsg_table_routing_roundtrips():
     with pytest.raises(NotImplementedError, match="27700"):
         geo.reproject_points(np.array([0.0]), np.array([51.0]),
                              "EPSG:4326", "EPSG:27700")
+    # published-value pin: Melbourne GPO in GDA94 / MGA zone 55
+    E, N = geo.reproject_points(np.array([144.9631]), np.array([-37.8136]),
+                                "EPSG:4326", "EPSG:28355")
+    assert abs(E[0] - 320704.4) < 1.0 and abs(N[0] - 5812911.7) < 1.0
+    # MGA zone families alias the standard UTM-south parameter set
+    assert geo.epsg_params("EPSG:28355") == geo.epsg_params("EPSG:32755")
+    assert geo.epsg_params("EPSG:7855") == geo.epsg_params("EPSG:32755")
+    # CGCS2000 3-degree GK: k0=1, CM stepped by 3 degrees
+    fam, kw = geo.epsg_params("EPSG:4540")
+    assert fam == "tmerc" and kw["k0"] == 1.0 and kw["lon0"] == 93.0
