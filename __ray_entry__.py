@@ -2440,6 +2440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_rings8": q.polygonize_rings8_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
+        "jpeg_tiles_roundtrip": q.jpeg_tiles_q,
         "left_join_orders": q.left_join_orders_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
@@ -3538,6 +3539,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "retile_overlap": _retile_sql(),
         "png_tiles_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(((gx // 8 + gy // 8) % 2) * 255
+                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        # JPEG tile sink: the checker's 8-aligned constant blocks round-trip
+        # the lossy baseline pipeline exactly at q>=75, so the PNG oracle
+        # holds bit-for-bit for the .jpg tile tree too
+        "jpeg_tiles_roundtrip": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy
                         FROM range(192) a, range(192) b)
             SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,

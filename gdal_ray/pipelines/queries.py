@@ -1299,6 +1299,41 @@ def png_tiles_q(sf_dir: str):
     return receipts.map_batches(verify, batch_format="pyarrow")
 
 
+def jpeg_tiles_q(sf_dir: str):
+    """z/x/y.jpg tile sink round trip (the reference's JPEG --tile-format):
+    write the checker mosaic as baseline-JFIF tiles, decode every file back
+    and checksum.  The checker's 8x8 cells are 8-grid-aligned constants, so
+    the lossy pipeline round-trips EXACTLY at quality >= 75 and the PNG
+    roundtrip oracle holds bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from ..functions import checksum as cks_f
+    from ..sources import jpeg as jpeg_mod
+    from ..sources import png as png_mod
+
+    import os
+
+    root = f"{tempfile.gettempdir()}/gdal_ray_jpeg_tiles_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("checker", 3, 3, size=64))
+    receipts = png_mod.write_image_tiles(tiles, root, codec="jpeg",
+                                         quality=90, resume=True)
+
+    def verify(t: pa.Table) -> pa.Table:
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            with open(t["path"][i].as_py(), "rb") as f:
+                arr = jpeg_mod.decode_baseline(f.read())
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks_f.tile_checksum(arr))
+        return pa.table({"x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return receipts.map_batches(verify, batch_format="pyarrow")
+
+
 def asc_roundtrip_q(sf_dir: str):
     """ESRI ASCII Grid driver: serialize the 192x192 hump mosaic to .asc
     (repr round-trip floats), parse it back into engine tiles, and checksum —

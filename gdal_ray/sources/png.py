@@ -88,25 +88,38 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def write_png_tiles(tiles_ds, root: str, resume: bool = True):
-    """Tile rows -> <root>/<z>/<x>/<y>.png (+ a resumable manifest).
+    """z/x/y.png tile sink — see write_image_tiles."""
+    return write_image_tiles(tiles_ds, root, codec="png", resume=resume)
+
+
+def write_image_tiles(tiles_ds, root: str, codec: str = "png",
+                      quality: int = 90, resume: bool = True):
+    """Tile rows -> <root>/<z>/<x>/<y>.{png|jpg} (+ a resumable manifest).
 
     Ray-Data shape: a streaming map_batches writes each tile from the worker
     (shared filesystem / object-store mount assumption — the same contract
     as the reference's tile output directory); with ``resume``, tiles whose
     file already exists are skipped (reference behavior,
-    apps/gdalalg_raster_tile.cpp:676-682).  Returns a Dataset of
+    apps/gdalalg_raster_tile.cpp:676-682).  ``codec='jpeg'`` writes baseline
+    JFIF tiles (sources/jpeg.py) at ``quality`` — the reference's
+    --tile-format choice.  Returns a Dataset of
     (z, x, y, path, n_bytes, skipped) receipts — consume it to execute."""
     from ..stages.focal import _dtype_of
 
+    if codec not in ("png", "jpeg"):
+        raise ValueError(f"unknown tile codec {codec!r}")
+    ext = ".png" if codec == "png" else ".jpg"
     os.makedirs(root, exist_ok=True)
 
     def write_batch(batch: pa.Table) -> pa.Table:
+        if codec == "jpeg":
+            from .jpeg import encode_baseline
         out = {"z": [], "x": [], "y": [], "path": [], "n_bytes": [], "skipped": []}
         for i in range(batch.num_rows):
             z = batch["z"][i].as_py()
             x = batch["x"][i].as_py()
             y = batch["y"][i].as_py()
-            path = os.path.join(root, str(z), str(x), f"{y}.png")
+            path = os.path.join(root, str(z), str(x), f"{y}{ext}")
             skipped = resume and os.path.exists(path)
             n_bytes = 0
             if not skipped:
@@ -114,7 +127,9 @@ def write_png_tiles(tiles_ds, root: str, resume: bool = True):
                     batch["data"][i].as_py(),
                     dtype=_dtype_of(batch["dtype"][i].as_py()),
                 ).reshape(batch["height"][i].as_py(), batch["width"][i].as_py())
-                png = encode_png(np.clip(arr, 0, 255).astype(np.uint8))
+                u8 = np.clip(arr, 0, 255).astype(np.uint8)
+                png = (encode_png(u8) if codec == "png"
+                       else encode_baseline(u8, quality=quality))
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:

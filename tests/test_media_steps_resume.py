@@ -536,6 +536,37 @@ def test_mjpeg_frame_sample_matches_fake(ray_session, tmp_path):
     assert real == fake and len(real) > 0
 
 
+def test_jpeg_tile_sink_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.sources.jpeg import decode_baseline
+    from gdal_ray.sources.png import write_image_tiles
+
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("checker", 2, 2, size=64))
+    root = str(tmp_path / "jt")
+    receipts = write_image_tiles(tiles, root, codec="jpeg", quality=90).take_all()
+    assert len(receipts) == 4 and all(r["path"].endswith(".jpg") for r in receipts)
+    # 8-aligned constant checker blocks -> lossless through baseline JPEG
+    import pyarrow as _pa
+
+    src = synthetic.make_raster_tiles("checker", 2, 2, size=64)
+    by_xy = {(src["x"][i].as_py(), src["y"][i].as_py()):
+             np.frombuffer(src["data"][i].as_py(), np.uint8).reshape(64, 64)
+             for i in range(src.num_rows)}
+    for r in receipts:
+        with open(r["path"], "rb") as f:
+            arr = decode_baseline(f.read())
+        assert np.array_equal(arr, by_xy[(r["x"], r["y"])])
+    # resume: second write skips every tile
+    receipts2 = write_image_tiles(tiles, root, codec="jpeg").take_all()
+    assert all(r["skipped"] for r in receipts2)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown tile codec"):
+        write_image_tiles(tiles, root, codec="webp")
+
+
 def test_real_video_frames_match_fake(ray_session, tmp_path):
     import ray.data as rd
 
