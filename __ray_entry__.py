@@ -2441,6 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "jpeg_tiles_roundtrip": q.jpeg_tiles_q,
+        "curve_linearize": q.curve_linearize_q,
         "left_join_orders": q.left_join_orders_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
@@ -3546,6 +3547,33 @@ def oracle_sql() -> dict[str, str]:
                             * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM px GROUP BY 1, 2
+        """,
+        # CurveToLine: vertices recomputed from the exact arc parameters;
+        # the engine recovers center/angles from the 3 control points
+        # (circumcircle + atan2) to ~1e-12, far inside the 1e-6 rounding
+        "curve_linearize": """
+            WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+            p AS (SELECT k, (k % 5) * 10.0 AS cx, (k // 5) * 10.0 AS cy,
+                         1.0 + (k % 3) AS r, 10.0 * (k % 7) AS a0,
+                         83.0 + 30.0 * (k % 4) AS sw
+                  FROM n),
+            arcs AS (
+              SELECT k, cx, cy, r, a0, sw, 0 AS arc,
+                     CAST(0 AS BIGINT) AS seq0 FROM p
+              UNION ALL
+              SELECT k, cx, cy, r, a0 + sw AS a0, 45.0 AS sw, 1 AS arc,
+                     CAST(ceil(sw / 4.0) AS BIGINT) AS seq0
+              FROM p WHERE k % 5 = 0),
+            seg AS (SELECT *, CAST(ceil(sw / 4.0) AS BIGINT) AS nseg FROM arcs),
+            v AS (SELECT k, arc, seq0 + i.i AS seq,
+                         a0 + sw * i.i / nseg AS ang, cx, cy, r, i.i AS i
+                  FROM seg,
+                       LATERAL (SELECT unnest(generate_series(0, nseg)) AS i) i
+                  WHERE NOT (arc = 1 AND i.i = 0))
+            SELECT k AS n_nationkey, seq,
+                   CAST(round((cx + r * cos(radians(ang))) * 1e6) AS BIGINT) AS x_u6,
+                   CAST(round((cy + r * sin(radians(ang))) * 1e6) AS BIGINT) AS y_u6
+            FROM v
         """,
         # JPEG tile sink: the checker's 8-aligned constant blocks round-trip
         # the lossy baseline pipeline exactly at q>=75, so the PNG oracle

@@ -27,6 +27,7 @@ POLYGON = 3
 MULTIPOINT = 4
 MULTILINESTRING = 5
 MULTIPOLYGON = 6
+CIRCULARSTRING = 8  # ISO SQL/MM curve: arcs through consecutive point triples
 
 _POINT_SIZE = 21  # 1 byte order + 4 type + 16 coords
 
@@ -66,6 +67,16 @@ def encode_polygon(rings: list[np.ndarray]) -> bytes:
 def encode_linestring(pts: np.ndarray) -> bytes:
     pts = np.asarray(pts, dtype="<f8")
     return b"\x01" + struct.pack("<II", LINESTRING, len(pts)) + pts.tobytes()
+
+
+def encode_circularstring(pts: np.ndarray) -> bytes:
+    """(N, 2) control points, N odd >= 3: arc k passes through points
+    (2k, 2k+1, 2k+2) per ISO SQL/MM (ogr/ogr_core.h wkbCircularString)."""
+    pts = np.asarray(pts, dtype="<f8")
+    if len(pts) < 3 or len(pts) % 2 == 0:
+        raise ValueError(f"CircularString needs an odd point count >= 3 "
+                         f"(got {len(pts)})")
+    return b"\x01" + struct.pack("<II", CIRCULARSTRING, len(pts)) + pts.tobytes()
 
 
 def encode_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
@@ -139,11 +150,11 @@ def _parse(buf: memoryview, off: int) -> tuple[Geom, int]:
     if gtype == POINT:
         pt = np.frombuffer(buf, dtype=fmt + "f8", count=2, offset=off).reshape(1, 2)
         return Geom(POINT, [pt]), off + 16
-    if gtype == LINESTRING:
+    if gtype in (LINESTRING, CIRCULARSTRING):
         (n,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
         pts = np.frombuffer(buf, dtype=fmt + "f8", count=2 * n, offset=off).reshape(n, 2)
-        return Geom(LINESTRING, [pts]), off + 16 * n
+        return Geom(gtype, [pts]), off + 16 * n
     if gtype == POLYGON:
         (nrings,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4

@@ -1299,6 +1299,60 @@ def png_tiles_q(sf_dir: str):
     return receipts.map_batches(verify, batch_format="pyarrow")
 
 
+def curve_linearize_q(sf_dir: str):
+    """CircularString -> LineString linearization (CurveToLine,
+    ogr/ogrgeometryfactory.cpp curveToLineString; ogr2ogr -nlt
+    CONVERT_TO_LINEAR): per-nation arcs (one or two 3-point arcs on a known
+    circle) are linearized at a 4-degree max step and exploded to
+    micro-unit integer vertices the SQL oracle recomputes from the exact
+    arc parameters."""
+    from ..functions import wkb as wkb_f
+    from ..stages import geomops
+
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey"])
+
+    def build(t: pa.Table) -> pa.Table:
+        keys, wkbs = [], []
+        for k in t["n_nationkey"].to_pylist():
+            k = int(k)
+            cx, cy = (k % 5) * 10.0, (k // 5) * 10.0
+            r = 1.0 + (k % 3)
+            a0 = 10.0 * (k % 7)
+            sw = 83.0 + 30.0 * (k % 4)
+            angs = [a0, a0 + sw / 2.0, a0 + sw]
+            if k % 5 == 0:  # second arc continuing on the same circle
+                angs += [a0 + sw + 22.5, a0 + sw + 45.0]
+            a = np.radians(np.array(angs))
+            pts = np.stack([cx + r * np.cos(a), cy + r * np.sin(a)], axis=1)
+            keys.append(k)
+            wkbs.append(wkb_f.encode_circularstring(pts))
+        return pa.table({"n_nationkey": pa.array(keys, pa.int64()),
+                         "wkb": pa.array(wkbs, pa.binary())})
+
+    curves = nat.map_batches(build, batch_format="pyarrow")
+    lin = curves.map_batches(
+        lambda t: geomops.linearize_batch(t, max_angle_deg=4.0),
+        batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ks, seqs, xs, ys = [], [], [], []
+        for i in range(t.num_rows):
+            g = wkb_f.decode(t["wkb"][i].as_py())
+            pts = g.parts[0]
+            # half-away-from-zero micro-units == CAST(round(v*1e6) AS BIGINT)
+            u = np.sign(pts) * np.floor(np.abs(pts) * 1e6 + 0.5)
+            k = t["n_nationkey"][i].as_py()
+            for s in range(len(pts)):
+                ks.append(k); seqs.append(s)
+                xs.append(int(u[s, 0])); ys.append(int(u[s, 1]))
+        return pa.table({"n_nationkey": pa.array(ks, pa.int64()),
+                         "seq": pa.array(seqs, pa.int64()),
+                         "x_u6": pa.array(xs, pa.int64()),
+                         "y_u6": pa.array(ys, pa.int64())})
+
+    return lin.map_batches(explode, batch_format="pyarrow")
+
+
 def jpeg_tiles_q(sf_dir: str):
     """z/x/y.jpg tile sink round trip (the reference's JPEG --tile-format):
     write the checker mosaic as baseline-JFIF tiles, decode every file back

@@ -175,6 +175,78 @@ def segmentize_batch(batch: pa.Table, max_len: float, wkb_col: str = "wkb") -> p
     )
 
 
+def _arc_params(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray):
+    """Circumcircle of an arc's 3 control points -> (center, r, a0, sweep)
+    with sweep signed (CCW positive) so the path a0 -> a0+sweep passes
+    through p1; None when the points are collinear (degenerate arc ->
+    straight segment, the reference's choice)."""
+    ax, ay = p0
+    bx, by = p1
+    cx, cy = p2
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    scale = max(abs(ax - cx), abs(ay - cy), abs(ax - bx), abs(ay - by), 1e-300)
+    if abs(d) <= 1e-12 * scale * scale:
+        return None
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+    uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+    r = float(np.hypot(ax - ux, ay - uy))
+    t0 = float(np.arctan2(ay - uy, ax - ux))
+    t1 = float(np.arctan2(by - uy, bx - ux))
+    t2 = float(np.arctan2(cy - uy, cx - ux))
+    two_pi = 2.0 * np.pi
+    sweep_ccw = (t2 - t0) % two_pi
+    mid_ccw = (t1 - t0) % two_pi
+    if sweep_ccw == 0.0:  # closed arc (p0 == p2): full circle through p1
+        sweep_ccw = two_pi
+    if mid_ccw <= sweep_ccw:
+        return (ux, uy), r, t0, sweep_ccw
+    return (ux, uy), r, t0, sweep_ccw - two_pi
+
+
+def linearize_arcs(pts: np.ndarray, max_angle_deg: float = 4.0) -> np.ndarray:
+    """CircularString control points -> LineString vertices: each 3-point
+    arc sampled at <= max_angle_deg angular steps (the reference's
+    OGR_ARC_STEPSIZE contract, ogr/ogrgeometryfactory.cpp
+    curveToLineString / OGRGeometryFactory::approximateArcAngles).
+    Arc endpoints are pinned to the input control points exactly."""
+    step = np.radians(max_angle_deg)
+    out = [pts[:1]]
+    for k in range(0, len(pts) - 2, 2):
+        p0, p1, p2 = pts[k], pts[k + 1], pts[k + 2]
+        arc = _arc_params(p0, p1, p2)
+        if arc is None:  # collinear: the arc degenerates to the chord
+            out.append(p2[None, :])
+            continue
+        (ux, uy), r, t0, sweep = arc
+        n = max(1, int(np.ceil(abs(sweep) / step)))
+        t = t0 + sweep * np.arange(1, n) / n
+        mid = np.stack([ux + r * np.cos(t), uy + r * np.sin(t)], axis=1)
+        out.append(mid)
+        out.append(p2[None, :])
+    return np.vstack(out)
+
+
+def linearize_batch(batch: pa.Table, max_angle_deg: float = 4.0,
+                    wkb_col: str = "wkb") -> pa.Table:
+    """CurveToLine (ogr2ogr -nlt CONVERT_TO_LINEAR surface): CircularString
+    WKBs become LineStrings sampled at <= max_angle_deg per step; linear
+    geometries pass through untouched."""
+    out = []
+    for w in batch[wkb_col].to_pylist():
+        if _wkb.geom_type(w) == _wkb.CIRCULARSTRING:
+            g = _wkb.decode(w)
+            out.append(_wkb.encode_linestring(
+                linearize_arcs(g.parts[0], max_angle_deg)))
+        else:
+            out.append(w)
+    return batch.set_column(
+        batch.column_names.index(wkb_col), wkb_col, pa.array(out, pa.binary())
+    )
+
+
 def swap_xy_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
     out = []
     for w in batch[wkb_col].to_pylist():

@@ -81,3 +81,46 @@ def test_explode_collections():
     assert kinds == [wkb.POLYGON] * 3
     fids = sorted(r["fid"] for r in rows)
     assert fids == [0, 0, 1]
+
+
+def test_linearize_arcs():
+    import pyarrow as pa
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.stages.geomops import linearize_arcs, linearize_batch
+
+    # CCW quarter circle on the unit circle: (1,0) -> (0,1) via 45 deg
+    a = np.radians([0.0, 45.0, 90.0])
+    pts = np.stack([np.cos(a), np.sin(a)], axis=1)
+    out = linearize_arcs(pts, max_angle_deg=4.0)
+    assert len(out) == int(np.ceil(90 / 4.0)) + 1  # 23 segments, 24 vertices
+    assert np.allclose(out[0], pts[0]) and np.allclose(out[-1], pts[2])
+    # every sampled vertex lies on the circle
+    assert np.allclose(np.hypot(out[:, 0], out[:, 1]), 1.0, atol=1e-12)
+    # monotone CCW progression through the middle control point
+    ang = np.unwrap(np.arctan2(out[:, 1], out[:, 0]))
+    assert (np.diff(ang) > 0).all()
+
+    # CW arc: (0,1) -> (1,0) the short way (through 45 deg, decreasing angle)
+    out_cw = linearize_arcs(pts[::-1], max_angle_deg=4.0)
+    ang_cw = np.unwrap(np.arctan2(out_cw[:, 1], out_cw[:, 0]))
+    assert (np.diff(ang_cw) < 0).all()
+
+    # collinear control points degenerate to the chord
+    line = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    assert np.array_equal(linearize_arcs(line), np.array([[0.0, 0.0], [2.0, 0.0]]))
+
+    # batch wrapper: CircularString becomes LineString, others untouched
+    cs = wkb_f.encode_circularstring(pts)
+    ls = wkb_f.encode_linestring(pts)
+    t = pa.table({"wkb": pa.array([cs, ls], pa.binary())})
+    r = linearize_batch(t, max_angle_deg=4.0)
+    g0 = wkb_f.decode(r["wkb"][0].as_py())
+    assert g0.kind == wkb_f.LINESTRING and len(g0.parts[0]) == 24
+    assert r["wkb"][1].as_py() == ls
+
+    # odd-count validation
+    import pytest
+
+    with pytest.raises(ValueError, match="odd point count"):
+        wkb_f.encode_circularstring(pts[:2])
