@@ -28,6 +28,8 @@ MULTIPOINT = 4
 MULTILINESTRING = 5
 MULTIPOLYGON = 6
 CIRCULARSTRING = 8  # ISO SQL/MM curve: arcs through consecutive point triples
+COMPOUNDCURVE = 9   # sequence of LineString / CircularString segments
+CURVEPOLYGON = 10   # polygon whose rings may be curves
 
 _POINT_SIZE = 21  # 1 byte order + 4 type + 16 coords
 
@@ -77,6 +79,20 @@ def encode_circularstring(pts: np.ndarray) -> bytes:
         raise ValueError(f"CircularString needs an odd point count >= 3 "
                          f"(got {len(pts)})")
     return b"\x01" + struct.pack("<II", CIRCULARSTRING, len(pts)) + pts.tobytes()
+
+
+def encode_compoundcurve(members: list[bytes]) -> bytes:
+    """Members are full WKBs of LineString / CircularString segments whose
+    endpoints chain (ISO SQL/MM CompoundCurve)."""
+    return (b"\x01" + struct.pack("<II", COMPOUNDCURVE, len(members))
+            + b"".join(members))
+
+
+def encode_curvepolygon(rings: list[bytes]) -> bytes:
+    """Rings are full WKBs of closed LineString / CircularString /
+    CompoundCurve geometries (ISO SQL/MM CurvePolygon)."""
+    return (b"\x01" + struct.pack("<II", CURVEPOLYGON, len(rings))
+            + b"".join(rings))
 
 
 def encode_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
@@ -165,6 +181,14 @@ def _parse(buf: memoryview, off: int) -> tuple[Geom, int]:
             rings.append(np.frombuffer(buf, dtype=fmt + "f8", count=2 * n, offset=off).reshape(n, 2))
             off += 16 * n
         return Geom(POLYGON, [rings]), off
+    if gtype in (COMPOUNDCURVE, CURVEPOLYGON):
+        (nparts,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        members = []
+        for _ in range(nparts):
+            g, off = _parse(buf, off)
+            members.append(g)  # full member Geoms (kind matters downstream)
+        return Geom(gtype, members), off
     if gtype in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
         (nparts,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4

@@ -229,17 +229,39 @@ def linearize_arcs(pts: np.ndarray, max_angle_deg: float = 4.0) -> np.ndarray:
     return np.vstack(out)
 
 
+def _linearize_curve(g, max_angle_deg: float) -> np.ndarray:
+    """Vertex chain of a (possibly compound) curve member."""
+    if g.kind == _wkb.CIRCULARSTRING:
+        return linearize_arcs(g.parts[0], max_angle_deg)
+    if g.kind == _wkb.LINESTRING:
+        return g.parts[0]
+    if g.kind == _wkb.COMPOUNDCURVE:
+        chain = []
+        for m in g.parts:
+            pts = _linearize_curve(m, max_angle_deg)
+            # consecutive segments share their joint vertex per SQL/MM
+            chain.append(pts if not chain else pts[1:])
+        return np.vstack(chain)
+    raise ValueError(f"not a curve geometry (kind {g.kind})")
+
+
 def linearize_batch(batch: pa.Table, max_angle_deg: float = 4.0,
                     wkb_col: str = "wkb") -> pa.Table:
-    """CurveToLine (ogr2ogr -nlt CONVERT_TO_LINEAR surface): CircularString
-    WKBs become LineStrings sampled at <= max_angle_deg per step; linear
-    geometries pass through untouched."""
+    """CurveToLine (ogr2ogr -nlt CONVERT_TO_LINEAR surface,
+    ogr/ogrgeometryfactory.cpp curveToLineString): CircularString and
+    CompoundCurve WKBs become LineStrings sampled at <= max_angle_deg per
+    arc step; CurvePolygon rings become Polygon rings; linear geometries
+    pass through untouched."""
     out = []
     for w in batch[wkb_col].to_pylist():
-        if _wkb.geom_type(w) == _wkb.CIRCULARSTRING:
-            g = _wkb.decode(w)
+        gtype = _wkb.geom_type(w)
+        if gtype in (_wkb.CIRCULARSTRING, _wkb.COMPOUNDCURVE):
             out.append(_wkb.encode_linestring(
-                linearize_arcs(g.parts[0], max_angle_deg)))
+                _linearize_curve(_wkb.decode(w), max_angle_deg)))
+        elif gtype == _wkb.CURVEPOLYGON:
+            g = _wkb.decode(w)
+            out.append(_wkb.encode_polygon(
+                [_linearize_curve(r, max_angle_deg) for r in g.parts]))
         else:
             out.append(w)
     return batch.set_column(

@@ -124,3 +124,40 @@ def test_linearize_arcs():
 
     with pytest.raises(ValueError, match="odd point count"):
         wkb_f.encode_circularstring(pts[:2])
+
+
+def test_linearize_compound_and_curvepolygon():
+    import pyarrow as pa
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.stages.geomops import linearize_batch
+
+    # CompoundCurve: straight segment then a CCW half-circle back over it
+    seg = wkb_f.encode_linestring(np.array([[-1.0, 0.0], [1.0, 0.0]]))
+    a = np.radians([0.0, 90.0, 180.0])
+    arc = wkb_f.encode_circularstring(np.stack([np.cos(a), np.sin(a)], axis=1))
+    cc = wkb_f.encode_compoundcurve([seg, arc])
+    t = pa.table({"wkb": pa.array([cc], pa.binary())})
+    g = wkb_f.decode(linearize_batch(t, 4.0)["wkb"][0].as_py())
+    assert g.kind == wkb_f.LINESTRING
+    pts = g.parts[0]
+    # 2 (segment) + 45 arc vertices, joint vertex (1,0) deduplicated
+    assert len(pts) == 2 + int(np.ceil(180 / 4.0))
+    assert np.allclose(pts[0], [-1, 0]) and np.allclose(pts[-1], [-1, 0])
+    r = np.hypot(pts[2:, 0], pts[2:, 1])
+    assert np.allclose(r, 1.0, atol=1e-12)
+
+    # CurvePolygon: full circle as one closed two-arc CircularString ring
+    a2 = np.radians([0.0, 90.0, 180.0, 270.0, 360.0])
+    ring = wkb_f.encode_circularstring(
+        np.stack([np.cos(a2), np.sin(a2)], axis=1))
+    cp = wkb_f.encode_curvepolygon([ring])
+    t2 = pa.table({"wkb": pa.array([cp], pa.binary())})
+    g2 = wkb_f.decode(linearize_batch(t2, 4.0)["wkb"][0].as_py())
+    assert g2.kind == wkb_f.POLYGON
+    rpts = g2.parts[0][0]
+    assert np.allclose(rpts[0], rpts[-1])  # ring stays closed
+    # shoelace area approaches the unit-circle area from below
+    x, y = rpts[:, 0], rpts[:, 1]
+    area = 0.5 * abs(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+    assert 0.995 * np.pi < area < np.pi
