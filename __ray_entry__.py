@@ -2442,6 +2442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_tiles_roundtrip": q.png_tiles_q,
         "jpeg_tiles_roundtrip": q.jpeg_tiles_q,
         "curve_linearize": q.curve_linearize_q,
+        "force_2d": q.force_2d_q,
         "left_join_orders": q.left_join_orders_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
@@ -3547,6 +3548,26 @@ def oracle_sql() -> dict[str, str]:
                             * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM px GROUP BY 1, 2
+        """,
+        "force_2d": """
+            WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+            pz AS (SELECT k, 'pointz' AS kind, 0 AS seq,
+                          k * 1.5 AS x, k * 2.5 AS y
+                   FROM n WHERE k % 3 = 0),
+            lz AS (SELECT k, 'linez' AS kind, i.i AS seq,
+                          k * 1.0 + i.i AS x, k + 0.25 + 1.5 * i.i AS y
+                   FROM n, (SELECT unnest([0, 1]) AS i) i
+                   WHERE k % 3 = 1),
+            gz AS (SELECT k, 'polyz' AS kind, i.i AS seq,
+                          k + [0.0,1.0,1.0,0.0,0.0][i.i + 1] AS x,
+                          k + [0.0,0.0,1.0,1.0,0.0][i.i + 1] AS y
+                   FROM n, (SELECT unnest(generate_series(0, 4)) AS i) i
+                   WHERE k % 3 = 2)
+            SELECT k AS n_nationkey, kind, CAST(seq AS BIGINT) AS seq,
+                   CAST(round(x * 1e6) AS BIGINT) AS x_u6,
+                   CAST(round(y * 1e6) AS BIGINT) AS y_u6
+            FROM (SELECT * FROM pz UNION ALL SELECT * FROM lz
+                  UNION ALL SELECT * FROM gz)
         """,
         # CurveToLine: vertices recomputed from the exact arc parameters;
         # the engine recovers center/angles from the 3 control points

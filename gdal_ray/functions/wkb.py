@@ -102,6 +102,32 @@ def encode_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
     return b"".join(out)
 
 
+def encode_geom(g: "Geom") -> bytes:
+    """Re-serialize a parsed 2-D Geom (linear types + CircularString)."""
+    if g.kind == POINT:
+        return encode_points(g.parts[0][:, 0], g.parts[0][:, 1])[0]
+    if g.kind == LINESTRING:
+        return encode_linestring(g.parts[0])
+    if g.kind == CIRCULARSTRING:
+        return encode_circularstring(g.parts[0])
+    if g.kind == POLYGON:
+        return encode_polygon(g.parts[0])
+    if g.kind == MULTIPOLYGON:
+        return encode_multipolygon(g.parts)
+    if g.kind in (MULTIPOINT, MULTILINESTRING):
+        member = POINT if g.kind == MULTIPOINT else LINESTRING
+        out = [b"\x01", struct.pack("<II", g.kind, len(g.parts))]
+        for pts in g.parts:
+            out.append(encode_points(pts[:, 0], pts[:, 1])[0]
+                       if member == POINT else encode_linestring(pts))
+        return b"".join(out)
+    if g.kind == COMPOUNDCURVE:
+        return encode_compoundcurve([encode_geom(m) for m in g.parts])
+    if g.kind == CURVEPOLYGON:
+        return encode_curvepolygon([encode_geom(m) for m in g.parts])
+    raise ValueError(f"cannot re-encode geometry kind {g.kind}")
+
+
 class Geom:
     """Parsed geometry: kind + list of parts.
 
@@ -151,26 +177,37 @@ class Geom:
         return (v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max())
 
 
-def _parse(buf: memoryview, off: int) -> tuple[Geom, int]:
+def _parse(buf: memoryview, off: int, allow_zm: bool = False) -> tuple[Geom, int]:
     byte_order = buf[off]
     fmt = "<" if byte_order == 1 else ">"
     (raw_type,) = struct.unpack_from(fmt + "I", buf, off + 1)
     off += 5
     if raw_type & 0x20000000:  # EWKB SRID flag: skip the 4-byte SRID value
         off += 4
-    base = raw_type & 0x1FFFFFFF  # SRID flag stripped; Z/M still visible
-    if raw_type & 0xC0000000 or base >= 1000:
-        # EWKB Z/M flags or ISO 1000+/2000+/3000+ type codes: 2-D only
-        raise ValueError(f"unsupported WKB Z/M variant (type {raw_type:#x}); 2-D only")
+    has_z = bool(raw_type & 0x80000000)  # EWKB flags
+    has_m = bool(raw_type & 0x40000000)
+    base = raw_type & 0x1FFFFFFF  # SRID flag stripped
+    if base >= 1000:  # ISO type codes: 1000+Z, 2000+M, 3000+ZM
+        has_z |= (base // 1000) in (1, 3)
+        has_m |= (base // 1000) in (2, 3)
+        base %= 1000
+    if (has_z or has_m) and not allow_zm:
+        raise ValueError(
+            f"WKB Z/M variant (type {raw_type:#x}): this engine computes in "
+            f"2-D — route through geomops.force_2d_batch (ogr2ogr -dim XY) "
+            f"to drop the extra ordinates explicitly")
+    dim = 2 + has_z + has_m
     gtype = base
     if gtype == POINT:
-        pt = np.frombuffer(buf, dtype=fmt + "f8", count=2, offset=off).reshape(1, 2)
-        return Geom(POINT, [pt]), off + 16
+        pt = np.frombuffer(buf, dtype=fmt + "f8", count=dim, offset=off
+                           ).reshape(1, dim)[:, :2]
+        return Geom(POINT, [pt]), off + 8 * dim
     if gtype in (LINESTRING, CIRCULARSTRING):
         (n,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
-        pts = np.frombuffer(buf, dtype=fmt + "f8", count=2 * n, offset=off).reshape(n, 2)
-        return Geom(gtype, [pts]), off + 16 * n
+        pts = np.frombuffer(buf, dtype=fmt + "f8", count=dim * n, offset=off
+                            ).reshape(n, dim)[:, :2]
+        return Geom(gtype, [pts]), off + 8 * dim * n
     if gtype == POLYGON:
         (nrings,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
@@ -178,15 +215,16 @@ def _parse(buf: memoryview, off: int) -> tuple[Geom, int]:
         for _ in range(nrings):
             (n,) = struct.unpack_from(fmt + "I", buf, off)
             off += 4
-            rings.append(np.frombuffer(buf, dtype=fmt + "f8", count=2 * n, offset=off).reshape(n, 2))
-            off += 16 * n
+            rings.append(np.frombuffer(buf, dtype=fmt + "f8", count=dim * n,
+                                       offset=off).reshape(n, dim)[:, :2])
+            off += 8 * dim * n
         return Geom(POLYGON, [rings]), off
     if gtype in (COMPOUNDCURVE, CURVEPOLYGON):
         (nparts,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
         members = []
         for _ in range(nparts):
-            g, off = _parse(buf, off)
+            g, off = _parse(buf, off, allow_zm)
             members.append(g)  # full member Geoms (kind matters downstream)
         return Geom(gtype, members), off
     if gtype in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
@@ -194,7 +232,7 @@ def _parse(buf: memoryview, off: int) -> tuple[Geom, int]:
         off += 4
         parts = []
         for _ in range(nparts):
-            g, off = _parse(buf, off)
+            g, off = _parse(buf, off, allow_zm)
             # member Geom stores its payload at parts[0] for every member
             # kind (point/linestring array, or a polygon's ring list)
             parts.append(g.parts[0])
@@ -202,8 +240,11 @@ def _parse(buf: memoryview, off: int) -> tuple[Geom, int]:
     raise ValueError(f"unsupported WKB geometry type {gtype}")
 
 
-def decode(wkb: bytes) -> Geom:
-    g, _ = _parse(memoryview(wkb), 0)
+def decode(wkb: bytes, allow_zm: bool = False) -> Geom:
+    """Parse a WKB.  ``allow_zm=True`` accepts ISO/EWKB Z/M variants and
+    DROPS the extra ordinates (the force-2d read mode); the default is
+    strict 2-D so Z data can't silently lose its third dimension."""
+    g, _ = _parse(memoryview(wkb), 0, allow_zm)
     return g
 
 

@@ -1299,6 +1299,69 @@ def png_tiles_q(sf_dir: str):
     return receipts.map_batches(verify, batch_format="pyarrow")
 
 
+def force_2d_q(sf_dir: str):
+    """ogr2ogr -dim XY over Z/M inputs: build ISO PointZ / LineStringZM /
+    PolygonZ WKBs per nation key, force-2d them, and emit the surviving XY
+    micro-units — the oracle recomputes the deterministic coordinates."""
+    import struct as st
+
+    from ..functions import wkb as wkb_f
+    from ..stages import geomops
+
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey"])
+
+    def build(t: pa.Table) -> pa.Table:
+        keys, wkbs, kinds = [], [], []
+        for k in t["n_nationkey"].to_pylist():
+            k = int(k)
+            if k % 3 == 0:  # ISO PointZ (1001)
+                w = (b"\x01" + st.pack("<I", 1001)
+                     + st.pack("<ddd", k * 1.5, k * 2.5, 99.0))
+                kind = "pointz"
+            elif k % 3 == 1:  # ISO LineStringZM (3002): 2 vertices
+                pts = [(k * 1.0, k + 0.25, 5.0, 6.0),
+                       (k + 1.0, k + 1.75, 7.0, 8.0)]
+                w = (b"\x01" + st.pack("<II", 3002, len(pts))
+                     + b"".join(st.pack("<dddd", *p) for p in pts))
+                kind = "linez"
+            else:  # EWKB PolygonZ (Z flag bit): unit square at (k, k)
+                ring = [(k + dx, k + dy, 3.0) for dx, dy in
+                        ((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0),
+                         (0.0, 0.0))]
+                w = (b"\x01" + st.pack("<II", 0x80000003, 1)
+                     + st.pack("<I", len(ring))
+                     + b"".join(st.pack("<ddd", *p) for p in ring))
+                kind = "polyz"
+            keys.append(k)
+            wkbs.append(w)
+            kinds.append(kind)
+        return pa.table({"n_nationkey": pa.array(keys, pa.int64()),
+                         "kind": pa.array(kinds),
+                         "wkb": pa.array(wkbs, pa.binary())})
+
+    flat = nat.map_batches(build, batch_format="pyarrow").map_batches(
+        geomops.force_2d_batch, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ks, kk, seqs, xs, ys = [], [], [], [], []
+        for i in range(t.num_rows):
+            g = wkb_f.decode(t["wkb"][i].as_py())  # strict 2-D decode
+            v = g.vertices()
+            u = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)
+            for s in range(len(v)):
+                ks.append(t["n_nationkey"][i].as_py())
+                kk.append(t["kind"][i].as_py())
+                seqs.append(s)
+                xs.append(int(u[s, 0])); ys.append(int(u[s, 1]))
+        return pa.table({"n_nationkey": pa.array(ks, pa.int64()),
+                         "kind": pa.array(kk),
+                         "seq": pa.array(seqs, pa.int64()),
+                         "x_u6": pa.array(xs, pa.int64()),
+                         "y_u6": pa.array(ys, pa.int64())})
+
+    return flat.map_batches(explode, batch_format="pyarrow")
+
+
 def curve_linearize_q(sf_dir: str):
     """CircularString -> LineString linearization (CurveToLine,
     ogr/ogrgeometryfactory.cpp curveToLineString; ogr2ogr -nlt

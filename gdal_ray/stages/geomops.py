@@ -269,6 +269,27 @@ def linearize_batch(batch: pa.Table, max_angle_deg: float = 4.0,
     )
 
 
+def force_2d_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
+    """ogr2ogr -dim XY: accept ISO/EWKB Z/M geometry variants and re-encode
+    them as plain 2-D WKB (the engine's compute wire format).  Already-2-D
+    little-endian WKBs pass through byte-identical; the engine's strict
+    decode elsewhere keeps Z data from being dropped implicitly."""
+    out = []
+    for w in batch[wkb_col].to_pylist():
+        fmt = "<" if w[0] == 1 else ">"
+        import struct as _s
+
+        (raw_type,) = _s.unpack_from(fmt + "I", w, 1)
+        base = raw_type & 0x1FFFFFFF
+        if fmt == "<" and not (raw_type & 0xC0000000) and base < 1000:
+            out.append(w)  # already plain 2-D
+            continue
+        out.append(_wkb.encode_geom(_wkb.decode(w, allow_zm=True)))
+    return batch.set_column(
+        batch.column_names.index(wkb_col), wkb_col, pa.array(out, pa.binary())
+    )
+
+
 def swap_xy_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
     out = []
     for w in batch[wkb_col].to_pylist():

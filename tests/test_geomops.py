@@ -161,3 +161,36 @@ def test_linearize_compound_and_curvepolygon():
     x, y = rpts[:, 0], rpts[:, 1]
     area = 0.5 * abs(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
     assert 0.995 * np.pi < area < np.pi
+
+
+def test_force_2d():
+    import struct as st
+
+    import pyarrow as pa
+    import pytest
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.stages.geomops import force_2d_batch
+
+    pz = b"\x01" + st.pack("<I", 1001) + st.pack("<ddd", 1.0, 2.0, 99.0)
+    # strict decode refuses Z; force-2d mode drops it
+    with pytest.raises(ValueError, match="force_2d"):
+        wkb_f.decode(pz)
+    lzm = (b"\x01" + st.pack("<II", 3002, 2)
+           + st.pack("<dddd", 0.0, 0.0, 5.0, 6.0)
+           + st.pack("<dddd", 1.0, 1.0, 7.0, 8.0))
+    ewkb_polyz = (b"\x01" + st.pack("<II", 0x80000003, 1) + st.pack("<I", 4)
+                  + st.pack("<ddd", 0, 0, 3) + st.pack("<ddd", 1, 0, 3)
+                  + st.pack("<ddd", 1, 1, 3) + st.pack("<ddd", 0, 0, 3))
+    plain = wkb_f.encode_linestring(np.array([[5.0, 6.0], [7.0, 8.0]]))
+    t = pa.table({"wkb": pa.array([pz, lzm, ewkb_polyz, plain], pa.binary())})
+    r = force_2d_batch(t)
+    g0 = wkb_f.decode(r["wkb"][0].as_py())
+    assert g0.kind == wkb_f.POINT and np.allclose(g0.parts[0], [[1.0, 2.0]])
+    g1 = wkb_f.decode(r["wkb"][1].as_py())
+    assert g1.kind == wkb_f.LINESTRING
+    assert np.allclose(g1.parts[0], [[0, 0], [1, 1]])
+    g2 = wkb_f.decode(r["wkb"][2].as_py())
+    assert g2.kind == wkb_f.POLYGON and len(g2.parts[0][0]) == 4
+    # plain 2-D WKB passes through byte-identical
+    assert r["wkb"][3].as_py() == plain
