@@ -297,3 +297,31 @@ def test_fnv1a_matches_scalar_property(strs):
 
     got = fnv1a_u64(pa.array(strs, pa.string()))
     assert [int(v) for v in got] == [ref(s) for s in strs]
+
+
+def test_adpcm_vectorized_matches_scalar_reference():
+    """decode_wav's across-block vectorized ADPCM recurrence must be
+    bit-identical to the scalar per-block reference (_ima_decode_block)."""
+    import numpy as np
+
+    from gdal_ray.sources.wav import (_ima_decode_block, decode_wav,
+                                      encode_wav_adpcm)
+
+    rng = np.random.default_rng(11)
+    for spb in (9, 33, 505):
+        nblk = int(rng.integers(1, 20))
+        sig = rng.integers(-32768, 32768, nblk * spb).astype(np.int16)
+        buf = encode_wav_adpcm(sig, samples_per_block=spb)
+        fast, _ = decode_wav(buf)
+        data = buf[buf.rfind(b"data") + 8:]
+        ba = 4 + (spb - 1) // 2
+        data = data[:nblk * ba]
+        ref = []
+        for s in range(0, len(data), ba):
+            blk = data[s:s + ba]
+            nb = np.frombuffer(blk, np.uint8, offset=4)
+            nib = np.empty(2 * len(nb), np.uint8)
+            nib[0::2] = nb & 0xF
+            nib[1::2] = nb >> 4
+            ref.append(_ima_decode_block(blk[:4], nib))
+        assert np.array_equal(fast, np.concatenate(ref))
