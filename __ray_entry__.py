@@ -2443,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_tiles_roundtrip": q.jpeg_tiles_q,
         "curve_linearize": q.curve_linearize_q,
         "force_2d": q.force_2d_q,
+        "curve_area": q.curve_area_q,
         "left_join_orders": q.left_join_orders_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
@@ -3548,6 +3549,20 @@ def oracle_sql() -> dict[str, str]:
                             * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM px GROUP BY 1, 2
+        """,
+        "curve_area": """
+            WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+            SELECT k AS n_nationkey,
+                   CASE k % 3 WHEN 0 THEN 'disc'
+                              WHEN 1 THEN 'square_hole'
+                              ELSE 'quarter_pie' END AS kind,
+                   CAST(round(CASE k % 3
+                     WHEN 0 THEN pi() * (1.0 + (k % 4)) * (1.0 + (k % 4))
+                     WHEN 1 THEN (2.0 + (k % 5)) * (2.0 + (k % 5))
+                                 - pi() * 0.25
+                     ELSE pi() * (1.0 + (k % 3)) * (1.0 + (k % 3)) / 4.0
+                   END * 1e6) AS BIGINT) AS area_u6
+            FROM n
         """,
         "force_2d": """
             WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),

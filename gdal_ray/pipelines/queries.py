@@ -1299,6 +1299,67 @@ def png_tiles_q(sf_dir: str):
     return receipts.map_batches(verify, batch_format="pyarrow")
 
 
+def curve_area_q(sf_dir: str):
+    """EXACT CurvePolygon areas (OGRCurvePolygon::get_Area — chord
+    shoelace + circular-segment corrections, no linearization): per nation
+    key a full-circle disc, a square with a circular hole, or a
+    compound-curve quarter-pie; the oracle is the closed form."""
+    from ..functions import wkb as wkb_f
+    from ..stages import geomops
+
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey"])
+
+    def circle_ring(cx, cy, r):
+        a = np.radians([0.0, 90.0, 180.0, 270.0, 360.0])
+        return wkb_f.encode_circularstring(
+            np.stack([cx + r * np.cos(a), cy + r * np.sin(a)], axis=1))
+
+    def build(t: pa.Table) -> pa.Table:
+        keys, kinds, wkbs = [], [], []
+        for k in t["n_nationkey"].to_pylist():
+            k = int(k)
+            if k % 3 == 0:  # disc: area = pi r^2
+                r = 1.0 + (k % 4)
+                w = wkb_f.encode_curvepolygon([circle_ring(k, k, r)])
+                kind = "disc"
+            elif k % 3 == 1:  # square shell, circular hole: s^2 - pi/4
+                s = 2.0 + (k % 5)
+                sq = wkb_f.encode_linestring(np.array(
+                    [[k, k], [k + s, k], [k + s, k + s], [k, k + s], [k, k]]))
+                w = wkb_f.encode_curvepolygon(
+                    [sq, circle_ring(k + 1.0, k + 1.0, 0.5)])
+                kind = "square_hole"
+            else:  # compound quarter pie: pi r^2 / 4
+                r = 1.0 + (k % 3)
+                cx, cy = float(k), float(2 * k)
+                leg1 = wkb_f.encode_linestring(
+                    np.array([[cx, cy], [cx + r, cy]]))
+                m = r / np.sqrt(2.0)
+                arc = wkb_f.encode_circularstring(np.array(
+                    [[cx + r, cy], [cx + m, cy + m], [cx, cy + r]]))
+                leg2 = wkb_f.encode_linestring(
+                    np.array([[cx, cy + r], [cx, cy]]))
+                w = wkb_f.encode_curvepolygon(
+                    [wkb_f.encode_compoundcurve([leg1, arc, leg2])])
+                kind = "quarter_pie"
+            keys.append(k); kinds.append(kind); wkbs.append(w)
+        return pa.table({"n_nationkey": pa.array(keys, pa.int64()),
+                         "kind": pa.array(kinds),
+                         "wkb": pa.array(wkbs, pa.binary())})
+
+    areas = nat.map_batches(build, batch_format="pyarrow").map_batches(
+        geomops.curve_area_batch, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t["area"].to_numpy(zero_copy_only=False)
+        u = (np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5)).astype(np.int64)
+        return pa.table({"n_nationkey": t["n_nationkey"],
+                         "kind": t["kind"],
+                         "area_u6": pa.array(u, pa.int64())})
+
+    return areas.map_batches(finish, batch_format="pyarrow")
+
+
 def force_2d_q(sf_dir: str):
     """ogr2ogr -dim XY over Z/M inputs: build ISO PointZ / LineStringZM /
     PolygonZ WKBs per nation key, force-2d them, and emit the surviving XY

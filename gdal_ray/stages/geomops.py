@@ -269,6 +269,82 @@ def linearize_batch(batch: pa.Table, max_angle_deg: float = 4.0,
     )
 
 
+def _curve_ring_area(g) -> float:
+    """Signed area enclosed by a closed curve ring WITHOUT linearizing:
+    shoelace over the chord skeleton plus the exact circular-segment
+    correction r^2/2*(theta - sin(theta)) per arc, signed by sweep
+    direction (OGRCurvePolygon::get_Area exact-curve semantics,
+    ogr/ogrcurvepolygon.cpp / ogrcircularstring.cpp get_AreaOfCurveSegments)."""
+    if g.kind == _wkb.LINESTRING:
+        pts = g.parts[0]
+        x, y = pts[:, 0], pts[:, 1]
+        return 0.5 * (np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+    if g.kind == _wkb.CIRCULARSTRING:
+        pts = g.parts[0]
+        # chord skeleton: every other control point (arc endpoints)
+        chord = pts[0::2]
+        x, y = chord[:, 0], chord[:, 1]
+        area = 0.5 * (np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+        for k in range(0, len(pts) - 2, 2):
+            arc = _arc_params(pts[k], pts[k + 1], pts[k + 2])
+            if arc is None:
+                continue  # collinear: no bulge
+            _c, r, _t0, sweep = arc
+            # segment between chord and arc, signed with the sweep:
+            # CCW bulge adds area, CW bulge removes it
+            s = abs(sweep)
+            area += np.sign(sweep) * 0.5 * r * r * (s - np.sin(s))
+        return area
+    if g.kind == _wkb.COMPOUNDCURVE:
+        # stitch member chords into one ring skeleton, then add each
+        # member's own bulge corrections
+        chords = []
+        area = 0.0
+        for m in g.parts:
+            pts = m.parts[0]
+            skel = pts[0::2] if m.kind == _wkb.CIRCULARSTRING else pts
+            chords.append(skel if not chords else skel[1:])
+            if m.kind == _wkb.CIRCULARSTRING:
+                for k in range(0, len(pts) - 2, 2):
+                    arc = _arc_params(pts[k], pts[k + 1], pts[k + 2])
+                    if arc is None:
+                        continue
+                    _c, r, _t0, sweep = arc
+                    s = abs(sweep)
+                    area += np.sign(sweep) * 0.5 * r * r * (s - np.sin(s))
+        ring = np.vstack(chords)
+        x, y = ring[:, 0], ring[:, 1]
+        return area + 0.5 * (np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+    raise ValueError(f"not a curve ring (kind {g.kind})")
+
+
+def curve_area_batch(batch: pa.Table, wkb_col: str = "wkb",
+                     out_col: str = "area") -> pa.Table:
+    """EXACT planar area of CurvePolygon / closed-curve WKBs (no
+    linearization error): |shell| - |holes| with circular-segment
+    corrections.  Linear Polygons take the plain shoelace path."""
+    out = []
+    for w in batch[wkb_col].to_pylist():
+        gtype = _wkb.geom_type(w)
+        if gtype == _wkb.CURVEPOLYGON:
+            g = _wkb.decode(w)
+            vals = [abs(_curve_ring_area(r)) for r in g.parts]
+            out.append(vals[0] - sum(vals[1:]) if vals else 0.0)
+        elif gtype in (_wkb.CIRCULARSTRING, _wkb.COMPOUNDCURVE):
+            out.append(abs(_curve_ring_area(_wkb.decode(w))))
+        elif gtype == _wkb.POLYGON:
+            g = _wkb.decode(w)
+            vals = []
+            for ring in g.parts[0]:
+                x, y = ring[:, 0], ring[:, 1]
+                vals.append(abs(0.5 * (np.dot(x[:-1], y[1:])
+                                       - np.dot(x[1:], y[:-1]))))
+            out.append(vals[0] - sum(vals[1:]) if vals else 0.0)
+        else:
+            out.append(0.0)
+    return batch.append_column(out_col, pa.array(out, pa.float64()))
+
+
 def force_2d_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
     """ogr2ogr -dim XY: accept ISO/EWKB Z/M geometry variants and re-encode
     them as plain 2-D WKB (the engine's compute wire format).  Already-2-D

@@ -194,3 +194,43 @@ def test_force_2d():
     assert g2.kind == wkb_f.POLYGON and len(g2.parts[0][0]) == 4
     # plain 2-D WKB passes through byte-identical
     assert r["wkb"][3].as_py() == plain
+
+
+def test_curve_area_exact():
+    import pyarrow as pa
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.stages.geomops import curve_area_batch
+
+    # full unit circle (two arcs): pi exactly (to float ulp)
+    a = np.radians([0.0, 90.0, 180.0, 270.0, 360.0])
+    circle = wkb_f.encode_circularstring(np.stack([np.cos(a), np.sin(a)], 1))
+    # same ring traversed CW: |area| identical
+    circle_cw = wkb_f.encode_circularstring(
+        np.stack([np.cos(a[::-1]), np.sin(a[::-1])], 1))
+    # stadium: 2x1 rectangle capped by two half circles r=0.5 -> 2 + pi/4
+    m = 0.5
+    cap1 = wkb_f.encode_circularstring(
+        np.array([[2.0, 0.0], [2.0 + m, 0.5], [2.0, 1.0]]))
+    cap2 = wkb_f.encode_circularstring(
+        np.array([[0.0, 1.0], [-m, 0.5], [0.0, 0.0]]))
+    top = wkb_f.encode_linestring(np.array([[2.0, 1.0], [0.0, 1.0]]))
+    bot = wkb_f.encode_linestring(np.array([[0.0, 0.0], [2.0, 0.0]]))
+    stadium = wkb_f.encode_curvepolygon(
+        [wkb_f.encode_compoundcurve([bot, cap1, top, cap2])])
+    # inward-bulging arc subtracts: unit square with a half-disc bite r=0.5
+    bite = wkb_f.encode_circularstring(
+        np.array([[0.0, 0.0], [0.5, 0.5], [1.0, 0.0]]))  # bulges INTO the square
+    rest = wkb_f.encode_linestring(
+        np.array([[1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]))
+    bitten = wkb_f.encode_curvepolygon(
+        [wkb_f.encode_compoundcurve([bite, rest])])
+    t = pa.table({"wkb": pa.array(
+        [wkb_f.encode_curvepolygon([circle]),
+         wkb_f.encode_curvepolygon([circle_cw]), stadium, bitten],
+        pa.binary())})
+    r = curve_area_batch(t)["area"].to_pylist()
+    assert abs(r[0] - np.pi) < 1e-12
+    assert abs(r[1] - np.pi) < 1e-12
+    assert abs(r[2] - (2.0 + np.pi / 4.0)) < 1e-12
+    assert abs(r[3] - (1.0 - np.pi / 8.0)) < 1e-12
