@@ -51,6 +51,22 @@ def encode_wkt(wkb: bytes) -> str:
             "(" + ", ".join(f"({_pts(r)})" for r in rings) + ")"
             for rings in g.parts)
         return f"MULTIPOLYGON ({polys})"
+    if g.kind == wkb_f.CIRCULARSTRING:
+        return f"CIRCULARSTRING ({_pts(g.parts[0])})"
+    if g.kind == wkb_f.COMPOUNDCURVE:
+        # SQL/MM WKT: LINESTRING members render as bare point sequences
+        return "COMPOUNDCURVE (" + ", ".join(
+            f"({_pts(m.parts[0])})" if m.kind == wkb_f.LINESTRING
+            else f"CIRCULARSTRING ({_pts(m.parts[0])})"
+            for m in g.parts) + ")"
+    if g.kind == wkb_f.CURVEPOLYGON:
+        rings = []
+        for m in g.parts:
+            if m.kind == wkb_f.LINESTRING:
+                rings.append(f"({_pts(m.parts[0])})")
+            else:  # CIRCULARSTRING / COMPOUNDCURVE rings keep their tag
+                rings.append(encode_wkt(wkb_f.encode_geom(m)))
+        return "CURVEPOLYGON (" + ", ".join(rings) + ")"
     raise ValueError(f"unsupported WKB kind {g.kind} for WKT")
 
 
@@ -164,4 +180,42 @@ def parse_wkt(text: str) -> bytes | None:
             polys.append(_parse_ring_list(p))
         p.expect(")")
         return wkb_f.encode_multipolygon(polys)
+    if kind == "CIRCULARSTRING":
+        return wkb_f.encode_circularstring(_parse_point_seq(p))
+    if kind == "COMPOUNDCURVE":
+        p.expect("(")
+        members = [_parse_curve_member(p)]
+        while p.peek() == ",":
+            p.expect(",")
+            members.append(_parse_curve_member(p))
+        p.expect(")")
+        return wkb_f.encode_compoundcurve(members)
+    if kind == "CURVEPOLYGON":
+        p.expect("(")
+        rings = [_parse_curve_member(p, rings_ok=True)]
+        while p.peek() == ",":
+            p.expect(",")
+            rings.append(_parse_curve_member(p, rings_ok=True))
+        p.expect(")")
+        return wkb_f.encode_curvepolygon(rings)
     raise ValueError(f"unsupported WKT type {kind!r}")
+
+
+def _parse_curve_member(p: _P, rings_ok: bool = False) -> bytes:
+    """One CompoundCurve segment / CurvePolygon ring: a bare parenthesized
+    point sequence is an implicit LINESTRING; tagged CIRCULARSTRING (and,
+    for rings, COMPOUNDCURVE) keep their type (SQL/MM WKT grammar)."""
+    if p.peek() == "(":
+        return wkb_f.encode_linestring(_parse_point_seq(p))
+    w = p.word()
+    if w == "CIRCULARSTRING":
+        return wkb_f.encode_circularstring(_parse_point_seq(p))
+    if w == "COMPOUNDCURVE" and rings_ok:
+        p.expect("(")
+        members = [_parse_curve_member(p)]
+        while p.peek() == ",":
+            p.expect(",")
+            members.append(_parse_curve_member(p))
+        p.expect(")")
+        return wkb_f.encode_compoundcurve(members)
+    raise ValueError(f"unsupported curve member {w!r}")

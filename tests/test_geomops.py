@@ -234,3 +234,31 @@ def test_curve_area_exact():
     assert abs(r[1] - np.pi) < 1e-12
     assert abs(r[2] - (2.0 + np.pi / 4.0)) < 1e-12
     assert abs(r[3] - (1.0 - np.pi / 8.0)) < 1e-12
+
+
+def test_curve_wkt_roundtrip():
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.functions.wkt import encode_wkt, parse_wkt
+
+    cases = [
+        "CIRCULARSTRING (0 0, 1 1, 2 0)",
+        "COMPOUNDCURVE ((0 0, 2 0), CIRCULARSTRING (2 0, 3 1, 4 0))",
+        "CURVEPOLYGON (CIRCULARSTRING (0 0, 1 1, 2 0, 1 -1, 0 0))",
+        "CURVEPOLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+        "CIRCULARSTRING (1 1, 2 2, 3 1, 2 0.5, 1 1))",
+        "CURVEPOLYGON (COMPOUNDCURVE ((0 0, 2 0), "
+        "CIRCULARSTRING (2 0, 1 1, 0 0)))",
+    ]
+    for w in cases:
+        blob = parse_wkt(w)
+        assert encode_wkt(blob) == w  # repr round trip is bitwise-stable
+        # re-parse of the re-rendered text gives identical WKB
+        assert parse_wkt(encode_wkt(blob)) == blob
+    # curve WKT -> linearize -> area consistency: circle of radius 1
+    import pyarrow as pa
+
+    from gdal_ray.stages.geomops import curve_area_batch
+
+    cp = parse_wkt("CURVEPOLYGON (CIRCULARSTRING (1 0, 0 1, -1 0, 0 -1, 1 0))")
+    t = pa.table({"wkb": pa.array([cp], pa.binary())})
+    assert abs(curve_area_batch(t)["area"][0].as_py() - np.pi) < 1e-12
