@@ -2444,6 +2444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curve_linearize": q.curve_linearize_q,
         "force_2d": q.force_2d_q,
         "curve_area": q.curve_area_q,
+        "explode_geometrycollection": q.explode_geometrycollection_q,
         "left_join_orders": q.left_join_orders_q,
         "raster_as_features": q.raster_as_features_q,
         "color_relief": q.color_relief_q,
@@ -3549,6 +3550,23 @@ def oracle_sql() -> dict[str, str]:
                             * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM px GROUP BY 1, 2
+        """,
+        "explode_geometrycollection": """
+            WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+            parts AS (
+              SELECT k, 1 AS geom_type, k * 1000000 AS x_u6,
+                     k * 1000000 + 500000 AS y_u6 FROM n          -- point
+              UNION ALL
+              SELECT k, 2, k * 1000000, 0 FROM n                  -- line p0
+              UNION ALL
+              SELECT k, 1, (k + 2) * 1000000, 2000000 FROM n      -- mp a
+              UNION ALL
+              SELECT k, 1, (k + 3) * 1000000, 3000000 FROM n      -- mp b
+              UNION ALL
+              SELECT k, 1, (k + 9) * 1000000, 9000000 FROM n)     -- nested
+            SELECT k AS n_nationkey, CAST(geom_type AS BIGINT) AS geom_type,
+                   CAST(x_u6 AS BIGINT) AS x_u6, CAST(y_u6 AS BIGINT) AS y_u6
+            FROM parts
         """,
         "curve_area": """
             WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)

@@ -27,6 +27,7 @@ POLYGON = 3
 MULTIPOINT = 4
 MULTILINESTRING = 5
 MULTIPOLYGON = 6
+GEOMETRYCOLLECTION = 7
 CIRCULARSTRING = 8  # ISO SQL/MM curve: arcs through consecutive point triples
 COMPOUNDCURVE = 9   # sequence of LineString / CircularString segments
 CURVEPOLYGON = 10   # polygon whose rings may be curves
@@ -81,6 +82,12 @@ def encode_circularstring(pts: np.ndarray) -> bytes:
     return b"\x01" + struct.pack("<II", CIRCULARSTRING, len(pts)) + pts.tobytes()
 
 
+def encode_geometrycollection(members: list[bytes]) -> bytes:
+    """Members are full WKBs of any supported geometry."""
+    return (b"\x01" + struct.pack("<II", GEOMETRYCOLLECTION, len(members))
+            + b"".join(members))
+
+
 def encode_compoundcurve(members: list[bytes]) -> bytes:
     """Members are full WKBs of LineString / CircularString segments whose
     endpoints chain (ISO SQL/MM CompoundCurve)."""
@@ -125,6 +132,8 @@ def encode_geom(g: "Geom") -> bytes:
         return encode_compoundcurve([encode_geom(m) for m in g.parts])
     if g.kind == CURVEPOLYGON:
         return encode_curvepolygon([encode_geom(m) for m in g.parts])
+    if g.kind == GEOMETRYCOLLECTION:
+        return encode_geometrycollection([encode_geom(m) for m in g.parts])
     raise ValueError(f"cannot re-encode geometry kind {g.kind}")
 
 
@@ -219,7 +228,7 @@ def _parse(buf: memoryview, off: int, allow_zm: bool = False) -> tuple[Geom, int
                                        offset=off).reshape(n, dim)[:, :2])
             off += 8 * dim * n
         return Geom(POLYGON, [rings]), off
-    if gtype in (COMPOUNDCURVE, CURVEPOLYGON):
+    if gtype in (COMPOUNDCURVE, CURVEPOLYGON, GEOMETRYCOLLECTION):
         (nparts,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
         members = []

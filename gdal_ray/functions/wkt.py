@@ -51,6 +51,9 @@ def encode_wkt(wkb: bytes) -> str:
             "(" + ", ".join(f"({_pts(r)})" for r in rings) + ")"
             for rings in g.parts)
         return f"MULTIPOLYGON ({polys})"
+    if g.kind == wkb_f.GEOMETRYCOLLECTION:
+        return "GEOMETRYCOLLECTION (" + ", ".join(
+            encode_wkt(wkb_f.encode_geom(m)) for m in g.parts) + ")"
     if g.kind == wkb_f.CIRCULARSTRING:
         return f"CIRCULARSTRING ({_pts(g.parts[0])})"
     if g.kind == wkb_f.COMPOUNDCURVE:
@@ -180,6 +183,36 @@ def parse_wkt(text: str) -> bytes | None:
             polys.append(_parse_ring_list(p))
         p.expect(")")
         return wkb_f.encode_multipolygon(polys)
+    if kind == "GEOMETRYCOLLECTION":
+        p.expect("(")
+        members = []
+        while True:
+            # each member is a full tagged WKT geometry: recurse from the
+            # member's start through its balanced parentheses
+            start = p.i
+            depth = 0
+            j = p.i
+            while j < len(p.s):
+                if p.s[j] == "(":
+                    depth += 1
+                elif p.s[j] == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                elif p.s[j] == "," and depth == 0:
+                    break
+                j += 1
+            members.append(parse_wkt(p.s[start:j]))
+            p.i = j
+            if p.peek() == ",":
+                p.expect(",")
+                continue
+            break
+        p.expect(")")
+        return wkb_f.encode_geometrycollection(members)
     if kind == "CIRCULARSTRING":
         return wkb_f.encode_circularstring(_parse_point_seq(p))
     if kind == "COMPOUNDCURVE":

@@ -1299,6 +1299,53 @@ def png_tiles_q(sf_dir: str):
     return receipts.map_batches(verify, batch_format="pyarrow")
 
 
+def explode_geometrycollection_q(sf_dir: str):
+    """Explode over GEOMETRYCOLLECTION rows (wkbGeometryCollection,
+    ogr/ogr_core.h; apps/gdalalg_vector_explode_collections.h): a mixed
+    point/line/multipoint/nested-collection WKB per nation key flattens to
+    5 single-part rows whose types and first vertices the oracle states."""
+    from ..functions import wkb as wkb_f
+    from ..stages import geomops
+
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey"])
+
+    def build(t: pa.Table) -> pa.Table:
+        keys, wkbs = [], []
+        for k in t["n_nationkey"].to_pylist():
+            k = float(int(k))
+            pt = wkb_f.encode_points([k], [k + 0.5])[0]
+            ln = wkb_f.encode_linestring(np.array([[k, 0.0], [k + 1.0, 1.0]]))
+            mp_head = b"\x01" + np.uint32(4).tobytes() + np.uint32(2).tobytes()
+            mp = (mp_head + wkb_f.encode_points([k + 2.0], [2.0])[0]
+                  + wkb_f.encode_points([k + 3.0], [3.0])[0])
+            nested = wkb_f.encode_geometrycollection(
+                [wkb_f.encode_points([k + 9.0], [9.0])[0]])
+            keys.append(int(k))
+            wkbs.append(wkb_f.encode_geometrycollection([pt, ln, mp, nested]))
+        return pa.table({"n_nationkey": pa.array(keys, pa.int64()),
+                         "wkb": pa.array(wkbs, pa.binary())})
+
+    exploded = geomops.explode_collections(
+        nat.map_batches(build, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ks, gts, xs, ys = [], [], [], []
+        for i in range(t.num_rows):
+            w = t["wkb"][i].as_py()
+            g = wkb_f.decode(w)
+            p0 = g.vertices()[0]
+            ks.append(t["n_nationkey"][i].as_py())
+            gts.append(wkb_f.geom_type(w))
+            xs.append(int(np.floor(p0[0] * 1e6 + 0.5)))
+            ys.append(int(np.floor(p0[1] * 1e6 + 0.5)))
+        return pa.table({"n_nationkey": pa.array(ks, pa.int64()),
+                         "geom_type": pa.array(gts, pa.int64()),
+                         "x_u6": pa.array(xs, pa.int64()),
+                         "y_u6": pa.array(ys, pa.int64())})
+
+    return exploded.map_batches(finish, batch_format="pyarrow")
+
+
 def curve_area_q(sf_dir: str):
     """EXACT CurvePolygon areas (OGRCurvePolygon::get_Area — chord
     shoelace + circular-segment corrections, no linearization): per nation

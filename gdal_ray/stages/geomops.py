@@ -943,25 +943,36 @@ def explode_collections(ds, wkb_col: str = "wkb"):
     """1 -> N: multi-geometries split into single-part rows (flat_map via
     map_batches emitting more rows; apps/gdalalg_vector_explode_collections.h)."""
 
+    def emit(i, g, idx, parts):
+        if g.kind == _wkb.MULTIPOLYGON:
+            for rings in g.parts:
+                idx.append(i)
+                parts.append(_wkb.encode_polygon(rings))
+        elif g.kind == _wkb.MULTILINESTRING:
+            for pts in g.parts:
+                idx.append(i)
+                parts.append(_wkb.encode_linestring(pts))
+        elif g.kind == _wkb.MULTIPOINT:
+            for pts in g.parts:
+                idx.append(i)
+                parts.append(_wkb.encode_points(pts[:, 0], pts[:, 1])[0])
+        elif g.kind == _wkb.GEOMETRYCOLLECTION:
+            for m in g.parts:  # nested collections/multis flatten fully
+                emit(i, m, idx, parts)
+        else:
+            idx.append(i)
+            parts.append(_wkb.encode_geom(g))
+
     def explode(batch: pa.Table) -> pa.Table:
         idx, parts = [], []
         for i, w in enumerate(batch[wkb_col].to_pylist()):
             g = _wkb.decode(w)
-            if g.kind == _wkb.MULTIPOLYGON:
-                for rings in g.parts:
-                    idx.append(i)
-                    parts.append(_wkb.encode_polygon(rings))
-            elif g.kind == _wkb.MULTILINESTRING:
-                for pts in g.parts:
-                    idx.append(i)
-                    parts.append(_wkb.encode_linestring(pts))
-            elif g.kind == _wkb.MULTIPOINT:
-                for pts in g.parts:
-                    idx.append(i)
-                    parts.append(_wkb.encode_points(pts[:, 0], pts[:, 1])[0])
+            if g.kind in (_wkb.MULTIPOLYGON, _wkb.MULTILINESTRING,
+                          _wkb.MULTIPOINT, _wkb.GEOMETRYCOLLECTION):
+                emit(i, g, idx, parts)
             else:
                 idx.append(i)
-                parts.append(w)
+                parts.append(w)  # single-part rows keep their exact bytes
         out = batch.take(pa.array(idx))
         return out.set_column(
             out.column_names.index(wkb_col), wkb_col, pa.array(parts, pa.binary())

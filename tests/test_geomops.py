@@ -262,3 +262,30 @@ def test_curve_wkt_roundtrip():
     cp = parse_wkt("CURVEPOLYGON (CIRCULARSTRING (1 0, 0 1, -1 0, 0 -1, 1 0))")
     t = pa.table({"wkb": pa.array([cp], pa.binary())})
     assert abs(curve_area_batch(t)["area"][0].as_py() - np.pi) < 1e-12
+
+
+def test_geometrycollection(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.functions.wkt import encode_wkt, parse_wkt
+    from gdal_ray.stages.geomops import explode_collections
+
+    w = parse_wkt("GEOMETRYCOLLECTION (POINT (1 2), "
+                  "LINESTRING (0 0, 1 1), "
+                  "POLYGON ((0 0, 1 0, 1 1, 0 0)), "
+                  "MULTIPOINT (5 5, 6 6), "
+                  "GEOMETRYCOLLECTION (POINT (9 9)))")
+    # WKT round trip is bitwise-stable
+    assert parse_wkt(encode_wkt(w)) == w
+    g = wkb_f.decode(w)
+    assert g.kind == wkb_f.GEOMETRYCOLLECTION and len(g.parts) == 5
+    # explode flattens nested collections and multis into 6 single parts
+    ds = rd.from_arrow(pa.table({"fid": pa.array([7], pa.int64()),
+                                 "wkb": pa.array([w], pa.binary())}))
+    rows = explode_collections(ds).take_all()
+    kinds = sorted(wkb_f.geom_type(r["wkb"]) for r in rows)
+    assert kinds == [wkb_f.POINT, wkb_f.POINT, wkb_f.POINT, wkb_f.POINT,
+                     wkb_f.LINESTRING, wkb_f.POLYGON]
+    assert all(r["fid"] == 7 for r in rows)
