@@ -158,3 +158,35 @@ def _reproject(ds, dst="EPSG:3857"):
         return t.append_column("geo_x", pa.array(x)).append_column("geo_y", pa.array(y))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register_step("linearize")
+def _linearize(ds, max_angle_deg=4.0, wkb_col="wkb"):
+    """CurveToLine over a WKB column (ogr2ogr -nlt CONVERT_TO_LINEAR):
+    CircularString/CompoundCurve -> LineString, CurvePolygon -> Polygon."""
+    from ..stages import geomops
+
+    deg = float(max_angle_deg)
+    return ds.map_batches(
+        lambda t: geomops.linearize_batch(t, max_angle_deg=deg,
+                                          wkb_col=wkb_col),
+        batch_format="pyarrow")
+
+
+@register_step("force_2d")
+def _force_2d(ds, wkb_col="wkb"):
+    """ogr2ogr -dim XY: drop Z/M ordinates from a WKB column explicitly."""
+    from ..stages import geomops
+
+    return ds.map_batches(
+        lambda t: geomops.force_2d_batch(t, wkb_col=wkb_col),
+        batch_format="pyarrow")
+
+
+@register_step("explode")
+def _explode(ds, wkb_col="wkb"):
+    """Explode multi-geometries and GeometryCollections to one row per
+    single part (apps/gdalalg_vector_explode_collections.h)."""
+    from ..stages import geomops
+
+    return geomops.explode_collections(ds, wkb_col=wkb_col)

@@ -626,3 +626,30 @@ def test_resize_media_exact_and_sink(ray_session, tmp_path):
     if not path.endswith(".png"):
         path = path.rsplit(".", 1)[0] + ".png"
     assert np.array_equal(decode_png(open(path, "rb").read()), small)
+
+
+def test_curve_pipeline_steps(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.functions.wkt import parse_wkt
+    from gdal_ray.pipelines import steps
+
+    t = pa.table({"wkb": pa.array([
+        parse_wkt("CURVEPOLYGON (CIRCULARSTRING (1 0, 0 1, -1 0, 0 -1, 1 0))"),
+        parse_wkt("GEOMETRYCOLLECTION (POINT (1 2), POINT (3 4))"),
+    ], pa.binary())})
+    out = steps.run_pipeline(rd.from_arrow(t),
+                             "explode ! linearize max_angle_deg=4")
+    kinds = sorted(wkb_f.geom_type(r["wkb"]) for r in out.take_all())
+    assert kinds == [wkb_f.POINT, wkb_f.POINT, wkb_f.POLYGON]
+    # force_2d step drops Z through the same string surface
+    import struct as st
+
+    pz = b"\x01" + st.pack("<I", 1001) + st.pack("<ddd", 1.0, 2.0, 9.0)
+    out2 = steps.run_pipeline(
+        rd.from_arrow(pa.table({"wkb": pa.array([pz], pa.binary())})),
+        "force_2d")
+    g = wkb_f.decode(out2.take_all()[0]["wkb"])
+    assert g.kind == wkb_f.POINT
