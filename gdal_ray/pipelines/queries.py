@@ -1593,6 +1593,41 @@ def asc_roundtrip_q(sf_dir: str):
     return tiles.map_batches(sums, batch_format="pyarrow")
 
 
+def envi_roundtrip_q(sf_dir: str):
+    """ENVI raw-binary driver (frmts/raw/envidataset.cpp surface): the
+    192x192 hump as a 2-band BIL float32 dataset (band 2 = band 1 + 1),
+    written, re-read band 1 into engine tiles, and checksummed — the same
+    hump oracle as the AAIGrid driver, proving format transparency."""
+    import tempfile
+
+    from ..functions import checksum as cks_f
+    from ..sources import envi
+
+    import os
+
+    gy, gx = np.mgrid[0:192, 0:192]
+    band1 = (((gx - 96) ** 2 + (gy - 96) ** 2) / 64.0).astype(np.float32)
+    base = f"{tempfile.gettempdir()}/gdal_ray_hump_envi_{os.getpid()}"
+    envi.write_envi(base, np.stack([band1, band1 + 1.0]), interleave="bil")
+    tiles = envi.read_envi_tiles(base, tile_size=64, band=1)
+
+    def sums(t: pa.Table) -> pa.Table:
+        from ..stages.focal import _dtype_of
+
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=_dtype_of(t["dtype"][i].as_py()))
+            a = a.reshape(t["height"][i].as_py(), t["width"][i].as_py())
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks_f.tile_checksum(a))
+        return pa.table({"x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return tiles.map_batches(sums, batch_format="pyarrow")
+
+
 def gtiff_roundtrip_q(sf_dir: str):
     """GeoTIFF driver: serialize the 160x160 hump (float32, exact dyadic
     rationals) as a TILED uncompressed GeoTIFF (64-px tiles -> padded edge
