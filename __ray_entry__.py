@@ -2389,6 +2389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retile_overlap": q.retile_q,
         "asc_roundtrip": q.asc_roundtrip_q,
         "envi_roundtrip": q.envi_roundtrip_q,
+        "netcdf_roundtrip": q.netcdf_roundtrip_q,
         "gtiff_roundtrip": q.gtiff_roundtrip_q,
         "gtiff_stream_roundtrip": q.gtiff_stream_roundtrip_q,
         "gdal_translate_chain": q.gdal_translate_chain_q,
@@ -4489,6 +4490,17 @@ def oracle_sql() -> dict[str, str]:
         # ENVI raw driver shares the AAIGrid hump fixture + checksum oracle
         # (the format layer must be value-transparent)
         "envi_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
+                                        AS DOUBLE) / 64.0) AS BIGINT)
+                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        # NetCDF classic shares the hump fixture + checksum oracle too
+        "netcdf_roundtrip": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy
                         FROM range(192) a, range(192) b)
             SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,

@@ -1628,6 +1628,44 @@ def envi_roundtrip_q(sf_dir: str):
     return tiles.map_batches(sums, batch_format="pyarrow")
 
 
+def netcdf_roundtrip_q(sf_dir: str):
+    """NetCDF classic driver (frmts/netcdf surface, from the published
+    CDF-1 spec): the 192x192 hump as a float32 (y, x) variable with CF-ish
+    attributes, written, re-read into engine tiles, checksummed with the
+    shared hump oracle — format transparency through a third container."""
+    import tempfile
+
+    from ..functions import checksum as cks_f
+    from ..sources import netcdf3
+
+    import os
+
+    gy, gx = np.mgrid[0:192, 0:192]
+    arr = (((gx - 96) ** 2 + (gy - 96) ** 2) / 64.0).astype(np.float32)
+    path = f"{tempfile.gettempdir()}/gdal_ray_hump_{os.getpid()}.nc"
+    netcdf3.write_netcdf3(
+        path, {"hump": (("y", "x"), arr)},
+        global_attrs={"Conventions": "CF-1.6"},
+        var_attrs={"hump": {"units": "1"}})
+    tiles = netcdf3.read_netcdf3_tiles(path, "hump", tile_size=64)
+
+    def sums(t: pa.Table) -> pa.Table:
+        from ..stages.focal import _dtype_of
+
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=_dtype_of(t["dtype"][i].as_py()))
+            a = a.reshape(t["height"][i].as_py(), t["width"][i].as_py())
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks_f.tile_checksum(a))
+        return pa.table({"x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return tiles.map_batches(sums, batch_format="pyarrow")
+
+
 def gtiff_roundtrip_q(sf_dir: str):
     """GeoTIFF driver: serialize the 160x160 hump (float32, exact dyadic
     rationals) as a TILED uncompressed GeoTIFF (64-px tiles -> padded edge
