@@ -31,6 +31,8 @@ GEOMETRYCOLLECTION = 7
 CIRCULARSTRING = 8  # ISO SQL/MM curve: arcs through consecutive point triples
 COMPOUNDCURVE = 9   # sequence of LineString / CircularString segments
 CURVEPOLYGON = 10   # polygon whose rings may be curves
+MULTICURVE = 11     # collection of LineString / CircularString / CompoundCurve
+MULTISURFACE = 12   # collection of Polygon / CurvePolygon
 
 _POINT_SIZE = 21  # 1 byte order + 4 type + 16 coords
 
@@ -134,6 +136,9 @@ def encode_geom(g: "Geom") -> bytes:
         return encode_curvepolygon([encode_geom(m) for m in g.parts])
     if g.kind == GEOMETRYCOLLECTION:
         return encode_geometrycollection([encode_geom(m) for m in g.parts])
+    if g.kind in (MULTICURVE, MULTISURFACE):
+        return (b"\x01" + struct.pack("<II", g.kind, len(g.parts))
+                + b"".join(encode_geom(m) for m in g.parts))
     raise ValueError(f"cannot re-encode geometry kind {g.kind}")
 
 
@@ -228,7 +233,8 @@ def _parse(buf: memoryview, off: int, allow_zm: bool = False) -> tuple[Geom, int
                                        offset=off).reshape(n, dim)[:, :2])
             off += 8 * dim * n
         return Geom(POLYGON, [rings]), off
-    if gtype in (COMPOUNDCURVE, CURVEPOLYGON, GEOMETRYCOLLECTION):
+    if gtype in (COMPOUNDCURVE, CURVEPOLYGON, GEOMETRYCOLLECTION,
+                 MULTICURVE, MULTISURFACE):
         (nparts,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
         members = []

@@ -70,6 +70,15 @@ def encode_wkt(wkb: bytes) -> str:
             else:  # CIRCULARSTRING / COMPOUNDCURVE rings keep their tag
                 rings.append(encode_wkt(wkb_f.encode_geom(m)))
         return "CURVEPOLYGON (" + ", ".join(rings) + ")"
+    if g.kind == wkb_f.MULTICURVE:
+        return "MULTICURVE (" + ", ".join(
+            f"({_pts(m.parts[0])})" if m.kind == wkb_f.LINESTRING
+            else encode_wkt(wkb_f.encode_geom(m)) for m in g.parts) + ")"
+    if g.kind == wkb_f.MULTISURFACE:
+        return "MULTISURFACE (" + ", ".join(
+            "(" + ", ".join(f"({_pts(r)})" for r in m.parts[0]) + ")"
+            if m.kind == wkb_f.POLYGON
+            else encode_wkt(wkb_f.encode_geom(m)) for m in g.parts) + ")"
     raise ValueError(f"unsupported WKB kind {g.kind} for WKT")
 
 
@@ -213,6 +222,43 @@ def parse_wkt(text: str) -> bytes | None:
             break
         p.expect(")")
         return wkb_f.encode_geometrycollection(members)
+    if kind == "MULTICURVE":
+        p.expect("(")
+        members = [_parse_curve_member(p, rings_ok=True)]
+        while p.peek() == ",":
+            p.expect(",")
+            members.append(_parse_curve_member(p, rings_ok=True))
+        p.expect(")")
+        import struct
+
+        return (b"\x01" + struct.pack("<II", wkb_f.MULTICURVE, len(members))
+                + b"".join(members))
+    if kind == "MULTISURFACE":
+        p.expect("(")
+        members = []
+        while True:
+            if p.peek() == "(":  # bare ring list = implicit POLYGON
+                members.append(wkb_f.encode_polygon(_parse_ring_list(p)))
+            else:
+                w = p.word()
+                if w != "CURVEPOLYGON":
+                    raise ValueError(f"unsupported surface member {w!r}")
+                p.expect("(")
+                rings = [_parse_curve_member(p, rings_ok=True)]
+                while p.peek() == ",":
+                    p.expect(",")
+                    rings.append(_parse_curve_member(p, rings_ok=True))
+                p.expect(")")
+                members.append(wkb_f.encode_curvepolygon(rings))
+            if p.peek() == ",":
+                p.expect(",")
+                continue
+            break
+        p.expect(")")
+        import struct
+
+        return (b"\x01" + struct.pack("<II", wkb_f.MULTISURFACE, len(members))
+                + b"".join(members))
     if kind == "CIRCULARSTRING":
         return wkb_f.encode_circularstring(_parse_point_seq(p))
     if kind == "COMPOUNDCURVE":

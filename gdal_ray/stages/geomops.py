@@ -262,6 +262,21 @@ def linearize_batch(batch: pa.Table, max_angle_deg: float = 4.0,
             g = _wkb.decode(w)
             out.append(_wkb.encode_polygon(
                 [_linearize_curve(r, max_angle_deg) for r in g.parts]))
+        elif gtype == _wkb.MULTICURVE:
+            g = _wkb.decode(w)
+            out.append(_wkb.encode_geom(_wkb.Geom(
+                _wkb.MULTILINESTRING,
+                [_linearize_curve(m, max_angle_deg) for m in g.parts])))
+        elif gtype == _wkb.MULTISURFACE:
+            g = _wkb.decode(w)
+            polys = []
+            for m in g.parts:
+                if m.kind == _wkb.POLYGON:
+                    polys.append(m.parts[0])
+                else:  # CurvePolygon member
+                    polys.append([_linearize_curve(r, max_angle_deg)
+                                  for r in m.parts])
+            out.append(_wkb.encode_multipolygon(polys))
         else:
             out.append(w)
     return batch.set_column(

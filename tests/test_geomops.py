@@ -289,3 +289,31 @@ def test_geometrycollection(ray_session):
     assert kinds == [wkb_f.POINT, wkb_f.POINT, wkb_f.POINT, wkb_f.POINT,
                      wkb_f.LINESTRING, wkb_f.POLYGON]
     assert all(r["fid"] == 7 for r in rows)
+
+
+def test_multicurve_multisurface():
+    import pyarrow as pa
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.functions.wkt import encode_wkt, parse_wkt
+    from gdal_ray.stages.geomops import curve_area_batch, linearize_batch
+
+    mc = parse_wkt("MULTICURVE ((0 0, 1 1), "
+                   "CIRCULARSTRING (2 0, 3 1, 4 0), "
+                   "COMPOUNDCURVE ((5 0, 6 0), CIRCULARSTRING (6 0, 7 1, 8 0)))")
+    ms = parse_wkt("MULTISURFACE (((0 0, 1 0, 1 1, 0 0)), "
+                   "CURVEPOLYGON (CIRCULARSTRING (3 0, 4 1, 5 0, 4 -1, 3 0)))")
+    # WKT bitwise round trips
+    for w in (mc, ms):
+        assert parse_wkt(encode_wkt(w)) == w
+    # linearize: MultiCurve -> MultiLineString, MultiSurface -> MultiPolygon
+    t = pa.table({"wkb": pa.array([mc, ms], pa.binary())})
+    r = linearize_batch(t, 4.0)
+    g0 = wkb_f.decode(r["wkb"][0].as_py())
+    assert g0.kind == wkb_f.MULTILINESTRING and len(g0.parts) == 3
+    assert len(g0.parts[1]) == int(np.ceil(180 / 4.0)) + 1  # half circle r=1
+    g1 = wkb_f.decode(r["wkb"][1].as_py())
+    assert g1.kind == wkb_f.MULTIPOLYGON and len(g1.parts) == 2
+    # the triangle member passes through exactly
+    assert np.array_equal(g1.parts[0][0],
+                          np.array([[0, 0], [1, 0], [1, 1], [0, 0]]))
