@@ -135,15 +135,57 @@ def read_envi(base_or_hdr: str) -> tuple[np.ndarray, dict]:
     return np.ascontiguousarray(a).astype(a.dtype.newbyteorder("=")), hdr
 
 
+def read_envi_window(base: str, band: int, y0: int, y1: int,
+                     x0: int, x1: int) -> np.ndarray:
+    """Windowed read via memory map — only the window's pages fault in, so
+    tile readers never materialize the whole raster (the GDALRasterBand
+    RasterIO window contract).  BSQ windows are 2-D strided views; BIL/BIP
+    slice the band axis."""
+    for ext in (".hdr", ".dat"):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+    hdr = _parse_hdr(f"{base}.hdr")
+    w = int(hdr["samples"])
+    h = int(hdr["lines"])
+    b = int(hdr.get("bands", "1"))
+    code = int(hdr["data type"])
+    order = "<" if int(hdr.get("byte order", "0")) == 0 else ">"
+    dt = np.dtype(_DTYPES[code]).newbyteorder(order)
+    offset = int(hdr.get("header offset", "0"))
+    interleave = hdr.get("interleave", "bsq").lower()
+    mm = np.memmap(f"{base}.dat", dtype=dt, mode="r", offset=offset)
+    if interleave == "bsq":
+        view = mm.reshape(b, h, w)[band - 1, y0:y1, x0:x1]
+    elif interleave == "bil":
+        view = mm.reshape(h, b, w)[y0:y1, band - 1, x0:x1]
+    elif interleave == "bip":
+        view = mm.reshape(h, w, b)[y0:y1, x0:x1, band - 1]
+    else:
+        raise ValueError(f"unknown interleave {interleave!r}")
+    return np.ascontiguousarray(view).astype(dt.newbyteorder("="))
+
+
 def read_envi_tiles(base: str, tile_size: int = 64, z: int = 4,
                     band: int = 1):
     """ENVI dataset -> the engine's standard tile-row Dataset (one band,
-    dtype preserved; edge tiles clipped; pixel (0,0) = NW corner)."""
+    dtype preserved; edge tiles clipped; pixel (0,0) = NW corner).
+    Tiles are cut with windowed memmap reads (read_envi_window), so only
+    the touched pages load — the whole-raster array never materializes."""
     import ray.data as rd
 
-    a, _hdr = read_envi(base)
-    arr = a[band - 1]
-    h, w = arr.shape
+    for ext in (".hdr", ".dat"):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+    hdr = _parse_hdr(f"{base}.hdr")
+    h, w = int(hdr["lines"]), int(hdr["samples"])
+
+    class _Win:
+        def __getitem__(self, sl):
+            ys, xs = sl
+            return read_envi_window(base, band, ys.start, ys.stop,
+                                    xs.start, xs.stop)
+
+    arr = _Win()
     rows = []
     for ty in range((h + tile_size - 1) // tile_size):
         for tx in range((w + tile_size - 1) // tile_size):

@@ -68,10 +68,11 @@ def _att_block(attrs: dict) -> bytes:
 
 def write_netcdf3(path: str, variables: dict, dims: dict | None = None,
                   global_attrs: dict | None = None,
-                  var_attrs: dict | None = None) -> None:
+                  var_attrs: dict | None = None, version: int = 1) -> None:
     """``variables``: {name: (dim_names tuple, numpy array)}.  ``dims`` may
     add extra named dimensions; dimensions used by variables are derived
-    from the array shapes and must be consistent."""
+    from the array shapes and must be consistent.  ``version=2`` writes
+    CDF-2 (64-bit begin offsets) for datasets past the 2 GiB CDF-1 limit."""
     dim_order: list[str] = []
     dim_len: dict[str, int] = dict(dims or {})
     for vname, (vdims, arr) in variables.items():
@@ -86,8 +87,12 @@ def write_netcdf3(path: str, variables: dict, dims: dict | None = None,
         dim_order.append(d)
     dim_id = {d: i for i, d in enumerate(dim_order)}
 
+    if version not in (1, 2):
+        raise ValueError(f"CDF version must be 1 or 2 (got {version})")
+    begin_fmt = ">I" if version == 1 else ">Q"
+    begin_size = 4 if version == 1 else 8
     # header: magic + numrecs + dim_list + gatt_list + var_list
-    head = [b"CDF\x01", struct.pack(">I", 0)]
+    head = [b"CDF" + bytes([version]), struct.pack(">I", 0)]
     if dim_order:
         head.append(struct.pack(">II", 0x0A, len(dim_order)))
         for d in dim_order:
@@ -115,11 +120,11 @@ def write_netcdf3(path: str, variables: dict, dims: dict | None = None,
     var_head = [struct.pack(">II", 0x0B, len(entries))] if entries else [_ABSENT]
     header_len = (sum(len(h) for h in head)
                   + sum(len(h) for h in var_head)
-                  + sum(len(e[0]) + 4 for e in entries))  # +4: begin (CDF-1)
+                  + sum(len(e[0]) + begin_size for e in entries))
     begin = header_len
     blobs = []
     for ent, t, arr, vsize in entries:
-        var_head.append(ent + struct.pack(">I", begin))
+        var_head.append(ent + struct.pack(begin_fmt, begin))
         blobs.append(_values(t, arr.ravel()))
         begin += vsize
     with open(path, "wb") as f:
@@ -173,11 +178,9 @@ class _R:
         return out
 
 
-def read_netcdf3(path: str):
-    """CDF-1/CDF-2 classic file -> (dims, variables, global_attrs) with
-    variables = {name: (dim_names, array, attrs)}."""
-    with open(path, "rb") as f:
-        buf = f.read()
+def _parse_meta(buf: bytes):
+    """Header-only parse -> (dims dict, var meta dict, global attrs) with
+    var meta = {name: (dim_names, shape, nc_type, begin, attrs)}."""
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("not a NetCDF classic (CDF-1/CDF-2) file")
     cdf2 = buf[3] == 2
@@ -197,7 +200,7 @@ def read_netcdf3(path: str):
     gatts = r.att_block()
     tag = r.u32()
     n = r.u32()
-    variables = {}
+    meta = {}
     if tag == 0x0B:
         for _ in range(n):
             vname = r.name()
@@ -208,33 +211,79 @@ def read_netcdf3(path: str):
             _vsize = r.u32()
             begin = r.u64() if cdf2 else r.u32()
             shape = tuple(dict(dims)[d] for d in vdims)
-            cnt = int(np.prod(shape)) if shape else 1
-            arr = np.frombuffer(
-                buf, dtype=np.dtype(_NP_OF[t]).newbyteorder(">"),
-                count=cnt, offset=begin,
-            ).astype(np.dtype(_NP_OF[t]).newbyteorder("=")).reshape(shape)
-            variables[vname] = (vdims, arr, vatts)
+            meta[vname] = (vdims, shape, t, begin, vatts)
     elif tag != 0:
         raise ValueError(f"bad variable tag {tag:#x}")
-    return dict(dims), variables, gatts
+    return dict(dims), meta, gatts
+
+
+def read_header(path: str):
+    """Parse only the header (incrementally read — a 100 GB data block is
+    never touched): (dims, var meta, global attrs)."""
+    size = 1 << 20
+    while True:
+        with open(path, "rb") as f:
+            buf = f.read(size)
+        try:
+            return _parse_meta(buf)
+        except (struct.error, IndexError):
+            if len(buf) < size:
+                raise ValueError("truncated NetCDF header") from None
+            size *= 4
+
+
+def read_netcdf3(path: str):
+    """CDF-1/CDF-2 classic file -> (dims, variables, global_attrs) with
+    variables = {name: (dim_names, array, attrs)}."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    dims, meta, gatts = _parse_meta(buf)
+    variables = {}
+    for vname, (vdims, shape, t, begin, vatts) in meta.items():
+        cnt = int(np.prod(shape)) if shape else 1
+        arr = np.frombuffer(
+            buf, dtype=np.dtype(_NP_OF[t]).newbyteorder(">"),
+            count=cnt, offset=begin,
+        ).astype(np.dtype(_NP_OF[t]).newbyteorder("=")).reshape(shape)
+        variables[vname] = (vdims, arr, vatts)
+    return dims, variables, gatts
+
+
+def read_netcdf3_window(path: str, var: str, y0: int, y1: int,
+                        x0: int, x1: int) -> np.ndarray:
+    """Windowed read of a 2-D variable via memory map — only the window's
+    pages fault in (the RasterIO window contract at netCDF scale)."""
+    _dims, meta, _g = read_header(path)
+    if var not in meta:
+        raise KeyError(f"variable {var!r} not in {sorted(meta)}")
+    _vd, shape, t, begin, _va = meta[var]
+    if len(shape) != 2:
+        raise ValueError(f"{var!r} is {len(shape)}-D; windows need 2-D")
+    dt = np.dtype(_NP_OF[t]).newbyteorder(">")
+    mm = np.memmap(path, dtype=dt, mode="r", offset=begin,
+                   shape=shape)
+    return np.ascontiguousarray(mm[y0:y1, x0:x1]).astype(dt.newbyteorder("="))
 
 
 def read_netcdf3_tiles(path: str, var: str, tile_size: int = 64, z: int = 4):
-    """A 2-D variable -> the engine's standard tile-row Dataset."""
+    """A 2-D variable -> the engine's standard tile-row Dataset.  Tiles are
+    cut with windowed memmap reads (read_netcdf3_window): only touched
+    pages load; the whole variable never materializes driver-side."""
     import ray.data as rd
 
-    _dims, variables, _g = read_netcdf3(path)
-    if var not in variables:
-        raise KeyError(f"variable {var!r} not in {sorted(variables)}")
-    _vd, arr, _va = variables[var]
-    if arr.ndim != 2:
-        raise ValueError(f"{var!r} is {arr.ndim}-D; tiles need 2-D")
-    h, w = arr.shape
+    _dims, meta, _g = read_header(path)
+    if var not in meta:
+        raise KeyError(f"variable {var!r} not in {sorted(meta)}")
+    _vd, shape, _t, _begin, _va = meta[var]
+    if len(shape) != 2:
+        raise ValueError(f"{var!r} is {len(shape)}-D; tiles need 2-D")
+    h, w = shape
     rows = []
     for ty in range((h + tile_size - 1) // tile_size):
         for tx in range((w + tile_size - 1) // tile_size):
-            sub = arr[ty * tile_size:(ty + 1) * tile_size,
-                      tx * tile_size:(tx + 1) * tile_size]
+            sub = read_netcdf3_window(
+                path, var, ty * tile_size, min((ty + 1) * tile_size, h),
+                tx * tile_size, min((tx + 1) * tile_size, w))
             rows.append({
                 "z": z, "x": tx, "y": ty, "band": 1,
                 "width": sub.shape[1], "height": sub.shape[0],

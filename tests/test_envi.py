@@ -57,3 +57,16 @@ def test_envi_tiles(tmp_path, ray_session):
     sub = np.frombuffer(r["data"], np.float32).reshape(r["height"], r["width"])
     assert sub.shape == (36, 64)
     assert sub[0, 0] == 64.0 + 2 * 64.0
+
+
+def test_envi_window_reads(tmp_path):
+    from gdal_ray.sources.envi import read_envi_window, write_envi
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 1000, (2, 40, 60)).astype(np.int32)
+    for il in ("bsq", "bil", "bip"):
+        base = str(tmp_path / f"w_{il}")
+        write_envi(base, a, interleave=il)
+        for band in (1, 2):
+            win = read_envi_window(base, band, 5, 25, 10, 50)
+            assert np.array_equal(win, a[band - 1, 5:25, 10:50]), (il, band)

@@ -57,3 +57,25 @@ def test_netcdf3_tiles(tmp_path, ray_session):
     assert sub.shape == (36, 6) and sub[0, 0] == 3 * 64 + 64
     with pytest.raises(KeyError):
         read_netcdf3_tiles(path, "nope")
+
+
+def test_netcdf3_cdf2_and_windows(tmp_path):
+    from gdal_ray.sources.netcdf3 import (read_header, read_netcdf3,
+                                          read_netcdf3_window, write_netcdf3)
+
+    gy, gx = np.mgrid[0:50, 0:80]
+    arr = (gx * 7 + gy).astype(np.int32)
+    p2 = str(tmp_path / "v2.nc")
+    write_netcdf3(p2, {"v": (("y", "x"), arr)}, version=2)
+    assert open(p2, "rb").read(4) == b"CDF\x02"
+    _d, vs, _g = read_netcdf3(p2)
+    assert np.array_equal(vs["v"][1], arr)
+    # header-only parse never touches the data block
+    dims, meta, _ = read_header(p2)
+    assert dims == {"y": 50, "x": 80} and meta["v"][1] == (50, 80)
+    # windowed read == the corresponding slice
+    win = read_netcdf3_window(p2, "v", 10, 30, 5, 25)
+    assert np.array_equal(win, arr[10:30, 5:25])
+    with pytest.raises(ValueError, match="version"):
+        write_netcdf3(str(tmp_path / "bad.nc"), {"v": (("y", "x"), arr)},
+                      version=3)
