@@ -227,9 +227,15 @@ def read_header(path: str):
         try:
             return _parse_meta(buf)
         except (struct.error, IndexError):
-            if len(buf) < size:
-                raise ValueError("truncated NetCDF header") from None
-            size *= 4
+            pass  # header crosses the read boundary: grow and retry
+        except ValueError as e:
+            # numpy's short-buffer errors mean the same thing; genuine
+            # format errors (bad magic/tags) propagate untouched
+            if "buffer" not in str(e):
+                raise
+        if len(buf) < size:
+            raise ValueError("truncated NetCDF header")
+        size *= 4
 
 
 def read_netcdf3(path: str):
