@@ -365,11 +365,11 @@ def force_2d_batch(batch: pa.Table, wkb_col: str = "wkb") -> pa.Table:
     them as plain 2-D WKB (the engine's compute wire format).  Already-2-D
     little-endian WKBs pass through byte-identical; the engine's strict
     decode elsewhere keeps Z data from being dropped implicitly."""
+    import struct as _s
+
     out = []
     for w in batch[wkb_col].to_pylist():
         fmt = "<" if w[0] == 1 else ">"
-        import struct as _s
-
         (raw_type,) = _s.unpack_from(fmt + "I", w, 1)
         base = raw_type & 0x1FFFFFFF
         if fmt == "<" and not (raw_type & 0xC0000000) and base < 1000:
