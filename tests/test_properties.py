@@ -325,3 +325,47 @@ def test_adpcm_vectorized_matches_scalar_reference():
             nib[1::2] = nb >> 4
             ref.append(_ima_decode_block(blk[:4], nib))
         assert np.array_equal(fast, np.concatenate(ref))
+
+
+def test_curve_wkt_roundtrip_property():
+    """Random curve geometries survive WKB -> WKT -> WKB bitwise (repr
+    serialization is shortest-round-trip for float64)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.functions.wkt import encode_wkt, parse_wkt
+
+    coord = st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=-1e6, max_value=1e6)
+
+    @st.composite
+    def circularstring(draw):
+        n_arcs = draw(st.integers(1, 3))
+        pts = [[draw(coord), draw(coord)] for _ in range(2 * n_arcs + 1)]
+        return wkb_f.encode_circularstring(np.array(pts))
+
+    @st.composite
+    def compound(draw):
+        members = []
+        last = [draw(coord), draw(coord)]
+        for _ in range(draw(st.integers(1, 3))):
+            if draw(st.booleans()):
+                nxt = [draw(coord), draw(coord)]
+                members.append(wkb_f.encode_linestring(np.array([last, nxt])))
+                last = nxt
+            else:
+                mid = [draw(coord), draw(coord)]
+                nxt = [draw(coord), draw(coord)]
+                members.append(wkb_f.encode_circularstring(
+                    np.array([last, mid, nxt])))
+                last = nxt
+        return wkb_f.encode_compoundcurve(members)
+
+    @given(st.one_of(circularstring(), compound()))
+    @settings(max_examples=60, deadline=None)
+    def check(blob):
+        assert parse_wkt(encode_wkt(blob)) == blob
+
+    check()
