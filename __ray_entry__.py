@@ -2317,6 +2317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_sql_group": q.select_sql_group_q,
         "select_sql_join": q.select_sql_join_q,
         "select_sql_distinct": q.select_sql_distinct_q,
+        "select_sql_count_distinct": q.select_sql_count_distinct_q,
+        "select_sql_global_agg": q.select_sql_global_agg_q,
+        "select_sql_union_all": q.select_sql_union_all_q,
         "quantiles_continuous": q.quantiles_continuous_q,
         "select_sql_left_join_group": q.select_sql_left_join_group_q,
         "topk_orders": q.topk_orders,
@@ -2716,6 +2719,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_nationkey // 5 AS BIGINT) AS nat_bucket
             FROM customer WHERE c_acctbal >= 0
             ORDER BY c_mktsegment, nat_bucket
+        """,
+        "select_sql_count_distinct": """
+            SELECT c_mktsegment,
+                   CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+            FROM customer WHERE c_custkey % 2 = 0
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "select_sql_global_agg": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(o_custkey) AS BIGINT) AS key_sum,
+                   CAST(min(o_orderkey) AS BIGINT) AS min_o,
+                   CAST(max(o_orderkey) AS BIGINT) AS max_o
+            FROM orders WHERE o_orderkey % 3 = 0
+        """,
+        "select_sql_union_all": """
+            SELECT n_name AS name, CAST(n_regionkey AS BIGINT) AS rk
+            FROM nation WHERE n_regionkey <= 1
+            UNION ALL
+            SELECT r_name AS name, CAST(r_regionkey + 100 AS BIGINT) AS rk
+            FROM region
         """,
         "select_sql_left_join_group": """
             SELECT n_name, CAST(count(*) AS BIGINT) AS n,

@@ -42,7 +42,7 @@ _KEYWORDS = {
     "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL",
     "SELECT", "FROM", "WHERE", "ORDER", "BY", "ASC", "DESC", "LIMIT", "AS",
     "CAST", "DISTINCT", "TRUE", "FALSE", "GROUP", "HAVING",
-    "JOIN", "LEFT", "INNER", "OUTER", "ON",
+    "JOIN", "LEFT", "INNER", "OUTER", "ON", "UNION", "ALL",
 }
 
 
@@ -273,6 +273,13 @@ class _Parser:
                 self.take()
                 self.take("op", ")")
                 return Func("count", [Lit("*")])
+            if name.lower() == "count" and self.peek("kw", "DISTINCT") is not None:
+                # COUNT(DISTINCT x) — the one aggregate the reference grammar
+                # special-cases (ogr/swq_parser.y:1009-1034)
+                self.take()
+                e = self.expr()
+                self.take("op", ")")
+                return Func("count_distinct", [e])
             if self.peek("op", ")") is None:
                 args.append(self.expr())
                 while self.peek("op", ",") is not None:
@@ -473,7 +480,7 @@ def scan_filter(where_sql: str):
 # -- SELECT statements ------------------------------------------------------
 
 
-AGG_FUNCS = {"count", "sum", "min", "max"}
+AGG_FUNCS = {"count", "sum", "min", "max", "count_distinct"}
 
 
 def _is_agg(node) -> bool:
@@ -492,6 +499,7 @@ class Select:
     group_by: list = None  # [col_name]
     having: object | None = None
     join: dict | None = None  # {table, left_col, right_col, how}
+    union_all: "Select | None" = None  # trailing UNION ALL select (swq_parser.y:840)
 
     @property
     def columns_needed(self) -> set[str]:
@@ -619,10 +627,29 @@ def parse_select(sql: str) -> Select:
     if p.peek("kw", "LIMIT") is not None:
         p.take()
         limit = int(p.take("num"))
+    union_all = None
+    if p.peek("kw", "UNION") is not None:
+        # select_core UNION ALL select_statement (ogr/swq_parser.y:822,840):
+        # each branch is evaluated independently and the outputs concatenated
+        p.take()
+        p.take("kw", "ALL")
+        rest = " ".join(_untokenize(p.toks[p.i:]))
+        p.i = len(p.toks)
+        union_all = parse_select(rest)
     if not p.at_end():
         raise ValueError(f"trailing tokens: {p.toks[p.i:]}")
     return Select(projections, table, where, order_by, limit, distinct, star,
-                  group_by, having, join)
+                  group_by, having, join, union_all)
+
+
+def _untokenize(toks) -> list[str]:
+    out = []
+    for k, v in toks:
+        if k == "str":
+            out.append("'" + str(v).replace("'", "''") + "'")
+        else:
+            out.append(str(v))
+    return out
 
 
 def _apply_grouped(ds, sel: Select, where):
@@ -636,6 +663,7 @@ def _apply_grouped(ds, sel: Select, where):
     sums, mins, maxs = [], [], []
     renames = []  # (source_col_in_agg_output, alias)
     count_alias = None
+    count_distinct = None  # (arg_col, alias)
     for node, alias in sel.projections:
         if isinstance(node, Col):
             if node.name not in sel.group_by:
@@ -643,7 +671,17 @@ def _apply_grouped(ds, sel: Select, where):
                                  "not in GROUP BY")
             renames.append((node.name, alias))
         elif _is_agg(node):
-            if node.name == "count":
+            if node.name == "count_distinct":
+                if not (len(node.args) == 1 and isinstance(node.args[0], Col)):
+                    raise ValueError("COUNT(DISTINCT ...) argument must be a "
+                                     "plain column")
+                if count_distinct is not None:
+                    raise ValueError("only one COUNT(DISTINCT) per select "
+                                     "(the reference grammar's special case, "
+                                     "ogr/swq_parser.y:1009)")
+                count_distinct = (node.args[0].name, alias)
+                renames.append((alias, alias))
+            elif node.name == "count":
                 if not (len(node.args) == 1 and isinstance(node.args[0], Lit)
                         and node.args[0].value == "*"):
                     raise ValueError("only count(*) is supported (count(col) "
@@ -669,10 +707,28 @@ def _apply_grouped(ds, sel: Select, where):
 
         ds = ds.map_batches(flt, batch_format="pyarrow")
 
-    agg = partial_aggregate(
-        ds, list(sel.group_by),
-        sums=list(dict.fromkeys(sums)), mins=list(dict.fromkeys(mins)),
-        maxs=list(dict.fromkeys(maxs)), count_alias=count_alias)
+    if count_distinct is not None:
+        # COUNT(DISTINCT x): distinct on (keys, x) — nulls skipped per SQL —
+        # then count(*) per key.  Two keyed shuffles, no driver collect.
+        if sums or mins or maxs or count_alias is not None:
+            raise ValueError(
+                "COUNT(DISTINCT) cannot be combined with other aggregates in "
+                "one statement (run them as two selects)")
+        from ..stages.relational import distinct as _distinct
+
+        cd_col, cd_alias = count_distinct
+
+        def dropnull(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_valid(t[cd_col]))
+
+        dsd = _distinct(ds.map_batches(dropnull, batch_format="pyarrow"),
+                        list(sel.group_by) + [cd_col])
+        agg = partial_aggregate(dsd, list(sel.group_by), count_alias=cd_alias)
+    else:
+        agg = partial_aggregate(
+            ds, list(sel.group_by),
+            sums=list(dict.fromkeys(sums)), mins=list(dict.fromkeys(mins)),
+            maxs=list(dict.fromkeys(maxs)), count_alias=count_alias)
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({alias: t[src] for src, alias in renames})
@@ -693,7 +749,8 @@ def _apply_grouped(ds, sel: Select, where):
     return out
 
 
-def apply_select(ds, sel: Select, skip_where: bool = False, tables=None):
+def apply_select(ds, sel: Select, skip_where: bool = False, tables=None,
+                 datasets=None):
     """Run a parsed Select over a Ray Dataset: broadcast JOIN (when the
     statement has one) -> residual WHERE filter -> vectorized projection ->
     ORDER BY (range-partitioned sort) -> LIMIT; grouped selects route
@@ -702,12 +759,42 @@ def apply_select(ds, sel: Select, skip_where: bool = False, tables=None):
     into the scan.  ``tables``: {name: pyarrow.Table | small Dataset} for
     the JOIN right side (broadcast via ray.put — the OGR secondary-table
     model; a collision between a needed right column and a left column
-    keeps the LEFT column)."""
+    keeps the LEFT column).  ``datasets``: {name: Dataset} for the FROM
+    tables of trailing UNION ALL branches (each branch is evaluated
+    independently — its own ORDER BY/LIMIT included — and the outputs
+    concatenated, the reference's swq union model, ogr/swq_parser.y:840)."""
+    from dataclasses import replace
+
+    if sel.union_all is not None:
+        head = apply_select(ds, replace(sel, union_all=None),
+                            skip_where, tables, datasets)
+        branch = sel.union_all
+        if branch.table is None or branch.table == sel.table:
+            bds = ds
+        elif datasets and branch.table in datasets:
+            bds = datasets[branch.table]
+        else:
+            raise ValueError(
+                f"UNION ALL branch reads table {branch.table!r}; pass "
+                f"apply_select(..., datasets={{{branch.table!r}: Dataset}})")
+        tail = apply_select(bds, branch, False, tables, datasets)
+        return head.union(tail)
     where = None if skip_where else sel.where
     if sel.join is not None:
         ds = _apply_join(ds, sel, tables)
     if sel.group_by:
         return _apply_grouped(ds, sel, where)
+    if any(_is_agg(n) for n, _ in sel.projections):
+        # whole-table aggregate (no GROUP BY — swq_select.cpp's query_mode
+        # SWQM_SUMMARY_RECORD): group on a synthetic constant key; the key
+        # is not projected so the alias projection drops it
+        def addkey(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__all", pa.array([0] * t.num_rows, type=pa.int32()))
+
+        gsel = replace(sel, group_by=["__all"])
+        return _apply_grouped(
+            ds.map_batches(addkey, batch_format="pyarrow"), gsel, where)
     proj = sel.projections
     order_cols = {c for c, _ in sel.order_by}
     out_names = [alias for _, alias in proj]

@@ -324,6 +324,52 @@ def select_sql_left_join_group_q(sf_dir: str):
     return sqlexpr.apply_select(ds, sel, tables={"nation": nat})
 
 
+def select_sql_count_distinct_q(sf_dir: str):
+    """COUNT(DISTINCT x) from a SQL string — the one aggregate the reference
+    grammar special-cases (ogr/swq_parser.y:1009-1034, swq_select.cpp
+    distinct-flag column): executes as distinct-on-(keys, x) followed by a
+    keyed count, two shuffles and no driver collect."""
+    from ..functions import sqlexpr
+
+    sql = ("SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations "
+           "FROM customer WHERE c_custkey % 2 = 0 "
+           "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    sel = sqlexpr.parse_select(sql)
+    ds = read_table(sf_dir, "customer", columns=sorted(sel.columns_needed))
+    return sqlexpr.apply_select(ds, sel)
+
+
+def select_sql_global_agg_q(sf_dir: str):
+    """Whole-table aggregates without GROUP BY (swq_select.cpp
+    SWQM_SUMMARY_RECORD — 'SELECT COUNT(*), MIN(x) FROM t'): grouped on a
+    synthetic constant key that the alias projection drops."""
+    from ..functions import sqlexpr
+
+    sql = ("SELECT count(*) AS n, sum(o_custkey) AS key_sum, "
+           "min(o_orderkey) AS min_o, max(o_orderkey) AS max_o "
+           "FROM orders WHERE o_orderkey % 3 = 0")
+    sel = sqlexpr.parse_select(sql)
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return sqlexpr.apply_select(ds, sel)
+
+
+def select_sql_union_all_q(sf_dir: str):
+    """UNION ALL from one SQL string (ogr/swq_parser.y:822,840 select_core
+    opt_union_all): each branch evaluates independently over its own FROM
+    table and the outputs concatenate via Dataset.union."""
+    from ..functions import sqlexpr
+
+    sql = ("SELECT n_name AS name, CAST(n_regionkey AS BIGINT) AS rk "
+           "FROM nation WHERE n_regionkey <= 1 "
+           "UNION ALL "
+           "SELECT r_name AS name, CAST(r_regionkey + 100 AS BIGINT) AS rk "
+           "FROM region")
+    sel = sqlexpr.parse_select(sql)
+    nat = read_table(sf_dir, "nation", columns=["n_name", "n_regionkey"])
+    reg = read_table(sf_dir, "region", columns=["r_name", "r_regionkey"])
+    return sqlexpr.apply_select(nat, sel, datasets={"region": reg})
+
+
 def topk_orders(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     ds = ds.map_batches(
