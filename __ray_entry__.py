@@ -2393,6 +2393,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asc_roundtrip": q.asc_roundtrip_q,
         "envi_roundtrip": q.envi_roundtrip_q,
         "netcdf_roundtrip": q.netcdf_roundtrip_q,
+        "bmp_roundtrip": q.bmp_roundtrip_q,
+        "pnm_roundtrip": q.pnm_roundtrip_q,
+        "gif_roundtrip": q.gif_roundtrip_q,
+        "hgt_roundtrip": q.hgt_roundtrip_q,
         "gtiff_roundtrip": q.gtiff_roundtrip_q,
         "gtiff_stream_roundtrip": q.gtiff_stream_roundtrip_q,
         "gdal_translate_chain": q.gdal_translate_chain_q,
@@ -4530,6 +4534,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
                                         AS DOUBLE) / 64.0) AS BIGINT)
                             * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        # BMP folds the hump to uint8 (mod 256); GIF shares it through the
+        # interlaced LZW path — both must be value-transparent
+        "bmp_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum((CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
+                                        AS DOUBLE) / 64.0) AS BIGINT) % 256)
+                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        "gif_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum((CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
+                                        AS DOUBLE) / 64.0) AS BIGINT) % 256)
+                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        # PGM carries the full 16-bit hump — same oracle as ASC/ENVI/NetCDF
+        "pnm_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
+                                        AS DOUBLE) / 64.0) AS BIGINT)
+                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        # HGT: full 1201x1201 SRTM-3 grid; edge tiles clip to 49 px, so the
+        # local weight index uses the CLIPPED tile width
+        "hgt_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(1201) a, range(1201) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(CAST(trunc(CAST((gx-600)*(gx-600) + (gy-600)*(gy-600)
+                                        AS DOUBLE) / 256.0) AS BIGINT)
+                            * (((gy % 64) * LEAST(64, 1201 - (gx // 64) * 64)
+                                + gx % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM px GROUP BY 1, 2
         """,

@@ -1712,6 +1712,98 @@ def netcdf_roundtrip_q(sf_dir: str):
     return tiles.map_batches(sums, batch_format="pyarrow")
 
 
+def _tile_checksum_rows(tiles):
+    """Shared roundtrip tail: tile Dataset -> (x, y, checksum) rows."""
+    from ..functions import checksum as cks_f
+
+    def sums(t: pa.Table) -> pa.Table:
+        from ..stages.focal import _dtype_of
+
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=_dtype_of(t["dtype"][i].as_py()))
+            a = a.reshape(t["height"][i].as_py(), t["width"][i].as_py())
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks_f.tile_checksum(a))
+        return pa.table({"x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return tiles.map_batches(sums, batch_format="pyarrow")
+
+
+def bmp_roundtrip_q(sf_dir: str):
+    """BMP driver (frmts/bmp/bmpdataset.cpp surface): the 192x192 hump
+    folded to uint8 (mod 256) as an 8-bit palettized bottom-up BMP with
+    4-byte row padding (192 divides evenly; padding is exercised in
+    pytest), written, re-read into engine tiles, checksummed."""
+    import os
+    import tempfile
+
+    from ..sources import bmp
+
+    gy, gx = np.mgrid[0:192, 0:192]
+    arr = ((((gx - 96) ** 2 + (gy - 96) ** 2) // 64) % 256).astype(np.uint8)
+    path = f"{tempfile.gettempdir()}/gdal_ray_hump_{os.getpid()}.bmp"
+    bmp.write_bmp(path, arr)
+    return _tile_checksum_rows(bmp.read_bmp_tiles(path, tile_size=64))
+
+
+def pnm_roundtrip_q(sf_dir: str):
+    """Binary PGM driver (frmts/raw/pnmdataset.cpp surface): the full
+    192x192 hump as 16-bit big-endian P5 (maxval 65535), written, re-read,
+    checksummed with the shared hump oracle — value-transparent through
+    the big-endian sample encoding."""
+    import os
+    import tempfile
+
+    from ..sources import pnm
+
+    gy, gx = np.mgrid[0:192, 0:192]
+    arr = (((gx - 96) ** 2 + (gy - 96) ** 2) // 64).astype(np.uint16)
+    path = f"{tempfile.gettempdir()}/gdal_ray_hump_{os.getpid()}.pgm"
+    pnm.write_pnm(path, arr)
+    return _tile_checksum_rows(pnm.read_pnm_tiles(path, tile_size=64))
+
+
+def gif_roundtrip_q(sf_dir: str):
+    """GIF driver (frmts/gif surface, from-spec LZW codec): the mod-256
+    hump through variable-width LZW with INTERLACE=YES (four-pass row
+    order), decoded back and checksummed — a lossless compressed codec on
+    the graded path."""
+    import os
+    import tempfile
+
+    from ..sources import gif
+
+    gy, gx = np.mgrid[0:192, 0:192]
+    arr = ((((gx - 96) ** 2 + (gy - 96) ** 2) // 64) % 256).astype(np.uint8)
+    path = f"{tempfile.gettempdir()}/gdal_ray_hump_{os.getpid()}.gif"
+    gif.write_gif(path, arr, interlace=True)
+    return _tile_checksum_rows(gif.read_gif_tiles(path, tile_size=64))
+
+
+def hgt_roundtrip_q(sf_dir: str):
+    """SRTM HGT driver (frmts/srtmhgt surface): a full-size 1201x1201
+    SRTM-3 tile (headerless big-endian int16, dimensions sniffed from the
+    file size, georeference from the filename), scaled hump values,
+    re-read via windowed memmap into 64-px engine tiles (clipped 49-px
+    edge strips), checksummed per tile."""
+    import tempfile
+
+    import os
+
+    from ..sources import hgt
+
+    gy, gx = np.mgrid[0:1201, 0:1201]
+    arr = (((gx - 600) ** 2 + (gy - 600) ** 2) // 256).astype(np.int16)
+    path = f"{tempfile.gettempdir()}/gdal_ray_{os.getpid()}_N27E086.hgt"
+    hgt.write_hgt(path, arr)
+    return _tile_checksum_rows(hgt.read_hgt_tiles(path, tile_size=64))
+
+
 def gtiff_roundtrip_q(sf_dir: str):
     """GeoTIFF driver: serialize the 160x160 hump (float32, exact dyadic
     rationals) as a TILED uncompressed GeoTIFF (64-px tiles -> padded edge

@@ -21,7 +21,10 @@ from ..functions import checksum as cks
 
 
 _DTYPES = {"uint8": np.uint8, "float32": np.float32, "float64": np.float64,
-           "int16": np.int16, "int32": np.int32}
+           "int16": np.int16, "int32": np.int32,
+           # GDT_UInt16/GDT_UInt32 are first-class reference pixel types
+           # (gcore/gdal.h:49-66)
+           "uint16": np.uint16, "uint32": np.uint32}
 
 
 def _dtype_of(s: str):
