@@ -2274,6 +2274,37 @@ def _transformer_oracles() -> dict[str, str]:
         "gcp_polynomial": gcp_sql,
         "tps_warp": tps_sql,
         "rpc_transform": rpc_sql,
+        # geolocation arrays: the forward bilinear over the dyadic node
+        # formula X(i,j)=4i+j^2/8, Y(i,j)=3j+i^2/16-i/4 is bit-exact in SQL;
+        # the exact-inverse-bilinear roundtrip returns the integer keys
+        "geoloc_transform": """
+            WITH p AS (
+              SELECT doc_id,
+                     CAST(n_chars % 47 AS DOUBLE) / 2.0 AS gp,
+                     CAST(doc_id % 31 AS DOUBLE) / 2.0 AS gl
+              FROM documents
+            ), c AS (
+              SELECT doc_id, gp, gl,
+                     CAST(floor(gp) AS BIGINT) AS i,
+                     CAST(floor(gl) AS BIGINT) AS j,
+                     gp - floor(gp) AS s, gl - floor(gl) AS t
+              FROM p
+            )
+            SELECT doc_id,
+              CAST(round(64 * (
+                  (1-s)*(1-t) * (4*i + j*j/8.0)
+                + s*(1-t)     * (4*(i+1) + j*j/8.0)
+                + (1-s)*t     * (4*i + (j+1)*(j+1)/8.0)
+                + s*t         * (4*(i+1) + (j+1)*(j+1)/8.0))) AS BIGINT) AS x64,
+              CAST(round(64 * (
+                  (1-s)*(1-t) * (3*j + i*i/16.0 - i/4.0)
+                + s*(1-t)     * (3*j + (i+1)*(i+1)/16.0 - (i+1)/4.0)
+                + (1-s)*t     * (3*(j+1) + i*i/16.0 - i/4.0)
+                + s*t         * (3*(j+1) + (i+1)*(i+1)/16.0 - (i+1)/4.0))) AS BIGINT) AS y64,
+              CAST(n_chars % 47 AS BIGINT) AS rk,
+              CAST(doc_id % 31 AS BIGINT) AS rm
+            FROM c JOIN documents USING (doc_id)
+        """,
         "grid_shift": grid_shift_sql,
         "grid_shift_gsb": grid_shift_sql,
         "grid_shift_multi": grid_shift_multi_sql,
@@ -2521,6 +2552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gcp_polynomial": q.gcp_polynomial_q,
         "tps_warp": q.tps_warp_q,
         "rpc_transform": q.rpc_transform_q,
+        "geoloc_transform": q.geoloc_transform_q,
         "grid_shift": q.grid_shift_q,
         "grid_shift_gsb": q.grid_shift_gsb_q,
         "grid_shift_multi": q.grid_shift_multi_q,

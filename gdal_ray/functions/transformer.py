@@ -1096,3 +1096,201 @@ def demo_multi_grid():
         ("DEMOGRID", "NONE", demo_shift_grid()),
         ("CHILD0", "DEMOGRID", demo_child_grid()),
     ])
+
+
+# -- geolocation arrays -------------------------------------------------------
+
+
+class GeolocTransformer:
+    """Geolocation-array transformer (the reference's GEOLOCATION metadata
+    domain, ``alg/gdalgeoloc.cpp``): two 2-D arrays give the georeferenced
+    (X, Y) of each geolocation-grid node; raster pixel/line coordinates map
+    into the grid through (offset, step) scalars (PIXEL_OFFSET/PIXEL_STEP/
+    LINE_OFFSET/LINE_STEP).
+
+    forward: bilinear interpolation within the containing grid cell, with
+    linear extension beyond the borders from the closest cell — the
+    reference's PixelLineToXY contract (gdalgeoloc.cpp:375-384 "assumes
+    infinite extension beyond borders ... based on closest grid square").
+
+    inverse: the reference builds a coarse backmap then refines with exact
+    inverse bilinear interpolation (gdalgeoloc.cpp:651,967).  Here the seed
+    structure is a CSR bin index over quad bounding boxes (built once in
+    ``__init__`` — actor-pool state at scale, like the CSR cell grid in
+    stages/join.py) and refinement solves the quadratic inverse bilinear
+    system per candidate quad, derived independently: with corner vectors
+    E=P10-P00, F=P01-P00, G=P00-P10-P01+P11 and H=Q-P00, eliminating s from
+    sE + tF + stG = H gives  a t^2 + b t + c = 0  with
+    a = Fy*Gx - Fx*Gy, b = Hx*Gy - Hy*Gx + Fy*Ex - Fx*Ey,
+    c = Hx*Ey - Hy*Ex.
+
+    The geoloc arrays are broadcast state; all query paths are vectorized
+    numpy over point batches.
+    """
+
+    def __init__(self, geo_x: np.ndarray, geo_y: np.ndarray,
+                 pixel_offset: float = 0.0, pixel_step: float = 1.0,
+                 line_offset: float = 0.0, line_step: float = 1.0,
+                 nbins: int = 0):
+        self.gx = np.asarray(geo_x, dtype=np.float64)
+        self.gy = np.asarray(geo_y, dtype=np.float64)
+        if self.gx.shape != self.gy.shape or self.gx.ndim != 2:
+            raise ValueError(f"geoloc arrays must be equal-shape 2-D, got "
+                             f"{self.gx.shape} vs {self.gy.shape}")
+        if min(self.gx.shape) < 2:
+            raise ValueError("geoloc arrays need at least 2x2 nodes")
+        self.po, self.ps = float(pixel_offset), float(pixel_step)
+        self.lo, self.ls = float(line_offset), float(line_step)
+        ny, nx = self.gx.shape
+        # quad corner tables, row-major over (ny-1, nx-1) cells
+        self._x00 = self.gx[:-1, :-1].ravel()
+        self._x10 = self.gx[:-1, 1:].ravel()
+        self._x01 = self.gx[1:, :-1].ravel()
+        self._x11 = self.gx[1:, 1:].ravel()
+        self._y00 = self.gy[:-1, :-1].ravel()
+        self._y10 = self.gy[:-1, 1:].ravel()
+        self._y01 = self.gy[1:, :-1].ravel()
+        self._y11 = self.gy[1:, 1:].ravel()
+        xmin = np.minimum.reduce([self._x00, self._x10, self._x01, self._x11])
+        xmax = np.maximum.reduce([self._x00, self._x10, self._x01, self._x11])
+        ymin = np.minimum.reduce([self._y00, self._y10, self._y01, self._y11])
+        ymax = np.maximum.reduce([self._y00, self._y10, self._y01, self._y11])
+        self._bx0, self._by0 = float(xmin.min()), float(ymin.min())
+        self._bx1, self._by1 = float(xmax.max()), float(ymax.max())
+        if nbins <= 0:
+            nbins = max(8, int(np.sqrt((nx - 1) * (ny - 1))))
+        self._nb = int(nbins)
+        self._sx = (self._bx1 - self._bx0) / self._nb or 1.0
+        self._sy = (self._by1 - self._by0) / self._nb or 1.0
+        # CSR: quad -> covered bins (bbox cover), inverted to bin -> quads
+        i0 = np.clip(((xmin - self._bx0) / self._sx).astype(np.int64),
+                     0, self._nb - 1)
+        i1 = np.clip(((xmax - self._bx0) / self._sx).astype(np.int64),
+                     0, self._nb - 1)
+        j0 = np.clip(((ymin - self._by0) / self._sy).astype(np.int64),
+                     0, self._nb - 1)
+        j1 = np.clip(((ymax - self._by0) / self._sy).astype(np.int64),
+                     0, self._nb - 1)
+        spans = (i1 - i0 + 1) * (j1 - j0 + 1)
+        quad_ids = np.repeat(np.arange(spans.size, dtype=np.int64), spans)
+        # enumerate covered (bi, bj) per quad without a Python loop
+        offs = np.concatenate([[0], np.cumsum(spans)])
+        k = np.arange(int(spans.sum()), dtype=np.int64) - offs[quad_ids]
+        w = (i1 - i0 + 1)[quad_ids]
+        bi = i0[quad_ids] + k % w
+        bj = j0[quad_ids] + k // w
+        bin_ids = bj * self._nb + bi
+        order = np.argsort(bin_ids, kind="stable")
+        self._csr_quads = quad_ids[order]
+        self._csr_offsets = np.searchsorted(
+            bin_ids[order], np.arange(self._nb * self._nb + 1))
+
+    # -- forward ---------------------------------------------------------
+
+    def forward(self, pixel, line):
+        """raster pixel/line -> (X, Y), vectorized; the reference's
+        bilinear-with-extension contract."""
+        gp = (np.asarray(pixel, dtype=np.float64) - self.po) / self.ps
+        gl = (np.asarray(line, dtype=np.float64) - self.lo) / self.ls
+        ny, nx = self.gx.shape
+        i = np.clip(np.floor(gp).astype(np.int64), 0, nx - 2)
+        j = np.clip(np.floor(gl).astype(np.int64), 0, ny - 2)
+        s = gp - i  # may fall outside [0, 1]: linear extension at borders
+        t = gl - j
+        w00 = (1 - s) * (1 - t)
+        w10 = s * (1 - t)
+        w01 = (1 - s) * t
+        w11 = s * t
+        X = (self.gx[j, i] * w00 + self.gx[j, i + 1] * w10
+             + self.gx[j + 1, i] * w01 + self.gx[j + 1, i + 1] * w11)
+        Y = (self.gy[j, i] * w00 + self.gy[j, i + 1] * w10
+             + self.gy[j + 1, i] * w01 + self.gy[j + 1, i + 1] * w11)
+        return X, Y
+
+    # -- inverse ---------------------------------------------------------
+
+    def _solve_quads(self, quads, qx, qy):
+        """Exact inverse bilinear over (pair) arrays -> (s, t) in quad
+        coords (see class docstring for the derivation)."""
+        ex = self._x10[quads] - self._x00[quads]
+        ey = self._y10[quads] - self._y00[quads]
+        fx = self._x01[quads] - self._x00[quads]
+        fy = self._y01[quads] - self._y00[quads]
+        gx = (self._x00[quads] - self._x10[quads]
+              - self._x01[quads] + self._x11[quads])
+        gy = (self._y00[quads] - self._y10[quads]
+              - self._y01[quads] + self._y11[quads])
+        hx = qx - self._x00[quads]
+        hy = qy - self._y00[quads]
+        a = fy * gx - fx * gy
+        b = hx * gy - hy * gx + fy * ex - fx * ey
+        c = hx * ey - hy * ex
+        scale = np.abs(a) + np.abs(b) + np.abs(c) + 1e-300
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lin = np.abs(a) <= 1e-12 * scale
+            t_lin = -c / np.where(np.abs(b) > 1e-12 * scale, b, np.nan)
+            disc = b * b - 4 * a * c
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            t1 = (-b + sq) / (2 * a)
+            t2 = (-b - sq) / (2 * a)
+            pick1 = (t1 >= -1e-9) & (t1 <= 1 + 1e-9)
+            t_quad = np.where(pick1, t1, t2)
+            t = np.where(lin, t_lin, np.where(disc < 0, np.nan, t_quad))
+            den_x = ex + t * gx
+            den_y = ey + t * gy
+            use_x = np.abs(den_x) >= np.abs(den_y)
+            s = np.where(use_x, (hx - t * fx) / den_x, (hy - t * fy) / den_y)
+        return s, t
+
+    def inverse(self, X, Y, tol: float = 1e-9):
+        """(X, Y) -> raster pixel/line; NaN for points outside every quad
+        (the reference likewise fails points the backmap can't seed)."""
+        qx = np.asarray(X, dtype=np.float64)
+        qy = np.asarray(Y, dtype=np.float64)
+        n = qx.size
+        nx = self.gx.shape[1]
+        bi = np.clip(((qx - self._bx0) / self._sx).astype(np.int64),
+                     0, self._nb - 1)
+        bj = np.clip(((qy - self._by0) / self._sy).astype(np.int64),
+                     0, self._nb - 1)
+        bins = bj * self._nb + bi
+        starts = self._csr_offsets[bins]
+        ends = self._csr_offsets[bins + 1]
+        counts = ends - starts
+        total = int(counts.sum())
+        pix = np.full(n, np.nan)
+        lin = np.full(n, np.nan)
+        if total == 0:
+            return pix, lin
+        qidx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        k = np.arange(total, dtype=np.int64) - offs[qidx]
+        quads = self._csr_quads[starts[qidx] + k]
+        s, t = self._solve_quads(quads, qx[qidx], qy[qidx])
+        ok = (s >= -tol) & (s <= 1 + tol) & (t >= -tol) & (t <= 1 + tol)
+        ok &= ~(np.isnan(s) | np.isnan(t))
+        # first acceptable candidate per query wins (quads tile the plane;
+        # shared edges make ties identical up to tol)
+        qi = qidx[ok]
+        gi = quads[ok] % (nx - 1)
+        gj = quads[ok] // (nx - 1)
+        gp = gi + np.clip(s[ok], 0.0, 1.0)
+        gl = gj + np.clip(t[ok], 0.0, 1.0)
+        # keep the first hit per query (stable order)
+        first = np.zeros(qi.size, dtype=bool)
+        if qi.size:
+            first[np.unique(qi, return_index=True)[1]] = True
+        pix[qi[first]] = gp[first] * self.ps + self.po
+        lin[qi[first]] = gl[first] * self.ls + self.lo
+        return pix, lin
+
+
+def demo_geoloc_arrays(nx: int = 25, ny: int = 17):
+    """Deterministic curvilinear geolocation grid (SQL-exact integer-node
+    formula, dyadic coefficients — mirrors cleanly in DuckDB):
+    X(i, j) = 4*i + j*j / 8,  Y(i, j) = 3*j + i*i / 16 - i / 4."""
+    j, i = np.mgrid[0:ny, 0:nx]
+    X = 4.0 * i + (j * j) / 8.0
+    Y = 3.0 * j + (i * i) / 16.0 - i / 4.0
+    return GeolocTransformer(X, Y, pixel_offset=0.5, pixel_step=2.0,
+                             line_offset=0.5, line_step=2.0)

@@ -3866,6 +3866,35 @@ def rpc_transform_q(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def geoloc_transform_q(sf_dir: str):
+    """Geolocation-array transformer (alg/gdalgeoloc.cpp: GEOLOCATION
+    metadata domain): pixel/line -> bilinear X/Y through a deterministic
+    curvilinear grid (dyadic node formula — the forward interpolation is
+    bit-exact in SQL), then the exact-inverse-bilinear recovery; the
+    roundtrip returns the original integer pixel/line keys."""
+    from ..functions.transformer import demo_geoloc_arrays
+
+    g = demo_geoloc_arrays()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["n_chars"].to_numpy() % 47, np.float64)
+        m = np.asarray(pc.cast(b["doc_id"], pa.int64()).to_numpy() % 31,
+                       np.float64)
+        pix, lin = 0.5 + k, 0.5 + m  # grid coords k/2, m/2 (dyadic)
+        X, Y = g.forward(pix, lin)
+        p2, l2 = g.inverse(X, Y)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "x64": pa.array(np.round(X * 64).astype(np.int64)),
+            "y64": pa.array(np.round(Y * 64).astype(np.int64)),
+            "rk": pa.array(np.round(p2 - 0.5).astype(np.int64)),
+            "rm": pa.array(np.round(l2 - 0.5).astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def semi_join_orders_q(sf_dir: str):
     """Semi join (EXISTS subquery): orders with at least one heavy lineitem
     (l_quantity >= 48) — no broadcast; both sides hash-partition on the key."""

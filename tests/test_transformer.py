@@ -697,3 +697,54 @@ def test_epsg_table_routing_roundtrips():
     # CGCS2000 3-degree GK: k0=1, CM stepped by 3 degrees
     fam, kw = geo.epsg_params("EPSG:4540")
     assert fam == "tmerc" and kw["k0"] == 1.0 and kw["lon0"] == 93.0
+
+
+def test_geoloc_forward_matches_bilinear_nodes():
+    """Round-4 continuation: geolocation-array transformer
+    (alg/gdalgeoloc.cpp).  At grid nodes the forward returns the node
+    values exactly; inside a cell it is the bilinear blend."""
+    from gdal_ray.functions.transformer import GeolocTransformer
+
+    j, i = np.mgrid[0:5, 0:7]
+    X = 10.0 * i + j * 2.0
+    Y = 5.0 * j - i * 0.5
+    g = GeolocTransformer(X, Y)
+    px, ln = np.array([3.0, 2.5]), np.array([2.0, 1.5])
+    ox, oy = g.forward(px, ln)
+    assert ox[0] == 10 * 3 + 2 * 2 and oy[0] == 5 * 2 - 1.5
+    # cell-centre blend of the 4 corners
+    corners_x = [X[1, 2], X[1, 3], X[2, 2], X[2, 3]]
+    assert ox[1] == pytest.approx(np.mean(corners_x))
+
+
+def test_geoloc_inverse_roundtrip_and_extension():
+    from gdal_ray.functions.transformer import demo_geoloc_arrays
+
+    g = demo_geoloc_arrays()
+    rng = np.random.default_rng(11)
+    pix = rng.uniform(0.5, 0.5 + 2 * 23.9, 2000)
+    lin = rng.uniform(0.5, 0.5 + 2 * 15.9, 2000)
+    X, Y = g.forward(pix, lin)
+    p2, l2 = g.inverse(X, Y)
+    assert np.isfinite(p2).all()
+    assert np.max(np.hypot(p2 - pix, l2 - lin)) < 1e-9
+    # linear extension beyond the border (the reference's infinite-extension
+    # contract, gdalgeoloc.cpp:375-384): extrapolates the closest cell
+    Xo, Yo = g.forward(np.array([-3.0]), np.array([0.5]))
+    X0, _ = g.forward(np.array([0.5]), np.array([0.5]))
+    X1, _ = g.forward(np.array([2.5]), np.array([0.5]))
+    assert Xo[0] == pytest.approx(X0[0] - 1.75 * (X1[0] - X0[0]))
+    # outside every quad -> NaN
+    po, lo = g.inverse(np.array([-1e6]), np.array([0.0]))
+    assert np.isnan(po[0]) and np.isnan(lo[0])
+    # pixel/line offsets respected
+    assert g.po == 0.5 and g.ps == 2.0
+
+
+def test_geoloc_validation():
+    from gdal_ray.functions.transformer import GeolocTransformer
+
+    with pytest.raises(ValueError, match="equal-shape"):
+        GeolocTransformer(np.zeros((3, 3)), np.zeros((3, 4)))
+    with pytest.raises(ValueError, match="2x2"):
+        GeolocTransformer(np.zeros((1, 5)), np.zeros((1, 5)))
