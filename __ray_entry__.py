@@ -2504,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sieve_cross_tile": q.sieve_q,
         "tile_pyramid": q.tile_pyramid_q,
         "tile_pyramid_cubic": q.tile_pyramid_cubic_q,
+        "warp_geoloc": q.warp_geoloc_q,
         "overview_kernels": q.overview_kernels_q,
         "warp_cutline": q.warp_cutline_q,
         "grid_metrics": q.grid_metrics_q,
@@ -4617,6 +4618,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tile_pyramid": _tile_pyramid_sql(),
         "tile_pyramid_cubic": _tile_pyramid_cubic_sql(),
+        # geoloc warp with an affine-encoding node grid == affine warp (the
+        # exact inverse bilinear degenerates to the affine inverse); same
+        # z4 nearest mirror
+        "warp_geoloc": f"""
+            WITH {{ctes}},
+            p4s AS (SELECT x, y, i, j,
+                      CAST(floor(px) AS BIGINT) AS cx,
+                      CAST(floor(py) AS BIGINT) AS cy
+                    FROM p4px),
+            p4 AS (SELECT x, y, i, j,
+                     CASE WHEN cx >= 0 AND cx < 256 AND cy >= 0 AND cy < 256
+                          THEN CAST(cx + cy AS DOUBLE) + 1.0 ELSE 0.0 END AS v
+                   FROM p4s)
+            SELECT 4 AS z, CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+                   CAST(sum(CAST(trunc(v) AS BIGINT) * ((j * 64 + i) % 7 + 1))
+                        % 65536 AS BIGINT) AS checksum
+            FROM p4 GROUP BY 2, 3
+        """.format(ctes=_warp_grid_ctes()),
         "overview_kernels": _overview_kernels_sql(),
         "media_features": _media_sql(),
         # the real-codec path (store PNGs -> decode_png) produces the same

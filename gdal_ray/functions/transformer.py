@@ -1243,10 +1243,12 @@ class GeolocTransformer:
         return s, t
 
     def inverse(self, X, Y, tol: float = 1e-9):
-        """(X, Y) -> raster pixel/line; NaN for points outside every quad
-        (the reference likewise fails points the backmap can't seed)."""
-        qx = np.asarray(X, dtype=np.float64)
-        qy = np.asarray(Y, dtype=np.float64)
+        """(X, Y) -> raster pixel/line (shape-preserving); NaN for points
+        outside every quad (the reference likewise fails points the backmap
+        can't seed)."""
+        shape = np.asarray(X).shape
+        qx = np.asarray(X, dtype=np.float64).ravel()
+        qy = np.asarray(Y, dtype=np.float64).ravel()
         n = qx.size
         nx = self.gx.shape[1]
         bi = np.clip(((qx - self._bx0) / self._sx).astype(np.int64),
@@ -1261,7 +1263,7 @@ class GeolocTransformer:
         pix = np.full(n, np.nan)
         lin = np.full(n, np.nan)
         if total == 0:
-            return pix, lin
+            return pix.reshape(shape), lin.reshape(shape)
         qidx = np.repeat(np.arange(n, dtype=np.int64), counts)
         offs = np.concatenate([[0], np.cumsum(counts)])
         k = np.arange(total, dtype=np.int64) - offs[qidx]
@@ -1282,7 +1284,7 @@ class GeolocTransformer:
             first[np.unique(qi, return_index=True)[1]] = True
         pix[qi[first]] = gp[first] * self.ps + self.po
         lin[qi[first]] = gl[first] * self.ls + self.lo
-        return pix, lin
+        return pix.reshape(shape), lin.reshape(shape)
 
 
 def demo_geoloc_arrays(nx: int = 25, ny: int = 17):

@@ -2615,6 +2615,32 @@ def _ramp_src():
     )
 
 
+def warp_geoloc_q(sf_dir: str):
+    """gdalwarp -geoloc analogue (alg/gdalgeoloc.cpp): the ramp source is
+    georeferenced by geolocation ARRAYS (nodes every 8 px) instead of its
+    affine geotransform; TileWarper routes pixel lookup through the exact
+    inverse bilinear.  The node grid here encodes exactly the same affine
+    mapping, so the z4 tiles must be checksum-identical to the affine warp
+    — the SQL oracle is the shared z4 warp mirror.  (True curvilinear
+    grids are pinned in tests/test_transformer.py and the warp parity
+    test.)"""
+    from ..functions.transformer import GeolocTransformer
+    from ..stages import pyramid as pyr
+
+    # nodes every 8 px, one node beyond each raster edge (pixel -7.5 to
+    # 264.5) so every valid pixel lies inside a quad — the z4 tile rows
+    # overhang the raster and the affine warp still samples edge rows there
+    j, i = np.mgrid[0:35, 0:35]
+    X = -60.0 + (120.0 / 256) * (-7.5 + 8.0 * i)
+    Y = 60.0 - (120.0 / 256) * (-7.5 + 8.0 * j)
+    g = GeolocTransformer(X, Y, pixel_offset=-7.5, pixel_step=8.0,
+                          line_offset=-7.5, line_step=8.0)
+    out = pyr.warp_to_tiles(
+        _ramp_src(), 4, (-59, -59, 59, 59), tile_px=64, resample="nearest",
+        skip_blank=False, concurrency=2, geoloc=g)
+    return out.select_columns(["z", "x", "y", "checksum"])
+
+
 def tile_pyramid_cubic_q(sf_dir: str):
     """gdalwarp -r cubic analogue (the reference's own benchmark kernel,
     autotest/benchmark/test_gdalwarp.py:24-57): Catmull-Rom warp of the ramp

@@ -112,7 +112,7 @@ class TileWarper:
 
     def __init__(self, src_ref, tile_px: int = 256, resample: str = "nearest",
                  cutline_wkb: bytes | None = None, dst_alpha: bool = False,
-                 cache_blocks: int = 64):
+                 cache_blocks: int = 64, geoloc=None):
         src = ray.get(src_ref) if isinstance(src_ref, ray.ObjectRef) else src_ref
         self.src = src
         # a block-sharded source gets a per-actor LRU (gdalrasterblock.cpp
@@ -137,9 +137,29 @@ class TileWarper:
 
         self.cutline = _wkb.decode(cutline_wkb) if cutline_wkb else None
         self.dst_alpha = dst_alpha
+        # geolocation-array georeferencing (gdalwarp -geoloc,
+        # alg/gdalgeoloc.cpp): pixel lookup goes through the exact inverse
+        # bilinear instead of the affine inverse geotransform.  The
+        # transformer (with its CSR quad index) is per-actor state.
+        self.geoloc = geoloc
+        if geoloc is not None and resample in self._AREA_KERNELS:
+            raise ValueError("geoloc georeferencing supports point kernels "
+                             "(nearest/bilinear/cubic/...); area kernels "
+                             "need an affine source grid")
+
+    def _src_pixels(self, lon: np.ndarray, lat: np.ndarray):
+        if self.geoloc is not None:
+            px, py = self.geoloc.inverse(lon, lat)
+            # outside-every-quad points -> far-out-of-bounds taps (nodata);
+            # a finite sentinel keeps block-cache window math NaN-free
+            bad = ~(np.isfinite(px) & np.isfinite(py))
+            px[bad] = -1e9
+            py[bad] = -1e9
+            return px, py
+        return geo.apply_geotransform(self.inv_gt, lon, lat)
 
     def _sample(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
-        px, py = geo.apply_geotransform(self.inv_gt, lon, lat)
+        px, py = self._src_pixels(lon, lat)
         if self.cache is not None:
             if self.resample not in ("nearest", "bilinear"):
                 raise ValueError(
@@ -402,8 +422,12 @@ def warp_to_tiles(
     skip_blank: bool = True,
     cutline_wkb: bytes | None = None,
     dst_alpha: bool = False,
+    geoloc=None,
 ):
-    """Base-zoom warp: dst tile Dataset -> actor-pool warp kernel."""
+    """Base-zoom warp: dst tile Dataset -> actor-pool warp kernel.
+    ``geoloc``: GeolocTransformer for geolocation-array-referenced sources
+    (gdalwarp -geoloc, alg/gdalgeoloc.cpp) — ships to actors with the
+    source."""
     import ray.data as rd
 
     tiles = rd.from_arrow(enumerate_tiles(z, *bbox))
@@ -411,7 +435,8 @@ def warp_to_tiles(
     out = tiles.map_batches(
         TileWarper,
         fn_constructor_kwargs=dict(src_ref=src_ref, tile_px=tile_px, resample=resample,
-                                   cutline_wkb=cutline_wkb, dst_alpha=dst_alpha),
+                                   cutline_wkb=cutline_wkb, dst_alpha=dst_alpha,
+                                   geoloc=geoloc),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

@@ -748,3 +748,47 @@ def test_geoloc_validation():
         GeolocTransformer(np.zeros((3, 3)), np.zeros((3, 4)))
     with pytest.raises(ValueError, match="2x2"):
         GeolocTransformer(np.zeros((1, 5)), np.zeros((1, 5)))
+
+
+def test_geoloc_warp_matches_affine_with_rotation(ray_session):
+    """TileWarper(geoloc=...) parity: a node grid encoding a ROTATED affine
+    mapping must warp bit-identically to the affine inverse-geotransform
+    path (exercises the inverse-bilinear solver on non-axis-aligned
+    quads)."""
+    import pyarrow as pa
+
+    from gdal_ray.functions.transformer import GeolocTransformer
+    from gdal_ray.stages import pyramid as pyr
+
+    n = 128
+    gy, gx = np.mgrid[0:n, 0:n]
+    arr = (3.0 * gx + gy).astype(np.float64) + 1.0
+    th = 0.3
+    resx = 60.0 / n
+    # rotated geotransform: world = origin + R @ (scale * pixel)
+    gt = (-20.0, resx * np.cos(th), resx * np.sin(th),
+          20.0, resx * np.sin(th), -resx * np.cos(th))
+    src = pyr.SourceRaster(arr, gt)
+    # nodes every 4 px, one node beyond each edge
+    j, i = np.mgrid[0:34, 0:34]
+    px = -3.5 + 4.0 * i
+    py = -3.5 + 4.0 * j
+    X = gt[0] + gt[1] * px + gt[2] * py
+    Y = gt[3] + gt[4] * px + gt[5] * py
+    g = GeolocTransformer(X, Y, pixel_offset=-3.5, pixel_step=4.0,
+                          line_offset=-3.5, line_step=4.0)
+    bbox = (-15, -15, 15, 15)
+    aff = pyr.warp_to_tiles(src, 5, bbox, tile_px=32, resample="nearest",
+                            skip_blank=False, concurrency=2
+                            ).select_columns(["z", "x", "y", "checksum"]
+                                             ).to_pandas()
+    glo = pyr.warp_to_tiles(src, 5, bbox, tile_px=32, resample="nearest",
+                            skip_blank=False, concurrency=2, geoloc=g
+                            ).select_columns(["z", "x", "y", "checksum"]
+                                             ).to_pandas()
+    m = aff.merge(glo, on=["z", "x", "y"], suffixes=("_a", "_g"))
+    assert len(m) == len(aff) > 0
+    assert (m.checksum_a == m.checksum_g).all()
+    # area kernels are rejected with geoloc georeferencing
+    with pytest.raises(ValueError, match="area kernels"):
+        pyr.TileWarper(src, resample="average", geoloc=g)
