@@ -2406,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "arrow_ipc_roundtrip": q.arrow_ipc_roundtrip_q,
         "layer_info": q.layer_info_q,
         "line_interpolate": q.line_interpolate_q,
+        "lineref_points": q.lineref_points_q,
         "line_locate": q.line_locate_q,
         "line_substring": q.line_substring_q,
         "geom_transforms": q.geom_transforms_q,
@@ -3373,6 +3374,41 @@ def oracle_sql() -> dict[str, str]:
                        ELSE maxy + ((dd - (wl + hl + wl)) / hl) * (miny - maxy)
                    END) * 10000000.0 + 0.5) AS BIGINT) AS py_e7
             FROM m
+        """,
+        "lineref_points": f"""
+            -- ogrlineref -create mirror: k*0.97 measures along the ring
+            -- (minx,miny)->(maxx,miny)->(maxx,maxy)->(minx,maxy)->close.
+            -- Cumulative boundaries reproduce np.cumsum's left association
+            -- (wl, wl+hl, (wl+hl)+wl, ((wl+hl)+wl)+hl) and STRICT < matches
+            -- searchsorted(side='right'); the last segment's t clamps to 1.
+            WITH {_ZONES},
+            m AS (SELECT zone_key, minx, miny, maxx, maxy,
+                         maxx - minx AS wl, maxy - miny AS hl
+                  FROM zz),
+            pts AS (
+              SELECT zone_key, minx, miny, maxx, maxy, wl, hl,
+                     CAST(r.range AS DOUBLE) * 0.97 AS dd
+              FROM m JOIN range(64) r
+                ON CAST(r.range AS DOUBLE)
+                   <= floor((((wl + hl) + wl) + hl) / 0.97)
+            )
+            SELECT zone_key,
+                   CAST(floor(dd * 100.0 + 0.5) AS BIGINT) AS m_e2,
+                   CAST(floor((CASE
+                       WHEN dd < wl THEN minx + (dd / wl) * (maxx - minx)
+                       WHEN dd < wl + hl THEN maxx
+                       WHEN dd < (wl + hl) + wl
+                            THEN maxx + ((dd - (wl + hl)) / wl) * (minx - maxx)
+                       ELSE minx
+                   END) * 10000000.0 + 0.5) AS BIGINT) AS px_e7,
+                   CAST(floor((CASE
+                       WHEN dd < wl THEN miny
+                       WHEN dd < wl + hl THEN miny + ((dd - wl) / hl) * (maxy - miny)
+                       WHEN dd < (wl + hl) + wl THEN maxy
+                       ELSE maxy + LEAST((dd - ((wl + hl) + wl)) / hl, 1.0)
+                                   * (miny - maxy)
+                   END) * 10000000.0 + 0.5) AS BIGINT) AS py_e7
+            FROM pts
         """,
         "line_locate": f"""
             -- ST_LineLocatePoint mirror: project the key-derived probe onto

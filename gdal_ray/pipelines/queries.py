@@ -1997,6 +1997,34 @@ def line_interpolate_q(sf_dir: str):
     return zones.map_batches(fn, batch_format="pyarrow")
 
 
+def lineref_points_q(sf_dir: str):
+    """ogrlineref -create (apps/ogrlineref.cpp): reference points every
+    0.97 deg along each zone ring with their measures; one input feature
+    explodes to floor(perimeter/0.97)+1 point rows.  flat-map shape — no
+    shuffle, the explosion stays inside the batch."""
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = geomops.line_points_along_batch(
+            t.select(["zone_key", "wkb"]), 0.97)
+        return pa.table({
+            "zone_key": out["zone_key"],
+            "m_e2": pa.array(np.floor(
+                out["m"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)),
+            "px_e7": pa.array(np.floor(
+                out["pt_x"].to_numpy(zero_copy_only=False) * 1e7 + 0.5
+            ).astype(np.int64)),
+            "py_e7": pa.array(np.floor(
+                out["pt_y"].to_numpy(zero_copy_only=False) * 1e7 + 0.5
+            ).astype(np.int64)),
+        })
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
 def line_locate_q(sf_dir: str):
     """ST_LineLocatePoint over every zone ring: a key-derived probe point
     (lands in all 9 sectors around/inside the rectangle) is projected onto

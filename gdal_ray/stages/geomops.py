@@ -820,6 +820,56 @@ def line_interpolate_batch(batch: pa.Table, fraction: float,
                  .append_column("pt_y", pa.array(ys, pa.float64())))
 
 
+def line_points_along_batch(batch: pa.Table, step: float,
+                            wkb_col: str = "wkb") -> pa.Table:
+    """ogrlineref -create analogue (apps/ogrlineref.cpp CreateParts /
+    ogr/ogrlinestring.cpp Value): reference POINTS every ``step`` planar
+    units along each geometry's vertex chain (polygon shells walk the
+    ring), measures m = 0, step, 2*step, ... <= length.  Explodes one
+    input row into floor(L/step)+1 point rows carrying all non-wkb columns
+    plus (m, pt_x, pt_y).  Segment walk matches line_point_at_distance's
+    searchsorted(side='right') boundary convention."""
+    keep = [c for c in batch.column_names if c != wkb_col]
+    idx_out, ms, xs, ys = [], [], [], []
+    for ri, w in enumerate(batch[wkb_col].to_pylist()):
+        g = _wkb.decode(w)
+        if g.kind == _wkb.LINESTRING:
+            pts = g.parts[0]
+        elif g.kind == _wkb.POLYGON:
+            pts = g.parts[0][0]
+        else:
+            continue
+        pts = np.asarray(pts, dtype=np.float64)
+        seg = np.hypot(np.diff(pts[:, 0]), np.diff(pts[:, 1]))
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        L = cum[-1]
+        n = int(np.floor(L / step)) + 1 if L > 0 else 1
+        d = np.arange(n, dtype=np.float64) * step
+        i = np.clip(np.searchsorted(cum, d, side="right") - 1,
+                    0, len(seg) - 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = np.where(seg[i] > 0, (d - cum[i]) / seg[i], 0.0)
+        t = np.clip(t, 0.0, 1.0)
+        px = pts[i, 0] + t * (pts[i + 1, 0] - pts[i, 0])
+        py = pts[i, 1] + t * (pts[i + 1, 1] - pts[i, 1])
+        idx_out.append(np.full(n, ri, dtype=np.int64))
+        ms.append(d)
+        xs.append(px)
+        ys.append(py)
+    if not idx_out:
+        cols = {c: batch[c].slice(0, 0) for c in keep}
+        cols["m"] = pa.array([], pa.float64())
+        cols["pt_x"] = pa.array([], pa.float64())
+        cols["pt_y"] = pa.array([], pa.float64())
+        return pa.table(cols)
+    take = pa.array(np.concatenate(idx_out))
+    out = {c: batch[c].take(take) for c in keep}
+    out["m"] = pa.array(np.concatenate(ms))
+    out["pt_x"] = pa.array(np.concatenate(xs))
+    out["pt_y"] = pa.array(np.concatenate(ys))
+    return pa.table(out)
+
+
 def _unwrap_lons(pts: np.ndarray) -> np.ndarray:
     """Make longitudes continuous: each vertex shifted by a multiple of 360
     so |dlon| <= 180 between neighbors (the antimeridian-crossing test the

@@ -321,3 +321,29 @@ def test_geodesic_measures_ellipsoidal_mode(ray_session):
     exact = (np.radians(3.0) * tr.WGS84_A ** 2 / 2.0
              * (tr._aea_q(np.radians(42.5)) - tr._aea_q(np.radians(40.0))))
     assert abs(ell["geo_area_10m2"] * 10.0 / exact - 1.0) < 1e-9
+
+
+def test_line_points_along_batch():
+    """Round-4 continuation: ogrlineref -create — points every step along
+    the chain with measures; explosion carries the id columns."""
+    import pyarrow as pa
+
+    from gdal_ray.functions import wkb as wkbf
+    from gdal_ray.stages import geomops
+
+    # open 3-4-5 triangle legs: L-shaped line of length 7
+    line = wkbf.encode_linestring(
+        np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 4.0]]))
+    t = pa.table({"fid": pa.array([9], pa.int64()), "wkb": pa.array([line])})
+    out = geomops.line_points_along_batch(t, 2.0)
+    assert out["fid"].to_pylist() == [9, 9, 9, 9]
+    assert out["m"].to_pylist() == [0.0, 2.0, 4.0, 6.0]
+    assert out["pt_x"].to_pylist() == [0.0, 2.0, 3.0, 3.0]
+    assert out["pt_y"].to_pylist() == [0.0, 0.0, 1.0, 3.0]
+    # step > length -> just the start point; non-line geometries skipped
+    pt = wkbf.encode_points(np.array([1.0]), np.array([2.0]))[0]
+    t2 = pa.table({"fid": pa.array([1, 2], pa.int64()),
+                   "wkb": pa.array([line, pt])})
+    out2 = geomops.line_points_along_batch(t2, 100.0)
+    assert out2["fid"].to_pylist() == [1]
+    assert out2["m"].to_pylist() == [0.0]
