@@ -2429,6 +2429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pnm_roundtrip": q.pnm_roundtrip_q,
         "gif_roundtrip": q.gif_roundtrip_q,
         "hgt_roundtrip": q.hgt_roundtrip_q,
+        "dted_roundtrip": q.dted_roundtrip_q,
         "gtiff_roundtrip": q.gtiff_roundtrip_q,
         "gtiff_stream_roundtrip": q.gtiff_stream_roundtrip_q,
         "gdal_translate_chain": q.gdal_translate_chain_q,
@@ -4636,6 +4637,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
                                         AS DOUBLE) / 64.0) AS BIGINT)
                             * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        # DTED0 121x121 signed hump: negatives make the plain sum negative,
+        # so the modular fold is done non-negative ((s % m) + m) % m
+        "dted_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(121) a, range(121) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(((sum((CAST(trunc(CAST((gx-60)*(gx-60) + (gy-60)*(gy-60)
+                                        AS DOUBLE) / 16.0) AS BIGINT) - 200)
+                            * (((gy % 64) * LEAST(64, 121 - (gx // 64) * 64)
+                                + gx % 64) % 7 + 1)) % 65536) + 65536) % 65536
                         AS BIGINT) AS checksum
             FROM px GROUP BY 1, 2
         """,

@@ -1804,6 +1804,26 @@ def hgt_roundtrip_q(sf_dir: str):
     return _tile_checksum_rows(hgt.read_hgt_tiles(path, tile_size=64))
 
 
+def dted_roundtrip_q(sf_dir: str):
+    """DTED driver (frmts/dted/dted_api.c surface): a DTED0 121x121 cell
+    with a signed hump (negative collar exercises the signed-magnitude
+    sample encoding), written with per-column records + byte-sum
+    checksums, re-read (checksums verified) into engine tiles, and
+    checksummed — 57-px clipped edge tiles."""
+    import os
+    import tempfile
+
+    from ..sources import dted
+
+    gy, gx = np.mgrid[0:121, 0:121]
+    arr = ((((gx - 60) ** 2 + (gy - 60) ** 2) // 16) - 200).astype(np.int16)
+    path = f"{tempfile.gettempdir()}/gdal_ray_{os.getpid()}_n45e010.dt0"
+    dted.write_dted(path, arr, lon0=10, lat0=45, interval_tenths=300)
+    arr2, _ = dted.read_dted(path, verify_checksum=True)
+    assert np.array_equal(arr, arr2)
+    return _tile_checksum_rows(dted.read_dted_tiles(path, tile_size=64))
+
+
 def gtiff_roundtrip_q(sf_dir: str):
     """GeoTIFF driver: serialize the 160x160 hump (float32, exact dyadic
     rationals) as a TILED uncompressed GeoTIFF (64-px tiles -> padded edge

@@ -164,3 +164,32 @@ def test_driver_tiles_shape(tmp_path, rng, ray_session):
         assert (full["width"], full["height"]) == (64, 64)
         got = np.frombuffer(full["data"], np.uint8).reshape(64, 64)
         assert np.array_equal(got, a[:64, :64]), path
+
+
+def test_dted_roundtrip_window_checksum(tmp_path, rng):
+    """DTED: signed-magnitude samples, per-column records, byte-sum
+    checksums (frmts/dted/dted_api.c:640-703)."""
+    from gdal_ray.sources import dted
+
+    a = rng.integers(-12000, 9000, (121, 121)).astype(np.int16)
+    a[3, 7] = -32767  # nodata survives signed magnitude
+    p = str(tmp_path / "n45w010.dt0")
+    dted.write_dted(p, a, lon0=-10, lat0=45, interval_tenths=300)
+    b, hdr = dted.read_dted(p, verify_checksum=True)
+    assert np.array_equal(a, b)
+    assert (hdr["lon0"], hdr["lat0"]) == (-10.0, 45.0)
+    assert np.array_equal(
+        dted.read_dted_window(p, 10, 50, 100, 121, verify_checksum=True),
+        a[10:50, 100:121])
+    # a flipped bit in a record is caught by the checksum
+    raw = bytearray(open(p, "rb").read())
+    raw[dted._parse_header(p)["data_off"] + 5 * hdr["rec_len"] + 20] ^= 0xFF
+    bad = tmp_path / "bad.dt0"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        dted.read_dted(str(bad), verify_checksum=True)
+    # missing UHL rejected
+    junk = tmp_path / "junk.dt0"
+    junk.write_bytes(b"XXL" + b"\x20" * 4000)
+    with pytest.raises(ValueError, match="UHL"):
+        dted.read_dted(str(junk))
