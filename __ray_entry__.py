@@ -2350,6 +2350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_sql_distinct": q.select_sql_distinct_q,
         "select_sql_count_distinct": q.select_sql_count_distinct_q,
         "select_sql_global_agg": q.select_sql_global_agg_q,
+        "select_sql_avg": q.select_sql_avg_q,
         "select_sql_union_all": q.select_sql_union_all_q,
         "quantiles_continuous": q.quantiles_continuous_q,
         "select_sql_left_join_group": q.select_sql_left_join_group_q,
@@ -2771,6 +2772,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(o_orderkey) AS BIGINT) AS min_o,
                    CAST(max(o_orderkey) AS BIGINT) AS max_o
             FROM orders WHERE o_orderkey % 3 = 0
+        """,
+        # avg mirrored as exact-int sum / count (DuckDB's avg() may
+        # accumulate doubles in a different order; this division of exact
+        # int64s is bit-stable on both sides)
+        "select_sql_avg": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c_nationkey) AS DOUBLE) / count(*) AS avg_nat
+            FROM customer WHERE c_custkey % 4 <> 1
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "select_sql_union_all": """
             SELECT n_name AS name, CAST(n_regionkey AS BIGINT) AS rk

@@ -480,7 +480,7 @@ def scan_filter(where_sql: str):
 # -- SELECT statements ------------------------------------------------------
 
 
-AGG_FUNCS = {"count", "sum", "min", "max", "count_distinct"}
+AGG_FUNCS = {"count", "sum", "min", "max", "avg", "count_distinct"}
 
 
 def _is_agg(node) -> bool:
@@ -664,6 +664,7 @@ def _apply_grouped(ds, sel: Select, where):
     renames = []  # (source_col_in_agg_output, alias)
     count_alias = None
     count_distinct = None  # (arg_col, alias)
+    avgs = []  # (arg_col, alias): AVG (swq_op_registrar.cpp:53) = sum/count
     for node, alias in sel.projections:
         if isinstance(node, Col):
             if node.name not in sel.group_by:
@@ -689,6 +690,13 @@ def _apply_grouped(ds, sel: Select, where):
                 if count_alias is not None:
                     raise ValueError("only one count(*) per grouped select")
                 count_alias = alias
+                renames.append((alias, alias))
+            elif node.name == "avg":
+                if len(node.args) != 1 or not isinstance(node.args[0], Col):
+                    raise ValueError("avg() argument must be a plain column")
+                argn = node.args[0].name
+                sums.append(argn)
+                avgs.append((argn, alias))
                 renames.append((alias, alias))
             else:
                 if len(node.args) != 1 or not isinstance(node.args[0], Col):
@@ -725,13 +733,26 @@ def _apply_grouped(ds, sel: Select, where):
                         list(sel.group_by) + [cd_col])
         agg = partial_aggregate(dsd, list(sel.group_by), count_alias=cd_alias)
     else:
+        if avgs and count_alias is None:
+            count_alias = "__n"  # avg needs the group count; drop it after
         agg = partial_aggregate(
             ds, list(sel.group_by),
             sums=list(dict.fromkeys(sums)), mins=list(dict.fromkeys(mins)),
             maxs=list(dict.fromkeys(maxs)), count_alias=count_alias)
 
+    avg_aliases = {alias: col for col, alias in avgs}
+
     def project(t: pa.Table) -> pa.Table:
-        return pa.table({alias: t[src] for src, alias in renames})
+        cols = {}
+        for src, alias in renames:
+            if alias in avg_aliases:
+                col = avg_aliases[alias]
+                cols[alias] = pc.divide(
+                    pc.cast(t[f"{col}_sum"], pa.float64()),
+                    pc.cast(t[count_alias], pa.float64()))
+            else:
+                cols[alias] = t[src]
+        return pa.table(cols)
 
     out = agg.map_batches(project, batch_format="pyarrow")
     if sel.having is not None:

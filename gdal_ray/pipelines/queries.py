@@ -353,6 +353,20 @@ def select_sql_global_agg_q(sf_dir: str):
     return sqlexpr.apply_select(ds, sel)
 
 
+def select_sql_avg_q(sf_dir: str):
+    """AVG from a SQL string (swq_op_registrar.cpp:53): exact int64 sums
+    and counts divide once per group — the float64 result is bit-stable
+    because both operands are exact."""
+    from ..functions import sqlexpr
+
+    sql = ("SELECT c_mktsegment, count(*) AS n, avg(c_nationkey) AS avg_nat "
+           "FROM customer WHERE c_custkey % 4 <> 1 "
+           "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    sel = sqlexpr.parse_select(sql)
+    ds = read_table(sf_dir, "customer", columns=sorted(sel.columns_needed))
+    return sqlexpr.apply_select(ds, sel)
+
+
 def select_sql_union_all_q(sf_dir: str):
     """UNION ALL from one SQL string (ogr/swq_parser.y:822,840 select_core
     opt_union_all): each branch evaluates independently over its own FROM

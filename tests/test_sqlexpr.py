@@ -271,3 +271,30 @@ def test_sql_union_all(ray_session):
         "UNION ALL SELECT s FROM c WHERE s = 'it''s'")
     out3 = sqlexpr.apply_select(rd.from_arrow(c), sel3).take_all()
     assert sorted(r["s"] for r in out3) == ["it's", "plain"]
+
+
+def test_sql_avg_aggregate(ray_session):
+    """AVG (swq_op_registrar.cpp:53): sum/count as float64, grouped and
+    whole-table, alone or alongside other aggregates."""
+    import duckdb
+    import ray.data as rd
+
+    t = pa.table({"k": ["a", "a", "b", "b", "b"],
+                  "v": pa.array([1, 2, 2, 3, 7], pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+
+    def run(sql):
+        got = sqlexpr.apply_select(rd.from_arrow(t),
+                                   sqlexpr.parse_select(sql)).take_all()
+        exp = [dict(zip([d[0] for d in con.sql(sql).description], r))
+               for r in con.sql(sql).fetchall()]
+        return got, exp
+
+    got, exp = run("SELECT k, avg(v) AS m FROM t GROUP BY k ORDER BY k")
+    assert got == exp
+    got, exp = run("SELECT k, count(*) AS n, avg(v) AS m, sum(v) AS s "
+                   "FROM t GROUP BY k ORDER BY k")
+    assert got == exp
+    got, exp = run("SELECT avg(v) AS m FROM t WHERE v > 1")
+    assert got == exp
