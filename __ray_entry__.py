@@ -2351,6 +2351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_sql_count_distinct": q.select_sql_count_distinct_q,
         "select_sql_global_agg": q.select_sql_global_agg_q,
         "select_sql_avg": q.select_sql_avg_q,
+        "gopher_rules": q.gopher_rules_q,
         "select_sql_union_all": q.select_sql_union_all_q,
         "quantiles_continuous": q.quantiles_continuous_q,
         "select_sql_left_join_group": q.select_sql_left_join_group_q,
@@ -2772,6 +2773,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(o_orderkey) AS BIGINT) AS min_o,
                    CAST(max(o_orderkey) AS BIGINT) AS max_o
             FROM orders WHERE o_orderkey % 3 = 0
+        """,
+        # Gopher rules: every rule is integer arithmetic on RE2 match counts
+        # (the same regexes run on both engines)
+        "gopher_rules": r"""
+            WITH f AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_words,
+                CAST(len(regexp_extract_all(text, '[^ ]')) AS BIGINT) AS token_chars,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+                CAST(len(regexp_extract_all(text, '#'))
+                     + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym,
+                CAST(
+                  CAST(regexp_matches(lower(text), '(^| )the( |$)') AS INTEGER)
+                + CAST(regexp_matches(lower(text), '(^| )be( |$)') AS INTEGER)
+                + CAST(regexp_matches(lower(text), '(^| )to( |$)') AS INTEGER)
+                + CAST(regexp_matches(lower(text), '(^| )of( |$)') AS INTEGER)
+                + CAST(regexp_matches(lower(text), '(^| )and( |$)') AS INTEGER)
+                + CAST(regexp_matches(lower(text), '(^| )that( |$)') AS INTEGER)
+                + CAST(regexp_matches(lower(text), '(^| )have( |$)') AS INTEGER)
+                + CAST(regexp_matches(lower(text), '(^| )with( |$)') AS INTEGER)
+                  AS BIGINT) AS stop_hits
+              FROM documents
+            )
+            SELECT doc_id, n_words, token_chars, n_alpha, n_sym, stop_hits,
+              CASE
+                WHEN n_words < 20 OR n_words > 200 THEN 'words'
+                WHEN 3 * n_words > token_chars OR token_chars > 10 * n_words
+                     THEN 'meanlen'
+                WHEN 10 * n_sym >= n_words THEN 'symbols'
+                WHEN 2 * n_alpha < token_chars THEN 'alpha'
+                WHEN stop_hits < 2 THEN 'stopwords'
+                ELSE ''
+              END AS reason,
+              (n_words >= 20 AND n_words <= 200
+               AND 3 * n_words <= token_chars AND token_chars <= 10 * n_words
+               AND 10 * n_sym < n_words
+               AND 2 * n_alpha >= token_chars
+               AND stop_hits >= 2) AS keep
+            FROM f
         """,
         # avg mirrored as exact-int sum / count (DuckDB's avg() may
         # accumulate doubles in a different order; this division of exact

@@ -353,6 +353,23 @@ def select_sql_global_agg_q(sf_dir: str):
     return sqlexpr.apply_select(ds, sel)
 
 
+def gopher_rules_q(sf_dir: str):
+    """Gopher quality rules (Rae et al. 2021 Table A1) over the documents
+    corpus: word-count bounds, mean-word-length band, symbol ratio,
+    alphabetic fraction, distinct-stopword floor — all-integer rule
+    arithmetic, single map_batches pass, no shuffle."""
+    from ..stages import textops
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = textops.gopher_rules_batch(t, min_words=20, max_words=200)
+        return out.select(["doc_id", "n_words", "token_chars", "n_alpha",
+                           "n_sym", "stop_hits", "reason", "keep"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def select_sql_avg_q(sf_dir: str):
     """AVG from a SQL string (swq_op_registrar.cpp:53): exact int64 sums
     and counts divide once per group — the float64 result is bit-stable

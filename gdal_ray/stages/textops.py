@@ -62,6 +62,65 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules_batch(batch: pa.Table, text_col: str = "text",
+                       min_words: int = 50, max_words: int = 100000,
+                       stopword_hits: int = 2) -> pa.Table:
+    """Gopher quality rules (Rae et al. 2021, Table A1 — the filter set the
+    large-corpus pipelines standardized on), vectorized and expressed in
+    ALL-INTEGER arithmetic so a SQL oracle mirrors bit-exactly:
+
+      words     — word count within [min_words, max_words]
+      meanlen   — mean word length in [3, 10]:  3*n_words <= token_chars
+                  <= 10*n_words
+      symbols   — symbol-to-word ratio ('#' + '...') < 0.1:
+                  10*(n_hash + n_ellipsis) < n_words
+      alpha     — alphabetic fraction of token chars >= 0.5:
+                  2*n_alpha >= token_chars  (integer form of the
+                  80%-of-words-have-a-letter rule)
+      stopwords — at least ``stopword_hits`` distinct common stopwords
+
+    Emits the feature counts, per-rule booleans, the FIRST failing rule as
+    ``reason`` ('' = keep) and ``keep``."""
+    text = pc.fill_null(batch[text_col], "")
+    n_words = pc.cast(pc.count_substring_regex(text, pattern="[^ ]+"), pa.int64())
+    token_chars = pc.cast(pc.count_substring_regex(text, pattern="[^ ]"), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, pattern="[A-Za-z]"), pa.int64())
+    n_sym = pc.add(
+        pc.cast(pc.count_substring_regex(text, pattern="#"), pa.int64()),
+        pc.cast(pc.count_substring_regex(text, pattern=r"\.\.\."), pa.int64()))
+    low = pc.utf8_lower(text)
+    hits = pa.array(np.zeros(batch.num_rows, np.int64))
+    for w in GOPHER_STOPWORDS:
+        present = pc.match_substring_regex(low, pattern=rf"(?:^| ){w}(?: |$)")
+        hits = pc.add(hits, pc.cast(present, pa.int64()))
+    nw = n_words.to_numpy(zero_copy_only=False)
+    tc = token_chars.to_numpy(zero_copy_only=False)
+    na = n_alpha.to_numpy(zero_copy_only=False)
+    ns = n_sym.to_numpy(zero_copy_only=False)
+    nh = hits.to_numpy(zero_copy_only=False)
+    r_words = (nw >= min_words) & (nw <= max_words)
+    r_meanlen = (3 * nw <= tc) & (tc <= 10 * nw)
+    r_symbols = 10 * ns < nw
+    r_alpha = 2 * na >= tc
+    r_stop = nh >= stopword_hits
+    reason = np.where(~r_words, "words",
+                      np.where(~r_meanlen, "meanlen",
+                               np.where(~r_symbols, "symbols",
+                                        np.where(~r_alpha, "alpha",
+                                                 np.where(~r_stop, "stopwords",
+                                                          "")))))
+    out = batch.append_column("n_words", n_words)
+    out = out.append_column("token_chars", token_chars)
+    out = out.append_column("n_alpha", n_alpha)
+    out = out.append_column("n_sym", n_sym)
+    out = out.append_column("stop_hits", pa.array(nh))
+    out = out.append_column("reason", pa.array(reason.tolist(), pa.string()))
+    return out.append_column("keep", pa.array(reason == ""))
+
+
 # PII/URL scrub patterns (RE2-compatible on both pyarrow and DuckDB —
 # no backreferences/lookaround, so the SQL oracle counts/replaces the SAME
 # matches)

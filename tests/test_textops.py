@@ -258,3 +258,32 @@ def test_char_entropy_brute(ray_session):
         assert out.loc[i, "ent_num"] == ent
         assert out.loc[i, "n_chars_t"] == len(s)
         assert out.loc[i, "distinct_chars"] == len(cnts)
+
+
+def test_gopher_rules_batch():
+    """Gopher rules (Rae et al. 2021 Table A1): each rule trips on the
+    crafted row and the reason reports the FIRST failure."""
+    import pyarrow as pa
+
+    from gdal_ray.stages import textops
+
+    good = "the quick brown fox jumps over that lazy dog again and again today"
+    rows = {
+        "ok": good,
+        "words": "too short",
+        "meanlen": "a b c d e f g h i j k l m n o p q r s t",  # mean len 1
+        "symbols": " ".join(["xxx#"] * 12) + " the of",  # 12 '#' / 14 words
+        "alpha": " ".join(["1234567890"] * 11) + " the of and",
+        "stopwords": " ".join(f"w{i}" for i in range(12)),
+    }
+    t = pa.table({"k": list(rows), "text": list(rows.values())})
+    out = textops.gopher_rules_batch(t, min_words=12, max_words=100)
+    got = dict(zip(out["k"].to_pylist(), out["reason"].to_pylist()))
+    assert got["ok"] == "" and got["words"] == "words"
+    assert got["meanlen"] == "meanlen" and got["symbols"] == "symbols"
+    assert got["alpha"] == "alpha" and got["stopwords"] == "stopwords"
+    keep = dict(zip(out["k"].to_pylist(), out["keep"].to_pylist()))
+    assert keep["ok"] and not any(keep[k] for k in rows if k != "ok")
+    # nulls behave as empty text
+    t2 = pa.table({"k": ["n"], "text": pa.array([None], pa.string())})
+    assert textops.gopher_rules_batch(t2)["reason"].to_pylist() == ["words"]
