@@ -274,7 +274,7 @@ def test_gopher_rules_batch():
         "meanlen": "a b c d e f g h i j k l m n o p q r s t",  # mean len 1
         "symbols": " ".join(["xxx#"] * 12) + " the of",  # 12 '#' / 14 words
         "alpha": " ".join(["1234567890"] * 11) + " the of and",
-        "stopwords": " ".join(f"w{i}" for i in range(12)),
+        "stopwords": " ".join(f"token{i}" for i in range(12)),
     }
     t = pa.table({"k": list(rows), "text": list(rows.values())})
     out = textops.gopher_rules_batch(t, min_words=12, max_words=100)
