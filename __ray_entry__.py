@@ -2352,6 +2352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_sql_global_agg": q.select_sql_global_agg_q,
         "select_sql_avg": q.select_sql_avg_q,
         "gopher_rules": q.gopher_rules_q,
+        "lm_familiarity": q.lm_familiarity_q,
         "select_sql_union_all": q.select_sql_union_all_q,
         "quantiles_continuous": q.quantiles_continuous_q,
         "select_sql_left_join_group": q.select_sql_left_join_group_q,
@@ -2812,6 +2813,29 @@ def oracle_sql() -> dict[str, str]:
                AND 2 * n_alpha >= token_chars
                AND stop_hits >= 2) AS keep
             FROM f
+        """,
+        # LM familiarity: trigram STRINGS here mirror the engine's packed
+        # int64 codes — UTF-8 byte order is codepoint order, so the
+        # top-512 tie-break (count DESC, gram ASC) picks the same set
+        "lm_familiarity": """
+            WITH g AS (
+              SELECT doc_id, substr(text, CAST(r.range AS INTEGER) + 1, 3) AS gram
+              FROM documents, range(2048) r
+              WHERE r.range <= length(text) - 3
+            ),
+            cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+                    FROM g GROUP BY gram),
+            model AS (SELECT gram, cnt FROM cnt
+                      ORDER BY cnt DESC, gram ASC LIMIT 512),
+            sc AS (SELECT g.doc_id, sum(m.cnt) AS score
+                   FROM g LEFT JOIN model m USING (gram)
+                   GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(GREATEST(length(d.text) - 2, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(sc.score, 0) AS BIGINT) AS score,
+                   COALESCE(sc.score, 0)
+                     >= 40 * GREATEST(length(d.text) - 2, 0) AS keep
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         # avg mirrored as exact-int sum / count (DuckDB's avg() may
         # accumulate doubles in a different order; this division of exact

@@ -370,6 +370,23 @@ def gopher_rules_q(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def lm_familiarity_q(sf_dir: str):
+    """CCNet-style LM filter, integer-count variant: train char-trigram
+    counts corpus-wide (per-batch partial count tables -> one keyed
+    groupby -> bounded top-512 collect with count-DESC / gram-ASC
+    tie-break), broadcast the model via ray.put, score every document by
+    summed model counts of its trigrams.  The train-then-score broadcast
+    pattern; all arithmetic integer-exact."""
+    import ray
+
+    from ..stages import textops
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    model = textops.train_char_ngram_counts(docs, top_k=512)
+    ref = ray.put(model)
+    return textops.lm_familiarity_score(docs, ref, min_avg_count=40)
+
+
 def select_sql_avg_q(sf_dir: str):
     """AVG from a SQL string (swq_op_registrar.cpp:53): exact int64 sums
     and counts divide once per group — the float64 result is bit-stable

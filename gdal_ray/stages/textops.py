@@ -1121,3 +1121,98 @@ def weighted_sample_keys(batch: pa.Table, id_col: str = "doc_id",
         e = -np.log(u) / np.maximum(w, 1.0)
     key = np.floor(e * 1e12 + 0.5).astype(np.int64)
     return batch.append_column("es_key_e12", pa.array(key))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM familiarity filter (integer-count variant)
+# ---------------------------------------------------------------------------
+
+
+def _char_trigram_codes(texts: list, n: int = 3):
+    """Vectorized char n-gram extraction: all docs' codepoints concatenate
+    into one uint32 array; n-gram codes pack the codepoints most-significant-
+    first (21 bits each, Unicode max 0x10FFFF), so int64 CODE order equals
+    the n-gram STRING order — the SQL oracle's tie-break domain.  Grams
+    crossing document boundaries are masked out.  Returns (codes int64,
+    doc_index int64, grams_per_doc int64[ndocs])."""
+    lens = np.array([len(t or "") for t in texts], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.maximum(lens - (n - 1), 0))
+    cp = np.frombuffer("".join(t or "" for t in texts)
+                       .encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if cp.size < n:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.maximum(lens - (n - 1), 0))
+    code = np.zeros(cp.size - (n - 1), dtype=np.int64)
+    for k in range(n):
+        code |= cp[k: cp.size - (n - 1) + k] << (21 * (n - 1 - k))
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    doc_of = np.repeat(np.arange(len(lens)), lens)[: code.size]
+    # a gram starting at position p belongs to doc d iff p+n-1 is still in d
+    end_doc = np.repeat(np.arange(len(lens)), lens)[n - 1:]
+    ok = doc_of == end_doc
+    return code[ok], doc_of[ok], np.maximum(lens - (n - 1), 0)
+
+
+def train_char_ngram_counts(ds, text_col: str = "text", n: int = 3,
+                            top_k: int = 4096):
+    """Train the familiarity model: corpus-wide char n-gram counts via
+    per-batch partial count tables -> ONE keyed groupby sum -> bounded
+    top-k collect (count DESC, gram-code ASC tie-break).  The result is a
+    small broadcast table — the CCNet pattern of 'train a cheap LM on the
+    reference corpus, ship it to every scoring worker'."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        codes, _, _ = _char_trigram_codes(t[text_col].to_pylist(), n)
+        if codes.size == 0:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table({"gram": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("gram").aggregate(Sum("cnt", alias_name="cnt"))
+    top = agg.sort(["cnt", "gram"], descending=[True, False]).limit(top_k)
+    rows = top.take_all()  # bounded: top_k rows
+    return pa.table({"gram": pa.array([r["gram"] for r in rows], pa.int64()),
+                     "cnt": pa.array([r["cnt"] for r in rows], pa.int64())})
+
+
+def lm_familiarity_score(ds, model_ref, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 3,
+                         min_avg_count: int = 0):
+    """Score every document by summed model counts of its char n-grams
+    (integer-exact 'familiarity' — the count-sum variant of CCNet's LM
+    perplexity filter; grams outside the model score 0).  ``model_ref``:
+    ray.put() of the train_char_ngram_counts table — loaded once per
+    scoring task, the broadcast-model pattern.  keep = score >=
+    min_avg_count * n_grams."""
+    import ray
+
+    def score(t: pa.Table) -> pa.Table:
+        model = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) \
+            else model_ref
+        grams = model["gram"].to_numpy(zero_copy_only=False)
+        cnts = model["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(grams)
+        g_sorted, c_sorted = grams[order], cnts[order]
+        codes, doc_idx, n_grams = _char_trigram_codes(
+            t[text_col].to_pylist(), n)
+        scores = np.zeros(t.num_rows, dtype=np.int64)
+        if codes.size:
+            pos = np.searchsorted(g_sorted, codes)
+            pos_c = np.clip(pos, 0, len(g_sorted) - 1)
+            hit = g_sorted[pos_c] == codes
+            np.add.at(scores, doc_idx[hit], c_sorted[pos_c[hit]])
+        keep = scores >= min_avg_count * n_grams
+        return pa.table({
+            id_col: t[id_col],
+            "n_grams": pa.array(n_grams),
+            "score": pa.array(scores),
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -287,3 +287,37 @@ def test_gopher_rules_batch():
     # nulls behave as empty text
     t2 = pa.table({"k": ["n"], "text": pa.array([None], pa.string())})
     assert textops.gopher_rules_batch(t2)["reason"].to_pylist() == ["words"]
+
+
+def test_lm_familiarity(ray_session):
+    """Train-then-score broadcast LM filter: common trigrams score high,
+    alien text scores zero, boundary grams never cross documents."""
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+
+    from gdal_ray.stages import textops
+
+    corpus = ["the cat sat on the mat"] * 8 + ["zzqqjjxx"]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(9)), "text": corpus}))
+    model = textops.train_char_ngram_counts(ds, top_k=16)
+    assert model.num_rows <= 16
+    cnts = dict(zip(model["gram"].to_pylist(), model["cnt"].to_pylist()))
+    def code(s):
+        v = 0
+        for ch in s:
+            v = (v << 21) | ord(ch)
+        return v
+    # 'the' occurs twice in each of the 8 docs but so do other grams;
+    # " th"/"the" are among the most frequent
+    assert cnts.get(code("the")) == 16
+    ref = ray.put(model)
+    out = textops.lm_familiarity_score(ds, ref, min_avg_count=1)
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    assert rows[0]["score"] > 0 and rows[0]["n_grams"] == len(corpus[0]) - 2
+    assert rows[8]["score"] == 0 and not rows[8]["keep"]
+    # short/None docs produce zero grams, not errors
+    ds2 = rd.from_arrow(pa.table({"doc_id": [0, 1],
+                                  "text": pa.array(["ab", None], pa.string())}))
+    out2 = textops.lm_familiarity_score(ds2, ref).take_all()
+    assert [r["n_grams"] for r in out2] == [0, 0]
