@@ -29,6 +29,18 @@ d AS (
 )
 """
 
+# shared mod-256 hump checksum oracle for the uint8 codec roundtrips
+_HUMP256_SQL = """
+    WITH px AS (SELECT a.range AS gx, b.range AS gy
+                FROM range(192) a, range(192) b)
+    SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+           CAST(sum((CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
+                                AS DOUBLE) / 64.0) AS BIGINT) % 256)
+                    * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                AS BIGINT) AS checksum
+    FROM px GROUP BY 1, 2
+"""
+
 _ZONES = """
 z AS (
   SELECT printf('zone-%06d', p_partkey) AS zone_id,
@@ -2433,6 +2445,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_roundtrip": q.gif_roundtrip_q,
         "hgt_roundtrip": q.hgt_roundtrip_q,
         "dted_roundtrip": q.dted_roundtrip_q,
+        "tga_roundtrip": q.tga_roundtrip_q,
+        "bmp_rle_roundtrip": q.bmp_rle_roundtrip_q,
+        "png_filters_roundtrip": q.png_filters_roundtrip_q,
         "gtiff_roundtrip": q.gtiff_roundtrip_q,
         "gtiff_stream_roundtrip": q.gtiff_stream_roundtrip_q,
         "gdal_translate_chain": q.gdal_translate_chain_q,
@@ -4682,27 +4697,14 @@ def oracle_sql() -> dict[str, str]:
             FROM px GROUP BY 1, 2
         """,
         # BMP folds the hump to uint8 (mod 256); GIF shares it through the
-        # interlaced LZW path — both must be value-transparent
-        "bmp_roundtrip": """
-            WITH px AS (SELECT a.range AS gx, b.range AS gy
-                        FROM range(192) a, range(192) b)
-            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
-                   CAST(sum((CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
-                                        AS DOUBLE) / 64.0) AS BIGINT) % 256)
-                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
-                        AS BIGINT) AS checksum
-            FROM px GROUP BY 1, 2
-        """,
-        "gif_roundtrip": """
-            WITH px AS (SELECT a.range AS gx, b.range AS gy
-                        FROM range(192) a, range(192) b)
-            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
-                   CAST(sum((CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
-                                        AS DOUBLE) / 64.0) AS BIGINT) % 256)
-                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
-                        AS BIGINT) AS checksum
-            FROM px GROUP BY 1, 2
-        """,
+        # interlaced LZW path, TGA through RLE packets, BMP-RLE8 through
+        # run-length rows, PNG through the Paeth-filter decode — all five
+        # must be value-transparent through their codec layers
+        "bmp_roundtrip": _HUMP256_SQL,
+        "gif_roundtrip": _HUMP256_SQL,
+        "tga_roundtrip": _HUMP256_SQL,
+        "bmp_rle_roundtrip": _HUMP256_SQL,
+        "png_filters_roundtrip": _HUMP256_SQL,
         # PGM carries the full 16-bit hump — same oracle as ASC/ENVI/NetCDF
         "pnm_roundtrip": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy

@@ -1852,6 +1852,67 @@ def hgt_roundtrip_q(sf_dir: str):
     return _tile_checksum_rows(hgt.read_hgt_tiles(path, tile_size=64))
 
 
+def tga_roundtrip_q(sf_dir: str):
+    """TGA driver (frmts/tga surface): the mod-256 hump through the
+    RLE-compressed grayscale path (run + raw packets, top-down), decoded
+    and checksummed with the shared mod-256 hump oracle."""
+    import os
+    import tempfile
+
+    from ..sources import tga
+
+    gy, gx = np.mgrid[0:192, 0:192]
+    arr = ((((gx - 96) ** 2 + (gy - 96) ** 2) // 64) % 256).astype(np.uint8)
+    path = f"{tempfile.gettempdir()}/gdal_ray_hump_{os.getpid()}.tga"
+    tga.write_tga(path, arr, rle=True)
+    return _tile_checksum_rows(tga.read_tga_tiles(path, tile_size=64))
+
+
+def bmp_rle_roundtrip_q(sf_dir: str):
+    """BMP BI_RLE8 path (frmts/bmp BMPC_RLE8): the same mod-256 hump
+    through run-length encoding — encoded runs, EOL/EOB markers."""
+    import os
+    import tempfile
+
+    from ..sources import bmp
+
+    gy, gx = np.mgrid[0:192, 0:192]
+    arr = ((((gx - 96) ** 2 + (gy - 96) ** 2) // 64) % 256).astype(np.uint8)
+    path = f"{tempfile.gettempdir()}/gdal_ray_hump_{os.getpid()}_rle.bmp"
+    bmp.write_bmp_rle8(path, arr)
+    return _tile_checksum_rows(bmp.read_bmp_tiles(path, tile_size=64))
+
+
+def png_filters_roundtrip_q(sf_dir: str):
+    """PNG filter types (PNG spec 9.4): the mod-256 hump encoded with the
+    Paeth filter on every scanline, unfiltered back through the full
+    spec decoder (Sub/Up/Average/Paeth reconstruction), checksummed."""
+    import os
+    import tempfile
+
+    from ..sources import png as pngmod
+
+    gy, gx = np.mgrid[0:192, 0:192]
+    arr = ((((gx - 96) ** 2 + (gy - 96) ** 2) // 64) % 256).astype(np.uint8)
+    path = f"{tempfile.gettempdir()}/gdal_ray_hump_{os.getpid()}_f4.png"
+    with open(path, "wb") as f:
+        f.write(pngmod.encode_png(arr, filter_type=4))
+    with open(path, "rb") as f:
+        back = pngmod.decode_png(f.read())
+    assert np.array_equal(arr, back)
+    import ray.data as rd2
+
+    rows = []
+    for ty in range(3):
+        for tx in range(3):
+            sub = back[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64]
+            rows.append({"z": 4, "x": tx, "y": ty, "band": 1,
+                         "width": 64, "height": 64, "crs": "EPSG:3857",
+                         "nodata": 0.0, "dtype": "uint8",
+                         "data": sub.tobytes()})
+    return _tile_checksum_rows(rd2.from_arrow(pa.Table.from_pylist(rows)))
+
+
 def dted_roundtrip_q(sf_dir: str):
     """DTED driver (frmts/dted/dted_api.c surface): a DTED0 121x121 cell
     with a signed hump (negative collar exercises the signed-magnitude

@@ -66,6 +66,77 @@ def write_bmp(path: str, arr: np.ndarray,
         f.write(hdr + info + table_bytes + body.tobytes())
 
 
+def write_bmp_rle8(path: str, arr: np.ndarray,
+                   palette: np.ndarray | None = None) -> None:
+    """Write an 8-bit RLE-compressed BMP (BI_RLE8, biCompression=1 — the
+    reference's BMPC_RLE8 read path, frmts/bmp/bmpdataset.cpp): per row,
+    [count, value] runs, 00 00 end-of-line, 00 01 end-of-bitmap."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim != 2:
+        raise ValueError(f"RLE8 writer takes (h, w) uint8, got "
+                         f"{a.shape} {a.dtype}")
+    h, w = a.shape
+    if palette is None:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack([g, g, g], axis=1)
+    pal = np.asarray(palette, dtype=np.uint8)
+    table = np.zeros((256, 4), np.uint8)
+    table[:, 0], table[:, 1], table[:, 2] = pal[:, 2], pal[:, 1], pal[:, 0]
+    body = bytearray()
+    for row in a[::-1]:  # bottom-up storage order
+        edges = np.nonzero(np.r_[True, row[1:] != row[:-1]])[0]
+        lens = np.diff(np.r_[edges, w])
+        for start, ln in zip(edges, lens):
+            v = int(row[start])
+            while ln > 255:
+                body += bytes((255, v))
+                ln -= 255
+            body += bytes((ln, v))
+        body += b"\x00\x00"  # end of line
+    body += b"\x00\x01"  # end of bitmap
+    data_off = 14 + 40 + table.nbytes
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body),
+                       2835, 2835, 256, 0)
+    with open(path, "wb") as f:
+        f.write(hdr + info + table.tobytes() + bytes(body))
+
+
+def _decode_rle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 decode (bottom-up): encoded runs, 00 00 EOL, 00 01 EOB,
+    00 02 dx dy delta, 00 n>=3 absolute run (word-padded)."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n:
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # encoded run
+            out[y, x: min(x + c, w)] = v
+            x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("truncated RLE8 delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: v literal bytes, padded to 16-bit boundary
+            if i + v > n:
+                raise ValueError("truncated RLE8 absolute run")
+            lit = np.frombuffer(data[i: i + v], np.uint8)
+            end = min(x + v, w)
+            out[y, x:end] = lit[: end - x]
+            x += v
+            i += v + (v & 1)
+    return out[::-1]  # storage is bottom-up
+
+
 def _parse_header(path: str):
     with open(path, "rb") as f:
         head = f.read(14 + 40)
@@ -76,10 +147,10 @@ def _parse_header(path: str):
     if bi_size < 40:
         raise ValueError(f"unsupported BMP header size {bi_size} (need "
                          "BITMAPINFOHEADER or later)")
-    if comp != 0:
-        raise ValueError(f"unsupported BMP compression {comp} (only BI_RGB; "
-                         "the reference rejects RLE the same way for "
-                         "non-8bpp, frmts/bmp/bmpdataset.cpp)")
+    if comp not in (0, 1) or (comp == 1 and bpp != 8):
+        raise ValueError(f"unsupported BMP compression {comp} at {bpp} bpp "
+                         "(BI_RGB, or BI_RLE8 at 8 bpp — the reference's "
+                         "BMPC_RLE8 surface, frmts/bmp/bmpdataset.cpp)")
     if bpp not in (8, 24):
         raise ValueError(f"unsupported BMP bit depth {bpp} (8 or 24)")
     bottom_up = h > 0
@@ -92,7 +163,7 @@ def _parse_header(path: str):
         palette = table[:, [2, 1, 0]].copy()  # BGRX -> RGB
     return {"width": w, "height": h, "bpp": bpp, "data_off": data_off,
             "stride": _stride(w, bpp), "bottom_up": bottom_up,
-            "palette": palette}
+            "palette": palette, "comp": comp}
 
 
 def read_bmp(path: str):
@@ -108,9 +179,19 @@ def read_bmp_window(path: str, y0: int, y1: int, x0: int, x1: int,
     """Windowed read: only the touched scanlines load (rows live at
     independent offsets; the reference's IReadBlock is likewise
     scanline-addressed).  y is top-down image space regardless of the
-    file's storage order."""
+    file's storage order.  RLE8 streams are inherently sequential — they
+    decode whole then slice (the reference does the same)."""
     if hdr is None:
         hdr = _parse_header(path)
+    if hdr.get("comp") == 1:
+        with open(path, "rb") as f:
+            f.seek(hdr["data_off"])
+            full = _decode_rle8(f.read(), hdr["width"], hdr["height"])
+        if not (0 <= y0 <= y1 <= hdr["height"]
+                and 0 <= x0 <= x1 <= hdr["width"]):
+            raise ValueError(f"window [{y0}:{y1},{x0}:{x1}] outside "
+                             f"{hdr['height']}x{hdr['width']}")
+        return full[y0:y1, x0:x1].copy()
     h, w, bpp = hdr["height"], hdr["width"], hdr["bpp"]
     if not (0 <= y0 <= y1 <= h and 0 <= x0 <= x1 <= w):
         raise ValueError(f"window [{y0}:{y1},{x0}:{x1}] outside {h}x{w}")

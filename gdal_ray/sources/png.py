@@ -30,8 +30,17 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """(h, w) grayscale or (h, w, 3) RGB uint8 -> PNG bytes."""
+def _paeth(a, b, c):
+    """Paeth predictor (PNG spec 9.4), elementwise over int arrays."""
+    p = a + b - c
+    pa_, pb, pcc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pcc), a, np.where(pb <= pcc, b, c))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> PNG bytes.
+    ``filter_type`` (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) is applied to
+    every scanline; default None keeps tile bytes stable across runs."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         color_type, channels = 0, 1
@@ -39,11 +48,31 @@ def encode_png(arr: np.ndarray) -> bytes:
         color_type, channels = 2, 3
     else:
         raise ValueError("encode_png expects (h,w) gray or (h,w,3) RGB uint8")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter type {filter_type}")
     h, w = a.shape[0], a.shape[1]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    px = a.reshape(h, w * channels).astype(np.int64)
+    bpp = channels
+    left = np.zeros_like(px)
+    left[:, bpp:] = px[:, :-bpp]
+    up = np.zeros_like(px)
+    up[1:] = px[:-1]
+    upleft = np.zeros_like(px)
+    upleft[1:, bpp:] = px[:-1, :-bpp]
+    if filter_type == 0:
+        filt = px
+    elif filter_type == 1:
+        filt = px - left
+    elif filter_type == 2:
+        filt = px - up
+    elif filter_type == 3:
+        filt = px - (left + up) // 2
+    else:
+        filt = px - _paeth(left, up, upleft)
     raw = np.empty((h, 1 + w * channels), dtype=np.uint8)
-    raw[:, 0] = 0  # filter type 0 per scanline
-    raw[:, 1:] = a.reshape(h, w * channels)
+    raw[:, 0] = filter_type
+    raw[:, 1:] = (filt % 256).astype(np.uint8)
     idat = zlib.compress(raw.tobytes(), 6)
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
@@ -81,9 +110,41 @@ def decode_png(data: bytes) -> np.ndarray:
     channels = 1 if color_type == 0 else 3
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
     raw = raw.reshape(h, 1 + w * channels)
-    if (raw[:, 0] != 0).any():
-        raise ValueError("decode_png supports filter type 0 only")
-    px = raw[:, 1:]
+    ftypes = raw[:, 0]
+    if (ftypes > 4).any():
+        raise ValueError(f"unknown PNG filter type {int(ftypes.max())}")
+    bpp = channels
+    n = w * channels
+    if (ftypes == 0).all():
+        px = raw[:, 1:]  # fast path: our own tiles
+        return px.reshape(h, w) if channels == 1 else px.reshape(h, w, 3)
+    # full spec unfiltering (PNG spec 9.4): rows reconstruct sequentially
+    # (Up/Average/Paeth read the previous RECONSTRUCTED row); Sub/Average/
+    # Paeth have an in-row left dependency — Sub vectorizes as a per-channel
+    # modular cumsum, Average/Paeth walk pixels
+    out = np.zeros((h, n), dtype=np.int64)
+    prev = np.zeros(n, dtype=np.int64)
+    for y in range(h):
+        ft = int(ftypes[y])
+        row = raw[y, 1:].astype(np.int64)
+        if ft == 0:
+            rec = row
+        elif ft == 1:
+            rec = row.reshape(-1, bpp).cumsum(axis=0).reshape(n) % 256
+        elif ft == 2:
+            rec = (row + prev) % 256
+        else:
+            rec = np.zeros(n, dtype=np.int64)
+            for x in range(n):
+                left = rec[x - bpp] if x >= bpp else 0
+                upleft = prev[x - bpp] if x >= bpp else 0
+                pred = ((left + prev[x]) // 2 if ft == 3
+                        else int(_paeth(np.int64(left), prev[x],
+                                        np.int64(upleft))))
+                rec[x] = (row[x] + pred) % 256
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8)
     return px.reshape(h, w) if channels == 1 else px.reshape(h, w, 3)
 
 

@@ -193,3 +193,65 @@ def test_dted_roundtrip_window_checksum(tmp_path, rng):
     junk.write_bytes(b"XXL" + b"\x20" * 4000)
     with pytest.raises(ValueError, match="UHL"):
         dted.read_dted(str(junk))
+
+
+def test_bmp_rle8_roundtrips(tmp_path, rng):
+    """BI_RLE8 (frmts/bmp BMPC_RLE8): encoded runs, EOL/EOB, >255 runs."""
+    cases = {
+        "runs": np.repeat(rng.integers(0, 5, (50, 20), dtype=np.uint8),
+                          13, axis=1)[:, :250],
+        "noise": rng.integers(0, 256, (30, 77), dtype=np.uint8),
+        "longrun": np.full((10, 600), 42, np.uint8),
+    }
+    for name, img in cases.items():
+        p = str(tmp_path / f"{name}.bmp")
+        bmp.write_bmp_rle8(p, img)
+        b, hdr = bmp.read_bmp(p)
+        assert hdr["comp"] == 1 and np.array_equal(img, b), name
+        assert np.array_equal(
+            bmp.read_bmp_window(p, 2, 9, 3, img.shape[1] - 1),
+            img[2:9, 3:-1]), name
+    import os
+    assert os.path.getsize(str(tmp_path / "longrun.bmp")) < 6000 // 4
+
+
+def test_png_filter_types(rng):
+    """PNG spec 9.4 filters: every type round-trips through the full
+    unfiltering decoder; filtered encodes beat filter-0 on smooth data."""
+    from gdal_ray.sources.png import decode_png, encode_png
+
+    g = rng.integers(0, 256, (70, 90), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    smooth = (np.add.outer(np.arange(70), np.arange(90)) % 256
+              ).astype(np.uint8)
+    for ft in range(5):
+        for arr in (g, rgb, smooth):
+            assert np.array_equal(arr, decode_png(encode_png(arr, ft))), ft
+    assert len(encode_png(smooth, 4)) < len(encode_png(smooth, 0))
+    with pytest.raises(ValueError, match="filter type"):
+        encode_png(g, 7)
+
+
+def test_tga_roundtrips(tmp_path, rng):
+    """TGA types 2/3/10/11, both row orders, run + raw RLE packets."""
+    from gdal_ray.sources import tga
+
+    g = rng.integers(0, 256, (45, 61), dtype=np.uint8)
+    runs = np.repeat(rng.integers(0, 4, (40, 10), dtype=np.uint8), 20, axis=1)
+    rgb = rng.integers(0, 256, (33, 29, 3), dtype=np.uint8)
+    p = str(tmp_path / "t.tga")
+    for img in (g, runs, rgb):
+        for rle in (False, True):
+            for td in (True, False):
+                tga.write_tga(p, img, rle=rle, top_down=td)
+                b, hdr = tga.read_tga(p)
+                assert hdr["rle"] == rle and hdr["top_down"] == td
+                assert np.array_equal(img, b)
+    import os
+    tga.write_tga(p, runs, rle=True)
+    assert os.path.getsize(p) < runs.nbytes // 4
+    # color-mapped and odd types rejected
+    bad = tmp_path / "bad.tga"
+    bad.write_bytes(bytes([0, 1, 1]) + b"\x00" * 15)
+    with pytest.raises(ValueError, match="image type|color-mapped"):
+        tga.read_tga(str(bad))
