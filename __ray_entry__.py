@@ -659,6 +659,53 @@ def _viewshed_sql() -> str:
     """
 
 
+def _viewshed_cumulative_sql() -> str:
+    """Cumulative-viewshed mirror: the _viewshed_sql R3 arithmetic replayed
+    per observer of the 4x4 spacing-16 grid; per-cell heat = observers
+    minus blocked pairs, summed per 16x16 block."""
+    dem = "CAST((({x}*73 + {y}*151) % 37) + (({x}*{y}) % 11) * 3 AS DOUBLE)"
+    d00 = dem.format(x="x0", y="y0")
+    d01 = dem.format(x="(x0+1)", y="y0")
+    d10 = dem.format(x="x0", y="(y0+1)")
+    d11 = dem.format(x="(x0+1)", y="(y0+1)")
+    return f"""
+        WITH g AS (SELECT a.range AS x, b.range AS y FROM range(64) a, range(64) b),
+        o AS (SELECT 16*a.range AS ox, 16*b.range AS oy FROM range(4) a, range(4) b),
+        p AS (SELECT g.x, g.y, {dem.format(x='g.x', y='g.y')} AS z, o.ox, o.oy,
+                     sqrt(CAST((g.x-o.ox)*(g.x-o.ox) + (g.y-o.oy)*(g.y-o.oy)
+                          AS DOUBLE)) AS dist,
+                     {dem.format(x='o.ox', y='o.oy')} + 2.0 AS oz
+              FROM g, o),
+        nn AS (SELECT ox, oy, CAST(ceil(max(dist)) AS BIGINT) + 1 AS n
+               FROM p GROUP BY ox, oy),
+        samp AS (SELECT p.x, p.y, p.z, p.ox, p.oy, p.dist, p.oz,
+                        CAST(s.s AS DOUBLE) / CAST(nn.n AS DOUBLE) AS tt
+                 FROM p JOIN nn USING (ox, oy),
+                      LATERAL (SELECT unnest(generate_series(1, nn.n - 1)) AS s) s),
+        ev AS (SELECT x, y, z, ox, oy, dist, oz, tt,
+                      LEAST(GREATEST(CAST(floor(ox + tt*(x-ox)) AS BIGINT), 0), 62) AS x0,
+                      LEAST(GREATEST(CAST(floor(oy + tt*(y-oy)) AS BIGINT), 0), 62) AS y0,
+                      ox + tt*(x-ox) AS sx, oy + tt*(y-oy) AS sy
+               FROM samp),
+        ev2 AS (SELECT x, y, z, ox, oy, dist, oz, tt, x0, y0,
+                       LEAST(GREATEST(sx - x0, 0.0), 1.0) AS fx,
+                       LEAST(GREATEST(sy - y0, 0.0), 1.0) AS fy
+                FROM ev),
+        blocked AS (
+            SELECT DISTINCT x, y, ox, oy FROM ev2
+            WHERE (({d00} * (1-fx) * (1-fy) + {d01} * fx * (1-fy)
+                  + {d10} * (1-fx) * fy + {d11} * fx * fy) - oz) / (tt*dist + 1e-300)
+                  > (z - oz) / (CASE WHEN dist = 0 THEN 1.0 ELSE dist END) + 1e-12
+              AND tt*dist < dist - 1e-9),
+        bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+               FROM blocked GROUP BY x, y)
+        SELECT CAST(g.x // 16 AS BIGINT) AS bx, CAST(g.y // 16 AS BIGINT) AS by,
+               CAST(sum(16 - COALESCE(bc.c, 0)) AS BIGINT) AS vis_sum
+        FROM g LEFT JOIN bc ON g.x = bc.x AND g.y = bc.y
+        GROUP BY 1, 2
+    """
+
+
 def _viewshed_sectors_sql() -> str:
     """Ray-partitioned viewshed mirror: same R3 step arithmetic as
     _viewshed_sql on the 128x128 integer DEM, observer (64,64) h=2, radius-40
@@ -2539,6 +2586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_nodata": q.fill_nodata_q,
         "viewshed": q.viewshed_q,
         "viewshed_sectors": q.viewshed_sectors_q,
+        "viewshed_cumulative": q.viewshed_cumulative_q,
         "band_stats": q.band_stats_q,
         "band_stats_approx": q.band_stats_approx_q,
         "raster_histogram": q.raster_histogram_q,
@@ -4826,6 +4874,7 @@ def oracle_sql() -> dict[str, str]:
         "nearblack": _nearblack_sql(),
         "viewshed": _viewshed_sql(),
         "viewshed_sectors": _viewshed_sectors_sql(),
+        "viewshed_cumulative": _viewshed_cumulative_sql(),
         "band_stats": """
             WITH g AS (SELECT a.range AS x, b.range AS y
                        FROM range(128) a, range(128) b),

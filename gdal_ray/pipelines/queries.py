@@ -3321,6 +3321,26 @@ def viewshed_q(sf_dir: str):
     return out.select_columns(["x", "y", "n_visible"])
 
 
+def viewshed_cumulative_q(sf_dir: str):
+    """Cumulative viewshed (gdal_viewshed -mode cumulative,
+    alg/viewshed/cumulative.cpp): a 4x4 observer grid (spacing 16) over the
+    64x64 integer conformance DEM; visibility masks sum into the
+    observability heat map via actor-pool executors + partial-raster
+    combiners.  Emits per-16x16-block heat sums (16 rows)."""
+    from ..stages import viewshed as vs
+
+    size = 64
+    gy, gx = np.mgrid[0:size, 0:size]
+    dem = (((gx * 73 + gy * 151) % 37) + ((gx * gy) % 11) * 3).astype(np.float64)
+    heat = vs.viewshed_cumulative(dem, spacing=16, observer_height=2.0,
+                                  concurrency=2)
+    blocks = heat.reshape(4, 16, 4, 16).sum(axis=(1, 3))
+    by, bx = np.mgrid[0:4, 0:4]
+    return pa.table({"bx": pa.array(bx.ravel().astype(np.int64)),
+                     "by": pa.array(by.ravel().astype(np.int64)),
+                     "vis_sum": pa.array(blocks.ravel().astype(np.int64))})
+
+
 def viewshed_sectors_q(sf_dir: str):
     """Ray-partitioned viewshed (angular-sector decomposition): a 128x128
     integer DEM shipped as 2x2 tiles, observer (64,64), radius-40 disc split

@@ -316,3 +316,69 @@ def viewshed_sectors(tiles_ds, observer_x: int, observer_y: int, radius: int,
         )
 
     return shipped.groupby("sector").map_groups(run, batch_format="pyarrow")
+
+
+class _CumulativeExecutor:
+    """Actor: holds the (broadcast) DEM once; each call scores a BATCH of
+    observers and returns ONE partial count raster — the reference's
+    executor/combiner split (alg/viewshed/cumulative.cpp:36-90 observer
+    queue -> normal-mode executors with visibleVal=1 -> summing combiners)
+    re-expressed as an actor-pool map_batches with per-batch partials."""
+
+    def __init__(self, dem_ref, observer_height: float = 0.0):
+        import ray
+
+        self.dem = (ray.get(dem_ref) if not isinstance(dem_ref, np.ndarray)
+                    else dem_ref)
+        self.oh = float(observer_height)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        acc = np.zeros(self.dem.shape, dtype=np.int64)
+        ox = batch["ox"].to_numpy(zero_copy_only=False)
+        oy = batch["oy"].to_numpy(zero_copy_only=False)
+        for i in range(len(ox)):
+            acc += viewshed_array(self.dem, int(ox[i]), int(oy[i]), self.oh)
+        h, w = acc.shape
+        return pa.table({"n_observers": pa.array([len(ox)], pa.int64()),
+                         "height": pa.array([h], pa.int32()),
+                         "width": pa.array([w], pa.int32()),
+                         "counts": pa.array([acc.tobytes()], pa.binary())})
+
+
+def viewshed_cumulative(dem: np.ndarray, spacing: int,
+                        observer_height: float = 0.0,
+                        concurrency: int = 4, batch_size: int = 4):
+    """Cumulative viewshed (gdal_viewshed -mode cumulative,
+    alg/viewshed/cumulative.cpp): observers on a ``spacing`` grid each run
+    a normal-mode viewshed and the visibility masks SUM into an
+    observability heat map.
+
+    Ray shape: the observer grid is a Dataset fanned over an actor pool
+    holding the broadcast DEM; each batch returns one partial count raster
+    and the driver folds O(n_batches) partials (bounded by ceil(observers /
+    batch_size)).  At continental scale the DEM tiles and each observer's
+    disc is radius-bounded, so partials become tile-keyed rows through a
+    groupby instead — this whole-raster fold is the single-DEM path.
+
+    Returns the int64 heat map (count of observers seeing each cell)."""
+    import ray
+    import ray.data as rd
+
+    h, w = dem.shape
+    oys, oxs = np.mgrid[0:h:spacing, 0:w:spacing]
+    obs = pa.table({"ox": pa.array(oxs.ravel().astype(np.int64)),
+                    "oy": pa.array(oys.ravel().astype(np.int64))})
+    dem_ref = ray.put(np.ascontiguousarray(dem))
+    n_batches = max(1, (obs.num_rows + batch_size - 1) // batch_size)
+    parts = rd.from_arrow(obs).repartition(
+        min(n_batches, max(concurrency * 2, 1))).map_batches(
+        _CumulativeExecutor,
+        fn_constructor_kwargs=dict(dem_ref=dem_ref,
+                                   observer_height=observer_height),
+        batch_size=batch_size, batch_format="pyarrow",
+        concurrency=concurrency)
+    heat = np.zeros((h, w), dtype=np.int64)
+    for row in parts.take_all():  # O(n_batches) partial rasters
+        heat += np.frombuffer(row["counts"], np.int64).reshape(
+            row["height"], row["width"])
+    return heat

@@ -174,3 +174,23 @@ def test_viewshed_sectors_equals_monolithic():
         n_cells += r["n_cells"]
     assert n_cells == int(disc.sum())  # every disc cell in exactly one sector
     assert (recon == (mvis & disc)).all()
+
+
+def test_viewshed_cumulative_matches_observer_sum(ray_session):
+    """Cumulative mode (alg/viewshed/cumulative.cpp): the heat map equals
+    the sum of per-observer normal-mode masks."""
+    import numpy as np
+
+    from gdal_ray.stages.viewshed import viewshed_array, viewshed_cumulative
+
+    gy, gx = np.mgrid[0:48, 0:48]
+    dem = (((gx * 7 + gy * 13) % 19) + ((gx * gy) % 5) * 4).astype(np.float64)
+    heat = viewshed_cumulative(dem, spacing=12, observer_height=1.0,
+                               concurrency=2, batch_size=3)
+    ref = np.zeros_like(heat)
+    for oy in range(0, 48, 12):
+        for ox in range(0, 48, 12):
+            ref += viewshed_array(dem, ox, oy, 1.0)
+    assert np.array_equal(heat, ref)
+    # every observer sees its own cell
+    assert (heat[::12, ::12] >= 1).all()
