@@ -2412,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_sql_avg": q.select_sql_avg_q,
         "gopher_rules": q.gopher_rules_q,
         "lm_familiarity": q.lm_familiarity_q,
+        "audio_g711": q.audio_g711_q,
         "select_sql_union_all": q.select_sql_union_all_q,
         "quantiles_continuous": q.quantiles_continuous_q,
         "select_sql_left_join_group": q.select_sql_left_join_group_q,
@@ -2876,6 +2877,87 @@ def oracle_sql() -> dict[str, str]:
                AND 2 * n_alpha >= token_chars
                AND stop_hits >= 2) AS keep
             FROM f
+        """,
+        # G.711 companding mirror: the segment/mantissa formulas in integer
+        # SQL (bit ops are exact; A-law's arithmetic >>3 is floor(s/8))
+        "audio_g711": """
+            WITH p AS (
+              SELECT doc_id, r.range AS k,
+                     (doc_id * 9176 + r.range * 4099) % 65536 - 32768 AS s
+              FROM documents, range(8) r
+            ),
+            mu AS (
+              SELECT doc_id, k, s,
+                     CASE WHEN s < 0 THEN 128 ELSE 0 END AS sign,
+                     LEAST(abs(s), 32635) + 132 AS mag
+              FROM p
+            ),
+            mu2 AS (
+              SELECT doc_id, k, s, sign, mag,
+                     CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+                          WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+                          WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+                          WHEN mag < 16384 THEN 6 ELSE 7 END AS e
+              FROM mu
+            ),
+            mu3 AS (
+              SELECT doc_id, k, s,
+                     255 - (sign + e * 16 + ((mag >> (e + 3)) & 15)) AS mu_code
+              FROM mu2
+            ),
+            mu4 AS (
+              SELECT doc_id, k, s, mu_code, 255 - mu_code AS u FROM mu3
+            ),
+            al AS (
+              SELECT doc_id, k, s, mu_code, u,
+                     CAST(floor(s / 8.0) AS BIGINT) AS s13
+              FROM mu4
+            ),
+            al2 AS (
+              SELECT doc_id, k, s, mu_code, u,
+                     CASE WHEN s13 >= 0 THEN 213 ELSE 85 END AS mask,
+                     CASE WHEN s13 < 0 THEN -s13 - 1 ELSE s13 END AS pv
+              FROM al
+            ),
+            al3 AS (
+              SELECT doc_id, k, s, mu_code, u, mask, pv,
+                     CASE WHEN pv <= 31 THEN 0 WHEN pv <= 63 THEN 1
+                          WHEN pv <= 127 THEN 2 WHEN pv <= 255 THEN 3
+                          WHEN pv <= 511 THEN 4 WHEN pv <= 1023 THEN 5
+                          WHEN pv <= 2047 THEN 6 ELSE 7 END AS seg
+              FROM al2
+            ),
+            al4 AS (
+              SELECT doc_id, k, s, mu_code, u,
+                     xor(seg * 16 + CASE WHEN seg < 2 THEN (pv >> 1) & 15
+                                         ELSE (pv >> seg) & 15 END,
+                         mask) AS a_code
+              FROM al3
+            ),
+            al5 AS (
+              SELECT doc_id, k, mu_code, u, a_code,
+                     xor(a_code, 85) AS a
+              FROM al4
+            )
+            SELECT doc_id, CAST(k AS BIGINT) AS k,
+                   CAST(mu_code AS BIGINT) AS mu_code,
+                   CAST(CASE WHEN u >= 128 THEN
+                          -((((u & 15) * 8 + 132) << ((u >> 4) & 7)) - 132)
+                        ELSE ((((u & 15) * 8 + 132) << ((u >> 4) & 7)) - 132)
+                        END AS BIGINT) AS mu_dec,
+                   CAST(a_code AS BIGINT) AS a_code,
+                   CAST(CASE WHEN a >= 128 THEN
+                          CASE WHEN (a & 112) = 0 THEN (a & 15) * 16 + 8
+                               WHEN (a & 112) = 16 THEN (a & 15) * 16 + 264
+                               ELSE ((a & 15) * 16 + 264)
+                                    << (((a & 112) >> 4) - 1) END
+                        ELSE
+                          -(CASE WHEN (a & 112) = 0 THEN (a & 15) * 16 + 8
+                                 WHEN (a & 112) = 16 THEN (a & 15) * 16 + 264
+                                 ELSE ((a & 15) * 16 + 264)
+                                      << (((a & 112) >> 4) - 1) END)
+                        END AS BIGINT) AS a_dec
+            FROM al5
         """,
         # LM familiarity: trigram STRINGS here mirror the engine's packed
         # int64 codes — UTF-8 byte order is codepoint order, so the

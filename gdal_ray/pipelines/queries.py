@@ -387,6 +387,34 @@ def lm_familiarity_q(sf_dir: str):
     return textops.lm_familiarity_score(docs, ref, min_avg_count=40)
 
 
+def audio_g711_q(sf_dir: str):
+    """G.711 telephony companding (wFormatTag 7/6 in the RIFF registry;
+    the mu-law/A-law codecs in sources/wav.py): 8 deterministic int16
+    samples per document encode and decode through both laws; all
+    arithmetic is integer, so the SQL oracle replays the segment/mantissa
+    formulas bit-exactly (DuckDB has >>, & and xor)."""
+    from ..sources import wav
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        k = np.tile(np.arange(8, dtype=np.int64), len(ids))
+        did = np.repeat(ids, 8)
+        s = ((did * 9176 + k * 4099) % 65536 - 32768).astype(np.int16)
+        mu = wav.mulaw_encode(s)
+        al = wav.alaw_encode(s)
+        return pa.table({
+            "doc_id": pa.array(did), "k": pa.array(k),
+            "mu_code": pa.array(mu.astype(np.int64)),
+            "mu_dec": pa.array(wav.mulaw_decode(mu).astype(np.int64)),
+            "a_code": pa.array(al.astype(np.int64)),
+            "a_dec": pa.array(wav.alaw_decode(al).astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def select_sql_avg_q(sf_dir: str):
     """AVG from a SQL string (swq_op_registrar.cpp:53): exact int64 sums
     and counts divide once per group — the float64 result is bit-stable

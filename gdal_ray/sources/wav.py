@@ -241,8 +241,13 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("ADPCM fmt chunk missing samples-per-block")
         (spb,) = struct.unpack_from("<H", fmt_body, 18)
         return _decode_adpcm_data(data, block_align, spb, n_samples), rate
+    if audio_fmt == 7:  # G.711 mu-law
+        return mulaw_decode(np.frombuffer(data, np.uint8)), rate
+    if audio_fmt == 6:  # G.711 A-law
+        return alaw_decode(np.frombuffer(data, np.uint8)), rate
     if audio_fmt != 1:
-        raise ValueError(f"unsupported format {audio_fmt} (PCM and IMA ADPCM)")
+        raise ValueError(f"unsupported format {audio_fmt} "
+                         "(PCM, IMA ADPCM, G.711 mu-law/A-law)")
     if bits == 8:
         return np.frombuffer(data, dtype=np.uint8), rate
     if bits == 16:
@@ -250,3 +255,73 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("odd 16-bit data length")
         return np.frombuffer(data, dtype="<i2").astype(np.int16), rate
     raise ValueError(f"unsupported bit depth {bits}")
+
+
+# -- G.711 companding (wFormatTag 7 = mu-law, 6 = A-law) ----------------------
+
+_MU_BOUNDS = np.array([0x100 << k for k in range(7)], dtype=np.int32)
+_A_BOUNDS = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF],
+                     dtype=np.int32)
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 -> G.711 mu-law bytes (ITU-T G.711 / the public-domain g711.c
+    algorithm, vectorized: bias 0x84, 8 segments, complemented output)."""
+    s = np.asarray(samples, dtype=np.int32)
+    sign = np.where(s < 0, 0x80, 0)
+    mag = np.minimum(np.abs(s), 32635) + 0x84
+    exp = np.searchsorted(_MU_BOUNDS, mag, side="right").astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(data: np.ndarray) -> np.ndarray:
+    u = ~np.asarray(data, dtype=np.int32) & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 -> G.711 A-law bytes (13-bit input, 0x55 toggle mask)."""
+    s13 = np.asarray(samples, dtype=np.int32) >> 3
+    mask = np.where(s13 >= 0, 0xD5, 0x55)
+    p = np.where(s13 < 0, ~s13, s13)
+    seg = np.searchsorted(_A_BOUNDS, p, side="left").astype(np.int32)
+    low = np.where(seg < 2, (p >> 1) & 0x0F,
+                   (p >> np.minimum(seg, 7)) & 0x0F)
+    aval = (seg << 4) | low
+    out = np.where(seg >= 8, 0x7F ^ mask, aval ^ mask)
+    return (out & 0xFF).astype(np.uint8)
+
+
+def alaw_decode(data: np.ndarray) -> np.ndarray:
+    a = (np.asarray(data, dtype=np.int32) ^ 0x55) & 0xFF
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8,
+                 (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int = 8000,
+                    law: str = "mulaw") -> bytes:
+    """Mono int16 -> G.711 companded WAV (wFormatTag 7 mu-law / 6 A-law,
+    8 bits per sample, block_align 1, fact chunk with the sample count —
+    the telephony formats the RIFF spec registers alongside PCM)."""
+    s = np.asarray(samples, dtype=np.int16)
+    if law == "mulaw":
+        tag, body = 7, mulaw_encode(s)
+    elif law == "alaw":
+        tag, body = 6, alaw_encode(s)
+    else:
+        raise ValueError(f"unknown G.711 law {law!r} (mulaw or alaw)")
+    data = body.tobytes()
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    fact = struct.pack("<I", len(s))
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"fact" + struct.pack("<I", len(fact)) + fact
+              + b"data" + struct.pack("<I", len(data)) + data
+              + (b"\x00" if len(data) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

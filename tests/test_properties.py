@@ -369,3 +369,31 @@ def test_curve_wkt_roundtrip_property():
         assert parse_wkt(encode_wkt(blob)) == blob
 
     check()
+
+
+def test_g711_codec_consistency():
+    """G.711 mu-law/A-law: encode(decode(b)) == b over all 256 codes (the
+    canonical consistency check; mu-law negative zero 0x7F re-encodes as
+    +0, the standard exception), ITU anchor values, container roundtrip
+    with bounded companding error."""
+    import numpy as np
+
+    from gdal_ray.sources import wav
+
+    b = np.arange(256, dtype=np.uint8)
+    md = wav.mulaw_decode(b)
+    re = wav.mulaw_encode(md)
+    keep = b != 0x7F
+    assert np.array_equal(re[keep], b[keep])
+    assert np.array_equal(wav.alaw_encode(wav.alaw_decode(b)), b)
+    assert wav.mulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+    assert wav.mulaw_decode(np.array([0x00], np.uint8))[0] == -32124
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32000, 32000, 5000).astype(np.int16)
+    for law, bound in (("mulaw", 1024), ("alaw", 1100)):
+        out, rate = wav.decode_wav(wav.encode_wav_g711(s, 8000, law))
+        assert rate == 8000 and len(out) == len(s)
+        assert np.abs(out.astype(np.int32) - s.astype(np.int32)).max() <= bound
+        # quantized values are an encode fixed point
+        out2, _ = wav.decode_wav(wav.encode_wav_g711(out, 8000, law))
+        assert np.array_equal(out, out2)
