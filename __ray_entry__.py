@@ -2505,6 +2505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kml_roundtrip": q.kml_roundtrip_q,
         "gml_roundtrip": q.gml_roundtrip_q,
         "gpkg_roundtrip": q.gpkg_roundtrip_q,
+        "geoparquet_roundtrip": q.geoparquet_roundtrip_q,
         "ogr2ogr_convert": q.ogr2ogr_convert_q,
         "semi_join_orders": q.semi_join_orders_q,
         "anti_join_customers": q.anti_join_customers_q,
@@ -4062,6 +4063,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 * floor(minx * 100 + 0.5) + 2 * floor(maxx * 100 + 0.5)
                         + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
                         AS BIGINT) AS coord_sum_x100
+            FROM zz
+        """,
+        # GeoParquet: vertex sums as the shapefile mirror, plus the
+        # footer-folded dataset bbox (min/max over all zone rects) and the
+        # single Polygon geometry type
+        "geoparquet_roundtrip": f"""
+            WITH {_ZONES.strip().lstrip()},
+            bb AS (SELECT CAST(floor(min(minx) * 100 + 0.5)
+                             + floor(min(miny) * 100 + 0.5)
+                             + floor(max(maxx) * 100 + 0.5)
+                             + floor(max(maxy) * 100 + 0.5) AS BIGINT) AS s
+                   FROM zz)
+            SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
+                   CAST(5 AS BIGINT) AS n_vertices,
+                   CAST(3 * floor(minx * 100 + 0.5) + 2 * floor(maxx * 100 + 0.5)
+                        + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
+                        AS BIGINT) AS coord_sum_x100,
+                   (SELECT s FROM bb) AS bbox_sum_x100,
+                   CAST(1 AS BIGINT) AS n_geom_types
             FROM zz
         """,
         "hilbert_sort_topk": f"""

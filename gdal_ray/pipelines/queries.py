@@ -2122,6 +2122,43 @@ def shp_roundtrip_q(sf_dir: str):
         shp_drv.read_shapefile_dataset(base, records_per_block=512))
 
 
+def geoparquet_roundtrip_q(sf_dir: str):
+    """GeoParquet driver (ogr/ogrsf_frmts/parquet writer surface, OGC
+    GeoParquet 1.1): zones stream through the per-file-'geo'-metadata sink
+    and back; emits the shared vertex-sum verification PLUS one metadata
+    row carrying the footer-folded dataset bbox (0.01-grid ints) and
+    geometry-type count — proving the spec metadata round-trips without
+    reading rows."""
+    import os
+    import tempfile
+
+    from ..sources import geoparquet as gpq
+
+    zones = _zones(sf_dir)
+    root = f"{tempfile.gettempdir()}/gdal_ray_geoparquet_{os.getpid()}"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    for _ in gpq.write_geoparquet(rd.from_arrow(zones),
+                                  root).iter_batches():
+        pass
+    meta = gpq.read_geo_metadata(root)
+    verify = _zones_vertex_verify(gpq.read_geoparquet(root))
+
+    def add_meta(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            **{c: t[c] for c in t.column_names},
+            "bbox_sum_x100": pa.array(
+                [int(sum(np.floor(v * 100.0 + 0.5)
+                         for v in meta["bbox"]))] * n, pa.int64()),
+            "n_geom_types": pa.array(
+                [len(meta["geometry_types"])] * n, pa.int64()),
+        })
+
+    return verify.map_batches(add_meta, batch_format="pyarrow")
+
+
 def retile_q(sf_dir: str):
     """gdal_retile -ps 50x50 -overlap 10 over the 3x3 ramp mosaic: output
     origins advance by 40 px; edge tiles clip.  Per-output-tile checksums

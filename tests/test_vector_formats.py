@@ -286,3 +286,50 @@ def test_arrow_ipc_parallel_read_roundtrip(ray_session, tmp_path):
     # batch index = sequential split
     assert (got.sort_values("k")["batch_idx"].to_numpy()
             == np.arange(1000) // 128).all()
+
+
+def test_geoparquet_metadata_and_resume(tmp_path, ray_session):
+    """GeoParquet (OGC 1.1): per-file 'geo' footers with bbox/types, the
+    O(files) metadata fold, value roundtrip, and file-level resume."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_ray.functions import wkb as wkbf
+    from gdal_ray.sources import geoparquet as gpq
+
+    def rect(x0, y0, x1, y1):
+        return wkbf.encode_polygon([np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])])
+
+    t = pa.table({"fid": pa.array([1, 2], pa.int64()),
+                  "wkb": pa.array([rect(0, 0, 2, 1), rect(5, -3, 7, 4)])})
+    root = str(tmp_path / "gp")
+    list(gpq.write_geoparquet(rd.from_arrow(t), root,
+                              crs="EPSG:4326").iter_batches())
+    files = [f for f in os.listdir(root) if f.endswith(".parquet")]
+    assert files
+    geo = json.loads(pq.read_schema(
+        os.path.join(root, files[0])).metadata[b"geo"])
+    assert geo["version"] == gpq.GEO_VERSION
+    assert geo["primary_column"] == "wkb"
+    assert geo["columns"]["wkb"]["encoding"] == "WKB"
+    meta = gpq.read_geo_metadata(root)
+    assert meta["bbox"] == [0.0, -3.0, 7.0, 4.0]
+    assert meta["geometry_types"] == ["Polygon"]
+    assert meta["crs"] == "EPSG:4326"
+    back = gpq.read_geoparquet(root).take_all()
+    assert sorted(r["fid"] for r in back) == [1, 2]
+    # resume: re-running the sink skips existing parts (same bytes)
+    sizes = {f: os.path.getsize(os.path.join(root, f)) for f in files}
+    list(gpq.write_geoparquet(rd.from_arrow(t), root).iter_batches())
+    assert {f: os.path.getsize(os.path.join(root, f))
+            for f in os.listdir(root) if f.endswith(".parquet")} == sizes
+    # non-geoparquet input rejected loudly
+    pq.write_table(pa.table({"a": [1]}), str(tmp_path / "gp" / "plain.parquet"))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="geo"):
+        gpq.read_geo_metadata(root)
