@@ -2563,6 +2563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_stats_quantity": q.agg_stats_quantity_q,
         # geometry scalar ops (SURVEY §2.2) + spatial sort (§2.6)
         "geom_area_centroid": q.geom_area_centroid_q,
+        "tin_surface_area": q.tin_surface_area_q,
         "spatial_sort_topk": q.spatial_sort_topk_q,
         # raster<->vector + warp/pyramid (SURVEY §2.8/2.9; rows-only goldens)
         "rasterize_polygons": q.rasterize_polygons_q,
@@ -4082,6 +4083,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS coord_sum_x100,
                    (SELECT s FROM bb) AS bbox_sum_x100,
                    CAST(1 AS BIGINT) AS n_geom_types
+            FROM zz
+        """,
+        "tin_surface_area": f"""
+            WITH {_ZONES.strip().lstrip()}
+            SELECT CAST(zone_key AS BIGINT) AS zone_key,
+                   CAST(2 AS BIGINT) AS n_patches,
+                   CAST(round((maxx - minx) * (maxy - miny) * 20000.0)
+                        AS BIGINT) AS area_x20000
             FROM zz
         """,
         "hilbert_sort_topk": f"""

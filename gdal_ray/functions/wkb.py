@@ -33,6 +33,9 @@ COMPOUNDCURVE = 9   # sequence of LineString / CircularString segments
 CURVEPOLYGON = 10   # polygon whose rings may be curves
 MULTICURVE = 11     # collection of LineString / CircularString / CompoundCurve
 MULTISURFACE = 12   # collection of Polygon / CurvePolygon
+POLYHEDRALSURFACE = 15  # ISO surface: contiguous polygon patches
+TIN = 16                # triangulated irregular network: Triangle patches
+TRIANGLE = 17           # polygon restricted to one 4-point ring
 
 _POINT_SIZE = 21  # 1 byte order + 4 type + 16 coords
 
@@ -111,6 +114,26 @@ def encode_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
     return b"".join(out)
 
 
+def encode_triangle(rings: list[np.ndarray]) -> bytes:
+    """Triangle (WKB 17): a polygon body restricted to one 4-point ring."""
+    if len(rings) != 1 or len(rings[0]) != 4:
+        raise ValueError("Triangle needs exactly one closed 4-point ring")
+    body = encode_polygon(rings)
+    return b"\x01" + struct.pack("<I", TRIANGLE) + body[5:]
+
+
+def encode_surface(polys: list[list[np.ndarray]], kind: int) -> bytes:
+    """PolyhedralSurface (15: Polygon patches) / TIN (16: Triangle
+    patches)."""
+    if kind not in (POLYHEDRALSURFACE, TIN):
+        raise ValueError(f"kind must be PolyhedralSurface or TIN, got {kind}")
+    out = [b"\x01", struct.pack("<II", kind, len(polys))]
+    for rings in polys:
+        out.append(encode_triangle(rings) if kind == TIN
+                   else encode_polygon(rings))
+    return b"".join(out)
+
+
 def encode_geom(g: "Geom") -> bytes:
     """Re-serialize a parsed 2-D Geom (linear types + CircularString)."""
     if g.kind == POINT:
@@ -139,6 +162,10 @@ def encode_geom(g: "Geom") -> bytes:
     if g.kind in (MULTICURVE, MULTISURFACE):
         return (b"\x01" + struct.pack("<II", g.kind, len(g.parts))
                 + b"".join(encode_geom(m) for m in g.parts))
+    if g.kind == TRIANGLE:
+        return encode_triangle(g.parts[0])
+    if g.kind in (POLYHEDRALSURFACE, TIN):
+        return encode_surface(g.parts, g.kind)
     raise ValueError(f"cannot re-encode geometry kind {g.kind}")
 
 
@@ -159,17 +186,20 @@ class Geom:
 
     def rings(self) -> list[np.ndarray]:
         """All polygon rings (shells + holes) flattened; [] for non-areal."""
-        if self.kind == POLYGON:
+        if self.kind in (POLYGON, TRIANGLE):
             return self.parts[0]
-        if self.kind == MULTIPOLYGON:
+        if self.kind in (MULTIPOLYGON, POLYHEDRALSURFACE, TIN):
             return [r for rings in self.parts for r in rings]
         return []
 
     def shells_and_holes(self) -> list[list[np.ndarray]]:
-        """List of polygons, each a list of rings (shell first)."""
-        if self.kind == POLYGON:
+        """List of polygons, each a list of rings (shell first).
+        PolyhedralSurface/TIN patches each count as one polygon (the
+        reference's get_Area over surfaces sums patch areas,
+        ogr/ogrpolyhedralsurface.cpp)."""
+        if self.kind in (POLYGON, TRIANGLE):
             return [self.parts[0]]
-        if self.kind == MULTIPOLYGON:
+        if self.kind in (MULTIPOLYGON, POLYHEDRALSURFACE, TIN):
             return self.parts
         return []
 
@@ -182,8 +212,10 @@ class Geom:
             arrs = self.parts[0]
         elif self.kind in (MULTIPOINT, MULTILINESTRING):
             arrs = self.parts
-        elif self.kind == MULTIPOLYGON:
+        elif self.kind in (MULTIPOLYGON, POLYHEDRALSURFACE, TIN):
             arrs = [r for rings in self.parts for r in rings]
+        elif self.kind == TRIANGLE:
+            arrs = self.parts[0]
         return np.concatenate(arrs, axis=0) if arrs else np.empty((0, 2))
 
     def bbox(self) -> tuple[float, float, float, float]:
@@ -222,7 +254,7 @@ def _parse(buf: memoryview, off: int, allow_zm: bool = False) -> tuple[Geom, int
         pts = np.frombuffer(buf, dtype=fmt + "f8", count=dim * n, offset=off
                             ).reshape(n, dim)[:, :2]
         return Geom(gtype, [pts]), off + 8 * dim * n
-    if gtype == POLYGON:
+    if gtype in (POLYGON, TRIANGLE):
         (nrings,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
         rings = []
@@ -232,7 +264,10 @@ def _parse(buf: memoryview, off: int, allow_zm: bool = False) -> tuple[Geom, int
             rings.append(np.frombuffer(buf, dtype=fmt + "f8", count=dim * n,
                                        offset=off).reshape(n, dim)[:, :2])
             off += 8 * dim * n
-        return Geom(POLYGON, [rings]), off
+        if gtype == TRIANGLE and (len(rings) != 1 or len(rings[0]) != 4):
+            raise ValueError("WKB Triangle must be one closed 4-point ring "
+                             "(ogr/ogrtriangle.cpp importFromWkb contract)")
+        return Geom(gtype, [rings]), off
     if gtype in (COMPOUNDCURVE, CURVEPOLYGON, GEOMETRYCOLLECTION,
                  MULTICURVE, MULTISURFACE):
         (nparts,) = struct.unpack_from(fmt + "I", buf, off)
@@ -242,7 +277,8 @@ def _parse(buf: memoryview, off: int, allow_zm: bool = False) -> tuple[Geom, int
             g, off = _parse(buf, off, allow_zm)
             members.append(g)  # full member Geoms (kind matters downstream)
         return Geom(gtype, members), off
-    if gtype in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
+    if gtype in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON,
+                 POLYHEDRALSURFACE, TIN):
         (nparts,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
         parts = []

@@ -1079,6 +1079,41 @@ def geom_area_centroid_q(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def tin_surface_area_q(sf_dir: str):
+    """PolyhedralSurface/TIN/Triangle WKB (ISO types 15/16/17;
+    ogr/ogrpolyhedralsurface.cpp, ogrtriangle.cpp): each zone rect becomes
+    a two-triangle TIN (diagonal split), round-trips the WKB encode/decode,
+    and sums patch areas — the total equals the rect area (values sit on
+    the 5e-5 grid, so x20000 scaled ints are collision-free)."""
+    from ..functions import wkb as wkb_f
+
+    zones = _zones(sf_dir)
+    ds = rd.from_arrow(zones.select(["zone_key", "wkb"]))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks, npatch, areas = [], [], []
+        for i in range(batch.num_rows):
+            g = wkb_f.decode(batch["wkb"][i].as_py())
+            r = g.parts[0][0]  # rect shell (5 pts, closed)
+            a, b, c, d = r[0], r[1], r[2], r[3]
+            tin = wkb_f.encode_surface(
+                [[np.array([a, b, c, a])], [np.array([a, c, d, a])]],
+                wkb_f.TIN)
+            g2 = wkb_f.decode(tin)
+            assert g2.kind == wkb_f.TIN
+            assert wkb_f.encode_geom(g2) == tin  # bitwise re-encode
+            ks.append(batch["zone_key"][i].as_py())
+            npatch.append(len(g2.parts))
+            areas.append(int(round(wkb_f.geom_area(g2) * 20000.0)))
+        return pa.table({
+            "zone_key": pa.array(ks, pa.int64()),
+            "n_patches": pa.array(npatch, pa.int64()),
+            "area_x20000": pa.array(areas, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def spatial_sort_topk_q(sf_dir: str):
     """Hilbert-style physical clustering (vector sort, SURVEY §2.6): order by
     spatial cell key then id; row-major cell key is the SQL-mirrorable stand-in

@@ -317,3 +317,40 @@ def test_multicurve_multisurface():
     # the triangle member passes through exactly
     assert np.array_equal(g1.parts[0][0],
                           np.array([[0, 0], [1, 0], [1, 1], [0, 0]]))
+
+
+def test_polyhedral_surface_tin_triangle_wkb():
+    """ISO WKB 15/16/17 (ogr/ogrpolyhedralsurface.cpp, ogrtriangle.cpp):
+    parse/encode roundtrip, patch areas, triangle ring contract."""
+    import numpy as np
+    import pytest
+
+    from gdal_ray.functions import wkb as W
+
+    t1 = [np.array([[0.0, 0], [2, 0], [0, 2], [0, 0]])]
+    t2 = [np.array([[2.0, 0], [2, 2], [0, 2], [2, 0]])]
+    tin = W.encode_surface([t1, t2], W.TIN)
+    g = W.decode(tin)
+    assert g.kind == W.TIN and len(g.parts) == 2
+    assert W.geom_area(g) == pytest.approx(4.0)
+    assert W.encode_geom(g) == tin
+    ps = W.encode_surface(
+        [[np.array([[0.0, 0], [1, 0], [1, 1], [0, 1], [0, 0]])],
+         [np.array([[1.0, 0], [3, 0], [3, 1], [1, 1], [1, 0]])]],
+        W.POLYHEDRALSURFACE)
+    g2 = W.decode(ps)
+    assert g2.kind == W.POLYHEDRALSURFACE
+    assert W.geom_area(g2) == pytest.approx(3.0)
+    assert g2.vertices().shape == (10, 2)
+    assert g2.bbox() == (0.0, 0.0, 3.0, 1.0)
+    tr = W.decode(W.encode_triangle(t1))
+    assert tr.kind == W.TRIANGLE and W.geom_area(tr) == pytest.approx(2.0)
+    with pytest.raises(ValueError, match="4-point"):
+        W.encode_triangle([np.array([[0.0, 0], [1, 0], [1, 1], [0, 1],
+                                     [0, 0]])])
+    # a 5-point "triangle" in the byte stream is rejected on decode too
+    fake = bytearray(W.encode_polygon(
+        [np.array([[0.0, 0], [1, 0], [1, 1], [0, 1], [0, 0]])]))
+    fake[1:5] = (17).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="4-point"):
+        W.decode(bytes(fake))
