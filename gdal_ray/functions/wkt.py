@@ -79,6 +79,14 @@ def encode_wkt(wkb: bytes) -> str:
             "(" + ", ".join(f"({_pts(r)})" for r in m.parts[0]) + ")"
             if m.kind == wkb_f.POLYGON
             else encode_wkt(wkb_f.encode_geom(m)) for m in g.parts) + ")"
+    if g.kind == wkb_f.TRIANGLE:
+        return "TRIANGLE ((" + _pts(g.parts[0][0]) + "))"
+    if g.kind in (wkb_f.POLYHEDRALSURFACE, wkb_f.TIN):
+        tag = "TIN" if g.kind == wkb_f.TIN else "POLYHEDRALSURFACE"
+        patches = ", ".join(
+            "(" + ", ".join(f"({_pts(r)})" for r in rings) + ")"
+            for rings in g.parts)
+        return f"{tag} ({patches})"
     raise ValueError(f"unsupported WKB kind {g.kind} for WKT")
 
 
@@ -192,6 +200,18 @@ def parse_wkt(text: str) -> bytes | None:
             polys.append(_parse_ring_list(p))
         p.expect(")")
         return wkb_f.encode_multipolygon(polys)
+    if kind in ("POLYHEDRALSURFACE", "TIN"):
+        p.expect("(")
+        patches = [_parse_ring_list(p)]
+        while p.peek() == ",":
+            p.expect(",")
+            patches.append(_parse_ring_list(p))
+        p.expect(")")
+        return wkb_f.encode_surface(
+            patches,
+            wkb_f.TIN if kind == "TIN" else wkb_f.POLYHEDRALSURFACE)
+    if kind == "TRIANGLE":
+        return wkb_f.encode_triangle(_parse_ring_list(p))
     if kind == "GEOMETRYCOLLECTION":
         p.expect("(")
         members = []

@@ -354,3 +354,23 @@ def test_polyhedral_surface_tin_triangle_wkb():
     fake[1:5] = (17).to_bytes(4, "little")
     with pytest.raises(ValueError, match="4-point"):
         W.decode(bytes(fake))
+
+
+def test_surface_wkt_roundtrip():
+    """TIN / POLYHEDRALSURFACE / TRIANGLE text grammar, bitwise WKB
+    roundtrip."""
+    import numpy as np
+
+    from gdal_ray.functions import wkb as W
+    from gdal_ray.functions import wkt as T
+
+    t1 = [np.array([[0.0, 0], [2, 0], [0, 2], [0, 0]])]
+    t2 = [np.array([[2.0, 0], [2, 2], [0, 2], [2, 0]])]
+    for wkb in (W.encode_surface([t1, t2], W.TIN),
+                W.encode_surface(
+                    [[np.array([[0.0, 0], [1, 0], [1, 1], [0, 1], [0, 0]])]],
+                    W.POLYHEDRALSURFACE),
+                W.encode_triangle(t1)):
+        assert T.parse_wkt(T.encode_wkt(wkb)) == wkb
+    assert T.encode_wkt(W.encode_triangle(t1)) == \
+        "TRIANGLE ((0 0, 2 0, 0 2, 0 0))"
