@@ -1013,6 +1013,14 @@ def explode_collections(ds, wkb_col: str = "wkb"):
             for rings in g.parts:
                 idx.append(i)
                 parts.append(_wkb.encode_polygon(rings))
+        elif g.kind in (_wkb.POLYHEDRALSURFACE, _wkb.TIN):
+            # surface patches explode to their member type (the reference's
+            # explode over surfaces: Polygon / Triangle patches)
+            for rings in g.parts:
+                idx.append(i)
+                parts.append(_wkb.encode_triangle(rings)
+                             if g.kind == _wkb.TIN
+                             else _wkb.encode_polygon(rings))
         elif g.kind == _wkb.MULTILINESTRING:
             for pts in g.parts:
                 idx.append(i)
@@ -1033,7 +1041,8 @@ def explode_collections(ds, wkb_col: str = "wkb"):
         for i, w in enumerate(batch[wkb_col].to_pylist()):
             g = _wkb.decode(w)
             if g.kind in (_wkb.MULTIPOLYGON, _wkb.MULTILINESTRING,
-                          _wkb.MULTIPOINT, _wkb.GEOMETRYCOLLECTION):
+                          _wkb.MULTIPOINT, _wkb.GEOMETRYCOLLECTION,
+                          _wkb.POLYHEDRALSURFACE, _wkb.TIN):
                 emit(i, g, idx, parts)
             else:
                 idx.append(i)
