@@ -190,3 +190,17 @@ def _explode(ds, wkb_col="wkb"):
     from ..stages import geomops
 
     return geomops.explode_collections(ds, wkb_col=wkb_col)
+
+
+@register_step("open_raster")
+def _open_raster(ds, path="", tile_size=64, z=4, band=1, var=None):
+    """Source step (GDALOpen role, gcore/gdaldataset.cpp identify loop):
+    probe the path against every in-repo raster driver and emit the
+    standard tile rows.  Ignores the incoming Dataset — it STARTS a
+    pipeline ("open_raster path=x.tif ! calc expr='A*2' ! ...")."""
+    from ..sources.openraster import open_raster_tiles
+
+    if not path:
+        raise ValueError("open_raster needs path=...")
+    return open_raster_tiles(path, tile_size=int(tile_size), z=int(z),
+                             band=int(band), var=var)
