@@ -378,7 +378,9 @@ def viewshed_cumulative(dem: np.ndarray, spacing: int,
         batch_size=batch_size, batch_format="pyarrow",
         concurrency=concurrency)
     heat = np.zeros((h, w), dtype=np.int64)
-    for row in parts.take_all():  # O(n_batches) partial rasters
+    # streaming fold: driver holds the heat raster + ONE partial at a time
+    # (iter_rows, not take_all — O(h*w) driver memory regardless of batches)
+    for row in parts.iter_rows():
         heat += np.frombuffer(row["counts"], np.int64).reshape(
             row["height"], row["width"])
     return heat

@@ -64,6 +64,8 @@ ALLOWED = {
     ("gdal_ray/stages/textops.py", "fold_bucket_table"),
     # tree-reduced O(zones) final vector
     ("gdal_ray/stages/zonal.py", "zonal_stats_dense"),
+    # limit(top_k) applied upstream -> collect is <= top_k rows
+    ("gdal_ray/stages/textops.py", "train_char_ngram_counts"),
     # 5-row / quantile-sized / per-tile-checksum query-level folds
     ("gdal_ray/pipelines/queries.py", "left_join_orders_q"),
     ("gdal_ray/pipelines/queries.py", "tile_pyramid_q"),

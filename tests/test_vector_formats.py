@@ -96,9 +96,12 @@ def test_wkt_bitwise_roundtrip_all_kinds():
     assert wkt_f.parse_wkt("POINT EMPTY") is None
     assert wkt_f.parse_wkt("MULTIPOINT ((1 2), (3 4))") == \
         wkt_f.parse_wkt("MULTIPOINT (1 2, 3 4)")
-    # curve WKT parses since round 4 (test_geomops covers the round trips)
+    # curve + surface WKT parse since round 4 (test_geomops covers the
+    # full round trips); TIN joined the grammar in session 8
+    tin = wkt_f.parse_wkt("TIN (((0 0, 1 0, 0 1, 0 0)))")
+    assert wkt_f.parse_wkt(wkt_f.encode_wkt(tin)) == tin
     with pytest.raises(ValueError, match="unsupported WKT"):
-        wkt_f.parse_wkt("TIN (((0 0, 1 0, 0 1, 0 0)))")
+        wkt_f.parse_wkt("NOTAGEOMETRY (0 0)")
 
 
 def test_csv_layer_distributed_roundtrip(tmp_path, ray_session):
