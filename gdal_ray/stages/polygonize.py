@@ -1016,477 +1016,6 @@ def sieve_global(tiles_ds, threshold: int, nodata: float = 0.0,
 
     tagged = tiles_ds.map_batches(per_tile, batch_format="pyarrow").materialize()
 
-    # equivalence pairs per shared edge (groupby shuffle keyed by edge)
-    def edge_pairs(group: pa.Table) -> pa.Table:
-        kinds = group["kind"].to_pylist()
-        if "border" not in kinds:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        sides = group["side"].to_pylist()
-        p0 = group["pos0"].to_numpy(zero_copy_only=False)
-        p1 = group["pos1"].to_numpy(zero_copy_only=False)
-        vals = group["value"].to_numpy(zero_copy_only=False)
-        keys = group["key"].to_numpy(zero_copy_only=False)
-        out_a, out_b = [], []
-        if sides and sides[0] in ("NW", "NE", "SW", "SE"):
-            # corner group (connect8): diagonal quadrant pairs
-            for ra, rb in (("NW", "SE"), ("NE", "SW")):
-                for i in (j for j, s in enumerate(sides) if s == ra):
-                    for j in (jj for jj, s in enumerate(sides) if s == rb):
-                        if vals[i] == vals[j]:
-                            out_a.append(int(keys[i]))
-                            out_b.append(int(keys[j]))
-            return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
-        # one side is R/B (owner), the other L/T (neighbor); connect8 widens
-        # the run-overlap window by one (diagonal adjacency across the edge)
-        slack = 1 if connect8 else 0
-        a_idx = [i for i, s in enumerate(sides) if s in ("R", "B")]
-        b_idx = [i for i, s in enumerate(sides) if s in ("L", "T")]
-        for i in a_idx:
-            for j in b_idx:
-                if vals[i] == vals[j] and p0[i] < p1[j] + slack and p1[i] > p0[j] - slack:
-                    out_a.append(int(keys[i]))
-                    out_b.append(int(keys[j]))
-        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
-
-    borders = tagged.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["kind"], "border")), batch_format="pyarrow"
-    )
-    comps = tagged.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["kind"], "comp")), batch_format="pyarrow"
-    )
-    pairs = borders.groupby("edge_key").map_groups(edge_pairs, batch_format="pyarrow")
-
-    if labels_mode not in ("auto", "driver", "distributed"):
-        raise ValueError(labels_mode)
-    mode = labels_mode
-    if mode == "auto":
-        pairs = pairs.materialize()
-        mode = "driver" if pairs.count() <= distributed_threshold else "distributed"
-
-    comps_payload = comps.map_batches(
-        lambda t: t.drop_columns(["kind", "edge_key", "pos0", "pos1", "side"]),
-        batch_format="pyarrow",
-    )
-    if mode == "distributed":
-        labels = _components_distributed(pairs)
-        relabeled = _attach_component(comps_payload, labels)
-    else:
-        # driver-side union-find over label-equivalence EDGES (metadata-sized)
-        import ray
-
-        pair_rows = pairs.take_all()
-        parent: dict[int, int] = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in pair_rows:
-            a, b = find(row["a"]), find(row["b"])
-            if a != b:
-                parent[max(a, b)] = min(a, b)
-        remap = {k: find(k) for k in list(parent)}
-        remap_ref = ray.put(remap)
-
-        def relabel(batch: pa.Table) -> pa.Table:
-            rm = ray.get(remap_ref)
-            keys = batch["key"].to_pylist()
-            root = [rm.get(k, k) for k in keys]
-            return batch.drop_columns(["key"]).append_column(
-                "component", pa.array(root, pa.int64())
-            )
-
-        relabeled = comps_payload.map_batches(relabel, batch_format="pyarrow")
-
-    from ray.data.aggregate import Count, Max, Min, Sum
-
-    return relabeled.groupby("component").aggregate(
-        Min("value", alias_name="value"),
-        Sum("n_pixels", alias_name="n_pixels"),
-        Min("minx", alias_name="minx"),
-        Min("miny", alias_name="miny"),
-        Max("maxx", alias_name="maxx"),
-        Max("maxy", alias_name="maxy"),
-        # fragment count = member (tile, label) rows; a tile can contribute
-        # several local labels to one merged component, so this is an upper
-        # bound on the distinct-tile count, not the tile count itself
-        Count(alias_name="n_fragments"),
-    )
-
-
-def polygonize_rings(tiles_ds, nodata: float = 0.0, connect8: bool = False,
-                     tile_size: int = 64, labels_mode: str = "auto",
-                     distributed_threshold: int = 1_000_000):
-    """Polygonize with exact ring geometry for EVERY component, including
-    cross-tile ones (SURVEY §7 known-hard item).
-
-    Same label/merge machinery as ``polygonize``; additionally each
-    (tile, label) ships its component sub-mask (bitpacked), and after the
-    driver union-find a ``groupby(component)`` assembles the member masks
-    into the component's bbox window and traces the outer shell ring there
-    (trace = pixel-edge square tracing, identical to the single-tile path, so
-    tiled == monolithic).  Partitioning assumption: one component's bbox
-    window fits a worker (holds unless a single polygon spans a large
-    fraction of the mosaic — those would use a coarser ring resolution).
-
-    Returns (component, value, n_pixels, wkb) — shell rings in global pixel
-    coordinates (holes reported via n_pixels vs ring area mismatch).
-
-    ``connect8=True`` gives GDALPolygonize's 8CONNECTED=8 semantics:
-    diagonal pixels join (in-tile via label_tile; across tiles via slack-1
-    run overlap + 4-tile corner-junction keys, the sieve_global convention);
-    the shell tracer passes through diagonal pinch corners so one
-    self-touching ring covers the whole component, and holes use the
-    4-connected complement (the correct dual of 8-connected foreground).
-    """
-    import ray
-
-    from ..functions import wkb as _wkb
-
-    def per_tile(batch: pa.Table) -> pa.Table:
-        rows = []
-        for i in range(batch.num_rows):
-            tx = batch["x"][i].as_py()
-            ty = batch["y"][i].as_py()
-            wd = batch["width"][i].as_py()
-            ht = batch["height"][i].as_py()
-            dt = _dtype_of(batch["dtype"][i].as_py())
-            arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(ht, wd)
-            labels, n = label_tile(arr, nodata, connect8)
-            for lbl in range(n):
-                m = labels == lbl
-                gy, gx = np.nonzero(m)
-                rows.append(
-                    {
-                        "key": _ckey(tx, ty, lbl),
-                        "tx": tx, "ty": ty,
-                        "value": float(arr[m][0]),
-                        "n_pixels": int(m.sum()),
-                        "x0": int(gx.min()), "y0": int(gy.min()),
-                        "x1": int(gx.max()), "y1": int(gy.max()),
-                        "mask": np.packbits(
-                            m[gy.min() : gy.max() + 1, gx.min() : gx.max() + 1]
-                        ).tobytes(),
-                        "mw": int(gx.max() - gx.min() + 1),
-                        "mh": int(gy.max() - gy.min() + 1),
-                    }
-                )
-            if connect8:
-                # 4-tile corner junctions (the sieve_global convention):
-                # register each corner pixel under the junction's corner key
-                # with a quadrant role stashed in y1 (2=NW 3=NE 4=SW 5=SE)
-                for role_i, ((py_, px_), (ctx, cty)) in enumerate((
-                    ((-1, -1), (tx, ty)),          # NW of corner
-                    ((-1, 0), (tx - 1, ty)),       # NE
-                    ((0, -1), (tx, ty - 1)),       # SW
-                    ((0, 0), (tx - 1, ty - 1)),    # SE
-                )):
-                    lbl = labels[py_, px_]
-                    if lbl < 0 or ctx < 0 or cty < 0:
-                        continue
-                    rows.append(
-                        {"key": _ckey(tx, ty, int(lbl)), "tx": -1, "ty": -1,
-                         "value": float(arr[py_, px_]), "n_pixels": -1,
-                         "x0": int(_ekey(ctx, cty, "C")), "y0": 0, "x1": 1,
-                         "y1": 2 + role_i, "mask": b"", "mw": 0, "mh": 0}
-                    )
-            # border runs (same as polygonize)
-            for side, vec in (("R", labels[:, -1]), ("B", labels[-1, :]),
-                              ("L", labels[:, 0]), ("T", labels[0, :])):
-                for c0, c1, lbl in _runs_of(vec):
-                    if side == "R":
-                        ek = _ekey(tx, ty, "V")
-                    elif side == "L":
-                        ek = _ekey(tx - 1, ty, "V")
-                    elif side == "B":
-                        ek = _ekey(tx, ty, "H")
-                    else:
-                        ek = _ekey(tx, ty - 1, "H")
-                    rows.append(
-                        {"key": _ckey(tx, ty, int(lbl)), "tx": -1, "ty": -1,
-                         "value": float(arr[(slice(None), -1) if side == "R" else (slice(None), 0) if side == "L" else (-1, slice(None)) if side == "B" else (0, slice(None))][c0]),
-                         "n_pixels": -1, "x0": int(ek), "y0": c0, "x1": c1, "y1": 0,
-                         "mask": b"", "mw": 0, "mh": 0}
-                    )
-        return pa.Table.from_pylist(rows) if rows else pa.Table.from_pylist(
-            [{"key": -1, "tx": -1, "ty": -1, "value": 0.0, "n_pixels": -2,
-              "x0": 0, "y0": 0, "x1": 0, "y1": 0, "mask": b"", "mw": 0, "mh": 0}]
-        )
-
-    tagged = tiles_ds.map_batches(per_tile, batch_format="pyarrow").materialize()
-
-    borders = tagged.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["n_pixels"], -1)), batch_format="pyarrow"
-    )
-    comps = tagged.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t["n_pixels"], 0)), batch_format="pyarrow"
-    )
-
-    slack = 1 if connect8 else 0
-
-    def edge_pairs(group: pa.Table) -> pa.Table:
-        # x0 holds the edge key, y0/x1 the run interval; value must match
-        keys = group["key"].to_numpy(zero_copy_only=False)
-        vals = group["value"].to_numpy(zero_copy_only=False)
-        p0 = group["y0"].to_numpy(zero_copy_only=False)
-        p1 = group["x1"].to_numpy(zero_copy_only=False)
-        ek = group["x0"][0].as_py()
-        etx = (ek >> 24) - 1
-        ety = ((ek >> 4) & 0xFFFFF) - 1
-        vertical = (ek & 0xF) == 1
-        oa, ob = [], []
-        if (ek & 0xF) == 3:
-            # corner junction (connect8): diagonal quadrant pairs NW-SE and
-            # NE-SW (role in y1: 2=NW 3=NE 4=SW 5=SE); same value required
-            roles = group["y1"].to_numpy(zero_copy_only=False)
-            for ra, rb in ((2, 5), (3, 4)):
-                for i in np.flatnonzero(roles == ra):
-                    for j in np.flatnonzero(roles == rb):
-                        if vals[i] == vals[j]:
-                            oa.append(int(keys[i]))
-                            ob.append(int(keys[j]))
-            return pa.table({"a": pa.array(oa, pa.int64()),
-                             "b": pa.array(ob, pa.int64())})
-        if vertical:
-            # owner tile tx == etx (R side); neighbor tx == etx + 1 (L side)
-            own = [(keys[i] >> 40) == etx for i in range(len(keys))]
-        else:
-            # owner tile ty == ety (B side); neighbor ty == ety + 1 (T side)
-            own = [((keys[i] >> 20) & 0xFFFFF) == ety for i in range(len(keys))]
-        for i in range(len(keys)):
-            for j in range(len(keys)):
-                if (own[i] and not own[j] and vals[i] == vals[j]
-                        and p0[i] < p1[j] + slack and p1[i] > p0[j] - slack):
-                    oa.append(int(keys[i]))
-                    ob.append(int(keys[j]))
-        return pa.table({"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64())})
-
-    pairs = borders.groupby("x0").map_groups(edge_pairs, batch_format="pyarrow")
-
-    if labels_mode not in ("auto", "driver", "distributed"):
-        raise ValueError(labels_mode)
-    mode = labels_mode
-    if mode == "auto":
-        pairs = pairs.materialize()
-        mode = "driver" if pairs.count() <= distributed_threshold else "distributed"
-
-    if mode == "distributed":
-        RINGS_PAYLOAD = [
-            ("tx", pa.int64()), ("ty", pa.int64()), ("value", pa.float64()),
-            ("n_pixels", pa.int64()), ("x0", pa.int64()), ("y0", pa.int64()),
-            ("x1", pa.int64()), ("y1", pa.int64()), ("mask", pa.binary()),
-            ("mw", pa.int64()), ("mh", pa.int64()),
-        ]
-        lab = _components_distributed(pairs)
-        relabeled_ds = _attach_component(comps, lab, payload=RINGS_PAYLOAD)
-    else:
-        pair_rows = pairs.take_all()
-        parent: dict[int, int] = {}
-
-        def find(z):
-            r = z
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(z, z) != z:
-                parent[z], z = r, parent[z]
-            return r
-
-        for row in pair_rows:
-            a, b = find(row["a"]), find(row["b"])
-            if a != b:
-                parent[max(a, b)] = min(a, b)
-        remap = {k: find(k) for k in list(parent)}
-        remap_ref = ray.put(remap)
-
-        def relabel(batch: pa.Table) -> pa.Table:
-            rm = ray.get(remap_ref)
-            keys = batch["key"].to_pylist()
-            return batch.append_column(
-                "component", pa.array([rm.get(k, k) for k in keys], pa.int64())
-            )
-
-        relabeled_ds = comps.map_batches(relabel, batch_format="pyarrow")
-
-    def assemble(group: pa.Table) -> pa.Table:
-        ts = tile_size
-        gx0 = min(group["x0"][i].as_py() + group["tx"][i].as_py() * ts for i in range(group.num_rows))
-        gy0 = min(group["y0"][i].as_py() + group["ty"][i].as_py() * ts for i in range(group.num_rows))
-        gx1 = max(group["x1"][i].as_py() + group["tx"][i].as_py() * ts for i in range(group.num_rows))
-        gy1 = max(group["y1"][i].as_py() + group["ty"][i].as_py() * ts for i in range(group.num_rows))
-        full = np.zeros((gy1 - gy0 + 1, gx1 - gx0 + 1), dtype=bool)
-        n_pix = 0
-        for i in range(group.num_rows):
-            mh = group["mh"][i].as_py()
-            mw = group["mw"][i].as_py()
-            m = np.unpackbits(
-                np.frombuffer(group["mask"][i].as_py(), dtype=np.uint8), count=mh * mw
-            ).reshape(mh, mw).astype(bool)
-            ox = group["x0"][i].as_py() + group["tx"][i].as_py() * ts - gx0
-            oy = group["y0"][i].as_py() + group["ty"][i].as_py() * ts - gy0
-            full[oy : oy + mh, ox : ox + mw] |= m
-            n_pix += group["n_pixels"][i].as_py()
-        ring = trace_boundary(full)
-        ring = ring + [gx0, gy0]
-        # interior rings (Two-Arm-Chains semantics, alg/polygonize_polygonizer
-        # .h:136-176): holes = connected components of the complement that do
-        # not reach the (1-px padded) window border — i.e. regions enclosed by
-        # the shell, whatever pixels fill them.  Traced like shells, reversed
-        # so hole orientation opposes the shell.
-        padded = np.zeros((full.shape[0] + 2, full.shape[1] + 2), dtype=bool)
-        padded[1:-1, 1:-1] = full
-        inv = (~padded).astype(np.uint8)
-        hlabels, hn = label_tile(inv, 0)
-        rings = [ring]
-        n_hole_px = 0
-        for lbl in range(hn):
-            hm = hlabels == lbl
-            if hm[0, :].any() or hm[-1, :].any() or hm[:, 0].any() or hm[:, -1].any():
-                continue  # touches outside — not enclosed
-            hring = trace_boundary(hm)[::-1] + [gx0 - 1, gy0 - 1]
-            rings.append(hring)
-            n_hole_px += int(hm.sum())
-        return pa.table(
-            {
-                "component": pa.array([group["component"][0].as_py()], pa.int64()),
-                "value": pa.array([group["value"][0].as_py()], pa.float64()),
-                "n_pixels": pa.array([n_pix], pa.int64()),
-                "n_holes": pa.array([len(rings) - 1], pa.int64()),
-                "hole_pixels": pa.array([n_hole_px], pa.int64()),
-                "wkb": pa.array([_wkb.encode_polygon(rings)], pa.binary()),
-            }
-        )
-
-    return relabeled_ds.groupby("component").map_groups(
-        assemble, batch_format="pyarrow"
-    )
-
-
-def sieve_global(tiles_ds, threshold: int, nodata: float = 0.0,
-                 connect8: bool = False, tile_size: int = 64):
-    """EXACT cross-tile sieve (alg/gdalsievefilter.cpp semantics): global
-    components smaller than ``threshold`` merge into their largest neighbor
-    component, iterated to fixpoint (a merge can push a survivor over the
-    threshold or give a small island a new neighbor).  Deterministic,
-    TILING-INVARIANT order: small components processed by (size,
-    first-global-pixel) ascending; neighbor tie-break = (largest size,
-    smallest first pixel) — the same input mosaic sieves identically for any
-    tile decomposition.  ``tile_size`` must be the nominal tile grid pitch
-    (edge tiles may be smaller); it anchors each tile's global pixel
-    coordinates.
-
-    Distributed shape: per-tile CCL + metadata (sizes, same-value border runs
-    for the global merge, and component ADJACENCY edges — within-tile
-    vectorized pairs plus any-value cross-tile run overlaps); same-value
-    contraction runs as distributed min-label propagation
-    (``_components_distributed``) and per-root sizes/adjacency fold with
-    bucket-keyed groupbys, so the driver holds ONLY the small-component
-    subgraph (components under the threshold, their incident edges, their
-    direct neighbors' sizes) for the genuinely sequential merge loop; pass 2
-    repaints tiles from a broadcast map of the CHANGED keys only."""
-    import ray
-
-    def per_tile(batch: pa.Table) -> pa.Table:
-        rows = {"kind": [], "key": [], "key2": [], "edge_key": [],
-                "pos0": [], "pos1": [], "value": [], "n_pixels": []}
-
-        def add(kind, key, key2=0, ek=0, p0=0, p1=0, val=0.0, npx=0):
-            rows["kind"].append(kind)
-            rows["key"].append(key)
-            rows["key2"].append(key2)
-            rows["edge_key"].append(ek)
-            rows["pos0"].append(p0)
-            rows["pos1"].append(p1)
-            rows["value"].append(val)
-            rows["n_pixels"].append(npx)
-
-        for i in range(batch.num_rows):
-            tx = batch["x"][i].as_py()
-            ty = batch["y"][i].as_py()
-            wd = batch["width"][i].as_py()
-            ht = batch["height"][i].as_py()
-            dt = _dtype_of(batch["dtype"][i].as_py())
-            arr = np.frombuffer(batch["data"][i].as_py(), dtype=dt).reshape(ht, wd)
-            labels, n = label_tile(arr, nodata, connect8)
-            if n == 0:
-                continue
-            m = labels >= 0
-            counts = np.bincount(labels[m], minlength=n)
-            order = np.argsort(labels[m], kind="stable")
-            firsts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            first_val = arr[m].astype(np.float64)[order][firsts]
-            # tiling-invariant canonical key: first (row-major) GLOBAL pixel
-            # of each component — np.nonzero scans row-major and the stable
-            # argsort keeps that order inside each label group
-            py_, px_ = np.nonzero(m)
-            gk = ((np.int64(ty) * tile_size + py_) * np.int64(1 << 40)
-                  + (np.int64(tx) * tile_size + px_))
-            gmin = gk[order][firsts]
-            for lbl in range(n):
-                add("comp", _ckey(tx, ty, lbl), p0=int(gmin[lbl]),
-                    val=float(first_val[lbl]), npx=int(counts[lbl]))
-            # within-tile adjacency between DIFFERENT components (diagonals
-            # too when connect8)
-            shifts = [(labels[:, :-1], labels[:, 1:]), (labels[:-1, :], labels[1:, :])]
-            if connect8:
-                shifts += [(labels[:-1, :-1], labels[1:, 1:]),
-                           (labels[:-1, 1:], labels[1:, :-1])]
-            for a, b in shifts:
-                mm = (a >= 0) & (b >= 0) & (a != b)
-                if mm.any():
-                    pairs = np.unique(a[mm] * np.int64(n) + b[mm])
-                    for p in pairs:
-                        add("adj", _ckey(tx, ty, int(p // n)),
-                            key2=_ckey(tx, ty, int(p % n)))
-            if connect8:
-                # 4-tile corner junctions: register each corner pixel under the
-                # junction's corner key with a quadrant role (key2 = 2 + role)
-                for role_i, ((py_, px_), (ctx, cty)) in enumerate((
-                    ((-1, -1), (tx, ty)),          # NW of corner
-                    ((-1, 0), (tx - 1, ty)),       # NE
-                    ((0, -1), (tx, ty - 1)),       # SW
-                    ((0, 0), (tx - 1, ty - 1)),    # SE
-                )):
-                    lbl = labels[py_, px_]
-                    if lbl < 0 or ctx < 0 or cty < 0:
-                        continue
-                    add("border", _ckey(tx, ty, int(lbl)), key2=2 + role_i,
-                        ek=_ekey(ctx, cty, "C"), p0=0, p1=1,
-                        val=float(arr[py_, px_]))
-            # border runs (any value): same-value overlaps merge components,
-            # different-value overlaps are adjacency
-            for side, vec_lbl, vec_val in (("R", labels[:, -1], arr[:, -1]),
-                                           ("B", labels[-1, :], arr[-1, :]),
-                                           ("L", labels[:, 0], arr[:, 0]),
-                                           ("T", labels[0, :], arr[0, :])):
-                if side == "R":
-                    ek = _ekey(tx, ty, "V")
-                elif side == "L":
-                    ek = _ekey(tx - 1, ty, "V")
-                elif side == "B":
-                    ek = _ekey(tx, ty, "H")
-                else:
-                    ek = _ekey(tx, ty - 1, "H")
-                owner = 1 if side in ("R", "B") else 0
-                for c0, c1, lbl in _runs_of(vec_lbl):
-                    add("border", _ckey(tx, ty, int(lbl)), key2=owner, ek=ek,
-                        p0=c0, p1=c1, val=float(vec_val[c0]))
-        return pa.table(
-            {"kind": pa.array(rows["kind"]),
-             "key": pa.array(rows["key"], pa.int64()),
-             "key2": pa.array(rows["key2"], pa.int64()),
-             "edge_key": pa.array(rows["edge_key"], pa.int64()),
-             "pos0": pa.array(rows["pos0"], pa.int64()),
-             "pos1": pa.array(rows["pos1"], pa.int64()),
-             "value": pa.array(rows["value"], pa.float64()),
-             "n_pixels": pa.array(rows["n_pixels"], pa.int64())}
-        )
-
-    tagged = tiles_ds.map_batches(per_tile, batch_format="pyarrow").materialize()
-
     slack = 1 if connect8 else 0
 
     def edge_pairs(group: pa.Table) -> pa.Table:
@@ -1694,7 +1223,6 @@ def sieve_global(tiles_ds, threshold: int, nodata: float = 0.0,
         return pa.Table.from_pylist(rows)
 
     return tiles_ds.map_batches(repaint, batch_format="pyarrow")
-
 
 def _ckey(tx: int, ty: int, lbl: int) -> int:
     return (tx << 40) | (ty << 20) | lbl
