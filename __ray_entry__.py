@@ -2456,6 +2456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_areas": q.clip_areas_q,
         "dissolve_zones": q.dissolve_zones_q,
         "dissolve_union": q.dissolve_union_q,
+        "buffer_dissolve": q.buffer_dissolve_q,
+        "buffer_erode": q.buffer_erode_q,
         "contour_ramp": q.contour_ramp_q,
         "contour_polygons": q.contour_polygons_q,
         "contour_band_areas": q.contour_band_areas_q,
@@ -3420,6 +3422,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT count(*) FROM cells c WHERE c.cat = p.cat) AS BIGINT)
                      AS union_area
             FROM p GROUP BY p.cat
+        """,
+        "buffer_dissolve": """
+            -- square-cap buffer (d=1) of integer horizontal segments =
+            -- exact integer rects [x0-1, x0+w+1] x [y0-1, y0+1]; dissolve
+            -- union area = DISTINCT covered unit cells
+            WITH p AS (SELECT p_partkey AS fid, p_partkey % 100 AS cat,
+                              -180 + (p_partkey * 7321) % 330 AS x0,
+                              -85 + (p_partkey * 4231) % 150 AS y0,
+                              2 + (p_partkey * 131) % 8 AS w
+                       FROM part),
+            cells AS (SELECT DISTINCT cat, x0 - 1 + cx.c AS cx,
+                                      y0 - 1 + cy.c AS cy
+                      FROM p,
+                      LATERAL (SELECT unnest(generate_series(0, w + 1)) AS c) cx,
+                      LATERAL (SELECT unnest(generate_series(0, 1)) AS c) cy)
+            SELECT p.cat,
+                   CAST(count(DISTINCT p.fid) AS BIGINT) AS n_parts,
+                   CAST((SELECT count(*) FROM cells c WHERE c.cat = p.cat) AS BIGINT)
+                     AS union_area
+            FROM p GROUP BY p.cat
+        """,
+        "buffer_erode": """
+            -- erosion of an integer rect by 1 = inner (w-2)x(h-2) rect,
+            -- empty when a side is <= 2 (GEOS negative-buffer semantics)
+            SELECT p_partkey AS fid,
+                   CAST(CASE WHEN (2 + (p_partkey * 131) % 8) > 2
+                              AND (2 + (p_partkey * 197) % 6) > 2
+                        THEN ((2 + (p_partkey * 131) % 8) - 2)
+                           * ((2 + (p_partkey * 197) % 6) - 2)
+                        ELSE 0 END AS BIGINT) AS erode_area
+            FROM part
         """,
         "histogram_nchars": """
             SELECT n_chars // 100 AS bucket, CAST(count(*) AS BIGINT) AS n

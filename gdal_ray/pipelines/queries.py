@@ -4955,3 +4955,59 @@ def count_distinct_q(sf_dir: str):
         lambda g: g.slice(0, 1), batch_format="pyarrow")
     return distinct_pairs.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_customers"))
+
+
+def buffer_dissolve_q(sf_dir: str):
+    """OGR_G_Buffer (square caps) + TRUE dissolve: integer horizontal
+    segments from part keys buffer by d=1 into exact integer rects
+    (ogr/ogrgeometry.cpp:4949 Buffer; GEOS CAP_SQUARE semantics), then
+    per-cat geometric union — the oracle counts DISTINCT covered unit
+    cells, exact for the rectilinear result."""
+    from ..functions import wkb as wkb_f
+    from ..stages import geomops, layeralg
+
+    pk = np.sort(pq.read_table(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])["p_partkey"].to_numpy())
+    x0 = (-180 + (pk * 7321) % 330).astype(np.float64)
+    y0 = (-85 + (pk * 4231) % 150).astype(np.float64)
+    w = (2 + (pk * 131) % 8).astype(np.float64)
+    wkbs = [wkb_f.encode_linestring(np.array([[x0[i], y0[i]],
+                                              [x0[i] + w[i], y0[i]]]))
+            for i in range(len(pk))]
+    t = pa.table({"fid": pa.array(pk), "cat": pa.array((pk % 100).astype(np.int64)),
+                  "wkb": pa.array(wkbs, pa.binary())})
+    buf = rd.from_arrow(t).map_batches(
+        lambda b: geomops.buffer_batch(b, 1.0, segments=1, cap_style="square"),
+        batch_format="pyarrow")
+    out = layeralg.dissolve_union(buf, "cat")
+
+    def fin(tt: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cat": tt["cat"], "n_parts": tt["n_parts"],
+             "union_area": pc.cast(
+                 pc.round(tt["union_area"], round_mode="half_towards_infinity"),
+                 pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def buffer_erode_q(sf_dir: str):
+    """Negative polygon buffer (morphological erosion, OGR_G_Buffer with
+    d < 0) over the integer rect layer: per-row shape minus
+    boundary-buffer; exact inner-rect areas (w-2)x(h-2), 0 when fully
+    eroded (GEOS EMPTY)."""
+    from ..stages import geomops
+
+    pk = np.sort(pq.read_table(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])["p_partkey"].to_numpy())
+    t = _int_rect_layer(pk, INT_RECT_L, "fid")
+    buf = rd.from_arrow(t).map_batches(
+        lambda b: geomops.buffer_batch(b, -1.0, segments=1),
+        batch_format="pyarrow")
+    return buf.map_batches(
+        lambda tt: pa.table(
+            {"fid": tt["fid"],
+             "erode_area": pc.cast(
+                 pc.round(tt["buf_area"], round_mode="half_towards_infinity"),
+                 pa.int64())}),
+        batch_format="pyarrow")
