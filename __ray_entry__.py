@@ -2410,6 +2410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_sql_count_distinct": q.select_sql_count_distinct_q,
         "select_sql_global_agg": q.select_sql_global_agg_q,
         "select_sql_avg": q.select_sql_avg_q,
+        "select_sql_stddev": q.select_sql_stddev_q,
+        "select_sql_offset": q.select_sql_offset_q,
         "gopher_rules": q.gopher_rules_q,
         "lm_familiarity": q.lm_familiarity_q,
         "audio_g711": q.audio_g711_q,
@@ -2994,6 +2996,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(c_nationkey) AS DOUBLE) / count(*) AS avg_nat
             FROM customer WHERE c_custkey % 4 <> 1
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "select_sql_stddev": """
+            -- same term order as the engine's finalize:
+            -- pop = sqrt(ss/n - (s/n)*(s/n)); samp = sqrt((ss-(s/n)*s)/(n-1))
+            SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+                   sqrt(CAST(ss AS DOUBLE) / n
+                        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                     AS sd,
+                   sqrt((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) / n)
+                         * CAST(s AS DOUBLE)) / (n - 1)) AS sds
+            FROM (SELECT o_orderpriority,
+                         sum(o_custkey % 97) AS s,
+                         sum((o_custkey % 97) * (o_custkey % 97)) AS ss,
+                         CAST(count(*) AS DOUBLE) AS n
+                  FROM orders GROUP BY o_orderpriority)
+            ORDER BY o_orderpriority
+        """,
+        "select_sql_offset": """
+            SELECT o_orderkey, o_custkey FROM orders
+            ORDER BY o_custkey DESC, o_orderkey ASC LIMIT 40 OFFSET 25
         """,
         "select_sql_union_all": """
             SELECT n_name AS name, CAST(n_regionkey AS BIGINT) AS rk

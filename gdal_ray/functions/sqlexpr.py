@@ -42,7 +42,7 @@ _KEYWORDS = {
     "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL",
     "SELECT", "FROM", "WHERE", "ORDER", "BY", "ASC", "DESC", "LIMIT", "AS",
     "CAST", "DISTINCT", "TRUE", "FALSE", "GROUP", "HAVING",
-    "JOIN", "LEFT", "INNER", "OUTER", "ON", "UNION", "ALL",
+    "JOIN", "LEFT", "INNER", "OUTER", "ON", "UNION", "ALL", "OFFSET",
 }
 
 
@@ -480,7 +480,8 @@ def scan_filter(where_sql: str):
 # -- SELECT statements ------------------------------------------------------
 
 
-AGG_FUNCS = {"count", "sum", "min", "max", "avg", "count_distinct"}
+AGG_FUNCS = {"count", "sum", "min", "max", "avg", "count_distinct",
+             "stddev_pop", "stddev_samp"}
 
 
 def _is_agg(node) -> bool:
@@ -494,6 +495,7 @@ class Select:
     where: object | None
     order_by: list  # [(col_name, descending)]
     limit: int | None
+    offset: int | None = None  # LIMIT n OFFSET m (ogr_gensql.cpp:2325)
     distinct: bool = False
     star: bool = False
     group_by: list = None  # [col_name]
@@ -624,9 +626,14 @@ def parse_select(sql: str) -> Select:
                 break
             p.take()
     limit = None
+    offset = None
     if p.peek("kw", "LIMIT") is not None:
         p.take()
         limit = int(p.take("num"))
+    if p.peek("kw", "OFFSET") is not None:
+        # LIMIT n OFFSET m / bare OFFSET m (swq_parser.y offset_opt)
+        p.take()
+        offset = int(p.take("num"))
     union_all = None
     if p.peek("kw", "UNION") is not None:
         # select_core UNION ALL select_statement (ogr/swq_parser.y:822,840):
@@ -638,8 +645,9 @@ def parse_select(sql: str) -> Select:
         union_all = parse_select(rest)
     if not p.at_end():
         raise ValueError(f"trailing tokens: {p.toks[p.i:]}")
-    return Select(projections, table, where, order_by, limit, distinct, star,
-                  group_by, having, join, union_all)
+    return Select(projections, table, where, order_by, limit, offset=offset,
+                  distinct=distinct, star=star, group_by=group_by,
+                  having=having, join=join, union_all=union_all)
 
 
 def _untokenize(toks) -> list[str]:
@@ -649,6 +657,23 @@ def _untokenize(toks) -> list[str]:
             out.append("'" + str(v).replace("'", "''") + "'")
         else:
             out.append(str(v))
+    return out
+
+
+def _order_limit_offset(out, sel: Select):
+    """Shared ORDER BY -> LIMIT/OFFSET tail.  OFFSET skips rows in the
+    dataset's global block order (after the sort when one is present — the
+    reference evaluates OFFSET on the sorted index, ogr_gensql.cpp:2325);
+    the skip is a Ray-native split_at_indices, no driver collect."""
+    if sel.order_by:
+        out = out.sort([c for c, _ in sel.order_by],
+                       descending=[d for _, d in sel.order_by])
+    if sel.offset:
+        if sel.limit is not None:
+            out = out.limit(sel.limit + sel.offset)
+        out = out.split_at_indices([sel.offset])[1]
+    elif sel.limit is not None:
+        out = out.limit(sel.limit)
     return out
 
 
@@ -665,6 +690,10 @@ def _apply_grouped(ds, sel: Select, where):
     count_alias = None
     count_distinct = None  # (arg_col, alias)
     avgs = []  # (arg_col, alias): AVG (swq_op_registrar.cpp:53) = sum/count
+    stds = []  # (arg_col, alias, sample): STDDEV_POP/_SAMP
+    # (swq_op_registrar.cpp SWQCF_STDDEV_POP/_SAMP) via exact integer
+    # sum + sum-of-squares partials; finalize order is fixed so a DuckDB
+    # mirror written with the same term order hashes identically
     for node, alias in sel.projections:
         if isinstance(node, Col):
             if node.name not in sel.group_by:
@@ -697,6 +726,15 @@ def _apply_grouped(ds, sel: Select, where):
                 argn = node.args[0].name
                 sums.append(argn)
                 avgs.append((argn, alias))
+                renames.append((alias, alias))
+            elif node.name in ("stddev_pop", "stddev_samp"):
+                if len(node.args) != 1 or not isinstance(node.args[0], Col):
+                    raise ValueError(
+                        f"{node.name}() argument must be a plain column")
+                argn = node.args[0].name
+                sums.append(argn)
+                sums.append(f"__sq_{argn}")
+                stds.append((argn, alias, node.name == "stddev_samp"))
                 renames.append((alias, alias))
             else:
                 if len(node.args) != 1 or not isinstance(node.args[0], Col):
@@ -733,14 +771,25 @@ def _apply_grouped(ds, sel: Select, where):
                         list(sel.group_by) + [cd_col])
         agg = partial_aggregate(dsd, list(sel.group_by), count_alias=cd_alias)
     else:
-        if avgs and count_alias is None:
-            count_alias = "__n"  # avg needs the group count; drop it after
+        if (avgs or stds) and count_alias is None:
+            count_alias = "__n"  # avg/stddev need the group count
+        if stds:
+            sq_cols = sorted({f"__sq_{c}" for c, _, _ in stds})
+
+            def addsq(t: pa.Table) -> pa.Table:
+                for sq in sq_cols:
+                    src = t[sq[5:]]
+                    t = t.append_column(sq, pc.multiply(src, src))
+                return t
+
+            ds = ds.map_batches(addsq, batch_format="pyarrow")
         agg = partial_aggregate(
             ds, list(sel.group_by),
             sums=list(dict.fromkeys(sums)), mins=list(dict.fromkeys(mins)),
             maxs=list(dict.fromkeys(maxs)), count_alias=count_alias)
 
     avg_aliases = {alias: col for col, alias in avgs}
+    std_aliases = {alias: (col, samp) for col, alias, samp in stds}
 
     def project(t: pa.Table) -> pa.Table:
         cols = {}
@@ -750,6 +799,23 @@ def _apply_grouped(ds, sel: Select, where):
                 cols[alias] = pc.divide(
                     pc.cast(t[f"{col}_sum"], pa.float64()),
                     pc.cast(t[count_alias], pa.float64()))
+            elif alias in std_aliases:
+                col, samp = std_aliases[alias]
+                n = pc.cast(t[count_alias], pa.float64())
+                s = pc.cast(t[f"{col}_sum"], pa.float64())
+                ss = pc.cast(t[f"__sq_{col}_sum"], pa.float64())
+                mean = pc.divide(s, n)
+                if samp:
+                    # sqrt((ss - (s/n)*s) / (n - 1)) — exact same term
+                    # order as the documented oracle mirror
+                    var = pc.divide(
+                        pc.subtract(ss, pc.multiply(mean, s)),
+                        pc.subtract(n, pa.scalar(1.0)))
+                else:
+                    # sqrt(ss/n - (s/n)*(s/n))
+                    var = pc.subtract(pc.divide(ss, n),
+                                      pc.multiply(mean, mean))
+                cols[alias] = pc.sqrt(var)
             else:
                 cols[alias] = t[src]
         return pa.table(cols)
@@ -762,12 +828,7 @@ def _apply_grouped(ds, sel: Select, where):
             return t.filter(compile_node(having, lambda n: t[n]))
 
         out = out.map_batches(hflt, batch_format="pyarrow")
-    if sel.order_by:
-        out = out.sort([c for c, _ in sel.order_by],
-                       descending=[d for _, d in sel.order_by])
-    if sel.limit is not None:
-        out = out.limit(sel.limit)
-    return out
+    return _order_limit_offset(out, sel)
 
 
 def apply_select(ds, sel: Select, skip_where: bool = False, tables=None,
@@ -842,11 +903,7 @@ def apply_select(ds, sel: Select, skip_where: bool = False, tables=None,
         from ..stages.relational import distinct as _distinct
 
         out = _distinct(out, out_names)
-    if sel.order_by:
-        out = out.sort([c for c, _ in sel.order_by],
-                       descending=[d for _, d in sel.order_by])
-    if sel.limit is not None:
-        out = out.limit(sel.limit)
+    out = _order_limit_offset(out, sel)
     if extra_sort:
         out = out.select_columns(out_names)
     return out

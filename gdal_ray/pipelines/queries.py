@@ -5011,3 +5011,42 @@ def buffer_erode_q(sf_dir: str):
                  pc.round(tt["buf_area"], round_mode="half_towards_infinity"),
                  pa.int64())}),
         batch_format="pyarrow")
+
+
+def select_sql_stddev_q(sf_dir: str):
+    """STDDEV_POP / STDDEV_SAMP from a SQL string
+    (swq_op_registrar.cpp SWQCF_STDDEV_POP/_SAMP): exact int64 sum +
+    sum-of-squares partials; one fixed-term-order float finalize per group
+    so the DuckDB mirror hashes identically."""
+    from ..functions import sqlexpr
+
+    sql = ("SELECT o_orderpriority, count(*) AS n, "
+           "stddev_pop(o_shippriority_x) AS sd, "
+           "stddev_samp(o_shippriority_x) AS sds "
+           "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    sel = sqlexpr.parse_select(sql)
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        # deterministic small-int column (orders has no independent int
+        # metric): x = o_custkey % 97
+        x = t["o_custkey"].to_numpy(zero_copy_only=False) % 97
+        return t.append_column(
+            "o_shippriority_x",
+            pa.array(x.astype(np.int64))).drop_columns(["o_custkey"])
+
+    return sqlexpr.apply_select(
+        ds.map_batches(derive, batch_format="pyarrow"), sel)
+
+
+def select_sql_offset_q(sf_dir: str):
+    """ORDER BY ... LIMIT n OFFSET m from one SQL string
+    (ogr_gensql.cpp:2325 offset on the sorted index): rows [m, m+n) of the
+    global sort, skipped with a Ray-native split (no driver collect)."""
+    from ..functions import sqlexpr
+
+    sql = ("SELECT o_orderkey, o_custkey FROM orders "
+           "ORDER BY o_custkey DESC, o_orderkey ASC LIMIT 40 OFFSET 25")
+    sel = sqlexpr.parse_select(sql)
+    ds = read_table(sf_dir, "orders", columns=sorted(sel.columns_needed))
+    return sqlexpr.apply_select(ds, sel)

@@ -298,3 +298,59 @@ def test_sql_avg_aggregate(ray_session):
     assert got == exp
     got, exp = run("SELECT avg(v) AS m FROM t WHERE v > 1")
     assert got == exp
+
+
+def test_sql_stddev_aggregates(ray_session):
+    """STDDEV_POP/STDDEV_SAMP (swq_op_registrar.cpp SWQCF_STDDEV_*):
+    integer sum/sumsq partials, DuckDB-equal results, grouped and global."""
+    import duckdb
+    import ray.data as rd
+
+    t = pa.table({"k": ["a", "a", "b", "b", "b"],
+                  "v": pa.array([1, 2, 2, 3, 7], pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+
+    def run(sql):
+        got = sqlexpr.apply_select(rd.from_arrow(t),
+                                   sqlexpr.parse_select(sql)).take_all()
+        exp = [dict(zip([d[0] for d in con.sql(sql).description], r))
+               for r in con.sql(sql).fetchall()]
+        return got, exp
+
+    got, exp = run("SELECT k, stddev_pop(v) AS sd FROM t GROUP BY k "
+                   "ORDER BY k")
+    for g, e in zip(got, exp):
+        assert g["k"] == e["k"] and abs(g["sd"] - e["sd"]) < 1e-12
+    got, exp = run("SELECT stddev_samp(v) AS sd, count(*) AS n FROM t")
+    assert abs(got[0]["sd"] - exp[0]["sd"]) < 1e-12
+    with pytest.raises(ValueError, match="plain column"):
+        sqlexpr.apply_select(
+            rd.from_arrow(t),
+            sqlexpr.parse_select("SELECT stddev_pop(v + 1) AS s FROM t"))
+
+
+def test_sql_limit_offset(ray_session):
+    """LIMIT n OFFSET m / bare OFFSET on the sorted index
+    (ogr_gensql.cpp:2325), matching DuckDB row-for-row."""
+    import duckdb
+    import ray.data as rd
+
+    t = pa.table({"i": pa.array(range(30), pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+
+    for sql in ("SELECT i FROM t ORDER BY i DESC LIMIT 7 OFFSET 4",
+                "SELECT i FROM t ORDER BY i ASC OFFSET 25",
+                "SELECT i FROM t ORDER BY i ASC LIMIT 100 OFFSET 28"):
+        got = [r["i"] for r in sqlexpr.apply_select(
+            rd.from_arrow(t), sqlexpr.parse_select(sql)).take_all()]
+        exp = [r[0] for r in con.sql(sql).fetchall()]
+        assert got == exp, sql
+    # grouped tail goes through the same helper
+    t2 = pa.table({"k": pa.array([i % 5 for i in range(40)], pa.int64())})
+    got = sqlexpr.apply_select(
+        rd.from_arrow(t2),
+        sqlexpr.parse_select("SELECT k, count(*) AS n FROM t2 GROUP BY k "
+                             "ORDER BY k LIMIT 2 OFFSET 2")).take_all()
+    assert [r["k"] for r in got] == [2, 3]
