@@ -2434,6 +2434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_count": q.grid_count_q,
         # text / dedup / similarity (training-data ops)
         "dedup_exact": q.dedup_exact_q,
+        "line_dedup": q.line_dedup_q,
         "chunk_dedup": q.chunk_dedup_q,
         "sample_stratified": q.sample_stratified_q,
         "pack_sequences": q.pack_sequences_q,
@@ -3171,6 +3172,29 @@ def oracle_sql() -> dict[str, str]:
                + ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat)
                  * ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat) <= 36.0
             GROUP BY 1, 2
+        """,
+        "line_dedup": """
+            -- line-level dedup mirror: tokens are the 'lines'; a token with
+            -- corpus count >= 200 keeps only its globally first (doc, pos)
+            -- occurrence
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS wd,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents),
+            k AS (
+              SELECT doc_id, i, wd,
+                     count(*) OVER (PARTITION BY wd) AS cnt,
+                     row_number() OVER (PARTITION BY wd
+                                        ORDER BY doc_id, i) AS rn
+              FROM w)
+            SELECT d.doc_id,
+                   coalesce(string_agg(kk.wd, ' ' ORDER BY kk.i), '') AS text,
+                   CAST(count(kk.wd) AS BIGINT) AS n_kept
+            FROM documents d
+            LEFT JOIN (SELECT * FROM k WHERE cnt < 200 OR rn = 1) kk
+                 USING (doc_id)
+            GROUP BY d.doc_id
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5,

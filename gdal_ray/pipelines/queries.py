@@ -5050,3 +5050,14 @@ def select_sql_offset_q(sf_dir: str):
     sel = sqlexpr.parse_select(sql)
     ds = read_table(sf_dir, "orders", columns=sorted(sel.columns_needed))
     return sqlexpr.apply_select(ds, sel)
+
+
+def line_dedup_q(sf_dir: str):
+    """Corpus-level exact line dedup (C4 / RefinedWeb line pass) with the
+    delimiter set to ' ' so the synthetic corpus's words act as lines:
+    every token occurring >= 200 times corpus-wide keeps only its globally
+    first (doc, position) occurrence; documents reassemble in order."""
+    from ..stages import dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.line_dedup(ds, delimiter=" ", min_count=200)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.arrowbuf import string_buffer_views
 from . import textops
@@ -917,3 +918,85 @@ def cluster_split(ds, min_jaccard_x1000: int = 500, id_col: str = "doc_id",
         .union(clusters.map_batches(tag_clusters, batch_format="pyarrow"))
     )
     return unioned.groupby("_part").map_groups(bucket_join, batch_format="pyarrow")
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               delimiter: str = "\n", min_count: int = 2,
+               keep: str = "first"):
+    """Corpus-level exact LINE dedup (the C4 / RefinedWeb line-level pass:
+    a line whose exact text occurs >= ``min_count`` times corpus-wide is
+    removed from every document — ``keep='first'`` retains the globally
+    first occurrence by (doc, position), ``keep='none'`` drops all).  Docs
+    are reassembled in original line order; a doc whose every line is
+    dropped survives with empty text.
+
+    Distributed shape (100 TB-ready): ONE vectorized explode (Arrow
+    split_pattern; list offsets give positions — no Python per line), the
+    shuffle is keyed by the line's FNV-1a u64 (integers move, not strings;
+    exactness is restored by sub-grouping on the actual line inside each
+    hash group, so hash collisions cannot merge distinct lines), then one
+    doc-keyed groupby to reassemble.  Nothing corpus-sized ever reaches
+    the driver."""
+    from ..functions.arrowbuf import fnv1a_u64
+
+    if keep not in ("first", "none"):
+        raise ValueError("keep: 'first' | 'none'")
+
+    def explode(t: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(t[text_col], delimiter)
+        lines = lines.combine_chunks() if isinstance(
+            lines, pa.ChunkedArray) else lines
+        offs = lines.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        doc = t[id_col].to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(doc)), lens)
+        pos = np.arange(offs[-1], dtype=np.int64) - np.repeat(offs[:-1], lens)
+        flat = lines.flatten()
+        k = fnv1a_u64(flat).astype(np.int64)
+        return pa.table({"k": pa.array(k),
+                        id_col: pa.array(doc[rep]),
+                        "pos": pa.array(pos),
+                        "line": flat})
+
+    def sentinels(t: pa.Table) -> pa.Table:
+        # one row per doc so fully-emptied docs survive reassembly; these
+        # bypass the hash groupby entirely (no k=-1 hot group)
+        n = t.num_rows
+        return pa.table({"k": pa.array(np.full(n, -1, np.int64)),
+                         id_col: t[id_col],
+                         "pos": pa.array(np.full(n, -1, np.int64)),
+                         "line": pa.array([None] * n, pa.string())})
+
+    lines_ds = ds.map_batches(explode, batch_format="pyarrow")
+    sent_ds = ds.map_batches(sentinels, batch_format="pyarrow")
+
+    def keep_group(g: pa.Table) -> pa.Table:
+        txt = g["line"].to_numpy(zero_copy_only=False)
+        # sub-group by the ACTUAL line: hash collisions stay distinct
+        uniq, inv, cnt = np.unique(txt, return_inverse=True,
+                                   return_counts=True)
+        ok = cnt[inv] < min_count
+        if keep == "first":
+            doc = g[id_col].to_numpy(zero_copy_only=False)  # int or str ids
+            pos = g["pos"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((pos, doc, inv))
+            first = np.zeros(len(txt), dtype=bool)
+            first[order[np.concatenate(
+                ([0], np.flatnonzero(np.diff(inv[order])) + 1))]] = True
+            ok |= first
+        return g.filter(pa.array(ok))
+
+    kept = lines_ds.groupby("k").map_groups(
+        keep_group, batch_format="pyarrow").union(sent_ds)
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        m = pos >= 0
+        order = np.argsort(pos[m], kind="stable")
+        txt = g["line"].to_numpy(zero_copy_only=False)[m][order]
+        return pa.table({id_col: g[id_col].slice(0, 1),
+                         text_col: pa.array([delimiter.join(txt)]),
+                         "n_kept": pa.array([int(m.sum())], pa.int64())})
+
+    return kept.groupby(id_col).map_groups(reassemble,
+                                           batch_format="pyarrow")

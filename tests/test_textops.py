@@ -321,3 +321,34 @@ def test_lm_familiarity(ray_session):
                                   "text": pa.array(["ab", None], pa.string())}))
     out2 = textops.lm_familiarity_score(ds2, ref).take_all()
     assert [r["n_grams"] for r in out2] == [0, 0]
+
+
+def test_line_dedup_corpus_level(ray_session):
+    """C4/RefinedWeb line dedup: frequent lines keep only the globally
+    first (doc, pos) occurrence (or none), docs reassemble in order, and a
+    fully-emptied doc survives with empty text."""
+    import pytest
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import line_dedup
+
+    docs = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                     "text": pa.array(["a\nb\nc", "b\nb\nd", "b\ne"])})
+    out = {r["doc_id"]: (r["text"], r["n_kept"])
+           for r in line_dedup(rd.from_arrow(docs), min_count=2).take_all()}
+    assert out == {1: ("a\nb\nc", 3), 2: ("d", 1), 3: ("e", 1)}
+
+    out = {r["doc_id"]: r["text"]
+           for r in line_dedup(rd.from_arrow(docs), min_count=2,
+                               keep="none").take_all()}
+    assert out == {1: "a\nc", 2: "d", 3: "e"}
+
+    docs2 = pa.table({"doc_id": pa.array(["x", "y"]),  # string ids work too
+                      "text": pa.array(["q", "q"])})
+    out = {r["doc_id"]: (r["text"], r["n_kept"])
+           for r in line_dedup(rd.from_arrow(docs2), min_count=2,
+                               keep="none").take_all()}
+    assert out == {"x": ("", 0), "y": ("", 0)}
+
+    with pytest.raises(ValueError, match="keep"):
+        line_dedup(rd.from_arrow(docs), keep="last")
