@@ -2435,6 +2435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / dedup / similarity (training-data ops)
         "dedup_exact": q.dedup_exact_q,
         "line_dedup": q.line_dedup_q,
+        "raster_compare": q.raster_compare_q,
         "chunk_dedup": q.chunk_dedup_q,
         "sample_stratified": q.sample_stratified_q,
         "pack_sequences": q.pack_sequences_q,
@@ -3172,6 +3173,23 @@ def oracle_sql() -> dict[str, str]:
                + ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat)
                  * ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat) <= 36.0
             GROUP BY 1, 2
+        """,
+        "raster_compare": """
+            -- gdalcompare mirror: ramp = gx+gy; hump = ((gx-96)^2+(gy-96)^2)/64
+            -- (both dyadic-exact), 3x2 tiles of 64 -> 192x128 pixels
+            WITH px AS (
+              SELECT gx.g AS gx, gy.g AS gy
+              FROM (SELECT unnest(generate_series(0, 191)) AS g) gx,
+                   (SELECT unnest(generate_series(0, 127)) AS g) gy),
+            d AS (SELECT ABS((gx + gy)
+                    - ((gx - 96)*(gx - 96) + (gy - 96)*(gy - 96)) / 64.0)
+                    AS ad FROM px)
+            SELECT CAST(count(*) AS BIGINT) AS n_pixels,
+                   CAST(sum(CASE WHEN ad <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_diff,
+                   max(ad) AS max_diff,
+                   sum(ad) AS sum_diff
+            FROM d
         """,
         "line_dedup": """
             -- line-level dedup mirror: tokens are the 'lines'; a token with

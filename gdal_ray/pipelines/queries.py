@@ -5061,3 +5061,16 @@ def line_dedup_q(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.line_dedup(ds, delimiter=" ", min_count=200)
+
+
+def raster_compare_q(sf_dir: str):
+    """gdalcompare over two mosaics (ramp vs hump — both dyadic-exact
+    float32 fixtures): differing-pixel count, max and summed absolute
+    difference, folded from per-tile partials."""
+    from ..stages import rastermap
+
+    a = rd.from_arrow(synthetic.make_raster_tiles("ramp", 3, 2, size=64))
+    b = rd.from_arrow(synthetic.make_raster_tiles("hump", 3, 2, size=64))
+    res = rastermap.compare_rasters(a, b)
+    return pa.table({k: pa.array([res[k]])
+                     for k in ("n_pixels", "n_diff", "max_diff", "sum_diff")})

@@ -807,3 +807,57 @@ def equalize(tiles_ds, levels: int = 256):
         return pa.Table.from_pylist(out_rows)
 
     return tiles_ds.map_batches(remap, batch_format="pyarrow")
+
+
+def compare_rasters(tiles_a, tiles_b):
+    """gdalcompare-style raster diff (reference:
+    swig/python/gdal-utils/osgeo_utils/gdalcompare.py compare_image_pixels):
+    join the two tile sets on (x, y), count differing pixels and fold
+    max/sum absolute difference — one tile-keyed shuffle, O(1)-row result
+    (a per-tile partial per group, whole-table aggregate fold).  Raises if
+    a tile exists on only one side or shapes mismatch (the reference
+    errors on size mismatch before comparing pixels)."""
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    from .focal import _dtype_of
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return fn
+
+    both = tiles_a.map_batches(tag(0), batch_format="pyarrow").union(
+        tiles_b.map_batches(tag(1), batch_format="pyarrow"))
+
+    def per_tile(g: pa.Table) -> pa.Table:
+        sides = g["side"].to_numpy(zero_copy_only=False)
+        if g.num_rows != 2 or sides.min() == sides.max():
+            raise ValueError(
+                f"compare_rasters: tile ({g['x'][0].as_py()}, "
+                f"{g['y'][0].as_py()}) present on one side only")
+        arrs = []
+        for i in np.argsort(sides):
+            dt = _dtype_of(g["dtype"][i].as_py())
+            arrs.append(np.frombuffer(g["data"][i].as_py(), dtype=dt)
+                        .reshape(g["height"][i].as_py(),
+                                 g["width"][i].as_py()))
+        a, b = arrs
+        if a.shape != b.shape:
+            raise ValueError(f"compare_rasters: shape mismatch {a.shape} "
+                             f"vs {b.shape}")
+        d = np.abs(a.astype(np.float64) - b.astype(np.float64))
+        return pa.table({
+            "n_pixels": pa.array([int(d.size)], pa.int64()),
+            "n_diff": pa.array([int((d != 0).sum())], pa.int64()),
+            "max_diff": pa.array([float(d.max())], pa.float64()),
+            "sum_diff": pa.array([float(d.sum())], pa.float64()),
+        })
+
+    parts = both.groupby(["x", "y"]).map_groups(per_tile,
+                                                batch_format="pyarrow")
+    return parts.aggregate(
+        _Sum("n_pixels", alias_name="n_pixels"),
+        _Sum("n_diff", alias_name="n_diff"),
+        _Max("max_diff", alias_name="max_diff"),
+        _Sum("sum_diff", alias_name="sum_diff"))

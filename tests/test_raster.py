@@ -672,3 +672,22 @@ def test_polygonize_rings_distributed_labels_match_driver(ray_session):
         labels_mode="distributed"
     ).to_pandas()
     assert norm(drv) == norm(dist)
+
+
+def test_compare_rasters_identical_and_mismatch(ray_session):
+    """gdalcompare surface: identical mosaics diff to zero; one-sided
+    tiles and shape mismatches raise (the reference errors before
+    comparing pixels)."""
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import rastermap
+
+    t = synthetic.make_raster_tiles("checker", 2, 2, size=32)
+    res = rastermap.compare_rasters(rd.from_arrow(t), rd.from_arrow(t))
+    assert res["n_pixels"] == 4 * 32 * 32
+    assert res["n_diff"] == 0 and res["max_diff"] == 0.0
+
+    with pytest.raises(Exception, match="one side only"):
+        rastermap.compare_rasters(
+            rd.from_arrow(t), rd.from_arrow(t.slice(0, 3)))
