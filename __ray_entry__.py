@@ -2436,6 +2436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q.dedup_exact_q,
         "line_dedup": q.line_dedup_q,
         "raster_compare": q.raster_compare_q,
+        "layer_summary": q.layer_summary_q,
         "chunk_dedup": q.chunk_dedup_q,
         "sample_stratified": q.sample_stratified_q,
         "pack_sequences": q.pack_sequences_q,
@@ -3173,6 +3174,31 @@ def oracle_sql() -> dict[str, str]:
                + ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat)
                  * ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat) <= 36.0
             GROUP BY 1, 2
+        """,
+        "layer_summary": """
+            -- ogrinfo -so mirror over the integer rect layer (all POLYGON)
+            WITH p AS (SELECT p_partkey AS fid,
+                              -180 + (p_partkey * 7321) % 330 AS x0,
+                              -85 + (p_partkey * 4231) % 150 AS y0,
+                              2 + (p_partkey * 131) % 8 AS w,
+                              2 + (p_partkey * 197) % 6 AS h
+                       FROM part)
+            SELECT CAST(min(fid) AS BIGINT) AS fid_min,
+                   CAST(max(fid) AS BIGINT) AS fid_max,
+                   CAST(0 AS BIGINT) AS fid_null,
+                   CAST(max(x0 + w) AS DOUBLE) AS maxx,
+                   CAST(max(y0 + h) AS DOUBLE) AS maxy,
+                   CAST(min(x0) AS DOUBLE) AS minx,
+                   CAST(min(y0) AS DOUBLE) AS miny,
+                   CAST(count(*) AS BIGINT) AS n_features,
+                   CAST(0 AS BIGINT) AS n_geometrycollection,
+                   CAST(0 AS BIGINT) AS n_linestring,
+                   CAST(0 AS BIGINT) AS n_multilinestring,
+                   CAST(0 AS BIGINT) AS n_multipoint,
+                   CAST(0 AS BIGINT) AS n_multipolygon,
+                   CAST(0 AS BIGINT) AS n_point,
+                   CAST(count(*) AS BIGINT) AS n_polygon
+            FROM p
         """,
         "raster_compare": """
             -- gdalcompare mirror: ramp = gx+gy; hump = ((gx-96)^2+(gy-96)^2)/64

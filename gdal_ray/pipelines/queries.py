@@ -5074,3 +5074,15 @@ def raster_compare_q(sf_dir: str):
     res = rastermap.compare_rasters(a, b)
     return pa.table({k: pa.array([res[k]])
                      for k in ("n_pixels", "n_diff", "max_diff", "sum_diff")})
+
+
+def layer_summary_q(sf_dir: str):
+    """ogrinfo -so over the integer rect layer: feature count, extent,
+    geometry-kind counts, per-field min/max/null."""
+    from ..stages import geomops
+
+    pk = np.sort(pq.read_table(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])["p_partkey"].to_numpy())
+    t = _int_rect_layer(pk, INT_RECT_L, "fid")
+    res = geomops.layer_summary(rd.from_arrow(t), fields=("fid",))
+    return pa.table({k: pa.array([v]) for k, v in sorted(res.items())})

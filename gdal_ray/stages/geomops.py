@@ -1460,3 +1460,52 @@ def buffer_batch(batch: pa.Table, distance: float, segments: int = 8,
         batch.column_names.index(wkb_col), wkb_col, pa.array(out, pa.binary())
     )
     return res.append_column("buf_area", pa.array(areas, pa.float64()))
+
+
+def layer_summary(ds, wkb_col: str = "wkb", fields: tuple = ()):
+    """ogrinfo -so layer report (apps/ogrinfo_lib.cpp ReportOnLayer):
+    feature count, layer extent, per-geometry-kind counts, and per-field
+    min/max/null-count — ONE streaming pass of per-batch partials folded
+    by a whole-table aggregate (no shuffle, O(kinds + fields) result)."""
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    kind_names = {1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
+                  5: "MULTILINESTRING", 6: "MULTIPOLYGON",
+                  7: "GEOMETRYCOLLECTION"}
+
+    def partial(t: pa.Table) -> pa.Table:
+        wkbs = t[wkb_col].to_pylist()
+        boxes = _wkb.bboxes(wkbs)
+        kinds = np.array([_wkb.decode(w).kind for w in wkbs])
+        cols = {
+            "n_features": pa.array([t.num_rows], pa.int64()),
+            "minx": pa.array([float(boxes[:, 0].min())]),
+            "miny": pa.array([float(boxes[:, 1].min())]),
+            "maxx": pa.array([float(boxes[:, 2].max())]),
+            "maxy": pa.array([float(boxes[:, 3].max())]),
+        }
+        for k, name in kind_names.items():
+            cols[f"n_{name.lower()}"] = pa.array(
+                [int((kinds == k).sum())], pa.int64())
+        for f in fields:
+            col = t[f]
+            valid = pc.drop_null(col)
+            cols[f"{f}_null"] = pa.array(
+                [t.num_rows - len(valid)], pa.int64())
+            mm = pc.min_max(col)
+            cols[f"{f}_min"] = pa.array([mm["min"].as_py()], col.type)
+            cols[f"{f}_max"] = pa.array([mm["max"].as_py()], col.type)
+        return pa.table(cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [_Sum("n_features", alias_name="n_features"),
+            _Min("minx", alias_name="minx"), _Min("miny", alias_name="miny"),
+            _Max("maxx", alias_name="maxx"), _Max("maxy", alias_name="maxy")]
+    for name in kind_names.values():
+        aggs.append(_Sum(f"n_{name.lower()}",
+                         alias_name=f"n_{name.lower()}"))
+    for f in fields:
+        aggs += [_Sum(f"{f}_null", alias_name=f"{f}_null"),
+                 _Min(f"{f}_min", alias_name=f"{f}_min"),
+                 _Max(f"{f}_max", alias_name=f"{f}_max")]
+    return parts.aggregate(*aggs)

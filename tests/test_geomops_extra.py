@@ -347,3 +347,26 @@ def test_line_points_along_batch():
     out2 = geomops.line_points_along_batch(t2, 100.0)
     assert out2["fid"].to_pylist() == [1]
     assert out2["m"].to_pylist() == [0.0]
+
+
+def test_layer_summary_mixed_kinds(ray_session):
+    """ogrinfo -so: kind counts, extent, and field min/max/null over a
+    mixed-geometry layer."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.functions import wkb as W
+    from gdal_ray.stages.geomops import layer_summary
+
+    wkbs = [W.encode_points(np.array([5.0]), np.array([-3.0]))[0],
+            W.encode_linestring(np.array([[0.0, 0.0], [10.0, 2.0]])),
+            W.encode_polygon([np.array([[1.0, 1.0], [4.0, 1.0], [4.0, 6.0],
+                                        [1.0, 1.0]])])]
+    t = pa.table({"v": pa.array([7, None, 2], pa.int64()),
+                  "wkb": pa.array(wkbs, pa.binary())})
+    res = layer_summary(rd.from_arrow(t), fields=("v",))
+    assert res["n_features"] == 3
+    assert (res["n_point"], res["n_linestring"], res["n_polygon"]) == (1, 1, 1)
+    assert (res["minx"], res["miny"], res["maxx"], res["maxy"]) == \
+        (0.0, -3.0, 10.0, 6.0)
+    assert (res["v_min"], res["v_max"], res["v_null"]) == (2, 7, 1)
