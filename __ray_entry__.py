@@ -2437,6 +2437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q.line_dedup_q,
         "raster_compare": q.raster_compare_q,
         "layer_summary": q.layer_summary_q,
+        "layer_union_parts": q.layer_union_q,
         "chunk_dedup": q.chunk_dedup_q,
         "sample_stratified": q.sample_stratified_q,
         "pack_sequences": q.pack_sequences_q,
@@ -3174,6 +3175,56 @@ def oracle_sql() -> dict[str, str]:
                + ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat)
                  * ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat) <= 36.0
             GROUP BY 1, 2
+        """,
+        "layer_union_parts": """
+            -- layer Union mirror: intersections via the rect-overlap closed
+            -- form; residuals = cells of a feature not covered by ANY rect
+            -- of the other layer (multi-intersector semantics)
+            WITH a AS (SELECT p_partkey AS fid,
+                              -180 + (p_partkey * 7321) % 330 AS x0,
+                              -85 + (p_partkey * 4231) % 150 AS y0,
+                              2 + (p_partkey * 131) % 8 AS w,
+                              2 + (p_partkey * 197) % 6 AS h
+                       FROM part WHERE p_partkey % 5 = 0),
+            b AS (SELECT c_custkey AS fid,
+                         -180 + (c_custkey * 5179) % 330 AS x0,
+                         -85 + (c_custkey * 3607) % 150 AS y0,
+                         2 + (c_custkey * 149) % 8 AS w,
+                         2 + (c_custkey * 211) % 6 AS h
+                  FROM customer WHERE c_custkey % 3 = 0),
+            bp AS (SELECT 'both' AS part, a.fid AS l_id, b.fid AS r_id,
+                          GREATEST(0, LEAST(a.x0 + a.w, b.x0 + b.w)
+                                      - GREATEST(a.x0, b.x0))
+                        * GREATEST(0, LEAST(a.y0 + a.h, b.y0 + b.h)
+                                      - GREATEST(a.y0, b.y0)) AS area
+                   FROM a, b),
+            ac AS (SELECT a.fid, a.x0 + cx.c AS cx, a.y0 + cy.c AS cy
+                   FROM a,
+                   LATERAL (SELECT unnest(generate_series(0, w - 1)) AS c) cx,
+                   LATERAL (SELECT unnest(generate_series(0, h - 1)) AS c) cy),
+            bc AS (SELECT b.fid, b.x0 + cx.c AS cx, b.y0 + cy.c AS cy
+                   FROM b,
+                   LATERAL (SELECT unnest(generate_series(0, w - 1)) AS c) cx,
+                   LATERAL (SELECT unnest(generate_series(0, h - 1)) AS c) cy),
+            ares AS (SELECT 'left' AS part, fid AS l_id, -1 AS r_id,
+                            count(*) AS area
+                     FROM ac WHERE NOT EXISTS (
+                       SELECT 1 FROM b WHERE ac.cx >= b.x0
+                         AND ac.cx < b.x0 + b.w AND ac.cy >= b.y0
+                         AND ac.cy < b.y0 + b.h)
+                     GROUP BY fid),
+            bres AS (SELECT 'right' AS part, -1 AS l_id, fid AS r_id,
+                            count(*) AS area
+                     FROM bc WHERE NOT EXISTS (
+                       SELECT 1 FROM a WHERE bc.cx >= a.x0
+                         AND bc.cx < a.x0 + a.w AND bc.cy >= a.y0
+                         AND bc.cy < a.y0 + a.h)
+                     GROUP BY fid)
+            SELECT part, CAST(l_id AS BIGINT) AS l_id,
+                   CAST(r_id AS BIGINT) AS r_id, CAST(area AS BIGINT) AS area
+            FROM (SELECT * FROM bp WHERE area > 0
+                  UNION ALL SELECT * FROM ares
+                  UNION ALL SELECT * FROM bres)
         """,
         "layer_summary": """
             -- ogrinfo -so mirror over the integer rect layer (all POLYGON)

@@ -5086,3 +5086,31 @@ def layer_summary_q(sf_dir: str):
     t = _int_rect_layer(pk, INT_RECT_L, "fid")
     res = geomops.layer_summary(rd.from_arrow(t), fields=("fid",))
     return pa.table({k: pa.array([v]) for k, v in sorted(res.items())})
+
+
+def layer_union_q(sf_dir: str):
+    """Full OGR layer Union (ogrlayer.cpp:5385): pair intersections + BOTH
+    sides' per-feature residuals (feature minus the union of ALL its
+    intersectors — not per-pair symdifference) over two integer rect
+    layers; the oracle mirrors intersections with the rect-overlap closed
+    form and residuals as uncovered-cell counts."""
+    from ..stages import layeralg
+
+    pk = np.sort(pq.read_table(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])["p_partkey"].to_numpy())
+    ck = np.sort(pq.read_table(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])["c_custkey"].to_numpy())
+    pk = pk[pk % 5 == 0]
+    ck = ck[ck % 3 == 0]
+    left = rd.from_arrow(_int_rect_layer(pk, INT_RECT_L, "l_id"))
+    right = rd.from_arrow(_int_rect_layer(ck, INT_RECT_R, "r_id"))
+    out = layeralg.layer_union(left, right, res=4)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"part": t["part"], "l_id": t["l_id"], "r_id": t["r_id"],
+             "area": pc.cast(pc.round(t["area"],
+                                      round_mode="half_towards_infinity"),
+                             pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")

@@ -422,3 +422,176 @@ def dissolve_collect(ds, key_col: str, id_col: str = "fid"):
         )
 
     return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+
+
+# -- full OGR layer algebra (round-4 session 9) -------------------------------
+# Reference: ogr/ogrlayer.cpp Union :5385 / SymDifference :5803 /
+# Identity :6340 / Update — LAYER-level semantics: per-pair intersections
+# plus per-FEATURE residuals (a feature minus the union of ALL its
+# intersectors on the other side), so multi-intersector features behave
+# like the reference, not like a per-pair symdifference.
+
+
+def _overlay_parts(left_ds, right_ds, res: int = 5, left_id: str = "l_id",
+                   right_id: str = "r_id", want=("both", "left", "right")):
+    """Shared core: cell-partitioned pair discovery (owner-cell dedup),
+    per-pair intersections, then per-feature residual erase folds via two
+    id-keyed shuffles.  Emits (part, l_id, r_id, area, wkb) with part in
+    both | left | right (r_id/l_id = -1 on one-sided parts); zero-area
+    results are dropped (GDAL skips empty geometries)."""
+    import ray.data as rd
+
+    from . import overlay
+
+    lt = left_ds.map_batches(lambda b: _tag_side(b, 0, res, left_id),
+                             batch_format="pyarrow")
+    rt = right_ds.map_batches(lambda b: _tag_side(b, 1, res, right_id),
+                              batch_format="pyarrow")
+
+    SCHEMA = {"kind": pa.string(), "key": pa.int64(), "okey": pa.int64(),
+              "self_wkb": pa.binary(), "other_wkb": pa.binary()}
+
+    def empty():
+        return pa.table({k: pa.array([], t) for k, t in SCHEMA.items()})
+
+    def pair_rows(group: pa.Table) -> pa.Table:
+        rows = {k: [] for k in SCHEMA}
+
+        def add(kind, key, okey, sw, ow):
+            rows["kind"].append(kind)
+            rows["key"].append(key)
+            rows["okey"].append(okey)
+            rows["self_wkb"].append(sw)
+            rows["other_wkb"].append(ow)
+
+        for lid, rid, gl, gr in _owner_cell_pairs(group, res):
+            gi = overlay.boolean_op(gl, gr, "intersection")
+            if gi is None or overlay.geom_area(gi) <= 0:
+                continue
+            if "both" in want:
+                add("both", lid, rid, overlay.encode(gi), None)
+            if "left" in want:
+                add("L", lid, -1, None, overlay.encode(gr))
+            if "right" in want:
+                add("R", rid, -1, None, overlay.encode(gl))
+        if not rows["kind"]:
+            return empty()
+        return pa.table({k: pa.array(rows[k], t) for k, t in SCHEMA.items()})
+
+    pairs = lt.union(rt).groupby("cell").map_groups(
+        pair_rows, batch_format="pyarrow")
+    if len([1 for _ in want]) > 1:
+        # three consumers (both + two residual folds) would re-execute the
+        # cell join per consumer — pin the pair metadata once
+        pairs = pairs.materialize()
+
+    out_parts = []
+    if "both" in want:
+        def fin_both(t: pa.Table) -> pa.Table:
+            f = t.filter(pa.compute.equal(t["kind"], "both"))
+            areas = [overlay.geom_area(wkb.decode(w))
+                     for w in f["self_wkb"].to_pylist()]
+            return pa.table({"part": pa.array(["both"] * f.num_rows),
+                             "l_id": f["key"], "r_id": f["okey"],
+                             "area": pa.array(areas, pa.float64()),
+                             "wkb": f["self_wkb"]})
+
+        out_parts.append(pairs.map_batches(fin_both, batch_format="pyarrow"))
+
+    def residual(ds, side_kind, id_col, part_name):
+        def seed(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({"kind": pa.array([side_kind] * n),
+                             "key": pa.compute.cast(t[id_col], pa.int64()),
+                             "okey": pa.array(np.full(n, -1, np.int64)),
+                             "self_wkb": t["wkb"],
+                             "other_wkb": pa.array([None] * n, pa.binary())})
+
+        seeded = ds.map_batches(seed, batch_format="pyarrow").union(
+            pairs.map_batches(
+                lambda t: t.filter(pa.compute.equal(t["kind"], side_kind)),
+                batch_format="pyarrow"))
+
+        def fold(g: pa.Table) -> pa.Table:
+            selfs = [w for w in g["self_wkb"].to_pylist() if w is not None]
+            others = [w for w in g["other_wkb"].to_pylist() if w is not None]
+            if not selfs:  # pair rows without a seed cannot happen; guard
+                return pa.table({"part": pa.array([], pa.string()),
+                                 "l_id": pa.array([], pa.int64()),
+                                 "r_id": pa.array([], pa.int64()),
+                                 "area": pa.array([], pa.float64()),
+                                 "wkb": pa.array([], pa.binary())})
+            res_g = overlay.erase_fold(
+                wkb.decode(selfs[0]), [wkb.decode(w) for w in others])
+            a = overlay.geom_area(res_g)
+            if res_g is None or a <= 0:
+                return pa.table({"part": pa.array([], pa.string()),
+                                 "l_id": pa.array([], pa.int64()),
+                                 "r_id": pa.array([], pa.int64()),
+                                 "area": pa.array([], pa.float64()),
+                                 "wkb": pa.array([], pa.binary())})
+            key = int(g["key"][0].as_py())
+            lid, rid = (key, -1) if part_name == "left" else (-1, key)
+            return pa.table({"part": pa.array([part_name]),
+                             "l_id": pa.array([lid], pa.int64()),
+                             "r_id": pa.array([rid], pa.int64()),
+                             "area": pa.array([a], pa.float64()),
+                             "wkb": pa.array([overlay.encode(res_g)],
+                                             pa.binary())})
+
+        return seeded.groupby("key").map_groups(fold, batch_format="pyarrow")
+
+    if "left" in want:
+        out_parts.append(residual(left_ds, "L", left_id, "left"))
+    if "right" in want:
+        out_parts.append(residual(right_ds, "R", right_id, "right"))
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def layer_union(left_ds, right_ds, res: int = 5, left_id: str = "l_id",
+                right_id: str = "r_id"):
+    """ogrlayer.cpp:5385 Union: pair intersections + both sides'
+    residuals."""
+    return _overlay_parts(left_ds, right_ds, res, left_id, right_id,
+                          want=("both", "left", "right"))
+
+
+def layer_symdifference(left_ds, right_ds, res: int = 5,
+                        left_id: str = "l_id", right_id: str = "r_id"):
+    """ogrlayer.cpp:5803 SymDifference: both sides' residuals only."""
+    return _overlay_parts(left_ds, right_ds, res, left_id, right_id,
+                          want=("left", "right"))
+
+
+def layer_identity(left_ds, right_ds, res: int = 5, left_id: str = "l_id",
+                   right_id: str = "r_id"):
+    """ogrlayer.cpp:6340 Identity: pair intersections + INPUT-side
+    residuals (pieces of the input layer, split by the method layer)."""
+    return _overlay_parts(left_ds, right_ds, res, left_id, right_id,
+                          want=("both", "left"))
+
+
+def layer_update(left_ds, right_ds, res: int = 5, left_id: str = "l_id",
+                 right_id: str = "r_id"):
+    """ogrlayer.cpp Update: method (right) features pasted whole over the
+    input — right features as-is + left residuals."""
+    import ray.data as rd
+
+    from . import overlay
+
+    def rights(t: pa.Table) -> pa.Table:
+        areas = [overlay.geom_area(wkb.decode(w))
+                 for w in t["wkb"].to_pylist()]
+        return pa.table({"part": pa.array(["right"] * t.num_rows),
+                         "l_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+                         "r_id": pa.compute.cast(t[right_id], pa.int64()),
+                         "area": pa.array(areas, pa.float64()),
+                         "wkb": t["wkb"]})
+
+    left_res = _overlay_parts(left_ds, right_ds, res, left_id, right_id,
+                              want=("left",))
+    return left_res.union(
+        right_ds.map_batches(rights, batch_format="pyarrow"))

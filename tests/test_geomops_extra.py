@@ -370,3 +370,41 @@ def test_layer_summary_mixed_kinds(ray_session):
     assert (res["minx"], res["miny"], res["maxx"], res["maxy"]) == \
         (0.0, -3.0, 10.0, 6.0)
     assert (res["v_min"], res["v_max"], res["v_null"]) == (2, 7, 1)
+
+
+def test_layer_algebra_multi_intersector(ray_session):
+    """Layer Union/SymDifference/Identity/Update (ogrlayer.cpp:5385-6340):
+    residual = feature minus the union of ALL intersectors (not per-pair),
+    fully-covered features drop, Update pastes method features whole."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.sources.synthetic import rect_wkbs
+    from gdal_ray.stages import layeralg as LA
+
+    A = pa.table({"l_id": pa.array([1], pa.int64()),
+                  "wkb": pa.array(rect_wkbs(
+                      np.array([0.0]), np.array([0.0]),
+                      np.array([10.0]), np.array([10.0])), pa.binary())})
+    B = pa.table({"r_id": pa.array([7, 8], pa.int64()),
+                  "wkb": pa.array(rect_wkbs(
+                      np.array([2.0, 6.0]), np.array([2.0, 2.0]),
+                      np.array([5.0, 12.0]), np.array([5.0, 5.0])),
+                      pa.binary())})
+    u = {(r["part"], r["l_id"], r["r_id"]): r["area"]
+         for r in LA.layer_union(rd.from_arrow(A),
+                                 rd.from_arrow(B)).take_all()}
+    assert u == {("both", 1, 7): 9.0, ("both", 1, 8): 12.0,
+                 ("left", 1, -1): 79.0, ("right", -1, 8): 6.0}
+
+    sd = sorted((r["part"], r["area"]) for r in LA.layer_symdifference(
+        rd.from_arrow(A), rd.from_arrow(B)).take_all())
+    assert sd == [("left", 79.0), ("right", 6.0)]
+
+    ident = sorted((r["part"], r["area"]) for r in LA.layer_identity(
+        rd.from_arrow(A), rd.from_arrow(B)).take_all())
+    assert ident == [("both", 9.0), ("both", 12.0), ("left", 79.0)]
+
+    up = sorted((r["part"], r["r_id"], r["area"]) for r in LA.layer_update(
+        rd.from_arrow(A), rd.from_arrow(B)).take_all())
+    assert up == [("left", -1, 79.0), ("right", 7, 9.0), ("right", 8, 18.0)]
