@@ -920,9 +920,10 @@ def cluster_split(ds, min_jaccard_x1000: int = 500, id_col: str = "doc_id",
     return unioned.groupby("_part").map_groups(bucket_join, batch_format="pyarrow")
 
 
+
 def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                delimiter: str = "\n", min_count: int = 2,
-               keep: str = "first"):
+               keep: str = "first", salts: int = 16):
     """Corpus-level exact LINE dedup (the C4 / RefinedWeb line-level pass:
     a line whose exact text occurs >= ``min_count`` times corpus-wide is
     removed from every document — ``keep='first'`` retains the globally
@@ -930,13 +931,22 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     are reassembled in original line order; a doc whose every line is
     dropped survives with empty text.
 
-    Distributed shape (100 TB-ready): ONE vectorized explode (Arrow
-    split_pattern; list offsets give positions — no Python per line), the
-    shuffle is keyed by the line's FNV-1a u64 (integers move, not strings;
-    exactness is restored by sub-grouping on the actual line inside each
-    hash group, so hash collisions cannot merge distinct lines), then one
-    doc-keyed groupby to reassemble.  Nothing corpus-sized ever reaches
-    the driver."""
+    Distributed shape (100 TB-ready):
+
+    1. ONE vectorized explode (Arrow split_pattern; list offsets give
+       positions — no Python per line); the line's FNV-1a u64 is the
+       shuffle key everywhere (integers move, not strings).
+    2. DECISION pass over per-batch COMBINED partials — each batch emits
+       one row per distinct line it saw (count + its best (doc, pos)), so
+       the count groupby moves O(distinct lines per batch), not
+       O(occurrences); a line occurring 10^9 times is no hot key here.
+       Hash collisions stay distinct (sub-grouped on the actual text).
+    3. TAG-BACK as a SALTED keyed join: only FREQUENT lines' decision rows
+       replicate to ``salts`` sub-keys and every occurrence routes to
+       (hash, salt(doc, pos)) — the group for even a degenerate line is
+       occurrences/salts, the same salt policy as minhash_lsh_candidates.
+    4. One doc-keyed groupby reassembles.  Nothing corpus-sized reaches
+       the driver."""
     from ..functions.arrowbuf import fnv1a_u64
 
     if keep not in ("first", "none"):
@@ -954,40 +964,137 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         flat = lines.flatten()
         k = fnv1a_u64(flat).astype(np.int64)
         return pa.table({"k": pa.array(k),
-                        id_col: pa.array(doc[rep]),
-                        "pos": pa.array(pos),
-                        "line": flat})
+                         id_col: pa.array(doc[rep]),
+                         "pos": pa.array(pos),
+                         "line": flat})
 
     def sentinels(t: pa.Table) -> pa.Table:
-        # one row per doc so fully-emptied docs survive reassembly; these
-        # bypass the hash groupby entirely (no k=-1 hot group)
+        # one row per doc so fully-emptied docs survive reassembly
         n = t.num_rows
-        return pa.table({"k": pa.array(np.full(n, -1, np.int64)),
-                         id_col: t[id_col],
+        return pa.table({id_col: t[id_col],
                          "pos": pa.array(np.full(n, -1, np.int64)),
                          "line": pa.array([None] * n, pa.string())})
 
-    lines_ds = ds.map_batches(explode, batch_format="pyarrow")
+    lines_ds = ds.map_batches(explode, batch_format="pyarrow").materialize()
     sent_ds = ds.map_batches(sentinels, batch_format="pyarrow")
 
-    def keep_group(g: pa.Table) -> pa.Table:
-        txt = g["line"].to_numpy(zero_copy_only=False)
-        # sub-group by the ACTUAL line: hash collisions stay distinct
+    # -- decision pass: per-batch combiner -> one groupby on partials -----
+    def count_partial(t: pa.Table) -> pa.Table:
+        txt = t["line"].to_numpy(zero_copy_only=False)
         uniq, inv, cnt = np.unique(txt, return_inverse=True,
                                    return_counts=True)
-        ok = cnt[inv] < min_count
-        if keep == "first":
-            doc = g[id_col].to_numpy(zero_copy_only=False)  # int or str ids
-            pos = g["pos"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((pos, doc, inv))
-            first = np.zeros(len(txt), dtype=bool)
-            first[order[np.concatenate(
-                ([0], np.flatnonzero(np.diff(inv[order])) + 1))]] = True
-            ok |= first
-        return g.filter(pa.array(ok))
+        doc = t[id_col].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc, inv))
+        firsts = order[np.concatenate(
+            ([0], np.flatnonzero(np.diff(inv[order])) + 1))]
+        return pa.table({
+            "k": t["k"].take(pa.array(firsts)),
+            "line": pa.array(uniq),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "bdoc": pa.array(doc[firsts]),
+            "bpos": pa.array(pos[firsts])})
 
-    kept = lines_ds.groupby("k").map_groups(
-        keep_group, batch_format="pyarrow").union(sent_ds)
+    def decide(g: pa.Table) -> pa.Table:
+        txt = g["line"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(txt, return_inverse=True)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        doc = g["bdoc"].to_numpy(zero_copy_only=False)
+        pos = g["bpos"].to_numpy(zero_copy_only=False)
+        total = np.zeros(len(uniq), np.int64)
+        np.add.at(total, inv, cnt)
+        order = np.lexsort((pos, doc, inv))
+        firsts = order[np.concatenate(
+            ([0], np.flatnonzero(np.diff(inv[order])) + 1))]
+        freq = total >= min_count
+        if not freq.any():
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "line": pa.array([], pa.string()),
+                             "bdoc": g["bdoc"].slice(0, 0),
+                             "bpos": pa.array([], pa.int64())})
+        sel = firsts[freq]
+        return pa.table({"k": g["k"].take(pa.array(sel)),
+                         "line": pa.array(uniq[freq]),
+                         "bdoc": g["bdoc"].take(pa.array(sel)),
+                         "bpos": g["bpos"].take(pa.array(sel))})
+
+    frequent = lines_ds.map_batches(count_partial, batch_format="pyarrow") \
+                       .groupby("k").map_groups(decide,
+                                                batch_format="pyarrow")
+
+    # -- salted tag-back ---------------------------------------------------
+    def salt_lines(t: pa.Table) -> pa.Table:
+        from ..functions.arrowbuf import fnv1a_u64 as _fnv
+
+        pos = t["pos"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if pa.types.is_string(t[id_col].type):
+            dmix = _fnv(t[id_col])
+        else:
+            dmix = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # mix BOTH doc and pos: a boilerplate line that always sits at
+            # the same position (e.g. a header at pos 0) must still spread
+            # over all salts
+            mix = (dmix * np.uint64(0x9E3779B97F4A7C15)
+                   + pos * np.uint64(0xFF51AFD7ED558CCD))
+            salt = (mix % np.uint64(salts)).astype(np.int64)
+        n = t.num_rows
+        return pa.table({"k": t["k"], "salt": pa.array(salt.astype(np.int64)),
+                         id_col: t[id_col], "pos": t["pos"],
+                         "line": t["line"],
+                         "bdoc": pa.nulls(n, t[id_col].type),
+                         "bpos": pa.nulls(n, pa.int64())})
+
+    dec_cols = frequent.map_batches(
+        lambda t: pa.table({"k": t["k"],
+                            id_col: pa.nulls(t.num_rows, t["bdoc"].type),
+                            "pos": pa.array(
+                                np.full(t.num_rows, -2, np.int64)),
+                            "line": t["line"], "bdoc": t["bdoc"],
+                            "bpos": t["bpos"]}),
+        batch_format="pyarrow")
+
+    def rep_salted(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        rep = pa.array(np.repeat(np.arange(n), salts))
+        out = pa.table({c: t[c].take(rep) for c in t.column_names})
+        return out.append_column(
+            "salt", pa.array(np.tile(np.arange(salts, dtype=np.int64), n)))
+
+    tagged = lines_ds.map_batches(salt_lines, batch_format="pyarrow").union(
+        dec_cols.map_batches(rep_salted, batch_format="pyarrow"))
+
+    def keep_group(g: pa.Table) -> pa.Table:
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        is_dec = pos == -2
+        occ = g.filter(pa.array(~is_dec))
+        if occ.num_rows == 0:
+            return occ
+        if not is_dec.any():
+            return occ
+        dec_txt = g["line"].to_numpy(zero_copy_only=False)[is_dec]
+        bdoc = g["bdoc"].to_numpy(zero_copy_only=False)[is_dec]
+        bpos = g["bpos"].to_numpy(zero_copy_only=False)[is_dec]
+        otxt = occ["line"].to_numpy(zero_copy_only=False)
+        odoc = occ[id_col].to_numpy(zero_copy_only=False)
+        opos = occ["pos"].to_numpy(zero_copy_only=False)
+        # vectorized per DECISION row (few per group), not per occurrence
+        ok = np.ones(occ.num_rows, dtype=bool)
+        for i, t_ in enumerate(dec_txt):
+            hit = otxt == t_
+            if keep == "first":
+                ok[hit] = (odoc[hit] == bdoc[i]) & (opos[hit] == bpos[i])
+            else:
+                ok[hit] = False
+        return occ.filter(pa.array(ok))
+
+    kept = tagged.groupby(["k", "salt"]).map_groups(
+        keep_group, batch_format="pyarrow")
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select([id_col, "pos", "line"])
+
+    kept = kept.map_batches(strip, batch_format="pyarrow").union(sent_ds)
 
     def reassemble(g: pa.Table) -> pa.Table:
         pos = g["pos"].to_numpy(zero_copy_only=False)
