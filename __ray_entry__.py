@@ -2438,6 +2438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_compare": q.raster_compare_q,
         "layer_summary": q.layer_summary_q,
         "layer_union_parts": q.layer_union_q,
+        "buffer_geodesic": q.buffer_geodesic_q,
         "chunk_dedup": q.chunk_dedup_q,
         "sample_stratified": q.sample_stratified_q,
         "pack_sequences": q.pack_sequences_q,
@@ -3175,6 +3176,34 @@ def oracle_sql() -> dict[str, str]:
                + ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat)
                  * ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat) <= 36.0
             GROUP BY 1, 2
+        """,
+        "buffer_geodesic": """
+            -- spherical destination-point circle, same term order as the
+            -- engine; the CCW reversal maps vertex j to bearing (7-j)*2pi/8
+            WITH s AS (SELECT s_suppkey AS fid,
+                              CAST(-180 + (s_suppkey * 7919) % 360 AS DOUBLE)
+                                AS lon,
+                              CAST(-80 + (s_suppkey * 104729) % 160 AS DOUBLE)
+                                AS lat
+                       FROM supplier),
+            v AS (SELECT fid, j.j AS j, radians(lat) AS p1,
+                         radians(lon) AS l1,
+                         (7 - j.j) * (2 * pi() / 8) AS b
+                  FROM s, LATERAL (SELECT unnest(generate_series(0, 7)) AS j)
+                       j),
+            w AS (SELECT fid, j, l1, b, p1,
+                         asin(sin(p1) * cos(50000.0 / 6371007.180918475)
+                              + cos(p1) * sin(50000.0 / 6371007.180918475)
+                                * cos(b)) AS p2
+                  FROM v)
+            SELECT fid, j,
+                   CAST(floor(degrees(l1 + atan2(
+                         sin(b) * sin(50000.0 / 6371007.180918475) * cos(p1),
+                         cos(50000.0 / 6371007.180918475)
+                           - sin(p1) * sin(p2))) * 1e6 + 0.5) AS BIGINT)
+                     AS x_e6,
+                   CAST(floor(degrees(p2) * 1e6 + 0.5) AS BIGINT) AS y_e6
+            FROM w
         """,
         "layer_union_parts": """
             -- layer Union mirror: intersections via the rect-overlap closed

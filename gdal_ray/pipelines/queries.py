@@ -5114,3 +5114,37 @@ def layer_union_q(sf_dir: str):
                              pa.int64())})
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def buffer_geodesic_q(sf_dir: str):
+    """Geodesic POINT buffer (meters on lon/lat): circle vertices from the
+    spherical destination-point formula — every vertex of every ring
+    mirrored at 1e-6-degree fixed point (same term order both engines)."""
+    from ..functions import wkb as wkb_f
+    from ..stages import geomops
+
+    sk = np.sort(pq.read_table(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey"])["s_suppkey"].to_numpy())
+    lon = (-180 + (sk * 7919) % 360).astype(np.float64)
+    lat = (-80 + (sk * 104729) % 160).astype(np.float64)
+    t = pa.table({"fid": pa.array(sk),
+                  "wkb": pa.array(list(wkb_f.encode_points(lon, lat)),
+                                  pa.binary())})
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        buf = geomops.buffer_geodesic_batch(b, 50000.0, segments=2)
+        fids, js, xs, ys = [], [], [], []
+        for i in range(buf.num_rows):
+            ring = wkb_f.decode(buf["wkb"][i].as_py()).parts[0][0]
+            fid = buf["fid"][i].as_py()
+            for j in range(len(ring) - 1):
+                fids.append(fid)
+                js.append(j)
+                xs.append(int(np.floor(ring[j, 0] * 1e6 + 0.5)))
+                ys.append(int(np.floor(ring[j, 1] * 1e6 + 0.5)))
+        return pa.table({"fid": pa.array(fids, pa.int64()),
+                         "j": pa.array(js, pa.int64()),
+                         "x_e6": pa.array(xs, pa.int64()),
+                         "y_e6": pa.array(ys, pa.int64())})
+
+    return rd.from_arrow(t).map_batches(per_batch, batch_format="pyarrow")

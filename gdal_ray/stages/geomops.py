@@ -1509,3 +1509,112 @@ def layer_summary(ds, wkb_col: str = "wkb", fields: tuple = ()):
                  _Min(f"{f}_min", alias_name=f"{f}_min"),
                  _Max(f"{f}_max", alias_name=f"{f}_max")]
     return parts.aggregate(*aggs)
+
+
+# -- geodesic buffer (meters on lon/lat; round-4 session 9) -------------------
+
+
+def _aeqd_fwd(lon, lat, lon0: float, lat0: float, R: float):
+    """Oblique azimuthal-equidistant forward (Snyder 1987 eq. 25-1..25-4,
+    spherical): exact radial distance from the center — the projection the
+    documented 'project-buffer-unproject' geodesic-buffer workflow wants."""
+    p0, l0 = np.radians(lat0), np.radians(lon0)
+    p, dl = np.radians(lat), np.radians(lon) - l0
+    cosc = np.sin(p0) * np.sin(p) + np.cos(p0) * np.cos(p) * np.cos(dl)
+    c = np.arccos(np.clip(cosc, -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        k = np.where(c > 0, c / np.sin(c), 1.0)
+    x = R * k * np.cos(p) * np.sin(dl)
+    y = R * k * (np.cos(p0) * np.sin(p) - np.sin(p0) * np.cos(p) * np.cos(dl))
+    return x, y
+
+
+def _aeqd_inv(x, y, lon0: float, lat0: float, R: float):
+    """Oblique AEQD inverse (Snyder eq. 25-15..25-18, spherical)."""
+    p0, l0 = np.radians(lat0), np.radians(lon0)
+    rho = np.hypot(x, y)
+    c = rho / R
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sinc, cosc = np.sin(c), np.cos(c)
+        lat = np.where(
+            rho > 0,
+            np.degrees(np.arcsin(np.clip(
+                cosc * np.sin(p0) + y * sinc * np.cos(p0) / np.where(
+                    rho > 0, rho, 1.0), -1.0, 1.0))),
+            lat0)
+        lon = np.where(
+            rho > 0,
+            np.degrees(l0 + np.arctan2(
+                x * sinc,
+                rho * np.cos(p0) * cosc - y * np.sin(p0) * sinc)),
+            lon0)
+    return lon, lat
+
+
+def buffer_geodesic_batch(batch: pa.Table, meters: float, segments: int = 8,
+                          wkb_col: str = "wkb") -> pa.Table:
+    """Geodesic buffer of lon/lat WKB by a distance in METERS — the
+    documented replacement for calling planar Buffer in degrees (reference
+    workflow: ogr users project to a feature-centered AEQD, buffer, and
+    unproject; OGR_G_Buffer itself, ogrgeometry.cpp:4949, is planar).
+
+    POINTs take the exact path: circle vertices from the spherical
+    destination-point formula at 4*segments azimuths (the same trig and
+    _AUTHALIC_R as spherical_azimuth_dest_batch, so a SQL mirror with the
+    same term order hashes identically).  Lines/polygons project through
+    a per-feature oblique AEQD (exact radial distances about the
+    centroid), run the planar Minkowski buffer, and unproject."""
+    R = _AUTHALIC_R
+    n_ang = 4 * max(1, int(segments))
+    bearings = np.arange(n_ang) * (2.0 * np.pi / n_ang)
+    out = []
+    for w in batch[wkb_col].to_pylist():
+        g = _wkb.decode(w)
+        if g.kind == _wkb.POINT:
+            lon, lat = g.parts[0][0]
+            p1, l1 = np.radians(lat), np.radians(lon)
+            d = meters / R
+            p2 = np.arcsin(np.sin(p1) * np.cos(d)
+                           + np.cos(p1) * np.sin(d) * np.cos(bearings))
+            l2 = l1 + np.arctan2(
+                np.sin(bearings) * np.sin(d) * np.cos(p1),
+                np.cos(d) - np.sin(p1) * np.sin(p2))
+            ring = np.column_stack([np.degrees(l2), np.degrees(p2)])
+            if _overlay_area_sign(ring) < 0:
+                ring = ring[::-1]
+            ring = np.vstack([ring, ring[:1]])
+            out.append(_wkb.encode_polygon([ring]))
+            continue
+        v = g.vertices()
+        lon0 = float(v[:, 0].mean())
+        lat0 = float(v[:, 1].mean())
+
+        def fwd(pts):
+            x, y = _aeqd_fwd(pts[:, 0], pts[:, 1], lon0, lat0, R)
+            return np.column_stack([x, y])
+
+        if g.kind == _wkb.LINESTRING:
+            proj = _wkb.Geom(_wkb.LINESTRING, [fwd(g.parts[0])])
+        elif g.kind == _wkb.POLYGON:
+            proj = _wkb.Geom(_wkb.POLYGON, [[fwd(r) for r in g.parts[0]]])
+        else:
+            raise ValueError(
+                f"buffer_geodesic: unsupported kind {g.kind} "
+                "(POINT/LINESTRING/POLYGON)")
+        b = buffer_geom(proj, meters, segments)
+        if b is None:
+            out.append(_wkb.encode_polygon([]))
+            continue
+        polys = []
+        for poly in b.shells_and_holes():
+            rings = []
+            for r in poly:
+                r = np.asarray(r, np.float64)
+                lon, lat = _aeqd_inv(r[:, 0], r[:, 1], lon0, lat0, R)
+                rings.append(np.column_stack([lon, lat]))
+            polys.append(rings)
+        out.append(_wkb.encode_polygon(polys[0]) if len(polys) == 1
+                   else _wkb.encode_multipolygon(polys))
+    return batch.set_column(
+        batch.column_names.index(wkb_col), wkb_col,
+        pa.array(out, pa.binary()))

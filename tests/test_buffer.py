@@ -113,3 +113,53 @@ def test_unsupported_kind_raises():
     line = W.Geom(W.LINESTRING, [np.array([[0.0, 0.0], [1.0, 0.0]])])
     with pytest.raises(ValueError, match="cap_style"):
         G.buffer_geom(line, 1.0, cap_style="bevel")
+
+
+def test_geodesic_point_buffer_radius_exact():
+    """Every circle vertex sits exactly `meters` from the center
+    (haversine on the authalic sphere)."""
+    t = pa.table({"wkb": pa.array(
+        [W.encode_points(np.array([10.0]), np.array([55.0]))[0]],
+        pa.binary())})
+    out = G.buffer_geodesic_batch(t, 50000.0, segments=8)
+    ring = W.decode(out["wkb"][0].as_py()).parts[0][0]
+    R = 6371007.180918475
+    p1, l1 = np.radians(55.0), np.radians(10.0)
+    p2, l2 = np.radians(ring[:, 1]), np.radians(ring[:, 0])
+    a = (np.sin((p2 - p1) / 2) ** 2
+         + np.cos(p1) * np.cos(p2) * np.sin((l2 - l1) / 2) ** 2)
+    d = 2 * R * np.arcsin(np.sqrt(a))
+    assert np.abs(d - 50000.0).max() < 1e-6
+
+
+def test_geodesic_polygon_buffer_minkowski_in_projection():
+    """Projected through the same feature-centered AEQD, the geodesic
+    polygon buffer matches the planar Minkowski formula exactly."""
+    R = 6371007.180918475
+    sq = np.array([[10.0, 55.0], [10.5, 55.0], [10.5, 55.3], [10.0, 55.3],
+                   [10.0, 55.0]])
+    t = pa.table({"wkb": pa.array([W.encode_polygon([sq])], pa.binary())})
+    out = G.buffer_geodesic_batch(t, 10000.0, segments=8)
+    ring = W.decode(out["wkb"][0].as_py()).parts[0][0]
+    # engine centers its AEQD on the mean of ALL vertices (closing vertex
+    # included) — mirror that so the projections coincide
+    lon0 = float(np.mean(sq[:, 0]))
+    lat0 = float(np.mean(sq[:, 1]))
+
+    def area_m(r):
+        x, y = G._aeqd_fwd(r[:, 0], r[:, 1], lon0, lat0, R)
+        return abs(O.ring_signed_area(np.column_stack([x, y])))
+
+    xs, ys = G._aeqd_fwd(sq[:, 0], sq[:, 1], lon0, lat0, R)
+    per = np.hypot(np.diff(xs), np.diff(ys)).sum()
+    expect = area_m(sq) + per * 1e4 + ngon_area(8, 1e4)
+    assert area_m(ring) == pytest.approx(expect, rel=1e-9)
+
+
+def test_aeqd_roundtrip():
+    lon = np.array([12.0, 9.5, -170.0])
+    lat = np.array([54.0, 56.0, -33.0])
+    x, y = G._aeqd_fwd(lon, lat, 10.0, 55.0, 6371007.180918475)
+    lon2, lat2 = G._aeqd_inv(x, y, 10.0, 55.0, 6371007.180918475)
+    assert np.abs(((lon2 - lon + 180) % 360) - 180).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
