@@ -2439,6 +2439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layer_summary": q.layer_summary_q,
         "layer_union_parts": q.layer_union_q,
         "buffer_geodesic": q.buffer_geodesic_q,
+        "composite_median": q.composite_median_q,
         "chunk_dedup": q.chunk_dedup_q,
         "sample_stratified": q.sample_stratified_q,
         "pack_sequences": q.pack_sequences_q,
@@ -3176,6 +3177,22 @@ def oracle_sql() -> dict[str, str]:
                + ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat)
                  * ((-85.0 + (c.cy + 0.5) * 5.3125) - d.lat) <= 36.0
             GROUP BY 1, 2
+        """,
+        "composite_median": """
+            -- median of 3 = a+b+c - greatest - least (all dyadic-exact);
+            -- per-tile sums over 3x2 tiles of 64
+            WITH px AS (
+              SELECT gx.g AS gx, gy.g AS gy,
+                     CAST(gx.g + gy.g AS DOUBLE) AS a,
+                     ((gx.g - 96)*(gx.g - 96) + (gy.g - 96)*(gy.g - 96))
+                       / 64.0 AS b,
+                     100.0 AS c
+              FROM (SELECT unnest(generate_series(0, 191)) AS g) gx,
+                   (SELECT unnest(generate_series(0, 127)) AS g) gy)
+            SELECT CAST(gx // 64 AS INT) AS x, CAST(gy // 64 AS INT) AS y,
+                   sum(a + b + c - GREATEST(a, b, c) - LEAST(a, b, c))
+                     AS sum_median
+            FROM px GROUP BY 1, 2
         """,
         "buffer_geodesic": """
             -- spherical destination-point circle, same term order as the

@@ -5148,3 +5148,36 @@ def buffer_geodesic_q(sf_dir: str):
                          "y_e6": pa.array(ys, pa.int64())})
 
     return rd.from_arrow(t).map_batches(per_batch, batch_format="pyarrow")
+
+
+def composite_median_q(sf_dir: str):
+    """Per-pixel MEDIAN composite of three co-registered layers (ramp,
+    hump, constant 100) — the EO time-stack reduce; per-tile value sums
+    are dyadic-exact so the SQL mirror (median3 = a+b+c-max-min) hashes
+    identically."""
+    from ..stages import rastermap
+
+    ramp = rd.from_arrow(synthetic.make_raster_tiles("ramp", 3, 2, size=64))
+    hump = rd.from_arrow(synthetic.make_raster_tiles("hump", 3, 2, size=64))
+    const = synthetic.make_raster_tiles("ramp", 3, 2, size=64)
+    flat = pa.table({
+        "z": const["z"], "x": const["x"], "y": const["y"],
+        "width": const["width"], "height": const["height"],
+        "dtype": pa.array(["float32"] * const.num_rows),
+        "data": pa.array([np.full(64 * 64, 100.0, np.float32).tobytes()]
+                         * const.num_rows, pa.binary())})
+    comp = rastermap.composite_reduce(
+        [ramp, hump, rd.from_arrow(flat)], method="median")
+
+    def sums(t: pa.Table) -> pa.Table:
+        xs, ys, sv = [], [], []
+        for i in range(t.num_rows):
+            arr = np.frombuffer(t["data"][i].as_py(), np.float64)
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            sv.append(float(arr.sum()))
+        return pa.table({"x": pa.array(xs, pa.int32()),
+                         "y": pa.array(ys, pa.int32()),
+                         "sum_median": pa.array(sv, pa.float64())})
+
+    return comp.map_batches(sums, batch_format="pyarrow")

@@ -861,3 +861,68 @@ def compare_rasters(tiles_a, tiles_b):
         _Sum("n_diff", alias_name="n_diff"),
         _Max("max_diff", alias_name="max_diff"),
         _Sum("sum_diff", alias_name="sum_diff"))
+
+
+def composite_reduce(layers: list, method: str = "median",
+                     nodata: float | None = None):
+    """Per-pixel composite across N co-registered single-band layers
+    (the gdal_calc multi-input reduce, e.g.
+    ``gdal_calc -A a.tif -B b.tif ... --calc "numpy.median(...)"`` — the
+    standard EO time-stack composite).  ``method``: median | mean | min |
+    max | count_valid; ``nodata`` pixels are excluded per-pixel (a pixel
+    with no valid observation emits nodata / count 0).  One (z, x, y)
+    keyed shuffle; the reduce is a vectorized (N, h, w) numpy kernel per
+    tile; output dtype float64."""
+    if method not in ("median", "mean", "min", "max", "count_valid"):
+        raise ValueError(method)
+    tagged = []
+    for li, ds in enumerate(layers):
+        tagged.append(ds.map_batches(
+            lambda t, li=li: t.append_column(
+                "layer", pa.array([li] * t.num_rows, pa.int32())),
+            batch_format="pyarrow"))
+    allds = tagged[0]
+    for t in tagged[1:]:
+        allds = allds.union(t)
+
+    from .focal import _dtype_of
+
+    def reduce_tile(group: pa.Table) -> pa.Table:
+        h = group["height"][0].as_py()
+        w = group["width"][0].as_py()
+        stack = np.empty((group.num_rows, h, w), dtype=np.float64)
+        for i in range(group.num_rows):
+            dt = _dtype_of(group["dtype"][i].as_py())
+            stack[i] = np.frombuffer(
+                group["data"][i].as_py(), dtype=dt).reshape(h, w)
+        if nodata is not None:
+            valid = stack != nodata
+            nv = valid.sum(axis=0)
+            stack = np.where(valid, stack, np.nan)
+        else:
+            nv = np.full((h, w), group.num_rows, dtype=np.int64)
+        with np.errstate(invalid="ignore"):
+            if method == "median":
+                out = np.nanmedian(stack, axis=0) if nodata is not None \
+                    else np.median(stack, axis=0)
+            elif method == "mean":
+                out = np.nanmean(stack, axis=0) if nodata is not None \
+                    else np.mean(stack, axis=0)
+            elif method == "min":
+                out = np.nanmin(stack, axis=0) if nodata is not None \
+                    else np.min(stack, axis=0)
+            elif method == "max":
+                out = np.nanmax(stack, axis=0) if nodata is not None \
+                    else np.max(stack, axis=0)
+            else:
+                out = nv.astype(np.float64)
+        if nodata is not None and method != "count_valid":
+            out = np.where(nv > 0, out, nodata)
+        return pa.Table.from_pylist([{
+            "z": group["z"][0].as_py(), "x": group["x"][0].as_py(),
+            "y": group["y"][0].as_py(), "width": w, "height": h,
+            "dtype": "float64", "data": out.tobytes(),
+        }])
+
+    return allds.groupby(["z", "x", "y"]).map_groups(
+        reduce_tile, batch_format="pyarrow")

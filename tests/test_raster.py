@@ -691,3 +691,36 @@ def test_compare_rasters_identical_and_mismatch(ray_session):
     with pytest.raises(Exception, match="one side only"):
         rastermap.compare_rasters(
             rd.from_arrow(t), rd.from_arrow(t.slice(0, 3)))
+
+
+def test_composite_reduce_nodata_aware(ray_session):
+    """Time-stack composite: nodata pixels excluded per-pixel; a pixel
+    with no valid observation emits nodata; count_valid counts."""
+    import ray.data as rd
+
+    from gdal_ray.stages import rastermap
+
+    def tile(vals):
+        arr = np.array(vals, dtype=np.float32).reshape(1, 2)
+        return pa.table({"z": pa.array([0], pa.int16()),
+                         "x": pa.array([0], pa.int32()),
+                         "y": pa.array([0], pa.int32()),
+                         "width": pa.array([2], pa.int32()),
+                         "height": pa.array([1], pa.int32()),
+                         "dtype": pa.array(["float32"]),
+                         "data": pa.array([arr.tobytes()], pa.binary())})
+
+    layers = [rd.from_arrow(tile(v)) for v in
+              ([1.0, -9.0], [3.0, -9.0], [2.0, -9.0])]
+    med = rastermap.composite_reduce(layers, "median", nodata=-9.0).take_all()
+    arr = np.frombuffer(med[0]["data"], np.float64)
+    assert arr[0] == 2.0 and arr[1] == -9.0  # all-nodata pixel stays nodata
+    cnt = rastermap.composite_reduce(layers, "count_valid",
+                                     nodata=-9.0).take_all()
+    arr = np.frombuffer(cnt[0]["data"], np.float64)
+    assert arr[0] == 3.0 and arr[1] == 0.0
+    mx = rastermap.composite_reduce(layers, "max").take_all()
+    arr = np.frombuffer(mx[0]["data"], np.float64)
+    assert arr[0] == 3.0 and arr[1] == -9.0
+    with pytest.raises(ValueError):
+        rastermap.composite_reduce(layers, "mode")
