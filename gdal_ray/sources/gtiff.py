@@ -35,8 +35,9 @@ _FMT_TO_DTYPE = {
 }
 _DTYPE_TO_FMT = {v: k for k, v in _FMT_TO_DTYPE.items()}
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d", 16: "Q", 17: "q",
+             18: "Q"}  # 16-18: BigTIFF LONG8/SLONG8/IFD8
 
 TAG_WIDTH, TAG_HEIGHT = 256, 257
 TAG_BITS, TAG_COMPRESSION, TAG_PHOTOMETRIC = 258, 259, 262
@@ -221,7 +222,8 @@ def write_gtiff(path: str, arr: np.ndarray, *, tile_size: int | None = None,
 
 def _tiled_header(*, width: int, height: int, tile_size: int, dtype: str,
                   origin=(0.0, 0.0), pixel_size=(1.0, 1.0), epsg: int = 3857,
-                  nodata: float | None = None, endian: str = "<"):
+                  nodata: float | None = None, endian: str = "<",
+                  bigtiff="auto"):
     """Header + IFD bytes for an UNCOMPRESSED tiled single-band GeoTIFF
     whose pixel chunks will be written LATER at preallocated offsets
     (every uncompressed tile chunk has the fixed size ts*ts*itemsize, so
@@ -265,33 +267,62 @@ def _tiled_header(*, width: int, height: int, tile_size: int, dtype: str,
     if nodata is not None:
         entries.append(_entry(TAG_GDAL_NODATA, 2, repr(float(nodata)), en=en))
     entries.sort(key=lambda e: e[0])
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
+    # BigTIFF when the preallocated layout cannot fit 32-bit offsets
+    # (classic TIFF caps at 4 GiB — a 100 GB COG needs version 43)
+    approx = 4096 + sum(len(p) for _, _, _, p in entries) \
+        + 16 * n_chunks + chunk * n_chunks
+    if bigtiff == "auto":
+        bigtiff = approx >= (1 << 32) - (1 << 16)
+    if bigtiff:
+        # tile OFFSETS need LONG8 (they can exceed 2^32); byte COUNTS stay
+        # LONG (one uncompressed chunk is far below 4 GiB)
+        entries = [(t, (16 if t == TAG_TILE_OFFSETS else ty), c, p)
+                   for (t, ty, c, p) in entries]
+        hdr_len, esz, vsz = 16, 20, 8
+        ifd_hdr = 8
+    else:
+        hdr_len, esz, vsz = 8, 12, 4
+        ifd_hdr = 2
+    ifd_off = hdr_len
+    ifd_size = ifd_hdr + esz * len(entries) + vsz
     ext_off = ifd_off + ifd_size
+
+    def payload_of(tag, typ, payload, offsets):
+        if tag == TAG_TILE_OFFSETS:
+            return struct.pack(en + ("%dQ" if typ == 16 else "%dI")
+                               % n_chunks, *offsets)
+        return payload
+
     slots = {}
     for tag, typ, count, payload in entries:
-        if len(payload) > 4:
+        plen = len(payload_of(tag, typ, payload, [0] * n_chunks))
+        if plen > vsz:
             slots[tag] = ext_off
-            ext_off += len(payload) + (len(payload) % 2)
+            ext_off += plen + (plen % 2)
         else:
             slots[tag] = 0
     data_start = ext_off
     offsets = [data_start + i * chunk for i in range(n_chunks)]
-    out = [struct.pack(en + "2sHI", b"II" if en == "<" else b"MM", 42, 8),
-           struct.pack(en + "H", len(entries))]
+    if bigtiff:
+        out = [struct.pack(en + "2sHHHQ", b"II" if en == "<" else b"MM",
+                           43, 8, 0, ifd_off),
+               struct.pack(en + "Q", len(entries))]
+    else:
+        out = [struct.pack(en + "2sHI", b"II" if en == "<" else b"MM",
+                           42, ifd_off),
+               struct.pack(en + "H", len(entries))]
+    cfmt = "Q" if bigtiff else "I"
     for tag, typ, count, payload in entries:
-        if tag == TAG_TILE_OFFSETS:
-            payload = struct.pack(en + "%dI" % n_chunks, *offsets)
+        payload = payload_of(tag, typ, payload, offsets)
         if slots[tag]:
-            tail = struct.pack(en + "I", slots[tag])
+            tail = struct.pack(en + cfmt, slots[tag])
         else:
-            tail = payload + b"\x00" * (4 - len(payload))
-        out.append(struct.pack(en + "HHI", tag, typ, count) + tail)
-    out.append(struct.pack(en + "I", 0))
+            tail = payload + b"\x00" * (vsz - len(payload))
+        out.append(struct.pack(en + "HH" + cfmt, tag, typ, count) + tail)
+    out.append(struct.pack(en + cfmt, 0))
     for tag, typ, count, payload in entries:
         if slots[tag]:
-            if tag == TAG_TILE_OFFSETS:
-                payload = struct.pack(en + "%dI" % n_chunks, *offsets)
+            payload = payload_of(tag, typ, payload, offsets)
             if len(payload) % 2:
                 payload += b"\x00"
             out.append(payload)
@@ -302,7 +333,8 @@ def write_gtiff_tiles_streaming(tiles_ds, path: str, *, width: int,
                                 height: int, tile_size: int,
                                 dtype: str = "uint8", origin=(0.0, 0.0),
                                 pixel_size=(1.0, 1.0), epsg: int = 3857,
-                                nodata: float | None = None) -> int:
+                                nodata: float | None = None,
+                                bigtiff="auto") -> int:
     """STREAMING single-file tiled GeoTIFF sink: the driver writes only the
     header/IFD (O(#tiles) metadata) and preallocates the fixed-size chunk
     region; worker tasks os.pwrite their tiles at arithmetic offsets —
@@ -318,7 +350,8 @@ def write_gtiff_tiles_streaming(tiles_ds, path: str, *, width: int,
     grid.  Returns the number of tiles written."""
     header, data_start, ntx, nty, chunk = _tiled_header(
         width=width, height=height, tile_size=tile_size, dtype=dtype,
-        origin=origin, pixel_size=pixel_size, epsg=epsg, nodata=nodata)
+        origin=origin, pixel_size=pixel_size, epsg=epsg, nodata=nodata,
+        bigtiff=bigtiff)
     with open(path, "wb") as f:
         f.write(header)
         f.truncate(data_start + chunk * ntx * nty)
@@ -352,22 +385,30 @@ def write_gtiff_tiles_streaming(tiles_ds, path: str, *, width: int,
     return int(total or 0)
 
 
-def _parse_one_ifd(buf: bytes, en: str, ifd_off: int):
-    """-> ({tag: values}, next_ifd_offset) for the IFD at ``ifd_off``."""
-    (n,) = struct.unpack_from(en + "H", buf, ifd_off)
+def _parse_one_ifd(buf: bytes, en: str, ifd_off: int, big: bool = False):
+    """-> ({tag: values}, next_ifd_offset) for the IFD at ``ifd_off``.
+    ``big``: BigTIFF layout (u64 entry count, 20-byte entries, 8-byte
+    inline value slot, u64 next pointer)."""
+    hdr, esz, vsz = ("Q", 20, 8) if big else ("H", 12, 4)
+    (n,) = struct.unpack_from(en + hdr, buf, ifd_off)
+    base = ifd_off + (8 if big else 2)
     tags = {}
     for i in range(n):
-        tag, typ, count = struct.unpack_from(en + "HHI", buf, ifd_off + 2 + 12 * i)
-        voff = ifd_off + 2 + 12 * i + 8
+        tag, typ = struct.unpack_from(en + "HH", buf, base + esz * i)
+        (count,) = struct.unpack_from(en + ("Q" if big else "I"), buf,
+                                      base + esz * i + 4)
+        voff = base + esz * i + esz - vsz
         size = _TYPE_SIZE.get(typ, 1) * count
-        if size > 4:
-            (voff,) = struct.unpack_from(en + "I", buf, voff)
+        if size > vsz:
+            (voff,) = struct.unpack_from(en + ("Q" if big else "I"),
+                                         buf, voff)
         if typ == 2:
             tags[tag] = buf[voff:voff + count].split(b"\x00")[0].decode("latin1")
         elif typ in _TYPE_FMT:
             tags[tag] = list(struct.unpack_from(en + "%d%s" % (count, _TYPE_FMT[typ]), buf, voff))
         # unknown types are skipped, per the TIFF readers-ignore rule
-    (nxt,) = struct.unpack_from(en + "I", buf, ifd_off + 2 + 12 * n)
+    (nxt,) = struct.unpack_from(en + ("Q" if big else "I"),
+                                buf, base + esz * n)
     return tags, nxt
 
 
@@ -378,19 +419,26 @@ def _tiff_header(buf: bytes):
         en = ">"
     else:
         raise ValueError("not a TIFF: bad byte-order mark")
-    magic, ifd_off = struct.unpack(en + "HI", buf[2:8])
-    if magic != 42:
-        raise ValueError(f"not a classic TIFF (magic {magic})")
-    return en, ifd_off
+    (magic,) = struct.unpack(en + "H", buf[2:4])
+    if magic == 42:
+        (ifd_off,) = struct.unpack(en + "I", buf[4:8])
+        return en, ifd_off, False
+    if magic == 43:  # BigTIFF: u16 offsetsize=8, u16 zero, u64 first IFD
+        osize, zero = struct.unpack(en + "HH", buf[4:8])
+        if osize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (ifd_off,) = struct.unpack(en + "Q", buf[8:16])
+        return en, ifd_off, True
+    raise ValueError(f"not a TIFF (magic {magic})")
 
 
 def _parse_ifd_chain(buf: bytes):
     """-> (endian, [tags, ...]) — image 0 is the full raster, the rest are
     reduced-resolution overviews in chain order (gdaladdo layout)."""
-    en, off = _tiff_header(buf)
+    en, off, big = _tiff_header(buf)
     images = []
     while off:
-        tags, off = _parse_one_ifd(buf, en, off)
+        tags, off = _parse_one_ifd(buf, en, off, big)
         images.append(tags)
         if len(images) > 64:
             raise ValueError("IFD chain too long / cyclic")
@@ -399,33 +447,37 @@ def _parse_ifd_chain(buf: bytes):
 
 def _parse_ifd(buf: bytes):
     """-> (endian '<'/'>', {tag: list-of-values}) for the FIRST image."""
-    en, off = _tiff_header(buf)
-    tags, _ = _parse_one_ifd(buf, en, off)
+    en, off, big = _tiff_header(buf)
+    tags, _ = _parse_one_ifd(buf, en, off, big)
     return en, tags
 
 
-def _parse_one_ifd_file(f, en: str, ifd_off: int):
+def _parse_one_ifd_file(f, en: str, ifd_off: int, big: bool = False):
     """Seek-based single-IFD parse — only the IFD and its out-of-line
     payloads are read (a few hundred bytes), never pixel data."""
+    hdr_n, esz, vsz = (8, 20, 8) if big else (2, 12, 4)
     f.seek(ifd_off)
-    (n,) = struct.unpack(en + "H", f.read(2))
-    body = f.read(12 * n + 4)
+    (n,) = struct.unpack(en + ("Q" if big else "H"), f.read(hdr_n))
+    body = f.read(esz * n + vsz)
     tags = {}
     for i in range(n):
-        tag, typ, count = struct.unpack_from(en + "HHI", body, 12 * i)
+        tag, typ = struct.unpack_from(en + "HH", body, esz * i)
+        (count,) = struct.unpack_from(en + ("Q" if big else "I"),
+                                      body, esz * i + 4)
         size = _TYPE_SIZE.get(typ, 1) * count
-        if size > 4:
-            (voff,) = struct.unpack_from(en + "I", body, 12 * i + 8)
+        if size > vsz:
+            (voff,) = struct.unpack_from(en + ("Q" if big else "I"),
+                                         body, esz * i + esz - vsz)
             f.seek(voff)
             raw = f.read(size)
         else:
-            raw = body[12 * i + 8:12 * i + 12]
+            raw = body[esz * i + esz - vsz:esz * i + esz]
         if typ == 2:
             tags[tag] = raw[:count].split(b"\x00")[0].decode("latin1")
         elif typ in _TYPE_FMT:
             tags[tag] = list(struct.unpack_from(
                 en + "%d%s" % (count, _TYPE_FMT[typ]), raw, 0))
-    (nxt,) = struct.unpack_from(en + "I", body, 12 * n)
+    (nxt,) = struct.unpack_from(en + ("Q" if big else "I"), body, esz * n)
     return tags, nxt
 
 
@@ -443,8 +495,12 @@ def append_gtiff_images(path: str, arrs, *, tile_size: int | None = None,
     bytes are never moved (so finished byte ranges in any tile manifest
     stay valid — the resume property)."""
     with open(path, "r+b") as f:
-        head = f.read(8)
-        en, off = _tiff_header(head)
+        head = f.read(16)
+        en, off, big = _tiff_header(head)
+        if big:
+            raise ValueError(
+                "append_gtiff_images: BigTIFF overview append not "
+                "implemented (write overviews in the initial pass)")
         while True:
             f.seek(off)
             (n,) = struct.unpack(en + "H", f.read(2))
@@ -572,10 +628,10 @@ def read_gtiff_manifest(path: str, image: int = 0) -> dict:
     1.. = overviews).  At 100 TB this is the ONLY driver-side read; pixels
     stay on workers."""
     with open(path, "rb") as f:
-        en, off = _tiff_header(f.read(8))
+        en, off, big = _tiff_header(f.read(16))
         images = []
         while off:
-            tags, off = _parse_one_ifd_file(f, en, off)
+            tags, off = _parse_one_ifd_file(f, en, off, big)
             images.append(tags)
             if len(images) > 64:
                 raise ValueError("IFD chain too long / cyclic")

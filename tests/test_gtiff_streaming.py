@@ -86,3 +86,52 @@ def test_streaming_write_driver_rss_is_metadata_sized(ray_session, tmp_path):
     for (tx, ty), r in got.items():
         a = np.frombuffer(r["data"], np.uint32).reshape(ts, ts)
         assert (a == ((ty * 32 + tx) * 2654435761) & 0xFFFFFFFF).all()
+
+
+def test_streaming_sink_bigtiff_roundtrip(ray_session, tmp_path):
+    """BigTIFF (version 43, 8-byte offsets) streaming sink: forced-big
+    output reads back pixel-identical to the classic file through the
+    same reader (magic 43, LONG8 tile offsets)."""
+    import ray.data as rd
+    import struct
+
+    from gdal_ray.sources import gtiff as gt
+
+    rng = np.random.default_rng(5)
+    tiles = []
+    for ty in range(2):
+        for tx in range(3):
+            arr = rng.integers(0, 255, (32, 32)).astype(np.uint8)
+            tiles.append({"x": tx, "y": ty, "width": 32, "height": 32,
+                          "dtype": "uint8", "data": arr.tobytes()})
+    ds = rd.from_arrow(pa.Table.from_pylist(tiles))
+
+    classic = str(tmp_path / "c.tif")
+    big = str(tmp_path / "b.tif")
+    gt.write_gtiff_tiles_streaming(ds, classic, width=96, height=64,
+                                   tile_size=32, dtype="uint8",
+                                   bigtiff=False)
+    gt.write_gtiff_tiles_streaming(ds, big, width=96, height=64,
+                                   tile_size=32, dtype="uint8",
+                                   bigtiff=True)
+    with open(big, "rb") as f:
+        head = f.read(16)
+    assert struct.unpack("<H", head[2:4])[0] == 43
+    a = gt.read_gtiff(classic)
+    b = gt.read_gtiff(big)
+    assert np.array_equal(a[0] if isinstance(a, tuple) else a,
+                          b[0] if isinstance(b, tuple) else b)
+
+
+def test_bigtiff_auto_threshold():
+    """bigtiff='auto' flips to version 43 only past the 4 GiB layout."""
+    from gdal_ray.sources import gtiff as gt
+
+    h_small, *_ = gt._tiled_header(width=64, height=64, tile_size=32,
+                                   dtype="uint8")
+    assert h_small[2:4] == b"\x2a\x00"  # 42: classic
+    # 70000x70000 float64 = ~39 GiB layout -> BigTIFF without writing it
+    h_big, data_start, ntx, nty, chunk = gt._tiled_header(
+        width=70000, height=70000, tile_size=1000, dtype="float64")
+    assert h_big[2:4] == b"\x2b\x00"  # 43: BigTIFF
+    assert data_start + ntx * nty * chunk > (1 << 35)
