@@ -2516,6 +2516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gml_roundtrip": q.gml_roundtrip_q,
         "gpkg_roundtrip": q.gpkg_roundtrip_q,
         "geoparquet_roundtrip": q.geoparquet_roundtrip_q,
+        "flatgeobuf_roundtrip": q.flatgeobuf_roundtrip_q,
         "ogr2ogr_convert": q.ogr2ogr_convert_q,
         "semi_join_orders": q.semi_join_orders_q,
         "anti_join_customers": q.anti_join_customers_q,
@@ -4289,6 +4290,15 @@ def oracle_sql() -> dict[str, str]:
         # GeoParquet: vertex sums as the shapefile mirror, plus the
         # footer-folded dataset bbox (min/max over all zone rects) and the
         # single Polygon geometry type
+        "flatgeobuf_roundtrip": f"""
+            WITH {_ZONES.strip().lstrip()}
+            SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
+                   CAST(5 AS BIGINT) AS n_vertices,
+                   CAST(3 * floor(minx * 100 + 0.5) + 2 * floor(maxx * 100 + 0.5)
+                        + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
+                        AS BIGINT) AS coord_sum_x100
+            FROM zz
+        """,
         "geoparquet_roundtrip": f"""
             WITH {_ZONES.strip().lstrip()},
             bb AS (SELECT CAST(floor(min(minx) * 100 + 0.5)

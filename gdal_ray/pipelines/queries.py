@@ -5181,3 +5181,29 @@ def composite_median_q(sf_dir: str):
                          "sum_median": pa.array(sv, pa.float64())})
 
     return comp.map_batches(sums, batch_format="pyarrow")
+
+
+def flatgeobuf_roundtrip_q(sf_dir: str):
+    """FlatGeobuf driver (ogr/ogrsf_frmts/flatgeobuf; spec at
+    flatgeobuf.org): zones stream through the distributed per-part .fgb
+    sink (flatbuffers built from scratch on workers) and read back in
+    parallel — WKB bitwise through the columnar xy encoding."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import flatgeobuf as fgb
+
+    zones = _zones(sf_dir)
+    root = f"{tempfile.gettempdir()}/gdal_ray_fgb_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    parts = [r["path"] for r in fgb.write_flatgeobuf_parts(
+        rd.from_arrow(zones), root).take_all()]  # O(parts) rows
+
+    def read_part(t: pa.Table) -> pa.Table:
+        out = [fgb.read_flatgeobuf(p) for p in t["path"].to_pylist()]
+        return pa.concat_tables(out)
+
+    ds = rd.from_arrow(pa.table({"path": pa.array(parts)})).map_batches(
+        read_part, batch_format="pyarrow")
+    return _zones_vertex_verify(ds)
