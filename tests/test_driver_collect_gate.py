@@ -71,6 +71,8 @@ ALLOWED = {
     ("gdal_ray/pipelines/queries.py", "tile_pyramid_q"),
     # per-tile fragment table for overview build: O(tiles)
     ("gdal_ray/sources/gtiff.py", "gtiff_build_overviews"),
+    # part-path manifest rows: O(parts), not O(features)
+    ("gdal_ray/pipelines/queries.py", "flatgeobuf_roundtrip_q"),
 }
 
 
