@@ -691,6 +691,7 @@ def _apply_grouped(ds, sel: Select, where):
     count_distinct = None  # (arg_col, alias)
     avgs = []  # (arg_col, alias): AVG (swq_op_registrar.cpp:53) = sum/count
     stds = []  # (arg_col, alias, sample): STDDEV_POP/_SAMP
+    nncounts = []  # COUNT(col) source columns (non-null counts)
     # (swq_op_registrar.cpp SWQCF_STDDEV_POP/_SAMP) via exact integer
     # sum + sum-of-squares partials; finalize order is fixed so a DuckDB
     # mirror written with the same term order hashes identically
@@ -712,14 +713,22 @@ def _apply_grouped(ds, sel: Select, where):
                 count_distinct = (node.args[0].name, alias)
                 renames.append((alias, alias))
             elif node.name == "count":
-                if not (len(node.args) == 1 and isinstance(node.args[0], Lit)
+                if (len(node.args) == 1 and isinstance(node.args[0], Lit)
                         and node.args[0].value == "*"):
-                    raise ValueError("only count(*) is supported (count(col) "
-                                     "skips nulls — use a WHERE filter)")
-                if count_alias is not None:
-                    raise ValueError("only one count(*) per grouped select")
-                count_alias = alias
-                renames.append((alias, alias))
+                    if count_alias is not None:
+                        raise ValueError("only one count(*) per grouped "
+                                         "select")
+                    count_alias = alias
+                    renames.append((alias, alias))
+                elif len(node.args) == 1 and isinstance(node.args[0], Col):
+                    # COUNT(col): non-null count (swq summary 'count' skips
+                    # nulls) = SUM of the validity bitmap as int64
+                    argn = node.args[0].name
+                    sums.append(f"__nn_{argn}")
+                    nncounts.append(argn)
+                    renames.append((f"__nn_{argn}_sum", alias))
+                else:
+                    raise ValueError("count() takes * or a plain column")
             elif node.name == "avg":
                 if len(node.args) != 1 or not isinstance(node.args[0], Col):
                     raise ValueError("avg() argument must be a plain column")
@@ -773,13 +782,18 @@ def _apply_grouped(ds, sel: Select, where):
     else:
         if (avgs or stds) and count_alias is None:
             count_alias = "__n"  # avg/stddev need the group count
-        if stds:
+        if stds or nncounts:
             sq_cols = sorted({f"__sq_{c}" for c, _, _ in stds})
+            nn_cols = sorted(set(nncounts))
 
             def addsq(t: pa.Table) -> pa.Table:
                 for sq in sq_cols:
                     src = t[sq[5:]]
                     t = t.append_column(sq, pc.multiply(src, src))
+                for c in nn_cols:
+                    t = t.append_column(
+                        f"__nn_{c}",
+                        pc.cast(pc.is_valid(t[c]), pa.int64()))
                 return t
 
             ds = ds.map_batches(addsq, batch_format="pyarrow")

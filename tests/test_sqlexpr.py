@@ -145,13 +145,13 @@ def test_group_by_aggregates(ray_session):
     sel2 = sqlexpr.parse_select(
         "SELECT k, sum(v) AS sv FROM t GROUP BY k HAVING sv >= 12 ORDER BY k")
     assert sqlexpr.apply_select(ds, sel2).take_all() == [{"k": "b", "sv": 12}]
-    # errors: naked non-key column; count(col); non-column agg arg
+    # errors: naked non-key column; count(expr); non-column agg arg
     with pytest.raises(ValueError, match="GROUP BY"):
         sqlexpr.apply_select(ds, sqlexpr.parse_select(
             "SELECT v, count(*) AS n FROM t GROUP BY k"))
     with pytest.raises(ValueError, match="count"):
         sqlexpr.apply_select(ds, sqlexpr.parse_select(
-            "SELECT k, count(v) AS n FROM t GROUP BY k"))
+            "SELECT k, count(v + 1) AS n FROM t GROUP BY k"))
     with pytest.raises(ValueError, match="plain column"):
         sqlexpr.apply_select(ds, sqlexpr.parse_select(
             "SELECT k, sum(v * 2) AS s FROM t GROUP BY k"))
@@ -354,3 +354,25 @@ def test_sql_limit_offset(ray_session):
         sqlexpr.parse_select("SELECT k, count(*) AS n FROM t2 GROUP BY k "
                              "ORDER BY k LIMIT 2 OFFSET 2")).take_all()
     assert [r["k"] for r in got] == [2, 3]
+
+
+def test_sql_count_column_skips_nulls(ray_session):
+    """COUNT(col) (swq summary count: nulls skipped) alongside count(*),
+    grouped and whole-table, matching DuckDB."""
+    import duckdb
+    import ray.data as rd
+
+    t = pa.table({"k": ["a", "a", "b", "b"],
+                  "v": pa.array([1, None, 2, None], pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    for sql in ("SELECT k, count(v) AS n, count(*) AS m FROM t GROUP BY k "
+                "ORDER BY k",
+                "SELECT count(v) AS n FROM t",
+                "SELECT k, count(v) AS n, sum(v) AS s FROM t GROUP BY k "
+                "ORDER BY k"):
+        got = sqlexpr.apply_select(rd.from_arrow(t),
+                                   sqlexpr.parse_select(sql)).take_all()
+        exp = [dict(zip([d[0] for d in con.sql(sql).description], r))
+               for r in con.sql(sql).fetchall()]
+        assert got == exp, sql
