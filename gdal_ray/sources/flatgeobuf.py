@@ -5,10 +5,10 @@ Header + Feature stream, columnar xy/ends geometry encoding, and the
 
 The flatbuffers wire format (vtables, uoffsets, strings, vectors) is
 implemented from the public flatbuffers internals doc — built back-to-front
-exactly like the reference builder, parsed with relative offsets only.  No
-spatial index is written (``index_node_size = 0``, which the spec allows);
-features stream size-prefixed, so a reader can batch them without loading
-the file.
+exactly like the reference builder, parsed with relative offsets only.
+``index_node_size > 0`` writes the spec's packed Hilbert R-tree (flatbush
+layout: root level first, 40-byte nodes), enabling bbox reads that parse
+only matching features; features stream size-prefixed either way.
 
 Field ids follow the spec's .fbs declaration order:
   Header: name 0, envelope 1, geometry_type 2, has_z 3, has_m 4, has_t 5,
@@ -294,9 +294,28 @@ _ARROW_OF_CT = {CT_LONG: pa.int64(), CT_INT: pa.int32(),
 
 
 def write_flatgeobuf(table: pa.Table, path: str, wkb_col: str = "wkb",
-                     name: str = "layer", crs_code: int = 4326) -> int:
+                     name: str = "layer", crs_code: int = 4326,
+                     index_node_size: int = 0) -> int:
     """Encode an Arrow table (wkb + property columns) as one .fgb file.
-    Returns the feature count."""
+    ``index_node_size > 0`` writes the spec's packed Hilbert R-tree
+    (features sorted by Hilbert value of their bbox center over the
+    dataset extent, order-16 curve — the flatbush layout), enabling
+    bbox-filtered reads that parse only matching features.  Returns the
+    feature count."""
+    if index_node_size:
+        from ..functions.geo import hilbert_encode
+
+        boxes = _wkb.bboxes(table[wkb_col].to_pylist())
+        lo = boxes[:, :2].min(axis=0)
+        hi = boxes[:, 2:].max(axis=0)
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
+        span = np.maximum(hi - lo, 1e-300)
+        gx = ((cx - lo[0]) / span[0] * ((1 << 16) - 1)).astype(np.int64)
+        gy = ((cy - lo[1]) / span[1] * ((1 << 16) - 1)).astype(np.int64)
+        order = np.argsort(hilbert_encode(gx, gy, 16), kind="stable")
+        table = table.take(pa.array(order))
+        boxes = boxes[order]
     prop_cols = [c for c in table.column_names if c != wkb_col]
     col_types = []
     for c in prop_cols:
@@ -315,44 +334,51 @@ def write_flatgeobuf(table: pa.Table, path: str, wkb_col: str = "wkb",
     name_off = hb.create_string(name)
     crs_off = hb.table([(1, "i", int(crs_code))])  # Crs: org 0, code 1
     slots = [(0, "o", name_off), (2, "B", GT_UNKNOWN),
-             (8, "Q", table.num_rows), (9, "H", 0), (10, "o", crs_off)]
+             (8, "Q", table.num_rows),
+             (9, "H", index_node_size), (10, "o", crs_off)]
     if cols_vec is not None:
         slots.append((7, "o", cols_vec))
     header = hb.finish(hb.table(slots))
 
-    n = 0
+    feats = []
+    for i in range(table.num_rows):
+        fb = Builder()
+        geo = _geom_to_fb(fb, _wkb.decode(table[wkb_col][i].as_py()))
+        props = bytearray()
+        for j, (c, ct) in enumerate(zip(prop_cols, col_types)):
+            v = table[c][i].as_py()
+            if v is None:
+                continue  # nullable columns omit the pair
+            props += struct.pack("<H", j)
+            if ct in _FMT_OF_CT:
+                props += struct.pack("<" + _FMT_OF_CT[ct], v)
+            elif ct in (CT_STRING, CT_JSON):
+                raw = v.encode()
+                props += struct.pack("<I", len(raw)) + raw
+            else:  # CT_BINARY
+                props += struct.pack("<I", len(v)) + v
+        slots = [(0, "o", geo)]
+        if props:
+            slots.append((1, "o", fb.create_vector_bytes(bytes(props))))
+        body = fb.finish(fb.table(slots))
+        feats.append(struct.pack("<I", len(body)) + body)
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<I", len(header)))
         f.write(header)
-        for i in range(table.num_rows):
-            fb = Builder()
-            geo = _geom_to_fb(fb, _wkb.decode(table[wkb_col][i].as_py()))
-            props = bytearray()
-            for j, (c, ct) in enumerate(zip(prop_cols, col_types)):
-                v = table[c][i].as_py()
-                if v is None:
-                    continue  # nullable columns omit the pair
-                props += struct.pack("<H", j)
-                if ct in _FMT_OF_CT:
-                    props += struct.pack("<" + _FMT_OF_CT[ct], v)
-                elif ct in (CT_STRING, CT_JSON):
-                    raw = v.encode()
-                    props += struct.pack("<I", len(raw)) + raw
-                else:  # CT_BINARY
-                    props += struct.pack("<I", len(v)) + v
-            slots = [(0, "o", geo)]
-            if props:
-                slots.append((1, "o", fb.create_vector_bytes(bytes(props))))
-            feat = fb.finish(fb.table(slots))
-            f.write(struct.pack("<I", len(feat)))
-            f.write(feat)
-            n += 1
-    return n
+        if index_node_size and table.num_rows:
+            offs = np.concatenate(
+                ([0], np.cumsum([len(b) for b in feats])[:-1]))
+            f.write(_build_index(boxes, offs, index_node_size))
+        for b in feats:
+            f.write(b)
+    return len(feats)
 
 
-def read_flatgeobuf(path: str) -> pa.Table:
-    """Decode one .fgb file -> Arrow table (wkb + property columns)."""
+def read_flatgeobuf(path: str, bbox=None) -> pa.Table:
+    """Decode one .fgb file -> Arrow table (wkb + property columns).
+    ``bbox = (minx, miny, maxx, maxy)`` uses the packed Hilbert R-tree
+    (when present) to parse ONLY intersecting features."""
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:8] != MAGIC:
@@ -364,15 +390,29 @@ def read_flatgeobuf(path: str) -> pa.Table:
     node_size = header.scalar(9, "H", 16)
     nfeat = header.scalar(8, "Q", 0)
     pos = 12 + hlen
+    tree = None
     if node_size > 0 and nfeat > 0:
-        # skip the packed Hilbert R-tree: static size from the spec formula
-        n, sizes = nfeat, nfeat
-        while n != 1:
-            n = (n + node_size - 1) // node_size
-            sizes += n
+        sizes = sum(_level_counts(nfeat, node_size))
+        tree = buf[pos:pos + sizes * 40]
         pos += sizes * 40
-    wkbs, props_rows = [], []
+    if bbox is not None:
+        if tree is None:
+            raise ValueError("bbox read requested but the file carries no "
+                             "spatial index (written with index_node_size=0)")
+        feat_offs = _query_index(tree, nfeat, node_size, tuple(bbox))
+        return _parse_features(buf, [pos + o for o in feat_offs], cols)
+    positions = []
     while pos < len(buf):
+        positions.append(pos)
+        (flen,) = struct.unpack_from("<I", buf, pos)
+        pos += 4 + flen
+    return _parse_features(buf, positions, cols)
+
+
+def _parse_features(buf, positions, cols) -> pa.Table:
+    """Parse the size-prefixed Feature records at ``positions``."""
+    wkbs, props_rows = [], []
+    for pos in positions:
         (flen,) = struct.unpack_from("<I", buf, pos)
         feat = Tbl.root(memoryview(buf)[pos + 4:pos + 4 + flen])
         wkbs.append(_wkb.encode_geom(_fb_to_geom(feat.table(0))))
@@ -394,7 +434,6 @@ def read_flatgeobuf(path: str) -> pa.Table:
                 row[cname] = v.decode() if ct in (CT_STRING, CT_JSON) else v
                 p += ln
         props_rows.append(row)
-        pos += 4 + flen
     out = {"wkb": pa.array(wkbs, pa.binary())}
     for cname, ct in cols:
         out[cname] = pa.array([r.get(cname) for r in props_rows],
@@ -421,3 +460,85 @@ def write_flatgeobuf_parts(ds, out_dir: str, wkb_col: str = "wkb",
                          "n_features": pa.array([n], pa.int64())})
 
     return ds.map_batches(put, batch_format="pyarrow")
+
+
+# -- packed Hilbert R-tree index (spec packedrtree; flatbush layout) ----------
+
+
+def _level_counts(n: int, node_size: int) -> list[int]:
+    """Node counts per level, leaves first (flatbush/packedrtree shape)."""
+    counts = [n]
+    while counts[-1] != 1:
+        counts.append((counts[-1] + node_size - 1) // node_size)
+    return counts
+
+
+def _build_index(boxes: np.ndarray, feat_offsets: np.ndarray,
+                 node_size: int) -> bytes:
+    """Packed Hilbert R-tree bytes (root level first, 40-byte nodes:
+    4 x f64 bbox + u64 offset).  ``boxes`` must already be in Hilbert
+    order; leaf offsets point into the feature section, internal offsets
+    to the first CHILD node's byte position within the index."""
+    n = len(boxes)
+    counts = _level_counts(n, node_size)          # leaves first
+    # serialized order: root first -> compute start indices
+    total = sum(counts)
+    start = total
+    starts_rev = []
+    for c in counts:                              # leaves first
+        start -= c
+        starts_rev.append(start)
+    # starts_rev[i] = start node index of level i (0 = leaves)
+    nodes = np.zeros((total, 5), dtype=np.float64)
+    off_view = nodes[:, 4].view(np.uint64)
+    # leaves
+    ls = starts_rev[0]
+    nodes[ls:ls + n, 0:4] = boxes
+    off_view[ls:ls + n] = feat_offsets.astype(np.uint64)
+    # internal levels
+    for lvl in range(1, len(counts)):
+        cs = starts_rev[lvl - 1]                  # child level start
+        cn = counts[lvl - 1]
+        ps = starts_rev[lvl]
+        for i in range(counts[lvl]):
+            c0 = cs + i * node_size
+            c1 = min(cs + cn, c0 + node_size)
+            nodes[ps + i, 0] = nodes[c0:c1, 0].min()
+            nodes[ps + i, 1] = nodes[c0:c1, 1].min()
+            nodes[ps + i, 2] = nodes[c0:c1, 2].max()
+            nodes[ps + i, 3] = nodes[c0:c1, 3].max()
+            off_view[ps + i] = np.uint64(c0 * 40)
+    return nodes.tobytes()
+
+
+def _query_index(tree: bytes, n: int, node_size: int,
+                 q: tuple[float, float, float, float]) -> list[int]:
+    """Feature byte offsets whose leaf bbox intersects ``q`` — touches only
+    the nodes on the search path."""
+    if n == 0:
+        return []
+    counts = _level_counts(n, node_size)
+    total = sum(counts)
+    leaf_start = total - n
+    # level end indices in serialized (root-first) order
+    ends, pos = [], 0
+    for c in reversed(counts):
+        pos += c
+        ends.append(pos)
+    nodes = np.frombuffer(tree, dtype=np.float64).reshape(total, 5)
+    offs = nodes[:, 4].view(np.uint64)
+    out = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if (nodes[i, 0] > q[2] or nodes[i, 2] < q[0]
+                or nodes[i, 1] > q[3] or nodes[i, 3] < q[1]):
+            continue
+        if i >= leaf_start:
+            out.append(int(offs[i]))
+        else:
+            c0 = int(offs[i]) // 40
+            lvl_end = next(e for e in ends if e > c0)
+            for c in range(c0, min(c0 + node_size, lvl_end)):
+                stack.append(c)
+    return sorted(out)

@@ -82,3 +82,31 @@ def test_fgb_parts_sink(ray_session, tmp_path):
     total = pa.concat_tables(
         [FGB.read_flatgeobuf(r["path"]) for r in out])
     assert total.num_rows == 5
+
+
+def test_fgb_hilbert_index_bbox_read(tmp_path):
+    """Packed Hilbert R-tree: bbox reads return exactly the brute-force
+    intersection set; a no-index file rejects bbox reads clearly."""
+    rng = np.random.default_rng(11)
+    n = 300
+    x0 = rng.uniform(-100, 100, n)
+    y0 = rng.uniform(-50, 50, n)
+    w = rng.uniform(1, 5, n)
+    h = rng.uniform(1, 5, n)
+    t = pa.table({"fid": pa.array(np.arange(n), pa.int64()),
+                  "wkb": pa.array(list(rect_wkbs(x0, y0, x0 + w, y0 + h)),
+                                  pa.binary())})
+    path = str(tmp_path / "i.fgb")
+    FGB.write_flatgeobuf(t, path, index_node_size=16)
+    assert sorted(FGB.read_flatgeobuf(path)["fid"].to_pylist()) == \
+        list(range(n))
+    for q in [(-10, -10, 10, 10), (50, 0, 60, 20), (99, 49, 100, 50)]:
+        got = sorted(FGB.read_flatgeobuf(path, bbox=q)["fid"].to_pylist())
+        exp = sorted(int(f) for f in range(n)
+                     if not (x0[f] > q[2] or x0[f] + w[f] < q[0]
+                             or y0[f] > q[3] or y0[f] + h[f] < q[1]))
+        assert got == exp, q
+    noidx = str(tmp_path / "n.fgb")
+    FGB.write_flatgeobuf(t, noidx)
+    with pytest.raises(ValueError, match="no .*index|spatial index"):
+        FGB.read_flatgeobuf(noidx, bbox=(0, 0, 1, 1))
