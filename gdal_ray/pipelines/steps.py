@@ -204,3 +204,20 @@ def _open_raster(ds, path="", tile_size=64, z=4, band=1, var=None):
         raise ValueError("open_raster needs path=...")
     return open_raster_tiles(path, tile_size=int(tile_size), z=int(z),
                              band=int(band), var=var)
+
+
+@register_step("open_vector")
+def _open_vector(ds, path="", layer=None):
+    """Source step (GDALOpen with GDAL_OF_VECTOR): probe the path against
+    every in-repo vector driver and emit the standard (wkb + attrs)
+    feature rows as a Dataset.  Ignores the incoming Dataset — it STARTS
+    a pipeline ("open_vector path=z.gpkg ! filter ... ! ...")."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..sources.openvector import open_vector
+
+    if not path:
+        raise ValueError("open_vector needs path=...")
+    out = open_vector(path, layer=layer)
+    return rd.from_arrow(out) if isinstance(out, pa.Table) else out

@@ -37,8 +37,8 @@ def identify(path: str) -> str:
         return "PNG"
     if head[:2] == b"\xff\xd8":
         return "JPEG"
-    if head[:4] in (b"II*\x00", b"MM\x00*"):
-        return "GTiff"
+    if head[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
+        return "GTiff"  # classic 42 or BigTIFF 43
     if head[:3] == b"UHL":
         return "DTED"
     if head[:3] in (b"CDF",):
