@@ -2412,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_sql_avg": q.select_sql_avg_q,
         "select_sql_stddev": q.select_sql_stddev_q,
         "select_sql_offset": q.select_sql_offset_q,
+        "select_sql_special_fields": q.select_sql_special_q,
         "gopher_rules": q.gopher_rules_q,
         "lm_familiarity": q.lm_familiarity_q,
         "audio_g711": q.audio_g711_q,
@@ -3019,6 +3020,15 @@ def oracle_sql() -> dict[str, str]:
                          CAST(count(*) AS DOUBLE) AS n
                   FROM orders GROUP BY o_orderpriority)
             ORDER BY o_orderpriority
+        """,
+        "select_sql_special_fields": """
+            SELECT p_partkey AS fid, 'POLYGON' AS gtype,
+                   CAST((2 + (p_partkey * 131) % 8)
+                        * (2 + (p_partkey * 197) % 6) AS DOUBLE) AS area
+            FROM part
+            WHERE (2 + (p_partkey * 131) % 8)
+                  * (2 + (p_partkey * 197) % 6) >= 20
+            ORDER BY fid
         """,
         "select_sql_offset": """
             SELECT o_orderkey, o_custkey FROM orders

@@ -875,6 +875,7 @@ def apply_select(ds, sel: Select, skip_where: bool = False, tables=None,
                 f"apply_select(..., datasets={{{branch.table!r}: Dataset}})")
         tail = apply_select(bds, branch, False, tables, datasets)
         return head.union(tail)
+    ds = _inject_special_fields(ds, sel)
     where = None if skip_where else sel.where
     if sel.join is not None:
         ds = _apply_join(ds, sel, tables)
@@ -967,3 +968,46 @@ def sql_filter(ds, where_sql: str):
         lambda t: t.filter(compile_node(node, lambda n: t[n])),
         batch_format="pyarrow",
     )
+
+
+_SPECIAL_FIELDS = ("OGR_GEOM_AREA", "OGR_GEOMETRY")
+
+
+def _inject_special_fields(ds, sel: Select):
+    """OGR SQL special fields (ogr/ogr_swq.h SpecialFieldNames;
+    ogr_gensql.cpp evaluates them per feature): any statement referencing
+    OGR_GEOM_AREA (shoelace area of the feature geometry, holes
+    subtracted) or OGR_GEOMETRY (the geometry type name, 'POLYGON'...)
+    gets those columns derived from the ``wkb`` column in one vectorized
+    pre-pass.  Case-sensitive upper-case names, per the reference."""
+    used = set(sel.columns_needed) | {c for c, _ in sel.order_by} \
+        | set(sel.group_by or [])
+    wanted = [f for f in _SPECIAL_FIELDS if f in used]
+    if not wanted:
+        return ds
+
+    from ..functions import wkb as _wkbf
+    from ..stages.overlay import geom_area as _garea
+
+    kind_names = {1: "POINT", 2: "LINESTRING", 3: "POLYGON",
+                  4: "MULTIPOINT", 5: "MULTILINESTRING", 6: "MULTIPOLYGON",
+                  7: "GEOMETRYCOLLECTION"}
+
+    def derive(t: pa.Table) -> pa.Table:
+        if "wkb" not in t.column_names:
+            raise ValueError(
+                "special field reference needs a 'wkb' geometry column")
+        geoms = [_wkbf.decode(w) for w in t["wkb"].to_pylist()]
+        if "OGR_GEOM_AREA" in wanted:
+            t = t.append_column(
+                "OGR_GEOM_AREA",
+                pa.array([_garea(g) if g.kind in (3, 6, 17) else 0.0
+                          for g in geoms], pa.float64()))
+        if "OGR_GEOMETRY" in wanted:
+            t = t.append_column(
+                "OGR_GEOMETRY",
+                pa.array([kind_names.get(g.kind, "UNKNOWN")
+                          for g in geoms], pa.string()))
+        return t
+
+    return ds.map_batches(derive, batch_format="pyarrow")

@@ -5207,3 +5207,18 @@ def flatgeobuf_roundtrip_q(sf_dir: str):
     ds = rd.from_arrow(pa.table({"path": pa.array(parts)})).map_batches(
         read_part, batch_format="pyarrow")
     return _zones_vertex_verify(ds)
+
+
+def select_sql_special_q(sf_dir: str):
+    """OGR SQL special fields (ogr/ogr_swq.h SpecialFieldNames;
+    ogr_gensql.cpp per-feature evaluation): OGR_GEOM_AREA and OGR_GEOMETRY
+    referenced from one SQL string over the rect zone layer — areas are
+    exact integers (w*h), so the mirror is closed-form."""
+    from ..functions import sqlexpr
+
+    pk = np.sort(pq.read_table(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])["p_partkey"].to_numpy())
+    t = _int_rect_layer(pk, INT_RECT_L, "fid")
+    sql = ("SELECT fid, OGR_GEOMETRY AS gtype, OGR_GEOM_AREA AS area "
+           "FROM layer WHERE OGR_GEOM_AREA >= 20 ORDER BY fid")
+    return sqlexpr.apply_select(rd.from_arrow(t), sqlexpr.parse_select(sql))

@@ -376,3 +376,27 @@ def test_sql_count_column_skips_nulls(ray_session):
         exp = [dict(zip([d[0] for d in con.sql(sql).description], r))
                for r in con.sql(sql).fetchall()]
         assert got == exp, sql
+
+
+def test_sql_special_fields(ray_session):
+    """OGR special fields (ogr_swq.h): OGR_GEOM_AREA / OGR_GEOMETRY
+    derived from the wkb column; clear error without a wkb column."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.sources.synthetic import rect_wkbs
+
+    t = pa.table({"fid": pa.array([1, 2], pa.int64()),
+                  "wkb": pa.array(list(rect_wkbs(
+                      np.array([0.0, 0.0]), np.array([0.0, 0.0]),
+                      np.array([2.0, 5.0]), np.array([2.0, 4.0]))),
+                      pa.binary())})
+    out = sqlexpr.apply_select(rd.from_arrow(t), sqlexpr.parse_select(
+        "SELECT fid, OGR_GEOM_AREA AS a, OGR_GEOMETRY AS g FROM t "
+        "ORDER BY fid")).take_all()
+    assert out == [{"fid": 1, "a": 4.0, "g": "POLYGON"},
+                   {"fid": 2, "a": 20.0, "g": "POLYGON"}]
+    t2 = pa.table({"fid": pa.array([1], pa.int64())})
+    with pytest.raises(Exception, match="wkb"):
+        sqlexpr.apply_select(rd.from_arrow(t2), sqlexpr.parse_select(
+            "SELECT fid, OGR_GEOM_AREA AS a FROM t")).take_all()
