@@ -1597,10 +1597,13 @@ def buffer_geodesic_batch(batch: pa.Table, meters: float, segments: int = 8,
             proj = _wkb.Geom(_wkb.LINESTRING, [fwd(g.parts[0])])
         elif g.kind == _wkb.POLYGON:
             proj = _wkb.Geom(_wkb.POLYGON, [[fwd(r) for r in g.parts[0]]])
+        elif g.kind == _wkb.MULTIPOLYGON:
+            proj = _wkb.Geom(_wkb.MULTIPOLYGON,
+                             [[fwd(r) for r in rings] for rings in g.parts])
         else:
             raise ValueError(
                 f"buffer_geodesic: unsupported kind {g.kind} "
-                "(POINT/LINESTRING/POLYGON)")
+                "(POINT/LINESTRING/POLYGON/MULTIPOLYGON)")
         b = buffer_geom(proj, meters, segments)
         if b is None:
             out.append(_wkb.encode_polygon([]))
