@@ -2562,6 +2562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
         "jpeg_tiles_roundtrip": q.jpeg_tiles_q,
+        "jpeg_420_roundtrip": q.jpeg_420_roundtrip_q,
+        "jpeg_progressive_roundtrip": q.jpeg_progressive_roundtrip_q,
         "curve_linearize": q.curve_linearize_q,
         "force_2d": q.force_2d_q,
         "curve_area": q.curve_area_q,
@@ -4183,6 +4185,22 @@ def oracle_sql() -> dict[str, str]:
         # JPEG tile sink: the checker's 8-aligned constant blocks round-trip
         # the lossy baseline pipeline exactly at q>=75, so the PNG oracle
         # holds bit-for-bit for the .jpg tile tree too
+        "jpeg_420_roundtrip": """
+            WITH mb AS (SELECT a.range AS mi, b.range AS mj
+                        FROM range(10) a, range(10) b)
+            SELECT CAST(mj // 5 AS BIGINT) AS x, CAST(mi // 5 AS BIGINT) AS y,
+                   CAST(sum(((mi*37 + mj*101 + 13) % 256) * 256) AS BIGINT)
+                       AS sum_r
+            FROM mb GROUP BY 1, 2
+        """,
+        "jpeg_progressive_roundtrip": """
+            WITH mb AS (SELECT a.range AS mi, b.range AS mj
+                        FROM range(10) a, range(10) b)
+            SELECT CAST(mj // 5 AS BIGINT) AS x, CAST(mi // 5 AS BIGINT) AS y,
+                   CAST(sum(((mi*37 + mj*101 + 17) % 256) * 256) AS BIGINT)
+                       AS sum_r
+            FROM mb GROUP BY 1, 2
+        """,
         "jpeg_tiles_roundtrip": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy
                         FROM range(192) a, range(192) b)

@@ -5222,3 +5222,64 @@ def select_sql_special_q(sf_dir: str):
     sql = ("SELECT fid, OGR_GEOMETRY AS gtype, OGR_GEOM_AREA AS area "
            "FROM layer WHERE OGR_GEOM_AREA >= 20 ORDER BY fid")
     return sqlexpr.apply_select(rd.from_arrow(t), sqlexpr.parse_select(sql))
+
+
+def _jpeg_mb_tiles(k_off: int):
+    """2x2 tiles of 80x80 px, each 5x5 16px-macroblocks of constant
+    gray-valued RGB v = (mi*37 + mj*101 + k_off) % 256 — constant 16x16
+    macroblocks with r=g=b make the full 4:2:0 chain exact (Cb=Cr=128)."""
+    return rd.from_arrow(pa.table({
+        "x": pa.array([0, 1, 0, 1], pa.int64()),
+        "y": pa.array([0, 0, 1, 1], pa.int64()),
+        "k": pa.array([k_off] * 4, pa.int64()),
+    }))
+
+
+def _jpeg_tile_verify(t: pa.Table, codec: str) -> pa.Table:
+    from ..sources import jpeg as jpeg_mod
+
+    xs, ys, sums = [], [], []
+    for i in range(t.num_rows):
+        tx = t["x"][i].as_py()
+        ty = t["y"][i].as_py()
+        k = t["k"][i].as_py()
+        mi = ty * 5 + np.arange(5)[:, None]
+        mj = tx * 5 + np.arange(5)[None, :]
+        v = ((mi * 37 + mj * 101 + k) % 256).astype(np.uint8)
+        g = np.repeat(np.repeat(v, 16, 0), 16, 1)
+        img = np.stack([g, g, g], -1)
+        if codec == "progressive":
+            buf = jpeg_mod.encode_progressive(img, quality=90,
+                                              subsampling="420",
+                                              restart_interval=3)
+        else:
+            buf = jpeg_mod.encode_baseline(img, quality=90,
+                                           subsampling="420",
+                                           restart_interval=3)
+        out = jpeg_mod.decode(buf)
+        if not np.array_equal(out, img):
+            raise AssertionError(f"jpeg {codec} tile ({tx},{ty}) not exact")
+        xs.append(tx)
+        ys.append(ty)
+        sums.append(int(out[:, :, 0].astype(np.int64).sum()))
+    return pa.table({"x": pa.array(xs, pa.int64()),
+                     "y": pa.array(ys, pa.int64()),
+                     "sum_r": pa.array(sums, pa.int64())})
+
+
+def jpeg_420_roundtrip_q(sf_dir: str):
+    """4:2:0 chroma-subsampled baseline JPEG (the layout of virtually every
+    real camera/web JPEG; sources/jpeg 16x16 MCUs, box downsample, DRI/RST
+    restart markers): encode each tile, decode through the general-sampling
+    decoder, assert bit-exactness and emit per-tile channel sums."""
+    return _jpeg_mb_tiles(13).map_batches(
+        lambda t: _jpeg_tile_verify(t, "baseline"), batch_format="pyarrow")
+
+
+def jpeg_progressive_roundtrip_q(sf_dir: str):
+    """Progressive (SOF2) JPEG: spectral-selection + successive-approximation
+    scan script (DC first/refine, banded AC first/refine, EOB runs, restart
+    intervals) over 4:2:0 MCUs — decoded pixels must match the baseline
+    reconstruction bit-for-bit (ITU-T T.81 Annex G)."""
+    return _jpeg_mb_tiles(17).map_batches(
+        lambda t: _jpeg_tile_verify(t, "progressive"), batch_format="pyarrow")

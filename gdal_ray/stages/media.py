@@ -133,8 +133,10 @@ class DecodeBackend:
     ``materialize_payload_store``); when None the payload bytes are
     synthesized in memory — the codec still runs on real PNG bytes.
     Image payloads are sniffed by magic: PNG (\x89PNG) via the in-repo PNG
-    codec, baseline JPEG (\xff\xd8) via sources/jpeg.decode_baseline
-    (round-4: real corpora are JPEG-heavy)."""
+    codec, JPEG (\xff\xd8) via sources/jpeg.decode — baseline SOF0
+    (any sampling: 4:4:4, 4:2:0, 4:2:2) and progressive SOF2 streams,
+    restart intervals included (round-4: real corpora are JPEG-heavy,
+    mostly 4:2:0 and frequently progressive)."""
 
     def __init__(self, backend: str = "fake", thumb: int = 8,
                  store_root: str | None = None):
@@ -145,12 +147,12 @@ class DecodeBackend:
         self.store_root = store_root
         if backend == "real":
             from ..sources.avi import decode_avi
-            from ..sources.jpeg import decode_baseline
+            from ..sources.jpeg import decode as decode_jpeg
             from ..sources.png import decode_png
             from ..sources.wav import decode_wav
 
             self._decode_png = decode_png
-            self._decode_jpeg = decode_baseline
+            self._decode_jpeg = decode_jpeg
             self._decode_wav = decode_wav
             self._decode_avi = decode_avi
 
