@@ -4547,6 +4547,38 @@ def geojson_roundtrip_q(sf_dir: str):
     return _zones_vertex_verify(gj.read_geojsonseq_dataset(path))
 
 
+def vsizip_roundtrip_q(sf_dir: str):
+    """VSI container layer (/vsizip + /vsigzip, port/cpl_vsil_gzip.cpp):
+    half the zones ride a zipped GeoJSON, half a gzipped one; both open
+    through the GDALOpen-style vector opener with vsi paths and union back
+    to the full layer — exercising archive resolution, the single-member
+    shorthand, and the content-keyed extraction cache."""
+    import os
+    import tempfile
+
+    from ..sources import geojson as gj
+    from ..sources import openvector as ov
+    from ..sources import vsi
+
+    zones = _zones(sf_dir)
+    n = zones.num_rows
+    root = f"{tempfile.gettempdir()}/gdal_ray_vsi_q_{os.getpid()}"
+    os.makedirs(root, exist_ok=True)
+    halves = [zones.slice(0, n // 2), zones.slice(n // 2)]
+    paths = []
+    for i, part in enumerate(halves):
+        p = f"{root}/zones{i}.geojson"
+        gj.write_geojson(p, part["wkb"].to_pylist(),
+                         pa.table({"zone_id": part["zone_id"],
+                                   "zone_key": part["zone_key"]}))
+        paths.append(p)
+    arch = vsi.zip_sink_dir(paths[0], f"{root}/zones0.zip")
+    gz = vsi.gzip_file(paths[1])
+    t0 = ov.open_vector(f"/vsizip/{arch}")  # single-member shorthand
+    t1 = ov.open_vector(f"/vsigzip/{gz}")
+    return _zones_vertex_verify(rd.from_arrow(pa.concat_tables([t0, t1])))
+
+
 def gpkg_roundtrip_q(sf_dir: str):
     """GeoPackage driver: zones -> .gpkg (GP-binary blobs, spec metadata
     tables) -> fid-range parallel scan -> WKB (bitwise through the blob)."""

@@ -85,7 +85,11 @@ def open_raster_tiles(path: str, tile_size: int = 64, z: int = 4,
                       band: int = 1, var: str | None = None):
     """Open any supported raster as the engine's standard tile Dataset —
     the GDALOpen entry point.  ``var``: NetCDF variable (defaults to the
-    first 2-D one); ``band`` routes through multi-band drivers."""
+    first 2-D one); ``band`` routes through multi-band drivers.
+    /vsizip//vsigzip//vsitar/ container paths resolve first (cpl_vsil_*)."""
+    from .vsi import vsi_resolve
+
+    path = vsi_resolve(path)
     drv = identify(path)
     if drv == "BMP":
         from .bmp import read_bmp_tiles

@@ -63,7 +63,11 @@ def identify(path: str) -> str:
 def open_vector(path: str, layer: str | None = None, **kw):
     """Open any supported vector source -> features (wkb + attributes).
     Returns a pa.Table for single-file formats and a Ray Dataset for the
-    partitioned containers (GeoParquet/FlatGeobuf part dirs, Arrow IPC)."""
+    partitioned containers (GeoParquet/FlatGeobuf part dirs, Arrow IPC).
+    /vsizip//vsigzip//vsitar/ container paths resolve first (cpl_vsil_*)."""
+    from .vsi import vsi_resolve
+
+    path = vsi_resolve(path)
     drv = identify(path)
     if drv == "GPKG":
         from . import gpkg
