@@ -2514,6 +2514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shp_roundtrip": q.shp_roundtrip_q,
         "geojson_roundtrip": q.geojson_roundtrip_q,
         "vsizip_roundtrip": q.vsizip_roundtrip_q,
+        "gpx_roundtrip": q.gpx_roundtrip_q,
         "kml_roundtrip": q.kml_roundtrip_q,
         "gml_roundtrip": q.gml_roundtrip_q,
         "gpkg_roundtrip": q.gpkg_roundtrip_q,
@@ -4270,6 +4271,13 @@ def oracle_sql() -> dict[str, str]:
                         + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
                         AS BIGINT) AS coord_sum_x100
             FROM zz
+        """,
+        "gpx_roundtrip": """
+            SELECT CAST(p_partkey AS BIGINT) AS pk,
+                   'p' || CAST(p_partkey AS VARCHAR) AS name,
+                   CAST(-720 + (p_partkey % 1400) AS BIGINT) AS x4,
+                   CAST(-340 + (p_partkey % 560) AS BIGINT) AS y4
+            FROM part
         """,
         "vsizip_roundtrip": f"""
             WITH {_ZONES.strip().lstrip()}

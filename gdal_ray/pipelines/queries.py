@@ -4579,6 +4579,41 @@ def vsizip_roundtrip_q(sf_dir: str):
     return _zones_vertex_verify(rd.from_arrow(pa.concat_tables([t0, t1])))
 
 
+def gpx_roundtrip_q(sf_dir: str):
+    """GPX driver (ogr/ogrsf_frmts/gpx): a waypoint per part key plus a
+    route per 16th key, written to one .gpx and read back in PARALLEL
+    (element byte-range manifest); lat/lon are exact 0.25-grid dyadics so
+    repr serialization is bitwise and the mirror is closed-form."""
+    import os
+    import tempfile
+
+    from ..sources import gpx
+
+    pk = np.sort(pq.read_table(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])["p_partkey"].to_numpy())
+    x = (-180.0 + (pk % 1400).astype(np.float64) * 0.25)
+    y = (-85.0 + (pk % 560).astype(np.float64) * 0.25)
+    from ..functions import wkb as wkb_f
+
+    wkbs = wkb_f.encode_points(x, y)
+    path = f"{tempfile.gettempdir()}/gdal_ray_gpx_{os.getpid()}.gpx"
+    gpx.write_gpx(path, wkbs,
+                  pa.table({"name": pa.array([f"p{k}" for k in pk]),
+                            "pk": pa.array(pk.astype(np.int64))}))
+    ds = gpx.read_gpx_dataset(path, "waypoints", per_block=256)
+
+    def verify(t: pa.Table) -> pa.Table:
+        xs, ys = wkb_f.decode_points(t["wkb"].to_pylist())
+        return pa.table({
+            "pk": pc.cast(t["pk"], pa.int64()),
+            "name": t["name"],
+            "x4": pa.array(np.floor(xs * 4 + 0.5).astype(np.int64)),
+            "y4": pa.array(np.floor(ys * 4 + 0.5).astype(np.int64)),
+        })
+
+    return ds.map_batches(verify, batch_format="pyarrow")
+
+
 def gpkg_roundtrip_q(sf_dir: str):
     """GeoPackage driver: zones -> .gpkg (GP-binary blobs, spec metadata
     tables) -> fid-range parallel scan -> WKB (bitwise through the blob)."""

@@ -49,6 +49,8 @@ def identify(path: str) -> str:
         body = open(path, "rb").read(4096).lower()
         if b"<kml" in body or b"placemark" in body:
             return "KML"
+        if b"<gpx" in body:
+            return "GPX"
         return "GML"
     if b"," in head and (b"wkt" in head.lower() or b"geometry" in
                          head.lower()):
@@ -107,6 +109,16 @@ def open_vector(path: str, layer: str | None = None, **kw):
         from . import kml
 
         return kml.read_kml(path)
+    if drv == "GPX":
+        from . import gpx
+
+        if layer is not None:
+            return gpx.read_gpx(path, layer)
+        for lyr in ("waypoints", "routes", "tracks"):
+            t = gpx.read_gpx(path, lyr)
+            if t.num_rows:
+                return t
+        return t
     if drv == "GML":
         from . import gml
 
