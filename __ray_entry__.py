@@ -2515,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geojson_roundtrip": q.geojson_roundtrip_q,
         "vsizip_roundtrip": q.vsizip_roundtrip_q,
         "gpx_roundtrip": q.gpx_roundtrip_q,
+        "dxf_roundtrip": q.dxf_roundtrip_q,
         "kml_roundtrip": q.kml_roundtrip_q,
         "gml_roundtrip": q.gml_roundtrip_q,
         "gpkg_roundtrip": q.gpkg_roundtrip_q,
@@ -4264,6 +4265,15 @@ def oracle_sql() -> dict[str, str]:
             FROM px GROUP BY 1, 2
         """,
         "geojson_roundtrip": f"""
+            WITH {_ZONES.strip().lstrip()}
+            SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
+                   CAST(5 AS BIGINT) AS n_vertices,
+                   CAST(3 * floor(minx * 100 + 0.5) + 2 * floor(maxx * 100 + 0.5)
+                        + 3 * floor(miny * 100 + 0.5) + 2 * floor(maxy * 100 + 0.5)
+                        AS BIGINT) AS coord_sum_x100
+            FROM zz
+        """,
+        "dxf_roundtrip": f"""
             WITH {_ZONES.strip().lstrip()}
             SELECT CAST(zone_key AS BIGINT) AS zone_key, zone_id,
                    CAST(5 AS BIGINT) AS n_vertices,

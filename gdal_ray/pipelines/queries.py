@@ -4614,6 +4614,36 @@ def gpx_roundtrip_q(sf_dir: str):
     return ds.map_batches(verify, batch_format="pyarrow")
 
 
+def dxf_roundtrip_q(sf_dir: str):
+    """DXF driver (ogr/ogrsf_frmts/dxf): zone polygons travel as
+    solid-fill HATCH boundary paths (the reference writer's mapping) and
+    read back in parallel via the entity byte-range manifest."""
+    import os
+    import tempfile
+
+    from ..sources import dxf
+
+    zones = _zones(sf_dir)
+    path = f"{tempfile.gettempdir()}/gdal_ray_dxf_{os.getpid()}.dxf"
+    dxf.write_dxf(path, zones["wkb"].to_pylist(),
+                  pa.table({"Layer": zones["zone_id"]}))
+    ds = dxf.read_dxf_dataset(path, per_block=256)
+
+    # recover zone_key by joining zone_id (unique per zone)
+    key_by_id = dict(zip(zones["zone_id"].to_pylist(),
+                         zones["zone_key"].to_pylist()))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t["Layer"].to_pylist()
+        return pa.table({
+            "wkb": t["wkb"], "zone_id": t["Layer"],
+            "zone_key": pa.array([key_by_id[i] for i in ids], pa.int64()),
+        })
+
+    return _zones_vertex_verify(ds.map_batches(attach,
+                                               batch_format="pyarrow"))
+
+
 def gpkg_roundtrip_q(sf_dir: str):
     """GeoPackage driver: zones -> .gpkg (GP-binary blobs, spec metadata
     tables) -> fid-range parallel scan -> WKB (bitwise through the blob)."""

@@ -13,6 +13,7 @@ stage consumes."""
 from __future__ import annotations
 
 import os
+import re
 
 import pyarrow as pa
 
@@ -43,6 +44,9 @@ def identify(path: str) -> str:
     if name.endswith(".mvt") or name.endswith(".pbf"):
         return "MVT"
     text = head.lstrip()
+    if name.endswith(".dxf") or re.match(rb"^\s*(999|0)\s*\r?\n", head):
+        if name.endswith(".dxf") or b"SECTION" in open(path, "rb").read(512):
+            return "DXF"
     if text[:1] == b"{":
         return "GeoJSON"
     if text[:5] == b"<?xml" or text[:1] == b"<":
@@ -109,6 +113,10 @@ def open_vector(path: str, layer: str | None = None, **kw):
         from . import kml
 
         return kml.read_kml(path)
+    if drv == "DXF":
+        from . import dxf
+
+        return dxf.read_dxf(path)
     if drv == "GPX":
         from . import gpx
 
