@@ -2476,6 +2476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wrapdateline": q.wrapdateline_q,
         "geodesic_measures": q.geodesic_measures_q,
         "geodesic_ellipsoidal": q.geodesic_ellipsoidal_q,
+        "geodesic_true": q.geodesic_true_q,
         "geodesic_azimuth": q.geodesic_azimuth_q,
         "arrow_ipc_roundtrip": q.arrow_ipc_roundtrip_q,
         "layer_info": q.layer_info_q,

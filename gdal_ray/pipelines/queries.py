@@ -2550,6 +2550,24 @@ def geodesic_ellipsoidal_q(sf_dir: str):
     return out.select_columns(["zone_key", "geo_area_10m2", "geo_perim_m"])
 
 
+def geodesic_true_q(sf_dir: str):
+    """TRUE geodesic-edge area + Vincenty perimeter of every zone polygon:
+    each edge is the actual ellipsoid geodesic between its vertices
+    (Vincenty inverse azimuth + exact-ODE RK4 quadrature of Green's
+    theorem, ~1e-9 relative — geomops._geodesic_ring_area_m2).  The full
+    get_GeodesicArea answer for arbitrary (non-lat-lon-aligned) edges; no
+    SQL oracle because the geodesic ODE has no closed form — parity is
+    pinned in tests/test_geomops.py by densifying each geodesic edge and
+    folding the authalic-q trapezoid sum over the dense chords."""
+    from ..stages import geomops
+
+    zones = rd.from_arrow(_zones(sf_dir))
+    out = zones.map_batches(
+        lambda t: geomops.geodesic_measures_batch(t, mode="geodesic"),
+        batch_format="pyarrow")
+    return out.select_columns(["zone_key", "geo_area_10m2", "geo_perim_m"])
+
+
 def arrow_ipc_roundtrip_q(sf_dir: str):
     """Arrow IPC stream driver roundtrip (the explicit ogrlayerarrow surface,
     65536-row batch cap; forced to 256 here so the parallel per-batch read

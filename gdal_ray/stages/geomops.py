@@ -739,6 +739,194 @@ def _vincenty_len_m(pts: np.ndarray, iters: int = 20) -> float:
     return float(s.sum())
 
 
+def _vincenty_inverse(pts: np.ndarray, a: float, f: float,
+                      iters: int = 20):
+    """Vectorized Vincenty inverse per consecutive vertex pair of one
+    polyline — thin wrapper over the pair-array core."""
+    return _vincenty_inverse_pairs(pts[:-1], pts[1:], a, f, iters)
+
+
+def _vincenty_inverse_pairs(p0: np.ndarray, p1: np.ndarray,
+                            a: float, f: float, iters: int = 20):
+    """Vectorized Vincenty inverse over arbitrary endpoint-pair arrays
+    (lon,lat degrees, shape (n,2) each): returns (s12 meters, alpha1
+    forward azimuth radians).  Fixed iteration count (converged values are
+    a fixed point).  Near-antipodal pairs may not converge — same caveat
+    as ``_vincenty_len_m``.  Pair-array form exists so a whole batch of
+    rings integrates in ONE numpy dispatch chain instead of per-ring
+    tiny-array calls."""
+    b = a * (1.0 - f)
+    U0 = np.arctan((1.0 - f) * np.tan(np.radians(p0[:, 1])))
+    U1_ = np.arctan((1.0 - f) * np.tan(np.radians(p1[:, 1])))
+    sU1, cU1 = np.sin(U0), np.cos(U0)
+    sU2, cU2 = np.sin(U1_), np.cos(U1_)
+    L = np.radians(p1[:, 0]) - np.radians(p0[:, 0])
+    lam = L.copy()
+    for _ in range(iters):
+        slam, clam = np.sin(lam), np.cos(lam)
+        sin_sig = np.sqrt((cU2 * slam) ** 2
+                          + (cU1 * sU2 - sU1 * cU2 * clam) ** 2)
+        cos_sig = sU1 * sU2 + cU1 * cU2 * clam
+        sig = np.arctan2(sin_sig, cos_sig)
+        safe = np.where(sin_sig == 0.0, 1.0, sin_sig)
+        sin_alpha = np.where(sin_sig == 0.0, 0.0, cU1 * cU2 * slam / safe)
+        cos2_alpha = 1.0 - sin_alpha * sin_alpha
+        safe_c = np.where(cos2_alpha == 0.0, 1.0, cos2_alpha)
+        cos2sigm = np.where(cos2_alpha == 0.0, 0.0,
+                            cos_sig - 2.0 * sU1 * sU2 / safe_c)
+        C = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+        lam = L + (1.0 - C) * f * sin_alpha * (
+            sig + C * sin_sig * (
+                cos2sigm
+                + C * cos_sig * (2.0 * cos2sigm * cos2sigm - 1.0)))
+    slam, clam = np.sin(lam), np.cos(lam)
+    sin_sig = np.sqrt((cU2 * slam) ** 2
+                      + (cU1 * sU2 - sU1 * cU2 * clam) ** 2)
+    cos_sig = sU1 * sU2 + cU1 * cU2 * clam
+    sig = np.arctan2(sin_sig, cos_sig)
+    safe = np.where(sin_sig == 0.0, 1.0, sin_sig)
+    sin_alpha = np.where(sin_sig == 0.0, 0.0, cU1 * cU2 * slam / safe)
+    cos2_alpha = 1.0 - sin_alpha * sin_alpha
+    safe_c = np.where(cos2_alpha == 0.0, 1.0, cos2_alpha)
+    cos2sigm = np.where(cos2_alpha == 0.0, 0.0,
+                        cos_sig - 2.0 * sU1 * sU2 / safe_c)
+    u2 = cos2_alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0
+                                                            - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = B * sin_sig * (cos2sigm + B / 4.0 * (
+        cos_sig * (-1.0 + 2.0 * cos2sigm * cos2sigm)
+        - B / 6.0 * cos2sigm * (-3.0 + 4.0 * sin_sig * sin_sig)
+        * (-3.0 + 4.0 * cos2sigm * cos2sigm)))
+    s12 = np.where(sin_sig == 0.0, 0.0, b * A * (sig - dsig))
+    alpha1 = np.arctan2(cU2 * slam, cU1 * sU2 - sU1 * cU2 * clam)
+    return s12, alpha1
+
+
+def _ellipsoid_G(phi: np.ndarray, a: float, e2: float):
+    """Area-accumulator primitive: G(phi) = integral_0^phi of the oblate
+    area element per radian of longitude, b^2 cos(p)/(1-e^2 sin^2 p)^2 dp
+    = b^2/2 (sin/(1-e^2 sin^2) + atanh(e sin)/e) — exact closed form (the
+    same q-function family Snyder 3-12 uses).  Sphere limit: a^2 sin."""
+    s = np.sin(phi)
+    if e2 == 0.0:
+        return a * a * s
+    b2 = a * a * (1.0 - e2)
+    e = np.sqrt(e2)
+    return 0.5 * b2 * (s / (1.0 - e2 * s * s) + np.arctanh(e * s) / e)
+
+
+def _geodesic_edge_integrals(phi1: np.ndarray, alpha1: np.ndarray,
+                             s12: np.ndarray, a: float, f: float,
+                             nsteps: int = 64):
+    """Integrate the EXACT geodesic ODEs per edge (vectorized across
+    edges, RK4 in arc length):
+
+        dphi/ds   = cos(alpha) / M(phi)        M = a(1-e^2)/W^3
+        dlam/ds   = sin(alpha) / (N cos(phi))  N = a/W,  W^2 = 1-e^2 sin^2
+        dalpha/ds = sin(alpha) tan(phi) / N    (Clairaut)
+        dA/ds     = G(phi) dlam/ds             (Green's theorem on the
+                                                surface of revolution)
+
+    These are the textbook exact equations — no series truncation; the
+    only error is RK4's O(h^4), ~1e-9 relative at 64 steps for
+    continent-sized edges.  Returns (area term, dlam, final phi, final
+    alpha) per edge.  Independent derivation of the reference's
+    GeographicLib-backed get_GeodesicArea (ogr/ogrcurvepolygon.cpp);
+    edges through the exact poles are unsupported (tan blows up)."""
+    e2 = f * (2.0 - f)
+
+    def deriv(phi, alpha):
+        s_ = np.sin(phi)
+        W = np.sqrt(1.0 - e2 * s_ * s_)
+        M = a * (1.0 - e2) / (W * W * W)
+        N = a / W
+        sa, ca = np.sin(alpha), np.cos(alpha)
+        dphi = ca / M
+        dlam = sa / (N * np.cos(phi))
+        dalpha = sa * np.tan(phi) / N
+        dA = _ellipsoid_G(phi, a, e2) * dlam
+        return dphi, dlam, dalpha, dA
+
+    h = s12 / float(nsteps)
+    phi = phi1.astype(np.float64).copy()
+    alpha = alpha1.astype(np.float64).copy()
+    lam_acc = np.zeros_like(phi)
+    A_acc = np.zeros_like(phi)
+    for _ in range(nsteps):
+        k1 = deriv(phi, alpha)
+        k2 = deriv(phi + 0.5 * h * k1[0], alpha + 0.5 * h * k1[2])
+        k3 = deriv(phi + 0.5 * h * k2[0], alpha + 0.5 * h * k2[2])
+        k4 = deriv(phi + h * k3[0], alpha + h * k3[2])
+        phi = phi + h / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+        lam_acc = lam_acc + h / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1]
+                                       + k4[1])
+        alpha = alpha + h / 6.0 * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
+        A_acc = A_acc + h / 6.0 * (k1[3] + 2 * k2[3] + 2 * k3[3] + k4[3])
+    return A_acc, lam_acc, phi, alpha
+
+
+def _geodesic_ring_area_m2(ring: np.ndarray, a: float | None = None,
+                           f: float | None = None,
+                           nsteps: int = 64) -> float:
+    """TRUE geodesic polygon-ring area on the ellipsoid: every edge is the
+    geodesic between its vertices (Vincenty inverse for the departure
+    azimuth, then exact-ODE quadrature of Green's theorem along it).
+    Pole-winding handled by the longitude winding number; the signed sum
+    is reduced modulo the total ellipsoid area into (-total/2, total/2]
+    and returned absolute — the Planimeter convention.  Accuracy ~1e-9
+    relative (RK4, 64 steps); near-antipodal edges inherit Vincenty's
+    convergence caveat."""
+    from ..functions.transformer import WGS84_A, WGS84_F
+
+    areas, _ = _geodesic_ring_areas_many([ring], a=a, f=f, nsteps=nsteps)
+    return float(areas[0])
+
+
+def _geodesic_ring_areas_many(rings: list, a: float | None = None,
+                              f: float | None = None, nsteps: int = 64):
+    """Batched form of ``_geodesic_ring_area_m2``: ALL edges of ALL rings
+    are concatenated into one pair array, Vincenty-solved and
+    RK4-integrated in a single numpy dispatch chain, then folded back per
+    ring with ``np.add.reduceat``.  Returns (areas_m2, perims_m) arrays —
+    perimeter is the Vincenty s12 sum, so it comes out of the same solve
+    for free.  This is what keeps mode='geodesic' vectorized at
+    2000-polygon batch sizes (the per-ring path is ~80x slower on
+    4-edge rings: 64 RK4 steps x 4 deriv calls of tiny-array overhead
+    per polygon)."""
+    from ..functions.transformer import WGS84_A, WGS84_F
+
+    a = WGS84_A if a is None else a
+    f = WGS84_F if f is None else f
+    e2 = f * (2.0 - f)
+    if not rings:
+        return np.zeros(0), np.zeros(0)
+    n_edges = np.array([len(r) - 1 for r in rings], dtype=np.int64)
+    p0 = np.concatenate([r[:-1] for r in rings], axis=0).astype(np.float64)
+    p1 = np.concatenate([r[1:] for r in rings], axis=0).astype(np.float64)
+    if np.any(np.abs(p0[:, 1]) > 89.999999) or np.any(
+            np.abs(p1[:, 1]) > 89.999999):
+        raise ValueError(
+            "geodesic area: vertex at/through a pole is unsupported "
+            "(tan(phi) singularity in the geodesic ODE) — nudge the vertex "
+            "off |lat|=90 or use mode='ellipsoidal'")
+    s12, alpha1 = _vincenty_inverse_pairs(p0, p1, a, f)
+    phi1 = np.radians(p0[:, 1])
+    A_edges, dlam, _, _ = _geodesic_edge_integrals(phi1, alpha1, s12, a, f,
+                                                   nsteps)
+    starts = np.concatenate([[0], np.cumsum(n_edges)[:-1]])
+    A_sum = np.add.reduceat(A_edges, starts)
+    dlam_sum = np.add.reduceat(dlam, starts)
+    perims = np.add.reduceat(s12, starts)
+    G_pole = float(_ellipsoid_G(np.float64(np.pi / 2.0), a, e2))
+    total = 4.0 * np.pi * G_pole
+    wind = np.round(dlam_sum / (2.0 * np.pi))
+    S = wind * 2.0 * np.pi * G_pole - A_sum
+    S = S - total * np.round(S / total)  # reduce to (-total/2, total/2]
+    S = np.where(S <= -total / 2.0, S + total, S)
+    return np.abs(S), perims
+
+
 def geodesic_measures_batch(batch: pa.Table, wkb_col: str = "wkb",
                             mode: str = "sphere") -> pa.Table:
     """Append geodesic measures: geo_area_10m2 = round(area/10) in 10 m^2
@@ -749,11 +937,42 @@ def geodesic_measures_batch(batch: pa.Table, wkb_col: str = "wkb",
     spherical-excess area + haversine length.  ``mode='ellipsoidal'``:
     authalic-q trapezoid area (exact for lat-lon-aligned edges) + Vincenty
     inverse lengths — the reference's GeographicLib-grade answers for
-    zone-style polygons (sphere area error ~0.1-0.3% disappears)."""
+    zone-style polygons (sphere area error ~0.1-0.3% disappears).
+    ``mode='geodesic'``: TRUE geodesic-edge area (Vincenty azimuth +
+    exact-ODE Green quadrature per edge, ~1e-9 relative) + Vincenty
+    lengths — the full get_GeodesicArea answer for arbitrary edges."""
     if mode == "sphere":
         ring_area, line_len = _sph_ring_area_m2, _haversine_len_m
     elif mode == "ellipsoidal":
         ring_area, line_len = _ell_ring_area_m2, _vincenty_len_m
+    elif mode == "geodesic":
+        # batched path: one Vincenty solve + one RK4 chain for the whole
+        # batch (per-ring tiny-array dispatch is ~80x slower)
+        geoms = [_wkb.decode(w) for w in batch[wkb_col].to_pylist()]
+        ring_list, sign_list, owner = [], [], []
+        for i, g in enumerate(geoms):
+            for rings in g.shells_and_holes():
+                for j, ring in enumerate(rings):
+                    ring_list.append(ring)
+                    sign_list.append(1.0 if j == 0 else -1.0)
+                    owner.append(i)
+        area_v = np.zeros(len(geoms))
+        perim_v = np.zeros(len(geoms))
+        if ring_list:
+            r_areas, r_perims = _geodesic_ring_areas_many(ring_list)
+            np.add.at(area_v, owner, np.asarray(sign_list) * r_areas)
+            np.add.at(perim_v, owner, r_perims)
+        for i, g in enumerate(geoms):
+            if g.kind == _wkb.LINESTRING:
+                perim_v[i] = _vincenty_len_m(g.parts[0])
+            elif g.kind == _wkb.MULTILINESTRING:
+                perim_v[i] = sum(_vincenty_len_m(p) for p in g.parts)
+        return (batch.append_column(
+                    "geo_area_10m2",
+                    pa.array(np.round(area_v / 10.0).astype(np.int64)))
+                     .append_column(
+                    "geo_perim_m",
+                    pa.array(np.round(perim_v).astype(np.int64))))
     else:
         raise ValueError(f"unknown geodesic mode {mode!r}")
     areas, perims = [], []

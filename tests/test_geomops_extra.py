@@ -408,3 +408,96 @@ def test_layer_algebra_multi_intersector(ray_session):
     up = sorted((r["part"], r["r_id"], r["area"]) for r in LA.layer_update(
         rd.from_arrow(A), rd.from_arrow(B)).take_all())
     assert up == [("left", -1, 79.0), ("right", 7, 9.0), ("right", 8, 18.0)]
+
+
+def _densify_geodesic_edge(p0, p1, n=200):
+    """Independent check helper: march the geodesic ODE point-by-point from
+    p0 toward p1 (Vincenty departure azimuth, RK4 in arc length) recording
+    every intermediate position — the resulting dense chord polyline feeds
+    the authalic-q trapezoid area, which converges to the true geodesic
+    area as the chords shrink."""
+    from gdal_ray.functions import transformer as tr
+    from gdal_ray.stages.geomops import _vincenty_inverse
+
+    a, f = tr.WGS84_A, tr.WGS84_F
+    e2 = f * (2.0 - f)
+    pts = np.array([p0, p1], float)
+    s12, al1 = _vincenty_inverse(pts, a, f)
+    phi = np.radians(np.array([p0[1]]))
+    lam = np.radians(np.array([p0[0]]))
+    alpha = al1.copy()
+    h = s12 / n
+
+    def deriv(phi, alpha):
+        s_ = np.sin(phi)
+        W = np.sqrt(1.0 - e2 * s_ * s_)
+        M = a * (1.0 - e2) / W ** 3
+        N = a / W
+        sa, ca = np.sin(alpha), np.cos(alpha)
+        return ca / M, sa / (N * np.cos(phi)), sa * np.tan(phi) / N
+
+    out = [list(p0)]
+    for _ in range(n):
+        k1 = deriv(phi, alpha)
+        k2 = deriv(phi + 0.5 * h * k1[0], alpha + 0.5 * h * k1[2])
+        k3 = deriv(phi + 0.5 * h * k2[0], alpha + 0.5 * h * k2[2])
+        k4 = deriv(phi + h * k3[0], alpha + h * k3[2])
+        phi = phi + h / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+        lam = lam + h / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+        alpha = alpha + h / 6.0 * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
+        out.append([float(np.degrees(lam[0])), float(np.degrees(phi[0]))])
+    return out
+
+
+def test_geodesic_true_area_dense_chord_parity():
+    """Round-4: TRUE geodesic-edge area (mode='geodesic').  Cross-validated
+    two independent ways: (a) densify every geodesic edge into 200 chords
+    and fold the authalic-q trapezoid sum (exact in the dense limit);
+    (b) the endpoint of the ODE march must land on the Vincenty-target
+    vertex (the same ODEs drive position AND area, so hitting the vertex
+    validates the quadrature path)."""
+    from gdal_ray.stages.geomops import _ell_ring_area_m2, _geodesic_ring_area_m2
+
+    # a deliberately skewed (non-lat-lon-aligned) quadrilateral
+    ring = np.array([[10.0, 40.0], [16.0, 41.0], [15.0, 47.5],
+                     [9.0, 45.0], [10.0, 40.0]])
+    g = _geodesic_ring_area_m2(ring)
+    dense = []
+    for i in range(len(ring) - 1):
+        seg = _densify_geodesic_edge(ring[i], ring[i + 1], n=1000)
+        # (b) the march must arrive at the target vertex
+        assert abs(seg[-1][0] - ring[i + 1][0]) < 1e-7
+        assert abs(seg[-1][1] - ring[i + 1][1]) < 1e-7
+        dense.extend(seg[:-1])
+    dense.append(list(ring[0]))
+    ref = _ell_ring_area_m2(np.array(dense))
+    # the dense-chord reference carries its own O(1/n^2) chord error
+    # (~5.5e-9 at n=1000, measured 1.4e-7 at n=200); the quadrature itself
+    # converges to 1e-10 (nsteps check below)
+    assert abs(g / ref - 1.0) < 2e-8
+    # nsteps convergence: 16 vs 256 steps agree to ~RK4 tolerance
+    assert abs(_geodesic_ring_area_m2(ring, nsteps=16)
+               / _geodesic_ring_area_m2(ring, nsteps=256) - 1.0) < 1e-9
+
+
+def test_geodesic_true_mode_batch_and_guards():
+    import pyarrow as pa
+    import pytest
+
+    from gdal_ray.functions import wkt as _wkt
+    from gdal_ray.stages import geomops
+
+    w = _wkt.parse_wkt("POLYGON ((10 40, 13 40, 13 42.5, 10 42.5, 10 40))")
+    t = pa.table({"wkb": pa.array([w], pa.binary())})
+    ell = geomops.geodesic_measures_batch(t, mode="ellipsoidal").to_pylist()[0]
+    geo = geomops.geodesic_measures_batch(t, mode="geodesic").to_pylist()[0]
+    # perimeters identical (both Vincenty); areas differ only by the
+    # parallel-vs-geodesic bulge of the two east-west edges (~1e-5 rel)
+    assert geo["geo_perim_m"] == ell["geo_perim_m"]
+    assert abs(geo["geo_area_10m2"] / ell["geo_area_10m2"] - 1.0) < 1e-4
+    assert geo["geo_area_10m2"] != ell["geo_area_10m2"]
+    # pole vertex must raise loudly, not return garbage
+    wp = _wkt.parse_wkt("POLYGON ((0 0, 90 0, 0 90, 0 0))")
+    tp = pa.table({"wkb": pa.array([wp], pa.binary())})
+    with pytest.raises(ValueError, match="pole"):
+        geomops.geodesic_measures_batch(tp, mode="geodesic")
