@@ -2395,6 +2395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_knn": q.join_knn,
         "knn_tree": q.knn_tree_q,
         "zonal_stats": q.zonal_stats_q,
+        "zonal_fractional": q.zonal_fractional_q,
         "zonal_extended": q.zonal_extended_q,
         "zonal_modes": q.zonal_modes_q,
         # relational conformance (SURVEY §2.2/2.5/2.6/2.7/2.11)
@@ -2728,6 +2729,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.lon >= zz.minx AND d.lon <= zz.maxx
               AND d.lat >= zz.miny AND d.lat <= zz.maxy
             GROUP BY zz.zone_id
+        """,
+        "zonal_fractional": """
+            WITH z AS (
+              SELECT p_partkey AS zone_key,
+                     ((p_partkey * 7) % 3520) / 16.0 AS x0,
+                     ((p_partkey * 11) % 3520) / 16.0 AS y0,
+                     2.0 + ((p_partkey * 5) % 320) / 16.0 AS w,
+                     2.0 + ((p_partkey * 3) % 320) / 16.0 AS h
+              FROM part),
+            zz AS (SELECT zone_key, x0, y0, x0 + w AS x1, y0 + h AS y1 FROM z),
+            px AS (
+              SELECT zone_key, x0, y0, x1, y1, gx, gy
+              FROM zz,
+              LATERAL (SELECT unnest(generate_series(
+                         CAST(floor(x0) AS BIGINT),
+                         CAST(ceil(x1) AS BIGINT) - 1)) AS gx) gxs,
+              LATERAL (SELECT unnest(generate_series(
+                         CAST(floor(y0) AS BIGINT),
+                         CAST(ceil(y1) AS BIGINT) - 1)) AS gy) gys),
+            f AS (
+              SELECT zone_key,
+                     (least(x1, gx + 1.0) - greatest(x0, CAST(gx AS DOUBLE)))
+                     * (least(y1, gy + 1.0) - greatest(y0, CAST(gy AS DOUBLE)))
+                       AS frac,
+                     ((gx - 96) * (gx - 96) + (gy - 96) * (gy - 96)) / 64.0
+                       AS v
+              FROM px)
+            SELECT zone_key,
+                   count(*) AS n_pix,
+                   CAST(round(sum(frac) * 256.0) AS BIGINT) AS cov_256,
+                   CAST(round(sum(frac * v) * 16384.0) AS BIGINT)
+                     AS wsum_16384,
+                   CAST(round(min(v) * 64.0) AS BIGINT) AS vmin_64,
+                   CAST(round(max(v) * 64.0) AS BIGINT) AS vmax_64
+            FROM f GROUP BY zone_key
         """,
         "zonal_extended": f"""
             WITH {_DOCS_GEO}, {_ZONES},

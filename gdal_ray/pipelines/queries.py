@@ -106,6 +106,28 @@ def zonal_stats_q(sf_dir: str):
     return zonal.zonal_stats(pts, _zones(sf_dir), value_col="n_chars")
 
 
+def zonal_fractional_q(sf_dir: str):
+    """Coverage-weighted RASTER zonal statistics with exact fractional
+    pixel coverage (alg/zonal.cpp:2173 pixels=FRACTIONAL; the reference
+    computes the fractions via GEOSGridIntersectionFractions_r at
+    :1940 — ours is the exact Green's-theorem grid kernel in
+    stages/coverage.py).  Zones are dyadic (1/16 px) rectangles from
+    p_partkey over the 4x4-tile 'hump' raster; every emitted stat is an
+    exact scaled int64, bit-stable against the SQL closed form."""
+    from ..stages import coverage
+
+    keys = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey"])["p_partkey"].to_numpy()
+    zones = synthetic.make_pixel_zones(np.sort(keys))
+    tiles_ds = rd.from_arrow(synthetic.make_raster_tiles("hump", 4, 4, size=64))
+    out = coverage.zonal_stats_fractional(tiles_ds, zones)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["zone_key", "n_pix", "cov_256", "wsum_16384",
+             "vmin_64", "vmax_64"]),
+        batch_format="pyarrow")
+
+
 def join_anti_spatial_q(sf_dir: str):
     """Spatial anti join: docs covered by NO zone (NOT EXISTS; the
     point-layer Erase analogue, ogrlayer.cpp:6770 family)."""

@@ -345,3 +345,22 @@ def make_footprint_layer(rect, a: int, b: int, mod: int,
             "data": pa.array(datas, type=pa.binary()),
         }
     )
+
+
+def make_pixel_zones(keys: np.ndarray) -> pa.Table:
+    """Zone rectangles in RASTER PIXEL coordinates with dyadic (1/16 px)
+    bounds, for the fractional-coverage zonal fixture: bounds on a 2^-4
+    grid make every pixel-overlap product exact in float64, so the
+    coverage sums are bit-stable against the SQL closed form regardless of
+    fold order.  Sized to stay inside a 4x4-tile (256 px) raster."""
+    keys = np.asarray(keys, dtype=np.int64)
+    x0 = ((keys * 7) % 3520) / 16.0
+    y0 = ((keys * 11) % 3520) / 16.0
+    x1 = x0 + 2.0 + ((keys * 5) % 320) / 16.0
+    y1 = y0 + 2.0 + ((keys * 3) % 320) / 16.0
+    return pa.table({
+        "zone_key": pa.array(keys),
+        "minx": pa.array(x0), "miny": pa.array(y0),
+        "maxx": pa.array(x1), "maxy": pa.array(y1),
+        "wkb": pa.array(rect_wkbs(x0, y0, x1, y1), type=pa.binary()),
+    })
