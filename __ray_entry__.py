@@ -2501,6 +2501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asc_roundtrip": q.asc_roundtrip_q,
         "envi_roundtrip": q.envi_roundtrip_q,
         "netcdf_roundtrip": q.netcdf_roundtrip_q,
+        "mdim_time_sum": q.mdim_time_sum_q,
+        "mdim_slice_transpose": q.mdim_slice_transpose_q,
         "bmp_roundtrip": q.bmp_roundtrip_q,
         "pnm_roundtrip": q.pnm_roundtrip_q,
         "gif_roundtrip": q.gif_roundtrip_q,
@@ -5195,6 +5197,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
                                         AS DOUBLE) / 64.0) AS BIGINT)
                             * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        # Multidim time cube v(t,y,x) = (7t+5y+3x) % 97 over (12,192,192):
+        # sum over t per pixel, then the shared 64-px local-weight tile
+        # checksum (chunks divide 192 evenly, so tile width is 64 always)
+        "mdim_time_sum": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b),
+            s AS (SELECT gx, gy,
+                         (SELECT sum((7 * t.range + 5 * gy + 3 * gx) % 97)
+                          FROM range(12) t) AS v
+                  FROM px)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(v * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM s GROUP BY 1, 2
+        """,
+        # slice t=7 then transpose (y,x)->(x,y): output pixel (row i, col j)
+        # = v(7, y=j, x=i); tile x = j//64, tile y = i//64
+        "mdim_slice_transpose": """
+            WITH px AS (SELECT a.range AS i, b.range AS j
+                        FROM range(192) a, range(192) b)
+            SELECT CAST(j // 64 AS BIGINT) AS x, CAST(i // 64 AS BIGINT) AS y,
+                   CAST(sum(((7 * 7 + 5 * j + 3 * i) % 97)
+                            * (((i % 64) * 64 + j % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM px GROUP BY 1, 2
         """,

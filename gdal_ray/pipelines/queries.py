@@ -1807,6 +1807,53 @@ def envi_roundtrip_q(sf_dir: str):
     return tiles.map_batches(sums, batch_format="pyarrow")
 
 
+def _mdim_cube_path() -> str:
+    """Shared multidim fixture: v(t,y,x) = (7t + 5y + 3x) % 97 int32 at
+    (12, 192, 192), written once per process through the in-repo netCDF
+    classic container."""
+    import os
+    import tempfile
+
+    from ..sources import netcdf3
+
+    path = f"{tempfile.gettempdir()}/gdal_ray_mdim_cube_{os.getpid()}.nc"
+    if not os.path.exists(path):
+        t, y, x = np.meshgrid(np.arange(12), np.arange(192), np.arange(192),
+                              indexing="ij")
+        v = ((7 * t + 5 * y + 3 * x) % 97).astype(np.int32)
+        netcdf3.write_netcdf3(path, {"v": (("time", "y", "x"), v)},
+                              global_attrs={"Conventions": "CF-1.6"})
+    return path
+
+
+def mdim_time_sum_q(sf_dir: str):
+    """Multidim axis reduction (gcore/gdalmultidim.cpp GDALMDArray;
+    gdalmdimtranslate view pipeline): a (12, 192, 192) int32 time cube,
+    read as (4, 64, 64) hyperslab chunks via windowed memmap, summed over
+    the ``time`` dimension (per-chunk int64 partials + ONE keyed fold over
+    the remaining (y, x) chunk grid), exported to classic raster tiles and
+    checksummed — the exact-climatology workload end to end."""
+    from ..stages import mdim
+
+    ds, md = mdim.read_mdarray_chunks(_mdim_cube_path(), "v",
+                                      {"time": 4, "y": 64, "x": 64})
+    red, rmd = mdim.axis_reduce(ds, md, "time", "sum")
+    return _tile_checksum_rows(mdim.to_raster_tiles(red, rmd))
+
+
+def mdim_slice_transpose_q(sf_dir: str):
+    """Multidim slice + transpose (gdalmdimtranslate -array view=[7,...],
+    transposedView; GDALMDArray::Transpose): fix time=7, swap (y, x) ->
+    (x, y) per chunk (no shuffle), export to raster tiles, checksum."""
+    from ..stages import mdim
+
+    ds, md = mdim.read_mdarray_chunks(_mdim_cube_path(), "v",
+                                      {"time": 4, "y": 64, "x": 64})
+    sl, smd = mdim.mdim_slice(ds, md, "time", 7)
+    tr, tmd = mdim.transpose_chunks(sl, smd, ["x", "y"])
+    return _tile_checksum_rows(mdim.to_raster_tiles(tr, tmd))
+
+
 def netcdf_roundtrip_q(sf_dir: str):
     """NetCDF classic driver (frmts/netcdf surface, from the published
     CDF-1 spec): the 192x192 hump as a float32 (y, x) variable with CF-ish

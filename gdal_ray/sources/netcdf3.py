@@ -271,6 +271,27 @@ def read_netcdf3_window(path: str, var: str, y0: int, y1: int,
     return np.ascontiguousarray(mm[y0:y1, x0:x1]).astype(dt.newbyteorder("="))
 
 
+def read_netcdf3_hyperslab(path: str, var: str, starts, counts) -> np.ndarray:
+    """N-D hyperslab read via memory map (the nc_get_vara contract —
+    reference netCDF driver surface for multidim arrays, and the access
+    primitive ``gdalmdimtranslate`` subsetting is built on).  Only pages the
+    slab's rows touch fault in; the variable never loads whole."""
+    _dims, meta, _g = read_header(path)
+    if var not in meta:
+        raise KeyError(f"variable {var!r} not in {sorted(meta)}")
+    _vd, shape, t, begin, _va = meta[var]
+    if len(starts) != len(shape) or len(counts) != len(shape):
+        raise ValueError(f"{var!r} is {len(shape)}-D; got "
+                         f"{len(starts)} starts / {len(counts)} counts")
+    for s, c, n in zip(starts, counts, shape):
+        if s < 0 or c < 0 or s + c > n:
+            raise ValueError(f"hyperslab [{s}:{s + c}] outside dim size {n}")
+    dt = np.dtype(_NP_OF[t]).newbyteorder(">")
+    mm = np.memmap(path, dtype=dt, mode="r", offset=begin, shape=tuple(shape))
+    sel = tuple(slice(s, s + c) for s, c in zip(starts, counts))
+    return np.ascontiguousarray(mm[sel]).astype(dt.newbyteorder("="))
+
+
 def read_netcdf3_tiles(path: str, var: str, tile_size: int = 64, z: int = 4):
     """A 2-D variable -> the engine's standard tile-row Dataset.  Tiles are
     cut with windowed memmap reads (read_netcdf3_window): only touched

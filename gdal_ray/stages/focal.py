@@ -24,7 +24,10 @@ _DTYPES = {"uint8": np.uint8, "float32": np.float32, "float64": np.float64,
            "int16": np.int16, "int32": np.int32,
            # GDT_UInt16/GDT_UInt32 are first-class reference pixel types
            # (gcore/gdal.h:49-66)
-           "uint16": np.uint16, "uint32": np.uint32}
+           "uint16": np.uint16, "uint32": np.uint32,
+           # GDT_Int64/GDT_UInt64 (gcore/gdal.h GDAL 3.5+) — also the
+           # natural dtype of exact multidim axis-reduce sums (stages/mdim)
+           "int64": np.int64, "uint64": np.uint64}
 
 
 def _dtype_of(s: str):
