@@ -2503,6 +2503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "netcdf_roundtrip": q.netcdf_roundtrip_q,
         "mdim_time_sum": q.mdim_time_sum_q,
         "mdim_slice_transpose": q.mdim_slice_transpose_q,
+        "mdim_record_max": q.mdim_record_max_q,
         "bmp_roundtrip": q.bmp_roundtrip_q,
         "pnm_roundtrip": q.pnm_roundtrip_q,
         "gif_roundtrip": q.gif_roundtrip_q,
@@ -5208,6 +5209,19 @@ def oracle_sql() -> dict[str, str]:
                         FROM range(192) a, range(192) b),
             s AS (SELECT gx, gy,
                          (SELECT sum((7 * t.range + 5 * gy + 3 * gx) % 97)
+                          FROM range(12) t) AS v
+                  FROM px)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(v * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM s GROUP BY 1, 2
+        """,
+        # record-dim cube, max over t: same closed form, MAX aggregate
+        "mdim_record_max": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b),
+            s AS (SELECT gx, gy,
+                         (SELECT max((7 * t.range + 5 * gy + 3 * gx) % 97)
                           FROM range(12) t) AS v
                   FROM px)
             SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,

@@ -1854,6 +1854,32 @@ def mdim_slice_transpose_q(sf_dir: str):
     return _tile_checksum_rows(mdim.to_raster_tiles(tr, tmd))
 
 
+def mdim_record_max_q(sf_dir: str):
+    """Record-dimension (UNLIMITED) multidim pipeline: the same time cube
+    written with ``time`` as the netCDF record dim (spec record layout —
+    interleaved per-record slabs, numrecs in the header), chunk-read
+    through the strided memmap path, max-reduced over time, checksummed.
+    Exercises the layout real CF time-series files use
+    (frmts/netcdf + gcore/gdalmultidim.cpp)."""
+    import os
+    import tempfile
+
+    from ..sources import netcdf3
+    from ..stages import mdim
+
+    path = f"{tempfile.gettempdir()}/gdal_ray_mdim_rec_{os.getpid()}.nc"
+    if not os.path.exists(path):
+        t, y, x = np.meshgrid(np.arange(12), np.arange(192), np.arange(192),
+                              indexing="ij")
+        v = ((7 * t + 5 * y + 3 * x) % 97).astype(np.int32)
+        netcdf3.write_netcdf3(path, {"v": (("time", "y", "x"), v)},
+                              record_dim="time")
+    ds, md = mdim.read_mdarray_chunks(path, "v",
+                                      {"time": 4, "y": 64, "x": 64})
+    red, rmd = mdim.axis_reduce(ds, md, "time", "max")
+    return _tile_checksum_rows(mdim.to_raster_tiles(red, rmd))
+
+
 def netcdf_roundtrip_q(sf_dir: str):
     """NetCDF classic driver (frmts/netcdf surface, from the published
     CDF-1 spec): the 192x192 hump as a float32 (y, x) variable with CF-ish

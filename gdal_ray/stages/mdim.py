@@ -134,7 +134,7 @@ def mdim_info(path: str) -> pa.Table:
     for d, n in dims.items():
         kind.append("dimension"); name.append(d)
         dnames.append(d); shp.append(str(n)); dts.append(""); nval.append(n)
-    for v, (vdims, shape, t, _begin, _atts) in meta.items():
+    for v, (vdims, shape, t, _begin, _atts, _stride) in meta.items():
         kind.append("array"); name.append(v)
         dnames.append(",".join(vdims))
         shp.append(",".join(str(s) for s in shape))
@@ -161,7 +161,7 @@ def read_mdarray_chunks(path: str, var: str, chunks: dict[str, int],
     _dims, meta, _g = netcdf3.read_header(path)
     if var not in meta:
         raise KeyError(f"variable {var!r} not in {sorted(meta)}")
-    vdims, shape, _t, _begin, _atts = meta[var]
+    vdims, shape, _t, _begin, _atts, _stride = meta[var]
     for d in vdims:
         if d not in chunks:
             raise ValueError(f"no chunk size for dim {d!r}; got {chunks}")
