@@ -2504,6 +2504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdim_time_sum": q.mdim_time_sum_q,
         "mdim_slice_transpose": q.mdim_slice_transpose_q,
         "mdim_record_max": q.mdim_record_max_q,
+        "gnm_shortest_path": q.gnm_shortest_path_q,
+        "gnm_components": q.gnm_components_q,
         "bmp_roundtrip": q.bmp_roundtrip_q,
         "pnm_roundtrip": q.pnm_roundtrip_q,
         "gif_roundtrip": q.gif_roundtrip_q,
@@ -5215,6 +5217,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM s GROUP BY 1, 2
+        """,
+        # GNM wall-grid network distance: manhattan + forced-detour closed
+        # form (wall between x=63/64, gap at y=96; targets from p_partkey)
+        "gnm_shortest_path": """
+            SELECT p_partkey AS zone_key,
+                   CAST((p_partkey * 13 % 128) + (p_partkey * 29 % 128)
+                        + CASE WHEN (p_partkey * 13 % 128) >= 64
+                                AND (p_partkey * 29 % 128) < 96
+                               THEN 2 * (96 - (p_partkey * 29 % 128))
+                               ELSE 0 END AS BIGINT) AS net_dist
+            FROM part
+        """,
+        # 16 disjoint 512-node chains: component = floor(node/512)*512
+        "gnm_components": """
+            SELECT CAST((c.range) * 512 AS BIGINT) AS component,
+                   CAST(512 AS BIGINT) AS n_nodes
+            FROM range(16) c
         """,
         # record-dim cube, max over t: same closed form, MAX aggregate
         "mdim_record_max": """

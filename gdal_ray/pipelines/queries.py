@@ -1807,6 +1807,73 @@ def envi_roundtrip_q(sf_dir: str):
     return tiles.map_batches(sums, batch_format="pyarrow")
 
 
+def gnm_shortest_path_q(sf_dir: str):
+    """GNM Dijkstra shortest path in bulk (gnm/gnmgraph.cpp
+    DijkstraShortestPathTree; algorithm enum gnm/gnm.h:60): a 128x128 unit
+    road grid with a wall between x=63 and x=64 open only at y=96; every
+    part row maps to a target junction and gets its network distance from
+    junction (0,0).  The engine runs real graph search over the edge list
+    (broadcast CSR, per-actor SSSP, vectorized lookups); the oracle is the
+    closed-form detour arithmetic the wall induces."""
+    from ..stages import network
+
+    n, wall_x, gap_y = 128, 63, 96
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="xy")
+    right_src = (ys[:, :-1] * n + xs[:, :-1]).ravel()
+    blocked = (right_src % n == wall_x) & (right_src // n != gap_y)
+    down_src = (ys[:-1, :] * n + xs[:-1, :]).ravel()
+    edges = pa.table({
+        "src": pa.array(np.concatenate([right_src[~blocked], down_src]),
+                        pa.int64()),
+        "dst": pa.array(np.concatenate([right_src[~blocked] + 1,
+                                        down_src + n]), pa.int64())})
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey"])
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = (k * 29 % 128) * 128 + (k * 13 % 128)
+        return pa.table({"zone_key": pa.array(k), "node": pa.array(node)})
+
+    targets = parts.map_batches(to_nodes, batch_format="pyarrow")
+    out = network.shortest_path_distances(targets, edges, source=0)
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["net_dist"].to_numpy(zero_copy_only=False)
+        return pa.table({"zone_key": t["zone_key"],
+                         "net_dist": pa.array(d.astype(np.int64))})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def gnm_components_q(sf_dir: str):
+    """GNM connected components (GATConnectedComponents, gnm/gnm.h:62) via
+    the engine's distributed min-label propagation: 16 disjoint 512-node
+    chains (diameter 512 — the pointer-doubling stress shape), reduced to
+    one (component, n_nodes) row each."""
+    import ray.data as rd
+
+    from ..stages import network
+    from ..stages.relational import partial_aggregate
+
+    n, chain = 8192, 512
+    i = np.arange(n - 1)
+    keep = (i % chain) != chain - 1
+    edges = pa.table({"src": pa.array(i[keep], pa.int64()),
+                      "dst": pa.array(i[keep] + 1, pa.int64())})
+    labels = network.connected_components_net(rd.from_arrow(edges))
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({"component": pa.compute.cast(t["label"], pa.int64()),
+                         "n_nodes": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = partial_aggregate(labels.map_batches(one, batch_format="pyarrow"),
+                            ["component"], sums=["n_nodes"])
+    return agg.map_batches(
+        lambda t: t.rename_columns(["component", "n_nodes"]),
+        batch_format="pyarrow")
+
+
 def _mdim_cube_path() -> str:
     """Shared multidim fixture: v(t,y,x) = (7t + 5y + 3x) % 97 int32 at
     (12, 192, 192), written once per process through the in-repo netCDF
