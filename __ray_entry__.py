@@ -2504,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdim_time_sum": q.mdim_time_sum_q,
         "mdim_slice_transpose": q.mdim_slice_transpose_q,
         "mdim_record_max": q.mdim_record_max_q,
+        "check_coverage": q.check_coverage_q,
         "gnm_shortest_path": q.gnm_shortest_path_q,
         "gnm_components": q.gnm_components_q,
         "bmp_roundtrip": q.bmp_roundtrip_q,
@@ -5217,6 +5218,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM s GROUP BY 1, 2
+        """,
+        # coverage validation: pairwise rect interior overlaps, closed form
+        "check_coverage": f"""
+            WITH {_ZONES},
+            p AS (
+              SELECT a.zone_key AS ka, b.zone_key AS kb,
+                     least(a.maxx, b.maxx) - greatest(a.minx, b.minx) AS w,
+                     least(a.maxy, b.maxy) - greatest(a.miny, b.miny) AS h
+              FROM zz a, zz b WHERE a.zone_key < b.zone_key),
+            v AS (
+              SELECT ka, kb, CAST(round(w * h * 10000.0) AS BIGINT) AS sc
+              FROM p WHERE w > 0 AND h > 0
+                      AND CAST(round(w * h * 10000.0) AS BIGINT) > 0),
+            e AS (
+              SELECT ka AS zone_key, sc FROM v
+              UNION ALL SELECT kb AS zone_key, sc FROM v)
+            SELECT zz.zone_key,
+                   CAST(coalesce(count(e.sc), 0) AS BIGINT) AS n_overlaps,
+                   CAST(coalesce(sum(e.sc), 0) AS BIGINT) AS overlap_area
+            FROM zz LEFT JOIN e ON zz.zone_key = e.zone_key
+            GROUP BY zz.zone_key
         """,
         # GNM wall-grid network distance: manhattan + forced-detour closed
         # form (wall between x=63/64, gap at y=96; targets from p_partkey)

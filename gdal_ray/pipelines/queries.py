@@ -1807,6 +1807,23 @@ def envi_roundtrip_q(sf_dir: str):
     return tiles.map_batches(sums, batch_format="pyarrow")
 
 
+def check_coverage_q(sf_dir: str):
+    """Coverage validation (gdal vector check-coverage,
+    apps/gdalalg_vector_check_coverage.cpp; GEOS CoverageValidator overlap
+    class): per zone rectangle, the number of other zones whose interior
+    overlaps it and the exact scaled total overlap area — the rect layer
+    makes the oracle a closed-form pairwise min/max product."""
+    from ..stages import layeralg
+
+    zones = _zones(sf_dir)
+    layer = rd.from_arrow(pa.table({"fid": zones["zone_key"],
+                                    "wkb": zones["wkb"]}))
+    out = layeralg.check_coverage(layer, res=4)
+    return out.map_batches(
+        lambda t: t.rename_columns(["zone_key"] + t.column_names[1:]),
+        batch_format="pyarrow")
+
+
 def gnm_shortest_path_q(sf_dir: str):
     """GNM Dijkstra shortest path in bulk (gnm/gnmgraph.cpp
     DijkstraShortestPathTree; algorithm enum gnm/gnm.h:60): a 128x128 unit

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import geo, pip, wkb
 
@@ -595,3 +596,96 @@ def layer_update(left_ds, right_ds, res: int = 5, left_id: str = "l_id",
                               want=("left",))
     return left_res.union(
         right_ds.map_batches(rights, batch_format="pyarrow"))
+
+
+def _owner_cell_self_pairs(group: pa.Table, res: int):
+    """Yield (id_a, id_b, geom_a, geom_b) with id_a < id_b for every
+    bbox-candidate pair WITHIN one layer's cell group, owner-cell-deduped
+    exactly like ``_owner_cell_pairs`` (a feature's cover lists each cell
+    once, so positions within a group are distinct features)."""
+    cell = int(group["cell"][0].as_py())
+    box = np.column_stack(
+        [group[c].to_numpy(zero_copy_only=False)
+         for c in ("minx", "miny", "maxx", "maxy")])
+    ids = group["gid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    wkbs = group["wkb"].to_pylist()
+    cand = np.nonzero(pip.bbox_intersects(box, box))
+    ai, bi = cand
+    keep = ids[ai] < ids[bi]
+    ai, bi = ai[keep], bi[keep]
+    if len(ai) == 0:
+        return
+    ocx = np.maximum(box[ai, 0], box[bi, 0])
+    ocy = np.maximum(box[ai, 1], box[bi, 1])
+    owner = geo.point_cells(ocx, ocy, res)
+    cache: dict = {}
+    for k in range(len(ai)):
+        if int(owner[k]) != cell:
+            continue
+        a, b = int(ai[k]), int(bi[k])
+        if a not in cache:
+            cache[a] = wkb.decode(wkbs[a])
+        if b not in cache:
+            cache[b] = wkb.decode(wkbs[b])
+        yield int(ids[a]), int(ids[b]), cache[a], cache[b]
+
+
+def check_coverage(ds, id_col: str = "fid", res: int = 5,
+                   area_scale: int = 10000):
+    """Polygonal-coverage validation (``gdal vector check-coverage``,
+    reference ``apps/gdalalg_vector_check_coverage.cpp`` — GEOS
+    CoverageValidator's OVERLAP class): a layer forms a valid coverage
+    only if interiors are pairwise disjoint, so every pair with a
+    positive-area intersection is a violation.  Emits ONE row per input
+    feature: (id, n_overlaps, overlap_area) with the area an exact scaled
+    int64 (order-independent fold); clean features report zeros.
+
+    Plan: the same cell-partitioned self-join as ``polygon_join``
+    (owner-cell dedup, each pair's boolean op computed once), pair
+    violations exploded to both participants, ONE keyed aggregate.
+    Boundary-touch pairs (zero-area intersection — valid coverage
+    topology) are not violations.  GEOS's gap-width class (narrow slivers
+    BETWEEN features) is not covered here."""
+    from .relational import partial_aggregate
+    from . import overlay
+
+    tagged = ds.map_batches(lambda b: _tag_side(b, 0, res, id_col),
+                            batch_format="pyarrow")
+
+    empty = pa.table({"id": pa.array([], pa.int64()),
+                      "n_overlaps": pa.array([], pa.int64()),
+                      "overlap_area": pa.array([], pa.int64())})
+
+    def pair_rows(group: pa.Table) -> pa.Table:
+        ids, ns, areas = [], [], []
+        for ida, idb, ga, gb in _owner_cell_self_pairs(group, res):
+            gi = overlay.boolean_op(ga, gb, "intersection")
+            ia = overlay.geom_area(gi)
+            if gi is None or ia <= 0:
+                continue
+            sc = int(round(ia * area_scale))
+            if sc == 0:
+                continue
+            ids += [ida, idb]
+            ns += [1, 1]
+            areas += [sc, sc]
+        if not ids:
+            return empty
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "n_overlaps": pa.array(ns, pa.int64()),
+                         "overlap_area": pa.array(areas, pa.int64())})
+
+    def zero_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"id": pc.cast(b[id_col], pa.int64()),
+                         "n_overlaps": pa.array(np.zeros(n, np.int64)),
+                         "overlap_area": pa.array(np.zeros(n, np.int64))})
+
+    pairs = tagged.groupby("cell").map_groups(pair_rows,
+                                              batch_format="pyarrow")
+    base = ds.map_batches(zero_rows, batch_format="pyarrow")
+    agg = partial_aggregate(base.union(pairs), ["id"],
+                            sums=["n_overlaps", "overlap_area"])
+    return agg.map_batches(
+        lambda t: t.rename_columns(["id", "n_overlaps", "overlap_area"]),
+        batch_format="pyarrow")

@@ -2,6 +2,7 @@
 ogr/ogrlayer.cpp Intersection/Union/SymDifference/Erase overlay output)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from gdal_ray.functions import wkb
@@ -252,3 +253,39 @@ def test_overlay_translation_invariance_webmercator_magnitude():
         assert abs(overlay.geom_area(overlay.boolean_op(ga, gb, "union")) - 16.0) < 1e-6
         g = overlay.boolean_op(ga, gb, "intersection")
         assert overlay.geom_area(g) < 1e-6
+
+
+def test_check_coverage(ray_session):
+    """Overlap-class coverage validation: touching rects are clean,
+    overlapping ones report the exact pair area on BOTH participants."""
+    import ray.data as rd
+
+    from gdal_ray.functions import wkb as wkb_f
+    from gdal_ray.stages import layeralg
+
+    def rect(x0, y0, x1, y1):
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                        dtype=np.float64)
+        return wkb_f.encode_polygon([ring])
+
+    layer = pa.table({
+        "fid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "wkb": pa.array([
+            rect(0, 0, 2, 2),       # overlaps 2 (area 1) and 3 (area 0.25)
+            rect(1, 1, 3, 3),       # overlaps 1, 3
+            rect(1.5, 1.5, 4, 4),   # overlaps 1 (0.25), 2 (1.5*1.5=2.25)
+            rect(10, 10, 12, 12),   # touches 5 only -> clean
+            rect(12, 10, 14, 12),   # touches 4 -> clean
+        ], pa.binary()),
+    })
+    out = layeralg.check_coverage(rd.from_arrow(layer), res=2,
+                                  area_scale=100).to_pandas()
+    got = out.set_index("id").sort_index()
+    assert got.loc[1, "n_overlaps"] == 2
+    assert got.loc[1, "overlap_area"] == 100 + 25
+    assert got.loc[2, "n_overlaps"] == 2
+    assert got.loc[2, "overlap_area"] == 100 + 225
+    assert got.loc[3, "n_overlaps"] == 2
+    assert got.loc[3, "overlap_area"] == 25 + 225
+    assert got.loc[4, "n_overlaps"] == 0 and got.loc[4, "overlap_area"] == 0
+    assert got.loc[5, "n_overlaps"] == 0 and got.loc[5, "overlap_area"] == 0
