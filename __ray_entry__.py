@@ -2505,6 +2505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdim_slice_transpose": q.mdim_slice_transpose_q,
         "mdim_record_max": q.mdim_record_max_q,
         "check_coverage": q.check_coverage_q,
+        "vector_partition": q.vector_partition_q,
         "gnm_shortest_path": q.gnm_shortest_path_q,
         "gnm_components": q.gnm_components_q,
         "bmp_roundtrip": q.bmp_roundtrip_q,
@@ -5218,6 +5219,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM s GROUP BY 1, 2
+        """,
+        # hive-partitioned sink roundtrip: per-(key%7) count + key sum
+        "vector_partition": """
+            SELECT CAST(p_partkey % 7 AS BIGINT) AS grp,
+                   CAST(count(*) AS BIGINT) AS n_zones,
+                   CAST(sum(p_partkey) AS BIGINT) AS key_sum
+            FROM part GROUP BY 1
         """,
         # coverage validation: pairwise rect interior overlaps, closed form
         "check_coverage": f"""

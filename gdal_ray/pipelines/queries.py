@@ -1807,6 +1807,46 @@ def envi_roundtrip_q(sf_dir: str):
     return tiles.map_batches(sums, batch_format="pyarrow")
 
 
+def vector_partition_q(sf_dir: str):
+    """Field-partitioned vector sink roundtrip (gdal vector partition,
+    apps/gdalalg_vector_partition.cpp): zones partitioned by zone_key % 7
+    into a hive tree (omit-partitioned-field + per-file feature limit so
+    every partition spans several part files), read back with the field
+    re-derived from the directory names, aggregated per partition."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import partition
+    from ..stages.relational import partial_aggregate
+
+    zones = _zones(sf_dir)
+    keys = zones["zone_key"].to_numpy()
+    layer = pa.table({
+        "zone_key": zones["zone_key"],
+        "grp": pa.array((keys % 7).astype(np.int64)),
+        "wkb": zones["wkb"],
+    })
+    root = f"{tempfile.gettempdir()}/gdal_ray_vpart_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    partition.vector_partition(rd.from_arrow(layer), root, "grp",
+                               scheme="hive", feature_limit=50,
+                               omit_field=True)
+    back = partition.read_partitioned_vector(root, field="grp")
+
+    def agg_rows(t: pa.Table) -> pa.Table:
+        g = np.array([int(v) for v in t["grp"].to_pylist()], dtype=np.int64)
+        return pa.table({"grp": pa.array(g),
+                         "n_zones": pa.array(np.ones(t.num_rows, np.int64)),
+                         "key_sum": pc.cast(t["zone_key"], pa.int64())})
+
+    agg = partial_aggregate(back.map_batches(agg_rows, batch_format="pyarrow"),
+                            ["grp"], sums=["n_zones", "key_sum"])
+    return agg.map_batches(
+        lambda t: t.rename_columns(["grp", "n_zones", "key_sum"]),
+        batch_format="pyarrow")
+
+
 def check_coverage_q(sf_dir: str):
     """Coverage validation (gdal vector check-coverage,
     apps/gdalalg_vector_check_coverage.cpp; GEOS CoverageValidator overlap
