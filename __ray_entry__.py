@@ -2504,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdim_time_sum": q.mdim_time_sum_q,
         "mdim_slice_transpose": q.mdim_slice_transpose_q,
         "mdim_record_max": q.mdim_record_max_q,
+        "mdim_mosaic_sum": q.mdim_mosaic_sum_q,
         "check_coverage": q.check_coverage_q,
         "vector_partition": q.vector_partition_q,
         "gnm_shortest_path": q.gnm_shortest_path_q,
@@ -5264,6 +5265,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((c.range) * 512 AS BIGINT) AS component,
                    CAST(512 AS BIGINT) AS n_nodes
             FROM range(16) c
+        """,
+        # two-file mosaic of the same cube: identical closed form
+        "mdim_mosaic_sum": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b),
+            s AS (SELECT gx, gy,
+                         (SELECT sum((7 * t.range + 5 * gy + 3 * gx) % 97)
+                          FROM range(12) t) AS v
+                  FROM px)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(v * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM s GROUP BY 1, 2
         """,
         # record-dim cube, max over t: same closed form, MAX aggregate
         "mdim_record_max": """

@@ -1978,6 +1978,35 @@ def mdim_slice_transpose_q(sf_dir: str):
     return _tile_checksum_rows(mdim.to_raster_tiles(tr, tmd))
 
 
+def mdim_mosaic_sum_q(sf_dir: str):
+    """Multidim mosaic (gdal mdim mosaic, apps/gdalalg_mdim_mosaic.cpp):
+    the time cube split across two files (t 0-7 and 8-11), concatenated
+    along ``time`` by pure chunk-index rewrite (no pixel movement), then
+    sum-reduced over the mosaic — same closed form as the single-file
+    cube, proving the concat is lossless."""
+    import os
+    import tempfile
+
+    from ..sources import netcdf3
+    from ..stages import mdim
+
+    paths = []
+    for tag, t0, t1 in (("a", 0, 8), ("b", 8, 12)):
+        path = (f"{tempfile.gettempdir()}/"
+                f"gdal_ray_mdim_part{tag}_{os.getpid()}.nc")
+        if not os.path.exists(path):
+            t, y, x = np.meshgrid(np.arange(t0, t1), np.arange(192),
+                                  np.arange(192), indexing="ij")
+            v = ((7 * t + 5 * y + 3 * x) % 97).astype(np.int32)
+            netcdf3.write_netcdf3(path, {"v": (("time", "y", "x"), v)})
+        paths.append(path)
+    chunks = {"time": 4, "y": 64, "x": 64}
+    parts = [mdim.read_mdarray_chunks(p, "v", chunks) for p in paths]
+    ds, md = mdim.mdim_concat(parts, "time")
+    red, rmd = mdim.axis_reduce(ds, md, "time", "sum")
+    return _tile_checksum_rows(mdim.to_raster_tiles(red, rmd))
+
+
 def mdim_record_max_q(sf_dir: str):
     """Record-dimension (UNLIMITED) multidim pipeline: the same time cube
     written with ``time`` as the netCDF record dim (spec record layout —

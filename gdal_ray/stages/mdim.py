@@ -360,3 +360,121 @@ def assemble(ds, md: MDim) -> np.ndarray:
             out[sel] = a
             dtype = a.dtype
     return out.astype(dtype) if dtype is not None else out
+
+
+def mdim_concat(parts: list, dim: str):
+    """Mosaic multidim arrays along one dimension (``gdal mdim mosaic``,
+    reference ``apps/gdalalg_mdim_mosaic.cpp`` — the time-series-split-
+    across-files case).  ``parts`` = [(chunk Dataset, MDim), ...] sharing
+    dim names, chunk sizes and every non-concat dim size; each part's
+    concat-dim size must fill whole chunks except the last part's tail
+    (otherwise the mosaic chunk grid would misalign).  Pure metadata
+    rewrite per chunk (index shift + rekey) + Dataset.union — no pixel
+    movement, no shuffle."""
+    if not parts:
+        raise ValueError("mdim_concat needs at least one part")
+    mds = [md for _ds, md in parts]
+    ax = mds[0].axis(dim)
+    for md in mds[1:]:
+        if md.names != mds[0].names:
+            raise ValueError(f"dim names differ: {md.names} vs {mds[0].names}")
+        if md.chunks != mds[0].chunks:
+            raise ValueError(f"chunk sizes differ: {md.chunks} vs "
+                             f"{mds[0].chunks}")
+        for k in range(len(md.dims)):
+            if k != ax and md.sizes[k] != mds[0].sizes[k]:
+                raise ValueError(f"dim {md.names[k]!r} sizes differ: "
+                                 f"{md.sizes[k]} vs {mds[0].sizes[k]}")
+    c = mds[0].chunks[ax]
+    for md in mds[:-1]:
+        if md.sizes[ax] % c != 0:
+            raise ValueError(
+                f"part with {dim}={md.sizes[ax]} does not fill whole "
+                f"chunks of {c}; only the LAST part may have a tail")
+    total = sum(md.sizes[ax] for md in mds)
+    out_dims = list(mds[0].dims)
+    out_dims[ax] = (dim, total)
+    out_md = MDim(out_dims, mds[0].chunks)
+
+    shifted = []
+    off = 0
+    for ds, md in parts:
+        off_chunks = off // c
+
+        def shift(batch: pa.Table, _o=off_chunks) -> pa.Table:
+            keys, idxs, shapes, dts, datas = [], [], [], [], []
+            idx_l = batch["idx"].to_pylist()
+            for i in range(batch.num_rows):
+                idx = list(idx_l[i])
+                idx[ax] += _o
+                keys.append(out_md.ckey_of(idx))
+                idxs.append(idx)
+                shapes.append(batch["shape"][i].as_py())
+                dts.append(batch["dtype"][i].as_py())
+                datas.append(batch["data"][i].as_py())
+            if not keys:
+                return _empty_chunks()
+            return _chunk_table(keys, idxs, shapes, dts, datas)
+
+        shifted.append(ds.map_batches(shift, batch_format="pyarrow"))
+        off += md.sizes[ax]
+    out = shifted[0]
+    for s in shifted[1:]:
+        out = out.union(s)
+    return out, out_md
+
+
+def mdim_compare(ds_a, md_a: MDim, ds_b, md_b: MDim) -> pa.Table:
+    """Compare two multidim arrays (``gdal mdim compare``,
+    ``apps/gdalalg_mdim_compare.cpp`` semantics at the value level): one
+    (n_diff, max_abs_diff, sum_abs_diff, n_values) summary row.  Chunk
+    grids must match; per-chunk partials fold through ONE keyed join on
+    ``ckey`` and a whole-table O(1) reduce — two 100 GB cubes compare
+    without either transiting the driver."""
+    if md_a.dims != md_b.dims or md_a.chunks != md_b.chunks:
+        raise ValueError(f"array layouts differ: {md_a.dims}/{md_a.chunks} "
+                         f"vs {md_b.dims}/{md_b.chunks}")
+
+    def tag(side):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(batch.num_rows, side, np.int8)))
+        return f
+
+    both = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow"))
+
+    empty = pa.table({"n_diff": pa.array([], pa.int64()),
+                      "max_abs_diff": pa.array([], pa.float64()),
+                      "sum_abs_diff": pa.array([], pa.float64()),
+                      "n_values": pa.array([], pa.int64())})
+
+    def per_chunk(group: pa.Table) -> pa.Table:
+        sides = group["side"].to_pylist()
+        if len(sides) != 2 or set(sides) != {0, 1}:
+            raise ValueError(f"chunk {group['ckey'][0].as_py()} present on "
+                             f"sides {sides}; grids must match 1:1")
+        rows = dict(zip(sides, _rows(group)))
+        a = rows[0][1].astype(np.float64)
+        b = rows[1][1].astype(np.float64)
+        d = np.abs(a - b)
+        return pa.table({"n_diff": pa.array([int((d > 0).sum())], pa.int64()),
+                         "max_abs_diff": pa.array([float(d.max())]),
+                         "sum_abs_diff": pa.array([float(d.sum())]),
+                         "n_values": pa.array([int(d.size)], pa.int64())})
+
+    parts = both.groupby("ckey").map_groups(per_chunk, batch_format="pyarrow")
+    import pandas as pd
+
+    df = parts.to_pandas()
+    if df.empty:
+        return pa.table({"n_diff": pa.array([0], pa.int64()),
+                         "max_abs_diff": pa.array([0.0]),
+                         "sum_abs_diff": pa.array([0.0]),
+                         "n_values": pa.array([0], pa.int64())})
+    return pa.table({
+        "n_diff": pa.array([int(df["n_diff"].sum())], pa.int64()),
+        "max_abs_diff": pa.array([float(df["max_abs_diff"].max())]),
+        "sum_abs_diff": pa.array([float(df["sum_abs_diff"].sum())]),
+        "n_values": pa.array([int(df["n_values"].sum())], pa.int64()),
+    })

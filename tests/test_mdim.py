@@ -140,3 +140,62 @@ def test_mdim_info(nc3d):
     assert info.loc["v", "n_values"] == 5 * 50 * 70
     assert info.loc["time", "kind"] == "dimension"
     assert info.loc["time", "n_values"] == 5
+
+
+def test_mdim_concat(ray_session, tmp_path):
+    pa_, pb = str(tmp_path / "a.nc"), str(tmp_path / "b.nc")
+    rng = np.random.default_rng(9)
+    va = rng.integers(0, 50, (8, 12, 16)).astype(np.int32)
+    vb = rng.integers(0, 50, (5, 12, 16)).astype(np.int32)
+    netcdf3.write_netcdf3(pa_, {"v": (("t", "y", "x"), va)})
+    netcdf3.write_netcdf3(pb, {"v": (("t", "y", "x"), vb)})
+    chunks = {"t": 4, "y": 6, "x": 8}
+    da, ma = mdim.read_mdarray_chunks(pa_, "v", chunks)
+    db, mb = mdim.read_mdarray_chunks(pb, "v", chunks)
+    ds, md = mdim.mdim_concat([(da, ma), (db, mb)], "t")
+    assert md.sizes == [13, 12, 16]
+    full = np.concatenate([va, vb], axis=0)
+    assert np.array_equal(mdim.assemble(ds, md), full)
+    out, rmd = mdim.axis_reduce(ds, md, "t", "sum")
+    assert np.array_equal(mdim.assemble(out, rmd),
+                          full.sum(axis=0, dtype=np.int64))
+
+
+def test_mdim_concat_misaligned_rejected(ray_session, tmp_path):
+    pa_, pb = str(tmp_path / "a.nc"), str(tmp_path / "b.nc")
+    va = np.zeros((5, 8, 8), dtype=np.int32)  # 5 % 4 != 0, non-last part
+    vb = np.zeros((4, 8, 8), dtype=np.int32)
+    netcdf3.write_netcdf3(pa_, {"v": (("t", "y", "x"), va)})
+    netcdf3.write_netcdf3(pb, {"v": (("t", "y", "x"), vb)})
+    chunks = {"t": 4, "y": 8, "x": 8}
+    da, ma = mdim.read_mdarray_chunks(pa_, "v", chunks)
+    db, mb = mdim.read_mdarray_chunks(pb, "v", chunks)
+    with pytest.raises(ValueError):
+        mdim.mdim_concat([(da, ma), (db, mb)], "t")
+    # last-part tail is fine the other way round
+    ds, md = mdim.mdim_concat([(db, mb), (da, ma)], "t")
+    assert md.sizes[0] == 9
+
+
+def test_mdim_compare(ray_session, tmp_path):
+    pa_, pb = str(tmp_path / "a.nc"), str(tmp_path / "b.nc")
+    rng = np.random.default_rng(4)
+    va = rng.integers(0, 99, (3, 10, 12)).astype(np.int32)
+    vb = va.copy()
+    vb[1, 4, 7] += 5
+    vb[2, 0, 0] -= 2
+    netcdf3.write_netcdf3(pa_, {"v": (("t", "y", "x"), va)})
+    netcdf3.write_netcdf3(pb, {"v": (("t", "y", "x"), vb)})
+    chunks = {"t": 2, "y": 5, "x": 6}
+    da, ma = mdim.read_mdarray_chunks(pa_, "v", chunks)
+    db, mb = mdim.read_mdarray_chunks(pb, "v", chunks)
+    out = mdim.mdim_compare(da, ma, db, mb).to_pandas().iloc[0]
+    assert out["n_diff"] == 2
+    assert out["max_abs_diff"] == 5.0
+    assert out["sum_abs_diff"] == 7.0
+    assert out["n_values"] == 3 * 10 * 12
+    # identical arrays -> zero report
+    da2, ma2 = mdim.read_mdarray_chunks(pa_, "v", chunks)
+    db2, mb2 = mdim.read_mdarray_chunks(pa_, "v", chunks)
+    out = mdim.mdim_compare(da2, ma2, db2, mb2).to_pandas().iloc[0]
+    assert out["n_diff"] == 0 and out["max_abs_diff"] == 0.0
