@@ -2507,6 +2507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdim_mosaic_sum": q.mdim_mosaic_sum_q,
         "check_coverage": q.check_coverage_q,
         "vector_partition": q.vector_partition_q,
+        "vector_tindex": q.vector_tindex_q,
         "gnm_shortest_path": q.gnm_shortest_path_q,
         "gnm_components": q.gnm_components_q,
         "bmp_roundtrip": q.bmp_roundtrip_q,
@@ -5227,6 +5228,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_zones,
                    CAST(sum(p_partkey) AS BIGINT) AS key_sum
             FROM part GROUP BY 1
+        """,
+        # ogrtindex over the hive tree: per grp count + extent fold, exact
+        # integer 0.01-grid arithmetic
+        "vector_tindex": """
+            WITH b AS (
+              SELECT p_partkey % 5 AS grp,
+                     -18000 + (p_partkey * 7321) % 33000 AS x0,
+                     -8500 + (p_partkey * 4231) % 15000 AS y0,
+                     200 + (p_partkey * 131) % 800 AS w,
+                     200 + (p_partkey * 197) % 600 AS h
+              FROM part)
+            SELECT CAST(grp AS BIGINT) AS grp,
+                   CAST(count(*) AS BIGINT) AS n_features,
+                   CAST(min(x0) AS BIGINT) AS minx_100,
+                   CAST(min(y0) AS BIGINT) AS miny_100,
+                   CAST(max(x0 + w) AS BIGINT) AS maxx_100,
+                   CAST(max(y0 + h) AS BIGINT) AS maxy_100
+            FROM b GROUP BY 1
         """,
         # coverage validation: pairwise rect interior overlaps, closed form
         "check_coverage": f"""

@@ -1847,6 +1847,55 @@ def vector_partition_q(sf_dir: str):
         batch_format="pyarrow")
 
 
+def vector_tindex_q(sf_dir: str):
+    """ogrtindex / gdal vector index (apps/ogrtindex.cpp,
+    gdalalg_vector_index.cpp): hive-partition the zone layer, then build
+    the catalog index — per part directory, feature count + folded extent
+    rectangle (exact 0.01-grid bounds -> scaled ints)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import openvector, partition
+    from ..stages.relational import partial_aggregate
+
+    zones = _zones(sf_dir)
+    keys = zones["zone_key"].to_numpy()
+    layer = pa.table({
+        "zone_key": zones["zone_key"],
+        "grp": pa.array((keys % 5).astype(np.int64)),
+        "wkb": zones["wkb"],
+    })
+    root = f"{tempfile.gettempdir()}/gdal_ray_tindex_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    partition.vector_partition(rd.from_arrow(layer), root, "grp",
+                               scheme="hive", feature_limit=64)
+    paths = sorted(glob.glob(os.path.join(root, "*", "*.parquet")))
+    idx = openvector.vector_tile_index(paths, id_from_dir=True)
+
+    def per_file(t: pa.Table) -> pa.Table:
+        g = np.array([int(v) for v in t["part_key"].to_pylist()],
+                     dtype=np.int64)
+        sc = lambda c: np.round(
+            t[c].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"grp": pa.array(g),
+                         "n_features": pc.cast(t["n_features"], pa.int64()),
+                         "minx_100": pa.array(sc("minx")),
+                         "miny_100": pa.array(sc("miny")),
+                         "maxx_100": pa.array(sc("maxx")),
+                         "maxy_100": pa.array(sc("maxy"))})
+
+    agg = partial_aggregate(idx.map_batches(per_file, batch_format="pyarrow"),
+                            ["grp"], sums=["n_features"],
+                            mins=["minx_100", "miny_100"],
+                            maxs=["maxx_100", "maxy_100"])
+    return agg.map_batches(
+        lambda t: t.rename_columns(["grp", "n_features", "minx_100",
+                                    "miny_100", "maxx_100", "maxy_100"]),
+        batch_format="pyarrow")
+
+
 def check_coverage_q(sf_dir: str):
     """Coverage validation (gdal vector check-coverage,
     apps/gdalalg_vector_check_coverage.cpp; GEOS CoverageValidator overlap

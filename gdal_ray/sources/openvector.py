@@ -140,3 +140,70 @@ def open_vector(path: str, layer: str | None = None, **kw):
             "MVT tiles need their (z, x, y) context for coordinate "
             "un-quantization — use sources.mvt.decode_tile directly")
     raise ValueError(drv)
+
+
+def vector_tile_index(paths: list, id_from_dir: bool = False):
+    """``gdal vector index`` / ``ogrtindex`` (reference
+    ``apps/gdalalg_vector_index.cpp``, ``apps/ogrtindex.cpp``): one index
+    row per source — (location, n_features, extent rectangle as WKB +
+    bbox columns) — the catalog layer gdaltindex-style mosaicking starts
+    from.
+
+    Ray shape: the path list is metadata; each ``map_batches`` task opens
+    and folds ITS OWN sources (driver auto-probe, one streaming extent
+    pass per file), so a million-file catalog builds in parallel and only
+    index rows return.  ``id_from_dir`` adds the hive ``key=value``
+    directory value as a ``part_key`` column (the vector_partition tree
+    case)."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from ..functions import wkb as wkb_f
+
+    index = pa.table({"path": pa.array([str(p) for p in paths])})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        locs, keys, ns = [], [], []
+        boxes = []
+        for p in batch["path"].to_pylist():
+            if p.endswith(".parquet"):
+                # single-file fast path: no nested Dataset execution
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(p, columns=["wkb"])
+            else:
+                t = open_vector(p)
+            if not isinstance(t, pa.Table):
+                t = pa.concat_tables(
+                    [pa.table(b) for b in
+                     t.iter_batches(batch_format="pyarrow")],
+                    promote_options="default")
+            bb = wkb_f.bboxes(t["wkb"].to_pylist())
+            locs.append(p)
+            if id_from_dir:
+                d = os.path.basename(os.path.dirname(p))
+                keys.append(d.split("=", 1)[1] if "=" in d else d)
+            ns.append(t.num_rows)
+            boxes.append([bb[:, 0].min(), bb[:, 1].min(),
+                          bb[:, 2].max(), bb[:, 3].max()]
+                         if len(bb) else [np.nan] * 4)
+        boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+        rects = [wkb_f.encode_polygon([np.array(
+            [[b[0], b[1]], [b[2], b[1]], [b[2], b[3]], [b[0], b[3]],
+             [b[0], b[1]]])]) for b in boxes]
+        out = {
+            "location": pa.array(locs),
+            "n_features": pa.array(ns, pa.int64()),
+            "minx": pa.array(boxes[:, 0]), "miny": pa.array(boxes[:, 1]),
+            "maxx": pa.array(boxes[:, 2]), "maxy": pa.array(boxes[:, 3]),
+            "wkb": pa.array(rects, pa.binary()),
+        }
+        if id_from_dir:
+            out["part_key"] = pa.array(keys)
+        return pa.table(out)
+
+    return rd.from_arrow(index).repartition(
+        min(max(len(paths), 1), 32)).map_batches(
+        fold, batch_format="pyarrow")

@@ -88,3 +88,25 @@ def test_bad_inputs(ray_session, tmp_path):
                                    str(tmp_path / "x"), "cat", scheme="bogus")
     with pytest.raises(FileNotFoundError):
         partition.read_partitioned_vector(str(tmp_path / "empty"))
+
+
+def test_vector_tile_index(ray_session, tmp_path):
+    import ray.data as rd
+
+    from gdal_ray.sources import openvector
+
+    root = str(tmp_path / "tix")
+    partition.vector_partition(rd.from_arrow(_layer(30)), root, "cat")
+    import glob as _g
+    paths = sorted(_g.glob(os.path.join(root, "*", "*.parquet")))
+    idx = openvector.vector_tile_index(paths, id_from_dir=True).to_pandas()
+    assert len(idx) == len(paths)
+    assert idx["n_features"].sum() == 30
+    # extent covers the points (x in 0..9, y = x+1)
+    assert idx["minx"].min() == 0.0 and idx["maxx"].max() == 9.0
+    assert idx["miny"].min() == 1.0 and idx["maxy"].max() == 10.0
+    assert set(idx["part_key"]) == {"0", "1", "2"}
+    # index rectangles decode as polygons
+    from gdal_ray.functions import wkb as wkb_f
+    g = wkb_f.decode(idx["wkb"].iloc[0])
+    assert g is not None
