@@ -2508,6 +2508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "check_coverage": q.check_coverage_q,
         "vector_partition": q.vector_partition_q,
         "vector_tindex": q.vector_tindex_q,
+        "sozip_roundtrip": q.sozip_roundtrip_q,
         "gnm_shortest_path": q.gnm_shortest_path_q,
         "gnm_components": q.gnm_components_q,
         "bmp_roundtrip": q.bmp_roundtrip_q,
@@ -5228,6 +5229,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_zones,
                    CAST(sum(p_partkey) AS BIGINT) AS key_sum
             FROM part GROUP BY 1
+        """,
+        # SOZip container transparency: shared 192x192 hump checksum
+        "sozip_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
+                                        AS DOUBLE) / 64.0) AS BIGINT)
+                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
         """,
         # ogrtindex over the hive tree: per grp count + extent fold, exact
         # integer 0.01-grid arithmetic

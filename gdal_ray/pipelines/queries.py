@@ -1847,6 +1847,34 @@ def vector_partition_q(sf_dir: str):
         batch_format="pyarrow")
 
 
+def sozip_roundtrip_q(sf_dir: str):
+    """SOZip seek-optimized zip (gdal vsi sozip, apps/gdalalg_vsi_sozip.cpp;
+    port/cpl_minizip_zip.cpp index writer): the 192x192 hump as an AAIGrid
+    text raster, SOZip-compressed with 4 KiB independent chunks, read back
+    by PARALLEL range decompression (each task inflates only its chunks),
+    reassembled, parsed and checksummed — format transparency through the
+    seek-optimized container."""
+    import os
+    import tempfile
+
+    from ..sources import aaigrid, sozip
+
+    gy, gx = np.mgrid[0:192, 0:192]
+    arr = (((gx - 96) ** 2 + (gy - 96) ** 2) / 64.0).astype(np.float32)
+    root = tempfile.gettempdir()
+    src = f"{root}/gdal_ray_sozip_{os.getpid()}.asc"
+    arch = f"{root}/gdal_ray_sozip_{os.getpid()}.zip"
+    if not os.path.exists(arch):
+        aaigrid.write_asc(src, arr)
+        sozip.sozip_create(arch, src, chunk_size=4096)
+    chunks = sozip.read_sozip_chunks(arch).to_pandas().sort_values("chunk")
+    back = f"{root}/gdal_ray_sozip_back_{os.getpid()}.asc"
+    with open(back, "wb") as f:
+        f.write(b"".join(chunks["data"]))
+    tiles = aaigrid.read_asc_tiles(back, tile_size=64)
+    return _tile_checksum_rows(tiles)
+
+
 def vector_tindex_q(sf_dir: str):
     """ogrtindex / gdal vector index (apps/ogrtindex.cpp,
     gdalalg_vector_index.cpp): hive-partition the zone layer, then build
