@@ -2509,6 +2509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_partition": q.vector_partition_q,
         "vector_tindex": q.vector_tindex_q,
         "sozip_roundtrip": q.sozip_roundtrip_q,
+        "raster_update": q.raster_update_q,
         "gnm_shortest_path": q.gnm_shortest_path_q,
         "gnm_components": q.gnm_components_q,
         "bmp_roundtrip": q.bmp_roundtrip_q,
@@ -5229,6 +5230,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_zones,
                    CAST(sum(p_partkey) AS BIGINT) AS key_sum
             FROM part GROUP BY 1
+        """,
+        # hump updated by center-window checker (nodata-0 pixels keep hump)
+        "raster_update": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(256) a, range(256) b),
+            v AS (SELECT gx, gy,
+                         CASE WHEN gx // 64 BETWEEN 1 AND 2
+                               AND gy // 64 BETWEEN 1 AND 2
+                               AND ((gx // 8) + (gy // 8)) % 2 = 1
+                              THEN 255
+                              ELSE CAST(trunc(
+                                CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
+                                     AS DOUBLE) / 64.0) AS BIGINT) END AS val
+                  FROM px)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(val * (((gy % 64) * 64 + gx % 64) % 7 + 1))
+                        % 65536 AS BIGINT) AS checksum
+            FROM v GROUP BY 1, 2
         """,
         # SOZip container transparency: shared 192x192 hump checksum
         "sozip_roundtrip": """

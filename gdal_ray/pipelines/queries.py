@@ -1847,6 +1847,24 @@ def vector_partition_q(sf_dir: str):
         batch_format="pyarrow")
 
 
+def raster_update_q(sf_dir: str):
+    """In-place raster update (gdal raster update,
+    apps/gdalalg_raster_update.cpp): the 4x4-tile hump updated by a
+    checker source covering only the center 2x2 window — checker nodata
+    (0) pixels leave the hump untouched, tiles outside the window pass
+    through, dtype follows the destination."""
+    from ..stages import rastermap
+
+    dst = rd.from_arrow(synthetic.make_raster_tiles("hump", 4, 4, size=64))
+    src_t = synthetic.make_raster_tiles("checker", 4, 4, size=64)
+    xs = src_t["x"].to_numpy()
+    ys = src_t["y"].to_numpy()
+    win = (xs >= 1) & (xs <= 2) & (ys >= 1) & (ys <= 2)
+    src = rd.from_arrow(src_t.filter(pa.array(win)))
+    out = rastermap.raster_update(dst, src)
+    return _tile_checksum_rows(out)
+
+
 def sozip_roundtrip_q(sf_dir: str):
     """SOZip seek-optimized zip (gdal vsi sozip, apps/gdalalg_vsi_sozip.cpp;
     port/cpl_minizip_zip.cpp index writer): the 192x192 hump as an AAIGrid

@@ -926,3 +926,61 @@ def composite_reduce(layers: list, method: str = "median",
 
     return allds.groupby(["z", "x", "y"]).map_groups(
         reduce_tile, batch_format="pyarrow")
+
+
+def raster_update(dst_tiles, src_tiles, src_nodata: float | None = None):
+    """``gdal raster update`` (reference
+    ``apps/gdalalg_raster_update.cpp``: warp a source INTO an existing
+    raster in place; pixels where the source is nodata leave the
+    destination untouched, and the update is clamped to the destination
+    extent).  Tile-model form: one (x, y)-keyed join; destination tiles
+    without a source tile pass through untouched, source tiles outside the
+    destination grid are dropped, overlapping tiles take source pixels
+    wherever they are valid.  Output dtype follows the destination (the
+    in-place contract)."""
+    from .focal import _dtype_of
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return fn
+
+    both = dst_tiles.map_batches(tag(0), batch_format="pyarrow").union(
+        src_tiles.map_batches(tag(1), batch_format="pyarrow"))
+
+    def per_tile(g: pa.Table) -> pa.Table:
+        sides = g["side"].to_numpy(zero_copy_only=False)
+        drop = g.schema.get_field_index("side")
+        if g.num_rows == 1:
+            if int(sides[0]) == 1:
+                return g.remove_column(drop).slice(0, 0)  # outside dst
+            return g.remove_column(drop)
+        if g.num_rows != 2 or sides.min() == sides.max():
+            raise ValueError(
+                f"raster_update: tile ({g['x'][0].as_py()}, "
+                f"{g['y'][0].as_py()}) has {g.num_rows} rows; expected one "
+                "per side")
+        di, si = int(np.argmin(sides)), int(np.argmax(sides))
+        ddt = _dtype_of(g["dtype"][di].as_py())
+        d = np.frombuffer(g["data"][di].as_py(), dtype=ddt).reshape(
+            g["height"][di].as_py(), g["width"][di].as_py())
+        s = np.frombuffer(g["data"][si].as_py(),
+                          dtype=_dtype_of(g["dtype"][si].as_py())).reshape(
+            g["height"][si].as_py(), g["width"][si].as_py())
+        if d.shape != s.shape:
+            raise ValueError(f"raster_update: shape mismatch {d.shape} vs "
+                             f"{s.shape}")
+        nod = (g["nodata"][si].as_py() if src_nodata is None
+               else float(src_nodata))
+        valid = (s != np.asarray(nod, dtype=s.dtype)) if nod is not None \
+            else np.ones(s.shape, bool)
+        out = np.where(valid, s.astype(ddt), d)
+        one = g.remove_column(drop).slice(di, 1)
+        cols = {c: one[c] for c in one.column_names}
+        cols["data"] = pa.array([np.ascontiguousarray(out).tobytes()],
+                                pa.binary())
+        return pa.table(cols)
+
+    return both.groupby(["z", "x", "y", "band"]).map_groups(
+        per_tile, batch_format="pyarrow")

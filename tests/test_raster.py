@@ -724,3 +724,34 @@ def test_composite_reduce_nodata_aware(ray_session):
     assert arr[0] == 3.0 and arr[1] == -9.0
     with pytest.raises(ValueError):
         rastermap.composite_reduce(layers, "mode")
+
+
+def test_raster_update(ray_session):
+    """gdal raster update semantics: valid source pixels overwrite, nodata
+    keeps destination, src-only tiles are dropped, dst dtype wins."""
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import rastermap
+
+    dst_t = synthetic.make_raster_tiles("hump", 2, 2, size=64)
+    src_t = synthetic.make_raster_tiles("checker", 3, 2, size=64)  # wider
+    keep = src_t["x"].to_numpy() >= 1  # tiles x=1,2 (x=2 outside dst)
+    src = rd.from_arrow(src_t.filter(pa.array(keep)))
+    out = rastermap.raster_update(rd.from_arrow(dst_t), src).to_pandas()
+    assert len(out) == 4  # dst tile count preserved, src-only dropped
+    got = {(r["x"], r["y"]): r for _, r in out.iterrows()}
+    for (x, y), r in got.items():
+        a = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(
+            64, 64)
+        assert r["dtype"] == "float32"  # dst dtype wins
+        gy, gx = np.mgrid[0:64, 0:64]
+        gx = gx + x * 64
+        gy = gy + y * 64
+        hump = (((gx - 96) ** 2 + (gy - 96) ** 2) / 64.0).astype(np.float32)
+        if x == 0:
+            assert np.array_equal(a, hump)  # untouched pass-through
+        else:
+            chk = (((gx // 8) + (gy // 8)) % 2).astype(np.uint8) * 255
+            exp = np.where(chk != 0, chk.astype(np.float32), hump)
+            assert np.array_equal(a, exp)
