@@ -35,6 +35,11 @@ ALLOWED = {
     ("gdal_ray/stages/join.py", "compute_hot_cells"),
     # 3-row per-kind inventory folds
     ("gdal_ray/stages/media.py", "media_inventory"),
+    # O(#chunks) 4-int summary partials (metadata-scale, never pixels)
+    ("gdal_ray/stages/mdim.py", "mdim_compare"),
+    # fixture-file reassembly (192x192 asc); bulk consumers use
+    # read_sozip_chunks streaming, not a driver collect
+    ("gdal_ray/pipelines/queries.py", "sozip_roundtrip_q"),
     # cross-tile union-find edges: O(tile borders)
     ("gdal_ray/stages/polygonize.py", "polygonize"),
     ("gdal_ray/stages/polygonize.py", "polygonize_rings"),
