@@ -2510,6 +2510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_tindex": q.vector_tindex_q,
         "sozip_roundtrip": q.sozip_roundtrip_q,
         "raster_update": q.raster_update_q,
+        "clean_coverage": q.clean_coverage_q,
         "gnm_shortest_path": q.gnm_shortest_path_q,
         "gnm_components": q.gnm_components_q,
         "bmp_roundtrip": q.bmp_roundtrip_q,
@@ -5230,6 +5231,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_zones,
                    CAST(sum(p_partkey) AS BIGINT) AS key_sum
             FROM part GROUP BY 1
+        """,
+        # chain of rects, max-area overlap assignment: lag/lead arithmetic
+        # (clean_area scaled by 1024^2 = 10 * units)
+        "clean_coverage": """
+            WITH o AS (SELECT p_partkey AS k,
+                              11 + p_partkey % 4 AS w
+                       FROM part),
+            l AS (SELECT k, w,
+                         lag(w) OVER (ORDER BY k) AS wl,
+                         lag(k) OVER (ORDER BY k) AS kl,
+                         lead(w) OVER (ORDER BY k) AS wr
+                  FROM o)
+            SELECT k AS zone_key,
+                   CAST(10 * (w
+                     - CASE WHEN wl IS NOT NULL AND wl >= w
+                            THEN 1 + kl % 4 ELSE 0 END
+                     - CASE WHEN wr IS NOT NULL AND w < wr
+                            THEN 1 + k % 4 ELSE 0 END) AS BIGINT)
+                     AS clean_area
+            FROM l
         """,
         # hump updated by center-window checker (nodata-0 pixels keep hump)
         "raster_update": """

@@ -1847,6 +1847,43 @@ def vector_partition_q(sf_dir: str):
         batch_format="pyarrow")
 
 
+def clean_coverage_q(sf_dir: str):
+    """Coverage cleaning (gdal vector clean-coverage,
+    apps/gdalalg_vector_clean_coverage.cpp; GEOS CoverageCleaner
+    merge-strategy=max-area): a chain of rectangles each overlapping its
+    successor; every overlap is assigned to the larger rect (ties to the
+    lower id) and erased from the other.  Cleaned areas are exact
+    integers — the oracle is lag/lead window arithmetic."""
+    from ..stages import layeralg
+
+    keys = np.sort(pq.read_table(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey"])
+                   ["p_partkey"].to_numpy().astype(np.int64))
+    i = np.arange(len(keys), dtype=np.int64)
+    # dyadic (1/1024-degree) units keep every erase shoelace exact and the
+    # chain inside the lon/lat cell domain
+    u = 1.0 / 1024.0
+    w = (11 + (keys % 4)).astype(np.float64)
+    x0 = -90.0 + 10.0 * i * u
+    x1 = x0 + w * u
+    layer = pa.table({
+        "fid": pa.array(keys),
+        "wkb": pa.array(synthetic.rect_wkbs(x0, np.zeros(len(keys)),
+                                            x1, np.full(len(keys), 10.0 * u)),
+                        pa.binary()),
+    })
+    out = layeralg.clean_coverage(rd.from_arrow(layer), res=10,
+                                  merge_strategy="max-area")
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t["clean_area"].to_numpy(zero_copy_only=False)
+        return pa.table({"zone_key": pc.cast(t["id"], pa.int64()),
+                         "clean_area": pa.array(
+                             np.round(a * 1024.0 * 1024.0).astype(np.int64))})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def raster_update_q(sf_dir: str):
     """In-place raster update (gdal raster update,
     apps/gdalalg_raster_update.cpp): the 4x4-tile hump updated by a

@@ -689,3 +689,102 @@ def check_coverage(ds, id_col: str = "fid", res: int = 5,
     return agg.map_batches(
         lambda t: t.rename_columns(["id", "n_overlaps", "overlap_area"]),
         batch_format="pyarrow")
+
+
+def clean_coverage(ds, id_col: str = "fid", res: int = 5,
+                   merge_strategy: str = "max-area"):
+    """Coverage cleaning (``gdal vector clean-coverage``, reference
+    ``apps/gdalalg_vector_clean_coverage.cpp`` over GEOS CoverageCleaner):
+    every pairwise overlap region is assigned to ONE of its two features
+    by ``merge_strategy`` and erased from the other, producing a layer
+    whose interiors are pairwise disjoint.  Strategies (reference
+    ``merge-strategy`` values): ``max-area`` — the larger feature keeps
+    the overlap; ``min-area`` — the smaller keeps it; ``min-id`` — the
+    lower id keeps it.  Ties break toward the lower id.
+
+    Scope vs GEOS: assignment is PAIRWISE (each overlap region resolved
+    between its two owners independently — identical to the region-based
+    GEOS result whenever overlap regions are pairwise disjoint, the normal
+    almost-valid-coverage case); gap closing (``maximum-gap-width``) is
+    not covered.  Emits (id, wkb, clean_area); features fully erased by
+    their neighbors emit NULL wkb and area 0.
+
+    Plan: one cell-partitioned self-join (owner-cell dedup) to find
+    overlaps and pick losers, one id-keyed groupby folding each loser's
+    difference chain — two shuffles total, no driver geometry."""
+    from . import overlay
+
+    if merge_strategy not in ("max-area", "min-area", "min-id"):
+        raise ValueError(f"merge_strategy {merge_strategy!r} not in "
+                         "('max-area', 'min-area', 'min-id')")
+
+    tagged = ds.map_batches(lambda b: _tag_side(b, 0, res, id_col),
+                            batch_format="pyarrow")
+    empty = pa.table({"id": pa.array([], pa.int64()),
+                      "role": pa.array([], pa.int8()),
+                      "wkb": pa.array([], pa.binary())})
+
+    def losses(group: pa.Table) -> pa.Table:
+        ids, roles, wkbs = [], [], []
+        for ida, idb, ga, gb in _owner_cell_self_pairs(group, res):
+            gi = overlay.boolean_op(ga, gb, "intersection")
+            if gi is None or overlay.geom_area(gi) <= 0:
+                continue
+            if merge_strategy == "min-id":
+                loser = idb
+            else:
+                aa, ab = overlay.geom_area(ga), overlay.geom_area(gb)
+                bigger_keeps = merge_strategy == "max-area"
+                if aa == ab:
+                    loser = idb
+                elif (aa > ab) == bigger_keeps:
+                    loser = idb
+                else:
+                    loser = ida
+            ids.append(loser)
+            roles.append(1)
+            wkbs.append(overlay.encode(gi))
+        if not ids:
+            return empty
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "role": pa.array(roles, pa.int8()),
+                         "wkb": pa.array(wkbs, pa.binary())})
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"id": pc.cast(b[id_col], pa.int64()),
+                         "role": pa.array(np.zeros(n, np.int8)),
+                         "wkb": b["wkb"]})
+
+    erasers = tagged.groupby("cell").map_groups(losses,
+                                                batch_format="pyarrow")
+    both = ds.map_batches(base_rows, batch_format="pyarrow").union(erasers)
+
+    out_schema = pa.table({"id": pa.array([], pa.int64()),
+                           "wkb": pa.array([], pa.binary()),
+                           "clean_area": pa.array([], pa.float64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        roles = group["role"].to_numpy(zero_copy_only=False)
+        wkbs = group["wkb"].to_pylist()
+        feat = None
+        for i in np.nonzero(roles == 0)[0]:
+            feat = wkb.decode(wkbs[int(i)])
+        if feat is None:
+            raise ValueError(
+                f"clean_coverage: eraser rows for id "
+                f"{group['id'][0].as_py()} without a base feature")
+        for i in np.nonzero(roles == 1)[0]:
+            if feat is None:
+                break
+            feat = overlay.boolean_op(feat, wkb.decode(wkbs[int(i)]),
+                                      "difference")
+        area = overlay.geom_area(feat)
+        return pa.table({
+            "id": pa.array([group["id"][0].as_py()], pa.int64()),
+            "wkb": pa.array([overlay.encode(feat) if feat is not None
+                             and area > 0 else None], pa.binary()),
+            "clean_area": pa.array([max(area, 0.0)], pa.float64()),
+        })
+
+    return both.groupby("id").map_groups(fold, batch_format="pyarrow")

@@ -289,3 +289,81 @@ def test_check_coverage(ray_session):
     assert got.loc[3, "overlap_area"] == 25 + 225
     assert got.loc[4, "n_overlaps"] == 0 and got.loc[4, "overlap_area"] == 0
     assert got.loc[5, "n_overlaps"] == 0 and got.loc[5, "overlap_area"] == 0
+
+
+def _rect_wkb(x0, y0, x1, y1):
+    from gdal_ray.functions import wkb as wkb_f
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                    dtype=np.float64)
+    return wkb_f.encode_polygon([ring])
+
+
+def test_clean_coverage_chain(ray_session):
+    """Chain of equal rects overlapping successors by 2: tie -> lower id
+    keeps, so every later rect loses its left strip; result is a valid
+    coverage with conserved union."""
+    import ray.data as rd
+
+    from gdal_ray.stages import layeralg
+
+    n = 6
+    layer = pa.table({
+        "fid": pa.array(np.arange(n, dtype=np.int64)),
+        "wkb": pa.array([_rect_wkb(10 * i, 0, 10 * i + 12, 10)
+                         for i in range(n)], pa.binary()),
+    })
+    out = layeralg.clean_coverage(rd.from_arrow(layer), res=2).to_pandas()
+    got = out.set_index("id").sort_index()
+    assert got.loc[0, "clean_area"] == pytest.approx(120.0)
+    for i in range(1, n):
+        assert got.loc[i, "clean_area"] == pytest.approx(100.0), i
+    # cleaned layer is a valid coverage (overlap class)
+    cleaned = pa.table({
+        "fid": pa.array(got.index.to_numpy()),
+        "wkb": pa.array(list(got["wkb"]), pa.binary()),
+    })
+    chk = layeralg.check_coverage(rd.from_arrow(cleaned), res=2,
+                                  area_scale=10000).to_pandas()
+    assert (chk["n_overlaps"] == 0).all()
+    # union preserved: sampled points covered before iff after
+    from gdal_ray.functions import wkb as wkb_f, pip
+    rng = np.random.default_rng(2)
+    pts = np.c_[rng.uniform(-2, 10 * n + 14, 400), rng.uniform(-2, 12, 400)]
+    before = [wkb_f.decode(w) for w in layer["wkb"].to_pylist()]
+    after = [wkb_f.decode(w) for w in got["wkb"] if w is not None]
+
+    def covered(geoms, x, y):
+        return any(bool(pip.points_in_geom(np.array([x]), np.array([y]),
+                                           g)[0]) for g in geoms)
+
+    for x, y in pts:
+        # skip points within 1e-6 of any edge (boundary convention)
+        if (abs(x % 10) < 0.01 or abs(x % 10 - 2) < 0.01
+                or y < 0.01 or y > 9.99):
+            continue
+        assert covered(before, x, y) == covered(after, x, y), (x, y)
+
+
+def test_clean_coverage_swallowed(ray_session):
+    """A feature entirely inside a bigger one: max-area -> it loses all
+    its area and emits NULL geometry."""
+    import ray.data as rd
+
+    from gdal_ray.stages import layeralg
+
+    layer = pa.table({
+        "fid": pa.array([1, 2], pa.int64()),
+        "wkb": pa.array([_rect_wkb(0, 0, 10, 10), _rect_wkb(2, 2, 4, 4)],
+                        pa.binary()),
+    })
+    out = layeralg.clean_coverage(rd.from_arrow(layer),
+                                  res=2).to_pandas().set_index("id")
+    assert out.loc[1, "clean_area"] == pytest.approx(100.0)
+    assert out.loc[2, "clean_area"] == 0.0
+    assert out.loc[2, "wkb"] is None
+    # min-area strategy: the small one keeps, the big one gets a hole
+    out2 = layeralg.clean_coverage(rd.from_arrow(layer), res=2,
+                                   merge_strategy="min-area"
+                                   ).to_pandas().set_index("id")
+    assert out2.loc[2, "clean_area"] == pytest.approx(4.0)
+    assert out2.loc[1, "clean_area"] == pytest.approx(96.0)
