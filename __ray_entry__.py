@@ -2505,6 +2505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdim_slice_transpose": q.mdim_slice_transpose_q,
         "mdim_record_max": q.mdim_record_max_q,
         "mdim_mosaic_sum": q.mdim_mosaic_sum_q,
+        "mdim_reproject_sum": q.mdim_reproject_sum_q,
         "check_coverage": q.check_coverage_q,
         "vector_partition": q.vector_partition_q,
         "vector_tindex": q.vector_tindex_q,
@@ -5343,6 +5344,20 @@ def oracle_sql() -> dict[str, str]:
                         FROM range(192) a, range(192) b),
             s AS (SELECT gx, gy,
                          (SELECT sum((7 * t.range + 5 * gy + 3 * gx) % 97)
+                          FROM range(12) t) AS v
+                  FROM px)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(v * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM s GROUP BY 1, 2
+        """,
+        # flipped cube summed over t: closed form with gy -> 191-gy
+        "mdim_reproject_sum": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b),
+            s AS (SELECT gx, gy,
+                         (SELECT sum((7 * t.range + 5 * (191 - gy) + 3 * gx)
+                                     % 97)
                           FROM range(12) t) AS v
                   FROM px)
             SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,

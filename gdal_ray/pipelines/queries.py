@@ -2139,6 +2139,23 @@ def mdim_mosaic_sum_q(sf_dir: str):
     return _tile_checksum_rows(mdim.to_raster_tiles(red, rmd))
 
 
+def mdim_reproject_sum_q(sf_dir: str):
+    """Multidim reprojection (gdal mdim reproject,
+    apps/gdalalg_mdim_reproject.cpp): the 2-D warp applied to every time
+    index of the cube — here a vertical-flip affine grid, nearest kernel —
+    then the time-sum reduction over the WARPED cube.  The oracle is the
+    flipped closed form."""
+    from ..stages import mdim
+
+    ds, md = mdim.read_mdarray_chunks(_mdim_cube_path(), "v",
+                                      {"time": 4, "y": 64, "x": 64})
+    warped, wmd = mdim.mdim_reproject(
+        ds, md, src_gt=(0, 1, 0, 0, 0, 1), dst_gt=(0, 1, 0, 192, 0, -1),
+        width=192, height=192, resample="nearest", tile=64)
+    red, rmd = mdim.axis_reduce(warped, wmd, "time", "sum")
+    return _tile_checksum_rows(mdim.to_raster_tiles(red, rmd))
+
+
 def mdim_record_max_q(sf_dir: str):
     """Record-dimension (UNLIMITED) multidim pipeline: the same time cube
     written with ``time`` as the netCDF record dim (spec record layout —

@@ -478,3 +478,90 @@ def mdim_compare(ds_a, md_a: MDim, ds_b, md_b: MDim) -> pa.Table:
         "sum_abs_diff": pa.array([float(df["sum_abs_diff"].sum())]),
         "n_values": pa.array([int(df["n_values"].sum())], pa.int64()),
     })
+
+
+def mdim_reproject(ds, md: MDim, src_gt, dst_gt, width: int, height: int,
+                   resample: str = "nearest", src_crs: str = "EPSG:4326",
+                   dst_crs: str | None = None, nodata: float = 0.0,
+                   tile: int = 64):
+    """Reproject the (y, x) plane of every outer-dimension index
+    (``gdal mdim reproject``, reference ``apps/gdalalg_mdim_reproject.cpp``
+    — the per-slice gdalwarp composed over the non-spatial dims).
+
+    Rank-3 arrays (outer, y, x).  Plan: chunk rows split into their outer
+    positions (flat explode of 2-D sub-slabs), ONE groupby on the outer
+    index assembles each full (y, x) slice INSIDE its task (the warp
+    engine's broadcast-source contract: one slice per task, never the
+    cube), and the existing ``pyramid.AffineWarper`` kernel warps all
+    destination tiles of that slice locally.  Output chunks are
+    (1, tile, tile) so downstream reductions regroup per destination
+    tile.  Returns ``(Dataset, MDim)``."""
+    if md.ndim() != 3:
+        raise ValueError(f"mdim_reproject needs rank 3 (outer, y, x); "
+                         f"got {md.names}")
+    outer_name = md.names[0]
+    n_outer = md.sizes[0]
+    out_md = MDim([(outer_name, n_outer), (md.names[1], height),
+                   (md.names[2], width)], [1, tile, tile])
+    src_h, src_w = md.sizes[1], md.sizes[2]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, outers, y0s, x0s, shapes, dts, datas = ([] for _ in range(7))
+        for idx, a in _rows(batch):
+            starts, _counts = md.chunk_bounds(idx)
+            for j in range(a.shape[0]):
+                outer = starts[0] + j
+                keys.append(int(outer))
+                outers.append(int(outer))
+                y0s.append(starts[1])
+                x0s.append(starts[2])
+                shapes.append([a.shape[1], a.shape[2]])
+                dts.append(a.dtype.name)
+                datas.append(np.ascontiguousarray(a[j]).tobytes())
+        return pa.table({"okey": pa.array(keys, pa.int64()),
+                         "outer": pa.array(outers, pa.int64()),
+                         "y0": pa.array(y0s, pa.int64()),
+                         "x0": pa.array(x0s, pa.int64()),
+                         "shape": pa.array(shapes, pa.list_(pa.int32())),
+                         "dtype": pa.array(dts),
+                         "data": pa.array(datas, pa.binary())})
+
+    dst_rows = pa.Table.from_pylist([
+        {"px0": tx * tile, "py0": ty * tile, "tx": tx, "ty": ty,
+         "w": min(tile, width - tx * tile),
+         "h": min(tile, height - ty * tile)}
+        for ty in range((height + tile - 1) // tile)
+        for tx in range((width + tile - 1) // tile)])
+
+    def warp_slice(group: pa.Table) -> pa.Table:
+        from .pyramid import AffineWarper, SourceRaster
+
+        outer = int(group["outer"][0].as_py())
+        full = np.zeros((src_h, src_w))
+        for i in range(group.num_rows):
+            sh = group["shape"][i].as_py()
+            sub = np.frombuffer(group["data"][i].as_py(),
+                                dtype=np.dtype(group["dtype"][i].as_py())
+                                ).reshape(sh)
+            y0 = group["y0"][i].as_py()
+            x0 = group["x0"][i].as_py()
+            full[y0:y0 + sh[0], x0:x0 + sh[1]] = sub
+        warper = AffineWarper(
+            SourceRaster(full, src_gt, crs=src_crs, nodata=nodata),
+            dst_gt, resample=resample, dst_crs=dst_crs)
+        tiles = warper(dst_rows)
+        keys, idxs, shapes, dts, datas = [], [], [], [], []
+        for i in range(tiles.num_rows):
+            ridx = [outer, tiles["y"][i].as_py(), tiles["x"][i].as_py()]
+            h = tiles["height"][i].as_py()
+            w = tiles["width"][i].as_py()
+            keys.append(out_md.ckey_of(ridx))
+            idxs.append(ridx)
+            shapes.append([1, h, w])
+            dts.append(tiles["dtype"][i].as_py())
+            datas.append(tiles["data"][i].as_py())
+        return _chunk_table(keys, idxs, shapes, dts, datas)
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("okey").map_groups(warp_slice, batch_format="pyarrow"))
+    return out, out_md

@@ -199,3 +199,40 @@ def test_mdim_compare(ray_session, tmp_path):
     db2, mb2 = mdim.read_mdarray_chunks(pa_, "v", chunks)
     out = mdim.mdim_compare(da2, ma2, db2, mb2).to_pandas().iloc[0]
     assert out["n_diff"] == 0 and out["max_abs_diff"] == 0.0
+
+
+def test_mdim_reproject_flip(ray_session, tmp_path):
+    path = str(tmp_path / "warpcube.nc")
+    t, y, x = np.meshgrid(np.arange(3), np.arange(40), np.arange(48),
+                          indexing="ij")
+    v = ((3 * t + 5 * y + 2 * x) % 71).astype(np.int32)
+    netcdf3.write_netcdf3(path, {"v": (("time", "y", "x"), v)})
+    ds, md = mdim.read_mdarray_chunks(path, "v",
+                                      {"time": 2, "y": 16, "x": 16})
+    # vertical flip: dst row r samples src row H-1-r
+    out, rmd = mdim.mdim_reproject(
+        ds, md, src_gt=(0, 1, 0, 0, 0, 1), dst_gt=(0, 1, 0, 40, 0, -1),
+        width=48, height=40, resample="nearest", tile=16)
+    assert rmd.sizes == [3, 40, 48]
+    got = mdim.assemble(out, rmd)
+    assert np.array_equal(got, v[:, ::-1, :].astype(np.float64))
+    # reduction composes over the warped cube
+    red, rrmd = mdim.axis_reduce(out, rmd, "time", "sum")
+    assert np.array_equal(mdim.assemble(red, rrmd),
+                          v[:, ::-1, :].sum(axis=0, dtype=np.int64)
+                          .astype(np.float64))
+
+
+def test_mdim_reproject_identity_and_rank_guard(ray_session, tmp_path):
+    path = str(tmp_path / "warpcube2.nc")
+    v = np.arange(2 * 20 * 20, dtype=np.float32).reshape(2, 20, 20)
+    netcdf3.write_netcdf3(path, {"v": (("t", "y", "x"), v)})
+    ds, md = mdim.read_mdarray_chunks(path, "v", {"t": 1, "y": 10, "x": 10})
+    out, rmd = mdim.mdim_reproject(
+        ds, md, src_gt=(0, 1, 0, 0, 0, 1), dst_gt=(0, 1, 0, 0, 0, 1),
+        width=20, height=20, resample="nearest", tile=10)
+    assert np.array_equal(mdim.assemble(out, rmd), v.astype(np.float64))
+    sl, smd = mdim.mdim_slice(ds, md, "t", 0)
+    with pytest.raises(ValueError):
+        mdim.mdim_reproject(sl, smd, (0, 1, 0, 0, 0, 1), (0, 1, 0, 0, 0, 1),
+                            20, 20)
