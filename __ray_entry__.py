@@ -2511,6 +2511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_tindex": q.vector_tindex_q,
         "sozip_roundtrip": q.sozip_roundtrip_q,
         "raster_update": q.raster_update_q,
+        "nodata_to_alpha": q.nodata_to_alpha_q,
         "clean_coverage": q.clean_coverage_q,
         "gnm_shortest_path": q.gnm_shortest_path_q,
         "gnm_components": q.gnm_components_q,
@@ -5232,6 +5233,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_zones,
                    CAST(sum(p_partkey) AS BIGINT) AS key_sum
             FROM part GROUP BY 1
+        """,
+        # hump data band + alpha mask (0 only at the exact center pixel)
+        "nodata_to_alpha": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(256) a, range(256) b),
+            v AS (SELECT gx, gy,
+                         CAST(trunc(CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
+                                         AS DOUBLE) / 64.0) AS BIGINT) AS hv
+                  FROM px),
+            w AS (SELECT gx, gy, hv,
+                         ((gy % 64) * 64 + gx % 64) % 7 + 1 AS wt
+                  FROM v),
+            bands AS (
+              SELECT gx, gy, 1 AS band, hv AS val, wt FROM w
+              UNION ALL
+              SELECT gx, gy, 2 AS band,
+                     CASE WHEN (gx-96)*(gx-96)+(gy-96)*(gy-96) = 0 THEN 0
+                          ELSE 255 END AS val, wt FROM w)
+            SELECT CAST(gx // 64 AS BIGINT) AS x,
+                   CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(band AS BIGINT) AS band,
+                   CAST(sum(val * wt) % 65536 AS BIGINT) AS checksum
+            FROM bands GROUP BY 1, 2, 3
         """,
         # chain of rects, max-area overlap assignment: lag/lead arithmetic
         # (clean_area scaled by 1024^2 = 10 * units)

@@ -1847,6 +1847,36 @@ def vector_partition_q(sf_dir: str):
         batch_format="pyarrow")
 
 
+def nodata_to_alpha_q(sf_dir: str):
+    """nodata-to-alpha (gdal raster nodata-to-alpha,
+    apps/gdalalg_raster_nodata_to_alpha.cpp): the hump (nodata 0 — zero
+    only at its center pixel) gains a uint8 alpha band; per-(tile, band)
+    checksums pin both the untouched data band and the mask."""
+    from ..functions import checksum as cks_f
+    from ..stages import rastermap
+    from ..stages.focal import _dtype_of
+
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("hump", 4, 4, size=64))
+    out = rastermap.nodata_to_alpha(tiles)
+
+    def sums(t: pa.Table) -> pa.Table:
+        xs, ys, bs, cs = [], [], [], []
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=_dtype_of(t["dtype"][i].as_py()))
+            a = a.reshape(t["height"][i].as_py(), t["width"][i].as_py())
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            bs.append(t["band"][i].as_py())
+            cs.append(cks_f.tile_checksum(a))
+        return pa.table({"x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "band": pa.array(bs, pa.int64()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return out.map_batches(sums, batch_format="pyarrow")
+
+
 def clean_coverage_q(sf_dir: str):
     """Coverage cleaning (gdal vector clean-coverage,
     apps/gdalalg_vector_clean_coverage.cpp; GEOS CoverageCleaner

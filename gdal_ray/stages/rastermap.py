@@ -984,3 +984,43 @@ def raster_update(dst_tiles, src_tiles, src_nodata: float | None = None):
 
     return both.groupby(["z", "x", "y", "band"]).map_groups(
         per_tile, batch_format="pyarrow")
+
+
+def nodata_to_alpha(tiles_ds, nodata: float | None = None,
+                    alpha_band: int = 2):
+    """``gdal raster nodata-to-alpha`` (reference
+    ``apps/gdalalg_raster_nodata_to_alpha.cpp``): emit an ALPHA band
+    alongside each data tile — 0 where the pixel equals nodata, 255
+    elsewhere — and clear the data band's nodata marker (the mask now
+    carries validity).  Tiles with no nodata value pass through unchanged
+    (the reference's all-valid-mask short-circuit)."""
+    from .focal import _dtype_of
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        out = {c: [] for c in t.column_names}
+        for i in range(t.num_rows):
+            nod = nodata if nodata is not None else t["nodata"][i].as_py()
+            row = {c: t[c][i].as_py() for c in t.column_names}
+            if nod is None:
+                for c in t.column_names:
+                    out[c].append(row[c])
+                continue
+            a = np.frombuffer(row["data"],
+                              dtype=_dtype_of(row["dtype"])).reshape(
+                row["height"], row["width"])
+            alpha = np.where(a == np.asarray(nod, dtype=a.dtype),
+                             np.uint8(0), np.uint8(255))
+            row["nodata"] = None
+            for c in t.column_names:
+                out[c].append(row[c])
+            arow = dict(row)
+            arow["band"] = alpha_band
+            arow["dtype"] = "uint8"
+            arow["data"] = alpha.tobytes()
+            for c in t.column_names:
+                out[c].append(arow[c])
+        return pa.table(
+            {c: pa.array(out[c], t.schema.field(c).type)
+             for c in t.column_names})
+
+    return tiles_ds.map_batches(per_batch, batch_format="pyarrow")

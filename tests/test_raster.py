@@ -755,3 +755,26 @@ def test_raster_update(ray_session):
             chk = (((gx // 8) + (gy // 8)) % 2).astype(np.uint8) * 255
             exp = np.where(chk != 0, chk.astype(np.float32), hump)
             assert np.array_equal(a, exp)
+
+
+def test_nodata_to_alpha(ray_session):
+    """gdal raster nodata-to-alpha: alpha=0 at nodata pixels, 255 else,
+    data nodata marker cleared, nodata-less tiles pass through."""
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import rastermap
+
+    t = synthetic.make_raster_tiles("checker", 2, 1, size=32)
+    out = rastermap.nodata_to_alpha(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 4  # each tile + its alpha band
+    for (x, y), grp in out.groupby(["x", "y"]):
+        bands = dict(zip(grp["band"], grp.index))
+        data = grp.loc[bands[1]]
+        alpha = grp.loc[bands[2]]
+        assert data["nodata"] is None or np.isnan(data["nodata"])
+        assert alpha["dtype"] == "uint8"
+        a = np.frombuffer(data["data"],
+                          dtype=np.dtype(data["dtype"])).reshape(32, 32)
+        al = np.frombuffer(alpha["data"], dtype=np.uint8).reshape(32, 32)
+        assert np.array_equal(al, np.where(a == 0, 0, 255))
