@@ -432,3 +432,42 @@ def neighbor_cells(cell: int, ring: int = 1) -> np.ndarray:
     ys = np.arange(max(0, ty - ring), min(hi, ty + ring) + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys)
     return cell_id(res, gx.ravel(), gy.ravel())
+
+
+_PROJ_NAME = {
+    "lcc": "lcc", "aea": "aea", "stereo_polar": "stere", "tmerc": "tmerc",
+    "eqc": "eqc", "laea": "laea", "aeqd": "aeqd", "sinu": "sinu",
+    "stereo": "sterea", "merc": "merc", "webmerc": "webmerc",
+}
+
+
+def srs_info(code: str) -> dict:
+    """``gdalsrsinfo`` for the engine's routed CRS set (reference
+    ``apps/gdalsrsinfo.cpp`` -o proj4/pretty_wkt surface): the projection
+    family, its parameters, and a proj4-style string assembled from them.
+    Raises for codes the transformer cannot route — the same honest guard
+    the reproject path uses."""
+    if code in ("EPSG:4326", "CRS:84"):
+        return {"code": "EPSG:4326", "family": "geographic",
+                "params": {}, "proj4": "+proj=longlat +datum=WGS84 +no_defs"}
+    if code == "EPSG:3857":
+        return {"code": code, "family": "webmerc", "params": {},
+                "proj4": ("+proj=webmerc +datum=WGS84 +units=m +no_defs")}
+    hit = epsg_params(code)
+    if hit is None:
+        raise NotImplementedError(
+            f"srs_info: {code!r} is not a routed CRS — see geo.epsg_params")
+    family, params = hit
+    p4 = [f"+proj={_PROJ_NAME.get(family, family)}"]
+    ren = {"lon0": "lon_0", "lat0": "lat_0", "lat1": "lat_1",
+           "lat2": "lat_2", "lat_ts": "lat_ts", "k0": "k_0",
+           "fe": "x_0", "fn": "y_0"}
+    for k, v in params.items():
+        if k == "north":
+            p4.append(f"+lat_0={90.0 if v else -90.0}")
+            continue
+        if k in ren:
+            p4.append(f"+{ren[k]}={v:g}")
+    p4 += ["+datum=WGS84", "+units=m", "+no_defs"]
+    return {"code": code, "family": family, "params": dict(params),
+            "proj4": " ".join(p4)}

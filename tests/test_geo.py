@@ -128,3 +128,22 @@ def test_derive_lonlat_range():
     lon, lat = geo.derive_lonlat(keys)
     assert lon.min() >= -180 and lon.max() < 180
     assert lat.min() >= -85 and lat.max() < 85
+
+
+def test_srs_info():
+    """gdalsrsinfo surface (apps/gdalsrsinfo.cpp): family + proj4 report
+    for every routed code; honest guard elsewhere."""
+    from gdal_ray.functions import geo
+
+    i = geo.srs_info("EPSG:2154")
+    assert i["family"] == "lcc"
+    assert "+proj=lcc" in i["proj4"] and "+lat_1=44" in i["proj4"]
+    assert geo.srs_info("EPSG:4326")["family"] == "geographic"
+    assert geo.srs_info("EPSG:32701")["family"] == "tmerc"
+    assert "+lat_0=-90" in geo.srs_info("EPSG:3031")["proj4"]
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        geo.srs_info("EPSG:99999")
+    # every table-routed code reports without raising
+    for code in list(geo._EPSG_TABLE):
+        geo.srs_info(code)
