@@ -2512,6 +2512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sozip_roundtrip": q.sozip_roundtrip_q,
         "raster_update": q.raster_update_q,
         "nodata_to_alpha": q.nodata_to_alpha_q,
+        # rows-only by design: BPE training is iterative (see docstring)
+        "bpe_train_corpus": q.bpe_train_corpus_q,
         "clean_coverage": q.clean_coverage_q,
         "gnm_shortest_path": q.gnm_shortest_path_q,
         "gnm_components": q.gnm_components_q,

@@ -1847,6 +1847,45 @@ def vector_partition_q(sf_dir: str):
         batch_format="pyarrow")
 
 
+def bpe_train_corpus_q(sf_dir: str):
+    """BPE tokenizer training over the documents corpus (Sennrich et al.
+    2016, the GPT-2 recipe): distributed bounded word histogram -> greedy
+    merge learning -> the per-doc token counts under the TRAINED merges.
+    Iterative (each merge depends on all prior re-tokenizations), so no
+    SQL oracle — the driver records the rows-only check; the differential
+    test vs a from-the-paper reference is tests/test_textops.py
+    TestBPETraining."""
+    from ..stages import textops
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        if _docs_have_text(sf_dir) else None
+    if docs is None:
+        docs = _docs_spans_text(sf_dir)
+    words = textops.word_histogram(docs, max_words=50_000)
+    merges = textops.bpe_train_merges(words, n_merges=60)
+    return textops.bpe_token_counts(docs, merges)
+
+
+def _docs_have_text(sf_dir: str) -> bool:
+    import pyarrow.parquet as _pq
+
+    return "text" in _pq.read_schema(f"{sf_dir}/documents.parquet").names
+
+
+def _docs_spans_text(sf_dir: str):
+    """documents with text derived from the interleaved spans column."""
+    docs = read_table(sf_dir, "documents")
+
+    def flat(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        texts = []
+        for row in t["spans"].to_pylist():
+            texts.append(" ".join((s.get("text") or "") for s in row))
+        return pa.table({"doc_id": ids, "text": pa.array(texts)})
+
+    return docs.map_batches(flat, batch_format="pyarrow")
+
+
 def nodata_to_alpha_q(sf_dir: str):
     """nodata-to-alpha (gdal raster nodata-to-alpha,
     apps/gdalalg_raster_nodata_to_alpha.cpp): the hump (nodata 0 — zero

@@ -1216,3 +1216,158 @@ def lm_familiarity_score(ds, model_ref, text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def word_histogram(ds, text_col: str = "text", max_words: int = 100_000,
+                   min_count: int = 1):
+    """Corpus word-frequency table, bounded: pretokens (BPE_PATTERN, the
+    GPT-2 pretokenizer shape) counted with per-batch partial folds + ONE
+    keyed shuffle, then a distributed top-``max_words`` by (count, word).
+    The cap is what keeps tokenizer training tractable at corpus scale —
+    the long tail below it cannot win a merge anyway at realistic
+    ``n_merges``.  Returns a (word, cnt) pa.Table on the driver
+    (bounded by construction)."""
+    import re
+
+    from . import relational
+
+    pat = re.compile(BPE_PATTERN)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for x in t[text_col].to_pylist():
+            if x:
+                c.update(pat.findall(x))
+        if not c:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        ws, ns = zip(*c.items())
+        return pa.table({"word": pa.array(list(ws), pa.string()),
+                         "cnt": pa.array(list(ns), pa.int64())})
+
+    summed = relational.partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["word"], sums=["cnt"])
+    top = relational.top_k(
+        summed.map_batches(
+            lambda t: t.rename_columns(["word", "cnt"]),
+            batch_format="pyarrow"),
+        ["cnt", "word"], [True, False], max_words)
+    out = pa.concat_tables(
+        [pa.table(b) for b in top.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    if min_count > 1:
+        import pyarrow.compute as _pc
+
+        out = out.filter(_pc.greater_equal(out["cnt"], min_count))
+    return out
+
+
+def bpe_train_merges(words: pa.Table, n_merges: int = 100):
+    """BPE merge learning (Sennrich, Haddow & Birch 2016 — the GPT-2
+    tokenizer recipe) over a bounded (word, cnt) histogram: repeatedly
+    merge the highest-count adjacent symbol pair (ties broken by pair
+    lexicographic order, deterministic).  Runs driver-side over the
+    capped histogram — the distributed work is the histogram fold in
+    ``word_histogram``; this loop is O(max_words · n_merges) symbol
+    scans.  Returns the ordered merge list [(left, right), ...]."""
+    from collections import Counter
+
+    seqs = [tuple(w) for w in words["word"].to_pylist()]
+    cnts = words["cnt"].to_pylist()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc_ = Counter()
+        for s, c in zip(seqs, cnts):
+            for a, b in zip(s[:-1], s[1:]):
+                pc_[(a, b)] += c
+        if not pc_:
+            break
+        best = max(pc_.items(), key=lambda kv: (kv[1], kv[0]))
+        if best[1] < 1:
+            break
+        pair = best[0]
+        merges.append(pair)
+        joined = pair[0] + pair[1]
+        new_seqs = []
+        for s in seqs:
+            if len(s) < 2:
+                new_seqs.append(s)
+                continue
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == pair[0] and s[i + 1] == pair[1]:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_seqs.append(tuple(out))
+        seqs = new_seqs
+    return merges
+
+
+class BPEEncoder:
+    """Actor-state BPE encoder: merge ranks broadcast once, per-WORD
+    tokenizations memoized (Zipf makes the cache hit rate ~99% on real
+    corpora), batches tokenized with one regex pass + dict lookups."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        import re
+
+        self.rank = {tuple(m): i for i, m in enumerate(merges)}
+        self.pat = re.compile(BPE_PATTERN)
+        self.cache: dict[str, int] = {}
+
+    def encode_word(self, w: str) -> int:
+        """Token COUNT for one word after all applicable merges."""
+        hit = self.cache.get(w)
+        if hit is not None:
+            return hit
+        s = list(w)
+        while len(s) > 1:
+            best, bi = None, -1
+            for i in range(len(s) - 1):
+                r = self.rank.get((s[i], s[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            s[bi:bi + 2] = [s[bi] + s[bi + 1]]
+        n = len(s)
+        if len(self.cache) < 1_000_000:
+            self.cache[w] = n
+        return n
+
+    def __call__(self, batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+        ids = batch[id_col]
+        ns = []
+        for x in batch[text_col].to_pylist():
+            ns.append(sum(self.encode_word(w) for w in self.pat.findall(x))
+                      if x else 0)
+        return pa.table({id_col: ids,
+                         "n_bpe_tokens": pa.array(ns, pa.int64())})
+
+
+def bpe_token_counts(ds, merges: list[tuple[str, str]],
+                     text_col: str = "text", id_col: str = "doc_id",
+                     concurrency: int = 4):
+    """Per-doc token counts under a TRAINED merge list: merges broadcast
+    into actor state, memoized per-word encode, one streaming pass."""
+    import ray
+
+    ref = ray.put(list(merges))
+
+    class Enc(BPEEncoder):
+        def __init__(self):
+            super().__init__(ray.get(ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return super().__call__(batch, text_col=text_col, id_col=id_col)
+
+    return ds.map_batches(Enc, batch_format="pyarrow",
+                          concurrency=concurrency, num_cpus=1)

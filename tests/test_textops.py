@@ -2,6 +2,7 @@
 
 from collections import Counter
 
+import numpy as np
 import pyarrow as pa
 
 from gdal_ray.stages import textops
@@ -352,3 +353,98 @@ def test_line_dedup_corpus_level(ray_session):
 
     with pytest.raises(ValueError, match="keep"):
         line_dedup(rd.from_arrow(docs), keep="last")
+
+
+class TestBPETraining:
+    """Sennrich et al. BPE merge learning: differential vs a brute-force
+    reference on the raw corpus, encoder consistency, bounded histogram."""
+
+    CORPUS = ["low low low low low", "lower lower newest newest",
+              "newest newest newest newest", "widest widest widest",
+              "low lower newest"]
+
+    @staticmethod
+    def _ref_bpe(texts, n_merges):
+        """Reference implementation straight from the paper: word counts,
+        then greedy highest-count pair with (count, pair) tie order."""
+        import re
+        from collections import Counter
+
+        from gdal_ray.stages.textops import BPE_PATTERN
+
+        wc = Counter()
+        for t in texts:
+            wc.update(re.findall(BPE_PATTERN, t))
+        seqs = {w: tuple(w) for w in wc}
+        merges = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for w, s in seqs.items():
+                for a, b in zip(s[:-1], s[1:]):
+                    pc[(a, b)] += wc[w]
+            if not pc:
+                break
+            best = max(pc.items(), key=lambda kv: (kv[1], kv[0]))[0]
+            merges.append(best)
+            j = best[0] + best[1]
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if (i + 1 < len(s) and s[i] == best[0]
+                            and s[i + 1] == best[1]):
+                        out.append(j)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = tuple(out)
+        return merges
+
+    def test_train_matches_reference(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.stages import textops
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(len(self.CORPUS), dtype=np.int64)),
+            "text": pa.array(self.CORPUS)}))
+        words = textops.word_histogram(ds)
+        merges = textops.bpe_train_merges(words, n_merges=12)
+        assert merges == self._ref_bpe(self.CORPUS, 12)
+
+    def test_histogram_cap_and_min_count(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.stages import textops
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(["a a a b b c", "a b z"])}))
+        words = textops.word_histogram(ds, max_words=2)
+        assert words.num_rows == 2  # capped, highest counts first
+        got = dict(zip(words["word"].to_pylist(), words["cnt"].to_pylist()))
+        # pretokens carry their leading space; ties break word-ascending
+        assert got == {" b": 3, " a": 2}
+        words = textops.word_histogram(ds, min_count=2)
+        assert all(c >= 2 for c in words["cnt"].to_pylist())
+
+    def test_encoder_counts(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.stages import textops
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(len(self.CORPUS), dtype=np.int64)),
+            "text": pa.array(self.CORPUS)}))
+        merges = textops.bpe_train_merges(textops.word_histogram(ds), 50)
+        out = textops.bpe_token_counts(ds, merges).to_pandas()
+        n = out.set_index("doc_id")["n_bpe_tokens"]
+        # with enough merges every trained word collapses to ~1 token
+        assert n[0] <= 5  # "low"x5 -> at most 1 token per word
+        # zero merges -> pure character counts (per pretoken)
+        out0 = textops.bpe_token_counts(ds, []).to_pandas()
+        n0 = out0.set_index("doc_id")["n_bpe_tokens"]
+        assert (n0 >= n).all() and n0[0] == len("low") * 5 + 4  # ' low' x4
