@@ -2512,6 +2512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sozip_roundtrip": q.sozip_roundtrip_q,
         "raster_update": q.raster_update_q,
         "nodata_to_alpha": q.nodata_to_alpha_q,
+        "check_geometry": q.check_geometry_q,
         # rows-only by design: BPE training is iterative (see docstring)
         "bpe_train_corpus": q.bpe_train_corpus_q,
         "clean_coverage": q.clean_coverage_q,
@@ -5235,6 +5236,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_zones,
                    CAST(sum(p_partkey) AS BIGINT) AS key_sum
             FROM part GROUP BY 1
+        """,
+        # validity classes by k%4: reason + error location closed forms
+        "check_geometry": """
+            WITH b AS (SELECT p_partkey AS k,
+                              CAST((p_partkey * 7) % 100 AS BIGINT) AS x0,
+                              CAST((p_partkey * 11) % 100 AS BIGINT) AS y0,
+                              p_partkey % 4 AS m
+                       FROM part)
+            SELECT k AS zone_key,
+                   CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS BIGINT) AS valid,
+                   CASE m WHEN 0 THEN ''
+                          WHEN 1 THEN 'Ring Self-intersection'
+                          WHEN 2 THEN 'Hole lies outside shell'
+                          ELSE 'Too few points in geometry component'
+                   END AS reason,
+                   CAST(CASE m WHEN 0 THEN 0
+                               WHEN 1 THEN 2 * x0 + 2
+                               WHEN 2 THEN 2 * x0 + 21
+                               ELSE 2 * x0 END AS BIGINT) AS loc_x2,
+                   CAST(CASE m WHEN 0 THEN 0
+                               WHEN 1 THEN 2 * y0 + 2
+                               WHEN 2 THEN 2 * y0 + 21
+                               ELSE 2 * y0 END AS BIGINT) AS loc_y2
+            FROM b
         """,
         # hump data band + alpha mask (0 only at the exact center pixel)
         "nodata_to_alpha": """

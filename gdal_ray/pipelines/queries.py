@@ -1847,6 +1847,62 @@ def vector_partition_q(sf_dir: str):
         batch_format="pyarrow")
 
 
+def check_geometry_q(sf_dir: str):
+    """Geometry validity report (gdal vector check-geometry,
+    apps/gdalalg_vector_check_geometry.cpp; GEOSisValidDetail reason
+    strings + error location): one synthetic defect class per part key —
+    valid rect / bowtie ring / hole outside shell / degenerate ring — with
+    closed-form reasons and error locations (scaled x2 so the half-integer
+    hole centers hash as exact ints)."""
+    from ..functions import wkb as wkb_f
+    from ..stages import geomops
+
+    keys = np.sort(pq.read_table(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey"])
+                   ["p_partkey"].to_numpy().astype(np.int64))
+    x0 = ((keys * 7) % 100).astype(np.float64)
+    y0 = ((keys * 11) % 100).astype(np.float64)
+    wkbs = []
+    for k, xa, ya in zip(keys, x0, y0):
+        m = int(k) % 4
+        if m == 0:
+            wkbs.append(wkb_f.encode_polygon([np.array(
+                [[xa, ya], [xa + 2, ya], [xa + 2, ya + 2], [xa, ya + 2],
+                 [xa, ya]])]))
+        elif m == 1:
+            wkbs.append(wkb_f.encode_polygon([np.array(
+                [[xa, ya], [xa + 2, ya + 2], [xa + 2, ya], [xa, ya + 2],
+                 [xa, ya]])]))
+        elif m == 2:
+            wkbs.append(wkb_f.encode_polygon([
+                np.array([[xa, ya], [xa + 4, ya], [xa + 4, ya + 4],
+                          [xa, ya + 4], [xa, ya]]),
+                np.array([[xa + 10, ya + 10], [xa + 11, ya + 10],
+                          [xa + 11, ya + 11], [xa + 10, ya + 11],
+                          [xa + 10, ya + 10]])]))
+        else:
+            wkbs.append(wkb_f.encode_polygon([np.array(
+                [[xa, ya], [xa + 1, ya], [xa, ya]])]))
+    layer = rd.from_arrow(pa.table({"fid": pa.array(keys),
+                                    "wkb": pa.array(wkbs, pa.binary())}))
+    out = geomops.check_geometry(layer)
+
+    def finish(t: pa.Table) -> pa.Table:
+        lx = t["loc_x"].to_numpy(zero_copy_only=False)
+        ly = t["loc_y"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "zone_key": pc.cast(t["id"], pa.int64()),
+            "valid": pc.cast(t["valid"], pa.int64()),
+            "reason": pc.fill_null(t["reason"], ""),
+            "loc_x2": pa.array(np.where(np.isnan(lx), 0,
+                                        np.round(lx * 2)).astype(np.int64)),
+            "loc_y2": pa.array(np.where(np.isnan(ly), 0,
+                                        np.round(ly * 2)).astype(np.int64)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def bpe_train_corpus_q(sf_dir: str):
     """BPE tokenizer training over the documents corpus (Sennrich et al.
     2016, the GPT-2 recipe): distributed bounded word histogram -> greedy

@@ -501,3 +501,40 @@ def test_geodesic_true_mode_batch_and_guards():
     tp = pa.table({"wkb": pa.array([wp], pa.binary())})
     with pytest.raises(ValueError, match="pole"):
         geomops.geodesic_measures_batch(tp, mode="geodesic")
+
+
+def test_check_geometry(ray_session):
+    """gdal vector check-geometry: validity classes, reasons, locations."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.functions import wkb as wf
+    from gdal_ray.stages import geomops
+
+    bow = wf.encode_polygon([np.array(
+        [[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], float)])
+    ok = wf.encode_polygon([np.array(
+        [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)])
+    hole_in = wf.encode_polygon([
+        np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float),
+        np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], float)])
+    hole_out = wf.encode_polygon([
+        np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float),
+        np.array([[10, 10], [11, 10], [11, 11], [10, 11], [10, 10]], float)])
+    nanring = wf.encode_polygon([np.array(
+        [[0, 0], [np.nan, 1], [1, 1], [0, 1], [0, 0]], float)])
+    simple_line = wf.encode_linestring(np.array([[0, 0], [5, 5]], float))
+    cross_line = wf.encode_linestring(np.array(
+        [[0, 0], [2, 2], [2, 0], [0, 2]], float))
+    t = pa.table({"fid": pa.array(list(range(7)), pa.int64()),
+                  "wkb": pa.array([ok, bow, hole_in, hole_out, nanring,
+                                   simple_line, cross_line], pa.binary())})
+    out = geomops.check_geometry(rd.from_arrow(t)).to_pandas()
+    got = out.set_index("id")
+    assert bool(got.loc[0, "valid"]) and bool(got.loc[2, "valid"])
+    assert bool(got.loc[5, "valid"])
+    assert got.loc[1, "reason"] == "Ring Self-intersection"
+    assert (got.loc[1, "loc_x"], got.loc[1, "loc_y"]) == (1.0, 1.0)
+    assert got.loc[3, "reason"] == "Hole lies outside shell"
+    assert got.loc[4, "reason"] == "Invalid Coordinate"
+    assert got.loc[6, "reason"] == "self-intersection"
