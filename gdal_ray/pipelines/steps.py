@@ -221,3 +221,26 @@ def _open_vector(ds, path="", layer=None):
         raise ValueError("open_vector needs path=...")
     out = open_vector(path, layer=layer)
     return rd.from_arrow(out) if isinstance(out, pa.Table) else out
+
+
+@register_step("tee")
+def step_tee(ds, path: str, fmt: str = "parquet"):
+    """``gdal pipeline ... ! tee ...`` (reference ``apps/gdalalg_tee.cpp``):
+    persist the intermediate dataset to ``path`` and pass it through
+    unchanged, so one pipeline both snapshots and continues.  The write is
+    the distributed parquet sink (one file per block)."""
+    if fmt != "parquet":
+        raise ValueError(f"tee supports fmt='parquet' (got {fmt!r})")
+    ds = ds.materialize()
+    ds.write_parquet(path)
+    return ds
+
+
+@register_step("materialize")
+def step_materialize(ds):
+    """``gdal pipeline ... ! materialize`` (reference
+    ``apps/gdalalg_materialize.cpp``): pin the intermediate result in the
+    object store so later steps (or repeated consumption) do not recompute
+    the upstream chain.  A deliberate exception to laziness — the
+    reference step exists for exactly this."""
+    return ds.materialize()

@@ -653,3 +653,20 @@ def test_curve_pipeline_steps(ray_session):
         "force_2d")
     g = wkb_f.decode(out2.take_all()[0]["wkb"])
     assert g.kind == wkb_f.POINT
+
+
+def test_tee_and_materialize_steps(ray_session, tmp_path):
+    """gdal pipeline tee/materialize (apps/gdalalg_tee.cpp,
+    gdalalg_materialize.cpp): snapshot passes through; limit applies
+    downstream only."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.pipelines import steps
+
+    ds = rd.from_arrow(pa.table({"a": list(range(20))}))
+    snap = str(tmp_path / "snap")
+    out = steps.run_pipeline(ds, f"tee path={snap} ! limit n=5")
+    assert out.count() == 5
+    assert rd.read_parquet(snap).count() == 20
+    assert "tee" in steps.list_steps() and "materialize" in steps.list_steps()
