@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from gdal_ray.stages import gridinterp
@@ -267,3 +268,48 @@ def test_asof_join_tiebreak_max_emit_rank(ray_session):
     rows = ev.asof_join(rd.from_arrow(left), right,
                         emit=("o_orderkey",)).take_all()
     assert rows[0]["o_orderkey"] == 11
+
+
+def test_grid_invdistnn(ray_session):
+    """invdistnn vs a brute-force reference: only the max_points nearest
+    in-radius points contribute; exact hits short-circuit."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages import gridinterp
+
+    rng = np.random.default_rng(13)
+    n = 60
+    px = rng.uniform(0.5, 15.5, n)
+    py = rng.uniform(0.5, 15.5, n)
+    pv = rng.integers(0, 100, n).astype(np.float64)
+    # one point exactly on a cell center (cell (3,2) center = (3.5, 2.5))
+    px[0], py[0], pv[0] = 3.5, 2.5, 77.0
+    grid = gridinterp.InterpGrid(0.0, 0.0, 16.0, 16.0, 16, 16, tile=8)
+    pts = rd.from_arrow(pa.table({"lon": pa.array(px), "lat": pa.array(py),
+                                  "value": pa.array(pv)}))
+    K, R = 5, 6.0
+    tiles_out = gridinterp.grid_interpolate(
+        pts, grid, algorithm="invdistnn", radius=R, max_points=K,
+        seed_all_tiles=True).to_pandas()
+    full = np.full((16, 16), np.nan)
+    for _, r in tiles_out.iterrows():
+        a = np.frombuffer(r["data"], dtype=np.float64).reshape(
+            r["height"], r["width"])
+        full[r["ty"] * 8:r["ty"] * 8 + r["height"],
+             r["tx"] * 8:r["tx"] * 8 + r["width"]] = a
+    for cy in range(16):
+        for cx in range(16):
+            gx, gy = cx + 0.5, cy + 0.5
+            d2 = (px - gx) ** 2 + (py - gy) ** 2
+            sel = np.argsort(d2)
+            sel = sel[d2[sel] <= R * R][:K]
+            if len(sel) == 0:
+                assert np.isnan(full[cy, cx])
+                continue
+            if d2[sel[0]] <= 1e-24:
+                exp = pv[sel[0]]
+            else:
+                w = 1.0 / d2[sel]
+                exp = (w * pv[sel]).sum() / w.sum()
+            assert full[cy, cx] == pytest.approx(exp, rel=1e-12), (cx, cy)
