@@ -2512,6 +2512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sozip_roundtrip": q.sozip_roundtrip_q,
         "raster_update": q.raster_update_q,
         "nodata_to_alpha": q.nodata_to_alpha_q,
+        "overview_refresh": q.overview_refresh_q,
         "check_geometry": q.check_geometry_q,
         # rows-only by design: BPE training is iterative (see docstring)
         "bpe_train_corpus": q.bpe_train_corpus_q,
@@ -5236,6 +5237,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_zones,
                    CAST(sum(p_partkey) AS BIGINT) AS key_sum
             FROM part GROUP BY 1
+        """,
+        # one refreshed overview parent (1,1): 2x2 dyadic-exact average of
+        # the updated quad; parent pixel (r,c) -> child (2+c//32, 2+r//32),
+        # base pixel gx = 64*(2+c//32) + 2*(c%32) + dx
+        "overview_refresh": """
+            WITH pp AS (SELECT a.range AS c, b.range AS r
+                        FROM range(64) a, range(64) b),
+            q AS (SELECT c, r, d.range AS dx, e.range AS dy,
+                         64 * (2 + c // 32) + 2 * (c % 32) + d.range AS gx,
+                         64 * (2 + r // 32) + 2 * (r % 32) + e.range AS gy
+                  FROM pp, range(2) d, range(2) e),
+            v AS (SELECT c, r,
+                         CASE WHEN gx // 64 = 2 AND gy // 64 = 2
+                               AND ((gx // 8) + (gy // 8)) % 2 = 1
+                              THEN 255.0
+                              ELSE CAST((gx-96)*(gx-96) + (gy-96)*(gy-96)
+                                        AS DOUBLE) / 64.0 END AS val
+                  FROM q),
+            m AS (SELECT c, r, sum(val) / 4.0 AS mv
+                  FROM v GROUP BY c, r)
+            SELECT CAST(1 AS BIGINT) AS x, CAST(1 AS BIGINT) AS y,
+                   CAST(sum(CAST(trunc(mv) AS BIGINT)
+                            * ((r * 64 + c) % 7 + 1)) % 65536 AS BIGINT)
+                     AS checksum
+            FROM m
         """,
         # validity classes by k%4: reason + error location closed forms
         "check_geometry": """

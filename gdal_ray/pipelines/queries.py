@@ -1847,6 +1847,26 @@ def vector_partition_q(sf_dir: str):
         batch_format="pyarrow")
 
 
+def overview_refresh_q(sf_dir: str):
+    """Overview refresh (gdal raster overview refresh / gdaladdo --refresh,
+    apps/gdalalg_raster_overview_refresh.cpp): the hump updated by a
+    checker in base tile (2,2) only; refreshing that dirty footprint
+    recomputes exactly ONE overview parent (1,1) — from one updated and
+    three clean children.  All values are exact dyadics, so the 2x2
+    average is bit-stable against the SQL mirror."""
+    from ..stages import pyramid, rastermap
+
+    dst = rd.from_arrow(synthetic.make_raster_tiles("hump", 4, 4, size=64))
+    src_t = synthetic.make_raster_tiles("checker", 4, 4, size=64)
+    xs = src_t["x"].to_numpy()
+    ys = src_t["y"].to_numpy()
+    win = (xs == 2) & (ys == 2)
+    updated = rastermap.raster_update(
+        dst, rd.from_arrow(src_t.filter(pa.array(win))))
+    out = pyramid.refresh_overviews(updated, [(2, 2)], kernel="average")
+    return _tile_checksum_rows(out)
+
+
 def check_geometry_q(sf_dir: str):
     """Geometry validity report (gdal vector check-geometry,
     apps/gdalalg_vector_check_geometry.cpp; GEOSisValidDetail reason

@@ -728,3 +728,71 @@ def warp_affine(src: SourceRaster, dst_gt, width: int, height: int,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def refresh_overviews(tiles_ds, dirty_xy, kernel: str = "average"):
+    """Refresh overview tiles whose base quad changed (``gdal raster
+    overview refresh`` / ``gdaladdo --refresh``, reference
+    ``apps/gdalalg_raster_overview_refresh.cpp``): only parents of DIRTY
+    base tiles recompute; clean children still feed their quad, so the
+    filter keeps every child of an affected parent.
+
+    ``dirty_xy``: iterable of (x, y) base-tile indices — the update
+    footprint (O(updated region), metadata-sized, shipped by closure).
+    Accepts any tile dtype (the general tile schema, unlike
+    ``build_overview``'s float64 pyramid rows); output parents are
+    float64 with the same (z-1, x//2, y//2) keying."""
+    from .focal import _dtype_of
+
+    parents = {(int(x) // 2, int(y) // 2) for x, y in dirty_xy}
+    if not parents:
+        raise ValueError("refresh_overviews: empty dirty set")
+
+    def pick(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        keep = np.array([(int(a) // 2, int(b) // 2) in parents
+                         for a, b in zip(x, y)])
+        out = batch.filter(pa.array(keep))
+        px = out["x"].to_numpy(zero_copy_only=False) // 2
+        py = out["y"].to_numpy(zero_copy_only=False) // 2
+        return out.append_column(
+            "parent", pa.array((px.astype(np.int64) << 32)
+                               | py.astype(np.int64)))
+
+    tagged = tiles_ds.map_batches(pick, batch_format="pyarrow")
+
+    def reduce_parent(group: pa.Table) -> pa.Table:
+        z = int(group["z"][0].as_py()) - 1
+        px_ = int(group["parent"][0].as_py() >> 32)
+        py_ = int(group["parent"][0].as_py() & 0xFFFFFFFF)
+        t = int(group["width"][0].as_py())
+        nod = group["nodata"][0].as_py()
+        nod = 0.0 if nod is None else float(nod)
+        out = np.full((t, t), nod, dtype=np.float64)
+        for i in range(group.num_rows):
+            cx = group["x"][i].as_py()
+            cy = group["y"][i].as_py()
+            arr = np.frombuffer(
+                group["data"][i].as_py(),
+                dtype=_dtype_of(group["dtype"][i].as_py())
+            ).reshape(t, t).astype(np.float64)
+            small = _overview_reduce(arr, kernel)
+            ox = (cx % 2) * (t // 2)
+            oy = (cy % 2) * (t // 2)
+            out[oy:oy + t // 2, ox:ox + t // 2] = small
+        return pa.table({
+            "z": pa.array([z], pa.int64()),
+            "x": pa.array([px_], pa.int64()),
+            "y": pa.array([py_], pa.int64()),
+            "band": pa.array([1], pa.int64()),
+            "width": pa.array([t], pa.int64()),
+            "height": pa.array([t], pa.int64()),
+            "crs": pa.array([group["crs"][0].as_py()]),
+            "nodata": pa.array([nod], pa.float64()),
+            "dtype": pa.array(["float64"]),
+            "data": pa.array([out.tobytes()], pa.binary()),
+        })
+
+    return tagged.groupby("parent").map_groups(reduce_parent,
+                                               batch_format="pyarrow")

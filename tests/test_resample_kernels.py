@@ -224,3 +224,33 @@ def test_warp_affine_identity_and_bilinear(ray_session):
     a2 = np.frombuffer(rows2[0]["data"], np.float64).reshape(39, 39)
     expect = (arr[:-1, :-1] + arr[:-1, 1:] + arr[1:, :-1] + arr[1:, 1:]) / 4.0
     assert np.allclose(a2, expect)
+
+
+def test_refresh_overviews(ray_session):
+    """gdaladdo --refresh: only parents of dirty base tiles recompute;
+    clean children still feed the quad; any tile dtype accepted."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.sources import synthetic
+    from gdal_ray.stages import pyramid
+
+    base = synthetic.make_raster_tiles("hump", 4, 4, size=64)
+    out = pyramid.refresh_overviews(rd.from_arrow(base), [(2, 2)],
+                                    kernel="average").to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["x"], r["y"]) == (1, 1)
+    a = np.frombuffer(r["data"], dtype=np.float64).reshape(64, 64)
+    # spot-check quadrant placement: parent pixel (0,0) = mean of base
+    # (128,128)..(129,129) hump values
+    gy, gx = np.mgrid[128:130, 128:130]
+    exp = (((gx - 96) ** 2 + (gy - 96) ** 2) / 64.0).mean()
+    assert a[0, 0] == exp
+    # dirty in two quads -> two parents
+    out2 = pyramid.refresh_overviews(rd.from_arrow(base), [(0, 0), (3, 3)],
+                                     kernel="max").to_pandas()
+    assert sorted(zip(out2["x"], out2["y"])) == [(0, 0), (1, 1)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pyramid.refresh_overviews(rd.from_arrow(base), [])
