@@ -256,3 +256,34 @@ def read_sozip_chunks(archive: str, member: str | None = None):
 
     return rd.from_arrow(index).repartition(min(n_chunks, 32)).map_batches(
         load, batch_format="pyarrow")
+
+
+def sozip_optimize_from(src_archive: str, dst_archive: str,
+                        member: str | None = None,
+                        chunk_size: int = 32768) -> dict:
+    """``gdal vsi sozip optimize``: re-encode a member of an EXISTING zip
+    (seek-hostile single deflate stream) into a fresh SOZip archive
+    (reference ``apps/gdalalg_vsi_sozip.cpp`` optimize subcommand).
+    Returns the new archive's info dict."""
+    import tempfile
+    import zipfile
+
+    with zipfile.ZipFile(src_archive) as z:
+        infos = [i for i in z.infolist() if not i.is_dir()
+                 and not i.filename.endswith(".sozip.idx")]
+        if member is None:
+            if len(infos) != 1:
+                raise ValueError(f"{src_archive} has {len(infos)} members; "
+                                 "name one")
+            member = infos[0].filename
+        data = z.read(member)
+    with tempfile.NamedTemporaryFile(suffix=os.path.basename(member),
+                                     delete=False) as f:
+        f.write(data)
+        tmp = f.name
+    try:
+        info = sozip_create(dst_archive, tmp, chunk_size=chunk_size,
+                            arcname=member)
+    finally:
+        os.unlink(tmp)
+    return info

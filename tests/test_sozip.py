@@ -80,3 +80,23 @@ def test_non_sozip_rejected(tmp_path, ray_session):
     assert sozip.sozip_info(arch)["sozip"] is False
     with pytest.raises(ValueError):
         sozip.sozip_read_chunk(arch, None, 0)
+
+
+def test_optimize_from_plain_zip(tmp_path, ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    words = [b"alpha", b"beta", b"gamma"]
+    data = b"-".join(words[i] for i in rng.integers(0, 3, 20000))
+    plain = str(tmp_path / "plain.zip")
+    with zipfile.ZipFile(plain, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("corpus.txt", data)
+    assert sozip.sozip_info(plain)["sozip"] is False
+    dst = str(tmp_path / "opt.zip")
+    info = sozip.sozip_optimize_from(plain, dst, chunk_size=4096)
+    assert info["uncompressed_size"] == len(data)
+    assert sozip.sozip_info(dst)["sozip"] is True
+    with zipfile.ZipFile(dst) as z:
+        assert z.read("corpus.txt") == data
+    got = sozip.sozip_read_chunk(dst, None, 2)
+    assert got == data[2 * 4096:3 * 4096]
