@@ -2513,6 +2513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_update": q.raster_update_q,
         "nodata_to_alpha": q.nodata_to_alpha_q,
         "overview_refresh": q.overview_refresh_q,
+        "raster_attribute_table": q.raster_attribute_table_q,
         "check_geometry": q.check_geometry_q,
         # rows-only by design: BPE training is iterative (see docstring)
         "bpe_train_corpus": q.bpe_train_corpus_q,
@@ -5237,6 +5238,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_zones,
                    CAST(sum(p_partkey) AS BIGINT) AS key_sum
             FROM part GROUP BY 1
+        """,
+        # RAT over the rects fixture: class counts from the RECTS literals;
+        # area at 0.25/px scaled x4 == count
+        "raster_attribute_table": """
+            WITH r AS (SELECT * FROM (VALUES
+                         (1, (30-10) * (24-8)), (2, (80-55) * (65-45)),
+                         (3, (130-100) * (106-82)),
+                         (4, (180-145) * (139-119))) t(v, c)),
+            a AS (SELECT v, c FROM r
+                  UNION ALL SELECT 0, 65536 - (SELECT sum(c) FROM r))
+            SELECT CAST(v AS BIGINT) AS value, CAST(c AS BIGINT) AS count,
+                   CAST(c AS BIGINT) AS area
+            FROM a
         """,
         # one refreshed overview parent (1,1): 2x2 dyadic-exact average of
         # the updated quad; parent pixel (r,c) -> child (2+c//32, 2+r//32),

@@ -1847,6 +1847,18 @@ def vector_partition_q(sf_dir: str):
         batch_format="pyarrow")
 
 
+def raster_attribute_table_q(sf_dir: str):
+    """Raster attribute table (gcore/gdal_rat.cpp VALUE/COUNT/AREA) over
+    the 'rects' classified fixture: per class value, exact pixel count and
+    area at 0.25 world-units/pixel (scaled x4 ints)."""
+    from ..stages import rastermap
+
+    tiles = rd.from_arrow(synthetic.make_raster_tiles("rects", 4, 4,
+                                                      size=64))
+    return rastermap.raster_attribute_table(tiles, pixel_area=0.25,
+                                            area_scale=4)
+
+
 def overview_refresh_q(sf_dir: str):
     """Overview refresh (gdal raster overview refresh / gdaladdo --refresh,
     apps/gdalalg_raster_overview_refresh.cpp): the hump updated by a

@@ -1024,3 +1024,45 @@ def nodata_to_alpha(tiles_ds, nodata: float | None = None,
              for c in t.column_names})
 
     return tiles_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def raster_attribute_table(tiles_ds, pixel_area: float = 1.0,
+                           area_scale: int = 1):
+    """Raster attribute table from a classified raster (reference
+    ``gcore/gdal_rat.cpp`` GDALRasterAttributeTable with the usual
+    VALUE/COUNT(/AREA) columns — the table ``gdalinfo`` reports for
+    thematic rasters and ``gdaldem color-relief`` consumes).
+
+    Per-tile ``np.unique`` partials + ONE keyed fold — O(distinct values)
+    rows move, never pixels.  ``pixel_area``: world area per pixel;
+    emitted as an exact scaled int64 (``area_scale``) so the fold is
+    order-independent."""
+    from .focal import _dtype_of
+    from .relational import partial_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, cnts = [], []
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=_dtype_of(t["dtype"][i].as_py()))
+            v, c = np.unique(a, return_counts=True)
+            vals.append(v.astype(np.int64))
+            cnts.append(c.astype(np.int64))
+        if not vals:
+            return pa.table({"value": pa.array([], pa.int64()),
+                             "count": pa.array([], pa.int64())})
+        return pa.table({"value": pa.array(np.concatenate(vals)),
+                         "count": pa.array(np.concatenate(cnts))})
+
+    agg = partial_aggregate(tiles_ds.map_batches(partial,
+                                                 batch_format="pyarrow"),
+                            ["value"], sums=["count"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["count_sum"].to_numpy(zero_copy_only=False)
+        area = np.round(c * pixel_area * area_scale).astype(np.int64)
+        return pa.table({"value": t["value"],
+                         "count": pa.array(c.astype(np.int64)),
+                         "area": pa.array(area)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
