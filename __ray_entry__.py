@@ -5293,11 +5293,11 @@ def oracle_sql() -> dict[str, str]:
                    END AS reason,
                    CAST(CASE m WHEN 0 THEN 0
                                WHEN 1 THEN 2 * x0 + 2
-                               WHEN 2 THEN 2 * x0 + 21
+                               WHEN 2 THEN 2 * x0 + 20
                                ELSE 2 * x0 END AS BIGINT) AS loc_x2,
                    CAST(CASE m WHEN 0 THEN 0
                                WHEN 1 THEN 2 * y0 + 2
-                               WHEN 2 THEN 2 * y0 + 21
+                               WHEN 2 THEN 2 * y0 + 20
                                ELSE 2 * y0 END AS BIGINT) AS loc_y2
             FROM b
         """,

@@ -26,6 +26,7 @@ from ..functions import geo
 from ..sources import synthetic
 from ..sources.io import read_table
 from ..stages import dedup, events, join, knn, relational, sim, textops, tiles, zonal
+from ..state.resources import default_concurrency as _dconc
 
 KNN_K = 3
 NEARDUP_THRESHOLD = 0.45
@@ -699,7 +700,7 @@ def point_raster_lookup_q(sf_dir: str):
                     vals[m] = arr[py[m] - ty * tile, px[m] - tx * tile]
             return pa.table({"doc_id": t["doc_id"], "raster_value": pa.array(vals)})
 
-    return _docs_points(sf_dir).map_batches(Lookup, batch_format="pyarrow", concurrency=2)
+    return _docs_points(sf_dir).map_batches(Lookup, batch_format="pyarrow", concurrency=_dconc())
 
 
 def point_sample_bilinear_q(sf_dir: str):
@@ -755,7 +756,7 @@ def point_sample_bilinear_q(sf_dir: str):
             val = top * (1.0 - dy) + bot * dy
             return pa.table({"doc_id": t["doc_id"], "sampled": pa.array(val)})
 
-    return _docs_points(sf_dir).map_batches(Sample, batch_format="pyarrow", concurrency=2)
+    return _docs_points(sf_dir).map_batches(Sample, batch_format="pyarrow", concurrency=_dconc())
 
 
 def grid_count_q(sf_dir: str):
@@ -1884,8 +1885,8 @@ def check_geometry_q(sf_dir: str):
     apps/gdalalg_vector_check_geometry.cpp; GEOSisValidDetail reason
     strings + error location): one synthetic defect class per part key —
     valid rect / bowtie ring / hole outside shell / degenerate ring — with
-    closed-form reasons and error locations (scaled x2 so the half-integer
-    hole centers hash as exact ints)."""
+    closed-form reasons and error locations (scaled x2 for exact int
+    hashing; the hole error location is the hole's first vertex)."""
     from ..functions import wkb as wkb_f
     from ..stages import geomops
 
@@ -2186,6 +2187,9 @@ def gnm_shortest_path_q(sf_dir: str):
 
     def finish(t: pa.Table) -> pa.Table:
         d = t["net_dist"].to_numpy(zero_copy_only=False)
+        # unreachable -> null -> NaN through to_numpy; map to -1 before the
+        # int cast (all wall-grid targets are reachable, so this is a guard)
+        d = np.where(np.isnan(d), -1.0, d)
         return pa.table({"zone_key": t["zone_key"],
                          "net_dist": pa.array(d.astype(np.int64))})
 
@@ -3673,7 +3677,7 @@ def media_features_q(sf_dir: str):
     from ..stages import media
 
     docs = rd.from_arrow(synthetic.make_docs(2000))
-    return media.featurize_media(docs, concurrency=2)
+    return media.featurize_media(docs)
 
 
 def media_features_real_q(sf_dir: str):
@@ -4215,7 +4219,7 @@ def viewshed_modes_q(sf_dir: str):
 def langid_q(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        textops.LangId, batch_format="pyarrow", concurrency=2
+        textops.LangId, batch_format="pyarrow", concurrency=_dconc()
     ).select_columns(["doc_id", "lang_pred"])
 
 
@@ -4284,7 +4288,7 @@ def quality_classifier_q(sf_dir: str):
     scores."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        textops.HashedLinearScorer, batch_format="pyarrow", concurrency=2
+        textops.HashedLinearScorer, batch_format="pyarrow", concurrency=_dconc()
     )
 
 

@@ -16,6 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .relational import partial_aggregate
+from ..state.resources import default_concurrency as _default_concurrency
 
 
 def _epoch_us(col) -> np.ndarray:
@@ -182,6 +183,7 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "o_orderdate",
     emit: tuple = ("o_orderkey",),
+    concurrency: int | None = None,
 ):
     """As-of join: latest right row with right_ts <= left ts per key.
 
@@ -227,7 +229,7 @@ def asof_join(
                     c, pc.if_else(ok, vals, pa.scalar(None, vals.type)))
             return out
 
-    return events_ds.map_batches(AsofJoiner, batch_format="pyarrow", concurrency=2)
+    return events_ds.map_batches(AsofJoiner, batch_format="pyarrow", concurrency=concurrency or _default_concurrency())
 
 
 def _rank_codes(col) -> np.ndarray:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from ..state.resources import default_concurrency as _default_concurrency
 
 
 def fill_nodata(tiles_ds, nodata: float = 0.0, max_dist: int = 8):
@@ -214,7 +215,7 @@ def median_cut(hist: np.ndarray, n_colors: int = 16, bits: int = 5) -> np.ndarra
     return np.array(pal, dtype=np.uint8)
 
 
-def expand_palette(tiles_ds, palette: np.ndarray):
+def expand_palette(tiles_ds, palette: np.ndarray, concurrency: int | None = None):
     """pct2rgb: palette-index tiles -> RGB tiles via a broadcast palette
     lookup (the inverse of apply_palette; re-answers the reference's
     pct2rgb / color-table expansion, swig/python/gdal-utils pct2rgb)."""
@@ -239,10 +240,10 @@ def expand_palette(tiles_ds, palette: np.ndarray):
                 )
             return pa.Table.from_pylist(rows)
 
-    return tiles_ds.map_batches(Expand, batch_format="pyarrow", concurrency=2)
+    return tiles_ds.map_batches(Expand, batch_format="pyarrow", concurrency=concurrency or _default_concurrency())
 
 
-def apply_palette(tiles_ds, palette: np.ndarray):
+def apply_palette(tiles_ds, palette: np.ndarray, concurrency: int | None = None):
     """Broadcast palette -> nearest-color remap per tile (stateless map);
     emits single-band palette-index tiles."""
     import ray
@@ -267,7 +268,7 @@ def apply_palette(tiles_ds, palette: np.ndarray):
                 )
             return pa.Table.from_pylist(rows)
 
-    return tiles_ds.map_batches(Remap, batch_format="pyarrow", concurrency=2)
+    return tiles_ds.map_batches(Remap, batch_format="pyarrow", concurrency=concurrency or _default_concurrency())
 
 
 # -- ordered dithering (rgb2pct -dither analogue) -----------------------------

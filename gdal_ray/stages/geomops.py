@@ -1910,12 +1910,16 @@ def check_geometry_batch(batch: pa.Table, id_col: str = "fid") -> pa.Table:
                     break
                 shell = rings[0]
                 for hole in rings[1:]:
-                    cx, cy = float(hole[:, 0].mean()), float(hole[:, 1].mean())
-                    inside = _pip.points_in_ring(np.array([cx]),
-                                                np.array([cy]), shell)[0]
-                    if not inside:
+                    # a concave hole's vertex centroid can fall outside the
+                    # ring (or outside the shell while the hole is inside):
+                    # test the hole's own vertices — if no vertex of the
+                    # hole is interior to the shell, the hole lies outside
+                    hx, hy = hole[:-1, 0], hole[:-1, 1]
+                    inside_any = bool(
+                        _pip.points_in_ring(hx, hy, shell).any())
+                    if not inside_any:
                         reason = "Hole lies outside shell"
-                        loc = (cx, cy)
+                        loc = (float(hx[0]), float(hy[0]))
                         break
                 if reason:
                     break

@@ -260,21 +260,26 @@ def grid_interpolate(
             # weights only the max_points NEAREST in-radius points
             d2m = np.where(in_r, d2, np.inf)
             k = int(min(max_points, d2m.shape[1]))
-            idx = np.argpartition(d2m, k - 1, axis=1)[:, :k]
-            ri = np.arange(d2m.shape[0])[:, None]
-            dk = d2m[ri, idx]
-            vk = pv[idx]
-            wk = np.where(np.isfinite(dk),
-                          1.0 / np.maximum(dk, 1e-300) ** (power / 2.0), 0.0)
-            wsum = wk.sum(axis=1)
-            out = np.where(wsum > 0,
-                           (wk * vk).sum(axis=1)
-                           / np.where(wsum == 0, 1, wsum), np.nan)
-            exact = (dk <= 1e-24) & np.isfinite(dk)
-            has_exact = exact.any(axis=1)
-            if has_exact.any():
-                je = np.argmax(exact, axis=1)
-                out = np.where(has_exact, vk[np.arange(len(vk)), je], out)
+            if k <= 0:  # max_points=0 or zero candidates -> all nodata
+                out = np.full(d2m.shape[0], np.nan)
+            else:
+                idx = np.argpartition(d2m, k - 1, axis=1)[:, :k]
+                ri = np.arange(d2m.shape[0])[:, None]
+                dk = d2m[ri, idx]
+                vk = pv[idx]
+                wk = np.where(np.isfinite(dk),
+                              1.0 / np.maximum(dk, 1e-300) ** (power / 2.0),
+                              0.0)
+                wsum = wk.sum(axis=1)
+                out = np.where(wsum > 0,
+                               (wk * vk).sum(axis=1)
+                               / np.where(wsum == 0, 1, wsum), np.nan)
+                exact = (dk <= 1e-24) & np.isfinite(dk)
+                has_exact = exact.any(axis=1)
+                if has_exact.any():
+                    je = np.argmax(exact, axis=1)
+                    out = np.where(has_exact, vk[np.arange(len(vk)), je],
+                                   out)
         elif algorithm == "average":
             n = in_r.sum(axis=1)
             out = np.where(n > 0, np.where(in_r, pv[None, :], 0.0).sum(axis=1) / np.maximum(n, 1), np.nan)

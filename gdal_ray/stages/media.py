@@ -29,6 +29,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+from ..state.resources import default_concurrency as _default_concurrency
 
 
 def fake_pixels(media_ref: str, thumb: int = 8) -> np.ndarray:
@@ -313,7 +314,7 @@ class MediaFeaturizer:
         )
 
 
-def featurize_media(docs_ds, backend: str = "fake", concurrency: int | tuple = 2,
+def featurize_media(docs_ds, backend: str = "fake", concurrency: int | tuple | None = None,
                     batch_size: int = 1024, store_root: str | None = None):
     """Media pipeline: project to (doc_id, spans) -> actor pool decode."""
     cols = docs_ds.schema().names
@@ -326,7 +327,7 @@ def featurize_media(docs_ds, backend: str = "fake", concurrency: int | tuple = 2
         fn_constructor_kwargs=dict(backend=backend, store_root=store_root),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_concurrency(),
     )
 
 
@@ -649,7 +650,7 @@ class FrameSampler:
 
 
 def sample_frames(docs_ds, stride: int = 2, backend: str = "fake",
-                  concurrency: int | tuple = 2, batch_size: int = 1024,
+                  concurrency: int | tuple | None = None, batch_size: int = 1024,
                   store_root: str | None = None):
     """Video frame-sampling pipeline: project -> actor-pool frame decode."""
     cols = docs_ds.schema().names
@@ -660,7 +661,7 @@ def sample_frames(docs_ds, stride: int = 2, backend: str = "fake",
         fn_constructor_kwargs=dict(stride=stride, backend=backend,
                                    store_root=store_root),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or _default_concurrency(),
         batch_size=batch_size,
     )
 
@@ -730,7 +731,7 @@ class ThumbResizer:
 
 
 def resize_media(docs_ds, factor: int = 2, backend: str = "fake",
-                 concurrency: int | tuple = 2, batch_size: int = 1024,
+                 concurrency: int | tuple | None = None, batch_size: int = 1024,
                  store_root: str | None = None, out_root: str | None = None):
     """Media resize pipeline: project -> actor-pool decode + downscale."""
     cols = docs_ds.schema().names
@@ -741,6 +742,6 @@ def resize_media(docs_ds, factor: int = 2, backend: str = "fake",
         fn_constructor_kwargs=dict(factor=factor, backend=backend,
                                    store_root=store_root, out_root=out_root),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or _default_concurrency(),
         batch_size=batch_size,
     )

@@ -139,8 +139,10 @@ class NetworkDistanceStage:
         slot = np.clip(slot, 0, len(self.nodes) - 1)
         hit = self.nodes[slot] == k
         d = np.where(hit, self.dist[slot], np.inf)
-        out = np.where(np.isfinite(d), d, np.nan)
-        return batch.append_column("net_dist", pa.array(out, pa.float64()))
+        valid = np.isfinite(d)
+        out = pa.array(np.where(valid, d, 0.0), pa.float64(),
+                       mask=~valid)  # unreachable -> null, per contract
+        return batch.append_column("net_dist", out)
 
 
 def shortest_path_distances(targets_ds, edges: pa.Table, source: int,
@@ -227,13 +229,19 @@ def k_shortest_paths(edges: pa.Table, source: int, target: int, k: int,
                         costs[e0:e1][indices[e0:e1] == b].min())
                 cand = (root[:-1] + tail, root_cost + float(d2[t]))
                 key = (cand[1], cand[0])
-                if all(c[1] != key for c in B) and all(
-                        p != cand[0] for p, _ in A):
+                if all(p != cand[0] for _k, p in B) and all(
+                        p != cand[0] for p, _c in A):
                     B.append((key, cand[0]))
-        if not B:
+        # pop the cheapest candidate whose path is not already accepted
+        path = None
+        while B:
+            B.sort(key=lambda x: x[0])
+            (cost, _seq), cand_path = B.pop(0)
+            if all(p != cand_path for p, _c in A):
+                path = cand_path
+                break
+        if path is None:
             break
-        B.sort(key=lambda x: x[0])
-        (cost, _seq), path = B.pop(0)
         A.append((path, cost))
     return [([int(nodes[p]) for p in path], c) for path, c in A]
 

@@ -752,7 +752,7 @@ def refresh_overviews(tiles_ds, dirty_xy, kernel: str = "average"):
         x = batch["x"].to_numpy(zero_copy_only=False)
         y = batch["y"].to_numpy(zero_copy_only=False)
         keep = np.array([(int(a) // 2, int(b) // 2) in parents
-                         for a, b in zip(x, y)])
+                         for a, b in zip(x, y)], dtype=bool)
         out = batch.filter(pa.array(keep))
         px = out["x"].to_numpy(zero_copy_only=False) // 2
         py = out["y"].to_numpy(zero_copy_only=False) // 2

@@ -107,11 +107,14 @@ def filter_expr(ds, fn):
     return ds.map_batches(lambda t: t.filter(fn(t)), batch_format="pyarrow")
 
 
-def hash_join_broadcast(ds, small: pa.Table, key: str, small_key: str, emit: list[str]):
+def hash_join_broadcast(ds, small: pa.Table, key: str, small_key: str,
+                        emit: list[str], concurrency: int | None = None):
     """Equi-join with a broadcast small side (OGR SQL JOIN,
     ogr_gensql.cpp:1334-1530, re-expressed as ray.put + per-batch hash lookup
     instead of the reference's per-row secondary-layer filter pushdown)."""
     import ray
+
+    from ..state.resources import default_concurrency
 
     ref = ray.put(small)
 
@@ -141,16 +144,20 @@ def hash_join_broadcast(ds, small: pa.Table, key: str, small_key: str, emit: lis
                 out = out.append_column(c, self.table[c].take(pa.array(src)))
             return out
 
-    return ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Joiner, batch_format="pyarrow",
+                          concurrency=concurrency or default_concurrency())
 
 
 def hash_join_broadcast_left(ds, small: pa.Table, key: str, small_key: str,
-                             emit: list[str]):
+                             emit: list[str],
+                             concurrency: int | None = None):
     """LEFT OUTER equi-join with a broadcast small side (OGR SQL LEFT JOIN,
     ogr_gensql.cpp secondary-table semantics: unmatched probe rows survive
     with NULL build columns).  Duplicate build keys keep the FIRST occurrence
     (matching the sorted-probe inner join's stable tie-break)."""
     import ray
+
+    from ..state.resources import default_concurrency
 
     ref = ray.put(small)
 
@@ -186,7 +193,8 @@ def hash_join_broadcast_left(ds, small: pa.Table, key: str, small_key: str,
                     c, pc.if_else(hit_arr, col, pa.scalar(None, col.type)))
             return out
 
-    return ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Joiner, batch_format="pyarrow",
+                          concurrency=concurrency or default_concurrency())
 
 
 def _topn_mask(key: np.ndarray, order_val: np.ndarray, tie: np.ndarray, n: int):

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray
+from ..state.resources import default_concurrency as _default_concurrency
 
 
 def _stack_embeddings(col) -> np.ndarray:
@@ -62,7 +63,7 @@ class BroadcastCosineTopK:
         )
 
 
-def cosine_topk(ds, queries: np.ndarray, query_ids, k: int = 10, id_col: str = "vec_id"):
+def cosine_topk(ds, queries: np.ndarray, query_ids, k: int = 10, id_col: str = "vec_id", concurrency: int | None = None):
     """Exact top-k per query: the scoring actor emits per-batch top-k partials
     (combiner folded into the actor — only k rows per query per batch reach
     the object store), then a tiny per-query group picks the global top-k."""
@@ -71,7 +72,7 @@ def cosine_topk(ds, queries: np.ndarray, query_ids, k: int = 10, id_col: str = "
         BroadcastCosineTopK,
         fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, query_ids=query_ids, k=k),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=concurrency or _default_concurrency(),
     )
 
     def final_topk(group: pa.Table) -> pa.Table:
@@ -159,7 +160,7 @@ def cosine_neardup_pairs(ds, threshold: float = 0.8, id_col: str = "vec_id",
 
 def ivf_topk(ds, queries: np.ndarray, query_ids, k: int = 10, id_col: str = "vec_id",
              n_centroids: int = 16, nprobe: int = 4, train_sample: int = 2048,
-             kmeans_iters: int = 10, seed: int = 424242):
+             kmeans_iters: int = 10, seed: int = 424242, concurrency: int | None = None):
     """IVF approximate top-k (the classic coarse-quantizer ANN scale path):
 
     1. train a small k-means codebook on a deterministic sample (driver-side,
@@ -235,7 +236,7 @@ def ivf_topk(ds, queries: np.ndarray, query_ids, k: int = 10, id_col: str = "vec
                  "cos_sim": pa.array(np.concatenate(out_sim))}
             )
 
-    pruned = ds.map_batches(IVFScorer, batch_format="pyarrow", concurrency=2)
+    pruned = ds.map_batches(IVFScorer, batch_format="pyarrow", concurrency=concurrency or _default_concurrency())
 
     def final_topk(group: pa.Table) -> pa.Table:
         sims = group["cos_sim"].to_numpy(zero_copy_only=False)

@@ -17,6 +17,7 @@ import re
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..state.resources import default_concurrency as _default_concurrency
 
 _TOKEN_RE = re.compile(r"[^ ]+")
 _PUNCT_RE = re.compile(r"[.,!?;:]")
@@ -610,7 +611,7 @@ def doc_frequencies(ds, text_col: str = "text"):
 
 
 def target_affinity(ds, stats: pa.Table, text_col: str = "text",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id", concurrency: int | None = None):
     """DSIR-shaped importance scoring pass 2: per doc, the integer sum of the
     broadcast target-corpus occurrence count of each token (tokens unseen in
     the target contribute 0).  Integer-exact under any reduction order.
@@ -644,11 +645,11 @@ def target_affinity(ds, stats: pa.Table, text_col: str = "text",
                              "affinity": pa.array(aff),
                              "n_tokens": pa.array(lens)})
 
-    return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency or _default_concurrency())
 
 
 def tfidf_top_term(ds, dfs: pa.Table, text_col: str = "text",
-                   id_col: str = "doc_id"):
+                   id_col: str = "doc_id", concurrency: int | None = None):
     """Per doc, the term maximizing tf/df (rank-equivalent to tf-idf for a
     fixed corpus size), ties broken by lexicographically smallest term.
     Output: (doc_id, top_term, tf, df).
@@ -695,7 +696,7 @@ def tfidf_top_term(ds, dfs: pa.Table, text_col: str = "text",
                              "tf": pa.array(tf[win]),
                              "df": pa.array(df[win])})
 
-    return ds.map_batches(Top, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Top, batch_format="pyarrow", concurrency=concurrency or _default_concurrency())
 
 
 N_FEATURE_BUCKETS = 65536
@@ -716,7 +717,7 @@ def _md5_buckets(uniq, n_buckets: int, cache: dict) -> np.ndarray:
 
 
 def hashed_term_counts(ds, text_col: str = "text", row_filter=None,
-                       n_buckets: int = N_FEATURE_BUCKETS):
+                       n_buckets: int = N_FEATURE_BUCKETS, concurrency: int | None = None):
     """DSIR pass 1, hashed features: bucket -> target-corpus token
     occurrences.  Unlike ``term_counts`` the result is FIXED-SIZE
     (≤ n_buckets rows) regardless of vocabulary — the driver-side fold is
@@ -745,12 +746,12 @@ def hashed_term_counts(ds, text_col: str = "text", row_filter=None,
 
     from ray.data.aggregate import Sum
 
-    return ds.map_batches(Partial, batch_format="pyarrow", concurrency=2) \
+    return ds.map_batches(Partial, batch_format="pyarrow", concurrency=concurrency or _default_concurrency()) \
              .groupby("bucket").aggregate(Sum("c", alias_name="c"))
 
 
 def hashed_doc_frequencies(ds, text_col: str = "text",
-                           n_buckets: int = N_FEATURE_BUCKETS):
+                           n_buckets: int = N_FEATURE_BUCKETS, concurrency: int | None = None):
     """Hashed document frequencies: bucket -> number of docs containing at
     least one term of the bucket.  Exact per-batch distinct (doc, bucket)
     combiner (a document never spans batches); fixed-size result like
@@ -776,7 +777,7 @@ def hashed_doc_frequencies(ds, text_col: str = "text",
 
     from ray.data.aggregate import Sum
 
-    return ds.map_batches(Partial, batch_format="pyarrow", concurrency=2) \
+    return ds.map_batches(Partial, batch_format="pyarrow", concurrency=concurrency or _default_concurrency()) \
              .groupby("bucket").aggregate(Sum("df", alias_name="df"))
 
 
@@ -792,7 +793,7 @@ def fold_bucket_table(bucket_ds, value_col: str, n_buckets: int) -> np.ndarray:
 
 
 def target_affinity_hashed(ds, bucket_counts: np.ndarray,
-                           text_col: str = "text", id_col: str = "doc_id"):
+                           text_col: str = "text", id_col: str = "doc_id", concurrency: int | None = None):
     """DSIR importance scoring pass 2 over HASHED features: per doc, the
     integer sum of the broadcast per-bucket target count of each token.
     The broadcast side is a fixed n_buckets int64 vector (ray.put once,
@@ -822,11 +823,11 @@ def target_affinity_hashed(ds, bucket_counts: np.ndarray,
                              "affinity": pa.array(aff),
                              "n_tokens": pa.array(lens)})
 
-    return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency or _default_concurrency())
 
 
 def tfidf_top_term_hashed(ds, bucket_df: np.ndarray, text_col: str = "text",
-                          id_col: str = "doc_id"):
+                          id_col: str = "doc_id", concurrency: int | None = None):
     """Per doc, the term maximizing tf / df_bucket(term) (hashed document
     frequencies — the fixed-size-broadcast variant of ``tfidf_top_term``),
     ties broken by lexicographically smallest term.  Output: (doc_id,
@@ -872,7 +873,7 @@ def tfidf_top_term_hashed(ds, bucket_df: np.ndarray, text_col: str = "text",
                              "tf": pa.array(tf[win]),
                              "df": pa.array(df[win])})
 
-    return ds.map_batches(Top, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Top, batch_format="pyarrow", concurrency=concurrency or _default_concurrency())
 
 
 def qc_weight(bucket):

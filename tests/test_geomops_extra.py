@@ -526,9 +526,18 @@ def test_check_geometry(ray_session):
     simple_line = wf.encode_linestring(np.array([[0, 0], [5, 5]], float))
     cross_line = wf.encode_linestring(np.array(
         [[0, 0], [2, 2], [2, 0], [0, 2]], float))
-    t = pa.table({"fid": pa.array(list(range(7)), pa.int64()),
+    # concave L-shaped hole hugging the shell's corner: its vertex centroid
+    # (~1.17, 1.17) is inside, but shrink the shell so the centroid of an
+    # L-hole wrapped around (3.5, 3.5) falls OUTSIDE the 0..4 shell while
+    # every hole vertex is inside — the ADVICE regression case
+    l_hole = wf.encode_polygon([
+        np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float),
+        np.array([[0.5, 0.5], [3.9, 0.5], [3.9, 3.9], [3.5, 3.9],
+                  [3.5, 0.9], [0.5, 0.9], [0.5, 0.5]], float)])
+    t = pa.table({"fid": pa.array(list(range(8)), pa.int64()),
                   "wkb": pa.array([ok, bow, hole_in, hole_out, nanring,
-                                   simple_line, cross_line], pa.binary())})
+                                   simple_line, cross_line, l_hole],
+                                  pa.binary())})
     out = geomops.check_geometry(rd.from_arrow(t)).to_pandas()
     got = out.set_index("id")
     assert bool(got.loc[0, "valid"]) and bool(got.loc[2, "valid"])
@@ -538,3 +547,4 @@ def test_check_geometry(ray_session):
     assert got.loc[3, "reason"] == "Hole lies outside shell"
     assert got.loc[4, "reason"] == "Invalid Coordinate"
     assert got.loc[6, "reason"] == "self-intersection"
+    assert bool(got.loc[7, "valid"])  # concave hole inside shell: valid
