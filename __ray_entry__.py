@@ -2371,6 +2371,232 @@ def _transformer_oracles() -> dict[str, str]:
     }
 
 
+def _crs_oracles() -> dict[str, str]:
+    """SQL mirrors for the registry-routed reproject queries (round 5:
+    the general-CRS front door, gdal_ray.functions.crs).
+
+    Each mirror replays ``crs.from_wgs84_lonlat`` for one EPSG code: the
+    negated-towgs84 Helmert through geocentric coordinates (cross-ellipsoid
+    Bowring inverse), then the projection-family forward on the CRS's own
+    ellipsoid, with every scalar constant inlined via repr so both sides
+    evaluate the identical float64 expression tree (hyperbolics
+    exp/log-decomposed exactly as transformer.py does)."""
+    import numpy as np
+
+    from gdal_ray.functions import crs as crsmod
+    from gdal_ray.functions import transformer as tr
+    from gdal_ray.pipelines import queries as q
+
+    F = tr.sql_float
+    aW, fW = tr.WGS84_A, tr.WGS84_F
+    e2W = fW * (2.0 - fW)
+    pi4 = float(np.pi / 4.0)
+
+    def window_cte(code: int) -> str:
+        lon_c, hw, lat_lo, lat_hi = q.CRS_QUERY_WINDOWS[code]
+        return (f"f AS (SELECT doc_id, lon, lat FROM d "
+                f"WHERE abs(lon - ({F(lon_c)})) <= {F(hw)} "
+                f"AND lat >= {F(lat_lo)} AND lat <= {F(lat_hi)})")
+
+    def datum_ctes(towgs84, a2: float, f2: float) -> str:
+        """CTE chain f(lon,lat) -> d2(doc_id, lon2, lat2): the engine's
+        datum_shift_lonlat_ell with NEGATED params (WGS84 -> local)."""
+        hp = tuple(-v for v in towgs84)
+        asec = np.pi / (180.0 * 3600.0)
+        rxv, ryv, rzv = hp[3] * asec, hp[4] * asec, hp[5] * asec
+        m = 1.0 + hp[6] * 1e-6
+        e2_2 = f2 * (2.0 - f2)
+        b2 = a2 * (1.0 - f2)
+        ep2 = (a2 * a2 - b2 * b2) / (b2 * b2)
+        return f"""
+        t1 AS (SELECT doc_id, radians(lon) AS lonr, radians(lat) AS latr
+               FROM f),
+        t2 AS (SELECT doc_id, lonr, latr, sin(latr) AS slat FROM t1),
+        t3 AS (SELECT doc_id, lonr, latr, slat,
+                      {F(aW)} / sqrt(1.0 - {F(e2W)} * slat * slat) AS nu
+               FROM t2),
+        g AS (SELECT doc_id,
+                     (nu + 0.0) * cos(latr) * cos(lonr) AS X,
+                     (nu + 0.0) * cos(latr) * sin(lonr) AS Y,
+                     (nu * {F(1.0 - e2W)} + 0.0) * slat AS Z FROM t3),
+        hh AS (SELECT doc_id,
+                      {F(hp[0])} + {F(m)} * (X - {F(rzv)} * Y
+                                             + {F(ryv)} * Z) AS Xp,
+                      {F(hp[1])} + {F(m)} * ({F(rzv)} * X + Y
+                                             - {F(rxv)} * Z) AS Yp,
+                      {F(hp[2])} + {F(m)} * (-({F(ryv)}) * X + {F(rxv)} * Y
+                                             + Z) AS Zp FROM g),
+        w AS (SELECT doc_id, Xp, Yp, Zp,
+                     sqrt(Xp * Xp + Yp * Yp) AS pr FROM hh),
+        th AS (SELECT doc_id, Xp, Yp, Zp, pr,
+                      atan2(Zp * {F(a2)}, pr * {F(b2)}) AS theta FROM w),
+        tt AS (SELECT doc_id, Xp, Yp, Zp, pr,
+                      sin(theta) AS st, cos(theta) AS ct FROM th),
+        d2 AS (SELECT doc_id,
+                      degrees(atan2(Yp, Xp)) AS lon2,
+                      degrees(atan2(Zp + {F(ep2 * b2)} * st * st * st,
+                                    pr - {F(e2_2 * a2)} * ct * ct * ct))
+                        AS lat2
+               FROM tt)"""
+
+    ident_ctes = """
+        d2 AS (SELECT doc_id, lon, lat FROM f)"""
+
+    def tmerc_tail(kw: dict, a2: float, f2: float,
+                   loncol="lon2", latcol="lat2") -> str:
+        e = float(np.sqrt(f2 * (2.0 - f2)))
+        A, alpha, _beta = tr._tm_constants(a2, f2)
+        k0 = kw.get("k0", 1.0)
+        fn_eff = kw.get("fn", 0.0) - tr.tmerc_natural_origin_northing(
+            kw.get("lat0", 0.0), k0, a2, f2)
+        xi_terms, eta_terms = ["xi_p"], ["eta_p"]
+        for j in range(6):
+            tj = 2.0 * (j + 1)
+            ch = (f"((exp({F(tj)} * eta_p) + exp(-({F(tj)} * eta_p)))"
+                  " / 2.0)")
+            sh = (f"((exp({F(tj)} * eta_p) - exp(-({F(tj)} * eta_p)))"
+                  " / 2.0)")
+            xi_terms.append(f"{F(alpha[j])} * sin({F(tj)} * xi_p) * {ch}")
+            eta_terms.append(f"{F(alpha[j])} * cos({F(tj)} * xi_p) * {sh}")
+        return f"""
+        m1 AS (SELECT doc_id, radians({latcol}) AS phi,
+                      radians({loncol} - ({F(kw['lon0'])})) AS lam FROM d2),
+        m2 AS (SELECT doc_id, lam, sin(phi) AS sphi, tan(phi) AS tau
+               FROM m1),
+        m3 AS (SELECT doc_id, lam,
+                      ln(tau + sqrt(tau * tau + 1.0))
+                      - {F(e)} * (0.5 * ln((1.0 + {F(e)} * sphi)
+                                           / (1.0 - {F(e)} * sphi))) AS arg
+               FROM m2),
+        m4 AS (SELECT doc_id, lam, (exp(arg) - exp(-arg)) / 2.0 AS taup,
+                      cos(lam) AS coslam FROM m3),
+        m5 AS (SELECT doc_id, atan2(taup, coslam) AS xi_p,
+                      sin(lam) / sqrt(taup * taup + coslam * coslam) AS s_e
+               FROM m4),
+        m6 AS (SELECT doc_id, xi_p,
+                      ln(s_e + sqrt(s_e * s_e + 1.0)) AS eta_p FROM m5),
+        m7 AS (SELECT doc_id, {' + '.join(xi_terms)} AS xi,
+                      {' + '.join(eta_terms)} AS eta FROM m6)
+        SELECT doc_id,
+               CAST(round(({F(kw.get('fe', 0.0))} + {F(k0)} * {F(A)} * eta)
+                          * 100.0) AS BIGINT) AS e_cm,
+               CAST(round(({F(fn_eff)} + {F(k0)} * {F(A)} * xi) * 100.0)
+                    AS BIGINT) AS n_cm
+        FROM m7"""
+
+    def lcc_tail(kw: dict, a2: float, f2: float,
+                 loncol="lon2", latcol="lat2") -> str:
+        e = float(np.sqrt(f2 * (2.0 - f2)))
+        n_c, F_c, t0_c = tr.lcc_constants(kw["lat1"], kw["lat2"],
+                                          kw["lat0"], f2)
+        rho0 = a2 * F_c * t0_c ** n_c
+        half_e = e / 2.0
+        return f"""
+        m1 AS (SELECT doc_id, {loncol} AS lon3, radians({latcol}) AS phi
+               FROM d2),
+        m2 AS (SELECT doc_id, lon3, phi, sin(phi) AS sphi FROM m1),
+        m3 AS (SELECT doc_id, lon3,
+                      tan({F(pi4)} - phi / 2.0)
+                      / power((1.0 - {F(e)} * sphi)
+                              / (1.0 + {F(e)} * sphi), {F(half_e)}) AS t
+               FROM m2),
+        m4 AS (SELECT doc_id,
+                      {F(a2)} * {F(F_c)} * power(t, {F(n_c)}) AS rho,
+                      {F(n_c)} * radians(lon3 - ({F(kw['lon0'])})) AS theta
+               FROM m3)
+        SELECT doc_id,
+               CAST(round(({F(kw.get('fe', 0.0))} + rho * sin(theta))
+                          * 100.0) AS BIGINT) AS e_cm,
+               CAST(round(({F(kw.get('fn', 0.0))} + {F(rho0)}
+                           - rho * cos(theta)) * 100.0) AS BIGINT) AS n_cm
+        FROM m4"""
+
+    def somerc_tail(kw: dict, a2: float, f2: float) -> str:
+        e = float(np.sqrt(f2 * (2.0 - f2)))
+        c, R, b0, K = tr.somerc_constants(kw["lat0"], kw["k0"], a2, f2)
+        sb0, cb0 = float(np.sin(b0)), float(np.cos(b0))
+        return f"""
+        m1 AS (SELECT doc_id, lon2, radians(lat2) AS phi FROM d2),
+        m2 AS (SELECT doc_id, lon2, phi, sin(phi) AS sphi FROM m1),
+        m3 AS (SELECT doc_id, lon2,
+                      {F(c)} * (ln(tan({F(pi4)} + phi / 2.0))
+                                - {F(e / 2.0)}
+                                  * ln((1.0 + {F(e)} * sphi)
+                                       / (1.0 - {F(e)} * sphi))) + {F(K)}
+                        AS S FROM m2),
+        m4 AS (SELECT doc_id, lon2,
+                      2.0 * (atan(exp(S)) - {F(pi4)}) AS b FROM m3),
+        m5 AS (SELECT doc_id, sin(b) AS sb, cos(b) AS cb,
+                      {F(c)} * radians(lon2 - ({F(kw['lon0'])})) AS l
+               FROM m4),
+        m6 AS (SELECT doc_id, sb, cb, sin(l) AS sl, cos(l) AS cl FROM m5),
+        m7 AS (SELECT doc_id,
+                      asin({F(cb0)} * sb - {F(sb0)} * cb * cl) AS bbar,
+                      atan2(cb * sl, {F(cb0)} * cb * cl + {F(sb0)} * sb)
+                        AS lbar FROM m6),
+        m8 AS (SELECT doc_id, lbar, sin(bbar) AS sbb FROM m7)
+        SELECT doc_id,
+               CAST(round(({F(kw['fe'])} + {F(R)} * lbar) * 100.0)
+                    AS BIGINT) AS e_cm,
+               CAST(round(({F(kw['fn'])} + {F(R / 2.0)}
+                           * ln((1.0 + sbb) / (1.0 - sbb))) * 100.0)
+                    AS BIGINT) AS n_cm
+        FROM m8"""
+
+    def krovak_tail(kw: dict, a2: float, f2: float) -> str:
+        e = float(np.sqrt(f2 * (2.0 - f2)))
+        A_, B, g0, t0, n, r0 = tr.krovak_constants(
+            kw["lat_c"], kw["lat_p"], kw["k"], a2, f2)
+        ac = float(np.radians(kw["alpha_c"]))
+        cac, sac = float(np.cos(ac)), float(np.sin(ac))
+        eB2 = e * B / 2.0
+        rnum = r0 * float(
+            np.tan(np.pi / 4.0 + np.radians(kw["lat_p"]) / 2.0) ** n)
+        return f"""
+        m1 AS (SELECT doc_id, lon2, radians(lat2) AS phi FROM d2),
+        m2 AS (SELECT doc_id, lon2, phi, sin(phi) AS sphi FROM m1),
+        m3 AS (SELECT doc_id, lon2,
+                      2.0 * (atan({F(t0)}
+                                  * power(tan({F(pi4)} + phi / 2.0), {F(B)})
+                                  / power((1.0 + {F(e)} * sphi)
+                                          / (1.0 - {F(e)} * sphi),
+                                          {F(eB2)})) - {F(pi4)}) AS U
+               FROM m2),
+        m4 AS (SELECT doc_id, U,
+                      {F(B)} * radians({F(kw['lon0'])} - lon2) AS V FROM m3),
+        m5 AS (SELECT doc_id, sin(U) AS sU, cos(U) AS cU,
+                      sin(V) AS sV, cos(V) AS cV FROM m4),
+        m6 AS (SELECT doc_id, cU, sV,
+                      asin({F(cac)} * sU + {F(sac)} * cU * cV) AS T FROM m5),
+        m7 AS (SELECT doc_id, T, asin(cU * sV / cos(T)) AS D FROM m6),
+        m8 AS (SELECT doc_id,
+                      {F(n)} * D AS theta,
+                      {F(rnum)} / power(tan({F(pi4)} + T / 2.0), {F(n)})
+                        AS r FROM m7)
+        SELECT doc_id,
+               CAST(round(({F(kw['fe'])} - r * sin(theta)) * 100.0)
+                    AS BIGINT) AS e_cm,
+               CAST(round(({F(kw['fn'])} - r * cos(theta)) * 100.0)
+                    AS BIGINT) AS n_cm
+        FROM m8"""
+
+    def build(code: int, tail_fn, loncols=True) -> str:
+        d = crsmod.epsg_def(code)
+        mid = (datum_ctes(d.towgs84, d.a, d.f) if d.towgs84 is not None
+               else ident_ctes.replace("lon, lat", "lon AS lon2, "
+                                                   "lat AS lat2"))
+        return (f"WITH {_DOCS_GEO}, {window_cte(code)},"
+                f"{mid},{tail_fn(d.kw, d.a, d.f)}")
+
+    return {
+        "reproject_osgb": build(27700, tmerc_tail),
+        "reproject_belge72": build(31370, lcc_tail),
+        "reproject_lv95": build(2056, somerc_tail),
+        "reproject_krovak": build(5514, krovak_tail),
+        "reproject_gda_lambert": build(3112, lcc_tail),
+    }
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: documents -> derive geometry ->
     tile-assign z8 -> spatial join vs zones -> zonal aggregate."""
@@ -2657,6 +2883,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reproject_albers": q.reproject_albers_q,
         "reproject_aeqd": q.reproject_aeqd_q,
         "reproject_lcc": q.reproject_lcc_q,
+        "reproject_osgb": q.reproject_osgb_q,
+        "reproject_belge72": q.reproject_belge72_q,
+        "reproject_lv95": q.reproject_lv95_q,
+        "reproject_krovak": q.reproject_krovak_q,
+        "reproject_gda_lambert": q.reproject_gda_lambert_q,
         "reproject_laea_cea": q.reproject_laea_cea_q,
         "datum_helmert": q.datum_helmert_q,
         "gcp_polynomial": q.gcp_polynomial_q,
@@ -5932,4 +6163,5 @@ def oracle_sql() -> dict[str, str]:
             FROM jac WHERE jaccard_x1000 >= 300
         """,
         **_transformer_oracles(),
+        **_crs_oracles(),
     }

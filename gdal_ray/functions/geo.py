@@ -109,15 +109,11 @@ def reproject_points(x: np.ndarray, y: np.ndarray, src_crs: str, dst_crs: str):
         fam_d, kw_d = dst_p
         lon, lat = _PROJ_FAMILIES[fam_s][1](x, y, **kw_s)
         return _PROJ_FAMILIES[fam_d][0](lon, lat, **kw_d)
-    raise NotImplementedError(
-        f"reproject {src_crs} -> {dst_crs} needs pyproj (not in this "
-        "container); built-in closed forms cover EPSG:4326 <-> EPSG:3857 and "
-        f"the {len(_EPSG_TABLE)} table-routed codes plus the zone families "
-        "EPSG:326xx/327xx (WGS84 UTM), EPSG:258xx (ETRS89 UTM), EPSG:269xx "
-        "(NAD83 UTM), EPSG:283xx (GDA94 MGA), EPSG:784x/785x (GDA2020 MGA), "
-        "EPSG:4534-4554 (CGCS2000 3-deg Gauss-Kruger) "
-        f"— see geo.epsg_params: {sorted(_EPSG_TABLE)}"
-    )
+    # general path: the data-driven CRS registry (curated EPSG extract,
+    # +proj= strings, WKT1), incl. non-WGS84 ellipsoids + datum shifts
+    from . import crs as _crs
+
+    return _crs.transform(x, y, src, dst)
 
 
 def _proj_families():

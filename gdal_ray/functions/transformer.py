@@ -93,8 +93,27 @@ def _tm_constants(a: float = WGS84_A, f: float = WGS84_F):
     return float(A), [float(v) for v in alpha], [float(v) for v in beta]
 
 
+def tmerc_natural_origin_northing(lat0: float, k0: float, a: float,
+                                  f: float) -> float:
+    """k0 * A * xi(lat0): the TM northing of the natural origin from the
+    equator (EPSG 9807 handles lat0 != 0 by subtracting this constant)."""
+    if lat0 == 0.0:
+        return 0.0
+    A, alpha, _ = _tm_constants(a, f)
+    e = float(np.sqrt(f * (2.0 - f)))
+    phi0 = float(np.radians(lat0))
+    taup = float(_sinh(_asinh(np.tan(phi0)) - e * _atanh(e * np.sin(phi0))))
+    xi_p = float(np.arctan2(taup, 1.0))
+    xi = xi_p
+    for j in range(6):
+        xi += alpha[j] * float(np.sin(2.0 * (j + 1) * xi_p))
+    return k0 * A * xi
+
+
 def tmerc_forward(lon, lat, lon0: float, k0: float = 0.9996,
-                  fe: float = 500000.0, fn: float = 0.0):
+                  fe: float = 500000.0, fn: float = 0.0,
+                  a: float = WGS84_A, f: float = WGS84_F,
+                  lat0: float = 0.0):
     """Ellipsoidal TM forward: (lon, lat) degrees -> (easting, northing) m.
 
     Conformal latitude via tau' = sinh(asinh(tan phi) - e atanh(e sin phi));
@@ -103,8 +122,8 @@ def tmerc_forward(lon, lat, lon0: float, k0: float = 0.9996,
     """
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
-    A, alpha, _ = _tm_constants()
-    e = WGS84_E
+    A, alpha, _ = _tm_constants(a, f)
+    e = float(np.sqrt(f * (2.0 - f)))
     phi = np.radians(lat)
     lam = np.radians(lon - lon0)
     sphi = np.sin(phi)
@@ -119,17 +138,21 @@ def tmerc_forward(lon, lat, lon0: float, k0: float = 0.9996,
         two_j = 2.0 * (j + 1)
         xi = xi + alpha[j] * np.sin(two_j * xi_p) * _cosh(two_j * eta_p)
         eta = eta + alpha[j] * np.cos(two_j * xi_p) * _sinh(two_j * eta_p)
-    return fe + k0 * A * eta, fn + k0 * A * xi
+    fn_eff = fn - tmerc_natural_origin_northing(lat0, k0, a, f)
+    return fe + k0 * A * eta, fn_eff + k0 * A * xi
 
 
 def tmerc_inverse(E, N, lon0: float, k0: float = 0.9996,
-                  fe: float = 500000.0, fn: float = 0.0):
+                  fe: float = 500000.0, fn: float = 0.0,
+                  a: float = WGS84_A, f: float = WGS84_F,
+                  lat0: float = 0.0):
     """TM inverse: Krueger beta series back to Gauss-Schreiber, then Newton
     from conformal tau' to geodetic tau (Karney 2011 sec. 6)."""
     E = np.asarray(E, dtype=np.float64)
     N = np.asarray(N, dtype=np.float64)
-    A, _, beta = _tm_constants()
-    e = WGS84_E
+    A, _, beta = _tm_constants(a, f)
+    e = float(np.sqrt(f * (2.0 - f)))
+    fn = fn - tmerc_natural_origin_northing(lat0, k0, a, f)
     xi = (N - fn) / (k0 * A)
     eta = (E - fe) / (k0 * A)
     xi_p = xi
@@ -143,7 +166,7 @@ def tmerc_inverse(E, N, lon0: float, k0: float = 0.9996,
     lam = np.arctan2(sh, np.cos(xi_p))
     # Newton: find tau with tau'(tau) = taup
     tau = taup.copy()
-    e2 = WGS84_E2
+    e2 = f * (2.0 - f)
     for _ in range(6):
         sig = _sinh(e * _atanh(e * tau / np.sqrt(1.0 + tau * tau)))
         f_tau = tau * np.sqrt(1.0 + sig * sig) - sig * np.sqrt(1.0 + tau * tau)
@@ -170,35 +193,38 @@ def utm_zone_params(zone: int, south: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _lcc_m(phi):
-    return np.cos(phi) / np.sqrt(1.0 - WGS84_E2 * np.sin(phi) ** 2)
+def _lcc_m(phi, e2: float = WGS84_E2):
+    return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
 
 
-def _lcc_t(phi):
-    e = WGS84_E
+def _lcc_t(phi, e: float = WGS84_E):
     sphi = np.sin(phi)
     return np.tan(np.pi / 4.0 - phi / 2.0) / (
         (1.0 - e * sphi) / (1.0 + e * sphi)
     ) ** (e / 2.0)
 
 
-def lcc_constants(lat1: float, lat2: float, lat0: float):
+def lcc_constants(lat1: float, lat2: float, lat0: float,
+                  f: float = WGS84_F):
     """(n, F, rho0-scale t0) for the 2SP Lambert Conformal Conic."""
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
     p1, p2, p0 = np.radians([lat1, lat2, lat0])
-    m1, m2 = _lcc_m(p1), _lcc_m(p2)
-    t1, t2, t0 = _lcc_t(p1), _lcc_t(p2), _lcc_t(p0)
+    m1, m2 = _lcc_m(p1, e2), _lcc_m(p2, e2)
+    t1, t2, t0 = _lcc_t(p1, e), _lcc_t(p2, e), _lcc_t(p0, e)
     n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
     F = m1 / (n * t1**n)
     return float(n), float(F), float(t0)
 
 
 def lcc_forward(lon, lat, lon0: float, lat1: float, lat2: float, lat0: float,
-                fe: float = 0.0, fn: float = 0.0):
+                fe: float = 0.0, fn: float = 0.0,
+                a: float = WGS84_A, f: float = WGS84_F):
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
-    n, F, t0 = lcc_constants(lat1, lat2, lat0)
-    a = WGS84_A
-    t = _lcc_t(np.radians(lat))
+    n, F, t0 = lcc_constants(lat1, lat2, lat0, f)
+    e = float(np.sqrt(f * (2.0 - f)))
+    t = _lcc_t(np.radians(lat), e)
     rho = a * F * t**n
     rho0 = a * F * t0**n
     theta = n * np.radians(lon - lon0)
@@ -206,18 +232,69 @@ def lcc_forward(lon, lat, lon0: float, lat1: float, lat2: float, lat0: float,
 
 
 def lcc_inverse(E, N, lon0: float, lat1: float, lat2: float, lat0: float,
-                fe: float = 0.0, fn: float = 0.0):
+                fe: float = 0.0, fn: float = 0.0,
+                a: float = WGS84_A, f: float = WGS84_F):
     E = np.asarray(E, dtype=np.float64) - fe
     N = np.asarray(N, dtype=np.float64)
-    n, F, t0 = lcc_constants(lat1, lat2, lat0)
-    a = WGS84_A
+    n, F, t0 = lcc_constants(lat1, lat2, lat0, f)
     rho0 = a * F * t0**n
     dN = rho0 - (N - fn)
     rho = np.sign(n) * np.sqrt(E * E + dN * dN)
     theta = np.arctan2(np.sign(n) * E, np.sign(n) * dN)
     t = (rho / (a * F)) ** (1.0 / n)
     # iterate Snyder 7-9 for phi
-    e = WGS84_E
+    e = float(np.sqrt(f * (2.0 - f)))
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        sphi = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0)
+        )
+    return lon0 + np.degrees(theta / n), np.degrees(phi)
+
+
+def lcc1sp_constants(lat0: float, k0: float, f: float = WGS84_F):
+    """(n, F) for the 1SP Lambert Conformal Conic (EPSG method 9801):
+    n = sin(lat0), F = k0 * m0 / (n * t0^n)."""
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
+    p0 = float(np.radians(lat0))
+    n = float(np.sin(p0))
+    m0 = float(_lcc_m(np.float64(p0), e2))
+    t0 = float(_lcc_t(np.float64(p0), e))
+    F = k0 * m0 / (n * t0 ** n)
+    return n, F, t0
+
+
+def lcc1sp_forward(lon, lat, lon0: float, lat0: float, k0: float = 1.0,
+                   fe: float = 0.0, fn: float = 0.0,
+                   a: float = WGS84_A, f: float = WGS84_F):
+    """Lambert Conformal Conic 1SP forward (EPSG 9801; the NTF France
+    zone grids).  Same cone evaluation as the 2SP path with (n, F) from
+    the single standard parallel + scale factor."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n, F, t0 = lcc1sp_constants(lat0, k0, f)
+    e = float(np.sqrt(f * (2.0 - f)))
+    t = _lcc_t(np.radians(lat), e)
+    rho = a * F * t ** n
+    rho0 = a * F * t0 ** n
+    theta = n * np.radians(lon - lon0)
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def lcc1sp_inverse(E, N, lon0: float, lat0: float, k0: float = 1.0,
+                   fe: float = 0.0, fn: float = 0.0,
+                   a: float = WGS84_A, f: float = WGS84_F):
+    E = np.asarray(E, dtype=np.float64) - fe
+    N = np.asarray(N, dtype=np.float64)
+    n, F, t0 = lcc1sp_constants(lat0, k0, f)
+    rho0 = a * F * t0 ** n
+    dN = rho0 - (N - fn)
+    rho = np.sign(n) * np.sqrt(E * E + dN * dN)
+    theta = np.arctan2(np.sign(n) * E, np.sign(n) * dN)
+    t = (rho / (a * F)) ** (1.0 / n)
+    e = float(np.sqrt(f * (2.0 - f)))
     phi = np.pi / 2.0 - 2.0 * np.arctan(t)
     for _ in range(8):
         sphi = np.sin(phi)
@@ -284,29 +361,31 @@ def stereo_polar_inverse(E, N, lon0: float, lat_ts: float,
 # ---------------------------------------------------------------------------
 
 
-def _conformal_lat(phi):
+def _conformal_lat(phi, e: float = WGS84_E):
     """chi(phi): conformal latitude via the same tau' chain the TM uses."""
-    e = WGS84_E
     tau = np.tan(phi)
     taup = _sinh(_asinh(tau) - e * _atanh(e * np.sin(phi)))
     return np.arctan(taup)
 
 
 def stereo_oblique_forward(lon, lat, lon0: float, lat0: float, k0: float = 1.0,
-                           fe: float = 0.0, fn: float = 0.0):
+                           fe: float = 0.0, fn: float = 0.0,
+                           a: float = WGS84_A, f: float = WGS84_F):
     """Ellipsoidal oblique stereographic (Snyder 21-27..21-29): project the
     conformal latitude chi on a sphere centered at (lon0, chi1), scaled by
     m1/cos(chi1) to preserve scale at the origin parallel."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
     phi1 = np.radians(lat0)
-    chi1 = float(_conformal_lat(np.float64(phi1)))
-    m1 = float(_lcc_m(np.float64(phi1)))
-    chi = _conformal_lat(np.radians(lat))
+    chi1 = float(_conformal_lat(np.float64(phi1), e))
+    m1 = float(_lcc_m(np.float64(phi1), e2))
+    chi = _conformal_lat(np.radians(lat), e)
     lam = np.radians(lon - lon0)
     schi, cchi = np.sin(chi), np.cos(chi)
     s1, c1 = np.sin(chi1), np.cos(chi1)
-    A = (2.0 * WGS84_A * k0 * m1
+    A = (2.0 * a * k0 * m1
          / (c1 * (1.0 + s1 * schi + c1 * cchi * np.cos(lam))))
     x = A * cchi * np.sin(lam)
     y = A * (c1 * schi - s1 * cchi * np.cos(lam))
@@ -314,18 +393,21 @@ def stereo_oblique_forward(lon, lat, lon0: float, lat0: float, k0: float = 1.0,
 
 
 def stereo_oblique_inverse(E, N, lon0: float, lat0: float, k0: float = 1.0,
-                           fe: float = 0.0, fn: float = 0.0):
+                           fe: float = 0.0, fn: float = 0.0,
+                           a: float = WGS84_A, f: float = WGS84_F):
     """Inverse of the oblique stereographic: spherical inverse to chi
     (Snyder 21-38), then chi -> phi by Newton on tau (Karney's tau chain)."""
     x = np.asarray(E, dtype=np.float64) - fe
     y = np.asarray(N, dtype=np.float64) - fn
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
     phi1 = np.radians(lat0)
-    chi1 = float(_conformal_lat(np.float64(phi1)))
-    m1 = float(_lcc_m(np.float64(phi1)))
+    chi1 = float(_conformal_lat(np.float64(phi1), e))
+    m1 = float(_lcc_m(np.float64(phi1), e2))
     s1, c1 = np.sin(chi1), np.cos(chi1)
     rho = np.sqrt(x * x + y * y)
     # A at the origin = 2 a k0 m1 / (c1 (1 + s1^2 + c1^2)) = a k0 m1 / c1
-    Re = 2.0 * WGS84_A * k0 * m1 / (2.0 * c1)
+    Re = 2.0 * a * k0 * m1 / (2.0 * c1)
     c = 2.0 * np.arctan2(rho, 2.0 * Re)
     sc, cc = np.sin(c), np.cos(c)
     safe = np.where(rho == 0.0, 1.0, rho)
@@ -335,8 +417,6 @@ def stereo_oblique_inverse(E, N, lon0: float, lat0: float, k0: float = 1.0,
     # chi -> phi: Newton on tau with target tau' = tan(chi)
     taup = np.tan(chi)
     tau = taup.copy()
-    e = WGS84_E
-    e2 = WGS84_E2
     for _ in range(6):
         sig = _sinh(e * _atanh(e * tau / np.sqrt(1.0 + tau * tau)))
         f_tau = tau * np.sqrt(1.0 + sig * sig) - sig * np.sqrt(1.0 + tau * tau)
@@ -660,35 +740,226 @@ def cea_inverse(E, N, lon0: float = 0.0, lat_ts: float = 0.0,
             np.degrees(_authalic_to_geodetic(beta)))
 
 
-def geodetic_to_geocentric(lon, lat, h=0.0):
-    """(lon, lat, h) -> ECEF (X, Y, Z) on WGS84."""
+# ---------------------------------------------------------------------------
+# Swiss Oblique Mercator / Oblique Cylindrical (EPSG method 9814; PROJ
+# +proj=somerc; ogr/ogrct.cpp SRS_PT_SWISS_OBLIQUE_CYLINDRICAL role).
+# Double projection: ellipsoid -> conformal Gauss sphere -> rotation to the
+# pseudo-equator through the projection centre -> spherical Mercator.
+# Formulas: swisstopo "Formulas and constants for the calculation of the
+# Swiss conformal cylindrical projection" (public).  CH1903/LV03 (EPSG:21781)
+# and CH1903+/LV95 (EPSG:2056) use it on the Bessel 1841 ellipsoid.
+# ---------------------------------------------------------------------------
+
+
+def somerc_constants(lat0: float, k0: float, a: float, f: float):
+    """(c, R, b0, K): Gauss-sphere exponent, sphere radius, sphere latitude
+    of the centre, isometric-latitude offset — all plain floats."""
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
+    phi0 = float(np.radians(lat0))
+    s0 = np.sin(phi0)
+    c = float(np.sqrt(1.0 + e2 * np.cos(phi0) ** 4 / (1.0 - e2)))
+    R = float(a * k0 * np.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0))
+    b0 = float(np.arcsin(s0 / c))
+    K = float(np.log(np.tan(np.pi / 4.0 + b0 / 2.0))
+              - c * np.log(np.tan(np.pi / 4.0 + phi0 / 2.0))
+              + c * e / 2.0 * np.log((1.0 + e * s0) / (1.0 - e * s0)))
+    return c, R, b0, K
+
+
+def somerc_forward(lon, lat, lon0: float, lat0: float, k0: float = 1.0,
+                   fe: float = 0.0, fn: float = 0.0,
+                   a: float = WGS84_A, f: float = WGS84_F):
+    """Swiss oblique Mercator forward: degrees -> (easting, northing) m."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
+    c, R, b0, K = somerc_constants(lat0, k0, a, f)
+    phi = np.radians(lat)
+    sphi = np.sin(phi)
+    # ellipsoid -> conformal sphere
+    S = c * (np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+             - e / 2.0 * np.log((1.0 + e * sphi) / (1.0 - e * sphi))) + K
+    b = 2.0 * (np.arctan(np.exp(S)) - np.pi / 4.0)
+    l = c * np.radians(lon - lon0)
+    # rotate the sphere so the centre lies on the pseudo-equator
+    sb, cb = np.sin(b), np.cos(b)
+    sl, cl = np.sin(l), np.cos(l)
+    sb0, cb0 = np.sin(b0), np.cos(b0)
+    bbar = np.arcsin(np.clip(cb0 * sb - sb0 * cb * cl, -1.0, 1.0))
+    lbar = np.arctan2(cb * sl, cb0 * cb * cl + sb0 * sb)
+    # spherical Mercator on the rotated sphere
+    E = fe + R * lbar
+    N = fn + R / 2.0 * np.log((1.0 + np.sin(bbar)) / (1.0 - np.sin(bbar)))
+    return E, N
+
+
+def somerc_inverse(E, N, lon0: float, lat0: float, k0: float = 1.0,
+                   fe: float = 0.0, fn: float = 0.0,
+                   a: float = WGS84_A, f: float = WGS84_F):
+    """Swiss oblique Mercator inverse: fixed-point on the isometric
+    latitude (swisstopo's published iteration, 8 rounds to < 1e-12 rad)."""
+    x = np.asarray(E, dtype=np.float64) - fe
+    y = np.asarray(N, dtype=np.float64) - fn
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
+    c, R, b0, K = somerc_constants(lat0, k0, a, f)
+    lbar = x / R
+    bbar = 2.0 * (np.arctan(np.exp(y / R)) - np.pi / 4.0)
+    sb0, cb0 = np.sin(b0), np.cos(b0)
+    sbb, cbb = np.sin(bbar), np.cos(bbar)
+    b = np.arcsin(np.clip(cb0 * sbb + sb0 * cbb * np.cos(lbar), -1.0, 1.0))
+    l = np.arctan2(cbb * np.sin(lbar), cb0 * cbb * np.cos(lbar) - sb0 * sbb)
+    lon = lon0 + np.degrees(l / c)
+    # sphere -> ellipsoid: psi = (ln tan(pi/4 + b/2) - K) / c, then iterate
+    psi = (np.log(np.tan(np.pi / 4.0 + b / 2.0)) - K) / c
+    phi = b.copy()
+    for _ in range(8):
+        sphi = np.sin(phi)
+        phi = 2.0 * np.arctan(np.exp(
+            psi + e / 2.0 * np.log((1.0 + e * sphi) / (1.0 - e * sphi)))
+        ) - np.pi / 2.0
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Krovak oblique conformal conic (EPSG method 9819; PROJ +proj=krovak;
+# ogr/ogrct.cpp SRS_PT_KROVAK role).  S-JTSK, Czech + Slovak national grid:
+# conformal sphere -> oblique cone through the pseudo standard parallel.
+# EPSG:5513 (Krovak, southing/westing) and EPSG:5514 (Krovak East North).
+# ---------------------------------------------------------------------------
+
+
+def krovak_constants(lat_c: float, lat_p: float, k: float,
+                     a: float, f: float):
+    """(A_, B, g0, t0, n, r0) for the Krovak projection: conformal-sphere
+    radius, latitude exponent, sphere latitude of centre, isometric offset,
+    cone constant, pseudo-parallel radius."""
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
+    phic = float(np.radians(lat_c))
+    sc = np.sin(phic)
+    A_ = float(a * np.sqrt(1.0 - e2) / (1.0 - e2 * sc * sc))
+    B = float(np.sqrt(1.0 + e2 * np.cos(phic) ** 4 / (1.0 - e2)))
+    g0 = float(np.arcsin(sc / B))
+    t0 = float(np.tan(np.pi / 4.0 + g0 / 2.0)
+               * ((1.0 + e * sc) / (1.0 - e * sc)) ** (e * B / 2.0)
+               / np.tan(np.pi / 4.0 + phic / 2.0) ** B)
+    n = float(np.sin(np.radians(lat_p)))
+    r0 = float(k * A_ / np.tan(np.radians(lat_p)))
+    return A_, B, g0, t0, n, r0
+
+
+def krovak_forward(lon, lat, lon0: float = 24.833333333333332,
+                   lat_c: float = 49.5, lat_p: float = 78.5,
+                   alpha_c: float = 30.288139722222223, k: float = 0.9999,
+                   fe: float = 0.0, fn: float = 0.0,
+                   a: float = WGS84_A, f: float = WGS84_F,
+                   east_north: bool = True):
+    """Krovak forward.  ``east_north=True`` emits the EPSG:5514 axis
+    orientation (E = -westing, N = -southing); False emits raw
+    (southing X, westing Y) per EPSG:5513."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
+    A_, B, g0, t0, n, r0 = krovak_constants(lat_c, lat_p, k, a, f)
+    ac = np.radians(alpha_c)
+    phi = np.radians(lat)
+    sphi = np.sin(phi)
+    U = 2.0 * (np.arctan(
+        t0 * np.tan(np.pi / 4.0 + phi / 2.0) ** B
+        / ((1.0 + e * sphi) / (1.0 - e * sphi)) ** (e * B / 2.0)
+    ) - np.pi / 4.0)
+    V = B * np.radians(lon0 - lon)
+    sU, cU = np.sin(U), np.cos(U)
+    sV, cV = np.sin(V), np.cos(V)
+    T = np.arcsin(np.clip(np.cos(ac) * sU + np.sin(ac) * cU * cV,
+                          -1.0, 1.0))
+    D = np.arcsin(np.clip(cU * sV / np.cos(T), -1.0, 1.0))
+    theta = n * D
+    r = (r0 * np.tan(np.pi / 4.0 + np.radians(lat_p) / 2.0) ** n
+         / np.tan(np.pi / 4.0 + T / 2.0) ** n)
+    Xs = r * np.cos(theta)   # southing
+    Yw = r * np.sin(theta)   # westing
+    if east_north:
+        return fe - Yw, fn - Xs
+    return fe + Xs, fn + Yw
+
+
+def krovak_inverse(E, N, lon0: float = 24.833333333333332,
+                   lat_c: float = 49.5, lat_p: float = 78.5,
+                   alpha_c: float = 30.288139722222223, k: float = 0.9999,
+                   fe: float = 0.0, fn: float = 0.0,
+                   a: float = WGS84_A, f: float = WGS84_F,
+                   east_north: bool = True):
+    """Krovak inverse: cone unroll, sphere rotation back, then fixed-point
+    from the conformal-sphere latitude U to geodetic phi (8 rounds)."""
+    E = np.asarray(E, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    if east_north:
+        Yw, Xs = fe - E, fn - N
+    else:
+        Xs, Yw = E - fe, N - fn
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
+    A_, B, g0, t0, n, r0 = krovak_constants(lat_c, lat_p, k, a, f)
+    ac = np.radians(alpha_c)
+    r = np.sqrt(Xs * Xs + Yw * Yw)
+    theta = np.arctan2(Yw, Xs)
+    D = theta / n
+    T = 2.0 * (np.arctan(
+        (r0 / r) ** (1.0 / n) * np.tan(np.pi / 4.0 + np.radians(lat_p) / 2.0)
+    ) - np.pi / 4.0)
+    U = np.arcsin(np.clip(np.cos(ac) * np.sin(T)
+                          - np.sin(ac) * np.cos(T) * np.cos(D), -1.0, 1.0))
+    V = np.arcsin(np.clip(np.cos(T) * np.sin(D) / np.cos(U), -1.0, 1.0))
+    lon = lon0 - np.degrees(V / B)
+    # U -> phi fixed point (EPSG 9819 inverse iteration)
+    phi = U.copy()
+    for _ in range(8):
+        sphi = np.sin(phi)
+        phi = 2.0 * (np.arctan(
+            t0 ** (-1.0 / B)
+            * np.tan(np.pi / 4.0 + U / 2.0) ** (1.0 / B)
+            * ((1.0 + e * sphi) / (1.0 - e * sphi)) ** (e / 2.0)
+        ) - np.pi / 4.0)
+    return lon, np.degrees(phi)
+
+
+def geodetic_to_geocentric(lon, lat, h=0.0,
+                           a: float = WGS84_A, f: float = WGS84_F):
+    """(lon, lat, h) -> ECEF (X, Y, Z) on the given ellipsoid."""
+    e2 = f * (2.0 - f)
     lon = np.radians(np.asarray(lon, dtype=np.float64))
     lat = np.radians(np.asarray(lat, dtype=np.float64))
     h = np.asarray(h, dtype=np.float64)
     slat = np.sin(lat)
-    nu = WGS84_A / np.sqrt(1.0 - WGS84_E2 * slat * slat)
+    nu = a / np.sqrt(1.0 - e2 * slat * slat)
     X = (nu + h) * np.cos(lat) * np.cos(lon)
     Y = (nu + h) * np.cos(lat) * np.sin(lon)
-    Z = (nu * (1.0 - WGS84_E2) + h) * slat
+    Z = (nu * (1.0 - e2) + h) * slat
     return X, Y, Z
 
 
-def geocentric_to_geodetic(X, Y, Z):
+def geocentric_to_geodetic(X, Y, Z, a: float = WGS84_A,
+                           f: float = WGS84_F):
     """Bowring's closed-form (one trigonometric step, non-iterative) —
     deterministic and SQL-expressible; accurate to sub-mm for |h| < 10 km."""
     X = np.asarray(X, dtype=np.float64)
     Y = np.asarray(Y, dtype=np.float64)
     Z = np.asarray(Z, dtype=np.float64)
-    a = WGS84_A
-    b = a * (1.0 - WGS84_F)
+    e2 = f * (2.0 - f)
+    b = a * (1.0 - f)
     ep2 = (a * a - b * b) / (b * b)
     p = np.sqrt(X * X + Y * Y)
     theta = np.arctan2(Z * a, p * b)
     st, ct = np.sin(theta), np.cos(theta)
-    phi = np.arctan2(Z + ep2 * b * st * st * st, p - WGS84_E2 * a * ct * ct * ct)
+    phi = np.arctan2(Z + ep2 * b * st * st * st, p - e2 * a * ct * ct * ct)
     lam = np.arctan2(Y, X)
     sphi = np.sin(phi)
-    nu = a / np.sqrt(1.0 - WGS84_E2 * sphi * sphi)
+    nu = a / np.sqrt(1.0 - e2 * sphi * sphi)
     h = p / np.cos(phi) - nu
     return np.degrees(lam), np.degrees(phi), h
 
@@ -1296,3 +1567,102 @@ def demo_geoloc_arrays(nx: int = 25, ny: int = 17):
     Y = 3.0 * j + (i * i) / 16.0 - i / 4.0
     return GeolocTransformer(X, Y, pixel_offset=0.5, pixel_step=2.0,
                              line_offset=0.5, line_step=2.0)
+
+
+def datum_shift_lonlat_ell(lon, lat, params, h=0.0,
+                           a: float = WGS84_A, f: float = WGS84_F,
+                           a2: float = WGS84_A, f2: float = WGS84_F):
+    """Cross-ellipsoid datum shift: geodetic on (a, f) -> geocentric ->
+    7-param Helmert -> geodetic on (a2, f2).  The general PROJ +towgs84
+    pipeline shape (reference ogr/ogrct.cpp datum path); the WGS84-only
+    ``datum_shift_lonlat`` remains for the existing SQL-mirrored query."""
+    X, Y, Z = geodetic_to_geocentric(lon, lat, h, a=a, f=f)
+    Xp, Yp, Zp = helmert_shift(X, Y, Z, params)
+    return geocentric_to_geodetic(Xp, Yp, Zp, a=a2, f=f2)
+
+
+# ---------------------------------------------------------------------------
+# Oblique Stereographic, EPSG method 9809 ("double stereographic": conformal
+# Gauss sphere at the origin, then spherical stereographic) — the variant the
+# Amersfoort / RD New grid (EPSG:28992) actually uses; differs from Snyder's
+# conformal-latitude form (stereo_oblique_*) by ~2 m at RD scale.
+# Reference role: ogr/ogrct.cpp SRS_PT_OBLIQUE_STEREOGRAPHIC via PROJ sterea.
+# ---------------------------------------------------------------------------
+
+
+def sterea_constants(lat0: float, k0: float, a: float, f: float):
+    """(R, n, c, chi0, lam0-free constants) per EPSG Guidance 7-2 9809."""
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
+    phi0 = float(np.radians(lat0))
+    s0 = np.sin(phi0)
+    rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+    nu0 = a / np.sqrt(1.0 - e2 * s0 * s0)
+    R = float(np.sqrt(rho0 * nu0))
+    n = float(np.sqrt(1.0 + e2 * np.cos(phi0) ** 4 / (1.0 - e2)))
+    S1 = (1.0 + s0) / (1.0 - s0)
+    S2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w1 = (S1 * S2 ** e) ** n
+    sin_chi00 = (w1 - 1.0) / (w1 + 1.0)
+    c = ((n + s0) * (1.0 - sin_chi00)) / ((n - s0) * (1.0 + sin_chi00))
+    w2 = c * w1
+    chi0 = float(np.arcsin((w2 - 1.0) / (w2 + 1.0)))
+    return R, n, float(c), chi0
+
+
+def sterea_forward(lon, lat, lon0: float, lat0: float, k0: float = 1.0,
+                   fe: float = 0.0, fn: float = 0.0,
+                   a: float = WGS84_A, f: float = WGS84_F):
+    """EPSG 9809 oblique stereographic forward, degrees -> meters."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
+    R, n, c, chi0 = sterea_constants(lat0, k0, a, f)
+    lam0 = np.radians(lon0)
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    Lam = n * (lam - lam0) + lam0
+    sphi = np.sin(phi)
+    Sa = (1.0 - e * sphi) / (1.0 + e * sphi)
+    w = c * ((1.0 + sphi) / (1.0 - sphi) * Sa ** e) ** n
+    chi = np.arcsin(np.clip((w - 1.0) / (w + 1.0), -1.0, 1.0))
+    schi0, cchi0 = np.sin(chi0), np.cos(chi0)
+    schi, cchi = np.sin(chi), np.cos(chi)
+    dl = Lam - lam0
+    B = 1.0 + schi * schi0 + cchi * cchi0 * np.cos(dl)
+    E = fe + 2.0 * R * k0 * cchi * np.sin(dl) / B
+    N = fn + 2.0 * R * k0 * (schi * cchi0 - cchi * schi0 * np.cos(dl)) / B
+    return E, N
+
+
+def sterea_inverse(E, N, lon0: float, lat0: float, k0: float = 1.0,
+                   fe: float = 0.0, fn: float = 0.0,
+                   a: float = WGS84_A, f: float = WGS84_F):
+    """EPSG 9809 inverse: spherical inverse to (chi, Lam), then fixed-point
+    from the conformal-sphere latitude back to geodetic phi."""
+    x = np.asarray(E, dtype=np.float64) - fe
+    y = np.asarray(N, dtype=np.float64) - fn
+    e2 = f * (2.0 - f)
+    e = float(np.sqrt(e2))
+    R, n, c, chi0 = sterea_constants(lat0, k0, a, f)
+    lam0 = np.radians(lon0)
+    g = 2.0 * R * k0 * np.tan(np.pi / 4.0 - chi0 / 2.0)
+    h = 4.0 * R * k0 * np.tan(chi0) + g
+    i_ = np.arctan2(x, h + y)
+    j = np.arctan2(x, g - y) - i_
+    chi = chi0 + 2.0 * np.arctan2(y - x * np.tan(j / 2.0), 2.0 * R * k0)
+    Lam = j + 2.0 * i_ + lam0
+    lam = (Lam - lam0) / n + lam0
+    # chi -> phi: psi = isometric latitude from chi; fixed-point (G7-2)
+    psi = 0.5 * np.log((1.0 + np.sin(chi)) / (c * (1.0 - np.sin(chi)))) / n
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(8):
+        sphi = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2.0 + np.pi / 4.0)
+                       * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0))
+        nu_ = a / np.sqrt(1.0 - e2 * sphi * sphi)
+        rho_ = a * (1.0 - e2) / (1.0 - e2 * sphi * sphi) ** 1.5
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1.0 - e2 * sphi * sphi) \
+            / (1.0 - e2)
+    return np.degrees(lam), np.degrees(phi)

@@ -4535,6 +4535,81 @@ def reproject_eqc_q(sf_dir: str):
         lambda lon, lat: np.ones(len(lon), dtype=bool), lon0=0.0, lat_ts=30.0)
 
 
+def _reproject_epsg_q(sf_dir: str, code: int, mask_fn):
+    """Registry-routed reproject (the round-5 general-CRS front door): the
+    docs points filtered to a window, then ``crs.from_wgs84_lonlat`` —
+    datum shift (negated-towgs84 Helmert through geocentric, when the CRS
+    datum is not WGS84-coincident) + the projection-family kernel on the
+    CRS's own ellipsoid (reference: ogr/ogrspatialreference.cpp
+    importFromEPSG -> ogrct.cpp method routing).  cm-quantized."""
+    from ..functions import crs as _crs
+
+    d = _crs.epsg_def(code)
+    ds = _docs_points(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        m = mask_fn(lon, lat)
+        E, N = _crs.from_wgs84_lonlat(lon[m], lat[m], d)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(m)),
+                "e_cm": pa.array(np.round(E * 100.0).astype(np.int64)),
+                "n_cm": pa.array(np.round(N * 100.0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# validity windows for the registry-routed reproject queries (shared with
+# the SQL oracle WHERE clauses in __ray_entry__._crs_oracles)
+CRS_QUERY_WINDOWS = {
+    27700: (-2.0, 15.0, 20.0, 80.0),    # (lon_c, lon_halfwidth, lat_lo, lat_hi)
+    31370: (4.367486666666666, 25.0, 25.0, 70.0),
+    2056: (7.439583333333333, 25.0, 25.0, 68.0),
+    5514: (17.0, 12.0, 42.0, 57.0),  # clear of the oblique-cone apex ~59.7N
+    3112: (134.0, 25.0, -45.0, -10.0),
+}
+
+
+def _crs_window_mask(code: int):
+    lon_c, hw, lat_lo, lat_hi = CRS_QUERY_WINDOWS[code]
+    return lambda lon, lat: ((np.abs(lon - lon_c) <= hw)
+                             & (lat >= lat_lo) & (lat <= lat_hi))
+
+
+def reproject_osgb_q(sf_dir: str):
+    """EPSG:27700 OSGB36 / British National Grid: 7-param Helmert to
+    OSGB36 + Krueger TM on Airy 1830 with a natural origin at 49N."""
+    return _reproject_epsg_q(sf_dir, 27700, _crs_window_mask(27700))
+
+
+def reproject_belge72_q(sf_dir: str):
+    """EPSG:31370 BD72 / Belgian Lambert 72: 7-param Helmert to BD72 +
+    LCC 2SP on International 1924 with lat0 = 90."""
+    return _reproject_epsg_q(sf_dir, 31370, _crs_window_mask(31370))
+
+
+def reproject_lv95_q(sf_dir: str):
+    """EPSG:2056 CH1903+ / LV95: 3-param shift + Swiss oblique Mercator
+    (EPSG 9814 double projection) on Bessel 1841."""
+    return _reproject_epsg_q(sf_dir, 2056, _crs_window_mask(2056))
+
+
+def reproject_krovak_q(sf_dir: str):
+    """EPSG:5514 S-JTSK / Krovak East North: 3-param shift + Krovak
+    oblique conformal conic (EPSG 9819) on Bessel 1841."""
+    return _reproject_epsg_q(sf_dir, 5514, _crs_window_mask(5514))
+
+
+def reproject_gda_lambert_q(sf_dir: str):
+    """EPSG:3112 GDA94 / Geoscience Australia Lambert: LCC 2SP on GRS80
+    (WGS84-coincident datum — no shift)."""
+    return _reproject_epsg_q(sf_dir, 3112, _crs_window_mask(3112))
+
+
 def grid_shift_q(sf_dir: str):
     """NTv2-style grid-shift datum transform over the docs points: bilinear
     shift-grid interpolation (the PROJ hgridshift role), plus a fixed-point
