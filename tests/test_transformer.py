@@ -684,9 +684,15 @@ def test_epsg_table_routing_roundtrips():
                                 "EPSG:2154", "EPSG:3035")
     x2, y2 = geo.reproject_points(E, N, "EPSG:3035", "EPSG:2154")
     assert abs(x2[0] - 1e6) < 1e-3 and abs(y2[0] - 6.5e6) < 1e-3
-    with pytest.raises(NotImplementedError, match="27700"):
+    # round 5: EPSG:27700 now routes through the CRS registry (Airy 1830
+    # + OSGB36 Helmert); a genuinely unrouted code still raises
+    E, N = geo.reproject_points(np.array([0.0]), np.array([51.0]),
+                                "EPSG:4326", "EPSG:27700")
+    lo, la = geo.reproject_points(E, N, "EPSG:27700", "EPSG:4326")
+    assert abs(lo[0]) < 1e-6 and abs(la[0] - 51.0) < 1e-6
+    with pytest.raises(NotImplementedError):
         geo.reproject_points(np.array([0.0]), np.array([51.0]),
-                             "EPSG:4326", "EPSG:27700")
+                             "EPSG:4326", "EPSG:99999")
     # published-value pin: Melbourne GPO in GDA94 / MGA zone 55
     E, N = geo.reproject_points(np.array([144.9631]), np.array([-37.8136]),
                                 "EPSG:4326", "EPSG:28355")
