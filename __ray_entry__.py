@@ -2755,6 +2755,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bmp_rle_roundtrip": q.bmp_rle_roundtrip_q,
         "png_filters_roundtrip": q.png_filters_roundtrip_q,
         "gtiff_roundtrip": q.gtiff_roundtrip_q,
+        "gtiff_lzw_roundtrip": q.gtiff_lzw_roundtrip_q,
+        "cog_roundtrip": q.cog_roundtrip_q,
         "gtiff_stream_roundtrip": q.gtiff_stream_roundtrip_q,
         "gdal_translate_chain": q.gdal_translate_chain_q,
         "gdalcompare": q.gdalcompare_q,
@@ -4542,6 +4544,26 @@ def oracle_sql() -> dict[str, str]:
             FROM px GROUP BY 1, 2
         """,
         "gtiff_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(160) a, range(160) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(((gx-80)*(gx-80) + (gy-80)*(gy-80)) // 64
+                            * (((gy % 64) * (CASE WHEN gx // 64 = 2 THEN 32 ELSE 64 END)
+                                + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        "gtiff_lzw_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(160) a, range(160) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(((gx-80)*(gx-80) + (gy-80)*(gy-80)) // 64
+                            * (((gy % 64) * (CASE WHEN gx // 64 = 2 THEN 32 ELSE 64 END)
+                                + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        "cog_roundtrip": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy
                         FROM range(160) a, range(160) b)
             SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,

@@ -2659,6 +2659,71 @@ def warp_affine_q(sf_dir: str):
     return out.select_columns(["x", "y", "checksum"])
 
 
+def _hump_tile_checksums(tiles):
+    """Per-tile GDALChecksumImage rows shared by the gtiff codec queries."""
+    from ..functions import checksum as cks_f
+
+    def sums(t: pa.Table) -> pa.Table:
+        from ..stages.focal import _dtype_of
+
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=_dtype_of(t["dtype"][i].as_py()))
+            a = a.reshape(t["height"][i].as_py(), t["width"][i].as_py())
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks_f.tile_checksum(a))
+        return pa.table({"x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return tiles.map_batches(sums, batch_format="pyarrow")
+
+
+def gtiff_lzw_roundtrip_q(sf_dir: str):
+    """Round-5 GTiff compression breadth: the 160x160 hump as uint16,
+    written TILED with Compression=5 (TIFF 6.0 LZW, early-change) +
+    Predictor=2 (horizontal differencing), range-read back through the
+    manifest Ray path and checksummed per clipped tile (reference:
+    frmts/gtiff COMPRESS=LZW + TIFFTAG_PREDICTOR; autotest
+    gcore/tiff_read.py LZW cases)."""
+    import os
+    import tempfile
+
+    from ..sources import gtiff
+
+    gy, gx = np.mgrid[0:160, 0:160]
+    arr = (((gx - 80) ** 2 + (gy - 80) ** 2) // 64).astype(np.uint16)
+    path = f"{tempfile.gettempdir()}/gdal_ray_lzw_{os.getpid()}.tif"
+    gtiff.write_gtiff(path, arr, tile_size=64, nodata=-9999.0,
+                      compress="lzw", predictor=2)
+    return _hump_tile_checksums(gtiff.read_gtiff_tiles(path))
+
+
+def cog_roundtrip_q(sf_dir: str):
+    """Round-5 Cloud-Optimized GeoTIFF: the uint16 hump written by
+    write_cog (IFDs-before-data ghost-area layout, internal overviews,
+    smallest-overview-first tile placement with size leaders/trailers —
+    frmts/gtiff/cogdriver.cpp), validated with the engine's
+    validate_cloud_optimized_geotiff-equivalent checks, then the full-res
+    image range-read back through the manifest path and checksummed."""
+    import os
+    import tempfile
+
+    from ..sources import gtiff
+
+    gy, gx = np.mgrid[0:160, 0:160]
+    arr = (((gx - 80) ** 2 + (gy - 80) ** 2) // 64).astype(np.uint16)
+    path = f"{tempfile.gettempdir()}/gdal_ray_cog_{os.getpid()}.tif"
+    gtiff.write_cog(path, arr, tile_size=64, nodata=-9999.0,
+                    compress="deflate", predictor=2)
+    v = gtiff.validate_cog(path)
+    if not v["valid"]:
+        raise AssertionError(f"COG layout invalid: {v['errors']}")
+    return _hump_tile_checksums(gtiff.read_gtiff_tiles(path))
+
+
 def gtiff_overviews_q(sf_dir: str):
     """gdaladdo -r average 2 4 (apps/gdaladdo.cpp): integer hump 192x192
     uint16 GeoTIFF -> distributed per-tile decimation -> internal-overview

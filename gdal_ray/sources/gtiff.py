@@ -46,6 +46,8 @@ TAG_ROWS_PER_STRIP, TAG_STRIP_COUNTS = 278, 279
 TAG_PLANAR = 284
 TAG_TILE_W, TAG_TILE_H, TAG_TILE_OFFSETS, TAG_TILE_COUNTS = 322, 323, 324, 325
 TAG_SAMPLE_FORMAT = 339
+TAG_PREDICTOR = 317
+_COMPRESS_TAG = {None: 1, "deflate": 8, "lzw": 5, "packbits": 32773}
 TAG_PIXEL_SCALE, TAG_TIEPOINT = 33550, 33922
 TAG_GEO_KEYS = 34735
 TAG_GDAL_NODATA = 42113
@@ -73,7 +75,8 @@ def _serialize_image(arr: np.ndarray, *, ifd_off: int, next_ifd: int = 0,
                      origin=(0.0, 0.0), pixel_size=(1.0, 1.0), epsg: int = 3857,
                      nodata: float | None = None, endian: str = "<",
                      subfile_type: int | None = None,
-                     compress: str | None = None) -> bytes:
+                     compress: str | None = None,
+                     predictor: int = 1) -> bytes:
     """One complete image unit (IFD + out-of-line payloads + pixel chunks)
     laid out starting at absolute file offset ``ifd_off``.  ``next_ifd`` is
     written into the IFD's next-pointer slot (0 terminates the chain).
@@ -104,16 +107,42 @@ def _serialize_image(arr: np.ndarray, *, ifd_off: int, next_ifd: int = 0,
     else:
         for y0 in range(0, h, rows_per_strip):
             chunks.append(le[y0:y0 + rows_per_strip].tobytes())
-    if compress is not None:
-        if compress != "deflate":
-            raise ValueError(f"unsupported compression {compress!r} "
-                             "(supported: 'deflate')")
-        import zlib
+    chunk_dims = []  # (width, height) per chunk, for the predictor
+    if tile_size:
+        ts_ = int(tile_size)
+        chunk_dims = [(ts_, ts_)] * len(chunks)
+    else:
+        for y0 in range(0, h, rows_per_strip):
+            chunk_dims.append((w, min(rows_per_strip, h - y0)))
+    if predictor == 2:
+        from . import tiffcodec as _tc
 
-        # Compression=8 (Adobe DEFLATE, frmts/gtiff COMPRESS=DEFLATE / the
-        # perftests/cog.py bench codec): independent zlib streams per chunk
-        # so workers still range-read and decode tiles independently
-        chunks = [zlib.compress(c, 6) for c in chunks]
+        if sfmt == 3:
+            raise ValueError("Predictor=2 is integer-only (TIFF 6.0 §14)")
+        chunks = [_tc.predictor2_encode(c, cw, chh, le.dtype.base
+                                        if hasattr(le.dtype, "base")
+                                        else le.dtype, en)
+                  for c, (cw, chh) in zip(chunks, chunk_dims)]
+    if compress is not None:
+        if compress == "deflate":
+            import zlib
+
+            # Compression=8 (Adobe DEFLATE, frmts/gtiff COMPRESS=DEFLATE):
+            # independent zlib streams per chunk so workers still
+            # range-read and decode tiles independently
+            chunks = [zlib.compress(c, 6) for c in chunks]
+        elif compress == "lzw":
+            from . import tiffcodec as _tc
+
+            # Compression=5 (TIFF 6.0 §13 LZW, early-change)
+            chunks = [_tc.lzw_encode(c) for c in chunks]
+        elif compress == "packbits":
+            from . import tiffcodec as _tc
+
+            chunks = [_tc.packbits_encode(c) for c in chunks]
+        else:
+            raise ValueError(f"unsupported compression {compress!r} "
+                             "(supported: deflate, lzw, packbits)")
 
     geo_keys = [1, 1, 0, 3,
                 _KEY_MODEL_TYPE, 0, 1, 1 if 3000 <= epsg else 2,
@@ -125,7 +154,7 @@ def _serialize_image(arr: np.ndarray, *, ifd_off: int, next_ifd: int = 0,
         _entry(TAG_WIDTH, 4, w, en=en),
         _entry(TAG_HEIGHT, 4, h, en=en),
         _entry(TAG_BITS, 3, bits, en=en),
-        _entry(TAG_COMPRESSION, 3, 8 if compress == "deflate" else 1, en=en),
+        _entry(TAG_COMPRESSION, 3, _COMPRESS_TAG.get(compress, 1), en=en),
         _entry(TAG_PHOTOMETRIC, 3, 1, en=en),
         _entry(TAG_SAMPLES_PER_PIXEL, 3, 1, en=en),
         _entry(TAG_PLANAR, 3, 1, en=en),
@@ -140,6 +169,8 @@ def _serialize_image(arr: np.ndarray, *, ifd_off: int, next_ifd: int = 0,
         entries.append(_entry(TAG_GDAL_NODATA, 2, repr(float(nodata)), en=en))
     if subfile_type is not None:
         entries.append(_entry(TAG_SUBFILE_TYPE, 4, subfile_type, en=en))
+    if predictor != 1:
+        entries.append(_entry(TAG_PREDICTOR, 3, predictor, en=en))
     counts = [len(c) for c in chunks]
     if tile_size:
         entries.append(_entry(TAG_TILE_W, 3, tile_size, en=en))
@@ -200,9 +231,11 @@ def write_gtiff(path: str, arr: np.ndarray, *, tile_size: int | None = None,
                 rows_per_strip: int = 64, origin=(0.0, 0.0),
                 pixel_size=(1.0, 1.0), epsg: int = 3857,
                 nodata: float | None = None, endian: str = "<",
-                compress: str | None = None) -> None:
-    """Serialize a 2-D array as a single-band GeoTIFF (uncompressed or
-    ``compress='deflate'`` — Compression=8, one zlib stream per chunk).
+                compress: str | None = None, predictor: int = 1) -> None:
+    """Serialize a 2-D array as a single-band GeoTIFF (uncompressed, or
+    ``compress=`` 'deflate' (Compression=8) / 'lzw' (5, TIFF 6.0 §13
+    early-change) / 'packbits' (32773); ``predictor=2`` adds horizontal
+    differencing for integer dtypes).
 
     ``tile_size`` -> tiled layout (TIFF tiles pad to the full tile size with
     zeros, per spec); None -> strips of ``rows_per_strip`` rows (the final
@@ -214,7 +247,8 @@ def write_gtiff(path: str, arr: np.ndarray, *, tile_size: int | None = None,
     body = _serialize_image(
         arr, ifd_off=8, next_ifd=0, tile_size=tile_size,
         rows_per_strip=rows_per_strip, origin=origin, pixel_size=pixel_size,
-        epsg=epsg, nodata=nodata, endian=endian, compress=compress)
+        epsg=epsg, nodata=nodata, endian=endian, compress=compress,
+        predictor=predictor)
     with open(path, "wb") as f:
         f.write(struct.pack(en + "2sHI", b"II" if en == "<" else b"MM", 42, 8))
         f.write(body)
@@ -535,10 +569,14 @@ def _chunk_layout(tags, en):
     """-> dict describing the pixel chunks (shared by eager + manifest paths)."""
     w, h = tags[TAG_WIDTH][0], tags[TAG_HEIGHT][0]
     compression = tags.get(TAG_COMPRESSION, [1])[0]
-    if compression not in (1, 8):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(
-            "only uncompressed (1) or DEFLATE (8) TIFFs supported, "
-            f"got Compression={compression}")
+            "only uncompressed (1), LZW (5), DEFLATE (8) or PackBits "
+            f"(32773) TIFFs supported, got Compression={compression}")
+    predictor = tags.get(TAG_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported Predictor={predictor} "
+                         "(1=none, 2=horizontal differencing)")
     if tags.get(TAG_SAMPLES_PER_PIXEL, [1])[0] != 1:
         raise ValueError("only single-band TIFFs supported")
     bits = tags[TAG_BITS][0]
@@ -584,7 +622,38 @@ def _chunk_layout(tags, en):
         ]
     return {"width": w, "height": h, "dtype": dname, "endian": en,
             "layout": "tiles" if TAG_TILE_OFFSETS in tags else "strips",
-            "compression": compression, "chunks": chunks, **geo}
+            "compression": compression, "predictor": predictor,
+            "chunks": chunks, **geo}
+
+
+def _decode_chunk(raw: bytes, lay: dict, chunk_w: int, chunk_h: int
+                  ) -> np.ndarray:
+    """Compressed chunk bytes -> (chunk_h, chunk_w) array in file byte
+    order, decoding Compression + undoing Predictor=2 (the per-worker
+    decode path — runs inside map_batches, never driver-side)."""
+    comp = lay["compression"]
+    en = lay["endian"]
+    dt = np.dtype(lay["dtype"]).newbyteorder(en)
+    n_out = chunk_w * chunk_h * dt.itemsize
+    if comp == 8:
+        import zlib
+
+        raw = zlib.decompress(raw)
+    elif comp == 5:
+        from . import tiffcodec as _tc
+
+        raw = _tc.lzw_decode(raw, max_out=n_out)
+    elif comp == 32773:
+        from . import tiffcodec as _tc
+
+        raw = _tc.packbits_decode(raw, max_out=n_out)
+    if lay.get("predictor", 1) == 2:
+        from . import tiffcodec as _tc
+
+        raw = _tc.predictor2_decode(raw[:n_out], chunk_w, chunk_h,
+                                    np.dtype(lay["dtype"]), en)
+    return np.frombuffer(raw, dtype=dt,
+                         count=chunk_w * chunk_h).reshape(chunk_h, chunk_w)
 
 
 def read_gtiff(path: str, image: int = 0):
@@ -599,13 +668,9 @@ def read_gtiff(path: str, image: int = 0):
     dt = np.dtype(lay["dtype"]).newbyteorder(en)
     out = np.zeros((lay["height"], lay["width"]), dtype=lay["dtype"])
     for c in lay["chunks"]:
-        if lay["compression"] == 8:
-            import zlib
-
-            raw = zlib.decompress(buf[c["offset"]:c["offset"] + c["nbytes"]])
-            a = np.frombuffer(raw, dtype=dt,
-                              count=c["chunk_w"] * c["chunk_h"]
-                              ).reshape(c["chunk_h"], c["chunk_w"])
+        if lay["compression"] != 1 or lay.get("predictor", 1) == 2:
+            a = _decode_chunk(buf[c["offset"]:c["offset"] + c["nbytes"]],
+                              lay, c["chunk_w"], c["chunk_h"])
         else:
             a = np.frombuffer(buf, dtype=dt, count=c["chunk_w"] * c["chunk_h"],
                               offset=c["offset"]).reshape(c["chunk_h"], c["chunk_w"])
@@ -667,13 +732,9 @@ def read_gtiff_tiles(path: str, z: int = 4, band: int = 1, image: int = 0):
             for i in range(t.num_rows):
                 f.seek(t["offset"][i].as_py())
                 raw = f.read(t["nbytes"][i].as_py())
-                if lay["compression"] == 8:
-                    import zlib
-
-                    raw = zlib.decompress(raw)
                 ch, cw = t["chunk_h"][i].as_py(), t["chunk_w"][i].as_py()
                 clh, clw = t["clip_h"][i].as_py(), t["clip_w"][i].as_py()
-                a = np.frombuffer(raw, dtype=dt, count=ch * cw).reshape(ch, cw)
+                a = _decode_chunk(raw, lay, cw, ch)
                 sub = a[:clh, :clw].astype(out_dtype)
                 rows.append({
                     "z": z, "x": t["tx"][i].as_py(), "y": t["ty"][i].as_py(),
@@ -764,3 +825,264 @@ def gtiff_build_overviews(path: str, levels=(2, 4), kernel: str = "average"):
                         pixel_size=sizes, epsg=lay["epsg"] or 3857,
                         nodata=lay["nodata"])
     return [a.shape for a in arrs]
+
+
+# ---------------------------------------------------------------------------
+# Cloud-Optimized GeoTIFF layout (reference: frmts/gtiff/cogdriver.cpp and
+# the public COG spec): all IFDs at the head of the file (ghost structural-
+# metadata area first), tile data after — overviews smallest-first, then the
+# full-resolution image, row-major, each tile preceded by a 4-byte size
+# leader and followed by a last-4-bytes-repeated trailer.
+# ---------------------------------------------------------------------------
+
+_COG_GHOST_ITEMS = ("LAYOUT=IFDS_BEFORE_DATA\n"
+                    "BLOCK_ORDER=ROW_MAJOR\n"
+                    "BLOCK_LEADER=SIZE_AS_UINT4\n"
+                    "BLOCK_TRAILER=LAST_4_BYTES_REPEATED\n"
+                    "KNOWN_INCOMPATIBLE_EDITION=NO\n ")
+
+
+def _cog_ghost() -> bytes:
+    body = _COG_GHOST_ITEMS.encode()
+    head = b"GDAL_STRUCTURAL_METADATA_SIZE=%06d bytes\n" % len(body)
+    return head + body
+
+
+def _cog_tile_chunks(arr: np.ndarray, ts: int, compress: str | None,
+                     predictor: int, en: str) -> list[bytes]:
+    """Row-major padded tile chunks of one image, compressed."""
+    h, w = arr.shape
+    le = arr.astype(arr.dtype.newbyteorder(en), copy=False)
+    ntx, nty = (w + ts - 1) // ts, (h + ts - 1) // ts
+    chunks = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            pad = np.zeros((ts, ts), dtype=le.dtype)
+            sub = le[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            pad[: sub.shape[0], : sub.shape[1]] = sub
+            raw = pad.tobytes()
+            if predictor == 2:
+                from . import tiffcodec as _tc
+
+                raw = _tc.predictor2_encode(raw, ts, ts, arr.dtype, en)
+            if compress == "deflate":
+                import zlib
+
+                raw = zlib.compress(raw, 6)
+            elif compress == "lzw":
+                from . import tiffcodec as _tc
+
+                raw = _tc.lzw_encode(raw)
+            elif compress == "packbits":
+                from . import tiffcodec as _tc
+
+                raw = _tc.packbits_encode(raw)
+            chunks.append(raw)
+    return chunks
+
+
+def _cog_ifd_bytes(shape, dtype: str, *, ifd_off: int, next_ifd: int,
+                   tile_size: int, counts, offsets, origin, pixel_size,
+                   epsg: int, nodata, en: str, subfile_type,
+                   compress, predictor: int) -> bytes:
+    """IFD + external payloads for one COG image, chunk offsets supplied."""
+    h, w = shape
+    bits, sfmt = _DTYPE_TO_FMT[dtype]
+    geo_keys = [1, 1, 0, 3,
+                _KEY_MODEL_TYPE, 0, 1, 1 if 3000 <= epsg else 2,
+                _KEY_RASTER_TYPE, 0, 1, 1,
+                (_KEY_PROJECTED_CS if 3000 <= epsg else _KEY_GEOGRAPHIC_CS),
+                0, 1, epsg]
+    entries = [
+        _entry(TAG_WIDTH, 4, w, en=en),
+        _entry(TAG_HEIGHT, 4, h, en=en),
+        _entry(TAG_BITS, 3, bits, en=en),
+        _entry(TAG_COMPRESSION, 3, _COMPRESS_TAG.get(compress, 1), en=en),
+        _entry(TAG_PHOTOMETRIC, 3, 1, en=en),
+        _entry(TAG_SAMPLES_PER_PIXEL, 3, 1, en=en),
+        _entry(TAG_PLANAR, 3, 1, en=en),
+        _entry(TAG_SAMPLE_FORMAT, 3, sfmt, en=en),
+        _entry(TAG_TILE_W, 3, tile_size, en=en),
+        _entry(TAG_TILE_H, 3, tile_size, en=en),
+        _entry(TAG_TILE_COUNTS, 4, list(counts), en=en),
+        _entry(TAG_TILE_OFFSETS, 4, list(offsets), en=en),
+        _entry(TAG_PIXEL_SCALE, 12,
+               [float(pixel_size[0]), float(pixel_size[1]), 0.0], en=en),
+        _entry(TAG_TIEPOINT, 12,
+               [0.0, 0.0, 0.0, float(origin[0]), float(origin[1]), 0.0],
+               en=en),
+        _entry(TAG_GEO_KEYS, 3, geo_keys, en=en),
+    ]
+    if nodata is not None:
+        entries.append(_entry(TAG_GDAL_NODATA, 2, repr(float(nodata)),
+                              en=en))
+    if subfile_type is not None:
+        entries.append(_entry(TAG_SUBFILE_TYPE, 4, subfile_type, en=en))
+    if predictor != 1:
+        entries.append(_entry(TAG_PREDICTOR, 3, predictor, en=en))
+    entries.sort(key=lambda e: e[0])
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext_off = ifd_off + ifd_size
+    slots = {}
+    ext_payloads = []
+    for tag, typ, count, payload in entries:
+        if len(payload) > 4:
+            if len(payload) % 2:
+                payload += b"\x00"
+            slots[tag] = ext_off
+            ext_payloads.append(payload)
+            ext_off += len(payload)
+        else:
+            slots[tag] = 0
+    out = [struct.pack(en + "H", len(entries))]
+    for tag, typ, count, payload in entries:
+        if slots[tag]:
+            tail = struct.pack(en + "I", slots[tag])
+        else:
+            tail = payload + b"\x00" * (4 - len(payload))
+        out.append(struct.pack(en + "HHI", tag, typ, count) + tail)
+    out.append(struct.pack(en + "I", next_ifd))
+    out.extend(ext_payloads)
+    return b"".join(out)
+
+
+def write_cog(path: str, arr: np.ndarray, *, tile_size: int = 256,
+              origin=(0.0, 0.0), pixel_size=(1.0, 1.0), epsg: int = 3857,
+              nodata: float | None = None, compress: str | None = "deflate",
+              predictor: int = 1, kernel: str = "average",
+              min_overview_size: int | None = None) -> dict:
+    """Write a Cloud-Optimized GeoTIFF: full-res image + average-decimated
+    internal overviews until max(w, h) <= tile_size (cogdriver.cpp's
+    stopping rule), IFDs-before-data layout with the GDAL structural-
+    metadata ghost area, tile data overviews-smallest-first with size
+    leaders + repeated trailers.  Returns a layout summary dict."""
+    en = "<"
+    if arr.ndim != 2:
+        raise ValueError("expected a single-band 2-D array")
+    stop = min_overview_size or tile_size
+    # overview pyramid: /2 per level until it fits one tile
+    images = [arr]
+    while max(images[-1].shape) > stop:
+        prev = images[-1]
+        if np.issubdtype(prev.dtype, np.integer):
+            images.append(_decimate_int(prev, 2, kernel))
+        else:
+            h2, w2 = (prev.shape[0] + 1) // 2, (prev.shape[1] + 1) // 2
+            pad = np.full((h2 * 2, w2 * 2), np.nan, dtype=np.float64)
+            pad[: prev.shape[0], : prev.shape[1]] = prev
+            with np.errstate(invalid="ignore"):
+                dec = np.nanmean(
+                    pad.reshape(h2, 2, w2, 2).transpose(0, 2, 1, 3)
+                    .reshape(h2, w2, 4), axis=2)
+            images.append(dec.astype(prev.dtype))
+    n_img = len(images)
+
+    # pass A: compress all tiles per image
+    per_img_chunks = [_cog_tile_chunks(im, tile_size, compress, predictor,
+                                       en) for im in images]
+    counts = [[len(c) for c in chunks] for chunks in per_img_chunks]
+
+    # pass B: fixed-size IFD area (offset payloads are 4 bytes per tile,
+    # independent of their values) -> compute each IFD's size with zeros
+    ghost = _cog_ghost()
+    ifd_offs = []
+    pos = 8 + len(ghost)
+    sizes = []
+    for i in range(n_img):
+        dummy = _cog_ifd_bytes(
+            images[i].shape, str(arr.dtype), ifd_off=pos, next_ifd=0,
+            tile_size=tile_size, counts=counts[i],
+            offsets=[0] * len(counts[i]), origin=origin,
+            pixel_size=(pixel_size[0] * (2 ** i), pixel_size[1] * (2 ** i)),
+            epsg=epsg, nodata=nodata, en=en,
+            subfile_type=(1 if i else None), compress=compress,
+            predictor=predictor)
+        if pos % 2:
+            pos += 1
+        ifd_offs.append(pos)
+        sizes.append(len(dummy))
+        pos += len(dummy)
+
+    # data area: overviews smallest-first, then full res; leader + trailer
+    data_start = pos
+    offsets = [[0] * len(c) for c in counts]
+    order = list(range(n_img - 1, -1, -1))  # smallest overview ... main
+    for i in order:
+        for j, chunk in enumerate(per_img_chunks[i]):
+            pos += 4                      # BLOCK_LEADER=SIZE_AS_UINT4
+            offsets[i][j] = pos
+            pos += len(chunk) + 4         # payload + repeated trailer
+
+    with open(path, "wb") as f:
+        f.write(struct.pack(en + "2sHI", b"II", 42, ifd_offs[0]))
+        f.write(ghost)
+        for i in range(n_img):
+            nxt = ifd_offs[i + 1] if i + 1 < n_img else 0
+            body = _cog_ifd_bytes(
+                images[i].shape, str(arr.dtype), ifd_off=ifd_offs[i],
+                next_ifd=nxt, tile_size=tile_size, counts=counts[i],
+                offsets=offsets[i], origin=origin,
+                pixel_size=(pixel_size[0] * (2 ** i),
+                            pixel_size[1] * (2 ** i)),
+                epsg=epsg, nodata=nodata, en=en,
+                subfile_type=(1 if i else None), compress=compress,
+                predictor=predictor)
+            assert len(body) == sizes[i]
+            f.seek(ifd_offs[i])
+            f.write(body)
+        f.seek(data_start)
+        for i in order:
+            for chunk in per_img_chunks[i]:
+                f.write(struct.pack(en + "I", len(chunk)))
+                f.write(chunk)
+                f.write(chunk[-4:] if len(chunk) >= 4
+                        else chunk.ljust(4, b"\x00"))
+    return {"n_images": n_img, "data_start": data_start,
+            "shapes": [im.shape for im in images],
+            "file_size": pos}
+
+
+def validate_cog(path: str) -> dict:
+    """COG layout validation (the checks GDAL's public
+    validate_cloud_optimized_geotiff.py script performs): structural-
+    metadata ghost area present, every IFD before all tile data, tile
+    offsets consistent with smallest-overview-first block order, leaders
+    matching tile sizes.  Returns {'valid': bool, 'errors': [...]}."""
+    errors = []
+    with open(path, "rb") as f:
+        buf = f.read()
+    en, first_off, big = _tiff_header(buf[:16])
+    ghost = buf[8:8 + 43]
+    if not ghost.startswith(b"GDAL_STRUCTURAL_METADATA_SIZE="):
+        errors.append("no GDAL structural metadata ghost area")
+    en2, images = _parse_ifd_chain(buf)
+    lays = [_chunk_layout(t, en2) for t in images]
+    # IFDs (header area) must all precede the first tile byte
+    min_data = min(c["offset"] for lay in lays for c in lay["chunks"])
+    ifd_end = max(first_off, 8 + len(_cog_ghost()))
+    # walk the chain to find the highest IFD byte
+    off = first_off
+    last_ifd_end = 0
+    while off:
+        n = struct.unpack(en + "H", buf[off:off + 2])[0]
+        end = off + 2 + 12 * n + 4
+        last_ifd_end = max(last_ifd_end, end)
+        off = struct.unpack(en + "I", buf[end - 4:end])[0]
+    if last_ifd_end > min_data:
+        errors.append(f"IFD at {last_ifd_end} after first tile {min_data}")
+    # block order: each overview's tiles precede the next-larger image's
+    starts = [min(c["offset"] for c in lay["chunks"]) for lay in lays]
+    if starts != sorted(starts, reverse=True):
+        errors.append("tile data not smallest-overview-first")
+    # leaders
+    for lay in lays:
+        for c in lay["chunks"]:
+            leader = struct.unpack(
+                en + "I", buf[c["offset"] - 4:c["offset"]])[0]
+            if leader != c["nbytes"]:
+                errors.append(
+                    f"leader {leader} != nbytes {c['nbytes']} "
+                    f"at {c['offset']}")
+                break
+    return {"valid": not errors, "errors": errors,
+            "n_images": len(images)}
