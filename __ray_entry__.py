@@ -2728,6 +2728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "envi_roundtrip": q.envi_roundtrip_q,
         "netcdf_roundtrip": q.netcdf_roundtrip_q,
         "mdim_time_sum": q.mdim_time_sum_q,
+        "netcdf4_time_sum": q.netcdf4_time_sum_q,
         "mdim_slice_transpose": q.mdim_slice_transpose_q,
         "mdim_record_max": q.mdim_record_max_q,
         "mdim_mosaic_sum": q.mdim_mosaic_sum_q,
@@ -5474,6 +5475,18 @@ def oracle_sql() -> dict[str, str]:
         # sum over t per pixel, then the shared 64-px local-weight tile
         # checksum (chunks divide 192 evenly, so tile width is 64 always)
         "mdim_time_sum": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b),
+            s AS (SELECT gx, gy,
+                         (SELECT sum((7 * t.range + 5 * gy + 3 * gx) % 97)
+                          FROM range(12) t) AS v
+                  FROM px)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(v * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM s GROUP BY 1, 2
+        """,
+        "netcdf4_time_sum": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy
                         FROM range(192) a, range(192) b),
             s AS (SELECT gx, gy,

@@ -2258,6 +2258,34 @@ def mdim_time_sum_q(sf_dir: str):
     return _tile_checksum_rows(mdim.to_raster_tiles(red, rmd))
 
 
+def netcdf4_time_sum_q(sf_dir: str):
+    """Round-5 netCDF4/HDF5 container path: the SAME (12, 192, 192) time
+    cube written as a chunked+deflate HDF5 file (from-scratch writer,
+    netCDF4-style dimension scales), read back through the from-scratch
+    HDF5 reader (superblock/object-header/B-tree/fractal-heap parse,
+    per-chunk deflate decode inside map_batches workers), time-summed and
+    checksummed — identical closed form to mdim_time_sum, proving the
+    netCDF4 container layer is lossless (frmts/hdf5/hdf5dataset.cpp +
+    frmts/netcdf nc4 role; autotest/gdrivers/netcdf.py nc4 cases)."""
+    import os
+    import tempfile
+
+    from ..sources import hdf5
+    from ..stages import mdim
+
+    path = f"{tempfile.gettempdir()}/gdal_ray_mdim_cube_{os.getpid()}.h5"
+    if not os.path.exists(path):
+        t, y, x = np.meshgrid(np.arange(12), np.arange(192),
+                              np.arange(192), indexing="ij")
+        v = ((7 * t + 5 * y + 3 * x) % 97).astype(np.int32)
+        hdf5.write_hdf5(path, {"v": (("time", "y", "x"), v)},
+                        chunks={"v": (4, 64, 64)}, compress="deflate")
+    ds, md = mdim.read_mdarray_chunks(path, "v",
+                                      {"time": 4, "y": 64, "x": 64})
+    red, rmd = mdim.axis_reduce(ds, md, "time", "sum")
+    return _tile_checksum_rows(mdim.to_raster_tiles(red, rmd))
+
+
 def mdim_slice_transpose_q(sf_dir: str):
     """Multidim slice + transpose (gdalmdimtranslate -array view=[7,...],
     transposedView; GDALMDArray::Transpose): fix time=7, swap (y, x) ->

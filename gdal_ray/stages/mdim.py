@@ -122,14 +122,37 @@ def _rows(batch: pa.Table):
         yield tuple(idxs[i]), a.reshape(shapes[i])
 
 
+def _mdim_backend(path: str):
+    """Container dispatch by magic: netCDF4/HDF5 -> sources.hdf5, classic
+    netCDF3 -> sources.netcdf3 (frmts/netcdf's dual-container behavior)."""
+    from ..sources import hdf5, netcdf3
+
+    if hdf5.is_hdf5(path):
+        return hdf5
+    return netcdf3
+
+
+def _backend_header(path: str):
+    be = _mdim_backend(path)
+    return be, be.read_header(path)
+
+
+def _backend_hyperslab(path: str, var: str, starts, counts):
+    be = _mdim_backend(path)
+    if hasattr(be, "read_hyperslab"):
+        return be.read_hyperslab(path, var, starts, counts)
+    return be.read_netcdf3_hyperslab(path, var, starts, counts)
+
+
 def mdim_info(path: str) -> pa.Table:
     """``gdalmdiminfo``-style structure report: one row per variable with
     its dimension names, sizes, dtype and element count, plus one row per
     named dimension (kind='dimension').  Header parse only — O(metadata)
-    regardless of variable sizes (apps/gdalmdiminfo_lib.cpp)."""
+    regardless of variable sizes (apps/gdalmdiminfo_lib.cpp).  Works over
+    classic netCDF3 AND netCDF4/HDF5 containers (magic-dispatched)."""
     from ..sources import netcdf3
 
-    dims, meta, _g = netcdf3.read_header(path)
+    _be, (dims, meta, _g) = _backend_header(path)
     kind, name, dnames, shp, dts, nval = [], [], [], [], [], []
     for d, n in dims.items():
         kind.append("dimension"); name.append(d)
@@ -138,7 +161,8 @@ def mdim_info(path: str) -> pa.Table:
         kind.append("array"); name.append(v)
         dnames.append(",".join(vdims))
         shp.append(",".join(str(s) for s in shape))
-        dts.append(np.dtype(netcdf3._NP_OF[t]).name)
+        dts.append(t if isinstance(t, str)
+                   else np.dtype(netcdf3._NP_OF[t]).name)
         nval.append(int(np.prod(shape)) if shape else 1)
     return pa.table({"kind": pa.array(kind), "name": pa.array(name),
                      "dims": pa.array(dnames), "shape": pa.array(shp),
@@ -156,9 +180,7 @@ def read_mdarray_chunks(path: str, var: str, chunks: dict[str, int],
     chunks they own.  Returns ``(Dataset of chunk rows, MDim)``."""
     import ray.data as rd
 
-    from ..sources import netcdf3
-
-    _dims, meta, _g = netcdf3.read_header(path)
+    _be, (_dims, meta, _g) = _backend_header(path)
     if var not in meta:
         raise KeyError(f"variable {var!r} not in {sorted(meta)}")
     vdims, shape, _t, _begin, _atts, _stride = meta[var]
@@ -177,7 +199,7 @@ def read_mdarray_chunks(path: str, var: str, chunks: dict[str, int],
         keys, idxs, shapes, dts, datas = [], [], [], [], []
         for idx in batch["idx"].to_pylist():
             starts, counts = md.chunk_bounds(idx)
-            a = netcdf3.read_netcdf3_hyperslab(path, var, starts, counts)
+            a = _backend_hyperslab(path, var, starts, counts)
             keys.append(md.ckey_of(idx))
             idxs.append(idx)
             shapes.append(list(a.shape))
