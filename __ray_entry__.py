@@ -2729,6 +2729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "netcdf_roundtrip": q.netcdf_roundtrip_q,
         "mdim_time_sum": q.mdim_time_sum_q,
         "netcdf4_time_sum": q.netcdf4_time_sum_q,
+        "osm_roundtrip": q.osm_roundtrip_q,
         "mdim_slice_transpose": q.mdim_slice_transpose_q,
         "mdim_record_max": q.mdim_record_max_q,
         "mdim_mosaic_sum": q.mdim_mosaic_sum_q,
@@ -5485,6 +5486,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
                         AS BIGINT) AS checksum
             FROM s GROUP BY 1, 2
+        """,
+
+        "osm_roundtrip": """
+            WITH s AS (SELECT p_partkey AS k,
+                              row_number() OVER (ORDER BY p_partkey) - 1
+                                AS rn
+                       FROM part),
+            n AS (SELECT k, rn,
+                         CAST(round((-180.0 + (k * 9973 % 36000) / 100.0)
+                                    * 10000000.0) AS BIGINT) AS lon7,
+                         CAST(round((-85.0 + (k * 7919 % 17000) / 100.0)
+                                    * 10000000.0) AS BIGINT) AS lat7
+                  FROM s),
+            g AS (SELECT CAST(rn // 5 + 1 AS BIGINT) AS way_id,
+                         count(*) AS n_pts,
+                         sum(lon7) AS sum_lon_e7,
+                         sum(lat7) AS sum_lat_e7
+                  FROM n GROUP BY 1)
+            SELECT way_id, CAST(n_pts AS BIGINT) AS n_pts,
+                   CAST(sum_lon_e7 AS BIGINT) AS sum_lon_e7,
+                   CAST(sum_lat_e7 AS BIGINT) AS sum_lat_e7
+            FROM g WHERE n_pts = 5
         """,
         "netcdf4_time_sum": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy

@@ -5291,6 +5291,57 @@ def geojson_roundtrip_q(sf_dir: str):
     return _zones_vertex_verify(gj.read_geojsonseq_dataset(path))
 
 
+def osm_roundtrip_q(sf_dir: str):
+    """Round-5 OSM PBF driver: part keys -> deterministic dense nodes +
+    5-node ways, serialized through the from-scratch PBF writer (zlib
+    blobs, delta-coded sint64 packing, string table), blob-manifest read
+    back through Ray, ways assembled to LineString WKB via the node join,
+    and reduced to (way_id, n_pts, lon_e7/lat_e7 sums) with a pure-SQL
+    closed-form mirror (ogr/ogrsf_frmts/osm/ogrosmdatasource.cpp role;
+    autotest/ogr/ogr_osm.py parity)."""
+    import os
+    import tempfile
+
+    from ..functions import wkb as wkb_f
+    from ..sources import osmpbf
+
+    keys = np.sort(pq.read_table(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey"])
+                   ["p_partkey"].to_numpy().astype(np.int64))
+    lon = -180.0 + ((keys * 9973) % 36000) / 100.0
+    lat = -85.0 + ((keys * 7919) % 17000) / 100.0
+    nodes = [(int(k), float(lo), float(la), None)
+             for k, lo, la in zip(keys, lon, lat)]
+    ways = []
+    for j in range(len(keys) // 5):
+        refs = [int(k) for k in keys[5 * j:5 * j + 5]]
+        ways.append((j + 1, refs, {"highway": "x"}))
+    path = f"{tempfile.gettempdir()}/gdal_ray_osm_{os.getpid()}.osm.pbf"
+    osmpbf.write_osm_pbf(path, nodes, ways)
+
+    nd = osmpbf.read_osm_nodes(path)
+    wd = osmpbf.read_osm_ways(path)
+    lines = osmpbf.assemble_way_lines(wd, nd)
+
+    def finish(t: pa.Table) -> pa.Table:
+        wid, npts, slon, slat = [], [], [], []
+        for i in range(t.num_rows):
+            g = wkb_f.decode(t["wkb"][i].as_py())
+            pts = g.parts[0]
+            wid.append(t["id"][i].as_py())
+            npts.append(len(pts))
+            slon.append(int(np.round(pts[:, 0] * 1e7).astype(np.int64)
+                            .sum()))
+            slat.append(int(np.round(pts[:, 1] * 1e7).astype(np.int64)
+                            .sum()))
+        return pa.table({"way_id": pa.array(wid, pa.int64()),
+                         "n_pts": pa.array(npts, pa.int64()),
+                         "sum_lon_e7": pa.array(slon, pa.int64()),
+                         "sum_lat_e7": pa.array(slat, pa.int64())})
+
+    return lines.map_batches(finish, batch_format="pyarrow")
+
+
 def vsizip_roundtrip_q(sf_dir: str):
     """VSI container layer (/vsizip + /vsigzip, port/cpl_vsil_gzip.cpp):
     half the zones ride a zipped GeoJSON, half a gzipped one; both open
