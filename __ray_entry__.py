@@ -2730,6 +2730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdim_time_sum": q.mdim_time_sum_q,
         "netcdf4_time_sum": q.netcdf4_time_sum_q,
         "osm_roundtrip": q.osm_roundtrip_q,
+        "select_sql_geom_funcs": q.select_sql_geom_funcs_q,
         "mdim_slice_transpose": q.mdim_slice_transpose_q,
         "mdim_record_max": q.mdim_record_max_q,
         "mdim_mosaic_sum": q.mdim_mosaic_sum_q,
@@ -5488,6 +5489,31 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY 1, 2
         """,
 
+
+        "select_sql_geom_funcs": f"""
+            WITH {_ZONES.strip().lstrip()},
+            d AS (SELECT zone_key, minx, miny, maxx, maxy,
+                         -180.0 + ((zone_key * 9973) % 36000) / 100.0 AS px,
+                         -85.0 + ((zone_key * 7919) % 17000) / 100.0 AS py
+                  FROM zz
+                  WHERE (maxx - minx) * (maxy - miny) > 20.0),
+            e AS (SELECT zone_key, minx, miny, maxx, maxy,
+                         greatest(minx - px, px - maxx, 0.0) AS dx,
+                         greatest(miny - py, py - maxy, 0.0) AS dy
+                  FROM d)
+            SELECT zone_key,
+                   CAST(round((maxx - minx) * (maxy - miny) * 10000.0)
+                        AS BIGINT) AS area_x1e4,
+                   CAST(round((minx + maxx) / 2.0 * 1000.0) AS BIGINT)
+                     AS cx_x1000,
+                   CAST(round((miny + maxy) / 2.0 * 1000.0) AS BIGINT)
+                     AS cy_x1000,
+                   CAST(5 AS BIGINT) AS n_pts,
+                   CAST(1 AS BIGINT) AS valid,
+                   CAST(round(sqrt(dx * dx + dy * dy) * 1000000.0)
+                        AS BIGINT) AS dist_e6
+            FROM e
+        """,
         "osm_roundtrip": """
             WITH s AS (SELECT p_partkey AS k,
                               row_number() OVER (ORDER BY p_partkey) - 1

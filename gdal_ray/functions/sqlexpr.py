@@ -333,6 +333,16 @@ _FUNCS = {
     "substr": lambda a, start, n=None: _substr(a, start, n),
 }
 
+# SQL-callable geometry functions (ogrsqlitesqlfunctions.cpp surface):
+# registered lazily so plain scalar SQL does not import the geometry stack
+def _register_geom_funcs():
+    from . import geomsql
+
+    _FUNCS.update(geomsql.SQL_GEOM_FUNCS)
+
+
+_register_geom_funcs()
+
 
 def _substr(a, start, n=None):
     """SQL 1-based substr; start/n must be literals (pre-extracted ints)."""

@@ -286,6 +286,59 @@ def select_sql_expr_q(sf_dir: str):
     return sqlexpr.apply_select(ds, sel)
 
 
+def select_sql_geom_funcs_q(sf_dir: str):
+    """Round-5 SQL-callable geometry functions (the OGR SQLite-dialect
+    surface, ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:956-1232):
+    ST_Area / ST_Centroid+ST_X/ST_Y / ST_NPoints / ST_IsValid called FROM
+    an SQL string over the rect-zone layer, plus ST_Distance from each
+    zone to its derived doc-grid point — all compiled by
+    functions.sqlexpr into the engine's own geometry kernels.  Quantized
+    x100 / x1e6 for the closed-form DuckDB mirror."""
+    import ray.data as rd
+
+    from ..functions import geo, sqlexpr
+
+    zones = _zones(sf_dir)
+    keys = zones["zone_key"].to_numpy()
+    lon, lat = geo.derive_lonlat(keys)
+    from ..functions import wkb as wkb_f
+
+    pts = wkb_f.encode_points(lon, lat)
+    zones = zones.append_column("pt_wkb", pa.array(pts, pa.binary()))
+    ds = rd.from_arrow(zones)
+    sql = ("SELECT zone_key, "
+           "ST_Area(wkb) AS area, "
+           "ST_X(ST_Centroid(wkb)) AS cx, "
+           "ST_Y(ST_Centroid(wkb)) AS cy, "
+           "ST_NPoints(wkb) AS n_pts, "
+           "CAST(ST_IsValid(wkb) AS integer) AS valid, "
+           "ST_Distance(wkb, pt_wkb) AS dist "
+           "FROM zones WHERE ST_Area(wkb) > 20.0")
+    sel = sqlexpr.parse_select(sql)
+    out = sqlexpr.apply_select(ds, sel)
+
+    def quant(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "zone_key": t["zone_key"],
+            "area_x1e4": pa.array(np.round(
+                t["area"].to_numpy(zero_copy_only=False) * 10000.0)
+                .astype(np.int64)),
+            "cx_x1000": pa.array(np.round(
+                t["cx"].to_numpy(zero_copy_only=False) * 1000.0)
+                .astype(np.int64)),
+            "cy_x1000": pa.array(np.round(
+                t["cy"].to_numpy(zero_copy_only=False) * 1000.0)
+                .astype(np.int64)),
+            "n_pts": t["n_pts"],
+            "valid": pc.cast(t["valid"], pa.int64()),
+            "dist_e6": pa.array(np.round(
+                t["dist"].to_numpy(zero_copy_only=False) * 1e6)
+                .astype(np.int64)),
+        })
+
+    return out.map_batches(quant, batch_format="pyarrow")
+
+
 def select_sql_group_q(sf_dir: str):
     """SQL GROUP BY from a string (ogr_gensql.cpp aggregate surface):
     count(*)/sum/min/max compile to the two-phase partial_aggregate, HAVING
