@@ -5634,6 +5634,51 @@ def mvt_roundtrip_q(sf_dir: str):
     return tiles_ds.map_batches(verify, batch_format="pyarrow")
 
 
+def pmtiles_roundtrip_q(sf_dir: str):
+    """Round-5 PMTiles container (ogr/ogrsf_frmts/pmtiles analogue): the
+    mvt_roundtrip tile set packed into a PMTiles v3 archive (Hilbert tile
+    ids, varint delta directories, gzip internals, content dedup), read
+    back through the entry-manifest Ray path, MVT-decoded and aggregated —
+    same closed-form oracle as mvt_roundtrip by construction."""
+    import os
+    import tempfile
+
+    from ..sources import mvt, pmtiles as pm
+
+    ds = _docs(sf_dir, ("doc_id", "n_chars"))
+    tiles_ds = mvt.mvt_point_tiles(ds, zoom=6)
+    path = f"{tempfile.gettempdir()}/gdal_ray_pm_{os.getpid()}.pmtiles"
+
+    def tile_iter():
+        # archive assembly: streamed batches; driver holds the payload
+        # bytes only while writing the single-file container (same bound
+        # as the SOZip sink)
+        for b in tiles_ds.iter_batches(batch_format="pyarrow"):
+            for i in range(b.num_rows):
+                yield (6, b["tx"][i].as_py(), b["ty"][i].as_py(),
+                       b["mvt"][i].as_py())
+
+    pm.write_pmtiles(path, tile_iter(), tile_type=pm.TILETYPE_MVT)
+
+    out = pm.read_tiles(path)
+
+    def verify(t: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(t.num_rows):
+            (ly,) = mvt.parse_tile(t["data"][i].as_py())
+            feats = ly["features"]
+            rows.append({
+                "tx": t["x"][i].as_py(), "ty": t["y"][i].as_py(),
+                "n_features": len(feats),
+                "sum_px": sum(p[0] for f in feats for p in f["points"]),
+                "sum_py": sum(p[1] for f in feats for p in f["points"]),
+                "sum_nchars": sum(f["attrs"]["n_chars"] for f in feats),
+            })
+        return pa.Table.from_pylist(rows)
+
+    return out.map_batches(verify, batch_format="pyarrow")
+
+
 def pq_codes_q(sf_dir: str):
     """Product-quantization codes over the embeddings table: 4 subspaces x
     8 codewords, 2 deterministic Lloyd iterations per codebook — the IVF-PQ

@@ -74,19 +74,25 @@ def encode_value(v) -> bytes:
 
 
 def decode_value(buf: bytes):
+    import struct as _struct
+
     i = 0
     key, i = _read_varint(buf, i)
     field, wire = key >> 3, key & 7
     if field == 1:
         ln, i = _read_varint(buf, i)
         return buf[i : i + ln].decode()
+    if field == 2:   # float (fixed32)
+        return _struct.unpack("<f", buf[i : i + 4])[0]
+    if field == 3:   # double (fixed64)
+        return _struct.unpack("<d", buf[i : i + 8])[0]
     v, i = _read_varint(buf, i)
     if field == 6:
         return _unzigzag(v)
     if field == 7:
         return bool(v)
-    if field == 4:
-        return v  # plain int64
+    if field in (4, 5):
+        return v  # int64 / uint64
     raise ValueError(f"value field {field}")
 
 

@@ -347,7 +347,8 @@ class _CumulativeExecutor:
 
 def viewshed_cumulative(dem: np.ndarray, spacing: int,
                         observer_height: float = 0.0,
-                        concurrency: int = 4, batch_size: int = 4):
+                        concurrency: int | None = None,
+                        batch_size: int = 4):
     """Cumulative viewshed (gdal_viewshed -mode cumulative,
     alg/viewshed/cumulative.cpp): observers on a ``spacing`` grid each run
     a normal-mode viewshed and the visibility masks SUM into an
@@ -364,6 +365,11 @@ def viewshed_cumulative(dem: np.ndarray, spacing: int,
     import ray
     import ray.data as rd
 
+    from ..state.resources import default_concurrency
+
+    # leave CPUs for the repartition tasks: a pool as wide as the cluster
+    # starves the AllToAll stage on small clusters
+    concurrency = concurrency or max(2, min(4, default_concurrency() // 2))
     h, w = dem.shape
     oys, oxs = np.mgrid[0:h:spacing, 0:w:spacing]
     obs = pa.table({"ox": pa.array(oxs.ravel().astype(np.int64)),
@@ -383,4 +389,149 @@ def viewshed_cumulative(dem: np.ndarray, spacing: int,
     for row in parts.iter_rows():
         heat += np.frombuffer(row["counts"], np.int64).reshape(
             row["height"], row["width"])
+    return heat
+
+
+class _CumulativeTileExecutor:
+    """Per-observer viewshed split into tile-keyed partial fragments —
+    the object store carries O(observers x tiles-touched) tile rows, never
+    a whole-raster partial (the 100 TB shape of cumulative.cpp)."""
+
+    def __init__(self, dem_ref, observer_height: float, tile: int,
+                 radius: int | None):
+        import ray
+
+        self.dem = (ray.get(dem_ref) if not isinstance(dem_ref, np.ndarray)
+                    else dem_ref)
+        self.oh = float(observer_height)
+        self.tile = int(tile)
+        self.radius = radius
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, w = self.dem.shape
+        ts = self.tile
+        ox = batch["ox"].to_numpy(zero_copy_only=False)
+        oy = batch["oy"].to_numpy(zero_copy_only=False)
+        # accumulate across the batch per tile before emitting (combiner)
+        acc: dict[tuple[int, int], np.ndarray] = {}
+        for i in range(len(ox)):
+            x0, y0 = int(ox[i]), int(oy[i])
+            if self.radius is None:
+                wy0, wy1, wx0, wx1 = 0, h, 0, w
+            else:
+                r = int(self.radius)
+                wy0, wy1 = max(0, y0 - r), min(h, y0 + r + 1)
+                wx0, wx1 = max(0, x0 - r), min(w, x0 + r + 1)
+            vs = viewshed_array(self.dem[wy0:wy1, wx0:wx1],
+                                x0 - wx0, y0 - wy0, self.oh)
+            ty0, ty1 = wy0 // ts, (wy1 - 1) // ts
+            tx0, tx1 = wx0 // ts, (wx1 - 1) // ts
+            for ty in range(ty0, ty1 + 1):
+                for tx in range(tx0, tx1 + 1):
+                    gy0, gy1 = max(wy0, ty * ts), min(wy1, (ty + 1) * ts)
+                    gx0, gx1 = max(wx0, tx * ts), min(wx1, (tx + 1) * ts)
+                    frag = vs[gy0 - wy0:gy1 - wy0, gx0 - wx0:gx1 - wx0]
+                    if not frag.any():
+                        continue
+                    th = min(ts, h - ty * ts)
+                    tw = min(ts, w - tx * ts)
+                    a = acc.setdefault((tx, ty),
+                                       np.zeros((th, tw), np.int64))
+                    a[gy0 - ty * ts:gy1 - ty * ts,
+                      gx0 - tx * ts:gx1 - tx * ts] += frag
+        rows = [{"tx": tx, "ty": ty, "height": a.shape[0],
+                 "width": a.shape[1], "counts": a.tobytes()}
+                for (tx, ty), a in acc.items()]
+        if not rows:
+            return pa.table({"tx": pa.array([], pa.int64()),
+                             "ty": pa.array([], pa.int64()),
+                             "height": pa.array([], pa.int32()),
+                             "width": pa.array([], pa.int32()),
+                             "counts": pa.array([], pa.binary())})
+        return pa.Table.from_pylist(rows)
+
+
+def viewshed_cumulative_tiles(dem: np.ndarray, spacing: int,
+                              observer_height: float = 0.0,
+                              radius: int | None = None, tile: int = 128,
+                              concurrency: int | None = None,
+                              batch_size: int = 4):
+    """Cumulative viewshed as a TILE Dataset (the default scale path,
+    replacing the whole-raster driver fold): observers fan over an actor
+    pool, each emits per-tile count fragments (radius-bounded when
+    ``radius`` is set), and a (tx, ty) groupby sums fragments into final
+    heat tiles.  The driver never materializes the raster; rows are
+    O(tiles)."""
+    import ray
+    import ray.data as rd
+
+    from ..state.resources import default_concurrency
+
+    h, w = dem.shape
+    oys, oxs = np.mgrid[0:h:spacing, 0:w:spacing]
+    obs = pa.table({"ox": pa.array(oxs.ravel().astype(np.int64)),
+                    "oy": pa.array(oys.ravel().astype(np.int64))})
+    dem_ref = ray.put(np.ascontiguousarray(dem))
+    conc = concurrency or max(2, default_concurrency() // 2)
+    n_batches = max(1, (obs.num_rows + batch_size - 1) // batch_size)
+    frags = rd.from_arrow(obs).repartition(
+        min(n_batches, max(conc * 2, 1))).map_batches(
+        _CumulativeTileExecutor,
+        fn_constructor_kwargs=dict(dem_ref=dem_ref,
+                                   observer_height=observer_height,
+                                   tile=tile, radius=radius),
+        batch_size=batch_size, batch_format="pyarrow",
+        concurrency=conc)
+
+    def fold(group: pa.Table) -> pa.Table:
+        th = int(group["height"][0].as_py())
+        tw = int(group["width"][0].as_py())
+        a = np.zeros((th, tw), np.int64)
+        for i in range(group.num_rows):
+            a += np.frombuffer(group["counts"][i].as_py(),
+                               np.int64).reshape(th, tw)
+        return pa.table({"tx": pa.array([group["tx"][0].as_py()],
+                                        pa.int64()),
+                         "ty": pa.array([group["ty"][0].as_py()],
+                                        pa.int64()),
+                         "height": pa.array([th], pa.int32()),
+                         "width": pa.array([tw], pa.int32()),
+                         "counts": pa.array([a.tobytes()], pa.binary())})
+
+    return frags.groupby(["tx", "ty"]).map_groups(
+        fold, batch_format="pyarrow")
+
+
+# above this many cells the whole-raster-partial fold is replaced by the
+# tile-keyed plan (each partial there is O(h*w); a 10k x 10k DEM partial
+# is 800 MB — the driver fold becomes the bottleneck long before that)
+CUMULATIVE_TILED_THRESHOLD = 1 << 22
+
+
+def viewshed_cumulative_auto(dem: np.ndarray, spacing: int,
+                             observer_height: float = 0.0,
+                             radius: int | None = None,
+                             tile: int = 128,
+                             concurrency: int | None = None):
+    """Cumulative viewshed with automatic plan selection: small DEMs use
+    the single-raster fold; above CUMULATIVE_TILED_THRESHOLD cells the
+    tile-keyed groupby plan is the default and the result is assembled
+    from O(tiles) rows.  Returns the int64 heat map either way."""
+    h, w = dem.shape
+    if h * w <= CUMULATIVE_TILED_THRESHOLD and radius is None:
+        from ..state.resources import default_concurrency
+
+        return viewshed_cumulative(
+            dem, spacing, observer_height,
+            concurrency=concurrency or min(4, default_concurrency()))
+    tiles_ds = viewshed_cumulative_tiles(
+        dem, spacing, observer_height, radius=radius, tile=tile,
+        concurrency=concurrency)
+    heat = np.zeros((h, w), dtype=np.int64)
+    for row in tiles_ds.iter_rows():
+        ty, tx = row["ty"], row["tx"]
+        heat[ty * tile:ty * tile + row["height"],
+             tx * tile:tx * tile + row["width"]] = \
+            np.frombuffer(row["counts"], np.int64).reshape(
+                row["height"], row["width"])
     return heat

@@ -194,3 +194,44 @@ def test_viewshed_cumulative_matches_observer_sum(ray_session):
     assert np.array_equal(heat, ref)
     # every observer sees its own cell
     assert (heat[::12, ::12] >= 1).all()
+
+
+def test_viewshed_cumulative_tiled_matches_monolithic(ray_session):
+    """Round 5: the tile-keyed groupby plan (the scale default) is exactly
+    the monolithic whole-raster fold, incl. edge tiles and a radius that
+    covers the full DEM."""
+    import numpy as np
+
+    from gdal_ray.stages import viewshed as vs
+
+    rng = np.random.default_rng(5)
+    dem = (rng.random((130, 170)) * 40).astype(np.float64)
+    # concurrency=2: a 4-actor pool starves the repartition tasks on the
+    # 4-CPU test cluster
+    mono = vs.viewshed_cumulative(dem, spacing=48, observer_height=2.0,
+                                  concurrency=2)
+    tiles = vs.viewshed_cumulative_tiles(dem, spacing=48,
+                                         observer_height=2.0, tile=64,
+                                         concurrency=2)
+    heat = np.zeros_like(mono)
+    for row in tiles.iter_rows():
+        ty, tx = row["ty"], row["tx"]
+        heat[ty * 64:ty * 64 + row["height"],
+             tx * 64:tx * 64 + row["width"]] = np.frombuffer(
+            row["counts"], np.int64).reshape(row["height"], row["width"])
+    assert (heat == mono).all()
+
+
+def test_viewshed_cumulative_radius_bounded(ray_session):
+    """A radius >= DEM diameter reproduces the unbounded result through
+    the auto plan; a small radius only counts in-disc cells."""
+    import numpy as np
+
+    from gdal_ray.stages import viewshed as vs
+
+    dem = np.zeros((96, 96))
+    full = vs.viewshed_cumulative(dem, spacing=96, concurrency=2)
+    got = vs.viewshed_cumulative_auto(dem, spacing=96, radius=200, tile=64)
+    assert (got == full).all()
+    small = vs.viewshed_cumulative_auto(dem, spacing=96, radius=10, tile=64)
+    assert small[0, :11].all() and small[0, 11:].sum() == 0
