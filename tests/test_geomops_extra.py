@@ -109,12 +109,16 @@ def test_reproject_hook_closed_form():
     # UTM is now routed through the built-in transverse-mercator closed form
     ux, uy = geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:32633")
     assert np.all(np.isfinite(ux)) and np.all(np.isfinite(uy))
-    # EPSG:2154 is table-routed since round 4; OSGB (non-WGS84 ellipsoid)
-    # still raises
+    # EPSG:2154 is table-routed since round 4; round 5 added OSGB
+    # (Airy 1830 + datum shift) via the CRS registry, so 27700 now
+    # resolves too and only genuinely unrouted codes raise
     fx, fy = geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:2154")
     assert np.all(np.isfinite(fx)) and np.all(np.isfinite(fy))
+    ox, oy = geo.reproject_points(np.array([-1.0]), np.array([52.0]),
+                                  "EPSG:4326", "EPSG:27700")
+    assert np.all(np.isfinite(ox)) and np.all(np.isfinite(oy))
     with pytest.raises(NotImplementedError):
-        geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:27700")
+        geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:99999")
 
 
 def test_wrapdateline_line_split_and_interp():
