@@ -32,6 +32,8 @@ _FMT_TO_DTYPE = {
     (8, 1): "uint8", (16, 1): "uint16", (32, 1): "uint32",
     (8, 2): "int8", (16, 2): "int16", (32, 2): "int32",
     (32, 3): "float32", (64, 3): "float64",
+    # SampleFormat 6 = complex IEEE float (GDAL CFloat32/CFloat64)
+    (64, 6): "complex64", (128, 6): "complex128",
 }
 _DTYPE_TO_FMT = {v: k for k, v in _FMT_TO_DTYPE.items()}
 
@@ -569,19 +571,27 @@ def _chunk_layout(tags, en):
     """-> dict describing the pixel chunks (shared by eager + manifest paths)."""
     w, h = tags[TAG_WIDTH][0], tags[TAG_HEIGHT][0]
     compression = tags.get(TAG_COMPRESSION, [1])[0]
+    if compression == 32946:
+        compression = 8  # legacy DEFLATE code, identical zlib streams
     if compression not in (1, 5, 8, 32773):
         raise ValueError(
-            "only uncompressed (1), LZW (5), DEFLATE (8) or PackBits "
-            f"(32773) TIFFs supported, got Compression={compression}")
+            "only uncompressed (1), LZW (5), DEFLATE (8/32946) or "
+            f"PackBits (32773) TIFFs supported, got "
+            f"Compression={compression}")
     predictor = tags.get(TAG_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
         raise ValueError(f"unsupported Predictor={predictor} "
                          "(1=none, 2=horizontal differencing)")
-    if tags.get(TAG_SAMPLES_PER_PIXEL, [1])[0] != 1:
-        raise ValueError("only single-band TIFFs supported")
-    bits = tags[TAG_BITS][0]
+    samples = tags.get(TAG_SAMPLES_PER_PIXEL, [1])[0]
+    planar = tags.get(TAG_PLANAR, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported PlanarConfiguration={planar}")
+    bits = tags.get(TAG_BITS, [1])[0]  # TIFF 6.0 default: 1 bit
     sfmt = tags.get(TAG_SAMPLE_FORMAT, [1])[0]
-    dname = _FMT_TO_DTYPE.get((bits, sfmt))
+    if bits == 1 and sfmt == 1:
+        dname = "uint8"  # bilevel: unpacked to 0/1 bytes at decode
+    else:
+        dname = _FMT_TO_DTYPE.get((bits, sfmt))
     if dname is None:
         raise ValueError(f"unsupported sample layout bits={bits} format={sfmt}")
     geo = {"origin": (0.0, 0.0), "pixel_size": (1.0, 1.0), "epsg": None,
@@ -603,38 +613,69 @@ def _chunk_layout(tags, en):
     if TAG_TILE_OFFSETS in tags:
         ts_w, ts_h = tags[TAG_TILE_W][0], tags[TAG_TILE_H][0]
         ntx = (w + ts_w - 1) // ts_w
+        nty = (h + ts_h - 1) // ts_h
+        npb = ntx * nty  # chunks per band (planar=2 wraps via modulo)
         chunks = [
-            {"tx": i % ntx, "ty": i // ntx, "offset": off, "nbytes": cnt,
+            {"tx": (i % npb) % ntx, "ty": (i % npb) // ntx,
+             "offset": off, "nbytes": cnt,
              "chunk_w": ts_w, "chunk_h": ts_h,
-             "clip_w": min(ts_w, w - (i % ntx) * ts_w),
-             "clip_h": min(ts_h, h - (i // ntx) * ts_h)}
+             "clip_w": min(ts_w, w - ((i % npb) % ntx) * ts_w),
+             "clip_h": min(ts_h, h - ((i % npb) // ntx) * ts_h)}
             for i, (off, cnt) in enumerate(
                 zip(tags[TAG_TILE_OFFSETS], tags[TAG_TILE_COUNTS]))
         ]
     else:
         rps = tags.get(TAG_ROWS_PER_STRIP, [h])[0]
+        spb = (h + rps - 1) // rps  # strips per band
+        if TAG_STRIP_COUNTS not in tags and compression == 1:
+            # missing StripByteCounts: infer from the uncompressed layout
+            # (gtiff's one-strip-no-bytecount tolerance)
+            bps = max(bits, 8) // 8
+            tags = dict(tags)
+            tags[TAG_STRIP_COUNTS] = [
+                w * min(rps, h - i * rps) * samples * bps
+                if bits != 1 else ((w * samples + 7) // 8)
+                * min(rps, h - i * rps)
+                for i in range(len(tags[TAG_STRIP_OFFSETS]))]
         chunks = [
-            {"tx": 0, "ty": i, "offset": off, "nbytes": cnt,
-             "chunk_w": w, "chunk_h": min(rps, h - i * rps),
-             "clip_w": w, "clip_h": min(rps, h - i * rps)}
+            {"tx": 0, "ty": i % spb, "offset": off, "nbytes": cnt,
+             "chunk_w": w, "chunk_h": min(rps, h - (i % spb) * rps),
+             "clip_w": w, "clip_h": min(rps, h - (i % spb) * rps)}
             for i, (off, cnt) in enumerate(
                 zip(tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_COUNTS]))
         ]
+    if planar == 2 and samples > 1:
+        # band-major chunk list: entries [band0 chunks..., band1 chunks...]
+        per_band = len(chunks) // samples
+        for i, c in enumerate(chunks):
+            c["band"] = i // per_band + 1
+            base = chunks[i % per_band]
+            c["tx"], c["ty"] = base["tx"], base["ty"]
+            c["chunk_w"], c["chunk_h"] = base["chunk_w"], base["chunk_h"]
+            c["clip_w"], c["clip_h"] = base["clip_w"], base["clip_h"]
+    else:
+        for c in chunks:
+            c["band"] = 0  # chunky: all samples interleaved in the chunk
     return {"width": w, "height": h, "dtype": dname, "endian": en,
             "layout": "tiles" if TAG_TILE_OFFSETS in tags else "strips",
             "compression": compression, "predictor": predictor,
+            "samples": samples, "planar": planar, "bits": bits,
+            "photometric": tags.get(TAG_PHOTOMETRIC, [1])[0],
             "chunks": chunks, **geo}
 
 
 def _decode_chunk(raw: bytes, lay: dict, chunk_w: int, chunk_h: int
                   ) -> np.ndarray:
-    """Compressed chunk bytes -> (chunk_h, chunk_w) array in file byte
-    order, decoding Compression + undoing Predictor=2 (the per-worker
-    decode path — runs inside map_batches, never driver-side)."""
+    """Compressed chunk bytes -> (chunk_h, chunk_w) or
+    (chunk_h, chunk_w, samples) array in file byte order, decoding
+    Compression + undoing Predictor=2 (the per-worker decode path)."""
     comp = lay["compression"]
     en = lay["endian"]
+    # chunky multi-band chunks interleave all samples; planar chunks and
+    # single-band chunks hold one sample per pixel
+    ns = lay.get("samples", 1) if lay.get("planar", 1) == 1 else 1
     dt = np.dtype(lay["dtype"]).newbyteorder(en)
-    n_out = chunk_w * chunk_h * dt.itemsize
+    n_out = chunk_w * chunk_h * ns * dt.itemsize
     if comp == 8:
         import zlib
 
@@ -650,10 +691,29 @@ def _decode_chunk(raw: bytes, lay: dict, chunk_w: int, chunk_h: int
     if lay.get("predictor", 1) == 2:
         from . import tiffcodec as _tc
 
-        raw = _tc.predictor2_decode(raw[:n_out], chunk_w, chunk_h,
-                                    np.dtype(lay["dtype"]), en)
-    return np.frombuffer(raw, dtype=dt,
-                         count=chunk_w * chunk_h).reshape(chunk_h, chunk_w)
+        raw = _tc.predictor2_decode(raw[:n_out], chunk_w * ns, chunk_h,
+                                    np.dtype(lay["dtype"]), en, samples=ns)
+    if len(raw) < n_out and comp != 1:
+        # some writers omit the final tile-padding rows; the reference
+        # zero-fills short blocks (gtiff ReadBlock tolerance)
+        raw = raw + b"\x00" * (n_out - len(raw))
+    if lay.get("bits", 8) == 1:
+        # bilevel rows are bit-packed MSB-first, rows padded to bytes
+        row_bytes = (chunk_w * ns + 7) // 8
+        bits = np.unpackbits(
+            np.frombuffer(raw, dtype=np.uint8,
+                          count=row_bytes * chunk_h).reshape(chunk_h,
+                                                             row_bytes),
+            axis=1)[:, :chunk_w * ns]
+        if lay.get("photometric", 1) == 0:  # WhiteIsZero: invert
+            bits = 1 - bits
+        a = bits.astype(np.uint8)
+        return (a.reshape(chunk_h, chunk_w) if ns == 1
+                else a.reshape(chunk_h, chunk_w, ns))
+    a = np.frombuffer(raw, dtype=dt, count=chunk_w * chunk_h * ns)
+    if ns == 1:
+        return a.reshape(chunk_h, chunk_w)
+    return a.reshape(chunk_h, chunk_w, ns)
 
 
 def read_gtiff(path: str, image: int = 0):
@@ -666,24 +726,44 @@ def read_gtiff(path: str, image: int = 0):
     lay = _chunk_layout(tags, en)
     lay["n_images"] = len(images)
     dt = np.dtype(lay["dtype"]).newbyteorder(en)
-    out = np.zeros((lay["height"], lay["width"]), dtype=lay["dtype"])
+    ns = lay.get("samples", 1)
+    planar = lay.get("planar", 1)
+    shape = ((lay["height"], lay["width"]) if ns == 1
+             else (lay["height"], lay["width"], ns))
+    out = np.zeros(shape, dtype=lay["dtype"])
+    chunky = planar == 1
     for c in lay["chunks"]:
-        if lay["compression"] != 1 or lay.get("predictor", 1) == 2:
+        npx = c["chunk_w"] * c["chunk_h"] * (ns if chunky else 1)
+        if c["nbytes"] == 0 or c["offset"] == 0 \
+                or c["offset"] + c["nbytes"] > len(buf):
+            continue  # sparse/unwritten block: stays at the zero fill
+        if (lay["compression"] != 1 or lay.get("predictor", 1) == 2
+                or lay.get("bits", 8) == 1):
             a = _decode_chunk(buf[c["offset"]:c["offset"] + c["nbytes"]],
                               lay, c["chunk_w"], c["chunk_h"])
         else:
-            a = np.frombuffer(buf, dtype=dt, count=c["chunk_w"] * c["chunk_h"],
-                              offset=c["offset"]).reshape(c["chunk_h"], c["chunk_w"])
+            a = np.frombuffer(buf, dtype=dt, count=npx,
+                              offset=c["offset"])
+            a = (a.reshape(c["chunk_h"], c["chunk_w"], ns)
+                 if (chunky and ns > 1)
+                 else a.reshape(c["chunk_h"], c["chunk_w"]))
         # grid pitch: tiles advance by the tile size, strips by rows-per-strip
         # (both equal the FIRST chunk's extent; later chunks may be clipped)
         ts_h = lay["chunks"][0]["chunk_h"]
         ts_w = lay["chunks"][0]["chunk_w"]
         y0 = c["ty"] * ts_h
         x0 = c["tx"] * ts_w
-        out[y0:y0 + c["clip_h"], x0:x0 + c["clip_w"]] = \
-            a[: c["clip_h"], : c["clip_w"]].astype(lay["dtype"])
+        sub = a[: c["clip_h"], : c["clip_w"]].astype(lay["dtype"])
+        if ns == 1:
+            out[y0:y0 + c["clip_h"], x0:x0 + c["clip_w"]] = sub
+        elif chunky:
+            out[y0:y0 + c["clip_h"], x0:x0 + c["clip_w"], :] = sub
+        else:
+            out[y0:y0 + c["clip_h"], x0:x0 + c["clip_w"],
+                c["band"] - 1] = sub
     meta = {k: lay[k] for k in ("origin", "pixel_size", "epsg", "nodata",
                                 "width", "height", "dtype", "n_images")}
+    meta["samples"] = ns
     return out, meta
 
 

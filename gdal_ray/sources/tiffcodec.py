@@ -164,20 +164,32 @@ def packbits_encode(data: bytes) -> bytes:
 
 
 def predictor2_decode(raw: bytes, width: int, height: int,
-                      dtype: np.dtype, en: str = "<") -> bytes:
+                      dtype: np.dtype, en: str = "<",
+                      samples: int = 1) -> bytes:
     """Undo horizontal differencing (Predictor=2): cumulative sum along
-    rows with wraparound integer arithmetic."""
+    rows with wraparound integer arithmetic.  ``width`` counts SAMPLES
+    per row (pixels * samples for chunky multi-band); the delta is
+    between corresponding samples of adjacent pixels (TIFF 6.0 §14)."""
     dt = np.dtype(dtype).newbyteorder(en)
     a = np.frombuffer(raw, dtype=dt).reshape(height, width).copy()
-    np.cumsum(a.view(a.dtype), axis=1, out=a,
-              dtype=a.dtype)  # modular wrap matches per-pixel adds
+    if samples == 1:
+        np.cumsum(a.view(a.dtype), axis=1, out=a,
+                  dtype=a.dtype)  # modular wrap matches per-pixel adds
+    else:
+        b = a.reshape(height, width // samples, samples)
+        np.cumsum(b, axis=1, out=b, dtype=b.dtype)
     return a.astype(np.dtype(dtype).newbyteorder(en), copy=False).tobytes()
 
 
 def predictor2_encode(raw: bytes, width: int, height: int,
-                      dtype: np.dtype, en: str = "<") -> bytes:
+                      dtype: np.dtype, en: str = "<",
+                      samples: int = 1) -> bytes:
     """Apply horizontal differencing (Predictor=2)."""
     dt = np.dtype(dtype).newbyteorder(en)
     a = np.frombuffer(raw, dtype=dt).reshape(height, width).copy()
-    a[:, 1:] = a[:, 1:] - a[:, :-1]
+    if samples == 1:
+        a[:, 1:] = a[:, 1:] - a[:, :-1]
+    else:
+        b = a.reshape(height, width // samples, samples)
+        b[:, 1:] = b[:, 1:] - b[:, :-1]
     return a.tobytes()
