@@ -85,24 +85,30 @@ def _serialize_image(arr: np.ndarray, *, ifd_off: int, next_ifd: int = 0,
     ``subfile_type=1`` marks a reduced-resolution overview image (gdaladdo's
     internal-overview convention, frmts/gtiff surface)."""
     arr = np.ascontiguousarray(arr)
-    if arr.ndim != 2:
-        raise ValueError("expected a single-band 2-D array")
+    if arr.ndim == 3:
+        ns = arr.shape[2]       # chunky multi-band (PlanarConfiguration=1)
+    elif arr.ndim == 2:
+        ns = 1
+    else:
+        raise ValueError("expected a 2-D (single-band) or "
+                         "(h, w, samples) 3-D array")
     if str(arr.dtype) not in _DTYPE_TO_FMT:
         raise ValueError(f"unsupported dtype {arr.dtype}")
     if endian not in ("<", ">"):
         raise ValueError("endian must be '<' (II) or '>' (MM)")
     en = endian
     bits, sfmt = _DTYPE_TO_FMT[str(arr.dtype)]
-    h, w = arr.shape
+    h, w = arr.shape[:2]
     le = arr.astype(arr.dtype.newbyteorder(en), copy=False)
 
     chunks: list[bytes] = []
     if tile_size:
         ts = int(tile_size)
         ntx, nty = (w + ts - 1) // ts, (h + ts - 1) // ts
+        pad_shape = (ts, ts) if ns == 1 else (ts, ts, ns)
         for ty in range(nty):
             for tx in range(ntx):
-                pad = np.zeros((ts, ts), dtype=le.dtype)
+                pad = np.zeros(pad_shape, dtype=le.dtype)
                 sub = le[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
                 pad[: sub.shape[0], : sub.shape[1]] = sub
                 chunks.append(pad.tobytes())
@@ -121,9 +127,9 @@ def _serialize_image(arr: np.ndarray, *, ifd_off: int, next_ifd: int = 0,
 
         if sfmt == 3:
             raise ValueError("Predictor=2 is integer-only (TIFF 6.0 §14)")
-        chunks = [_tc.predictor2_encode(c, cw, chh, le.dtype.base
+        chunks = [_tc.predictor2_encode(c, cw * ns, chh, le.dtype.base
                                         if hasattr(le.dtype, "base")
-                                        else le.dtype, en)
+                                        else le.dtype, en, samples=ns)
                   for c, (cw, chh) in zip(chunks, chunk_dims)]
     if compress is not None:
         if compress == "deflate":
@@ -157,16 +163,21 @@ def _serialize_image(arr: np.ndarray, *, ifd_off: int, next_ifd: int = 0,
         _entry(TAG_HEIGHT, 4, h, en=en),
         _entry(TAG_BITS, 3, bits, en=en),
         _entry(TAG_COMPRESSION, 3, _COMPRESS_TAG.get(compress, 1), en=en),
-        _entry(TAG_PHOTOMETRIC, 3, 1, en=en),
-        _entry(TAG_SAMPLES_PER_PIXEL, 3, 1, en=en),
+        _entry(TAG_PHOTOMETRIC, 3,
+               2 if (ns >= 3 and str(arr.dtype) == "uint8") else 1, en=en),
+        _entry(TAG_SAMPLES_PER_PIXEL, 3, ns, en=en),
         _entry(TAG_PLANAR, 3, 1, en=en),
-        _entry(TAG_SAMPLE_FORMAT, 3, sfmt, en=en),
+        _entry(TAG_SAMPLE_FORMAT, 3, [sfmt] * ns, en=en),
         _entry(TAG_PIXEL_SCALE, 12,
                [float(pixel_size[0]), float(pixel_size[1]), 0.0], en=en),
         _entry(TAG_TIEPOINT, 12,
                [0.0, 0.0, 0.0, float(origin[0]), float(origin[1]), 0.0], en=en),
         _entry(TAG_GEO_KEYS, 3, geo_keys, en=en),
     ]
+    # BitsPerSample is per sample for multi-band
+    entries[2] = _entry(TAG_BITS, 3, [bits] * ns, en=en)
+    if ns == 4:
+        entries.append(_entry(338, 3, 2, en=en))  # ExtraSamples: unassoc alpha
     if nodata is not None:
         entries.append(_entry(TAG_GDAL_NODATA, 2, repr(float(nodata)), en=en))
     if subfile_type is not None:

@@ -152,3 +152,71 @@ class TestCOG:
         assert (a0 == arr).all()
         a1, _ = gtiff.read_gtiff(p, image=1)
         assert a1.shape == (150, 150)
+
+
+class TestMultiBand:
+    @pytest.mark.parametrize("compress,predictor", [
+        (None, 1), ("deflate", 2), ("lzw", 2), ("packbits", 1)])
+    def test_rgb_roundtrip(self, tmp_path, compress, predictor):
+        rng = np.random.default_rng(9)
+        rgb = rng.integers(0, 255, (150, 130, 3)).astype(np.uint8)
+        p = str(tmp_path / "rgb.tif")
+        gtiff.write_gtiff(p, rgb, tile_size=64, compress=compress,
+                          predictor=predictor)
+        b, meta = gtiff.read_gtiff(p)
+        assert b.shape == rgb.shape and (b == rgb).all()
+        assert meta["samples"] == 3
+
+    def test_rgba_strips(self, tmp_path):
+        rng = np.random.default_rng(2)
+        rgba = rng.integers(0, 255, (90, 80, 4)).astype(np.uint8)
+        p = str(tmp_path / "rgba.tif")
+        gtiff.write_gtiff(p, rgba)
+        b, _ = gtiff.read_gtiff(p)
+        assert (b == rgba).all()
+
+    def test_complex_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(3)
+        c = (rng.random((20, 25)) + 1j * rng.random((20, 25))) \
+            .astype(np.complex64)
+        p = str(tmp_path / "c.tif")
+        gtiff.write_gtiff(p, c)
+        b, _ = gtiff.read_gtiff(p)
+        assert b.dtype == np.complex64 and (b == c).all()
+
+
+REF_GCORE = "/root/reference/autotest/gcore/data"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REF_GCORE),
+                    reason="reference fixtures not present")
+class TestReferenceTiffFixtures:
+    def test_cross_layout_equality(self):
+        """The same RGB image in chunky-tiled / planar-tiled / stripped
+        PackBits layouts decodes identically (big-endian files)."""
+        a1, _ = gtiff.read_gtiff(f"{REF_GCORE}/contig_tiled.tif")
+        a2, _ = gtiff.read_gtiff(f"{REF_GCORE}/separate_tiled.tif")
+        a3, _ = gtiff.read_gtiff(f"{REF_GCORE}/contig_strip.tif")
+        assert a1.shape == (37, 35, 3)
+        assert (a1 == a2).all() and (a1 == a3).all()
+
+    def test_rgbsmall_legacy_deflate_planar(self):
+        a, meta = gtiff.read_gtiff(f"{REF_GCORE}/rgbsmall.tif")
+        assert a.shape == (50, 50, 3) and a.dtype == np.uint8
+        assert [int(a[:, :, i].sum()) for i in range(3)] == \
+            [163597, 227577, 68920]
+
+    def test_sweep_coverage(self):
+        """At least 170 of the 235 public gcore TIFFs read fully (the
+        remainder: JPEG/LERC/JXL codecs, intentionally-corrupt files,
+        12-bit / YCbCr layouts)."""
+        import glob
+
+        ok = 0
+        for p in sorted(glob.glob(f"{REF_GCORE}/*.tif")):
+            try:
+                gtiff.read_gtiff(p)
+                ok += 1
+            except Exception:
+                pass
+        assert ok >= 170, ok

@@ -435,10 +435,12 @@ def test_gtiff_rejects_malformed(tmp_path):
     bad.write_bytes(b"PK\x03\x04 not a tiff at all")
     with pytest.raises(ValueError, match="byte-order"):
         gtiff.read_gtiff(str(bad))
-    with pytest.raises(ValueError, match="single-band"):
-        gtiff.write_gtiff(str(bad), np.zeros((2, 2, 3), dtype=np.uint8))
+    # round 5: 3-D chunky multi-band and complex dtypes are now supported;
+    # a 4-D array and a genuinely unsupported dtype still reject
+    with pytest.raises(ValueError, match="2-D"):
+        gtiff.write_gtiff(str(bad), np.zeros((2, 2, 2, 2), dtype=np.uint8))
     with pytest.raises(ValueError, match="unsupported dtype"):
-        gtiff.write_gtiff(str(bad), np.zeros((2, 2), dtype=np.complex64))
+        gtiff.write_gtiff(str(bad), np.zeros((2, 2), dtype="datetime64[s]"))
 
 
 def test_gtiff_overviews_chain_and_edges(ray_session, tmp_path):
