@@ -451,6 +451,8 @@ def _parse_one_ifd(buf: bytes, en: str, ifd_off: int, big: bool = False):
                                          buf, voff)
         if typ == 2:
             tags[tag] = buf[voff:voff + count].split(b"\x00")[0].decode("latin1")
+        elif typ == 7:   # UNDEFINED: raw bytes (JPEGTables etc.)
+            tags[tag] = bytes(buf[voff:voff + count])
         elif typ in _TYPE_FMT:
             tags[tag] = list(struct.unpack_from(en + "%d%s" % (count, _TYPE_FMT[typ]), buf, voff))
         # unknown types are skipped, per the TIFF readers-ignore rule
@@ -521,6 +523,8 @@ def _parse_one_ifd_file(f, en: str, ifd_off: int, big: bool = False):
             raw = body[esz * i + esz - vsz:esz * i + esz]
         if typ == 2:
             tags[tag] = raw[:count].split(b"\x00")[0].decode("latin1")
+        elif typ == 7:   # UNDEFINED: raw bytes (JPEGTables etc.)
+            tags[tag] = bytes(raw[:count])
         elif typ in _TYPE_FMT:
             tags[tag] = list(struct.unpack_from(
                 en + "%d%s" % (count, _TYPE_FMT[typ]), raw, 0))
@@ -584,10 +588,10 @@ def _chunk_layout(tags, en):
     compression = tags.get(TAG_COMPRESSION, [1])[0]
     if compression == 32946:
         compression = 8  # legacy DEFLATE code, identical zlib streams
-    if compression not in (1, 5, 8, 32773):
+    if compression not in (1, 5, 7, 8, 32773):
         raise ValueError(
-            "only uncompressed (1), LZW (5), DEFLATE (8/32946) or "
-            f"PackBits (32773) TIFFs supported, got "
+            "only uncompressed (1), LZW (5), JPEG (7), DEFLATE (8/32946) "
+            f"or PackBits (32773) TIFFs supported, got "
             f"Compression={compression}")
     predictor = tags.get(TAG_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
@@ -620,7 +624,9 @@ def _chunk_layout(tags, en):
             if gk[i] in (_KEY_PROJECTED_CS, _KEY_GEOGRAPHIC_CS) and gk[i + 1] == 0:
                 geo["epsg"] = gk[i + 3]
     if TAG_GDAL_NODATA in tags:
-        geo["nodata"] = float(tags[TAG_GDAL_NODATA])
+        nd_s = str(tags[TAG_GDAL_NODATA]).strip()
+        if nd_s and nd_s.lower() != "nan":
+            geo["nodata"] = float(nd_s)
     if TAG_TILE_OFFSETS in tags:
         ts_w, ts_h = tags[TAG_TILE_W][0], tags[TAG_TILE_H][0]
         ntx = (w + ts_w - 1) // ts_w
@@ -672,7 +678,7 @@ def _chunk_layout(tags, en):
             "compression": compression, "predictor": predictor,
             "samples": samples, "planar": planar, "bits": bits,
             "photometric": tags.get(TAG_PHOTOMETRIC, [1])[0],
-            "chunks": chunks, **geo}
+            "jpeg_tables": tags.get(347), "chunks": chunks, **geo}
 
 
 def _decode_chunk(raw: bytes, lay: dict, chunk_w: int, chunk_h: int
@@ -687,6 +693,28 @@ def _decode_chunk(raw: bytes, lay: dict, chunk_w: int, chunk_h: int
     ns = lay.get("samples", 1) if lay.get("planar", 1) == 1 else 1
     dt = np.dtype(lay["dtype"]).newbyteorder(en)
     n_out = chunk_w * chunk_h * ns * dt.itemsize
+    if comp == 7:
+        # JPEG-in-TIFF (new-style, Technote 2): abbreviated per-chunk
+        # streams share the DQT/DHT segments from the JPEGTables tag —
+        # splice them after the chunk's SOI, then the in-repo decoder
+        # (baseline + progressive, sources/jpeg.py) does the rest
+        from . import jpeg as _jpeg
+
+        tb = lay.get("jpeg_tables")
+        if tb and len(tb) > 4 and raw[:2] == b"\xff\xd8":
+            stream = b"\xff\xd8" + bytes(tb)[2:-2] + raw[2:]
+        else:
+            stream = raw
+        a = _jpeg.decode(stream)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        # trim / zero-pad MCU rounding to the chunk dims
+        out = np.zeros((chunk_h, chunk_w, a.shape[2]), dtype=np.uint8)
+        hh, ww = min(chunk_h, a.shape[0]), min(chunk_w, a.shape[1])
+        out[:hh, :ww] = a[:hh, :ww]
+        if ns == 1 and out.shape[2] == 1:
+            return out[:, :, 0]
+        return out if out.shape[2] == ns else out[:, :, :ns]
     if comp == 8:
         import zlib
 

@@ -88,9 +88,10 @@ class TestGTiffCompressed:
         gtiff.write_gtiff(p, np.zeros((8, 8), np.uint8))
         buf = bytearray(open(p, "rb").read())
         i = buf.find((259).to_bytes(2, "little"))  # Compression tag
-        buf[i + 8] = 7  # JPEG
+        # 50000 = ZSTD: no codec in this environment -> clear error
+        buf[i + 8:i + 10] = (50000).to_bytes(2, "little")
         open(p, "wb").write(bytes(buf))
-        with pytest.raises(ValueError, match="Compression=7"):
+        with pytest.raises(ValueError, match="Compression=50000"):
             gtiff.read_gtiff(p)
 
 
@@ -220,3 +221,21 @@ class TestReferenceTiffFixtures:
             except Exception:
                 pass
         assert ok >= 170, ok
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REF_GCORE),
+                    reason="reference fixtures not present")
+class TestJpegInTiff:
+    def test_tables_splice(self):
+        """New-style JPEG-in-TIFF: abbreviated chunk streams + shared
+        JPEGTables decode through the in-repo JPEG codec."""
+        a, _ = gtiff.read_gtiff(f"{REF_GCORE}/byte_jpg_tablesmodezero.tif")
+        b, _ = gtiff.read_gtiff(f"{REF_GCORE}/byte_ovr_jpeg_tablesmode1.tif")
+        assert a.shape == (20, 20) and b.shape == (20, 20)
+        # both encode the classic 20x20 byte.tif image; JPEG loss is small
+        assert abs(int(a.sum()) - int(b.sum())) < 2000
+
+    def test_irregular_tiles(self):
+        a, _ = gtiff.read_gtiff(
+            f"{REF_GCORE}/irregular_tile_size_jpeg_in_tiff.tif")
+        assert a.shape == (256, 512)
