@@ -2791,6 +2791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_spans": q.duplicated_spans_q,
         "mvt_roundtrip": q.mvt_roundtrip_q,
         "pmtiles_roundtrip": q.pmtiles_roundtrip_q,
+        "mbtiles_roundtrip": q.mbtiles_roundtrip_q,
         "pq_codes": q.pq_codes_q,
         "pq_adc_topk": q.pq_adc_topk_q,
         "join_dwithin": q.join_dwithin_q,
@@ -5282,6 +5283,28 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY tx, ty
         """,
         "pmtiles_roundtrip": f"""
+            WITH {_DOCS_GEO},
+            q AS (SELECT doc_id, n_chars, lon, lat,
+                         {_tile_expr(6)[0]} AS tx, {_tile_expr(6)[1]} AS ty
+                  FROM d),
+            p AS (SELECT tx, ty, n_chars,
+                    LEAST(GREATEST(CAST(floor(((lon + 180.0) / 360.0 * 64.0
+                                               - tx) * 4096.0) AS BIGINT),
+                                   0), 4095) AS px,
+                    LEAST(GREATEST(CAST(floor(((1.0 - ln(tan(radians(lat))
+                                                + 1.0/cos(radians(lat)))
+                                               / pi()) / 2.0 * 64.0
+                                               - ty) * 4096.0) AS BIGINT),
+                                   0), 4095) AS py
+                  FROM q)
+            SELECT tx, ty,
+                   CAST(count(*) AS BIGINT) AS n_features,
+                   CAST(sum(px) AS BIGINT) AS sum_px,
+                   CAST(sum(py) AS BIGINT) AS sum_py,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_nchars
+            FROM p GROUP BY tx, ty
+        """,
+        "mbtiles_roundtrip": f"""
             WITH {_DOCS_GEO},
             q AS (SELECT doc_id, n_chars, lon, lat,
                          {_tile_expr(6)[0]} AS tx, {_tile_expr(6)[1]} AS ty

@@ -5679,6 +5679,48 @@ def pmtiles_roundtrip_q(sf_dir: str):
     return out.map_batches(verify, batch_format="pyarrow")
 
 
+def mbtiles_roundtrip_q(sf_dir: str):
+    """Round-5 MBTiles container (frmts/mbtiles analogue): the
+    mvt_roundtrip tile set written into an MBTiles SQLite archive
+    (TMS-flipped rows, gzip MVT payloads), read back through the
+    index-manifest Ray path (workers open read-only and unwrap their
+    own blobs), decoded and aggregated — same closed-form oracle as
+    mvt_roundtrip by construction."""
+    import os
+    import tempfile
+
+    from ..sources import mbtiles as mbt, mvt
+
+    ds = _docs(sf_dir, ("doc_id", "n_chars"))
+    tiles_ds = mvt.mvt_point_tiles(ds, zoom=6)
+    path = f"{tempfile.gettempdir()}/gdal_ray_mb_{os.getpid()}.mbtiles"
+
+    def tile_iter():
+        for b in tiles_ds.iter_batches(batch_format="pyarrow"):
+            for i in range(b.num_rows):
+                yield (6, b["tx"][i].as_py(), b["ty"][i].as_py(),
+                       b["mvt"][i].as_py())
+
+    mbt.write_mbtiles(path, tile_iter(), gzip_tiles=True)
+    out = mbt.read_tiles(path)
+
+    def verify(t: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(t.num_rows):
+            (ly,) = mvt.parse_tile(t["data"][i].as_py())
+            feats = ly["features"]
+            rows.append({
+                "tx": t["x"][i].as_py(), "ty": t["y"][i].as_py(),
+                "n_features": len(feats),
+                "sum_px": sum(p[0] for f in feats for p in f["points"]),
+                "sum_py": sum(p[1] for f in feats for p in f["points"]),
+                "sum_nchars": sum(f["attrs"]["n_chars"] for f in feats),
+            })
+        return pa.Table.from_pylist(rows)
+
+    return out.map_batches(verify, batch_format="pyarrow")
+
+
 def pq_codes_q(sf_dir: str):
     """Product-quantization codes over the embeddings table: 4 subspaces x
     8 codewords, 2 deterministic Lloyd iterations per codebook — the IVF-PQ
