@@ -2729,6 +2729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "netcdf_roundtrip": q.netcdf_roundtrip_q,
         "mdim_time_sum": q.mdim_time_sum_q,
         "netcdf4_time_sum": q.netcdf4_time_sum_q,
+        "zarr_time_sum": q.zarr_time_sum_q,
         "osm_roundtrip": q.osm_roundtrip_q,
         "select_sql_geom_funcs": q.select_sql_geom_funcs_q,
         "mdim_slice_transpose": q.mdim_slice_transpose_q,
@@ -5582,6 +5583,18 @@ def oracle_sql() -> dict[str, str]:
             FROM g WHERE n_pts = 5
         """,
         "netcdf4_time_sum": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b),
+            s AS (SELECT gx, gy,
+                         (SELECT sum((7 * t.range + 5 * gy + 3 * gx) % 97)
+                          FROM range(12) t) AS v
+                  FROM px)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(v * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM s GROUP BY 1, 2
+        """,
+        "zarr_time_sum": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy
                         FROM range(192) a, range(192) b),
             s AS (SELECT gx, gy,

@@ -2339,6 +2339,31 @@ def netcdf4_time_sum_q(sf_dir: str):
     return _tile_checksum_rows(mdim.to_raster_tiles(red, rmd))
 
 
+def zarr_time_sum_q(sf_dir: str):
+    """Round-5 Zarr v2 store (frmts/zarr analogue): the SAME time cube
+    written as a chunked zlib Zarr v2 directory store (one object per
+    chunk — the cloud-native layout), read back through the from-scratch
+    store reader via the mdim surface, time-summed and checksummed —
+    identical closed form to mdim_time_sum."""
+    import os
+    import tempfile
+
+    from ..sources import zarr2
+    from ..stages import mdim
+
+    path = f"{tempfile.gettempdir()}/gdal_ray_cube_{os.getpid()}.zarr"
+    if not os.path.exists(os.path.join(path, ".zmetadata")):
+        t, y, x = np.meshgrid(np.arange(12), np.arange(192),
+                              np.arange(192), indexing="ij")
+        v = ((7 * t + 5 * y + 3 * x) % 97).astype(np.int32)
+        zarr2.write_zarr(path, {"v": (("time", "y", "x"), v)},
+                         chunks={"v": (4, 64, 64)})
+    ds, md = mdim.read_mdarray_chunks(path, "v",
+                                      {"time": 4, "y": 64, "x": 64})
+    red, rmd = mdim.axis_reduce(ds, md, "time", "sum")
+    return _tile_checksum_rows(mdim.to_raster_tiles(red, rmd))
+
+
 def mdim_slice_transpose_q(sf_dir: str):
     """Multidim slice + transpose (gdalmdimtranslate -array view=[7,...],
     transposedView; GDALMDArray::Transpose): fix time=7, swap (y, x) ->

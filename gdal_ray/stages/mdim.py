@@ -125,8 +125,14 @@ def _rows(batch: pa.Table):
 def _mdim_backend(path: str):
     """Container dispatch by magic: netCDF4/HDF5 -> sources.hdf5, classic
     netCDF3 -> sources.netcdf3 (frmts/netcdf's dual-container behavior)."""
-    from ..sources import hdf5, netcdf3
+    import os
 
+    from ..sources import hdf5, netcdf3, zarr2
+
+    if os.path.isdir(path):
+        if zarr2.is_zarr(path):
+            return zarr2
+        raise ValueError(f"{path}: directory is not a Zarr store")
     if hdf5.is_hdf5(path):
         return hdf5
     return netcdf3
