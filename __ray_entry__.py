@@ -2819,6 +2819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_rings8": q.polygonize_rings8_q,
         "hilbert_sort_topk": q.hilbert_sort_topk_q,
         "png_tiles_roundtrip": q.png_tiles_q,
+        "gpkg_tiles_roundtrip": q.gpkg_tiles_roundtrip_q,
         "jpeg_tiles_roundtrip": q.jpeg_tiles_q,
         "jpeg_420_roundtrip": q.jpeg_420_roundtrip_q,
         "jpeg_progressive_roundtrip": q.jpeg_progressive_roundtrip_q,
@@ -4394,6 +4395,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "retile_overlap": _retile_sql(),
         "png_tiles_roundtrip": """
+            WITH px AS (SELECT a.range AS gx, b.range AS gy
+                        FROM range(192) a, range(192) b)
+            SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,
+                   CAST(sum(((gx // 8 + gy // 8) % 2) * 255
+                            * (((gy % 64) * 64 + gx % 64) % 7 + 1)) % 65536
+                        AS BIGINT) AS checksum
+            FROM px GROUP BY 1, 2
+        """,
+        "gpkg_tiles_roundtrip": """
             WITH px AS (SELECT a.range AS gx, b.range AS gy
                         FROM range(192) a, range(192) b)
             SELECT CAST(gx // 64 AS BIGINT) AS x, CAST(gy // 64 AS BIGINT) AS y,

@@ -1532,6 +1532,54 @@ def png_tiles_q(sf_dir: str):
     return receipts.map_batches(verify, batch_format="pyarrow")
 
 
+def gpkg_tiles_roundtrip_q(sf_dir: str):
+    """Round-5 GeoPackage TILES layer (ogrgeopackagedataset.cpp raster
+    side): the checker mosaic PNG-encoded into a spec-complete gpkg tile
+    pyramid (contents/tile_matrix_set/tile_matrix + pyramid table,
+    top-left row origin), read back through the index-manifest Ray path
+    with per-worker PNG decode, checksummed — same oracle as
+    png_tiles_roundtrip by construction."""
+    import os
+    import tempfile
+
+    from ..functions import checksum as cks_f
+    from ..sources import gpkg, png as png_mod
+
+    path = f"{tempfile.gettempdir()}/gdal_ray_tiles_{os.getpid()}.gpkg"
+    tiles = synthetic.make_raster_tiles("checker", 3, 3, size=64)
+
+    def blobs():
+        from ..stages.focal import _dtype_of
+
+        for i in range(tiles.num_rows):
+            arr = np.frombuffer(
+                tiles["data"][i].as_py(),
+                dtype=_dtype_of(tiles["dtype"][i].as_py())).reshape(
+                tiles["height"][i].as_py(), tiles["width"][i].as_py())
+            yield (6, tiles["x"][i].as_py(), tiles["y"][i].as_py(),
+                   png_mod.encode_png(arr.astype(np.uint8)))
+
+    gpkg.write_gpkg_tiles(path, "checker", blobs(), tile_size=64)
+    out = gpkg.read_raster_tiles(path, "checker")
+
+    def verify(t: pa.Table) -> pa.Table:
+        from ..stages.focal import _dtype_of
+
+        xs, ys, cs = [], [], []
+        for i in range(t.num_rows):
+            a = np.frombuffer(t["data"][i].as_py(),
+                              dtype=_dtype_of(t["dtype"][i].as_py()))
+            a = a.reshape(t["height"][i].as_py(), t["width"][i].as_py())
+            xs.append(t["x"][i].as_py())
+            ys.append(t["y"][i].as_py())
+            cs.append(cks_f.tile_checksum(a))
+        return pa.table({"x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64()),
+                         "checksum": pa.array(cs, pa.int64())})
+
+    return out.map_batches(verify, batch_format="pyarrow")
+
+
 def explode_geometrycollection_q(sf_dir: str):
     """Explode over GEOMETRYCOLLECTION rows (wkbGeometryCollection,
     ogr/ogr_core.h; apps/gdalalg_vector_explode_collections.h): a mixed

@@ -175,3 +175,188 @@ def read_gpkg_dataset(path: str, layer: str, rows_per_block: int = 4096):
             con.close()
 
     return rd.from_arrow(man).map_batches(fetch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# GeoPackage TILES (raster) layers — the gpkg raster side of the driver
+# (reference: ogr/ogrsf_frmts/gpkg/ogrgeopackagedataset.cpp raster paths;
+# autotest/gdrivers/gpkg.py).  Tile pyramid tables per the OGC GeoPackage
+# spec: gpkg_contents(data_type='tiles'), gpkg_tile_matrix_set (bbox+srs),
+# gpkg_tile_matrix (per-zoom grid), and the pyramid user data table
+# (zoom_level, tile_column, tile_row, tile_data) with TOP-LEFT row origin
+# (XYZ orientation, unlike MBTiles' TMS flip).  Payloads are PNG/JPEG
+# blobs — the in-repo codecs decode them.
+# ---------------------------------------------------------------------------
+
+
+def list_tile_layers(path: str) -> list[str]:
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        return [r[0] for r in con.execute(
+            "SELECT table_name FROM gpkg_contents "
+            "WHERE data_type IN ('tiles', '2d-gridded-coverage')")]
+    finally:
+        con.close()
+
+
+def tile_matrix(path: str, layer: str) -> list[dict]:
+    """Per-zoom grid definition rows (gpkg_tile_matrix)."""
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        cols = ("zoom_level", "matrix_width", "matrix_height",
+                "tile_width", "tile_height", "pixel_x_size",
+                "pixel_y_size")
+        rows = con.execute(
+            f"SELECT {', '.join(cols)} FROM gpkg_tile_matrix "
+            "WHERE table_name = ? ORDER BY zoom_level", (layer,)).fetchall()
+    finally:
+        con.close()
+    return [dict(zip(cols, r)) for r in rows]
+
+
+def raster_tile_index(path: str, layer: str) -> pa.Table:
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        rows = con.execute(
+            f'SELECT zoom_level, tile_column, tile_row FROM "{layer}" '
+            "ORDER BY zoom_level, tile_column, tile_row").fetchall()
+    finally:
+        con.close()
+    return pa.table({"z": pa.array([r[0] for r in rows]),
+                     "x": pa.array([r[1] for r in rows]),
+                     "y": pa.array([r[2] for r in rows])})
+
+
+def get_raster_tile(path: str, layer: str, z: int, x: int,
+                    y: int) -> bytes | None:
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        row = con.execute(
+            f'SELECT tile_data FROM "{layer}" WHERE zoom_level=? AND '
+            "tile_column=? AND tile_row=?", (z, x, y)).fetchone()
+    finally:
+        con.close()
+    return None if row is None else bytes(row[0])
+
+
+def read_raster_tiles(path: str, layer: str, decode: bool = True):
+    """Tile pyramid as a streaming Dataset; with ``decode`` the PNG/JPEG
+    payloads become the engine's standard raster tile rows (width/height/
+    dtype/data) through the in-repo codecs, per worker."""
+    import ray.data as rd
+
+    man = raster_tile_index(path, layer)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from . import jpeg as _jpeg
+        from . import png as _png
+
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        rows = []
+        try:
+            for i in range(t.num_rows):
+                z = t["z"][i].as_py()
+                x = t["x"][i].as_py()
+                y = t["y"][i].as_py()
+                (blob,) = con.execute(
+                    f'SELECT tile_data FROM "{layer}" WHERE zoom_level=? '
+                    "AND tile_column=? AND tile_row=?", (z, x, y)).fetchone()
+                blob = bytes(blob)
+                if not decode:
+                    rows.append({"z": z, "x": x, "y": y, "data": blob})
+                    continue
+                if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                    arr = _png.decode_png(blob)
+                elif blob[:3] == b"\xff\xd8\xff":
+                    arr = _jpeg.decode(blob)
+                else:
+                    raise ValueError(f"unknown tile payload magic "
+                                     f"{blob[:4].hex()}")
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                rows.append({
+                    "z": z, "x": x, "y": y, "band": 1,
+                    "width": arr.shape[1], "height": arr.shape[0],
+                    "n_samples": arr.shape[2], "dtype": str(arr.dtype),
+                    "data": np.ascontiguousarray(arr).tobytes()})
+        finally:
+            con.close()
+        return pa.Table.from_pylist(rows)
+
+    return rd.from_arrow(man).map_batches(fetch, batch_format="pyarrow")
+
+
+def write_gpkg_tiles(path: str, layer: str, tiles, *, tile_size: int = 256,
+                     bbox=(-20037508.342789244, -20037508.342789244,
+                           20037508.342789244, 20037508.342789244),
+                     srs_id: int = 3857) -> None:
+    """tiles: iterable of (z, x, y, payload-bytes) — payloads are
+    ready-made PNG/JPEG blobs (encode with sources.png / sources.jpeg).
+    Creates the full spec table set in a fresh file."""
+    import os
+
+    if os.path.exists(path):
+        os.unlink(path)
+    con = sqlite3.connect(path)
+    try:
+        con.executescript("""
+            CREATE TABLE gpkg_spatial_ref_sys (
+              srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+              organization TEXT NOT NULL,
+              organization_coordsys_id INTEGER NOT NULL,
+              definition TEXT NOT NULL, description TEXT);
+            CREATE TABLE gpkg_contents (
+              table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,
+              identifier TEXT UNIQUE, description TEXT DEFAULT '',
+              last_change DATETIME, min_x DOUBLE, min_y DOUBLE,
+              max_x DOUBLE, max_y DOUBLE, srs_id INTEGER);
+            CREATE TABLE gpkg_tile_matrix_set (
+              table_name TEXT PRIMARY KEY, srs_id INTEGER NOT NULL,
+              min_x DOUBLE NOT NULL, min_y DOUBLE NOT NULL,
+              max_x DOUBLE NOT NULL, max_y DOUBLE NOT NULL);
+            CREATE TABLE gpkg_tile_matrix (
+              table_name TEXT NOT NULL, zoom_level INTEGER NOT NULL,
+              matrix_width INTEGER NOT NULL,
+              matrix_height INTEGER NOT NULL,
+              tile_width INTEGER NOT NULL, tile_height INTEGER NOT NULL,
+              pixel_x_size DOUBLE NOT NULL, pixel_y_size DOUBLE NOT NULL,
+              PRIMARY KEY (table_name, zoom_level));
+        """)
+        con.execute(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES "
+            "('WGS 84 / Pseudo-Mercator', 3857, 'EPSG', 3857, "
+            "'PROJCS[...]', NULL)")
+        con.execute(
+            f'CREATE TABLE "{layer}" (id INTEGER PRIMARY KEY '
+            "AUTOINCREMENT, zoom_level INTEGER NOT NULL, "
+            "tile_column INTEGER NOT NULL, tile_row INTEGER NOT NULL, "
+            "tile_data BLOB NOT NULL, "
+            "UNIQUE (zoom_level, tile_column, tile_row))")
+        rows = list(tiles)
+        zs = sorted({z for z, _x, _y, _d in rows})
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, "
+            "identifier, min_x, min_y, max_x, max_y, srs_id) VALUES "
+            "(?, 'tiles', ?, ?, ?, ?, ?, ?)",
+            (layer, layer, bbox[0], bbox[1], bbox[2], bbox[3], srs_id))
+        con.execute(
+            "INSERT INTO gpkg_tile_matrix_set VALUES (?, ?, ?, ?, ?, ?)",
+            (layer, srs_id, bbox[0], bbox[1], bbox[2], bbox[3]))
+        span_x = bbox[2] - bbox[0]
+        span_y = bbox[3] - bbox[1]
+        for z in zs:
+            n = 1 << z
+            con.execute(
+                "INSERT INTO gpkg_tile_matrix VALUES "
+                "(?, ?, ?, ?, ?, ?, ?, ?)",
+                (layer, z, n, n, tile_size, tile_size,
+                 span_x / (n * tile_size), span_y / (n * tile_size)))
+        con.executemany(
+            f'INSERT INTO "{layer}" (zoom_level, tile_column, tile_row, '
+            "tile_data) VALUES (?, ?, ?, ?)",
+            [(z, x, y, d) for z, x, y, d in rows])
+        con.commit()
+    finally:
+        con.close()

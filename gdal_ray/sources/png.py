@@ -83,6 +83,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     pos = 8
     ihdr = None
+    plte = None
     idat = b""
     while pos < len(data):
         if pos + 8 > len(data):
@@ -97,6 +98,8 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            plte = payload
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -105,19 +108,23 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in (0, 2) or interlace != 0:
-        raise ValueError("decode_png supports 8-bit gray/RGB non-interlaced only")
-    channels = 1 if color_type == 0 else 3
+    if depth not in (8, 16) or color_type not in (0, 2, 3, 4, 6) \
+            or interlace != 0:
+        raise ValueError(
+            "decode_png supports 8/16-bit gray/RGB/palette/gray+alpha/"
+            "RGBA non-interlaced only")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bytes_per_sample = depth // 8
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    raw = raw.reshape(h, 1 + w * channels)
+    raw = raw.reshape(h, 1 + w * channels * bytes_per_sample)
     ftypes = raw[:, 0]
     if (ftypes > 4).any():
         raise ValueError(f"unknown PNG filter type {int(ftypes.max())}")
-    bpp = channels
-    n = w * channels
+    bpp = channels * bytes_per_sample
+    n = w * channels * bytes_per_sample
     if (ftypes == 0).all():
         px = raw[:, 1:]  # fast path: our own tiles
-        return px.reshape(h, w) if channels == 1 else px.reshape(h, w, 3)
+        return _png_samples(px, w, h, channels, depth, color_type, plte)
     # full spec unfiltering (PNG spec 9.4): rows reconstruct sequentially
     # (Up/Average/Paeth read the previous RECONSTRUCTED row); Sub/Average/
     # Paeth have an in-row left dependency — Sub vectorizes as a per-channel
@@ -145,7 +152,26 @@ def decode_png(data: bytes) -> np.ndarray:
         out[y] = rec
         prev = rec
     px = out.astype(np.uint8)
-    return px.reshape(h, w) if channels == 1 else px.reshape(h, w, 3)
+    return _png_samples(px, w, h, channels, depth, color_type, plte)
+
+
+def _png_samples(px: np.ndarray, w: int, h: int, channels: int,
+                 depth: int, color_type: int, plte: bytes | None):
+    """Reconstructed filter-stripped rows -> sample array (gray (h, w),
+    else (h, w, channels)); 16-bit samples are big-endian per spec;
+    palette rows expand through PLTE to (h, w, 3)."""
+    if depth == 16:
+        a = np.frombuffer(np.ascontiguousarray(px).tobytes(),
+                          dtype=">u2").astype(np.uint16)
+        a = a.reshape(h, w, channels)
+        return a[:, :, 0] if channels == 1 else a
+    a = np.ascontiguousarray(px).reshape(h, w, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return pal[a[:, :, 0]]
+    return a[:, :, 0] if channels == 1 else a
 
 
 def write_png_tiles(tiles_ds, root: str, resume: bool = True):

@@ -82,3 +82,59 @@ class TestReferenceFixtures:
         assert h["tile_type"] == pm.TILETYPE_JPEG  # sniffed from payload
         a = jpeg.decode(pm.get_tile(dst, 0, 0, 0))
         assert a.shape == (256, 256, 3)
+
+
+class TestGpkgRasterTiles:
+    """GeoPackage TILES layers (ogrgeopackagedataset.cpp raster side)."""
+
+    def test_write_read(self, ray_session, tmp_path):
+        import numpy as np
+
+        from gdal_ray.sources import gpkg, png
+
+        p = str(tmp_path / "t.gpkg")
+        rng = np.random.default_rng(4)
+        arrs = {(1, x, y): rng.integers(0, 255, (64, 64)).astype(np.uint8)
+                for x in (0, 1) for y in (0, 1)}
+        gpkg.write_gpkg_tiles(
+            p, "lay", [(z, x, y, png.encode_png(a))
+                       for (z, x, y), a in arrs.items()], tile_size=64)
+        assert gpkg.list_tile_layers(p) == ["lay"]
+        tm = gpkg.tile_matrix(p, "lay")
+        assert tm[0]["zoom_level"] == 1 and tm[0]["tile_width"] == 64
+        df = gpkg.read_raster_tiles(p, "lay").to_pandas()
+        assert len(df) == 4
+        row = df[(df.x == 1) & (df.y == 0)].iloc[0]
+        got = np.frombuffer(row["data"], np.uint8).reshape(64, 64)
+        assert (got == arrs[(1, 1, 0)]).all()
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/autotest/gdrivers/data/gpkg"),
+    reason="reference fixtures not present")
+class TestGpkgReferenceFixtures:
+    def test_byte_gpkg(self):
+        import numpy as np
+
+        from gdal_ray.sources import gpkg, png
+
+        p = "/root/reference/autotest/gdrivers/data/gpkg/byte.gpkg"
+        assert gpkg.list_tile_layers(p) == ["byte"]
+        b = gpkg.get_raster_tile(p, "byte", 0, 0, 0)
+        a = png.decode_png(b)  # gray+alpha PNG
+        assert a.shape == (256, 256, 2)
+        # data band == the classic byte.tif content (also pinned for the
+        # netCDF container in test_hdf5)
+        assert int(a[:, :, 0].astype(np.int64).sum()) == 50706
+
+    def test_uint16_elevation(self):
+        import numpy as np
+
+        from gdal_ray.sources import gpkg, png
+
+        p = ("/root/reference/autotest/gdrivers/data/gpkg/"
+             "uint16-old-elevation-extension.gpkg")
+        (lay,) = gpkg.list_tile_layers(p)
+        b = gpkg.get_raster_tile(p, lay, 0, 0, 0)
+        a = png.decode_png(b)  # 16-bit gray PNG
+        assert a.dtype == np.uint16 and a.shape == (20, 20)
