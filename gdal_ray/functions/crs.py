@@ -220,6 +220,56 @@ def _registry() -> dict[int, CRSDef]:
                                 fe=155000.0, fn=463000.0),
                  "bessel", "AMERSFOORT", name="Amersfoort / RD New")
 
+    # --- US State Plane NAD83 extract (GRS80; ftUS where the published
+    # CRS uses US survey feet — kernel kwargs stay in meters, to_meter
+    # converts the axis units, matching EPSG's dual-unit definitions) ---
+    FT = 1200.0 / 3937.0
+    r[2263] = CRSDef("lcc", dict(lon0=-74.0, lat1=41.03333333333333,
+                                 lat2=40.66666666666666,
+                                 lat0=40.16666666666666,
+                                 fe=300000.0, fn=0.0),
+                     a=_ef("GRS80")[0], f=_ef("GRS80")[1], to_meter=FT,
+                     name="NAD83 / New York Long Island (ftUS)")
+    r[2229] = CRSDef("lcc", dict(lon0=-118.0, lat1=35.46666666666667,
+                                 lat2=34.03333333333333, lat0=33.5,
+                                 fe=2000000.0, fn=500000.0),
+                     a=_ef("GRS80")[0], f=_ef("GRS80")[1], to_meter=FT,
+                     name="NAD83 / California zone 5 (ftUS)")
+    r[2230] = CRSDef("lcc", dict(lon0=-116.25, lat1=33.88333333333333,
+                                 lat2=32.78333333333333,
+                                 lat0=32.166666666666668,
+                                 fe=2000000.0, fn=500000.0),
+                     a=_ef("GRS80")[0], f=_ef("GRS80")[1], to_meter=FT,
+                     name="NAD83 / California zone 6 (ftUS)")
+    r[2285] = CRSDef("lcc", dict(lon0=-120.83333333333333,
+                                 lat1=48.733333333333334, lat2=47.5,
+                                 lat0=47.0, fe=500000.0, fn=0.0),
+                     a=_ef("GRS80")[0], f=_ef("GRS80")[1], to_meter=FT,
+                     name="NAD83 / Washington North (ftUS)")
+    r[2248] = CRSDef("lcc", dict(lon0=-77.0, lat1=39.45, lat2=38.3,
+                                 lat0=37.666666666666664,
+                                 fe=400000.0, fn=0.0),
+                     a=_ef("GRS80")[0], f=_ef("GRS80")[1], to_meter=FT,
+                     name="NAD83 / Maryland (ftUS)")
+    r[2276] = CRSDef("lcc", dict(lon0=-98.5, lat1=33.96666666666667,
+                                 lat2=32.13333333333333,
+                                 lat0=31.666666666666668,
+                                 fe=600000.0, fn=2000000.0),
+                     a=_ef("GRS80")[0], f=_ef("GRS80")[1], to_meter=FT,
+                     name="NAD83 / Texas North Central (ftUS)")
+    r[26943] = E("lcc", dict(lon0=-120.5, lat1=38.43333333333333,
+                             lat2=37.06666666666667, lat0=36.5,
+                             fe=2000000.0, fn=500000.0),
+                 "GRS80", name="NAD83 / California zone 3")
+    r[2240] = CRSDef("tmerc", dict(lon0=-84.16666666666667, lat0=30.0,
+                                   k0=0.9999, fe=700000.0, fn=0.0),
+                     a=_ef("GRS80")[0], f=_ef("GRS80")[1], to_meter=FT,
+                     name="NAD83 / Georgia West (ftUS)")
+    r[26971] = E("tmerc", dict(lon0=-88.33333333333333,
+                               lat0=36.666666666666664, k0=0.999975,
+                               fe=300000.0, fn=0.0),
+                 "GRS80", name="NAD83 / Illinois East")
+
     # --- ED50 / UTM zones (International 1924 + ED50 shift) ---
     for z in range(28, 39):
         lon0, k0, fe, fn = _tr.utm_zone_params(z, south=False)

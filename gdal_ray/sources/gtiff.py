@@ -35,6 +35,10 @@ _FMT_TO_DTYPE = {
     # SampleFormat 6 = complex IEEE float (GDAL CFloat32/CFloat64)
     (64, 6): "complex64", (128, 6): "complex128",
 }
+# SampleFormat 5 = complex int (GDAL CInt16/CInt32): stored as re/im int
+# pairs, surfaced as complex64/complex128 like the reference's rasterio
+# interop; (bits, 5) -> (pair dtype, out dtype)
+_COMPLEX_INT = {32: ("int16", "complex64"), 64: ("int32", "complex128")}
 _DTYPE_TO_FMT = {v: k for k, v in _FMT_TO_DTYPE.items()}
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -605,6 +609,8 @@ def _chunk_layout(tags, en):
     sfmt = tags.get(TAG_SAMPLE_FORMAT, [1])[0]
     if bits == 1 and sfmt == 1:
         dname = "uint8"  # bilevel: unpacked to 0/1 bytes at decode
+    elif sfmt == 5 and bits in _COMPLEX_INT:
+        dname = _COMPLEX_INT[bits][1]
     else:
         dname = _FMT_TO_DTYPE.get((bits, sfmt))
     if dname is None:
@@ -678,6 +684,9 @@ def _chunk_layout(tags, en):
             "compression": compression, "predictor": predictor,
             "samples": samples, "planar": planar, "bits": bits,
             "photometric": tags.get(TAG_PHOTOMETRIC, [1])[0],
+            "complex_int": (_COMPLEX_INT[bits][0]
+                            if sfmt == 5 and bits in _COMPLEX_INT
+                            else None),
             "jpeg_tables": tags.get(347), "chunks": chunks, **geo}
 
 
@@ -693,6 +702,10 @@ def _decode_chunk(raw: bytes, lay: dict, chunk_w: int, chunk_h: int
     ns = lay.get("samples", 1) if lay.get("planar", 1) == 1 else 1
     dt = np.dtype(lay["dtype"]).newbyteorder(en)
     n_out = chunk_w * chunk_h * ns * dt.itemsize
+    if lay.get("complex_int"):
+        # on-disk: re/im integer pairs at half the surfaced complex width
+        n_out = chunk_w * chunk_h * ns * 2 * np.dtype(
+            lay["complex_int"]).itemsize
     if comp == 7:
         # JPEG-in-TIFF (new-style, Technote 2): abbreviated per-chunk
         # streams share the DQT/DHT segments from the JPEGTables tag —
@@ -749,6 +762,14 @@ def _decode_chunk(raw: bytes, lay: dict, chunk_w: int, chunk_h: int
         a = bits.astype(np.uint8)
         return (a.reshape(chunk_h, chunk_w) if ns == 1
                 else a.reshape(chunk_h, chunk_w, ns))
+    ci = lay.get("complex_int")
+    if ci is not None:
+        pairs = np.frombuffer(raw, dtype=np.dtype(ci).newbyteorder(en),
+                              count=chunk_w * chunk_h * ns * 2)
+        pairs = pairs.reshape(-1, 2).astype(np.float64)
+        a = (pairs[:, 0] + 1j * pairs[:, 1]).astype(dt)
+        return (a.reshape(chunk_h, chunk_w) if ns == 1
+                else a.reshape(chunk_h, chunk_w, ns))
     a = np.frombuffer(raw, dtype=dt, count=chunk_w * chunk_h * ns)
     if ns == 1:
         return a.reshape(chunk_h, chunk_w)
@@ -777,7 +798,8 @@ def read_gtiff(path: str, image: int = 0):
                 or c["offset"] + c["nbytes"] > len(buf):
             continue  # sparse/unwritten block: stays at the zero fill
         if (lay["compression"] != 1 or lay.get("predictor", 1) == 2
-                or lay.get("bits", 8) == 1):
+                or lay.get("bits", 8) == 1
+                or lay.get("complex_int") is not None):
             a = _decode_chunk(buf[c["offset"]:c["offset"] + c["nbytes"]],
                               lay, c["chunk_w"], c["chunk_h"])
         else:

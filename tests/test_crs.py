@@ -186,3 +186,37 @@ class TestGeoIntegration:
         x, y = geo.reproject_points(lon, lat, "EPSG:4326", "EPSG:32631")
         E, N = tr.tmerc_forward(lon, lat, lon0=3.0)
         assert x[0] == E[0] and y[0] == N[0]
+
+
+class TestStatePlane:
+    """NAD83 State Plane extract with US-survey-foot axis units."""
+
+    def test_esb_pin(self):
+        # Empire State Building in NY Long Island ftUS — public coordinate
+        x, y = crs.transform(np.array([-73.9856567]),
+                             np.array([40.7484847]),
+                             "EPSG:4326", "EPSG:2263")
+        assert abs(x[0] - 988224) < 30 and abs(y[0] - 211970) < 30
+
+    def test_ft_vs_meter_ratio(self):
+        # the ftUS variant is exactly the meter math scaled by 3937/1200
+        d_ft = crs.epsg_def(2263)
+        from dataclasses import replace
+
+        d_m = replace(d_ft, to_meter=1.0)
+        lon = np.array([-73.5]); lat = np.array([40.8])
+        xf, yf = crs.from_wgs84_lonlat(lon, lat, d_ft)
+        xm, ym = crs.from_wgs84_lonlat(lon, lat, d_m)
+        assert abs(xf[0] * (1200.0 / 3937.0) - xm[0]) < 1e-6
+        assert abs(yf[0] * (1200.0 / 3937.0) - ym[0]) < 1e-6
+
+    @pytest.mark.parametrize("code", [2229, 2230, 2248, 2276, 2285, 2240,
+                                      26943, 26971])
+    def test_roundtrips(self, code):
+        d = crs.epsg_def(code)
+        lon0 = d.kw["lon0"]
+        lat0 = d.kw.get("lat0") or d.kw.get("lat1")
+        lon = np.array([lon0 + 0.7]); lat = np.array([lat0 + 0.6])
+        x, y = crs.transform(lon, lat, "EPSG:4326", f"EPSG:{code}")
+        lo, la = crs.transform(x, y, f"EPSG:{code}", "EPSG:4326")
+        assert abs(lo[0] - lon[0]) < 1e-9 and abs(la[0] - lat[0]) < 1e-9
