@@ -451,8 +451,33 @@ def srs_info(code: str) -> dict:
                 "proj4": ("+proj=webmerc +datum=WGS84 +units=m +no_defs")}
     hit = epsg_params(code)
     if hit is None:
-        raise NotImplementedError(
-            f"srs_info: {code!r} is not a routed CRS — see geo.epsg_params")
+        # round 5: fall through to the general CRS registry (non-WGS84
+        # ellipsoids, datum shifts, ftUS units)
+        from . import crs as _crs
+
+        d = _crs.resolve_crs(code)
+        ren = {"lon0": "lon_0", "lat0": "lat_0", "lat1": "lat_1",
+               "lat2": "lat_2", "lat_ts": "lat_ts", "lat_c": "lat_0",
+               "lat_p": None, "alpha_c": "alpha", "k": "k_0", "k0": "k_0",
+               "fe": "x_0", "fn": "y_0", "east_north": None}
+        p4 = [f"+proj={_PROJ_NAME.get(d.family, d.family)}"]
+        for k, v in d.kw.items():
+            rk = ren.get(k, k)
+            if rk:
+                p4.append(f"+{rk}={v:g}" if not isinstance(v, bool)
+                          else f"+{rk}={int(v)}")
+        p4.append(f"+a={d.a:.3f}")
+        if d.f:
+            p4.append(f"+rf={1.0 / d.f:.9f}")
+        if d.towgs84:
+            p4.append("+towgs84=" + ",".join(f"{x:g}" for x in d.towgs84))
+        if d.to_meter != 1.0:
+            p4.append(f"+to_meter={d.to_meter:.12f}")
+        else:
+            p4.append("+units=m")
+        p4.append("+no_defs")
+        return {"code": code, "family": d.family, "params": dict(d.kw),
+                "proj4": " ".join(p4), "name": d.name}
     family, params = hit
     p4 = [f"+proj={_PROJ_NAME.get(family, family)}"]
     ren = {"lon0": "lon_0", "lat0": "lat_0", "lat1": "lat_1",
