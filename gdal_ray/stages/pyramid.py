@@ -689,8 +689,13 @@ class AffineWarper:
                                     y0 + np.arange(h) + 0.5)
             dx = g[0] + cols * g[1] + rws * g[2]
             dy = g[3] + cols * g[4] + rws * g[5]
-            if self.dst_crs == "EPSG:3857":
-                dx, dy = geo.mercator_to_lonlat(dx, dy)
+            if self.dst_crs and self.dst_crs != self.src.crs:
+                # round 5: ANY routed CRS pair — dispatches through
+                # geo.reproject_points (closed forms for the legacy
+                # 3857<->4326 pair, so existing oracles stay bit-identical;
+                # arbitrary registry codes incl. datum shifts otherwise)
+                dx, dy = geo.reproject_points(dx, dy, self.dst_crs,
+                                              self.src.crs)
             px, py = geo.apply_geotransform(self.inv_gt, dx, dy)
             arr = _grid_sample(self.src.arr, px, py, self.resample,
                                self.src.nodata)

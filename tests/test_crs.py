@@ -220,3 +220,38 @@ class TestStatePlane:
         x, y = crs.transform(lon, lat, "EPSG:4326", f"EPSG:{code}")
         lo, la = crs.transform(x, y, f"EPSG:{code}", "EPSG:4326")
         assert abs(lo[0] - lon[0]) < 1e-9 and abs(la[0] - lat[0]) < 1e-9
+
+
+class TestWarpIntegration:
+    def test_warp_from_osgb_raster(self, ray_session):
+        """AffineWarper consumes registry CRS pairs: an EPSG:27700-
+        georeferenced raster warps onto a WGS84 destination grid (the
+        gdalwarp -s_srs/-t_srs surface through the round-5 front door)."""
+        from gdal_ray.stages import pyramid as pyr
+
+        E0, N0 = crs.transform(np.array([-1.6]), np.array([52.6]),
+                               "EPSG:4326", "EPSG:27700")
+        gy, gx = np.mgrid[0:128, 0:128]
+        arr = ((gx + gy) % 97).astype(np.float64)
+        src = pyr.SourceRaster(
+            arr, (float(E0[0]), 50.0, 0.0, float(N0[0]), 0.0, -50.0),
+            crs="EPSG:27700", nodata=-1.0)
+        dst_gt = (-1.6001, 0.0008, 0.0, 52.6001, 0.0, -0.0005)
+        out = pyr.warp_affine(src, dst_gt, width=96, height=96,
+                              tile=48, dst_crs="EPSG:4326").to_pandas()
+        nz = 0
+        for r in out.itertuples():
+            a = np.frombuffer(r.data, np.float64).reshape(r.height, r.width)
+            nz += int((a != -1.0).sum())
+        assert nz > 0.8 * 96 * 96
+
+    def test_legacy_3857_warp_unchanged(self, ray_session):
+        """The mercator dst path still dispatches to the identical closed
+        form (oracle stability for warp_* queries)."""
+        from gdal_ray.functions import geo
+
+        dx = np.array([111319.49079327357])
+        dy = np.array([222684.20850554405])
+        a = geo.reproject_points(dx, dy, "EPSG:3857", "EPSG:4326")
+        b = geo.mercator_to_lonlat(dx, dy)
+        assert a[0][0] == b[0][0] and a[1][0] == b[1][0]
