@@ -555,6 +555,144 @@ def parse_wkt(text: str) -> CRSDef:
                   towgs84=gdef.towgs84, to_meter=to_meter, name=str(root[1]))
 
 
+_WKT2_METHOD_TO_PROJ = {
+    "Transverse Mercator": "tmerc",
+    "Lambert Conic Conformal (2SP)": "lcc",
+    "Lambert Conic Conformal (1SP)": "lcc1sp",
+    "Albers Equal Area": "aea",
+    "Polar Stereographic (variant B)": "stereo_polar",
+    "Polar Stereographic (variant A)": "stereo_polar",
+    "Oblique Stereographic": "sterea",
+    "Lambert Azimuthal Equal Area": "laea",
+    "Lambert Cylindrical Equal Area": "cea",
+    "Equidistant Cylindrical": "eqc",
+    "Popular Visualisation Pseudo Mercator": "merc",
+    "Krovak": "krovak",
+    "Swiss Oblique Cylindrical": "somerc",
+    "Hotine Oblique Mercator (variant B)": "somerc",
+}
+
+_WKT2_PARAM_MAP = {
+    "longitude of origin": "lon0",
+    "longitude of natural origin": "lon0",
+    "central meridian": "lon0",
+    "latitude of natural origin": "lat0",
+    "latitude of origin": "lat0",
+    "latitude of false origin": "lat0",
+    "longitude of false origin": "lon0",
+    "latitude of 1st standard parallel": "lat1",
+    "latitude of 2nd standard parallel": "lat2",
+    "latitude of standard parallel": "lat_ts",
+    "scale factor at natural origin": "k0",
+    "false easting": "fe",
+    "false northing": "fn",
+    "easting at false origin": "fe",
+    "northing at false origin": "fn",
+    "co-latitude of cone axis": "alpha_c",
+    "latitude of pseudo standard parallel": "lat_p",
+    "azimuth of initial line": "alpha_c",
+}
+
+
+def parse_wkt2(text: str) -> CRSDef:
+    """OGC WKT2 (ISO 19162) PROJCRS/GEOGCRS subset: BASEGEOGCRS datum +
+    ELLIPSOID, CONVERSION METHOD + PARAMETERs, axis UNIT/LENGTHUNIT.
+    TOWGS84 has no WKT2 carrier; BOUNDCRS ABRIDGEDTRANSFORMATION is
+    honored when present."""
+    root = _wkt_tokenize(text.strip())
+
+    def find(node, *keys):
+        for c in node[1:]:
+            if isinstance(c, list) and c[0].upper() in keys:
+                return c
+        return None
+
+    def find_all(node, *keys):
+        return [c for c in node[1:]
+                if isinstance(c, list) and c[0].upper() in keys]
+
+    kw_name = root[0].upper()
+    towgs84 = None
+    if kw_name == "BOUNDCRS":
+        src = find(root, "SOURCECRS")
+        tr = find(root, "ABRIDGEDTRANSFORMATION")
+        if tr is not None:
+            vals = [float(c[2]) for c in find_all(tr, "PARAMETER")]
+            if len(vals) >= 3:
+                towgs84 = tuple(vals[:7]) + (0.0,) * (7 - min(7, len(vals)))
+        root = src[1]
+        kw_name = root[0].upper()
+
+    def geog_of(node):
+        datum = find(node, "DATUM", "TRF", "ENSEMBLE")
+        ell = find(datum, "ELLIPSOID", "SPHEROID")
+        a = float(ell[2])
+        rf = float(ell[3])
+        return a, (0.0 if rf == 0 else 1.0 / rf)
+
+    if kw_name in ("GEOGCRS", "GEOGRAPHICCRS", "GEODCRS"):
+        a, f = geog_of(root)
+        return CRSDef(family="longlat", kw={}, a=a, f=f, towgs84=towgs84,
+                      name=str(root[1]))
+    if kw_name != "PROJCRS":
+        raise NotImplementedError(f"WKT2 node {root[0]} (PROJCRS/GEOGCRS)")
+    base = find(root, "BASEGEOGCRS", "BASEGEODCRS")
+    a, f = geog_of(base)
+    conv = find(root, "CONVERSION")
+    method = find(conv, "METHOD")
+    mname = str(method[1])
+    if mname not in _WKT2_METHOD_TO_PROJ:
+        raise NotImplementedError(
+            f"WKT2 method {mname!r} (supported: "
+            f"{sorted(_WKT2_METHOD_TO_PROJ)})")
+    family = _WKT2_METHOD_TO_PROJ[mname]
+    kw: dict = {}
+    for p in find_all(conv, "PARAMETER"):
+        pname = str(p[1]).lower()
+        if pname in _WKT2_PARAM_MAP:
+            val = float(p[2])
+            unit = find(p, "ANGLEUNIT", "LENGTHUNIT", "SCALEUNIT", "UNIT")
+            if unit is not None and len(unit) > 2:
+                conv_f = float(unit[2])
+                uname = str(unit[1]).lower()
+                if "grad" in uname or abs(conv_f - 0.01570796) < 1e-6:
+                    val = val * 0.9          # grads -> degrees
+                elif abs(conv_f - 1.0) > 1e-9 and "degree" not in uname                         and "metre" not in uname and "unity" not in uname:
+                    val = val * conv_f if "LENGTH" in unit[0].upper()                         else val
+            kw[_WKT2_PARAM_MAP[pname]] = val
+    if family == "stereo_polar":
+        lat0 = kw.pop("lat0", 90.0)
+        kw.setdefault("lat_ts", abs(kw.pop("lat_ts", lat0)))
+        kw["north"] = lat0 >= 0.0
+        kw.pop("k0", None)
+    elif family == "krovak":
+        kw["lat_c"] = kw.pop("lat0", 49.5)
+        kw["k"] = kw.pop("k0", 0.9999)
+        if "alpha_c" in kw:
+            kw["alpha_c"] = kw["alpha_c"]
+        kw.setdefault("lat_p", 78.5)
+        kw.setdefault("east_north", True)
+        kw.pop("lat_ts", None)
+    elif family in ("merc", "longlat"):
+        kw = {}
+    elif family == "lcc" and "lat2" not in kw:
+        family = "lcc1sp"
+    # axis unit: first CS axis LENGTHUNIT conversion factor
+    to_meter = 1.0
+    cs = find(root, "CS")
+    for ax in find_all(root, "AXIS") + (find_all(cs, "AXIS") if cs else []):
+        u = find(ax, "LENGTHUNIT", "UNIT")
+        if u is not None and len(u) > 2:
+            to_meter = float(u[2])
+            break
+    else:
+        u = find(root, "LENGTHUNIT")
+        if u is not None and len(u) > 2:
+            to_meter = float(u[2])
+    return CRSDef(family=family, kw=kw, a=a, f=f, towgs84=towgs84,
+                  to_meter=to_meter, name=str(root[1]))
+
+
 def parse_wkt_node(node) -> CRSDef:
     """GEOGCS sub-node of an already-tokenized WKT tree -> CRSDef."""
 
@@ -591,6 +729,10 @@ def resolve_crs(text: str) -> CRSDef:
         return parse_proj_string(t)
     if t[:6].upper() in ("PROJCS", "GEOGCS"):
         return parse_wkt(t)
+    head = t[:20].upper()
+    if head.startswith(("PROJCRS", "GEOGCRS", "GEODCRS", "BOUNDCRS",
+                        "GEOGRAPHICCRS")):
+        return parse_wkt2(t)
     up = t.upper()
     if up.startswith("EPSG:"):
         up = up[5:]

@@ -255,3 +255,67 @@ class TestWarpIntegration:
         a = geo.reproject_points(dx, dy, "EPSG:3857", "EPSG:4326")
         b = geo.mercator_to_lonlat(dx, dy)
         assert a[0][0] == b[0][0] and a[1][0] == b[1][0]
+
+
+class TestWKT2:
+    OSGB_WKT2 = '''PROJCRS["OSGB36 / British National Grid",
+      BASEGEOGCRS["OSGB36",
+        DATUM["Ordnance Survey of Great Britain 1936",
+          ELLIPSOID["Airy 1830",6377563.396,299.3249646,
+                    LENGTHUNIT["metre",1]]],
+        PRIMEM["Greenwich",0]],
+      CONVERSION["British National Grid",
+        METHOD["Transverse Mercator",ID["EPSG",9807]],
+        PARAMETER["Latitude of natural origin",49,
+                  ANGLEUNIT["degree",0.0174532925199433]],
+        PARAMETER["Longitude of natural origin",-2,
+                  ANGLEUNIT["degree",0.0174532925199433]],
+        PARAMETER["Scale factor at natural origin",0.9996012717,
+                  SCALEUNIT["unity",1]],
+        PARAMETER["False easting",400000,LENGTHUNIT["metre",1]],
+        PARAMETER["False northing",-100000,LENGTHUNIT["metre",1]]],
+      CS[Cartesian,2],
+      AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],
+      AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]]'''
+
+    def test_projcrs_os_example(self):
+        d = crs.resolve_crs(self.OSGB_WKT2)
+        assert d.family == "tmerc" and abs(d.a - 6377563.396) < 1e-6
+        lon = np.array([1 + 43 / 60 + 4.5177 / 3600])
+        lat = np.array([52 + 39 / 60 + 27.2531 / 3600])
+        E, N = tr.tmerc_forward(lon, lat, a=d.a, f=d.f, **d.kw)
+        assert abs(E[0] - 651409.903) < 1e-3
+        assert abs(N[0] - 313177.270) < 1e-3
+
+    def test_geogcrs(self):
+        w = ('GEOGCRS["ETRS89",DATUM["European Terrestrial Reference '
+             'System 1989",ELLIPSOID["GRS 1980",6378137,298.257222101,'
+             'LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0],CS[ellipsoidal'
+             ',2],AXIS["latitude",north],AXIS["longitude",east],'
+             'ANGLEUNIT["degree",0.0174532925199433]]')
+        d = crs.resolve_crs(w)
+        assert d.is_geographic and abs(1.0 / d.f - 298.257222101) < 1e-6
+
+    def test_boundcrs_towgs84(self):
+        w = ('BOUNDCRS[SOURCECRS[' + self.OSGB_WKT2 + '],'
+             'TARGETCRS[GEOGCRS["WGS 84",DATUM["WGS84",ELLIPSOID['
+             '"WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],'
+             'PRIMEM["Greenwich",0],CS[ellipsoidal,2],'
+             'AXIS["latitude",north],AXIS["longitude",east]]],'
+             'ABRIDGEDTRANSFORMATION["OSGB36 to WGS 84",'
+             'METHOD["Position Vector transformation"],'
+             'PARAMETER["X-axis translation",446.448],'
+             'PARAMETER["Y-axis translation",-125.157],'
+             'PARAMETER["Z-axis translation",542.06],'
+             'PARAMETER["X-axis rotation",0.1502],'
+             'PARAMETER["Y-axis rotation",0.247],'
+             'PARAMETER["Z-axis rotation",0.8421],'
+             'PARAMETER["Scale difference",-20.4894]]]')
+        d = crs.resolve_crs(w)
+        assert d.towgs84 is not None and abs(d.towgs84[0] - 446.448) < 1e-9
+        # full parity with the registry's EPSG:27700 through WGS84
+        r = crs.epsg_def(27700)
+        lon = np.array([-1.0]); lat = np.array([52.0])
+        xa, ya = crs.from_wgs84_lonlat(lon, lat, d)
+        xb, yb = crs.from_wgs84_lonlat(lon, lat, r)
+        assert abs(xa[0] - xb[0]) < 1e-3 and abs(ya[0] - yb[0]) < 1e-3
