@@ -42,6 +42,8 @@ def lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
         while nbits >= width:
             code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
+            bitbuf &= (1 << nbits) - 1  # drop consumed bits: keep the
+            # accumulator small-int (unbounded growth is O(n^2))
             if code == _CLEAR:
                 reset()
                 prev = None
@@ -85,6 +87,7 @@ def lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             out.append((bitbuf >> (nbits - 8)) & 0xFF)
             nbits -= 8
+            bitbuf &= (1 << nbits) - 1  # same small-int guarantee
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258
