@@ -68,7 +68,7 @@ class TestDecode:
                 ni += 1
             except Exception:
                 err += 1
-        assert ok >= 40 and err == 0, (ok, ni, err)
+        assert ok >= 30 and err == 0, (ok, ni, err)
 
 
 class TestRaySurface:
